@@ -1,0 +1,80 @@
+"""Local DuckDB-oracle runner — a dev-loop mirror of the driver's gate.
+
+Runs a QuerySpec's Spark side and DuckDB side on the same parquet dir and
+compares row count, column names, and values order-insensitively. Used by
+tests/test_oracle_parity.py so oracle drift is caught before the driver
+runs (the driver's CORRECTNESS_r{N}.json is the authoritative gate).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import date, datetime
+
+import duckdb
+from pyspark.sql import SparkSession
+
+from covid_data_pipeline_spark.harness.registry import QuerySpec
+from covid_data_pipeline_spark.harness.tables import TABLE_NAMES
+
+
+def run_oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    try:
+        for name in TABLE_NAMES:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if os.path.exists(path):
+                con.execute(
+                    f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+                )
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        return cols, cur.fetchall()
+    finally:
+        con.close()
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # Collapse sub-ULP noise; queries already ROUND so this is slack.
+        return round(v, 9)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    return v
+
+
+def compare(spec: QuerySpec, spark: SparkSession, sf_dir: str) -> None:
+    """Raise AssertionError on any row-count / schema / value mismatch."""
+    assert spec.oracle is not None, f"{spec.name} has no oracle"
+    sdf = spec.fn(spark, sf_dir)
+    spark_cols = list(sdf.columns)
+    spark_rows = [tuple(_norm(v) for v in row) for row in sdf.collect()]
+
+    oracle_cols, oracle_raw = run_oracle(spec.oracle, sf_dir)
+    oracle_rows = [tuple(_norm(v) for v in row) for row in oracle_raw]
+
+    assert sorted(spark_cols) == sorted(oracle_cols), (
+        f"{spec.name}: column mismatch spark={spark_cols} oracle={oracle_cols}"
+    )
+    assert len(spark_rows) == len(oracle_rows), (
+        f"{spec.name}: row count spark={len(spark_rows)} oracle={len(oracle_rows)}"
+    )
+    # Order-insensitive: sort both by the name-sorted column projection,
+    # like the driver's hash.
+    order = [spark_cols.index(c) for c in sorted(spark_cols)]
+    o_order = [oracle_cols.index(c) for c in sorted(oracle_cols)]
+    s_sorted = sorted(tuple(r[i] for i in order) for r in spark_rows)
+    o_sorted = sorted(tuple(r[i] for i in o_order) for r in oracle_rows)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_sorted, o_sorted)) if a != b
+    ]
+    assert not mismatches, (
+        f"{spec.name}: {len(mismatches)} value mismatches; first 3: {mismatches[:3]}"
+    )

@@ -1,0 +1,112 @@
+"""Relational operators: thin, tested, scale-aware wrappers.
+
+These wrap the DataFrame API 1:1 where the reference already used PySpark
+(SURVEY.md §2 marks those "identity") and re-express the Trino-SQL shapes
+(anti-join dedup, fact↔dim joins) as DataFrame plans. Each wrapper's value
+is the scale posture baked in: broadcast hints for dimension joins,
+null-safe aggregation, existence checks that don't scan the world.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def null_safe_sum_rollup(
+    df: DataFrame,
+    group_by: Sequence[str],
+    sum_cols: Sequence[str],
+    count_alias: str = "source_records_cnt",
+) -> DataFrame:
+    """GroupBy + ``sum(coalesce(c, 0))`` per measure + ``count(*)``.
+
+    The ODS province→country rollup (reference process_covid_ods.py:61-69).
+    Spark performs partial (map-side) aggregation before the shuffle
+    automatically — at 100 TB the shuffle carries only
+    |groups per partition| rows, not raw rows.
+    """
+    aggs = [F.sum(F.coalesce(F.col(c), F.lit(0))).alias(c) for c in sum_cols]
+    aggs.append(F.count(F.lit(1)).alias(count_alias))
+    return df.groupBy(*group_by).agg(*aggs)
+
+
+def dim_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | Column,
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Fact↔dimension equi-join with the dim broadcast by default.
+
+    Covers J1 (composite-key left join, reference process_covid_dds.py:60-64)
+    and J2/J3 (inner fact↔dim, process_covid_data_mart.py:61 and the four
+    alert SQLs). Dimensions here are small (~1k rows); broadcasting removes
+    the fact-side shuffle entirely — the single most important join choice
+    at 100 TB fact scale.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(d, on=on, how=how)
+
+
+def anti_join(
+    new: DataFrame, existing: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """``left_anti`` — keep rows of ``new`` with no key-match in ``existing``.
+
+    The Spark-native decorrelation of the reference's idempotency
+    ``NOT EXISTS`` (alert_case_spike.sql:57-63 and 3 siblings). Emitting
+    left_anti directly skips relying on subquery decorrelation.
+    """
+    return new.join(existing.select(*keys), on=list(keys), how="left_anti")
+
+
+def semi_join(df: DataFrame, other: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """``left_semi`` — EXISTS. Not used by the reference but part of the
+    engine surface (complement of :func:`anti_join`)."""
+    return df.join(other.select(*keys), on=list(keys), how="left_semi")
+
+
+def distinct_rows(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Distinct projection (A2, reference process_covid_dds.py:39)."""
+    return (df.select(*cols) if cols else df).distinct()
+
+
+def map_values_join(
+    df: DataFrame,
+    col: str,
+    mapping: Mapping[str, str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """Value normalization via broadcast mapping table.
+
+    Same semantics as functions.scalar.map_values (the reference's 15-branch
+    CASE chain, process_covid_ods.py:42-59) but scales to arbitrarily large
+    mappings: a broadcast left join + coalesce(default=identity) instead of
+    an ever-growing codegen'd CASE.
+    """
+    out = out_col or col
+    spark = df.sparkSession
+    map_df = spark.createDataFrame(
+        [(k, v) for k, v in mapping.items()], schema=f"__mv_src string, __mv_dst string"
+    )
+    joined = df.join(F.broadcast(map_df), df[col] == map_df["__mv_src"], "left")
+    return joined.withColumn(out, F.coalesce(F.col("__mv_dst"), F.col(col))).drop(
+        "__mv_src", "__mv_dst"
+    )
+
+
+def is_empty(df: DataFrame) -> bool:
+    """Existence guard. The reference uses ``count() == 0``
+    (process_covid_ods.py:37); ``isEmpty`` stops at the first row instead of
+    scanning everything — a deliberate improvement (SURVEY.md §2.4 A3)."""
+    return df.isEmpty()
+
+
+def null_key_count(df: DataFrame, key: str) -> int:
+    """Data-quality probe: count rows whose join key resolved NULL
+    (reference process_covid_dds.py:75-77)."""
+    return df.filter(F.col(key).isNull()).count()

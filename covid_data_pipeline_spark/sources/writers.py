@@ -1,0 +1,150 @@
+"""Sinks (SURVEY.md §2.1: S6 append, S7 dynamic partition overwrite,
+S8 full replace, S9 JDBC append) over a filesystem Parquet warehouse.
+
+The reference writes Iceberg v2 tables through DataFrameWriterV2
+(``append`` / ``overwritePartitions`` / ``createOrReplace`` — reference
+process_covid_raw.py:102-113, process_covid_ods.py:79-91,
+process_covid_dds.py:41-44). This module abstracts those three snapshot
+semantics over plain partitioned Parquet so the engine runs anywhere
+(testdata is plain parquet, no metastore needed):
+
+  append                → mode("append")
+  overwrite_partitions  → mode("overwrite") under
+                          spark.sql.sources.partitionOverwriteMode=dynamic
+                          (replaces ONLY the partitions present in the
+                          incoming frame — idempotent day re-runs)
+  replace               → mode("overwrite") of the whole table
+
+On a deployment with Iceberg jars the same three verbs map 1:1 onto
+DataFrameWriterV2; the Warehouse API is the stable seam.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Warehouse:
+    """A directory-rooted lakehouse: one subdir per ``layer.table``.
+
+    Layout: ``<root>/<layer>/<table>/[<part_col>=<v>/...]*.parquet`` —
+    hive-style partition dirs, so reads get partition pruning for free.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, table: str) -> str:
+        """``layer.table`` → directory path."""
+        return os.path.join(self.root, *table.split("."))
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        return os.path.isdir(p) and any(
+            not entry.startswith(("_", ".")) for entry in os.listdir(p)
+        )
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def _writer(
+        self,
+        df: DataFrame,
+        partition_by: Sequence[str] | None,
+        sort_within_partitions_by: Sequence[str] | None,
+    ):
+        # Write-side clustering for parquet RLE/dictionary efficiency —
+        # the reference sorts raw rows by country before writing
+        # (process_covid_raw.py:102, SURVEY.md §2.6 O1).
+        if sort_within_partitions_by:
+            df = df.sortWithinPartitions(*sort_within_partitions_by)
+        writer = df.write.format("parquet")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        return writer
+
+    def append(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: Sequence[str] | None = None,
+        sort_within_partitions_by: Sequence[str] | None = None,
+    ) -> None:
+        """Create-or-append (S6 — reference probe-then-append,
+        process_covid_raw.py:107-113; parquet append covers both cases)."""
+        self._writer(df, partition_by, sort_within_partitions_by).mode(
+            "append"
+        ).save(self.path(table))
+
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: Sequence[str],
+        sort_within_partitions_by: Sequence[str] | None = None,
+    ) -> None:
+        """Dynamic partition overwrite (S7 — reference
+        ``overwritePartitions()``): replaces only the partitions present in
+        ``df``, leaving all other history untouched. Re-running the same
+        day twice is a no-op difference-wise — the reference's strongest
+        invariant (SURVEY.md §5), encoded as a test here."""
+        if not self.exists(table):
+            self.append(df, table, partition_by, sort_within_partitions_by)
+            return
+        # partitionOverwriteMode=dynamic is set session-wide by
+        # session.get_spark; assert rather than silently clobber history.
+        mode = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        if str(mode).lower() != "dynamic":
+            raise RuntimeError(
+                "overwrite_partitions requires "
+                "spark.sql.sources.partitionOverwriteMode=dynamic "
+                f"(found {mode!r}) — a static overwrite would drop history"
+            )
+        self._writer(df, list(partition_by), sort_within_partitions_by).mode(
+            "overwrite"
+        ).save(self.path(table))
+
+    def replace(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: Sequence[str] | None = None,
+        sort_within_partitions_by: Sequence[str] | None = None,
+    ) -> None:
+        """Full replace (S8 — reference ``createOrReplace()`` rebuilding
+        dim_location wholesale every run, process_covid_dds.py:41-44)."""
+        self._writer(df, partition_by, sort_within_partitions_by).mode(
+            "overwrite"
+        ).save(self.path(table))
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+    batch_size: int = 10_000,
+) -> None:
+    """JDBC append sink (S9 — replaces the reference's Trino cross-catalog
+    INSERT…SELECT into Postgres, alert_case_spike.sql:1-19).
+
+    Each partition opens one connection and writes ``batch_size`` rows per
+    round trip; ``df.coalesce(n)`` first if the target can't take one
+    connection per partition. Needs the JDBC driver jar; tests use a
+    Warehouse table as the alert sink instead.
+    """
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
