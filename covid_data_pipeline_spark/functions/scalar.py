@@ -81,12 +81,18 @@ def per_100k(numerator: Column | str, population: Column | str) -> Column:
     return F.round(n.cast("double") / p * 100000, 0).cast("long")
 
 
-def rate_percent(numerator: Column | str, denominator: Column | str) -> Column:
-    """``CASE WHEN den > 0 THEN ROUND(num/den*100, 2) END`` — guarded ratio
-    (reference process_covid_data_mart.py:87-88)."""
+def rate_percent(
+    numerator: Column | str,
+    denominator: Column | str,
+    default: float | None = None,
+) -> Column:
+    """``CASE WHEN den > 0 THEN ROUND(num/den*100, 2) ELSE default END`` —
+    guarded ratio (reference process_covid_data_mart.py:87-88 uses
+    ``ELSE 0``; pass ``default=None`` for SQL-NULL semantics)."""
     n = F.col(numerator) if isinstance(numerator, str) else numerator
     d = F.col(denominator) if isinstance(denominator, str) else denominator
-    return F.when(d > 0, F.round(n.cast("double") / d * 100, 2))
+    guarded = F.when(d > 0, F.round(n.cast("double") / d * 100, 2))
+    return guarded if default is None else guarded.otherwise(F.lit(default))
 
 
 def bucketize(

@@ -95,18 +95,18 @@ class Warehouse:
         if not self.exists(table):
             self.append(df, table, partition_by, sort_within_partitions_by)
             return
-        # partitionOverwriteMode=dynamic is set session-wide by
-        # session.get_spark; assert rather than silently clobber history.
-        mode = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        if str(mode).lower() != "dynamic":
-            raise RuntimeError(
-                "overwrite_partitions requires "
-                "spark.sql.sources.partitionOverwriteMode=dynamic "
-                f"(found {mode!r}) — a static overwrite would drop history"
-            )
-        self._writer(df, list(partition_by), sort_within_partitions_by).mode(
-            "overwrite"
-        ).save(self.path(table))
+        # Force dynamic mode for this write regardless of session defaults —
+        # a static overwrite here would silently drop all other partitions'
+        # history. Restored afterwards so callers' sessions are untouched.
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        previous = self.spark.conf.get(conf_key)
+        self.spark.conf.set(conf_key, "dynamic")
+        try:
+            self._writer(df, list(partition_by), sort_within_partitions_by).mode(
+                "overwrite"
+            ).save(self.path(table))
+        finally:
+            self.spark.conf.set(conf_key, previous)
 
     def replace(
         self,

@@ -1,0 +1,62 @@
+"""Property-based tests (SURVEY.md §5 item 4): delta/cumulate round-trip
+and rollup invariance under partitioning."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.operators.relational import null_safe_sum_rollup
+from covid_data_pipeline_spark.operators.windows import with_deltas
+
+_series = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=2, max_size=12
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(values=_series)
+def test_unclamped_delta_recumulates(spark, values):
+    """cumsum(delta) + first = original, for any series (no clamp)."""
+    rows = [("k", i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, ["key", "t", "cum"])
+    out = with_deltas(
+        df, partition_by=["key"], order_by=["t"], cols=["cum"], clamp=False
+    )
+    got = sorted((r["t"], r["new_cum"]) for r in out.collect())
+    expect = [(0, None)] + [
+        (i, values[i] - values[i - 1]) for i in range(1, len(values))
+    ]
+    assert got == expect
+
+
+@settings(max_examples=15, deadline=None)
+@given(values=_series)
+def test_clamped_delta_never_negative(spark, values):
+    rows = [("k", i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, ["key", "t", "cum"])
+    out = with_deltas(
+        df, partition_by=["key"], order_by=["t"], cols=["cum"], clamp=True
+    )
+    for r in out.collect():
+        assert r["new_cum"] >= 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    nparts=st.integers(min_value=1, max_value=5),
+)
+def test_rollup_invariant_under_partitioning(spark, rows, nparts):
+    """groupBy-sum(coalesce) must not depend on physical partitioning."""
+    df = spark.createDataFrame(rows, schema="k string, v int")
+    a = null_safe_sum_rollup(df, ["k"], ["v"], count_alias="n")
+    b = null_safe_sum_rollup(df.repartition(nparts, "k"), ["k"], ["v"], count_alias="n")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
