@@ -1,0 +1,127 @@
+"""Text-analysis column builders for large-scale training-data pipelines.
+
+All hot-path expressions are JVM-side array/string built-ins (codegen'd,
+Catalyst-visible) — no Python in the row path. These feed the dedup and
+quality operators in ``operators/``.
+
+Design for 100 TB: every function is a pure projection (no shuffle); the
+expensive parts (shingling, hashing) stay inside whole-stage codegen and
+scale linearly with input bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small stopword lists for the language-ID heuristic and stopword-ratio
+# quality signal (public common-word lists).
+STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+STOPWORDS_FR = ("le", "la", "les", "de", "et", "un", "une", "est", "pour", "dans")
+STOPWORDS_DE = ("der", "die", "das", "und", "ist", "ein", "eine", "mit", "von", "zu")
+
+# BPE-ish pre-tokenization: letter runs, digit runs, or single
+# non-alphanumeric glyphs (the classic GPT-2-style pre-split shape).
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the lowercased, trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens (letter runs / digit runs / glyphs) —
+    a cheap, deterministic proxy for LLM token counts."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are punctuation-ish (non-alnum,
+    non-space). NULL-safe: empty text → NULL."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0)))
+    return F.when(F.length(c) > 0, n_punct.cast("double") / F.length(c))
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    """Fraction of whitespace tokens that are stopwords (occurrence-counted,
+    not distinct — a repetition-aware quality signal)."""
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks))
+
+
+def stopword_hits(col: Column | str, stopwords: tuple[str, ...]) -> Column:
+    toks = tokens(col)
+    return F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of stopword hits across EN/FR/DE,
+    'und' (undetermined) when no list scores ≥ 1 hit. O(tokens) per row,
+    fully codegen'd — the cheap first-pass filter before any model-based
+    ID in a real corpus pipeline."""
+    en, fr, de = (
+        stopword_hits(col, STOPWORDS_EN),
+        stopword_hits(col, STOPWORDS_FR),
+        stopword_hits(col, STOPWORDS_DE),
+    )
+    return (
+        F.when((en >= fr) & (en >= de) & (en > 0), F.lit("en"))
+        .when((fr >= de) & (fr > 0), F.lit("fr"))
+        .when(de > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality score: length band + low punctuation +
+    presence of stopwords (the classic cheap pre-filter trio for web-scale
+    corpus cleaning)."""
+    c = F.col(col) if isinstance(col, str) else col
+    len_ok = (F.length(c) >= 50) & (F.length(c) <= 20_000)
+    punct_ok = F.coalesce(punct_ratio(c) < 0.2, F.lit(False))
+    stop_ok = F.coalesce(stopword_ratio(c) > 0.01, F.lit(False))
+    return (
+        len_ok.cast("double") * 0.4
+        + punct_ok.cast("double") * 0.3
+        + stop_ok.cast("double") * 0.3
+    )
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Dedup canonical form: lowercase, collapse whitespace, strip."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def content_fingerprint(col: Column | str, prefix_chars: int = 256) -> Column:
+    """Document fingerprint: md5 of the normalized text prefix — a stable,
+    cross-engine-reproducible id for exact-prefix dedup and lineage."""
+    return F.md5(F.substring(normalized_text(col), 1, prefix_chars))
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles (k-grams of whitespace tokens) — the unit
+    set for Jaccard/MinHash near-dup. Pure array built-ins: O(tokens)
+    per row, no UDF."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    shingle_at = lambda i: F.concat_ws(" ", F.slice(toks, i, k))  # noqa: E731
+    return F.when(
+        n >= k, F.array_distinct(F.transform(idx, shingle_at))
+    ).otherwise(F.array(F.concat_ws(" ", toks)))

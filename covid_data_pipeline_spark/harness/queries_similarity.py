@@ -1,0 +1,173 @@
+"""Similarity-search queries over the embeddings table (north-star
+extras) plus multimodal-plumbing queries over synthesized media rows.
+
+The brute-force cosine top-k has a DuckDB oracle (both engines compute
+the dot product left-to-right in DOUBLE, then round to 4 dp and rank by
+the rounded value with an id tiebreaker — bit-stable across engines).
+The LSH variant is approximate → rows-only; pytest asserts recall vs the
+exact result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.harness.registry import register, table
+from covid_data_pipeline_spark.operators.multimodal import (
+    decode_and_featurize_images,
+    frame_sample_plan,
+    media_fingerprint,
+)
+from covid_data_pipeline_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_neardup_pairs,
+)
+
+EMBED_DIM = 64
+N_QUERIES = 5
+TOP_K = 5
+
+_COSINE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> x::DOUBLE) AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(
+           list_dot_product(list_transform(e.embedding, x -> x::DOUBLE), q.qv)
+           / (sqrt(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+                                    list_transform(e.embedding, x -> x::DOUBLE)))
+              * sqrt(list_dot_product(q.qv, q.qv))), 4) AS similarity
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, similarity FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= {TOP_K}
+"""
+
+
+@register(
+    "similarity_topk_bruteforce",
+    _COSINE_ORACLE,
+    tags=("similarity", "ann-baseline"),
+    bench=True,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_bruteforce(
+        e, queries, k=TOP_K, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id",
+    )
+
+
+@register(
+    "similarity_topk_lsh",
+    None,  # approximate — recall vs exact asserted in tests/test_similarity.py
+    tags=("similarity", "ann-lsh"),
+    bench=True,
+)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # 4 planes (16 buckets), 1-bit multiprobe: ~30% of the corpus scored
+    # per query at ~50% top-5 recall on this weakly-clustered corpus
+    # (top-5 cosine ≈ 0.3 ⇒ P(bit agree) ≈ 0.6; recall ≈ p⁴+4p³(1-p)).
+    # More planes only pay off when neighbors are actually close.
+    return cosine_topk_lsh(
+        e, queries, dim=EMBED_DIM, k=TOP_K, num_planes=4,
+        id_col="vec_id", vec_col="embedding", query_id_col="query_id",
+        multiprobe_bits=1,
+    )
+
+
+@register(
+    "embedding_neardup",
+    None,  # bucket-restricted candidate set — approximate by design
+    tags=("similarity", "dedup"),
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    # Plant exact duplicates (vec_id+1e6) so the operator provably fires.
+    doubled = e.select("vec_id", "embedding").unionByName(
+        e.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    return embedding_neardup_pairs(
+        doubled, dim=EMBED_DIM, threshold=0.99, num_planes=8,
+        id_col="vec_id", vec_col="embedding",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: media rows synthesized from documents (payload =
+# utf-8 bytes of the text), so sha/byte-count logic is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+
+def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("raw").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "media_fingerprint",
+    """
+    SELECT doc_id AS media_id,
+           sha256(text) AS payload_sha,
+           octet_length(text::BLOB) AS n_bytes
+    FROM documents
+    """,
+    tags=("multimodal", "dedup"),
+)
+def media_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_fingerprint(_media_df(spark, sf_dir))
+
+
+@register(
+    "media_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           unnest(generate_series(0, n_chars * 10, 1000)) AS frame_ts_ms
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_sample_plan(_media_df(spark, sf_dir), every_ms=1000)
+
+
+@register(
+    "media_features_fake",
+    None,  # mapInPandas decode stub — Spark-side plumbing check only
+    tags=("multimodal", "pandas-udf"),
+)
+def media_features_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = decode_and_featurize_images(_media_df(spark, sf_dir), fake=True)
+    # Project features to scalars so the driver's hash sees stable values.
+    return feats.select(
+        "media_id",
+        "payload_sha",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )

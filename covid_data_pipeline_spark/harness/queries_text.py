@@ -1,0 +1,145 @@
+"""Text-analysis queries over the documents table (north-star extras:
+language ID, quality scoring, token counting, fingerprinting). All four
+are SQL-expressible, so each carries a DuckDB oracle.
+
+Dialect notes: DuckDB ``regexp_replace`` needs the ``'g'`` flag to match
+Spark's replace-all default; DuckDB splits/extracts with
+``regexp_split_to_array`` / ``regexp_extract_all``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.functions.text import (
+    STOPWORDS_DE,
+    STOPWORDS_EN,
+    STOPWORDS_FR,
+    bpe_token_count,
+    char_count,
+    content_fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from covid_data_pipeline_spark.harness.registry import register, table
+
+_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+_BPE = r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')"
+_PUNCT = r"regexp_extract_all(text, '[^A-Za-z0-9\s]')"
+
+
+def _in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@register(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           len({_TOKS}) AS tok_cnt,
+           len({_BPE}) AS bpe_cnt,
+           ROUND(CASE WHEN length(text) > 0
+                 THEN len({_PUNCT})::DOUBLE / length(text) END, 4) AS punct_ratio,
+           ROUND(CASE WHEN len({_TOKS}) > 0
+                 THEN len(list_filter({_TOKS},
+                          t -> t IN ({_in_list(STOPWORDS_EN)})))::DOUBLE
+                      / len({_TOKS}) END, 4) AS stopword_ratio
+    FROM documents
+    """,
+    tags=("text", "quality"),
+    bench=True,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        char_count("text").alias("n_chars_actual"),
+        token_count("text").alias("tok_cnt"),
+        bpe_token_count("text").alias("bpe_cnt"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 4).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    f"""
+    WITH hits AS (
+      SELECT doc_id, lang,
+             len(list_filter({_TOKS}, t -> t IN ({_in_list(STOPWORDS_EN)}))) AS en,
+             len(list_filter({_TOKS}, t -> t IN ({_in_list(STOPWORDS_FR)}))) AS fr,
+             len(list_filter({_TOKS}, t -> t IN ({_in_list(STOPWORDS_DE)}))) AS de
+      FROM documents
+    )
+    SELECT doc_id, lang AS lang_declared,
+           CASE WHEN en >= fr AND en >= de AND en > 0 THEN 'en'
+                WHEN fr >= de AND fr > 0 THEN 'fr'
+                WHEN de > 0 THEN 'de'
+                ELSE 'und' END AS lang_guess
+    FROM hits
+    """,
+    tags=("text", "lang-id"),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        lang_id("text").alias("lang_guess"),
+    )
+
+
+@register(
+    "doc_quality",
+    f"""
+    WITH sig AS (
+      SELECT doc_id, source,
+             (length(text) BETWEEN 50 AND 20000) AS len_ok,
+             COALESCE(CASE WHEN length(text) > 0
+                      THEN len({_PUNCT})::DOUBLE / length(text) END < 0.2,
+                      FALSE) AS punct_ok,
+             COALESCE(CASE WHEN len({_TOKS}) > 0
+                      THEN len(list_filter({_TOKS},
+                               t -> t IN ({_in_list(STOPWORDS_EN)})))::DOUBLE
+                           / len({_TOKS}) END > 0.01,
+                      FALSE) AS stop_ok
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS docs_cnt,
+           ROUND(AVG(len_ok::INT * 0.4 + punct_ok::INT * 0.3
+                     + stop_ok::INT * 0.3), 4) AS avg_quality
+    FROM sig GROUP BY source
+    """,
+    tags=("text", "quality"),
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("q", quality_score("text"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_cnt"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+    )
+
+
+@register(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 256))
+             AS fingerprint
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", content_fingerprint("text", 256).alias("fingerprint"))

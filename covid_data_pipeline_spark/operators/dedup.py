@@ -1,0 +1,312 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each with an explicit scale posture:
+
+* exact            — hash-groupBy on a canonical fingerprint. One shuffle
+                     on the hash key; the 100 TB workhorse.
+* MinHash + LSH    — shingle → minhash signature → band buckets →
+                     bucket-join candidates → exact-Jaccard verify.
+                     All JVM array built-ins; candidate generation never
+                     does an all-pairs comparison.
+* SimHash          — 64-bit signature via token-hash bit voting;
+                     near-dup = small Hamming distance, candidates via
+                     16-bit band buckets (pigeonhole: d ≤ 3 ⇒ one of 4
+                     bands equal).
+* n-gram Jaccard   — exact pairwise Jaccard via a shingle inverted-index
+                     join; quadratic within a shingle's posting list, so
+                     strictly a small-corpus / verification tool — the
+                     LSH path is the scale path.
+
+Every operator returns DataFrames (no collect); thresholds and sizes are
+arguments, not constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.functions.text import normalized_text, word_shingles
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative (min id) per canonical text; adds
+    ``dup_count``. Single hash-shuffle on the md5 key — partial
+    aggregation makes the shuffle O(distinct) not O(rows)."""
+    keyed = df.withColumn("__fp", F.md5(normalized_text(F.col(text_col))))
+    reps = keyed.groupBy("__fp").agg(
+        F.min(F.col(id_col)).alias(id_col),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+    # dropDuplicates before the join-back: identical (id, text) rows may
+    # exist in the input (that is the point of dedup) and would fan out
+    # the representative row otherwise.
+    uniq = keyed.select(id_col, text_col, "__fp").dropDuplicates([id_col, "__fp"])
+    return (
+        reps.join(uniq, on=[id_col, "__fp"], how="inner")
+        .drop("__fp")
+        .select(id_col, text_col, "dup_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 32
+) -> Column:
+    """Array of ``num_hashes`` minhash values: permutation i is
+    xxhash64(i ⊕ shingle); min over the shingle set. One array<long> per
+    row, computed in one codegen'd projection."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}:"), s))
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Adds ``shingles`` and ``minhash`` columns."""
+    return df.withColumn("shingles", word_shingles(F.col(text_col), shingle_k)).withColumn(
+        "minhash", minhash_signature(F.col("shingles"), num_hashes)
+    )
+
+
+def lsh_candidate_pairs(
+    signed: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Banded LSH: split the signature into ``bands`` bands of
+    ``num_hashes // bands`` rows; docs sharing any band hash become a
+    candidate pair (a < b, distinct).
+
+    Scale: the only shuffle is the groupBy-free self-equi-join on
+    (band_idx, band_hash) — Catalyst plans a shuffled hash join keyed on
+    the band hash, so work is proportional to bucket sizes, never n².
+    Skewed buckets (boilerplate text) are the known hazard: AQE skew-join
+    splits them; upstream quality filters keep them rare.
+    """
+    rows_per_band = num_hashes // bands
+    band_array = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signed.select(
+        F.col(id_col), F.posexplode(band_array).alias("band_idx", "band_hash")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    signed: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs; keeps pairs
+    ≥ threshold. Two broadcast-or-shuffle joins to fetch shingle arrays,
+    then a codegen'd array_intersect/array_union — no UDF."""
+    sh = signed.select(F.col(id_col), F.col("shingles"))
+    joined = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.withColumn(
+            "jaccard", F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: returns verified near-dup pairs
+    (id_a < id_b, jaccard ≥ threshold)."""
+    signed = with_minhash(df, text_col, shingle_k, num_hashes)
+    pairs = lsh_candidate_pairs(signed, id_col, num_hashes, bands)
+    return jaccard_verify(pairs, signed, id_col, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(col: Column | str, bits: int = 64) -> Column:
+    """SimHash signature: per-bit majority vote over token xxhash64 values.
+
+    Pure built-ins: token hashes once (JVM), then per-bit popcount via
+    shiftright/bitwise-and inside one aggregate per bit. ``bits`` defaults
+    to 64 (one BIGINT signature).
+    """
+    from covid_data_pipeline_spark.functions.text import tokens
+
+    toks = tokens(col) if isinstance(col, str) else col
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # bit b set iff sum over tokens of ((h & mask_b) != 0) > n_tokens / 2.
+    # Bit-test via AND-mask (not shiftright): shiftright's python wrapper
+    # rejects lambda-variable Columns.
+    n = F.size(hashes)
+
+    def _merge_for(mask: Column):
+        # Closure (not default-arg) — PySpark derives lambda arity from the
+        # python signature, so the merge fn must take exactly (acc, h).
+        return lambda acc, h: acc + (h.bitwiseAND(mask) != 0).cast("long")
+
+    bit_cols = []
+    for b in range(bits):
+        mask = F.lit(1 << b if b < 63 else -(2**63)).cast("long")
+        ones = F.aggregate(hashes, F.lit(0).cast("long"), _merge_for(mask))
+        bit_cols.append(
+            F.when(ones * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            * F.lit(2 ** b).cast("long")
+            if b < 63
+            # bit 63 would overflow signed BIGINT as +2^63; use min-long.
+            else F.when(ones * 2 > n, F.lit(-(2 ** 63)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig + c
+    return sig
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR — via bit_count built-in."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into 4 × 16-bit chunks; any pair
+    with d ≤ 3 shares at least one exact chunk → self-join on
+    (chunk_idx, chunk_value), verify exact distance. Same
+    no-all-pairs guarantee as MinHash banding.
+    """
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col(sig_col), 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ]
+    )
+    banded = df.select(
+        F.col(id_col), F.col(sig_col), F.posexplode(chunks).alias("chunk_idx", "chunk_val")
+    )
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{sig_col}").alias("sig_a"),
+            F.col(f"r.{sig_col}").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming_distance(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (small-corpus / verification tool)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with shingle-Jaccard ≥ threshold, via an inverted-index
+    join (pairs must share ≥ 1 shingle). Exact but quadratic within a
+    shingle's posting list — use minhash_dedup at scale."""
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("shingles")
+    )
+    posting = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    l, r = posting.alias("l"), posting.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return jaccard_verify(pairs, sh, id_col, threshold)

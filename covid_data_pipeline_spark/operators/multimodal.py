@@ -1,0 +1,141 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+The Spark-side contract is real and tested: schema (binary payload +
+typed metadata struct), Arrow-batched ``mapInPandas`` operators with
+bounded batch sizes, partition-count preservation, and deterministic
+fake decoders where the actual media libraries (PIL/ffmpeg/torchaudio)
+are unavailable in this environment.
+
+Decode internals are STUBBED — ``decode_image`` raises
+NotImplementedError unless ``fake=True``, which produces deterministic
+pseudo-features derived from the payload bytes so downstream operators
+(dedup over media fingerprints, embedding joins) are testable.
+
+Scale notes: media bytes never pass through Python row-at-a-time — every
+operator is an Arrow-batched iterator over pandas frames;
+``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds memory per batch
+(set it so batch_bytes ≈ payload × records stays well under executor
+memory). Payload columns should be pruned early: all metadata-only
+queries must select away the binary column before any shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Typed metadata accompanying each media payload.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), True),  # image/audio/video
+        T.StructField("format", T.StringType(), True),  # png/wav/mp4/...
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", MEDIA_META_SCHEMA, True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload_sha", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _fake_features(payload: bytes, n: int = 8) -> list[float]:
+    """Deterministic pseudo-features from payload bytes (sha256-seeded) —
+    stands in for a real CNN/CLIP encoder so the distributed plumbing is
+    testable without media libraries."""
+    h = hashlib.sha256(payload or b"").digest()
+    return [int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(n)]
+
+
+def decode_and_featurize_images(
+    df: DataFrame,
+    fake: bool = False,
+    feature_dim: int = 8,
+    batch_rows: int = 64,
+) -> DataFrame:
+    """Decode image payloads and emit feature vectors via mapInPandas.
+
+    ``fake=False`` raises NotImplementedError inside the task (real
+    decoder needs PIL/opencv — not in this container). ``fake=True``
+    computes deterministic sha-derived features; the Spark plumbing
+    (Arrow batching, schema, partitioning) is identical either way.
+    """
+    spark = df.sparkSession
+    # Bound Arrow batch memory: payloads are opaque blobs.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+
+    def op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decode requires PIL/opencv (unavailable); "
+                    "pass fake=True for the deterministic stub"
+                )
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload_sha": payloads.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                    "n_bytes": payloads.map(lambda b: len(b or b"")),
+                    "features": payloads.map(
+                        lambda b: _fake_features(b, feature_dim)
+                    ),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(op, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled timestamp
+    (media_id, frame_ts_ms) — pure built-ins (sequence+explode) over
+    duration metadata; actual frame extraction would join payload back
+    through a mapInPandas decoder (stubbed like decode_and_featurize).
+    """
+    return (
+        df.select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
+                    F.lit(every_ms).cast("long"),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )
+
+
+def media_fingerprint(df: DataFrame) -> DataFrame:
+    """Exact-dup fingerprint for media: sha2 over payload bytes — JVM
+    built-in, no Python. The media arm of exact dedup."""
+    return df.select(
+        "media_id",
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+        F.length(F.col("payload")).alias("n_bytes"),
+    )
