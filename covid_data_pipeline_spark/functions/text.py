@@ -25,6 +25,16 @@ STOPWORDS_DE = ("der", "die", "das", "und", "ist", "ein", "eine", "mit", "von", 
 BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def let(value: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate ``value`` ONCE per row
+    and pass it to ``body`` as a lambda variable (via a single-element
+    ``transform``). Catalyst has no per-row common-subexpression guarantee
+    across lambda bodies — an expensive expression referenced inside a
+    higher-order-function lambda is re-evaluated per array element. This
+    makes the sharing explicit and keeps everything codegen'd."""
+    return F.transform(F.array(value), body)[0]
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of the lowercased, trimmed text."""
     c = F.col(col) if isinstance(col, str) else col
@@ -58,10 +68,16 @@ def punct_ratio(col: Column | str) -> Column:
 
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
     """Fraction of whitespace tokens that are stopwords (occurrence-counted,
-    not distinct — a repetition-aware quality signal)."""
-    toks = tokens(col)
-    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
-    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks))
+    not distinct — a repetition-aware quality signal). Token split is
+    let-bound (one regex pass per row)."""
+    return let(
+        tokens(col),
+        lambda toks: F.when(
+            F.size(toks) > 0,
+            F.size(F.filter(toks, lambda t: t.isin(*stopwords))).cast("double")
+            / F.size(toks),
+        ),
+    )
 
 
 def stopword_hits(col: Column | str, stopwords: tuple[str, ...]) -> Column:
@@ -73,18 +89,30 @@ def lang_id(col: Column | str) -> Column:
     """Heuristic language ID: argmax of stopword hits across EN/FR/DE,
     'und' (undetermined) when no list scores ≥ 1 hit. O(tokens) per row,
     fully codegen'd — the cheap first-pass filter before any model-based
-    ID in a real corpus pipeline."""
-    en, fr, de = (
-        stopword_hits(col, STOPWORDS_EN),
-        stopword_hits(col, STOPWORDS_FR),
-        stopword_hits(col, STOPWORDS_DE),
-    )
-    return (
-        F.when((en >= fr) & (en >= de) & (en > 0), F.lit("en"))
-        .when((fr >= de) & (fr > 0), F.lit("fr"))
-        .when(de > 0, F.lit("de"))
-        .otherwise(F.lit("und"))
-    )
+    ID in a real corpus pipeline. Both the token split and the three hit
+    counts are let-bound: one regex pass + three array scans per row."""
+
+    def _pick(cnts: Column) -> Column:
+        en, fr, de = cnts[0], cnts[1], cnts[2]
+        return (
+            F.when((en >= fr) & (en >= de) & (en > 0), F.lit("en"))
+            .when((fr >= de) & (fr > 0), F.lit("fr"))
+            .when(de > 0, F.lit("de"))
+            .otherwise(F.lit("und"))
+        )
+
+    def _count(toks: Column) -> Column:
+        return let(
+            F.array(
+                *[
+                    F.size(F.filter(toks, lambda t: t.isin(*sw)))
+                    for sw in (STOPWORDS_EN, STOPWORDS_FR, STOPWORDS_DE)
+                ]
+            ),
+            _pick,
+        )
+
+    return let(tokens(col), _count)
 
 
 def quality_score(col: Column | str) -> Column:
@@ -117,11 +145,15 @@ def content_fingerprint(col: Column | str, prefix_chars: int = 256) -> Column:
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct word k-shingles (k-grams of whitespace tokens) — the unit
     set for Jaccard/MinHash near-dup. Pure array built-ins: O(tokens)
-    per row, no UDF."""
-    toks = tokens(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    shingle_at = lambda i: F.concat_ws(" ", F.slice(toks, i, k))  # noqa: E731
-    return F.when(
-        n >= k, F.array_distinct(F.transform(idx, shingle_at))
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    per row, no UDF. The token split is let-bound so the regex runs once
+    per row, not once per shingle index."""
+
+    def _shingles(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+        shingle_at = lambda i: F.concat_ws(" ", F.slice(toks, i, k))  # noqa: E731
+        return F.when(
+            n >= k, F.array_distinct(F.transform(idx, shingle_at))
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+    return let(tokens(col), _shingles)

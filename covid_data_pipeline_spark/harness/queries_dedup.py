@@ -27,12 +27,20 @@ MUTANT_OFFSET = 1_000_000
 
 def _with_mutants(d: DataFrame) -> DataFrame:
     """documents ∪ near-dup mutants: same text plus one appended token,
-    doc_id offset by 1e6 — planted ground truth for near-dup recall."""
+    doc_id offset by 1e6 — planted ground truth for near-dup recall.
+
+    Repartitions to the session's default parallelism: the documents
+    parquet lands in very few input splits locally, and the downstream
+    shingle/signature projections are CPU-bound — without the rebalance
+    they run ~2-wide on a 32-core session. (At warehouse scale inputs
+    already have enough splits; the repartition is a no-op cost-wise
+    relative to the signature work.)"""
+    n = d.sparkSession.sparkContext.defaultParallelism
     mutants = d.select(
         (F.col("doc_id") + MUTANT_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zq")).alias("text"),
     )
-    return d.select("doc_id", "text").unionByName(mutants)
+    return d.select("doc_id", "text").unionByName(mutants).repartition(n)
 
 
 @register(
@@ -85,7 +93,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _with_mutants(table(spark, sf_dir, "documents"))
-    sigs = d.select("doc_id", simhash("text").alias("simhash"))
+    # Persist: the signature projection feeds both sides of the banded
+    # self-join (at warehouse scale, stage signatures to a table instead).
+    sigs = d.select("doc_id", simhash("text").alias("simhash")).persist()
     return simhash_candidate_pairs(sigs, id_col="doc_id", max_hamming=3)
 
 

@@ -63,17 +63,26 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
+def shingle_hashes(shingles: Column) -> Column:
+    """Distinct xxhash64 of each shingle string — the set the MinHash
+    family and the exact-Jaccard verify both operate on. Hashing the
+    (longer) shingle strings happens exactly once here; every derived
+    permutation hash works on 8-byte longs."""
+    return F.array_distinct(F.transform(shingles, lambda s: F.xxhash64(s)))
+
+
 def minhash_signature(
-    shingles: Column, num_hashes: int = 32
+    hashed_shingles: Column, num_hashes: int = 32
 ) -> Column:
     """Array of ``num_hashes`` minhash values: permutation i is
-    xxhash64(i ⊕ shingle); min over the shingle set. One array<long> per
-    row, computed in one codegen'd projection."""
+    xxhash64(shingle_hash, i); min over the shingle-hash set. One
+    array<long> per row, computed in one codegen'd projection — long-input
+    hashing only (no per-permutation string concat/allocation)."""
     return F.array(
         *[
             F.array_min(
                 F.transform(
-                    shingles, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}:"), s))
+                    hashed_shingles, lambda h, i=i: F.xxhash64(h, F.lit(i))
                 )
             )
             for i in range(num_hashes)
@@ -87,10 +96,13 @@ def with_minhash(
     shingle_k: int = 3,
     num_hashes: int = 32,
 ) -> DataFrame:
-    """Adds ``shingles`` and ``minhash`` columns."""
-    return df.withColumn("shingles", word_shingles(F.col(text_col), shingle_k)).withColumn(
-        "minhash", minhash_signature(F.col("shingles"), num_hashes)
-    )
+    """Adds ``shingle_hashes`` (array<long>, distinct) and ``minhash``
+    columns. The string shingles are transient: rows carry only the
+    hashed set, keeping shuffle width independent of shingle text size."""
+    return df.withColumn(
+        "shingle_hashes",
+        shingle_hashes(word_shingles(F.col(text_col), shingle_k)),
+    ).withColumn("minhash", minhash_signature(F.col("shingle_hashes"), num_hashes))
 
 
 def lsh_candidate_pairs(
@@ -149,14 +161,17 @@ def jaccard_verify(
     signed: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    shingle_col: str = "shingle_hashes",
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs; keeps pairs
     ≥ threshold. Two broadcast-or-shuffle joins to fetch shingle arrays,
-    then a codegen'd array_intersect/array_union — no UDF."""
-    sh = signed.select(F.col(id_col), F.col("shingles"))
+    then a codegen'd array_intersect/array_union — no UDF. Operates on
+    hashed shingle sets by default (8-byte elements; exact up to xxhash64
+    collisions) — pass ``shingle_col="shingles"`` for string-exact."""
+    sh = signed.select(F.col(id_col), F.col(shingle_col))
     joined = (
-        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed(shingle_col, "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed(shingle_col, "sh_b"), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
@@ -179,8 +194,17 @@ def minhash_dedup(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Full near-dup pipeline: returns verified near-dup pairs
-    (id_a < id_b, jaccard ≥ threshold)."""
-    signed = with_minhash(df, text_col, shingle_k, num_hashes)
+    (id_a < id_b, jaccard ≥ threshold).
+
+    The signed relation (shingle hashes + signature) feeds four subplans
+    (both sides of the banded self-join, both verify fetches); it is
+    persisted so the shingle/signature projection runs once per row. At
+    warehouse scale, stage it to a table instead (checkpoint) — the
+    persist is the single-job equivalent.
+    """
+    signed = with_minhash(df, text_col, shingle_k, num_hashes).select(
+        id_col, "shingle_hashes", "minhash"
+    ).persist()
     pairs = lsh_candidate_pairs(signed, id_col, num_hashes, bands)
     return jaccard_verify(pairs, signed, id_col, threshold)
 
@@ -193,41 +217,38 @@ def minhash_dedup(
 def simhash(col: Column | str, bits: int = 64) -> Column:
     """SimHash signature: per-bit majority vote over token xxhash64 values.
 
-    Pure built-ins: token hashes once (JVM), then per-bit popcount via
-    shiftright/bitwise-and inside one aggregate per bit. ``bits`` defaults
-    to 64 (one BIGINT signature).
+    Pure built-ins, single pass: token hashes once (JVM), then ONE
+    ``aggregate`` fold whose accumulator is the array of per-bit one-counts
+    (``zip_with`` merges each hash's bit vector), then a majority vote OR'd
+    into one BIGINT. One expression tree instead of ``bits`` separate
+    aggregates — same arithmetic, ~64× smaller codegen. Bit-tests use
+    AND-masks (shiftright's python wrapper rejects lambda-variable
+    Columns); bit 63's mask is min-long so nothing overflows signed BIGINT.
     """
-    from covid_data_pipeline_spark.functions.text import tokens
+    from covid_data_pipeline_spark.functions.text import let, tokens
 
     toks = tokens(col) if isinstance(col, str) else col
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # bit b set iff sum over tokens of ((h & mask_b) != 0) > n_tokens / 2.
-    # Bit-test via AND-mask (not shiftright): shiftright's python wrapper
-    # rejects lambda-variable Columns.
-    n = F.size(hashes)
+    masks = F.array(
+        *[F.lit(1 << b if b < 63 else -(2**63)).cast("long") for b in range(bits)]
+    )
 
-    def _merge_for(mask: Column):
-        # Closure (not default-arg) — PySpark derives lambda arity from the
-        # python signature, so the merge fn must take exactly (acc, h).
-        return lambda acc, h: acc + (h.bitwiseAND(mask) != 0).cast("long")
-
-    bit_cols = []
-    for b in range(bits):
-        mask = F.lit(1 << b if b < 63 else -(2**63)).cast("long")
-        ones = F.aggregate(hashes, F.lit(0).cast("long"), _merge_for(mask))
-        bit_cols.append(
-            F.when(ones * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-            * F.lit(2 ** b).cast("long")
-            if b < 63
-            # bit 63 would overflow signed BIGINT as +2^63; use min-long.
-            else F.when(ones * 2 > n, F.lit(-(2 ** 63)).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+    def _sig(hashes: Column) -> Column:
+        n = F.size(hashes)
+        counts = F.aggregate(
+            hashes,
+            F.array_repeat(F.lit(0).cast("long"), bits),
+            lambda acc, h: F.zip_with(
+                acc,
+                F.transform(masks, lambda m: (h.bitwiseAND(m) != 0).cast("long")),
+                lambda a, b: a + b,
+            ),
         )
-    sig = bit_cols[0]
-    for c in bit_cols[1:]:
-        sig = sig + c
-    return sig
+        bits_set = F.zip_with(
+            counts, masks, lambda c, m: F.when(c * 2 > n, m).otherwise(F.lit(0).cast("long"))
+        )
+        return F.aggregate(bits_set, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+
+    return let(F.transform(toks, lambda t: F.xxhash64(t)), _sig)
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
@@ -309,4 +330,4 @@ def ngram_jaccard_pairs(
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
-    return jaccard_verify(pairs, sh, id_col, threshold)
+    return jaccard_verify(pairs, sh, id_col, threshold, shingle_col="shingles")
