@@ -1,0 +1,75 @@
+"""Micro-batch bridge: Structured Streaming → the batch medallion sinks.
+
+``foreachBatch`` hands each micro-batch to ordinary batch code, so the
+whole operator library (conform, rollups, windows, Warehouse sinks) runs
+unchanged against a stream — the "mechanical readStream adaptation"
+SURVEY.md §2.9 plans for. The checkpoint dir gives restart-exactly-once
+at the source side; sinks are idempotent (partition overwrite / keyed
+dedup), which upgrades end-to-end semantics to effectively-once — the
+same invariant the reference's partition-overwrite re-runs provide
+(SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from covid_data_pipeline_spark.sources.writers import Warehouse
+
+
+def stream_append_to_table(
+    stream_df: DataFrame,
+    wh: Warehouse,
+    table: str,
+    checkpoint_dir: str,
+    partition_by: Sequence[str] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Land a stream into a warehouse table, appending per micro-batch.
+    ``available_now=True`` drains the current backlog then stops — the
+    streaming equivalent of one daily batch run."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        wh.append(batch_df, table, partition_by=partition_by)
+
+    return _start(stream_df, _sink, checkpoint_dir, available_now)
+
+
+def stream_transform_to_table(
+    stream_df: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    wh: Warehouse,
+    table: str,
+    checkpoint_dir: str,
+    partition_by: Sequence[str],
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Apply a batch transform to each micro-batch and dynamic-partition-
+    overwrite the result — idempotent under micro-batch replay as long as
+    a replayed batch covers the same partitions (true for the date-keyed
+    medallion layers)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df)
+        wh.overwrite_partitions(out, table, partition_by=list(partition_by))
+
+    return _start(stream_df, _sink, checkpoint_dir, available_now)
+
+
+def _start(
+    stream_df: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    available_now: bool,
+) -> StreamingQuery:
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

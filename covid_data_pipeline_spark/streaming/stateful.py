@@ -1,0 +1,94 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+The one stateful computation the reference performs is cumulative→delta
+conversion via LAG over full history (reference
+process_covid_data_mart.py:67-79 — W1 in SURVEY.md §2.5). In batch that
+window re-scans all history every day; the streaming twin below keeps
+only the LAST cumulative row per key as state, so each micro-batch does
+O(batch) work regardless of history length — the incremental-mart
+optimization SURVEY.md §4 calls for, expressed as a stream.
+
+Arrow-batched Pandas on the grouped iterator (not row-at-a-time); state
+is one row per key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from typing import TYPE_CHECKING
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import StructField, StructType
+
+if TYPE_CHECKING:
+    from pyspark.sql.streaming.state import GroupState
+
+
+def cumulative_to_delta_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_cols: Sequence[str],
+    clamp: bool = True,
+) -> DataFrame:
+    """Streaming cumulative→delta per key, ordered by ``order_col``.
+
+    Emits every input row plus ``new_<v>`` delta columns; the per-key
+    state is the single most-recent (order, values) row, carried across
+    micro-batches. Deltas match the batch LAG formulation exactly:
+    ``GREATEST(COALESCE(cur − prev, 0), 0)`` when ``clamp`` (the mart's
+    clamp policy), plain ``cur − prev`` (NULL on first row) otherwise —
+    the alerts' policy (SURVEY.md §7.3 keeps the two distinct).
+
+    Late/out-of-order rows WITHIN a micro-batch are handled by sorting;
+    rows arriving in a later batch with an older ``order_col`` than the
+    state are a monotonicity violation and yield clamped-to-0 deltas —
+    same as the reference's negative-correction behavior.
+    """
+    fields = {f.name: f for f in df.schema.fields}
+    key_cols = list(key_cols)
+    value_cols = list(value_cols)
+
+    out_schema = StructType(
+        [fields[c] for c in key_cols]
+        + [fields[order_col]]
+        + [fields[v] for v in value_cols]
+        + [StructField(f"new_{v}", fields[v].dataType, True) for v in value_cols]
+    )
+    state_schema = StructType([fields[order_col]] + [fields[v] for v in value_cols])
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values(order_col, ignore_index=True)
+
+        prev_vals: dict[str, object] = {}
+        if state.exists:
+            stored = state.get
+            prev_vals = {v: stored[1 + i] for i, v in enumerate(value_cols)}
+
+        out = batch[[order_col, *value_cols]].copy()
+        for i, k in enumerate(key_cols):
+            out[k] = key[i]
+        for v in value_cols:
+            prev = batch[v].shift(1)
+            if v in prev_vals and prev_vals[v] is not None:
+                prev.iloc[0] = prev_vals[v]
+            delta = batch[v] - prev
+            if clamp:
+                delta = delta.fillna(0).clip(lower=0)
+            out[f"new_{v}"] = delta
+
+        last = batch.iloc[-1]
+        state.update((last[order_col], *[last[v] for v in value_cols]))
+        yield out[[*key_cols, order_col, *value_cols, *[f"new_{v}" for v in value_cols]]]
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -1,0 +1,194 @@
+"""Structured Streaming layer tests: stream-vs-batch equivalence of the
+window operators, the stateful cumulative→delta operator vs its batch LAG
+twin, and the foreachBatch medallion bridge."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.harness.tables import table
+from covid_data_pipeline_spark.operators.windows import with_deltas
+from covid_data_pipeline_spark.sources.writers import Warehouse
+from covid_data_pipeline_spark.streaming.pipeline import (
+    stream_append_to_table,
+    stream_transform_to_table,
+)
+from covid_data_pipeline_spark.streaming.sources import file_stream
+from covid_data_pipeline_spark.streaming.stateful import cumulative_to_delta_stream
+from covid_data_pipeline_spark.streaming.windows import session_agg, tumbling_agg
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory) -> str:
+    """Events re-landed as a multi-file directory (a streaming landing
+    zone shape: several files arriving over time)."""
+    out = str(tmp_path_factory.mktemp("events_land"))
+    table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _drain(query) -> None:
+    query.awaitTermination(120)
+    assert not query.isActive
+
+
+def test_tumbling_stream_equals_batch(spark, events_dir, tmp_path):
+    batch_df = spark.read.parquet(events_dir)
+    stream_df = file_stream(
+        spark, events_dir, batch_df.schema, max_files_per_trigger=2
+    )
+    agg = dict(
+        ts_col="ts",
+        duration="1 hour",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("events_cnt"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        ],
+    )
+    q = (
+        tumbling_agg(stream_df, watermark="10 minutes", **agg)
+        .writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = {
+        tuple(r)
+        for r in spark.table("tumbling_out")
+        .select("event_type", "window_start", "events_cnt", "value_sum")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in tumbling_agg(batch_df, **agg)
+        .select("event_type", "window_start", "events_cnt", "value_sum")
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_session_stream_equals_batch(spark, events_dir, tmp_path):
+    batch_df = spark.read.parquet(events_dir)
+    stream_df = file_stream(spark, events_dir, batch_df.schema)
+    agg = dict(
+        ts_col="ts",
+        gap="5 minutes",
+        keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("events_cnt")],
+    )
+    q = (
+        session_agg(stream_df, watermark="0 seconds", **agg)
+        .writeStream.format("memory")
+        .queryName("session_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = {
+        tuple(r)
+        for r in spark.table("session_out")
+        .select("user_id", "window_start", "window_end", "events_cnt")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in session_agg(batch_df, **agg)
+        .select("user_id", "window_start", "window_end", "events_cnt")
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stateful_delta_matches_batch_lag(spark, tmp_path):
+    """cumulative_to_delta_stream (state = last row per key) must equal
+    the batch LAG formulation across micro-batch boundaries: day 1-5 in
+    one file, 6-10 in another → maxFilesPerTrigger=1 forces the state
+    hand-off."""
+    rows = [
+        (c, f"2021-01-{d:02d}", (100 if c == "AA" else 7) * d + (d % 3))
+        for c in ("AA", "BB")
+        for d in range(1, 11)
+    ]
+    df = spark.createDataFrame(rows, "country string, report_date string, confirmed long")
+    land = tmp_path / "land"
+    df.filter(F.col("report_date") <= "2021-01-05").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(land))
+    df.filter(F.col("report_date") > "2021-01-05").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(land))
+
+    stream_df = file_stream(spark, str(land), df.schema, max_files_per_trigger=1)
+    out = cumulative_to_delta_stream(
+        stream_df,
+        key_cols=["country"],
+        order_col="report_date",
+        value_cols=["confirmed"],
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("delta_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = {
+        (r["country"], r["report_date"]): r["new_confirmed"]
+        for r in spark.table("delta_out").collect()
+    }
+    want = {
+        (r["country"], r["report_date"]): r["new_confirmed"]
+        for r in with_deltas(
+            df,
+            partition_by=["country"],
+            order_by=["report_date"],
+            cols=["confirmed"],
+        ).collect()
+    }
+    assert got == want and len(got) == 20
+
+
+def test_foreachbatch_medallion_bridge(spark, events_dir, tmp_path):
+    """Stream → append landing + transform → partition-overwrite rollup;
+    the rollup table must equal the batch groupBy of the full input."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    batch_df = spark.read.parquet(events_dir)
+    stream_df = file_stream(spark, events_dir, batch_df.schema, max_files_per_trigger=2)
+
+    q1 = stream_append_to_table(
+        stream_df, wh, "raw.events", checkpoint_dir=str(tmp_path / "c1")
+    )
+    _drain(q1)
+    assert wh.read("raw.events").count() == batch_df.count()
+
+    def rollup(df):
+        return df.groupBy(F.to_date("ts").alias("event_date"), "event_type").agg(
+            F.count(F.lit(1)).alias("events_cnt")
+        )
+
+    # availableNow over an already-complete dir → one logical load; each
+    # micro-batch overwrite covers only the dates present in that batch.
+    stream2 = file_stream(spark, events_dir, batch_df.schema)
+    q2 = stream_transform_to_table(
+        stream2,
+        rollup,
+        wh,
+        "ods.events_daily",
+        checkpoint_dir=str(tmp_path / "c2"),
+        partition_by=["event_date"],
+    )
+    _drain(q2)
+    cols = ["event_date", "event_type", "events_cnt"]
+    got = {tuple(r) for r in wh.read("ods.events_daily").select(*cols).collect()}
+    want = {tuple(r) for r in rollup(batch_df).select(*cols).collect()}
+    assert got == want and len(want) > 0
