@@ -1,0 +1,142 @@
+"""OLAP extensions beyond the reference's operator set (SURVEY.md §2.4
+notes grouping sets / cube / rollup / pivots as absent there): ROLLUP,
+CUBE, pivot, exact percentiles, and the as-of join — the interactive-
+analytics surface a Superset-style consumer (reference entry point 3,
+SURVEY.md §3.3) would expect from the engine.
+
+All are single-shuffle Catalyst plans: ROLLUP/CUBE expand grouping sets
+inside one Expand+HashAggregate (partial aggregation still applies);
+pivot with an explicit value list is one aggregate with conditional
+aggregation (no extra distinct-values scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.harness.registry import register, table
+from covid_data_pipeline_spark.operators.asof import asof_join
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "rollup_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    tags=("olap", "rollup"),
+    bench=True,
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    tags=("olap", "cube"),
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "pivot_event_type",
+    f"""
+    SELECT CAST(ts AS DATE) AS event_date,
+           {", ".join(f"COUNT(*) FILTER (event_type = '{t}') AS {t}_cnt" for t in EVENT_TYPES)}
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+    tags=("olap", "pivot"),
+)
+def pivot_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    out = (
+        e.groupBy(F.to_date("ts").alias("event_date"))
+        # Explicit value list: ONE aggregate, no hidden distinct-values
+        # job; unseen types still get a (zero) column deterministically.
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    for t in EVENT_TYPES:
+        out = out.withColumnRenamed(t, f"{t}_cnt").withColumn(
+            f"{t}_cnt", F.coalesce(F.col(f"{t}_cnt"), F.lit(0))
+        )
+    return out
+
+
+@register(
+    "distinct_exact_and_percentiles",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS users_exact,
+           ROUND(quantile_cont(value, 0.5), 2) AS p50,
+           ROUND(quantile_cont(value, 0.95), 2) AS p95
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("olap", "distinct", "percentile"),
+)
+def distinct_exact_and_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct + exact interpolated percentiles (the oracle-checkable
+    side; `approx_count_distinct`'s HLL sketch is asserted within tolerance
+    of this in pytest — a sketch can't hash-match a different engine)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("users_exact"),
+        F.round(F.percentile("value", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 2).alias("p95"),
+    )
+
+
+@register(
+    "asof_join_clicks_purchases",
+    """
+    SELECT c.user_id, c.ts, c.event_id, c.value,
+           p.value AS purchase_value
+    FROM (SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    tags=("olap", "asof-join"),
+    bench=True,
+)
+def asof_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click enriched with the user's most recent prior purchase
+    value — the canonical as-of shape, checked against DuckDB's native
+    ASOF JOIN."""
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    return asof_join(
+        clicks, purchases, on="ts", by=["user_id"], value_cols=["purchase_value"]
+    )

@@ -1,0 +1,86 @@
+"""Unit tests for the OLAP extras not fully coverable by the SQL oracle:
+as-of join edge semantics (tolerance, no-match, tie) and the
+approx_count_distinct sketch tolerance."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.harness.tables import table
+from covid_data_pipeline_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_hand_checked(spark):
+    left = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 10:00:00"), "a"),
+            ("u1", _ts("2024-01-01 12:00:00"), "b"),
+            ("u2", _ts("2024-01-01 09:00:00"), "c"),  # before any right row
+            ("u3", _ts("2024-01-01 09:00:00"), "d"),  # key missing on right
+        ],
+        "user string, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 09:30:00"), 1.0),
+            ("u1", _ts("2024-01-01 10:00:00"), 2.0),  # tie: inclusive match
+            ("u1", _ts("2024-01-01 11:00:00"), 3.0),
+            ("u2", _ts("2024-01-01 11:00:00"), 4.0),
+        ],
+        "user string, ts timestamp, snap double",
+    )
+    out = {
+        (r["user"], r["tag"]): r["snap"]
+        for r in asof_join(left, right, on="ts", by=["user"]).collect()
+    }
+    assert out == {
+        ("u1", "a"): 2.0,  # tie at 10:00 matches (inclusive backward)
+        ("u1", "b"): 3.0,
+        ("u2", "c"): None,  # nothing at-or-before
+        ("u3", "d"): None,  # key absent
+    }
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 12:00:00"), "x")],
+        "user string, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 10:00:00"), 1.0)],
+        "user string, ts timestamp, snap double",
+    )
+    with_tol = asof_join(
+        left, right, on="ts", by=["user"], tolerance="1 hour"
+    ).collect()[0]
+    without_tol = asof_join(left, right, on="ts", by=["user"]).collect()[0]
+    assert with_tol["snap"] is None  # 2h stale > 1h tolerance
+    assert without_tol["snap"] == 1.0
+
+
+def test_asof_join_name_collision_suffix(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 12:00:00"), 9.0)],
+        "user string, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 10:00:00"), 1.5)],
+        "user string, ts timestamp, value double",
+    )
+    row = asof_join(left, right, on="ts", by=["user"]).collect()[0]
+    assert row["value"] == 9.0 and row["value_right"] == 1.5
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    row = e.agg(
+        F.count_distinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= max(3, 0.05 * row["exact"])
