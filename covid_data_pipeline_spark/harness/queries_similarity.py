@@ -21,6 +21,8 @@ from covid_data_pipeline_spark.operators.multimodal import (
 )
 from covid_data_pipeline_spark.operators.similarity import (
     cosine_topk_bruteforce,
+    cosine_topk_bruteforce_np,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_neardup_pairs,
 )
@@ -88,6 +90,42 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, queries, dim=EMBED_DIM, k=TOP_K, num_planes=4,
         id_col="vec_id", vec_col="embedding", query_id_col="query_id",
         multiprobe_bits=1,
+    )
+
+
+@register(
+    "similarity_topk_bruteforce_np",
+    _COSINE_ORACLE,  # same exact semantics as the HOF variant
+    tags=("similarity", "ann-baseline", "pandas-udf"),
+    bench=True,
+)
+def similarity_topk_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy twin of the brute-force path — BLAS matmul per batch;
+    must hash-match the same oracle as the HOF variant."""
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_bruteforce_np(
+        e, queries, k=TOP_K, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id",
+    )
+
+
+@register(
+    "similarity_topk_ivf",
+    None,  # probe-limited — approximate; recall asserted in pytest
+    tags=("similarity", "ann-ivf"),
+    bench=True,
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_ivf(
+        e, queries, k=TOP_K, n_centroids=16, nprobe=4,
+        id_col="vec_id", vec_col="embedding", query_id_col="query_id",
     )
 
 

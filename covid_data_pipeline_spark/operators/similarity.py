@@ -175,6 +175,203 @@ def cosine_topk_lsh(
     ).select(query_id_col, id_col, "similarity")
 
 
+def cosine_topk_bruteforce_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k via Arrow-batched numpy (``mapInPandas``): one BLAS
+    matrix multiply per batch instead of per-element HOF evaluation —
+    the vectorized twin of :func:`cosine_topk_bruteforce`, identical
+    results (same rounding + tie order, oracle-checked).
+
+    The query side is collected to the driver and closed over (same
+    "small side broadcast" contract as the HOF variant); per input batch
+    only the ≤ k best rows per query survive, so the final window shuffle
+    sees O(batches × queries × k) rows regardless of corpus size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import StructType
+
+    from covid_data_pipeline_spark.operators.windows import top_k_per_group
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows])
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+
+    out_schema = StructType(
+        [
+            queries.schema[query_id_col],
+            corpus.schema[id_col],
+        ]
+    ).add("similarity", "double")
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            S = np.round(Mn @ Qn.T, 4)
+            frames = []
+            for j, qid in enumerate(qids):
+                mask = ids != qid
+                sel_ids, sel_s = ids[mask], S[mask, j]
+                order = np.lexsort((sel_ids, -sel_s))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: qid,
+                            id_col: sel_ids[order],
+                            "similarity": sel_s[order],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    return top_k_per_group(
+        partial,
+        partition_by=[query_id_col],
+        order_by=[F.col("similarity").desc(), F.col(id_col)],
+        k=k,
+    ).select(query_id_col, id_col, "similarity")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index: coarse k-means quantizer + probe-limited scan
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Coarse quantizer via distributed Lloyd iterations on the unit
+    sphere (spherical k-means — right geometry for cosine).
+
+    Init is a deterministic hash-ordered sample; each iteration assigns
+    distributively (argmax centroid dot) and recomputes means via
+    posexplode → groupBy(cid, pos) → avg — only n_centroids × dim scalars
+    ever reach the driver, so training scales to any corpus size.
+    """
+    rows = (
+        df.select(_as_double(F.col(vec_col)).alias("v"))
+        .orderBy(F.xxhash64(F.col("v")))
+        .limit(n_centroids)
+        .collect()
+    )
+
+    def _unit(v: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    centroids = [_unit(list(r["v"])) for r in rows]
+    for _ in range(iters):
+        assigned = with_ivf_cell(df, centroids, vec_col, "cid")
+        means = (
+            assigned.select("cid", F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        centroids = [
+            _unit([by_cid[c][p] for p in sorted(by_cid[c])]) if c in by_cid else centroids[c]
+            for c in range(n_centroids)
+        ]
+    return centroids
+
+
+def _centroid_scores(vec: Column, centroids: list[list[float]]) -> list[Column]:
+    v = _as_double(vec)
+    return [
+        dot(v, F.array(*[F.lit(x) for x in c])) for c in centroids
+    ]
+
+
+def with_ivf_cell(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max dot on the unit
+    sphere). argmax via array_max over (score, cid) structs — struct
+    ordering breaks ties toward the larger cid, deterministically."""
+    scored = F.array(
+        *[
+            F.struct(s.alias("s"), F.lit(i).alias("c"))
+            for i, s in enumerate(_centroid_scores(F.col(vec_col), centroids))
+        ]
+    )
+    return df.withColumn(cid_col, F.array_max(scored)["c"])
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via IVF: corpus rows are scanned only in the
+    ``nprobe`` cells nearest each query — candidate generation is an
+    equi-join on the cell id, scoring ~nprobe/n_centroids of the corpus.
+
+    Pass precomputed ``centroids`` to amortize training across queries
+    (at warehouse scale: train once, store the cell assignment as a
+    partition column, and the probe join becomes partition pruning).
+    """
+    from covid_data_pipeline_spark.operators.windows import top_k_per_group
+
+    if centroids is None:
+        centroids = train_centroids(corpus, n_centroids, vec_col=vec_col)
+    c = with_ivf_cell(corpus, centroids, vec_col, "cid")
+    scored_cells = F.array(
+        *[
+            F.struct((-s).alias("d"), F.lit(i).alias("c"))
+            for i, s in enumerate(_centroid_scores(F.col("__qvec"), centroids))
+        ]
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    ).withColumn(
+        "cid",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(scored_cells), 1, nprobe), lambda s: s["c"]
+            )
+        ),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cid")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("similarity", F.round(cosine(F.col(vec_col), F.col("__qvec")), 4))
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=[query_id_col],
+        order_by=[F.col("similarity").desc(), F.col(id_col)],
+        k=k,
+    ).select(query_id_col, id_col, "similarity")
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     dim: int,
