@@ -1,0 +1,80 @@
+"""Physical-plan audits: the scale properties the engine promises must be
+visible in `.explain("formatted")` — filters reach the parquet scan,
+projections prune columns, small dims broadcast, hot paths stay inside
+whole-stage codegen, and partitioned warehouse reads prune partitions.
+A plan regression here is a 100×-scale performance bug even when results
+stay correct."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.harness.registry import QUERIES
+from covid_data_pipeline_spark.harness.tables import table
+from covid_data_pipeline_spark.sources.writers import Warehouse
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_dir):
+    plan = plan_of(QUERIES["filter_project"].fn(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    # At least one real predicate pushed (not an empty list).
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters:" in line
+    ]
+    assert any("IsNotNull" in l or "GreaterThan" in l or "EqualTo" in l for l in pushed)
+    # Column pruning: the lineitem scan must not read all 11 columns.
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema:" in l]
+    assert read_schemas and all(l.count(",") < 10 for l in read_schemas)
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    plan = plan_of(QUERIES["join_fact_dim"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_mart_analytics_stays_codegen(spark, sf_dir):
+    df = QUERIES["mart_analytics"].fn(spark, sf_dir)
+    df.collect()  # AQE only annotates codegen spans in the final plan
+    plan = plan_of(df)
+    assert "WholeStageCodegen" in plan
+    # The flagship must not fall back to row-at-a-time Python.
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_anti_join_plans_as_hash_anti(spark, sf_dir):
+    plan = plan_of(QUERIES["anti_join_customers"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_partition_pruning_on_warehouse_read(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(100).select(
+        (F.col("id") % 5).cast("string").alias("report_date"),
+        F.col("id").alias("v"),
+    )
+    wh.append(df, "ods.t", partition_by=["report_date"])
+    read = wh.read("ods.t").filter(F.col("report_date") == "3")
+    plan = plan_of(read)
+    # Partition filter must appear as a partition filter (pruned scan),
+    # not a post-scan data filter.
+    assert "PartitionFilters" in plan
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("report_date" in l for l in pf_lines)
+
+
+def test_topk_uses_window_group_limit(spark, sf_dir):
+    plan = plan_of(QUERIES["topk_per_group"].fn(spark, sf_dir))
+    # Spark pushes row_number <= k into WindowGroupLimit, bounding the
+    # sort to k rows per group — the property that makes per-group top-k
+    # viable on wide groups at scale.
+    assert "WindowGroupLimit" in plan
