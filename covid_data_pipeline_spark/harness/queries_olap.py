@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from covid_data_pipeline_spark.harness.registry import register, table
 from covid_data_pipeline_spark.operators.asof import asof_join
+from covid_data_pipeline_spark.operators.scale import salted_sum
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
@@ -109,6 +110,38 @@ def distinct_exact_and_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
         F.count_distinct("user_id").alias("users_exact"),
         F.round(F.percentile("value", F.lit(0.5)), 2).alias("p50"),
         F.round(F.percentile("value", F.lit(0.95)), 2).alias("p95"),
+    )
+
+
+@register(
+    "agg_salted_skewproof",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           SUM(l_quantity) AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("scale", "skew", "A1"),
+)
+def agg_salted_skewproof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation — must be value-identical to the
+    plain GROUP BY (the oracle), while spreading any hot key over 16
+    tasks. l_returnflag has only 3 values, i.e. maximal key skew."""
+    li = table(spark, sf_dir, "lineitem")
+    out = salted_sum(
+        li.select("l_returnflag", "l_extendedprice", "l_quantity"),
+        keys=["l_returnflag"],
+        sum_cols=["l_extendedprice", "l_quantity"],
+        num_salts=16,
+        count_col="cnt",
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("l_extendedprice", 2).alias("sum_price"),
+        F.col("l_quantity").alias("sum_qty"),
+        "cnt",
     )
 
 

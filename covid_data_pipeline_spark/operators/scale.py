@@ -1,0 +1,106 @@
+"""Skew and co-location machinery for 100 TB execution.
+
+Three tools the brief's scale posture calls for explicitly, each a thin,
+tested composition of DataFrame built-ins:
+
+* salted two-stage aggregation — when ONE group key dominates (a
+  boilerplate country, an empty-string fingerprint), the final aggregate
+  task for that key becomes the straggler even with map-side partial
+  aggregation. Stage 1 aggregates on (key, salt) spreading the hot key
+  over N tasks; stage 2 merges the N partials. Exact for algebraic
+  aggregates (sum/count/min/max).
+* salted join — replicate the build side across N salt values and salt
+  the probe side, so a hot key's probe rows spread over N tasks. Result
+  set is identical to the unsalted join for any salt assignment (each
+  probe row meets exactly one replica of each matching build row).
+  Prefer AQE's skew-join splitting when it fires; salting is for the
+  cases it can't see (e.g. skew introduced after the last shuffle).
+* bucketed tables — pre-shuffle both sides of a recurring join into the
+  same bucket layout so the join itself needs NO exchange (asserted on
+  the physical plan in tests/test_scale.py). The parquet analogue of the
+  reference's identity-partitioned Iceberg layout, applied to join keys
+  instead of dates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    num_salts: int = 16,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Two-stage skew-proof groupBy-sum (+ optional row count).
+
+    Salt is derived from the row content hash — deterministic, no RNG in
+    the task (safe under task retry)."""
+    keys, sum_cols = list(keys), list(sum_cols)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(num_salts))
+    stage1_aggs = [F.sum(c).alias(c) for c in sum_cols]
+    stage2_aggs: list[Column] = [F.sum(c).alias(c) for c in sum_cols]
+    if count_col:
+        stage1_aggs.append(F.count(F.lit(1)).alias(count_col))
+        stage2_aggs.append(F.sum(count_col).alias(count_col))
+    return (
+        df.withColumn(_SALT, salt)
+        .groupBy(*keys, _SALT)
+        .agg(*stage1_aggs)
+        .groupBy(*keys)
+        .agg(*stage2_aggs)
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: probe (left) rows get a content-hash salt,
+    build (right) rows are replicated once per salt value; joining on
+    (keys, salt) spreads any hot key across ``num_salts`` tasks. The
+    build side grows ``num_salts``× — use for moderate build sides with
+    a skewed probe side (``how`` ∈ inner/left)."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (build side is replicated)")
+    on = list(on)
+    l_salted = left.withColumn(
+        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(num_salts))
+    )
+    r_replicated = right.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    return l_salted.join(r_replicated, on=[*on, _SALT], how=how).drop(_SALT)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) catalog table.
+    Two tables bucketed identically on their join key join with zero
+    exchanges — pay the shuffle once at write time, reuse it every query."""
+    writer = df.write.format("parquet").mode(mode).bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def read_table(spark: SparkSession, table_name: str) -> DataFrame:
+    return spark.table(table_name)

@@ -1,0 +1,90 @@
+"""Scale machinery: salted aggregation/join equivalence and the
+bucketed-join no-exchange plan property."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.harness.tables import table
+from covid_data_pipeline_spark.operators.scale import (
+    salted_join,
+    salted_sum,
+    write_bucketed,
+)
+from tests.test_plans import plan_of
+
+
+def _skewed(spark):
+    """90% of rows on one key — the shape salting exists for."""
+    return spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 != 0, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("k"), F.col("id")))
+        .alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+
+
+def test_salted_sum_equals_plain_sum(spark):
+    df = _skewed(spark)
+    plain = {
+        (r["k"]): (r["s"], r["c"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["s"], r["c"])
+        for r in salted_sum(
+            df, keys=["k"], sum_cols=["v"], num_salts=8, count_col="c"
+        )
+        .withColumnRenamed("v", "s")
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain_join(spark):
+    left = _skewed(spark)
+    right = spark.createDataFrame(
+        [("HOT", 1), ("k10", 2), ("missing", 3)], "k string, tag int"
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, left.join(right, on="k", how=how).select("k", "v", "tag").collect())
+        )
+        salted = sorted(
+            map(tuple, salted_join(left, right, on=["k"], how=how).select("k", "v", "tag").collect())
+        )
+        assert salted == plain
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckets_test")
+    spark.sql("USE buckets_test")
+    try:
+        o = table(spark, sf_dir, "orders")
+        c = table(spark, sf_dir, "customer")
+        write_bucketed(o, "orders_b", ["o_custkey"], num_buckets=8)
+        write_bucketed(
+            c.withColumnRenamed("c_custkey", "o_custkey"),
+            "customer_b",
+            ["o_custkey"],
+            num_buckets=8,
+        )
+        ob, cb = spark.table("orders_b"), spark.table("customer_b")
+        # Force SMJ so the (absence of an) exchange is observable.
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = ob.join(cb, on="o_custkey")
+            plan = plan_of(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # bucketing replaced the shuffle
+            assert joined.count() == o.join(
+                c, o.o_custkey == c.c_custkey
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS buckets_test CASCADE")
+        spark.sql("USE default")
