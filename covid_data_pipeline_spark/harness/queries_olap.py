@@ -114,6 +114,45 @@ def distinct_exact_and_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "set_intersect_nations",
+    """
+    SELECT n.n_name FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    INTERSECT
+    SELECT n.n_name FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    """,
+    tags=("setops", "intersect"),
+)
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (SURVEY.md §2.7 — absent in the reference, engine-native
+    here): nations having BOTH customers and suppliers."""
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    cust_nations = n.join(c, c.c_nationkey == n.n_nationkey).select("n_name")
+    supp_nations = n.join(s, s.s_nationkey == n.n_nationkey).select("n_name")
+    return cust_nations.intersect(supp_nations)
+
+
+@register(
+    "set_except_customers",
+    """
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+    """,
+    tags=("setops", "except"),
+)
+def set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who ordered but never above 200k — EXCEPT with distinct
+    semantics (``subtract``; exceptAll+distinct would wrongly keep a
+    customer whose multiset difference is non-empty)."""
+    o = table(spark, sf_dir, "orders")
+    all_cust = o.select("o_custkey")
+    big_cust = o.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    return all_cust.subtract(big_cust)
+
+
+@register(
     "agg_salted_skewproof",
     """
     SELECT l_returnflag,
