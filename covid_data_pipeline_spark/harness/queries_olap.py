@@ -113,6 +113,37 @@ def distinct_exact_and_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_PRICING_SUMMARY_SQL = """
+    SELECT l_returnflag,
+           l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "sql_pricing_summary",
+    _PRICING_SUMMARY_SQL,
+    tags=("S3", "sql-surface", "A1"),
+    bench=True,
+)
+def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-string entry point (SURVEY.md §2.1 S3 — the reference's mart is
+    its one SQL-string query into Spark): the identical ANSI text runs on
+    Spark's SQL surface over temp views and on DuckDB as the oracle —
+    dialect-portability check for the engine's interactive/Thrift surface
+    (SURVEY.md §3.3)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_PRICING_SUMMARY_SQL)
+
+
 @register(
     "set_intersect_nations",
     """

@@ -29,6 +29,22 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines scan (north-star source list: "CSV/JSON sources").
+    As with CSV, pass ``schema`` in production — inference double-reads.
+    ``multiline=True`` for whole-file JSON documents (one doc per file;
+    not splittable — keep files small or prefer JSONL at scale)."""
+    reader = spark.read.option("multiLine", str(multiline).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def read_parquet_dir(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan (S2 equivalent when no catalog is configured).
     Partition columns in hive-style ``k=v`` subdirs are discovered and
