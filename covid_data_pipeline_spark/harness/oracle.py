@@ -70,8 +70,11 @@ def compare(spec: QuerySpec, spark: SparkSession, sf_dir: str) -> None:
     # like the driver's hash.
     order = [spark_cols.index(c) for c in sorted(spark_cols)]
     o_order = [oracle_cols.index(c) for c in sorted(oracle_cols)]
-    s_sorted = sorted(tuple(r[i] for i in order) for r in spark_rows)
-    o_sorted = sorted(tuple(r[i] for i in o_order) for r in oracle_rows)
+    # None-safe total order (NULLs from LEAD/LAG etc. can't be compared
+    # to floats directly); both sides use the identical key.
+    key = lambda t: tuple((v is None, str(type(v).__name__), str(v)) for v in t)  # noqa: E731
+    s_sorted = sorted((tuple(r[i] for i in order) for r in spark_rows), key=key)
+    o_sorted = sorted((tuple(r[i] for i in o_order) for r in oracle_rows), key=key)
     mismatches = [
         (i, a, b) for i, (a, b) in enumerate(zip(s_sorted, o_sorted)) if a != b
     ]

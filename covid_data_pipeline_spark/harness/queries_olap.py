@@ -113,6 +113,49 @@ def distinct_exact_and_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "window_rank_functions",
+    """
+    SELECT o_custkey, o_orderkey, rnk, drnk, tile,
+           ROUND(next_price, 2) AS next_price
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             RANK() OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk,
+             NTILE(4) OVER w AS tile,
+             LEAD(o_totalprice) OVER w AS next_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey)
+    )
+    WHERE rnk <= 3
+    """,
+    tags=("window", "ranking"),
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/lead window family (SURVEY.md §2.5 notes these absent in
+    the reference; engine-native here). Unique ORDER BY tiebreaker keeps
+    the result engine-stable."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("tile"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .withColumn("next_price", F.round("next_price", 2))
+    )
+
+
 _PRICING_SUMMARY_SQL = """
     SELECT l_returnflag,
            l_linestatus,

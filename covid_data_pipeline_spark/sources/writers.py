@@ -22,9 +22,11 @@ DataFrameWriterV2; the Warehouse API is the stable seam.
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class Warehouse:
@@ -120,6 +122,58 @@ class Warehouse:
         self._writer(df, partition_by, sort_within_partitions_by).mode(
             "overwrite"
         ).save(self.path(table))
+
+    def compact(
+        self,
+        table: str,
+        partition_by: Sequence[str] | None = None,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> None:
+        """Rewrite a table's data files at ~target size (the small-files
+        maintenance every append-per-micro-batch/day table needs at scale:
+        thousands of KB-files per partition destroy scan parallelism
+        bookkeeping and NameNode/S3-listing time).
+
+        Uses ``maxRecordsPerFile`` derived from observed bytes/row so each
+        output file lands near the target regardless of row width; data is
+        re-clustered by the partition columns first so each task writes
+        whole files for few partitions (no tiny per-task-per-partition
+        shards). Reads fully before the overwrite (parquet has no
+        snapshot isolation — at warehouse scale use Iceberg's
+        rewrite_data_files, which this mirrors)."""
+        df = self.read(table)
+        total_rows = df.count()
+        if total_rows == 0:
+            return
+        # Estimate bytes/row from current on-disk size.
+        size = 0
+        for dirpath, _dirs, files in os.walk(self.path(table)):
+            size += sum(
+                os.path.getsize(os.path.join(dirpath, f))
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+        rows_per_file = max(1, int(total_rows * target_file_bytes / max(size, 1)))
+        compacted = df
+        if partition_by:
+            compacted = compacted.repartition(*[F.col(c) for c in partition_by])
+        else:
+            n_files = max(1, (size + target_file_bytes - 1) // target_file_bytes)
+            compacted = compacted.repartition(int(n_files))
+        # Write to a staging dir then swap — self-overwrite of a parquet
+        # dir being read is undefined.
+        staging = self.path(table) + "__compact"
+        writer = compacted.write.format("parquet").option(
+            "maxRecordsPerFile", str(rows_per_file)
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.mode("overwrite").save(staging)
+        final = self.path(table)
+        backup = final + "__old"
+        os.rename(final, backup)
+        os.rename(staging, final)
+        shutil.rmtree(backup)
 
 
 def write_jdbc(

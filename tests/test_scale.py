@@ -58,6 +58,27 @@ def test_salted_join_equals_plain_join(spark):
         assert salted == plain
 
 
+def test_compact_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    import glob
+
+    from covid_data_pipeline_spark.sources.writers import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    o = table(spark, sf_dir, "orders").withColumn(
+        "od", F.date_trunc("month", "o_orderdate").cast("date")
+    )
+    # Simulate many tiny appends: 12 writes × many partitions each.
+    for i in range(12):
+        wh.append(o.filter(F.col("o_orderkey") % 12 == i), "raw.orders", ["od"])
+    before_files = glob.glob(str(tmp_path / "wh/raw/orders/**/*.parquet"), recursive=True)
+    before = sorted(map(tuple, wh.read("raw.orders").collect()))
+    wh.compact("raw.orders", partition_by=["od"])
+    after_files = glob.glob(str(tmp_path / "wh/raw/orders/**/*.parquet"), recursive=True)
+    after = sorted(map(tuple, wh.read("raw.orders").collect()))
+    assert after == before
+    assert len(after_files) < len(before_files) / 4
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     spark.sql("CREATE DATABASE IF NOT EXISTS buckets_test")
     spark.sql("USE buckets_test")
