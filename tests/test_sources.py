@@ -1,9 +1,40 @@
-"""Source readers: JSON-lines round-trip with declared schema."""
+"""Source readers and landing ingest: JSON round-trip, URL landing."""
 
 from __future__ import annotations
 
+import pathlib
+
+import pytest
+
 from covid_data_pipeline_spark.harness.tables import table
-from covid_data_pipeline_spark.sources.readers import read_json
+from covid_data_pipeline_spark.sources.ingest import land_url, landing_key
+from covid_data_pipeline_spark.sources.readers import read_csv, read_json
+
+
+def test_landing_key_layout():
+    assert landing_key("2021-03-07") == "year=2021/month=3/2021-03-07.csv"
+
+
+def test_land_url_then_spark_reads(spark, tmp_path):
+    src = tmp_path / "src.csv"
+    src.write_text("a,b\n1,x\n2,y\n")
+    landed = land_url(
+        pathlib.Path(src).as_uri(), str(tmp_path / "landing"), "2021-03-07"
+    )
+    assert landed.endswith("year=2021/month=3/2021-03-07.csv")
+    df = read_csv(spark, landed)
+    assert sorted(map(tuple, df.collect())) == [(1, "x"), (2, "y")]
+
+
+def test_land_url_missing_source_raises(tmp_path):
+    with pytest.raises(Exception):
+        land_url(
+            (tmp_path / "nope.csv").as_uri(), str(tmp_path / "landing"), "2021-03-07"
+        )
+    # No partial file left behind.
+    assert not (tmp_path / "landing" / "year=2021").exists() or not list(
+        (tmp_path / "landing" / "year=2021").rglob("*.csv")
+    )
 
 
 def test_json_roundtrip_with_schema(spark, sf_dir, tmp_path):
