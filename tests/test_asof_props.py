@@ -1,0 +1,51 @@
+"""Property-based as-of join: must agree with pandas.merge_asof on
+arbitrary (key, time, value) inputs — both sides inclusive-backward."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from covid_data_pipeline_spark.operators.asof import asof_join
+
+_key = st.sampled_from(["a", "b", "c"])
+_t = st.integers(min_value=0, max_value=50)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(st.tuples(_key, _t), min_size=1, max_size=25),
+    right=st.lists(st.tuples(_key, _t, st.integers(0, 100)), max_size=25),
+)
+def test_asof_matches_pandas_merge_asof(spark, left, right):
+    # Dedup right on (key, t): with duplicate right timestamps the winner
+    # is unspecified in both engines — exclude that nondeterminism.
+    right = list({(k, t): (k, t, v) for k, t, v in right}.values())
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k string, t long, lid long"
+    )
+    rdf = spark.createDataFrame(right, "k string, t long, v long")
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join(ldf, rdf, on="t", by=["k"]).collect()
+    }
+
+    lpd = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], columns=["k", "t", "lid"]
+    ).sort_values("t", kind="stable")
+    rpd = pd.DataFrame(right, columns=["k", "t", "v"]).sort_values("t", kind="stable")
+    if rpd.empty:
+        want = {int(lid): None for lid in lpd["lid"]}
+    else:
+        merged = pd.merge_asof(lpd, rpd, on="t", by="k", direction="backward")
+        want = {
+            int(r.lid): (None if pd.isna(r.v) else int(r.v))
+            for r in merged.itertuples()
+        }
+    assert got == want

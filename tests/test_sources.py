@@ -26,6 +26,26 @@ def test_land_url_then_spark_reads(spark, tmp_path):
     assert sorted(map(tuple, df.collect())) == [(1, "x"), (2, "y")]
 
 
+def test_register_views_sql_surface(spark, sf_dir):
+    from covid_data_pipeline_spark.harness.tables import register_views
+
+    register_views(spark, sf_dir)
+    row = spark.sql(
+        "SELECT COUNT(*) AS c FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    ).collect()[0]
+    assert row["c"] > 0
+
+
+def test_cluster_profile_shapes(spark):
+    from covid_data_pipeline_spark.session import cluster_profile
+
+    prof = cluster_profile(executors=1000, cores_per_executor=4)
+    assert prof["spark.sql.shuffle.partitions"] == "8000"
+    # Every key must be a real Spark conf (settable without error).
+    for k in prof:
+        assert k.startswith("spark.")
+
+
 def test_land_url_missing_source_raises(tmp_path):
     with pytest.raises(Exception):
         land_url(
