@@ -42,7 +42,12 @@ def exact_dedup(
     """Keep one representative (min id) per canonical text; adds
     ``dup_count``. Single hash-shuffle on the md5 key — partial
     aggregation makes the shuffle O(distinct) not O(rows)."""
-    keyed = df.withColumn("__fp", F.md5(normalized_text(F.col(text_col))))
+    # Null-safe fingerprint: NULL text forms its own dup group instead of
+    # silently vanishing at the equi-join back (NULL != NULL).
+    keyed = df.withColumn(
+        "__fp",
+        F.coalesce(F.md5(normalized_text(F.col(text_col))), F.lit("__NULL_TEXT__")),
+    )
     reps = keyed.groupBy("__fp").agg(
         F.min(F.col(id_col)).alias(id_col),
         F.count(F.lit(1)).alias("dup_count"),

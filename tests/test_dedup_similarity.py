@@ -25,6 +25,15 @@ def test_exact_dedup_finds_planted_doubles(spark, sf_dir):
     assert all(r["dup_count"] == 2 for r in out)
 
 
+def test_exact_dedup_null_text_not_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["dup_count"] for r in exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 2}
+
+
 def test_minhash_recall_on_planted_neardups(spark, sf_dir):
     d = _with_mutants(table(spark, sf_dir, "documents"))
     n_docs = table(spark, sf_dir, "documents").count()
