@@ -27,6 +27,32 @@ if TYPE_CHECKING:
     from pyspark.sql.streaming.state import GroupState
 
 
+def stream_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup: drops any row whose ``keys``
+    were already seen within the watermark horizon
+    (``dropDuplicatesWithinWatermark``). State is bounded by the
+    watermark — the at-least-once→effectively-once upgrade for event
+    streams with redelivery, and the streaming face of the engine's
+    exact-dedup family."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def enrich_with_dim(stream_df: DataFrame, dim: DataFrame, on: Sequence[str], how: str = "left") -> DataFrame:
+    """Stream-static join: enrich each micro-batch with a (small) static
+    dimension. The dim side broadcasts per micro-batch — no stream state,
+    the streaming twin of the mart's fact↔dim join (J2)."""
+    from pyspark.sql import functions as F
+
+    return stream_df.join(F.broadcast(dim), on=list(on), how=how)
+
+
 def cumulative_to_delta_stream(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -158,6 +158,65 @@ def test_stateful_delta_matches_batch_lag(spark, tmp_path):
     assert got == want and len(got) == 20
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from covid_data_pipeline_spark.streaming.stateful import stream_dedup
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:01:00")],
+        "event_id long, ts_s string",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"))
+    land = str(tmp_path / "land")
+    # Same two events land twice (redelivery) in separate files/batches.
+    df.coalesce(1).write.mode("append").parquet(land)
+    df.coalesce(1).write.mode("append").parquet(land)
+
+    stream = file_stream(spark, land, df.schema, max_files_per_trigger=1)
+    q = (
+        stream_dedup(stream, keys=["event_id"], ts_col="ts", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = [r["event_id"] for r in spark.table("dedup_out").collect()]
+    assert sorted(got) == [1, 2]  # each event exactly once despite redelivery
+
+
+def test_stream_static_dim_enrichment(spark, events_dir, tmp_path):
+    from covid_data_pipeline_spark.streaming.stateful import enrich_with_dim
+
+    batch_df = spark.read.parquet(events_dir)
+    dim = spark.createDataFrame(
+        [("click", "interaction"), ("view", "interaction"), ("error", "fault")],
+        "event_type string, category string",
+    )
+    stream = file_stream(spark, events_dir, batch_df.schema)
+    q = (
+        enrich_with_dim(stream, dim, on=["event_type"])
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = {r["category"]: r["cnt"] for r in spark.table("enrich_out").collect()}
+    want = {
+        r["category"]: r["cnt"]
+        for r in batch_df.join(dim, "event_type", "left")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want and len(got) >= 2
+
+
 def test_foreachbatch_medallion_bridge(spark, events_dir, tmp_path):
     """Stream → append landing + transform → partition-overwrite rollup;
     the rollup table must equal the batch groupBy of the full input."""
