@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from covid_data_pipeline_spark.harness.registry import register, table
 from covid_data_pipeline_spark.operators.multimodal import (
+    chunk_audio_plan,
     decode_and_featurize_images,
     frame_sample_plan,
     media_fingerprint,
@@ -202,6 +203,25 @@ def media_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(_media_df(spark, sf_dir), every_ms=1000)
+
+
+@register(
+    "media_audio_chunks",
+    """
+    WITH starts AS (
+      SELECT doc_id AS media_id, n_chars * 10 AS dur,
+             unnest(generate_series(0, n_chars * 10 - 1, 8000)) AS chunk_start_ms
+      FROM documents WHERE n_chars * 10 > 0
+    )
+    SELECT media_id, chunk_start_ms,
+           LEAST(chunk_start_ms + 10000, dur) AS chunk_end_ms
+    FROM starts
+    """,
+    tags=("multimodal", "audio"),
+)
+def media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10s chunks with 2s overlap over audio duration metadata."""
+    return chunk_audio_plan(_media_df(spark, sf_dir), chunk_ms=10_000, overlap_ms=2_000)
 
 
 @register(

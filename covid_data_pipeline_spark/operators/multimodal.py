@@ -131,6 +131,33 @@ def frame_sample_plan(
     )
 
 
+def chunk_audio_plan(
+    df: DataFrame, chunk_ms: int = 10_000, overlap_ms: int = 0
+) -> DataFrame:
+    """Audio chunking *plan*: one row per (media_id, chunk_start_ms,
+    chunk_end_ms) window over the duration metadata — the standard
+    pre-step for chunked transcription/embedding. Pure built-ins; actual
+    sample slicing joins payload through a mapInPandas decoder (stubbed
+    here, like image decode). Zero-duration media yields no chunks."""
+    step = chunk_ms - overlap_ms
+    if step <= 0:
+        raise ValueError("chunk_ms must exceed overlap_ms")
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+    starts = F.when(
+        dur > 0,
+        F.sequence(F.lit(0).cast("long"), (dur - 1).cast("long"), F.lit(step).cast("long")),
+    ).otherwise(F.array().cast("array<long>"))
+    return df.select(
+        "media_id", F.explode(starts).alias("chunk_start_ms"), dur.alias("__dur")
+    ).select(
+        "media_id",
+        "chunk_start_ms",
+        F.least(F.col("chunk_start_ms") + chunk_ms, F.col("__dur")).alias(
+            "chunk_end_ms"
+        ),
+    )
+
+
 def media_fingerprint(df: DataFrame) -> DataFrame:
     """Exact-dup fingerprint for media: sha2 over payload bytes — JVM
     built-in, no Python. The media arm of exact dedup."""
