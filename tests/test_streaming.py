@@ -158,6 +158,49 @@ def test_stateful_delta_matches_batch_lag(spark, tmp_path):
     assert got == want and len(got) == 20
 
 
+def test_stream_medallion_equals_batch_pipeline(spark, tmp_path):
+    """Land the covid fixture days into raw only, then drive ods→dds→mart
+    from the stream runner; the mart must equal the batch pipeline's mart
+    row-for-row."""
+    from covid_data_pipeline_spark.plans import schemas as S
+    from covid_data_pipeline_spark.plans.raw import process_raw
+    from covid_data_pipeline_spark.plans.runner import bootstrap_population, run_day
+    from covid_data_pipeline_spark.plans.stream_runner import stream_medallion
+    from tests.covid_fixtures import DAYS, population_df, write_day_csvs
+
+    csv_dir = tmp_path / "csvs"
+    csv_dir.mkdir()
+    paths = write_day_csvs(str(csv_dir))
+
+    # Batch reference run.
+    wh_b = Warehouse(spark, str(tmp_path / "wh_batch"))
+    bootstrap_population(spark, wh_b, population_df(spark))
+    for day in DAYS:
+        run_day(spark, wh_b, day, csv_path=paths[day], with_alerts=False)
+
+    # Streaming run: raw landed up front, derived layers stream-driven.
+    wh_s = Warehouse(spark, str(tmp_path / "wh_stream"))
+    bootstrap_population(spark, wh_s, population_df(spark))
+    for day in DAYS:
+        process_raw(spark, wh_s, paths[day], source_file=paths[day])
+    q = stream_medallion(
+        spark, wh_s, checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=2
+    )
+    _drain(q)
+
+    cols = [
+        "report_date",
+        "country_name",
+        "new_cases_today",
+        "new_deaths_today",
+        "cases_per_100k",
+        "risk_category",
+    ]
+    got = sorted(map(tuple, wh_s.read(S.MART_TABLE).select(*cols).collect()))
+    want = sorted(map(tuple, wh_b.read(S.MART_TABLE).select(*cols).collect()))
+    assert got == want and len(want) > 0
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     from covid_data_pipeline_spark.streaming.stateful import stream_dedup
 
