@@ -23,7 +23,7 @@ arguments, not constants.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from covid_data_pipeline_spark.functions.text import normalized_text, word_shingles
@@ -115,6 +115,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 8,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Banded LSH: split the signature into ``bands`` bands of
     ``num_hashes // bands`` rows; docs sharing any band hash become a
@@ -145,6 +146,20 @@ def lsh_candidate_pairs(
     banded = signed.select(
         F.col(id_col), F.posexplode(band_array).alias("band_idx", "band_hash")
     )
+    if max_bucket_size is not None:
+        # Degenerate buckets (empty/boilerplate text collapsing to one
+        # signature) turn the bucket join quadratic. Cap them: a bucket
+        # of size B contributes B(B−1)/2 pairs, so dropping buckets over
+        # the cap bounds work per bucket; true near-dups of non-degenerate
+        # docs still collide in their other (selective) bands. Window
+        # count, not groupBy+join-back: one shuffle on the same key the
+        # join shuffles on.
+        w = Window.partitionBy("band_idx", "band_hash")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (

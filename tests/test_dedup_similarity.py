@@ -90,6 +90,30 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     assert len(ex & ap) >= 0.25 * len(ex)
 
 
+def test_lsh_bucket_cap_bounds_boilerplate(spark):
+    from covid_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        with_minhash,
+    )
+
+    # 200 identical boilerplate docs + 2 genuine near-dups.
+    boiler = [(i, "lorem ipsum dolor sit amet consetetur") for i in range(200)]
+    pair = [
+        (1000, "a quick brown fox jumps over the lazy dog today"),
+        (1001, "a quick brown fox jumps over the lazy dog now"),
+    ]
+    df = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+    signed = with_minhash(df)
+    capped = lsh_candidate_pairs(signed, max_bucket_size=50)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # The boilerplate cluster (19,900 potential pairs) is dropped by the
+    # cap; the genuine pair survives via its own selective buckets.
+    assert (1000, 1001) in got
+    assert not any(a < 200 and b < 200 for a, b in got)
+    uncapped = lsh_candidate_pairs(signed, max_bucket_size=None)
+    assert uncapped.count() >= 19_900
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     from covid_data_pipeline_spark.operators.similarity import (
         cosine_topk_ivf,
