@@ -114,6 +114,39 @@ def distinct_exact_and_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "date_math_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+             AS ship_delay_days,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+           strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS order_quarter
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+    tags=("functions", "F16", "date-math"),
+)
+def date_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic family (SURVEY.md §2.8 F16 — driver-side in the
+    reference, in-engine here): datediff, date_add, date_format,
+    date_trunc. Dialect notes in the oracle: DuckDB strftime ↔ Spark
+    date_format; ``+ INTERVAL`` ↔ date_add."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "ship_delay_days"
+        ),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias("order_quarter"),
+    )
+
+
+@register(
     "window_rank_functions",
     """
     SELECT o_custkey, o_orderkey, rnk, drnk, tile,

@@ -158,6 +158,66 @@ def test_stateful_delta_matches_batch_lag(spark, tmp_path):
     assert got == want and len(got) == 20
 
 
+def test_append_mode_emits_each_window_once(spark, tmp_path):
+    """Append mode emits every window exactly once even when data for an
+    already-watermarked window arrives in a later micro-batch. (Spark's
+    watermark contract is one-directional: within-watermark data is
+    guaranteed IN; beyond-watermark data MAY be included if the window's
+    state hasn't been evicted — what must never happen is a second
+    emission for the same window.)"""
+    import glob
+    import os
+    import time as _time
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts_s string, value double"
+        ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "value")
+
+    land = str(tmp_path / "land")
+    # Three files → three batches (mtimes pin the order): on-time event,
+    # a watermark-pusher two hours later, then a late event for batch 0's
+    # window.
+    batches = [
+        mk([(1, "2024-01-01 10:05:00", 1.0)]),
+        mk([(2, "2024-01-01 12:00:00", 1.0)]),
+        mk([(3, "2024-01-01 10:06:00", 1.0)]),
+    ]
+    now, seen = _time.time(), set()
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(land)
+        new = set(glob.glob(os.path.join(land, "*.parquet"))) - seen
+        for f in new:
+            os.utime(f, (now + 60 * i, now + 60 * i))
+        seen |= new
+
+    stream = file_stream(spark, land, batches[0].schema, max_files_per_trigger=1)
+    q = (
+        tumbling_agg(
+            stream,
+            ts_col="ts",
+            duration="1 hour",
+            keys=[],
+            aggs=[F.count(F.lit(1)).alias("cnt")],
+            watermark="10 minutes",
+        )
+        .writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    rows = spark.table("late_out").collect()
+    starts = [r["window_start"] for r in rows]
+    assert len(starts) == len(set(starts))  # one emission per window
+    by_start = {r["window_start"].isoformat(): r["cnt"] for r in rows}
+    # The 10:00 window's count is 1 or 2 depending on eviction timing —
+    # both are within Spark's contract; 0 or absent would not be.
+    assert by_start.get("2024-01-01T10:00:00") in (1, 2)
+
+
 def test_stream_medallion_equals_batch_pipeline(spark, tmp_path):
     """Land the covid fixture days into raw only, then drive ods→dds→mart
     from the stream runner; the mart must equal the batch pipeline's mart
