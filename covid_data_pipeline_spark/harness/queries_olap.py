@@ -114,6 +114,64 @@ def distinct_exact_and_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substr(p_name, 1, 4) AS name_prefix,
+           replace(p_name, ' ', '_') AS name_snake,
+           length(p_name) AS name_len,
+           split_part(p_name, ' ', 2) AS second_word,
+           levenshtein(p_brand, p_type) AS brand_type_dist,
+           concat(p_brand, ':', p_type) AS brand_type
+    FROM part
+    """,
+    tags=("functions", "string"),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family (beyond the reference's F9 upper/trim/concat
+    — SURVEY.md §2.8 notes no regex-replace/split/substring there)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.length("p_name").alias("name_len"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@register(
+    "array_functions",
+    """
+    SELECT p_partkey,
+           list_sort(string_split(p_name, ' ')) AS words_sorted,
+           len(string_split(p_name, ' ')) AS n_words,
+           list_contains(string_split(p_name, ' '), 'red') AS has_red,
+           array_to_string(list_reverse(list_sort(string_split(p_name, ' '))), '|')
+             AS words_desc
+    FROM part
+    """,
+    tags=("functions", "array"),
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family (absent in the reference; first-class here —
+    the embedding/shingle operators are built on these)."""
+    p = table(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.array_sort(words).alias("words_sorted"),
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "red").alias("has_red"),
+        F.array_join(F.reverse(F.array_sort(words)), "|").alias("words_desc"),
+    )
+
+
+@register(
     "date_math_functions",
     """
     SELECT l_orderkey, l_linenumber,
