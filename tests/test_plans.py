@@ -75,6 +75,25 @@ def test_partition_pruning_on_warehouse_read(spark, tmp_path):
     assert any("report_date" in l for l in pf_lines)
 
 
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    """The as-of join must plan as union + ONE keyed exchange + window —
+    never a range-condition nested-loop join."""
+    plan = plan_of(QUERIES["asof_join_clicks_purchases"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # One hash-partitioning exchange on the by-key for the window
+    # (formatted mode puts the operator and its arguments on separate
+    # lines — count the partitioning specs).
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_lsh_candidates_never_nested_loop(spark, sf_dir):
+    """LSH candidate generation must be an equi-join on the band hash —
+    a nested-loop/cartesian plan here is the O(n²) regression the banding
+    exists to prevent."""
+    plan = plan_of(QUERIES["dedup_minhash"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_topk_uses_window_group_limit(spark, sf_dir):
     plan = plan_of(QUERIES["topk_per_group"].fn(spark, sf_dir))
     # Spark pushes row_number <= k into WindowGroupLimit, bounding the
