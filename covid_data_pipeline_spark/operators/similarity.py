@@ -319,6 +319,45 @@ def with_ivf_cell(
     return df.withColumn(cid_col, F.array_max(scored)["c"])
 
 
+def with_ivf_cell_np(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+) -> DataFrame:
+    """Arrow/numpy twin of :func:`with_ivf_cell`: one matmul per batch
+    against the centroid matrix instead of per-element HOF evaluation.
+    Identical assignments (same argmax + larger-cid tie-break, tested).
+    Use when the quantizer is big (≥~64 centroids) — the HOF expression
+    costs O(centroids × dim) interpreted ops per row, the matmul runs in
+    BLAS."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    C = np.array(centroids, dtype=np.float64)  # (k, dim)
+    out_schema = StructType(
+        [*df.schema.fields, StructField(cid_col, LongType(), False)]
+    )
+    in_cols = df.columns
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            S = M @ C.T  # (n, k)
+            # argmax with larger-cid tie-break (match struct-max semantics):
+            # reverse columns, argmax picks first max → largest original cid.
+            rev = S[:, ::-1]
+            cids = (C.shape[0] - 1) - rev.argmax(axis=1)
+            out = pdf[in_cols].copy()
+            out[cid_col] = cids.astype("int64")
+            yield out
+
+    return df.mapInPandas(assign, out_schema)
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,

@@ -135,6 +135,20 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     assert len(ex & ap) >= 0.4 * len(ex)
 
 
+def test_ivf_cell_np_equals_hof(spark, sf_dir):
+    from covid_data_pipeline_spark.operators.similarity import (
+        train_centroids,
+        with_ivf_cell,
+        with_ivf_cell_np,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = train_centroids(e, n_centroids=16, iters=1)
+    hof = {r["vec_id"]: r["cid"] for r in with_ivf_cell(e, cents).collect()}
+    vec = {r["vec_id"]: r["cid"] for r in with_ivf_cell_np(e, cents).collect()}
+    assert hof == vec and len(hof) == e.count()
+
+
 def test_np_bruteforce_equals_hof_bruteforce(spark, sf_dir):
     from covid_data_pipeline_spark.operators.similarity import (
         cosine_topk_bruteforce_np,
