@@ -114,6 +114,48 @@ def distinct_exact_and_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "dq_report_orders",
+    """
+    WITH t AS (SELECT COUNT(*) AS total FROM orders)
+    SELECT 'not_null(o_custkey)' AS rule,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS violations,
+           total FROM t
+    UNION ALL
+    SELECT 'in_range(o_totalprice)',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice >= 0)),
+           total FROM t
+    UNION ALL
+    SELECT 'in_set(o_orderstatus)',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('F', 'O', 'P')),
+           total FROM t
+    """,
+    tags=("quality", "P7"),
+)
+def dq_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DQ rules in one aggregation pass (P7 generalized)."""
+    from covid_data_pipeline_spark.operators.quality import (
+        dq_report,
+        in_range,
+        in_set,
+        not_null,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    report = dq_report(
+        o,
+        [
+            not_null("o_custkey"),
+            in_range("o_totalprice", lo=0),
+            in_set("o_orderstatus", ("F", "O", "P")),
+        ],
+    )
+    return report.select("rule", "violations", "total")
+
+
+@register(
     "string_functions",
     """
     SELECT p_partkey,

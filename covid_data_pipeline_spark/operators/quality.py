@@ -1,0 +1,109 @@
+"""Data-quality rules: declarative checks evaluated in ONE aggregation
+pass — the generalization of the reference's single DQ probe (null
+location_key count after the fact join, process_covid_dds.py:75-77,
+SURVEY.md §2.2 P7) into an engine facility.
+
+Row-level rules (not-null / range / set membership / custom predicate)
+compile to ``sum(violation)`` aggregates over one scan — no shuffle
+beyond the final 1-row agg, any number of rules. Dataset-level rules
+(uniqueness, referential integrity) need their own shapes (distinct
+count, anti-join) and run as separate small plans.
+
+``dq_report`` returns a DataFrame (rule, violations, total, pass_ratio)
+— pipeline-composable; ``check`` raises on violation for use as a gate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """A named row-level predicate that every row must satisfy."""
+
+    name: str
+    predicate: Column  # True = row passes
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null({col})", F.col(col).isNotNull())
+
+
+def in_range(col: str, lo=None, hi=None) -> Rule:
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(col) >= lo)
+    if hi is not None:
+        pred = pred & (F.col(col) <= hi)
+    return Rule(f"in_range({col})", F.col(col).isNull() | pred)
+
+
+def in_set(col: str, values: tuple) -> Rule:
+    return Rule(
+        f"in_set({col})", F.col(col).isNull() | F.col(col).isin(*values)
+    )
+
+
+def dq_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Evaluate all row-level rules in one aggregation pass; one output
+    row per rule: (rule, violations, total, pass_ratio)."""
+    aggs = [F.count(F.lit(1)).alias("__total")] + [
+        F.sum((~r.predicate).cast("long")).alias(f"__v{i}")
+        for i, r in enumerate(rules)
+    ]
+    row = df.agg(*aggs)
+    per_rule = [
+        row.select(
+            F.lit(r.name).alias("rule"),
+            F.col(f"__v{i}").alias("violations"),
+            F.col("__total").alias("total"),
+        )
+        for i, r in enumerate(rules)
+    ]
+    out = per_rule[0]
+    for p in per_rule[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(
+        "pass_ratio",
+        F.round(
+            F.when(F.col("total") > 0, 1 - F.col("violations") / F.col("total"))
+            .otherwise(F.lit(1.0)),
+            6,
+        ),
+    )
+
+
+def unique_violations(df: DataFrame, cols: list[str]) -> int:
+    """Dataset-level uniqueness: rows beyond the first per key."""
+    dup = df.groupBy(*cols).count().filter(F.col("count") > 1)
+    row = dup.agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).alias("v")).collect()[0]
+    return int(row["v"])
+
+
+def fk_violations(df: DataFrame, col: str, ref: DataFrame, ref_col: str) -> int:
+    """Dataset-level referential integrity: non-null FK values with no
+    parent (anti-join count — the scalable form of NOT EXISTS)."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .join(
+            ref.select(F.col(ref_col).alias(col)).distinct(),
+            on=col,
+            how="left_anti",
+        )
+        .count()
+    )
+
+
+def check(df: DataFrame, rules: list[Rule]) -> None:
+    """Gate: raise ValueError listing every violated rule."""
+    bad = [
+        (r["rule"], r["violations"])
+        for r in dq_report(df, rules).collect()
+        if r["violations"] > 0
+    ]
+    if bad:
+        raise ValueError(f"DQ violations: {bad}")

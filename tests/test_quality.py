@@ -1,0 +1,55 @@
+"""DQ rule framework: violations counted correctly, gate raises,
+dataset-level uniqueness/referential checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.harness.tables import table
+from covid_data_pipeline_spark.operators.quality import (
+    check,
+    dq_report,
+    fk_violations,
+    in_range,
+    in_set,
+    not_null,
+    unique_violations,
+)
+
+
+def test_dq_report_counts(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "B"), (None, 3.0, "Z"), (4, None, "A")],
+        "k long, v double, s string",
+    )
+    rep = {
+        r["rule"]: (r["violations"], r["total"], r["pass_ratio"])
+        for r in dq_report(
+            df, [not_null("k"), in_range("v", lo=0), in_set("s", ("A", "B"))]
+        ).collect()
+    }
+    assert rep["not_null(k)"] == (1, 4, 0.75)
+    assert rep["in_range(v)"][0] == 1  # NULL v passes (null-tolerant range)
+    assert rep["in_set(s)"][0] == 1
+
+
+def test_check_raises_and_passes(spark):
+    ok = spark.createDataFrame([(1,), (2,)], "k long")
+    check(ok, [not_null("k")])  # no raise
+    bad = spark.createDataFrame([(1,), (None,)], "k long")
+    with pytest.raises(ValueError, match="not_null"):
+        check(bad, [not_null("k")])
+
+
+def test_unique_and_fk_violations(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    assert unique_violations(o, ["o_orderkey"]) == 0
+    assert fk_violations(o, "o_custkey", c, "c_custkey") == 0
+    # Break both on purpose.
+    doubled = o.limit(5).unionByName(o.limit(5))
+    assert unique_violations(doubled, ["o_orderkey"]) == 5
+    orphan = o.withColumn("o_custkey", F.col("o_custkey") + 10_000_000)
+    assert fk_violations(orphan, "o_custkey", c, "c_custkey") == o.count()
