@@ -1,0 +1,196 @@
+"""Snapshot warehouse: Iceberg-style snapshot semantics on plain Parquet.
+
+The reference gets append / overwritePartitions / createOrReplace *as
+snapshots* from Iceberg v2 (process_covid_raw.py:102-113,
+process_covid_ods.py:79-91, process_covid_dds.py:41-44): every commit is
+a new table version, old versions stay readable (time travel), and a bad
+commit can be rolled back. `Warehouse` (writers.py) reproduces the
+*current-state* semantics on plain parquet; this module adds the
+snapshot layer the same way Iceberg does — immutable data files plus
+per-version manifests — with no table format dependency:
+
+    <root>/<layer>/<table>/
+      data/<batch-uuid>/[k=v/...]part-*.parquet   (immutable, write-once)
+      _snapshots/v<N>.json                        (manifest: file list)
+      _snapshots/_current                         (current version number)
+
+A commit writes a new batch dir, then a manifest referencing the alive
+files — O(new data + |manifest|), never a table rewrite. Readers resolve
+a manifest and read exactly its files; partition values are recovered
+from the hive-style paths per batch dir, so partition pruning still
+applies. Concurrency: single-writer (like the reference's
+max_active_runs=1 Airflow cursor); the manifest write is atomic
+(tmp+rename).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _parts_from_relpath(relpath: str) -> tuple[tuple[str, str], ...]:
+    """('k','v') pairs from hive-style segments of a file's path."""
+    return tuple(
+        tuple(seg.split("=", 1))
+        for seg in relpath.split(os.sep)
+        if "=" in seg and not seg.startswith(("_", "."))
+    )
+
+
+class SnapshotWarehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- paths ------------------------------------------------------------
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, *table.split("."))
+
+    def _data_dir(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "data")
+
+    def _snap_dir(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "_snapshots")
+
+    # -- snapshot bookkeeping ---------------------------------------------
+    def current_version(self, table: str) -> int | None:
+        cur = os.path.join(self._snap_dir(table), "_current")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            return int(f.read().strip())
+
+    def versions(self, table: str) -> list[int]:
+        d = self._snap_dir(table)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[1:-5]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
+        )
+
+    def _manifest(self, table: str, version: int) -> dict:
+        with open(os.path.join(self._snap_dir(table), f"v{version}.json")) as f:
+            return json.load(f)
+
+    def _commit(self, table: str, files: list[str], op: str) -> int:
+        version = (self.current_version(table) or 0) + 1
+        snap_dir = self._snap_dir(table)
+        os.makedirs(snap_dir, exist_ok=True)
+        manifest = {"version": version, "op": op, "files": sorted(files)}
+        tmp = os.path.join(snap_dir, f".v{version}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(snap_dir, f"v{version}.json"))
+        cur_tmp = os.path.join(snap_dir, "._current.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(cur_tmp, os.path.join(snap_dir, "_current"))
+        return version
+
+    def _write_batch(
+        self, df: DataFrame, table: str, partition_by: Sequence[str] | None
+    ) -> list[str]:
+        """Write one immutable batch dir; return its data files relative
+        to the table's data/ dir."""
+        batch = f"batch-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self._data_dir(table), batch)
+        writer = df.write.format("parquet")
+        if partition_by:
+            writer = writer.partitionBy(*list(partition_by))
+        writer.mode("overwrite").save(out)
+        files = []
+        for dirpath, _dirs, names in os.walk(out):
+            for n in names:
+                if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                    files.append(
+                        os.path.relpath(os.path.join(dirpath, n), self._data_dir(table))
+                    )
+        return files
+
+    # -- commit verbs (the reference's three snapshot semantics) ----------
+    def append(
+        self, df: DataFrame, table: str, partition_by: Sequence[str] | None = None
+    ) -> int:
+        prev = self._alive_files(table)
+        new = self._write_batch(df, table, partition_by)
+        return self._commit(table, prev + new, "append")
+
+    def overwrite_partitions(
+        self, df: DataFrame, table: str, partition_by: Sequence[str]
+    ) -> int:
+        """Replace only the partitions present in ``df`` (Iceberg
+        ``overwritePartitions``): alive files whose partition tuple
+        matches an incoming one leave the manifest; their bytes stay for
+        older snapshots."""
+        new = self._write_batch(df, table, partition_by)
+        incoming = {_parts_from_relpath(f) for f in new}
+        keep = [
+            f for f in self._alive_files(table)
+            if _parts_from_relpath(f) not in incoming
+        ]
+        return self._commit(table, keep + new, "overwrite_partitions")
+
+    def replace(
+        self, df: DataFrame, table: str, partition_by: Sequence[str] | None = None
+    ) -> int:
+        new = self._write_batch(df, table, partition_by)
+        return self._commit(table, new, "replace")
+
+    def rollback(self, table: str, version: int) -> int:
+        """Re-commit an old snapshot's file list as the new current
+        version (history preserved, like Iceberg rollback)."""
+        old = self._manifest(table, version)
+        return self._commit(table, old["files"], f"rollback_to_v{version}")
+
+    # -- reads ------------------------------------------------------------
+    def _alive_files(self, table: str) -> list[str]:
+        v = self.current_version(table)
+        return [] if v is None else list(self._manifest(table, v)["files"])
+
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        """Read the current snapshot, or ``version`` for time travel.
+        Files are read per batch dir (its own basePath) so hive partition
+        columns are recovered; batch reads are unioned by name."""
+        v = version if version is not None else self.current_version(table)
+        if v is None:
+            raise FileNotFoundError(f"no snapshots for table {table}")
+        files = self._manifest(table, v)["files"]
+        data_dir = self._data_dir(table)
+        by_batch: dict[str, list[str]] = {}
+        for f in files:
+            batch = f.split(os.sep, 1)[0]
+            by_batch.setdefault(batch, []).append(os.path.join(data_dir, f))
+        parts = [
+            self.spark.read.option("basePath", os.path.join(data_dir, batch)).parquet(*fs)
+            for batch, fs in sorted(by_batch.items())
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> int:
+        """Delete manifests older than the last ``keep_last`` and any data
+        file no surviving manifest references (Iceberg expire_snapshots).
+        Returns the number of data files deleted."""
+        vs = self.versions(table)
+        drop, keep = vs[:-keep_last], vs[-keep_last:]
+        referenced: set[str] = set()
+        for v in keep:
+            referenced.update(self._manifest(table, v)["files"])
+        deleted = 0
+        for v in drop:
+            for f in self._manifest(table, v)["files"]:
+                if f not in referenced:
+                    path = os.path.join(self._data_dir(table), f)
+                    if os.path.exists(path):
+                        os.remove(path)
+                        deleted += 1
+            os.remove(os.path.join(self._snap_dir(table), f"v{v}.json"))
+        return deleted
