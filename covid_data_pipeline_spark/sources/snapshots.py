@@ -114,20 +114,41 @@ class SnapshotWarehouse:
         return files
 
     # -- commit verbs (the reference's three snapshot semantics) ----------
+    # Signatures are Warehouse-compatible (writers.py) so the medallion
+    # pipeline runs unchanged on either backend (tested in
+    # tests/test_snapshots.py::test_pipeline_runs_on_snapshot_backend).
+    def exists(self, table: str) -> bool:
+        return self.current_version(table) is not None
+
+    def path(self, table: str) -> str:
+        return self._table_dir(table)
+
     def append(
-        self, df: DataFrame, table: str, partition_by: Sequence[str] | None = None
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: Sequence[str] | None = None,
+        sort_within_partitions_by: Sequence[str] | None = None,
     ) -> int:
+        if sort_within_partitions_by:
+            df = df.sortWithinPartitions(*sort_within_partitions_by)
         prev = self._alive_files(table)
         new = self._write_batch(df, table, partition_by)
         return self._commit(table, prev + new, "append")
 
     def overwrite_partitions(
-        self, df: DataFrame, table: str, partition_by: Sequence[str]
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: Sequence[str],
+        sort_within_partitions_by: Sequence[str] | None = None,
     ) -> int:
         """Replace only the partitions present in ``df`` (Iceberg
         ``overwritePartitions``): alive files whose partition tuple
         matches an incoming one leave the manifest; their bytes stay for
         older snapshots."""
+        if sort_within_partitions_by:
+            df = df.sortWithinPartitions(*sort_within_partitions_by)
         new = self._write_batch(df, table, partition_by)
         incoming = {_parts_from_relpath(f) for f in new}
         keep = [
@@ -137,8 +158,14 @@ class SnapshotWarehouse:
         return self._commit(table, keep + new, "overwrite_partitions")
 
     def replace(
-        self, df: DataFrame, table: str, partition_by: Sequence[str] | None = None
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: Sequence[str] | None = None,
+        sort_within_partitions_by: Sequence[str] | None = None,
     ) -> int:
+        if sort_within_partitions_by:
+            df = df.sortWithinPartitions(*sort_within_partitions_by)
         new = self._write_batch(df, table, partition_by)
         return self._commit(table, new, "replace")
 

@@ -59,6 +59,44 @@ def test_partition_pruning_survives_snapshot_read(spark, sw):
     assert [r["k"] for r in df.collect()] == ["b"]
 
 
+def test_pipeline_runs_on_snapshot_backend(spark, tmp_path):
+    """The covid medallion pipeline runs unchanged on SnapshotWarehouse;
+    the mart matches the plain-Warehouse run, and a re-run of the final
+    day creates a new snapshot whose predecessor is still readable."""
+    from covid_data_pipeline_spark.plans import schemas as S
+    from covid_data_pipeline_spark.plans.runner import bootstrap_population, run_day
+    from covid_data_pipeline_spark.sources.writers import Warehouse
+    from tests.covid_fixtures import DAYS, population_df, write_day_csvs
+
+    csv_dir = tmp_path / "csvs"
+    csv_dir.mkdir()
+    paths = write_day_csvs(str(csv_dir))
+
+    wh_p = Warehouse(spark, str(tmp_path / "wh_plain"))
+    wh_s = SnapshotWarehouse(spark, str(tmp_path / "wh_snap"))
+    for wh in (wh_p, wh_s):
+        bootstrap_population(spark, wh, population_df(spark))
+        for day in DAYS:
+            run_day(spark, wh, day, csv_path=paths[day], with_alerts=False)
+
+    cols = ["report_date", "country_name", "new_cases_today", "cases_per_100k"]
+    got = sorted(map(tuple, wh_s.read(S.MART_TABLE).select(*cols).collect()))
+    want = sorted(map(tuple, wh_p.read(S.MART_TABLE).select(*cols).collect()))
+    assert got == want and len(want) > 0
+
+    # Idempotent re-run of the last day → same current rows, new version,
+    # previous snapshot still readable (time travel across the re-run).
+    v_before = wh_s.current_version(S.MART_TABLE)
+    run_day(spark, wh_s, DAYS[-1], csv_path=None, with_alerts=False)
+    assert wh_s.current_version(S.MART_TABLE) > v_before
+    again = sorted(map(tuple, wh_s.read(S.MART_TABLE).select(*cols).collect()))
+    assert again == want
+    old = sorted(
+        map(tuple, wh_s.read(S.MART_TABLE, version=v_before).select(*cols).collect())
+    )
+    assert old == want
+
+
 def test_expire_snapshots_removes_dead_files(spark, sw):
     sw.append(_day(spark, "d1", [("a", 1)]), "ods.t", ["d"])
     sw.overwrite_partitions(_day(spark, "d1", [("a", 2)]), "ods.t", ["d"])
