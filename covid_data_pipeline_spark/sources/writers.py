@@ -176,6 +176,41 @@ class Warehouse:
         shutil.rmtree(backup)
 
 
+def merge_upsert(
+    wh: Warehouse,
+    df: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """MERGE/upsert by key: incoming rows replace same-key rows, others
+    append (the lakehouse `MERGE INTO ... WHEN MATCHED UPDATE / WHEN NOT
+    MATCHED INSERT` for whole-row updates).
+
+    Scale shape: when the table is partitioned and the incoming frame
+    carries the partition column, only the touched partitions are read
+    and rewritten (existing rows outside them are untouched by dynamic
+    partition overwrite); the key match is a left_anti join inside those
+    partitions. Unpartitioned tables fall back to a full rewrite.
+    """
+    keys = list(keys)
+    if not wh.exists(table):
+        wh.append(df, table, partition_by=partition_by)
+        return
+    existing = wh.read(table)
+    if partition_by:
+        # Restrict to touched partitions (join-based, no collect):
+        # semi-join keeps existing rows in partitions the batch touches.
+        parts = df.select(*partition_by).distinct()
+        touched = existing.join(F.broadcast(parts), on=list(partition_by), how="left_semi")
+        survivors = touched.join(df.select(*keys), on=keys, how="left_anti")
+        out = survivors.unionByName(df)
+        wh.overwrite_partitions(out, table, partition_by=list(partition_by))
+    else:
+        survivors = existing.join(df.select(*keys), on=keys, how="left_anti")
+        wh.replace(survivors.unionByName(df), table)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
