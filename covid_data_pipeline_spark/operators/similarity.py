@@ -368,6 +368,7 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    vectorized_assign: bool = True,
 ) -> DataFrame:
     """Approximate top-k via IVF: corpus rows are scanned only in the
     ``nprobe`` cells nearest each query — candidate generation is an
@@ -376,12 +377,17 @@ def cosine_topk_ivf(
     Pass precomputed ``centroids`` to amortize training across queries
     (at warehouse scale: train once, store the cell assignment as a
     partition column, and the probe join becomes partition pruning).
+    Corpus assignment defaults to the Arrow/BLAS twin
+    (:func:`with_ivf_cell_np`) — the expression form embeds
+    centroids × dim literals and its codegen cost grows with the
+    quantizer; the matmul path is flat. Both produce identical cells.
     """
     from covid_data_pipeline_spark.operators.windows import top_k_per_group
 
     if centroids is None:
         centroids = train_centroids(corpus, n_centroids, vec_col=vec_col)
-    c = with_ivf_cell(corpus, centroids, vec_col, "cid")
+    assign = with_ivf_cell_np if vectorized_assign else with_ivf_cell
+    c = assign(corpus, centroids, vec_col, "cid")
     scored_cells = F.array(
         *[
             F.struct((-s).alias("d"), F.lit(i).alias("c"))
