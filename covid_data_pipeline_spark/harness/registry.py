@@ -61,6 +61,7 @@ def _load_all() -> None:
         from covid_data_pipeline_spark.harness import queries_similarity  # noqa: F401
         from covid_data_pipeline_spark.harness import queries_events  # noqa: F401
         from covid_data_pipeline_spark.harness import queries_olap  # noqa: F401
+        from covid_data_pipeline_spark.harness import queries_tpch  # noqa: F401
     except ImportError:  # modules land incrementally during the build
         pass
 
