@@ -106,8 +106,11 @@ def mart_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(COALESCE(l_quantity, 0)), 2) AS sum_qty,
-           ROUND(SUM(COALESCE(l_extendedprice, 0)), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           CAST(ROUND(SUM(COALESCE(CAST(l_extendedprice AS DECIMAL(18,4)), 0)), 2)
+                AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS sum_disc_price,
            COUNT(*) AS source_records_cnt
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -116,8 +119,16 @@ def mart_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").withColumn(
-        "disc_price", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Decimal money arithmetic: summation-order-independent, so the
+    # value hash is stable under any partitioning (see queries_tpch.py).
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .withColumn("l_extendedprice", F.col("l_extendedprice").cast("decimal(18,4)"))
+        .withColumn(
+            "disc_price",
+            F.col("l_extendedprice")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)")),
+        )
     )
     rolled = null_safe_sum_rollup(
         li,
@@ -128,8 +139,8 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "l_linestatus",
         F.round("l_quantity", 2).alias("sum_qty"),
-        F.round("l_extendedprice", 2).alias("sum_base_price"),
-        F.round("disc_price", 2).alias("sum_disc_price"),
+        F.round("l_extendedprice", 2).cast("double").alias("sum_base_price"),
+        F.round("disc_price", 2).cast("double").alias("sum_disc_price"),
         "source_records_cnt",
     )
 

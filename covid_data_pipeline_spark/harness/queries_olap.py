@@ -27,7 +27,8 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
     """
     SELECT l_returnflag, l_linestatus,
            SUM(l_quantity) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS sum_price,
            COUNT(*) AS cnt
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -39,7 +40,11 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity").alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        # Decimal: grand-total rows sum every lineitem — double order
+        # noise could penny-flip the 2dp round (see queries_tpch.py).
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_price"),
         F.count(F.lit(1)).alias("cnt"),
     )
 
@@ -49,7 +54,8 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS cnt,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
@@ -59,7 +65,9 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_price"),
     )
 
 
@@ -293,8 +301,11 @@ _PRICING_SUMMARY_SQL = """
     SELECT l_returnflag,
            l_linestatus,
            SUM(l_quantity) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS sum_disc_price,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            ROUND(AVG(l_discount), 6) AS avg_disc,
            COUNT(*) AS count_order
@@ -363,7 +374,8 @@ def set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_salted_skewproof",
     """
     SELECT l_returnflag,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS sum_price,
            SUM(l_quantity) AS sum_qty,
            COUNT(*) AS cnt
     FROM lineitem
@@ -377,7 +389,11 @@ def agg_salted_skewproof(spark: SparkSession, sf_dir: str) -> DataFrame:
     tasks. l_returnflag has only 3 values, i.e. maximal key skew."""
     li = table(spark, sf_dir, "lineitem")
     out = salted_sum(
-        li.select("l_returnflag", "l_extendedprice", "l_quantity"),
+        li.select(
+            "l_returnflag",
+            F.col("l_extendedprice").cast("decimal(18,4)").alias("l_extendedprice"),
+            "l_quantity",
+        ),
         keys=["l_returnflag"],
         sum_cols=["l_extendedprice", "l_quantity"],
         num_salts=16,
@@ -385,7 +401,7 @@ def agg_salted_skewproof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "l_returnflag",
-        F.round("l_extendedprice", 2).alias("sum_price"),
+        F.round("l_extendedprice", 2).cast("double").alias("sum_price"),
         F.col("l_quantity").alias("sum_qty"),
         "cnt",
     )
