@@ -326,7 +326,8 @@ def join_left_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_fact_dim",
     """
     SELECT c_mktsegment, COUNT(*) AS orders_cnt,
-           ROUND(SUM(o_totalprice), 2) AS segment_sales
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS segment_sales
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -341,7 +342,10 @@ def join_fact_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("orders_cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("segment_sales"),
+            # Decimal: thousands of rows per segment (queries_tpch.py note).
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("segment_sales"),
         )
     )
 
