@@ -206,6 +206,36 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embeddings_label_stats",
+    """
+    SELECT label,
+           COUNT(*) AS vecs_cnt,
+           ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS dim0_avg,
+           ROUND(AVG(list_dot_product(
+               list_transform(embedding, x -> x::DOUBLE),
+               list_transform(embedding, x -> x::DOUBLE))), 4) AS sqnorm_avg
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("similarity", "labels"),
+)
+def embeddings_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label corpus stats (cluster cardinality + norm profile) — the
+    label column is the testdata's cluster ground truth."""
+    from covid_data_pipeline_spark.operators.similarity import dot, _as_double
+
+    e = table(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("vecs_cnt"),
+        F.round(F.avg(F.element_at("embedding", 1).cast("double")), 6).alias(
+            "dim0_avg"
+        ),
+        F.round(F.avg(dot(v, v)), 4).alias("sqnorm_avg"),
+    )
+
+
+@register(
     "media_audio_chunks",
     """
     WITH starts AS (
