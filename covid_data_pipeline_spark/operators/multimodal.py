@@ -131,6 +131,48 @@ def frame_sample_plan(
     )
 
 
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    fake: bool = False,
+    batch_rows: int = 64,
+) -> DataFrame:
+    """Resize image payloads via mapInPandas; output keeps the MEDIA
+    schema with ``meta.width/height`` set to the target and the payload
+    replaced by the resized bytes.
+
+    ``fake=False`` raises NotImplementedError in the task (needs
+    PIL/opencv); ``fake=True`` passes payload bytes through and rewrites
+    only the metadata, so the Arrow plumbing, schema evolution, and
+    batch-size bounding are exercised end-to-end either way.
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+
+    def op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL/opencv (unavailable); "
+                    "pass fake=True for the pass-through stub"
+                )
+            metas = pdf["meta"].map(
+                lambda m: {
+                    **(dict(m) if m is not None else {}),
+                    "width": width,
+                    "height": height,
+                }
+            )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": pdf["payload"], "meta": metas}
+            )
+
+    return df.select("media_id", "payload", "meta").mapInPandas(op, MEDIA_SCHEMA)
+
+
 def chunk_audio_plan(
     df: DataFrame, chunk_ms: int = 10_000, overlap_ms: int = 0
 ) -> DataFrame:

@@ -163,6 +163,24 @@ def test_np_bruteforce_equals_hof_bruteforce(spark, sf_dir):
     assert hof == vec and len(hof) == 25
 
 
+def test_resize_stub_rewrites_meta_keeps_payload(spark, sf_dir):
+    import pytest
+
+    from covid_data_pipeline_spark.harness.queries_similarity import _media_df
+    from covid_data_pipeline_spark.operators.multimodal import resize_images
+
+    media = _media_df(spark, sf_dir).limit(20)
+    out = resize_images(media, width=224, height=224, fake=True)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r["meta"]["width"] == 224 and r["meta"]["height"] == 224 for r in rows)
+    orig = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert all(bytes(r["payload"]) == orig[r["media_id"]] for r in rows)
+    # Real decode path is explicitly stubbed.
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        resize_images(media, 10, 10, fake=False).collect()
+
+
 def test_media_features_deterministic(spark, sf_dir):
     a = QUERIES["media_features_fake"].fn(spark, sf_dir).collect()
     b = QUERIES["media_features_fake"].fn(spark, sf_dir).collect()
