@@ -72,6 +72,77 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    tags=("olap", "grouping-sets"),
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under rollup/cube) — one
+    Expand + single hash aggregate, identical SQL on both engines."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "events_funnel",
+    """
+    WITH stage_ts AS (
+      SELECT user_id,
+             MIN(ts) FILTER (event_type = 'view') AS t_view,
+             MIN(ts) FILTER (event_type = 'click') AS t_click,
+             MIN(ts) FILTER (event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) FILTER (t_view IS NOT NULL) AS viewed,
+           COUNT(*) FILTER (t_click > t_view) AS clicked_after_view,
+           COUNT(*) FILTER (t_purchase > t_click AND t_click > t_view)
+             AS purchased_after_click
+    FROM stage_ts
+    """,
+    tags=("events", "funnel"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel (view → click → purchase ordered by first
+    occurrence per user) — one aggregation pass producing per-stage
+    earliest timestamps, then ordered-stage counts. No self-joins: the
+    per-user pivot keeps it a single shuffle at any event volume."""
+    e = table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stage = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return stage.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "clicked_after_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("purchased_after_click"),
+    )
+
+
+@register(
     "pivot_event_type",
     f"""
     SELECT CAST(ts AS DATE) AS event_date,
