@@ -94,6 +94,23 @@ def test_lsh_candidates_never_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_no_python_row_path_in_declarative_queries(spark, sf_dir):
+    """Every query not explicitly built on Pandas UDFs must plan entirely
+    JVM-side — a BatchEvalPython/ArrowEvalPython node appearing in a
+    'built-ins only' query is the classic silent 10-100× regression."""
+    pandas_ok = {"pandas-udf"}
+    checked = 0
+    for name, spec in QUERIES.items():
+        if pandas_ok & set(spec.tags) or "ann-ivf" in spec.tags:
+            continue
+        plan = plan_of(spec.fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} fell to row-Python"
+        assert "ArrowEvalPython" not in plan, f"{name} fell to Arrow-Python UDF"
+        assert "MapInPandas" not in plan, f"{name} unexpectedly uses mapInPandas"
+        checked += 1
+    assert checked >= 50
+
+
 def test_topk_uses_window_group_limit(spark, sf_dir):
     plan = plan_of(QUERIES["topk_per_group"].fn(spark, sf_dir))
     # Spark pushes row_number <= k into WindowGroupLimit, bounding the
