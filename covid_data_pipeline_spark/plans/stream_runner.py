@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from covid_data_pipeline_spark.plans import schemas as S
+from covid_data_pipeline_spark.plans.alerts import run_all_alerts
 from covid_data_pipeline_spark.plans.dds import process_dds
 from covid_data_pipeline_spark.plans.mart import process_mart
 from covid_data_pipeline_spark.plans.ods import process_ods
@@ -34,9 +35,12 @@ def stream_medallion(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     incremental_mart: bool = False,
+    with_alerts: bool = False,
 ) -> StreamingQuery:
-    """Drive ods→dds→mart from a stream over ``raw.daily_reports``.
-    Population must be bootstrapped first (``bootstrap_population``)."""
+    """Drive ods→dds→mart (and optionally the alert queries) from a
+    stream over ``raw.daily_reports``. Population must be bootstrapped
+    first (``bootstrap_population``). Alerts stay idempotent under
+    micro-batch replay via their anti-join dedup."""
     raw_schema = wh.read(S.RAW_TABLE).schema
     stream = file_stream(
         spark,
@@ -72,6 +76,9 @@ def stream_medallion(
             )
             for d in fact_dates:
                 process_mart(spark, wh, d, incremental=incremental_mart)
+        if with_alerts:
+            for d in new_dates:
+                run_all_alerts(spark, wh, d)
 
     writer = (
         stream.writeStream.foreachBatch(_micro_batch)

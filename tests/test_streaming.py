@@ -236,7 +236,7 @@ def test_stream_medallion_equals_batch_pipeline(spark, tmp_path):
     wh_b = Warehouse(spark, str(tmp_path / "wh_batch"))
     bootstrap_population(spark, wh_b, population_df(spark))
     for day in DAYS:
-        run_day(spark, wh_b, day, csv_path=paths[day], with_alerts=False)
+        run_day(spark, wh_b, day, csv_path=paths[day], with_alerts=True)
 
     # Streaming run: raw landed up front, derived layers stream-driven.
     wh_s = Warehouse(spark, str(tmp_path / "wh_stream"))
@@ -244,7 +244,11 @@ def test_stream_medallion_equals_batch_pipeline(spark, tmp_path):
     for day in DAYS:
         process_raw(spark, wh_s, paths[day], source_file=paths[day])
     q = stream_medallion(
-        spark, wh_s, checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=2
+        spark,
+        wh_s,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+        with_alerts=True,
     )
     _drain(q)
 
@@ -259,6 +263,12 @@ def test_stream_medallion_equals_batch_pipeline(spark, tmp_path):
     got = sorted(map(tuple, wh_s.read(S.MART_TABLE).select(*cols).collect()))
     want = sorted(map(tuple, wh_b.read(S.MART_TABLE).select(*cols).collect()))
     assert got == want and len(want) > 0
+
+    # Alert parity: the stream-driven alert stage fires the same alerts.
+    acols = ["alert_date", "country", "alert_type"]
+    a_got = sorted(map(tuple, wh_s.read(S.ALERTS_TABLE).select(*acols).collect()))
+    a_want = sorted(map(tuple, wh_b.read(S.ALERTS_TABLE).select(*acols).collect()))
+    assert a_got == a_want and len(a_want) > 0
 
 
 def test_stream_dedup_within_watermark(spark, tmp_path):
