@@ -1,0 +1,68 @@
+"""Regenerate PLANS.md: formatted physical plans + scale notes for every
+bench=True query. Run from the repo root: ``python tools/gen_plans.py``."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+NOTES = {
+    "mart_analytics": "Two broadcast joins (dims) keep the orders scan shuffle-free until the partial+final hash agg; one window shuffle on nation. At 1000x: orders scan parallelizes by file split; dims still broadcast; agg shuffle carries only group rows.",
+    "agg_rollup": "Partial aggregation map-side: shuffle carries |groups x partitions| rows, not 600k. Decimal sums keep values partition-order independent.",
+    "filter_project": "Predicates and projection pushed into the parquet scan (PushedFilters/ReadSchema) - scan reads 3 of 11 columns.",
+    "join_fact_dim": "Customer dim broadcast: fact side never shuffles for the join; single agg shuffle after.",
+    "window_lag_alert": "One shuffle on the window key; all lag columns share the single sorted pass.",
+    "text_stats": "Pure projection - zero shuffles; regex work let-bound to one pass per row, parallelism = input splits.",
+    "dedup_exact": "One hash shuffle on the md5 fingerprint with map-side partial agg: shuffle is O(distinct docs).",
+    "dedup_minhash": "Signature is a projection (no shuffle); banded self-join is an equi-join on band hash (exchange reused for both sides); verify joins fetch only candidate rows. Hot buckets capped.",
+    "similarity_topk_bruteforce": "Query block broadcast; corpus partition-local scoring; WindowGroupLimit bounds the final shuffle to k rows per query per partition.",
+    "similarity_topk_lsh": "Bucket equi-join: work proportional to bucket sizes; multiprobe expands the (small) query side only.",
+    "similarity_topk_bruteforce_np": "Same shape as bruteforce but Arrow-batched BLAS matmul per partition.",
+    "similarity_topk_ivf": "Corpus assignment vectorized; probe join touches nprobe/n_centroids of the corpus; at warehouse scale the cell id becomes a partition column and the probe join becomes partition pruning.",
+    "events_tumbling_window": "Keyed agg on (window,event_type) with partial agg; streaming twin bounds state via watermark.",
+    "events_session_window": "Session windows merge per user in one keyed pass.",
+    "rollup_lineitem": "ROLLUP = one Expand + single hash aggregate; grand-total sums in decimal.",
+    "sql_pricing_summary": "SQL-string surface; same plan as the DataFrame form (one scan, partial+final agg).",
+    "asof_join_clicks_purchases": "Union + ONE shuffle on user_id + window carry-forward - no range join, linear per key.",
+    "tpch_q3_shipping_priority": "Selective filters pushed to all three scans before the joins; customer side broadcast.",
+}
+
+HEADER = """# PLANS - physical plans of the headline (bench) queries
+
+Generated with `.explain(\"formatted\")` at sf0.001 (plan shape is
+scale-invariant; AQE re-plans sizes at runtime). Each plan carries
+the 100 TB scale rationale the shape encodes. Regenerate:
+`python tools/gen_plans.py`.
+"""
+
+
+def main() -> None:
+    from covid_data_pipeline_spark.harness.registry import QUERIES
+    from covid_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="plans", shuffle_partitions=8)
+    out = [HEADER]
+    for name, spec in QUERIES.items():
+        if not spec.bench:
+            continue
+        df = spec.fn(spark, "/root/testdata/sf0.001")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        tree = buf.getvalue().split("\n\n")[0]
+        out.append(f"## {name}\n")
+        if name in NOTES:
+            out.append(f"**Scale:** {NOTES[name]}\n")
+        out.append("```\n" + tree.strip() + "\n```\n")
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote PLANS.md ({sum(1 for s in out if s.startswith('## '))} queries)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
