@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from covid_data_pipeline_spark.harness.registry import register, table
 from covid_data_pipeline_spark.streaming.windows import (
@@ -148,4 +149,100 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("events_cnt"),
         F.round(F.avg(k), 2).alias("k_avg"),
         F.max(k).alias("k_max"),
+    )
+
+
+@register(
+    "range_join_clicks_before_purchase",
+    """
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts > p.ts - INTERVAL 6 HOUR
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+      AND c.event_type = 'click'
+    """,
+    tags=("events", "rangejoin"),
+)
+def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via `operators/rangejoin.py::time_range_join`:
+    clicks in the 6 hours preceding each purchase by the same user.
+    Bucketed to a shuffled hash join on (user_id, time bucket) — no
+    nested loop; the naive BETWEEN join is O(|purchases| x |clicks|)
+    per user and a BroadcastNestedLoopJoin in Spark."""
+    from covid_data_pipeline_spark.operators.rangejoin import time_range_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    out = time_range_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="p_ts",
+        right_ts="c_ts",
+        lower_s=-6 * 3600,
+        upper_s=0,
+    )
+    return out.select("purchase_id", "click_id", "user_id")
+
+
+@register(
+    "events_sessionize_batch",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           COUNT(*) AS n_events,
+           CAST(ROUND(EPOCH(MAX(ts) - MIN(ts)), 3) AS DOUBLE) AS duration_s
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+    tags=("events", "session"),
+)
+def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap): the lag
+    -> new-session flag -> running-sum pattern. Both windows share one
+    partitioning (user_id), so Catalyst plans a single shuffle + sort
+    reused across the two window operators and the final aggregate."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    flagged = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double")),
+                3,
+            ).alias("duration_s"),
+        )
+        .select("user_id", "session_no", "n_events", "duration_s")
     )

@@ -24,8 +24,10 @@ from covid_data_pipeline_spark.functions.text import (
     quality_score,
     stopword_ratio,
     token_count,
+    tokens,
 )
 from covid_data_pipeline_spark.harness.registry import register, table
+from pyspark.sql.window import Window
 
 _TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
 _BPE = r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')"
@@ -143,3 +145,48 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", content_fingerprint("text", 256).alias("fingerprint"))
+
+
+@register(
+    "top_terms_per_lang",
+    r"""
+    WITH doc_terms AS (
+      SELECT DISTINCT lang, doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    df AS (
+      SELECT lang, term, COUNT(*) AS doc_freq
+      FROM doc_terms WHERE length(term) >= 3
+      GROUP BY lang, term
+    ),
+    ranked AS (
+      SELECT lang, term, doc_freq,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY doc_freq DESC, term) AS rank
+      FROM df
+    )
+    SELECT lang, term, doc_freq, rank FROM ranked WHERE rank <= 10
+    """,
+    tags=("text", "terms"),
+)
+def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary mining: top-10 terms per language by document
+    frequency (the df half of TF-IDF). explode(array_distinct(tokens))
+    keeps counting integer-exact — COUNT(*) over per-doc-deduped terms
+    is countDistinct(doc) without the distinct-aggregate's extra
+    expand; the window is a group-limit (top-k pushdown) at scale.
+    Deterministic tiebreak: term ascending."""
+    d = table(spark, sf_dir, "documents")
+    doc_terms = (
+        d.select("lang", "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term"))
+        .filter(F.length("term") >= 3)
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("doc_freq").desc(), F.col("term"))
+    return (
+        doc_terms.groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "term", "doc_freq", "rank")
+    )

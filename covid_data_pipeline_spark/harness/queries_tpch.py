@@ -150,3 +150,268 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("c_acctbal"), 2).alias("acctbal"),
         )
     )
+
+
+@register(
+    "tpch_q6_revenue_forecast",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_discount AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "q6"),
+    bench=True,
+)
+def tpch_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: pure scan-filter-aggregate, zero joins — the canonical
+    predicate-pushdown / column-pruning showcase (reads 4 of 11 lineitem
+    columns; all four predicates reach the parquet scan). At 100 TB this
+    is the query where pushdown is the entire game: a full-width scan
+    would read ~25x the bytes."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * F.col("l_discount").cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("tpch", "q4"),
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS decorrelated to a LEFT SEMI join whose condition
+    spans both sides (late shipment: l_shipdate > o_orderdate + 60 days
+    stands in for the reference schema's commit/receipt lag). The date
+    filter on orders prunes before the shuffle; the semi join keeps the
+    probe side narrow (no lineitem columns survive)."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    late = (li["l_orderkey"] == o["o_orderkey"]) & (
+        F.to_date(li["l_shipdate"]) > F.date_add(F.to_date(o["o_orderdate"]), 60)
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q12_priority_shipping",
+    """
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+    GROUP BY l.l_linestatus
+    """,
+    tags=("tpch", "q12"),
+)
+def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: fact-to-fact equi-join + conditional aggregation
+    (l_linestatus stands in for l_shipmode, absent from the testdata).
+    Both CASE branches fold into one pass; map-side partial aggregation
+    shrinks the shuffle to |groups| x 2 counters per task."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT CAST(ROUND(
+             100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                   / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+             4) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-03-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1996-04-01'
+    """,
+    tags=("tpch", "q14"),
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: month-sliced fact scan, broadcast join to part, global
+    conditional-revenue ratio. Both sums use exact decimal arithmetic so
+    the ratio is bit-identical across engines; the division happens once,
+    in double, after the sums are closed."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-03-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customer",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           ROUND(o.o_totalprice, 2) AS total_price,
+           CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN big ON big.l_orderkey = o.o_orderkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE),
+             ROUND(o.o_totalprice, 2)
+    """,
+    tags=("tpch", "q18"),
+)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: HAVING-filtered aggregate used as a semi-filter, then a
+    re-join to the fact for the detail rows. The `big` aggregate reduces
+    lineitem to a narrow key list BEFORE the 3-way join — at 100 TB the
+    key list is small enough for AQE to flip the join to broadcast, so
+    the expensive join only ever sees qualifying orders. l_quantity sums
+    are integers stored as double, so SUM is exact on both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(big.withColumnRenamed("l_orderkey", "_bigkey"), F.col("_bigkey") == o.o_orderkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+    )
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    tags=("tpch", "q19"),
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-ANDs predicate spanning both join sides. Catalyst
+    derives the single-side implications (p_brand IN (...), p_size <= 35,
+    l_quantity BETWEEN 1 AND 40) and pushes them below the broadcast
+    join, so the scan skips non-qualifying row groups even though the
+    full predicate needs both tables."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 21)
+    ) | (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#7")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
+    )

@@ -62,6 +62,7 @@ def _load_all() -> None:
         from covid_data_pipeline_spark.harness import queries_events  # noqa: F401
         from covid_data_pipeline_spark.harness import queries_olap  # noqa: F401
         from covid_data_pipeline_spark.harness import queries_tpch  # noqa: F401
+        from covid_data_pipeline_spark.harness import queries_training  # noqa: F401
     except ImportError:  # modules land incrementally during the build
         pass
 

@@ -1,0 +1,95 @@
+"""Deterministic sampling / splitting / packing for training-data curation.
+
+These are the dataset-assembly verbs a 100 TB pretraining pipeline runs
+after dedup and quality filtering: carve reproducible train/valid/test
+splits, draw stratified subsamples, and pack documents into
+fixed-token-budget sequences. All three are pure narrow/window
+transformations — no Python row path, no shuffle beyond the declared
+window partitioning — so they scale linearly with input splits.
+
+Determinism contract: every operator keys off a *multiplicative integer
+hash* of a caller-named id column (Knuth's 2654435761 scheme), not
+Spark's `rand()`/`sample()`. The same row lands in the same split on any
+cluster, any partitioning, any engine — which is what makes the result
+reproducible AND lets DuckDB verify it (`(id * 2654435761) % 2^32` is
+portable integer arithmetic, unlike Murmur3 seeds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+KNUTH_MULT = 2654435761  # 2^32 / golden ratio, Knuth TAOCP vol 3 §6.4
+HASH_MOD = 4294967296  # 2^32
+
+
+def knuth_hash(id_col: Column | str) -> Column:
+    """Multiplicative hash of an integer id into [0, 2^32)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (c.cast("bigint") * F.lit(KNUTH_MULT)) % F.lit(HASH_MOD)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    valid_pct: int = 10,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row a deterministic train/valid/test split label.
+
+    The hash is uniform over ids, so split sizes converge to the
+    requested percentages; membership is stable under re-runs,
+    repartitioning, and incremental appends (new rows never move old
+    rows between splits — the property `randomSplit` lacks).
+    """
+    pct = knuth_hash(id_col) % 100
+    return df.withColumn(
+        split_col,
+        F.when(pct < train_pct, "train")
+        .when(pct < train_pct + valid_pct, "valid")
+        .otherwise("test"),
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame, id_col: str, one_in: int = 10
+) -> DataFrame:
+    """Keep a deterministic 1/``one_in`` of rows (hash-gated filter).
+
+    Stratification is implicit: the hash is independent of every other
+    column, so the kept fraction holds within any stratum (language,
+    source, ...) without a per-stratum pass. Pure filter — pushes to the
+    scan, no shuffle, no state.
+    """
+    return df.filter(knuth_hash(id_col) % one_in == 0)
+
+
+def pack_greedy_bins(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    size_col: Column | str,
+    budget: int,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Assign rows to fixed-budget bins by running size within each group.
+
+    Greedy cumulative packing: rows are taken in ``order_col`` order and
+    ``bin_id = floor(preceding_cumulative_size / budget)`` — the standard
+    sequence-packing pass that turns variable-length documents into
+    ~budget-token training sequences. One window (= one shuffle on
+    ``group_col``); a document longer than the budget claims bins by
+    itself. Deterministic given the ordering column, which must be unique
+    within a group.
+    """
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(size).over(w), F.lit(0))
+    return df.withColumn(bin_col, F.floor(cum_before / budget))

@@ -3,6 +3,8 @@
 from covid_data_pipeline_spark.sources.readers import (  # noqa: F401
     read_csv,
     read_jdbc,
+    read_json,
+    read_orc,
     read_parquet_dir,
 )
 from covid_data_pipeline_spark.sources.writers import Warehouse, write_jdbc  # noqa: F401

@@ -45,6 +45,14 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other splittable columnar format a lakehouse
+    ingests (Hive-era warehouses hand ORC over all the time). Same
+    pushdown/pruning contract as parquet: predicates and required
+    columns reach the native reader, hive-style partition dirs prune."""
+    return spark.read.orc(path)
+
+
 def read_parquet_dir(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan (S2 equivalent when no catalog is configured).
     Partition columns in hive-style ``k=v`` subdirs are discovered and

@@ -117,3 +117,18 @@ def test_topk_uses_window_group_limit(spark, sf_dir):
     # sort to k rows per group — the property that makes per-group top-k
     # viable on wide groups at scale.
     assert "WindowGroupLimit" in plan
+
+
+def test_range_join_is_equi_bucketed_not_nested_loop(spark, sf_dir):
+    """time_range_join must plan the bucket trick as an equi hash join
+    on (key, bucket) — the naive BETWEEN join would be a
+    BroadcastNestedLoopJoin whose cost is |L|x|R| per key."""
+    plan = plan_of(QUERIES["range_join_clicks_before_purchase"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_sessionize_reuses_one_shuffle_for_both_windows(spark, sf_dir):
+    """lag-flag and running-sum windows share the user_id partitioning;
+    the plan must contain exactly one hashpartitioning exchange."""
+    plan = plan_of(QUERIES["events_sessionize_batch"].fn(spark, sf_dir))
+    assert plan.count("hashpartitioning(") == 1

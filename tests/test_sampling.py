@@ -1,0 +1,82 @@
+"""Properties of the deterministic split / sample / pack operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.harness.tables import table
+from covid_data_pipeline_spark.operators.sampling import (
+    hash_split,
+    pack_greedy_bins,
+    stratified_hash_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hash_split_is_stable_under_repartition_and_append(spark):
+    docs = table(spark, SF, "documents")
+    base = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id").select("doc_id", "split").collect()
+    }
+    # Repartitioning must not move any row between splits.
+    shuffled = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(13), "doc_id")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert shuffled == base
+    # Splitting a subset assigns the same labels (append-stability).
+    subset = docs.filter(F.col("doc_id") % 3 == 0)
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(subset, "doc_id").select("doc_id", "split").collect()
+    }
+    assert all(base[k] == v for k, v in sub.items())
+
+
+def test_hash_split_proportions_roughly_hold(spark):
+    docs = table(spark, "/root/testdata/sf0.01", "documents")
+    counts = dict(
+        hash_split(docs, "doc_id").groupBy("split").count().collect()
+    )
+    total = sum(counts.values())
+    assert 0.7 <= counts["train"] / total <= 0.9
+    assert counts.get("valid", 0) > 0 and counts.get("test", 0) > 0
+
+
+def test_stratified_sample_is_subset_and_deterministic(spark):
+    docs = table(spark, SF, "documents")
+    s1 = {r["doc_id"] for r in stratified_hash_sample(docs, "doc_id", 10).collect()}
+    s2 = {r["doc_id"] for r in stratified_hash_sample(docs, "doc_id", 10).collect()}
+    assert s1 == s2
+    assert 0 < len(s1) < docs.count()
+
+
+def test_pack_bins_respect_budget_for_small_docs(spark):
+    docs = (
+        table(spark, SF, "documents")
+        .withColumn("n", F.least(F.col("n_chars"), F.lit(500)))
+    )
+    packed = pack_greedy_bins(
+        docs, group_col="lang", order_col="doc_id", size_col="n", budget=2000
+    )
+    fills = (
+        packed.groupBy("lang", "bin_id")
+        .agg(F.sum("n").alias("fill"), F.max("n").alias("biggest"))
+        .collect()
+    )
+    # Every doc here is <= 500, so no bin can exceed budget + one doc.
+    assert all(r["fill"] <= 2000 + 500 for r in fills)
+    # Bins are dense per group: ids 0..max with no gaps.
+    for lang_row in packed.select("lang").distinct().collect():
+        ids = sorted(
+            r["bin_id"]
+            for r in packed.filter(F.col("lang") == lang_row["lang"])
+            .select("bin_id")
+            .distinct()
+            .collect()
+        )
+        assert ids == list(range(len(ids)))

@@ -72,3 +72,17 @@ def test_json_inference_matches_declared(spark, sf_dir, tmp_path):
     inferred = read_json(spark, path)
     assert set(inferred.columns) == {"doc_id", "lang"}
     assert inferred.count() == d.count()
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from covid_data_pipeline_spark.sources.readers import read_orc
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = str(tmp_path / "docs_orc")
+    d.write.mode("overwrite").orc(path)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, d.collect()))
+    # Predicate + projection reach the ORC scan.
+    q = back.filter(back.lang == "en").select("doc_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "lang" in plan.split("PushedFilters")[1][:120]

@@ -29,6 +29,7 @@ NOTES = {
     "sql_pricing_summary": "SQL-string surface; same plan as the DataFrame form (one scan, partial+final agg).",
     "asof_join_clicks_purchases": "Union + ONE shuffle on user_id + window carry-forward - no range join, linear per key.",
     "tpch_q3_shipping_priority": "Selective filters pushed to all three scans before the joins; customer side broadcast.",
+    "tpch_q6_revenue_forecast": "Pure scan-filter-aggregate: all four predicates and the 4-of-11 column projection reach the parquet scan; single partial+final agg, no shuffle of data rows.",
 }
 
 HEADER = """# PLANS - physical plans of the headline (bench) queries
