@@ -190,3 +190,38 @@ def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("lang", "term", "doc_freq", "rank")
     )
+
+
+@register(
+    "chunk_documents",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, lang,
+             unnest(generate_series(0,
+               CAST(FLOOR((len(t) - 1) / 24.0) AS INT))) AS chunk_idx,
+             t
+      FROM toks
+    )
+    SELECT doc_id, lang, chunk_idx,
+           array_to_string(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+             AS chunk_text,
+           CAST(least(32, len(t) - chunk_idx * 24) AS INT) AS chunk_tokens
+    FROM chunks
+    """,
+    tags=("text", "chunk"),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-token chunks with 8-token overlap (stride 24) — the
+    chunk step of a chunk->embed->index pipeline, as pure codegen'd
+    column algebra (tokenize once, explode generated starts, slice)."""
+    from covid_data_pipeline_spark.operators.chunking import chunk_by_tokens
+
+    d = table(spark, sf_dir, "documents")
+    return chunk_by_tokens(d, "text", chunk_size=32, overlap=8).select(
+        "doc_id", "lang", "chunk_idx", "chunk_text", "chunk_tokens"
+    )

@@ -20,6 +20,7 @@ from typing import TYPE_CHECKING
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import StructField, StructType
 
@@ -118,3 +119,38 @@ def cumulative_to_delta_stream(
     return df.groupBy(*key_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join on equal ``keys`` where
+    ``left_ts + lower_s < right_ts <= left_ts + upper_s``.
+
+    The streaming twin of ``operators.rangejoin.time_range_join``: both
+    sides carry watermarks and the range condition is expressed as
+    event-time interval arithmetic, which is exactly what lets Spark
+    bound the join state — rows age out of the state store once the
+    watermark passes their match window, so state is
+    O(rate x (window + watermark)) instead of unbounded. Timestamp
+    columns must be uniquely named across the two streams; key columns
+    are taken from the left after the join.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = F.expr(
+        f"{right_ts} > {left_ts} + INTERVAL {int(lower_s)} SECOND"
+    ) & F.expr(f"{right_ts} <= {left_ts} + INTERVAL {int(upper_s)} SECOND")
+    for k in keys:
+        cond = cond & (l[k] == r[k])
+    out = l.join(r, cond)
+    for k in keys:
+        out = out.drop(r[k])
+    return out

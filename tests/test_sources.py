@@ -86,3 +86,32 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     q = back.filter(back.lang == "en").select("doc_id")
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "lang" in plan.split("PushedFilters")[1][:120]
+
+
+def test_csv_quarantine_splits_bad_rows(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from covid_data_pipeline_spark.sources.readers import read_csv_quarantine
+
+    p = tmp_path / "mixed.csv"
+    p.write_text(
+        "id,qty,price\n"
+        "1,3,9.5\n"
+        "2,notanumber,1.0\n"
+        "3,7,2.25\n"
+        "4,5\n"  # too few columns -> malformed (Spark quarantines short rows)
+        "5,8,oops\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("qty", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    good, bad = read_csv_quarantine(spark, str(p), schema)
+    good_ids = sorted(r["id"] for r in good.collect())
+    bad_lines = sorted(r["raw_line"] for r in bad.collect())
+    assert good_ids == [1, 3]
+    assert bad_lines == ["2,notanumber,1.0", "4,5", "5,8,oops"]
+    assert good.columns == ["id", "qty", "price"]

@@ -364,3 +364,63 @@ def test_foreachbatch_medallion_bridge(spark, events_dir, tmp_path):
     got = {tuple(r) for r in wh.read("ods.events_daily").select(*cols).collect()}
     want = {tuple(r) for r in rollup(batch_df).select(*cols).collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_interval_join_equals_batch_range_join(spark, events_dir, tmp_path):
+    """Stream-stream interval join (watermarked state-bounded) must emit
+    exactly the batch bucketed range join's pairs."""
+    from covid_data_pipeline_spark.operators.rangejoin import time_range_join
+    from covid_data_pipeline_spark.streaming.stateful import stream_interval_join
+
+    ev = spark.read.parquet(events_dir)
+
+    def purchases(df):
+        return df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+        )
+
+    def clicks(df):
+        return df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+
+    want_df = time_range_join(
+        purchases(ev),
+        clicks(ev).withColumnRenamed("c_user", "user_id"),
+        keys=["user_id"],
+        left_ts="p_ts",
+        right_ts="c_ts",
+        lower_s=-6 * 3600,
+        upper_s=0,
+    )
+    want = {(r["purchase_id"], r["click_id"]) for r in want_df.collect()}
+
+    ps = purchases(file_stream(spark, events_dir, ev.schema, max_files_per_trigger=2))
+    cs = clicks(file_stream(spark, events_dir, ev.schema, max_files_per_trigger=2))
+    joined = stream_interval_join(
+        ps,
+        cs.withColumnRenamed("c_user", "user_id"),
+        keys=["user_id"],
+        left_ts="p_ts",
+        right_ts="c_ts",
+        lower_s=-6 * 3600,
+        upper_s=0,
+        watermark="40 days",
+    )
+    q = (
+        joined.select("purchase_id", "click_id")
+        .writeStream.format("memory")
+        .queryName("interval_join_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ij"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("interval_join_out").collect()
+    }
+    assert got == want and len(want) > 0
