@@ -21,6 +21,7 @@ from covid_data_pipeline_spark.operators.dedup import (
     simhash,
     simhash_candidate_pairs,
 )
+from covid_data_pipeline_spark.operators.graph import connected_components
 
 MUTANT_OFFSET = 1_000_000
 
@@ -117,4 +118,68 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ngram_jaccard_pairs(
         d, text_col="text", id_col="doc_id", shingle_k=3, threshold=0.6
+    )
+
+
+@register(
+    "graph_components_docs",
+    """
+    WITH RECURSIVE
+    e0 AS (
+      SELECT doc_id AS src, (doc_id * 7) % 500 AS dst FROM documents
+    ),
+    sym AS (
+      SELECT src, dst FROM e0 WHERE src <> dst
+      UNION
+      SELECT dst, src FROM e0 WHERE src <> dst
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.node, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+    )
+    SELECT node AS doc_id, MIN(r) AS component_id
+    FROM reach GROUP BY node
+    """,
+    tags=("graph", "dedup", "components"),
+)
+def graph_components_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on a deterministic multi-hop graph: edges
+    doc_id → (doc_id·7) mod 500 form a union of long cycles (7 is a unit
+    mod 500), so a correct answer REQUIRES transitive propagation — the
+    star rounds converge in O(log n) shuffles where naive label
+    propagation would need cycle-length rounds. Oracle is DuckDB's
+    recursive-CTE transitive closure over the same edge list; nodes 0
+    and 250 are self-loop fixed points and must survive as singleton
+    components (exercises the `nodes=` path)."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * F.lit(7)) % F.lit(500)).alias("dst"),
+    )
+    comps = connected_components(edges, nodes=d)
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component_id")
+    )
+
+
+@register(
+    "dedup_duplicate_groups",
+    None,  # transitive grouping over LSH pairs is not SQL-expressible;
+    # pytest asserts multi-hop chains collapse (tests/test_graph.py)
+    tags=("graph", "dedup", "minhash"),
+)
+def dedup_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup chain: MinHash/LSH candidate pairs → connected
+    components → (doc_id, canonical_id) keep/drop mapping. Each planted
+    mutant pairs with its original, so components collapse {orig,
+    mutant} onto min(doc_id) = the original."""
+    d = _with_mutants(table(spark, sf_dir, "documents"))
+    pairs = minhash_dedup(
+        d, text_col="text", id_col="doc_id", shingle_k=3, num_hashes=16,
+        bands=4, threshold=0.6,
+    )
+    comps = connected_components(pairs, src="id_a", dst="id_b", nodes=d.select("doc_id"))
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
     )

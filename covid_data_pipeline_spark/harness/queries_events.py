@@ -246,3 +246,71 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_no", "n_events", "duration_s")
     )
+
+
+@register(
+    "gapfill_daily_events",
+    """
+    WITH filtered AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value FROM events
+      WHERE EXTRACT(DAY FROM ts) % 5 <> 0
+    ),
+    daily AS (
+      SELECT event_type, day, COUNT(*) AS events_cnt,
+             ROUND(SUM(value), 2) AS val_sum
+      FROM filtered GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ),
+    cal AS (
+      SELECT event_type,
+             CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    )
+    SELECT c.event_type, c.day,
+           COALESCE(d.events_cnt, 0) AS events_cnt,
+           LAST_VALUE(d.val_sum IGNORE NULLS) OVER (
+             PARTITION BY c.event_type ORDER BY c.day) AS filled_value_sum
+    FROM cal c LEFT JOIN daily d ON c.event_type = d.event_type AND c.day = d.day
+    """,
+    tags=("events", "timeseries", "gapfill"),
+)
+def gapfill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill + forward fill — the time-series resample the
+    reference's daily-cursor pipeline implies (a skipped JHU day must
+    not break LAG deltas; cf. /root/reference/airflow/dags/covid_to_s3.py
+    date-cursor simulation). Gaps are planted deterministically (drop
+    days divisible by 5) on both engines.
+
+    Scale shape: the calendar is *derived per group* with
+    ``sequence()`` + ``explode`` — rows generated executor-side
+    proportional to (groups × days), never a driver-built calendar or a
+    cross join against a global date range. The fill is one window over
+    the same event_type partitioning the daily rollup already shuffled
+    on, so AQE can reuse the exchange."""
+    ev = table(spark, sf_dir, "events").where(F.dayofmonth("ts") % 5 != 0)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("events_cnt"),
+        F.round(F.sum("value"), 2).alias("val_sum"),
+    )
+    cal = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return (
+        cal.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("events_cnt", F.lit(0)).alias("events_cnt"),
+            F.last("val_sum", ignorenulls=True).over(w).alias("filled_value_sum"),
+        )
+    )

@@ -12,7 +12,7 @@ aggregation (no extra distinct-values scan).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from covid_data_pipeline_spark.harness.registry import register, table
@@ -505,4 +505,120 @@ def asof_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return asof_join(
         clicks, purchases, on="ts", by=["user_id"], value_cols=["purchase_value"]
+    )
+
+
+@register(
+    "top_n_global",
+    """
+    SELECT event_id, user_id, ROUND(value, 2) AS value
+    FROM events
+    ORDER BY value DESC, event_id
+    LIMIT 100
+    """,
+    tags=("olap", "topn"),
+)
+def top_n_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT. Spark plans TakeOrderedAndProject: each
+    partition keeps its local top-100, the driver merges k*partitions
+    rows — no range-exchange full sort ever materializes, which is the
+    difference between O(n log n) shuffle and O(n) scan at 100 TB.
+    Deterministic tiebreak on event_id."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "user_id", F.round("value", 2).alias("value"))
+        .orderBy(F.col("value").desc(), F.col("event_id"))
+        .limit(100)
+    )
+
+
+@register(
+    "histogram_prices",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS orders_cnt,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS price_sum
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("olap", "histogram"),
+)
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram by floor-division binning — engine-portable
+    (no width_bucket dependency) and a single partial+final aggregate;
+    the shuffle carries one row per bucket per task."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 25000.0).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("orders_cnt"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("price_sum"),
+        )
+    )
+
+
+@register(
+    "above_avg_balance",
+    """
+    SELECT c.c_custkey, c.c_nationkey, ROUND(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+      SELECT AVG(c2.c_acctbal) FROM customer c2
+      WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+    tags=("olap", "subquery"),
+)
+def above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated the way Catalyst would:
+    one window AVG over the correlation key replaces the per-row
+    subquery — a single shuffle on c_nationkey instead of a rescan per
+    row. (AVG feeds only a > comparison, so double noise cannot flip
+    row membership here; outputs are rounded.)"""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    return (
+        c.withColumn("_nation_avg", F.avg("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") > F.col("_nation_avg"))
+        .select("c_custkey", "c_nationkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+@register(
+    "unpivot_returnflag_metrics",
+    """
+    WITH agg AS (
+      SELECT l_returnflag,
+        CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+          AS sum_qty,
+        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+          AS sum_price,
+        ROUND(AVG(l_discount), 4) AS avg_disc
+      FROM lineitem GROUP BY 1
+    )
+    UNPIVOT agg ON sum_qty, sum_price, avg_disc INTO NAME metric VALUE value
+    """,
+    tags=("olap", "unpivot"),
+)
+def unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (inverse of pivot_event_type): Spark's native
+    ``unpivot`` is a zero-shuffle executor-side expand over the already-
+    aggregated wide relation — the shuffle happened once in the groupBy;
+    the melt multiplies rows locally. Money sums in DECIMAL(18,4) so the
+    melted doubles are partitioning-independent."""
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "avg_disc"], "metric", "value"
     )

@@ -1,0 +1,62 @@
+"""Connected components: multi-hop transitivity, singletons, determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.operators.graph import (
+    connected_components,
+    largest_components,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src LONG, dst LONG")
+
+
+def _labels(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+def test_path_graph_collapses_transitively(spark):
+    # 0-1-2-3-4 chain: every node must reach label 0 (multi-hop, the
+    # case a pairwise-only dedup gets wrong).
+    got = _labels(connected_components(_edges(spark, [(i, i + 1) for i in range(4)])))
+    assert got == {i: 0 for i in range(5)}
+
+
+def test_two_components_and_reversed_duplicate_edges(spark):
+    pairs = [(1, 2), (2, 1), (2, 3), (10, 11), (11, 10), (10, 10)]
+    got = _labels(connected_components(_edges(spark, pairs)))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_singletons_via_nodes_param(spark):
+    nodes = spark.range(6).select(F.col("id").alias("doc_id"))
+    got = _labels(
+        connected_components(_edges(spark, [(0, 1), (3, 4)]), nodes=nodes)
+    )
+    assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 3, 5: 5}
+
+
+def test_long_cycle_converges_within_log_rounds(spark):
+    # 64-node ring: diameter 32, but star rounds need only ~log2(64).
+    n = 64
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    got = _labels(connected_components(_edges(spark, ring), max_iter=14))
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_labels_stable_under_partitioning(spark):
+    pairs = [(i, i + 100) for i in range(20)] + [(i + 100, (i + 1) % 20) for i in range(20)]
+    e = _edges(spark, pairs)
+    a = _labels(connected_components(e))
+    b = _labels(connected_components(e.repartition(7)))
+    assert a == b
+
+
+def test_largest_components_head(spark):
+    # Component {0..4} (size 5) and {10,11} (size 2).
+    e = _edges(spark, [(i, i + 1) for i in range(4)] + [(10, 11)])
+    rows = largest_components(connected_components(e), top_k=1).collect()
+    assert [(r["component"], r["size"]) for r in rows] == [(0, 5)]
