@@ -314,3 +314,48 @@ def gapfill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("val_sum", ignorenulls=True).over(w).alias("filled_value_sum"),
         )
     )
+
+
+@register(
+    "moving_avg_7d",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(*) AS events_cnt,
+             ROUND(SUM(value), 2) AS val_sum
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day,
+           ROUND(AVG(events_cnt) OVER w, 2) AS ma7_cnt,
+           ROUND(AVG(val_sum) OVER w, 2) AS ma7_value
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+    """,
+    tags=("events", "timeseries", "window", "range-frame"),
+)
+def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average with a true RANGE (time-interval)
+    frame — the COVID smoothing curve (reference mart computes daily
+    deltas; any dashboard on top smooths them). RANGE, not ROWS: a
+    missing day must shrink the window, not silently widen it to 7
+    *present* rows. Spark's rangeBetween needs a numeric ordering key,
+    so days become an epoch-day int (datediff) — semantics identical to
+    DuckDB's INTERVAL frame. One shuffle: the window reuses the daily
+    rollup's event_type partitioning."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("events_cnt"),
+        F.round(F.sum("value"), 2).alias("val_sum"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.round(F.avg("events_cnt").over(w), 2).alias("ma7_cnt"),
+        F.round(F.avg("val_sum").over(w), 2).alias("ma7_value"),
+    )
