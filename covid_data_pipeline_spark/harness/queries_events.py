@@ -286,16 +286,18 @@ def gapfill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the calendar is *derived per group* with
     ``sequence()`` + ``explode`` — rows generated executor-side
     proportional to (groups × days), never a driver-built calendar or a
-    cross join against a global date range. The fill is one window over
-    the same event_type partitioning the daily rollup already shuffled
-    on, so AQE can reuse the exchange."""
+    cross join against a global date range. The daily rollup feeds two
+    subplans (calendar bounds + the fill join) and Catalyst does not
+    share subtrees, so it is persisted — groups × days rows — to keep
+    the raw-events scan single-pass (at warehouse scale, stage it to a
+    table instead)."""
     ev = table(spark, sf_dir, "events").where(F.dayofmonth("ts") % 5 != 0)
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(
         F.count(F.lit(1)).alias("events_cnt"),
         F.round(F.sum("value"), 2).alias("val_sum"),
-    )
+    ).persist()
     cal = (
         daily.groupBy("event_type")
         .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
