@@ -157,3 +157,45 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
         ).otherwise(F.array(F.concat_ws(" ", toks)))
 
     return let(tokens(col), _shingles)
+
+
+# PII patterns: deliberately simple, dialect-portable regexes (no \w, no
+# lookarounds) so the same pattern runs on Spark (Java regex) and any
+# ANSI oracle (RE2-ish). Case-insensitivity via inline (?i).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "[EMAIL]"),
+    (r"\d{3}-\d{2}-\d{4}", "[ID]"),
+)
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Replace email addresses and SSN-shaped ids with redaction tokens.
+    Chained ``regexp_replace`` — fully codegen'd, no UDF; each pattern is
+    one pass over the string (global replace)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def repetition_fraction(col: Column | str, k: int = 3) -> Column:
+    """Gopher-style repetition signal: fraction of word k-grams that are
+    duplicates of an earlier k-gram in the same document
+    (1 − distinct/total; 0.0 for docs shorter than k tokens).
+    Boilerplate and looping generations score high. Pure array
+    built-ins over the let-bound token split — one pass, no shuffle,
+    no UDF."""
+
+    def _frac(toks: Column) -> Column:
+        n = F.size(toks)
+        total = n - (k - 1)
+        idx = F.sequence(F.lit(1), F.greatest(total, F.lit(1)))
+        gram_at = lambda i: F.concat_ws(" ", F.slice(toks, i, k))  # noqa: E731
+        grams = F.transform(idx, gram_at)
+        return F.when(
+            n >= k,
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double") / total,
+        ).otherwise(F.lit(0.0))
+
+    return let(tokens(col), _frac)

@@ -225,3 +225,123 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_by_tokens(d, "text", chunk_size=32, overlap=8).select(
         "doc_id", "lang", "chunk_idx", "chunk_text", "chunk_tokens"
     )
+
+
+@register(
+    "decontaminate_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 8 THEN array_to_string(t[i:i+7], ' ')
+                  ELSE array_to_string(t, ' ') END AS g
+      FROM toks, UNNEST(range(1, GREATEST(len(t) - 7, 1) + 1)) AS u(i)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    dirty AS (
+      SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench)
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+    """,
+    tags=("text", "decontamination"),
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): every 50th doc
+    plays the held-out eval set; the result is the corpus with any doc
+    sharing an 8-token shingle with that set removed — including, by
+    construction, the benchmark docs themselves. Grams are xxhash64'd
+    and the benchmark side broadcast, so the check is a map-side
+    semi-join (the oracle joins raw gram strings — same ids unless a
+    64-bit collision, which would be a finding in itself)."""
+    from covid_data_pipeline_spark.operators.decontam import decontaminate
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(d, bench, text_col="text", id_col="doc_id", ngram=8).select(
+        "doc_id"
+    )
+
+
+@register(
+    "docs_pii_scrub",
+    r"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+                  THEN text || ' contact user' || doc_id ||
+                       '@example.com ssn 123-45-6789'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+             '\d{3}-\d{2}-\d{4}', '[ID]', 'g') AS clean_text
+    FROM planted
+    """,
+    tags=("text", "pii"),
+)
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/text.scrub_pii): emails and SSN-shaped
+    ids planted on every 10th doc, scrubbed with chained global
+    regexp_replace — codegen'd string passes, no UDF. The oracle plants
+    and scrubs identically, so the full cleaned text hash-matches."""
+    from covid_data_pipeline_spark.functions.text import scrub_pii
+
+    d = table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@example.com ssn 123-45-6789"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return planted.select("doc_id", scrub_pii("text").alias("clean_text"))
+
+
+@register(
+    "docs_repetition_signal",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+      FROM toks, UNNEST(range(1, GREATEST(len(t) - 2, 1) + 1)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    rep AS (
+      SELECT doc_id,
+             ROUND(1.0 - COUNT(DISTINCT g) * 1.0 / COUNT(*), 4) AS rep3
+      FROM grams GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(rep.rep3, 0.0) AS rep3
+    FROM documents d LEFT JOIN rep USING (doc_id)
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def docs_repetition_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-3-gram fraction per document
+    (functions/text.repetition_fraction) — boilerplate detector that
+    complements the length/punct/stopword quality score. Entirely
+    array built-ins per row: zero shuffle, stays in whole-stage
+    codegen."""
+    from covid_data_pipeline_spark.functions.text import repetition_fraction
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(repetition_fraction("text", k=3), 4).alias("rep3")
+    )
