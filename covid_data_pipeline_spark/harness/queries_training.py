@@ -86,3 +86,30 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, group_col="lang", order_col="doc_id", size_col="n_tokens", budget=2048
     )
     return packed.select("doc_id", "lang", "n_tokens", "bin_id")
+
+
+@register(
+    "weighted_sample_orders",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS weight
+    FROM orders
+    WHERE o_totalprice > 0
+    ORDER BY ln(((o_orderkey * 2654435761) % 4294967296 + 0.5)
+                / 4294967296.0) / o_totalprice DESC,
+             o_orderkey
+    LIMIT 200
+    """,
+    tags=("training", "sampling", "weighted"),
+)
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample (Efraimidis–Spirakis, operators/sampling.py):
+    200 orders drawn with probability ∝ o_totalprice, reproducible
+    across engines because the uniform source is the portable Knuth
+    hash, not rand(). TakeOrderedAndProject — per-partition top-k,
+    no global sort."""
+    from covid_data_pipeline_spark.operators.sampling import weighted_sample
+
+    o = table(spark, sf_dir, "orders")
+    return weighted_sample(
+        o.select("o_orderkey", "o_totalprice"), "o_orderkey", "o_totalprice", k=200
+    ).select("o_orderkey", F.round("o_totalprice", 2).alias("weight"))

@@ -93,3 +93,33 @@ def pack_greedy_bins(
     )
     cum_before = F.coalesce(F.sum(size).over(w), F.lit(0))
     return df.withColumn(bin_col, F.floor(cum_before / budget))
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    k: int,
+    key_col: str = "_es_key",
+) -> DataFrame:
+    """Deterministic weighted sample without replacement, size ``k``
+    (Efraimidis–Spirakis A-Res): each row gets key ``ln(u)/w`` with
+    ``u`` derived from the id hash, and the global top-k keys win —
+    inclusion probability ∝ weight, membership reproducible on any
+    cluster/partitioning (same hash contract as :func:`hash_split`).
+
+    ``orderBy().limit(k)`` plans as TakeOrderedAndProject: per-partition
+    top-k then a driver merge of k×partitions rows — no global sort
+    shuffle, so this is one scan at any corpus size. Rows with
+    non-positive weight are excluded (they'd have probability 0).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (knuth_hash(id_col) + F.lit(0.5)) / F.lit(HASH_MOD)
+    key = F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn(key_col, key)
+        .orderBy(F.col(key_col).desc(), F.col(id_col))
+        .limit(k)
+        .drop(key_col)
+    )

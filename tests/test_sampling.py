@@ -80,3 +80,26 @@ def test_pack_bins_respect_budget_for_small_docs(spark):
             .collect()
         )
         assert ids == list(range(len(ids)))
+
+
+def test_weighted_sample_is_stable_and_weight_biased(spark):
+    from covid_data_pipeline_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id LONG, w DOUBLE")
+    picked = {r["id"] for r in weighted_sample(df, "id", "w", k=100).collect()}
+    # 50 rows carry 100x the weight of the other 950: they hold ~51% of
+    # total mass, so a 100-row sample must include most of them.
+    assert len(picked & set(range(50))) >= 35
+    # Deterministic under repartitioning.
+    again = {r["id"] for r in weighted_sample(df.repartition(17), "id", "w", k=100).collect()}
+    assert picked == again
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 5.0), (4, 2.0)], "id LONG, w DOUBLE"
+    )
+    from covid_data_pipeline_spark.operators.sampling import weighted_sample
+
+    assert {r["id"] for r in weighted_sample(df, "id", "w", k=10).collect()} == {3, 4}
