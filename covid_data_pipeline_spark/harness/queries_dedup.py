@@ -183,3 +183,45 @@ def dedup_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.select(
         F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
     )
+
+
+@register(
+    "graph_component_sizes",
+    """
+    WITH RECURSIVE
+    e0 AS (
+      SELECT doc_id AS src, (doc_id * 7) % 500 AS dst FROM documents
+    ),
+    sym AS (
+      SELECT src, dst FROM e0 WHERE src <> dst
+      UNION
+      SELECT dst, src FROM e0 WHERE src <> dst
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.node, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+    ),
+    labels AS (
+      SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    )
+    SELECT component, COUNT(*) AS size
+    FROM labels GROUP BY component
+    ORDER BY size DESC, component
+    LIMIT 10
+    """,
+    tags=("graph", "dedup", "audit"),
+)
+def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size head (operators/graph.largest_components) — the
+    dedup-audit view answering 'which boilerplate cluster is eating the
+    corpus'. Agg + TakeOrderedAndProject on top of the star-round
+    labels; deterministic (component, size) ordering."""
+    from covid_data_pipeline_spark.operators.graph import largest_components
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * F.lit(7)) % F.lit(500)).alias("dst"),
+    )
+    return largest_components(connected_components(edges, nodes=d), top_k=10)

@@ -622,3 +622,24 @@ def unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "avg_disc"], "metric", "value"
     )
+
+
+@register(
+    "approx_sketch_stats",
+    None,  # HLL / KLL sketches cannot hash-match a different engine's
+    # implementation; tests/test_olap.py bounds them against the exact
+    # values (rel. error < 5%).
+    tags=("olap", "approx", "sketch"),
+)
+def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB path where exact distinct/quantile
+    shuffles every value: approx_count_distinct (HyperLogLog++, fixed
+    ~KB state per group) and approx_percentile (KLL-ish quantile
+    sketch). Partial sketches merge map-side, so the shuffle carries
+    one sketch per group per task instead of the raw column."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("users_approx"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.percentile_approx("value", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
+    )

@@ -84,3 +84,24 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) <= max(3, 0.05 * row["exact"])
+
+
+def test_approx_sketch_query_within_tolerance(spark, sf_dir):
+    """The registered approx_sketch_stats query (rows-only driver check)
+    must bound both sketches against the exact aggregates."""
+    from covid_data_pipeline_spark.harness.registry import QUERIES
+
+    approx = {
+        r["event_type"]: r
+        for r in QUERIES["approx_sketch_stats"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in QUERIES["distinct_exact_and_percentiles"].fn(spark, sf_dir).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a["users_approx"] - e["users_exact"]) <= max(3, 0.05 * e["users_exact"])
+        assert abs(a["p50_approx"] - e["p50"]) <= 0.05 * max(1.0, abs(e["p50"]))
+        assert abs(a["p95_approx"] - e["p95"]) <= 0.05 * max(1.0, abs(e["p95"]))
