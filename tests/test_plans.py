@@ -132,3 +132,30 @@ def test_sessionize_reuses_one_shuffle_for_both_windows(spark, sf_dir):
     the plan must contain exactly one hashpartitioning exchange."""
     plan = plan_of(QUERIES["events_sessionize_batch"].fn(spark, sf_dir))
     assert plan.count("hashpartitioning(") == 1
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Joining a partitioned fact to a filtered dim on the partition
+    column must inject a dynamicpruning subquery into the scan's
+    PartitionFilters — at warehouse scale this is the difference between
+    scanning 3 date partitions and scanning all of them."""
+    path = str(tmp_path / "fact_dpp")
+    fact = spark.range(10_000).select(
+        "id",
+        (F.col("id") % 20).cast("string").alias("dt"),
+        (F.col("id") * 2).alias("v"),
+    )
+    fact.write.partitionBy("dt").mode("overwrite").parquet(path)
+    dim = spark.createDataFrame(
+        [(str(i), "keep" if i < 3 else "drop") for i in range(20)],
+        "dt STRING, attr STRING",
+    )
+    j = (
+        spark.read.parquet(path)
+        .join(dim.filter(F.col("attr") == "keep"), "dt")
+        .agg(F.sum("v").alias("s"))
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        j.explain()
+    assert "dynamicpruning" in buf.getvalue().lower()
