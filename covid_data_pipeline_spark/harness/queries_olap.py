@@ -643,3 +643,67 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
         F.percentile_approx("value", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
     )
+
+
+@register(
+    "window_lead_first_last",
+    """
+    SELECT user_id, event_id,
+           LEAD(event_id) OVER w AS next_event_id,
+           FIRST_VALUE(event_id) OVER w AS first_event_id,
+           LAST_VALUE(event_id) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_event_id
+    FROM events
+    WHERE user_id % 100 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("olap", "window", "navigation"),
+)
+def window_lead_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation-function family (LEAD / FIRST_VALUE / LAST_VALUE) —
+    completes §2.5 beyond the reference's LAG. LAST_VALUE carries an
+    explicit unbounded frame (the default frame stops at CURRENT ROW on
+    both engines — the classic silent-wrong-answer). ORDER BY carries
+    the unique event_id tiebreaker; all three functions share one
+    window partitioning = one shuffle."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") % 100 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.first("event_id").over(w).alias("first_event_id"),
+        F.last("event_id").over(w_full).alias("last_event_id"),
+    )
+
+
+@register(
+    "collect_events_per_user",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           array_to_string(array_agg(event_id ORDER BY event_id), ',')
+             AS event_ids
+    FROM events
+    WHERE user_id % 5 = 0
+    GROUP BY user_id
+    """,
+    tags=("olap", "collect"),
+)
+def collect_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic list aggregation: collect_list order is
+    partitioning-dependent in Spark (and engine-dependent generally),
+    so the array is sort-canonicalized before serializing — the pattern
+    any reproducible feature-store export needs. Serialized to a
+    comma-joined string so the value hash is comparable across
+    engines."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.concat_ws(",", F.array_sort(F.collect_list("event_id"))).alias(
+            "event_ids"
+        ),
+    )
