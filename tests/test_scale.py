@@ -109,3 +109,61 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP DATABASE IF EXISTS buckets_test CASCADE")
         spark.sql("USE default")
+
+
+def test_morton_key_matches_python_reference(spark):
+    from covid_data_pipeline_spark.operators.scale import morton_key
+
+    def py_morton(x, y, bits=16):
+        k = 0
+        for i in range(bits):
+            k |= ((x >> i) & 1) << (2 * i)
+            k |= ((y >> i) & 1) << (2 * i + 1)
+        return k
+
+    rows = [(x, y) for x in (0, 1, 5, 255, 65535) for y in (0, 3, 100, 65535)]
+    df = spark.createDataFrame(rows, "x LONG, y LONG")
+    got = df.select("x", "y", morton_key("x", "y").alias("z")).collect()
+    for r in got:
+        assert r["z"] == py_morton(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_write_narrows_file_stats_on_both_columns(spark, tmp_path):
+    """Z-ordered files must each cover a narrow range of BOTH columns —
+    the property that lets parquet min/max stats prune a scan filtered
+    on either one. Checked against real footer statistics."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from covid_data_pipeline_spark.operators.scale import write_zordered
+
+    n = 1 << 14
+    side = 1 << 7  # 128x128 grid, row-major ids
+    df = spark.range(n).select(
+        (F.col("id") % side).alias("x"), (F.col("id") / side).cast("long").alias("y")
+    )
+    path = str(tmp_path / "zorder")
+    write_zordered(df, path, "x", "y", num_files=16, bits=8)
+
+    spans_x, spans_y = [], []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins_x, maxs_x, mins_y, maxs_y = [], [], [], []
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            cols = {row.column(c).path_in_schema: row.column(c) for c in range(row.num_columns)}
+            mins_x.append(cols["x"].statistics.min)
+            maxs_x.append(cols["x"].statistics.max)
+            mins_y.append(cols["y"].statistics.min)
+            maxs_y.append(cols["y"].statistics.max)
+        spans_x.append(max(maxs_x) - min(mins_x))
+        spans_y.append(max(maxs_y) - min(mins_y))
+    # 16 files over a 128x128 Z-curve: each file ~a 32x64 tile. A plain
+    # row-major sort would give span_x = 127 in EVERY file. Require both
+    # dims well under the full domain on average.
+    assert sum(spans_x) / len(spans_x) < 80
+    assert sum(spans_y) / len(spans_y) < 80
+    # And a single-column predicate prunes: files whose x-range excludes
+    # x<16 exist (so a scan for x<16 skips them entirely).
+    assert any(s < 40 for s in spans_x)
