@@ -324,12 +324,13 @@ def gapfill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
              COUNT(*) AS events_cnt,
-             ROUND(SUM(value), 2) AS val_sum
+             CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS val_cents
       FROM events GROUP BY 1, 2
     )
     SELECT event_type, day,
            ROUND(AVG(events_cnt) OVER w, 2) AS ma7_cnt,
-           ROUND(AVG(val_sum) OVER w, 2) AS ma7_value
+           ROUND(SUM(val_cents) OVER w / (100.0 * COUNT(val_cents) OVER w), 4)
+             AS ma7_value
     FROM daily
     WINDOW w AS (PARTITION BY event_type ORDER BY day
                  RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
@@ -344,11 +345,18 @@ def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     *present* rows. Spark's rangeBetween needs a numeric ordering key,
     so days become an epoch-day int (datediff) — semantics identical to
     DuckDB's INTERVAL frame. One shuffle: the window reuses the daily
-    rollup's event_type partitioning."""
+    rollup's event_type partitioning.
+
+    Money is averaged as an integer-cent moving SUM divided by the
+    moving COUNT, not AVG of rounded doubles: the average of 2-decimal
+    values lands exactly on a .xx5 rounding boundary routinely (e.g.
+    1141.86/4 = 285.465), where Spark's HALF_UP and a C-style scaled
+    round disagree. Integer cents keep the quotient either exactly on
+    the 4-decimal grid or provably far from a boundary."""
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("events_cnt"),
-        F.round(F.sum("value"), 2).alias("val_sum"),
+        F.round(F.sum("value") * 100, 0).cast("long").alias("val_cents"),
     )
     w = (
         Window.partitionBy("event_type")
@@ -359,5 +367,9 @@ def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         F.round(F.avg("events_cnt").over(w), 2).alias("ma7_cnt"),
-        F.round(F.avg("val_sum").over(w), 2).alias("ma7_value"),
+        F.round(
+            F.sum("val_cents").over(w)
+            / (F.lit(100.0) * F.count("val_cents").over(w)),
+            4,
+        ).alias("ma7_value"),
     )

@@ -113,3 +113,24 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(
         o.select("o_orderkey", "o_totalprice"), "o_orderkey", "o_totalprice", k=200
     ).select("o_orderkey", F.round("o_totalprice", 2).alias("weight"))
+
+
+@register(
+    "curation_pipeline_docs",
+    None,  # the chain includes MinHash/LSH + star rounds (non-SQL);
+    # stage semantics are pytest-asserted with planted docs
+    # (tests/test_curation.py)
+    tags=("training", "curation", "pipeline"),
+)
+def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-curation chain (plans/curation.py): quality gate →
+    exact dedup → LSH near-dup grouping with connected-components
+    canonicalization → benchmark decontamination (every 50th doc plays
+    the eval set) → deterministic split → token-budget packing. Returns
+    (doc_id, split, n_tokens, bin_id) for the surviving corpus."""
+    from covid_data_pipeline_spark.plans.curation import curate_documents
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0).select("text")
+    out = curate_documents(d.select("doc_id", "text"), benchmark=bench)
+    return out.select("doc_id", "split", "n_tokens", "bin_id")
