@@ -707,3 +707,66 @@ def collect_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_ids"
         ),
     )
+
+
+@register(
+    "cross_join_region_nation",
+    """
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+    tags=("olap", "join", "cross"),
+)
+def cross_join_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product of two dimension tables (the schedule
+    grid / calendar-spine use case). Safe only because both sides are
+    dims: Spark plans BroadcastNestedLoopJoin with the smaller side
+    broadcast — never write this against a fact."""
+    r = table(spark, sf_dir, "region").select("r_name")
+    n = table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register(
+    "full_outer_customer_supplier_nations",
+    """
+    WITH c AS (
+      SELECT c_nationkey AS nationkey, COUNT(*) AS customers
+      FROM customer GROUP BY 1
+    ),
+    s AS (
+      SELECT s_nationkey AS nationkey, COUNT(*) AS suppliers
+      FROM supplier GROUP BY 1
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(c.customers, 0) AS customers,
+           COALESCE(s.suppliers, 0) AS suppliers
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+    tags=("olap", "join", "full-outer"),
+)
+def full_outer_customer_supplier_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join over pre-aggregated sides (nations having only
+    customers OR only suppliers survive with zero-filled counts).
+    Aggregating BEFORE joining keeps the outer join on one row per key
+    — the shuffle carries group counts, not raw rows."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("customers"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("suppliers"))
+    )
+    joined = c.withColumnRenamed("nationkey", "c_nk").join(
+        s.withColumnRenamed("nationkey", "s_nk"),
+        F.col("c_nk") == F.col("s_nk"),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"),
+        F.coalesce("customers", F.lit(0)).alias("customers"),
+        F.coalesce("suppliers", F.lit(0)).alias("suppliers"),
+    )
