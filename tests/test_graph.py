@@ -60,3 +60,51 @@ def test_largest_components_head(spark):
     e = _edges(spark, [(i, i + 1) for i in range(4)] + [(10, 11)])
     rows = largest_components(connected_components(e), top_k=1).collect()
     assert [(r["component"], r["size"]) for r in rows] == [(0, 5)]
+
+
+# ---------------------------------------------------------------------------
+# Property-based: agree with a pure-Python union-find on arbitrary graphs
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_node = st.integers(min_value=0, max_value=40)
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(a):
+        parent.setdefault(a, a)
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    groups = {}
+    for n in list(parent):
+        groups.setdefault(find(n), []).append(n)
+    return {n: min(g) for g in groups.values() for n in g}
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=st.lists(st.tuples(_node, _node), min_size=1, max_size=60))
+def test_components_match_union_find(spark, pairs):
+    expected = {
+        n: c for n, c in _union_find(pairs).items()
+    }
+    # Self-loop-only nodes are singletons in union-find but carry no
+    # real edge — the operator drops them unless passed via `nodes=`.
+    real = {n for u, v in pairs if u != v for n in (u, v)}
+    expected = {n: c for n, c in expected.items() if n in real}
+    got = _labels(connected_components(_edges(spark, pairs)))
+    assert got == expected
