@@ -770,3 +770,62 @@ def full_outer_customer_supplier_nations(spark: SparkSession, sf_dir: str) -> Da
         F.coalesce("customers", F.lit(0)).alias("customers"),
         F.coalesce("suppliers", F.lit(0)).alias("suppliers"),
     )
+
+
+@register(
+    "revenue_share_by_nation",
+    """
+    WITH nat AS (
+      SELECT n.n_regionkey AS regionkey, n.n_name AS nation,
+             CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2)
+                  AS DECIMAL(18,2)) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT regionkey, nation,
+           CAST(revenue AS DOUBLE) AS revenue,
+           ROUND(CAST(revenue AS DOUBLE) * 100.0 /
+                 CAST(SUM(revenue) OVER (PARTITION BY regionkey) AS DOUBLE),
+                 4) AS pct_of_region
+    FROM nat
+    """,
+    tags=("olap", "window", "ratio-to-report"),
+)
+def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio-to-report): each nation's share of its
+    region's revenue via an unordered window SUM over the already-
+    aggregated relation — the window input is one row per nation, so
+    the extra shuffle moves ~25 rows regardless of fact size. Revenue
+    is summed in DECIMAL (penny-stable), and the share divides decimal
+    totals cast to double — both engines divide the same two exact
+    values, so the 4dp round cannot straddle a boundary."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("regionkey"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("decimal(18,2)")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("regionkey")
+    return nat.select(
+        "regionkey",
+        "nation",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(
+            F.col("revenue").cast("double")
+            * 100.0
+            / F.sum("revenue").over(w).cast("double"),
+            4,
+        ).alias("pct_of_region"),
+    )

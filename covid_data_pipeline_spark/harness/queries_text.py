@@ -345,3 +345,66 @@ def docs_repetition_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.round(repetition_fraction("text", k=3), 4).alias("rep3")
     )
+
+
+@register(
+    "doc_tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents WHERE doc_id < 50
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id < 50),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 4) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 5
+    """,
+    tags=("text", "tfidf"),
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-5 terms per document by
+    tf·ln(N/df) on a capped corpus slice. Three aggregations — term
+    freq (doc, term), doc freq (term), corpus size — joined back; the
+    1-row corpus count rides a broadcast cross join, never a driver
+    collect, so the same plan runs at corpus scale. Per-group top-5
+    rides WindowGroupLimit (rank pushed into the shuffle); ROW_NUMBER
+    over (tfidf DESC, term) gives a total order, so ties at the k-th
+    score resolve identically on both engines."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tfidf")
+    )
