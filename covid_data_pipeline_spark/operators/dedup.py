@@ -82,17 +82,21 @@ def minhash_signature(
     """Array of ``num_hashes`` minhash values: permutation i is
     xxhash64(shingle_hash, i); min over the shingle-hash set. One
     array<long> per row, computed in one codegen'd projection — long-input
-    hashing only (no per-permutation string concat/allocation)."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    hashed_shingles, lambda h, i=i: F.xxhash64(h, F.lit(i))
-                )
-            )
-            for i in range(num_hashes)
-        ]
-    )
+    hashing only (no per-permutation string concat/allocation).
+
+    The permutation index is bound via a closure function, NOT a
+    two-parameter lambda default (``lambda h, i=i``): ``F.transform``
+    inspects the callable's arity and passes the ARRAY INDEX as the
+    second argument, silently shadowing the default — which collapses
+    all permutations into one (xxhash64(element, position)) and
+    degrades banded LSH recall from 1-(1-J^r)^b to J."""
+
+    def _perm(i: int) -> Column:
+        return F.array_min(
+            F.transform(hashed_shingles, lambda h: F.xxhash64(h, F.lit(i)))
+        )
+
+    return F.array(*[_perm(i) for i in range(num_hashes)])
 
 
 def with_minhash(
