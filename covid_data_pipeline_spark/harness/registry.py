@@ -51,20 +51,115 @@ def register(
     return deco
 
 
+# The external driver verifies a 50-query window in registration order.
+# These names are re-ordered to the front so the window carries maximal
+# oracle signal: every SURVEY §2-mapped query, the TPC-H pack, the OLAP
+# and training packs, and the newly-oracled dedup/similarity queries.
+# Everything not listed keeps its module registration order after these;
+# oracle-less (rows-only) queries always sort last.
+WINDOW_PRIORITY: tuple[str, ...] = (
+    # SURVEY §2 core (P/J/A/W/F rows)
+    "mart_analytics",
+    "agg_rollup",
+    "filter_project",
+    "case_bucket",
+    "map_values_case",
+    "map_values_join",
+    "join_left_composite",
+    "join_fact_dim",
+    "anti_join_customers",
+    "semi_join_suppliers",
+    "distinct_dim",
+    "surrogate_key_dim",
+    "window_lag_alert",
+    "timestamp_parse_multi",
+    "regexp_extract_props",
+    "year_ratio_metrics",
+    "topk_orders",
+    "topk_per_group",
+    "union_by_name",
+    "running_total",
+    # §2 S3 SQL surface + §2.7 set ops
+    "sql_pricing_summary",
+    "set_intersect_nations",
+    "set_except_customers",
+    # §2.9 streaming (batch twins)
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_window",
+    # TPC-H pack
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_revenue_forecast",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_shipping",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    # OLAP extensions
+    "asof_join_clicks_purchases",
+    "range_join_clicks_before_purchase",
+    "moving_avg_7d",
+    "gapfill_daily_events",
+    "rollup_lineitem",
+    "cube_orders",
+    "grouping_sets_orders",
+    "pivot_event_type",
+    # Training-data ops
+    "train_test_hash_split",
+    "stratified_hash_sample",
+    "pack_sequences_greedy",
+    "weighted_sample_orders",
+    # Newly-oracled dedup/similarity (rows-only in round 1)
+    "dedup_ngram_jaccard",
+    "embedding_neardup",
+    "dedup_duplicate_groups",
+)
+
+# Every query module must import cleanly: a blanket try/except here once
+# let an ImportError silently drop whole modules (and shrink the driver's
+# verification surface). The count assertion is the tripwire for any
+# regression that swallows registrations some other way.
+MIN_EXPECTED_QUERIES = 95
+
+
 def _load_all() -> None:
     # Import for side effect: each module registers its QuerySpecs.
-    from covid_data_pipeline_spark.harness import queries_core  # noqa: F401
+    from covid_data_pipeline_spark.harness import (  # noqa: F401
+        queries_core,
+        queries_dedup,
+        queries_events,
+        queries_olap,
+        queries_similarity,
+        queries_text,
+        queries_tpch,
+        queries_training,
+    )
 
-    try:
-        from covid_data_pipeline_spark.harness import queries_text  # noqa: F401
-        from covid_data_pipeline_spark.harness import queries_dedup  # noqa: F401
-        from covid_data_pipeline_spark.harness import queries_similarity  # noqa: F401
-        from covid_data_pipeline_spark.harness import queries_events  # noqa: F401
-        from covid_data_pipeline_spark.harness import queries_olap  # noqa: F401
-        from covid_data_pipeline_spark.harness import queries_tpch  # noqa: F401
-        from covid_data_pipeline_spark.harness import queries_training  # noqa: F401
-    except ImportError:  # modules land incrementally during the build
-        pass
+    assert len(QUERIES) >= MIN_EXPECTED_QUERIES, (
+        f"query registry shrank: {len(QUERIES)} < {MIN_EXPECTED_QUERIES} — "
+        "a module stopped registering"
+    )
+    missing = [n for n in WINDOW_PRIORITY if n not in QUERIES]
+    assert not missing, f"WINDOW_PRIORITY names unknown queries: {missing}"
+    no_oracle_in_window = [
+        n for n in WINDOW_PRIORITY if QUERIES[n].oracle is None
+    ]
+    assert not no_oracle_in_window, (
+        f"driver-window queries must be oracle-backed: {no_oracle_in_window}"
+    )
+
+    def _rank(item: tuple[str, QuerySpec]) -> tuple[int, int]:
+        name, spec = item
+        if name in WINDOW_PRIORITY:
+            return (0, WINDOW_PRIORITY.index(name))
+        # stable: dict preserves module registration order within ties
+        return (1 if spec.oracle is not None else 2, 0)
+
+    ordered = sorted(QUERIES.items(), key=_rank)
+    QUERIES.clear()
+    QUERIES.update(ordered)
 
 
 _load_all()
