@@ -285,23 +285,63 @@ def simhash_candidate_pairs(
     id_col: str = "doc_id",
     sig_col: str = "simhash",
     max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance ≤ max_hamming.
 
-    Pigeonhole banding: split 64 bits into 4 × 16-bit chunks; any pair
-    with d ≤ 3 shares at least one exact chunk → self-join on
-    (chunk_idx, chunk_value), verify exact distance. Same
-    no-all-pairs guarantee as MinHash banding.
+    Pigeonhole banding: split 64 bits into ``bands`` equal chunks; any
+    pair with d ≤ bands−1 shares at least one exact chunk → self-join on
+    (chunk_idx, chunk_value), verify exact distance. Same no-all-pairs
+    guarantee as MinHash banding.
+
+    Operating envelope (the pigeonhole bound is the GUARANTEE, not the
+    expectation — pairs beyond it are still found when their differing
+    bits cluster in few chunks):
+
+    * ``bands=4`` (16-bit chunks): guarantees d ≤ 3. Planted-pair recall
+      on the synthetic corpus at max_hamming=3 is 100% by construction;
+      callers asking for max_hamming > 3 get only opportunistic recall
+      (~70% at d ≤ 7 on the planted corpus — tests/test_dedup.py).
+    * ``bands=8`` (8-bit chunks): guarantees d ≤ 7 at ~2× the banding
+      join volume (8 (chunk, value) rows per doc, coarser 8-bit buckets).
+      Use for looser near-dup sweeps.
+
+    ``max_hamming`` must stay within bands−1 for exact recall; an
+    assertion enforces it so approximate recall is an explicit caller
+    choice (pass ``bands`` accordingly).
+
+    Degenerate corpora (empty/boilerplate texts collapsing to one
+    signature) make a chunk bucket quadratic; ``max_bucket_size`` drops
+    over-cap buckets the same way :func:`lsh_candidate_pairs` does.
+    True near-dups of non-degenerate docs keep their other (selective)
+    chunks; members of a dropped mega-bucket are by definition a
+    boilerplate cluster better handled by exact dedup on the signature
+    (``groupBy(sig_col)``) than by pair enumeration.
     """
+    assert 64 % bands == 0, "bands must divide 64"
+    assert max_hamming <= bands - 1, (
+        f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
+        f"bands-1={bands - 1}; raise bands (8 covers d<=7)"
+    )
+    chunk_bits = 64 // bands
+    mask = (1 << chunk_bits) - 1
     chunks = F.array(
         *[
-            F.shiftrightunsigned(F.col(sig_col), 16 * i).bitwiseAND(F.lit(0xFFFF))
-            for i in range(4)
+            F.shiftrightunsigned(F.col(sig_col), chunk_bits * i).bitwiseAND(F.lit(mask))
+            for i in range(bands)
         ]
     )
     banded = df.select(
         F.col(id_col), F.col(sig_col), F.posexplode(chunks).alias("chunk_idx", "chunk_val")
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("chunk_idx", "chunk_val")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     left, right = banded.alias("l"), banded.alias("r")
     cand = (
         left.join(

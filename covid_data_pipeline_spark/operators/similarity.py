@@ -424,11 +424,29 @@ def embedding_neardup_pairs(
     num_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold), candidates restricted to same LSH bucket. The embedding
-    arm of the dedup suite."""
+    arm of the dedup suite.
+
+    The within-bucket self-join is quadratic in bucket size, and
+    degenerate inputs (zero vectors, a constant embedding repeated by a
+    broken upstream encoder) pile into one bucket. ``max_bucket_size``
+    drops over-cap buckets (window count on the same key the join
+    shuffles on — no extra shuffle); a dropped mega-bucket is by
+    definition a constant-embedding cluster better handled by exact
+    dedup on the vector hash than by pair enumeration."""
+    from pyspark.sql import Window
+
     b = with_lsh_bucket(df, dim, num_planes, vec_col, "bucket")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("bucket")
+        b = (
+            b.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     l = b.select(
         F.col("bucket"),
         F.col(id_col).alias("id_a"),

@@ -186,3 +186,84 @@ def test_media_features_deterministic(spark, sf_dir):
     b = QUERIES["media_features_fake"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert all(r["payload_sha"] is not None and r["n_bytes"] > 0 for r in a)
+
+
+def test_simhash_bucket_cap_bounds_boilerplate(spark):
+    from covid_data_pipeline_spark.operators.dedup import (
+        simhash,
+        simhash_candidate_pairs,
+    )
+
+    # 300 identical boilerplate docs collapse to ONE signature — every
+    # chunk bucket holds all 300 rows, so the uncapped self-join is
+    # quadratic (44,850 pairs). The cap drops those buckets; a genuine
+    # near-dup pair keeps its own selective buckets. The pair is a
+    # 41-token doc with one token swapped (measured hamming 6, inside
+    # the bands=8 d<=7 guarantee).
+    boiler = [(i, "lorem ipsum dolor sit amet consetetur sadipscing") for i in range(300)]
+    body = " ".join(f"tok{i}" for i in range(40))
+    pair = [(1000, body + " today"), (1001, body + " now")]
+    df = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+    sigs = df.select("doc_id", simhash("text").alias("simhash"))
+    capped = simhash_candidate_pairs(
+        sigs, max_hamming=7, bands=8, max_bucket_size=50
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (1000, 1001) in got
+    assert not any(a < 300 and b < 300 for a, b in got)
+    uncapped = simhash_candidate_pairs(
+        sigs, max_hamming=7, bands=8, max_bucket_size=None
+    )
+    assert uncapped.count() >= 300 * 299 // 2
+
+
+def test_simhash_band_guarantee_and_envelope(spark):
+    import pytest
+
+    from covid_data_pipeline_spark.operators.dedup import simhash_candidate_pairs
+
+    # One differing bit per 16-bit chunk (positions 0/16/32/48): with
+    # bands=4 every chunk differs — outside the d<=3 pigeonhole
+    # guarantee, and the assertion refuses the unsound request. With
+    # bands=8 the odd 8-bit chunks are untouched, so d=4 is guaranteed.
+    sig_a = 0
+    sig_b = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)
+    df = spark.createDataFrame(
+        [(1, sig_a), (2, sig_b)], "doc_id long, simhash long"
+    )
+    with pytest.raises(AssertionError, match="pigeonhole"):
+        simhash_candidate_pairs(df, max_hamming=4, bands=4)
+    found = simhash_candidate_pairs(df, max_hamming=4, bands=8).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in found] == [(1, 2, 4)]
+    # bands=8 guarantee extends to d=7 (7 bits, at least one clean chunk).
+    sig_c = sum(1 << (8 * i) for i in range(7))
+    df2 = spark.createDataFrame(
+        [(1, sig_a), (2, sig_c)], "doc_id long, simhash long"
+    )
+    assert simhash_candidate_pairs(df2, max_hamming=7, bands=8).count() == 1
+
+
+def test_embedding_neardup_bucket_cap(spark):
+    from covid_data_pipeline_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    # A broken upstream encoder emitting one constant embedding piles
+    # every row into one LSH bucket; the cap drops that bucket while a
+    # genuine duplicate pair (distinct vector) survives in its own.
+    dim = 8
+    const = [(i, [1.0] * dim) for i in range(300)]
+    dup_vec = [1.0, -2.0, 3.0, -4.0, 5.0, -6.0, 7.0, -8.0]
+    dups = [(1000, dup_vec), (1001, dup_vec)]
+    df = spark.createDataFrame(
+        const + dups, "vec_id long, embedding array<double>"
+    )
+    capped = embedding_neardup_pairs(
+        df, dim=dim, threshold=0.99, max_bucket_size=50
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(1000, 1001)}
+    uncapped = embedding_neardup_pairs(
+        df, dim=dim, threshold=0.99, max_bucket_size=None
+    )
+    assert uncapped.count() >= 300 * 299 // 2
