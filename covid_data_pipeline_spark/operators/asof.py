@@ -33,6 +33,7 @@ def asof_join(
     value_cols: Sequence[str] | None = None,
     tolerance: str | None = None,
     suffix: str = "_right",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Backward as-of join.
 
@@ -47,6 +48,14 @@ def asof_join(
     tolerance: optional max staleness as an INTERVAL string (e.g.
         ``'1 hour'``) — matches older than ``on − tolerance`` become NULL
         (pandas ``merge_asof(tolerance=...)`` semantics).
+    tiebreak: optional right-side column appended to the window ORDER BY
+        so duplicate right rows at the same (by, on) resolve
+        deterministically — the LARGEST tiebreak value wins (analogue of
+        pandas merge_asof taking the last input row). Without it, which
+        duplicate wins can vary across partitionings — per the repo
+        float-policy rule, any window whose result depends on order
+        needs a unique tiebreaker, so pass one whenever the right side
+        can hold same-timestamp duplicates per key.
     """
     by = list(by)
     if value_cols is None:
@@ -66,6 +75,11 @@ def asof_join(
         F.lit(1).alias("__side"),
         *[F.col(c).alias(f"__l_{c}") for c in left_cols if c not in (*by, on)],
         *[F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}") for v in value_cols],
+        *(
+            [F.lit(None).cast(right.schema[tiebreak].dataType).alias("__tb")]
+            if tiebreak is not None
+            else []
+        ),
     )
     r_tagged = right.select(
         *by,
@@ -77,12 +91,21 @@ def asof_join(
             if c not in (*by, on)
         ],
         *[F.col(v).alias(f"__r_{v}") for v in value_cols],
+        *([F.col(tiebreak).alias("__tb")] if tiebreak is not None else []),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
+    # Ascending tiebreak + rows-unbounded-preceding last() → the largest
+    # tiebreak among same-(by, on) right rows is carried. Left rows hold
+    # a NULL tiebreak; their relative order is irrelevant (each left row
+    # only reads carried right values, and __side already sorts every
+    # right row first at equal timestamps).
+    order_by = [F.col(on), F.col("__side")]
+    if tiebreak is not None:
+        order_by.append(F.col("__tb").asc_nulls_last())
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on), F.col("__side"))
+        .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

@@ -25,10 +25,31 @@ KNUTH_MULT = 2654435761  # 2^32 / golden ratio, Knuth TAOCP vol 3 §6.4
 HASH_MOD = 4294967296  # 2^32
 
 
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _require_integral_id(df: DataFrame, id_col: str) -> None:
+    """Boundary validation: the determinism contract needs a non-null
+    integral id. A string id would cast('bigint')-throw mid-job under
+    Spark 4 ANSI; catching it here fails fast with a usable message."""
+    dt = df.schema[id_col].dataType.simpleString()
+    if dt not in _INTEGRAL_TYPES:
+        raise TypeError(
+            f"{id_col!r} must be an integral column for deterministic "
+            f"hashing, got {dt} — cast or surrogate-key it first "
+            "(e.g. xxhash64 of the natural key)"
+        )
+
+
 def knuth_hash(id_col: Column | str) -> Column:
-    """Multiplicative hash of an integer id into [0, 2^32)."""
+    """Multiplicative hash of an integer id into [0, 2^32).
+
+    ``pmod``, not ``%``: Spark's ``%`` keeps the dividend's sign, so a
+    negative id would hash negative and fall through every split
+    predicate. NULL ids hash to NULL (callers surface that as a NULL
+    split/filter-out rather than a silent default bucket)."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return (c.cast("bigint") * F.lit(KNUTH_MULT)) % F.lit(HASH_MOD)
+    return F.pmod(c.cast("bigint") * F.lit(KNUTH_MULT), F.lit(HASH_MOD))
 
 
 def hash_split(
@@ -44,13 +65,17 @@ def hash_split(
     requested percentages; membership is stable under re-runs,
     repartitioning, and incremental appends (new rows never move old
     rows between splits — the property `randomSplit` lacks).
+
+    NULL ids get a NULL split (explicit, auditable) instead of being
+    silently routed to a default bucket.
     """
+    _require_integral_id(df, id_col)
     pct = knuth_hash(id_col) % 100
     return df.withColumn(
         split_col,
         F.when(pct < train_pct, "train")
         .when(pct < train_pct + valid_pct, "valid")
-        .otherwise("test"),
+        .when(pct.isNotNull(), "test"),
     )
 
 
@@ -62,8 +87,10 @@ def stratified_hash_sample(
     Stratification is implicit: the hash is independent of every other
     column, so the kept fraction holds within any stratum (language,
     source, ...) without a per-stratum pass. Pure filter — pushes to the
-    scan, no shuffle, no state.
+    scan, no shuffle, no state. NULL ids are filtered out (NULL
+    comparison is never true).
     """
+    _require_integral_id(df, id_col)
     return df.filter(knuth_hash(id_col) % one_in == 0)
 
 

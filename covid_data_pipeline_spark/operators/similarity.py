@@ -276,6 +276,9 @@ def train_centroids(
         return [x / n for x in v]
 
     centroids = [_unit(list(r["v"])) for r in rows]
+    # A corpus smaller than n_centroids seeds fewer centroids; iterate
+    # over what was actually seeded so the unassigned-cell fallback
+    # (centroids[c]) can never index past the list.
     for _ in range(iters):
         assigned = with_ivf_cell(df, centroids, vec_col, "cid")
         means = (
@@ -289,7 +292,7 @@ def train_centroids(
             by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
         centroids = [
             _unit([by_cid[c][p] for p in sorted(by_cid[c])]) if c in by_cid else centroids[c]
-            for c in range(n_centroids)
+            for c in range(len(centroids))
         ]
     return centroids
 

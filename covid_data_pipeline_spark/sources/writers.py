@@ -140,7 +140,27 @@ class Warehouse:
         whole files for few partitions (no tiny per-task-per-partition
         shards). Reads fully before the overwrite (parquet has no
         snapshot isolation — at warehouse scale use Iceberg's
-        rewrite_data_files, which this mirrors)."""
+        rewrite_data_files, which this mirrors).
+
+        Crash-safe swap protocol: the data always exists under either
+        the table path or the ``__old`` backup. On entry, recover from a
+        prior crash — restore the backup if the swap died between
+        renames (table path missing), otherwise discard leftovers — so a
+        crashed compaction never loses data or wedges the next one."""
+        final = self.path(table)
+        staging = final + "__compact"
+        backup = final + "__old"
+        if os.path.exists(backup):
+            if not os.path.exists(final):
+                # Crash window between the two renames: the backup IS
+                # the table. Restore it.
+                os.rename(backup, final)
+            else:
+                # Crash after the swap but before backup cleanup.
+                shutil.rmtree(backup)
+        if os.path.exists(staging):
+            # Half-written staging from a crashed compaction run.
+            shutil.rmtree(staging)
         df = self.read(table)
         total_rows = df.count()
         if total_rows == 0:
@@ -162,15 +182,12 @@ class Warehouse:
             compacted = compacted.repartition(int(n_files))
         # Write to a staging dir then swap — self-overwrite of a parquet
         # dir being read is undefined.
-        staging = self.path(table) + "__compact"
         writer = compacted.write.format("parquet").option(
             "maxRecordsPerFile", str(rows_per_file)
         )
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.mode("overwrite").save(staging)
-        final = self.path(table)
-        backup = final + "__old"
         os.rename(final, backup)
         os.rename(staging, final)
         shutil.rmtree(backup)

@@ -49,3 +49,36 @@ def test_asof_matches_pandas_merge_asof(spark, left, right):
             for r in merged.itertuples()
         }
     assert got == want
+
+
+def test_asof_tiebreak_resolves_duplicate_right_timestamps(spark):
+    # Two right rows at the same (key, t): with a tiebreak column the
+    # LARGEST tiebreak wins, under any input partitioning.
+    ldf = spark.createDataFrame([("a", 10), ("a", 5)], "k string, t long")
+    rdf = spark.createDataFrame(
+        [("a", 5, 100, 1), ("a", 5, 200, 2), ("a", 5, 150, 3)],
+        "k string, t long, v long, seq long",
+    )
+    for parts in (1, 7):
+        out = {
+            r["t"]: r["v"]
+            for r in asof_join(
+                ldf, rdf.repartition(parts), on="t", by=["k"],
+                value_cols=["v"], tiebreak="seq",
+            ).collect()
+        }
+        # seq=3 is the last input row -> v=150 carried to both left rows.
+        assert out == {5: 150, 10: 150}
+
+
+def test_asof_tiebreak_outside_value_cols(spark):
+    # The tiebreak column need not be attached to the output.
+    ldf = spark.createDataFrame([("a", 10)], "k string, t long")
+    rdf = spark.createDataFrame(
+        [("a", 10, 1, 9), ("a", 10, 2, 11)], "k string, t long, v long, seq long"
+    )
+    out = asof_join(
+        ldf, rdf, on="t", by=["k"], value_cols=["v"], tiebreak="seq"
+    ).collect()
+    assert [r["v"] for r in out] == [2]
+    assert "seq" not in out[0].asDict() and "__tb" not in out[0].asDict()

@@ -267,3 +267,17 @@ def test_embedding_neardup_bucket_cap(spark):
         df, dim=dim, threshold=0.99, max_bucket_size=None
     )
     assert uncapped.count() >= 300 * 299 // 2
+
+
+def test_train_centroids_corpus_smaller_than_k(spark):
+    from covid_data_pipeline_spark.operators.similarity import train_centroids
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # 3-row corpus, 16 requested centroids: must not IndexError; returns
+    # one centroid per available row.
+    cents = train_centroids(df, n_centroids=16, iters=2)
+    assert len(cents) == 3
+    assert all(len(c) == 2 for c in cents)

@@ -103,3 +103,35 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     from covid_data_pipeline_spark.operators.sampling import weighted_sample
 
     assert {r["id"] for r in weighted_sample(df, "id", "w", k=10).collect()} == {3, 4}
+
+
+def test_hash_split_negative_and_null_ids(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(-5,), (-4,), (-3,), (-2,), (-1,), (1,), (None,)], "doc_id long"
+    )
+    out = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    # pmod keeps negative ids inside the named splits (plain % would
+    # hash them negative and fall through every predicate to 'test').
+    assert all(
+        out[i] in ("train", "valid", "test") for i in (-5, -4, -3, -2, -1, 1)
+    )
+    # NULL ids surface as NULL split, never a silent default bucket.
+    assert out[None] is None
+    # Non-integral id columns fail fast at the operator boundary
+    # (string would cast-throw mid-job under ANSI instead).
+    sdf = spark.createDataFrame([("a",)], "doc_id string")
+    with pytest.raises(TypeError, match="integral"):
+        hash_split(sdf, "doc_id")
+    with pytest.raises(TypeError, match="integral"):
+        stratified_hash_sample(sdf, "doc_id")
+
+
+def test_stratified_sample_drops_null_ids(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(100)] + [(None,)], "doc_id long"
+    )
+    kept = stratified_hash_sample(df, "doc_id", one_in=2).collect()
+    assert all(r["doc_id"] is not None for r in kept)
+    assert 30 <= len(kept) <= 70

@@ -167,3 +167,32 @@ def test_zorder_write_narrows_file_stats_on_both_columns(spark, tmp_path):
     # And a single-column predicate prunes: files whose x-range excludes
     # x<16 exist (so a scan for x<16 skips them entirely).
     assert any(s < 40 for s in spans_x)
+
+
+def test_compact_recovers_from_crashed_swap(spark, sf_dir, tmp_path):
+    import os
+    import shutil
+
+    from covid_data_pipeline_spark.sources.writers import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    o = table(spark, sf_dir, "orders").limit(100)
+    wh.append(o, "raw.orders")
+    before = sorted(map(tuple, wh.read("raw.orders").collect()))
+    final = wh.path("raw.orders")
+
+    # Crash between the two renames: table path missing, data only in
+    # __old. The next compact must restore and proceed.
+    os.rename(final, final + "__old")
+    wh.compact("raw.orders")
+    assert sorted(map(tuple, wh.read("raw.orders").collect())) == before
+    assert not os.path.exists(final + "__old")
+
+    # Leftover staging + backup from a crash after the swap: both are
+    # stale and must be discarded, not wedge the rename.
+    shutil.copytree(final, final + "__compact")
+    shutil.copytree(final, final + "__old")
+    wh.compact("raw.orders")
+    assert sorted(map(tuple, wh.read("raw.orders").collect())) == before
+    assert not os.path.exists(final + "__compact")
+    assert not os.path.exists(final + "__old")
