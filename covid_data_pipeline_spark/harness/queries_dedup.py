@@ -193,6 +193,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM reach GROUP BY node
     """,
     tags=("graph", "dedup", "components"),
+    bench=True,
 )
 def graph_components_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components on a deterministic multi-hop graph: edges
@@ -228,6 +229,7 @@ def graph_components_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT node AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY node
     """,
     tags=("graph", "dedup", "minhash"),
+    bench=True,
 )
 def dedup_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dedup chain: MinHash/LSH candidate pairs → exact-Jaccard

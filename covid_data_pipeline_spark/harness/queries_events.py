@@ -336,6 +336,7 @@ def gapfill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                  RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
     """,
     tags=("events", "timeseries", "window", "range-frame"),
+    bench=True,
 )
 def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day moving average with a true RANGE (time-interval)

@@ -151,6 +151,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY CAST(ts AS DATE)
     """,
     tags=("olap", "pivot"),
+    bench=True,
 )
 def pivot_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")

@@ -121,12 +121,40 @@ def similarity_topk_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame
     bench=True,
 )
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold path: distributed k-means quantizer training + probe-limited
+    query in one run — what a first index build costs. The amortized
+    path is ``similarity_topk_ivf_pretrained``."""
     e = table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # An IVF index is trained once per corpus, then serves every query —
-    # memoize the quantizer like a real index build would persist it.
+    return cosine_topk_ivf(
+        e, queries, k=TOP_K, n_centroids=16, nprobe=4,
+        id_col="vec_id", vec_col="embedding", query_id_col="query_id",
+    )
+
+
+_IVF_CENTROIDS: dict[str, list[list[float]]] = {}
+
+
+@register(
+    "similarity_topk_ivf_pretrained",
+    None,  # probe-limited — approximate; recall asserted in pytest
+    tags=("similarity", "ann-ivf", "pretrained"),
+    bench=True,
+)
+def similarity_topk_ivf_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amortized path: an IVF index is trained once per corpus, then
+    serves every query — the quantizer is memoized per sf_dir exactly
+    like a warehouse persists the index build (at scale: store the cell
+    id as a partition column and the probe join becomes partition
+    pruning). Benchmarked separately from ``similarity_topk_ivf`` so
+    the headline numbers split one-time build cost from steady-state
+    query cost."""
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
     if sf_dir not in _IVF_CENTROIDS:
         _IVF_CENTROIDS[sf_dir] = train_centroids(e, n_centroids=16, iters=2)
     return cosine_topk_ivf(
@@ -134,9 +162,6 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=_IVF_CENTROIDS[sf_dir],
         id_col="vec_id", vec_col="embedding", query_id_col="query_id",
     )
-
-
-_IVF_CENTROIDS: dict[str, list[list[float]]] = {}
 
 
 @register(

@@ -248,6 +248,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
     """,
     tags=("text", "decontamination"),
+    bench=True,
 )
 def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.py): every 50th doc

@@ -333,6 +333,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(o.o_totalprice, 2)
     """,
     tags=("tpch", "q18"),
+    bench=True,
 )
 def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 shape: HAVING-filtered aggregate used as a semi-filter, then a

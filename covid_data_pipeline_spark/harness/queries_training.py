@@ -121,6 +121,7 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage semantics are pytest-asserted with planted docs
     # (tests/test_curation.py)
     tags=("training", "curation", "pipeline"),
+    bench=True,
 )
 def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-curation chain (plans/curation.py): quality gate →

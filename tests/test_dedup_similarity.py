@@ -281,3 +281,23 @@ def test_train_centroids_corpus_smaller_than_k(spark):
     cents = train_centroids(df, n_centroids=16, iters=2)
     assert len(cents) == 3
     assert all(len(c) == 2 for c in cents)
+
+
+def test_ivf_pretrained_query_matches_recall_floor(spark, sf_dir):
+    from covid_data_pipeline_spark.harness.registry import QUERIES
+
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in QUERIES["similarity_topk_bruteforce"].fn(spark, sf_dir).collect()
+    }
+    pre = QUERIES["similarity_topk_ivf_pretrained"].fn(spark, sf_dir)
+    rows = pre.collect()
+    assert len(rows) == 25
+    ap = {(r["query_id"], r["vec_id"]) for r in rows}
+    assert len(exact & ap) >= 0.4 * len(exact)
+    # Second invocation reuses the memoized quantizer — identical result.
+    again = {
+        (r["query_id"], r["vec_id"])
+        for r in QUERIES["similarity_topk_ivf_pretrained"].fn(spark, sf_dir).collect()
+    }
+    assert again == ap
