@@ -7,4 +7,9 @@ from covid_data_pipeline_spark.sources.readers import (  # noqa: F401
     read_orc,
     read_parquet_dir,
 )
-from covid_data_pipeline_spark.sources.writers import Warehouse, write_jdbc  # noqa: F401
+from covid_data_pipeline_spark.sources.writers import (  # noqa: F401
+    IcebergWarehouse,
+    Warehouse,
+    iceberg_available,
+    write_jdbc,
+)
