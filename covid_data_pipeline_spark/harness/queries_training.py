@@ -115,11 +115,109 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", F.round("o_totalprice", 2).alias("weight"))
 
 
+_STOPS = ", ".join(
+    f"'{w}'"
+    for w in ("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+)
+_BPE = r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')"
+
+# Stage-by-stage DuckDB twin of plans/curation.curate_documents — each
+# fragment is the already-proven oracle pattern of its stage query
+# (doc_quality, dedup_exact, dedup_duplicate_groups, decontaminate_docs,
+# train_test_hash_split, pack_sequences_greedy), composed.
+_CURATION_ORACLE = rf"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+         len({_BPE}) AS bpe_cnt
+  FROM documents
+),
+gated AS (  -- stage 1: quality gate (length band + punct + stopwords)
+  SELECT doc_id, text, t, bpe_cnt FROM toks
+  WHERE (length(text) BETWEEN 50 AND 20000)::INT * 0.4
+      + COALESCE(CASE WHEN length(text) > 0
+                 THEN len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+                      / length(text) END < 0.2, FALSE)::INT * 0.3
+      + COALESCE(CASE WHEN len(t) > 0
+                 THEN len(list_filter(t, x -> x IN ({_STOPS})))::DOUBLE
+                      / len(t) END > 0.01, FALSE)::INT * 0.3 >= 0.3
+    AND bpe_cnt >= 5
+),
+keyed AS (  -- stage 2: exact dedup, min-id representative
+  SELECT *, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM gated
+),
+reps AS (SELECT fp, MIN(doc_id) AS rep FROM keyed GROUP BY fp),
+exact AS (
+  SELECT k.doc_id, k.text, k.t, k.bpe_cnt
+  FROM keyed k JOIN reps r ON k.doc_id = r.rep AND k.fp = r.fp
+),
+sh AS (  -- stage 3: exact-Jaccard >= 0.9 pairs -> closure -> keep min
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+      THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                        i -> array_to_string(t[i:i+2], ' ')))
+      ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM exact
+),
+g3 AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g3 a JOIN g3 b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+jac AS (
+  SELECT id_a, id_b FROM cand
+  JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+  WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+        len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.9
+),
+sym AS (SELECT id_a AS src, id_b AS dst FROM jac
+        UNION SELECT id_b, id_a FROM jac),
+reach(node, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT reach.node, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+),
+labels AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+kept AS (
+  SELECT e.* FROM exact e
+  WHERE e.doc_id NOT IN (SELECT node FROM labels WHERE node <> component)
+),
+bgrams AS (  -- stage 4: 8-gram decontamination vs every-50th-doc bench
+  SELECT DISTINCT CASE WHEN len(t) >= 8 THEN array_to_string(t[i:i+7], ' ')
+                       ELSE array_to_string(t, ' ') END AS g
+  FROM toks, UNNEST(range(1, GREATEST(len(t) - 7, 1) + 1)) AS u(i)
+  WHERE doc_id % 50 = 0
+),
+kgrams AS (
+  SELECT doc_id, CASE WHEN len(t) >= 8 THEN array_to_string(t[i:i+7], ' ')
+                      ELSE array_to_string(t, ' ') END AS g
+  FROM kept, UNNEST(range(1, GREATEST(len(t) - 7, 1) + 1)) AS u(i)
+),
+clean AS (
+  SELECT * FROM kept WHERE doc_id NOT IN (
+    SELECT DISTINCT doc_id FROM kgrams WHERE g IN (SELECT g FROM bgrams))
+),
+split AS (  -- stage 5: deterministic 80/10/10 split
+  SELECT doc_id, bpe_cnt AS n_tokens,
+         CASE WHEN {_KHASH} % 100 < 80 THEN 'train'
+              WHEN {_KHASH} % 100 < 90 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM clean
+)
+SELECT doc_id, split, n_tokens,  -- stage 6: token-budget packing
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY split ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / 2048.0) AS BIGINT) AS bin_id
+FROM split
+"""
+
+
 @register(
     "curation_pipeline_docs",
-    None,  # the chain includes MinHash/LSH + star rounds (non-SQL);
-    # stage semantics are pytest-asserted with planted docs
-    # (tests/test_curation.py)
+    _CURATION_ORACLE,
     tags=("training", "curation", "pipeline"),
     bench=True,
 )
@@ -128,10 +226,26 @@ def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dedup → LSH near-dup grouping with connected-components
     canonicalization → benchmark decontamination (every 50th doc plays
     the eval set) → deterministic split → token-budget packing. Returns
-    (doc_id, split, n_tokens, bin_id) for the surviving corpus."""
-    from covid_data_pipeline_spark.plans.curation import curate_documents
+    (doc_id, split, n_tokens, bin_id) for the surviving corpus.
+
+    Oracle-verified END-TO-END: the DuckDB twin composes the proven
+    per-stage oracle patterns, with the near-dup stage as exact-Jaccard
+    pairs + recursive-CTE closure. Equality holds because the chain
+    dedups at threshold 0.9 with 16 hashes in 8 bands of 2 rows —
+    per-pair LSH candidate probability ≥ 1-(1-0.81)⁸ ≈ 1-1.7e-6 at the
+    minimum qualifying Jaccard, and the exact verify discards every
+    sub-threshold candidate, so both engines derive the same edge set
+    (same argument as `dedup_duplicate_groups`)."""
+    from covid_data_pipeline_spark.plans.curation import (
+        CurationConfig,
+        curate_documents,
+    )
 
     d = table(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 50 == 0).select("text")
-    out = curate_documents(d.select("doc_id", "text"), benchmark=bench)
+    out = curate_documents(
+        d.select("doc_id", "text"),
+        benchmark=bench,
+        cfg=CurationConfig(num_hashes=16, bands=8, jaccard_threshold=0.9),
+    )
     return out.select("doc_id", "split", "n_tokens", "bin_id")

@@ -103,14 +103,16 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "moving_avg_7d",
     "gapfill_daily_events",
     "rollup_lineitem",
-    "cube_orders",
     "grouping_sets_orders",
     "pivot_event_type",
-    # Training-data ops
+    # Training-data ops (incl. the end-to-end oracle-verified curation
+    # chain — cube_orders yields its slot; rollup + grouping_sets cover
+    # that family in-window and cube stays oracle-checked locally)
     "train_test_hash_split",
     "stratified_hash_sample",
     "pack_sequences_greedy",
     "weighted_sample_orders",
+    "curation_pipeline_docs",
     # Newly-oracled dedup/similarity (rows-only in round 1)
     "dedup_ngram_jaccard",
     "embedding_neardup",
