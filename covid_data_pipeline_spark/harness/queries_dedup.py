@@ -299,3 +299,53 @@ def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") * F.lit(7)) % F.lit(500)).alias("dst"),
     )
     return largest_components(connected_components(edges, nodes=d), top_k=10)
+
+
+@register(
+    "dedup_passages_global",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               CAST(FLOOR((len(t) - 1) / 10.0) AS INT))) AS passage_idx,
+             t
+      FROM toks
+    ),
+    hashed AS (
+      SELECT doc_id, passage_idx,
+             array_to_string(t[passage_idx * 10 + 1 : passage_idx * 10 + 10], ' ')
+               AS passage
+      FROM spans
+    ),
+    ranked AS (
+      SELECT doc_id, passage_idx, passage,
+             row_number() OVER (PARTITION BY md5(passage)
+                                ORDER BY doc_id, passage_idx) AS rn
+      FROM hashed
+    )
+    SELECT doc_id,
+           COUNT(CASE WHEN rn = 1 THEN 1 END) AS kept_passages,
+           COUNT(*) AS total_passages,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN passage END, ' '
+                               ORDER BY passage_idx), '') AS clean_text
+    FROM ranked
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "passages", "training"),
+    bench=True,
+)
+def dedup_passages_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact passage dedup (keep first occurrence), with the
+    cleaned text reassembled per document — the passage-level variant of
+    Lee et al. 2021's exact substring dedup. The oracle states the same
+    semantics with a windowed row_number; the Spark side uses a
+    min-struct aggregation instead so hot passages stay in map-side
+    combine (see operators/dedup.py:passage_dedup)."""
+    from covid_data_pipeline_spark.operators.dedup import passage_dedup
+
+    d = table(spark, sf_dir, "documents")
+    return passage_dedup(d, id_col="doc_id", text_col="text", passage_words=10)

@@ -409,3 +409,50 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "term", "tfidf")
     )
+
+
+@register(
+    "doc_token_percentiles",
+    r"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(ROUND(quantile_cont(tc, 0.25), 2) AS DOUBLE) AS p25,
+           CAST(ROUND(quantile_cont(tc, 0.50), 2) AS DOUBLE) AS p50,
+           CAST(ROUND(quantile_cont(tc, 0.75), 2) AS DOUBLE) AS p75,
+           CAST(ROUND(quantile_cont(tc, 0.90), 2) AS DOUBLE) AS p90
+    FROM (
+      SELECT lang,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) AS tc
+      FROM documents
+    ) t
+    GROUP BY lang
+    """,
+    tags=("text", "stats", "training"),
+)
+def doc_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count distribution percentiles per language — the length
+    profile a curation run reads before picking chunking/packing sizes.
+    Uses Spark's EXACT `percentile` (linear interpolation, identical to
+    quantile_cont): its internal buffer is a counts-map keyed by distinct
+    value, and token counts have bounded cardinality, so it stays small
+    even at 100 TB. For unbounded-cardinality metrics swap in
+    approx_percentile. Interpolated values of integer data land on .00/
+    .25/.50/.75, so ROUND(2) never hits a cross-engine tie."""
+    from covid_data_pipeline_spark.functions.text import token_count
+
+    d = table(spark, sf_dir, "documents").withColumn(
+        "tc", token_count("text").cast("double")
+    )
+    pct = F.expr("percentile(tc, array(0.25D, 0.50D, 0.75D, 0.90D))")
+    return (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), pct.alias("_p"))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("_p")[0], 2).cast("double").alias("p25"),
+            F.round(F.col("_p")[1], 2).cast("double").alias("p50"),
+            F.round(F.col("_p")[2], 2).cast("double").alias("p75"),
+            F.round(F.col("_p")[3], 2).cast("double").alias("p90"),
+        )
+    )

@@ -395,3 +395,83 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     return jaccard_verify(pairs, sh, id_col, threshold, shingle_col="shingles")
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_words: int = 10,
+) -> DataFrame:
+    """Corpus-wide exact passage deduplication, keep-first.
+
+    Splits each document into consecutive ``passage_words``-word spans,
+    drops every span whose exact text already appeared earlier in the
+    corpus (ordered by ``(id, passage_idx)``), and reassembles the
+    surviving spans in order — the passage-level variant of exact
+    substring dedup from "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al., 2021), expressed as pure DataFrame
+    algebra.
+
+    Returns one row per document: ``kept_passages``, ``total_passages``
+    and the reconstructed ``clean_text`` (empty string when every span
+    was a duplicate).
+
+    Scale: the first-occurrence lookup is a ``min(struct(id, idx))``
+    aggregation on the passage hash — NOT a windowed ``row_number``.
+    Aggregation gets map-side partial combine, so a boilerplate passage
+    repeated a billion times collapses to one candidate per task before
+    the shuffle; a window would funnel the whole hot hash through a
+    single sorted reducer. Two shuffles total (hash, then id), both on
+    pre-combined rows.
+    """
+    from covid_data_pipeline_spark.functions.text import tokens
+
+    toks = tokens(text_col)
+    n_spans = (F.floor((F.size(toks) - 1) / passage_words) + 1).cast("int")
+    spans = (
+        df.select(id_col, F.col(text_col))
+        .withColumn("_toks", toks)
+        .withColumn("passage_idx", F.explode(F.sequence(F.lit(0), n_spans - 1)))
+        .withColumn(
+            "passage",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_toks"),
+                    F.col("passage_idx") * passage_words + 1,
+                    passage_words,
+                ),
+            ),
+        )
+        .select(id_col, "passage_idx", "passage", F.md5("passage").alias("_h"))
+    )
+    first = spans.groupBy("_h").agg(
+        F.min(F.struct(id_col, "passage_idx")).alias("_first")
+    )
+    kept_flag = (F.col(id_col) == F.col(f"_first.{id_col}")) & (
+        F.col("passage_idx") == F.col("_first.passage_idx")
+    )
+    return (
+        spans.join(first, "_h")
+        .withColumn("_is_first", kept_flag)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.when(F.col("_is_first"), 1)).alias("kept_passages"),
+            F.count(F.lit(1)).alias("total_passages"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_is_first"),
+                                F.struct("passage_idx", "passage"),
+                            )
+                        )
+                    ),
+                    lambda x: x["passage"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )

@@ -49,11 +49,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .agg(F.min("dst").alias("_mn"))
         .select("src", F.least("_mn", F.col("src")).alias("m"))
     )
+    # No trailing distinct: _small_star's oriented.distinct() dedups the
+    # same key space one step later, so a distinct here is a pure extra
+    # shuffle per round (the only thing it could save is shuffle volume
+    # on multi-edges, which the following distinct pays for anyway).
     return (
         sym.join(mins, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 
@@ -102,15 +105,35 @@ def connected_components(
         F.col(src) != F.col(dst)
     )
     e = e.localCheckpoint(eager=True)
+
+    # One-job convergence probe: (row count, order-independent hash sum).
+    # A star round is a no-op iff the edge multiset is unchanged; equal
+    # signatures make that overwhelmingly likely, and the single
+    # exceptAll below CONFIRMS it exactly — so the exact (2-shuffle)
+    # equality test runs once at convergence instead of every round that
+    # happens to keep the count stable. Cuts per-round driver actions
+    # from 3 to 2; on job-overhead-bound graphs (small iterative steps)
+    # that is the dominant cost.
+    def _sig(df: DataFrame) -> tuple:
+        # Decimal accumulator: a long sum of xxhash64 overflows under
+        # ANSI mode; decimal(38,0) absorbs any realistic edge count.
+        r = df.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return (r["c"], r["h"])
+
+    sig = _sig(e)
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # Converged iff the star round was a no-op. Both sets are
-        # distinct() already, so count-equality plus one-sided except
-        # is a full equality test.
-        if e2.count() == e.count() and e2.exceptAll(e).isEmpty():
-            e = e2
+        sig2 = _sig(e2)
+        converged = sig2 == sig and e2.exceptAll(e).isEmpty()
+        e, sig = e2, sig2
+        if converged:
             break
-        e = e2
     # At convergence e is a star forest: src → component root (= min).
     members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))

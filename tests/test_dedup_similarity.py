@@ -301,3 +301,39 @@ def test_ivf_pretrained_query_matches_recall_floor(spark, sf_dir):
         for r in QUERIES["similarity_topk_ivf_pretrained"].fn(spark, sf_dir).collect()
     }
     assert again == ap
+
+
+def test_passage_dedup_planted(spark):
+    from covid_data_pipeline_spark.operators.dedup import passage_dedup
+
+    # Doc 1: spans A B. Doc 2 repeats span A then adds C. Doc 3 is all
+    # repeats. 4-word passages; keep-first is (doc_id, passage_idx) order.
+    a = "alpha beta gamma delta"
+    b = "epsilon zeta eta theta"
+    c = "iota kappa lambda mu"
+    df = spark.createDataFrame(
+        [(1, f"{a} {b}"), (2, f"{a} {c}"), (3, f"{b} {a}")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in passage_dedup(df, passage_words=4).collect()
+    }
+    assert rows[1]["kept_passages"] == 2 and rows[1]["clean_text"] == f"{a} {b}"
+    assert rows[2]["kept_passages"] == 1 and rows[2]["clean_text"] == c
+    assert rows[3]["kept_passages"] == 0 and rows[3]["clean_text"] == ""
+    assert all(r["total_passages"] == 2 for r in rows.values())
+
+
+def test_passage_dedup_idempotent(spark, sf_dir):
+    from covid_data_pipeline_spark.operators.dedup import passage_dedup
+
+    d = table(spark, sf_dir, "documents").limit(50)
+    once = passage_dedup(d)
+    again = passage_dedup(
+        once.select("doc_id", F.col("clean_text").alias("text"))
+    )
+    # A deduped corpus has no remaining cross-doc duplicate passages of
+    # full width; allow boundary re-slicing to differ only on short tails.
+    dropped = again.filter(F.col("kept_passages") < F.col("total_passages"))
+    assert dropped.count() == 0
