@@ -178,6 +178,99 @@ def scrub_pii(col: Column | str) -> Column:
     return c
 
 
+# Gopher's required-stopword list (Rae et al. 2021, appendix A1.1): a
+# document must contain at least 2 of these to pass the rule set.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_flags(
+    col: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """Gopher-style hard quality rules (Rae et al. 2021 §A1.1) as a
+    struct of per-rule booleans plus the conjunction ``gopher_pass``.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [3, 10]; symbol-to-word ratio (``#``/``...``) ≤ 0.1; < 90% of lines
+    bullet-started; < 30% of lines ellipsis-ended; ≥ 80% of words
+    contain a letter; ≥ 2 of the required stopwords present.
+
+    Everything is array/string built-ins over two let-bound splits (one
+    token pass, one line pass) — a pure codegen'd projection, no
+    shuffle, linear in input bytes. Thresholds are keyword-tunable; the
+    defaults are the published Gopher values.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    symbols = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\."), F.lit(0)))
+
+    # Nested lets: the token split and line split each evaluate exactly
+    # once per row, with every rule flag built inside the inner body (a
+    # bare reference to a let result would re-inline its whole tree).
+    def _with_tokens(toks: Column) -> Column:
+        n = F.size(toks)
+        mean_len = (
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            ).cast("double")
+            / n
+        )
+        alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        stop_hits = F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+                lambda s: F.array_contains(toks, s),
+            )
+        )
+        word_count_ok = (n >= min_words) & (n <= max_words)
+        mean_word_len_ok = (mean_len >= min_mean_word_len) & (
+            mean_len <= max_mean_word_len
+        )
+        symbol_ratio_ok = symbols.cast("double") / n <= max_symbol_ratio
+        alpha_word_ok = alpha.cast("double") / n >= min_alpha_word_frac
+        stopword_ok = stop_hits >= min_stopword_hits
+
+        def _with_lines(lines: Column) -> Column:
+            n_lines = F.size(lines)
+            bullets = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+            ellipsis = F.size(
+                F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$"))
+            )
+            bullet_ok = bullets.cast("double") / n_lines < max_bullet_line_frac
+            ellipsis_ok = (
+                ellipsis.cast("double") / n_lines < max_ellipsis_line_frac
+            )
+            return F.struct(
+                word_count_ok.alias("word_count_ok"),
+                mean_word_len_ok.alias("mean_word_len_ok"),
+                symbol_ratio_ok.alias("symbol_ratio_ok"),
+                alpha_word_ok.alias("alpha_word_ok"),
+                stopword_ok.alias("stopword_ok"),
+                bullet_ok.alias("bullet_ok"),
+                ellipsis_ok.alias("ellipsis_ok"),
+                (
+                    word_count_ok
+                    & mean_word_len_ok
+                    & symbol_ratio_ok
+                    & alpha_word_ok
+                    & stopword_ok
+                    & bullet_ok
+                    & ellipsis_ok
+                ).alias("gopher_pass"),
+            )
+
+        return let(F.split(c, "\n"), _with_lines)
+
+    return let(tokens(c), _with_tokens)
+
+
 def repetition_fraction(col: Column | str, k: int = 3) -> Column:
     """Gopher-style repetition signal: fraction of word k-grams that are
     duplicates of an earlier k-gram in the same document

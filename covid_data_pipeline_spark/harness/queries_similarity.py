@@ -316,3 +316,64 @@ def media_features_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.round(F.element_at("features", 1), 6).alias("f0"),
     )
+
+
+# Johnson–Lindenstrauss projection: the matrix is seeded, so the oracle
+# SQL can be generated with the SAME literal values the Spark plan uses.
+# Both engines compute each output dim as a left-to-right double dot
+# product over identical literals — bit-stable before the ROUND(6).
+JL_OUT_DIM = 16
+_JL_MATRIX = None
+
+
+def _jl_matrix() -> list[list[float]]:
+    global _JL_MATRIX
+    if _JL_MATRIX is None:
+        from covid_data_pipeline_spark.operators.similarity import (
+            random_projection_matrix,
+        )
+
+        _JL_MATRIX = random_projection_matrix(EMBED_DIM, JL_OUT_DIM, seed=97)
+    return _JL_MATRIX
+
+
+def _jl_oracle() -> str:
+    cols = ",\n       ".join(
+        "ROUND(list_inner_product(v, ["
+        + ", ".join(repr(x) for x in row)
+        + f"]), 6) AS p{j:02d}"
+        for j, row in enumerate(_jl_matrix())
+    )
+    return f"""
+    SELECT vec_id,
+       {cols}
+    FROM (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    )
+    """
+
+
+@register(
+    "embedding_random_projection",
+    _jl_oracle(),
+    tags=("similarity", "projection", "training"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss reduction of the embedding column (64→16
+    dims, seeded Gaussian matrix) — the preprocessing step that makes
+    100 TB ANN affordable. Wide rounded output so the oracle hashes
+    every projected coordinate."""
+    from covid_data_pipeline_spark.operators.similarity import (
+        project_embeddings,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    p = project_embeddings(e, _jl_matrix(), vec_col="embedding", out_col="proj")
+    return p.select(
+        "vec_id",
+        *[
+            F.round(F.col("proj")[j], 6).alias(f"p{j:02d}")
+            for j in range(JL_OUT_DIM)
+        ],
+    )

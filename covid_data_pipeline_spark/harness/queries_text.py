@@ -456,3 +456,101 @@ def doc_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_p")[3], 2).cast("double").alias("p90"),
         )
     )
+
+
+@register(
+    "docs_gopher_filter",
+    r"""
+    WITH f AS (
+      SELECT source,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+             string_split(text, chr(10)) AS lines,
+             len(regexp_extract_all(text, '#|\.\.\.')) AS symbols
+      FROM documents
+    ),
+    g AS (
+      SELECT source,
+             len(t) AS n,
+             list_aggregate(list_transform(t, x -> len(x)), 'avg') AS mean_len,
+             len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                             s -> list_contains(t, s))) AS stop_hits,
+             symbols,
+             len(lines) AS n_lines,
+             len(list_filter(lines,
+                             l -> regexp_matches(l, '^\s*[-*•]'))) AS bullets,
+             len(list_filter(lines,
+                             l -> regexp_matches(l, '\.\.\.\s*$'))) AS ell
+      FROM f
+    ),
+    flags AS (
+      SELECT source,
+             (n >= 50 AND n <= 100000) AS word_count_ok,
+             (mean_len >= 3.0 AND mean_len <= 10.0) AS mean_word_len_ok,
+             (CAST(symbols AS DOUBLE) / n <= 0.1) AS symbol_ratio_ok,
+             (CAST(alpha AS DOUBLE) / n >= 0.8) AS alpha_word_ok,
+             (stop_hits >= 1) AS stopword_ok,
+             (CAST(bullets AS DOUBLE) / n_lines < 0.9) AS bullet_ok,
+             (CAST(ell AS DOUBLE) / n_lines < 0.3) AS ellipsis_ok
+      FROM g
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COALESCE(SUM(CASE WHEN word_count_ok AND mean_word_len_ok
+                              AND symbol_ratio_ok AND alpha_word_ok
+                              AND stopword_ok AND bullet_ok AND ellipsis_ok
+                         THEN 1 ELSE 0 END), 0) AS pass_docs,
+           COALESCE(SUM(CASE WHEN NOT word_count_ok THEN 1 ELSE 0 END), 0)
+             AS fail_word_count,
+           COALESCE(SUM(CASE WHEN NOT mean_word_len_ok THEN 1 ELSE 0 END), 0)
+             AS fail_mean_word_len,
+           COALESCE(SUM(CASE WHEN NOT symbol_ratio_ok THEN 1 ELSE 0 END), 0)
+             AS fail_symbol_ratio,
+           COALESCE(SUM(CASE WHEN NOT alpha_word_ok THEN 1 ELSE 0 END), 0)
+             AS fail_alpha_word,
+           COALESCE(SUM(CASE WHEN NOT stopword_ok THEN 1 ELSE 0 END), 0)
+             AS fail_stopword,
+           COALESCE(SUM(CASE WHEN NOT bullet_ok THEN 1 ELSE 0 END), 0)
+             AS fail_bullet,
+           COALESCE(SUM(CASE WHEN NOT ellipsis_ok THEN 1 ELSE 0 END), 0)
+             AS fail_ellipsis
+    FROM flags
+    GROUP BY source
+    """,
+    tags=("text", "quality", "gopher", "training"),
+    bench=True,
+)
+def docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule (Rae et al. 2021 §A1.1) hard-filter audit per source:
+    documents passing all seven rules, plus per-rule failure counts —
+    the pass/fail report a curation run reads before dropping data.
+    All-integer output (no float rounding hazard); one projection + one
+    hash aggregation, no joins.
+
+    min_stopword_hits is 1 here (operator default: Gopher's 2) because
+    the synthetic corpus vocabulary contains only 'the' from the
+    required list — at 2 the pass column would be identically zero."""
+    from covid_data_pipeline_spark.functions.text import gopher_flags
+
+    d = table(spark, sf_dir, "documents").withColumn(
+        "g", gopher_flags("text", min_stopword_hits=1)
+    )
+
+    def fails(flag: str, out: str):
+        return F.coalesce(
+            F.sum(F.when(~F.col(f"g.{flag}"), 1).otherwise(0)), F.lit(0)
+        ).alias(out)
+
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("g.gopher_pass"), 1).otherwise(0)), F.lit(0)
+        ).alias("pass_docs"),
+        fails("word_count_ok", "fail_word_count"),
+        fails("mean_word_len_ok", "fail_mean_word_len"),
+        fails("symbol_ratio_ok", "fail_symbol_ratio"),
+        fails("alpha_word_ok", "fail_alpha_word"),
+        fails("stopword_ok", "fail_stopword"),
+        fails("bullet_ok", "fail_bullet"),
+        fails("ellipsis_ok", "fail_ellipsis"),
+    )

@@ -249,3 +249,27 @@ def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cfg=CurationConfig(num_hashes=16, bands=8, jaccard_threshold=0.9),
     )
     return out.select("doc_id", "split", "n_tokens", "bin_id")
+
+
+@register(
+    "sample_per_group_docs",
+    r"""
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+    tags=("training", "sampling"),
+)
+def sample_per_group_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-doc quota per language (smallest Knuth-hash ids
+    win) — the per-stratum eval-set carve a curation run makes
+    reproducibly on any cluster."""
+    from covid_data_pipeline_spark.operators.sampling import sample_per_group
+
+    d = table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    return sample_per_group(d, ["lang"], "doc_id", n=5)

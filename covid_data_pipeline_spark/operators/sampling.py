@@ -150,3 +150,33 @@ def weighted_sample(
         .limit(k)
         .drop(key_col)
     )
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    n: int,
+    rank_col: str = "_sample_rank",
+) -> DataFrame:
+    """Deterministic fixed-size sample per group: the ``n`` rows with the
+    smallest id hash within each group (uniform over ids, same hash
+    contract as :func:`hash_split` — reproducible on any partitioning
+    and verifiable by an oracle engine).
+
+    This is the per-stratum quota the implicit stratification of
+    :func:`stratified_hash_sample` can't give you (a *rate* holds per
+    stratum; a *count* doesn't). One window (= one shuffle on the group
+    key); Spark plans the rank filter as WindowGroupLimit, so each task
+    keeps only n rows per group during the sort — no full-group
+    materialization. Ties are impossible (hash then id as tiebreaker).
+    """
+    _require_integral_id(df, id_col)
+    w = Window.partitionBy(*group_cols).orderBy(
+        knuth_hash(id_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+        .drop(rank_col)
+    )

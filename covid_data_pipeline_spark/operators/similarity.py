@@ -514,3 +514,43 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", "similarity")
         .distinct()
     )
+
+
+def random_projection_matrix(
+    in_dim: int, out_dim: int, seed: int = 97
+) -> list[list[float]]:
+    """Deterministic Gaussian Johnson–Lindenstrauss projection matrix
+    (``out_dim`` rows of ``in_dim``), scaled by 1/sqrt(out_dim) so
+    expected squared norms — and hence cosine geometry — are preserved.
+    Seeded ``RandomState`` so every caller (Spark plan, oracle SQL
+    builder, tests) sees the same matrix."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return (
+        rng.standard_normal((out_dim, in_dim)) / math.sqrt(out_dim)
+    ).tolist()
+
+
+def project_embeddings(
+    df: DataFrame,
+    matrix: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: ``out_col[j] =
+    <vec, matrix[j]>``. The cheap scale lever for ANN — at 100 TB,
+    projecting 1024-dim encoder outputs to 64 dims cuts every downstream
+    dot product, shuffle byte, and LSH/IVF index build by 16× while
+    distorting pairwise cosines by O(1/sqrt(out_dim)).
+
+    Pure codegen'd projection: one array literal per output dim, the
+    double-cast input let-bound so the cast runs once per row, not once
+    per output dim. No shuffle, no UDF, no driver data."""
+    from covid_data_pipeline_spark.functions.text import let
+
+    v = _as_double(F.col(vec_col))
+    proj = let(
+        v, lambda x: F.array(*[dot(x, F.lit(row)) for row in matrix])
+    )
+    return df.withColumn(out_col, proj)

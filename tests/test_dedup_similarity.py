@@ -337,3 +337,45 @@ def test_passage_dedup_idempotent(spark, sf_dir):
     # full width; allow boundary re-slicing to differ only on short tails.
     dropped = again.filter(F.col("kept_passages") < F.col("total_passages"))
     assert dropped.count() == 0
+
+
+def test_random_projection_matches_numpy_and_bounds_distortion(spark, sf_dir):
+    import numpy as np
+
+    from covid_data_pipeline_spark.operators.similarity import (
+        project_embeddings,
+        random_projection_matrix,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = sorted(e.collect(), key=lambda r: r["vec_id"])
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    # 1) The Spark plan computes exactly <vec, row_j> (vs BLAS, up to
+    #    summation-order noise).
+    R16 = np.array(random_projection_matrix(64, 16, seed=97))
+    got = {
+        r["vec_id"]: np.array(r["proj"])
+        for r in project_embeddings(e, R16.tolist()).collect()
+    }
+    want = M @ R16.T
+    for i, r in enumerate(rows):
+        assert np.allclose(got[r["vec_id"]], want[i], atol=1e-9)
+
+    # 2) JL contract: mean |cos distortion| shrinks like 1/sqrt(out_dim)
+    #    — wider projections must distort less, and 16 dims stays under
+    #    2x the theoretical 1/sqrt(16)=0.25.
+    def cosmat(X):
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        return Xn @ Xn.T
+
+    iu = np.triu_indices(len(M), 1)
+    S = cosmat(M)[iu]
+
+    def mean_dist(out_dim):
+        R = np.array(random_projection_matrix(64, out_dim, seed=97))
+        return float(np.abs(cosmat(M @ R.T)[iu] - S).mean())
+
+    d8, d32 = mean_dist(8), mean_dist(32)
+    assert d32 < d8
+    assert mean_dist(16) < 0.5

@@ -53,3 +53,41 @@ def test_unique_and_fk_violations(spark, sf_dir):
     assert unique_violations(doubled, ["o_orderkey"]) == 5
     orphan = o.withColumn("o_custkey", F.col("o_custkey") + 10_000_000)
     assert fk_violations(orphan, "o_custkey", c, "c_custkey") == o.count()
+
+
+def test_gopher_flags_planted_rules(spark):
+    from pyspark.sql import functions as F
+
+    from covid_data_pipeline_spark.functions.text import gopher_flags
+
+    filler = "vector "
+    good = "the of " + filler * 58
+    short = "the of just a few words here"
+    short_words = "the of " + "ab " * 58
+    symbols = "the of " + filler * 48 + "# " * 10
+    numeric = "the of " + filler * 43 + "123 " * 15
+    no_stop = filler * 60
+    bullets = "\n".join(["- the of " + filler * 6] * 10)
+    ellipsis = "\n".join(
+        ["the of " + filler * 4 + "..."] * 4 + [("the of " + filler * 4)] * 6
+    )
+    docs = [
+        (1, good), (2, short), (3, short_words), (4, symbols),
+        (5, numeric), (6, no_stop), (7, bullets), (8, ellipsis),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", gopher_flags("text").alias("g")).collect()
+    }
+    assert rows[1]["gopher_pass"]
+    assert not rows[2]["word_count_ok"] and not rows[2]["gopher_pass"]
+    assert not rows[3]["mean_word_len_ok"] and rows[3]["word_count_ok"]
+    assert not rows[4]["symbol_ratio_ok"] and rows[4]["alpha_word_ok"]
+    assert not rows[5]["alpha_word_ok"] and rows[5]["mean_word_len_ok"]
+    assert not rows[6]["stopword_ok"] and rows[6]["word_count_ok"]
+    assert not rows[7]["bullet_ok"] and rows[7]["stopword_ok"]
+    assert not rows[8]["ellipsis_ok"] and rows[8]["symbol_ratio_ok"]
+    # every failure is a single-rule failure except where documented
+    for i in (2, 3, 4, 5, 6, 7, 8):
+        assert not rows[i]["gopher_pass"]

@@ -135,3 +135,26 @@ def test_stratified_sample_drops_null_ids(spark):
     kept = stratified_hash_sample(df, "doc_id", one_in=2).collect()
     assert all(r["doc_id"] is not None for r in kept)
     assert 30 <= len(kept) <= 70
+
+
+def test_sample_per_group_quota_and_determinism(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from covid_data_pipeline_spark.operators.sampling import sample_per_group
+    from covid_data_pipeline_spark.harness.registry import table
+
+    d = table(spark, sf_dir, "documents").select("lang", "doc_id")
+    s = sample_per_group(d, ["lang"], "doc_id", n=5)
+    sizes = {r["lang"]: r["n"] for r in s.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    orig = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in orig.items():
+        assert sizes[lang] == min(5, n)
+    # subset + stable under repartitioning
+    picked = {(r["lang"], r["doc_id"]) for r in s.collect()}
+    all_ids = {(r["lang"], r["doc_id"]) for r in d.collect()}
+    assert picked <= all_ids
+    again = {
+        (r["lang"], r["doc_id"])
+        for r in sample_per_group(d.repartition(7), ["lang"], "doc_id", n=5).collect()
+    }
+    assert again == picked
