@@ -104,16 +104,20 @@ def connected_components(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
         F.col(src) != F.col(dst)
     )
-    e = e.localCheckpoint(eager=True)
+    e = e.localCheckpoint(eager=False)
 
     # One-job convergence probe: (row count, order-independent hash sum).
     # A star round is a no-op iff the edge multiset is unchanged; equal
     # signatures make that overwhelmingly likely, and the single
     # exceptAll below CONFIRMS it exactly — so the exact (2-shuffle)
     # equality test runs once at convergence instead of every round that
-    # happens to keep the count stable. Cuts per-round driver actions
-    # from 3 to 2; on job-overhead-bound graphs (small iterative steps)
-    # that is the dominant cost.
+    # happens to keep the count stable. Checkpoints are LAZY: the probe
+    # aggregate is the action that materializes each round's checkpoint,
+    # so a round costs exactly one job (probe) instead of three
+    # (eager checkpoint + count + exceptAll). On job-overhead-bound
+    # graphs (small iterative steps) driver actions are the dominant
+    # cost; at real scale the saved job is a full extra pass over the
+    # edge set.
     def _sig(df: DataFrame) -> tuple:
         # Decimal accumulator: a long sum of xxhash64 overflows under
         # ANSI mode; decimal(38,0) absorbs any realistic edge count.
@@ -128,7 +132,7 @@ def connected_components(
 
     sig = _sig(e)
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         sig2 = _sig(e2)
         converged = sig2 == sig and e2.exceptAll(e).isEmpty()
         e, sig = e2, sig2
