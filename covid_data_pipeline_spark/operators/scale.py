@@ -151,3 +151,34 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# Runtime bloom-filter join pruning (Catalyst InjectRuntimeFilter): when
+# a shuffle join's build side carries a selective filter, Spark can build
+# a bloom filter of the build-side join keys and push a MightContain
+# probe into the other side's SCAN — rows that cannot match die before
+# the shuffle. The 100 TB win: a fact-table shuffle shrinks by the dim
+# filter's selectivity without bucketing or broadcasting. The defaults
+# gate on a 10 GB application-side scan, so small-SF tests (and modest
+# tables) must lower the thresholds explicitly.
+BLOOM_JOIN_CONFS: dict[str, str] = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # create a filter for any build side up to 100 MB of plan stats
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    # apply it regardless of probe-side scan size (default gate: 10 GB)
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+}
+
+
+def with_bloom_join_confs(spark: SparkSession) -> dict[str, str]:
+    """Enable runtime bloom-filter join pruning on this session and
+    return the previous values (all are runtime-settable SQL confs) so
+    callers can restore them. Pair with a plan assertion on
+    ``bloom_filter_agg`` / ``might_contain`` — the rule silently
+    declines when a side is broadcastable or stats are missing."""
+    before = {
+        k: spark.conf.get(k, None) for k in BLOOM_JOIN_CONFS
+    }
+    for k, v in BLOOM_JOIN_CONFS.items():
+        spark.conf.set(k, v)
+    return before

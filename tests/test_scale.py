@@ -196,3 +196,54 @@ def test_compact_recovers_from_crashed_swap(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, wh.read("raw.orders").collect())) == before
     assert not os.path.exists(final + "__compact")
     assert not os.path.exists(final + "__old")
+
+
+def test_bloom_filter_join_prunes_probe_side(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from covid_data_pipeline_spark.harness.registry import table
+    from covid_data_pipeline_spark.operators.scale import (
+        with_bloom_join_confs,
+    )
+
+    before = with_bloom_join_confs(spark)
+    # force a shuffle join: bloom injection declines broadcast joins
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe_bcast = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = table(spark, sf_dir, "lineitem")
+        o = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloom_filter_agg" in plan, "runtime bloom filter not injected"
+        assert "might_contain" in plan, "probe side carries no bloom probe"
+        # and it is semantics-preserving
+        got = {r["o_orderpriority"]: r["n"] for r in j.collect()}
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        want = {r["o_orderpriority"]: r["n"] for r in j.collect()}
+        assert got == want and sum(want.values()) > 0
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        if prev_aqe_bcast is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe_bcast
+            )
