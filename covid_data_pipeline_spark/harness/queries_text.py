@@ -554,3 +554,52 @@ def docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         fails("bullet_ok", "fail_bullet"),
         fails("ellipsis_ok", "fail_ellipsis"),
     )
+
+
+@register(
+    "doc_perplexity_bigram",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    cb AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY w1, w2),
+    cu AS (SELECT w1, SUM(cb) AS cu FROM cb GROUP BY w1),
+    v AS (
+      SELECT COUNT(DISTINCT tok) AS vocab_size
+      FROM (SELECT unnest(t) AS tok FROM toks)
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             ln((c.cb + 1.0) / (cu.cu + v.vocab_size)) AS lp
+      FROM big b
+      JOIN cb c USING (w1, w2)
+      JOIN cu USING (w1)
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(lp), 4) AS avg_logprob,
+           ROUND(EXP(-AVG(lp)), 2) AS perplexity
+    FROM scored
+    GROUP BY doc_id
+    """,
+    tags=("text", "langmodel"),
+    bench=True,
+)
+def doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality signal: Laplace-smoothed bigram
+    self-perplexity per document (CCNet-style corpus filtering — the
+    reference's heuristic quality rows' model-based sibling). Bigrams
+    are a zero-shuffle zip_with projection; context counts are a
+    regroup of the bigram counts so the corpus tokenizes once; the
+    vocabulary size rides a broadcast cross join (no collect). Every
+    per-bigram log-prob is a ratio of integers — bit-identical across
+    engines — so only the per-doc mean carries the ROUND guard."""
+    from covid_data_pipeline_spark.operators.langmodel import bigram_perplexity
+
+    return bigram_perplexity(table(spark, sf_dir, "documents"))

@@ -1,0 +1,145 @@
+"""Distributed n-gram language-model scoring (CCNet-style quality signal).
+
+The reference pipeline scores document quality with cheap heuristics
+(SURVEY §2 text rows); large-scale curation pipelines add a model-based
+signal: train a smoothed bigram LM on a reference corpus and rank
+documents by perplexity (CCNet, Wenzek et al. 2020 — low-perplexity
+documents read like the reference corpus; the high tail is noise).
+
+Spark-first shape:
+
+- Bigram extraction is a zero-shuffle projection: ``zip_with`` over the
+  token array and its shift — no posexplode self-join.
+- Counts are one ``groupBy`` each; the context (unigram) counts are
+  derived FROM the bigram counts (``sum(cb) GROUP BY w1``) so the corpus
+  is tokenized and shuffled once, not twice.
+- The vocabulary size rides a broadcast cross join (1-row aggregate) —
+  no driver-side collect, same pattern as the TF-IDF corpus count.
+- Scoring joins the exploded bigrams to the model. At 100 TB the model
+  relation is corpus-bounded (distinct bigrams), so the joins are plain
+  shuffle hash joins on (w1, w2) / (w1); prune with ``min_count`` to get
+  a broadcast-able model, unseen bigrams fall back to the smoothing
+  floor.
+
+Float policy: Laplace smoothing keeps every per-bigram probability a
+ratio of integers — ``ln((cb + 1) / (cu + V))`` is bit-identical across
+engines; only the per-document mean needs the usual ROUND guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.functions.text import let, tokens
+
+
+def doc_bigrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode each document into its consecutive whitespace-token pairs
+    ``(id_col, w1, w2)``. Pure projection + explode — no shuffle. A
+    single-token or empty document contributes no rows (the zip_with
+    null-padding on the shifted array is filtered out)."""
+
+    def _pairs(toks: Column) -> Column:
+        shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+        return F.zip_with(
+            toks,
+            shifted,
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+
+    return (
+        df.select(id_col, F.explode(let(tokens(text_col), _pairs)).alias("p"))
+        .select(id_col, "p.w1", "p.w2")
+        .filter(F.col("w2").isNotNull())
+    )
+
+
+def train_bigram_lm(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Count-based bigram LM from a reference corpus.
+
+    Returns ``(bigram_counts, context_counts, vocab)``:
+
+    - ``bigram_counts``: (w1, w2, cb) — pairs with fewer than
+      ``min_count`` occurrences are pruned (at scale this is what makes
+      the model broadcast-able; scoring treats pruned pairs as unseen).
+    - ``context_counts``: (w1, cu) — derived from the UNPRUNED bigram
+      counts by a map-side ``sum`` regroup, so pruning never skews the
+      denominator and the corpus shuffles once.
+    - ``vocab``: 1-row (vocab_size) for the Laplace denominator.
+    """
+    pairs = doc_bigrams(corpus, text_col, id_col)
+    cb_all = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    context = cb_all.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    cb = cb_all.filter(F.col("cb") >= min_count) if min_count > 1 else cb_all
+    vocab = (
+        corpus.select(F.explode(tokens(text_col)).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab_size"))
+    )
+    return cb, context, vocab
+
+
+def score_bigram_perplexity(
+    docs: DataFrame,
+    bigram_counts: DataFrame,
+    context_counts: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Laplace-smoothed bigram log-likelihood:
+
+    ``lp(w1, w2) = ln((cb + 1) / (cu + V))``
+
+    Unseen bigrams (absent from a pruned model, or w1 itself unseen)
+    coalesce to cb=0 / cu=0 — the smoothing floor ``ln(1 / V)``.
+
+    Returns (id_col, n_bigrams, avg_logprob, perplexity); documents with
+    no bigram (≤1 token) drop out. avg_logprob is rounded to 4 and
+    perplexity (``exp(-avg lp)``) to 2 per the cross-engine float
+    policy — each lp is a ratio of integers, so only summation order
+    needs the guard.
+    """
+    pairs = doc_bigrams(docs, text_col, id_col)
+    lp = (
+        pairs.join(bigram_counts, ["w1", "w2"], "left")
+        .join(context_counts, ["w1"], "left")
+        .join(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("vocab_size"))
+            ).alias("lp"),
+        )
+    )
+    avg_lp = F.avg("lp")
+    return lp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(avg_lp, 4).alias("avg_logprob"),
+        F.round(F.exp(-avg_lp), 2).alias("perplexity"),
+    )
+
+
+def bigram_perplexity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    reference: DataFrame | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Train on ``reference`` (default: the documents themselves —
+    self-perplexity, the usual boilerplate/outlier detector) and score
+    every document. One tokenize+shuffle for the model, one for the
+    scoring join."""
+    cb, cu, v = train_bigram_lm(
+        reference if reference is not None else docs, text_col, id_col, min_count
+    )
+    return score_bigram_perplexity(docs, cb, cu, v, text_col, id_col)
