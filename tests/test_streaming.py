@@ -424,3 +424,55 @@ def test_stream_interval_join_equals_batch_range_join(spark, events_dir, tmp_pat
         for r in spark.table("interval_join_out").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark-4 transformWithStateInPandas arm: the plan and output
+    schema must construct everywhere; execution (and batch parity)
+    runs only where protobuf is installed — the state-server protocol
+    dependency pyspark needs for this API (honest gate, like the
+    Iceberg arm)."""
+    from covid_data_pipeline_spark.streaming.stateful import (
+        stream_running_totals,
+        transform_with_state_available,
+    )
+
+    rows1 = [("u1", 1.0), ("u1", 2.0), ("u2", 5.0)]
+    rows2 = [("u1", 3.0), ("u3", 7.0)]
+    schema = "user_id string, value double"
+    land = tmp_path / "land_tws"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(str(land))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(str(land))
+
+    stream = file_stream(
+        spark, str(land), spark.createDataFrame(rows1, schema).schema, max_files_per_trigger=1
+    )
+    out = stream_running_totals(stream, ["user_id"], "value")
+    assert [f.name for f in out.schema.fields] == [
+        "user_id",
+        "batch_rows",
+        "running_cnt",
+        "running_sum",
+    ]
+    assert out.isStreaming
+
+    if not transform_with_state_available():
+        pytest.skip("protobuf absent: transformWithState cannot execute here")
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    rows = spark.table("tws_out").collect()
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.running_cnt > final[r.user_id][0]:
+            final[r.user_id] = (r.running_cnt, r.running_sum)
+    assert final == {"u1": (3, 6.0), "u2": (1, 5.0), "u3": (1, 7.0)}
+    # u1 appears in both micro-batches → two emissions (state carried)
+    assert sum(1 for r in rows if r.user_id == "u1") == 2
