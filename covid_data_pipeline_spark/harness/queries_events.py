@@ -374,3 +374,140 @@ def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ma7_value"),
     )
+
+
+@register(
+    "cohort_retention_weekly",
+    """
+    WITH days AS (
+      SELECT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    firsts AS (
+      SELECT user_id, MIN(day) AS first_day FROM days GROUP BY user_id
+    ),
+    weekly AS (
+      SELECT d.user_id,
+             CAST(FLOOR(date_diff('day', DATE '2024-01-01', f.first_day) / 7.0) AS INT)
+               AS cohort_week,
+             CAST(FLOOR(date_diff('day', DATE '2024-01-01', d.day) / 7.0) AS INT)
+               - CAST(FLOOR(date_diff('day', DATE '2024-01-01', f.first_day) / 7.0) AS INT)
+               AS week_offset
+      FROM days d JOIN firsts f USING (user_id)
+    ),
+    active AS (
+      SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS active_users
+      FROM weekly GROUP BY 1, 2
+    )
+    SELECT a.cohort_week, a.week_offset, a.active_users,
+           ROUND(a.active_users * 1.0 / c.active_users, 4) AS retention_pct
+    FROM active a
+    JOIN active c
+      ON c.cohort_week = a.cohort_week AND c.week_offset = 0
+    """,
+    tags=("events", "cohort"),
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen calendar
+    week (weeks indexed from the Monday the corpus starts), retention =
+    distinct actives at each week offset over the cohort's week-0 size.
+
+    Scale shape: first-seen and the activity regroup both hash on
+    user_id, so the exchange is planned once and reused across the
+    aggregate and the join; the per-(cohort, offset) matrix is tiny
+    (weeks²), so the week-0 denominator self-join broadcasts. Exact
+    countDistinct — at extreme cardinality swap approx_count_distinct
+    and drop the oracle."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    origin = F.lit("2024-01-01").cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    week = lambda c: F.floor(F.datediff(c, origin) / 7.0).cast("int")  # noqa: E731
+    weekly = ev.join(firsts, "user_id").select(
+        "user_id",
+        week(F.col("first_day")).alias("cohort_week"),
+        (week(F.col("day")) - week(F.col("first_day"))).alias("week_offset"),
+    )
+    active = weekly.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+    base = (
+        active.filter(F.col("week_offset") == 0)
+        .select("cohort_week", F.col("active_users").alias("base_users"))
+    )
+    return active.join(F.broadcast(base), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "active_users",
+        F.round(F.col("active_users") / F.col("base_users"), 4).alias("retention_pct"),
+    )
+
+
+@register(
+    "scd2_user_type_history",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS is_change
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             SUM(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS run_no
+      FROM flagged
+    ),
+    hist AS (
+      SELECT user_id, CAST(run_no AS BIGINT) AS run_no,
+             ANY_VALUE(event_type) AS event_type,
+             MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM runs GROUP BY user_id, run_no
+    )
+    SELECT user_id, run_no, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_no)
+             AS valid_to,
+           n_events,
+           CAST(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_no)
+                  IS NULL AS BOOLEAN) AS is_current
+    FROM hist
+    """,
+    tags=("events", "scd2"),
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: collapse each user's event-type stream
+    into validity intervals (run-length compaction via the
+    gaps-and-islands lag→flag→running-sum pattern), then close each
+    interval with the successor's start (LEAD) — NULL/is_current marks
+    the open row, exactly how a warehouse dimension records attribute
+    history. All three windows and the aggregate share the user_id
+    hash partitioning: one exchange, sorts reused."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_change",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_no",
+        F.sum("is_change").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    hist = runs.groupBy("user_id", "run_no").agg(
+        F.any_value("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_no")
+    valid_to = F.lead("valid_from").over(w2)
+    return hist.select(
+        "user_id",
+        "run_no",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        "n_events",
+        valid_to.isNull().alias("is_current"),
+    )
