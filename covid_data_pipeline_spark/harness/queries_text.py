@@ -603,3 +603,49 @@ def doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_pipeline_spark.operators.langmodel import bigram_perplexity
 
     return bigram_perplexity(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "docs_boilerplate_fraction",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(t) >= 2
+          THEN list_distinct(list_transform(range(1, len(t)),
+                                            i -> array_to_string(t[i:i+1], ' ')))
+          ELSE [array_to_string(t, ' ')] END AS shingles
+      FROM toks
+    ),
+    grams AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    hot AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 25
+    )
+    SELECT grams.doc_id,
+           COUNT(*) AS n_grams,
+           ROUND(SUM(CASE WHEN hot.g IS NOT NULL THEN 1 ELSE 0 END)
+                   / CAST(COUNT(*) AS DOUBLE), 4) AS boilerplate_frac
+    FROM grams LEFT JOIN hot ON grams.g = hot.g
+    GROUP BY grams.doc_id
+    """,
+    tags=("text", "boilerplate"),
+)
+def docs_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document boilerplate signal: fraction of each doc's
+    distinct word 2-grams found in ≥25 documents corpus-wide — the
+    cross-document complement of docs_repetition_signal (C4's
+    repeated-line drop, RefinedWeb's boilerplate gate; absolute df
+    threshold per C4's ≥3-occurrences rule). One corpus explode feeds
+    both the df aggregate and the per-doc hit join; the hot set is
+    mass/min_df-bounded so the hit join broadcasts. k=2/25 chosen
+    against the synthetic corpus's gram statistics (3-grams never
+    repeat across docs; top 2-grams sit in ~46 docs at every sf) so
+    the fraction genuinely discriminates."""
+    from covid_data_pipeline_spark.operators.boilerplate import boilerplate_fraction
+
+    return boilerplate_fraction(
+        table(spark, sf_dir, "documents"), k=2, min_df=25
+    )
