@@ -649,3 +649,23 @@ def docs_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_fraction(
         table(spark, sf_dir, "documents"), k=2, min_df=25
     )
+
+
+@register(
+    "quality_classifier_scores",
+    None,  # L-BFGS-fitted coefficients are not SQL-expressible — rows-only
+    tags=("text", "classifier", "ml"),
+)
+def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (GPT-3 appendix-A lineage): MLlib
+    logistic regression over the engine's codegen'd text features,
+    trained against deterministic corrupted twins, scored map-side
+    (broadcast coefficients, no shuffle — plan-asserted in
+    tests/test_classifier.py). Separation and holdout generalization
+    are pytest-proven; no DuckDB oracle because the fitted weights are
+    not SQL-expressible."""
+    from covid_data_pipeline_spark.operators.classifier import (
+        quality_classifier_scores,
+    )
+
+    return quality_classifier_scores(table(spark, sf_dir, "documents"))
