@@ -511,3 +511,72 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         valid_to.isNull().alias("is_current"),
     )
+
+
+@register(
+    "ewma_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS val_cents
+      FROM events GROUP BY 1, 2
+    ),
+    rn AS (
+      SELECT event_type, day, val_cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    )
+    SELECT a.event_type, a.day,
+           ROUND(SUM(b.val_cents * POWER(0.5, a.rn - b.rn))
+                   / (100.0 * SUM(POWER(0.5, a.rn - b.rn))), 4) AS ewma_value
+    FROM rn a
+    JOIN rn b ON b.event_type = a.event_type
+            AND b.rn BETWEEN a.rn - 9 AND a.rn
+    GROUP BY a.event_type, a.day
+    """,
+    tags=("events", "timeseries", "ewma"),
+)
+def ewma_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (decay ½, last 10 rows) of
+    daily event value — the low-lag smoother next to moving_avg_7d's
+    flat window. Spark side: windowed collect_list + one codegen'd
+    aggregate fold (no self-join, one event_type shuffle reused from
+    the rollup); the oracle states the same sum as a bounded rn
+    self-join, which is formulation-independent.
+
+    Cross-engine float safety by construction: daily values are integer
+    cents, decay powers 0.5^k are exact dyadics, and every partial sum
+    of cents×0.5^k fits the 53-bit significand (term span ≤ 2^9), so
+    BOTH engines compute bit-identical sums in ANY order — no
+    summation-order hazard even before the ROUND guard."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value") * 100, 0).cast("long").alias("val_cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    hist = daily.withColumn("hist", F.collect_list("val_cents").over(w))
+    L = F.size("hist")
+    idx = F.sequence(F.lit(0), L - 1)
+    num = F.aggregate(
+        F.zip_with(
+            F.col("hist"),
+            idx,
+            lambda v, i: v * F.pow(F.lit(0.5), (L - 1 - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(idx, lambda i: F.pow(F.lit(0.5), (L - 1 - i).cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return hist.select(
+        "event_type",
+        "day",
+        F.round(num / (F.lit(100.0) * den), 4).alias("ewma_value"),
+    )
