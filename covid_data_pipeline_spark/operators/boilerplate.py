@@ -55,7 +55,10 @@ def boilerplate_fraction(
         .filter(F.col("df") >= min_df)
         .select("g")
     )
-    hit = grams.join(F.broadcast(hot).withColumn("hot", F.lit(1)), "g", "left")
+    # No broadcast hint: the hot set is usually tiny (auto-broadcast),
+    # but a degenerate corpus + small min_df can make it gram-mass-sized,
+    # where a forced broadcast would OOM the driver — let AQE decide.
+    hit = grams.join(hot.withColumn("hot", F.lit(1)), "g", "left")
     return hit.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.round(
