@@ -30,6 +30,19 @@ NOTES = {
     "asof_join_clicks_purchases": "Union + ONE shuffle on user_id + window carry-forward - no range join, linear per key.",
     "tpch_q3_shipping_priority": "Selective filters pushed to all three scans before the joins; customer side broadcast.",
     "tpch_q6_revenue_forecast": "Pure scan-filter-aggregate: all four predicates and the 4-of-11 column projection reach the parquet scan; single partial+final agg, no shuffle of data rows.",
+    "tpch_q9_product_profit": "Part filter pushed before the 4-way join chain; part and supplier sides broadcast so lineitem shuffles once (orderkey join), then one agg shuffle on (nation, year). Decimal profit sums.",
+    "tpch_q13_customer_distribution": "Left join customer->orders shuffles on custkey with the comment filter pushed to the orders scan; two-level agg (per-customer count, then histogram) - second shuffle carries one row per customer.",
+    "tpch_q18_large_volume_customer": "The HAVING subquery is a semi-join against the pre-aggregated lineitem rollup: partial agg shrinks the shuffle to one row per orderkey before any join touches orders/customer.",
+    "moving_avg_7d": "Window reuses the daily rollup's event_type hash partitioning: one shuffle total; RANGE frame over epoch-day int = gap-aware without a calendar join. Integer-cent sums avoid a cross-engine rounding hazard, not a perf one.",
+    "pivot_event_type": "Explicit pivot value list = no distinct-values pre-scan job; pivot is a single partial+final agg with the column expansion map-side.",
+    "curation_pipeline_docs": "End-to-end chain: each stage's output feeds the next without driver collects; the LSH+components stage dominates (iterative joins with localCheckpoint lineage cuts); quality/dedup/decontam stages are single-shuffle each.",
+    "dedup_duplicate_groups": "LSH candidate pairs (banded equi-join, hot-bucket cap) feed large-star/small-star components: O(log n) bounded-shuffle rounds, lineage checkpointed; canonical map joins back by doc_id.",
+    "graph_components_docs": "Large-star/small-star alternation: every round is two self-equi-joins + dedup with monotone-decreasing edge set; localCheckpoint truncates lineage so round N doesn't replan rounds 1..N-1; converges in O(log n) rounds (probe-counted).",
+    "dedup_passages_global": "Passage explode is shuffle-free; keep-first is a min-struct aggregate on passage hash (map-side combine absorbs hot passages) - no windowed row_number over the full corpus.",
+    "decontaminate_docs": "Benchmark 8-gram set is hashed and broadcast; the corpus pass is a shuffle-free semi-join probe per doc - contaminated docs drop map-side.",
+    "docs_gopher_filter": "All seven rules evaluate in one codegen'd projection pass (nested let binds the token split once); the per-source rollup is the only shuffle and carries booleans already reduced to ints.",
+    "doc_perplexity_bigram": "Bigrams via zip_with: projection only. One shuffle builds bigram counts; context counts regroup FROM those counts (map-side, no second corpus pass); vocab rides a broadcast cross join; scoring joins are hash joins on (w1,w2)/(w1) with the model relation corpus-bounded - prune with min_count to broadcast.",
+    "similarity_topk_ivf_pretrained": "Same probe plan as cold IVF minus the k-means training jobs: centroid assignment is Arrow/BLAS map-side, probe equi-join touches nprobe/n_centroids of the corpus.",
 }
 
 HEADER = """# PLANS - physical plans of the headline (bench) queries
