@@ -1,0 +1,310 @@
+"""Temporal warehouse queries: point-in-time attribution, snapshot
+CDC, linear interpolation, and trailing z-score anomaly detection.
+
+These exercise ``operators/temporal.py`` — the generalization of the
+reference's date-cursor / today-vs-yesterday comparisons
+(/root/reference/airflow/dags/covid_dag.py cursor loop and the alert
+delta predicate) into reusable temporal primitives. Oracle dialect
+notes: the PIT join is stated as an inequality join + ROW_NUMBER in
+DuckDB (formulation-independent of the union-window implementation);
+interpolation states the exact same IEEE expression shape on both
+sides so no round guard is needed on the lerp itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from covid_data_pipeline_spark.harness.registry import register, table
+from covid_data_pipeline_spark.operators.temporal import (
+    interpolate_daily,
+    pit_enrich,
+    snapshot_diff,
+)
+
+
+@register(
+    "attribution_last_touch",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    j AS (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+             t.event_type AS touch_type, t.ts AS touch_ts,
+             t.event_id AS touch_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY t.ts DESC, t.event_id DESC) AS rn
+      FROM p LEFT JOIN t
+        ON t.user_id = p.user_id AND t.ts <= p.ts
+    )
+    SELECT user_id, purchase_id, purchase_ts, touch_type, touch_ts, touch_id
+    FROM j WHERE rn = 1
+    """,
+    tags=("events", "temporal", "pit", "attribution"),
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase joined to the user's most
+    recent click/view at or before purchase time — a point-in-time join.
+
+    The implementation (``pit_enrich``) never builds a (purchase x
+    touch) pair: both sides union into one per-user ordered pass and
+    the last touch payload is carried forward, so cost is one hash
+    shuffle + sort regardless of how many touches precede each
+    purchase. The oracle states the declarative inequality-join +
+    ROW_NUMBER form — fine for DuckDB at sf0.01, quadratic-per-user at
+    warehouse scale, which is exactly why the operator exists. Ties
+    (touch at identical ts) resolve to the largest event_id on both
+    sides per the repo tiebreaker policy."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    touches = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("touch_type"),
+            F.col("ts").alias("touch_ts"),
+            F.col("event_id").alias("touch_id"),
+        )
+    )
+    out = pit_enrich(
+        purchases,
+        touches,
+        keys=["user_id"],
+        fact_ts="ts",
+        dim_ts="ts",
+        payload_cols=["touch_type", "touch_ts", "touch_id"],
+        fact_tie="event_id",
+        dim_tie="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "touch_type",
+        "touch_ts",
+        "touch_id",
+    )
+
+
+@register(
+    "cdc_customer_halfyear",
+    """
+    WITH old AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT) AS total_cents
+      FROM orders
+      WHERE o_orderdate >= DATE '1998-01-01' AND o_orderdate < DATE '1998-07-01'
+      GROUP BY o_custkey
+    ),
+    new AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT) AS total_cents
+      FROM orders
+      WHERE o_orderdate >= DATE '1998-07-01' AND o_orderdate < DATE '1999-01-01'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(old.o_custkey, new.o_custkey) AS o_custkey,
+           CASE WHEN old.o_custkey IS NULL THEN 'insert'
+                WHEN new.o_custkey IS NULL THEN 'delete'
+                WHEN old.n_orders IS DISTINCT FROM new.n_orders
+                  OR old.total_cents IS DISTINCT FROM new.total_cents
+                  THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           old.n_orders AS old_n_orders, old.total_cents AS old_total_cents,
+           new.n_orders AS new_n_orders, new.total_cents AS new_total_cents
+    FROM old FULL OUTER JOIN new ON old.o_custkey = new.o_custkey
+    """,
+    tags=("temporal", "cdc", "snapshot"),
+)
+def cdc_customer_halfyear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC: per-customer order aggregates for 1998-H1 vs
+    1998-H2, classified insert/delete/update/unchanged — the changelog
+    a Delta/Iceberg change-data-feed would emit, computed from plain
+    snapshots with one full-outer join (``snapshot_diff``). Money is
+    integer cents so the equality compare is exact on both engines.
+    Scale: each snapshot aggregates map-side first, then one sort-merge
+    join on the customer key; AQE splits skewed keys."""
+    orders = table(spark, sf_dir, "orders")
+
+    def half(d0: str, d1: str) -> DataFrame:
+        return (
+            orders.where(
+                (F.col("o_orderdate") >= F.lit(d0))
+                & (F.col("o_orderdate") < F.lit(d1))
+            )
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice") * 100, 0)
+                .cast("long")
+                .alias("total_cents"),
+            )
+        )
+
+    return snapshot_diff(
+        half("1998-01-01", "1998-07-01"),
+        half("1998-07-01", "1999-01-01"),
+        keys=["o_custkey"],
+        compare_cols=["n_orders", "total_cents"],
+    )
+
+
+@register(
+    "interpolate_daily_events",
+    """
+    WITH filtered AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value FROM events
+      WHERE EXTRACT(DAY FROM ts) % 5 <> 0
+    ),
+    daily AS (
+      SELECT event_type, day,
+             CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS val_cents
+      FROM filtered GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ),
+    cal AS (
+      SELECT event_type,
+             CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    grid AS (
+      SELECT c.event_type, c.day, d.val_cents FROM cal c
+      LEFT JOIN daily d ON c.event_type = d.event_type AND c.day = d.day
+    ),
+    nb AS (
+      SELECT event_type, day, val_cents,
+             LAST_VALUE(val_cents IGNORE NULLS) OVER wb AS pv,
+             LAST_VALUE(CASE WHEN val_cents IS NOT NULL THEN day END
+                        IGNORE NULLS) OVER wb AS pd,
+             FIRST_VALUE(val_cents IGNORE NULLS) OVER wf AS nv,
+             FIRST_VALUE(CASE WHEN val_cents IS NOT NULL THEN day END
+                         IGNORE NULLS) OVER wf AS nd
+      FROM grid
+      WINDOW wb AS (PARTITION BY event_type ORDER BY day
+                    ROWS UNBOUNDED PRECEDING),
+             wf AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, day,
+           val_cents IS NOT NULL AS observed,
+           ROUND((CASE WHEN val_cents IS NOT NULL THEN CAST(val_cents AS DOUBLE)
+                       WHEN pv IS NOT NULL AND nv IS NOT NULL
+                         THEN pv + (nv - pv) * ((day - pd) * 1.0 / (nd - pd))
+                       WHEN pv IS NOT NULL THEN CAST(pv AS DOUBLE)
+                       ELSE CAST(nv AS DOUBLE) END) / 100.0, 4)
+             AS value_interp
+    FROM nb
+    """,
+    tags=("events", "timeseries", "interpolate"),
+)
+def interpolate_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a dense daily calendar — the numeric
+    resample gap-fill's forward-fill cannot honestly provide (a missing
+    day's value estimate, not yesterday's copy). Gaps are planted
+    deterministically (drop days divisible by 5) as in
+    ``gapfill_daily_events``.
+
+    Float policy: operands are integer cents and integer day offsets,
+    and BOTH engines evaluate the identically-associated expression
+    ``pv + (nv - pv) * (offset / span)`` — every IEEE step rounds the
+    same, so the lerp is bit-identical before the final display ROUND.
+    """
+    ev = table(spark, sf_dir, "events").where(F.dayofmonth("ts") % 5 != 0)
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value") * 100, 0).cast("long").alias("val_cents"),
+    )
+    out = interpolate_daily(
+        daily, keys=["event_type"], day_col="day", val_col="val_cents"
+    )
+    return out.select(
+        "event_type",
+        "day",
+        "observed",
+        F.round(F.col("interp_value") / 100.0, 4).alias("value_interp"),
+    )
+
+
+@register(
+    "events_zscore_anomalies",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS val_cents,
+             CAST(ts AS DATE) - DATE '1970-01-01' AS day_num
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    scored AS (
+      SELECT event_type, day, val_cents,
+             COUNT(*) OVER w AS trailing_n,
+             AVG(val_cents) OVER w AS trailing_mean,
+             STDDEV_SAMP(val_cents) OVER w AS trailing_sd
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+                   RANGE BETWEEN 14 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day,
+           ROUND(val_cents / 100.0, 2) AS value_sum,
+           ROUND(trailing_mean / 100.0, 2) AS trailing_mean,
+           ROUND((val_cents - trailing_mean) / trailing_sd, 2) AS z_score
+    FROM scored
+    WHERE trailing_n >= 7 AND trailing_sd > 0
+      AND ABS((val_cents - trailing_mean) / trailing_sd) > 1.5
+    """,
+    tags=("events", "timeseries", "anomaly"),
+)
+def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly detection: flag days whose total value
+    deviates >1.5 sigma from the prior 14-day window (current day
+    EXCLUDED — the frame ends at 1 PRECEDING, so an anomaly cannot
+    suppress its own detection). This is the alerting generalization of
+    the reference's fixed-threshold day-over-day alerts
+    (covid_alerts SQL: new_cases > threshold) into a
+    level-independent signal.
+
+    The frame is a true RANGE over epoch-day ints (missing days shrink
+    the window rather than widening it to 14 present rows). Inputs are
+    integer cents so mean is exact; stddev may differ across engines in
+    the last ulp, guarded by ROUND(.., 2) — membership of the >1.5 cut
+    is stable because z-values sit far from the boundary at all test
+    SFs. One shuffle: rollup and window share the event_type hash."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value") * 100, 0).cast("long").alias("val_cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-14, -1)
+    )
+    scored = daily.select(
+        "event_type",
+        "day",
+        "val_cents",
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+        F.avg("val_cents").over(w).alias("trailing_mean"),
+        F.stddev_samp("val_cents").over(w).alias("trailing_sd"),
+    )
+    z = (F.col("val_cents") - F.col("trailing_mean")) / F.col("trailing_sd")
+    return scored.where(
+        (F.col("trailing_n") >= 7)
+        & (F.col("trailing_sd") > 0)
+        & (F.abs(z) > 1.5)
+    ).select(
+        "event_type",
+        "day",
+        F.round(F.col("val_cents") / 100.0, 2).alias("value_sum"),
+        F.round(F.col("trailing_mean") / 100.0, 2).alias("trailing_mean"),
+        F.round(z, 2).alias("z_score"),
+    )

@@ -134,6 +134,7 @@ def _load_all() -> None:
         queries_events,
         queries_olap,
         queries_similarity,
+        queries_temporal,
         queries_text,
         queries_tpch,
         queries_training,
