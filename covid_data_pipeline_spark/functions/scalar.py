@@ -14,6 +14,19 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def epoch_seconds(col: Column | str) -> Column:
+    """Seconds since the Unix epoch as DOUBLE, for any timestamp flavor.
+
+    Spark 4 forbids casting TIMESTAMP_NTZ directly to numeric types
+    (DATATYPE_MISMATCH); routing through TIMESTAMP_LTZ — a no-op for
+    LTZ inputs — makes the conversion type-robust. The session timezone
+    is pinned to UTC (session.py), so NTZ values are interpreted as UTC,
+    matching DuckDB's ``EPOCH()`` on naive timestamps.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp_ltz").cast("double")
+
+
 def surrogate_key(name_col: Column | str, *extra: Column | str) -> Column:
     """Deterministic sha2-256 surrogate key.
 

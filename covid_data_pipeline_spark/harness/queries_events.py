@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from covid_data_pipeline_spark.functions.scalar import epoch_seconds
 from covid_data_pipeline_spark.harness.registry import register, table
 from covid_data_pipeline_spark.streaming.windows import (
     session_agg,
@@ -153,6 +154,47 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_variant_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS events_cnt,
+           SUM(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
+           COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS k_distinct,
+           SUM(CASE WHEN CAST(props->>'$.k' AS BIGINT) > 50
+                    THEN 1 ELSE 0 END) AS k_gt50
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("functions", "json", "variant"),
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-typed JSON props (Spark 4 `parse_json` + `variant_get`).
+
+    The scale twin of `events_json_props`: at 100 TB, re-parsing a JSON
+    string per extraction (`get_json_object`) pays the full parse cost
+    for every path touched. Parsing ONCE into a VARIANT column amortizes
+    it — Spark stores the parsed binary form, and every `variant_get`
+    is a cheap path lookup (this is the open-sourced Delta/Iceberg
+    variant encoding). In a real warehouse the VARIANT column would be
+    materialized at ingest; here the parse+extract happens in one
+    projection so the plan demonstrates the pattern end-to-end while
+    staying whole-stage-codegen'd JVM-side.
+    """
+    e = table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("events_cnt"),
+            F.sum("k").alias("k_sum"),
+            F.count_distinct(F.col("k")).alias("k_distinct"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("k_gt50"),
+        )
+    )
+
+
+@register(
     "range_join_clicks_before_purchase",
     """
     SELECT p.event_id AS purchase_id,
@@ -227,7 +269,8 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     reused across the two window operators and the final aggregate."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    ts_s = epoch_seconds("ts")
+    gap = ts_s - F.lag(ts_s).over(w)
     flagged = ev.withColumn(
         "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     )
@@ -240,7 +283,7 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.round(
-                F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double")),
+                F.max(epoch_seconds("ts")) - F.min(epoch_seconds("ts")),
                 3,
             ).alias("duration_s"),
         )
@@ -580,3 +623,36 @@ def ewma_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.round(num / (F.lit(100.0) * den), 4).alias("ewma_value"),
     )
+
+
+@register(
+    "skew_profile_events",
+    """
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS key_rows FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT SUM(key_rows) AS total_rows, COUNT(*) AS n_keys FROM counts
+    )
+    SELECT c.user_id, c.key_rows,
+           CAST(FLOOR(c.key_rows * 10000.0 / t.total_rows) AS BIGINT)
+             AS pct_bp,
+           CAST(FLOOR(c.key_rows * t.n_keys * 1.0 / t.total_rows * 10000.0)
+                AS BIGINT) AS skew_bp,
+           (c.key_rows * t.n_keys * 1.0 / t.total_rows) >= 10.0 AS is_hot
+    FROM counts c, tot t
+    ORDER BY c.key_rows DESC, c.user_id
+    LIMIT 20
+    """,
+    tags=("scale", "skew", "diagnostic"),
+)
+def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of the events join key
+    (`operators/scale.py::skew_profile`): the measurement that decides
+    between plain shuffle, AQE skew-split, and explicit salting before a
+    100 TB join. Global totals re-enter as a broadcast single row — no
+    full-key-set window."""
+    from covid_data_pipeline_spark.operators.scale import skew_profile
+
+    ev = table(spark, sf_dir, "events")
+    return skew_profile(ev, keys=["user_id"], top_n=20, hot_multiple=10.0)

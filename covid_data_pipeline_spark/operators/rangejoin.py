@@ -13,8 +13,20 @@ range predicate. Work is proportional to true matches per bucket, not
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.functions.scalar import epoch_seconds
+
+
+def _seconds(df: DataFrame, name: str, ref: Column | None = None) -> Column:
+    """Ordering column as DOUBLE seconds: timestamps (incl. TIMESTAMP_NTZ,
+    which Spark 4 won't cast straight to numeric) go through
+    epoch_seconds; numeric columns cast directly."""
+    c = F.col(name) if ref is None else ref
+    if dict(df.dtypes)[name].startswith("timestamp"):
+        return epoch_seconds(c)
+    return c.cast("double")
 
 
 def time_range_join(
@@ -41,8 +53,8 @@ def time_range_join(
     width = upper_s - lower_s
     b = bucket_s or width
 
-    lsec = F.col(left_ts).cast("double")
-    rsec = F.col(right_ts).cast("double")
+    lsec = _seconds(left, left_ts)
+    rsec = _seconds(right, right_ts)
 
     r = right.withColumn("_rj_bucket", F.floor(rsec / b))
     l = left.withColumn(
@@ -56,9 +68,9 @@ def time_range_join(
     )
     cond = [l[k] == r[k] for k in keys] + [l["_rj_bucket"] == r["_rj_bucket"]]
     joined = l.join(r, cond)
-    exact = (r[right_ts].cast("double") > l[left_ts].cast("double") + lower_s) & (
-        r[right_ts].cast("double") <= l[left_ts].cast("double") + upper_s
-    )
+    rj_sec = _seconds(right, right_ts, r[right_ts])
+    lj_sec = _seconds(left, left_ts, l[left_ts])
+    exact = (rj_sec > lj_sec + lower_s) & (rj_sec <= lj_sec + upper_s)
     drop = [l["_rj_bucket"], r["_rj_bucket"]] + [r[k] for k in keys]
     out = joined.filter(exact)
     for c in drop:

@@ -153,6 +153,54 @@ def write_zordered(
     )
 
 
+def skew_profile(
+    df: DataFrame,
+    keys: Sequence[str],
+    top_n: int = 20,
+    hot_multiple: float = 10.0,
+) -> DataFrame:
+    """Join/agg-key skew diagnostic: per-key row counts, share of total,
+    and a hot-key flag (count ≥ ``hot_multiple`` × the mean per-key
+    count) for the ``top_n`` heaviest keys.
+
+    This is the measurement half of the salting tools above: run it on a
+    join key BEFORE a 100 TB run to decide between plain shuffle, AQE
+    skew-split, and explicit salting. Scale shape: one map-side-combined
+    groupBy on the key; the global totals reduce to a SINGLE row that
+    re-enters the plan via a broadcast join — no single-partition window
+    over the full key set, so the profile itself cannot straggle.
+    Deterministic output order (count desc, then keys) for stable
+    cross-engine comparison.
+
+    Shares are reported in integer basis points (``pct_bp``: share of
+    total ×10000; ``skew_bp``: multiple of the mean per-key count
+    ×10000) via ``floor`` rather than decimal ``round`` — IEEE division
+    of exact integers is bit-identical across engines, while decimal
+    rounding of a half-way double (1.005) is not (repo float policy).
+    """
+    keys = list(keys)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("key_rows"))
+    totals = counts.agg(
+        F.sum("key_rows").alias("__total_rows"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    ratio = F.col("key_rows") * F.col("__n_keys") / F.col("__total_rows")
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            *keys,
+            "key_rows",
+            F.floor(F.col("key_rows") * 10000.0 / F.col("__total_rows"))
+            .cast("bigint")
+            .alias("pct_bp"),
+            F.floor(ratio * 10000.0).cast("bigint").alias("skew_bp"),
+            (ratio >= F.lit(hot_multiple)).alias("is_hot"),
+        )
+        .orderBy(F.col("key_rows").desc(), *[F.col(k).asc() for k in keys])
+        .limit(top_n)
+    )
+
+
 # Runtime bloom-filter join pruning (Catalyst InjectRuntimeFilter): when
 # a shuffle join's build side carries a selective filter, Spark can build
 # a bloom filter of the build-side join keys and push a MightContain

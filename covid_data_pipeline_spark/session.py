@@ -57,6 +57,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow transfer for the (rare) Pandas-UDF operators.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Let Python Data Source readers absorb filters (sources/pyds.py).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Columnar parquet at rest, snappy like the reference
         # (process_covid_ods.py:83).
         .config("spark.sql.parquet.compression.codec", "snappy")

@@ -40,8 +40,12 @@ def stream_dedup(
     watermark — the at-least-once→effectively-once upgrade for event
     streams with redelivery, and the streaming face of the engine's
     exact-dedup family."""
-    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        list(keys)
+    from covid_data_pipeline_spark.streaming.windows import ensure_event_time
+
+    return (
+        ensure_event_time(df, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
     )
 
 
@@ -231,8 +235,10 @@ def stream_interval_join(
     columns must be uniquely named across the two streams; key columns
     are taken from the left after the join.
     """
-    l = left.withWatermark(left_ts, watermark)
-    r = right.withWatermark(right_ts, watermark)
+    from covid_data_pipeline_spark.streaming.windows import ensure_event_time
+
+    l = ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    r = ensure_event_time(right, right_ts).withWatermark(right_ts, watermark)
     cond = F.expr(
         f"{right_ts} > {left_ts} + INTERVAL {int(lower_s)} SECOND"
     ) & F.expr(f"{right_ts} <= {left_ts} + INTERVAL {int(upper_s)} SECOND")

@@ -21,6 +21,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (LTZ) for
+    watermarking. Parquet written by tz-naive writers reads back as
+    TIMESTAMP_NTZ, which ``withWatermark`` rejects
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). With the session timezone
+    pinned to UTC (session.py) the cast is value-preserving, so batch
+    twins — which keep NTZ — still compare row-for-row equal."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
+    return df
+
+
 def _windowed(
     df: DataFrame,
     window_col: Column,
@@ -30,7 +42,7 @@ def _windowed(
     watermark: str | None,
 ) -> DataFrame:
     if watermark is not None and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = ensure_event_time(df, ts_col).withWatermark(ts_col, watermark)
     return (
         df.groupBy(window_col, *keys)
         .agg(*aggs)

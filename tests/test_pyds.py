@@ -1,0 +1,125 @@
+"""Python Data Source API: synthetic events source (sources/pyds.py).
+
+Covers the three contracts: batch partitioned read (determinism, row
+counts, partition fan-out), filter pushdown (event_type equality
+absorbed by the generator, other predicates left to Spark), and the
+bounded deterministic stream (micro-batch offsets, batch-vs-stream row
+parity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.sources.pyds import (
+    EVENT_TYPES,
+    SyntheticEventsReader,
+    _Opts,
+    register_synthetic_source,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_synthetic_source(spark)
+
+
+def _read(spark, **opts):
+    r = spark.read.format("synthetic_events")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_batch_count_and_schema(spark):
+    df = _read(spark, numPartitions=4, rowsPerPartition=250)
+    assert df.count() == 1000
+    assert [f.name for f in df.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]
+    # event_ids are the dense range 0..999 — exactly one row per id
+    assert df.select(F.count_distinct("event_id")).first()[0] == 1000
+    assert df.agg(F.min("event_id"), F.max("event_id")).first() == (0, 999)
+
+
+def test_partition_fan_out(spark):
+    df = _read(spark, numPartitions=6, rowsPerPartition=10)
+    assert df.rdd.getNumPartitions() == 6
+
+
+def test_deterministic_across_reads(spark):
+    a = _read(spark, numPartitions=3, rowsPerPartition=100, seed=7)
+    b = _read(spark, numPartitions=3, rowsPerPartition=100, seed=7)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    c = _read(spark, numPartitions=3, rowsPerPartition=100, seed=8)
+    assert not a.exceptAll(c).isEmpty()  # seed actually matters
+
+
+def test_filter_pushdown_event_type(spark):
+    base = _read(spark, numPartitions=4, rowsPerPartition=500, seed=1)
+    expected = base.where(F.col("event_type") == "click")
+    pushed = _read(spark, numPartitions=4, rowsPerPartition=500, seed=1).where(
+        F.col("event_type") == "click"
+    )
+    rows = pushed.collect()
+    assert {r.event_type for r in rows} == {"click"}
+    assert sorted(r.event_id for r in rows) == sorted(
+        r.event_id for r in expected.collect()
+    )
+
+
+def test_pushdown_contract_unit():
+    """pushFilters absorbs exactly one event_type EqualTo and returns the
+    rest as unsupported."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    reader = SyntheticEventsReader(
+        _Opts({"numpartitions": "1", "rowsperpartition": "10"})
+    )
+    leftover = list(
+        reader.pushFilters(
+            [EqualTo(("event_type",), "view"), GreaterThan(("user_id",), 5)]
+        )
+    )
+    assert reader.event_type_eq == "view"
+    assert len(leftover) == 1 and leftover[0].attribute == ("user_id",)
+    batch = next(reader.read(reader.partitions()[0]))
+    assert set(batch.column("event_type").to_pylist()) <= {"view"}
+
+
+def test_value_domain(spark):
+    df = _read(spark, numPartitions=2, rowsPerPartition=200)
+    stats = df.agg(
+        F.min("value"), F.max("value"), F.count_distinct("event_type")
+    ).first()
+    assert 0.0 <= stats[0] and stats[1] < 1000.0
+    assert stats[2] == len(EVENT_TYPES)
+    ks = df.select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+    assert ks.where(F.col("k").isNull() | (F.col("k") < 0) | (F.col("k") > 99)).isEmpty()
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    """3 micro-batches of 40 rows == the first 120 rows of the batch
+    read; the stream then reports caught-up so processAllAvailable
+    returns."""
+    q = (
+        spark.readStream.format("synthetic_events")
+        .option("rowsPerBatch", 40)
+        .option("maxRows", 120)
+        .option("seed", 5)
+        .load()
+        .writeStream.format("memory")
+        .queryName("pyds_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.table("pyds_stream")
+    assert streamed.count() == 120
+    batch = _read(spark, numPartitions=1, rowsPerPartition=120, seed=5)
+    assert streamed.exceptAll(batch).isEmpty()
+    assert batch.exceptAll(streamed).isEmpty()
