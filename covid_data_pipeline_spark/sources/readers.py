@@ -7,6 +7,7 @@ reach the scan via Catalyst pushdown (no materialization here).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -85,6 +86,64 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     pushdown/pruning contract as parquet: predicates and required
     columns reach the native reader, hive-style partition dirs prune."""
     return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Whole-file binary scan (``binaryFile`` format): one row per file
+    with ``path, modificationTime, length, content``. The ingest face of
+    the multimodal family — raw image/audio/video files become opaque
+    binary rows Spark distributes like any other data.
+
+    Scale notes: files are assigned to tasks by size
+    (``spark.sql.files.maxPartitionBytes`` governs packing), so millions
+    of small media files parallelize across executors; ``length`` and
+    ``path`` filters prune BEFORE content is read (only the matched
+    files' bytes are fetched). Keep per-file size under
+    ``spark.sql.sources.binaryFile.maxLength`` (int32 max) — shard
+    larger media at landing time.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
+
+
+def read_media_dir(
+    spark: SparkSession,
+    path: str,
+    media_type: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Land a directory of media files in the MEDIA_SCHEMA contract
+    (``media_id, payload, meta`` — operators/multimodal.py): binaryFile
+    rows mapped to a stable 63-bit id (xxhash64 of the file path), the
+    payload, and metadata with ``format`` parsed from the extension.
+    Width/height/duration stay NULL until the (stubbed) decode step
+    fills them — the plumbing the featurize/resize/chunk operators
+    consume directly.
+    """
+    files = read_binary_files(spark, path, glob=glob)
+    fmt = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    null_i = F.lit(None).cast("int")
+    return files.select(
+        F.abs(F.xxhash64(F.col("path"))).alias("media_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            fmt.alias("format"),
+            null_i.alias("width"),
+            null_i.alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            null_i.alias("sample_rate"),
+        ).alias("meta"),
+    )
 
 
 def read_parquet_dir(spark: SparkSession, path: str) -> DataFrame:

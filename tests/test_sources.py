@@ -115,3 +115,47 @@ def test_csv_quarantine_splits_bad_rows(spark, tmp_path):
     assert good_ids == [1, 3]
     assert bad_lines == ["2,notanumber,1.0", "4,5", "5,8,oops"]
     assert good.columns == ["id", "qty", "price"]
+
+
+def test_binary_files_scan_and_glob(spark, tmp_path):
+    """binaryFile scan: one row per file, glob filters non-matching
+    files before their bytes are read, nested dirs found recursively."""
+    from covid_data_pipeline_spark.sources.readers import read_binary_files
+
+    (tmp_path / "nested").mkdir()
+    (tmp_path / "a.jpg").write_bytes(b"\xff\xd8fakejpegbytes")
+    (tmp_path / "nested" / "b.jpg").write_bytes(b"\xff\xd8more")
+    (tmp_path / "notes.txt").write_bytes(b"not media")
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.jpg")
+    rows = {pathlib.Path(r["path"]).name: r for r in df.collect()}
+    assert set(rows) == {"a.jpg", "b.jpg"}
+    assert bytes(rows["a.jpg"]["content"]) == b"\xff\xd8fakejpegbytes"
+    assert rows["b.jpg"]["length"] == 6
+
+
+def test_media_dir_lands_in_media_schema_and_featurizes(spark, tmp_path):
+    """Files on disk → MEDIA_SCHEMA rows → fake featurize: the full
+    multimodal ingest chain with stable content-independent ids."""
+    from covid_data_pipeline_spark.operators.multimodal import (
+        decode_and_featurize_images,
+    )
+    from covid_data_pipeline_spark.sources.readers import read_media_dir
+
+    (tmp_path / "x.PNG").write_bytes(b"payload-one")
+    (tmp_path / "y.png").write_bytes(b"payload-two")
+
+    media = read_media_dir(spark, str(tmp_path), media_type="image")
+    rows = media.collect()
+    assert len(rows) == 2
+    assert {r["meta"]["format"] for r in rows} == {"png"}
+    assert all(r["meta"]["media_type"] == "image" for r in rows)
+    assert all(r["media_id"] >= 0 for r in rows)
+    # ids are path-stable: re-reading yields the identical id set
+    again = {r["media_id"] for r in read_media_dir(spark, str(tmp_path), "image").collect()}
+    assert again == {r["media_id"] for r in rows}
+
+    feats = decode_and_featurize_images(media, fake=True).collect()
+    assert len(feats) == 2
+    assert all(len(f["features"]) == 8 for f in feats)
+    assert {f["n_bytes"] for f in feats} == {11}
