@@ -830,3 +830,103 @@ def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pct_of_region"),
     )
+
+
+@register(
+    "recursive_order_chain",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT o_custkey, o_orderkey,
+             LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+               AS next_key,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    chain AS (
+      SELECT o_custkey, o_orderkey, 1 AS step FROM edges WHERE rn = 1
+      UNION ALL
+      SELECT e.o_custkey, e.next_key, c.step + 1
+      FROM chain c
+      JOIN edges e
+        ON e.o_orderkey = c.o_orderkey AND e.next_key IS NOT NULL
+    )
+    SELECT o_custkey, o_orderkey, step FROM chain
+    """,
+    tags=("olap", "recursive"),
+)
+def recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4, SPARK-24497): walk each customer's order
+    history as a linked list — anchor at the first order, follow
+    LEAD-derived next-order edges, numbering steps as it goes. The same
+    ANSI ``WITH RECURSIVE`` text runs on both engines.
+
+    Scale posture: recursion depth is the max chain length = orders per
+    customer, which is a CONSTANT of the schema (~25 in TPC-H-shaped
+    data), not a function of data volume — each of the ~25 rounds is a
+    frontier join that Catalyst plans like any equi-join, so 100× data
+    widens rounds but never deepens them. (Unbounded-depth graph
+    problems stay on `operators/graph.py`'s large-star/small-star,
+    which needs only O(log n) rounds.)
+    """
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+          SELECT o_custkey, o_orderkey,
+                 LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+                   AS next_key,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders
+        ),
+        chain AS (
+          SELECT o_custkey, o_orderkey, CAST(1 AS BIGINT) AS step
+          FROM edges WHERE rn = 1
+          UNION ALL
+          SELECT e.o_custkey, e.next_key, c.step + 1
+          FROM chain c
+          JOIN edges e
+            ON e.o_orderkey = c.o_orderkey AND e.next_key IS NOT NULL
+        )
+        SELECT o_custkey, o_orderkey, step FROM chain
+        """
+    )
+
+
+@register(
+    "lateral_topk_orders",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c
+    CROSS JOIN LATERAL (
+      SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey
+      LIMIT 2
+    ) t
+    """,
+    tags=("olap", "lateral"),
+)
+def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (Spark 4 `DataFrame.lateralJoin`): the
+    two most expensive orders per customer, expressed as a per-row
+    correlated subquery rather than a window. Catalyst decorrelates the
+    `.outer()` reference into a join + per-key limit, so the plan stays
+    set-based — no per-customer re-execution — while the API keeps the
+    "for each left row, run this query" shape users port from
+    LATERAL/APPLY SQL. Unique (price, orderkey) ordering per the window
+    tiebreaker policy."""
+    customer = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders")
+    topk = (
+        orders.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(2)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+    return customer.lateralJoin(topk)
