@@ -247,3 +247,49 @@ def test_bloom_filter_join_prunes_probe_side(spark, sf_dir):
             spark.conf.set(
                 "spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe_bcast
             )
+
+
+def test_skew_profile_flags_planted_hot_key(spark):
+    """A key holding ~half the rows must surface first with is_hot set;
+    uniform keys must not be flagged."""
+    from covid_data_pipeline_spark.operators.scale import skew_profile
+
+    df = spark.range(0, 10_000).select(
+        F.when(F.col("id") < 5_000, F.lit(7)).otherwise(F.col("id") % 100).alias("k")
+    )
+    prof = skew_profile(df, keys=["k"], top_n=5, hot_multiple=10.0).collect()
+    assert prof[0]["k"] == 7
+    assert prof[0]["is_hot"] is True
+    assert prof[0]["key_rows"] >= 5_000
+    # ~100 uniform keys with ~50 rows each: none within 10x of the mean
+    assert all(not r["is_hot"] for r in prof[1:])
+
+
+def test_analyze_stats_enable_cbo_broadcast(spark, sf_dir, tmp_path):
+    """ANALYZE TABLE feeds the cost-based optimizer: with column stats
+    on a small catalog table, Catalyst picks a broadcast join for it
+    without an explicit hint — the decision that matters when the probe
+    side is 100 TB and a shuffle of it costs hours."""
+    from covid_data_pipeline_spark.harness.tables import table as t
+
+    nation = t(spark, sf_dir, "nation")
+    spark.sql("CREATE DATABASE IF NOT EXISTS statsdb")
+    spark.sql("DROP TABLE IF EXISTS statsdb.nation_stats")
+    nation.write.saveAsTable("statsdb.nation_stats")
+    spark.sql(
+        "ANALYZE TABLE statsdb.nation_stats COMPUTE STATISTICS FOR ALL COLUMNS"
+    )
+    stats_row = spark.sql(
+        "DESCRIBE TABLE EXTENDED statsdb.nation_stats"
+    ).where("col_name = 'Statistics'").collect()
+    assert stats_row and "rows" in stats_row[0]["data_type"]
+
+    cust = t(spark, sf_dir, "customer")
+    joined = cust.join(
+        spark.table("statsdb.nation_stats"),
+        cust["c_nationkey"] == F.col("n_nationkey"),
+    )
+    joined.collect()  # AQE finalizes the physical plan on execution
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    spark.sql("DROP TABLE statsdb.nation_stats")
