@@ -273,3 +273,42 @@ def sample_per_group_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
     return sample_per_group(d, ["lang"], "doc_id", n=5)
+
+
+_MIX_HEAVY = tuple(f"src{i}" for i in range(5))
+_MIX_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN 0.11" for s in _MIX_HEAVY)
+    + " ELSE 0.03 END"
+)
+
+
+@register(
+    "mixture_sample_docs",
+    f"""
+    WITH n AS (
+      SELECT source, COUNT(*) AS grp_n FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, grp_n, {_MIX_CASE} AS wgt FROM n
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d
+    JOIN w ON d.source = w.source
+    WHERE {_KHASH} < LEAST(1.0, 300.0 * w.wgt / w.grp_n) * 4294967296.0
+    """,
+    tags=("training", "mixture", "sample"),
+)
+def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture resampling (`operators/sampling.py::mixture_sample`):
+    rebalance the 20 uniform sources toward a 5-heavy / 15-light target
+    (0.11 vs 0.03, summing to 1). Heavy sources hit the keep-all cap;
+    light sources thin to their hash-threshold rate. Counts are
+    broadcast back as rates — the corpus never shuffles."""
+    from covid_data_pipeline_spark.operators.sampling import mixture_sample
+
+    docs = table(spark, sf_dir, "documents")
+    weights = {f"src{i}": (0.11 if f"src{i}" in _MIX_HEAVY else 0.03) for i in range(20)}
+    return mixture_sample(
+        docs, "source", weights, target_rows=300, id_col="doc_id"
+    ).select("doc_id", "source")

@@ -180,3 +180,48 @@ def sample_per_group(
         .filter(F.col(rank_col) <= n)
         .drop(rank_col)
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    target_rows: int,
+    id_col: str,
+) -> DataFrame:
+    """Resample to a target group mixture (the training-data "data
+    mixture" step: rebalance sources toward prescribed weights).
+
+    Group ``g`` keeps ``min(1, target_rows * w_g / n_g)`` of its rows by
+    deterministic hash threshold (same Knuth-hash contract as
+    :func:`hash_split` — reproducible on any partitioning, verifiable by
+    an oracle engine). An under-represented group caps at keep-all
+    (upsampling/replication is a separate, explicit step). Groups absent
+    from ``weights`` are dropped — pass an explicit weight for every
+    group you want kept.
+
+    Scale shape: one map-side-combined count per group (|groups| rows),
+    broadcast back as per-group rates, then a pushable hash filter —
+    the corpus itself never shuffles.
+    """
+    _require_integral_id(df, id_col)
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    wmap = F.create_map(
+        *[F.lit(x) for k, v in weights.items() for x in (k, float(v))]
+    )
+    rates = (
+        counts.withColumn("__w", wmap[F.col(group_col)])
+        .filter(F.col("__w").isNotNull())
+        .withColumn(
+            "__rate",
+            F.least(
+                F.lit(1.0), F.lit(float(target_rows)) * F.col("__w") / F.col("__n")
+            ),
+        )
+        .select(group_col, "__rate")
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(knuth_hash(id_col) < F.col("__rate") * F.lit(HASH_MOD))
+        .drop("__rate")
+    )

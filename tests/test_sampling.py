@@ -158,3 +158,40 @@ def test_sample_per_group_quota_and_determinism(spark, sf_dir):
         for r in sample_per_group(d.repartition(7), ["lang"], "doc_id", n=5).collect()
     }
     assert again == picked
+
+
+def test_mixture_sample_rates_and_determinism(spark, sf_dir):
+    from covid_data_pipeline_spark.harness.tables import table
+    from covid_data_pipeline_spark.operators.sampling import mixture_sample
+
+    docs = table(spark, sf_dir, "documents")
+    weights = {f"src{i}": (0.2 if i < 2 else 0.1 / 18) for i in range(20)}
+    out = mixture_sample(docs, "source", weights, target_rows=60, id_col="doc_id")
+
+    by_src = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    # heavy sources want 60*0.2=12 of ~25 rows: rate<1, roughly half kept
+    assert 0 < by_src.get("src0", 0) < n_src0
+    # light sources want 60*0.0055≈0.33 rows: mostly empty, never many
+    assert all(by_src.get(f"src{i}", 0) <= 3 for i in range(2, 20))
+
+    # deterministic under repartitioning
+    again = mixture_sample(
+        docs.repartition(13), "source", weights, target_rows=60, id_col="doc_id"
+    )
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).isEmpty()
+    assert again.select("doc_id").exceptAll(out.select("doc_id")).isEmpty()
+
+
+def test_mixture_sample_caps_at_keep_all_and_drops_unlisted(spark, sf_dir):
+    from covid_data_pipeline_spark.harness.tables import table
+    from covid_data_pipeline_spark.operators.sampling import mixture_sample
+
+    docs = table(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs, "source", {"src3": 1.0}, target_rows=10_000, id_col="doc_id"
+    )
+    # src3 wants 10000 rows but only has ~25: keep-all cap, no inflation
+    assert out.count() == docs.filter(F.col("source") == "src3").count()
+    assert {r["source"] for r in out.select("source").distinct().collect()} == {"src3"}
