@@ -312,3 +312,42 @@ def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(
         docs, "source", weights, target_rows=300, id_col="doc_id"
     ).select("doc_id", "source")
+
+
+@register(
+    "mixture_resample_docs",
+    f"""
+    WITH n AS (
+      SELECT source, COUNT(*) AS grp_n FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, grp_n, {_MIX_CASE} AS wgt FROM n
+    ),
+    r AS (
+      SELECT d.doc_id, d.source,
+             CAST(FLOOR(1000.0 * w.wgt / w.grp_n) AS BIGINT)
+             + CASE WHEN {_KHASH} <
+                 ((1000.0 * w.wgt / w.grp_n)
+                  - FLOOR(1000.0 * w.wgt / w.grp_n)) * 4294967296.0
+               THEN 1 ELSE 0 END AS reps
+      FROM documents d
+      JOIN w ON d.source = w.source
+    )
+    SELECT doc_id, source, CAST(t.rep AS BIGINT) AS replica_idx
+    FROM r, UNNEST(range(r.reps)) AS t(rep)
+    """,
+    tags=("training", "mixture", "upsample"),
+)
+def mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-direction mixture (`operators/sampling.py::mixture_resample`):
+    target 1000 rows over the 5-heavy / 15-light weights — heavy sources
+    replicate ~4.4x (epoch mixing), light ~1.2x, every replica tagged.
+    Expected output = the target exactly; realized set a pure function
+    of ids."""
+    from covid_data_pipeline_spark.operators.sampling import mixture_resample
+
+    docs = table(spark, sf_dir, "documents")
+    weights = {f"src{i}": (0.11 if f"src{i}" in _MIX_HEAVY else 0.03) for i in range(20)}
+    return mixture_resample(
+        docs, "source", weights, target_rows=1000, id_col="doc_id"
+    ).select("doc_id", "source", F.col("replica_idx").cast("bigint").alias("replica_idx"))

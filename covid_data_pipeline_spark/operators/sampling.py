@@ -225,3 +225,58 @@ def mixture_sample(
         .filter(knuth_hash(id_col) < F.col("__rate") * F.lit(HASH_MOD))
         .drop("__rate")
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    target_rows: int,
+    id_col: str,
+    replica_col: str = "replica_idx",
+) -> DataFrame:
+    """Mixture resampling in BOTH directions: hit ``target_rows * w_g``
+    rows per group by deterministic replication (epoch mixing) and/or
+    hash-thinning.
+
+    Each row's replica count is ``floor(f_g)`` plus one more when its
+    Knuth hash falls under ``frac(f_g)``, where ``f_g = target_rows *
+    w_g / n_g`` — so expected output is exactly the target and the
+    realized set is a pure function of ids (reproducible across runs,
+    partitionings, and engines). Replicas are distinguished by
+    ``replica_col`` (0-based). With ``f_g <= 1`` everywhere this
+    degrades to :func:`mixture_sample`'s thinning — prefer that
+    operator for downsample-only mixtures (a pushable filter, no row
+    expansion in the plan).
+
+    Scale shape: tiny per-group counts broadcast back as factors; the
+    explode happens partition-locally after a pushable ``reps > 0``
+    pre-filter, so the corpus never shuffles and dropped groups never
+    expand.
+    """
+    _require_integral_id(df, id_col)
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    wmap = F.create_map(
+        *[F.lit(x) for k, v in weights.items() for x in (k, float(v))]
+    )
+    factors = (
+        counts.withColumn("__w", wmap[F.col(group_col)])
+        .filter(F.col("__w").isNotNull())
+        .withColumn("__f", F.lit(float(target_rows)) * F.col("__w") / F.col("__n"))
+        .select(group_col, "__f")
+    )
+    full = F.floor(F.col("__f")).cast("long")
+    frac = F.col("__f") - F.floor(F.col("__f"))
+    reps = full + F.when(
+        knuth_hash(id_col) < frac * F.lit(HASH_MOD), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.join(F.broadcast(factors), group_col)
+        .withColumn("__reps", reps)
+        .filter(F.col("__reps") > 0)
+        .withColumn(
+            replica_col,
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("__reps") - 1)),
+        )
+        .drop("__f", "__reps")
+    )

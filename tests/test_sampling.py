@@ -195,3 +195,29 @@ def test_mixture_sample_caps_at_keep_all_and_drops_unlisted(spark, sf_dir):
     # src3 wants 10000 rows but only has ~25: keep-all cap, no inflation
     assert out.count() == docs.filter(F.col("source") == "src3").count()
     assert {r["source"] for r in out.select("source").distinct().collect()} == {"src3"}
+
+
+def test_mixture_resample_replicates_toward_target(spark, sf_dir):
+    from covid_data_pipeline_spark.harness.tables import table
+    from covid_data_pipeline_spark.operators.sampling import mixture_resample
+
+    docs = table(spark, sf_dir, "documents")
+    weights = {f"src{i}": 0.05 for i in range(20)}  # uniform, 2x upsample
+    out = mixture_resample(docs, "source", weights, target_rows=1000, id_col="doc_id")
+    total = out.count()
+    # expectation is exactly 1000; hash realization stays close
+    assert 900 <= total <= 1100
+    # every row appears at least floor(2.0)=2 times, replicas tagged 0..k
+    per_doc = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("replica_idx").alias("mx")
+    )
+    bad = per_doc.filter((F.col("n") < 2) | (F.col("mx") != F.col("n") - 1))
+    assert bad.isEmpty()
+
+    # deterministic under repartitioning
+    again = mixture_resample(
+        docs.repartition(7), "source", weights, target_rows=1000, id_col="doc_id"
+    )
+    key = ["doc_id", "replica_idx"]
+    assert out.select(*key).exceptAll(again.select(*key)).isEmpty()
+    assert again.select(*key).exceptAll(out.select(*key)).isEmpty()
