@@ -166,6 +166,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type
     """,
     tags=("functions", "json", "variant"),
+    bench=True,
 )
 def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VARIANT-typed JSON props (Spark 4 `parse_json` + `variant_get`).
@@ -645,6 +646,7 @@ def ewma_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     tags=("scale", "skew", "diagnostic"),
+    bench=True,
 )
 def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter profile of the events join key

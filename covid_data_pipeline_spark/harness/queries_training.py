@@ -298,6 +298,7 @@ _MIX_CASE = (
     WHERE {_KHASH} < LEAST(1.0, 300.0 * w.wgt / w.grp_n) * 4294967296.0
     """,
     tags=("training", "mixture", "sample"),
+    bench=True,
 )
 def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture resampling (`operators/sampling.py::mixture_sample`):
@@ -337,6 +338,7 @@ def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r, UNNEST(range(r.reps)) AS t(rep)
     """,
     tags=("training", "mixture", "upsample"),
+    bench=True,
 )
 def mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-direction mixture (`operators/sampling.py::mixture_resample`):

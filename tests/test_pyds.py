@@ -123,3 +123,55 @@ def test_stream_matches_batch(spark, tmp_path):
     batch = _read(spark, numPartitions=1, rowsPerPartition=120, seed=5)
     assert streamed.exceptAll(batch).isEmpty()
     assert batch.exceptAll(streamed).isEmpty()
+
+
+def test_stream_through_tumbling_window_matches_batch(spark, tmp_path):
+    """The synthetic stream drives the engine's watermarked tumbling
+    aggregation and lands on the same rows as the batch twin over the
+    identical generated data — source, window operator, and
+    batch/stream polymorphism verified together."""
+    from pyspark.sql import functions as F
+
+    from covid_data_pipeline_spark.streaming.windows import tumbling_agg
+
+    aggs = dict(
+        ts_col="ts",
+        duration="1 hour",
+        keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("events_cnt")],
+    )
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rowsPerBatch", 500)
+        .option("maxRows", 2000)
+        .option("stepSeconds", 30)
+        .option("seed", 11)
+        .load()
+    )
+    q = (
+        tumbling_agg(stream, watermark="10 minutes", **aggs)
+        .writeStream.format("memory")
+        .queryName("pyds_tumbling")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.table("pyds_tumbling").select(
+        "event_type", "events_cnt", "window_start", "window_end"
+    )
+    batch = tumbling_agg(
+        _read(spark, numPartitions=1, rowsPerPartition=2000, stepSeconds=30, seed=11),
+        **aggs,
+    ).select(
+        "event_type",
+        "events_cnt",
+        F.col("window_start").cast("timestamp_ltz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ltz").alias("window_end"),
+    )
+    assert streamed.count() == batch.count() > 0
+    assert streamed.exceptAll(batch).isEmpty()
+    assert batch.exceptAll(streamed).isEmpty()

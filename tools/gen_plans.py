@@ -43,6 +43,10 @@ NOTES = {
     "docs_gopher_filter": "All seven rules evaluate in one codegen'd projection pass (nested let binds the token split once); the per-source rollup is the only shuffle and carries booleans already reduced to ints.",
     "doc_perplexity_bigram": "Bigrams via zip_with: projection only. One shuffle builds bigram counts; context counts regroup FROM those counts (map-side, no second corpus pass); vocab rides a broadcast cross join; scoring joins are hash joins on (w1,w2)/(w1) with the model relation corpus-bounded - prune with min_count to broadcast.",
     "similarity_topk_ivf_pretrained": "Same probe plan as cold IVF minus the k-means training jobs: centroid assignment is Arrow/BLAS map-side, probe equi-join touches nprobe/n_centroids of the corpus.",
+    "events_variant_props": "parse_json runs once per row in the projection; every variant_get after it is a binary path lookup, not a re-parse - the agg shuffle carries only (event_type, k) pairs. At 100 TB the VARIANT column would be materialized at ingest and this plan starts at the lookup.",
+    "skew_profile_events": "Map-side-combined count per key, then the single-row totals re-enter via a broadcast join - no full-key-set window, so the diagnostic itself cannot straggle on the skew it measures. TakeOrderedAndProject caps the output.",
+    "mixture_sample_docs": "Per-group counts reduce to |groups| rows and broadcast back as rates; the hash filter evaluates in the scan projection - the corpus is never shuffled or expanded.",
+    "mixture_resample_docs": "Same broadcast-rates shape plus a partition-local explode behind a pushable reps > 0 filter: replication happens where the row lives; dropped groups never expand.",
 }
 
 HEADER = """# PLANS - physical plans of the headline (bench) queries
