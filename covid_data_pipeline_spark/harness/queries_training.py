@@ -353,3 +353,27 @@ def mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_resample(
         docs, "source", weights, target_rows=1000, id_col="doc_id"
     ).select("doc_id", "source", F.col("replica_idx").cast("bigint").alias("replica_idx"))
+
+
+@register(
+    "train_order_shuffle",
+    f"""
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (ORDER BY {_KHASH}, doc_id) AS BIGINT)
+             AS train_order
+    FROM documents
+    """,
+    tags=("training", "shuffle", "order"),
+)
+def train_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle
+    (`operators/sampling.py::global_hash_order`): dense global rank over
+    the Knuth-hash order, computed with range partitioning + offset
+    arithmetic instead of the single-partition ORDER BY window the
+    oracle uses — same answer, no one-task sort of the corpus."""
+    from covid_data_pipeline_spark.operators.sampling import global_hash_order
+
+    docs = table(spark, sf_dir, "documents")
+    return global_hash_order(docs, "doc_id").select(
+        "doc_id", "source", F.col("train_order").cast("bigint").alias("train_order")
+    )

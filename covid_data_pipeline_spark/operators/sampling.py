@@ -280,3 +280,47 @@ def mixture_resample(
         )
         .drop("__f", "__reps")
     )
+
+
+def global_hash_order(
+    df: DataFrame,
+    id_col: str,
+    rank_col: str = "train_order",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic training-order shuffle: a dense 1-based global rank
+    over ``(knuth_hash(id), id)`` — the reproducible "random" order a
+    training run reads the corpus in (same hash contract as
+    :func:`hash_split`, so the order survives re-runs, appends of other
+    partitions, and any cluster layout).
+
+    The scale point is HOW the global rank is computed: a naive
+    ``row_number() OVER (ORDER BY ...)`` is a single-partition window —
+    one task sorts the universe. Instead: range-repartition on the sort
+    key (contiguous key ranges per partition), count rows per partition
+    (tiny), turn counts into per-partition offsets, and add each row's
+    within-partition row_number. Global rank = offset + local rank,
+    exact for any partition boundary placement because ranges are
+    contiguous and the key is a total order. Cost: two exchanges of the
+    corpus (range + pid-window) and a |partitions|-row offset table —
+    no single-task sort anywhere.
+    """
+    _require_integral_id(df, id_col)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    keyed = df.withColumn("__k", knuth_hash(id_col))
+    ranged = keyed.repartitionByRange(n, F.col("__k"), F.col(id_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    w_local = Window.partitionBy("__pid").orderBy(F.col("__k"), F.col(id_col))
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, F.col("__off") + F.row_number().over(w_local))
+        .drop("__k", "__pid", "__off")
+    )

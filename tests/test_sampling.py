@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from covid_data_pipeline_spark.harness.tables import table
@@ -221,3 +222,36 @@ def test_mixture_resample_replicates_toward_target(spark, sf_dir):
     key = ["doc_id", "replica_idx"]
     assert out.select(*key).exceptAll(again.select(*key)).isEmpty()
     assert again.select(*key).exceptAll(out.select(*key)).isEmpty()
+
+
+def test_global_hash_order_dense_and_deterministic(spark, sf_dir):
+    from covid_data_pipeline_spark.harness.tables import table
+    from covid_data_pipeline_spark.operators.sampling import (
+        global_hash_order,
+        knuth_hash,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    n = docs.count()
+    out = global_hash_order(docs, "doc_id", num_partitions=7)
+    ranks = [r[0] for r in out.select("train_order").collect()]
+    assert sorted(ranks) == list(range(1, n + 1))  # dense, 1..N, no ties
+
+    # agrees with the naive single-partition global sort
+    naive = docs.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(knuth_hash("doc_id"), F.col("doc_id")))
+        .alias("train_order"),
+    )
+    joined = out.select("doc_id", "train_order").join(
+        naive.withColumnRenamed("train_order", "naive_order"), "doc_id"
+    )
+    assert joined.filter(F.col("train_order") != F.col("naive_order")).isEmpty()
+
+    # stable under input repartitioning and different partition counts
+    again = global_hash_order(docs.repartition(3), "doc_id", num_partitions=13)
+    j2 = out.select("doc_id", "train_order").join(
+        again.withColumnRenamed("train_order", "o2").select("doc_id", "o2"), "doc_id"
+    )
+    assert j2.filter(F.col("train_order") != F.col("o2")).isEmpty()
