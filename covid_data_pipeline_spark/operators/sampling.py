@@ -296,31 +296,36 @@ def global_hash_order(
 
     The scale point is HOW the global rank is computed: a naive
     ``row_number() OVER (ORDER BY ...)`` is a single-partition window —
-    one task sorts the universe. Instead: range-repartition on the sort
-    key (contiguous key ranges per partition), count rows per partition
-    (tiny), turn counts into per-partition offsets, and add each row's
-    within-partition row_number. Global rank = offset + local rank,
-    exact for any partition boundary placement because ranges are
-    contiguous and the key is a total order. Cost: two exchanges of the
-    corpus (range + pid-window) and a |partitions|-row offset table —
-    no single-task sort anywhere.
+    one task sorts the universe. Instead the hash key's uniformity is
+    exploited directly: bucket = ``floor(hash / (2^32 / n))`` — a pure
+    expression, so bucket boundaries are contiguous, deterministic, and
+    data-independent (no sampled range exchange, no
+    ``spark_partition_id``, both of which shift under AQE coalescing
+    and would corrupt the offsets — caught by a 16M-row stress run).
+    Count rows per bucket (tiny), cumsum the counts into per-bucket
+    offsets, broadcast them back, and add each row's within-bucket
+    row_number. Global rank = offset + local rank, exact because
+    buckets partition the key space in order and (hash, id) is a total
+    order. Cost: ONE exchange of the corpus (the bucket window) plus a
+    |buckets|-row offset table — no single-task sort anywhere, balance
+    guaranteed by hash uniformity rather than sampling.
     """
     _require_integral_id(df, id_col)
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    keyed = df.withColumn("__k", knuth_hash(id_col))
-    ranged = keyed.repartitionByRange(n, F.col("__k"), F.col(id_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    bucket_width = HASH_MOD // n + 1
+    keyed = df.withColumn("__k", knuth_hash(id_col)).withColumn(
+        "__b", (F.col("__k") / F.lit(bucket_width)).cast("long")
     )
-    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
-    w_off = Window.orderBy("__pid").rowsBetween(
+    counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__b").rowsBetween(
         Window.unboundedPreceding, Window.currentRow - 1
     )
     offsets = counts.withColumn(
         "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
-    ).select("__pid", "__off")
-    w_local = Window.partitionBy("__pid").orderBy(F.col("__k"), F.col(id_col))
+    ).select("__b", "__off")
+    w_local = Window.partitionBy("__b").orderBy(F.col("__k"), F.col(id_col))
     return (
-        ranged.join(F.broadcast(offsets), "__pid")
+        keyed.join(F.broadcast(offsets), "__b")
         .withColumn(rank_col, F.col("__off") + F.row_number().over(w_local))
-        .drop("__k", "__pid", "__off")
+        .drop("__k", "__b", "__off")
     )

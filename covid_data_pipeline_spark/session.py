@@ -27,6 +27,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    driver_memory: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's defaults.
 
@@ -37,6 +38,10 @@ def get_spark(
     engine-portable.
     """
     cpus = _DEFAULT_CPUS
+    # In local mode the driver JVM hosts every executor thread; Spark's
+    # 1g default heap cannot absorb a multi-million-row sort spill. Only
+    # effective for a FRESH JVM (getOrCreate cannot resize a live one).
+    mem = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
@@ -67,6 +72,8 @@ def get_spark(
         .config("spark.sql.caseSensitive", "false")
         .config("spark.ui.enabled", "false")
     )
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -255,3 +255,29 @@ def test_global_hash_order_dense_and_deterministic(spark, sf_dir):
         again.withColumnRenamed("train_order", "o2").select("doc_id", "o2"), "doc_id"
     )
     assert j2.filter(F.col("train_order") != F.col("o2")).isEmpty()
+
+
+def test_global_hash_order_dense_at_1m_rows(spark):
+    """Regression for the AQE-coalescing rank corruption: at small
+    scale every plan coalesces identically and the bug hid; at millions
+    of rows the sampled-range/pid variant produced non-dense ranks.
+    The bucket-expression implementation must stay exact."""
+    from covid_data_pipeline_spark.operators.sampling import global_hash_order
+    from covid_data_pipeline_spark.sources.pyds import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("numPartitions", 16)
+        .option("rowsPerPartition", 62_500)
+        .load()
+        .select("event_id")
+    )
+    out = global_hash_order(df, "event_id", num_partitions=16)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("train_order").alias("mn"),
+        F.max("train_order").alias("mx"),
+        F.count_distinct("train_order").alias("d"),
+    ).first()
+    assert (stats.n, stats.mn, stats.mx, stats.d) == (1_000_000, 1, 1_000_000, 1_000_000)
