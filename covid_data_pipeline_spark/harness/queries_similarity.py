@@ -377,3 +377,31 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(JL_OUT_DIM)
         ],
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(FLOOR(x * (127.0 / GREATEST(mx, 1e-30)) + 0.5)
+                       AS INTEGER)) AS qvec,
+           127.0 / GREATEST(mx, 1e-30) AS scale
+    FROM (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, y -> abs(y))) AS mx
+      FROM embeddings
+    )
+    """,
+    tags=("similarity", "embedding", "quantize"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization
+    (`operators/similarity.py::quantize_int8`): 4x smaller embeddings at
+    rest and on the wire, coordinate error bounded by max|x|/127. Every
+    coordinate and the raw IEEE scale are hash-compared against the
+    oracle — floor(x+0.5) round-half-up, never decimal round."""
+    from covid_data_pipeline_spark.operators.similarity import quantize_int8
+
+    emb = table(spark, sf_dir, "embeddings")
+    return quantize_int8(emb, "embedding").select("vec_id", "qvec", "scale")

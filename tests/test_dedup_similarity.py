@@ -379,3 +379,33 @@ def test_random_projection_matches_numpy_and_bounds_distortion(spark, sf_dir):
     d8, d32 = mean_dist(8), mean_dist(32)
     assert d32 < d8
     assert mean_dist(16) < 0.5
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark):
+    from pyspark.sql import functions as F
+
+    from covid_data_pipeline_spark.operators.similarity import quantize_int8
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [100.0, -50.0, 0.001, 99.9]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = quantize_int8(df, "embedding").collect()
+    by_id = {r["vec_id"]: r for r in out}
+
+    for r in out:
+        assert all(-127 <= q <= 127 for q in r["qvec"])
+    assert by_id[3]["qvec"] == [0, 0, 0, 0]
+
+    # reconstruction error per coordinate <= max|x|/127 (half a step)
+    for vid, vec in rows:
+        r = by_id[vid]
+        maxabs = max(abs(x) for x in vec)
+        if maxabs == 0:
+            continue
+        for x, q in zip(vec, r["qvec"]):
+            assert abs(x - q / r["scale"]) <= maxabs / 127 / 2 + 1e-9
+    # extremes hit the full range
+    assert min(by_id[1]["qvec"]) == -127 and max(by_id[2]["qvec"]) == 127
