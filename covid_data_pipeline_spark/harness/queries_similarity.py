@@ -405,3 +405,62 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return quantize_int8(emb, "embedding").select("vec_id", "qvec", "scale")
+
+
+_QUANT_COSINE_ORACLE = f"""
+WITH dq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(x * (127.0 / GREATEST(mx, 1e-30)) + 0.5) AS INTEGER)
+                / (127.0 / GREATEST(mx, 1e-30))) AS v
+  FROM (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, y -> abs(y))) AS mx
+    FROM embeddings
+  )
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv FROM dq WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(
+           list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+           4) AS similarity
+  FROM dq e, q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, similarity FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= {TOP_K}
+"""
+
+
+@register(
+    "similarity_topk_quantized",
+    _QUANT_COSINE_ORACLE,
+    tags=("similarity", "ann-baseline", "quantized"),
+)
+def similarity_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k over int8-quantized embeddings
+    (`operators/similarity.py::quantize_int8`): the search quality story
+    for the 4x storage cut — scores computed on dequantized vectors so
+    both engines evaluate the identical quantize→dequantize→cosine
+    arithmetic end-to-end. Recall vs the exact float path is asserted
+    in tests/test_dedup_similarity.py."""
+    from covid_data_pipeline_spark.operators.similarity import quantize_int8
+
+    emb = table(spark, sf_dir, "embeddings")
+    deq = quantize_int8(emb, "embedding").select(
+        "vec_id",
+        F.transform("qvec", lambda q: q / F.col("scale")).alias("embedding"),
+    )
+    queries = deq.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_bruteforce(
+        deq, queries, k=TOP_K, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id",
+    )

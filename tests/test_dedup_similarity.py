@@ -409,3 +409,22 @@ def test_quantize_int8_bounds_and_reconstruction(spark):
             assert abs(x - q / r["scale"]) <= maxabs / 127 / 2 + 1e-9
     # extremes hit the full range
     assert min(by_id[1]["qvec"]) == -127 and max(by_id[2]["qvec"]) == 127
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    """int8 quantization must barely disturb brute-force top-k: >= 80%
+    of the exact float neighbors survive per query."""
+    from covid_data_pipeline_spark.harness.registry import QUERIES
+
+    exact = QUERIES["similarity_topk_bruteforce"].fn(spark, sf_dir).collect()
+    quant = QUERIES["similarity_topk_quantized"].fn(spark, sf_dir).collect()
+    exact_sets: dict = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    quant_sets: dict = {}
+    for r in quant:
+        quant_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(exact_sets) == set(quant_sets)
+    hits = sum(len(exact_sets[q] & quant_sets[q]) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.8, f"quantized recall {hits}/{total}"
