@@ -80,6 +80,36 @@ def read_json(
     return reader.json(path)
 
 
+def read_json_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL scan with bad-line quarantine — the JSON face of
+    ``read_csv_quarantine``: PERMISSIVE mode routes unparseable lines
+    into ``corrupt_col`` instead of failing the job (FAILFAST) or
+    silently nulling fields. Returns ``(good, quarantine)`` where
+    quarantine holds the raw offending lines for the dead-letter sink.
+    Requires an explicit ``schema`` (inference double-reads AND would
+    widen types to swallow the very rows we want quarantined)."""
+    full = T.StructType(
+        [*schema.fields, T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    parsed = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        .cache()
+    )
+    good = parsed.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = parsed.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, quarantine
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — the other splittable columnar format a lakehouse
     ingests (Hive-era warehouses hand ORC over all the time). Same

@@ -159,3 +159,27 @@ def test_media_dir_lands_in_media_schema_and_featurizes(spark, tmp_path):
     assert len(feats) == 2
     assert all(len(f["features"]) == 8 for f in feats)
     assert {f["n_bytes"] for f in feats} == {11}
+
+
+def test_json_quarantine_splits_bad_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from covid_data_pipeline_spark.sources.readers import read_json_quarantine
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "qty": 3}\n'
+        "not json at all\n"
+        '{"id": 2, "qty": "NaNope"}\n'
+        '{"id": 3, "qty": 7}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("qty", T.LongType())]
+    )
+    good, bad = read_json_quarantine(spark, str(p), schema)
+    assert sorted(r["id"] for r in good.collect()) == [1, 3]
+    bad_lines = [r["raw_line"] for r in bad.collect()]
+    assert len(bad_lines) == 2
+    assert "not json at all" in bad_lines
+    assert any("NaNope" in b for b in bad_lines)
+    assert good.columns == ["id", "qty"]
