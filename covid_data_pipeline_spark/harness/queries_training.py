@@ -377,3 +377,106 @@ def train_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_hash_order(docs, "doc_id").select(
         "doc_id", "source", F.col("train_order").cast("bigint").alias("train_order")
     )
+
+
+@register(
+    "pack_length_bucketed",
+    """
+    WITH sized AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT *, CAST(length(bin(GREATEST(n_tokens, 1))) AS BIGINT)
+                  AS len_bucket
+      FROM sized
+    )
+    SELECT doc_id, lang, len_bucket, n_tokens,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                  PARTITION BY lang, len_bucket ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 2048.0) AS BIGINT) AS bin_id
+    FROM bucketed
+    """,
+    tags=("training", "pack", "length-bucket"),
+)
+def pack_length_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed packing: co-bin documents of similar length
+    (bucket = power-of-two band) so every training batch pads to its
+    own band's max, not the global max — the padding-waste fix batched
+    LM training needs. The bucket is ``length(bin(n))`` — an
+    integer-exact floor(log2) both engines compute identically (no
+    float log near power-of-two boundaries). Same single-window plan as
+    plain packing, group key (lang, bucket)."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count("text")
+    )
+    bucketed = docs.withColumn(
+        "len_bucket",
+        F.length(F.bin(F.greatest(F.col("n_tokens"), F.lit(1)))).cast("bigint"),
+    )
+    packed = pack_greedy_bins(
+        bucketed,
+        group_col=["lang", "len_bucket"],
+        order_col="doc_id",
+        size_col="n_tokens",
+        budget=2048,
+    )
+    return packed.select("doc_id", "lang", "len_bucket", "n_tokens", "bin_id")
+
+
+@register(
+    "pack_bin_manifest",
+    """
+    WITH sized AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / 2048.0) AS BIGINT) AS bin_id
+      FROM sized
+    )
+    SELECT lang, bin_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS bin_tokens,
+           STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             AS doc_ids
+    FROM packed
+    GROUP BY lang, bin_id
+    """,
+    tags=("training", "pack", "manifest"),
+)
+def pack_bin_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the packing as a shard manifest: one row per bin
+    with doc count, token total, and the ordered member list — what a
+    training loader actually consumes (fetch members, concat in order).
+    The member list is sort_array(collect_list) per the repo's
+    deterministic list-agg rule, so the string hash-matches the
+    oracle's ordered STRING_AGG."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count("text")
+    )
+    packed = pack_greedy_bins(
+        docs, group_col="lang", order_col="doc_id", size_col="n_tokens",
+        budget=2048,
+    )
+    return (
+        packed.groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+            ).alias("doc_ids"),
+        )
+    )

@@ -17,6 +17,8 @@ portable integer arithmetic, unlike Murmur3 seeds).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -96,7 +98,7 @@ def stratified_hash_sample(
 
 def pack_greedy_bins(
     df: DataFrame,
-    group_col: str,
+    group_col: str | Sequence[str],
     order_col: str,
     size_col: Column | str,
     budget: int,
@@ -107,14 +109,16 @@ def pack_greedy_bins(
     Greedy cumulative packing: rows are taken in ``order_col`` order and
     ``bin_id = floor(preceding_cumulative_size / budget)`` — the standard
     sequence-packing pass that turns variable-length documents into
-    ~budget-token training sequences. One window (= one shuffle on
-    ``group_col``); a document longer than the budget claims bins by
+    ~budget-token training sequences. One window (= one shuffle on the
+    group key(s)); a document longer than the budget claims bins by
     itself. Deterministic given the ordering column, which must be unique
-    within a group.
+    within a group. ``group_col`` may be a single column or a composite
+    (e.g. ``(lang, length_bucket)`` for padding-aware packing).
     """
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
     size = F.col(size_col) if isinstance(size_col, str) else size_col
     w = (
-        Window.partitionBy(group_col)
+        Window.partitionBy(*groups)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
