@@ -38,6 +38,56 @@ def stream_append_to_table(
     return _start(stream_df, _sink, checkpoint_dir, available_now)
 
 
+def stream_append_exactly_once(
+    stream_df: DataFrame,
+    wh: Warehouse,
+    table: str,
+    checkpoint_dir: str,
+    partition_by: Sequence[str] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Append with per-micro-batch commit markers: a replayed batch id
+    (restart after a sink-side failure) is skipped instead of appended
+    twice — the standard foreachBatch transactional-sink pattern, since
+    a bare append is only at-least-once under replay.
+
+    The marker is written AFTER the data lands, so a crash in between
+    still replays that one batch; the marker shrinks the duplicate
+    window from "every replayed batch" to that single in-flight batch.
+    For strict exactly-once pair this with a keyed/dedup table or the
+    partition-overwrite sink (`stream_transform_to_table`), whose
+    rewrite is idempotent by construction.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_once(wh, table, batch_df, batch_id, partition_by=partition_by)
+
+    return _start(stream_df, _sink, checkpoint_dir, available_now)
+
+
+def append_once(
+    wh: Warehouse,
+    table: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    partition_by: Sequence[str] | None = None,
+) -> bool:
+    """Idempotent-by-marker append for one micro-batch: returns True if
+    the batch landed, False if its id was already committed (replay).
+    Exposed so the replay behavior is directly testable."""
+    import os
+
+    marker_dir = os.path.join(wh.root, "_stream_commits", *table.split("."))
+    marker = os.path.join(marker_dir, f"batch-{batch_id}")
+    if os.path.exists(marker):
+        return False
+    wh.append(batch_df, table, partition_by=partition_by)
+    os.makedirs(marker_dir, exist_ok=True)
+    with open(marker, "w") as f:
+        f.write("")
+    return True
+
+
 def stream_transform_to_table(
     stream_df: DataFrame,
     transform: Callable[[DataFrame], DataFrame],

@@ -476,3 +476,38 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     assert final == {"u1": (3, 6.0), "u2": (1, 5.0), "u3": (1, 7.0)}
     # u1 appears in both micro-batches → two emissions (state carried)
     assert sum(1 for r in rows if r.user_id == "u1") == 2
+
+
+def test_exactly_once_append_skips_replayed_batch(spark, tmp_path):
+    """Simulate a micro-batch replay: the same batch id delivered twice
+    must land exactly once; a new batch id still appends."""
+    from covid_data_pipeline_spark.sources.writers import Warehouse
+    from covid_data_pipeline_spark.streaming.pipeline import (
+        append_once,
+        stream_append_exactly_once,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.range(0, 10).toDF("id").write.mode("overwrite").parquet(
+        str(src_dir / "a.parquet")
+    )
+    stream = spark.readStream.schema("id long").parquet(str(src_dir / "*"))
+    q = stream_append_exactly_once(
+        stream, wh, "evt", str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination()
+    assert wh.read("evt").count() == 10
+
+    # restart-after-sink-crash = the same batch id delivered again:
+    # the marker suppresses the duplicate append through the REAL path
+    batch = spark.range(0, 10).toDF("id")
+    assert append_once(wh, "evt", batch, batch_id=0) is False
+    assert wh.read("evt").count() == 10
+    # a genuinely new batch id still lands
+    assert append_once(wh, "evt", spark.range(10, 15).toDF("id"), batch_id=1) is True
+    assert wh.read("evt").count() == 15
+    # and replaying THAT id is suppressed too
+    assert append_once(wh, "evt", spark.range(10, 15).toDF("id"), batch_id=1) is False
+    assert wh.read("evt").count() == 15
