@@ -308,3 +308,74 @@ def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("trailing_mean") / 100.0, 2).alias("trailing_mean"),
         F.round(z, 2).alias("z_score"),
     )
+
+
+@register(
+    "attribution_linear",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    pairs AS (
+      SELECT p.event_id AS purchase_id, p.user_id, p.value,
+             t.event_id AS touch_id, t.event_type AS touch_type
+      FROM p JOIN t
+        ON t.user_id = p.user_id
+       AND t.ts > p.ts - INTERVAL 6 HOUR AND t.ts <= p.ts
+    )
+    SELECT purchase_id, user_id, touch_id, touch_type,
+           COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches,
+           CAST(FLOOR(value * 1000000.0 /
+                      COUNT(*) OVER (PARTITION BY purchase_id)) AS BIGINT)
+             AS credit_micros
+    FROM pairs
+    """,
+    tags=("events", "temporal", "attribution", "rangejoin"),
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click/view in the 6 hours
+    before a purchase shares the purchase value equally.
+
+    Pairs come from the bucketed `time_range_join` (equi-join on
+    (user, time-bucket), never a nested loop); the per-purchase touch
+    count is one window on purchase_id. Credit is an integer
+    (floor(value x 1e6 / n)) computed PER ROW — identical IEEE
+    arithmetic on both engines, with no cross-row float summation to
+    drift (repo float policy)."""
+    from covid_data_pipeline_spark.operators.rangejoin import time_range_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    pairs = time_range_join(
+        purchases, touches, keys=["user_id"],
+        left_ts="p_ts", right_ts="t_ts",
+        lower_s=-6 * 3600.0, upper_s=0.0,
+    )
+    w = Window.partitionBy("purchase_id")
+    n = F.count(F.lit(1)).over(w)
+    return pairs.select(
+        "purchase_id",
+        "user_id",
+        "touch_id",
+        "touch_type",
+        n.alias("n_touches"),
+        F.floor(F.col("value") * 1000000.0 / n).cast("bigint").alias(
+            "credit_micros"
+        ),
+    )
