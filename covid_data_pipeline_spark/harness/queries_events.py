@@ -658,3 +658,45 @@ def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return skew_profile(ev, keys=["user_id"], top_n=20, hot_multiple=10.0)
+
+
+@register(
+    "rolling_distinct_users_7d",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    cal AS (SELECT DISTINCT day FROM du)
+    SELECT c.day, COUNT(DISTINCT d.user_id) AS users_7d
+    FROM cal c
+    JOIN du d ON d.day BETWEEN c.day - INTERVAL 6 DAY AND c.day
+    GROUP BY c.day
+    """,
+    tags=("events", "window", "distinct", "rolling"),
+)
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per active day — the sliding
+    COUNT(DISTINCT) a window frame cannot express (distinct isn't
+    algebraic, so no RANGE frame applies).
+
+    Scale shape: dedupe to (day, user) pairs first (one shuffle, corpus
+    collapses to active-pairs), then each pair contributes to the <= 7
+    target days it covers via a bounded ``sequence`` explode — a
+    fan-out of exactly the window length, NOT a self-join of the event
+    table — and one distinct-aggregate per target day. The oracle
+    states the declarative interval self-join; the explode form is the
+    same relation with work proportional to pairs x window days.
+    """
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    cal = du.select("day").distinct()
+    contrib = du.withColumn(
+        "target_day",
+        F.explode(F.expr("sequence(day, date_add(day, 6))")),
+    )
+    return (
+        contrib.join(cal.withColumnRenamed("day", "target_day"), "target_day")
+        .groupBy("target_day")
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+        .select(F.col("target_day").alias("day"), "users_7d")
+    )
