@@ -930,3 +930,29 @@ def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
     )
     return customer.lateralJoin(topk)
+
+
+@register(
+    "fuzzy_join_part_names",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    tags=("olap", "fuzzy", "entity-resolution"),
+)
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join (`operators/fuzzy.py::edit_distance_pairs`):
+    every part-name pair within Levenshtein distance 2, found via
+    symmetric-delete candidate buckets + exact verify. The oracle
+    states the all-pairs form — quadratic, which is exactly why the
+    operator exists; the engine plan is explode + hash join, work
+    proportional to true near-matches."""
+    from covid_data_pipeline_spark.operators.fuzzy import edit_distance_pairs
+
+    part = table(spark, sf_dir, "part")
+    return edit_distance_pairs(part, "p_name", k=2).select(
+        "name_a", "name_b", F.col("dist").cast("bigint").alias("dist")
+    )
