@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from covid_data_pipeline_spark.functions.text import bpe_token_count, quality_score
@@ -50,23 +50,44 @@ def curate_documents(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
     cfg: CurationConfig = CurationConfig(),
+    metrics: dict[str, Observation] | None = None,
 ) -> DataFrame:
     """Run the full curation chain; returns the curated corpus with
     ``split`` (train/valid/test), ``n_tokens``, and ``bin_id`` (packing
     bin within the split). Deterministic end-to-end: every stage keys
     off content hashes or id hashes, never rand() — a re-run on any
     partitioning reproduces the same corpus bit-for-bit.
+
+    Pass an empty dict as ``metrics`` to get per-stage row counts FOR
+    FREE: each stage is tagged with ``df.observe`` (Spark's Observation
+    API), whose aggregates ride the existing job — no second pass per
+    stage, unlike calling ``count()`` after the fact, which re-executes
+    the chain once per stage. After the first action on the returned
+    frame, ``metrics[stage].get["rows"]`` holds the count that flowed
+    through each stage boundary.
     """
     t, i = cfg.text_col, cfg.id_col
 
+    def obs(df: DataFrame, stage: str) -> DataFrame:
+        if metrics is None:
+            return df
+        o = Observation()
+        metrics[stage] = o
+        return df.observe(o, F.count(F.lit(1)).alias("rows"))
+
+    docs = obs(docs, "input")
+
     # 1. Quality gate — pure filter, pushes to the scan.
-    q = docs.filter(
-        (quality_score(t) >= cfg.min_quality)
-        & (bpe_token_count(t) >= cfg.min_tokens)
+    q = obs(
+        docs.filter(
+            (quality_score(t) >= cfg.min_quality)
+            & (bpe_token_count(t) >= cfg.min_tokens)
+        ),
+        "quality",
     )
 
     # 2. Exact dedup (min-id representative per canonical text).
-    exact = exact_dedup(q, text_col=t, id_col=i).select(i, t)
+    exact = obs(exact_dedup(q, text_col=t, id_col=i).select(i, t), "exact_dedup")
 
     # 3. Near-dup: LSH candidate pairs → transitive groups → keep the
     #    canonical (minimum-id) member of each duplicate cluster.
@@ -88,14 +109,14 @@ def curate_documents(
     drop = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(i)
     )
-    kept = exact.join(drop, i, "left_anti")
+    kept = obs(exact.join(drop, i, "left_anti"), "neardup_kept")
 
     # 4. Benchmark decontamination (broadcast semi-join on hashed grams).
     if benchmark is not None:
         dirty = contaminated_ids(
             kept, benchmark, text_col=t, id_col=i, ngram=cfg.decontam_ngram
         )
-        kept = kept.join(dirty, i, "left_anti")
+        kept = obs(kept.join(dirty, i, "left_anti"), "decontaminated")
 
     # 5. Deterministic split + 6. token-budget packing within each split
     #    (packing order = id hash order via the id itself — stable).

@@ -58,3 +58,33 @@ def test_output_is_deterministic_and_packed(spark):
     # Bins respect the token budget (each doc is far under it, so bin 0
     # must hold more than one doc per split).
     assert all(r["bin_id"] >= 0 for r in a.collect())
+
+
+def test_observation_metrics_match_recomputed_counts(spark, sf_dir):
+    """Stage counts via df.observe ride the single curation action; they
+    must equal independently recomputed counts (which pay a re-run —
+    exactly what the metrics path avoids in production)."""
+    from covid_data_pipeline_spark.harness.tables import table
+    from covid_data_pipeline_spark.plans.curation import (
+        CurationConfig,
+        curate_documents,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    metrics = {}
+    out = curate_documents(docs, bench, CurationConfig(), metrics=metrics)
+    final = out.count()  # one action fires every observation
+
+    assert set(metrics) >= {
+        "input", "quality", "exact_dedup", "neardup_kept", "decontaminated"
+    }
+    rows = {k: o.get["rows"] for k, o in metrics.items()}
+    assert rows["input"] == docs.count()
+    assert (
+        rows["input"] >= rows["quality"] >= rows["exact_dedup"]
+        >= rows["neardup_kept"] >= rows["decontaminated"] == final
+    )
+    # and the plain (metrics=None) path still returns the same corpus
+    plain = curate_documents(docs, bench, CurationConfig())
+    assert plain.count() == final
