@@ -956,3 +956,45 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_pairs(part, "p_name", k=2).select(
         "name_a", "name_b", F.col("dist").cast("bigint").alias("dist")
     )
+
+
+@register(
+    "fuzzy_entity_groups",
+    """
+    WITH RECURSIVE
+    names AS (SELECT DISTINCT p_name FROM part),
+    prs AS (
+      SELECT a.p_name AS src, b.p_name AS dst
+      FROM names a JOIN names b ON a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    sym AS (SELECT src, dst FROM prs UNION SELECT dst, src FROM prs),
+    reach(node, r) AS (
+      SELECT p_name, p_name FROM names
+      UNION
+      SELECT reach.node, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+    )
+    SELECT node AS name, MIN(r) AS entity_id
+    FROM reach GROUP BY node
+    """,
+    tags=("olap", "fuzzy", "entity-resolution", "graph"),
+)
+def fuzzy_entity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: fuzzy pairs (symmetric-delete +
+    levenshtein <= 2) feed the large-star/small-star connected
+    components, labelling every part name with its transitive
+    near-match cluster's canonical (minimum) name. Composition of two
+    already-verified operators; the oracle replays it declaratively as
+    all-pairs levenshtein + a recursive-CTE closure."""
+    from covid_data_pipeline_spark.operators.fuzzy import edit_distance_pairs
+    from covid_data_pipeline_spark.operators.graph import connected_components
+
+    part = table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    pairs = edit_distance_pairs(part, "p_name", k=2).select(
+        F.col("name_a").alias("src"), F.col("name_b").alias("dst")
+    )
+    comps = connected_components(pairs, nodes=names)
+    return comps.select(
+        F.col("node").alias("name"), F.col("component").alias("entity_id")
+    )

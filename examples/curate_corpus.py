@@ -37,13 +37,19 @@ def main() -> None:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
 
+    metrics: dict = {}
     curated = curate_documents(
-        docs, benchmark=bench, cfg=CurationConfig(pack_budget_tokens=2048)
+        docs,
+        benchmark=bench,
+        cfg=CurationConfig(pack_budget_tokens=2048),
+        metrics=metrics,
     ).cache()
 
-    total = docs.count()
-    kept = curated.count()
-    print(f"== curation: {total} docs in → {kept} out ==")
+    kept = curated.count()  # ONE action — every stage count rides it
+    stages = " → ".join(
+        f"{name}:{obs.get['rows']}" for name, obs in metrics.items()
+    )
+    print(f"== curation: {stages} → packed:{kept} ==")
     curated.groupBy("split").agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_tokens").alias("tokens"),
