@@ -700,3 +700,50 @@ def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("users_7d"))
         .select(F.col("target_day").alias("day"), "users_7d")
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    counts AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, transitions,
+           CAST(ROUND(transitions * 1.0 /
+                      SUM(transitions) OVER (PARTITION BY prev_type), 4)
+                AS DOUBLE) AS p_next
+    FROM counts
+    """,
+    tags=("events", "markov", "transitions"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: per-user event
+    sequences (LAG over one user_id shuffle) reduced to (prev → next)
+    counts and row-normalized probabilities — the Markov-chain view of
+    user behavior. The normalizing window runs over the 25-row counts
+    relation, not the corpus."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    counts = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("transitions"))
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "transitions",
+        F.round(
+            F.col("transitions") * 1.0 / F.sum("transitions").over(wp), 4
+        ).alias("p_next"),
+    )
