@@ -669,3 +669,50 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return quality_classifier_scores(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "docs_quality_percentile_rank",
+    """
+    WITH scored AS (
+      SELECT doc_id, source,
+             (length(text) BETWEEN 50 AND 20000)::INT * 0.4
+             + COALESCE(CASE WHEN length(text) > 0
+                 THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+                      / length(text) END < 0.2, FALSE)::INT * 0.3
+             + COALESCE(CASE WHEN
+                 len(regexp_split_to_array(trim(lower(text)), '\\s+')) > 0
+                 THEN len(list_filter(
+                        regexp_split_to_array(trim(lower(text)), '\\s+'),
+                        x -> x IN ('the','a','and','of','to','in','is',
+                                   'for','on','with')))::DOUBLE
+                      / len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 END > 0.01, FALSE)::INT * 0.3 AS q
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(ROUND(PERCENT_RANK() OVER (
+                  PARTITION BY source ORDER BY q, doc_id), 4) AS DOUBLE)
+             AS q_pct_rank
+    FROM scored
+    """,
+    tags=("text", "quality", "normalization"),
+)
+def docs_quality_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile-rank normalization of the quality score —
+    the threshold-free filter basis ("drop the bottom 20% of EACH
+    source") that absolute score cutoffs can't give when sources have
+    different score distributions. PERCENT_RANK is pure rank
+    arithmetic ((rank-1)/(n-1)) — no interpolation, so both engines
+    compute identical values; doc_id tiebreaks equal scores per the
+    window policy."""
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", quality_score("text").alias("q")
+    )
+    w = Window.partitionBy("source").orderBy("q", "doc_id")
+    return scored.select(
+        "doc_id",
+        "source",
+        F.round(F.percent_rank().over(w), 4).alias("q_pct_rank"),
+    )
