@@ -998,3 +998,45 @@ def fuzzy_entity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.select(
         F.col("node").alias("name"), F.col("component").alias("entity_id")
     )
+
+
+@register(
+    "winsorize_order_prices",
+    """
+    WITH r AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS v,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    b AS (
+      SELECT grp, MAX(n) AS n,
+             MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT)
+                      THEN v END) AS lo_bound,
+             MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                      THEN v END) AS hi_bound
+      FROM r GROUP BY grp
+    )
+    SELECT b.grp AS o_orderpriority, b.n, b.lo_bound, b.hi_bound,
+           SUM(CASE WHEN o.o_totalprice < b.lo_bound THEN 1 ELSE 0 END)
+             AS n_below,
+           SUM(CASE WHEN o.o_totalprice > b.hi_bound THEN 1 ELSE 0 END)
+             AS n_above
+    FROM orders o JOIN b ON o.o_orderpriority = b.grp
+    GROUP BY b.grp, b.n, b.lo_bound, b.hi_bound
+    """,
+    tags=("olap", "robust-stats", "winsorize"),
+)
+def winsorize_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P05/P95 winsorization bounds per order priority
+    (`operators/relational.py::winsorize_bounds`): exact order
+    statistics, not interpolated percentiles, so the bounds are data
+    values both engines agree on exactly; includes the outlier counts a
+    clamp would touch."""
+    from covid_data_pipeline_spark.operators.relational import winsorize_bounds
+
+    orders = table(spark, sf_dir, "orders")
+    return winsorize_bounds(
+        orders, ["o_orderpriority"], "o_totalprice", "o_orderkey"
+    ).withColumnsRenamed({"grp": "o_orderpriority"})

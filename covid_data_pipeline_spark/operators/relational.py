@@ -110,3 +110,58 @@ def null_key_count(df: DataFrame, key: str) -> int:
     """Data-quality probe: count rows whose join key resolved NULL
     (reference process_covid_dds.py:75-77)."""
     return df.filter(F.col(key).isNull()).count()
+
+
+def winsorize_bounds(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization bounds by EXACT order statistics: the
+    value at rank ``ceil(p * n)`` (ordered by value, id) — no
+    percentile interpolation, so the bound is always a data value both
+    engines agree on bit-for-bit (repo float policy: interpolated
+    quantiles are arithmetic two engines round differently).
+
+    Returns one row per group: ``n``, ``lo_bound``, ``hi_bound``, and
+    the outlier counts ``n_below`` / ``n_above`` a clamp would touch.
+    Plan: one window pass (rank + count share the group shuffle) →
+    per-group bounds (tiny) broadcast back → one aggregate. At 100 TB
+    the corpus is shuffled once and scanned twice; bounds never leave
+    the executors as anything bigger than |groups| rows.
+    """
+    from pyspark.sql.window import Window
+
+    groups = list(group_cols)
+    v = F.col(value_col)
+    w_rank = Window.partitionBy(*groups).orderBy(value_col, id_col)
+    w_n = Window.partitionBy(*groups)
+    ranked = df.select(
+        *groups,
+        v.alias("__v"),
+        F.row_number().over(w_rank).alias("__rn"),
+        F.count(F.lit(1)).over(w_n).alias("__n"),
+    )
+    bounds = ranked.groupBy(*groups).agg(
+        F.max("__n").alias("n"),
+        F.max(
+            F.when(F.col("__rn") == F.ceil(F.lit(p_lo) * F.col("__n")), F.col("__v"))
+        ).alias("lo_bound"),
+        F.max(
+            F.when(F.col("__rn") == F.ceil(F.lit(p_hi) * F.col("__n")), F.col("__v"))
+        ).alias("hi_bound"),
+    )
+    return (
+        df.join(F.broadcast(bounds), groups)
+        .groupBy(*groups)
+        .agg(
+            F.max("n").alias("n"),
+            F.max("lo_bound").alias("lo_bound"),
+            F.max("hi_bound").alias("hi_bound"),
+            F.sum(F.when(v < F.col("lo_bound"), 1).otherwise(0)).alias("n_below"),
+            F.sum(F.when(v > F.col("hi_bound"), 1).otherwise(0)).alias("n_above"),
+        )
+    )
