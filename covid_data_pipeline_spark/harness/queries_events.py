@@ -747,3 +747,39 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("transitions") * 1.0 / F.sum("transitions").over(wp), 4
         ).alias("p_next"),
     )
+
+
+@register(
+    "rolling_distinct_users_7d_hll",
+    None,  # sketch state is engine-specific — accuracy vs exact in pytest
+    tags=("events", "window", "distinct", "rolling", "sketch"),
+)
+def rolling_distinct_users_7d_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-merging twin of `rolling_distinct_users_7d`: one
+    HyperLogLog sketch per day (single corpus aggregation), then the
+    trailing-7-day union merges SKETCHES — seven fixed-size binary
+    blobs per output day — instead of fanning out (day, user) pairs.
+
+    This is the 100 TB path for sliding distinct: corpus touched once,
+    window arithmetic on |days| x window sketch rows (KBs), and the
+    same day-sketches serve any window length or calendar re-bucketing
+    without another corpus pass. Mergeability is the whole point of the
+    datasketches representation (`hll_union_agg` over pre-aggregated
+    `hll_sketch_agg` state). Estimates are within the standard HLL
+    error of the exact twin (asserted in tests); no oracle because the
+    sketch binary is engine-specific.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    cal = daily.select("day")
+    contrib = daily.withColumn(
+        "target_day", F.explode(F.expr("sequence(day, date_add(day, 6))"))
+    )
+    return (
+        contrib.join(cal.withColumnRenamed("day", "target_day"), "target_day")
+        .groupBy("target_day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("users_7d_est"))
+        .select(F.col("target_day").alias("day"), "users_7d_est")
+    )

@@ -105,3 +105,22 @@ def test_approx_sketch_query_within_tolerance(spark, sf_dir):
         assert abs(a["users_approx"] - e["users_exact"]) <= max(3, 0.05 * e["users_exact"])
         assert abs(a["p50_approx"] - e["p50"]) <= 0.05 * max(1.0, abs(e["p50"]))
         assert abs(a["p95_approx"] - e["p95"]) <= 0.05 * max(1.0, abs(e["p95"]))
+
+
+def test_rolling_hll_tracks_exact_within_error(spark, sf_dir):
+    """The sketch-merging rolling distinct must land within HLL error
+    (lgConfigK=12 default ⇒ ~1.6% rse; allow 5%) of the exact twin on
+    every day."""
+    from covid_data_pipeline_spark.harness.registry import QUERIES
+
+    exact = {
+        r["day"]: r["users_7d"]
+        for r in QUERIES["rolling_distinct_users_7d"].fn(spark, sf_dir).collect()
+    }
+    est = {
+        r["day"]: r["users_7d_est"]
+        for r in QUERIES["rolling_distinct_users_7d_hll"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(est)
+    for day, n in exact.items():
+        assert abs(est[day] - n) <= max(2, 0.05 * n), (day, n, est[day])
