@@ -359,3 +359,51 @@ class IcebergWarehouse:
         if partition_by:
             writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
         writer.createOrReplace()
+
+
+def write_audit_publish(
+    wh: Warehouse,
+    df: "DataFrame",
+    table: str,
+    rules: list,
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Write-Audit-Publish: stage the data, gate it with DQ rules, then
+    publish atomically — readers NEVER see unvalidated rows.
+
+    1. WRITE: materialize ``df`` to ``<table>__wap`` (full compute +
+       I/O happens here, against the staging path).
+    2. AUDIT: run the declarative rule set against the STAGED files —
+       auditing what was actually written, not the logical plan, so
+       nondeterminism or a partial write is caught too.
+    3. PUBLISH: swap staging into place via the same crash-safe rename
+       choreography as :meth:`Warehouse.compact` (backup kept until the
+       new data is in place).
+
+    On audit failure the staging dir is removed and the live table is
+    untouched — the pattern Iceberg ships as branch-based WAP,
+    reproduced on plain parquet paths. Raises the gate's ValueError.
+    """
+    from covid_data_pipeline_spark.operators.quality import check
+
+    staging_table = table + "__wap"
+    staging = wh.path(staging_table)
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)  # stale staging from a prior crash
+    try:
+        wh.replace(df, staging_table, partition_by=partition_by)
+        check(wh.read(staging_table), rules)
+    except Exception:
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        raise
+
+    final = wh.path(table)
+    backup = final + "__old"
+    if os.path.isdir(backup):
+        shutil.rmtree(backup)
+    if os.path.isdir(final):
+        os.replace(final, backup)
+    os.replace(staging, final)
+    if os.path.isdir(backup):
+        shutil.rmtree(backup)

@@ -91,3 +91,35 @@ def test_gopher_flags_planted_rules(spark):
     # every failure is a single-rule failure except where documented
     for i in (2, 3, 4, 5, 6, 7, 8):
         assert not rows[i]["gopher_pass"]
+
+
+def test_write_audit_publish_gates_and_swaps(spark, tmp_path):
+    """WAP: a failing audit must leave the live table byte-untouched
+    and clean up staging; a passing audit swaps atomically."""
+    import os
+
+    import pytest
+
+    from covid_data_pipeline_spark.operators.quality import in_range, not_null
+    from covid_data_pipeline_spark.sources.writers import (
+        Warehouse,
+        write_audit_publish,
+    )
+
+    wh = Warehouse(spark, str(tmp_path))
+    good_v1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+    write_audit_publish(wh, good_v1, "mart.metrics", [not_null("id"), in_range("v", 0, 100)])
+    assert sorted(r["id"] for r in wh.read("mart.metrics").collect()) == [1, 2]
+
+    # bad batch: out-of-range value → gate raises, table keeps v1
+    bad = spark.createDataFrame([(3, 999.0)], "id long, v double")
+    with pytest.raises(ValueError, match="DQ violations"):
+        write_audit_publish(wh, bad, "mart.metrics", [in_range("v", 0, 100)])
+    assert sorted(r["id"] for r in wh.read("mart.metrics").collect()) == [1, 2]
+    assert not os.path.isdir(wh.path("mart.metrics__wap"))
+    assert not os.path.isdir(wh.path("mart.metrics") + "__old")
+
+    # good v2 publishes over v1
+    good_v2 = spark.createDataFrame([(7, 70.0)], "id long, v double")
+    write_audit_publish(wh, good_v2, "mart.metrics", [in_range("v", 0, 100)])
+    assert [r["id"] for r in wh.read("mart.metrics").collect()] == [7]
