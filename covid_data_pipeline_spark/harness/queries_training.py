@@ -480,3 +480,28 @@ def pack_bin_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("doc_ids"),
         )
     )
+
+
+@register(
+    "group_aware_split_docs",
+    """
+    SELECT doc_id, source,
+           CASE WHEN CAST(concat('0x', substr(md5(source), 1, 8)) AS UBIGINT)
+                     % 100 < 80 THEN 'train'
+                WHEN CAST(concat('0x', substr(md5(source), 1, 8)) AS UBIGINT)
+                     % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("training", "split", "leakage"),
+)
+def group_aware_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-integrity split (`operators/sampling.py::group_aware_split`):
+    the split key is the SOURCE, so near-identical documents from one
+    source can never straddle train/test — the leakage guard row-level
+    hashing can't give. Portable md5-prefix string hash keeps the
+    oracle bit-exact."""
+    from covid_data_pipeline_spark.operators.sampling import group_aware_split
+
+    docs = table(spark, sf_dir, "documents")
+    return group_aware_split(docs, "source").select("doc_id", "source", "split")

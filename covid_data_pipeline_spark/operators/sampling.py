@@ -333,3 +333,35 @@ def global_hash_order(
         .withColumn(rank_col, F.col("__off") + F.row_number().over(w_local))
         .drop("__k", "__b", "__off")
     )
+
+
+def string_group_hash(col: Column | str) -> Column:
+    """Portable 32-bit hash of a STRING key: first 8 hex digits of md5,
+    parsed as an integer — both engines (and any md5-capable oracle)
+    compute the identical value, unlike engine-native string hashes.
+    NULL propagates (callers decide the NULL-group policy)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def group_aware_split(
+    df: DataFrame,
+    group_col: str,
+    train_pct: int = 80,
+    valid_pct: int = 10,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-preventing split: assignment is a pure function of the
+    GROUP key, so every row of a group (a source/domain, a near-dup
+    cluster, a user) lands in the same split — the guard against
+    train/test contamination through near-identical group members that
+    row-level :func:`hash_split` cannot give. Same determinism
+    contract: stable under re-runs, repartitioning, and appends of new
+    groups. Zero shuffle — a pure projection."""
+    pct = string_group_hash(group_col) % 100
+    return df.withColumn(
+        split_col,
+        F.when(pct < train_pct, "train")
+        .when(pct < train_pct + valid_pct, "valid")
+        .when(pct.isNotNull(), "test"),
+    )

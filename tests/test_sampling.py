@@ -281,3 +281,25 @@ def test_global_hash_order_dense_at_1m_rows(spark):
         F.count_distinct("train_order").alias("d"),
     ).first()
     assert (stats.n, stats.mn, stats.mx, stats.d) == (1_000_000, 1, 1_000_000, 1_000_000)
+
+
+def test_group_aware_split_keeps_groups_whole(spark, sf_dir):
+    from covid_data_pipeline_spark.harness.tables import table
+    from covid_data_pipeline_spark.operators.sampling import group_aware_split
+
+    docs = table(spark, sf_dir, "documents")
+    out = group_aware_split(docs, "source")
+    # leakage property: every group maps to exactly one split
+    per_group = out.groupBy("source").agg(
+        F.count_distinct("split").alias("k")
+    )
+    assert per_group.filter(F.col("k") != 1).isEmpty()
+    # stability under repartitioning
+    again = group_aware_split(docs.repartition(9), "source")
+    j = out.select("doc_id", "split").join(
+        again.select("doc_id", F.col("split").alias("s2")), "doc_id"
+    )
+    assert j.filter(F.col("split") != F.col("s2")).isEmpty()
+    # NULL group -> NULL split, never a silent bucket
+    null_df = spark.createDataFrame([(1, None)], "doc_id long, source string")
+    assert group_aware_split(null_df, "source").first()["split"] is None
