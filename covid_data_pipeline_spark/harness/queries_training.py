@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from covid_data_pipeline_spark.functions.text import token_count
 from covid_data_pipeline_spark.harness.registry import register, table
@@ -505,3 +506,57 @@ def group_aware_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return group_aware_split(docs, "source").select("doc_id", "source", "split")
+
+
+@register(
+    "cluster_aware_split_docs",
+    r"""
+    WITH keyed AS (
+      SELECT doc_id,
+             COALESCE(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+                      '__NULL_TEXT__') AS fp
+      FROM documents
+    ),
+    rep AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS cluster_rep
+      FROM keyed
+    )
+    SELECT doc_id, cluster_rep,
+           CASE WHEN (cluster_rep * 2654435761) % 4294967296 % 100 < 80
+                  THEN 'train'
+                WHEN (cluster_rep * 2654435761) % 4294967296 % 100 < 90
+                  THEN 'valid'
+                ELSE 'test' END AS split
+    FROM rep
+    """,
+    tags=("training", "split", "leakage", "dedup"),
+)
+def cluster_aware_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster-integrity split: the split key is the exact-dup
+    cluster representative (min doc_id per normalized-text
+    fingerprint), so byte-identical copies of a document can never land
+    on both sides of train/test even BEFORE dedup runs — the
+    contamination audit's first fix. One fingerprint window + the
+    standard Knuth split; composes with `group_aware_split` (domain
+    level) and row-level `hash_split` as the leakage-guard ladder."""
+    from covid_data_pipeline_spark.functions.text import normalized_text
+    from covid_data_pipeline_spark.operators.sampling import knuth_hash
+
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.withColumn(
+        "__fp",
+        F.coalesce(
+            F.md5(normalized_text(F.col("text"))), F.lit("__NULL_TEXT__")
+        ),
+    )
+    w = Window.partitionBy("__fp")
+    rep = keyed.withColumn("cluster_rep", F.min("doc_id").over(w))
+    pct = knuth_hash("cluster_rep") % 100
+    return rep.select(
+        "doc_id",
+        "cluster_rep",
+        F.when(pct < 80, "train")
+        .when(pct < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
