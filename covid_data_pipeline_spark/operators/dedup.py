@@ -114,6 +114,33 @@ def with_minhash(
     ).withColumn("minhash", minhash_signature(F.col("shingle_hashes"), num_hashes))
 
 
+def _banded(
+    signed: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows: the signature split into band
+    hashes — shared by the batch and incremental candidate generators
+    so both sides of an incremental join bucket identically."""
+    rows_per_band = num_hashes // bands
+    band_array = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signed.select(
+        F.col(id_col), F.posexplode(band_array).alias("band_idx", "band_hash")
+    )
+
+
 def lsh_candidate_pairs(
     signed: DataFrame,
     id_col: str = "doc_id",
@@ -131,25 +158,7 @@ def lsh_candidate_pairs(
     Skewed buckets (boilerplate text) are the known hazard: AQE skew-join
     splits them; upstream quality filters keep them rare.
     """
-    rows_per_band = num_hashes // bands
-    band_array = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                ),
-                F.lit(b),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = signed.select(
-        F.col(id_col), F.posexplode(band_array).alias("band_idx", "band_hash")
-    )
+    banded = _banded(signed, id_col, num_hashes, bands)
     if max_bucket_size is not None:
         # Degenerate buckets (empty/boilerplate text collapsing to one
         # signature) turn the bucket join quadratic. Cap them: a bucket
@@ -475,3 +484,56 @@ def passage_dedup(
             ).alias("clean_text"),
         )
     )
+
+
+def incremental_lsh_pairs(
+    corpus_signed: DataFrame,
+    delta_signed: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Candidate pairs involving AT LEAST ONE delta document: the
+    incremental-maintenance form of :func:`lsh_candidate_pairs`.
+
+    A daily curation run should not re-compare yesterday's corpus with
+    itself — at 100 TB that is the whole cost. Signatures are computed
+    once per document and persisted (``with_minhash`` output is a plain
+    table); each increment bands ONLY the delta and joins it against
+    the banded union, so work per day is O(|delta| x bucket sizes)
+    while corpus-internal pairs (already known from previous runs) are
+    never regenerated. Union of the historical pairs and each
+    increment's pairs equals a from-scratch run — asserted exactly in
+    tests.
+    """
+    ids = delta_signed.select(F.col(id_col).alias("__delta_id")).distinct()
+    all_signed = corpus_signed.select(id_col, "minhash").unionByName(
+        delta_signed.select(id_col, "minhash")
+    )
+    banded_all = _banded(all_signed, id_col, num_hashes, bands)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_idx", "band_hash")
+        banded_all = (
+            banded_all.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    banded_delta = banded_all.join(
+        F.broadcast(ids), banded_all[id_col] == ids["__delta_id"]
+    ).drop("__delta_id")
+    l, r = banded_delta.alias("l"), banded_all.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs

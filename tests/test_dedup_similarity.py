@@ -448,3 +448,43 @@ def test_arrow_featurizer_matches_pandas_twin(spark, sf_dir):
     p = decode_and_featurize_images(media, fake=True)
     assert a.count() == p.count() == 64
     assert a.exceptAll(p).isEmpty() and p.exceptAll(a).isEmpty()
+
+
+def test_incremental_lsh_equals_from_scratch(spark, sf_dir):
+    """corpus pairs ∪ incremental(delta) pairs == from-scratch pairs on
+    the full set — the invariant that lets a daily run skip
+    corpus-vs-corpus recomparison entirely."""
+    from covid_data_pipeline_spark.harness.tables import table
+    from covid_data_pipeline_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        lsh_candidate_pairs,
+        with_minhash,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    signed = with_minhash(docs, num_hashes=16).persist()
+    corpus = signed.filter(F.col("doc_id") < 400)
+    delta = signed.filter(F.col("doc_id") >= 400)
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            signed, num_hashes=16, bands=4, max_bucket_size=None
+        ).collect()
+    }
+    old = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            corpus, num_hashes=16, bands=4, max_bucket_size=None
+        ).collect()
+    }
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_lsh_pairs(
+            corpus, delta, num_hashes=16, bands=4, max_bucket_size=None
+        ).collect()
+    }
+    assert old | inc == full
+    # every incremental pair touches a delta doc
+    assert all(a >= 400 or b >= 400 for a, b in inc)
+    signed.unpersist()
