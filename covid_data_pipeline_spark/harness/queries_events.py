@@ -783,3 +783,49 @@ def rolling_distinct_users_7d_hll(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("users_7d_est"))
         .select(F.col("target_day").alias("day"), "users_7d_est")
     )
+
+
+@register(
+    "daily_active_buyers",
+    """
+    WITH per_user AS (
+      SELECT CAST(ts AS DATE) AS day, user_id,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT day,
+           COUNT(*) AS active_users,
+           SUM(clicked) AS clickers,
+           SUM(bought) AS buyers,
+           SUM(clicked * bought) AS click_and_buy
+    FROM per_user
+    GROUP BY day
+    """,
+    tags=("events", "funnel", "intersection"),
+)
+def daily_active_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day audience intersection: users who clicked, bought, and
+    did BOTH — the set-intersection metric computed as conditional
+    flags in ONE (day, user) aggregation instead of two distinct sets
+    joined (which would shuffle the corpus twice and intersect
+    per-day). Flags reduce map-side; the second aggregate runs over
+    |users x days| rows."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy(
+        F.to_date("ts").alias("day"), "user_id"
+    ).agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "clicked"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "bought"
+        ),
+    )
+    return per_user.groupBy("day").agg(
+        F.count(F.lit(1)).alias("active_users"),
+        F.sum("clicked").alias("clickers"),
+        F.sum("bought").alias("buyers"),
+        F.sum(F.col("clicked") * F.col("bought")).alias("click_and_buy"),
+    )
