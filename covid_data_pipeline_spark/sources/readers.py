@@ -183,6 +183,17 @@ def read_parquet_dir(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Parquet scan across schema versions (``mergeSchema``): columns
+    added over a table's lifetime are unioned into one schema, with
+    NULLs where old files lack them — the schema-evolution read every
+    long-lived lakehouse table eventually needs. Spark skips the
+    footer-merging pass by default because it costs one extra file
+    listing+footer read per file at planning time; this entry point
+    opts in explicitly rather than making every scan pay it."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -53,6 +53,13 @@ class Warehouse:
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
 
+    # File-sizing guard for every write: without it one task writing a
+    # huge hive partition emits one huge file (no parallel read), and at
+    # the other extreme thousands of tasks emit the small-files problem
+    # compaction exists to fix. maxRecordsPerFile rolls files task-side
+    # at a target row count — set it so rows x row_width ~ 128-512 MB.
+    max_records_per_file: int | None = None
+
     def _writer(
         self,
         df: DataFrame,
@@ -65,6 +72,10 @@ class Warehouse:
         if sort_within_partitions_by:
             df = df.sortWithinPartitions(*sort_within_partitions_by)
         writer = df.write.format("parquet")
+        if self.max_records_per_file:
+            writer = writer.option(
+                "maxRecordsPerFile", str(self.max_records_per_file)
+            )
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         return writer

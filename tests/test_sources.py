@@ -6,6 +6,8 @@ import pathlib
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from covid_data_pipeline_spark.harness.tables import table
 from covid_data_pipeline_spark.sources.ingest import land_url, landing_key
 from covid_data_pipeline_spark.sources.readers import read_csv, read_json
@@ -183,3 +185,35 @@ def test_json_quarantine_splits_bad_lines(spark, tmp_path):
     assert "not json at all" in bad_lines
     assert any("NaNope" in b for b in bad_lines)
     assert good.columns == ["id", "qty"]
+
+
+def test_max_records_per_file_rolls_output_files(spark, tmp_path):
+    from covid_data_pipeline_spark.sources.writers import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    wh.max_records_per_file = 100
+    wh.replace(spark.range(0, 950).toDF("id").coalesce(1), "l.t")
+    files = [
+        f for f in pathlib.Path(wh.path("l.t")).rglob("*.parquet")
+        if not f.name.startswith(("_", "."))
+    ]
+    # one task, 950 rows, 100-row cap -> 10 files; without the cap: 1
+    assert len(files) == 10
+    assert wh.read("l.t").count() == 950
+
+
+def test_read_parquet_evolved_merges_added_column(spark, tmp_path):
+    from covid_data_pipeline_spark.sources.readers import read_parquet_evolved
+
+    v1 = tmp_path / "v1"
+    v2 = tmp_path / "v2"
+    spark.range(0, 3).toDF("id").write.parquet(str(v1))
+    spark.range(3, 6).toDF("id").withColumn(
+        "score", F.col("id") * 2.0
+    ).write.parquet(str(v2))
+
+    df = read_parquet_evolved(spark, str(v1), str(v2))
+    assert set(df.columns) == {"id", "score"}
+    rows = {r["id"]: r["score"] for r in df.collect()}
+    assert rows[0] is None and rows[5] == 10.0
+    assert len(rows) == 6
