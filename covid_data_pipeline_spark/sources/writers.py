@@ -418,3 +418,34 @@ def write_audit_publish(
     os.replace(staging, final)
     if os.path.isdir(backup):
         shutil.rmtree(backup)
+
+
+def table_report(wh: Warehouse, table: str) -> dict:
+    """Operational health snapshot of a table: file count, bytes,
+    row count, and derived averages — the numbers that decide when to
+    run :meth:`Warehouse.compact` (many small files) or raise
+    ``max_records_per_file`` (files too large for parallel reads).
+
+    File stats come from a driver-side directory walk (metadata only,
+    no data read); the row count is the one Spark job. At object-store
+    scale the walk becomes a manifest listing — same shape, same
+    fields.
+    """
+    root = wh.path(table)
+    files = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for fn in filenames:
+            if fn.startswith(("_", ".")) or not fn.endswith(".parquet"):
+                continue
+            files.append(os.path.join(dirpath, fn))
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    rows = wh.read(table).count() if files else 0
+    n = len(files)
+    return {
+        "table": table,
+        "num_files": n,
+        "total_bytes": total_bytes,
+        "rows": rows,
+        "avg_file_bytes": total_bytes // n if n else 0,
+        "avg_rows_per_file": rows // n if n else 0,
+    }

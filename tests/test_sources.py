@@ -217,3 +217,16 @@ def test_read_parquet_evolved_merges_added_column(spark, tmp_path):
     rows = {r["id"]: r["score"] for r in df.collect()}
     assert rows[0] is None and rows[5] == 10.0
     assert len(rows) == 6
+
+
+def test_table_report_reflects_layout(spark, tmp_path):
+    from covid_data_pipeline_spark.sources.writers import Warehouse, table_report
+
+    wh = Warehouse(spark, str(tmp_path))
+    wh.max_records_per_file = 100
+    wh.replace(spark.range(0, 400).toDF("id").coalesce(1), "l.t")
+    rep = table_report(wh, "l.t")
+    assert rep["num_files"] == 4
+    assert rep["rows"] == 400
+    assert rep["avg_rows_per_file"] == 100
+    assert rep["total_bytes"] > 0 and rep["avg_file_bytes"] > 0
