@@ -560,3 +560,47 @@ def cluster_aware_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@register(
+    "split_token_stats",
+    f"""
+    WITH sized AS (
+      SELECT doc_id,
+             CASE WHEN {_KHASH} % 100 < 80 THEN 'train'
+                  WHEN {_KHASH} % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           MIN(n_tokens) AS min_tokens,
+           MAX(n_tokens) AS max_tokens
+    FROM sized
+    GROUP BY split
+    """,
+    tags=("training", "split", "audit"),
+)
+def split_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-balance audit: doc and token totals per train/valid/test
+    split — the check that hash-splitting balanced token MASS, not just
+    document counts (budgets are token-denominated). All-integer
+    output; one shuffle on the 3-value split key with map-side
+    combine."""
+    from covid_data_pipeline_spark.operators.sampling import hash_split
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count("text")
+    )
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
