@@ -829,3 +829,52 @@ def daily_active_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bought").alias("buyers"),
         F.sum(F.col("clicked") * F.col("bought")).alias("click_and_buy"),
     )
+
+
+@register(
+    "funnel_ordered_steps",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL '24 hours' GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s2.t2 + INTERVAL '24 hours' GROUP BY e.user_id)
+    SELECT * FROM (
+      SELECT CAST(1 AS INTEGER) AS stage_reached,
+             (SELECT COUNT(*) FROM s1) - (SELECT COUNT(*) FROM s2) AS users
+      UNION ALL
+      SELECT CAST(2 AS INTEGER),
+             (SELECT COUNT(*) FROM s2) - (SELECT COUNT(*) FROM s3)
+      UNION ALL
+      SELECT CAST(3 AS INTEGER), (SELECT COUNT(*) FROM s3)
+    ) WHERE users > 0
+    """,
+    tags=("events", "funnel", "sequence"),
+)
+def funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel with a 24h max gap per
+    step: users whose FURTHEST strictly-time-ordered stage is 1, 2, or
+    3. Unlike ``daily_active_buyers`` (set intersection), order and
+    recency matter: a purchase BEFORE the first view->click chain, or
+    more than 24h after it, does not count. One filtered shuffle on
+    user_id + codegen'd fold (operators/funnel.py) vs the oracle's
+    k-1 stepwise self-joins — the plan that survives 100 TB."""
+    from covid_data_pipeline_spark.operators.funnel import funnel_histogram
+
+    ev = table(spark, sf_dir, "events")
+    return funnel_histogram(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        ("view", "click", "purchase"),
+        max_gap="24 HOURS",
+    ).filter(F.col("users") > 0)
