@@ -716,3 +716,72 @@ def docs_quality_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.round(F.percent_rank().over(w), 4).alias("q_pct_rank"),
     )
+
+
+@register(
+    "vocab_oov_rate",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+      FROM documents),
+    bi AS (
+      SELECT doc_id, a[i] || ' ' || a[i+1] AS tok
+      FROM t, LATERAL (SELECT unnest(range(1, len(a))) AS i)),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS docfreq FROM bi GROUP BY tok),
+    vocab AS (SELECT tok FROM df ORDER BY docfreq DESC, tok LIMIT 400)
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS oov_bigrams
+    FROM bi b LEFT JOIN vocab v USING (tok)
+    GROUP BY b.doc_id
+    """,
+    tags=("text", "vocab", "oov"),
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV audit: build a top-K (K=400) word-bigram
+    vocabulary by DOCUMENT frequency (ties broken lexically), then count
+    each doc's total and out-of-vocab bigram occurrences — the
+    tokenizer-fit signal ("how much of this corpus does a fixed vocab
+    cover") a training pipeline checks before committing a tokenizer.
+
+    Scale shape: two corpus passes (doc-frequency agg, per-doc agg),
+    both map-side-combining hash shuffles; the top-K vocab is a
+    TakeOrderedAndProject (no global sort materialized) and re-enters
+    as a BROADCAST hash join, so the occurrence relation is never
+    shuffled for membership. Bigrams come from one let-bound token
+    split (regex runs once per doc, zip_with over two slices)."""
+    from covid_data_pipeline_spark.functions.text import let
+
+    docs = table(spark, sf_dir, "documents")
+
+    def _bigrams(t):
+        n = F.size(t)
+        return F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+
+    occ = docs.select(
+        "doc_id", F.explode(let(tokens("text"), _bigrams)).alias("tok")
+    )
+    docfreq = (
+        occ.dropDuplicates(["doc_id", "tok"])
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("docfreq"))
+    )
+    vocab = (
+        docfreq.orderBy(F.col("docfreq").desc(), "tok")
+        .limit(400)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        occ.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("oov_bigrams"),
+        )
+    )
