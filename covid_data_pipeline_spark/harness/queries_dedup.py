@@ -349,3 +349,76 @@ def dedup_passages_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return passage_dedup(d, id_col="doc_id", text_col="text", passage_words=10)
+
+
+@register(
+    "dedup_keep_best",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || '  ' FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, '  ' || text FROM documents),
+    scored AS (
+      SELECT doc_id, text,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM corpus),
+    ranked AS (
+      SELECT fp, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY fp ORDER BY length(text), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY fp) AS n_docs,
+             MIN(length(text)) OVER (PARTITION BY fp) AS min_len
+      FROM scored)
+    SELECT fp, doc_id AS keep_doc_id, n_docs, min_len
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("dedup", "keep-best", "canonicalize"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST exact-dedup policy: within each normalized-text cluster
+    keep the most compact raw form (min char length, then min doc_id) —
+    the canonicalization rule when duplicates differ only in
+    case/whitespace formatting and you want one clean survivor, not
+    merely the first-seen row.
+
+    The planted corpus triples every doc (original, trailing-pad,
+    leading-pad): the pads tie on length so BOTH ordering dimensions
+    of the composite key decide a winner.
+
+    Scale shape: ONE hash-shuffle aggregation with map-side combine —
+    ``max_by(doc_id, struct(-length, -doc_id))`` reduces each cluster
+    to its argmax without the oracle's windowed ROW_NUMBER (which
+    must SORT every cluster's rows after the shuffle). At 100 TB the
+    agg ships one struct per cluster per map task; the window ships
+    every row."""
+    from covid_data_pipeline_spark.functions.text import normalized_text
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (
+        docs.unionByName(
+            docs.select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit("  ")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.concat(F.lit("  "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    scored = corpus.select(
+        "doc_id",
+        F.md5(normalized_text("text")).alias("fp"),
+        F.length("text").alias("len"),
+    )
+    return scored.groupBy("fp").agg(
+        F.max_by(
+            "doc_id", F.struct(-F.col("len"), -F.col("doc_id"))
+        ).alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("len").cast("bigint").alias("min_len"),
+    )
