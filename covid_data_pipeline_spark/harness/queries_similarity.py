@@ -464,3 +464,61 @@ def similarity_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         deq, queries, k=TOP_K, id_col="vec_id", vec_col="embedding",
         query_id_col="query_id",
     )
+
+
+_KNN_GRAPH_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS dv
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+         ROUND(
+           list_dot_product(a.dv, b.dv)
+           / (sqrt(list_dot_product(a.dv, a.dv))
+              * sqrt(list_dot_product(b.dv, b.dv))), 4) AS similarity
+  FROM v a, v b WHERE a.vec_id <> b.vec_id
+)
+SELECT src_id, nbr_id, similarity FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY src_id ORDER BY similarity DESC, nbr_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+@register(
+    "knn_graph_exact",
+    _KNN_GRAPH_ORACLE,
+    tags=("similarity", "knn-graph"),
+)
+def knn_graph_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-NN graph over the whole embeddings table (every item is
+    a query) — the verification baseline for the kNN-graph family that
+    SemDeDup-style semantic dedup and diversity sampling consume.
+    Quadratic by construction; the scale path is ``knn_graph_lsh``."""
+    from covid_data_pipeline_spark.operators.similarity import knn_graph_exact
+
+    return knn_graph_exact(
+        table(spark, sf_dir, "embeddings"), k=5, id_col="vec_id",
+        vec_col="embedding",
+    )
+
+
+@register(
+    "knn_graph_lsh",
+    None,  # approximate — recall vs the exact graph asserted in pytest
+    tags=("similarity", "knn-graph", "ann-lsh"),
+    bench=True,
+)
+def knn_graph_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN graph via LSH bucket collisions with single-bit
+    multiprobe — the both-sides-large self-join (nothing broadcastable)
+    that replaces the quadratic exact graph at corpus scale. Candidate
+    work is bounded by Σ bucket² with the standard hot-bucket cap."""
+    from covid_data_pipeline_spark.operators.similarity import knn_graph_lsh
+
+    return knn_graph_lsh(
+        table(spark, sf_dir, "embeddings"), dim=EMBED_DIM, k=5,
+        num_planes=8, id_col="vec_id", vec_col="embedding",
+    )

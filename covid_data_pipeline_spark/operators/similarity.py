@@ -596,3 +596,108 @@ def quantize_int8(
         F.col("__p.__q").alias(qvec_col),
         F.col("__p.__s").alias(scale_col),
     ).drop("__p")
+
+
+def knn_graph_exact(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact kNN graph: for EVERY item, its k nearest neighbors by
+    cosine (ties broken by neighbor id). Output (src_id, nbr_id,
+    similarity).
+
+    This is the quadratic verification baseline for :func:`knn_graph_lsh`
+    — every pair is scored, so cost is |corpus|² dot products. Usable up
+    to a few hundred thousand vectors (the right side rides a broadcast;
+    each partition of the left side scores against it map-side and only
+    per-partition top-k survivors reach the window shuffle). Past that,
+    use the LSH variant."""
+    from covid_data_pipeline_spark.operators.windows import top_k_per_group
+
+    l = df.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("__va"))
+    r = F.broadcast(
+        df.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("__vb"))
+    )
+    scored = (
+        l.crossJoin(r)
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .withColumn(
+            "similarity", F.round(cosine(F.col("__va"), F.col("__vb")), 4)
+        )
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["src_id"],
+        order_by=[F.col("similarity").desc(), F.col("nbr_id")],
+        k=k,
+    ).select("src_id", "nbr_id", "similarity")
+
+
+def knn_graph_lsh(
+    df: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_bits: int = 1,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Approximate kNN graph — the scale path for kNN-graph consumers
+    (SemDeDup-style semantic dedup, graph clustering, diversity
+    sampling) where BOTH sides are the full corpus and nothing can be
+    broadcast.
+
+    Candidate pairs are restricted to LSH-bucket collisions: the corpus
+    is bucketed once; the probe side is expanded to its own bucket plus
+    single-bit flips (``multiprobe_bits``), so pairs whose buckets
+    differ by ≤ 1 sign bit are still candidates. The join is a plain
+    equi-join on ``bucket`` — shuffle keyed by bucket, work bounded by
+    Σ bucket² — with the same hot-bucket cap as
+    :func:`embedding_neardup_pairs` (degenerate corpora collapse into
+    one bucket; a dropped mega-bucket is a constant-embedding cluster
+    better served by exact dedup). Recall vs the exact graph is asserted
+    in pytest, tunable via num_planes × multiprobe_bits."""
+    from pyspark.sql import Window
+
+    from covid_data_pipeline_spark.operators.windows import top_k_per_group
+
+    b = with_lsh_bucket(df, dim, num_planes, vec_col, "bucket")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("bucket")
+        b = (
+            b.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    probes = [F.col("bucket")]
+    if multiprobe_bits >= 1:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit(2 ** i).cast("long"))
+            for i in range(num_planes)
+        ]
+    l = b.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("__va"),
+        F.explode(F.array(*probes)).alias("bucket"),
+    )
+    r = b.select(
+        F.col("bucket"), F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("__vb")
+    )
+    scored = (
+        l.join(r, on="bucket")
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .withColumn(
+            "similarity", F.round(cosine(F.col("__va"), F.col("__vb")), 4)
+        )
+        # multiprobe can surface the same pair via two probe buckets
+        .dropDuplicates(["src_id", "nbr_id"])
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["src_id"],
+        order_by=[F.col("similarity").desc(), F.col("nbr_id")],
+        k=k,
+    ).select("src_id", "nbr_id", "similarity")

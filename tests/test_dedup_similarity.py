@@ -488,3 +488,44 @@ def test_incremental_lsh_equals_from_scratch(spark, sf_dir):
     # every incremental pair touches a delta doc
     assert all(a >= 400 or b >= 400 for a, b in inc)
     signed.unpersist()
+
+
+def test_knn_graph_lsh_recall_vs_exact(spark, sf_dir):
+    from covid_data_pipeline_spark.operators.similarity import (
+        knn_graph_exact,
+        knn_graph_lsh,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    exact = knn_graph_exact(e, k=5)
+    approx = knn_graph_lsh(e, dim=64, k=5, num_planes=4, multiprobe_bits=1)
+    ex = {(r["src_id"], r["nbr_id"]) for r in exact.collect()}
+    ap = {(r["src_id"], r["nbr_id"]) for r in approx.collect()}
+    assert len(ex) == 5 * e.count()
+    # Same weak-cluster corpus as the top-k LSH test (neighbors at
+    # cosine ≈ 0.3): 4 planes + 1-bit multiprobe predicts ~47% recall.
+    # Floor well under the expectation.
+    assert len(ex & ap) >= 0.25 * len(ex)
+    # every approx edge must be a real scored pair, ranked within k
+    assert all(s != n for s, n in ap)
+
+
+def test_knn_graph_lsh_caps_degenerate_bucket(spark):
+    import math
+
+    from covid_data_pipeline_spark.operators.similarity import knn_graph_lsh
+
+    # 300 identical unit vectors collapse into ONE bucket; the cap must
+    # bound candidate generation instead of producing 300² pairs.
+    dim = 8
+    rows = [(i, [1.0] + [0.0] * (dim - 1)) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = knn_graph_lsh(
+        df, dim=dim, k=5, num_planes=4, max_bucket_size=100
+    )
+    assert capped.count() == 0  # whole mega-bucket dropped, no blowup
+    uncapped = knn_graph_lsh(
+        df, dim=dim, k=5, num_planes=4, max_bucket_size=None
+    )
+    # k neighbors per item still come out when uncapped
+    assert uncapped.count() == 300 * 5
