@@ -672,6 +672,22 @@ def knn_graph_lsh(
             .filter(F.col("__bsz") <= max_bucket_size)
             .drop("__bsz")
         )
+    # Pre-normalize ONCE per row so each candidate pair costs a single
+    # dot fold instead of dot + two norm folds (HOFs are interpreted,
+    # not whole-stage-codegen'd — at ~70 candidates/row the per-pair
+    # norm recomputation dominated the runtime 3:1). The norm lands in
+    # its own projection first so the transform lambda references a
+    # bound attribute, not the norm expression (HOF lambdas re-evaluate
+    # outer EXPRESSIONS per element; bound columns are cheap).
+    b = (
+        b.withColumn("__norm", l2_norm(_as_double(F.col(vec_col))))
+        .withColumn(
+            "__vn",
+            F.transform(
+                _as_double(F.col(vec_col)), lambda x: x / F.col("__norm")
+            ),
+        )
+    )
     probes = [F.col("bucket")]
     if multiprobe_bits >= 1:
         probes += [
@@ -680,20 +696,21 @@ def knn_graph_lsh(
         ]
     l = b.select(
         F.col(id_col).alias("src_id"),
-        F.col(vec_col).alias("__va"),
+        F.col("__vn").alias("__va"),
         F.explode(F.array(*probes)).alias("bucket"),
     )
     r = b.select(
-        F.col("bucket"), F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("__vb")
+        F.col("bucket"), F.col(id_col).alias("nbr_id"), F.col("__vn").alias("__vb")
     )
+    # No pair dedup needed: pair (a,b) can only collide through the ONE
+    # probe mask equal to bucket(a) XOR bucket(b), so candidates are
+    # already unique per (src, nbr).
     scored = (
         l.join(r, on="bucket")
         .filter(F.col("src_id") != F.col("nbr_id"))
         .withColumn(
-            "similarity", F.round(cosine(F.col("__va"), F.col("__vb")), 4)
+            "similarity", F.round(dot(F.col("__va"), F.col("__vb")), 4)
         )
-        # multiprobe can surface the same pair via two probe buckets
-        .dropDuplicates(["src_id", "nbr_id"])
     )
     return top_k_per_group(
         scored,
