@@ -522,3 +522,69 @@ def knn_graph_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "embeddings"), dim=EMBED_DIM, k=5,
         num_planes=8, id_col="vec_id", vec_col="embedding",
     )
+
+
+@register(
+    "semantic_dedup_docs",
+    """
+    WITH RECURSIVE doubled AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+    ),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve
+      FROM doubled
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_dot_product(a.ve, b.ve) /
+                   (sqrt(list_dot_product(a.ve, a.ve)) *
+                    sqrt(list_dot_product(b.ve, b.ve))), 4) AS similarity
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    ),
+    e AS (SELECT id_a AS src, id_b AS dst FROM p WHERE similarity >= 0.99),
+    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    reach(node, r) AS (
+      SELECT vec_id, vec_id FROM doubled
+      UNION
+      SELECT reach.node, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+    )
+    SELECT node AS vec_id, MIN(r) AS canonical_id,
+           (node = MIN(r)) AS is_kept
+    FROM reach GROUP BY node
+    """,
+    tags=("similarity", "dedup", "semantic", "components"),
+)
+def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup end-to-end in embedding space:
+    LSH-bucketed cosine pairs (≥ 0.99) → connected components →
+    (vec_id, canonical_id, is_kept) keep/drop map — the embedding-space
+    twin of ``dedup_duplicate_groups``. Planted exact copies
+    (vec_id+1e6) make every component {original, copy} collapse onto
+    the original; equality with the exact all-pairs oracle holds for
+    the same reason as ``embedding_neardup`` (identical vectors always
+    share a bucket; no natural pair reaches 0.99).
+
+    Scale shape: pairs from bucket equi-join (Σ bucket², hot-bucket
+    capped), components in O(log n) star rounds — no all-pairs stage
+    anywhere on the Spark side."""
+    from covid_data_pipeline_spark.operators.graph import connected_components
+
+    e = table(spark, sf_dir, "embeddings")
+    doubled = e.select("vec_id", "embedding").unionByName(
+        e.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    pairs = embedding_neardup_pairs(
+        doubled, dim=EMBED_DIM, threshold=0.99, num_planes=8,
+        id_col="vec_id", vec_col="embedding",
+    )
+    comps = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        nodes=doubled.select(F.col("vec_id").alias("node")),
+    )
+    return comps.select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("canonical_id"),
+        (F.col("node") == F.col("component")).alias("is_kept"),
+    )
