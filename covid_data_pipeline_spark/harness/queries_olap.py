@@ -1040,3 +1040,39 @@ def winsorize_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize_bounds(
         orders, ["o_orderpriority"], "o_totalprice", "o_orderkey"
     ).withColumnsRenamed({"grp": "o_orderpriority"})
+
+
+_PROFILE_COL_SQL = """
+  SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+         SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         COUNT(DISTINCT {c}) AS n_distinct
+  FROM orders"""
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    _PROFILE_COL_SQL.format(c=c)
+    for c in (
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+)
+
+
+@register(
+    "profile_orders",
+    _PROFILE_ORACLE,
+    tags=("olap", "profile", "quality"),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of the orders table (rows / NULLs /
+    exact distincts per column) — the table-drop sanity report. The
+    Spark side computes ALL six columns' metrics in ONE aggregation
+    (Catalyst Expand + single shuffle) where the oracle needs six
+    scans; the ``approx=True`` HLL path (no expansion) is the 100 TB
+    default, exercised in tests/test_quality.py."""
+    from covid_data_pipeline_spark.operators.quality import profile_columns
+
+    return profile_columns(table(spark, sf_dir, "orders"))

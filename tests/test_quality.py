@@ -123,3 +123,30 @@ def test_write_audit_publish_gates_and_swaps(spark, tmp_path):
     good_v2 = spark.createDataFrame([(7, 70.0)], "id long, v double")
     write_audit_publish(wh, good_v2, "mart.metrics", [in_range("v", 0, 100)])
     assert [r["id"] for r in wh.read("mart.metrics").collect()] == [7]
+
+
+def test_profile_columns_counts_nulls_and_distincts(spark):
+    from covid_data_pipeline_spark.operators.quality import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b"), (None, None)],
+        "k bigint, v string",
+    )
+    got = {r["col_name"]: r for r in profile_columns(df).collect()}
+    assert got["k"]["n_rows"] == 5
+    assert got["k"]["n_nulls"] == 2 and got["k"]["n_distinct"] == 3
+    assert got["v"]["n_nulls"] == 2 and got["v"]["n_distinct"] == 2
+
+
+def test_profile_columns_approx_path_no_expand(spark):
+    from covid_data_pipeline_spark.operators.quality import profile_columns
+
+    df = spark.range(10_000).selectExpr("id AS k", "id % 97 AS v")
+    out = profile_columns(df, approx=True)
+    got = {r["col_name"]: r for r in out.collect()}
+    # HLL estimates within a few % of truth; nulls/rows stay exact
+    assert abs(got["k"]["n_distinct"] - 10_000) <= 500
+    assert got["v"]["n_distinct"] == 97 or abs(got["v"]["n_distinct"] - 97) <= 5
+    assert got["k"]["n_nulls"] == 0 and got["k"]["n_rows"] == 10_000
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan  # sketches need no row expansion
