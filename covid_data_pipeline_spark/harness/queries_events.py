@@ -878,3 +878,66 @@ def funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("view", "click", "purchase"),
         max_gap="24 HOURS",
     ).filter(F.col("users") > 0)
+
+
+@register(
+    "events_daily_trend",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(day - DATE '1970-01-01') AS sx,
+             SUM(cnt) AS sy,
+             SUM((day - DATE '1970-01-01') * cnt) AS sxy,
+             SUM((day - DATE '1970-01-01') * (day - DATE '1970-01-01')) AS sxx
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           ROUND((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+             AS slope_per_day
+    FROM m
+    """,
+    tags=("events", "trend", "regression"),
+)
+def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of daily volume (events/day drift) —
+    the monitoring regression a pipeline runs to catch decaying or
+    exploding sources.
+
+    Float policy: NOT `regr_slope` — both engines implement it with
+    Welford-style running covariance whose accumulation order differs
+    across partitionings/engines. Instead the closed form is computed
+    from EXACT integer moments (epoch-day x, count y: every sum and
+    product is an exactly-representable integer < 2^53), so the single
+    final division is bit-identical everywhere. Two map-side-combining
+    shuffles: (type, day) rollup, then 5-group moment agg."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    x = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum("cnt").alias("sy"),
+        F.sum(x * F.col("cnt")).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            ),
+            6,
+        ).alias("slope_per_day"),
+    )
