@@ -588,3 +588,41 @@ def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("canonical_id"),
         (F.col("node") == F.col("component")).alias("is_kept"),
     )
+
+
+@register(
+    "embedding_standardize",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve
+      FROM embeddings),
+    x AS (
+      SELECT vec_id, generate_subscripts(ve, 1) AS pos, unnest(ve) AS val
+      FROM e),
+    s AS (
+      SELECT pos, ROUND(AVG(val), 6) AS mu, ROUND(STDDEV_SAMP(val), 6) AS sd
+      FROM x GROUP BY pos)
+    SELECT x.vec_id, CAST(x.pos - 1 AS INTEGER) AS dim_idx,
+           ROUND((x.val - s.mu) / s.sd, 4) AS z
+    FROM x JOIN s USING (pos)
+    """,
+    tags=("similarity", "preprocess", "standardize"),
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension whitening of the embeddings table, flattened to
+    (vec_id, dim_idx, z) so EVERY standardized coordinate is
+    value-hashed against the oracle. Stats collect = dim x 2 scalars;
+    the apply phase is a zero-shuffle map-side transform
+    (operators/similarity.py::standardize_embeddings)."""
+    from covid_data_pipeline_spark.operators.similarity import (
+        standardize_embeddings,
+    )
+
+    z = standardize_embeddings(table(spark, sf_dir, "embeddings"))
+    return z.select(
+        "vec_id", F.posexplode("z_embedding").alias("dim_idx", "zv")
+    ).select(
+        "vec_id",
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.round("zv", 4).alias("z"),
+    )

@@ -718,3 +718,50 @@ def knn_graph_lsh(
         order_by=[F.col("similarity").desc(), F.col("nbr_id")],
         k=k,
     ).select("src_id", "nbr_id", "similarity")
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "z_embedding",
+    stats: list[tuple[float, float]] | None = None,
+) -> DataFrame:
+    """Per-dimension z-standardization (whitening) of an embedding
+    column — the preprocessing step before ANN indexing / clustering
+    when dimensions have wildly different scales.
+
+    Two phases, mirroring :func:`train_centroids`'s bounded-collect
+    contract: (1) per-dimension mean / sample-stddev via posexplode +
+    a dim-keyed aggregation (dim groups, map-side combine), collected
+    to the driver — dim × 2 scalars, NOT data; (2) a map-side
+    ``transform`` against the broadcast literal stats — the corpus is
+    standardized with ZERO shuffles. Pass precomputed ``stats`` to skip
+    phase 1 entirely (the warehouse case: train stats once, apply to
+    every new batch — and the only honest way to standardize streaming
+    data).
+
+    Float policy: stats are ROUNDed to 6 dp BEFORE use so a downstream
+    4-dp rounding of z compares bit-stable across engines (raw
+    mean/stddev differ across summation orders at ~1e-15)."""
+    v = _as_double(F.col(vec_col))
+    if stats is None:
+        x = df.select(F.posexplode(v).alias("pos", "val"))
+        rows = (
+            x.groupBy("pos")
+            .agg(
+                F.round(F.avg("val"), 6).alias("mu"),
+                F.round(F.stddev_samp("val"), 6).alias("sd"),
+            )
+            .collect()
+        )
+        by_pos = {r["pos"]: (r["mu"], r["sd"]) for r in rows}
+        stats = [by_pos[i] for i in range(len(by_pos))]
+    mus = F.lit([m for m, _ in stats])
+    sds = F.lit([s for _, s in stats])
+    z = F.transform(
+        v,
+        lambda xv, i: (xv - F.element_at(mus, i + 1))
+        / F.element_at(sds, i + 1),
+    )
+    return df.select(F.col(id_col), z.alias(out_col))

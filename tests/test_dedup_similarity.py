@@ -529,3 +529,34 @@ def test_knn_graph_lsh_caps_degenerate_bucket(spark):
     )
     # k neighbors per item still come out when uncapped
     assert uncapped.count() == 300 * 5
+
+
+def test_standardize_embeddings_pretrained_stats_zero_shuffle(spark):
+    from covid_data_pipeline_spark.operators.similarity import (
+        standardize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 10.0]), (1, [3.0, 30.0]), (2, [5.0, 50.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # stats derived by hand: dim0 mean 3 sd 2, dim1 mean 30 sd 20
+    out = standardize_embeddings(df, stats=[(3.0, 2.0), (30.0, 20.0)])
+    got = {r["vec_id"]: r["z_embedding"] for r in out.collect()}
+    assert got[0] == [-1.0, -1.0] and got[2] == [1.0, 1.0]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # apply phase is purely map-side
+
+
+def test_standardize_embeddings_computed_stats_center_corpus(spark, sf_dir):
+    from covid_data_pipeline_spark.operators.similarity import (
+        standardize_embeddings,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    z = standardize_embeddings(e)
+    stats = z.select(F.posexplode("z_embedding").alias("pos", "v")).agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd")
+    ).collect()[0]
+    # standardized corpus is ~zero-mean unit-variance overall
+    assert abs(stats["mu"]) < 0.01 and abs(stats["sd"] - 1.0) < 0.01
