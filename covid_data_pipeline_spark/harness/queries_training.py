@@ -604,3 +604,51 @@ def split_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+_TB_BUDGETS = {f"src{i}": 800 for i in range(5)} | {
+    f"src{i}": 300 for i in range(5, 10)
+}
+_TB_CASE = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {b}" for s, b in _TB_BUDGETS.items()
+) + " END"
+
+
+@register(
+    "token_budget_select_docs",
+    f"""
+    WITH sized AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens,
+             {_KHASH} AS hk
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY hk, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM sized
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM cum WHERE cum_tokens <= {_TB_CASE}
+    """,
+    tags=("training", "budget", "selection"),
+)
+def token_budget_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus selection: per source, docs are taken
+    in Knuth-hash priority order until that source's TOKEN budget fills
+    (src0-4: 800 tokens ≈ half the source; src5-9: 300; the rest have
+    no budget and are dropped). Rerun/append-stable: earlier picks keep
+    their hash priority. One shuffle; streaming running-sum frame
+    (operators/sampling.py::token_budget_select)."""
+    from covid_data_pipeline_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    )
+    return token_budget_select(docs, _TB_BUDGETS).select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
+    )

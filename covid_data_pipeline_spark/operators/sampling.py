@@ -365,3 +365,42 @@ def group_aware_split(
         .when(pct < train_pct + valid_pct, "valid")
         .when(pct.isNotNull(), "test"),
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Budget-constrained corpus selection: per group, keep documents in
+    deterministic Knuth-hash priority order until the group's TOKEN
+    budget is exhausted (first doc that would overflow is cut, as is
+    everything after it). The curation step for "give me ~N tokens per
+    source, stably across reruns" — doc-count quotas can't hit a token
+    target when doc lengths vary by orders of magnitude.
+
+    Adds ``cum_tokens`` (the running total INCLUDING the row) so the
+    consumer can audit how full each budget ran. Groups absent from
+    ``budgets`` are dropped.
+
+    Scale: ONE shuffle on the group key; the running sum is a streaming
+    window frame (no buffering beyond the sort). Selection order is
+    hash-of-id: reruns over the same id set are bit-identical. Appends
+    keep every doc's PRIORITY stable but can move the cut line (a new
+    doc that hashes early pushes later picks over budget) — freeze the
+    id set first if an immutable selection is required."""
+    _require_integral_id(df, id_col)
+    budget = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )[F.col(group_col)]
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(knuth_hash(id_col), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(tokens_col).over(w))
+        .filter(F.col("cum_tokens") <= budget)
+    )

@@ -303,3 +303,32 @@ def test_group_aware_split_keeps_groups_whole(spark, sf_dir):
     # NULL group -> NULL split, never a silent bucket
     null_df = spark.createDataFrame([(1, None)], "doc_id long, source string")
     assert group_aware_split(null_df, "source").first()["split"] is None
+
+
+def test_token_budget_select_cuts_at_budget_and_is_deterministic(spark):
+    from covid_data_pipeline_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    rows = [(i, "a", 10) for i in range(100)] + [(i + 100, "b", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = token_budget_select(df, {"a": 95})  # 9 docs of 10 fit; "b" dropped
+    got = out.collect()
+    assert {r["source"] for r in got} == {"a"}
+    assert len(got) == 9 and max(r["cum_tokens"] for r in got) == 90
+    again = token_budget_select(df.repartition(13), {"a": 95}).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_token_budget_first_overflowing_doc_is_cut(spark):
+    from covid_data_pipeline_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 60), (2, "a", 60), (3, "a", 60)],
+        "doc_id long, source string, n_tokens long",
+    )
+    out = token_budget_select(df, {"a": 100}).collect()
+    # only the hash-first doc fits; the one that would overflow is cut
+    assert len(out) == 1 and out[0]["cum_tokens"] == 60
