@@ -785,3 +785,62 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_bigrams"),
         )
     )
+
+
+@register(
+    "term_drift_by_cohort",
+    r"""
+    WITH toks AS (
+      SELECT CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10
+                  THEN 'a' ELSE 'b' END AS cohort,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents),
+    counts AS (
+      SELECT tok,
+             SUM(CASE WHEN cohort = 'a' THEN 1 ELSE 0 END) AS cnt_a,
+             SUM(CASE WHEN cohort = 'b' THEN 1 ELSE 0 END) AS cnt_b
+      FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(cnt_a) AS ta, SUM(cnt_b) AS tb FROM counts)
+    SELECT tok, cnt_a, cnt_b,
+           CAST(FLOOR(cnt_a * 10000.0 / ta) AS BIGINT)
+             - CAST(FLOOR(cnt_b * 10000.0 / tb) AS BIGINT) AS drift_bp
+    FROM counts, tot
+    """,
+    tags=("text", "drift", "monitoring"),
+)
+def term_drift_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus cohorts (sources
+    0-9 vs 10-19 stand in for old/new snapshots): per token, occurrence
+    counts in each cohort and the basis-point share delta — the
+    vocabulary-shift monitor run before retraining on a refreshed crawl.
+
+    All-integer output (counts + floor'd basis points of exact integer
+    ratios) — no logs or float ratios, so cross-engine bit-equality is
+    structural. One token shuffle with map-side combine; cohort totals
+    re-enter via a broadcast single row (tiny cross join), never a
+    second corpus pass."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.when(
+            F.substring("source", 4, 10).cast("int") < 10, "a"
+        ).otherwise("b").alias("cohort"),
+        F.explode(tokens("text")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("cohort") == "a", 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(F.col("cohort") == "b", 1).otherwise(0)).alias("cnt_b"),
+    )
+    tot = F.broadcast(
+        counts.agg(
+            F.sum("cnt_a").alias("ta"), F.sum("cnt_b").alias("tb")
+        )
+    )
+    return counts.crossJoin(tot).select(
+        "tok",
+        "cnt_a",
+        "cnt_b",
+        (
+            F.floor(F.col("cnt_a") * 10000.0 / F.col("ta"))
+            - F.floor(F.col("cnt_b") * 10000.0 / F.col("tb"))
+        ).cast("bigint").alias("drift_bp"),
+    )
