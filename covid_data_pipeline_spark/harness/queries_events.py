@@ -941,3 +941,78 @@ def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("slope_per_day"),
     )
+
+
+@register(
+    "funnel_sessionized",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL '30 minutes'
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    ),
+    s1 AS (
+      SELECT user_id, session_no, MIN(ts) AS t1 FROM sess
+      WHERE event_type = 'view' GROUP BY user_id, session_no),
+    s2 AS (
+      SELECT e.user_id, e.session_no, MIN(e.ts) AS t2 FROM sess e
+      JOIN s1 ON e.user_id = s1.user_id AND e.session_no = s1.session_no
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id, e.session_no),
+    s3 AS (
+      SELECT e.user_id, e.session_no, MIN(e.ts) AS t3 FROM sess e
+      JOIN s2 ON e.user_id = s2.user_id AND e.session_no = s2.session_no
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id, e.session_no)
+    SELECT * FROM (
+      SELECT CAST(1 AS INTEGER) AS stage_reached,
+             (SELECT COUNT(*) FROM s1) - (SELECT COUNT(*) FROM s2) AS sessions_cnt
+      UNION ALL
+      SELECT CAST(2 AS INTEGER),
+             (SELECT COUNT(*) FROM s2) - (SELECT COUNT(*) FROM s3)
+      UNION ALL
+      SELECT CAST(3 AS INTEGER), (SELECT COUNT(*) FROM s3)
+    ) WHERE sessions_cnt > 0
+    """,
+    tags=("events", "funnel", "session"),
+)
+def funnel_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SESSION ordered funnel: view -> click -> purchase completed
+    within one 30-min-gap session (the product-analytics default, where
+    cross-day conversions are separate journeys). Sessionization is the
+    gaps-and-islands pattern; the funnel fold then groups by the
+    composite (user_id, session_no) key — Catalyst reuses the user_id
+    hash partitioning for the composite groupBy (subset rule), so the
+    corpus shuffles ONCE for windows and fold together."""
+    from covid_data_pipeline_spark.operators.funnel import funnel_histogram
+
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = epoch_seconds("ts")
+    gap = ts_s - F.lag(ts_s).over(w)
+    sess = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        funnel_histogram(
+            sess,
+            ["user_id", "session_no"],
+            "ts",
+            "event_type",
+            ("view", "click", "purchase"),
+        )
+        .withColumnRenamed("users", "sessions_cnt")
+        .filter(F.col("sessions_cnt") > 0)
+    )

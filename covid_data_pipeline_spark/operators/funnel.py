@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 def funnel_stage_times(
     df: DataFrame,
-    user_col: str,
+    user_col: str | Sequence[str],
     ts_col: str,
     type_col: str,
     stages: Sequence[str],
@@ -61,12 +61,13 @@ def funnel_stage_times(
     """
     if not stages:
         raise ValueError("funnel needs at least one stage")
+    keys = [user_col] if isinstance(user_col, str) else list(user_col)
     gap = F.expr(f"INTERVAL {max_gap}") if max_gap is not None else None
     ts_type = df.schema[ts_col].dataType
     ev = df.filter(
         F.col(type_col).isin(list(stages)) & F.col(ts_col).isNotNull()
     )
-    per_user = ev.groupBy(user_col).agg(
+    per_user = ev.groupBy(*keys).agg(
         F.sort_array(
             F.collect_list(
                 F.struct(
@@ -96,23 +97,24 @@ def funnel_stage_times(
 
     state = F.aggregate(F.col("__evs"), init, merge)
     return per_user.select(
-        user_col,
+        *keys,
         *[state[f"t{i}"].alias(f"t{i}") for i in range(len(stages))],
     )
 
 
 def funnel_histogram(
     df: DataFrame,
-    user_col: str,
+    user_col: str | Sequence[str],
     ts_col: str,
     type_col: str,
     stages: Sequence[str],
     max_gap: str | None = None,
 ) -> DataFrame:
     """Funnel drop-off histogram: for each stage depth 1..k, how many
-    users reached exactly that far. Users whose furthest stage is 0
-    (never did ``stages[0]``) are excluded — the funnel population is
-    entrants. Output: (stage_reached int, users bigint)."""
+    funnel units (users — or user-sessions etc. when ``user_col`` is a
+    composite key) reached exactly that far. Units whose furthest stage
+    is 0 (never did ``stages[0]``) are excluded — the funnel population
+    is entrants. Output: (stage_reached int, users bigint)."""
     times = funnel_stage_times(df, user_col, ts_col, type_col, stages, max_gap)
     reached = F.lit(0)
     for i in range(len(stages)):
