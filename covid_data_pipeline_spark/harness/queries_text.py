@@ -844,3 +844,63 @@ def term_drift_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.floor(F.col("cnt_b") * 10000.0 / F.col("tb"))
         ).cast("bigint").alias("drift_bp"),
     )
+
+
+@register(
+    "token_mass_percentiles",
+    r"""
+    WITH sized AS (
+      SELECT len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
+      FROM documents),
+    by_len AS (
+      SELECT n_tokens, SUM(n_tokens) AS mass
+      FROM sized GROUP BY n_tokens),
+    cum AS (
+      SELECT n_tokens,
+             SUM(mass) OVER (ORDER BY n_tokens
+                             ROWS UNBOUNDED PRECEDING) AS cum_mass,
+             (SELECT SUM(mass) FROM by_len) AS total
+      FROM by_len)
+    SELECT
+      MIN(CASE WHEN cum_mass * 4 >= total THEN n_tokens END) AS p25_len,
+      MIN(CASE WHEN cum_mass * 2 >= total THEN n_tokens END) AS p50_len,
+      MIN(CASE WHEN cum_mass * 4 >= total * 3 THEN n_tokens END) AS p75_len
+    FROM cum
+    """,
+    tags=("text", "percentile", "token-mass"),
+)
+def token_mass_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-MASS-weighted doc-length percentiles: the length of the doc
+    containing the p25/p50/p75-th token (not the median DOC — budgets
+    are token-denominated, and a few huge docs can hold most of the
+    mass).
+
+    Scale shape: the corpus collapses to one row per DISTINCT length
+    first (bounded domain, map-side combine), so the cumulative window
+    runs over that tiny relation — never a global sort of the corpus.
+    Threshold picks are integer comparisons (cum*4 >= total etc.), no
+    float division."""
+    docs = table(spark, sf_dir, "documents")
+    by_len = (
+        docs.select(token_count("text").alias("n_tokens"))
+        .groupBy("n_tokens")
+        .agg(F.sum("n_tokens").alias("mass"))
+    )
+    w = Window.orderBy("n_tokens").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = F.broadcast(by_len.agg(F.sum("mass").alias("total")))
+    cum = by_len.withColumn("cum_mass", F.sum("mass").over(w)).crossJoin(tot)
+    return cum.agg(
+        F.min(
+            F.when(F.col("cum_mass") * 4 >= F.col("total"), F.col("n_tokens"))
+        ).alias("p25_len"),
+        F.min(
+            F.when(F.col("cum_mass") * 2 >= F.col("total"), F.col("n_tokens"))
+        ).alias("p50_len"),
+        F.min(
+            F.when(
+                F.col("cum_mass") * 4 >= F.col("total") * 3, F.col("n_tokens")
+            )
+        ).alias("p75_len"),
+    )
