@@ -248,3 +248,87 @@ def stream_interval_join(
     for k in keys:
         out = out.drop(r[k])
     return out
+
+
+def stream_funnel_stage_times(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+    max_gap: str | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators/funnel.py::funnel_stage_times``:
+    per-user first-completion times for an ordered stage sequence,
+    maintained across micro-batches with one k-timestamp state row per
+    user (``applyInPandasWithState``).
+
+    Each micro-batch is pre-filtered to stage events, sorted by
+    ``(ts, type)``, and folded with the SAME strict-``>`` (and optional
+    ``max_gap``) step bounds as the batch operator, starting from the
+    stored stage times. Emits the user's current stage-time row
+    whenever a batch advances it (Update mode — the memory/console twin
+    of a keyed upsert sink).
+
+    Parity contract (proven in tests/test_streaming.py): when events
+    arrive in event-time order across batches, the final state equals
+    the batch fold exactly. Out-of-order arrivals refine monotonically
+    — a stage-0 event OLDER than the committed t0 cannot rewind it
+    (that would require reprocessing later stages); same
+    at-arrival-order caveat as the delta operator above.
+
+    Scale: state is k timestamps per user (bounded, RocksDB-friendly);
+    per-batch work is O(stage events in batch) after the filter, which
+    at 100 TB/day is the small funnel-typed fraction of the stream.
+    """
+    stages = list(stages)
+    fields = {f.name: f for f in df.schema.fields}
+    ts_field = fields[ts_col]
+    t_cols = [f"t{i}" for i in range(len(stages))]
+    out_schema = StructType(
+        [fields[user_col]]
+        + [StructField(t, ts_field.dataType, True) for t in t_cols]
+    )
+    state_schema = StructType(
+        [StructField(t, ts_field.dataType, True) for t in t_cols]
+    )
+    gap = pd.Timedelta(max_gap) if max_gap is not None else None
+
+    ev = df.filter(
+        F.col(type_col).isin(stages) & F.col(ts_col).isNotNull()
+    ).select(user_col, ts_col, type_col)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values([ts_col, type_col], ignore_index=True)
+        times: list = (
+            list(state.get) if state.exists else [None] * len(stages)
+        )
+        changed = False
+        for ts, tp in zip(batch[ts_col], batch[type_col]):
+            if pd.isna(ts):
+                continue
+            i = stages.index(tp)
+            if times[i] is not None:
+                continue
+            if i > 0:
+                prev = times[i - 1]
+                if prev is None or not ts > prev:
+                    continue
+                if gap is not None and ts > prev + gap:
+                    continue
+            times[i] = ts
+            changed = True
+        if changed:
+            state.update(tuple(times))
+            yield pd.DataFrame(
+                {user_col: [key[0]], **{t: [times[i]] for i, t in enumerate(t_cols)}}
+            )
+
+    return ev.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -511,3 +511,72 @@ def test_exactly_once_append_skips_replayed_batch(spark, tmp_path):
     # and replaying THAT id is suppressed too
     assert append_once(wh, "evt", spark.range(10, 15).toDF("id"), batch_id=1) is False
     assert wh.read("evt").count() == 15
+
+
+def test_stream_funnel_equals_batch_fold(spark, tmp_path):
+    """stream_funnel_stage_times across micro-batch boundaries (state
+    hand-off forced by maxFilesPerTrigger=1, events in event-time order)
+    must equal the batch funnel fold over the full corpus."""
+    import datetime as dt
+
+    from covid_data_pipeline_spark.operators.funnel import funnel_stage_times
+    from covid_data_pipeline_spark.streaming.stateful import (
+        stream_funnel_stage_times,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)  # noqa: E731
+    early = [
+        (1, t(0), "view"),
+        (1, t(5), "click"),
+        (2, t(1), "purchase"),  # out of order: never counts
+        (2, t(2), "view"),
+        (3, t(3), "view"),
+        (4, t(0), "view"),
+        (4, t(0), "click"),  # equal-ts: must not advance
+    ]
+    late = [
+        (1, t(70), "purchase"),  # completes user 1 across the boundary
+        (2, t(80), "click"),     # advances user 2 with state t0 from batch 1
+        (3, t(90), "noise"),     # non-stage event
+        (4, t(95), "purchase"),  # blocked: t1 never set for user 4
+    ]
+    schema = "user_id long, ts timestamp, event_type string"
+    land = tmp_path / "funnel_land"
+    spark.createDataFrame(early, schema).coalesce(1).write.mode("append").parquet(str(land))
+    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(str(land))
+
+    batch_df = spark.read.parquet(str(land))
+    stream_df = file_stream(spark, str(land), batch_df.schema, max_files_per_trigger=1)
+    out = stream_funnel_stage_times(
+        stream_df, "user_id", "ts", "event_type", ("view", "click", "purchase")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "funnel_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    # last update per user = final state
+    got = {
+        r["user_id"]: (r["t0"], r["t1"], r["t2"])
+        for r in spark.sql(
+            """SELECT * FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY t2 DESC NULLS LAST,
+                                                 t1 DESC NULLS LAST,
+                                                 t0 DESC NULLS LAST) rn
+                 FROM funnel_state) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["t0"], r["t1"], r["t2"])
+        for r in funnel_stage_times(
+            batch_df, "user_id", "ts", "event_type", ("view", "click", "purchase")
+        ).collect()
+    }
+    assert got == want
+    assert want[1][2] is not None  # user 1 completed across the boundary
+    assert want[4] == (t(0), None, None)  # equal-ts click never advanced
