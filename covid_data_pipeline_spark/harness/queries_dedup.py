@@ -375,6 +375,7 @@ def dedup_passages_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rn = 1
     """,
     tags=("dedup", "keep-best", "canonicalize"),
+    bench=True,
 )
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-BEST exact-dedup policy: within each normalized-text cluster

@@ -858,6 +858,7 @@ def daily_active_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE users > 0
     """,
     tags=("events", "funnel", "sequence"),
+    bench=True,
 )
 def funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view -> click -> purchase funnel with a 24h max gap per

@@ -736,6 +736,7 @@ def docs_quality_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY b.doc_id
     """,
     tags=("text", "vocab", "oov"),
+    bench=True,
 )
 def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage / OOV audit: build a top-K (K=400) word-bigram
