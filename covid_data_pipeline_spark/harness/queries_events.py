@@ -1017,3 +1017,71 @@ def funnel_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("users", "sessions_cnt")
         .filter(F.col("sessions_cnt") > 0)
     )
+
+
+@register(
+    "funnel_conversion_lag",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+    lag_s AS (
+      SELECT CAST(FLOOR(date_part('epoch', s3.t3)
+                        - date_part('epoch', s1.t1)) AS BIGINT) AS lag_s
+      FROM s3 JOIN s1 ON s3.user_id = s1.user_id),
+    by_lag AS (SELECT lag_s, COUNT(*) AS cnt FROM lag_s GROUP BY lag_s),
+    cum AS (
+      SELECT lag_s,
+             SUM(cnt) OVER (ORDER BY lag_s ROWS UNBOUNDED PRECEDING) AS c,
+             (SELECT SUM(cnt) FROM by_lag) AS total
+      FROM by_lag)
+    SELECT (SELECT total FROM cum LIMIT 1) AS converted_users,
+           (SELECT MIN(lag_s) FROM by_lag) AS min_lag_s,
+           MIN(CASE WHEN c * 2 >= total THEN lag_s END) AS median_lag_s,
+           (SELECT MAX(lag_s) FROM by_lag) AS max_lag_s
+    FROM cum
+    """,
+    tags=("events", "funnel", "latency"),
+)
+def funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert for users completing the UNGATED view -> click ->
+    purchase funnel: min / exact median / max seconds from first view
+    to qualifying purchase. Integer epoch-second lags, median by the
+    domain-compression pattern (group by distinct lag first, cumulative
+    window over that tiny relation — never a global sort of users)."""
+    from covid_data_pipeline_spark.operators.funnel import funnel_stage_times
+
+    ev = table(spark, sf_dir, "events")
+    times = funnel_stage_times(
+        ev, "user_id", "ts", "event_type", ("view", "click", "purchase")
+    )
+    lag_s = (
+        times.filter(F.col("t2").isNotNull())
+        .select(
+            F.floor(epoch_seconds("t2") - epoch_seconds("t0"))
+            .cast("bigint")
+            .alias("lag_s")
+        )
+    )
+    by_lag = lag_s.groupBy("lag_s").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("lag_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = F.broadcast(by_lag.agg(F.sum("cnt").alias("total")))
+    cum = by_lag.withColumn("c", F.sum("cnt").over(w)).crossJoin(tot)
+    return cum.agg(
+        F.max("total").alias("converted_users"),
+        F.min("lag_s").alias("min_lag_s"),
+        F.min(
+            F.when(F.col("c") * 2 >= F.col("total"), F.col("lag_s"))
+        ).alias("median_lag_s"),
+        F.max("lag_s").alias("max_lag_s"),
+    )
