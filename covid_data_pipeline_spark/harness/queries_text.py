@@ -905,3 +905,66 @@ def token_mass_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p75_len"),
     )
+
+
+@register(
+    "curation_report_by_source",
+    r"""
+    WITH scored AS (
+      SELECT source,
+             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+             length(text) AS n_chars,
+             (length(text) BETWEEN 50 AND 20000)::INT * 0.4
+             + COALESCE(CASE WHEN length(text) > 0
+                 THEN len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+                      / length(text) END < 0.2, FALSE)::INT * 0.3
+             + COALESCE(CASE WHEN
+                 len(regexp_split_to_array(trim(lower(text)), '\s+')) > 0
+                 THEN len(list_filter(
+                        regexp_split_to_array(trim(lower(text)), '\s+'),
+                        x -> x IN ('the','a','and','of','to','in','is',
+                                   'for','on','with')))::DOUBLE
+                      / len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 END > 0.01, FALSE)::INT * 0.3 AS q,
+             (regexp_matches(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')
+              OR regexp_matches(text, '\d{3}-\d{2}-\d{4}'))::INT AS has_pii
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           ROUND(AVG(q), 4) AS avg_quality,
+           SUM(CASE WHEN n_chars < 50 THEN 1 ELSE 0 END) AS n_short,
+           SUM(has_pii) AS n_pii
+    FROM scored GROUP BY source
+    """,
+    tags=("text", "curation", "report"),
+)
+def curation_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard in ONE corpus pass: doc and token
+    volume, mean quality score, short-doc and PII-bearing doc counts —
+    the summary a data lead reads before deciding per-source filter
+    thresholds. Every metric is a map-side projection feeding a single
+    source-keyed aggregation (map-side combine; ~sources rows out)."""
+    from covid_data_pipeline_spark.functions.text import PII_PATTERNS
+
+    docs = table(spark, sf_dir, "documents")
+    has_pii = (
+        F.regexp_count("text", F.lit(PII_PATTERNS[0][0]))
+        + F.regexp_count("text", F.lit(PII_PATTERNS[1][0]))
+        > 0
+    ).cast("int")
+    scored = docs.select(
+        "source",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        quality_score("text").alias("q"),
+        has_pii.alias("has_pii"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+        F.sum(F.when(F.col("n_chars") < 50, 1).otherwise(0)).alias("n_short"),
+        F.sum("has_pii").alias("n_pii"),
+    )
