@@ -968,3 +968,56 @@ def curation_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_chars") < 50, 1).otherwise(0)).alias("n_short"),
         F.sum("has_pii").alias("n_pii"),
     )
+
+
+@register(
+    "source_overlap_matrix",
+    r"""
+    WITH t AS (
+      SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+      FROM documents),
+    st AS (
+      SELECT DISTINCT source, a[i] || ' ' || a[i+1] AS tok
+      FROM t, LATERAL (SELECT unnest(range(1, len(a))) AS i))
+    SELECT x.source AS src_a, y.source AS src_b,
+           COUNT(*) AS shared_bigrams
+    FROM st x JOIN st y ON x.tok = y.tok AND x.source < y.source
+    GROUP BY x.source, y.source
+    """,
+    tags=("text", "overlap", "contamination"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source overlap matrix: for every source pair, how many
+    DISTINCT word bigrams they share — the boilerplate/mirror detector
+    run before trusting sources as independent (a pair sharing most of
+    its bigram vocabulary is one crawl mirrored twice).
+
+    Scale shape: the corpus collapses to distinct (source, bigram)
+    FIRST (hash agg, map-side combine); the self-join is keyed on the
+    bigram with fan-out bounded by sources² per bigram — the pair
+    relation never exceeds sources² rows after the count agg. A
+    ubiquitous bigram present in every source costs sources² rows, not
+    corpus²."""
+    from covid_data_pipeline_spark.functions.text import let
+
+    docs = table(spark, sf_dir, "documents")
+
+    def _bigrams(t):
+        n = F.size(t)
+        return F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+
+    st = docs.select(
+        "source", F.explode(let(tokens("text"), _bigrams)).alias("tok")
+    ).dropDuplicates(["source", "tok"])
+    x = st.select(F.col("source").alias("src_a"), "tok")
+    y = st.select(F.col("source").alias("src_b"), "tok")
+    return (
+        x.join(y, on="tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_bigrams"))
+    )
