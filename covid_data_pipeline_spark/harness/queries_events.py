@@ -1085,3 +1085,37 @@ def funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("median_lag_s"),
         F.max("lag_s").alias("max_lag_s"),
     )
+
+
+@register(
+    "daily_distinct_users_bitmap",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(DISTINCT user_id) AS distinct_users
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY CAST(ts AS DATE)
+    """,
+    tags=("events", "distinct", "bitmap"),
+)
+def daily_distinct_users_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT daily distinct users via bitmap aggregation — the
+    fixed-size-mergeable-state alternative to both naive
+    COUNT(DISTINCT) (whose expand+shuffle carries every (day, user)
+    pair to the reducer) and HLL (approximate). Ids are mapped to
+    (bucket, bit position); each (day, bucket) reduces to ONE ≤4 KB
+    bitmap with map-side combine, popcounts sum per day. The same
+    bitmaps are UNION-mergeable across incremental runs — store them
+    per partition and daily refreshes never rescan history (the exact
+    twin of the HLL rolling-distinct pattern)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        .groupBy("day")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("distinct_users"))
+    )
