@@ -1119,3 +1119,81 @@ def daily_distinct_users_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum(F.expr("bitmap_count(bm)")).alias("distinct_users"))
     )
+
+
+@register(
+    "event_type_lift",
+    """
+    WITH per_user AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n_users AS (SELECT COUNT(DISTINCT user_id) AS nu FROM per_user),
+    singles AS (
+      SELECT event_type, COUNT(*) AS n FROM per_user GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM per_user a JOIN per_user b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type)
+    SELECT p.type_a, p.type_b, p.n_both,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(FLOOR(p.n_both * nu.nu * 10000.0 / (sa.n * sb.n)) AS BIGINT)
+             AS lift_bp
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    CROSS JOIN n_users nu
+    """,
+    tags=("events", "association", "lift"),
+)
+def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type association (market-basket lift over users): for each
+    unordered type pair, co-occurrence count and lift =
+    P(a,b)/(P(a)P(b)) in integer basis points (floor of an exact
+    integer product ratio — no float accumulation). The within-user
+    self-join fans out ≤ |types|² per user AFTER the (user, type)
+    distinct collapse; the singles and user-count relations re-enter
+    as broadcasts."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.select("user_id", "event_type").distinct()
+    n_users = F.broadcast(
+        per_user.agg(F.countDistinct("user_id").alias("nu"))
+    )
+    singles = F.broadcast(
+        per_user.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = per_user.select("user_id", F.col("event_type").alias("type_a"))
+    b = per_user.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, on="user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        pairs.join(
+            singles.select(
+                F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+            ),
+            "type_a",
+        )
+        .join(
+            singles.select(
+                F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+            ),
+            "type_b",
+        )
+        .crossJoin(n_users)
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.floor(
+                F.col("n_both") * F.col("nu") * 10000.0
+                / (F.col("n_a") * F.col("n_b"))
+            ).cast("bigint").alias("lift_bp"),
+        )
+    )
