@@ -652,3 +652,74 @@ def token_budget_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_select(docs, _TB_BUDGETS).select(
         "doc_id", "source", "n_tokens", "cum_tokens"
     )
+
+
+@register(
+    "temporal_split_events",
+    """
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+      WHERE ts IS NOT NULL),
+    ranked AS (
+      SELECT day,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             COUNT(*) OVER () AS nd
+      FROM days),
+    cutoff AS (
+      SELECT MAX(CASE WHEN rn * 5 <= nd * 4 THEN day END) AS cut FROM ranked)
+    SELECT CASE WHEN CAST(e.ts AS DATE) <= c.cut THEN 'train' ELSE 'test' END
+             AS split,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           MIN(CAST(e.ts AS DATE)) AS day_min,
+           MAX(CAST(e.ts AS DATE)) AS day_max
+    FROM events e CROSS JOIN cutoff c
+    WHERE e.ts IS NOT NULL
+    GROUP BY CASE WHEN CAST(e.ts AS DATE) <= c.cut THEN 'train' ELSE 'test' END
+    """,
+    tags=("training", "split", "temporal"),
+)
+def temporal_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal holdout split: train = the first 80% of DISTINCT days,
+    test = the rest — the leakage guard for forecasting-style tasks
+    where hash splits leak the future into training. The cutoff day is
+    computed over the tiny distinct-day relation (domain compression —
+    the ranking window never sees the corpus) and re-enters as a
+    broadcast single row; the corpus itself is labeled map-side with
+    zero extra shuffles beyond the final stats agg."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    w = Window.orderBy("day")
+    ranked = days.select(
+        "day",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("nd"),
+    )
+    cutoff = F.broadcast(
+        ranked.agg(
+            F.max(
+                F.when(F.col("rn") * 5 <= F.col("nd") * 4, F.col("day"))
+            ).alias("cut")
+        )
+    )
+    return (
+        ev.crossJoin(cutoff)
+        .select(
+            F.when(F.to_date("ts") <= F.col("cut"), "train")
+            .otherwise("test")
+            .alias("split"),
+            "user_id",
+            F.to_date("ts").alias("day"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("day").alias("day_min"),
+            F.max("day").alias("day_max"),
+        )
+    )
