@@ -423,3 +423,60 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("len").cast("bigint").alias("min_len"),
     )
+
+
+@register(
+    "graph_triangle_count",
+    """
+    WITH raw AS (
+      SELECT doc_id AS a, (doc_id * 7) % 500 AS b FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id * 49) % 500 FROM documents),
+    e AS (
+      SELECT DISTINCT LEAST(a, b) AS lo, GREATEST(a, b) AS hi
+      FROM raw WHERE a <> b)
+    SELECT COUNT(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.lo = e1.hi
+    JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    """,
+    tags=("graph", "triangles"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on a deterministic doc graph (edges a—7a and
+    a—49a mod 500, so every node closes the {a, 7a, 49a} triangle) —
+    the clustering-coefficient primitive for dedup-graph diagnostics
+    (dense triangle neighborhoods = near-dup cliques; sparse = chains
+    of borderline pairs).
+
+    Canonicalized (lo < hi) undirected edges make each triangle count
+    exactly once via the two-hop join + closing-edge check — the
+    standard distributed formulation: both joins are EDGE-keyed hash
+    joins (no node-degree blowup beyond real wedges), which is the
+    shape that survives a 100 TB edge list; skew from high-degree hubs
+    is the documented AQE/salting case."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    raw = d.select(
+        F.col("doc_id").alias("a"),
+        ((F.col("doc_id") * 7) % 500).alias("b"),
+    ).unionByName(
+        d.select(
+            F.col("doc_id").alias("a"),
+            ((F.col("doc_id") * 49) % 500).alias("b"),
+        )
+    )
+    e = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+    )
+    e1 = e.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    e2 = e.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    e3 = e.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+    return (
+        e1.join(e2, on="y")
+        .join(e3, on=["x", "z"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
