@@ -123,3 +123,50 @@ def _start(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_split_quarantine(
+    stream_df: DataFrame,
+    wh: Warehouse,
+    good_table: str,
+    quarantine_table: str,
+    rules: Sequence,  # quality.Rule
+    checkpoint_dir: str,
+    partition_by: Sequence[str] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming dead-letter-queue split: every micro-batch is evaluated
+    against the declarative row rules (``operators/quality.Rule``); rows
+    passing ALL rules append to ``good_table``, failures land in
+    ``quarantine_table`` with a ``failed_rules`` audit column — the
+    streaming twin of ``read_csv_quarantine``'s contract (bad rows
+    neither kill the run NOR vanish).
+
+    Both sinks run inside ONE ``foreachBatch``, so a restart replays the
+    whole batch into both tables together (no good/bad split-brain); the
+    micro-batch is evaluated once per sink against the same rule
+    predicates — pure projections, no extra shuffle.
+    """
+    import pyspark.sql.functions as F
+
+    all_pass = None
+    for r in rules:
+        all_pass = r.predicate if all_pass is None else (all_pass & r.predicate)
+    failed = F.concat_ws(
+        ",",
+        F.array_compact(
+            F.array(
+                *[F.when(~r.predicate, F.lit(r.name)) for r in rules]
+            )
+        ),
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        good = batch_df.filter(all_pass)
+        bad = batch_df.filter(~F.coalesce(all_pass, F.lit(False))).withColumn(
+            "failed_rules", failed
+        )
+        wh.append(good, good_table, partition_by=partition_by)
+        wh.append(bad, quarantine_table)
+
+    return _start(stream_df, _sink, checkpoint_dir, available_now)

@@ -580,3 +580,37 @@ def test_stream_funnel_equals_batch_fold(spark, tmp_path):
     assert got == want
     assert want[1][2] is not None  # user 1 completed across the boundary
     assert want[4] == (t(0), None, None)  # equal-ts click never advanced
+
+
+def test_stream_quarantine_split_loses_nothing(spark, tmp_path):
+    from covid_data_pipeline_spark.operators.quality import in_range, not_null
+    from covid_data_pipeline_spark.streaming.pipeline import (
+        stream_split_quarantine,
+    )
+
+    rows = [
+        (1, 10.0), (2, -5.0),      # negative: quarantined
+        (3, None), (4, 99.0),      # null value: quarantined via not_null
+        (None, 7.0),               # null id: quarantined
+    ]
+    df = spark.createDataFrame(rows, "id long, value double")
+    land = tmp_path / "dlq_land"
+    df.coalesce(1).write.mode("append").parquet(str(land))
+
+    wh = Warehouse(spark, str(tmp_path / "dlq_wh"))
+    stream_df = file_stream(spark, str(land), df.schema, max_files_per_trigger=1)
+    q = stream_split_quarantine(
+        stream_df,
+        wh,
+        good_table="clean.events",
+        quarantine_table="dlq.events",
+        rules=[not_null("id"), not_null("value"), in_range("value", lo=0.0)],
+        checkpoint_dir=str(tmp_path / "dlq_ckpt"),
+    )
+    _drain(q)
+    good = wh.read("clean.events")
+    bad = wh.read("dlq.events")
+    assert {r["id"] for r in good.collect()} == {1, 4}
+    assert good.count() + bad.count() == 5  # nothing lost
+    flagged = {r["id"]: r["failed_rules"] for r in bad.collect()}
+    assert "in_range" in flagged[2] and "not_null" in flagged[None]
