@@ -130,3 +130,69 @@ def asof_join(
             for v in value_cols
         ],
     )
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str],
+    value_cols: Sequence[str] | None = None,
+    tolerance: str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Cogrouped-pandas twin of :func:`asof_join`: both sides are
+    cogrouped on ``by`` (``groupBy().cogroup().applyInPandas``) and each
+    key's pair of Arrow batches is joined with pandas ``merge_asof`` —
+    the reference semantics the column-algebra operator is tested
+    against.
+
+    Use the column-algebra :func:`asof_join` in production plans: it
+    stays JVM-side and reuses one shuffle+sort. This twin exists (a)
+    as an executable spec — merge_asof IS the contract the docstring
+    above cites — and (b) as the escape hatch pattern for per-key
+    logic pandas has but column algebra lacks. One shuffle per side on
+    ``by``; per-key data must fit a pandas frame (true for any sane
+    ``by`` cardinality; a single mega-key would need salting first).
+    """
+    import pandas as pd
+
+    by = list(by)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (*by, on)]
+    value_cols = list(value_cols)
+    left_cols = left.columns
+    out_names = {v: (v + suffix if v in left_cols else v) for v in value_cols}
+
+    from pyspark.sql.types import StructType
+
+    # StructType.add MUTATES in place — never call it on a DataFrame's
+    # live schema object (it corrupts the frame's cached column list).
+    out_schema = StructType(list(left.schema.fields))
+    right_fields = {f.name: f for f in right.schema.fields}
+    for v in value_cols:
+        f = right_fields[v]
+        out_schema = out_schema.add(out_names[v], f.dataType, True)
+
+    tol = (
+        pd.Timedelta(tolerance)
+        if isinstance(tolerance, str)
+        else tolerance  # numeric for integer `on` columns, or None
+    )
+
+    def fn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        lpdf = lpdf.sort_values(on, kind="mergesort", ignore_index=True)
+        rsel = rpdf[[on, *value_cols]].rename(columns=out_names)
+        rsel = rsel.sort_values(on, kind="mergesort", ignore_index=True)
+        merged = pd.merge_asof(
+            lpdf, rsel, on=on, direction="backward", tolerance=tol
+        )
+        return merged[[f.name for f in out_schema.fields]]
+
+    return (
+        left.groupBy(*by)
+        .cogroup(right.groupBy(*by))
+        .applyInPandas(fn, out_schema)
+    )

@@ -82,3 +82,50 @@ def test_asof_tiebreak_outside_value_cols(spark):
     ).collect()
     assert [r["v"] for r in out] == [2]
     assert "seq" not in out[0].asDict() and "__tb" not in out[0].asDict()
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(st.tuples(_key, _t), min_size=1, max_size=20),
+    right=st.lists(st.tuples(_key, _t, st.integers(0, 100)), max_size=20),
+)
+def test_cogroup_twin_matches_column_algebra_asof(spark, left, right):
+    from covid_data_pipeline_spark.operators.asof import asof_join_cogroup
+
+    right = list({(k, t): (k, t, v) for k, t, v in right}.values())
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k string, t long, lid long"
+    )
+    rdf = spark.createDataFrame(right, "k string, t long, v long")
+    want = {
+        (r["lid"],): r["v"]
+        for r in asof_join(ldf, rdf, on="t", by=["k"]).collect()
+    }
+    got = {
+        (r["lid"],): r["v"]
+        for r in asof_join_cogroup(ldf, rdf, on="t", by=["k"]).collect()
+    }
+    assert got == want
+
+
+def test_cogroup_twin_tolerance_and_right_only_keys(spark):
+    from covid_data_pipeline_spark.operators.asof import asof_join_cogroup
+
+    ldf = spark.createDataFrame(
+        [("a", 10, 0), ("a", 100, 1)], "k string, t long, lid long"
+    )
+    rdf = spark.createDataFrame(
+        [("a", 8, 7), ("zzz", 5, 9)], "k string, t long, v long"
+    )
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join_cogroup(
+            ldf, rdf, on="t", by=["k"], tolerance=5
+        ).collect()
+    }
+    # t=10 within 5 of 8 → match; t=100 stale → NULL; right-only key dropped
+    assert got == {0: 7, 1: None}
