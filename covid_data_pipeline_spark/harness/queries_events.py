@@ -1197,3 +1197,58 @@ def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("lift_bp"),
         )
     )
+
+
+@register(
+    "funnel_daily_conversion",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT CAST(s1.t1 AS DATE) AS cohort_day,
+           COUNT(*) AS entrants,
+           SUM(CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS converted,
+           CAST(FLOOR(SUM(CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                      * 10000.0 / COUNT(*)) AS BIGINT) AS conversion_bp
+    FROM s1 LEFT JOIN s3 ON s1.user_id = s3.user_id
+    GROUP BY CAST(s1.t1 AS DATE)
+    """,
+    tags=("events", "funnel", "cohort"),
+)
+def funnel_daily_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion by entry cohort: users grouped by the DAY of
+    their first view, with the share (basis points, exact integer
+    ratio) that eventually completed the ordered chain — the
+    launch-impact view of the funnel. Stage times come from the
+    single-shuffle fold; the per-day rollup groups its tiny per-user
+    output."""
+    from covid_data_pipeline_spark.operators.funnel import funnel_stage_times
+
+    ev = table(spark, sf_dir, "events")
+    times = funnel_stage_times(
+        ev, "user_id", "ts", "event_type", ("view", "click", "purchase")
+    )
+    return (
+        times.filter(F.col("t0").isNotNull())
+        .groupBy(F.to_date("t0").alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).alias("entrants"),
+            F.sum(
+                F.when(F.col("t2").isNotNull(), 1).otherwise(0)
+            ).alias("converted"),
+            F.floor(
+                F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0))
+                * 10000.0
+                / F.count(F.lit(1))
+            ).cast("bigint").alias("conversion_bp"),
+        )
+    )
