@@ -626,3 +626,82 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim_idx").cast("int").alias("dim_idx"),
         F.round("zv", 4).alias("z"),
     )
+
+
+@register(
+    "label_centroid_similarity",
+    """
+    WITH e AS (
+      SELECT label, list_transform(embedding, x -> x::DOUBLE) AS ve
+      FROM embeddings),
+    x AS (
+      SELECT label, generate_subscripts(ve, 1) AS pos, unnest(ve) AS val
+      FROM e),
+    c AS (
+      SELECT label, pos, CAST(ROUND(AVG(val), 6) AS DECIMAL(12,6)) AS mu
+      FROM x GROUP BY label, pos),
+    p AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(a.mu * b.mu) AS dab,
+             SUM(a.mu * a.mu) AS daa,
+             SUM(b.mu * b.mu) AS dbb
+      FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY a.label, b.label)
+    SELECT label_a, label_b,
+           ROUND(CAST(dab AS DOUBLE)
+                 / (sqrt(CAST(daa AS DOUBLE)) * sqrt(CAST(dbb AS DOUBLE))),
+                 4) AS centroid_cos
+    FROM p
+    """,
+    tags=("similarity", "centroid", "diagnostics"),
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-label centroid cosine matrix — the class-separability
+    diagnostic ("are these label clusters semantically distinct, or
+    should they merge") run before trusting labels for stratification.
+
+    Float policy twist: the pairwise dot products are summed in
+    DECIMAL over 6-dp-rounded centroid coordinates, so the 64-term
+    sums are EXACT and order-independent — no distributed-summation
+    drift (the repo's decimal-money pattern applied to vector math);
+    only the final cosine division runs in double. All relations after
+    the per-(label, pos) rollup are label²-sized — tiny at any corpus
+    scale."""
+    e = table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label",
+        F.posexplode(F.transform("embedding", lambda v: v.cast("double"))).alias(
+            "pos", "val"
+        ),
+    )
+    c = x.groupBy("label", "pos").agg(
+        F.round(F.avg("val"), 6).cast("decimal(12,6)").alias("mu")
+    )
+    a = c.select(
+        F.col("label").alias("label_a"), "pos", F.col("mu").alias("mu_a")
+    )
+    b = c.select(
+        F.col("label").alias("label_b"), "pos", F.col("mu").alias("mu_b")
+    )
+    p = (
+        a.join(b, on="pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("mu_a") * F.col("mu_b")).alias("dab"),
+            F.sum(F.col("mu_a") * F.col("mu_a")).alias("daa"),
+            F.sum(F.col("mu_b") * F.col("mu_b")).alias("dbb"),
+        )
+    )
+    return p.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("dab").cast("double")
+            / (
+                F.sqrt(F.col("daa").cast("double"))
+                * F.sqrt(F.col("dbb").cast("double"))
+            ),
+            4,
+        ).alias("centroid_cos"),
+    )
