@@ -705,3 +705,51 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("centroid_cos"),
     )
+
+
+@register(
+    "media_type_sniff",
+    """
+    SELECT CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                           WHEN 2 THEN 'pdf' ELSE 'unknown' END AS sniffed,
+           COUNT(*) AS n_media,
+           SUM(octet_length(text::BLOB)
+               + CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 3
+                                 WHEN 2 THEN 4 ELSE 0 END) AS total_bytes
+    FROM documents
+    GROUP BY CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                             WHEN 2 THEN 'pdf' ELSE 'unknown' END
+    """,
+    tags=("multimodal", "binary", "sniff"),
+)
+def media_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-format sniffing on raw binary payloads: magic-byte
+    prefixes (PNG/JPEG/PDF) detected with pure JVM binary column
+    algebra — substring on BINARY + hex prefix match, NO Python and no
+    decode stub — the dispatch step that routes a mixed media lake to
+    per-format decoders. Payloads are planted (doc_id-keyed magic
+    prefix + utf-8 text), so the oracle checks the CLASSIFICATION
+    against ground truth end-to-end, not just the plumbing."""
+    d = table(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 4 == 0, F.unhex(F.lit("89504E470D0A1A0A")))
+        .when(F.col("doc_id") % 4 == 1, F.unhex(F.lit("FFD8FF")))
+        .when(F.col("doc_id") % 4 == 2, F.unhex(F.lit("25504446")))
+        .otherwise(F.unhex(F.lit("")))
+    )
+    media = d.select(
+        F.concat(magic, F.encode("text", "UTF-8")).alias("payload")
+    )
+    head = F.hex(F.substring("payload", 1, 8))
+    sniffed = (
+        F.when(head.startswith("89504E470D0A1A0A"), "png")
+        .when(head.startswith("FFD8FF"), "jpeg")
+        .when(head.startswith("25504446"), "pdf")
+        .otherwise("unknown")
+    )
+    return media.select(
+        sniffed.alias("sniffed"), F.octet_length("payload").alias("nb")
+    ).groupBy("sniffed").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("nb").alias("total_bytes"),
+    )
