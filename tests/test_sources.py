@@ -230,3 +230,34 @@ def test_table_report_reflects_layout(spark, tmp_path):
     assert rep["rows"] == 400
     assert rep["avg_rows_per_file"] == 100
     assert rep["total_bytes"] > 0 and rep["avg_file_bytes"] > 0
+
+
+def test_multi_format_round_trip_equivalence(spark, sf_dir, tmp_path):
+    """Engine format coverage: the same relation written as parquet,
+    ORC, JSON-lines, and CSV reads back value-identical (modulo the
+    text formats' need for explicit schemas) — a user can land data in
+    any of the four and the operator library sees identical rows."""
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .limit(200)
+    )
+    want = sorted(map(tuple, src.collect()))
+    for fmt, opts in [
+        ("parquet", {}),
+        ("orc", {}),
+        ("json", {}),
+        ("csv", {"header": "true"}),
+    ]:
+        path = str(tmp_path / f"rt_{fmt}")
+        src.write.format(fmt).options(**opts).mode("overwrite").save(path)
+        back = (
+            spark.read.format(fmt)
+            .options(**opts)
+            .schema(src.schema)  # text formats: no silent re-inference
+            .load(path)
+        )
+        got = sorted(map(tuple, back.collect()))
+        assert got == want, f"{fmt} round-trip diverged"
