@@ -1252,3 +1252,61 @@ def funnel_daily_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("conversion_bp"),
         )
     )
+
+
+@register(
+    "event_dwell_percentiles",
+    """
+    WITH gaps AS (
+      SELECT CAST(FLOOR(date_part('epoch', ts)
+                        - date_part('epoch', LAG(ts) OVER w)) AS BIGINT)
+               AS gap_s
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    by_gap AS (
+      SELECT gap_s, COUNT(*) AS cnt FROM gaps
+      WHERE gap_s IS NOT NULL GROUP BY gap_s),
+    cum AS (
+      SELECT gap_s,
+             SUM(cnt) OVER (ORDER BY gap_s ROWS UNBOUNDED PRECEDING) AS c,
+             (SELECT SUM(cnt) FROM by_gap) AS total
+      FROM by_gap)
+    SELECT MIN(CASE WHEN c * 2 >= total THEN gap_s END) AS p50_s,
+           MIN(CASE WHEN c * 10 >= total * 9 THEN gap_s END) AS p90_s,
+           MIN(CASE WHEN c * 100 >= total * 99 THEN gap_s END) AS p99_s,
+           (SELECT total FROM cum LIMIT 1) AS n_gaps
+    FROM cum
+    """,
+    tags=("events", "dwell", "percentile"),
+)
+def event_dwell_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event dwell-time percentiles (p50/p90/p99 seconds between
+    a user's consecutive events) — the activity-cadence metric behind
+    session-gap tuning (the 30-min default should sit far beyond p90).
+    Integer second gaps; exact percentiles via the domain-compression
+    pattern (distinct-gap relation, never a global sort of events);
+    one user_id window shuffle produces the gaps."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = epoch_seconds("ts")
+    gaps = ev.select(
+        F.floor(ts_s - F.lag(ts_s).over(w)).cast("bigint").alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    by_gap = gaps.groupBy("gap_s").agg(F.count(F.lit(1)).alias("cnt"))
+    cw = Window.orderBy("gap_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = F.broadcast(by_gap.agg(F.sum("cnt").alias("total")))
+    cum = by_gap.withColumn("c", F.sum("cnt").over(cw)).crossJoin(tot)
+    return cum.agg(
+        F.min(
+            F.when(F.col("c") * 2 >= F.col("total"), F.col("gap_s"))
+        ).alias("p50_s"),
+        F.min(
+            F.when(F.col("c") * 10 >= F.col("total") * 9, F.col("gap_s"))
+        ).alias("p90_s"),
+        F.min(
+            F.when(F.col("c") * 100 >= F.col("total") * 99, F.col("gap_s"))
+        ).alias("p99_s"),
+        F.max("total").alias("n_gaps"),
+    )
