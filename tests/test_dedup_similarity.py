@@ -560,3 +560,31 @@ def test_standardize_embeddings_computed_stats_center_corpus(spark, sf_dir):
     ).collect()[0]
     # standardized corpus is ~zero-mean unit-variance overall
     assert abs(stats["mu"]) < 0.01 and abs(stats["sd"] - 1.0) < 0.01
+
+
+def test_knn_graph_on_quantized_vectors_recall(spark, sf_dir):
+    """The memory-lean composition for 100 TB graph builds: int8
+    vectors (4x fewer shuffle bytes) dequantized on the fly feeding the
+    LSH kNN graph — edge recall vs the float graph stays high because
+    int8 reconstruction error (~1e-2 cosine) rarely reorders top-5
+    neighbors, and bucket assignment is sign-based (robust to it)."""
+    from covid_data_pipeline_spark.operators.similarity import (
+        knn_graph_lsh,
+        quantize_int8,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    q = quantize_int8(e.select("vec_id", "embedding"), "embedding")
+    deq = q.select(
+        "vec_id",
+        F.transform(
+            "qvec", lambda x: x.cast("double") / F.col("scale")
+        ).alias("embedding"),
+    )
+    float_graph = knn_graph_lsh(e, dim=64, k=5, num_planes=4)
+    int8_graph = knn_graph_lsh(deq, dim=64, k=5, num_planes=4)
+    fg = {(r["src_id"], r["nbr_id"]) for r in float_graph.collect()}
+    ig = {(r["src_id"], r["nbr_id"]) for r in int8_graph.collect()}
+    assert len(ig) > 0
+    # same LSH candidates, scores perturbed ≤ ~1e-2 → high edge overlap
+    assert len(fg & ig) >= 0.8 * len(fg)
