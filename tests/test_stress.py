@@ -1,0 +1,90 @@
+"""Multi-million-row stress tests for distributed-arithmetic operators.
+
+Skipped unless SPARK_GRAFT_STRESS=1: they need ~16 GB driver memory and
+minutes of CPU, and the correctness they guard (partitioning invariance
+and AQE stability at sizes where sf0.01 hides bugs — e.g. the round-2
+global-rank corruption that only appeared at 16M rows) is re-checked
+per round, not per commit. Run:
+
+    SPARK_GRAFT_STRESS=1 python -m pytest tests/test_stress.py -q
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_STRESS") != "1",
+    reason="stress tests run per-round via SPARK_GRAFT_STRESS=1",
+)
+
+
+@pytest.fixture(scope="module")
+def big_spark():
+    from covid_data_pipeline_spark.session import get_spark
+
+    return get_spark(app_name="stress", driver_memory="16g")
+
+
+@pytest.fixture(scope="module")
+def events_16m(big_spark):
+    from covid_data_pipeline_spark.sources.pyds import register_synthetic_source
+
+    register_synthetic_source(big_spark)
+    return (
+        big_spark.read.format("synthetic_events")
+        .option("n_rows", 16_000_000)
+        .option("n_partitions", 64)
+        .option("n_users", 200_000)
+        .load()
+    )
+
+
+def test_funnel_16m_partitioning_invariant(events_16m):
+    from covid_data_pipeline_spark.operators.funnel import funnel_histogram
+
+    args = ("user_id", "ts", "event_type", ("view", "click", "purchase"))
+    a = sorted(map(tuple, funnel_histogram(events_16m, *args, max_gap="24 HOURS").collect()))
+    b = sorted(
+        map(
+            tuple,
+            funnel_histogram(
+                events_16m.repartition(257), *args, max_gap="24 HOURS"
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) >= 2
+
+
+def test_token_budget_12m_partitioning_invariant(big_spark):
+    from covid_data_pipeline_spark.operators.sampling import token_budget_select
+
+    df = big_spark.range(12_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias("source"),
+        (F.col("id") % 997 + 1).alias("n_tokens"),
+    )
+    budgets = {f"src{i}": 50_000_000 for i in range(20)}
+    n1 = token_budget_select(df, budgets).count()
+    n2 = token_budget_select(df.repartition(97), budgets).count()
+    assert n1 == n2 > 0
+
+
+def test_dwell_percentiles_shape_16m(events_16m):
+    from pyspark.sql.window import Window
+
+    from covid_data_pipeline_spark.functions.scalar import epoch_seconds
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = epoch_seconds("ts")
+    gaps = (
+        events_16m.filter(F.col("ts").isNotNull())
+        .select(F.floor(ts_s - F.lag(ts_s).over(w)).cast("bigint").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    # domain compression: distinct gap values stay tiny vs row count
+    assert gaps.select("g").distinct().count() < 1_000_000
