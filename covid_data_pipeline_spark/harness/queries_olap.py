@@ -1076,3 +1076,86 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_pipeline_spark.operators.quality import profile_columns
 
     return profile_columns(table(spark, sf_dir, "orders"))
+
+
+@register(
+    "set_intersect_all_orderkeys",
+    """
+    SELECT * FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+    tags=("olap", "set-ops", "all"),
+)
+def set_intersect_all_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics — §2.7's DISTINCT set ops keep one
+    row per value; ALL keeps min(multiplicity) copies): customers with
+    open AND fulfilled orders, once per matched pairing. Spark plans
+    `intersectAll` as a counted hash semi-structure, one shuffle per
+    side — no distinct collapse."""
+    o = table(spark, sf_dir, "orders")
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    filled = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_keys.intersectAll(filled)
+
+
+@register(
+    "set_except_all_orderkeys",
+    """
+    SELECT * FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+    tags=("olap", "set-ops", "all"),
+)
+def set_except_all_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: surplus open-order multiplicity per customer
+    (open count minus fulfilled count, kept as rows) — the bag
+    difference DISTINCT except can't express."""
+    o = table(spark, sf_dir, "orders")
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    filled = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_keys.exceptAll(filled)
+
+
+@register(
+    "pivot_event_type_multi",
+    f"""
+    SELECT CAST(ts AS DATE) AS event_date,
+           {", ".join(
+               f"COUNT(*) FILTER (event_type = '{t}') AS {t}_cnt, "
+               f"ROUND(COALESCE(SUM(value) FILTER (event_type = '{t}'), 0), 2)"
+               f" AS {t}_value"
+               for t in ("click", "purchase")
+           )}
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+    tags=("olap", "pivot", "multi-agg"),
+)
+def pivot_event_type_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate pivot: count AND value sum per pivoted type in
+    ONE aggregate (Spark names multi-agg pivot columns `<type>_<alias>`
+    — aliased to match the oracle's FILTER formulation). Explicit value
+    list keeps it a single job."""
+    e = table(spark, sf_dir, "events")
+    out = (
+        e.groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", ["click", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("value"),
+        )
+    )
+    for t in ("click", "purchase"):
+        out = (
+            out.withColumn(f"{t}_cnt", F.coalesce(F.col(f"{t}_cnt"), F.lit(0)))
+            .withColumn(
+                f"{t}_value", F.coalesce(F.col(f"{t}_value"), F.lit(0.0))
+            )
+        )
+    return out
