@@ -46,3 +46,55 @@ class ChunkTokensUDTF:
 def register_udtfs(spark) -> None:
     """Register all package UDTFs on the session (SQL name = snake case)."""
     spark.udtf.register("chunk_tokens_udtf", ChunkTokensUDTF)
+
+
+@udtf
+class TopTokensUDTF:
+    """Polymorphic UDTF (Spark 4 ``analyze``-time schema): emits the k
+    most frequent whitespace tokens of a text with counts — the output
+    WIDTH comes from a constant argument, so the schema is computed per
+    call site by ``analyze`` instead of being declared statically
+    (``ChunkTokensUDTF`` shows the static form; this shows the dynamic
+    one). With ``flat=true`` → long format (rank, token, cnt); with
+    ``flat=false`` → one wide row (token_1, cnt_1, …, token_k, cnt_k).
+    Ties break lexically, matching the engine's window tie policy."""
+
+    @staticmethod
+    def analyze(text, k, flat):  # noqa: ANN001, ANN205 — AnalyzeArgument
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import (
+            IntegerType,
+            LongType,
+            StringType,
+            StructType,
+        )
+
+        if not k.isConstantExpression or not flat.isConstantExpression:
+            raise ValueError("k and flat must be constant")
+        schema = StructType()
+        if flat.value:
+            schema = (
+                schema.add("rank", IntegerType())
+                .add("token", StringType())
+                .add("cnt", LongType())
+            )
+        else:
+            for i in range(1, int(k.value) + 1):
+                schema = schema.add(f"token_{i}", StringType()).add(
+                    f"cnt_{i}", LongType()
+                )
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text: str | None, k: int, flat: bool):
+        from collections import Counter
+
+        toks = re.split(r"\s+", (text or "").strip().lower())
+        top = sorted(Counter(toks).items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        if flat:
+            for i, (tok, cnt) in enumerate(top, start=1):
+                yield i, tok, cnt
+        else:
+            row: list = []
+            for i in range(k):
+                row += list(top[i]) if i < len(top) else [None, None]
+            yield tuple(row)

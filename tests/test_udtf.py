@@ -62,3 +62,39 @@ def test_udtf_overlap_windows(spark):
 def test_udtf_bad_args_raise(spark):
     with pytest.raises(Exception, match="overlap"):
         spark.sql("SELECT * FROM chunk_tokens_udtf('x y z', 4, 4)").collect()
+
+
+def test_polymorphic_udtf_schema_follows_constant_args(spark):
+    from covid_data_pipeline_spark.operators.udtf_ops import TopTokensUDTF
+
+    spark.udtf.register("top_tokens_t", TopTokensUDTF)
+    flat = spark.sql("SELECT * FROM top_tokens_t('b a a c b a', 2, true)")
+    assert flat.columns == ["rank", "token", "cnt"]
+    assert [tuple(r) for r in flat.collect()] == [(1, "a", 3), (2, "b", 2)]
+
+    wide = spark.sql("SELECT * FROM top_tokens_t('b a a c b a', 3, false)")
+    assert wide.columns == [
+        "token_1", "cnt_1", "token_2", "cnt_2", "token_3", "cnt_3"
+    ]
+    assert [tuple(r) for r in wide.collect()] == [("a", 3, "b", 2, "c", 1)]
+
+    # fewer distinct tokens than k: wide row null-pads deterministically
+    short = spark.sql("SELECT * FROM top_tokens_t('x x', 2, false)")
+    assert [tuple(r) for r in short.collect()] == [("x", 2, None, None)]
+
+
+def test_polymorphic_udtf_lateral_join(spark, sf_dir):
+    from covid_data_pipeline_spark.harness.tables import table
+    from covid_data_pipeline_spark.operators.udtf_ops import TopTokensUDTF
+
+    spark.udtf.register("top_tokens_t2", TopTokensUDTF)
+    table(spark, sf_dir, "documents").limit(20).createOrReplaceTempView(
+        "docs_sample"
+    )
+    out = spark.sql(
+        """SELECT d.doc_id, t.rank, t.token, t.cnt
+           FROM docs_sample d, LATERAL top_tokens_t2(d.text, 3, true) t"""
+    )
+    rows = out.collect()
+    assert len(rows) == 60  # 20 docs x top-3
+    assert all(1 <= r["rank"] <= 3 and r["cnt"] >= 1 for r in rows)
