@@ -1310,3 +1310,41 @@ def event_dwell_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p99_s"),
         F.max("total").alias("n_gaps"),
     )
+
+
+@register(
+    "event_path_trigrams",
+    """
+    WITH seq AS (
+      SELECT event_type AS a,
+             LEAD(event_type, 1) OVER w AS b,
+             LEAD(event_type, 2) OVER w AS c
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    tri AS (
+      SELECT a, b, c, COUNT(*) AS n FROM seq
+      WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY a, b, c)
+    SELECT a, b, c, n FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, a, b, c) AS rn FROM tri)
+    WHERE rn <= 10
+    """,
+    tags=("events", "path", "sequence"),
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the 10 most common 3-step event sequences across
+    all user journeys — the "how do users actually move" companion to
+    the funnel's "do they reach the goal". Trigrams via two LEADs on
+    ONE user_id window (single shuffle+sort, reused by both); the
+    count relation is ≤ |types|³ rows, so the global top-10 is a
+    TakeOrderedAndProject over at most 125 rows."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    tri = seq.groupBy("a", "b", "c").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tri.orderBy(F.col("n").desc(), "a", "b", "c").limit(10)
+    )
