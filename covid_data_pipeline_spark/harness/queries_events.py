@@ -1348,3 +1348,60 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tri.orderBy(F.col("n").desc(), "a", "b", "c").limit(10)
     )
+
+
+@register(
+    "retention_matrix_daily",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      WHERE ts IS NOT NULL),
+    first_seen AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id),
+    cohort_size AS (
+      SELECT cohort_day, COUNT(*) AS n0 FROM first_seen GROUP BY cohort_day),
+    joined AS (
+      SELECT f.cohort_day, ud.day - f.cohort_day AS day_offset,
+             COUNT(*) AS active
+      FROM ud JOIN first_seen f ON ud.user_id = f.user_id
+      WHERE ud.day - f.cohort_day IN (1, 7, 14)
+      GROUP BY f.cohort_day, ud.day - f.cohort_day)
+    SELECT j.cohort_day, CAST(j.day_offset AS BIGINT) AS day_offset,
+           j.active, c.n0 AS cohort_users,
+           CAST(FLOOR(j.active * 10000.0 / c.n0) AS BIGINT) AS retention_bp
+    FROM joined j JOIN cohort_size c ON j.cohort_day = c.cohort_day
+    """,
+    tags=("events", "retention", "cohort"),
+)
+def retention_matrix_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily retention matrix at D1/D7/D14: of each day's NEW users,
+    the share (basis points, exact integer ratio) active again exactly
+    N days later — the product-health triangle, daily-grained where
+    ``cohort_retention_weekly`` buckets by week. The corpus collapses
+    to distinct (user, day) once; first-seen reuses the same user
+    shuffle; cohort sizes re-enter via a tiny broadcast join."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first_seen = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cohort_size = F.broadcast(
+        first_seen.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("n0"))
+    )
+    joined = (
+        ud.join(first_seen, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", F.col("cohort_day")).alias("day_offset"),
+        )
+        .filter(F.col("day_offset").isin(1, 7, 14))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("active"))
+    )
+    return joined.join(cohort_size, "cohort_day").select(
+        "cohort_day",
+        F.col("day_offset").cast("bigint").alias("day_offset"),
+        "active",
+        F.col("n0").alias("cohort_users"),
+        F.floor(F.col("active") * 10000.0 / F.col("n0"))
+        .cast("bigint")
+        .alias("retention_bp"),
+    )
