@@ -480,3 +480,75 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, on=["x", "z"])
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+@register(
+    "dedup_token_savings",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, source, text || '  ' FROM documents
+      WHERE doc_id % 2 = 0),
+    scored AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM corpus),
+    kept AS (
+      SELECT fp, MIN(doc_id) AS keep_id FROM scored GROUP BY fp)
+    SELECT s.source,
+           SUM(s.n_tokens) AS raw_tokens,
+           SUM(CASE WHEN k.keep_id = s.doc_id THEN s.n_tokens ELSE 0 END)
+             AS kept_tokens,
+           CAST(FLOOR((SUM(s.n_tokens)
+                 - SUM(CASE WHEN k.keep_id = s.doc_id THEN s.n_tokens
+                            ELSE 0 END)) * 10000.0 / SUM(s.n_tokens))
+                AS BIGINT) AS savings_bp
+    FROM scored s JOIN kept k ON s.fp = k.fp
+    GROUP BY s.source
+    """,
+    tags=("dedup", "tokens", "report"),
+)
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-dataset-size report: token mass before vs after
+    keep-first exact dedup, per source (planted: every even doc has a
+    whitespace variant, so half of each source carries ~50% redundant
+    mass) — the number that justifies a dedup stage's cost in a
+    curation budget review. One fingerprint shuffle; the keep-first
+    relation joins back on fp (same key, exchange reuse)."""
+    from covid_data_pipeline_spark.functions.text import (
+        normalized_text,
+        token_count,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "source",
+            F.concat("text", F.lit("  ")).alias("text"),
+        )
+    )
+    scored = corpus.select(
+        "doc_id",
+        "source",
+        token_count("text").alias("n_tokens"),
+        F.md5(normalized_text("text")).alias("fp"),
+    )
+    kept = scored.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    joined = scored.join(kept, "fp")
+    kept_tok = F.when(
+        F.col("keep_id") == F.col("doc_id"), F.col("n_tokens")
+    ).otherwise(0)
+    return joined.groupBy("source").agg(
+        F.sum("n_tokens").alias("raw_tokens"),
+        F.sum(kept_tok).alias("kept_tokens"),
+        F.floor(
+            (F.sum("n_tokens") - F.sum(kept_tok))
+            * 10000.0
+            / F.sum("n_tokens")
+        ).cast("bigint").alias("savings_bp"),
+    )
