@@ -1159,3 +1159,90 @@ def pivot_event_type_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out
+
+
+@register(
+    "customer_value_deciles",
+    """
+    WITH totals AS (
+      SELECT o_custkey,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100, 0)
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey),
+    by_val AS (SELECT cents, COUNT(*) AS cnt FROM totals GROUP BY cents),
+    cum AS (
+      SELECT cents,
+             SUM(cnt) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS c,
+             (SELECT SUM(cnt) FROM by_val) AS total
+      FROM by_val),
+    th AS (
+      SELECT MIN(CASE WHEN c * 10 >= total * 1 THEN cents END) AS t1,
+             MIN(CASE WHEN c * 10 >= total * 2 THEN cents END) AS t2,
+             MIN(CASE WHEN c * 10 >= total * 3 THEN cents END) AS t3,
+             MIN(CASE WHEN c * 10 >= total * 4 THEN cents END) AS t4,
+             MIN(CASE WHEN c * 10 >= total * 5 THEN cents END) AS t5,
+             MIN(CASE WHEN c * 10 >= total * 6 THEN cents END) AS t6,
+             MIN(CASE WHEN c * 10 >= total * 7 THEN cents END) AS t7,
+             MIN(CASE WHEN c * 10 >= total * 8 THEN cents END) AS t8,
+             MIN(CASE WHEN c * 10 >= total * 9 THEN cents END) AS t9
+      FROM cum)
+    SELECT CAST(1 + (cents > t1)::INT + (cents > t2)::INT
+              + (cents > t3)::INT + (cents > t4)::INT + (cents > t5)::INT
+              + (cents > t6)::INT + (cents > t7)::INT + (cents > t8)::INT
+              + (cents > t9)::INT AS INTEGER) AS decile,
+           COUNT(*) AS n_customers,
+           MIN(cents) AS min_cents,
+           MAX(cents) AS max_cents
+    FROM totals CROSS JOIN th
+    GROUP BY 1 + (cents > t1)::INT + (cents > t2)::INT
+               + (cents > t3)::INT + (cents > t4)::INT + (cents > t5)::INT
+               + (cents > t6)::INT + (cents > t7)::INT + (cents > t8)::INT
+               + (cents > t9)::INT
+    """,
+    tags=("olap", "decile", "scale"),
+)
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value deciles WITHOUT NTILE: NTILE is a
+    single-partition global-sort window — the plan that dies first at
+    scale. Instead: exact decile thresholds from the domain-compressed
+    cumulative (tiny distinct-cents relation), broadcast back as ONE
+    row, bucket assigned map-side by threshold comparisons. Ties share
+    a bucket deterministically (vs NTILE's arbitrary equal-size split).
+    Money in integer cents from DECIMAL sums — penny-exact."""
+    o = table(spark, sf_dir, "orders")
+    totals = o.groupBy("o_custkey").agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")) * 100, 0
+        ).cast("bigint").alias("cents")
+    )
+    by_val = totals.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = F.broadcast(by_val.agg(F.sum("cnt").alias("total")))
+    cum = by_val.withColumn("c", F.sum("cnt").over(w)).crossJoin(tot)
+    th = F.broadcast(
+        cum.agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("c") * 10 >= F.col("total") * k, F.col("cents")
+                    )
+                ).alias(f"t{k}")
+                for k in range(1, 10)
+            ]
+        )
+    )
+    bucket = F.lit(1)
+    for k in range(1, 10):
+        bucket = bucket + (F.col("cents") > F.col(f"t{k}")).cast("int")
+    return (
+        totals.crossJoin(th)
+        .select(bucket.cast("int").alias("decile"), "cents")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
