@@ -1246,3 +1246,70 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("max_cents"),
         )
     )
+
+
+@register(
+    "revenue_percent_of_parent",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) * 100, 0)
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name),
+    reg AS (SELECT region, SUM(cents) AS reg_cents FROM rev GROUP BY region),
+    tot AS (SELECT SUM(cents) AS total_cents FROM rev)
+    SELECT rev.region, rev.nation, rev.cents,
+           CAST(FLOOR(rev.cents * 10000.0 / reg.reg_cents) AS BIGINT)
+             AS share_of_region_bp,
+           CAST(FLOOR(reg.reg_cents * 10000.0 / tot.total_cents) AS BIGINT)
+             AS region_share_bp
+    FROM rev JOIN reg ON rev.region = reg.region CROSS JOIN tot
+    """,
+    tags=("olap", "hierarchy", "ratio"),
+)
+def revenue_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level percent-of-parent: each nation's share of its REGION's
+    revenue and each region's share of the total — the hierarchy-aware
+    ratio `revenue_share_by_nation` (flat percent-of-total) can't
+    express. Money as exact DECIMAL-summed cents; shares in floor'd
+    integer basis points; both parent levels re-enter as broadcasts
+    (25-row and 1-row relations) — the fact table is aggregated
+    exactly once."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")) * 100, 0
+            ).cast("bigint").alias("cents")
+        )
+    )
+    reg = F.broadcast(
+        rev.groupBy("region").agg(F.sum("cents").alias("reg_cents"))
+    )
+    tot = F.broadcast(rev.agg(F.sum("cents").alias("total_cents")))
+    return (
+        rev.join(reg, "region")
+        .crossJoin(tot)
+        .select(
+            "region",
+            "nation",
+            "cents",
+            F.floor(F.col("cents") * 10000.0 / F.col("reg_cents"))
+            .cast("bigint").alias("share_of_region_bp"),
+            F.floor(F.col("reg_cents") * 10000.0 / F.col("total_cents"))
+            .cast("bigint").alias("region_share_bp"),
+        )
+    )
