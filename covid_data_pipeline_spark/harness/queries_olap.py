@@ -1313,3 +1313,80 @@ def revenue_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("region_share_bp"),
         )
     )
+
+
+@register(
+    "revenue_pareto_concentration",
+    """
+    WITH totals AS (
+      SELECT o_custkey,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100, 0)
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey),
+    by_val AS (SELECT cents, COUNT(*) AS cnt FROM totals GROUP BY cents),
+    cum AS (
+      SELECT cents, cnt,
+             SUM(cents * cnt) OVER (ORDER BY cents DESC
+                                    ROWS UNBOUNDED PRECEDING) AS rev_cum,
+             SUM(cnt) OVER (ORDER BY cents DESC
+                            ROWS UNBOUNDED PRECEDING) AS cust_cum,
+             (SELECT SUM(cents * cnt) FROM by_val) AS rev_total,
+             (SELECT SUM(cnt) FROM by_val) AS cust_total
+      FROM by_val)
+    SELECT MIN(CASE WHEN rev_cum * 2 >= rev_total THEN cust_cum END)
+             AS customers_for_50pct,
+           MIN(CASE WHEN rev_cum * 10 >= rev_total * 8 THEN cust_cum END)
+             AS customers_for_80pct,
+           MIN(CASE WHEN rev_cum * 10 >= rev_total * 9 THEN cust_cum END)
+             AS customers_for_90pct,
+           (SELECT cust_total FROM cum LIMIT 1) AS total_customers
+    FROM cum
+    """,
+    tags=("olap", "pareto", "concentration"),
+)
+def revenue_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC concentration: how many top customers carry 50/80/90%
+    of revenue — the account-concentration risk metric. Customer totals
+    collapse to the distinct-cents relation FIRST (ties grouped, so
+    "customers needed" counts whole tie groups — deterministic, unlike
+    a row-ordered cut); the descending cumulative runs over that tiny
+    relation. Exact integer-cents arithmetic throughout."""
+    o = table(spark, sf_dir, "orders")
+    totals = o.groupBy("o_custkey").agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")) * 100, 0
+        ).cast("bigint").alias("cents")
+    )
+    by_val = totals.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cents").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = F.broadcast(
+        by_val.agg(
+            F.sum(F.col("cents") * F.col("cnt")).alias("rev_total"),
+            F.sum("cnt").alias("cust_total"),
+        )
+    )
+    cum = (
+        by_val.withColumn("rev_cum", F.sum(F.col("cents") * F.col("cnt")).over(w))
+        .withColumn("cust_cum", F.sum("cnt").over(w))
+        .crossJoin(tot)
+    )
+    return cum.agg(
+        F.min(
+            F.when(F.col("rev_cum") * 2 >= F.col("rev_total"), F.col("cust_cum"))
+        ).alias("customers_for_50pct"),
+        F.min(
+            F.when(
+                F.col("rev_cum") * 10 >= F.col("rev_total") * 8,
+                F.col("cust_cum"),
+            )
+        ).alias("customers_for_80pct"),
+        F.min(
+            F.when(
+                F.col("rev_cum") * 10 >= F.col("rev_total") * 9,
+                F.col("cust_cum"),
+            )
+        ).alias("customers_for_90pct"),
+        F.max("cust_total").alias("total_customers"),
+    )
