@@ -1390,3 +1390,54 @@ def revenue_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("customers_for_90pct"),
         F.max("cust_total").alias("total_customers"),
     )
+
+
+@register(
+    "revenue_yoy_by_month",
+    """
+    WITH m AS (
+      SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
+             CAST(date_part('month', o_orderdate) AS INTEGER) AS mon,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100, 0)
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2)
+    SELECT yr, mon, cents,
+           LAG(cents) OVER (PARTITION BY mon ORDER BY yr) AS prev_yr_cents,
+           CASE WHEN LAG(cents) OVER (PARTITION BY mon ORDER BY yr)
+                     IS NOT NULL
+                THEN CAST(FLOOR((cents - LAG(cents) OVER (
+                       PARTITION BY mon ORDER BY yr)) * 10000.0
+                       / LAG(cents) OVER (PARTITION BY mon ORDER BY yr))
+                     AS BIGINT)
+           END AS yoy_bp
+    FROM m
+    """,
+    tags=("olap", "yoy", "seasonality"),
+)
+def revenue_yoy_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-grain year-over-year revenue: each (year, month) cell vs
+    the SAME month one year earlier (LAG partitioned by month, ordered
+    by year) — the seasonality-aware growth view a plain year rollup
+    flattens. Exact cents; growth in floor'd basis points; the window
+    runs over the tiny month×year relation, not the fact table."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+    ).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")) * 100, 0
+        ).cast("bigint").alias("cents")
+    )
+    w = Window.partitionBy("mon").orderBy("yr")
+    prev = F.lag("cents").over(w)
+    return m.select(
+        "yr",
+        "mon",
+        "cents",
+        prev.alias("prev_yr_cents"),
+        F.when(
+            prev.isNotNull(),
+            F.floor((F.col("cents") - prev) * 10000.0 / prev).cast("bigint"),
+        ).alias("yoy_bp"),
+    )
