@@ -1441,3 +1441,30 @@ def revenue_yoy_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("cents") - prev) * 10000.0 / prev).cast("bigint"),
         ).alias("yoy_bp"),
     )
+
+
+@register(
+    "part_sourcing_redundancy",
+    """
+    WITH per_part AS (
+      SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_suppliers
+      FROM lineitem GROUP BY l_partkey)
+    SELECT n_suppliers, COUNT(*) AS n_parts
+    FROM per_part GROUP BY n_suppliers
+    """,
+    tags=("olap", "distribution", "risk"),
+)
+def part_sourcing_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sourcing-redundancy histogram: how many parts are supplied by
+    exactly N distinct suppliers (n_suppliers=1 rows are the
+    single-source risk list's size). Two-level distinct-count
+    distribution: the (part, supplier) dedup and per-part count share
+    one partkey shuffle; the histogram groups the tiny per-part
+    relation."""
+    li = table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers")
+    )
+    return per_part.groupBy("n_suppliers").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
