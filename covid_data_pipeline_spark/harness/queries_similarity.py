@@ -753,3 +753,90 @@ def media_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_media"),
         F.sum("nb").alias("total_bytes"),
     )
+
+
+def _pagerank_oracle(iters: int = 5, k: int = 5, scale: int = 10**12) -> str:
+    """Unrolled-iteration twin of ``operators.graph.pagerank_int`` over
+    the exact kNN edge set: DuckDB disallows aggregates in a recursive
+    CTE term, so each power-iteration step is its own CTE — iteration
+    count is a query constant, which is exactly what makes the unroll
+    legitimate. All arithmetic is BIGINT ``//`` (truncating division of
+    non-negatives == floor), so five iterations stay bit-identical to
+    Spark's ``div`` fixed point."""
+    head = f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS dv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND(
+               list_dot_product(a.dv, b.dv)
+               / (sqrt(list_dot_product(a.dv, a.dv))
+                  * sqrt(list_dot_product(b.dv, b.dv))), 4) AS similarity
+      FROM v a, v b WHERE a.vec_id <> b.vec_id
+    ),
+    e AS (
+      SELECT src, dst FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY src ORDER BY similarity DESC, dst) AS rn
+        FROM scored
+      ) ranked WHERE rn <= {k}
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    pr0 AS (
+      SELECT node, CAST({scale} // nn.n AS BIGINT) AS rank
+      FROM nodes CROSS JOIN nn
+    )"""
+    step = """,
+    pr{t} AS (
+      SELECT nd.node,
+             CAST(({tele} // (100 * nn.n))
+                  + COALESCE(inf.inflow, 0) AS BIGINT) AS rank
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               SUM((85 * p.rank) // (100 * d.outdeg)) AS inflow
+        FROM pr{p} p JOIN e ON e.src = p.node JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) inf ON inf.node = nd.node
+    )"""
+    body = "".join(
+        step.format(t=t, p=t - 1, tele=scale * 15) for t in range(1, iters + 1)
+    )
+    return (
+        head
+        + body
+        + f"\n    SELECT node AS vec_id, rank FROM pr{iters}"
+    )
+
+
+@register(
+    "pagerank_knn_docs",
+    _pagerank_oracle(),
+    tags=("similarity", "graph", "pagerank", "centrality"),
+)
+def pagerank_knn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-centrality corpus weighting: PageRank over the exact 5-NN
+    cosine graph of the embeddings table — items central to the
+    similarity graph score high (representative of dense regions),
+    isolated outliers decay toward the teleport floor. Web curation
+    runs the same operator on the link graph for crawl-seed quality.
+
+    The rank is an INTEGER (parts per 10^12) from
+    ``operators/graph.py::pagerank_int``'s all-BIGINT fixed point, so an
+    ITERATIVE float-free algorithm is driver-verifiable hash-exactly —
+    each Spark iteration is one dst-keyed shuffle; the oracle unrolls
+    the same five steps as chained CTEs."""
+    from covid_data_pipeline_spark.operators.graph import pagerank_int
+    from covid_data_pipeline_spark.operators.similarity import knn_graph_exact
+
+    edges = knn_graph_exact(
+        table(spark, sf_dir, "embeddings"), k=5, id_col="vec_id",
+        vec_col="embedding",
+    )
+    return pagerank_int(edges, src="src_id", dst="nbr_id", iters=5).select(
+        F.col("node").alias("vec_id"), "rank"
+    )

@@ -1021,3 +1021,84 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("shared_bigrams"))
     )
+
+
+@register(
+    "strip_duplicate_spans_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             CASE WHEN len(t) >= 5 THEN array_to_string(t[i:i+4], ' ')
+                  ELSE array_to_string(t, ' ') END AS g
+      FROM toks, UNNEST(range(1, GREATEST(len(t) - 4, 1) + 1)) AS u(i)
+    ),
+    hot AS (
+      SELECT g FROM (SELECT DISTINCT doc_id, g FROM grams) dg
+      GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    hot_pos AS (
+      SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM hot)
+    ),
+    meta AS (SELECT doc_id, len(t) AS n, LEAST(5, len(t)) AS w, t FROM toks),
+    removed AS (
+      SELECT DISTINCT hp.doc_id, r.p
+      FROM hot_pos hp JOIN meta m ON hp.doc_id = m.doc_id,
+           UNNEST(range(hp.pos, hp.pos + m.w)) AS r(p)
+    ),
+    spans AS (
+      SELECT doc_id,
+             COUNT(*) FILTER (WHERE prev IS NULL OR pos - prev >= w)
+               AS n_spans
+      FROM (
+        SELECT hp.doc_id, hp.pos, m.w,
+               LAG(hp.pos) OVER (
+                 PARTITION BY hp.doc_id ORDER BY hp.pos) AS prev
+        FROM hot_pos hp JOIN meta m USING (doc_id)
+      ) lagged
+      GROUP BY doc_id
+    ),
+    tok_rows AS (
+      SELECT doc_id, t[i] AS tok, i AS p
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+    ),
+    clean AS (
+      SELECT tr.doc_id,
+             string_agg(tr.tok, ' ' ORDER BY tr.p)
+               FILTER (WHERE rm.p IS NULL) AS clean_text,
+             COUNT(*) FILTER (WHERE rm.p IS NOT NULL) AS n_removed
+      FROM tok_rows tr
+      LEFT JOIN removed rm ON tr.doc_id = rm.doc_id AND tr.p = rm.p
+      GROUP BY tr.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(c.clean_text, '') AS clean_text,
+           CAST(m.n AS INT) AS n_tokens,
+           CAST(COALESCE(c.n_removed, 0) AS INT) AS n_removed,
+           CAST(COALESCE(s.n_spans, 0) AS INT) AS n_spans
+    FROM documents d
+    JOIN meta m USING (doc_id)
+    LEFT JOIN clean c ON d.doc_id = c.doc_id
+    LEFT JOIN spans s ON d.doc_id = s.doc_id
+    """,
+    tags=("text", "dedup", "span-removal"),
+)
+def strip_duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-repeated span REMOVAL (operators/boilerplate.py::
+    strip_duplicate_spans): every 5-gram occurring in >= 2 distinct
+    documents is cut out of every document, overlapping cuts merged into
+    maximal spans — the C4/Lee-et-al. answer to shared footers and
+    licence blocks that doc-level dedup cannot touch (the docs differ,
+    only their chrome repeats). The oracle replays the interval algebra
+    relationally (per-token rows + anti-join); the engine keeps tokens
+    inside the row and runs the merge as higher-order functions — the
+    per-token relation never shuffles."""
+    from covid_data_pipeline_spark.operators.boilerplate import (
+        strip_duplicate_spans,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return strip_duplicate_spans(d, k=5, min_df=2)

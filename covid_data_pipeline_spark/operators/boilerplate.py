@@ -25,10 +25,10 @@ Spark-first shape (one corpus pass + one cheap regroup):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from covid_data_pipeline_spark.functions.text import word_shingles
+from covid_data_pipeline_spark.functions.text import let, tokens, word_shingles
 
 
 def boilerplate_fraction(
@@ -67,3 +67,142 @@ def boilerplate_fraction(
             4,
         ).alias("boilerplate_frac"),
     )
+
+
+def _positional_shingles(col: Column | str, k: int) -> Column:
+    """Word k-grams WITH their 1-based start position — the positional
+    twin of :func:`word_shingles` (same short-doc rule: fewer than ``k``
+    tokens collapse to one whole-text gram at position 1). Returns
+    ``array<struct<pos:int, g:string>>``."""
+
+    def _grams(t: Column) -> Column:
+        n = F.size(t)
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.when(n >= k, F.concat_ws(" ", F.slice(t, i, k)))
+                .otherwise(F.concat_ws(" ", t))
+                .alias("g"),
+            ),
+        )
+
+    return let(tokens(col), _grams)
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cut corpus-repeated token spans OUT of the text (the removal
+    counterpart of :func:`boilerplate_fraction`'s scorer — C4 dropped
+    repeated lines; Lee et al. 2022 showed span-level dedup beats
+    doc-level drops for LM training).
+
+    A word k-gram is *hot* when it occurs in ≥ ``min_df`` DISTINCT
+    documents (inter-document repetition only — a phrase repeated inside
+    one document is that document's own content and is left alone; see
+    ``functions.text.repetition_fraction`` for the intra-doc signal).
+    Every occurrence of a hot gram marks its k-token interval; per doc,
+    overlapping intervals merge into maximal spans and the surviving
+    tokens are re-joined with single spaces (output text is therefore
+    whitespace/case-normalized — the same normalization the gram match
+    itself uses). Removing ALL occurrences (not keep-first) is the
+    deliberate distributed-friendly policy: keep-first needs a global
+    occurrence order, i.e. a corpus-wide sort, for marginal benefit on
+    web boilerplate, which is noise in every copy.
+
+    Spark-first shape — two corpus-key shuffles, rest map-side:
+
+    - positional grams explode (array built-ins, let-bound split);
+    - hot set = count over the distinct (gram, doc) collapse (bounded by
+      gram-mass / min_df; no forced broadcast — AQE decides, same
+      rationale as :func:`boilerplate_fraction`);
+    - hot start positions regroup to one sorted int array per doc, then
+      interval merge + token filtering run INSIDE the row as
+      higher-order functions (no per-token rows ever shuffle).
+
+    Returns ``(id, clean_text, n_tokens, n_removed, n_spans)``; docs
+    with no hot span pass through with normalized text and zeros.
+    """
+    grams = docs.select(
+        id_col, F.explode(_positional_shingles(text_col, k)).alias("x")
+    ).select(id_col, F.col("x.pos").alias("pos"), F.col("x.g").alias("g"))
+    hot = (
+        grams.select("g", id_col)
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("g")
+    )
+    hot_starts = (
+        grams.join(hot, "g")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("pos")).alias("__starts"))
+    )
+    joined = docs.join(hot_starts, id_col, "left").withColumn(
+        "__starts",
+        F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
+    )
+
+    def _clean(t: Column) -> Column:
+        # short docs (< k tokens) have one whole-doc gram: width = n
+        def _with_width(w: Column) -> Column:
+            removed = F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.col("__starts"),
+                        lambda s: F.sequence(s, s + w - F.lit(1)),
+                    )
+                )
+            )
+
+            def _assemble(r: Column) -> Column:
+                # uniform width ⇒ merged-span count = starts opening past
+                # the running end: fold (prev_end, n_spans) over sorted
+                # starts (positions are ≥1, so prev_end=0 seeds cleanly)
+                n_spans = F.aggregate(
+                    F.col("__starts"),
+                    F.struct(
+                        F.lit(0).alias("prev_end"), F.lit(0).alias("cnt")
+                    ),
+                    lambda acc, s: F.struct(
+                        F.greatest(acc.prev_end, s + w - F.lit(1)).alias(
+                            "prev_end"
+                        ),
+                        (
+                            acc.cnt
+                            + F.when(s > acc.prev_end, F.lit(1)).otherwise(
+                                F.lit(0)
+                            )
+                        ).alias("cnt"),
+                    ),
+                    lambda acc: acc.cnt,
+                )
+                return F.struct(
+                    F.concat_ws(
+                        " ",
+                        F.filter(
+                            t,
+                            lambda tok, i: ~F.array_contains(
+                                r, i + F.lit(1)
+                            ),
+                        ),
+                    ).alias("clean_text"),
+                    F.size(t).alias("n_tokens"),
+                    F.size(r).alias("n_removed"),
+                    n_spans.alias("n_spans"),
+                )
+
+            return let(removed, _assemble)
+
+        return let(F.least(F.lit(k), F.size(t)), _with_width)
+
+    return joined.select(
+        id_col, let(tokens(text_col), _clean).alias("__o")
+    ).select(id_col, "__o.clean_text", "__o.n_tokens", "__o.n_removed", "__o.n_spans")

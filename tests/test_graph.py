@@ -108,3 +108,58 @@ def test_components_match_union_find(spark, pairs):
     expected = {n: c for n, c in expected.items() if n in real}
     got = _labels(connected_components(_edges(spark, pairs)))
     assert got == expected
+
+
+# --- pagerank_int ---------------------------------------------------------
+
+
+def _pagerank_py(edges, iters=5, num=85, den=100, scale=10**12):
+    """Pure-Python replica of the integer fixed point — the executable
+    spec pagerank_int must match bit-for-bit."""
+    nodes = sorted({n for e in edges for n in e})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    rank = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        nxt = {v: (scale * (den - num)) // (den * n) for v in nodes}
+        for s, d in edges:
+            nxt[d] += (num * rank[s]) // (den * outdeg[s])
+        rank = nxt
+    return rank
+
+
+def test_pagerank_matches_integer_spec(spark):
+    from covid_data_pipeline_spark.operators.graph import pagerank_int
+
+    # ring + a hub everyone links to
+    edges = [(i, (i + 1) % 6) for i in range(6)] + [(i, 9) for i in range(6)]
+    edges += [(9, 0)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: r.rank for r in pagerank_int(df, iters=5).collect()}
+    assert got == _pagerank_py(edges, iters=5)
+
+
+def test_pagerank_hub_outranks_leaves_and_mass_conserved(spark):
+    from covid_data_pipeline_spark.operators.graph import pagerank_int
+
+    edges = [(i, 0) for i in range(1, 20)] + [(0, 0)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    rows = {r.node: r.rank for r in pagerank_int(df, iters=4).collect()}
+    # every leaf feeds the self-looped hub; leaves keep only teleport
+    assert rows[0] > max(v for k, v in rows.items() if k != 0)
+    # floors only ever LOSE mass: deficit_{t+1} ≤ d·deficit_t + N + E,
+    # geometric steady state ≈ (N+E)/(1−d) — assert a loose multiple
+    total = sum(rows.values())
+    assert 0 <= 10**12 - total < (len(edges) + len(rows)) * 20
+
+
+def test_pagerank_partitioning_invariant(spark):
+    from covid_data_pipeline_spark.operators.graph import pagerank_int
+
+    edges = [(i, (i * 7) % 23) for i in range(23) if i != (i * 7) % 23]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    a = {r.node: r.rank for r in pagerank_int(df.repartition(1), iters=6).collect()}
+    b = {r.node: r.rank for r in pagerank_int(df.repartition(16), iters=6).collect()}
+    assert a == b == _pagerank_py(edges, iters=6)
