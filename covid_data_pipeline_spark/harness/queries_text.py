@@ -1085,6 +1085,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN spans s ON d.doc_id = s.doc_id
     """,
     tags=("text", "dedup", "span-removal"),
+    bench=True,
 )
 def strip_duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-repeated span REMOVAL (operators/boilerplate.py::

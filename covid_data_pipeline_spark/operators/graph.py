@@ -204,8 +204,12 @@ def pagerank_int(
         .localCheckpoint(eager=False)
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # per-edge denominator joined ONCE; iterations only re-join ranks
-    e_deg = e.join(deg, "src").localCheckpoint(eager=False)
+    # per-edge denominator joined ONCE, then hash-partitioned on src and
+    # pinned: every iteration's rank⋈edges is co-located on the edge
+    # side, so the (big) edge relation never re-shuffles — per iteration
+    # only the node-sized rank/contribution relations move (Pregel
+    # shape, expressed declaratively)
+    e_deg = e.join(deg, "src").repartition("src").localCheckpoint(eager=False)
     n_row = nodes.agg(F.count(F.lit(1)).alias("__n"))
     base = nodes.crossJoin(F.broadcast(n_row))
     teleport = F.expr(
@@ -239,7 +243,9 @@ def pagerank_int(
             )
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
-            ranks = ranks.localCheckpoint(eager=True)
+            # lazy: the next iteration's shuffle materializes it — no
+            # dedicated checkpoint job (same pattern as the star rounds)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 

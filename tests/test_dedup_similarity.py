@@ -588,3 +588,58 @@ def test_knn_graph_on_quantized_vectors_recall(spark, sf_dir):
     assert len(ig) > 0
     # same LSH candidates, scores perturbed ≤ ~1e-2 → high edge overlap
     assert len(fg & ig) >= 0.8 * len(fg)
+
+
+def test_pagerank_lsh_agrees_with_exact_graph(spark):
+    """The LSH-edge PageRank approximates the exact-graph rank; on a
+    corpus with real cluster structure the two must agree on who the
+    central items are. (The sf testdata's embeddings are near-random —
+    cosine ≈ 0.3 neighbors — where centrality is noise by construction,
+    so the corpus here is planted: tight clusters rank high, scattered
+    outliers rank low, in BOTH graphs.)"""
+    import numpy as np
+
+    from covid_data_pipeline_spark.operators.graph import pagerank_int
+    from covid_data_pipeline_spark.operators.similarity import (
+        knn_graph_exact,
+        knn_graph_lsh,
+    )
+
+    rng = np.random.RandomState(7)
+    dim, rows = 16, []
+    vid = 0
+    for _ in range(10):  # 10 tight clusters of 10
+        center = rng.randn(dim)
+        center /= np.linalg.norm(center)
+        for _ in range(10):
+            v = center + 0.02 * rng.randn(dim)
+            rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+            vid += 1
+    for _ in range(60):  # scattered outliers
+        v = rng.randn(dim)
+        rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+        vid += 1
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    pr_ex = pagerank_int(
+        knn_graph_exact(e, k=5), src="src_id", dst="nbr_id", iters=5
+    ).collect()
+    pr_ap = pagerank_int(
+        knn_graph_lsh(e, dim=dim, k=5, num_planes=6),
+        src="src_id", dst="nbr_id", iters=5,
+    ).collect()
+    top = 50  # > #cluster-members/2, < #cluster-members
+    def _top(rows_):
+        return {
+            r["node"]
+            for r in sorted(rows_, key=lambda r: (-r["rank"], r["node"]))[:top]
+        }
+    clustered = set(range(100))
+    # cluster members dominate the head of BOTH rankings...
+    assert len(_top(pr_ex) & clustered) >= 0.9 * top
+    assert len(_top(pr_ap) & clustered) >= 0.8 * top
+    # ...so the two heads mostly agree
+    assert len(_top(pr_ex) & _top(pr_ap)) >= 0.5 * top
+    # both distributions conserve mass up to floor leakage
+    for rows_ in (pr_ex, pr_ap):
+        assert 0 <= 10**12 - sum(r["rank"] for r in rows_) < 10**7
