@@ -180,14 +180,10 @@ class SnapshotWarehouse:
         v = self.current_version(table)
         return [] if v is None else list(self._manifest(table, v)["files"])
 
-    def read(self, table: str, version: int | None = None) -> DataFrame:
-        """Read the current snapshot, or ``version`` for time travel.
-        Files are read per batch dir (its own basePath) so hive partition
-        columns are recovered; batch reads are unioned by name."""
-        v = version if version is not None else self.current_version(table)
-        if v is None:
-            raise FileNotFoundError(f"no snapshots for table {table}")
-        files = self._manifest(table, v)["files"]
+    def _read_file_list(self, table: str, files: list[str]) -> DataFrame:
+        """Read an explicit manifest file list. Files are read per batch
+        dir (its own basePath) so hive partition columns are recovered;
+        batch reads are unioned by name. ``files`` must be non-empty."""
         data_dir = self._data_dir(table)
         by_batch: dict[str, list[str]] = {}
         for f in files:
@@ -201,6 +197,112 @@ class SnapshotWarehouse:
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
+
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        """Read the current snapshot, or ``version`` for time travel."""
+        v = version if version is not None else self.current_version(table)
+        if v is None:
+            raise FileNotFoundError(f"no snapshots for table {table}")
+        return self._read_file_list(table, self._manifest(table, v)["files"])
+
+    # -- change data feed --------------------------------------------------
+    def changed_files(
+        self, table: str, v_from: int, v_to: int
+    ) -> tuple[list[str], list[str]]:
+        """(added, removed) data files between two manifests. Files in
+        BOTH manifests are byte-identical in both versions (data files
+        are immutable, write-once) — their rows cancel exactly, so a
+        row-level diff never needs to read them. This is what makes
+        :meth:`changes` cost O(changed partitions), not O(table)."""
+        f_from = set(self._manifest(table, v_from)["files"])
+        f_to = set(self._manifest(table, v_to)["files"])
+        return sorted(f_to - f_from), sorted(f_from - f_to)
+
+    def changes(
+        self,
+        table: str,
+        v_from: int,
+        v_to: int,
+        keys: Sequence[str],
+    ) -> DataFrame:
+        """Row-level change feed between two snapshots (Delta
+        ``table_changes`` / Iceberg changelog-scan semantics): every row
+        of the ``v_to`` state not in ``v_from`` and vice versa, labeled
+        ``_change_type`` ∈ {insert, delete, update_preimage,
+        update_postimage}. ``v_to < v_from`` is allowed and yields the
+        inverse feed (inserts/deletes swap) — useful for auditing a
+        rollback.
+
+        Contract: ``keys`` identify a row uniquely within a snapshot and
+        both versions share a column set. Rows rewritten byte-equal
+        (e.g. an overwritten partition re-emitting unchanged rows) are
+        suppressed via a full-row xxhash64 fingerprint (a 2^-64
+        collision would suppress a real update).
+
+        Scale shape: only the manifests' symmetric-difference files are
+        scanned (:meth:`changed_files`); the full-outer key join then
+        shuffles changed-file rows only, and the insert/delete/update
+        split is one explode over the joined row — the join is never
+        recomputed per change type."""
+        keys = list(keys)
+        added, removed = self.changed_files(table, v_from, v_to)
+        if not added and not removed:
+            base = self.read(table, v_to).limit(0)
+            rest = [c for c in base.columns if c not in keys]
+            return base.select(
+                *keys, *rest, F.lit("insert").alias("_change_type")
+            ).limit(0)
+        new_rows = (
+            self._read_file_list(table, added)
+            if added
+            else self._read_file_list(table, removed).limit(0)
+        )
+        old_rows = (
+            self._read_file_list(table, removed)
+            if removed
+            else new_rows.limit(0)
+        )
+        if set(new_rows.columns) != set(old_rows.columns):
+            raise ValueError(
+                "changes() needs matching column sets; got "
+                f"{sorted(old_rows.columns)} vs {sorted(new_rows.columns)}"
+            )
+        data_cols = [c for c in new_rows.columns if c not in keys]
+        missing = [k for k in keys if k not in new_rows.columns]
+        if missing:
+            raise ValueError(f"key columns not in table: {missing}")
+
+        def _tagged(df: DataFrame, side: str) -> DataFrame:
+            cols = [F.col(k) for k in keys]
+            cols += [F.col(c).alias(f"__{side}_{c}") for c in data_cols]
+            # keys-only table: presence alone decides insert vs delete
+            fp = F.xxhash64(*data_cols) if data_cols else F.lit(1).cast("bigint")
+            cols.append(fp.alias(f"__{side}_fp"))
+            return df.select(*cols)
+
+        j = _tagged(old_rows, "o").join(
+            _tagged(new_rows, "n"), on=keys, how="full_outer"
+        )
+        types = (
+            F.when(F.col("__o_fp").isNull(), F.array(F.lit("insert")))
+            .when(F.col("__n_fp").isNull(), F.array(F.lit("delete")))
+            .when(
+                F.col("__o_fp") != F.col("__n_fp"),
+                F.array(F.lit("update_preimage"), F.lit("update_postimage")),
+            )
+            .otherwise(F.array().cast("array<string>"))
+        )
+        from_old = F.col("_change_type").isin("delete", "update_preimage")
+        return j.withColumn("_change_type", F.explode(types)).select(
+            *keys,
+            *[
+                F.when(from_old, F.col(f"__o_{c}"))
+                .otherwise(F.col(f"__n_{c}"))
+                .alias(c)
+                for c in data_cols
+            ],
+            "_change_type",
+        )
 
     def expire_snapshots(self, table: str, keep_last: int = 1) -> int:
         """Delete manifests older than the last ``keep_last`` and any data

@@ -105,3 +105,78 @@ def test_expire_snapshots_removes_dead_files(spark, sw):
     assert deleted >= 2  # v1+v2's superseded files gone
     assert sw.versions("ods.t") == [3]
     assert [r["v"] for r in sw.read("ods.t").collect()] == [3]
+
+
+# -- change data feed -------------------------------------------------------
+
+
+def _cdf(sw, v_from, v_to, keys=("d", "k")):
+    rows = sw.changes("ods.t", v_from, v_to, list(keys)).collect()
+    return {(r["d"], r["k"], r["_change_type"]): r["v"] for r in rows}
+
+
+def test_changes_append_is_pure_inserts(spark, sw):
+    sw.append(_day(spark, "d1", [("a", 1)]), "ods.t", ["d"])
+    sw.append(_day(spark, "d2", [("b", 2), ("c", 3)]), "ods.t", ["d"])
+    assert _cdf(sw, 1, 2) == {
+        ("d2", "b", "insert"): 2,
+        ("d2", "c", "insert"): 3,
+    }
+
+
+def test_changes_overwrite_classifies_and_suppresses_unchanged(spark, sw):
+    sw.append(
+        _day(spark, "d1", [("a", 1)]), "ods.t", ["d"]
+    )
+    sw.append(
+        _day(spark, "d2", [("keep", 7), ("mod", 8), ("gone", 9)]), "ods.t", ["d"]
+    )
+    # restate d2: keep unchanged, modify one, drop one, add one
+    sw.overwrite_partitions(
+        _day(spark, "d2", [("keep", 7), ("mod", 80), ("newk", 10)]),
+        "ods.t",
+        ["d"],
+    )
+    got = _cdf(sw, 2, 3)
+    assert got == {
+        ("d2", "mod", "update_preimage"): 8,
+        ("d2", "mod", "update_postimage"): 80,
+        ("d2", "gone", "delete"): 9,
+        ("d2", "newk", "insert"): 10,
+    }
+    # untouched partition d1 appears nowhere — and was never even read:
+    added, removed = sw.changed_files("ods.t", 2, 3)
+    assert all("d=d2" in f for f in added + removed)
+
+
+def test_changes_replace_still_suppresses_identical_rows(spark, sw):
+    sw.append(_day(spark, "d1", [("a", 1), ("b", 2)]), "ods.t", ["d"])
+    # full rewrite re-emitting row a unchanged — new files, same bytes
+    sw.replace(_day(spark, "d1", [("a", 1), ("b", 20)]), "ods.t", ["d"])
+    assert _cdf(sw, 1, 2) == {
+        ("d1", "b", "update_preimage"): 2,
+        ("d1", "b", "update_postimage"): 20,
+    }
+
+
+def test_changes_reverse_inverts_feed(spark, sw):
+    sw.append(_day(spark, "d1", [("a", 1)]), "ods.t", ["d"])
+    sw.append(_day(spark, "d2", [("b", 2)]), "ods.t", ["d"])
+    assert _cdf(sw, 2, 1) == {("d2", "b", "delete"): 2}
+
+
+def test_changes_same_version_is_empty_with_schema(spark, sw):
+    sw.append(_day(spark, "d1", [("a", 1)]), "ods.t", ["d"])
+    out = sw.changes("ods.t", 1, 1, ["d", "k"])
+    assert out.count() == 0
+    assert out.columns == ["d", "k", "v", "_change_type"]
+
+
+def test_changes_audits_rollback(spark, sw):
+    sw.append(_day(spark, "d1", [("a", 1)]), "ods.t", ["d"])
+    sw.overwrite_partitions(_day(spark, "d1", [("a", 99)]), "ods.t", ["d"])
+    v3 = sw.rollback("ods.t", 1)
+    assert _cdf(sw, 2, v3) == {
+        ("d1", "a", "update_preimage"): 99,
+        ("d1", "a", "update_postimage"): 1,
+    }
