@@ -180,19 +180,30 @@ class SnapshotWarehouse:
         v = self.current_version(table)
         return [] if v is None else list(self._manifest(table, v)["files"])
 
-    def _read_file_list(self, table: str, files: list[str]) -> DataFrame:
+    def _read_file_list(
+        self, table: str, files: list[str], tag_path: bool = False
+    ) -> DataFrame:
         """Read an explicit manifest file list. Files are read per batch
         dir (its own basePath) so hive partition columns are recovered;
-        batch reads are unioned by name. ``files`` must be non-empty."""
+        batch reads are unioned by name. ``files`` must be non-empty.
+        ``tag_path`` adds a ``__file_path`` column — captured on each
+        scan itself (``_metadata`` is only resolvable directly on a
+        file-source relation, not across unions/joins)."""
         data_dir = self._data_dir(table)
         by_batch: dict[str, list[str]] = {}
         for f in files:
             batch = f.split(os.sep, 1)[0]
             by_batch.setdefault(batch, []).append(os.path.join(data_dir, f))
-        parts = [
-            self.spark.read.option("basePath", os.path.join(data_dir, batch)).parquet(*fs)
-            for batch, fs in sorted(by_batch.items())
-        ]
+        parts = []
+        for batch, fs in sorted(by_batch.items()):
+            p = self.spark.read.option(
+                "basePath", os.path.join(data_dir, batch)
+            ).parquet(*fs)
+            if tag_path:
+                p = p.withColumn(
+                    "__file_path", F.col("_metadata.file_path")
+                )
+            parts.append(p)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
@@ -303,6 +314,74 @@ class SnapshotWarehouse:
             ],
             "_change_type",
         )
+
+    def read_incremental(self, table: str, since_version: int) -> DataFrame:
+        """Rows added since ``since_version`` — the incremental-consumer
+        fast path (Iceberg incremental scan): reads ONLY the data files
+        new manifests introduced, no join, no diff. Correct as stated
+        for append-only history; across overwrites it returns the
+        re-stated partitions' full contents (consumers wanting exact
+        row deltas use :meth:`changes`)."""
+        cur = self.current_version(table)
+        if cur is None:
+            raise FileNotFoundError(f"no snapshots for table {table}")
+        added, _removed = self.changed_files(table, since_version, cur)
+        if not added:
+            return self.read(table, cur).limit(0)
+        return self._read_file_list(table, added)
+
+    def purge_keys(
+        self,
+        keys_df: DataFrame,
+        tables: Sequence[str],
+        key_cols: Sequence[str],
+        partition_by: dict[str, Sequence[str]] | None = None,
+    ) -> dict[str, int]:
+        """Right-to-erasure across layers (Delta DELETE shape): for each
+        table, find the data FILES containing any of the given keys
+        (one broadcast-semi-join scan over ``_metadata.file_path``),
+        rewrite ONLY those files minus the keys into a new batch, and
+        commit (untouched files keep their manifest entries byte-for-
+        byte). Cost is O(files with hits), not O(table) — purging one
+        user from a 100 TB table rewrites a handful of files. Returns
+        per-table purged row counts — the audit artifact a DPO files.
+
+        Snapshot semantics make deletion two-phase, and that is a
+        feature: the purge commit removes the rows from every CURRENT
+        read immediately, while prior snapshots still reference the old
+        files — physical erasure completes with
+        :meth:`expire_snapshots` (keep_last=1), Iceberg's
+        expire-after-delete compliance flow. Tables with no hits get no
+        new version at all.
+        """
+        key_cols = list(key_cols)
+        small = F.broadcast(keys_df.select(*key_cols).distinct())
+        purged: dict[str, int] = {}
+        for t in tables:
+            data_dir = self._data_dir(t)
+            hit_paths = (
+                self._read_file_list(t, self._alive_files(t), tag_path=True)
+                .join(small, on=key_cols, how="left_semi")
+                .groupBy(F.col("__file_path").alias("__f"))
+                .agg(F.count(F.lit(1)).alias("__hits"))
+                .collect()
+            )
+            if not hit_paths:
+                purged[t] = 0
+                continue
+            purged[t] = sum(r["__hits"] for r in hit_paths)
+            hit_rel = {
+                os.path.relpath(r["__f"].removeprefix("file:"), data_dir)
+                for r in hit_paths
+            }
+            alive = self._alive_files(t)
+            keep = [f for f in alive if f not in hit_rel]
+            survivors = self._read_file_list(t, sorted(hit_rel)).join(
+                small, on=key_cols, how="left_anti"
+            )
+            new = self._write_batch(survivors, t, (partition_by or {}).get(t))
+            self._commit(t, keep + new, "purge")
+        return purged
 
     def expire_snapshots(self, table: str, keep_last: int = 1) -> int:
         """Delete manifests older than the last ``keep_last`` and any data

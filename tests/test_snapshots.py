@@ -180,3 +180,45 @@ def test_changes_audits_rollback(spark, sw):
         ("d1", "a", "update_preimage"): 99,
         ("d1", "a", "update_postimage"): 1,
     }
+
+
+# -- incremental read + purge ----------------------------------------------
+
+
+def test_read_incremental_appends_only_new_files(spark, sw):
+    sw.append(_day(spark, "d1", [("a", 1)]), "ods.t", ["d"])
+    sw.append(_day(spark, "d2", [("b", 2)]), "ods.t", ["d"])
+    sw.append(_day(spark, "d3", [("c", 3)]), "ods.t", ["d"])
+    inc = sw.read_incremental("ods.t", since_version=1)
+    assert {(r["d"], r["k"]) for r in inc.collect()} == {("d2", "b"), ("d3", "c")}
+    assert sw.read_incremental("ods.t", since_version=3).count() == 0
+
+
+def test_purge_keys_rewrites_only_hit_files(spark, sw):
+    sw.append(_day(spark, "d1", [("u1", 1), ("u2", 2)]), "ods.t", ["d"])
+    sw.append(_day(spark, "d2", [("u3", 3)]), "ods.t", ["d"])
+    sw.append(_day(spark, "d3", [("u1", 4)]), "ods.t", ["d"])
+    v_before = sw.current_version("ods.t")
+    keys = spark.createDataFrame([("u1",)], "k string")
+    got = sw.purge_keys(keys, ["ods.t"], ["k"], partition_by={"ods.t": ["d"]})
+    assert got == {"ods.t": 2}
+    cur = {(r["d"], r["k"]) for r in sw.read("ods.t").collect()}
+    assert cur == {("d1", "u2"), ("d2", "u3")}
+    # the hit-free d2 file was NOT rewritten: its manifest entry is
+    # byte-identical across the purge commit
+    before = set(sw._manifest("ods.t", v_before)["files"])
+    after = set(sw._manifest("ods.t", v_before + 1)["files"])
+    d2 = {f for f in before if "d=d2" in f}
+    assert d2 and d2 <= after
+    # old snapshot still has u1 (erasure completes via expire_snapshots)
+    old = {(r["d"], r["k"]) for r in sw.read("ods.t", version=v_before).collect()}
+    assert ("d1", "u1") in old
+    sw.expire_snapshots("ods.t", keep_last=1)
+    assert sw.versions("ods.t") == [v_before + 1]
+
+
+def test_purge_keys_no_hits_no_new_version(spark, sw):
+    sw.append(_day(spark, "d1", [("a", 1)]), "ods.t", ["d"])
+    keys = spark.createDataFrame([("zz",)], "k string")
+    assert sw.purge_keys(keys, ["ods.t"], ["k"]) == {"ods.t": 0}
+    assert sw.current_version("ods.t") == 1
