@@ -466,25 +466,35 @@ def similarity_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KNN_GRAPH_ORACLE = """
-WITH v AS (
+def _knn_edges_sql(src: str, dst: str, where: str = "") -> str:
+    """Shared CTE block (``v``/``scored``/``ranked``) for every oracle
+    that consumes the exact kNN edge set — ONE place owns the cosine
+    rounding, tie-break, and cast conventions, so the kNN-graph and
+    PageRank oracles cannot silently diverge."""
+    return f"""v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS dv
-  FROM embeddings
+  FROM embeddings{where}
 ),
 scored AS (
-  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+  SELECT a.vec_id AS {src}, b.vec_id AS {dst},
          ROUND(
            list_dot_product(a.dv, b.dv)
            / (sqrt(list_dot_product(a.dv, a.dv))
               * sqrt(list_dot_product(b.dv, b.dv))), 4) AS similarity
   FROM v a, v b WHERE a.vec_id <> b.vec_id
-)
-SELECT src_id, nbr_id, similarity FROM (
+),
+ranked AS (
   SELECT *, row_number() OVER (
-    PARTITION BY src_id ORDER BY similarity DESC, nbr_id) AS rn
+    PARTITION BY {src} ORDER BY similarity DESC, {dst}) AS rn
   FROM scored
-) WHERE rn <= 5
-"""
+)"""
+
+
+_KNN_GRAPH_ORACLE = (
+    "WITH "
+    + _knn_edges_sql("src_id", "nbr_id")
+    + "\nSELECT src_id, nbr_id, similarity FROM ranked WHERE rn <= 5"
+)
 
 
 @register(
@@ -764,25 +774,8 @@ def _pagerank_oracle(iters: int = 5, k: int = 5, scale: int = 10**12) -> str:
     non-negatives == floor), so five iterations stay bit-identical to
     Spark's ``div`` fixed point."""
     head = f"""
-    WITH v AS (
-      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS dv
-      FROM embeddings WHERE vec_id % 4 = 0
-    ),
-    scored AS (
-      SELECT a.vec_id AS src, b.vec_id AS dst,
-             ROUND(
-               list_dot_product(a.dv, b.dv)
-               / (sqrt(list_dot_product(a.dv, a.dv))
-                  * sqrt(list_dot_product(b.dv, b.dv))), 4) AS similarity
-      FROM v a, v b WHERE a.vec_id <> b.vec_id
-    ),
-    e AS (
-      SELECT src, dst FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY src ORDER BY similarity DESC, dst) AS rn
-        FROM scored
-      ) ranked WHERE rn <= {k}
-    ),
+    WITH {_knn_edges_sql("src", "dst", " WHERE vec_id % 4 = 0")},
+    e AS (SELECT src, dst FROM ranked WHERE rn <= {k}),
     deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
     nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
     nn AS (SELECT COUNT(*) AS n FROM nodes),

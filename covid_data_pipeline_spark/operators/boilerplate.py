@@ -126,6 +126,12 @@ def strip_duplicate_spans(
       interval merge + token filtering run INSIDE the row as
       higher-order functions (no per-token rows ever shuffle).
 
+    The gram projection is computed twice (hot-set build + position
+    join) by design: re-tokenizing is a cheap codegen'd map pass,
+    while materializing the exploded gram relation (corpus token mass)
+    would cost more in storage/shuffle than it saves — the same
+    recompute-over-persist call the plan audit confirms.
+
     Returns ``(id, clean_text, n_tokens, n_removed, n_spans)``; docs
     with no hot span pass through with normalized text and zeros.
     """

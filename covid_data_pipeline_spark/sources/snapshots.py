@@ -29,6 +29,7 @@ import json
 import os
 import uuid
 from collections.abc import Sequence
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -189,6 +190,11 @@ class SnapshotWarehouse:
         ``tag_path`` adds a ``__file_path`` column — captured on each
         scan itself (``_metadata`` is only resolvable directly on a
         file-source relation, not across unions/joins)."""
+        if not files:
+            raise ValueError(
+                f"{table}: empty file list — the referenced snapshot has "
+                "no data files, so there is no schema to read"
+            )
         data_dir = self._data_dir(table)
         by_batch: dict[str, list[str]] = {}
         for f in files:
@@ -245,10 +251,15 @@ class SnapshotWarehouse:
         rollback.
 
         Contract: ``keys`` identify a row uniquely within a snapshot and
-        both versions share a column set. Rows rewritten byte-equal
-        (e.g. an overwritten partition re-emitting unchanged rows) are
-        suppressed via a full-row xxhash64 fingerprint (a 2^-64
-        collision would suppress a real update).
+        both versions share a column set. NULL key values are matched
+        null-safely (a NULL-keyed row re-emitted unchanged is still
+        suppressed). Rows rewritten byte-equal (e.g. an overwritten
+        partition re-emitting unchanged rows) are suppressed via a
+        position-tagged per-column fingerprint — each column hashes
+        with its ordinal so NULLs cannot silently drop out of the hash
+        (``xxhash64`` skips null children, which would otherwise make
+        ``(x, NULL)`` collide with ``(NULL, x)``); only a real 64-bit
+        collision could suppress an update.
 
         Scale shape: only the manifests' symmetric-difference files are
         scanned (:meth:`changed_files`); the full-outer key join then
@@ -258,6 +269,9 @@ class SnapshotWarehouse:
         keys = list(keys)
         added, removed = self.changed_files(table, v_from, v_to)
         if not added and not removed:
+            # identical manifests (possibly v_from == v_to): empty feed
+            # with the table's schema; _read_file_list raises a clear
+            # error if the snapshot itself is file-less
             base = self.read(table, v_to).limit(0)
             rest = [c for c in base.columns if c not in keys]
             return base.select(
@@ -284,16 +298,33 @@ class SnapshotWarehouse:
             raise ValueError(f"key columns not in table: {missing}")
 
         def _tagged(df: DataFrame, side: str) -> DataFrame:
-            cols = [F.col(k) for k in keys]
+            cols = [F.col(k).alias(f"__{side}k_{k}") for k in keys]
             cols += [F.col(c).alias(f"__{side}_{c}") for c in data_cols]
-            # keys-only table: presence alone decides insert vs delete
-            fp = F.xxhash64(*data_cols) if data_cols else F.lit(1).cast("bigint")
+            # Position-tagged fingerprint: each column hashes WITH its
+            # ordinal (inner hash of a NULL column = hash of the ordinal
+            # alone, never skipped), because xxhash64 drops null
+            # children — a bare xxhash64(*cols) would collide (x, NULL)
+            # with (NULL, x) and suppress that update. Keys-only table:
+            # presence alone decides insert vs delete.
+            fp = (
+                F.xxhash64(
+                    *[
+                        F.xxhash64(F.lit(i), F.col(c))
+                        for i, c in enumerate(data_cols)
+                    ]
+                )
+                if data_cols
+                else F.lit(1).cast("bigint")
+            )
             cols.append(fp.alias(f"__{side}_fp"))
             return df.select(*cols)
 
-        j = _tagged(old_rows, "o").join(
-            _tagged(new_rows, "n"), on=keys, how="full_outer"
-        )
+        o, n = _tagged(old_rows, "o"), _tagged(new_rows, "n")
+        cond = None
+        for k in keys:
+            c = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
+            cond = c if cond is None else (cond & c)
+        j = o.join(n, cond, "full_outer")
         types = (
             F.when(F.col("__o_fp").isNull(), F.array(F.lit("insert")))
             .when(F.col("__n_fp").isNull(), F.array(F.lit("delete")))
@@ -305,7 +336,10 @@ class SnapshotWarehouse:
         )
         from_old = F.col("_change_type").isin("delete", "update_preimage")
         return j.withColumn("_change_type", F.explode(types)).select(
-            *keys,
+            *[
+                F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
+                for k in keys
+            ],
             *[
                 F.when(from_old, F.col(f"__o_{c}"))
                 .otherwise(F.col(f"__n_{c}"))
@@ -359,8 +393,13 @@ class SnapshotWarehouse:
         purged: dict[str, int] = {}
         for t in tables:
             data_dir = self._data_dir(t)
+            alive = self._alive_files(t)
+            if not alive:
+                # table never written (or empty snapshot): nothing to do
+                purged[t] = 0
+                continue
             hit_paths = (
-                self._read_file_list(t, self._alive_files(t), tag_path=True)
+                self._read_file_list(t, alive, tag_path=True)
                 .join(small, on=key_cols, how="left_semi")
                 .groupBy(F.col("__file_path").alias("__f"))
                 .agg(F.count(F.lit(1)).alias("__hits"))
@@ -370,11 +409,16 @@ class SnapshotWarehouse:
                 purged[t] = 0
                 continue
             purged[t] = sum(r["__hits"] for r in hit_paths)
+            # _metadata.file_path is a file: URI with percent-encoding
+            # (a partition value 'new york' comes back 'd=new%20york');
+            # manifests store raw on-disk relpaths — decode before
+            # matching or the hit file is neither dropped nor readable
             hit_rel = {
-                os.path.relpath(r["__f"].removeprefix("file:"), data_dir)
+                os.path.relpath(
+                    unquote(urlparse(r["__f"]).path), data_dir
+                )
                 for r in hit_paths
             }
-            alive = self._alive_files(t)
             keep = [f for f in alive if f not in hit_rel]
             survivors = self._read_file_list(t, sorted(hit_rel)).join(
                 small, on=key_cols, how="left_anti"

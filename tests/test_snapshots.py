@@ -222,3 +222,70 @@ def test_purge_keys_no_hits_no_new_version(spark, sw):
     keys = spark.createDataFrame([("zz",)], "k string")
     assert sw.purge_keys(keys, ["ods.t"], ["k"]) == {"ods.t": 0}
     assert sw.current_version("ods.t") == 1
+
+
+def test_changes_detects_null_column_swap(spark, sw):
+    # xxhash64 skips null children: (x, NULL) vs (NULL, x) must STILL
+    # register as an update (position-tagged per-column fingerprint)
+    df1 = spark.createDataFrame(
+        [("d1", "a", "x", None)], "d string, k string, phone string, fax string"
+    )
+    df2 = spark.createDataFrame(
+        [("d1", "a", None, "x")], "d string, k string, phone string, fax string"
+    )
+    sw.append(df1, "ods.t", ["d"])
+    sw.overwrite_partitions(df2, "ods.t", ["d"])
+    got = {
+        r["_change_type"]: (r["phone"], r["fax"])
+        for r in sw.changes("ods.t", 1, 2, ["d", "k"]).collect()
+    }
+    assert got == {
+        "update_preimage": ("x", None),
+        "update_postimage": (None, "x"),
+    }
+
+
+def test_changes_null_key_unchanged_row_suppressed(spark, sw):
+    df1 = spark.createDataFrame(
+        [("d1", None, 1), ("d1", "b", 2)], "d string, k string, v long"
+    )
+    df2 = spark.createDataFrame(
+        [("d1", None, 1), ("d1", "b", 20)], "d string, k string, v long"
+    )
+    sw.append(df1, "ods.t", ["d"])
+    sw.overwrite_partitions(df2, "ods.t", ["d"])
+    got = {
+        (r["k"], r["_change_type"]): r["v"]
+        for r in sw.changes("ods.t", 1, 2, ["d", "k"]).collect()
+    }
+    # the NULL-keyed row was re-emitted byte-equal: suppressed
+    assert got == {
+        ("b", "update_preimage"): 2,
+        ("b", "update_postimage"): 20,
+    }
+
+
+def test_purge_keys_uri_encoded_partition_value(spark, sw):
+    # partition value with a space: _metadata.file_path percent-encodes
+    # it; the manifest stores the raw path — purge must still line up
+    df = spark.createDataFrame(
+        [("new york", "u1", 1), ("new york", "u2", 2)],
+        "d string, k string, v long",
+    )
+    sw.append(df, "ods.t", ["d"])
+    got = sw.purge_keys(
+        spark.createDataFrame([("u1",)], "k string"),
+        ["ods.t"],
+        ["k"],
+        partition_by={"ods.t": ["d"]},
+    )
+    assert got == {"ods.t": 1}
+    cur = {(r["d"], r["k"]) for r in sw.read("ods.t").collect()}
+    assert cur == {("new york", "u2")}
+
+
+def test_purge_keys_skips_unwritten_table(spark, sw):
+    sw.append(_day(spark, "d1", [("a", 1)]), "ods.t", ["d"])
+    keys = spark.createDataFrame([("a",)], "k string")
+    got = sw.purge_keys(keys, ["ods.never_written", "ods.t"], ["k"])
+    assert got == {"ods.never_written": 0, "ods.t": 1}
