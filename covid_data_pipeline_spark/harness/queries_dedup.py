@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from covid_data_pipeline_spark.harness.registry import register, table
 from covid_data_pipeline_spark.operators.dedup import (
     exact_dedup,
+    jaccard_join_prefix,
     minhash_dedup,
     ngram_jaccard_pairs,
     simhash,
@@ -551,4 +552,30 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 10000.0
             / F.sum("n_tokens")
         ).cast("bigint").alias("savings_bp"),
+    )
+
+
+@register(
+    "dedup_jaccard_prefix",
+    f"""
+    WITH {_shingle_pairs_sql(where="doc_id < 150")}
+    SELECT id_a, id_b, ROUND(jac, 4) AS jaccard FROM j WHERE jac >= 0.6
+    """,
+    tags=("dedup", "jaccard", "prefix-filter"),
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard join (operators/dedup.py::
+    jaccard_join_prefix, AllPairs/PPJoin) — the scale path for
+    exact-threshold near-dup detection: candidates come from a
+    rarest-first PREFIX posting join (≈ (1−t) of the shingle mass),
+    never the full inverted index that makes ngram_jaccard_pairs
+    quadratic within hot posting lists, and never MinHash's recall
+    loss. The oracle is the same full exact-Jaccard SQL the quadratic
+    query uses — the two Spark physical strategies must produce the
+    IDENTICAL pair set, which is precisely the prefix-filter theorem."""
+    d = _with_mutants(
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    )
+    return jaccard_join_prefix(
+        d, text_col="text", id_col="doc_id", shingle_k=3, threshold=0.6
     )

@@ -406,6 +406,135 @@ def ngram_jaccard_pairs(
     return jaccard_verify(pairs, sh, id_col, threshold, shingle_col="shingles")
 
 
+def jaccard_join_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+    max_token_bucket: int | None = 10_000,
+) -> DataFrame:
+    """EXACT-threshold Jaccard self-join via prefix filtering (AllPairs /
+    PPJoin, Bayardo et al. WWW'07; Xiao et al. WWW'08) — every pair with
+    shingle-Jaccard ≥ ``threshold``, no false negatives, WITHOUT the
+    full inverted-index join of :func:`ngram_jaccard_pairs` and without
+    MinHash's approximation.
+
+    Prefix principle: order every doc's shingle set by one global
+    canonical order (document frequency ascending, then shingle — the
+    rarest-first order that makes prefixes selective). A set of size n
+    keeps only its first ``n − ceil(t·n) + 1`` shingles as its PREFIX;
+    two sets with Jaccard ≥ t must collide on at least one prefix
+    token, so candidates = prefix-posting self-join. Candidates then
+    pass the size filter (t·max ≤ min) and an exact intersection check.
+
+    All threshold comparisons are INTEGER arithmetic: the float
+    threshold converts once to an exact rational num/den
+    (``Fraction.limit_denominator``), so ceil/size/Jaccard gates never
+    depend on float rounding — prefix lengths and the accepted pair set
+    are bit-stable across engines and partitionings.
+
+    Scale shape: one groupBy for document frequencies, one for the
+    per-doc canonical sort; the candidate join is keyed on PREFIX
+    tokens only (≈ (1−t) of the shingle mass, biased to the rarest
+    shingles); full shingle arrays are fetched only for surviving
+    candidates. Degenerate corpora (identical docs ⇒ every token
+    df = N) get the standard hot-bucket cap on the posting key, same
+    policy as :func:`lsh_candidate_pairs`.
+
+    Returns ``(id_a, id_b, jaccard)`` with id_a < id_b, jaccard rounded
+    to 4 (a ratio of small ints — identical on any engine).
+    """
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(10_000)
+    num, den = fr.numerator, fr.denominator
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    ).withColumn("n", F.size("sh"))
+    posting_all = sh.select("__id", "n", F.explode("sh").alias("g"))
+    dfreq = posting_all.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # canonical rarest-first order per doc; prefix_len = n − ceil(t·n) + 1
+    # with ceil(t·n) = (num·n + den − 1) div den (integers only)
+    ordered = (
+        posting_all.join(dfreq, "g")
+        .groupBy("__id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "g"))).alias("og"),
+            F.any_value("n").alias("n"),
+        )
+    )
+    plen = (
+        F.col("n")
+        - F.expr(f"({num} * n + {den} - 1) div {den}").cast("int")
+        + F.lit(1)
+    )
+    prefix = ordered.select(
+        "__id",
+        "n",
+        F.explode(
+            F.transform(F.slice("og", F.lit(1), plen), lambda x: x["g"])
+        ).alias("g"),
+    )
+    if max_token_bucket is not None:
+        w = Window.partitionBy("g")
+        prefix = (
+            prefix.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_token_bucket)
+            .drop("__bsz")
+        )
+    l, r = prefix.alias("l"), prefix.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.g") == F.col("r.g"))
+            & (F.col("l.__id") < F.col("r.__id"))
+            # size filter: J ≥ t ⇒ min/max ≥ t ⇒ den·min ≥ num·max
+            & (
+                den * F.least(F.col("l.n"), F.col("r.n"))
+                >= num * F.greatest(F.col("l.n"), F.col("r.n"))
+            ),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    full = sh.select("__id", "sh", "n")
+    joined = cand.join(
+        full.select(
+            F.col("__id").alias("id_a"),
+            F.col("sh").alias("sh_a"),
+            F.col("n").alias("na"),
+        ),
+        "id_a",
+    ).join(
+        full.select(
+            F.col("__id").alias("id_b"),
+            F.col("sh").alias("sh_b"),
+            F.col("n").alias("nb"),
+        ),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.col("na") + F.col("nb") - inter
+    return (
+        joined.withColumn("__i", inter)
+        # exact gate: I/U ≥ num/den ⟺ den·I ≥ num·U
+        .filter(den * F.col("__i") >= num * union)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("__i")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def passage_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

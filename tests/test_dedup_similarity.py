@@ -643,3 +643,90 @@ def test_pagerank_lsh_agrees_with_exact_graph(spark):
     # both distributions conserve mass up to floor leakage
     for rows_ in (pr_ex, pr_ap):
         assert 0 <= 10**12 - sum(r["rank"] for r in rows_) < 10**7
+
+
+# --- jaccard_join_prefix ---------------------------------------------------
+
+
+def _brute_jaccard(rows, k, num, den):
+    """Pure-Python exact reference: all pairs with den·I ≥ num·U."""
+    def shingles(text):
+        toks = text.lower().split()
+        if len(toks) < k:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    ids = sorted(sets)
+    out = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            i = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if u and den * i >= num * u:
+                out.add((a, b))
+    return out
+
+
+def test_prefix_jaccard_matches_bruteforce_exactly(spark):
+    from covid_data_pipeline_spark.operators.dedup import jaccard_join_prefix
+
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{j}" for j in range(60)]
+    rows = []
+    for i in range(30):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(25))))
+    # planted mutant near-dups: copy with a few token swaps
+    for i in range(30, 40):
+        base = rows[i - 30][1].split()
+        base[3] = "zz"
+        rows.append((i, " ".join(base)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_join_prefix(
+            df, shingle_k=3, threshold=0.6
+        ).collect()
+    }
+    assert got == _brute_jaccard(rows, 3, 3, 5)
+    assert got  # non-vacuous: the mutants must actually pair
+
+
+def test_prefix_jaccard_short_docs_and_invariance(spark):
+    from covid_data_pipeline_spark.operators.dedup import jaccard_join_prefix
+
+    rows = [
+        (1, "tiny doc"),
+        (2, "tiny doc"),
+        (3, "other text"),
+        (4, "alpha beta gamma delta epsilon zeta"),
+        (5, "alpha beta gamma delta epsilon eta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_join_prefix(df.repartition(1), threshold=0.5).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_join_prefix(df.repartition(16), threshold=0.5).collect()
+    }
+    assert a == b
+    assert (1, 2, 1.0) in a
+    # 4 vs 5: shingles of 6 tokens → 4 each, sharing 3 → J = 3/5 = 0.6
+    assert (4, 5, 0.6) in a
+
+
+def test_prefix_jaccard_caps_degenerate_corpus(spark):
+    from covid_data_pipeline_spark.operators.dedup import jaccard_join_prefix
+
+    rows = [(i, "same exact boilerplate text here") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = jaccard_join_prefix(df, threshold=0.9, max_token_bucket=50)
+    # every posting bucket exceeds the cap: bounded result, no n² blowup
+    assert out.count() == 0
+    uncapped = jaccard_join_prefix(df.limit(20), threshold=0.9, max_token_bucket=None)
+    assert uncapped.count() == 190  # 20 choose 2

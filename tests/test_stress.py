@@ -88,3 +88,47 @@ def test_dwell_percentiles_shape_16m(events_16m):
     )
     # domain compression: distinct gap values stay tiny vs row count
     assert gaps.select("g").distinct().count() < 1_000_000
+
+
+def test_prefix_jaccard_200k_docs_bounded_and_invariant(big_spark):
+    """200k synthetic docs with planted near-dups: the prefix join must
+    stay bounded (posting-prefix mass, not n²) and partitioning-
+    invariant, and must find every planted mutant pair."""
+    import time
+
+    from covid_data_pipeline_spark.operators.dedup import jaccard_join_prefix
+
+    n = 100_000
+    base = big_spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{j}x"), ((F.col("id") * (j + 7)) % 9973))
+                for j in range(12)
+            ],
+        ).alias("text"),
+    )
+    mutants = base.select(
+        (F.col("doc_id") + n).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    docs = base.unionByName(mutants)
+    t0 = time.time()
+    pairs = jaccard_join_prefix(docs, shingle_k=3, threshold=0.6)
+    planted = pairs.filter(F.col("id_b") == F.col("id_a") + n).count()
+    wall = time.time() - t0
+    assert planted == n  # exact method: every planted pair found
+    # partitioning invariance on a deterministic slice of the output
+    probe = pairs.filter(F.col("id_a") < 500)
+    a = sorted(map(tuple, probe.collect()))
+    b = sorted(
+        map(
+            tuple,
+            jaccard_join_prefix(
+                docs.repartition(157), shingle_k=3, threshold=0.6
+            ).filter(F.col("id_a") < 500).collect(),
+        )
+    )
+    assert a == b and len(a) >= 500
+    assert wall < 600, f"200k-doc prefix join took {wall:.0f}s"
