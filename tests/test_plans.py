@@ -159,3 +159,19 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     with redirect_stdout(buf):
         j.explain()
     assert "dynamicpruning" in buf.getvalue().lower()
+
+
+def test_no_cartesian_product_in_bench_queries(spark, sf_dir):
+    """No headline query may plan an unconstrained CartesianProduct —
+    the one O(n·m) shape that silently survives small-scale testing and
+    dies at 100 TB. (BroadcastNestedLoopJoin is allowed where a query
+    deliberately crosses against a broadcast single-row/bounded relation
+    — totals re-entry, query blocks; CartesianProduct has no such use.)"""
+    checked = 0
+    for name, spec in QUERIES.items():
+        if not spec.bench:
+            continue
+        plan = plan_of(spec.fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
+        checked += 1
+    assert checked >= 40

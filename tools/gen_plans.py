@@ -47,6 +47,11 @@ NOTES = {
     "skew_profile_events": "Map-side-combined count per key, then the single-row totals re-enter via a broadcast join - no full-key-set window, so the diagnostic itself cannot straggle on the skew it measures. TakeOrderedAndProject caps the output.",
     "mixture_sample_docs": "Per-group counts reduce to |groups| rows and broadcast back as rates; the hash filter evaluates in the scan projection - the corpus is never shuffled or expanded.",
     "mixture_resample_docs": "Same broadcast-rates shape plus a partition-local explode behind a pushable reps > 0 filter: replication happens where the row lives; dropped groups never expand.",
+    "dedup_keep_best": "Single map-side-combining max_by(struct) aggregate per cluster key - no windowed row_number, so a boilerplate mega-cluster collapses per task before the shuffle.",
+    "funnel_ordered_steps": "Stage-filtered corpus shuffles ONCE on user_id; the strict-> fold runs inside a codegen'd sorted-struct aggregate - the SQL formulation's k-1 stepwise self-joins never materialize.",
+    "vocab_oov_rate": "Top-K vocab is a TakeOrderedAndProject over doc-frequency counts, broadcast back for membership; the occurrence relation is counted map-side and never shuffles for the vocab join.",
+    "strip_duplicate_spans_docs": "Two gram-keyed shuffles (distinct doc-gram collapse -> df count; hot-start regroup); the gram projection is recomputed per consumer rather than materialized (cheap codegen map beats persisting the token-mass explode); interval merge + token filtering are in-row HOFs - per-token rows never shuffle.",
+    "knn_graph_lsh": "Both-sides-large self equi-join restricted to LSH bucket collisions (work ~ sum of bucket^2, hot buckets capped); vectors pre-normalized so each candidate costs one fold; per-src top-k via WindowGroupLimit.",
 }
 
 HEADER = """# PLANS - physical plans of the headline (bench) queries
