@@ -293,3 +293,59 @@ def test_analyze_stats_enable_cbo_broadcast(spark, sf_dir, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     spark.sql("DROP TABLE statsdb.nation_stats")
+
+
+def test_split_skew_join_equals_plain_join(spark):
+    from covid_data_pipeline_spark.operators.scale import split_skew_join
+
+    # one mega-hot key (80% of probe rows), many cold keys, NULLs too
+    left = spark.createDataFrame(
+        [(1, f"l{i}") for i in range(400)]
+        + [(k, f"c{k}") for k in range(2, 80)]
+        + [(None, "n1"), (None, "n2")],
+        "k long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, "hot-dim"), (2, "d2"), (3, "d3"), (None, "dn"), (999, "unused")],
+        "k long, rv string",
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, left.join(right, on=["k"], how=how).collect()), key=repr
+        )
+        split = sorted(
+            map(
+                tuple,
+                split_skew_join(
+                    left, right, on=["k"], num_salts=8, how=how
+                ).collect(),
+            ),
+            key=repr,
+        )
+        assert split == plain, how
+    # partitioning invariance of the salted half
+    a = sorted(
+        map(tuple, split_skew_join(left.repartition(1), right, ["k"]).collect()),
+        key=repr,
+    )
+    b = sorted(
+        map(tuple, split_skew_join(left.repartition(13), right, ["k"]).collect()),
+        key=repr,
+    )
+    assert a == b
+
+
+def test_split_skew_join_replicates_only_hot_build_rows(spark):
+    from covid_data_pipeline_spark.operators.scale import split_skew_join
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(1000)] + [(k, 0) for k in range(2, 50)],
+        "k long, lv long",
+    )
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in range(1, 50)], "k long, rv long"
+    )
+    out = split_skew_join(left, right, on=["k"], num_salts=8)
+    assert out.count() == 1000 + 48
+    # the join result for the hot key is NOT multiplied by the salts
+    assert out.filter(F.col("k") == 1).count() == 1000
