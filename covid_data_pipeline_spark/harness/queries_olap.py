@@ -1468,3 +1468,46 @@ def part_sourcing_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_part.groupBy("n_suppliers").agg(
         F.count(F.lit(1)).alias("n_parts")
     )
+
+
+@register(
+    "skew_split_join_events",
+    """
+    WITH ev AS (
+      SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS k,
+             value
+      FROM events
+    ),
+    dim AS (SELECT DISTINCT k FROM ev),
+    d2 AS (SELECT k, k % 7 AS grp FROM dim)
+    SELECT grp,
+           COUNT(*) AS n_rows,
+           SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents
+    FROM ev JOIN d2 USING (k)
+    GROUP BY grp
+    """,
+    tags=("olap", "skew", "join"),
+)
+def skew_split_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentiated hot/cold skew join, driver-verified end-to-end:
+    70% of the fact rows collapse onto ONE key (the planted mega-hot
+    key every skew technique exists for), and the join runs through
+    ``operators/scale.py::split_skew_join`` — hot-key build rows
+    replicated across salts, cold keys on the plain hash join. The
+    oracle is the VANILLA join: the split plan must be row-identical,
+    which is the operator's whole contract. Money sums ride
+    floor-to-cents BIGINTs so the hash is partition-order-proof."""
+    from covid_data_pipeline_spark.operators.scale import split_skew_join
+
+    ev = table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 10 < 7, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "value",
+    )
+    dim = ev.select("k").distinct().withColumn("grp", F.col("k") % 7)
+    joined = split_skew_join(ev, dim, on=["k"], num_salts=8)
+    return joined.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("cents"),
+    )
