@@ -95,13 +95,19 @@ class SnapshotWarehouse:
         return version
 
     def _write_batch(
-        self, df: DataFrame, table: str, partition_by: Sequence[str] | None
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: Sequence[str] | None,
+        max_records_per_file: int | None = None,
     ) -> list[str]:
         """Write one immutable batch dir; return its data files relative
         to the table's data/ dir."""
         batch = f"batch-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self._data_dir(table), batch)
         writer = df.write.format("parquet")
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
         if partition_by:
             writer = writer.partitionBy(*list(partition_by))
         writer.mode("overwrite").save(out)
@@ -426,6 +432,58 @@ class SnapshotWarehouse:
             new = self._write_batch(survivors, t, (partition_by or {}).get(t))
             self._commit(t, keep + new, "purge")
         return purged
+
+    def compact(
+        self,
+        table: str,
+        partition_by: Sequence[str] | None = None,
+        target_file_rows: int | None = None,
+    ) -> int:
+        """Rewrite the current snapshot's data into one fresh batch and
+        commit it (Iceberg ``rewrite_data_files``): the many small files
+        a per-day append history accumulates become few scan-friendly
+        ones, while every PRIOR snapshot still reads its original files
+        (compaction is just another commit — time travel and rollback
+        survive it; reclaim bytes later with :meth:`expire_snapshots`).
+        ``target_file_rows`` caps rows per output file via
+        ``maxRecordsPerFile`` when given. Returns the new version."""
+        df = self.read(table)
+        new = self._write_batch(
+            df, table, partition_by, max_records_per_file=target_file_rows
+        )
+        return self._commit(table, new, "compact")
+
+    def remove_orphan_files(self, table: str) -> int:
+        """Delete data files referenced by NO manifest — leftovers from
+        a crash between ``_write_batch`` and ``_commit`` (the batch dir
+        was written but its manifest never landed). Safe by
+        construction: every live or time-travel-able file appears in
+        some manifest; anything else is unreachable. Run it from the
+        single writer only — an IN-FLIGHT batch (written, commit
+        pending) is indistinguishable from an orphan, same as Iceberg's
+        remove_orphan_files grace-period caveat. Returns the number of
+        files deleted; empty batch dirs are pruned too."""
+        referenced: set[str] = set()
+        for v in self.versions(table):
+            referenced.update(self._manifest(table, v)["files"])
+        data_dir = self._data_dir(table)
+        deleted = 0
+        if not os.path.isdir(data_dir):
+            return 0
+        for dirpath, _dirs, names in os.walk(data_dir):
+            for nme in names:
+                if not nme.endswith(".parquet") or nme.startswith(("_", ".")):
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, nme), data_dir)
+                if rel not in referenced:
+                    os.remove(os.path.join(dirpath, nme))
+                    deleted += 1
+        # prune now-empty batch dirs bottom-up (re-listdir: os.walk's
+        # cached child lists predate the deletions above)
+        for dirpath, _dirs, _names in os.walk(data_dir, topdown=False):
+            if dirpath != data_dir and not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        return deleted
 
     def expire_snapshots(self, table: str, keep_last: int = 1) -> int:
         """Delete manifests older than the last ``keep_last`` and any data

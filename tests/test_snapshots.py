@@ -289,3 +289,60 @@ def test_purge_keys_skips_unwritten_table(spark, sw):
     keys = spark.createDataFrame([("a",)], "k string")
     got = sw.purge_keys(keys, ["ods.never_written", "ods.t"], ["k"])
     assert got == {"ods.never_written": 0, "ods.t": 1}
+
+
+# -- compaction + orphan cleanup -------------------------------------------
+
+
+def test_snapshot_compact_preserves_rows_and_history(spark, sw):
+    import glob
+    import os
+
+    for i in range(6):
+        sw.append(_day(spark, f"d{i}", [("a", i)]), "ods.t", ["d"])
+    rows_before = sorted(
+        map(tuple, sw.read("ods.t").select("d", "k", "v").collect())
+    )
+    files_before = len(sw._alive_files("ods.t"))
+    v = sw.compact("ods.t", partition_by=["d"])
+    assert sw.current_version("ods.t") == v
+    rows_after = sorted(
+        map(tuple, sw.read("ods.t").select("d", "k", "v").collect())
+    )
+    assert rows_after == rows_before
+    # one batch dir now backs the table (≤ one file per partition)
+    assert len(sw._alive_files("ods.t")) <= files_before
+    batches = {f.split(os.sep, 1)[0] for f in sw._alive_files("ods.t")}
+    assert len(batches) == 1
+    # time travel to a pre-compaction snapshot still works
+    assert sw.read("ods.t", version=3).count() == 3
+    # target_file_rows caps rows per file
+    sw.compact("ods.t", target_file_rows=2)
+    import pyarrow.parquet as pq
+
+    data_dir = sw._data_dir("ods.t")
+    for f in sw._alive_files("ods.t"):
+        assert pq.read_metadata(os.path.join(data_dir, f)).num_rows <= 2
+
+
+def test_remove_orphan_files_only_touches_unreferenced(spark, sw):
+    import os
+
+    sw.append(_day(spark, "d1", [("a", 1)]), "ods.t", ["d"])
+    # plant an orphan batch: written bytes whose manifest never landed
+    orphan_dir = os.path.join(sw._data_dir("ods.t"), "batch-orphan", "d=dX")
+    os.makedirs(orphan_dir)
+    _day(spark, "dX", [("z", 9)]).write.mode("overwrite").parquet(
+        os.path.join(orphan_dir, "__tmp")
+    )
+    import glob
+    import shutil
+
+    for i, f in enumerate(glob.glob(os.path.join(orphan_dir, "__tmp", "*.parquet"))):
+        shutil.move(f, os.path.join(orphan_dir, f"part-{i:05d}.parquet"))
+    shutil.rmtree(os.path.join(orphan_dir, "__tmp"))
+    assert sw.remove_orphan_files("ods.t") >= 1
+    assert not os.path.isdir(os.path.join(sw._data_dir("ods.t"), "batch-orphan"))
+    # referenced data untouched, reads still fine
+    assert sw.read("ods.t").count() == 1
+    assert sw.remove_orphan_files("ods.t") == 0
