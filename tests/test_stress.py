@@ -132,3 +132,34 @@ def test_prefix_jaccard_200k_docs_bounded_and_invariant(big_spark):
     )
     assert a == b and len(a) >= 500
     assert wall < 600, f"200k-doc prefix join took {wall:.0f}s"
+
+
+def test_split_skew_join_16m_equals_plain(big_spark, events_16m):
+    """16M-row probe with a planted 70%-hot key through the hot/cold
+    split join: aggregate-identical to the vanilla join, at stress
+    scale."""
+    from covid_data_pipeline_spark.operators.scale import split_skew_join
+
+    ev = events_16m.select(
+        F.when(F.col("user_id") % 10 < 7, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "value",
+    )
+    dim = ev.select("k").distinct().withColumn("grp", F.col("k") % 13)
+    def _agg(j):
+        return {
+            r["grp"]: (r["n"], r["cents"])
+            for r in j.groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+                    "cents"
+                ),
+            )
+            .collect()
+        }
+
+    split = _agg(split_skew_join(ev, dim, on=["k"], num_salts=32))
+    plain = _agg(ev.join(dim, on=["k"]))
+    assert split == plain and len(split) == 13
