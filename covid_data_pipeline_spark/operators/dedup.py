@@ -412,13 +412,19 @@ def jaccard_join_prefix(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.6,
-    max_token_bucket: int | None = 10_000,
+    max_token_bucket: int | None = None,
 ) -> DataFrame:
     """EXACT-threshold Jaccard self-join via prefix filtering (AllPairs /
     PPJoin, Bayardo et al. WWW'07; Xiao et al. WWW'08) — every pair with
     shingle-Jaccard ≥ ``threshold``, no false negatives, WITHOUT the
     full inverted-index join of :func:`ngram_jaccard_pairs` and without
     MinHash's approximation.
+
+    Exactness holds with the DEFAULT ``max_token_bucket=None``. Setting
+    a cap is an explicit opt-in recall/cost trade for degenerate
+    corpora (mass-identical boilerplate): pairs whose ONLY shared
+    prefix token is an over-cap shingle are dropped — that breaks the
+    no-false-negative guarantee, so the cap is never on silently.
 
     Prefix principle: order every doc's shingle set by one global
     canonical order (document frequency ascending, then shingle — the
@@ -478,12 +484,17 @@ def jaccard_join_prefix(
         ).alias("g"),
     )
     if max_token_bucket is not None:
-        w = Window.partitionBy("g")
-        prefix = (
-            prefix.withColumn("__bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bsz") <= max_token_bucket)
-            .drop("__bsz")
+        # opt-in cap: find over-cap posting keys with a map-side-
+        # combined count (the over-cap set is tiny) and anti-join them
+        # out — unlike a count-window partitioned by g, the hot bucket
+        # never funnels through one task just to be counted and dropped
+        over = (
+            prefix.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > max_token_bucket)
+            .select("g")
         )
+        prefix = prefix.join(over, "g", "left_anti")
     l, r = prefix.alias("l"), prefix.alias("r")
     cand = (
         l.join(

@@ -114,6 +114,12 @@ def split_skew_join(
     if how not in ("inner", "left"):
         raise ValueError("split_skew_join supports inner/left")
     on = list(on)
+    taken = set(left.columns) | set(right.columns)
+    clash = taken & {"__hot", _SALT, "__kr", "__t", "__k"}
+    if clash:
+        raise ValueError(
+            f"split_skew_join reserves columns {sorted(clash)} — rename them"
+        )
     counts = left.groupBy(*on).agg(F.count(F.lit(1)).alias("__kr"))
     tot = counts.agg(
         F.sum("__kr").alias("__t"), F.count(F.lit(1)).alias("__k")
@@ -133,16 +139,9 @@ def split_skew_join(
     r_cold = r_tag.filter(F.col("__hot").isNull()).drop("__hot")
     r_hot = r_tag.filter(F.col("__hot").isNotNull()).drop("__hot")
     cold = l_cold.join(r_cold, on=on, how=how)
-    l_salted = l_hot.withColumn(
-        _SALT,
-        F.pmod(F.xxhash64(*[F.col(c) for c in l_hot.columns]), F.lit(num_salts)),
-    )
-    r_replicated = r_hot.withColumn(
-        _SALT, F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
-    )
-    hot_joined = l_salted.join(
-        r_replicated, on=[*on, _SALT], how=how
-    ).drop(_SALT)
+    # the hot half IS a salted join, restricted to hot rows — one
+    # implementation owns the salt/replicate/join sequence
+    hot_joined = salted_join(l_hot, r_hot, on=on, num_salts=num_salts, how=how)
     return cold.unionByName(hot_joined)
 
 

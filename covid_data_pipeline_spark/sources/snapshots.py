@@ -446,7 +446,26 @@ class SnapshotWarehouse:
         (compaction is just another commit — time travel and rollback
         survive it; reclaim bytes later with :meth:`expire_snapshots`).
         ``target_file_rows`` caps rows per output file via
-        ``maxRecordsPerFile`` when given. Returns the new version."""
+        ``maxRecordsPerFile`` when given. Returns the new version.
+
+        ``partition_by=None`` PRESERVES the table's existing hive
+        layout (inferred from the current snapshot's file paths) — a
+        maintenance verb must not silently flatten partitioning, or a
+        later ``overwrite_partitions`` would keep the flattened file
+        (its partition tuple is ``()``) and duplicate the restated
+        rows. Mixed layouts across batches raise."""
+        if partition_by is None:
+            keysets = {
+                tuple(k for k, _ in _parts_from_relpath(f))
+                for f in self._alive_files(table)
+            }
+            keysets.discard(())
+            if len(keysets) > 1:
+                raise ValueError(
+                    f"{table}: mixed partition layouts {sorted(keysets)} — "
+                    "pass partition_by explicitly"
+                )
+            partition_by = list(next(iter(keysets))) if keysets else None
         df = self.read(table)
         new = self._write_batch(
             df, table, partition_by, max_records_per_file=target_file_rows
@@ -462,7 +481,11 @@ class SnapshotWarehouse:
         single writer only — an IN-FLIGHT batch (written, commit
         pending) is indistinguishable from an orphan, same as Iceberg's
         remove_orphan_files grace-period caveat. Returns the number of
-        files deleted; empty batch dirs are pruned too."""
+        data files deleted; fully-unreferenced batch dirs are removed
+        wholesale (including ``_SUCCESS``/``.crc`` markers a crashed
+        Spark write always leaves behind)."""
+        import shutil
+
         referenced: set[str] = set()
         for v in self.versions(table):
             referenced.update(self._manifest(table, v)["files"])
@@ -470,6 +493,24 @@ class SnapshotWarehouse:
         deleted = 0
         if not os.path.isdir(data_dir):
             return 0
+        # A batch dir with NO referenced file is a crashed write in its
+        # entirety: remove the whole dir, _SUCCESS/.crc markers and all
+        # (a crashed Spark batch always carries those, so file-by-file
+        # deletion would leave the dir non-empty and leak it forever).
+        ref_batches = {f.split(os.sep, 1)[0] for f in referenced}
+        for entry in sorted(os.listdir(data_dir)):
+            path = os.path.join(data_dir, entry)
+            if not os.path.isdir(path) or entry in ref_batches:
+                continue
+            for dirpath, _dirs, names in os.walk(path):
+                deleted += sum(
+                    1
+                    for nme in names
+                    if nme.endswith(".parquet") and not nme.startswith(("_", "."))
+                )
+            shutil.rmtree(path)
+        # In referenced batch dirs, remove only unreferenced data files
+        # (markers stay — the dir is live).
         for dirpath, _dirs, names in os.walk(data_dir):
             for nme in names:
                 if not nme.endswith(".parquet") or nme.startswith(("_", ".")):
@@ -478,11 +519,6 @@ class SnapshotWarehouse:
                 if rel not in referenced:
                     os.remove(os.path.join(dirpath, nme))
                     deleted += 1
-        # prune now-empty batch dirs bottom-up (re-listdir: os.walk's
-        # cached child lists predate the deletions above)
-        for dirpath, _dirs, _names in os.walk(data_dir, topdown=False):
-            if dirpath != data_dir and not os.listdir(dirpath):
-                os.rmdir(dirpath)
         return deleted
 
     def expire_snapshots(self, table: str, keep_last: int = 1) -> int:

@@ -349,3 +349,14 @@ def test_split_skew_join_replicates_only_hot_build_rows(spark):
     assert out.count() == 1000 + 48
     # the join result for the hot key is NOT multiplied by the salts
     assert out.filter(F.col("k") == 1).count() == 1000
+
+
+def test_split_skew_join_rejects_reserved_columns(spark):
+    import pytest
+
+    from covid_data_pipeline_spark.operators.scale import split_skew_join
+
+    left = spark.createDataFrame([(1, 0)], "k long, __hot long")
+    right = spark.createDataFrame([(1, 2)], "k long, rv long")
+    with pytest.raises(ValueError, match="__hot"):
+        split_skew_join(left, right, on=["k"])

@@ -346,3 +346,38 @@ def test_remove_orphan_files_only_touches_unreferenced(spark, sw):
     # referenced data untouched, reads still fine
     assert sw.read("ods.t").count() == 1
     assert sw.remove_orphan_files("ods.t") == 0
+
+
+def test_compact_default_preserves_partition_layout(spark, sw):
+    # regression: compact(None) must NOT flatten hive layout, or a later
+    # overwrite_partitions would keep the flattened file (partition
+    # tuple ()) and duplicate the restated rows
+    sw.append(_day(spark, "d1", [("a", 1)]), "ods.t", ["d"])
+    sw.append(_day(spark, "d2", [("b", 2)]), "ods.t", ["d"])
+    sw.compact("ods.t")  # no partition_by: inferred from file paths
+    assert all("d=" in f for f in sw._alive_files("ods.t"))
+    sw.overwrite_partitions(_day(spark, "d1", [("a", 99)]), "ods.t", ["d"])
+    cur = {(r["d"], r["k"]): r["v"] for r in sw.read("ods.t").collect()}
+    assert cur == {("d1", "a"): 99, ("d2", "b"): 2}
+
+
+def test_remove_orphans_cleans_crashed_spark_batch(spark, sw, tmp_path):
+    import os
+    import shutil
+
+    sw.append(_day(spark, "d1", [("a", 1)]), "ods.t", ["d"])
+    # simulate a REAL crashed batch: full Spark write (with _SUCCESS and
+    # .crc markers) whose manifest never landed
+    staged = str(tmp_path / "staged")
+    _day(spark, "dX", [("z", 9)]).write.partitionBy("d").parquet(staged)
+    shutil.copytree(
+        staged, os.path.join(sw._data_dir("ods.t"), "batch-crashed")
+    )
+    assert os.path.exists(
+        os.path.join(sw._data_dir("ods.t"), "batch-crashed", "_SUCCESS")
+    )
+    assert sw.remove_orphan_files("ods.t") >= 1
+    assert not os.path.isdir(
+        os.path.join(sw._data_dir("ods.t"), "batch-crashed")
+    )
+    assert sw.read("ods.t").count() == 1
