@@ -579,3 +579,88 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_join_prefix(
         d, text_col="text", id_col="doc_id", shingle_k=3, threshold=0.6
     )
+
+
+QUOTE_OFFSET = 2_000_000
+
+_CONTAINMENT_ORACLE = r"""
+WITH orig AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+),
+ot AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM orig
+),
+base AS (
+  SELECT doc_id, text FROM orig
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(t[1:greatest((len(t) * 3) // 5, 1)], ' ') AS text
+  FROM ot
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM base
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+      THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                        i -> array_to_string(t[i:i+2], ' ')))
+      ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+),
+grams AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ((i * 10000) // len(sa.shingles))::BIGINT AS containment_bp,
+       len(sa.shingles)::BIGINT AS n_a
+FROM inter JOIN sh sa ON sa.doc_id = id_a
+WHERE (i * 10000) // len(sa.shingles) >= 6000
+"""
+
+
+@register(
+    "containment_quotes",
+    _CONTAINMENT_ORACLE,
+    tags=("dedup", "containment"),
+)
+def containment_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment (asymmetric Jaccard) pairs over a corpus
+    with planted QUOTES: each doc < 100 gains a derived doc holding its
+    first 60% of tokens — the "tweet pasted into an article" shape that
+    symmetric Jaccard under-scores (the union denominator drowns the
+    overlap) but containment catches at ~10000 bp. Both engines run the
+    identical exact pipeline: distinct 3-shingle sets → inverted-index
+    intersection counts → integer floor-div containment gate ≥ 6000 bp.
+    No float crosses an engine boundary."""
+    from covid_data_pipeline_spark.operators.dedup import containment_pairs
+    from covid_data_pipeline_spark.functions.text import tokens
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    t = tokens(F.col("text"))
+    quotes = d.select(
+        (F.col("doc_id") + F.lit(QUOTE_OFFSET)).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                t,
+                F.lit(1),
+                F.greatest(
+                    F.floor(F.size(t) * F.lit(3) / F.lit(5)).cast("int"),
+                    F.lit(1),
+                ),
+            ),
+        ).alias("text"),
+    )
+    corpus = d.unionByName(quotes)
+    return containment_pairs(
+        corpus, text_col="text", id_col="doc_id", shingle_k=3,
+        threshold_bp=6000,
+    )

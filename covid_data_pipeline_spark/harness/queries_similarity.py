@@ -866,3 +866,47 @@ def pagerank_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(edges, src="src_id", dst="nbr_id", iters=5).select(
         F.col("node").alias("vec_id"), "rank"
     )
+
+
+_HARD_NEG_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS dv
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+         ROUND(
+           list_dot_product(a.dv, b.dv)
+           / (sqrt(list_dot_product(a.dv, a.dv))
+              * sqrt(list_dot_product(b.dv, b.dv))), 4) AS similarity
+  FROM v a, v b
+  WHERE a.vec_id <> b.vec_id AND a.label <> b.label
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY src_id ORDER BY similarity DESC, nbr_id) AS rn
+  FROM scored
+)
+SELECT src_id, nbr_id, similarity FROM ranked WHERE rn <= 5
+"""
+
+
+@register(
+    "hard_negatives_exact",
+    _HARD_NEG_ORACLE,
+    tags=("similarity", "contrastive", "hard-negatives"),
+)
+def hard_negatives_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every vector,
+    the 5 most-similar vectors of a DIFFERENT label — the negatives
+    that carry gradient signal (easy negatives are near-orthogonal and
+    teach nothing). Exact variant (the quadratic verification
+    baseline); the corpus-scale path is ``knn_graph_lsh`` with the same
+    ``label_col`` filter, recall-floored against this result in
+    pytest."""
+    from covid_data_pipeline_spark.operators.similarity import knn_graph_exact
+
+    return knn_graph_exact(
+        table(spark, sf_dir, "embeddings"), k=5, id_col="vec_id",
+        vec_col="embedding", label_col="label",
+    )

@@ -723,3 +723,88 @@ def temporal_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("day").alias("day_max"),
         )
     )
+
+
+@register(
+    "kfold_assign_docs",
+    f"""
+    SELECT doc_id, lang, ({_KHASH}) % 5 AS fold
+    FROM documents
+    """,
+    tags=("training", "split", "kfold"),
+)
+def kfold_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment: fold =
+    knuth_hash(doc_id) mod 5 — disjoint, exhaustive, append-stable (new
+    docs never move existing rows between folds). Pure projection; no
+    shuffle at any scale."""
+    from covid_data_pipeline_spark.operators.sampling import kfold_assign
+
+    docs = table(spark, sf_dir, "documents")
+    return kfold_assign(docs, "doc_id", k=5).select("doc_id", "lang", "fold")
+
+
+_VHASH = "(vec_id * 2654435761) % 4294967296"
+
+
+@register(
+    "label_balanced_embeddings",
+    f"""
+    WITH r AS (
+      SELECT vec_id, label,
+             row_number() OVER (
+               PARTITION BY label ORDER BY {_VHASH}, vec_id) AS rn
+      FROM embeddings
+    ),
+    m AS (
+      SELECT MIN(c) AS mc FROM (
+        SELECT COUNT(*) AS c FROM embeddings GROUP BY label)
+    )
+    SELECT vec_id, label FROM r, m WHERE rn <= mc
+    """,
+    tags=("training", "sample", "balance"),
+)
+def label_balanced_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsample of the embeddings table: every label
+    keeps exactly min-class-count rows in deterministic hash-priority
+    order — no upsampling, no duplicated rows, bit-stable across runs.
+    One label-keyed window shuffle; the min count re-enters broadcast."""
+    from covid_data_pipeline_spark.operators.sampling import label_balanced_sample
+
+    e = table(spark, sf_dir, "embeddings")
+    return label_balanced_sample(e, id_col="vec_id", label_col="label").select(
+        "vec_id", "label"
+    )
+
+
+@register(
+    "temperature_rebalance_docs",
+    f"""
+    WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+    m AS (SELECT MIN(cnt) AS mc FROM c),
+    r AS (
+      SELECT source,
+             CAST(FLOOR(10000 * sqrt(mc::DOUBLE / cnt)) AS BIGINT)
+               AS keep_rate_bp
+      FROM c, m
+    )
+    SELECT d.doc_id, d.source, r.keep_rate_bp
+    FROM documents d JOIN r USING (source)
+    WHERE ({_KHASH.replace("doc_id", "d.doc_id")}) % 10000 < r.keep_rate_bp
+    """,
+    tags=("training", "sample", "mixture"),
+)
+def temperature_rebalance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature rebalance (mBERT/XLM-R-style exponent-smoothed
+    source sampling) by deterministic downsampling: source g keeps
+    floor(10000·sqrt(min_count/count_g)) basis points of its rows — the
+    smallest source keeps 100%, larger sources are flattened toward it.
+    sqrt is IEEE-correctly-rounded on both engines and no float SUM
+    exists anywhere, so the kept set is bit-identical. The corpus never
+    shuffles: rates ride a broadcast join keyed on source."""
+    from covid_data_pipeline_spark.operators.sampling import temperature_rebalance
+
+    docs = table(spark, sf_dir, "documents")
+    return temperature_rebalance(
+        docs, id_col="doc_id", group_col="source", alpha=0.5
+    ).select("doc_id", "source", "keep_rate_bp")

@@ -677,3 +677,77 @@ def incremental_lsh_pairs(
         .distinct()
     )
     return pairs
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold_bp: int = 8000,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directional containment (asymmetric Jaccard) pairs — quote /
+    subset detection: ``containment(a ⊆ b) = |Sa ∩ Sb| / |Sa|`` over
+    distinct word-shingle sets, in integer basis points.
+
+    Jaccard misses the "small doc quoted inside a big doc" case (the
+    union denominator drowns the overlap); containment normalizes by
+    the CONTAINED side only, so a tweet pasted into a long article
+    still scores ~10000 bp. This is the dedup verb for quote removal,
+    boilerplate-inclusion audits, and train/eval leakage via excerpts.
+
+    Shape: inverted-index self-join on shingle postings (pairs must
+    share ≥1 shingle), ``groupBy(id_a, id_b)`` intersection counts,
+    then an integer-floor containment gate — cost is Σ df(shingle)²,
+    exact with ``max_df=None``. ``max_df`` is the standard degenerate-
+    corpus valve (same policy as :func:`lsh_candidate_pairs`'s bucket
+    cap) and is part of the SEMANTICS when set: shingles with document
+    frequency > max_df are removed from every shingle SET (numerator
+    and denominator alike — stopword-shingle removal), so the result
+    stays well-defined and oracle-mirrorable rather than silently
+    lossy. Docs whose whole set is capped away cannot be a contained
+    side.
+
+    Output: ``(id_a, id_b, containment_bp, n_a)`` for every ORDERED
+    pair with ``floor(10000·|Sa∩Sb| / |Sa|) ≥ threshold_bp`` and
+    ``id_a ≠ id_b`` — directional, so (quote → source) and
+    (source → quote) are scored independently. All comparisons are
+    integer arithmetic; no float crosses an engine boundary."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    posting = sh.select("__id", F.explode("sh").alias("g"))
+    if max_df is not None:
+        dfreq = posting.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+        posting = (
+            posting.join(dfreq, "g")
+            .filter(F.col("__df") <= F.lit(max_df))
+            .drop("__df")
+        )
+    sizes = posting.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
+    l = posting.select(F.col("__id").alias("id_a"), "g")
+    r = posting.select(F.col("__id").alias("id_b"), "g")
+    inter = (
+        l.join(r, "g")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("__id", "id_a"), "id_a")
+        .withColumn(
+            # integer floor-div (SQL `div`), never a double quotient —
+            # the gate is bit-stable on any engine by construction
+            "containment_bp",
+            F.expr("(__inter * 10000) div n").cast("bigint"),
+        )
+        .filter(F.col("containment_bp") >= F.lit(threshold_bp))
+        .select(
+            "id_a",
+            "id_b",
+            "containment_bp",
+            F.col("n").alias("n_a"),
+        )
+    )

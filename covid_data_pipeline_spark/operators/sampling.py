@@ -404,3 +404,106 @@ def token_budget_select(
         df.withColumn("cum_tokens", F.sum(tokens_col).over(w))
         .filter(F.col("cum_tokens") <= budget)
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 5,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment: ``fold = knuth_hash(id) mod k``
+    ∈ [0, k). Folds are disjoint, jointly exhaustive, and a pure
+    function of the id — cross-validation rotations (train on k−1
+    folds, eval on 1) reproduce bit-identically on any cluster, any
+    partitioning, any engine, and appends never reshuffle existing
+    rows between folds (the failure mode of randomized fold tools).
+    Zero shuffle — a projection."""
+    _require_integral_id(df, id_col)
+    return df.withColumn(fold_col, F.pmod(knuth_hash(id_col), F.lit(k)))
+
+
+def label_balanced_sample(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    rank_col: str = "__rank",
+) -> DataFrame:
+    """Class-balanced downsample: every label keeps exactly
+    ``min(class count)`` rows, chosen in deterministic Knuth-hash
+    priority order — the classifier-training rebalance that never
+    upsamples (no duplicated rows, no synthetic data) and reproduces
+    bit-identically across runs and partitionings.
+
+    Scale: ONE shuffle on the label key for the ranking window; the
+    global min count re-enters as a broadcast single row (never a
+    window over the corpus). Skewed label distributions are exactly the
+    input this is for — the output is |labels| × min-count rows."""
+    _require_integral_id(df, id_col)
+    min_cnt = (
+        df.groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .agg(F.min("__cnt").alias("__min_cnt"))
+    )
+    w = Window.partitionBy(label_col).orderBy(knuth_hash(id_col), F.col(id_col))
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .join(F.broadcast(min_cnt))
+        .filter(F.col(rank_col) <= F.col("__min_cnt"))
+        .drop(rank_col, "__min_cnt")
+    )
+
+
+def temperature_rebalance(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    alpha: float = 0.5,
+    rate_col: str = "keep_rate_bp",
+) -> DataFrame:
+    """Temperature-smoothed source rebalance by DOWNSAMPLING: group g
+    keeps ``rate_bp(g) = floor(10000 · (min_count / count_g)^α)`` basis
+    points of its rows (hash-thresholded, deterministic), flattening
+    the source distribution toward uniform as α→1 while never
+    upsampling. This is the multilingual/multi-source α-sampling of
+    mBERT/XLM-R (exponent-smoothed sampling probabilities), expressed
+    as exact per-group keep rates: the smallest group keeps 100%, a
+    group 100× larger keeps 10^(−2α) of itself.
+
+    α is restricted to {1, 0.5, 0.25} so the power is an exact chain of
+    IEEE-correctly-rounded ops (identity / sqrt / sqrt∘sqrt) — the
+    rate, and therefore the kept SET, is bit-identical on any engine.
+    No float SUM anywhere: the only inputs are the two exact integer
+    counts of the group-count relation.
+
+    Scale: one count aggregation (map-side combined); counts and the
+    broadcast min re-enter as a tiny dimension joined back by group
+    key — the corpus itself never shuffles. Keep/drop is
+    ``knuth_hash(id) mod 10000 < rate_bp``."""
+    _require_integral_id(df, id_col)
+    if alpha == 1.0:
+        powered = F.col("__ratio")
+    elif alpha == 0.5:
+        powered = F.sqrt(F.col("__ratio"))
+    elif alpha == 0.25:
+        powered = F.sqrt(F.sqrt(F.col("__ratio")))
+    else:
+        raise ValueError(
+            f"alpha must be one of 1, 0.5, 0.25 for cross-engine exact "
+            f"powers, got {alpha}"
+        )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    min_cnt = counts.agg(F.min("__cnt").alias("__min_cnt"))
+    rates = (
+        counts.join(F.broadcast(min_cnt))
+        .withColumn(
+            "__ratio", F.col("__min_cnt").cast("double") / F.col("__cnt")
+        )
+        .select(
+            group_col,
+            F.floor(F.lit(10_000) * powered).cast("bigint").alias(rate_col),
+        )
+    )
+    return df.join(F.broadcast(rates), group_col).filter(
+        F.pmod(knuth_hash(id_col), F.lit(10_000)) < F.col(rate_col)
+    )

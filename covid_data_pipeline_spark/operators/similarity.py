@@ -603,10 +603,18 @@ def knn_graph_exact(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    label_col: str | None = None,
 ) -> DataFrame:
     """Exact kNN graph: for EVERY item, its k nearest neighbors by
     cosine (ties broken by neighbor id). Output (src_id, nbr_id,
     similarity).
+
+    ``label_col`` switches the operator into HARD-NEGATIVE MINING for
+    contrastive training: candidates are restricted to pairs whose
+    labels DIFFER, so each row's k neighbors are the most-similar items
+    of a different class — the negatives that carry gradient signal
+    (easy negatives are near-orthogonal and teach nothing). The filter
+    runs before top-k selection, so every row still gets k negatives.
 
     This is the quadratic verification baseline for :func:`knn_graph_lsh`
     — every pair is scored, so cost is |corpus|² dot products. Usable up
@@ -616,16 +624,18 @@ def knn_graph_exact(
     use the LSH variant."""
     from covid_data_pipeline_spark.operators.windows import top_k_per_group
 
-    l = df.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("__va"))
-    r = F.broadcast(
-        df.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("__vb"))
-    )
-    scored = (
-        l.crossJoin(r)
-        .filter(F.col("src_id") != F.col("nbr_id"))
-        .withColumn(
-            "similarity", F.round(cosine(F.col("__va"), F.col("__vb")), 4)
-        )
+    l_cols = [F.col(id_col).alias("src_id"), F.col(vec_col).alias("__va")]
+    r_cols = [F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("__vb")]
+    if label_col is not None:
+        l_cols.append(F.col(label_col).alias("__la"))
+        r_cols.append(F.col(label_col).alias("__lb"))
+    l = df.select(*l_cols)
+    r = F.broadcast(df.select(*r_cols))
+    scored = l.crossJoin(r).filter(F.col("src_id") != F.col("nbr_id"))
+    if label_col is not None:
+        scored = scored.filter(F.col("__la") != F.col("__lb"))
+    scored = scored.withColumn(
+        "similarity", F.round(cosine(F.col("__va"), F.col("__vb")), 4)
     )
     return top_k_per_group(
         scored,
@@ -644,11 +654,18 @@ def knn_graph_lsh(
     vec_col: str = "embedding",
     multiprobe_bits: int = 1,
     max_bucket_size: int | None = 10_000,
+    label_col: str | None = None,
 ) -> DataFrame:
     """Approximate kNN graph — the scale path for kNN-graph consumers
     (SemDeDup-style semantic dedup, graph clustering, diversity
     sampling) where BOTH sides are the full corpus and nothing can be
     broadcast.
+
+    ``label_col`` = hard-negative mining at corpus scale (the LSH twin
+    of :func:`knn_graph_exact`'s label mode): the different-label
+    filter lands on the bucket-join output BEFORE top-k, so each row's
+    k slots hold its hardest cross-class candidates; recall vs the
+    exact hard-negative set is asserted in pytest.
 
     Candidate pairs are restricted to LSH-bucket collisions: the corpus
     is bucketed once; the probe side is expanded to its own bucket plus
@@ -694,23 +711,27 @@ def knn_graph_lsh(
             F.col("bucket").bitwiseXOR(F.lit(2 ** i).cast("long"))
             for i in range(num_planes)
         ]
-    l = b.select(
+    l_cols = [
         F.col(id_col).alias("src_id"),
         F.col("__vn").alias("__va"),
         F.explode(F.array(*probes)).alias("bucket"),
-    )
-    r = b.select(
+    ]
+    r_cols = [
         F.col("bucket"), F.col(id_col).alias("nbr_id"), F.col("__vn").alias("__vb")
-    )
+    ]
+    if label_col is not None:
+        l_cols.append(F.col(label_col).alias("__la"))
+        r_cols.append(F.col(label_col).alias("__lb"))
+    l = b.select(*l_cols)
+    r = b.select(*r_cols)
     # No pair dedup needed: pair (a,b) can only collide through the ONE
     # probe mask equal to bucket(a) XOR bucket(b), so candidates are
     # already unique per (src, nbr).
-    scored = (
-        l.join(r, on="bucket")
-        .filter(F.col("src_id") != F.col("nbr_id"))
-        .withColumn(
-            "similarity", F.round(dot(F.col("__va"), F.col("__vb")), 4)
-        )
+    scored = l.join(r, on="bucket").filter(F.col("src_id") != F.col("nbr_id"))
+    if label_col is not None:
+        scored = scored.filter(F.col("__la") != F.col("__lb"))
+    scored = scored.withColumn(
+        "similarity", F.round(dot(F.col("__va"), F.col("__vb")), 4)
     )
     return top_k_per_group(
         scored,

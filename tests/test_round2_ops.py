@@ -1,0 +1,244 @@
+"""Round-2 operator tests: containment pairs, hard-negative mining,
+k-fold assignment, label-balanced sampling, temperature rebalance."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.harness.tables import table
+from covid_data_pipeline_spark.operators.dedup import containment_pairs
+from covid_data_pipeline_spark.operators.sampling import (
+    kfold_assign,
+    label_balanced_sample,
+    temperature_rebalance,
+)
+from covid_data_pipeline_spark.operators.similarity import (
+    knn_graph_exact,
+    knn_graph_lsh,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_containment_detects_planted_quote(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            # quote: the first 6 tokens of doc 1, nothing else
+            (2, "alpha beta gamma delta epsilon zeta"),
+            # unrelated
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r["containment_bp"]
+        for r in containment_pairs(corpus, threshold_bp=5000).collect()
+    }
+    # quote ⊆ source: all 4 of doc 2's 3-shingles appear in doc 1
+    assert rows[(2, 1)] == 10_000
+    # source ⊄ quote: only 4 of doc 1's 8 shingles are shared → 5000 bp
+    assert rows[(1, 2)] == 5_000
+    # the unrelated doc pairs with nothing
+    assert not any(3 in p for p in rows)
+
+
+def test_containment_is_directional_and_integer_exact(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e x y")],
+        "doc_id long, text string",
+    )
+    # doc1 shingles: {abc,bcd,cde,def,efg}; doc2: {abc,bcd,cde,dex,exy}
+    # intersection = 3; both sizes 5 → floor(30000/5) = 6000 both ways
+    rows = {
+        (r["id_a"], r["id_b"]): (r["containment_bp"], r["n_a"])
+        for r in containment_pairs(corpus, threshold_bp=0).collect()
+    }
+    assert rows[(1, 2)] == (6_000, 5)
+    assert rows[(2, 1)] == (6_000, 5)
+
+
+def test_containment_max_df_caps_degenerate_corpus(spark):
+    # 200 identical docs: uncapped the posting join is 200² pairs; with
+    # max_df, every shingle is over-cap, so sets empty out and NO pairs
+    # (and no quadratic blowup) are produced.
+    base = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same old boilerplate text repeated everywhere").alias("text"),
+    )
+    capped = containment_pairs(base, threshold_bp=0, max_df=50)
+    assert capped.count() == 0
+    # cap is part of the semantics: under-cap shingles still pair
+    mixed = base.union(
+        spark.createDataFrame(
+            [(900, "rare unique words here today"),
+             (901, "rare unique words here tomorrow")],
+            "doc_id long, text string",
+        )
+    )
+    pairs = containment_pairs(mixed, threshold_bp=5000, max_df=50).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(900, 901), (901, 900)}
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (label-filtered kNN)
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    e = table(spark, SF, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in e.select("vec_id", "label").collect()}
+    hn = knn_graph_exact(e, k=5, label_col="label").collect()
+    assert len(hn) > 0
+    for r in hn:
+        assert labels[r["src_id"]] != labels[r["nbr_id"]]
+    # every row with at least 5 cross-label candidates gets exactly 5
+    per_src = {}
+    for r in hn:
+        per_src[r["src_id"]] = per_src.get(r["src_id"], 0) + 1
+    assert set(per_src.values()) == {5}
+
+
+def test_hard_negatives_lsh_recall_floor(spark):
+    e = table(spark, SF, "embeddings")
+    exact = {
+        (r["src_id"], r["nbr_id"])
+        for r in knn_graph_exact(e, k=5, label_col="label").collect()
+    }
+    approx = {
+        (r["src_id"], r["nbr_id"])
+        for r in knn_graph_lsh(
+            e, dim=64, k=5, num_planes=4, multiprobe_bits=1, label_col="label"
+        ).collect()
+    }
+    # Same weak-cluster corpus as test_knn_graph_lsh_recall_vs_exact
+    # (neighbors at cosine ≈ 0.3 → ~47% collision recall); hard
+    # negatives are the FARTHEST interesting pairs, so floor lower.
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"hard-negative LSH recall {recall:.2f} < 0.2"
+    # no approx edge may violate the different-label contract
+    labels = {r["vec_id"]: r["label"] for r in e.select("vec_id", "label").collect()}
+    assert all(labels[s] != labels[n] for s, n in approx)
+
+
+# ---------------------------------------------------------------------------
+# kfold_assign
+# ---------------------------------------------------------------------------
+
+
+def test_kfold_disjoint_exhaustive_stable(spark):
+    docs = table(spark, SF, "documents")
+    folds = kfold_assign(docs, "doc_id", k=5).select("doc_id", "fold")
+    base = {r["doc_id"]: r["fold"] for r in folds.collect()}
+    assert set(base.values()) <= set(range(5))
+    assert len(set(base.values())) == 5  # all folds populated
+    # repartitioning moves nothing
+    again = {
+        r["doc_id"]: r["fold"]
+        for r in kfold_assign(docs.repartition(7), "doc_id", k=5)
+        .select("doc_id", "fold")
+        .collect()
+    }
+    assert again == base
+
+
+# ---------------------------------------------------------------------------
+# label_balanced_sample
+# ---------------------------------------------------------------------------
+
+
+def test_label_balanced_equalizes_counts(spark):
+    e = table(spark, SF, "embeddings")
+    min_cnt = (
+        e.groupBy("label").count().agg(F.min("count")).collect()[0][0]
+    )
+    out = label_balanced_sample(e, id_col="vec_id", label_col="label")
+    per_label = {
+        r["label"]: r["count"] for r in out.groupBy("label").count().collect()
+    }
+    n_labels = e.select("label").distinct().count()
+    assert len(per_label) == n_labels
+    assert set(per_label.values()) == {min_cnt}
+    # deterministic: same rows on a second run
+    ids1 = {r["vec_id"] for r in out.select("vec_id").collect()}
+    ids2 = {
+        r["vec_id"]
+        for r in label_balanced_sample(
+            e.repartition(9), id_col="vec_id", label_col="label"
+        ).select("vec_id").collect()
+    }
+    assert ids1 == ids2
+
+
+# ---------------------------------------------------------------------------
+# temperature_rebalance
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_rates_and_determinism(spark):
+    docs = table(spark, SF, "documents")
+    out = temperature_rebalance(docs, alpha=0.5)
+    rates = {
+        r["source"]: r["keep_rate_bp"]
+        for r in out.select("source", "keep_rate_bp").distinct().collect()
+    }
+    counts = {
+        r["source"]: r["count"]
+        for r in docs.groupBy("source").count().collect()
+    }
+    min_cnt = min(counts.values())
+    import math
+
+    for src, cnt in counts.items():
+        if src in rates:
+            expect = math.floor(10_000 * math.sqrt(min_cnt / cnt))
+            assert rates[src] == expect
+    # the smallest source keeps everything
+    smallest = min(counts, key=lambda s: (counts[s], s))
+    kept = {
+        r["source"]: r["count"] for r in out.groupBy("source").count().collect()
+    }
+    assert kept[smallest] == counts[smallest]
+    # larger sources are downsampled, never upsampled
+    for src, k in kept.items():
+        assert k <= counts[src]
+    # deterministic under repartition
+    ids1 = {r["doc_id"] for r in out.select("doc_id").collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in temperature_rebalance(docs.repartition(11), alpha=0.5)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids1 == ids2
+
+
+def test_temperature_alpha_one_is_uniform_target(spark):
+    docs = table(spark, SF, "documents")
+    out = temperature_rebalance(docs, alpha=1.0)
+    counts = {
+        r["source"]: r["count"]
+        for r in docs.groupBy("source").count().collect()
+    }
+    min_cnt = min(counts.values())
+    rates = {
+        r["source"]: r["keep_rate_bp"]
+        for r in out.select("source", "keep_rate_bp").distinct().collect()
+    }
+    for src, r in rates.items():
+        assert r == (10_000 * min_cnt) // counts[src] or r == int(
+            10_000 * (min_cnt / counts[src])
+        )
+
+
+def test_temperature_rejects_unsupported_alpha(spark):
+    docs = table(spark, SF, "documents")
+    import pytest
+
+    with pytest.raises(ValueError):
+        temperature_rebalance(docs, alpha=0.3)
