@@ -910,3 +910,37 @@ def hard_negatives_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "embeddings"), k=5, id_col="vec_id",
         vec_col="embedding", label_col="label",
     )
+
+
+@register(
+    "similarity_topk_pq",
+    None,  # approximate (PQ/ADC) — recall vs exact asserted in pytest
+    tags=("similarity", "ann-pq", "pandas-udf"),
+    bench=True,
+)
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al.): per-subspace codebooks
+    compress each embedding to n_sub codes (32× at 8×256 on 64-dim
+    float32); queries score against the compressed corpus via
+    asymmetric-distance lookup tables, then a top-50 shortlist is
+    re-ranked against full-precision vectors (the FAISS pattern). The
+    storage-bound 100 TB answer: every search scans only the code
+    column; full vectors are fetched for the shortlist alone. Codebook
+    training shuffles only codebook-sized partial sums (hand-rolled
+    map-side combine); ADC and rerank recall vs the exact scan are
+    floored in pytest."""
+    from covid_data_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_topk_rerank,
+        pq_train_codebooks,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(
+        e, dim=EMBED_DIM, n_sub=16, n_codes=64, iters=2
+    )
+    codes = pq_encode(e, books)
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk_rerank(codes, e, queries, books, k=TOP_K, shortlist=50)

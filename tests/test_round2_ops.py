@@ -242,3 +242,97 @@ def test_temperature_rejects_unsupported_alpha(spark):
 
     with pytest.raises(ValueError):
         temperature_rebalance(docs, alpha=0.3)
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def _pq_setup(spark):
+    from covid_data_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    e = table(spark, SF, "embeddings")
+    books = pq_train_codebooks(e, dim=64, n_sub=16, n_codes=64, iters=2)
+    return e, books, pq_encode(e, books)
+
+
+def test_pq_codebook_shapes_and_code_ranges(spark):
+    e, books, codes = _pq_setup(spark)
+    assert len(books) == 16
+    assert all(len(b) == 64 for b in books)
+    assert all(len(c) == 4 for b in books for c in b)  # 64 / 16 dims
+    sample = codes.select("pq_code").limit(20).collect()
+    for r in sample:
+        assert len(r["pq_code"]) == 16
+        assert all(0 <= c < 64 for c in r["pq_code"])
+
+
+def test_pq_encode_deterministic_under_repartition(spark):
+    from covid_data_pipeline_spark.operators.similarity import pq_encode
+
+    e, books, codes = _pq_setup(spark)
+    c1 = {r["vec_id"]: tuple(r["pq_code"])
+          for r in codes.select("vec_id", "pq_code").collect()}
+    c2 = {r["vec_id"]: tuple(r["pq_code"])
+          for r in pq_encode(e.repartition(7), books)
+          .select("vec_id", "pq_code").collect()}
+    assert c1 == c2
+
+
+def test_pq_adc_recall_floor(spark):
+    from covid_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce_np,
+        pq_topk,
+    )
+
+    e, books, codes = _pq_setup(spark)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk_bruteforce_np(e, q, k=5).collect()}
+    adc = {(r["query_id"], r["vec_id"])
+           for r in pq_topk(codes, q, books, k=5).collect()}
+    # Weak-cluster corpus (true neighbors at cosine ≈ 0.3): measured ADC
+    # recall 0.56 at 16×64 — floor well under.
+    recall = len(adc & exact) / len(exact)
+    assert recall >= 0.3, f"PQ ADC recall {recall:.2f} < 0.3"
+
+
+def test_pq_rerank_recall_near_exact(spark):
+    from covid_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce_np,
+        pq_topk_rerank,
+    )
+
+    e, books, codes = _pq_setup(spark)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk_bruteforce_np(e, q, k=5).collect()}
+    rr = {(r["query_id"], r["vec_id"])
+          for r in pq_topk_rerank(codes, e, q, books, k=5, shortlist=50)
+          .collect()}
+    # shortlist-50 contained 100% of the exact top-5 in measurement;
+    # floor at 0.85 for headroom
+    recall = len(rr & exact) / len(exact)
+    assert recall >= 0.85, f"PQ rerank recall {recall:.2f} < 0.85"
+
+
+def test_pq_handles_corpus_smaller_than_codebook(spark):
+    from covid_data_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    e = table(spark, SF, "embeddings").limit(10)
+    books = pq_train_codebooks(e, dim=64, n_sub=8, n_codes=64, iters=1)
+    # only 10 seeds available → codebooks hold 10 entries, encode still works
+    assert all(len(b) == 10 for b in books)
+    out = pq_encode(e, books).select("pq_code").collect()
+    assert all(0 <= c < 10 for r in out for c in r["pq_code"])
