@@ -336,3 +336,56 @@ def test_pq_handles_corpus_smaller_than_codebook(spark):
     assert all(len(b) == 10 for b in books)
     out = pq_encode(e, books).select("pq_code").collect()
     assert all(0 <= c < 10 for r in out for c in r["pq_code"])
+
+
+# ---------------------------------------------------------------------------
+# containment property test vs a pure-python reference
+# ---------------------------------------------------------------------------
+
+
+def _py_shingles(text: str, k: int = 3) -> set[str]:
+    toks = text.strip().lower().split()
+    if len(toks) >= k:
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    return {" ".join(toks)}
+
+
+def _py_containment(docs: list[tuple[int, str]], threshold_bp: int):
+    sh = {i: _py_shingles(t) for i, t in docs}
+    out = {}
+    for a, sa in sh.items():
+        for b, sb in sh.items():
+            if a == b or not sa:
+                continue
+            bp = (len(sa & sb) * 10_000) // len(sa)
+            if bp >= threshold_bp and len(sa & sb) > 0:
+                out[(a, b)] = (bp, len(sa))
+    return out
+
+
+def test_containment_matches_python_reference_random_corpora(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    doc = st.lists(st.sampled_from(vocab), min_size=1, max_size=10).map(" ".join)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=st.lists(doc, min_size=2, max_size=8))
+    def run(texts):
+        docs = list(enumerate(texts))
+        expected = _py_containment(docs, threshold_bp=4000)
+        got = {
+            (r["id_a"], r["id_b"]): (r["containment_bp"], r["n_a"])
+            for r in containment_pairs(
+                spark.createDataFrame(docs, "doc_id long, text string"),
+                threshold_bp=4000,
+            ).collect()
+        }
+        assert got == expected
+
+    run()

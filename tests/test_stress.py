@@ -163,3 +163,55 @@ def test_split_skew_join_16m_equals_plain(big_spark, events_16m):
     split = _agg(split_skew_join(ev, dim, on=["k"], num_salts=32))
     plain = _agg(ev.join(dim, on=["k"]))
     assert split == plain and len(split) == 13
+
+
+def test_containment_200k_docs_bounded_and_invariant(big_spark):
+    """100k synthetic docs + 100k planted quotes (first 7 of 12 tokens):
+    the inverted-index containment join must stay bounded by posting
+    mass (not n²), find every quote at exactly 10000 bp, and be
+    partitioning-invariant."""
+    import time
+
+    from covid_data_pipeline_spark.operators.dedup import containment_pairs
+
+    n = 100_000
+    base = big_spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{j}x"), ((F.col("id") * (j + 7)) % 9973))
+                for j in range(12)
+            ],
+        ).alias("text"),
+    )
+    quotes = base.select(
+        (F.col("doc_id") + n).alias("doc_id"),
+        F.regexp_extract(
+            F.col("text"), r"^(\S+(?: \S+){6})", 1
+        ).alias("text"),  # first 7 tokens
+    )
+    docs = base.unionByName(quotes)
+    t0 = time.time()
+    pairs = containment_pairs(docs, threshold_bp=9000, max_df=1000)
+    planted = pairs.filter(
+        (F.col("id_a") == F.col("id_b") + n)
+        & (F.col("containment_bp") == 10_000)
+    ).count()
+    wall = time.time() - t0
+    assert planted == n
+    probe = pairs.filter(F.col("id_a") < 500 + n).filter(F.col("id_a") >= n)
+    a = sorted(map(tuple, probe.collect()))
+    b = sorted(
+        map(
+            tuple,
+            containment_pairs(
+                docs.repartition(157), threshold_bp=9000, max_df=1000
+            )
+            .filter(F.col("id_a") < 500 + n)
+            .filter(F.col("id_a") >= n)
+            .collect(),
+        )
+    )
+    assert a == b and len(a) >= 500
+    assert wall < 600, f"200k-doc containment join took {wall:.0f}s"
