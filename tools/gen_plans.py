@@ -52,6 +52,7 @@ NOTES = {
     "vocab_oov_rate": "Top-K vocab is a TakeOrderedAndProject over doc-frequency counts, broadcast back for membership; the occurrence relation is counted map-side and never shuffles for the vocab join.",
     "strip_duplicate_spans_docs": "Two gram-keyed shuffles (distinct doc-gram collapse -> df count; hot-start regroup); the gram projection is recomputed per consumer rather than materialized (cheap codegen map beats persisting the token-mass explode); interval merge + token filtering are in-row HOFs - per-token rows never shuffle.",
     "knn_graph_lsh": "Both-sides-large self equi-join restricted to LSH bucket collisions (work ~ sum of bucket^2, hot buckets capped); vectors pre-normalized so each candidate costs one fold; per-src top-k via WindowGroupLimit.",
+    "similarity_topk_pq": "Codebook training shuffles codebook-sized partial sums only (Arrow batches pre-combine); encode is a zero-shuffle Arrow map; ADC search scans the 32x-compressed code column with per-batch top-k so the window sees O(batches x queries x k) rows; the shortlist rides a broadcast into the exact re-rank join - the full-precision corpus is probed, never scanned.",
 }
 
 HEADER = """# PLANS - physical plans of the headline (bench) queries
