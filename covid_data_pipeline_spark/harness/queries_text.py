@@ -1103,3 +1103,33 @@ def strip_duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return strip_duplicate_spans(d, k=5, min_df=2)
+
+
+@register(
+    "heavy_hitter_tokens",
+    r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    t2 AS (SELECT token FROM toks WHERE token <> ''),
+    tot AS (SELECT COUNT(*) AS n FROM t2)
+    SELECT token, COUNT(*)::BIGINT AS cnt FROM t2, tot
+    GROUP BY token, n HAVING COUNT(*) * 51 > n
+    """,
+    tags=("text", "heavy-hitters", "pandas-udf"),
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy-hitter tokens (count > n/51, i.e. k=50) in two
+    bounded-memory passes: per-partition Misra–Gries summaries nominate
+    ≤ k candidates each (any global heavy hitter must cross the local
+    bar in some partition — pigeonhole), then one broadcast-semi-join
+    recount scores candidates exactly and the integer threshold
+    count·(k+1) > n decides membership. The oracle is the full
+    GROUP BY + HAVING — identical output, but the Spark plan never
+    shuffles the token domain, only ≤ k·partitions candidate rows."""
+    from covid_data_pipeline_spark.operators.heavyhitters import (
+        token_heavy_hitters,
+    )
+
+    return token_heavy_hitters(table(spark, sf_dir, "documents"), k=50)

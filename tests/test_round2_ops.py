@@ -389,3 +389,52 @@ def test_containment_matches_python_reference_random_corpora(spark):
         assert got == expected
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    from covid_data_pipeline_spark.operators.heavyhitters import heavy_hitters
+
+    # skewed synthetic stream: items 0..9 hot (6000 rows each), long
+    # tail of 60k singletons — domain ≫ k
+    hot = spark.range(60_000).select((F.col("id") % 10).alias("item"))
+    tail = spark.range(60_000).select((F.col("id") + 1_000_000).alias("item"))
+    stream = hot.unionByName(tail)
+    k = 30
+    got = {
+        (r["item"], r["cnt"])
+        for r in heavy_hitters(stream, item_col="item", k=k).collect()
+    }
+    n = stream.count()
+    exact = {
+        (r["item"], r["count"])
+        for r in stream.groupBy("item").count().collect()
+        if r["count"] * (k + 1) > n
+    }
+    assert got == exact
+    assert len(got) == 10  # the 10 planted hot items, nothing else
+    # partitioning invariance — pass 1 candidates differ, output may not
+    got2 = {
+        (r["item"], r["cnt"])
+        for r in heavy_hitters(stream.repartition(17), item_col="item", k=k)
+        .collect()
+    }
+    assert got2 == got
+
+
+def test_heavy_hitters_null_items_ignored_and_empty_ok(spark):
+    from covid_data_pipeline_spark.operators.heavyhitters import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), (None,), ("b",)], "item string"
+    )
+    # n = 4 non-null rows; k=3 → threshold 1 → only 'a' (3 > 1)
+    got = {(r["item"], r["cnt"]) for r in heavy_hitters(df, k=3).collect()}
+    assert got == {("a", 3)}
+    # uniform stream with no item above 1/(k+1): empty result
+    uni = spark.range(1000).select(F.col("id").alias("item"))
+    assert heavy_hitters(uni, k=5).count() == 0

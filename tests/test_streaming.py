@@ -614,3 +614,42 @@ def test_stream_quarantine_split_loses_nothing(spark, tmp_path):
     assert good.count() + bad.count() == 5  # nothing lost
     flagged = {r["id"]: r["failed_rules"] for r in bad.collect()}
     assert "in_range" in flagged[2] and "not_null" in flagged[None]
+
+
+def test_stream_pq_encode_equals_batch(spark, sf_dir, tmp_path):
+    """pq_encode is a pure Arrow map, so it composes with Structured
+    Streaming unchanged: encoding a file stream of embeddings must give
+    byte-identical codes to the batch path (pretrained codebooks — the
+    only honest streaming mode, matching standardize_embeddings'
+    pretrained-stats contract)."""
+    from covid_data_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(e, dim=64, n_sub=8, n_codes=16, iters=1)
+    batch_codes = {
+        r["vec_id"]: tuple(r["pq_code"])
+        for r in pq_encode(e, books).select("vec_id", "pq_code").collect()
+    }
+
+    land = str(tmp_path / "embed_land")
+    e.repartition(3).write.mode("overwrite").parquet(land)
+    stream = file_stream(spark, land, e.schema, max_files_per_trigger=1)
+    q = (
+        pq_encode(stream, books)
+        .select("vec_id", "pq_code")
+        .writeStream.format("memory")
+        .queryName("pq_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    stream_codes = {
+        r["vec_id"]: tuple(r["pq_code"])
+        for r in spark.sql("SELECT * FROM pq_stream").collect()
+    }
+    assert stream_codes == batch_codes
