@@ -1133,3 +1133,33 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return token_heavy_hitters(table(spark, sf_dir, "documents"), k=50)
+
+
+@register(
+    "docs_char_entropy",
+    r"""
+    WITH ch AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(
+               regexp_replace(text, '[^\x20-\x7e]', '', 'g'), '')) AS c
+      FROM documents
+    ),
+    ch2 AS (SELECT doc_id, c FROM ch WHERE c <> ''),
+    cc AS (SELECT doc_id, c, COUNT(*) AS k FROM ch2 GROUP BY 1, 2),
+    agg AS (SELECT doc_id, SUM(k * ln(k)) AS s, SUM(k) AS n FROM cc GROUP BY 1)
+    SELECT doc_id,
+           ROUND((ln(n) - s / n) / 0.6931471805599453, 4)
+             AS char_entropy_bits
+    FROM agg
+    """,
+    tags=("text", "quality", "entropy"),
+)
+def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-entropy quality signal (bits): flags
+    gibberish / base64 blobs / single-char spam that length and
+    stopword ratios miss. Every log argument is an integer count
+    (perplexity float policy); the ln 2 divisor is a shared literal so
+    neither engine's libm constant enters the comparison."""
+    from covid_data_pipeline_spark.operators.quality import char_entropy
+
+    return char_entropy(table(spark, sf_dir, "documents"))

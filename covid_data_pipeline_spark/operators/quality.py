@@ -15,6 +15,7 @@ count, anti-join) and run as separate small plans.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -140,3 +141,48 @@ def profile_columns(
         f"stack({len(cols)}, {stacked}) AS (col_name, n_nulls, n_distinct)",
         "__n AS n_rows",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct")
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "char_entropy_bits",
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution, in
+    bits — the gibberish / binary-junk / key-mash quality signal:
+    natural prose sits ~3.5–4.5 bits, base64 blobs and random bytes
+    push toward 6, single-character spam collapses toward 0.
+
+    Computed as ``ln(n) − Σ cᵢ·ln(cᵢ) / n`` over per-char counts, so
+    every log argument is an INTEGER (the perplexity float policy:
+    cross-engine-stable ln inputs; only the final mean is rounded, to
+    4 dp). Text is first stripped to printable ASCII on both engines —
+    Java regex splits UTF-16 code units while C engines split UTF-8
+    chars, so non-ASCII would silently diverge.
+
+    Shape: char explode (zero shuffle) → (doc, char) count with
+    map-side combine → per-doc fold whose second shuffle carries ≤
+    |alphabet| rows per doc. Documents with no printable chars drop
+    out (entropy of nothing is undefined, not 0)."""
+    ascii_only = F.regexp_replace(F.col(text_col), r"[^\x20-\x7e]", "")
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(ascii_only, "")).alias("__ch"),
+    ).where(F.col("__ch") != "")
+    counts = chars.groupBy(id_col, "__ch").agg(F.count(F.lit(1)).alias("__k"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum(F.col("__k") * F.log(F.col("__k"))).alias("__s"),
+            F.sum("__k").alias("__n"),
+        )
+        .select(
+            id_col,
+            F.round(
+                (F.log(F.col("__n")) - F.col("__s") / F.col("__n"))
+                / F.lit(math.log(2.0)),
+                4,
+            ).alias(out_col),
+        )
+    )

@@ -438,3 +438,39 @@ def test_heavy_hitters_null_items_ignored_and_empty_ok(spark):
     # uniform stream with no item above 1/(k+1): empty result
     uni = spark.range(1000).select(F.col("id").alias("item"))
     assert heavy_hitters(uni, k=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# char entropy
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_orders_spam_prose_random(spark):
+    from covid_data_pipeline_spark.operators.quality import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaaaaaaaaaaaaaaaaa"),                      # spam → 0
+            (2, "the quick brown fox jumps over the lazy dog"),   # prose
+            (3, "k9#Qz@1x!Vu&7pT$4mW^2eR*"),                      # key-mash
+            (4, "ééé"),                            # no printable ASCII
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["char_entropy_bits"] for r in char_entropy(docs).collect()}
+    assert rows[1] == 0.0
+    assert 3.0 < rows[2] < 4.6
+    assert rows[3] > rows[2]  # random junk beats prose
+    assert 4 not in rows      # stripped-empty doc drops out
+
+
+def test_char_entropy_deterministic_under_repartition(spark):
+    from covid_data_pipeline_spark.operators.quality import char_entropy
+
+    d = table(spark, SF, "documents")
+    a = {r["doc_id"]: r["char_entropy_bits"] for r in char_entropy(d).collect()}
+    b = {
+        r["doc_id"]: r["char_entropy_bits"]
+        for r in char_entropy(d.repartition(11)).collect()
+    }
+    assert a == b and len(a) > 0
