@@ -379,3 +379,34 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "credit_micros"
         ),
     )
+
+
+@register(
+    "events_burst_days",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n, SUM(cnt) AS s1,
+             SUM(cnt * cnt) AS s2
+      FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, d.day, d.cnt
+    FROM daily d JOIN m USING (event_type)
+    WHERE m.n > 1
+      AND d.cnt * m.n - m.s1 > 0
+      AND (d.cnt * m.n - m.s1) * (d.cnt * m.n - m.s1)
+          > 4 * (m.n * m.s2 - m.s1 * m.s1)
+    """,
+    tags=("temporal", "anomaly"),
+)
+def events_burst_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-burst days per event type (count > mean + 2σ of the
+    type's own daily history). The z-test runs entirely in BIGINT
+    products of exact counts — no float mean/stddev/sqrt — so the
+    flagged set hash-matches any engine under any partitioning."""
+    from covid_data_pipeline_spark.operators.temporal import burst_days
+
+    return burst_days(table(spark, sf_dir, "events"), sigmas=2)

@@ -204,3 +204,47 @@ def interpolate_daily(
         F.col(val_col).isNotNull().alias("observed"),
         interp.alias("interp_value"),
     )
+
+
+def burst_days(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    sigmas: int = 2,
+) -> DataFrame:
+    """Days whose event count bursts above ``mean + sigmas·σ`` of that
+    event type's own daily history (population σ) — the volume-anomaly
+    monitor for ingest pipelines and event streams.
+
+    The z-test is INTEGER-EXACT: with per-type day count n, Σc = S1,
+    Σc² = S2, the condition ``c > S1/n + s·σ`` rewrites to
+
+        c·n − S1 > 0   AND   (c·n − S1)² > s²·(n·S2 − S1²)
+
+    — all BIGINT products of exact counts, so the flagged set is
+    bit-identical on any engine and any partitioning (no float mean, no
+    float stddev, no sqrt). Types with a single observed day have zero
+    variance and flag nothing (a burst needs history).
+
+    Shape: one (type, day) count with map-side combine; per-type
+    moments reduce to |types| rows and re-enter via broadcast — the
+    daily-count relation is the largest thing shuffled, never events."""
+    day = F.to_date(F.col(ts_col))
+    daily = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(F.col(type_col), day.alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    moments = daily.groupBy(type_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("cnt").alias("__s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("__s2"),
+    )
+    dev = F.col("cnt") * F.col("__n") - F.col("__s1")
+    var_n2 = F.col("__n") * F.col("__s2") - F.col("__s1") * F.col("__s1")
+    return (
+        daily.join(F.broadcast(moments), type_col)
+        .where(F.col("__n") > 1)
+        .where((dev > 0) & (dev * dev > F.lit(sigmas * sigmas) * var_n2))
+        .select(type_col, "day", "cnt")
+    )

@@ -503,3 +503,36 @@ def test_ann_model_roundtrip_reproduces_codes(spark, tmp_path):
          for r in pq_encode(e, loaded["pq_codebooks"])
          .select("vec_id", "pq_code").collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# burst detection
+# ---------------------------------------------------------------------------
+
+
+def test_burst_days_flags_planted_spike_integer_exact(spark):
+    from datetime import datetime
+
+    from covid_data_pipeline_spark.operators.temporal import burst_days
+
+    rows = []
+    # type "a": 10 events/day for 9 days, 100 on day 10 → burst
+    for d in range(1, 10):
+        rows += [(datetime(2024, 1, d, 12), "a")] * 10
+    rows += [(datetime(2024, 1, 10, 12), "a")] * 100
+    # type "b": flat 10/day → no burst; type "c": single day → no flag
+    for d in range(1, 11):
+        rows += [(datetime(2024, 1, d, 12), "b")] * 10
+    rows += [(datetime(2024, 1, 5, 12), "c")] * 50
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    got = {
+        (r["event_type"], str(r["day"]), r["cnt"])
+        for r in burst_days(df, sigmas=2).collect()
+    }
+    assert got == {("a", "2024-01-10", 100)}
+    # partitioning invariance (integer test — no float to drift)
+    got2 = {
+        (r["event_type"], str(r["day"]), r["cnt"])
+        for r in burst_days(df.repartition(13), sigmas=2).collect()
+    }
+    assert got2 == got
