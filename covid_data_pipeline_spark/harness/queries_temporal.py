@@ -397,8 +397,8 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM daily d JOIN m USING (event_type)
     WHERE m.n > 1
       AND d.cnt * m.n - m.s1 > 0
-      AND (d.cnt * m.n - m.s1) * (d.cnt * m.n - m.s1)
-          > 4 * (m.n * m.s2 - m.s1 * m.s1)
+      AND (d.cnt * m.n - m.s1)::HUGEINT * (d.cnt * m.n - m.s1)
+          > 4 * (m.n::HUGEINT * m.s2 - m.s1::HUGEINT * m.s1)
     """,
     tags=("temporal", "anomaly"),
 )

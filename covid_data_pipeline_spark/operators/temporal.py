@@ -240,8 +240,14 @@ def burst_days(
         F.sum("cnt").alias("__s1"),
         F.sum(F.col("cnt") * F.col("cnt")).alias("__s2"),
     )
-    dev = F.col("cnt") * F.col("__n") - F.col("__s1")
-    var_n2 = F.col("__n") * F.col("__s2") - F.col("__s1") * F.col("__s1")
+    # The quadratic terms run in DECIMAL(38,0): dev² of a BIGINT daily
+    # count overflows long at extreme volumes (and ANSI mode would
+    # throw mid-job); decimal keeps the comparison exact integer math.
+    dev = (F.col("cnt") * F.col("__n") - F.col("__s1")).cast("decimal(38,0)")
+    var_n2 = (
+        F.col("__n").cast("decimal(38,0)") * F.col("__s2")
+        - F.col("__s1").cast("decimal(38,0)") * F.col("__s1")
+    )
     return (
         daily.join(F.broadcast(moments), type_col)
         .where(F.col("__n") > 1)
