@@ -292,3 +292,32 @@ def repetition_fraction(col: Column | str, k: int = 3) -> Column:
         ).otherwise(F.lit(0.0))
 
     return let(tokens(col), _frac)
+
+
+def nfc_normalize_udf():
+    """Vectorized Unicode NFC normalization (``pandas_udf``) — the
+    canonicalization pass that belongs BEFORE any fingerprint/dedup/
+    shingle step: 'é' composed and 'e'+combining-acute decomposed are
+    the same text to a reader but different bytes to md5/xxhash, so
+    un-normalized corpora leak duplicates past exact dedup.
+
+    Spark has no built-in Unicode normalizer; this is the sanctioned
+    Python path — Arrow-batched, string-in/string-out, NULL-safe
+    (``unicodedata.normalize`` is the reference NFC implementation, so
+    any NFC-capable oracle reproduces it byte-for-byte)."""
+    import unicodedata
+
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    # Real annotation objects, not strings: this module runs under
+    # `from __future__ import annotations`, which would leave pandas_udf
+    # unable to resolve 'pd.Series' hints written inline.
+    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf("string")(_nfc)

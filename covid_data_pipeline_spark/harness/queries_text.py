@@ -1163,3 +1163,30 @@ def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_pipeline_spark.operators.quality import char_entropy
 
     return char_entropy(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "docs_nfc_normalize",
+    """
+    SELECT doc_id, nfc_normalize(text) AS text_nfc,
+           (nfc_normalize(text) = text) AS was_normalized
+    FROM documents
+    """,
+    tags=("text", "normalize", "pandas-udf"),
+)
+def docs_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization of the text column (vectorized
+    pandas_udf vs the oracle's native nfc_normalize — both implement
+    Unicode NFC, so outputs are byte-identical). The pass that runs
+    before fingerprints/dedup so composed vs decomposed accents can't
+    leak duplicates; non-ASCII behavior is pinned by planted
+    composed/decomposed pairs in pytest."""
+    from covid_data_pipeline_spark.functions.text import nfc_normalize_udf
+
+    nfc = nfc_normalize_udf()
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        nfc(F.col("text")).alias("text_nfc"),
+        (nfc(F.col("text")) == F.col("text")).alias("was_normalized"),
+    )

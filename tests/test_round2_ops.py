@@ -536,3 +536,33 @@ def test_burst_days_flags_planted_spike_integer_exact(spark):
         for r in burst_days(df.repartition(13), sigmas=2).collect()
     }
     assert got2 == got
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization
+# ---------------------------------------------------------------------------
+
+
+def test_nfc_merges_composed_and_decomposed_forms(spark):
+    from covid_data_pipeline_spark.functions.text import (
+        content_fingerprint,
+        nfc_normalize_udf,
+    )
+
+    nfc = nfc_normalize_udf()
+    composed = "école"              # é as one codepoint
+    decomposed = "école"           # e + combining acute
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, None)],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        nfc(F.col("text")).alias("n"),
+        content_fingerprint(nfc(F.col("text"))).alias("fp"),
+    ).collect()
+    rows = {r["doc_id"]: (r["n"], r["fp"]) for r in out}
+    # same canonical bytes → same fingerprint: dedup can't be leaked
+    assert rows[1][0] == rows[2][0] == composed
+    assert rows[1][1] == rows[2][1]
+    assert rows[3] == (None, None)
