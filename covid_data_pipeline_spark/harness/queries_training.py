@@ -808,3 +808,38 @@ def temperature_rebalance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_rebalance(
         docs, id_col="doc_id", group_col="source", alpha=0.5
     ).select("doc_id", "source", "keep_rate_bp")
+
+
+@register(
+    "temperature_rebalance_tokens",
+    f"""
+    WITH c AS (
+      SELECT source, SUM(n_chars) AS cnt FROM documents GROUP BY source
+    ),
+    m AS (SELECT MIN(cnt) AS mc FROM c),
+    r AS (
+      SELECT source,
+             CAST(FLOOR(10000 * sqrt(mc::DOUBLE / cnt)) AS BIGINT)
+               AS keep_rate_bp
+      FROM c, m
+    )
+    SELECT d.doc_id, d.source, r.keep_rate_bp
+    FROM documents d JOIN r USING (source)
+    WHERE ({_KHASH.replace("doc_id", "d.doc_id")}) % 10000 < r.keep_rate_bp
+    """,
+    tags=("training", "sample", "mixture"),
+)
+def temperature_rebalance_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature rebalance weighted by text MASS (n_chars) —
+    the usual α-sampling denominator: a source of few huge documents is
+    as over-represented as one of many small ones, which a doc-count
+    rebalance misses. Same exact-integer-mass / correctly-rounded-sqrt
+    construction as temperature_rebalance_docs, so the kept set is
+    bit-identical cross-engine."""
+    from covid_data_pipeline_spark.operators.sampling import temperature_rebalance
+
+    docs = table(spark, sf_dir, "documents")
+    return temperature_rebalance(
+        docs, id_col="doc_id", group_col="source", alpha=0.5,
+        weight_col="n_chars",
+    ).select("doc_id", "source", "keep_rate_bp")

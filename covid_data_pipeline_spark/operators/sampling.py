@@ -460,6 +460,7 @@ def temperature_rebalance(
     group_col: str = "source",
     alpha: float = 0.5,
     rate_col: str = "keep_rate_bp",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Temperature-smoothed source rebalance by DOWNSAMPLING: group g
     keeps ``rate_bp(g) = floor(10000 · (min_count / count_g)^α)`` basis
@@ -469,6 +470,11 @@ def temperature_rebalance(
     mBERT/XLM-R (exponent-smoothed sampling probabilities), expressed
     as exact per-group keep rates: the smallest group keeps 100%, a
     group 100× larger keeps 10^(−2α) of itself.
+
+    ``weight_col`` switches group mass from row COUNT to an integer SUM
+    (token counts — the usual α-sampling denominator: a source of few
+    huge documents is as over-represented as one of many small ones).
+    Must be an integral column so the mass stays an exact integer.
 
     α is restricted to {1, 0.5, 0.25} so the power is an exact chain of
     IEEE-correctly-rounded ops (identity / sqrt / sqrt∘sqrt) — the
@@ -492,7 +498,12 @@ def temperature_rebalance(
             f"alpha must be one of 1, 0.5, 0.25 for cross-engine exact "
             f"powers, got {alpha}"
         )
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    mass = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    )
+    if weight_col is not None:
+        _require_integral_id(df, weight_col)
+    counts = df.groupBy(group_col).agg(mass.alias("__cnt"))
     min_cnt = counts.agg(F.min("__cnt").alias("__min_cnt"))
     rates = (
         counts.join(F.broadcast(min_cnt))
