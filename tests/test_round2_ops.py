@@ -566,3 +566,35 @@ def test_nfc_merges_composed_and_decomposed_forms(spark):
     assert rows[1][0] == rows[2][0] == composed
     assert rows[1][1] == rows[2][1]
     assert rows[3] == (None, None)
+
+
+def test_heavy_hitters_matches_python_reference_random_streams(spark):
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from covid_data_pipeline_spark.operators.heavyhitters import heavy_hitters
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        items=st.lists(st.integers(0, 12), min_size=1, max_size=120),
+        k=st.integers(2, 8),
+    )
+    def run(items, k):
+        n = len(items)
+        expected = {
+            (i, c) for i, c in Counter(items).items() if c * (k + 1) > n
+        }
+        df = spark.createDataFrame([(i,) for i in items], "item long")
+        got = {
+            (r["item"], r["cnt"])
+            for r in heavy_hitters(df.repartition(3), k=k).collect()
+        }
+        assert got == expected
+
+    run()
