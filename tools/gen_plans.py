@@ -53,6 +53,7 @@ NOTES = {
     "strip_duplicate_spans_docs": "Two gram-keyed shuffles (distinct doc-gram collapse -> df count; hot-start regroup); the gram projection is recomputed per consumer rather than materialized (cheap codegen map beats persisting the token-mass explode); interval merge + token filtering are in-row HOFs - per-token rows never shuffle.",
     "knn_graph_lsh": "Both-sides-large self equi-join restricted to LSH bucket collisions (work ~ sum of bucket^2, hot buckets capped); vectors pre-normalized so each candidate costs one fold; per-src top-k via WindowGroupLimit.",
     "similarity_topk_pq": "Codebook training shuffles codebook-sized partial sums only (Arrow batches pre-combine); encode is a zero-shuffle Arrow map; ADC search scans the 32x-compressed code column with per-batch top-k so the window sees O(batches x queries x k) rows; the shortlist rides a broadcast into the exact re-rank join - the full-precision corpus is probed, never scanned.",
+    "similarity_topk_pq_pretrained": "Same encode+ADC+rerank plan as the cold PQ query minus the training jobs (codebooks memoized per corpus, the save_ann_model warehouse pattern) - the steady-state number a serving workload pays.",
 }
 
 HEADER = """# PLANS - physical plans of the headline (bench) queries
