@@ -598,3 +598,25 @@ def test_heavy_hitters_matches_python_reference_random_streams(spark):
         assert got == expected
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# driver-window tripwire
+# ---------------------------------------------------------------------------
+
+
+def test_driver_window_holds_50_oracle_backed_queries():
+    """The external driver verifies the FIRST 50 registered queries; the
+    registry reorders so that window carries maximal oracle signal.
+    Regression here (a new rows-only query slipping into the window, or
+    WINDOW_PRIORITY drifting from the registry order) silently costs
+    driver-verified correctness rows — fail loudly instead."""
+    from covid_data_pipeline_spark.harness.registry import (
+        QUERIES,
+        WINDOW_PRIORITY,
+    )
+
+    assert len(WINDOW_PRIORITY) == 50
+    first_50 = list(QUERIES)[:50]
+    assert first_50 == list(WINDOW_PRIORITY)
+    assert all(QUERIES[n].oracle is not None for n in first_50)
