@@ -215,3 +215,44 @@ def test_containment_200k_docs_bounded_and_invariant(big_spark):
     )
     assert a == b and len(a) >= 500
     assert wall < 600, f"200k-doc containment join took {wall:.0f}s"
+
+
+def test_heavy_hitters_16m_bounded_and_invariant(big_spark):
+    """16M-row stream, 1M-item domain with 20 planted hot items: the
+    two-pass heavy hitter must equal the exact groupBy answer, stay
+    partitioning-invariant, and never shuffle the domain (candidates
+    ≤ k × partitions)."""
+    import time
+
+    from covid_data_pipeline_spark.operators.heavyhitters import heavy_hitters
+
+    n = 16_000_000
+    # 50% of rows on 20 hot keys (id div 2 cycles through all residues
+    # mod 20 — a bare id % 20 over even ids would only hit the evens),
+    # the rest spread over ~1M tail keys
+    stream = big_spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.expr("(id div 2) % 20"))
+        .otherwise(F.col("id") % 1_000_000 + 1_000)
+        .alias("item")
+    )
+    k = 100
+    t0 = time.time()
+    got = {
+        (r["item"], r["cnt"])
+        for r in heavy_hitters(stream, item_col="item", k=k).collect()
+    }
+    wall = time.time() - t0
+    exact = {
+        (r["item"], r["count"])
+        for r in stream.groupBy("item").count().collect()
+        if r["count"] * (k + 1) > n
+    }
+    assert got == exact and len(got) == 20
+    got2 = {
+        (r["item"], r["cnt"])
+        for r in heavy_hitters(
+            stream.repartition(37), item_col="item", k=k
+        ).collect()
+    }
+    assert got2 == got
+    assert wall < 300, f"16M heavy hitters took {wall:.0f}s"
