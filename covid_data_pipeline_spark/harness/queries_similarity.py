@@ -979,3 +979,81 @@ def similarity_topk_pq_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_topk_rerank(codes, e, queries, books, k=TOP_K, shortlist=50)
+
+
+_BITEXT_MARGIN_ORACLE = """
+WITH v AS (
+  SELECT vec_id, vec_id % 2 AS side,
+         list_transform(embedding, x -> x::DOUBLE) AS dv
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         ROUND(list_dot_product(a.dv, b.dv)
+               / (sqrt(list_dot_product(a.dv, a.dv))
+                  * sqrt(list_dot_product(b.dv, b.dv))), 4) AS sim
+  FROM v a JOIN v b ON a.side <> b.side
+),
+edges AS (
+  SELECT src, dst, CAST(ROUND(sim * 10000, 0) AS BIGINT) AS dot
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY src ORDER BY sim DESC, dst) AS rn
+    FROM scored
+  ) WHERE rn <= 5
+),
+e AS (SELECT * FROM edges WHERE dot > 0),
+totals AS (SELECT src, SUM(dot) AS A, COUNT(*) AS c FROM e GROUP BY src),
+m AS (
+  SELECT e.src, e.dst,
+         (2 * e.dot * ta.c * tb.c * 10000)
+           // (ta.A * tb.c + tb.A * ta.c) AS margin_bp
+  FROM e
+  JOIN totals ta ON e.src = ta.src
+  JOIN totals tb ON e.dst = tb.src
+),
+best AS (
+  SELECT src, dst, margin_bp FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY src ORDER BY margin_bp DESC, dst) AS rn
+    FROM m
+  ) WHERE rn = 1
+)
+SELECT f.src AS id_a, f.dst AS id_b, f.margin_bp
+FROM best f
+JOIN best b ON f.src < f.dst AND f.dst = b.src AND b.dst = f.src
+WHERE f.margin_bp >= 10000
+"""
+
+
+@register(
+    "bitext_margin_pairs",
+    _BITEXT_MARGIN_ORACLE,
+    tags=("similarity", "bitext", "mining"),
+)
+def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCMatrix-style margin-based mutual-kNN mining
+    (`operators/similarity.py::margin_mutual_pairs`): the corpus is
+    split into two sides (vec_id parity stands in for the two
+    languages of a bitext-mining run), each item gets its 5 nearest
+    CROSS-side neighbors (knn_graph_exact's hard-negative label mode
+    doubles as the cross-lingual kNN), and pairs that are each other's
+    best RATIO-margin match are kept. Margin — cosine over the mean of
+    the endpoints' own top-k cosines — cancels hubness; scoring is
+    integer basis points end-to-end, so the mined set hash-matches the
+    all-pairs DuckDB replay. The exact edge graph is the verification
+    baseline; at corpus scale the same miner consumes
+    ``knn_graph_lsh(label_col=...)`` edges unchanged (recall floor
+    asserted in tests/test_dedup_similarity.py)."""
+    from covid_data_pipeline_spark.operators.similarity import (
+        knn_graph_exact,
+        margin_mutual_pairs,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "side", F.pmod(F.col("vec_id"), F.lit(2))
+    )
+    edges = knn_graph_exact(
+        emb, k=5, id_col="vec_id", vec_col="embedding", label_col="side"
+    )
+    return margin_mutual_pairs(edges, threshold_bp=10_000)

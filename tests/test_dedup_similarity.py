@@ -730,3 +730,100 @@ def test_prefix_jaccard_caps_degenerate_corpus(spark):
     assert out.count() == 0
     uncapped = jaccard_join_prefix(df.limit(20), threshold=0.9, max_token_bucket=None)
     assert uncapped.count() == 190  # 20 choose 2
+
+
+def test_margin_mutual_pairs_exact_properties(spark, sf_dir):
+    from covid_data_pipeline_spark.operators.similarity import (
+        knn_graph_exact,
+        margin_mutual_pairs,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "side", F.pmod(F.col("vec_id"), F.lit(2))
+    )
+    edges = knn_graph_exact(emb, k=5, label_col="side")
+    pairs = margin_mutual_pairs(edges, threshold_bp=10_000).collect()
+    assert len(pairs) > 0
+    sides = {
+        r["vec_id"]: r["side"] for r in emb.select("vec_id", "side").collect()
+    }
+    seen = set()
+    for r in pairs:
+        a, b, m = r["id_a"], r["id_b"], r["margin_bp"]
+        assert a < b
+        # cross-side only, mutual-best margin is always >= 1.0
+        assert sides[a] != sides[b]
+        assert m >= 10_000
+        assert (a, b) not in seen
+        seen.add((a, b))
+    # each node participates in at most one mutual-best pair
+    nodes = [x for ab in seen for x in ab]
+    assert len(nodes) == len(set(nodes))
+
+
+def test_margin_mutual_pairs_lsh_edges_recall(spark, sf_dir):
+    from covid_data_pipeline_spark.operators.similarity import (
+        knn_graph_exact,
+        knn_graph_lsh,
+        margin_mutual_pairs,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "side", F.pmod(F.col("vec_id"), F.lit(2))
+    )
+    exact_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in margin_mutual_pairs(
+            knn_graph_exact(emb, k=5, label_col="side")
+        ).collect()
+    }
+    lsh_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in margin_mutual_pairs(
+            knn_graph_lsh(
+                emb, dim=64, k=5, num_planes=4, multiprobe_bits=1,
+                label_col="side",
+            )
+        ).collect()
+    }
+    # the LSH-edge miner is the corpus-scale twin: weak-cluster corpus
+    # (see test_knn_graph_lsh_recall_vs_exact) predicts ~50% edge
+    # recall; mined mutual pairs keep a comparable floor
+    assert len(lsh_pairs & exact_pairs) >= 0.2 * len(exact_pairs)
+
+
+def test_margin_cancels_hub_bias(spark):
+    from covid_data_pipeline_spark.operators.similarity import (
+        knn_graph_exact,
+        margin_mutual_pairs,
+    )
+
+    # Planted geometry: (1,2) are a genuine parallel pair (cos ~0.999);
+    # node 0 is a HUB near everything on the other side (cos ~0.9 to
+    # all) — raw cosine would pair the hub eagerly, but its margin
+    # stays ~1 because its own top-k average is just as high.
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        (0, unit(0.40), 0),          # hub side 0
+        (1, unit(0.03), 1),          # parallel pair member (side 1)
+        (2, unit(0.05), 0),          # its side-0 match
+        (3, unit(0.45), 1),
+        (4, unit(0.50), 1),
+        (5, unit(0.35), 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, side int"
+    )
+    edges = knn_graph_exact(df, k=3, label_col="side")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["margin_bp"]
+        for r in margin_mutual_pairs(edges).collect()
+    }
+    assert (1, 2) in pairs
+    # the genuine pair's margin clears the hub's by a real gap
+    hub_margins = [m for (a, b), m in pairs.items() if a == 0 or b == 0]
+    assert all(pairs[(1, 2)] > m for m in hub_margins)
