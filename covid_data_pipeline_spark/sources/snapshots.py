@@ -438,6 +438,7 @@ class SnapshotWarehouse:
         table: str,
         partition_by: Sequence[str] | None = None,
         target_file_rows: int | None = None,
+        sort_by: Sequence[str] | None = None,
     ) -> int:
         """Rewrite the current snapshot's data into one fresh batch and
         commit it (Iceberg ``rewrite_data_files``): the many small files
@@ -447,6 +448,16 @@ class SnapshotWarehouse:
         survive it; reclaim bytes later with :meth:`expire_snapshots`).
         ``target_file_rows`` caps rows per output file via
         ``maxRecordsPerFile`` when given. Returns the new version.
+
+        ``sort_by`` makes it a SORTED compaction (Iceberg
+        ``rewrite_data_files(strategy => 'sort')``): a range
+        repartition + within-partition sort lays rows out in key order,
+        so output files get disjoint footer envelopes and
+        :meth:`read_pruned` / engine row-group skipping become
+        effective again — the fix `maintenance.clustering_overlap`
+        prescribes when overlap has decayed. Combine with
+        ``target_file_rows`` to bound file size; the range exchange is
+        one shuffle of the table, the price of re-clustering.
 
         ``partition_by=None`` PRESERVES the table's existing hive
         layout (inferred from the current snapshot's file paths) — a
@@ -467,6 +478,9 @@ class SnapshotWarehouse:
                 )
             partition_by = list(next(iter(keysets))) if keysets else None
         df = self.read(table)
+        if sort_by:
+            cols = [F.col(c) for c in sort_by]
+            df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
         new = self._write_batch(
             df, table, partition_by, max_records_per_file=target_file_rows
         )
@@ -540,3 +554,89 @@ class SnapshotWarehouse:
                         deleted += 1
             os.remove(os.path.join(self._snap_dir(table), f"v{v}.json"))
         return deleted
+
+    # -- data skipping -----------------------------------------------------
+    def prune_files(
+        self,
+        table: str,
+        column: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> tuple[list[str], int]:
+        """Manifest-level min/max file skipping (Iceberg's
+        lower_bounds/upper_bounds scan planning, sourced from the
+        parquet FOOTERS of the alive files): return ``(kept_files,
+        total_files)`` where a file is kept iff its ``column`` envelope
+        across row groups can intersect ``[lo, hi]`` (either bound may
+        be None for a half-open range).
+
+        Safety over skipping: files with no footer stats for the
+        column (all-NULL file, missing column in an old batch, stats
+        disabled) are KEPT — pruning may only ever remove files that
+        provably contain no matching row, so the residual filter in
+        :meth:`read_pruned` alone decides correctness.
+
+        Planning is a driver-side footer sweep — O(files) metadata
+        reads, KBs each, exactly what an Iceberg manifest scan does —
+        and pairs with clustered writes
+        (``operators/scale.py::write_zordered``, :meth:`compact` with
+        a sort): on a sorted table the envelopes are disjoint and a
+        point/range read touches O(matching) files instead of all of
+        them. Hive-partition pruning is NOT re-implemented here —
+        partitioned reads recover partition dirs natively and Spark
+        prunes them from the path predicate."""
+        import pyarrow.parquet as pq
+
+        v = version if version is not None else self.current_version(table)
+        if v is None:
+            raise FileNotFoundError(f"no snapshots for table {table}")
+        files = self._manifest(table, v)["files"]
+        kept = []
+        for rel in files:
+            md = pq.ParquetFile(
+                os.path.join(self._data_dir(table), rel)
+            ).metadata
+            flo = fhi = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema != column or col.statistics is None:
+                        continue
+                    st = col.statistics
+                    if not st.has_min_max:
+                        continue
+                    flo = st.min if flo is None else min(flo, st.min)
+                    fhi = st.max if fhi is None else max(fhi, st.max)
+            if flo is None:
+                kept.append(rel)  # no stats: must keep
+                continue
+            if (lo is not None and fhi < lo) or (hi is not None and flo > hi):
+                continue
+            kept.append(rel)
+        return kept, len(files)
+
+    def read_pruned(
+        self,
+        table: str,
+        column: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Range read with manifest-level data skipping: scan only the
+        files :meth:`prune_files` keeps, then apply the exact residual
+        predicate — pruning can only shrink the scan, never change the
+        result (equality with a full-scan filter is the tested
+        contract)."""
+        kept, _total = self.prune_files(table, column, lo, hi, version)
+        if not kept:
+            base = self.read(table, version).limit(0)
+        else:
+            base = self._read_file_list(table, kept)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(column) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(column) <= F.lit(hi))
+        return base.filter(cond)

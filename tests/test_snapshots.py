@@ -381,3 +381,86 @@ def test_remove_orphans_cleans_crashed_spark_batch(spark, sw, tmp_path):
         os.path.join(sw._data_dir("ods.t"), "batch-crashed")
     )
     assert sw.read("ods.t").count() == 1
+
+
+def test_read_pruned_skips_disjoint_files(spark, sw):
+    # four appends with disjoint id ranges -> four files with disjoint
+    # footer envelopes
+    for base in (0, 1000, 2000, 3000):
+        df = spark.range(base, base + 1000).select(
+            F.col("id"), (F.col("id") * 2).alias("val")
+        )
+        sw.append(df.coalesce(1), "t")
+
+    kept, total = sw.prune_files("t", "id", lo=2100, hi=2300)
+    assert total == 4 and len(kept) == 1
+
+    pruned = sw.read_pruned("t", "id", lo=2100, hi=2300)
+    full = sw.read("t").filter((F.col("id") >= 2100) & (F.col("id") <= 2300))
+    assert sorted(r["id"] for r in pruned.collect()) == sorted(
+        r["id"] for r in full.collect()
+    )
+
+    # half-open ranges
+    kept_lo, _ = sw.prune_files("t", "id", lo=3500)
+    assert len(kept_lo) == 1
+    assert sw.read_pruned("t", "id", lo=3500).count() == 500
+    kept_hi, _ = sw.prune_files("t", "id", hi=999)
+    assert len(kept_hi) == 1
+
+    # no matching range: zero files, empty result with the schema
+    kept_none, _ = sw.prune_files("t", "id", lo=10_000)
+    assert kept_none == []
+    empty = sw.read_pruned("t", "id", lo=10_000)
+    assert empty.count() == 0 and set(empty.columns) == {"id", "val"}
+
+
+def test_read_pruned_unclustered_keeps_all_and_matches(spark, sw):
+    # round-robin ids: every file's envelope spans the whole domain, so
+    # pruning keeps everything and the result still matches a full scan
+    for r in range(3):
+        df = spark.range(1000).select(
+            (F.col("id") * 3 + r).alias("id"),
+            (F.col("id") % 7).alias("val"),
+        )
+        sw.append(df.coalesce(1), "u")
+    kept, total = sw.prune_files("u", "id", lo=100, hi=200)
+    assert len(kept) == total == 3
+    pruned = sw.read_pruned("u", "id", lo=100, hi=200)
+    full = sw.read("u").filter(F.col("id").between(100, 200))
+    assert pruned.count() == full.count() > 0
+
+
+def test_read_pruned_keeps_all_null_stat_files(spark, sw):
+    # a file whose pruned column is entirely NULL has no min/max stats
+    # and must be kept (then filtered row-wise), never skipped
+    a = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id bigint, v double")
+    b = spark.createDataFrame(
+        [(None, 30.0), (None, 40.0)], "id bigint, v double"
+    )
+    sw.append(a.coalesce(1), "n")
+    sw.append(b.coalesce(1), "n")
+    kept, total = sw.prune_files("n", "id", lo=0, hi=100)
+    assert total == 2 and len(kept) == 2
+    assert sw.read_pruned("n", "id", lo=0, hi=100).count() == 2
+
+
+def test_read_pruned_after_compact_sorted(spark, sw):
+    # compaction rewrites scattered appends; a sorted rewrite restores
+    # data skipping on the clustered column
+    import random
+
+    rng = random.Random(3)
+    ids = list(range(4000))
+    rng.shuffle(ids)
+    for chunk in range(4):
+        rows = [(i,) for i in ids[chunk * 1000 : (chunk + 1) * 1000]]
+        sw.append(
+            spark.createDataFrame(rows, "id bigint").coalesce(1), "c"
+        )
+    kept_before, total_before = sw.prune_files("c", "id", lo=100, hi=150)
+    assert len(kept_before) == total_before == 4  # no skipping possible
+    sw.compact("c", target_file_rows=1000, sort_by=["id"])
+    kept_after, total_after = sw.prune_files("c", "id", lo=100, hi=150)
+    assert total_after >= 4 and len(kept_after) == 1
+    assert sw.read_pruned("c", "id", lo=100, hi=150).count() == 51
