@@ -1405,3 +1405,74 @@ def retention_matrix_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("retention_bp"),
     )
+
+
+_MAD_OUTLIERS_ORACLE = """
+WITH q AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 100) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL
+),
+vc AS (SELECT event_type, vq, COUNT(*) AS c FROM q GROUP BY 1, 2),
+vcum AS (
+  SELECT event_type, vq,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY vq
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM vc
+),
+med AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= (n + 1) // 2 THEN vq END) AS med_q
+  FROM vcum GROUP BY 1
+),
+dc AS (
+  SELECT v.event_type, ABS(v.vq - m.med_q) AS dq, SUM(c) AS c
+  FROM vc v JOIN med m ON v.event_type = m.event_type GROUP BY 1, 2
+),
+dcum AS (
+  SELECT event_type, dq,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY dq
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM dc
+),
+mad AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= (n + 1) // 2 THEN dq END) AS mad_q
+  FROM dcum GROUP BY 1
+)
+SELECT q.event_id, q.event_type, q.vq AS value_q, m.med_q, d.mad_q
+FROM q
+JOIN med m ON q.event_type = m.event_type
+JOIN mad d ON q.event_type = d.event_type
+WHERE ABS(q.vq - m.med_q) > 3 * d.mad_q
+"""
+
+
+@register(
+    "events_mad_outliers",
+    _MAD_OUTLIERS_ORACLE,
+    tags=("events", "quality", "anomaly"),
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type value anomalies via the median/MAD rule
+    (`operators/relational.py::mad_outliers`): |v − median| > 3·MAD,
+    with both medians as exact lower-median order statistics over
+    integer cents — the 50%-breakdown alternative to 3σ on heavy-tailed
+    value columns, computed by domain compression (medians selected
+    from the distinct-value count relation, never a sort of the raw
+    events)."""
+    from covid_data_pipeline_spark.operators.relational import mad_outliers
+
+    ev = table(spark, sf_dir, "events")
+    flagged = mad_outliers(ev, ["event_type"], "value", k=3, scale=100)
+    return flagged.filter(F.col("is_outlier")).select(
+        "event_id",
+        "event_type",
+        F.col("__vq").alias("value_q"),
+        "med_q",
+        "mad_q",
+    )

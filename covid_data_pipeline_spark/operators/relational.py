@@ -165,3 +165,93 @@ def winsorize_bounds(
             F.sum(F.when(v > F.col("hi_bound"), 1).otherwise(0)).alias("n_above"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 3,
+    scale: int = 100,
+) -> DataFrame:
+    """Robust per-group outlier flags via the median / MAD rule:
+    a row is an outlier when ``|v − median| > k · MAD`` where MAD is
+    the median absolute deviation of its group. Unlike mean/σ z-scores,
+    both statistics have a 50% breakdown point — the outliers being
+    hunted cannot drag the threshold toward themselves (the classic
+    failure of 3σ rules on heavy-tailed value columns).
+
+    Everything is integer-exact (repo float policy): values enter as
+    ``floor(v · scale)`` BIGINTs, both medians are LOWER medians — the
+    exact order statistic at rank ``ceil(n/2)``, never an interpolated
+    quantile — and the flag compares ``|v_i − med| > k · MAD`` in
+    BIGINT, so the flagged set is bit-identical on any engine or
+    partitioning.
+
+    Scale shape — DOMAIN COMPRESSION, the same trick as
+    ``token_mass_percentiles``: medians are selected from the per-group
+    DISTINCT-value count relation (|groups × distinct values| rows,
+    orders of magnitude under the corpus), so no stage sorts or windows
+    the raw rows. Two compressed median passes (values, then absolute
+    deviations), then the per-group (median, MAD) pair — |groups| rows
+    — re-enters through a group-keyed join for the final map-side flag.
+
+    Returns ``df`` plus ``__vq`` (the quantized value), ``med_q``,
+    ``mad_q``, and ``is_outlier``. Rows with NULL values get
+    ``is_outlier = NULL`` and do not participate in the statistics."""
+    from pyspark.sql.window import Window
+
+    groups = list(group_cols)
+    vq = F.floor(F.col(value_col) * F.lit(scale)).cast("bigint")
+    quant = df.withColumn("__vq", vq)
+
+    def _lower_median(rel: DataFrame, col: str) -> DataFrame:
+        """rel = (groups..., col, __c) distinct-value counts → one row
+        per group with the lower median of the expanded multiset."""
+        w_cum = (
+            Window.partitionBy(*groups)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy(*groups)
+        with_cum = rel.select(
+            *groups,
+            F.col(col),
+            F.sum("__c").over(w_cum).alias("__cum"),
+            F.sum("__c").over(w_all).alias("__n"),
+        )
+        return with_cum.groupBy(*groups).agg(
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.expr("(__n + 1) div 2"), F.col(col)
+                )
+            ).alias("__med")
+        )
+
+    val_counts = (
+        quant.filter(F.col("__vq").isNotNull())
+        .groupBy(*groups, "__vq")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    med = _lower_median(val_counts, "__vq").withColumnRenamed("__med", "med_q")
+
+    dev_counts = (
+        val_counts.join(med, groups)
+        .select(
+            *groups,
+            F.abs(F.col("__vq") - F.col("med_q")).alias("__dq"),
+            "__c",
+        )
+        .groupBy(*groups, "__dq")
+        .agg(F.sum("__c").alias("__c"))
+    )
+    mad = _lower_median(dev_counts, "__dq").withColumnRenamed("__med", "mad_q")
+
+    stats = med.join(mad, groups)
+    return quant.join(stats, groups, "left").withColumn(
+        "is_outlier",
+        F.when(
+            F.col("__vq").isNotNull(),
+            F.abs(F.col("__vq") - F.col("med_q")) > F.lit(k) * F.col("mad_q"),
+        ),
+    )

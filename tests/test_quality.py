@@ -150,3 +150,48 @@ def test_profile_columns_approx_path_no_expand(spark):
     assert got["k"]["n_nulls"] == 0 and got["k"]["n_rows"] == 10_000
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan  # sketches need no row expansion
+
+
+def test_mad_outliers_planted_and_robust(spark):
+    from covid_data_pipeline_spark.operators.relational import mad_outliers
+
+    # group g: tight cluster around 10.00 with two wild points; the
+    # wild points must be flagged and must NOT drag the median/MAD
+    rows = [(i, "g", 10.0 + (i % 5) * 0.01) for i in range(20)]
+    rows += [(100, "g", 500.0), (101, "g", -300.0)]
+    # group h: constant values -> MAD 0, any deviation is an outlier
+    rows += [(200, "h", 1.0), (201, "h", 1.0), (202, "h", 1.0), (203, "h", 7.0)]
+    # NULL value: excluded from stats, NULL flag
+    rows += [(300, "g", None)]
+    df = spark.createDataFrame(rows, "id long, grp string, value double")
+    out = mad_outliers(df, ["grp"], "value", k=3).collect()
+    flags = {r["id"]: r["is_outlier"] for r in out}
+    assert flags[100] and flags[101]
+    assert not any(flags[i] for i in range(20))
+    assert flags[203] and not flags[200]
+    assert flags[300] is None
+    g = next(r for r in out if r["id"] == 0)
+    assert g["med_q"] == 1002  # lower median of 10.00..10.04 cents
+    assert g["mad_q"] <= 2  # wild points did not inflate the MAD
+
+
+def test_mad_outliers_partitioning_invariant(spark):
+    from covid_data_pipeline_spark.operators.relational import mad_outliers
+
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.choice(["a", "b", "c"]), round(rng.gauss(50, 5), 2))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, value double")
+    base = {
+        (r["id"], r["is_outlier"])
+        for r in mad_outliers(df, ["grp"], "value").collect()
+    }
+    rep = {
+        (r["id"], r["is_outlier"])
+        for r in mad_outliers(df.repartition(13), ["grp"], "value").collect()
+    }
+    assert base == rep
