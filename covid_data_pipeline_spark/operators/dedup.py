@@ -751,3 +751,65 @@ def containment_pairs(
             F.col("n").alias("n_a"),
         )
     )
+
+
+def optimal_lsh_params(
+    threshold: float,
+    num_hashes: int,
+    fp_weight: float = 0.5,
+    integration_steps: int = 1000,
+) -> tuple[int, int]:
+    """Pick the banding ``(bands, rows_per_band)`` that minimizes the
+    weighted false-positive/false-negative mass of the MinHash-LSH
+    S-curve for a target Jaccard ``threshold`` (the datasketch
+    ``_optimal_param`` construction, public knowledge from Leskovec et
+    al., *Mining of Massive Datasets* §3.4).
+
+    For a pair with true similarity s, banded LSH with b bands of r
+    rows collides with probability ``1 − (1 − s^r)^b``. The tuner
+    integrates that curve's false-positive area below the threshold and
+    false-negative area above it (midpoint rule, ``integration_steps``
+    slices — deterministic, driver-side, microseconds) for every
+    ``b·r ≤ num_hashes`` and returns the argmin of
+    ``fp_weight·FP + (1−fp_weight)·FN``.
+
+    Raise ``fp_weight`` when verification (exact Jaccard on candidate
+    pairs) is expensive and spurious candidates hurt; lower it when
+    missing a true duplicate is the costlier error (e.g. dedup before
+    a training run, where a miss leaks a duplicate into the corpus).
+
+    Use it to size :func:`minhash_dedup` /
+    :func:`lsh_candidate_pairs`::
+
+        bands, _r = optimal_lsh_params(0.8, num_hashes=128)
+        minhash_dedup(docs, num_hashes=128, bands=bands, threshold=0.8)
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+
+    def _fp(b: int, r: int) -> float:
+        area = 0.0
+        step = threshold / integration_steps
+        for i in range(integration_steps):
+            s = (i + 0.5) * step
+            area += (1.0 - (1.0 - s**r) ** b) * step
+        return area
+
+    def _fn(b: int, r: int) -> float:
+        area = 0.0
+        step = (1.0 - threshold) / integration_steps
+        for i in range(integration_steps):
+            s = threshold + (i + 0.5) * step
+            area += (1.0 - (1.0 - s**r) ** b) * step
+        return (1.0 - threshold) - area
+
+    best, best_cost = None, None
+    for b in range(1, num_hashes + 1):
+        r = num_hashes // b
+        if r == 0:
+            break
+        cost = fp_weight * _fp(b, r) + (1.0 - fp_weight) * _fn(b, r)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = (b, r), cost
+    assert best is not None
+    return best

@@ -827,3 +827,27 @@ def test_margin_cancels_hub_bias(spark):
     # the genuine pair's margin clears the hub's by a real gap
     hub_margins = [m for (a, b), m in pairs.items() if a == 0 or b == 0]
     assert all(pairs[(1, 2)] > m for m in hub_margins)
+
+
+def test_optimal_lsh_params_properties():
+    import pytest
+
+    from covid_data_pipeline_spark.operators.dedup import optimal_lsh_params
+
+    b50, r50 = optimal_lsh_params(0.5, 128)
+    b90, r90 = optimal_lsh_params(0.9, 128)
+    assert b50 * r50 <= 128 and b90 * r90 <= 128
+    # higher thresholds need more selective bands (more rows per band)
+    assert r90 > r50
+    # FN-averse weighting favors MORE bands (higher collision curve)
+    b_bal, _ = optimal_lsh_params(0.8, 128, fp_weight=0.5)
+    b_fn, _ = optimal_lsh_params(0.8, 128, fp_weight=0.1)
+    assert b_fn > b_bal
+    # tuned params drive the real operator: the S-curve midpoint at the
+    # threshold stays meaningful (collision prob at s=t in (0.3, 0.9))
+    for t in (0.5, 0.7, 0.9):
+        b, r = optimal_lsh_params(t, 128)
+        p = 1.0 - (1.0 - t**r) ** b
+        assert 0.3 < p < 0.95
+    with pytest.raises(ValueError):
+        optimal_lsh_params(1.5, 128)

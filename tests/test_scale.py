@@ -360,3 +360,4 @@ def test_split_skew_join_rejects_reserved_columns(spark):
     right = spark.createDataFrame([(1, 2)], "k long, rv long")
     with pytest.raises(ValueError, match="__hot"):
         split_skew_join(left, right, on=["k"])
+

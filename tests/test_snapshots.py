@@ -464,3 +464,18 @@ def test_read_pruned_after_compact_sorted(spark, sw):
     kept_after, total_after = sw.prune_files("c", "id", lo=100, hi=150)
     assert total_after >= 4 and len(kept_after) == 1
     assert sw.read_pruned("c", "id", lo=100, hi=150).count() == 51
+
+
+def test_schema_evolution_append_adds_column(spark, sw):
+    # Iceberg-style additive evolution: an append with a NEW column
+    # must not rewrite old batches; readers see NULLs for old rows
+    v1 = spark.createDataFrame([(1, "a")], "id bigint, x string")
+    sw.append(v1.coalesce(1), "evo")
+    v2 = spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, x string, score double"
+    )
+    sw.append(v2.coalesce(1), "evo")
+    out = {r["id"]: (r["x"], r["score"]) for r in sw.read("evo").collect()}
+    assert out == {1: ("a", None), 2: ("b", 9.5)}
+    # time travel still reads the OLD schema for the old snapshot
+    assert "score" not in sw.read("evo", version=1).columns
