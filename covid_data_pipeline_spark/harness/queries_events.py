@@ -1456,6 +1456,7 @@ WHERE ABS(q.vq - m.med_q) > 3 * d.mad_q
     "events_mad_outliers",
     _MAD_OUTLIERS_ORACLE,
     tags=("events", "quality", "anomaly"),
+    bench=True,
 )
 def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type value anomalies via the median/MAD rule

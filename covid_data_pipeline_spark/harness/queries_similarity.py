@@ -1030,6 +1030,7 @@ WHERE f.margin_bp >= 10000
     "bitext_margin_pairs",
     _BITEXT_MARGIN_ORACLE,
     tags=("similarity", "bitext", "mining"),
+    bench=True,
 )
 def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCMatrix-style margin-based mutual-kNN mining

@@ -1190,3 +1190,173 @@ def docs_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         nfc(F.col("text")).alias("text_nfc"),
         (nfc(F.col("text")) == F.col("text")).alias("was_normalized"),
     )
+
+
+_BM25_QUERIES_SQL = """(VALUES
+    (1, 'spark hash join'),
+    (2, 'window agg batch stream'),
+    (3, 'slow query scan the')) q(query_id, qtext)"""
+
+_BM25_CORE_SQL = r"""
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+postings AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY 1),
+totals AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS s_toks FROM dl),
+qterms AS (
+  SELECT DISTINCT query_id,
+         unnest(regexp_split_to_array(trim(lower(qtext)), '\s+')) AS term
+  FROM qsrc
+),
+qvocab AS (SELECT DISTINCT term FROM qterms),
+dfreq AS (
+  SELECT p.term, COUNT(*) AS df
+  FROM postings p JOIN qvocab v ON p.term = v.term GROUP BY 1
+),
+matched AS (
+  SELECT qt.query_id, p.doc_id, p.tf, f.df, l.dl, t.n_docs, t.s_toks
+  FROM postings p
+  JOIN qterms qt ON p.term = qt.term
+  JOIN dfreq f ON p.term = f.term
+  JOIN dl l ON p.doc_id = l.doc_id, totals t
+),
+scored AS (
+  SELECT query_id, doc_id,
+         SUM(CAST(ROUND(
+           ln((2 * n_docs + 2)::DOUBLE / (2 * df + 1)::DOUBLE)
+           * ((22::HUGEINT * s_toks * tf)::DOUBLE
+              / (10::HUGEINT * s_toks * tf + 3::HUGEINT * s_toks
+                 + 9::HUGEINT * dl * n_docs)::DOUBLE),
+           6) AS DECIMAL(18,6))) AS s
+  FROM matched GROUP BY 1, 2
+),
+bm25_ranked AS (
+  SELECT query_id, doc_id, s,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY s DESC, doc_id) AS rn
+  FROM scored
+)"""
+
+_BM25_ORACLE = (
+    "WITH qsrc AS (SELECT * FROM "
+    + _BM25_QUERIES_SQL
+    + "),"
+    + _BM25_CORE_SQL
+    + """
+SELECT query_id, doc_id, CAST(ROUND(s, 4) AS DOUBLE) AS bm25
+FROM bm25_ranked WHERE rn <= 10
+"""
+)
+
+
+@register(
+    "bm25_search_docs",
+    _BM25_ORACLE,
+    tags=("text", "retrieval", "bm25"),
+    bench=True,
+)
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BM25 top-10 (`operators/retrieval.py::bm25_topk`)
+    for a fixed 3-query workload: one token shuffle builds the posting
+    relation, query terms broadcast against it, per-term scores are
+    exact integer ratios (ln of an integer ratio × a DECIMAL(38,0)
+    rational) rounded once and DECIMAL-summed — the ranking is
+    bit-stable on any engine/partitioning."""
+    from covid_data_pipeline_spark.operators.retrieval import bm25_topk
+
+    d = table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [
+            (1, "spark hash join"),
+            (2, "window agg batch stream"),
+            (3, "slow query scan the"),
+        ],
+        "query_id long, qtext string",
+    )
+    return bm25_topk(d, q, k=10)
+
+
+_HYBRID_ORACLE = (
+    """
+WITH qsrc AS (
+  SELECT doc_id AS query_id, text AS qtext FROM documents WHERE doc_id < 5
+),"""
+    + _BM25_CORE_SQL
+    + """,
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS dv
+  FROM embeddings
+),
+cos AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+         ROUND(list_dot_product(q.dv, e.dv)
+               / (sqrt(list_dot_product(q.dv, q.dv))
+                  * sqrt(list_dot_product(e.dv, e.dv))), 4) AS sim
+  FROM v q, v e WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+),
+cos_ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rn
+  FROM cos
+),
+contrib AS (
+  SELECT query_id, doc_id, 1000000000 // (60 + rn) AS c
+  FROM cos_ranked WHERE rn <= 10
+  UNION ALL
+  SELECT query_id, doc_id, 1000000000 // (60 + rn) AS c
+  FROM bm25_ranked WHERE rn <= 10
+),
+fused AS (
+  SELECT query_id, doc_id, SUM(c) AS rrf_score
+  FROM contrib GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rrf_score FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rn
+  FROM fused
+) WHERE rn <= 10
+"""
+)
+
+
+@register(
+    "hybrid_rrf_search",
+    _HYBRID_ORACLE,
+    tags=("text", "retrieval", "hybrid", "rrf"),
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid similar-document search: for 5 query documents, fuse the
+    exact embedding-cosine ranking with a BM25 ranking of the same
+    document's text (`operators/retrieval.py::rrf_fuse`) by reciprocal
+    rank — the calibration-free keyword+vector combination a retrieval
+    stack serves. Contributions are integer ``10⁹ div (60 + rank)`` so
+    the fused ranking hash-matches the SQL replay exactly."""
+    from covid_data_pipeline_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from covid_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    qdocs = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    bm25 = bm25_topk(d, qdocs, k=10)
+    qvecs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cos = cosine_topk_bruteforce(
+        emb, qvecs, k=10, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id",
+    ).withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse(
+        [cos, bm25],
+        k=10,
+        qid_col="query_id",
+        id_col="doc_id",
+        score_cols=["similarity", "bm25"],
+    )

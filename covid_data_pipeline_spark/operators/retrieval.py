@@ -1,0 +1,197 @@
+"""Distributed lexical retrieval: BM25 scoring and rank fusion.
+
+A curation/eval stack needs keyword retrieval next to the ANN stack
+(`operators/similarity.py`) — for eval-set mining, hard-negative
+candidates from lexical matches, and hybrid (keyword + vector) search.
+This module is the classic distributed BM25 shape: an inverted-posting
+relation built with one shuffle, query terms broadcast against it, and
+per-(query, doc) partial scores combined with map-side aggregation —
+the corpus text is scanned once and never re-shuffled whole.
+
+Float policy (repo-wide): BM25's term frequencies, document lengths and
+document frequencies are integers, so both BM25 factors are EXACT
+integer ratios evaluated with one correctly-rounded double division
+each — idf as ``ln`` of an integer ratio (the `doc_perplexity_bigram`
+pattern) — and per-term scores are rounded once and summed in DECIMAL,
+making the final ranking independent of partitioning and engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.functions.text import tokens
+
+_D38 = "decimal(38,0)"
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+) -> DataFrame:
+    """Top-k documents per query under BM25 (k1 = 1.2, b = 0.75, the
+    standard defaults) with the Lucene non-negative idf:
+
+        idf(t)      = ln((N + 1) / (df_t + 0.5))
+        tfpart(t,d) = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        score(q,d)  = Σ_{t ∈ q ∩ d}  idf(t) · tfpart(t, d)
+
+    With ``avgdl = S/N`` (S = corpus token count) and the constants
+    folded in, both factors are exact integer ratios::
+
+        idf    = ln( (2N + 2) / (2·df + 1) )
+        tfpart = 22·S·tf / (10·S·tf + 3·S + 9·dl·N)
+
+    evaluated in DECIMAL(38,0) products (BIGINT·BIGINT overflows ANSI
+    at warehouse scale) with a single double division each; per-term
+    scores round to 6dp once and sum in DECIMAL, so the ranking is
+    bit-stable across engines and partitionings (ties broken by
+    ``doc_id``).
+
+    Scale shape: the posting relation (doc, term, tf) costs ONE token
+    shuffle; query terms are exploded, deduped and BROADCAST against it
+    (queries are the small side by contract — thousands of terms, not
+    the corpus); per-term document frequencies are computed over the
+    postings *semi-joined to the query vocabulary* (never |vocab|-wide)
+    and re-enter broadcast; corpus totals ride a single-row broadcast
+    cross join. The only post-match shuffles carry matched postings:
+    one doc-keyed join for lengths, one (query, doc) aggregation, and a
+    WindowGroupLimit top-k."""
+    postings = (
+        docs.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(tokens(text_col)).alias("__term"),
+        )
+        .groupBy("__doc", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dl = postings.groupBy("__doc").agg(F.sum("__tf").alias("__dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("__N"), F.sum("__dl").alias("__S")
+    )
+
+    qterms = (
+        queries.select(
+            F.col(qid_col).alias("__qid"),
+            F.explode(F.array_distinct(tokens(qtext_col))).alias("__term"),
+        )
+        .distinct()
+    )
+    qvocab = qterms.select("__term").distinct()
+    dfreq = (
+        postings.join(F.broadcast(qvocab), "__term")
+        .groupBy("__term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+
+    d38 = lambda c: c.cast(_D38)  # noqa: E731
+    matched = (
+        postings.join(F.broadcast(qterms), "__term")
+        .join(F.broadcast(dfreq), "__term")
+        .join(dl, "__doc")
+        .crossJoin(F.broadcast(totals))
+    )
+    idf = F.log(
+        (2 * F.col("__N") + 2).cast("double")
+        / (2 * F.col("__df") + 1).cast("double")
+    )
+    num = F.lit(22).cast(_D38) * d38(F.col("__S")) * d38(F.col("__tf"))
+    den = (
+        F.lit(10).cast(_D38) * d38(F.col("__S")) * d38(F.col("__tf"))
+        + F.lit(3).cast(_D38) * d38(F.col("__S"))
+        + F.lit(9).cast(_D38) * d38(F.col("__dl")) * d38(F.col("__N"))
+    )
+    term_score = F.round(
+        idf * (num.cast("double") / den.cast("double")), 6
+    ).cast("decimal(18,6)")
+
+    scores = (
+        matched.withColumn("__ts", term_score)
+        .groupBy("__qid", "__doc")
+        .agg(F.sum("__ts").alias("__score"))
+    )
+
+    from covid_data_pipeline_spark.operators.windows import top_k_per_group
+
+    return top_k_per_group(
+        scores,
+        partition_by=["__qid"],
+        order_by=[F.col("__score").desc(), F.col("__doc")],
+        k=k,
+    ).select(
+        F.col("__qid").alias(qid_col),
+        F.col("__doc").alias(id_col),
+        # round the exact DECIMAL first, THEN cast (repo float policy:
+        # rounding an already-cast double re-rounds a rounded value)
+        F.round(F.col("__score"), 4).cast("double").alias("bm25"),
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    qid_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_cols: list[str] | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of per-query ranked
+    lists — the standard way to combine BM25 and ANN retrieval without
+    score calibration:  ``rrf(d) = Σ_systems 1 / (rrf_k + rank_d)``.
+
+    Each input frame is (qid, doc, score) ranked per query by its own
+    ``score_cols`` entry (descending, doc id tiebreak). Scores never
+    mix — only ranks do, so a system with wildly different score scales
+    (cosine in [−1,1] vs unbounded BM25) contributes equally.
+
+    Integer-exact: contributions are ``10^9 div (rrf_k + rank)``
+    (floor), summed as BIGINTs — no float reciprocal sums to diverge
+    across engines. Rank relations are per-query top lists (bounded),
+    so every stage after the inputs is small; fusion shuffles
+    |systems × queries × list length| rows at most."""
+    from pyspark.sql.window import Window
+
+    if score_cols is None:
+        score_cols = ["score"] * len(rankings)
+    if len(score_cols) != len(rankings):
+        raise ValueError("score_cols must match rankings")
+    contribs = []
+    for df, sc in zip(rankings, score_cols):
+        w = Window.partitionBy(qid_col).orderBy(
+            F.col(sc).desc(), F.col(id_col)
+        )
+        contribs.append(
+            df.select(
+                F.col(qid_col).alias("__qid"),
+                F.col(id_col).alias("__doc"),
+                F.row_number().over(w).alias("__rank"),
+            ).withColumn(
+                "__contrib",
+                F.expr(f"1000000000 div ({rrf_k} + __rank)").cast("bigint"),
+            )
+        )
+    all_c = contribs[0]
+    for c in contribs[1:]:
+        all_c = all_c.unionByName(c)
+    fused = all_c.groupBy("__qid", "__doc").agg(
+        F.sum("__contrib").alias("rrf_score")
+    )
+
+    from covid_data_pipeline_spark.operators.windows import top_k_per_group
+
+    return top_k_per_group(
+        fused,
+        partition_by=["__qid"],
+        order_by=[F.col("rrf_score").desc(), F.col("__doc")],
+        k=k,
+    ).select(
+        F.col("__qid").alias(qid_col),
+        F.col("__doc").alias(id_col),
+        "rrf_score",
+    )

@@ -1,0 +1,91 @@
+"""BM25 + reciprocal-rank fusion (operators/retrieval.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+
+def _docs(spark):
+    rows = [
+        (1, "spark spark spark join"),          # heavy on 'spark'
+        (2, "spark join hash table"),            # one of each
+        (3, "window agg batch window"),          # no query terms
+        (4, "spark"),                            # short doc, one hit
+        (5, "the the the the the the spark"),    # long, diluted
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_ranks_by_relevance(spark):
+    q = spark.createDataFrame([(1, "spark join")], "query_id long, qtext string")
+    out = bm25_topk(_docs(spark), q, k=10).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: -r["bm25"])]
+    # doc 3 has no query term: absent
+    assert 3 not in ranked
+    # docs with both terms beat single-term docs
+    assert set(ranked[:2]) == {1, 2}
+    # short exact hit (4) beats the diluted long doc (5): length norm
+    assert ranked.index(4) < ranked.index(5)
+    # scores positive (Lucene idf is non-negative)
+    assert all(r["bm25"] > 0 for r in out)
+
+
+def test_bm25_partitioning_invariant(spark, sf_dir):
+    from covid_data_pipeline_spark.harness.tables import table
+
+    d = table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(1, "spark hash join"), (2, "slow scan")],
+        "query_id long, qtext string",
+    )
+    a = {(r["query_id"], r["doc_id"], r["bm25"]) for r in bm25_topk(d, q).collect()}
+    b = {
+        (r["query_id"], r["doc_id"], r["bm25"])
+        for r in bm25_topk(d.repartition(13), q, k=10).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_rrf_fusion_prefers_agreement(spark):
+    # system A and B agree doc 10 is best; disagree on the rest.
+    a = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7)],
+        "query_id long, doc_id long, score double",
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 13, 4.0), (1, 12, 3.0)],
+        "query_id long, doc_id long, score double",
+    )
+    out = rrf_fuse([a, b], k=4).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: -r["rrf_score"])]
+    assert ranked[0] == 10                     # both rank-1
+    assert ranked[1] == 12                     # ranked by both (3rd+3rd)
+    # single-system docs score exactly one reciprocal contribution
+    scores = {r["doc_id"]: r["rrf_score"] for r in out}
+    assert scores[11] == 1_000_000_000 // 62
+    assert scores[13] == 1_000_000_000 // 62
+    assert scores[10] == 2 * (1_000_000_000 // 61)
+
+
+def test_rrf_score_cols_validation(spark):
+    a = spark.createDataFrame([(1, 1, 1.0)], "query_id long, doc_id long, s double")
+    with pytest.raises(ValueError, match="score_cols"):
+        rrf_fuse([a, a], score_cols=["s"])
+
+
+def test_bm25_plan_stays_jvm_side(spark, sf_dir):
+    from covid_data_pipeline_spark.harness.tables import table
+
+    d = table(spark, sf_dir, "documents")
+    q = spark.createDataFrame([(1, "spark join")], "query_id long, qtext string")
+    df = bm25_topk(d, q, k=10)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # no Python evaluation anywhere in the scoring path
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # query-side joins are broadcast: the posting relation is not
+    # shuffled for the match
+    assert "BroadcastHashJoin" in plan
