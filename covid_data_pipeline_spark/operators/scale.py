@@ -292,3 +292,28 @@ def with_bloom_join_confs(spark: SparkSession) -> dict[str, str]:
     for k, v in BLOOM_JOIN_CONFS.items():
         spark.conf.set(k, v)
     return before
+
+
+# Parquet footer-aggregate pushdown: MIN / MAX / COUNT answered from
+# row-group STATISTICS instead of scanning data pages — the V2 parquet
+# reader's PushedAggregation. At 100 TB a `SELECT max(ts) FROM events`
+# freshness probe or a partition-count audit becomes a metadata read
+# (KBs per file) instead of a full-column scan. Limits: no filters, no
+# group-by with unsupported types, and MIN/MAX decline on columns whose
+# footer stats are absent — Spark falls back to a normal scan, so the
+# confs are always safe to leave on for a maintenance session. The V1
+# reader ignores the feature, hence the empty useV1SourceList.
+FOOTER_AGG_CONFS: dict[str, str] = {
+    "spark.sql.sources.useV1SourceList": "",
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+
+def with_footer_agg_confs(spark: SparkSession) -> dict[str, str | None]:
+    """Enable footer-aggregate pushdown on this session; returns prior
+    values for restore (same contract as :func:`with_bloom_join_confs`).
+    Assert effectiveness via ``PushedAggregation`` in the BatchScan."""
+    before = {k: spark.conf.get(k, None) for k in FOOTER_AGG_CONFS}
+    for k, v in FOOTER_AGG_CONFS.items():
+        spark.conf.set(k, v)
+    return before

@@ -170,3 +170,40 @@ def stream_split_quarantine(
         wh.append(bad, quarantine_table)
 
     return _start(stream_df, _sink, checkpoint_dir, available_now)
+
+
+def stream_maintain_aggregate(
+    stream_df: DataFrame,
+    mv,
+    checkpoint_dir: str,
+    partition_by: Sequence[str] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream-maintained materialized aggregate: each micro-batch lands
+    in the MV's snapshot base table through the commit-marker append
+    (:func:`append_once` — replays are suppressed), then
+    ``mv.refresh()`` folds exactly the new snapshot delta into the
+    stored view (`sources/matview.py`).
+
+    End-to-end exactly-once without a transactional sink: the append is
+    idempotent by marker, and the refresh is idempotent by CURSOR — a
+    replayed batch whose append was suppressed leaves the base version
+    unchanged, so the refresh is a noop; a crash BETWEEN append and
+    refresh just widens the next refresh's delta (the CDF covers both
+    batches). The view equals a full recompute of the base table after
+    every batch — the matview equality tests' invariant, now riding a
+    stream.
+
+    At 100 TB this is the continuous-rollup pattern: the stream pays
+    one delta aggregation per batch (|batch groups| rows into the
+    merge), never a recompute of the base table. ``mv`` is a
+    ``sources.matview.MaterializedAggregate`` whose warehouse must be a
+    ``SnapshotWarehouse`` (the refresh cursor lives in its manifests)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_once(
+            mv.wh, mv.base_table, batch_df, batch_id, partition_by=partition_by
+        )
+        mv.refresh()
+
+    return _start(stream_df, _sink, checkpoint_dir, available_now)

@@ -361,3 +361,48 @@ def test_split_skew_join_rejects_reserved_columns(spark):
     with pytest.raises(ValueError, match="__hot"):
         split_skew_join(left, right, on=["k"])
 
+
+
+def test_footer_aggregate_pushdown(spark, sf_dir):
+    """MIN/MAX/COUNT pushed into the parquet footers (V2 BatchScan
+    PushedAggregation): the scan reads row-group statistics, not data
+    pages — what makes freshness probes and count audits metadata-cost
+    at 100 TB. Values must equal the normal scan's."""
+    from covid_data_pipeline_spark.operators.scale import (
+        with_footer_agg_confs,
+    )
+
+    path = f"{sf_dir}/lineitem.parquet"
+    plain = spark.read.parquet(path).agg(
+        F.min("l_quantity").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+
+    before = with_footer_agg_confs(spark)
+    try:
+        agg = spark.read.parquet(path).agg(
+            F.min("l_quantity").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in plan, plan[:600]
+        assert "BatchScan" in plan
+        got = agg.collect()[0]
+        assert (got["mn"], got["mx"], got["n"]) == (
+            plain["mn"], plain["mx"], plain["n"],
+        )
+        # with a residual filter the pushdown must DECLINE (stats can't
+        # answer it) and fall back to a correct full scan
+        filt = spark.read.parquet(path).filter(
+            F.col("l_discount") > 0.05
+        ).agg(F.count(F.lit(1)).alias("n"))
+        fplan = filt._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: []" in fplan or "PushedAggregation" not in fplan
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -653,3 +653,61 @@ def test_stream_pq_encode_equals_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM pq_stream").collect()
     }
     assert stream_codes == batch_codes
+
+
+def test_stream_maintained_aggregate_equals_batch(spark, tmp_path):
+    """stream_maintain_aggregate: MV refreshed per micro-batch must
+    equal a full recompute of the base table after the stream drains;
+    replayed batches change nothing (append suppressed -> cursor noop)."""
+    from covid_data_pipeline_spark.sources.matview import (
+        MaterializedAggregate,
+        aggregate_state,
+    )
+    from covid_data_pipeline_spark.sources.snapshots import SnapshotWarehouse
+    from covid_data_pipeline_spark.streaming.pipeline import (
+        append_once,
+        stream_maintain_aggregate,
+    )
+
+    swh = SnapshotWarehouse(spark, str(tmp_path / "swh"))
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id bigint, grp string, amount double"
+    ).write.parquet(str(src_dir / "f1.parquet"))
+    spark.createDataFrame(
+        [(3, "a", 3.0), (4, "c", None)], "id bigint, grp string, amount double"
+    ).write.parquet(str(src_dir / "f2.parquet"))
+
+    mv = MaterializedAggregate(
+        swh, "sales", keys=["id"], group_cols=["grp"], sum_cols=["amount"]
+    )
+    stream = (
+        spark.readStream.schema("id bigint, grp string, amount double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    q = stream_maintain_aggregate(stream, mv, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    def rows(df):
+        return sorted(
+            (r["grp"], r["mv_count"], r["sum_amount"]) for r in df.collect()
+        )
+
+    base = swh.read("sales")
+    assert base.count() == 4
+    assert rows(mv.read()) == rows(aggregate_state(base, ["grp"], ["amount"]))
+    # maxFilesPerTrigger=1 -> the view was refreshed per batch
+    assert mv.refreshed_version() == swh.current_version("sales") >= 2
+
+    # replay of an already-committed micro-batch: append suppressed,
+    # cursor already current, view version unchanged
+    v_before = swh.current_version(mv.view_table)
+    replay = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id bigint, grp string, amount double"
+    )
+    assert append_once(swh, "sales", replay, batch_id=0) is False
+    assert mv.refresh()["mode"] == "noop"
+    assert swh.current_version(mv.view_table) == v_before
+    assert rows(mv.read()) == rows(aggregate_state(base, ["grp"], ["amount"]))
