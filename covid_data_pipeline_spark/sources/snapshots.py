@@ -31,7 +31,7 @@ import uuid
 from collections.abc import Sequence
 from urllib.parse import unquote, urlparse
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -640,3 +640,107 @@ class SnapshotWarehouse:
         if hi is not None:
             cond = cond & (F.col(column) <= F.lit(hi))
         return base.filter(cond)
+
+    # -- row-level DML (Delta DELETE/UPDATE parity, copy-on-write) --------
+    def _inferred_partition_by(self, table: str) -> list[str] | None:
+        keysets = {
+            tuple(k for k, _ in _parts_from_relpath(f))
+            for f in self._alive_files(table)
+        }
+        keysets.discard(())
+        if len(keysets) > 1:
+            raise ValueError(
+                f"{table}: mixed partition layouts {sorted(keysets)} — "
+                "pass partition_by explicitly"
+            )
+        return list(next(iter(keysets))) if keysets else None
+
+    def _rewrite_where(
+        self,
+        table: str,
+        predicate,
+        transform,
+        op: str,
+        partition_by: Sequence[str] | None,
+    ) -> int:
+        """Copy-on-write DML core: ONE tagged scan finds the data files
+        containing rows where ``predicate`` IS TRUE; only those files
+        are rewritten through ``transform``; untouched files keep their
+        manifest entries byte-for-byte. Returns the matched row count
+        (0 ⇒ no new version committed). Cost is O(files with hits) —
+        the purge_keys shape generalized to arbitrary predicates."""
+        hit = F.coalesce(predicate, F.lit(False))
+        alive = self._alive_files(table)
+        if not alive:
+            return 0
+        data_dir = self._data_dir(table)
+        hit_paths = (
+            self._read_file_list(table, alive, tag_path=True)
+            .filter(hit)
+            .groupBy(F.col("__file_path").alias("__f"))
+            .agg(F.count(F.lit(1)).alias("__hits"))
+            .collect()
+        )
+        if not hit_paths:
+            return 0
+        if partition_by is None:
+            partition_by = self._inferred_partition_by(table)
+        hit_rel = {
+            os.path.relpath(unquote(urlparse(r["__f"]).path), data_dir)
+            for r in hit_paths
+        }
+        keep = [f for f in alive if f not in hit_rel]
+        rewritten = transform(
+            self._read_file_list(table, sorted(hit_rel)), hit
+        )
+        new = self._write_batch(rewritten, table, partition_by)
+        self._commit(table, keep + new, op)
+        return sum(r["__hits"] for r in hit_paths)
+
+    def delete_where(
+        self,
+        table: str,
+        predicate,
+        partition_by: Sequence[str] | None = None,
+    ) -> int:
+        """``DELETE FROM table WHERE predicate`` with SQL semantics:
+        rows where the predicate is TRUE are removed; FALSE and NULL
+        rows survive. Copy-on-write: only files containing a match are
+        rewritten; prior snapshots still read the old files (time
+        travel shows pre-delete state; reclaim with
+        :meth:`expire_snapshots`). Returns deleted row count."""
+        return self._rewrite_where(
+            table,
+            predicate,
+            lambda df, hit: df.filter(~hit),
+            "delete",
+            partition_by,
+        )
+
+    def update_where(
+        self,
+        table: str,
+        predicate,
+        set_exprs: dict,
+        partition_by: Sequence[str] | None = None,
+    ) -> int:
+        """``UPDATE table SET col = expr, … WHERE predicate``
+        (copy-on-write): matched rows get each ``set_exprs`` column
+        replaced (expressions may reference existing columns — the
+        standard ``SET total = total * 1.1`` shape); unmatched rows in
+        rewritten files are carried byte-equal. Updating a hive
+        partition column moves the row to its new partition directory
+        in the rewrite. Returns updated row count."""
+        def _apply(df: DataFrame, hit) -> DataFrame:
+            missing = [c for c in set_exprs if c not in df.columns]
+            if missing:
+                raise ValueError(f"{table}: SET on unknown columns {missing}")
+            out = df
+            for c, expr in set_exprs.items():
+                e = expr if isinstance(expr, Column) else F.lit(expr)
+                out = out.withColumn(c, F.when(hit, e).otherwise(F.col(c)))
+            return out
+
+        return self._rewrite_where(
+            table, predicate, _apply, "update", partition_by
+        )

@@ -479,3 +479,68 @@ def test_schema_evolution_append_adds_column(spark, sw):
     assert out == {1: ("a", None), 2: ("b", 9.5)}
     # time travel still reads the OLD schema for the old snapshot
     assert "score" not in sw.read("evo", version=1).columns
+
+
+def test_delete_where_rewrites_only_hit_files(spark, sw):
+    for base, part in ((0, "x"), (1000, "y"), (2000, "z")):
+        df = spark.range(base, base + 100).select(
+            F.col("id"), F.lit(part).alias("part"), (F.col("id") % 7).alias("v")
+        )
+        sw.append(df.coalesce(1), "d", partition_by=["part"])
+    v_before = sw.current_version("d")
+    files_before = set(sw._alive_files("d"))
+
+    n = sw.delete_where("d", (F.col("id") >= 1010) & (F.col("id") < 1020))
+    assert n == 10
+    assert sw.read("d").count() == 290
+    # only the y-partition file was rewritten
+    files_after = set(sw._alive_files("d"))
+    untouched = files_before & files_after
+    assert len(untouched) == 2
+    assert all("part=x" in f or "part=z" in f for f in untouched)
+    # layout preserved: rewritten rows still live under part=y
+    assert any("part=y" in f for f in files_after - files_before)
+    # time travel still shows pre-delete state
+    assert sw.read("d", version=v_before).count() == 300
+
+    # NULL-predicate rows survive (SQL DELETE semantics)
+    sw.append(
+        spark.createDataFrame(
+            [(9000, None, 1)], "id bigint, part string, v bigint"
+        ).coalesce(1),
+        "d",
+    )
+    n2 = sw.delete_where("d", F.col("part") == "never")  # NULL -> not deleted
+    assert n2 == 0
+    assert sw.current_version("d") == v_before + 2  # no-hit: no new version
+    assert sw.read("d").count() == 291
+
+
+def test_update_where_copy_on_write(spark, sw):
+    for base in (0, 1000):
+        df = spark.range(base, base + 100).select(
+            F.col("id"), (F.col("id") % 5).cast("double").alias("score")
+        )
+        sw.append(df.coalesce(1), "u")
+    v0 = sw.current_version("u")
+    n = sw.update_where(
+        "u",
+        F.col("id") < 50,
+        {"score": F.col("score") * 10 + 1},
+    )
+    assert n == 50
+    got = {r["id"]: r["score"] for r in sw.read("u").collect()}
+    assert got[3] == (3 % 5) * 10 + 1
+    assert got[60] == 60 % 5          # unmatched row in rewritten file intact
+    assert got[1001] == 1001 % 5      # untouched file intact
+    assert len(got) == 200
+    # only the first file rewritten
+    assert sw._manifest("u", v0 + 1)["op"] == "update"
+    # unknown SET column rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        sw.update_where("u", F.col("id") < 5, {"nope": 1})
+    # literal (non-Column) SET value works
+    assert sw.update_where("u", F.col("id") == 1050, {"score": 0.5}) == 1
+    assert {r["score"] for r in sw.read("u").where("id = 1050").collect()} == {0.5}
