@@ -744,3 +744,81 @@ class SnapshotWarehouse:
         return self._rewrite_where(
             table, predicate, _apply, "update", partition_by
         )
+
+    def merge_into(
+        self,
+        table: str,
+        source: DataFrame,
+        on: Sequence[str],
+        partition_by: Sequence[str] | None = None,
+    ) -> dict:
+        """``MERGE INTO table USING source ON keys`` — matched target
+        rows take the source row's non-key columns (WHEN MATCHED THEN
+        UPDATE SET *), unmatched source rows insert (WHEN NOT MATCHED
+        THEN INSERT *). The Delta/Iceberg upsert verb, copy-on-write:
+
+        * hit files — the only files containing any matching key — are
+          found with ONE broadcast-semi-join tagged scan and rewritten;
+          every other file keeps its manifest entry byte-for-byte, so
+          cost is O(files with matches + inserts), not O(table);
+        * "not matched" needs no full-table key scan: any target match
+          lives in a hit file by construction, so inserts are the
+          source anti-joined against hit-file rows only;
+        * standard MERGE cardinality contract enforced — duplicate keys
+          in the source would make the update non-deterministic and
+          raise instead.
+
+        Returns ``{"updated": n, "inserted": n}``. Prior snapshots time
+        travel to the pre-merge state."""
+        on = list(on)
+        if set(source.columns) != set(self.read(table).limit(0).columns):
+            raise ValueError(
+                f"{table}: merge source columns {sorted(source.columns)} "
+                "must equal target columns"
+            )
+        if source.groupBy(*on).count().filter("count > 1").limit(1).count():
+            raise ValueError(
+                f"merge source has duplicate keys on {on} — the update "
+                "would be non-deterministic (standard MERGE constraint)"
+            )
+        if partition_by is None:
+            partition_by = self._inferred_partition_by(table)
+        data_dir = self._data_dir(table)
+        alive = self._alive_files(table)
+        src = source.persist()
+        keys = F.broadcast(src.select(*on).distinct())
+        hit_paths = (
+            self._read_file_list(table, alive, tag_path=True)
+            .join(keys, on=on, how="left_semi")
+            .select("__file_path")
+            .distinct()
+            .collect()
+        )
+        hit_rel = sorted(
+            os.path.relpath(unquote(urlparse(r["__file_path"]).path), data_dir)
+            for r in hit_paths
+        )
+        keep = [f for f in alive if f not in set(hit_rel)]
+        if hit_rel:
+            hit_rows = self._read_file_list(table, hit_rel)
+            survivors = hit_rows.join(keys, on=on, how="left_anti")
+            matched = hit_rows.select(*on).join(
+                F.broadcast(src.select(*on).distinct()), on=on, how="left_semi"
+            ).distinct()
+            updated = src.join(matched, on=on, how="left_semi")
+            inserts = src.join(hit_rows.select(*on).distinct(), on=on, how="left_anti")
+            cols = self.read(table).limit(0).columns
+            new_rows = (
+                survivors.select(*cols)
+                .unionByName(updated.select(*cols))
+                .unionByName(inserts.select(*cols))
+            )
+            n_upd = updated.count()
+            n_ins = inserts.count()
+        else:
+            new_rows = src
+            n_upd, n_ins = 0, src.count()
+        new = self._write_batch(new_rows, table, partition_by)
+        self._commit(table, keep + new, "merge")
+        src.unpersist()
+        return {"updated": n_upd, "inserted": n_ins}

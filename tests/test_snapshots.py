@@ -544,3 +544,62 @@ def test_update_where_copy_on_write(spark, sw):
     # literal (non-Column) SET value works
     assert sw.update_where("u", F.col("id") == 1050, {"score": 0.5}) == 1
     assert {r["score"] for r in sw.read("u").where("id = 1050").collect()} == {0.5}
+
+
+def test_merge_into_upsert(spark, sw):
+    for base, part in ((0, "x"), (100, "y")):
+        df = spark.createDataFrame(
+            [(base + i, part, float(i)) for i in range(10)],
+            "id bigint, part string, score double",
+        )
+        sw.append(df.coalesce(1), "m", partition_by=["part"])
+    v0 = sw.current_version("m")
+    files0 = set(sw._alive_files("m"))
+
+    src = spark.createDataFrame(
+        [
+            (102, "y", 99.0),   # matched: update
+            (105, "y", 88.0),   # matched: update
+            (500, "z", 1.0),    # not matched: insert (new partition)
+        ],
+        "id bigint, part string, score double",
+    )
+    out = sw.merge_into("m", src, on=["id"])
+    assert out == {"updated": 2, "inserted": 1}
+    got = {r["id"]: (r["part"], r["score"]) for r in sw.read("m").collect()}
+    assert len(got) == 21
+    assert got[102] == ("y", 99.0) and got[105] == ("y", 88.0)
+    assert got[500] == ("z", 1.0)
+    assert got[3] == ("x", 3.0) and got[101] == ("y", 1.0)  # untouched
+    # only the y file was rewritten: x file survives in the manifest
+    survivors = files0 & set(sw._alive_files("m"))
+    assert survivors and all("part=x" in f for f in survivors)
+    # time travel to pre-merge
+    assert sw.read("m", version=v0).count() == 20
+
+    # all-insert merge (no matches): pure append of the source
+    out2 = sw.merge_into(
+        "m",
+        spark.createDataFrame([(900, "x", 0.0)], "id bigint, part string, score double"),
+        on=["id"],
+    )
+    assert out2 == {"updated": 0, "inserted": 1}
+    assert sw.read("m").count() == 22
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        sw.merge_into(
+            "m",
+            spark.createDataFrame(
+                [(1, "x", 1.0), (1, "x", 2.0)],
+                "id bigint, part string, score double",
+            ),
+            on=["id"],
+        )
+    with _pytest.raises(ValueError, match="must equal target columns"):
+        sw.merge_into(
+            "m",
+            spark.createDataFrame([(1, "x")], "id bigint, part string"),
+            on=["id"],
+        )
