@@ -254,3 +254,104 @@ def burst_days(
         .where((dev > 0) & (dev * dev > F.lit(sigmas * sigmas) * var_n2))
         .select(type_col, "day", "cnt")
     )
+
+
+def scd2_apply(
+    history: DataFrame | None,
+    snapshot: DataFrame,
+    keys: Sequence[str],
+    attrs: Sequence[str],
+    effective,
+    close_missing: bool = False,
+) -> DataFrame:
+    """Apply one day's full dimension snapshot to an SCD Type-2 history
+    (the warehouse dim-maintenance verb; the reference's dims are
+    replace-only — this is the history-preserving upgrade):
+
+    * attribute change → the open row closes at ``effective`` and a new
+      row opens (``valid_from=effective, valid_to=NULL``);
+    * new key → a row opens;
+    * unchanged key → its open row is untouched;
+    * key missing from the snapshot → closed iff ``close_missing``
+      (full-snapshot semantics where disappearance means deletion),
+      else left open (Kimball default: dims never die).
+
+    History schema: ``keys + attrs + valid_from + valid_to +
+    is_current``; pass ``history=None`` for the initial build.
+    Comparisons are null-safe per attribute. Contract: ``effective``
+    must not precede any open row's ``valid_from`` (snapshots applied
+    in order); re-applying the same snapshot at the same ``effective``
+    is a no-op — apply is idempotent.
+
+    Scale shape: closed history is carried untouched (no join — at
+    warehouse scale it is the bulk of the table and ideally lives in
+    closed partitions); only the OPEN slice full-outer-joins the
+    snapshot on the keys, and the per-key verdict emits 1–2 rows via a
+    single explode. One key shuffle total, no windows. Pair with
+    ``SnapshotWarehouse`` so each application is a commit (time travel
+    over the dimension's own history of histories)."""
+    keys, attrs = list(keys), list(attrs)
+    eff = F.lit(effective)
+    eff_type = snapshot.select(eff.alias("__e")).schema[0].dataType
+    null_eff = F.lit(None).cast(eff_type)
+
+    def _open_from_snapshot(df: DataFrame) -> DataFrame:
+        return df.select(
+            *keys,
+            *attrs,
+            eff.alias("valid_from"),
+            null_eff.alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+
+    if history is None:
+        return _open_from_snapshot(snapshot)
+
+    out_cols = keys + attrs + ["valid_from", "valid_to", "is_current"]
+    closed = history.filter(~F.col("is_current")).select(*out_cols)
+    cur = history.filter(F.col("is_current"))
+
+    o = cur.select(
+        *keys,
+        F.lit(True).alias("__in_old"),
+        F.col("valid_from").alias("__vf"),
+        *[F.col(c).alias(f"__o_{c}") for c in attrs],
+    )
+    n = snapshot.select(
+        *keys,
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"__n_{c}") for c in attrs],
+    )
+    j = o.join(n, keys, "full_outer")
+
+    changed = F.lit(False)
+    for c in attrs:
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+
+    def _struct(attr_side: str, vf, vt, cur_flag: bool):
+        return F.struct(
+            *[F.col(f"__{attr_side}_{c}").alias(c) for c in attrs],
+            vf.alias("valid_from"),
+            vt.alias("valid_to"),
+            F.lit(cur_flag).alias("is_current"),
+        )
+
+    close_old = _struct("o", F.col("__vf"), eff, False)
+    keep_open = _struct("o", F.col("__vf"), null_eff, True)
+    open_new = _struct("n", eff, null_eff, True)
+
+    verdict = (
+        F.when(F.col("__in_old").isNull(), F.array(open_new))
+        .when(
+            F.col("__in_new").isNull(),
+            F.array(close_old) if close_missing else F.array(keep_open),
+        )
+        .when(changed, F.array(close_old, open_new))
+        .otherwise(F.array(keep_open))
+    )
+    emitted = (
+        j.withColumn("__row", F.explode(verdict))
+        .select(*keys, "__row.*")
+        .select(*out_cols)
+    )
+    return closed.unionByName(emitted)

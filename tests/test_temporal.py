@@ -138,3 +138,101 @@ def test_pit_plan_has_no_inequality_join(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def _scd2_rows(df):
+    return sorted(
+        (
+            r["cust_id"], r["tier"], str(r["city"]),
+            str(r["valid_from"]), str(r["valid_to"]), r["is_current"],
+        )
+        for r in df.collect()
+    )
+
+
+def test_scd2_apply_three_days(spark):
+    import datetime as dt
+
+    from covid_data_pipeline_spark.operators.temporal import scd2_apply
+
+    d = lambda n: dt.date(2024, 1, n)  # noqa: E731
+
+    def snap(rows):
+        return spark.createDataFrame(
+            rows, "cust_id long, tier string, city string"
+        )
+
+    # day 1: initial build
+    h1 = scd2_apply(None, snap([(1, "gold", "nyc"), (2, "basic", None)]),
+                    ["cust_id"], ["tier", "city"], d(1))
+    assert _scd2_rows(h1) == [
+        (1, "gold", "nyc", "2024-01-01", "None", True),
+        (2, "basic", "None", "2024-01-01", "None", True),
+    ]
+
+    # day 2: 1 changes tier, 2 unchanged (NULL city stays NULL-safe),
+    # 3 is new
+    h2 = scd2_apply(
+        h1,
+        snap([(1, "platinum", "nyc"), (2, "basic", None), (3, "basic", "sf")]),
+        ["cust_id"], ["tier", "city"], d(2),
+    )
+    assert _scd2_rows(h2) == [
+        (1, "gold", "nyc", "2024-01-01", "2024-01-02", False),
+        (1, "platinum", "nyc", "2024-01-02", "None", True),
+        (2, "basic", "None", "2024-01-01", "None", True),
+        (3, "basic", "sf", "2024-01-02", "None", True),
+    ]
+
+    # idempotence: re-applying day 2's snapshot changes nothing
+    h2b = scd2_apply(
+        h2,
+        snap([(1, "platinum", "nyc"), (2, "basic", None), (3, "basic", "sf")]),
+        ["cust_id"], ["tier", "city"], d(2),
+    )
+    assert _scd2_rows(h2b) == _scd2_rows(h2)
+
+    # day 3: 2 disappears — close_missing=True closes it; 1 changes again
+    h3 = scd2_apply(
+        h2,
+        snap([(1, "platinum", "la"), (3, "basic", "sf")]),
+        ["cust_id"], ["tier", "city"], d(3),
+        close_missing=True,
+    )
+    rows3 = _scd2_rows(h3)
+    assert (2, "basic", "None", "2024-01-01", "2024-01-03", False) in rows3
+    assert (1, "platinum", "nyc", "2024-01-02", "2024-01-03", False) in rows3
+    assert (1, "platinum", "la", "2024-01-03", "None", True) in rows3
+    # every key has at most one open row; intervals chain contiguously
+    opens = [r for r in rows3 if r[5]]
+    assert len({r[0] for r in opens}) == len(opens)
+
+    # default keeps missing keys open
+    h3k = scd2_apply(
+        h2, snap([(3, "basic", "sf")]), ["cust_id"], ["tier", "city"], d(3)
+    )
+    assert (2, "basic", "None", "2024-01-01", "None", True) in _scd2_rows(h3k)
+
+
+def test_scd2_apply_partitioning_invariant(spark):
+    import datetime as dt
+    import random
+
+    from covid_data_pipeline_spark.operators.temporal import scd2_apply
+
+    rng = random.Random(5)
+    snap1 = [(i, rng.choice(["a", "b"]), rng.choice(["x", None])) for i in range(200)]
+    snap2 = [
+        (i, rng.choice(["a", "b", "c"]), rng.choice(["x", "y", None]))
+        for i in range(0, 250)
+    ]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "cust_id long, tier string, city string"
+    )
+    h1 = scd2_apply(None, mk(snap1), ["cust_id"], ["tier", "city"], dt.date(2024, 1, 1))
+    a = scd2_apply(h1, mk(snap2), ["cust_id"], ["tier", "city"], dt.date(2024, 1, 2))
+    b = scd2_apply(
+        h1.repartition(17), mk(snap2).repartition(3),
+        ["cust_id"], ["tier", "city"], dt.date(2024, 1, 2),
+    )
+    assert _scd2_rows(a) == _scd2_rows(b)
