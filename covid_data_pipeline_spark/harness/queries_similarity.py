@@ -1030,7 +1030,6 @@ WHERE f.margin_bp >= 10000
     "bitext_margin_pairs",
     _BITEXT_MARGIN_ORACLE,
     tags=("similarity", "bitext", "mining"),
-    bench=True,
 )
 def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCMatrix-style margin-based mutual-kNN mining
@@ -1056,5 +1055,34 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = knn_graph_exact(
         emb, k=5, id_col="vec_id", vec_col="embedding", label_col="side"
+    )
+    return margin_mutual_pairs(edges, threshold_bp=10_000)
+
+
+@register(
+    "bitext_margin_pairs_lsh",
+    None,  # approximate edge graph — pair recall vs the exact miner
+    # asserted in tests/test_dedup_similarity.py
+    tags=("similarity", "bitext", "mining", "ann-lsh"),
+    bench=True,
+)
+def bitext_margin_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale twin of ``bitext_margin_pairs``: the same integer
+    margin miner consuming ``knn_graph_lsh(label_col=side)`` edges —
+    the bucketed cross-side kNN whose cost is Σ bucket² with the
+    hot-bucket cap, instead of the |corpus|² exact graph. This is the
+    number a production bitext-mining run pays; the exact-edge variant
+    stays the oracle-verified baseline."""
+    from covid_data_pipeline_spark.operators.similarity import (
+        knn_graph_lsh,
+        margin_mutual_pairs,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "side", F.pmod(F.col("vec_id"), F.lit(2))
+    )
+    edges = knn_graph_lsh(
+        emb, dim=EMBED_DIM, k=5, num_planes=8, id_col="vec_id",
+        vec_col="embedding", label_col="side",
     )
     return margin_mutual_pairs(edges, threshold_bp=10_000)
