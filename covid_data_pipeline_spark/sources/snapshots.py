@@ -439,6 +439,8 @@ class SnapshotWarehouse:
         partition_by: Sequence[str] | None = None,
         target_file_rows: int | None = None,
         sort_by: Sequence[str] | None = None,
+        zorder_by: Sequence[str] | None = None,
+        zorder_bits: int = 16,
     ) -> int:
         """Rewrite the current snapshot's data into one fresh batch and
         commit it (Iceberg ``rewrite_data_files``): the many small files
@@ -459,6 +461,16 @@ class SnapshotWarehouse:
         ``target_file_rows`` to bound file size; the range exchange is
         one shuffle of the table, the price of re-clustering.
 
+        ``zorder_by`` (exactly two integer-valued columns, mutually
+        exclusive with ``sort_by``) compacts along the Morton
+        interleave instead (Delta ``OPTIMIZE ZORDER BY``,
+        ``operators/scale.py::morton_key``): each output file covers a
+        square-ish region of both dimensions, so :meth:`read_pruned` /
+        row-group skipping works on EITHER column — the layout a linear
+        sort cannot give. Columns must already be non-negative ints in
+        ``[0, 2^zorder_bits)`` (quantize dates to day-numbers, prices
+        to buckets, before calling).
+
         ``partition_by=None`` PRESERVES the table's existing hive
         layout (inferred from the current snapshot's file paths) — a
         maintenance verb must not silently flatten partitioning, or a
@@ -477,10 +489,27 @@ class SnapshotWarehouse:
                     "pass partition_by explicitly"
                 )
             partition_by = list(next(iter(keysets))) if keysets else None
+        if sort_by and zorder_by:
+            raise ValueError("pass sort_by or zorder_by, not both")
         df = self.read(table)
         if sort_by:
             cols = [F.col(c) for c in sort_by]
             df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+        elif zorder_by:
+            if len(zorder_by) != 2:
+                raise ValueError(
+                    f"zorder_by takes exactly two columns, got {list(zorder_by)}"
+                )
+            from covid_data_pipeline_spark.operators.scale import morton_key
+
+            df = (
+                df.withColumn(
+                    "__z", morton_key(zorder_by[0], zorder_by[1], zorder_bits)
+                )
+                .repartitionByRange("__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
         new = self._write_batch(
             df, table, partition_by, max_records_per_file=target_file_rows
         )

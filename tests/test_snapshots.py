@@ -603,3 +603,40 @@ def test_merge_into_upsert(spark, sw):
             spark.createDataFrame([(1, "x")], "id bigint, part string"),
             on=["id"],
         )
+
+
+def test_zorder_compaction_prunes_both_dims(spark, sw):
+    # scattered appends over a 2-D domain: neither dimension skippable
+    import random
+
+    rng = random.Random(9)
+    pts = [(i, rng.randrange(256), rng.randrange(256)) for i in range(8000)]
+    for c in range(4):
+        sw.append(
+            spark.createDataFrame(
+                pts[c * 2000 : (c + 1) * 2000], "id bigint, x long, y long"
+            ).coalesce(1),
+            "z",
+        )
+    kept_x, total = sw.prune_files("z", "x", lo=10, hi=40)
+    assert len(kept_x) == total == 4
+
+    sw.compact("z", zorder_by=["x", "y"], zorder_bits=8, target_file_rows=500)
+    kept_x2, total2 = sw.prune_files("z", "x", lo=10, hi=40)
+    kept_y2, _ = sw.prune_files("z", "y", lo=10, hi=40)
+    assert total2 >= 8
+    # BOTH dimensions now skip a majority of files — the z-order claim
+    assert len(kept_x2) <= total2 // 2
+    assert len(kept_y2) <= total2 // 2
+    # equality with a full-scan filter on each dimension
+    for col in ("x", "y"):
+        pruned = sw.read_pruned("z", col, lo=10, hi=40)
+        full = sw.read("z").filter(F.col(col).between(10, 40))
+        assert pruned.count() == full.count() > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not both"):
+        sw.compact("z", sort_by=["x"], zorder_by=["x", "y"])
+    with _pytest.raises(ValueError, match="exactly two"):
+        sw.compact("z", zorder_by=["x"])
