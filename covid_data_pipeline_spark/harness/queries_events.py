@@ -1477,3 +1477,89 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "med_q",
         "mad_q",
     )
+
+
+_CUPED_ORACLE = """
+WITH units AS (
+  SELECT user_id,
+         user_id % 2 = 1 AS treat,
+         COALESCE(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                  THEN CAST(FLOOR(value * 100) AS BIGINT) END), 0) AS x_cents,
+         COALESCE(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                  THEN CAST(FLOOR(value * 100) AS BIGINT) END), 0) AS y_cents
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(x_cents AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(y_cents AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x_cents AS HUGEINT) * CAST(y_cents AS HUGEINT)) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(x_cents AS HUGEINT) * CAST(x_cents AS HUGEINT)) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(y_cents AS HUGEINT) * CAST(y_cents AS HUGEINT)) AS HUGEINT) AS syy,
+         CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS HUGEINT) AS nt,
+         CAST(SUM(CASE WHEN treat THEN CAST(x_cents AS HUGEINT) ELSE 0 END) AS HUGEINT) AS sxt,
+         CAST(SUM(CASE WHEN treat THEN CAST(y_cents AS HUGEINT) ELSE 0 END) AS HUGEINT) AS syt
+  FROM units
+),
+calc AS (
+  SELECT nt, n - nt AS nc, sxt, syt, sx - sxt AS sxc, sy - syt AS syc,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS var_n,
+         CAST(n * syy - sy * sy AS DOUBLE) AS vary_n,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n
+  FROM m
+)
+SELECT CAST(nt AS BIGINT) AS n_treat,
+       CAST(nc AS BIGINT) AS n_ctrl,
+       ROUND(CASE WHEN var_n > 0 THEN cov_n / var_n END, 6) AS theta,
+       ROUND(CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+             - CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE), 4)
+         AS effect_raw_cents,
+       ROUND(CASE WHEN var_n > 0 THEN
+               (CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+                - CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE))
+               - (cov_n / var_n)
+                 * (CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE)
+                    - CAST(sxc AS DOUBLE) / CAST(nc AS DOUBLE))
+             ELSE CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+                  - CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE) END, 4)
+         AS effect_cuped_cents,
+       ROUND(CASE WHEN var_n > 0 AND vary_n > 0
+                  THEN 100.0 * cov_n * cov_n / (var_n * vary_n)
+                  ELSE 0.0 END, 2) AS var_reduction_pct
+FROM calc
+"""
+
+
+@register(
+    "events_cuped_experiment",
+    _CUPED_ORACLE,
+    tags=("events", "experiment", "cuped"),
+    bench=True,
+)
+def events_cuped_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout
+    (`operators/experiment.py::cuped_adjusted_effect`): user-id parity
+    plays the assignment, the first half of the month the pre-period
+    covariate (per-user integer-cent sums — floored per EVENT, so the
+    unit table is exact), the second half the experiment metric. One
+    map-side-combined aggregation produces every moment; theta/effects
+    are correctly-rounded double ratios of exact DECIMAL integers, so
+    the report hash-matches the SQL replay."""
+    from covid_data_pipeline_spark.operators.experiment import (
+        cuped_adjusted_effect,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("date")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    units = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.to_date("ts") < cut, cents)), F.lit(0)
+        ).alias("x_cents"),
+        F.coalesce(
+            F.sum(F.when(F.to_date("ts") >= cut, cents)), F.lit(0)
+        ).alias("y_cents"),
+    ).withColumn("treat", F.pmod(F.col("user_id"), F.lit(2)) == 1)
+    return cuped_adjusted_effect(
+        units, treat_col="treat", x_col="x_cents", y_col="y_cents", scale=1
+    )
