@@ -1563,3 +1563,97 @@ def events_cuped_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped_adjusted_effect(
         units, treat_col="treat", x_col="x_cents", y_col="y_cents", scale=1
     )
+
+
+@register(
+    "events_srm_check",
+    """
+    WITH counts AS (
+      SELECT SUM(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS n_treat,
+             SUM(CASE WHEN user_id % 3 <> 0 THEN 1 ELSE 0 END) AS n_ctrl
+      FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT n_treat, n_ctrl,
+           ((CAST(n_treat - n_ctrl AS HUGEINT)
+             * CAST(n_treat - n_ctrl AS HUGEINT) * 2 * 1000)
+            // CAST(n_treat + n_ctrl AS HUGEINT)) AS chi2_milli,
+           ((CAST(n_treat - n_ctrl AS HUGEINT)
+             * CAST(n_treat - n_ctrl AS HUGEINT) * 2 * 1000)
+            // CAST(n_treat + n_ctrl AS HUGEINT)) > 10828 AS srm_detected
+    FROM counts
+    """,
+    tags=("events", "experiment", "srm"),
+)
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard (`operators/experiment.py::srm_check`)
+    on a deliberately broken assignment (user_id % 3 vs an expected 1:1
+    design): the exact-integer chi-square statistic must flag it. The
+    first gate of any experiment readout — run before CUPED/DiD."""
+    from covid_data_pipeline_spark.operators.experiment import srm_check
+
+    users = table(spark, sf_dir, "events").select("user_id").distinct()
+    units = users.withColumn(
+        "treat", F.pmod(F.col("user_id"), F.lit(3)) == 0
+    )
+    return srm_check(units, "treat")
+
+
+_DID_ORACLE = """
+WITH units AS (
+  SELECT user_id,
+         user_id % 2 = 1 AS treat,
+         COALESCE(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                  THEN CAST(FLOOR(value * 100) AS BIGINT) END), 0) AS pre_c,
+         COALESCE(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                  THEN CAST(FLOOR(value * 100) AS BIGINT) END), 0) AS post_c
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS HUGEINT) AS nt,
+         CAST(SUM(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS HUGEINT) AS nc,
+         CAST(SUM(CASE WHEN treat THEN pre_c ELSE 0 END) AS HUGEINT) AS t_pre,
+         CAST(SUM(CASE WHEN treat THEN post_c ELSE 0 END) AS HUGEINT) AS t_post,
+         CAST(SUM(CASE WHEN NOT treat THEN pre_c ELSE 0 END) AS HUGEINT) AS c_pre,
+         CAST(SUM(CASE WHEN NOT treat THEN post_c ELSE 0 END) AS HUGEINT) AS c_post
+  FROM units
+)
+SELECT CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl,
+       ROUND(CAST(t_pre AS DOUBLE) / CAST(nt AS DOUBLE), 4) AS treat_pre_cents,
+       ROUND(CAST(t_post AS DOUBLE) / CAST(nt AS DOUBLE), 4) AS treat_post_cents,
+       ROUND(CAST(c_pre AS DOUBLE) / CAST(nc AS DOUBLE), 4) AS ctrl_pre_cents,
+       ROUND(CAST(c_post AS DOUBLE) / CAST(nc AS DOUBLE), 4) AS ctrl_post_cents,
+       ROUND((CAST(t_post AS DOUBLE) / CAST(nt AS DOUBLE)
+              - CAST(t_pre AS DOUBLE) / CAST(nt AS DOUBLE))
+             - (CAST(c_post AS DOUBLE) / CAST(nc AS DOUBLE)
+                - CAST(c_pre AS DOUBLE) / CAST(nc AS DOUBLE)), 4) AS did_cents
+FROM m
+"""
+
+
+@register(
+    "events_did_experiment",
+    _DID_ORACLE,
+    tags=("events", "experiment", "did"),
+)
+def events_did_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout
+    (`operators/experiment.py::diff_in_diff`) over the same per-user
+    pre/post integer-cent unit table as the CUPED query — the
+    non-randomized (rollout/geo-launch) counterpart that nets out the
+    shared time trend under parallel trends."""
+    from covid_data_pipeline_spark.operators.experiment import diff_in_diff
+
+    ev = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("date")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    units = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.to_date("ts") < cut, cents)), F.lit(0)
+        ).alias("pre_c"),
+        F.coalesce(
+            F.sum(F.when(F.to_date("ts") >= cut, cents)), F.lit(0)
+        ).alias("post_c"),
+    ).withColumn("treat", F.pmod(F.col("user_id"), F.lit(2)) == 1)
+    return diff_in_diff(
+        units, treat_col="treat", pre_col="pre_c", post_col="post_c", scale=1
+    )

@@ -95,3 +95,98 @@ def cuped_adjusted_effect(
         F.round(adj, 4).alias("effect_cuped_cents"),
         F.round(F.lit(100.0) * rho2, 2).alias("var_reduction_pct"),
     )
+
+
+def srm_check(
+    units: DataFrame,
+    treat_col: str,
+    ratio_treat: int = 1,
+    ratio_ctrl: int = 1,
+) -> DataFrame:
+    """Sample-ratio-mismatch guard — the first thing an experimentation
+    platform checks before reading ANY metric: if the realized
+    treatment/control split deviates from the design ratio, assignment
+    is broken (bot filtering, logging loss, redirect bugs) and every
+    downstream readout is invalid.
+
+    Chi-square goodness-of-fit on the two observed counts against
+    expected ``ratio_treat : ratio_ctrl``. The statistic reduces to an
+    exact integer rational::
+
+        X² = (O_t·r_c − O_c·r_t)² · (r_t + r_c) / (n · r_t · r_c)
+
+    reported in milli-units (``chi2_milli = num·1000 div den`` —
+    positive operands, floor-stable on any engine) and flagged against
+    the α = 0.001 critical value 10.828 (SRM convention: an experiment
+    triggers only on overwhelming evidence, since n is huge and tiny
+    imbalances are real but harmless at α = 0.05). One count aggregate,
+    single-row output."""
+    t = F.col(treat_col).cast("boolean")
+    m = units.agg(
+        F.sum(F.when(t, 1).otherwise(0)).cast("bigint").alias("n_treat"),
+        F.sum(F.when(~t, 1).otherwise(0)).cast("bigint").alias("n_ctrl"),
+    )
+    d = lambda c: c.cast(_D)  # noqa: E731
+    diff = d(F.col("n_treat") * ratio_ctrl - F.col("n_ctrl") * ratio_treat)
+    num = diff * diff * F.lit(ratio_treat + ratio_ctrl).cast(_D)
+    den = (
+        d(F.col("n_treat") + F.col("n_ctrl"))
+        * F.lit(ratio_treat).cast(_D)
+        * F.lit(ratio_ctrl).cast(_D)
+    )
+    chi2_milli = F.expr("CAST((__num * 1000) div __den AS BIGINT)")
+    return (
+        m.withColumn("__num", num)
+        .withColumn("__den", den)
+        .select(
+            "n_treat",
+            "n_ctrl",
+            chi2_milli.alias("chi2_milli"),
+            (chi2_milli > F.lit(10_828)).alias("srm_detected"),
+        )
+    )
+
+
+def diff_in_diff(
+    units: DataFrame,
+    treat_col: str,
+    pre_col: str,
+    post_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Difference-in-differences effect — the readout when assignment
+    is NOT randomized (a staged rollout, a geo launch): the treated
+    group's pre→post change minus the control group's, which nets out
+    any shared trend under the parallel-trends assumption::
+
+        DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre)
+
+    Input is one row per unit with its pre- and post-period metric.
+    Four conditional integer-cent sums in one map-side-combined
+    aggregate; the estimate is a correctly-rounded double combination
+    of exact DECIMAL ratios. Returns the four group means (cents) and
+    ``did_cents``."""
+    t = F.col(treat_col).cast("boolean")
+    pre = F.floor(F.col(pre_col) * scale).cast(_D)
+    post = F.floor(F.col(post_col) * scale).cast(_D)
+    zero = F.lit(0).cast(_D)
+    m = units.agg(
+        F.sum(F.when(t, 1).otherwise(0)).cast(_D).alias("nt"),
+        F.sum(F.when(~t, 1).otherwise(0)).cast(_D).alias("nc"),
+        F.sum(F.when(t, pre).otherwise(zero)).alias("t_pre"),
+        F.sum(F.when(t, post).otherwise(zero)).alias("t_post"),
+        F.sum(F.when(~t, pre).otherwise(zero)).alias("c_pre"),
+        F.sum(F.when(~t, post).otherwise(zero)).alias("c_post"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mt_pre, mt_post = d("t_pre") / d("nt"), d("t_post") / d("nt")
+    mc_pre, mc_post = d("c_pre") / d("nc"), d("c_post") / d("nc")
+    return m.select(
+        F.col("nt").cast("bigint").alias("n_treat"),
+        F.col("nc").cast("bigint").alias("n_ctrl"),
+        F.round(mt_pre, 4).alias("treat_pre_cents"),
+        F.round(mt_post, 4).alias("treat_post_cents"),
+        F.round(mc_pre, 4).alias("ctrl_pre_cents"),
+        F.round(mc_post, 4).alias("ctrl_post_cents"),
+        F.round((mt_post - mt_pre) - (mc_post - mc_pre), 4).alias("did_cents"),
+    )

@@ -91,3 +91,52 @@ def test_cuped_plan_is_single_pass(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("HashAggregate") == 2, final
     assert "BatchEvalPython" not in plan
+
+
+def test_srm_check_detects_and_passes(spark):
+    from covid_data_pipeline_spark.operators.experiment import srm_check
+
+    # balanced 1:1 — tiny imbalance must NOT trigger
+    ok = spark.createDataFrame(
+        [(i, i % 2 == 0) for i in range(1001)], "unit long, treat boolean"
+    )
+    r = srm_check(ok, "treat").collect()[0]
+    assert not r["srm_detected"]
+    # exact statistic: (501-500)^2 * 2 * 1000 // 1001 = 1
+    assert r["chi2_milli"] == 1
+
+    # broken assignment (2:1 realized vs 1:1 design) must trigger
+    bad = spark.createDataFrame(
+        [(i, i % 3 != 0) for i in range(3000)], "unit long, treat boolean"
+    )
+    assert srm_check(bad, "treat").collect()[0]["srm_detected"]
+
+    # a 9:1 design checked at its OWN ratio passes
+    nine_one = spark.createDataFrame(
+        [(i, i % 10 != 0) for i in range(5000)], "unit long, treat boolean"
+    )
+    r2 = srm_check(nine_one, "treat", ratio_treat=9, ratio_ctrl=1).collect()[0]
+    assert not r2["srm_detected"]
+
+
+def test_diff_in_diff_nets_out_shared_trend(spark):
+    from covid_data_pipeline_spark.operators.experiment import diff_in_diff
+
+    # everyone drifts +20; treatment adds +5 on top
+    rows = []
+    for i in range(1000):
+        treat = i % 2 == 1
+        base = 50.0 + (i % 7)
+        rows.append(
+            (i, treat, base, base + 20.0 + (5.0 if treat else 0.0))
+        )
+    df = spark.createDataFrame(rows, "unit long, treat boolean, pre double, post double")
+    r = diff_in_diff(df, "treat", "pre", "post").collect()[0]
+    assert r["did_cents"] == 500.0            # exactly the planted +5.00
+    # the naive post-only comparison would be confounded by nothing here
+    # (groups share base), but the pre->post trend (+20) is netted out:
+    assert r["treat_post_cents"] - r["treat_pre_cents"] == 2500.0
+    assert r["ctrl_post_cents"] - r["ctrl_pre_cents"] == 2000.0
+    # partitioning invariance
+    r2 = diff_in_diff(df.repartition(11), "treat", "pre", "post").collect()[0]
+    assert r == r2
