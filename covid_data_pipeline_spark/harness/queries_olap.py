@@ -1511,3 +1511,88 @@ def skew_split_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("cents"),
     )
+
+
+@register(
+    "market_basket_part_pairs",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM b),
+    singles AS (SELECT p, COUNT(*) AS c FROM b GROUP BY p),
+    pairs AS (
+      SELECT a.p AS part_a, b2.p AS part_b, COUNT(*) AS support
+      FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT part_a, part_b, support,
+             (CAST(support AS HUGEINT) * n.n_orders * 10000)
+               // (CAST(sa.c AS HUGEINT) * sb.c) AS lift_bp
+      FROM pairs
+      JOIN singles sa ON pairs.part_a = sa.p
+      JOIN singles sb ON pairs.part_b = sb.p, n
+    )
+    SELECT part_a, part_b, support, lift_bp FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY support DESC, part_a, part_b) AS rn
+      FROM scored
+    ) WHERE rn <= 100
+    """,
+    tags=("olap", "market-basket", "affinity"),
+    bench=True,
+)
+def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity ("frequently bought together"): top-100
+    co-ordered part pairs with support and integer basis-point lift
+    (support·N div (c_a·c_b) — the association-rule score, exactly the
+    `event_type_lift` integer construction on the order/part basket
+    relation).
+
+    Scale shape: the within-order self-join fans out ≤ (parts per
+    order)² — basket size is bounded by business reality (~dozens), so
+    pair generation is linear in orders, never |parts|²; singles and
+    the order count re-enter as broadcasts; the global top-100 is a
+    TakeOrderedAndProject, not a full sort."""
+    from covid_data_pipeline_spark.operators.windows import top_k_per_group
+
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_orders = b.agg(F.countDistinct("o").alias("n_orders"))
+    singles = b.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    a, b2 = b.alias("a"), b.alias("b2")
+    pairs = (
+        a.join(
+            b2,
+            (F.col("a.o") == F.col("b2.o")) & (F.col("a.p") < F.col("b2.p")),
+        )
+        .groupBy(
+            F.col("a.p").alias("part_a"), F.col("b2.p").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(singles.select(F.col("p").alias("part_a"), F.col("c").alias("ca"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("p").alias("part_b"), F.col("c").alias("cb"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .withColumn(
+            "lift_bp",
+            F.expr(
+                "CAST((CAST(support AS DECIMAL(38,0)) * n_orders * 10000) "
+                "div (CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)"
+            ),
+        )
+    )
+    return top_k_per_group(
+        scored.withColumn("__g", F.lit(1)),
+        partition_by=["__g"],
+        order_by=[F.col("support").desc(), F.col("part_a"), F.col("part_b")],
+        k=100,
+    ).select("part_a", "part_b", "support", "lift_bp")
