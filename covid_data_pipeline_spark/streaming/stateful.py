@@ -22,7 +22,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 if TYPE_CHECKING:
     from pyspark.sql.streaming.state import GroupState
@@ -330,5 +337,90 @@ def stream_funnel_stage_times(
             )
 
     return ev.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_heavy_hitters(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    item_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Streaming per-key heavy hitters: a Misra–Gries summary of at most
+    ``k`` counters per key, maintained across micro-batches
+    (``applyInPandasWithState``) — the streaming twin of
+    ``operators/heavyhitters.py``'s per-partition nomination pass.
+
+    MG summaries are MERGEABLE (Agarwal et al., "Mergeable summaries"):
+    fold the batch's item counts into the stored counters, and when
+    more than ``k`` survive, subtract the (k+1)-th largest count from
+    all and drop the non-positive — the classic guarantee transfers
+    across batches, so any item whose true stream frequency exceeds
+    ``n/(k+1)`` is ALWAYS among the emitted candidates (asserted
+    against the batch exact operator in tests). Counts are
+    underestimates (true ≥ mg_count ≥ true − n/(k+1)); for exact
+    values, recount the candidate set against the corpus — the same
+    two-pass pattern as the batch operator.
+
+    Emits each key's current summary after every batch with a
+    monotonically increasing ``n_seen`` (rows-processed watermark), so
+    a keyed upsert sink always holds the latest summary. State is
+    ≤ k (item, count) pairs per key — constant-size, RocksDB-friendly;
+    per-batch work is one value_counts + an O(k + distinct-in-batch)
+    merge."""
+    key_cols = list(key_cols)
+    fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [fields[c] for c in key_cols]
+        + [
+            StructField("item", StringType(), False),
+            StructField("mg_count", LongType(), False),
+            StructField("n_seen", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("items", ArrayType(StringType()), True),
+            StructField("counts", ArrayType(LongType()), True),
+            StructField("n_seen", LongType(), True),
+        ]
+    )
+
+    src = df.select(*key_cols, F.col(item_col).cast("string").alias("__item"))
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, n_seen = state.get
+            summary = dict(zip(list(items), list(counts)))
+        else:
+            summary, n_seen = {}, 0
+        for pdf in pdfs:
+            vc = pdf["__item"].dropna().value_counts()
+            n_seen += int(vc.sum())
+            for item, c in vc.items():
+                summary[item] = summary.get(item, 0) + int(c)
+            if len(summary) > k:
+                cut = sorted(summary.values(), reverse=True)[k]
+                summary = {
+                    i: c - cut for i, c in summary.items() if c - cut > 0
+                }
+        state.update((list(summary), [int(c) for c in summary.values()], n_seen))
+        if not summary:
+            return
+        out = pd.DataFrame(
+            {
+                "item": list(summary),
+                "mg_count": [int(c) for c in summary.values()],
+                "n_seen": n_seen,
+            }
+        )
+        for c, v in zip(key_cols, key):
+            out[c] = v
+        yield out[[*key_cols, "item", "mg_count", "n_seen"]]
+
+    return src.groupBy(*key_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )

@@ -711,3 +711,80 @@ def test_stream_maintained_aggregate_equals_batch(spark, tmp_path):
     assert mv.refresh()["mode"] == "noop"
     assert swh.current_version(mv.view_table) == v_before
     assert rows(mv.read()) == rows(aggregate_state(base, ["grp"], ["amount"]))
+
+
+def test_stream_heavy_hitters_mergeable_guarantee(spark, tmp_path):
+    """Streaming MG summaries across forced micro-batch boundaries must
+    keep every item the batch EXACT operator certifies (frequency >
+    n/(k+1)) — the mergeable-summaries guarantee — with underestimating
+    counts within the n/(k+1) bound."""
+    import random
+
+    from covid_data_pipeline_spark.operators.heavyhitters import heavy_hitters
+    from covid_data_pipeline_spark.streaming.stateful import (
+        stream_heavy_hitters,
+    )
+
+    rng = random.Random(17)
+    # skewed stream: per grp, items h0/h1 dominate a long uniform tail
+    rows = []
+    for grp in ("a", "b"):
+        for _ in range(600):
+            r = rng.random()
+            item = (
+                f"{grp}_h0" if r < 0.30
+                else f"{grp}_h1" if r < 0.50
+                else f"t{rng.randrange(200)}"
+            )
+            rows.append((grp, item))
+    rng.shuffle(rows)
+    half = len(rows) // 2
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    for name, chunk in (("f1", rows[:half]), ("f2", rows[half:])):
+        spark.createDataFrame(chunk, "grp string, item string").coalesce(
+            1
+        ).write.parquet(str(src_dir / f"{name}.parquet"))
+
+    k = 8
+    stream = (
+        spark.readStream.schema("grp string, item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    q = (
+        stream_heavy_hitters(stream, ["grp"], "item", k=k)
+        .writeStream.format("memory")
+        .queryName("hh")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.sql("SELECT * FROM hh").collect()
+    # latest summary per key = rows at that key's max n_seen
+    latest: dict = {}
+    for r in got:
+        cur = latest.setdefault(r["grp"], {})
+        if not cur or r["n_seen"] >= max(x["n_seen"] for x in cur.values()):
+            if cur and r["n_seen"] > max(x["n_seen"] for x in cur.values()):
+                cur.clear()
+            cur[r["item"]] = r
+    batch_df = spark.createDataFrame(rows, "grp string, item string")
+    n_per_grp = 600
+    found_any = False
+    for grp in ("a", "b"):
+        exact = heavy_hitters(
+            batch_df.filter(F.col("grp") == grp), "item", k=k
+        ).collect()
+        assert exact  # the planted hitters exceed n/(k+1)
+        found_any = True
+        for e in exact:
+            item = str(e["item"])
+            assert item in latest[grp], (
+                f"exact hitter {item} missing from stream summary"
+            )
+            assert latest[grp][item]["mg_count"] <= e["cnt"]
+            assert latest[grp][item]["mg_count"] >= e["cnt"] - n_per_grp // (k + 1)
+    assert found_any
