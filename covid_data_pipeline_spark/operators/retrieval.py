@@ -34,6 +34,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     qid_col: str = "query_id",
     qtext_col: str = "qtext",
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Top-k documents per query under BM25 (k1 = 1.2, b = 0.75, the
     standard defaults) with the Lucene non-negative idf:
@@ -62,7 +63,15 @@ def bm25_topk(
     and re-enter broadcast; corpus totals ride a single-row broadcast
     cross join. The only post-match shuffles carry matched postings:
     one doc-keyed join for lengths, one (query, doc) aggregation, and a
-    WindowGroupLimit top-k."""
+    WindowGroupLimit top-k.
+
+    ``max_df_frac`` is the stopword valve (the standard max-df pruning,
+    same policy as the dedup stack's hot-bucket caps): a query term
+    matching more than that fraction of documents drags ~|corpus| rows
+    into the match join while contributing ≈0 idf — with the cap set,
+    such terms are dropped from the QUERY side (scores of surviving
+    terms are unchanged; a query of only stopwords returns nothing).
+    ``None`` (default) keeps exact full-query semantics."""
     postings = (
         docs.select(
             F.col(id_col).alias("__doc"),
@@ -89,6 +98,13 @@ def bm25_topk(
         .groupBy("__term")
         .agg(F.count(F.lit(1)).alias("__df"))
     )
+    if max_df_frac is not None:
+        dfreq = dfreq.crossJoin(F.broadcast(totals)).filter(
+            F.col("__df") <= F.lit(max_df_frac) * F.col("__N")
+        ).select("__term", "__df")
+        qterms = qterms.join(
+            F.broadcast(dfreq.select("__term")), "__term", "left_semi"
+        )
 
     d38 = lambda c: c.cast(_D38)  # noqa: E731
     matched = (

@@ -89,3 +89,33 @@ def test_bm25_plan_stays_jvm_side(spark, sf_dir):
     # query-side joins are broadcast: the posting relation is not
     # shuffled for the match
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_max_df_stopword_valve(spark):
+    rows = [(i, "the common filler spark" if i % 2 else "the common filler join")
+            for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = spark.createDataFrame(
+        [(1, "the spark"), (2, "the common filler")],
+        "query_id long, qtext string",
+    )
+    capped = bm25_topk(docs, q, k=5, max_df_frac=0.9).collect()
+    # 'the'/'common'/'filler' hit every doc (df=100 > 90): dropped.
+    # query 1 still scores via 'spark'; query 2 was ALL stopwords -> empty
+    by_q = {}
+    for r in capped:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert 1 in by_q and 2 not in by_q
+    assert all(r["doc_id"] % 2 == 1 for r in by_q[1])  # only 'spark' docs
+    # surviving-term scores unchanged vs an uncapped run restricted to
+    # the same term
+    uncapped = {
+        (r["query_id"], r["doc_id"]): r["bm25"]
+        for r in bm25_topk(
+            docs,
+            spark.createDataFrame([(1, "spark")], "query_id long, qtext string"),
+            k=5,
+        ).collect()
+    }
+    for r in by_q[1]:
+        assert uncapped[(1, r["doc_id"])] == r["bm25"]

@@ -256,3 +256,49 @@ def test_heavy_hitters_16m_bounded_and_invariant(big_spark):
     }
     assert got2 == got
     assert wall < 300, f"16M heavy hitters took {wall:.0f}s"
+
+
+def test_mad_outliers_16m_partitioning_invariant(events_16m):
+    from covid_data_pipeline_spark.operators.relational import mad_outliers
+
+    flagged = (
+        mad_outliers(events_16m, ["event_type"], "value", k=1)
+        .filter(F.col("is_outlier"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__vq").alias("s"))
+    )
+    a = sorted(map(tuple, flagged.collect()))
+    b = sorted(
+        map(
+            tuple,
+            mad_outliers(
+                events_16m.repartition(253), ["event_type"], "value", k=1
+            )
+            .filter(F.col("is_outlier"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("__vq").alias("s"))
+            .collect(),
+        )
+    )
+    assert a == b and len(a) >= 1
+
+
+def test_bm25_1m_docs_stopword_capped(big_spark):
+    # 1M synthetic "docs" (event props strings) with a planted rare term:
+    # the capped query must return it from a corpus-wide posting build
+    from covid_data_pipeline_spark.operators.retrieval import bm25_topk
+
+    base = big_spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("common filler words here "),
+            F.when(F.col("id") % 100_000 == 7, F.lit("xylophone"))
+            .otherwise(F.lit("noise")),
+        ).alias("text"),
+    )
+    q = big_spark.createDataFrame(
+        [(1, "common xylophone")], "query_id long, qtext string"
+    )
+    hits = bm25_topk(base, q, k=10, max_df_frac=0.5).collect()
+    got = {r["doc_id"] for r in hits}
+    assert got == {i for i in range(1_000_000) if i % 100_000 == 7}
