@@ -1086,3 +1086,101 @@ def bitext_margin_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding", label_col="side",
     )
     return margin_mutual_pairs(edges, threshold_bp=10_000)
+
+
+_ANN_RECALL_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS dv
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, dv FROM v WHERE vec_id < {N_QUERIES}),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             ROUND(list_dot_product(q.dv, e.dv)
+                   / (sqrt(list_dot_product(q.dv, q.dv))
+                      * sqrt(list_dot_product(e.dv, e.dv))), 4) DESC,
+             e.vec_id) AS rn
+    FROM q, v e WHERE e.vec_id <> q.query_id
+  ) WHERE rn <= {TOP_K}
+),
+dq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CASE WHEN s = 0 THEN 0.0
+                     ELSE ROUND(GREATEST(-127, LEAST(127,
+                            FLOOR(x / s + 0.5)))) * s END) AS dv
+  FROM (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+             AS s
+    FROM embeddings
+  )
+),
+qq AS (SELECT vec_id AS query_id, dv FROM dq WHERE vec_id < {N_QUERIES}),
+quant AS (
+  SELECT query_id, vec_id FROM (
+    SELECT qq.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY qq.query_id ORDER BY
+             ROUND(list_dot_product(qq.dv, e.dv)
+                   / (sqrt(list_dot_product(qq.dv, qq.dv))
+                      * sqrt(list_dot_product(e.dv, e.dv))), 4) DESC,
+             e.vec_id) AS rn
+    FROM qq, dq e WHERE e.vec_id <> qq.query_id
+  ) WHERE rn <= {TOP_K}
+)
+SELECT e.query_id,
+       COUNT(qu.vec_id) AS n_common,
+       COUNT(qu.vec_id) * 10000 // {TOP_K} AS recall_bp
+FROM exact e
+LEFT JOIN quant qu
+  ON e.query_id = qu.query_id AND e.vec_id = qu.vec_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "ann_recall_quantized",
+    _ANN_RECALL_ORACLE,
+    tags=("similarity", "eval", "recall"),
+)
+def ann_recall_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index evaluation as a first-class report: per-query
+    recall@k of int8-quantized search against the exact float ranking —
+    the number an index owner watches before shipping a compression
+    change. Both rankings are deterministic (4dp cosine, id tiebreak),
+    so recall is an exact integer and the report hash-matches the SQL
+    replay. At corpus scale the same report runs with the LSH/IVF/PQ
+    shortlist as the candidate side."""
+    from covid_data_pipeline_spark.operators.similarity import quantize_int8
+
+    emb = table(spark, sf_dir, "embeddings")
+    deq = quantize_int8(emb, "embedding").select(
+        "vec_id",
+        F.transform("qvec", lambda q: q / F.col("scale")).alias("embedding"),
+    )
+
+    def topk(corpus):
+        queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return cosine_topk_bruteforce(
+            corpus, queries, k=TOP_K, id_col="vec_id",
+            vec_col="embedding", query_id_col="query_id",
+        ).select("query_id", "vec_id")
+
+    exact = topk(emb.select("vec_id", "embedding"))
+    quant = topk(deq)
+    return (
+        exact.join(
+            quant.withColumn("__hit", F.lit(1)), ["query_id", "vec_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(F.count("__hit").alias("n_common"))
+        .select(
+            "query_id",
+            "n_common",
+            F.expr(f"n_common * 10000 div {TOP_K}").alias("recall_bp"),
+        )
+    )
