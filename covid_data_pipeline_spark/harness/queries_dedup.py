@@ -664,3 +664,46 @@ def containment_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, text_col="text", id_col="doc_id", shingle_k=3,
         threshold_bp=6000,
     )
+
+
+@register(
+    "graph_bfs_distances",
+    """
+    WITH RECURSIVE
+    e0 AS (
+      SELECT doc_id AS src, (doc_id * 7) % 500 AS dst FROM documents
+    ),
+    sym AS (
+      SELECT src, dst FROM e0 WHERE src <> dst
+      UNION
+      SELECT dst, src FROM e0 WHERE src <> dst
+    ),
+    walk(node, dist) AS (
+      SELECT doc_id, 0 FROM documents WHERE doc_id < 5
+      UNION ALL
+      SELECT sym.dst, walk.dist + 1
+      FROM walk JOIN sym ON sym.src = walk.node
+      WHERE walk.dist < 6
+    )
+    SELECT node AS doc_id, MIN(dist) AS dist FROM walk GROUP BY node
+    """,
+    tags=("graph", "bfs", "lineage"),
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS levels (`operators/graph.py::bfs_distances`)
+    over the same deterministic multi-hop cycle graph as
+    `graph_components_docs`, sources = doc_id < 5, 6-hop horizon — the
+    blast-radius/lineage query ("everything within k hops of these
+    nodes"). Levels are partitioning-independent; the oracle walks all
+    bounded paths recursively and takes per-node MIN."""
+    from covid_data_pipeline_spark.operators.graph import bfs_distances
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * F.lit(7)) % F.lit(500)).alias("dst"),
+    )
+    srcs = d.filter(F.col("doc_id") < 5)
+    return bfs_distances(edges, srcs, max_hops=6).select(
+        F.col("node").alias("doc_id"), F.col("dist").cast("int").alias("dist")
+    )

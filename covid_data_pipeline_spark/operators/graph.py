@@ -259,3 +259,59 @@ def largest_components(labels: DataFrame, top_k: int = 10) -> DataFrame:
         .orderBy(F.col("size").desc(), F.col("component"))
         .limit(top_k)
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 10,
+) -> DataFrame:
+    """Unweighted shortest-path distances (BFS levels) from a source
+    set over an undirected edge list: output ``(node, dist)`` for every
+    node within ``max_hops``, ``dist`` = fewest edges from ANY source.
+
+    Level-synchronous frontier expansion — the multi-source BFS a
+    lineage/blast-radius query runs ("everything within k hops of these
+    flagged nodes"): each round joins the FRONTIER (not the visited
+    set, not the graph) to the edge list, anti-joins already-visited
+    nodes, and labels survivors with the round number. Deterministic on
+    any partitioning (a node's BFS level is unique), terminates when a
+    frontier empties (one ``isEmpty`` probe per round — same job-count
+    discipline as :func:`connected_components`) or at ``max_hops``.
+
+    Scale shape: per round ONE hash join keyed by frontier nodes + one
+    anti-join against visited; shuffle volume tracks the frontier's
+    edge boundary, never |V|²; ``localCheckpoint`` truncates lineage so
+    round N does not replan rounds 1..N−1. ``sources`` is a one-column
+    frame; source nodes absent from the graph still report dist 0."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col(src) != F.col(dst)
+    )
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    node_col = sources.columns[0]
+    frontier = (
+        sources.select(F.col(node_col).alias("node")).distinct()
+        .localCheckpoint(eager=False)
+    )
+    visited = frontier.withColumn("dist", F.lit(0))
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.withColumn("dist", F.lit(hop))
+        ).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited

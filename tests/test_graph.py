@@ -163,3 +163,60 @@ def test_pagerank_partitioning_invariant(spark):
     a = {r.node: r.rank for r in pagerank_int(df.repartition(1), iters=6).collect()}
     b = {r.node: r.rank for r in pagerank_int(df.repartition(16), iters=6).collect()}
     assert a == b == _pagerank_py(edges, iters=6)
+
+
+def test_bfs_distances_levels_and_termination(spark):
+    from covid_data_pipeline_spark.operators.graph import bfs_distances
+
+    # path graph 0-1-2-3-4-5 plus an isolated source 99
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(0,), (99,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, srcs, max_hops=10).collect()
+    }
+    assert got == {0: 0, 99: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5}
+
+    # horizon cap: nothing past max_hops
+    capped = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, srcs, max_hops=2).collect()
+    }
+    assert capped == {0: 0, 99: 0, 1: 1, 2: 2}
+
+    # multi-source min level: adding source 5 halves distances from the
+    # far end; direction of the stored edge must not matter
+    both = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(
+            edges,
+            spark.createDataFrame([(0,), (5,)], "node long"),
+            max_hops=10,
+        ).collect()
+    }
+    assert both == {0: 0, 5: 0, 1: 1, 4: 1, 2: 2, 3: 2}
+
+
+def test_bfs_distances_partitioning_invariant(spark):
+    import random
+
+    from covid_data_pipeline_spark.operators.graph import bfs_distances
+
+    rng = random.Random(13)
+    edges = spark.createDataFrame(
+        [(rng.randrange(300), rng.randrange(300)) for _ in range(600)],
+        "src long, dst long",
+    )
+    srcs = spark.createDataFrame([(i,) for i in range(3)], "node long")
+    a = sorted(map(tuple, bfs_distances(edges, srcs, max_hops=8).collect()))
+    b = sorted(
+        map(
+            tuple,
+            bfs_distances(
+                edges.repartition(17), srcs, max_hops=8
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 3
