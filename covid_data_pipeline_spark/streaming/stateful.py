@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -422,5 +423,84 @@ def stream_heavy_hitters(
         yield out[[*key_cols, "item", "mg_count", "n_seen"]]
 
     return src.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_srm_guard(
+    df: DataFrame,
+    experiment_cols: Sequence[str],
+    treat_col: str,
+    ratio_treat: int = 1,
+    ratio_ctrl: int = 1,
+) -> DataFrame:
+    """Streaming sample-ratio-mismatch guard: per-experiment
+    treatment/control assignment counters maintained across
+    micro-batches, re-scored after every batch with the exact-integer
+    chi-square of ``operators/experiment.py::srm_check`` — so a broken
+    ramp (bot filter eating one arm, redirect bug, logging loss) fires
+    DURING the rollout, not in the post-hoc readout.
+
+    Counts are exact and batch-boundary independent (addition commutes),
+    so the emitted statistic after the stream drains equals the batch
+    ``srm_check`` on the same rows — asserted in tests. State is two
+    BIGINTs per experiment; Update-mode emissions carry ``n_seen`` so a
+    keyed upsert sink always shows the live verdict."""
+    experiment_cols = list(experiment_cols)
+    fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [fields[c] for c in experiment_cols]
+        + [
+            StructField("n_treat", LongType(), False),
+            StructField("n_ctrl", LongType(), False),
+            StructField("chi2_milli", LongType(), False),
+            StructField("srm_detected", BooleanType(), False),
+            StructField("n_seen", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("nt", LongType(), True),
+            StructField("nc", LongType(), True),
+        ]
+    )
+
+    src = df.select(
+        *experiment_cols, F.col(treat_col).cast("boolean").alias("__t")
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        nt, nc = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            t = pdf["__t"].dropna()
+            nt += int(t.sum())
+            nc += int((~t).sum())
+        state.update((nt, nc))
+        n = nt + nc
+        if n == 0:
+            return
+        diff = nt * ratio_ctrl - nc * ratio_treat
+        num = diff * diff * (ratio_treat + ratio_ctrl) * 1000
+        den = n * ratio_treat * ratio_ctrl
+        chi2_milli = num // den
+        out = pd.DataFrame(
+            {
+                "n_treat": [nt],
+                "n_ctrl": [nc],
+                "chi2_milli": [chi2_milli],
+                "srm_detected": [chi2_milli > 10_828],
+                "n_seen": [n],
+            }
+        )
+        for c, v in zip(experiment_cols, key):
+            out[c] = v
+        yield out[
+            [*experiment_cols, "n_treat", "n_ctrl", "chi2_milli",
+             "srm_detected", "n_seen"]
+        ]
+
+    return src.groupBy(*experiment_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )

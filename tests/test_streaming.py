@@ -788,3 +788,51 @@ def test_stream_heavy_hitters_mergeable_guarantee(spark, tmp_path):
             assert latest[grp][item]["mg_count"] <= e["cnt"]
             assert latest[grp][item]["mg_count"] >= e["cnt"] - n_per_grp // (k + 1)
     assert found_any
+
+
+def test_stream_srm_guard_matches_batch(spark, tmp_path):
+    from covid_data_pipeline_spark.operators.experiment import srm_check
+    from covid_data_pipeline_spark.streaming.stateful import stream_srm_guard
+
+    # exp "ok": balanced; exp "bad": 2:1 realized vs 1:1 design
+    rows = []
+    for i in range(900):
+        rows.append(("ok", i, i % 2 == 0))
+        rows.append(("bad", i, i % 3 != 0))
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    half = len(rows) // 2
+    for name, chunk in (("f1", rows[:half]), ("f2", rows[half:])):
+        spark.createDataFrame(
+            chunk, "exp string, unit long, treat boolean"
+        ).coalesce(1).write.parquet(str(src_dir / f"{name}.parquet"))
+
+    stream = (
+        spark.readStream.schema("exp string, unit long, treat boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    q = (
+        stream_srm_guard(stream, ["exp"], "treat")
+        .writeStream.format("memory")
+        .queryName("srm")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM srm").collect()
+    final = {}
+    for r in got:
+        if r["exp"] not in final or r["n_seen"] > final[r["exp"]]["n_seen"]:
+            final[r["exp"]] = r
+    assert not final["ok"]["srm_detected"]
+    assert final["bad"]["srm_detected"]
+    # exact equality with the batch guard on the same rows
+    batch = spark.createDataFrame(rows, "exp string, unit long, treat boolean")
+    for exp in ("ok", "bad"):
+        b = srm_check(batch.filter(F.col("exp") == exp), "treat").collect()[0]
+        s = final[exp]
+        assert (s["n_treat"], s["n_ctrl"], s["chi2_milli"], s["srm_detected"]) == (
+            b["n_treat"], b["n_ctrl"], b["chi2_milli"], b["srm_detected"]
+        )
