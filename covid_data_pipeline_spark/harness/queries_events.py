@@ -1657,3 +1657,94 @@ def events_did_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_in_diff(
         units, treat_col="treat", pre_col="pre_c", post_col="post_c", scale=1
     )
+
+
+@register(
+    "events_theilsen_trend",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) - DATE '1970-01-01' AS x,
+             COUNT(*) AS y
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             b.y - a.y AS dy, b.x - a.x AS dx,
+             CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS s,
+             a.x AS xa, b.x AS xb
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    ranked AS (
+      SELECT event_type, dy, dx,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY s, xa, xb) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM slopes
+    )
+    SELECT event_type, m AS n_pairs, dy AS slope_num, dx AS slope_den
+    FROM ranked WHERE rn = (m + 1) // 2
+    """,
+    tags=("events", "trend", "robust"),
+)
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily event volume: the LOWER-median
+    pairwise slope per event type — up to ~29% of days can be corrupt
+    (outages, backfill spikes) without moving the estimate, where the
+    OLS twin (`events_daily_trend`) chases every outlier day.
+
+    Float policy: the median is selected, never computed — pairs sort
+    by their slope (one correctly-rounded double division of exact
+    integer day/count deltas — identical on any engine) with (x_a, x_b)
+    tiebreaks, and the chosen pair's EXACT (dy, dx) integers are the
+    output, so no rounding ever happens. Scale shape: pairwise slopes
+    fan out over the DOMAIN-COMPRESSED per-day rollup (days²/2 per
+    type — a year is ~66k pairs), never over raw events; one window
+    ranks them per type."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("x"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("b.y") - F.col("a.y")).alias("dy"),
+        (F.col("b.x") - F.col("a.x")).alias("dx"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("s"),
+        F.col("a.x").alias("xa"),
+        F.col("b.x").alias("xb"),
+    )
+    w = Window.partitionBy("event_type").orderBy("s", "xa", "xb")
+    wc = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "dy",
+        "dx",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("m"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(m + 1) div 2")
+    ).select(
+        "event_type",
+        F.col("m").alias("n_pairs"),
+        F.col("dy").alias("slope_num"),
+        F.col("dx").alias("slope_den"),
+    )

@@ -236,3 +236,32 @@ def test_scd2_apply_partitioning_invariant(spark):
         ["cust_id"], ["tier", "city"], dt.date(2024, 1, 2),
     )
     assert _scd2_rows(a) == _scd2_rows(b)
+
+
+def test_theilsen_resists_outlier_days(spark):
+    """The Theil–Sen construction used by events_theilsen_trend: median
+    pairwise slope shrugs off a corrupted day that swings OLS."""
+    import datetime as dt
+
+    from covid_data_pipeline_spark.harness.registry import QUERIES
+
+    # build a mini events table: type 'lin' grows +2/day; one day is a
+    # 100x backfill spike
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for day in range(10):
+        n = 10 + 2 * day if day != 5 else 1000
+        for i in range(n):
+            rows.append((len(rows), base + dt.timedelta(days=day, seconds=i), 1, "lin", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = QUERIES["events_theilsen_trend"].fn(spark, d).collect()
+    r = next(x for x in out if x["event_type"] == "lin")
+    # median slope = exactly +2/day despite the spike
+    assert r["slope_num"] / r["slope_den"] == 2.0
