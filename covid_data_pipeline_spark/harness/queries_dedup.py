@@ -707,3 +707,72 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, srcs, max_hops=6).select(
         F.col("node").alias("doc_id"), F.col("dist").cast("int").alias("dist")
     )
+
+
+@register(
+    "split_leakage_audit",
+    f"""
+    WITH {_shingle_pairs_sql()},
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80
+                  THEN 'train'
+                  WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+                  THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id FROM documents
+            UNION ALL
+            SELECT doc_id + {MUTANT_OFFSET} FROM documents)
+    )
+    SELECT LEAST(sa.split, sb.split) AS split_a,
+           GREATEST(sa.split, sb.split) AS split_b,
+           COUNT(*) AS leaked_pairs
+    FROM j
+    JOIN splits sa ON j.id_a = sa.doc_id
+    JOIN splits sb ON j.id_b = sb.doc_id
+    WHERE j.jac >= 0.9 AND sa.split <> sb.split
+    GROUP BY 1, 2
+    """,
+    tags=("dedup", "split", "leakage", "audit"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: near-duplicate pairs (exact
+    Jaccard ≥ 0.9 via the prefix-filtered AllPairs join — zero false
+    negatives) that STRADDLE split boundaries under the plain per-doc
+    hash split, counted per split pair. The doubled-mutant corpus
+    plants the leakage a naive split creates (a mutant hashes
+    independently of its original), which is exactly why
+    `cluster_aware_split_docs` / `group_aware_split_docs` exist — this
+    query is the auditor that proves a split needs them. Cost is the
+    exact-Jaccard join (prefix-filtered) + two id-keyed joins against
+    the narrow split projection."""
+    from covid_data_pipeline_spark.operators.dedup import jaccard_join_prefix
+    from covid_data_pipeline_spark.operators.sampling import hash_split
+
+    corpus = _with_mutants(table(spark, sf_dir, "documents"))
+    pairs = jaccard_join_prefix(
+        corpus, text_col="text", id_col="doc_id", shingle_k=3, threshold=0.9
+    )
+    splits = hash_split(corpus.select("doc_id"), "doc_id").select(
+        "doc_id", "split"
+    )
+    return (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+            ),
+            "id_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .groupBy(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("leaked_pairs"))
+    )
