@@ -57,6 +57,8 @@ NOTES = {
     "bitext_margin_pairs_lsh": "LSH bucket self-join replaces the quadratic exact graph (work ~ sum of bucket^2, hot buckets capped); the margin miner downstream is bounded by the EDGE LIST either way. Mining cost is bounded by the kNN EDGE LIST, never the vectors: per-node totals are a map-side-combined groupBy over k*n edges, re-entering via two node-keyed hash joins; rank-1 windows see <= k rows per key. Swap in knn_graph_lsh edges and the same plan mines a billion-pair graph.",
     "events_mad_outliers": "Domain compression: both medians are selected from the distinct-value COUNT relation (|groups x distinct cents| rows), so no stage sorts or windows raw events; the per-group (median, MAD) pair re-enters through one group-keyed join for a map-side flag.",
     "bm25_search_docs": "One token shuffle builds the posting relation; query terms explode, dedupe and BROADCAST against it; document frequencies are computed over postings semi-joined to the query vocabulary (never |vocab|-wide). Post-match shuffles carry matched postings only; integer-ratio scoring keeps everything codegen'd JVM-side.",
+    "market_basket_part_pairs": "Within-order pair self-join fans out <= basket-size^2 per order (linear in orders, never |parts|^2); singles and the order total re-enter as broadcasts; global top-100 is a TakeOrderedAndProject, not a full sort.",
+    "events_cuped_experiment": "Per-user unit build is one groupBy; every CUPED moment comes from ONE map-side-combined aggregate into a single-row combine - no per-group re-entry, no window. DECIMAL(38,0) exact moments; ratios are correctly-rounded double divisions.",
 }
 
 HEADER = """# PLANS - physical plans of the headline (bench) queries
