@@ -1108,13 +1108,11 @@ exact AS (
 dq AS (
   SELECT vec_id,
          list_transform(embedding,
-           x -> CASE WHEN s = 0 THEN 0.0
-                     ELSE ROUND(GREATEST(-127, LEAST(127,
-                            FLOOR(x / s + 0.5)))) * s END) AS dv
+           x -> CAST(FLOOR(x * (127.0 / GREATEST(mx, 1e-30)) + 0.5) AS INTEGER)
+                / (127.0 / GREATEST(mx, 1e-30))) AS dv
   FROM (
     SELECT vec_id, embedding,
-           list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
-             AS s
+           list_max(list_transform(embedding, y -> abs(y))) AS mx
     FROM embeddings
   )
 ),

@@ -1303,12 +1303,22 @@ cos_ranked AS (
            PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rn
   FROM cos
 ),
+bm25_rrf AS (
+  -- rrf_fuse re-ranks the returned top-10 by the ROUNDED output score
+  -- (bm25_topk exposes 4dp); a 4dp tie can permute vs the 6dp
+  -- selection order, so the fusion rank must be recomputed on the
+  -- same rounded value Spark sees
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY CAST(ROUND(s, 4) AS DOUBLE) DESC, doc_id) AS rn2
+  FROM bm25_ranked WHERE rn <= 10
+),
 contrib AS (
   SELECT query_id, doc_id, 1000000000 // (60 + rn) AS c
   FROM cos_ranked WHERE rn <= 10
   UNION ALL
-  SELECT query_id, doc_id, 1000000000 // (60 + rn) AS c
-  FROM bm25_ranked WHERE rn <= 10
+  SELECT query_id, doc_id, 1000000000 // (60 + rn2) AS c
+  FROM bm25_rrf
 ),
 fused AS (
   SELECT query_id, doc_id, SUM(c) AS rrf_score

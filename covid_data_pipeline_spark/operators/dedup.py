@@ -805,11 +805,9 @@ def optimal_lsh_params(
 
     best, best_cost = None, None
     for b in range(1, num_hashes + 1):
-        r = num_hashes // b
-        if r == 0:
-            break
-        cost = fp_weight * _fp(b, r) + (1.0 - fp_weight) * _fn(b, r)
-        if best_cost is None or cost < best_cost:
-            best, best_cost = (b, r), cost
+        for r in range(1, num_hashes // b + 1):
+            cost = fp_weight * _fp(b, r) + (1.0 - fp_weight) * _fn(b, r)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = (b, r), cost
     assert best is not None
     return best

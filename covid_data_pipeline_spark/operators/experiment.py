@@ -48,8 +48,17 @@ def cuped_adjusted_effect(
     Returns ``n_treat, n_ctrl, theta, effect_raw_cents,
     effect_cuped_cents, var_reduction_pct``. Constant covariate
     (var(X) = 0) degrades gracefully: theta NULL, CUPED effect = raw
-    effect, reduction 0."""
+    effect, reduction 0.
+
+    Units with a NULL assignment, covariate, or metric are EXCLUDED up
+    front: every moment then ranges over the same population (counting
+    a NULL-metric unit in n while its sum skips it would bias the
+    means, and a NULL assignment belongs to neither arm — the same
+    drop policy as :func:`srm_check`)."""
     t = F.col(treat_col).cast("boolean")
+    units = units.filter(
+        t.isNotNull() & F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
     xq = F.floor(F.col(x_col) * scale).cast(_D)
     yq = F.floor(F.col(y_col) * scale).cast(_D)
 
@@ -165,8 +174,15 @@ def diff_in_diff(
     Four conditional integer-cent sums in one map-side-combined
     aggregate; the estimate is a correctly-rounded double combination
     of exact DECIMAL ratios. Returns the four group means (cents) and
-    ``did_cents``."""
+    ``did_cents``. Units with NULL assignment or NULL period metrics
+    are excluded up front (same population for every moment — the
+    :func:`cuped_adjusted_effect` policy)."""
     t = F.col(treat_col).cast("boolean")
+    units = units.filter(
+        t.isNotNull()
+        & F.col(pre_col).isNotNull()
+        & F.col(post_col).isNotNull()
+    )
     pre = F.floor(F.col(pre_col) * scale).cast(_D)
     post = F.floor(F.col(post_col) * scale).cast(_D)
     zero = F.lit(0).cast(_D)

@@ -98,9 +98,43 @@ class IncrementalCurator:
     def _state(self, table: str) -> DataFrame | None:
         return self.wh.read(table) if self.wh.exists(table) else None
 
-    def _append_if_nonempty(self, df: DataFrame, table: str) -> None:
-        if not df.isEmpty():
-            self.wh.append(df, table)
+    def _state_tables(self) -> list[str]:
+        return [self.t_fps, self.t_signed, self.t_pairs, self.t_meta]
+
+    def _state_append(self, df: DataFrame, table: str, cur: int) -> None:
+        """State commits are tagged ``state@<raw_version>`` so a crash
+        BETWEEN the state appends and the output's ``curate@`` commit is
+        detectable (the state op's version runs ahead of the cursor)."""
+        if df.isEmpty():
+            return
+        files = self.wh._write_batch(df, table, None)
+        self.wh._commit(
+            table, self.wh._alive_files(table) + files, f"state@{cur}"
+        )
+
+    def _repair_partial(self, last: int | None) -> None:
+        """Undo state appends from a refresh that crashed before its
+        output commit: any state table whose latest op is
+        ``state@<v>`` with v beyond the cursor is rolled back one
+        version (or removed entirely if the crashed refresh created
+        it), so the re-run replays the same delta against clean state
+        instead of wedging on the id-monotonicity check."""
+        import shutil
+
+        for t in self._state_tables():
+            v = self.wh.current_version(t)
+            if v is None:
+                continue
+            op = self.wh._manifest(t, v)["op"]
+            if not op.startswith("state@"):
+                continue
+            tagged = int(op.split("@", 1)[1])
+            if last is not None and tagged <= last:
+                continue
+            if v == 1:
+                shutil.rmtree(self.wh._table_dir(t))
+            else:
+                self.wh.rollback(t, v - 1)
 
     def _assert_append_only(self, last: int, cur: int) -> None:
         for v in range(last + 1, cur + 1):
@@ -121,6 +155,7 @@ class IncrementalCurator:
         last = self.refreshed_version()
         if last == cur:
             return {"mode": "noop", "raw_version": cur}
+        self._repair_partial(last)
         if last is None:
             delta = self.wh.read(self.raw)
             mode = "full"
@@ -208,13 +243,14 @@ class IncrementalCurator:
                 F.lit(False).alias("contaminated"),
             )
 
-        # 5. persist state deltas (text never enters a state table)
-        self._append_if_nonempty(
-            kept.select("__fp", i), self.t_fps
-        )
-        self._append_if_nonempty(signed_delta, self.t_signed)
-        self._append_if_nonempty(new_pairs, self.t_pairs)
-        self._append_if_nonempty(meta_delta, self.t_meta)
+        # 5. persist state deltas (text never enters a state table);
+        #    commits are version-tagged for crash repair (see
+        #    _repair_partial) — the output's curate@ commit is what
+        #    makes them permanent
+        self._state_append(kept.select("__fp", i), self.t_fps, cur)
+        self._state_append(signed_delta, self.t_signed, cur)
+        self._state_append(new_pairs, self.t_pairs, cur)
+        self._state_append(meta_delta, self.t_meta, cur)
         n_new = meta_delta.count()
 
         # 6. rebuild curated output from STATE relations only:

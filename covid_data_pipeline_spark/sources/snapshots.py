@@ -478,17 +478,7 @@ class SnapshotWarehouse:
         (its partition tuple is ``()``) and duplicate the restated
         rows. Mixed layouts across batches raise."""
         if partition_by is None:
-            keysets = {
-                tuple(k for k, _ in _parts_from_relpath(f))
-                for f in self._alive_files(table)
-            }
-            keysets.discard(())
-            if len(keysets) > 1:
-                raise ValueError(
-                    f"{table}: mixed partition layouts {sorted(keysets)} — "
-                    "pass partition_by explicitly"
-                )
-            partition_by = list(next(iter(keysets))) if keysets else None
+            partition_by = self._inferred_partition_by(table)
         if sort_by and zorder_by:
             raise ValueError("pass sort_by or zorder_by, not both")
         df = self.read(table)
@@ -627,18 +617,31 @@ class SnapshotWarehouse:
                 os.path.join(self._data_dir(table), rel)
             ).metadata
             flo = fhi = None
+            blind = False  # any row group whose values the stats can't bound
             for rg in range(md.num_row_groups):
                 for ci in range(md.num_columns):
                     col = md.row_group(rg).column(ci)
-                    if col.path_in_schema != column or col.statistics is None:
+                    if col.path_in_schema != column:
                         continue
                     st = col.statistics
+                    if st is None:
+                        blind = True  # values present, no stats at all
+                        continue
                     if not st.has_min_max:
+                        # min/max absent is only safe to ignore when the
+                        # chunk is provably all-NULL (NULLs never match a
+                        # range predicate); otherwise this row group could
+                        # hold ANY value and the file must be kept
+                        if not (
+                            st.has_null_count
+                            and st.null_count == col.num_values
+                        ):
+                            blind = True
                         continue
                     flo = st.min if flo is None else min(flo, st.min)
                     fhi = st.max if fhi is None else max(fhi, st.max)
-            if flo is None:
-                kept.append(rel)  # no stats: must keep
+            if blind or flo is None:
+                kept.append(rel)  # stats can't prove absence: must keep
                 continue
             if (lo is not None and fhi < lo) or (hi is not None and flo > hi):
                 continue
@@ -795,7 +798,9 @@ class SnapshotWarehouse:
           source anti-joined against hit-file rows only;
         * standard MERGE cardinality contract enforced — duplicate keys
           in the source would make the update non-deterministic and
-          raise instead.
+          raise instead; duplicate-key rows on the TARGET side are each
+          updated to the source values (multiplicity preserved, like
+          Delta/Iceberg MERGE).
 
         Returns ``{"updated": n, "inserted": n}``. Prior snapshots time
         travel to the pre-merge state."""
@@ -829,12 +834,18 @@ class SnapshotWarehouse:
         )
         keep = [f for f in alive if f not in set(hit_rel)]
         if hit_rel:
-            hit_rows = self._read_file_list(table, hit_rel)
+            # persist: the hit files feed survivors, updated, inserts AND
+            # the write — without it every count re-scans the rewritten
+            # files
+            hit_rows = self._read_file_list(table, hit_rel).persist()
             survivors = hit_rows.join(keys, on=on, how="left_anti")
-            matched = hit_rows.select(*on).join(
-                F.broadcast(src.select(*on).distinct()), on=on, how="left_semi"
-            ).distinct()
-            updated = src.join(matched, on=on, how="left_semi")
+            # one output row PER MATCHED TARGET ROW taking the source's
+            # values — duplicate-key target rows keep their multiplicity
+            # (Delta parity: MERGE updates every matched row; only the
+            # SOURCE side must be key-unique)
+            updated = hit_rows.select(*on).join(
+                F.broadcast(src), on=on, how="inner"
+            )
             inserts = src.join(hit_rows.select(*on).distinct(), on=on, how="left_anti")
             cols = self.read(table).limit(0).columns
             new_rows = (
@@ -845,9 +856,12 @@ class SnapshotWarehouse:
             n_upd = updated.count()
             n_ins = inserts.count()
         else:
+            hit_rows = None
             new_rows = src
             n_upd, n_ins = 0, src.count()
         new = self._write_batch(new_rows, table, partition_by)
         self._commit(table, keep + new, "merge")
         src.unpersist()
+        if hit_rows is not None:
+            hit_rows.unpersist()
         return {"updated": n_upd, "inserted": n_ins}

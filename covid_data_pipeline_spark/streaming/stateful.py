@@ -474,7 +474,12 @@ def stream_srm_guard(
     ) -> Iterator[pd.DataFrame]:
         nt, nc = state.get if state.exists else (0, 0)
         for pdf in pdfs:
-            t = pdf["__t"].dropna()
+            # NULL assignments are dropped on BOTH sides (matching the
+            # batch srm_check, where when(t)/when(~t) skip NULLs); the
+            # astype(bool) matters — a batch containing any NULL arrives
+            # as an object-dtype column, where `~` is integer bitwise
+            # negation (~True == -2), not logical NOT
+            t = pdf["__t"].dropna().astype(bool)
             nt += int(t.sum())
             nc += int((~t).sum())
         state.update((nt, nc))

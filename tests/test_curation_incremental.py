@@ -149,3 +149,42 @@ def test_append_only_contract_enforced(spark, wh):
     wh.replace(_docs(spark, _increment1()), "rawdocs")
     with pytest.raises(ValueError, match="append-only"):
         cur.refresh()
+
+
+def test_crash_between_state_and_output_commit_is_repaired(spark, wh):
+    """A refresh that dies after appending state but before the curate@
+    output commit must NOT wedge the curator: the next refresh rolls
+    the partial state back and replays the delta cleanly."""
+    cur = IncrementalCurator(
+        wh, "rawdocs", "curated", cfg=CFG, benchmark=_bench(spark)
+    )
+    wh.append(_docs(spark, _increment1()), "rawdocs")
+    cur.refresh()
+
+    orig_commit = wh._commit
+    armed = {"on": True}
+
+    def exploding_commit(table, files, op):
+        if armed["on"] and op.startswith("curate@"):
+            raise RuntimeError("simulated crash before output commit")
+        return orig_commit(table, files, op)
+
+    wh._commit = exploding_commit
+    try:
+        wh.append(_docs(spark, _increment2()), "rawdocs")
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            cur.refresh()
+        # states ran ahead of the cursor; a second crashy run still fails
+        # the same way (repair + replay + crash again), never a wedge
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            cur.refresh()
+        armed["on"] = False
+        out = cur.refresh()
+        assert out["mode"] == "incremental"
+    finally:
+        wh._commit = orig_commit
+    _assert_equals_full(spark, cur, wh)
+    # and the curator keeps working on the NEXT increment too
+    wh.append(_docs(spark, _increment3()), "rawdocs")
+    cur.refresh()
+    _assert_equals_full(spark, cur, wh)

@@ -140,3 +140,23 @@ def test_diff_in_diff_nets_out_shared_trend(spark):
     # partitioning invariance
     r2 = diff_in_diff(df.repartition(11), "treat", "pre", "post").collect()[0]
     assert r == r2
+
+
+def test_cuped_null_units_excluded_consistently(spark):
+    from covid_data_pipeline_spark.operators.experiment import (
+        cuped_adjusted_effect,
+    )
+
+    clean = [(i, i % 2 == 1, 10.0 + i % 3, 20.0 + i % 5) for i in range(100)]
+    dirty = clean + [
+        (900, None, 10.0, 20.0),   # NULL assignment: neither arm
+        (901, True, None, 20.0),   # NULL covariate
+        (902, False, 10.0, None),  # NULL metric
+    ]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "unit long, treat boolean, x double, y double"
+    )
+    a = cuped_adjusted_effect(mk(clean), "treat", "x", "y").collect()
+    b = cuped_adjusted_effect(mk(dirty), "treat", "x", "y").collect()
+    assert a == b
+    assert b[0]["n_treat"] == 50 and b[0]["n_ctrl"] == 50

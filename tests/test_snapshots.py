@@ -640,3 +640,27 @@ def test_zorder_compaction_prunes_both_dims(spark, sw):
         sw.compact("z", sort_by=["x"], zorder_by=["x", "y"])
     with _pytest.raises(ValueError, match="exactly two"):
         sw.compact("z", zorder_by=["x"])
+
+
+def test_merge_into_updates_duplicate_target_rows(spark, sw):
+    # append never enforces key uniqueness: two target rows share key 7
+    sw.append(
+        spark.createDataFrame(
+            [(7, "x", 1.0), (7, "x", 2.0), (8, "x", 3.0)],
+            "id bigint, part string, score double",
+        ).coalesce(1),
+        "dup",
+    )
+    out = sw.merge_into(
+        "dup",
+        spark.createDataFrame(
+            [(7, "x", 9.0)], "id bigint, part string, score double"
+        ),
+        on=["id"],
+    )
+    # Delta parity: every matched target row is updated; cardinality kept
+    assert out == {"updated": 2, "inserted": 0}
+    rows = sorted(
+        (r["id"], r["score"]) for r in sw.read("dup").collect()
+    )
+    assert rows == [(7, 9.0), (7, 9.0), (8, 3.0)]

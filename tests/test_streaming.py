@@ -836,3 +836,31 @@ def test_stream_srm_guard_matches_batch(spark, tmp_path):
         assert (s["n_treat"], s["n_ctrl"], s["chi2_milli"], s["srm_detected"]) == (
             b["n_treat"], b["n_ctrl"], b["chi2_milli"], b["srm_detected"]
         )
+
+
+def test_stream_srm_guard_drops_null_assignments(spark, tmp_path):
+    """A NULL treat value must be dropped from BOTH arms (batch parity),
+    not corrupt counts via object-dtype bitwise negation."""
+    from covid_data_pipeline_spark.streaming.stateful import stream_srm_guard
+
+    rows = [("e", i, [True, False, None][i % 3]) for i in range(300)]
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.createDataFrame(
+        rows, "exp string, unit long, treat boolean"
+    ).coalesce(1).write.parquet(str(src_dir / "f.parquet"))
+    stream = spark.readStream.schema(
+        "exp string, unit long, treat boolean"
+    ).parquet(str(src_dir / "*"))
+    q = (
+        stream_srm_guard(stream, ["exp"], "treat")
+        .writeStream.format("memory")
+        .queryName("srmnull")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    r = spark.sql("SELECT * FROM srmnull").collect()[-1]
+    assert (r["n_treat"], r["n_ctrl"]) == (100, 100)
+    assert not r["srm_detected"]
