@@ -265,3 +265,66 @@ def test_theilsen_resists_outlier_days(spark):
     r = next(x for x in out if x["event_type"] == "lin")
     # median slope = exactly +2/day despite the spike
     assert r["slope_num"] / r["slope_den"] == 2.0
+
+
+def test_scd2_apply_matches_python_reference_hypothesis(spark):
+    """Property: applying a random sequence of snapshots equals a
+    straightforward pure-python SCD2 build over the same sequence."""
+    import datetime as dtm
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from covid_data_pipeline_spark.operators.temporal import scd2_apply
+
+    keys = st.integers(0, 4)
+    attr = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+    snapshot = st.dictionaries(keys, attr, max_size=5)
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(snaps=st.lists(snapshot, min_size=1, max_size=4))
+    def run(snaps):
+        # python reference: per key, track the open row; close on change
+        ref = []  # (key, attr, valid_from_day, valid_to_day, is_current)
+        open_rows: dict = {}
+        for day, snap in enumerate(snaps, start=1):
+            for k, v in snap.items():
+                if k not in open_rows:
+                    open_rows[k] = (v, day)
+                elif open_rows[k][0] != v:
+                    ov, od = open_rows.pop(k)
+                    ref.append((k, ov, od, day, False))
+                    open_rows[k] = (v, day)
+        for k, (v, d) in open_rows.items():
+            ref.append((k, v, d, None, True))
+
+        hist = None
+        for day, snap in enumerate(snaps, start=1):
+            sdf = spark.createDataFrame(
+                [(k, v) for k, v in snap.items()] or [(None, None)],
+                "cust_id long, tier string",
+            ).filter(F.col("cust_id").isNotNull())
+            hist = scd2_apply(
+                hist, sdf, ["cust_id"], ["tier"], dtm.date(2024, 1, day)
+            )
+        skey = lambda t: tuple((v is None, str(v)) for v in t)  # noqa: E731
+        got = sorted(
+            (
+                (
+                    r["cust_id"],
+                    r["tier"],
+                    r["valid_from"].day,
+                    r["valid_to"].day if r["valid_to"] else None,
+                    r["is_current"],
+                )
+                for r in hist.collect()
+            ),
+            key=skey,
+        )
+        assert got == sorted(ref, key=skey)
+
+    run()
