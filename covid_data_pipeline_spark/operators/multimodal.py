@@ -257,3 +257,83 @@ def decode_and_featurize_images_arrow(
             )
 
     return df.select("media_id", "payload").mapInArrow(op, IMAGE_FEATURES_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def _fake_gray32(payload: bytes):
+    """Deterministic fake decode: payload bytes tiled/truncated into a
+    32×32 grayscale grid. LOCALITY-PRESERVING (unlike a content hash):
+    two payloads sharing most bytes yield mostly-equal pixel grids, so
+    the REAL perceptual-hash math downstream produces nearby hashes —
+    exactly the behavior a real decoder gives near-identical images."""
+    import numpy as np
+
+    if not payload:
+        return np.zeros((32, 32), dtype=np.uint8)
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    reps = -(-1024 // len(buf))  # ceil
+    return np.tile(buf, reps)[:1024].reshape(32, 32)
+
+
+def media_phash(df: DataFrame, fake: bool = False) -> DataFrame:
+    """64-bit block-mean perceptual hash per media row (Yang et al.'s
+    block-mean image hashing): decode to 32×32 grayscale, take the 64
+    means of the 8×8 grid of 4×4 blocks, threshold each against their
+    MEDIAN → one bit each, packed into a signed BIGINT. Small visual
+    edits flip few block means past the median, so Hamming distance is
+    a perceptual similarity — feed the result straight into
+    ``operators/dedup.py::simhash_candidate_pairs(sig_col="phash")``
+    for banded near-dup pairs (the multimodal arm of the dedup stack,
+    no new join machinery).
+
+    Only the DECODE is environment-stubbed (no PIL/opencv here):
+    ``fake=True`` substitutes the locality-preserving byte-grid decode;
+    the hash arithmetic is the real algorithm either way. Arrow-batched
+    ``mapInPandas``; NULL payloads hash NULL."""
+
+    def op(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decode needs PIL/opencv; "
+                    "pass fake=True for the deterministic stub"
+                )
+            hashes = []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    hashes.append(None)
+                    continue
+                g = _fake_gray32(bytes(payload)).astype(np.float64)
+                means = g.reshape(8, 4, 8, 4).mean(axis=(1, 3)).ravel()
+                med = float(np.median(means))
+                bits = 0
+                for i, m in enumerate(means):
+                    if m > med:
+                        bits |= 1 << i
+                # wrap to signed 64-bit (bit 63 set => negative long)
+                if bits >= 1 << 63:
+                    bits -= 1 << 64
+                hashes.append(bits)
+            # positional lists on both columns (a pandas Series joins by
+            # INDEX and could misalign), and an EXPLICIT nullable-Int64
+            # hash column: a plain list mixing 64-bit ints with None
+            # coerces to float64, silently rounding away the low ~10
+            # bits of every hash (a float64 mantissa holds 53 bits)
+            yield pd.DataFrame(
+                {
+                    "media_id": list(pdf["media_id"]),
+                    "phash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(op, PHASH_SCHEMA)

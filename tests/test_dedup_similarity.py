@@ -851,3 +851,54 @@ def test_optimal_lsh_params_properties():
         assert 0.3 < p < 0.95
     with pytest.raises(ValueError):
         optimal_lsh_params(1.5, 128)
+
+
+def test_media_phash_neardup_pairs(spark):
+    """Perceptual near-dup for media: block-mean pHash (real hash math,
+    fake locality-preserving decode) + the generic 64-bit banded
+    Hamming join — small payload edits stay within the Hamming budget,
+    different payloads don't."""
+    import random
+
+    from covid_data_pipeline_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+    from covid_data_pipeline_spark.operators.multimodal import media_phash
+
+    rng = random.Random(21)
+    base = bytes(rng.randrange(256) for _ in range(1024))
+    # m1 edit: flip a handful of bytes (small visual edit)
+    edit = bytearray(base)
+    for pos in rng.sample(range(1024), 12):
+        edit[pos] = (edit[pos] + 7) % 256
+    other = bytes(rng.randrange(256) for _ in range(1024))
+    rows = [
+        ("m0", base),
+        ("m1", bytes(edit)),
+        ("m2", other),
+        ("m3", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    ph = media_phash(df, fake=True)
+    got = {r["media_id"]: r["phash"] for r in ph.collect()}
+    assert got["m3"] is None
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(got["m0"], got["m1"]) <= 7      # near-dup stays close
+    assert ham(got["m0"], got["m2"]) > 7       # unrelated stays far
+    # determinism under repartitioning
+    again = {
+        r["media_id"]: r["phash"]
+        for r in media_phash(df.repartition(3), fake=True).collect()
+    }
+    assert {k: v for k, v in got.items() if v is not None} == {
+        k: v for k, v in again.items() if v is not None
+    }
+    # composed banded join finds exactly the planted pair
+    pairs = simhash_candidate_pairs(
+        ph.filter(F.col("phash").isNotNull()),
+        id_col="media_id",
+        sig_col="phash",
+        max_hamming=7,
+        bands=8,
+    )
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {("m0", "m1")}
