@@ -207,3 +207,26 @@ def stream_maintain_aggregate(
         mv.refresh()
 
     return _start(stream_df, _sink, checkpoint_dir, available_now)
+
+
+def stream_maintain_distinct(
+    stream_df: DataFrame,
+    mvd,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream-maintained exact COUNT(DISTINCT): the
+    :func:`stream_maintain_aggregate` pattern over a
+    ``sources.matview.MaterializedDistinct`` — commit-marker append
+    into the bitmap view's append-only base, then the cursor-idempotent
+    bitmap-OR refresh. Replays are doubly harmless here: the marker
+    suppresses the duplicate append AND bitmap set semantics would
+    absorb re-observed keys anyway. Per batch the view pays one
+    |batch buckets|-sized OR-merge — the streaming answer to "live
+    distinct users per segment" without approximation."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_once(mvd.wh, mvd.base_table, batch_df, batch_id)
+        mvd.refresh()
+
+    return _start(stream_df, _sink, checkpoint_dir, available_now)

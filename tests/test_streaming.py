@@ -864,3 +864,40 @@ def test_stream_srm_guard_drops_null_assignments(spark, tmp_path):
     r = spark.sql("SELECT * FROM srmnull").collect()[-1]
     assert (r["n_treat"], r["n_ctrl"]) == (100, 100)
     assert not r["srm_detected"]
+
+
+def test_stream_maintained_distinct_equals_batch(spark, tmp_path):
+    from covid_data_pipeline_spark.sources.matview import MaterializedDistinct
+    from covid_data_pipeline_spark.sources.snapshots import SnapshotWarehouse
+    from covid_data_pipeline_spark.streaming.pipeline import (
+        stream_maintain_distinct,
+    )
+
+    swh = SnapshotWarehouse(spark, str(tmp_path / "swh"))
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1)], "grp string, user_id bigint"
+    ).write.parquet(str(src_dir / "f1.parquet"))
+    spark.createDataFrame(
+        [("a", 2), ("a", 3), ("b", 70_000)], "grp string, user_id bigint"
+    ).write.parquet(str(src_dir / "f2.parquet"))
+
+    mvd = MaterializedDistinct(swh, "visits", key_col="user_id", group_cols=["grp"])
+    stream = (
+        spark.readStream.schema("grp string, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    q = stream_maintain_distinct(stream, mvd, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    got = {r["grp"]: r["distinct_count"] for r in mvd.read().collect()}
+    full = {
+        r["grp"]: r["n"]
+        for r in swh.read("visits")
+        .groupBy("grp")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == full == {"a": 3, "b": 2}
+    assert mvd.refreshed_version() == swh.current_version("visits") >= 2
