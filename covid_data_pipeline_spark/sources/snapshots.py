@@ -44,6 +44,11 @@ def _parts_from_relpath(relpath: str) -> tuple[tuple[str, str], ...]:
     )
 
 
+class CommitConflictError(RuntimeError):
+    """Optimistic-concurrency failure: another writer committed between
+    this writer's state read and its commit. Re-read and retry."""
+
+
 class SnapshotWarehouse:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -79,15 +84,42 @@ class SnapshotWarehouse:
         with open(os.path.join(self._snap_dir(table), f"v{version}.json")) as f:
             return json.load(f)
 
-    def _commit(self, table: str, files: list[str], op: str) -> int:
-        version = (self.current_version(table) or 0) + 1
+    def _commit(
+        self,
+        table: str,
+        files: list[str],
+        op: str,
+        expected_base: int | None | str = "unchecked",
+    ) -> int:
+        """Commit a manifest. ``expected_base`` (the snapshot version the
+        caller READ its state from) turns the commit into an optimistic
+        compare-and-swap: if another writer committed in between, a
+        :class:`CommitConflictError` is raised instead of silently
+        dropping that writer's files from the new manifest (the classic
+        lost update). The manifest file itself is claimed with an
+        O_EXCL create, so even two racers that both pass the version
+        check cannot both own the same version number — one loses with
+        a conflict. Retry by re-reading state and re-applying."""
+        cur = self.current_version(table)
+        if expected_base != "unchecked" and cur != expected_base:
+            raise CommitConflictError(
+                f"{table}: read snapshot {expected_base} but current is "
+                f"{cur} — another writer committed; re-read and retry"
+            )
+        version = (cur or 0) + 1
         snap_dir = self._snap_dir(table)
         os.makedirs(snap_dir, exist_ok=True)
         manifest = {"version": version, "op": op, "files": sorted(files)}
-        tmp = os.path.join(snap_dir, f".v{version}.json.tmp")
-        with open(tmp, "w") as f:
+        final = os.path.join(snap_dir, f"v{version}.json")
+        try:
+            fd = os.open(final, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"{table}: version {version} already claimed by a "
+                "concurrent writer — re-read and retry"
+            ) from None
+        with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, os.path.join(snap_dir, f"v{version}.json"))
         cur_tmp = os.path.join(snap_dir, "._current.tmp")
         with open(cur_tmp, "w") as f:
             f.write(str(version))
@@ -139,9 +171,10 @@ class SnapshotWarehouse:
     ) -> int:
         if sort_within_partitions_by:
             df = df.sortWithinPartitions(*sort_within_partitions_by)
-        prev = self._alive_files(table)
+        base = self.current_version(table)
+        prev = [] if base is None else list(self._manifest(table, base)["files"])
         new = self._write_batch(df, table, partition_by)
-        return self._commit(table, prev + new, "append")
+        return self._commit(table, prev + new, "append", expected_base=base)
 
     def overwrite_partitions(
         self,
@@ -156,13 +189,14 @@ class SnapshotWarehouse:
         older snapshots."""
         if sort_within_partitions_by:
             df = df.sortWithinPartitions(*sort_within_partitions_by)
+        base = self.current_version(table)
+        prev = [] if base is None else list(self._manifest(table, base)["files"])
         new = self._write_batch(df, table, partition_by)
         incoming = {_parts_from_relpath(f) for f in new}
-        keep = [
-            f for f in self._alive_files(table)
-            if _parts_from_relpath(f) not in incoming
-        ]
-        return self._commit(table, keep + new, "overwrite_partitions")
+        keep = [f for f in prev if _parts_from_relpath(f) not in incoming]
+        return self._commit(
+            table, keep + new, "overwrite_partitions", expected_base=base
+        )
 
     def replace(
         self,

@@ -164,10 +164,10 @@ def test_crash_between_state_and_output_commit_is_repaired(spark, wh):
     orig_commit = wh._commit
     armed = {"on": True}
 
-    def exploding_commit(table, files, op):
+    def exploding_commit(table, files, op, **kw):
         if armed["on"] and op.startswith("curate@"):
             raise RuntimeError("simulated crash before output commit")
-        return orig_commit(table, files, op)
+        return orig_commit(table, files, op, **kw)
 
     wh._commit = exploding_commit
     try:

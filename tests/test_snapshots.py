@@ -664,3 +664,48 @@ def test_merge_into_updates_duplicate_target_rows(spark, sw):
         (r["id"], r["score"]) for r in sw.read("dup").collect()
     )
     assert rows == [(7, 9.0), (7, 9.0), (8, 3.0)]
+
+
+def test_optimistic_commit_detects_lost_update(spark, sw):
+    """Two writers that both read v1 and append: the second commit must
+    fail with CommitConflictError instead of silently dropping the
+    first writer's files (classic lost update)."""
+    from covid_data_pipeline_spark.sources.snapshots import (
+        CommitConflictError,
+    )
+
+    sw.append(spark.range(5).coalesce(1), "cc")
+    base = sw.current_version("cc")
+    prev = list(sw._manifest("cc", base)["files"])
+
+    # writer A lands normally
+    sw.append(spark.range(5, 10).coalesce(1), "cc")
+
+    # writer B prepared against the OLD base: stale-base commit refused
+    files_b = sw._write_batch(spark.range(10, 15).coalesce(1), "cc", None)
+    import pytest as _pytest
+
+    with _pytest.raises(CommitConflictError, match="re-read and retry"):
+        sw._commit("cc", prev + files_b, "append", expected_base=base)
+    # nothing was lost or half-committed
+    assert sw.read("cc").count() == 10
+    assert sw.current_version("cc") == base + 1
+
+    # retry after re-reading state succeeds and keeps everyone's rows
+    base2 = sw.current_version("cc")
+    prev2 = list(sw._manifest("cc", base2)["files"])
+    sw._commit("cc", prev2 + files_b, "append", expected_base=base2)
+    assert sw.read("cc").count() == 15
+
+    # version-claim race: a manifest squatting on the next version number
+    # forces a conflict even without an expected_base check
+    import json as _json
+    import os as _os
+
+    nxt = sw.current_version("cc") + 1
+    with open(
+        _os.path.join(sw._snap_dir("cc"), f"v{nxt}.json"), "w"
+    ) as f:
+        _json.dump({"version": nxt, "op": "append", "files": []}, f)
+    with _pytest.raises(CommitConflictError, match="already claimed"):
+        sw.append(spark.range(1).coalesce(1), "cc")
