@@ -705,3 +705,38 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("o_orderdate").alias("order_date"),
         F.round(F.sum("o_totalprice").over(w), 2).alias("lifetime_value"),
     )
+
+
+@register(
+    "customers_masked_egress",
+    """
+    SELECT c_custkey,
+           sha256(c_name) AS c_name,
+           repeat('*', GREATEST(LENGTH(CAST(c_acctbal AS VARCHAR)) - 4, 0))
+             || CASE WHEN LENGTH(CAST(c_acctbal AS VARCHAR)) >= 4
+                     THEN RIGHT(CAST(c_acctbal AS VARCHAR), 4)
+                     ELSE CAST(c_acctbal AS VARCHAR) END AS c_acctbal,
+           CAST(NULL AS BIGINT) AS c_nationkey,
+           c_mktsegment
+    FROM customer
+    """,
+    tags=("core", "governance", "masking"),
+)
+def customers_masked_egress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governed egress view of the customer dim
+    (`operators/quality.py::mask_columns`): name hashed to a stable
+    irreversible token (still joinable/groupable), account balance
+    display-masked to its last 4 characters, nation NULLed outright,
+    segment passed through. Pure projection — the masked view of a
+    100 TB table costs only what the consumer's query costs."""
+    from covid_data_pipeline_spark.operators.quality import mask_columns
+
+    c = table(spark, sf_dir, "customer")
+    return mask_columns(
+        c,
+        {
+            "c_name": "hash",
+            "c_acctbal": "last4",
+            "c_nationkey": "null",
+        },
+    ).select("c_custkey", "c_name", "c_acctbal", "c_nationkey", "c_mktsegment")

@@ -186,3 +186,42 @@ def char_entropy(
             ).alias(out_col),
         )
     )
+
+
+def mask_columns(df: DataFrame, policies: dict) -> DataFrame:
+    """Column-level masking for governed egress (the structured-column
+    complement of ``functions/text.scrub_pii``): apply a per-column
+    policy while leaving every other column intact.
+
+    Policies: ``"hash"`` (sha2-256 of the string form — stable join/
+    groupBy token, irreversible), ``"null"`` (type-preserving NULL —
+    for columns the consumer may not see at all), ``"last4"`` (mask all
+    but the trailing 4 characters — account/phone display convention),
+    or any ``Column`` expression for custom rules. Pure projections —
+    zero shuffle, pushes through the scan; a masked VIEW of a 100 TB
+    table costs whatever the consumer's query costs."""
+    from pyspark.sql import Column as _Col
+
+    out = df
+    for col, policy in policies.items():
+        if col not in df.columns:
+            raise ValueError(f"mask_columns: unknown column {col!r}")
+        c = F.col(col)
+        if isinstance(policy, _Col):
+            expr = policy
+        elif policy == "hash":
+            expr = F.sha2(c.cast("string"), 256)
+        elif policy == "null":
+            expr = F.lit(None).cast(df.schema[col].dataType)
+        elif policy == "last4":
+            s = c.cast("string")
+            expr = F.concat(
+                F.expr(
+                    f"repeat('*', greatest(length(cast({col} as string)) - 4, 0))"
+                ),
+                F.substring(s, -4, 4),
+            )
+        else:
+            raise ValueError(f"mask_columns: unknown policy {policy!r}")
+        out = out.withColumn(col, expr)
+    return out

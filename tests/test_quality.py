@@ -195,3 +195,38 @@ def test_mad_outliers_partitioning_invariant(spark):
         for r in mad_outliers(df.repartition(13), ["grp"], "value").collect()
     }
     assert base == rep
+
+
+def test_mask_columns_policies(spark):
+    import pytest as _pytest
+
+    from covid_data_pipeline_spark.operators.quality import mask_columns
+
+    df = spark.createDataFrame(
+        [(1, "Alice Smith", "555-123-4567", 42.5), (2, "Bo", None, None)],
+        "id long, name string, phone string, bal double",
+    )
+    out = mask_columns(
+        df,
+        {
+            "name": "hash",
+            "phone": "last4",
+            "bal": "null",
+            "id": F.col("id") * 100,  # custom Column policy
+        },
+    ).collect()
+    r1 = next(r for r in out if r["id"] == 100)
+    assert len(r1["name"]) == 64 and r1["name"] != "Alice Smith"
+    assert r1["phone"] == "********4567"
+    assert r1["bal"] is None
+    r2 = next(r for r in out if r["id"] == 200)
+    assert r2["phone"] is None            # NULL passes through last4
+    # hash is deterministic & distinct per value
+    again = mask_columns(df, {"name": "hash"}).collect()
+    assert {r["name"] for r in again} == {r1["name"]} | {
+        next(r["name"] for r in again if r["id"] == 2)
+    }
+    with _pytest.raises(ValueError, match="unknown column"):
+        mask_columns(df, {"nope": "hash"})
+    with _pytest.raises(ValueError, match="unknown policy"):
+        mask_columns(df, {"name": "rot13"})
