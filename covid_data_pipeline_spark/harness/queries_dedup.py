@@ -776,3 +776,52 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("leaked_pairs"))
     )
+
+
+@register(
+    "graph_shortest_paths",
+    """
+    WITH RECURSIVE
+    e0 AS (
+      SELECT doc_id AS src, (doc_id * 7) % 500 AS dst,
+             (doc_id % 7) + 1 AS w
+      FROM documents
+    ),
+    sym AS (
+      SELECT a, b, MIN(w) AS w FROM (
+        SELECT src AS a, dst AS b, w FROM e0 WHERE src <> dst
+        UNION ALL
+        SELECT dst AS a, src AS b, w FROM e0 WHERE src <> dst
+      ) GROUP BY a, b
+    ),
+    walk(node, d, hops) AS (
+      SELECT doc_id, CAST(0 AS BIGINT), 0 FROM documents WHERE doc_id < 3
+      UNION ALL
+      SELECT sym.b, walk.d + sym.w, hops + 1
+      FROM walk JOIN sym ON sym.a = walk.node
+      WHERE hops < 4
+    )
+    SELECT node AS doc_id, MIN(d) AS dist FROM walk GROUP BY node
+    """,
+    tags=("graph", "shortest-path", "weighted"),
+)
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded weighted shortest distances
+    (`operators/graph.py::shortest_paths`, level-synchronous
+    Bellman–Ford) over the deterministic cycle graph with integer edge
+    weights ((doc_id mod 7)+1), sources doc_id < 3, 4-hop horizon —
+    the bounded-radius cost query. Integer min-sums are bit-identical
+    everywhere; the oracle walks all ≤4-edge paths recursively and
+    takes the per-node MIN."""
+    from covid_data_pipeline_spark.operators.graph import shortest_paths
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * F.lit(7)) % F.lit(500)).alias("dst"),
+        ((F.col("doc_id") % F.lit(7)) + F.lit(1)).alias("weight"),
+    )
+    srcs = d.filter(F.col("doc_id") < 3)
+    return shortest_paths(edges, srcs, max_hops=4).select(
+        F.col("node").alias("doc_id"), "dist"
+    )

@@ -220,3 +220,68 @@ def test_bfs_distances_partitioning_invariant(spark):
         )
     )
     assert a == b and len(a) > 3
+
+
+def test_shortest_paths_weighted_semantics(spark):
+    from covid_data_pipeline_spark.operators.graph import shortest_paths
+
+    # diamond: 0->1 (w1), 1->3 (w1) vs 0->2 (w5), 2->3 (w1); plus a
+    # long cheap detour 0->4->5->3 (w 1+1+1) needing 3 hops
+    edges = spark.createDataFrame(
+        [
+            (0, 1, 1), (1, 3, 1),
+            (0, 2, 5), (2, 3, 1),
+            (0, 4, 1), (4, 5, 1), (5, 3, 1),
+            (0, 0, 99),        # self loop ignored
+            (1, 3, 7),         # duplicate edge: min weight wins
+        ],
+        "src long, dst long, weight long",
+    )
+    srcs = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(edges, srcs, max_hops=10).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 3, 3: 2, 4: 1, 5: 2}  # 2 via 0-1-3-2
+
+    # hop bound is semantic: within 1 hop node 3 is unreachable
+    one_hop = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(edges, srcs, max_hops=1).collect()
+    }
+    assert 3 not in one_hop and one_hop[1] == 1 and one_hop[2] == 5
+
+    # undirected: same answers from the other end
+    rev = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(
+            edges, spark.createDataFrame([(3,)], "node long"), max_hops=10
+        ).collect()
+    }
+    assert rev[0] == 2 and rev[2] == 1
+
+
+def test_shortest_paths_partitioning_invariant(spark):
+    import random
+
+    from covid_data_pipeline_spark.operators.graph import shortest_paths
+
+    rng = random.Random(19)
+    edges = spark.createDataFrame(
+        [
+            (rng.randrange(200), rng.randrange(200), rng.randint(1, 9))
+            for _ in range(500)
+        ],
+        "src long, dst long, weight long",
+    )
+    srcs = spark.createDataFrame([(0,), (1,)], "node long")
+    a = sorted(map(tuple, shortest_paths(edges, srcs, max_hops=6).collect()))
+    b = sorted(
+        map(
+            tuple,
+            shortest_paths(
+                edges.repartition(13), srcs, max_hops=6
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 5
