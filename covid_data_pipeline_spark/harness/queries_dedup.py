@@ -825,3 +825,68 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shortest_paths(edges, srcs, max_hops=4).select(
         F.col("node").alias("doc_id"), "dist"
     )
+
+
+def _ppr_oracle(iters: int = 5, scale: int = 10**12) -> str:
+    """Unrolled personalized-PageRank twin (same construction as the
+    uniform `_pagerank_oracle` in queries_similarity.py): teleport and
+    init restricted to the seed set, BIGINT `//` throughout."""
+    head = f"""
+    WITH e0 AS (
+      SELECT doc_id AS src, (doc_id * 7) % 500 AS dst FROM documents
+    ),
+    e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    ns AS (SELECT 3 AS n),
+    pr0 AS (
+      SELECT nd.node,
+             CAST(CASE WHEN nd.node IN (1, 2, 3)
+                  THEN {scale} // ns.n ELSE 0 END AS BIGINT) AS rank
+      FROM nodes nd CROSS JOIN ns
+    )"""
+    step = """,
+    pr{t} AS (
+      SELECT nd.node,
+             CAST(CASE WHEN nd.node IN (1, 2, 3)
+                  THEN {tele} // (100 * ns.n) ELSE 0 END
+                  + COALESCE(inf.inflow, 0) AS BIGINT) AS rank
+      FROM nodes nd CROSS JOIN ns
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               SUM((85 * p.rank) // (100 * d.outdeg)) AS inflow
+        FROM pr{p} p JOIN e ON e.src = p.node JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) inf ON inf.node = nd.node
+    )"""
+    body = "".join(
+        step.format(t=t, p=t - 1, tele=scale * 15) for t in range(1, iters + 1)
+    )
+    return head + body + f"\n    SELECT node AS doc_id, rank FROM pr{iters} WHERE rank > 0"
+
+
+@register(
+    "pagerank_personalized_docs",
+    _ppr_oracle(),
+    tags=("graph", "pagerank", "personalized", "centrality"),
+)
+def pagerank_personalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (`operators/graph.py::pagerank_int` with
+    ``sources``, Haveliwala's topic-sensitive construction): teleport
+    mass restarts at seeds {1,2,3} of the deterministic cycle graph, so
+    rank measures centrality RELATIVE to the seeds (similar-to-my-seed
+    discovery / blast-radius importance). Same BIGINT parts-per-10¹²
+    fixed point as the uniform variant — 5 iterations hash-match the
+    unrolled SQL replay; only reached nodes (rank > 0) are emitted."""
+    from covid_data_pipeline_spark.operators.graph import pagerank_int
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * F.lit(7)) % F.lit(500)).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    seeds = d.filter(F.col("doc_id").isin(1, 2, 3))
+    ranks = pagerank_int(edges, iters=5, sources=seeds)
+    return ranks.filter(F.col("rank") > 0).select(
+        F.col("node").alias("doc_id"), "rank"
+    )

@@ -161,6 +161,7 @@ def pagerank_int(
     damping_den: int = 100,
     scale: int = 10**12,
     checkpoint_every: int = 2,
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank with an INTEGER-EXACT fixed point — graph centrality for
     corpus curation (rank documents by how central they sit in the kNN
@@ -190,6 +191,14 @@ def pagerank_int(
     :func:`connected_components`). N re-enters as a broadcast single
     row, never a driver scalar.
 
+    ``sources`` switches to PERSONALIZED PageRank (Topic-Sensitive
+    PageRank, Haveliwala 2002): the teleport mass — and the initial
+    rank — lands only on the source set instead of uniformly, so ranks
+    measure centrality *relative to those seeds* (similar-to-my-seed
+    discovery on a kNN graph, blast-radius importance on lineage). Same
+    integer fixed point: ``div |S|`` replaces ``div N`` and non-source
+    nodes get teleport 0.
+
     Dangling nodes (appearing only as ``dst``) keep receiving teleport
     mass but forward nothing; their outflow is dropped rather than
     redistributed — document-graph use cases (kNN graphs: every node
@@ -210,16 +219,43 @@ def pagerank_int(
     # only the node-sized rank/contribution relations move (Pregel
     # shape, expressed declaratively)
     e_deg = e.join(deg, "src").repartition("src").localCheckpoint(eager=False)
-    n_row = nodes.agg(F.count(F.lit(1)).alias("__n"))
-    base = nodes.crossJoin(F.broadcast(n_row))
-    teleport = F.expr(
-        f"CAST({scale * (damping_den - damping_num)} AS BIGINT)"
-        f" div (CAST({damping_den} AS BIGINT) * __n)"
-    )
-    ranks = base.select(
-        "node",
-        F.expr(f"CAST({scale} AS BIGINT) div __n").alias("rank"),
-    )
+    if sources is None:
+        n_row = nodes.agg(F.count(F.lit(1)).alias("__n"))
+        base = nodes.crossJoin(F.broadcast(n_row))
+        teleport = F.expr(
+            f"CAST({scale * (damping_den - damping_num)} AS BIGINT)"
+            f" div (CAST({damping_den} AS BIGINT) * __n)"
+        )
+        ranks = base.select(
+            "node",
+            F.expr(f"CAST({scale} AS BIGINT) div __n").alias("rank"),
+        )
+    else:
+        src_col = sources.columns[0]
+        srcs = (
+            sources.select(F.col(src_col).alias("node"))
+            .distinct()
+            .withColumn("__s", F.lit(True))
+        )
+        n_row = srcs.agg(F.count(F.lit(1)).alias("__n"))
+        base = (
+            nodes.join(F.broadcast(srcs), "node", "left")
+            .crossJoin(F.broadcast(n_row))
+            .localCheckpoint(eager=False)
+        )
+        teleport = F.when(
+            F.col("__s"),
+            F.expr(
+                f"CAST({scale * (damping_den - damping_num)} AS BIGINT)"
+                f" div (CAST({damping_den} AS BIGINT) * __n)"
+            ),
+        ).otherwise(F.lit(0).cast("bigint"))
+        ranks = base.select(
+            "node",
+            F.when(
+                F.col("__s"), F.expr(f"CAST({scale} AS BIGINT) div __n")
+            ).otherwise(F.lit(0).cast("bigint")).alias("rank"),
+        )
     for i in range(iters):
         inflow = (
             ranks.join(e_deg, ranks.node == e_deg.src)

@@ -285,3 +285,38 @@ def test_shortest_paths_partitioning_invariant(spark):
         )
     )
     assert a == b and len(a) > 5
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    from covid_data_pipeline_spark.operators.graph import pagerank_int
+
+    # two disjoint 4-cycles; seeds only in the first
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (10, 11), (11, 12), (12, 13), (13, 10)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    r = {
+        x["node"]: x["rank"]
+        for x in pagerank_int(edges, iters=6, sources=seeds).collect()
+    }
+    # the unseeded component receives ZERO mass
+    assert all(r[n] == 0 for n in (10, 11, 12, 13))
+    # the seeded component holds ~all mass (on a pure cycle the bulk
+    # rotates with the iteration count, so no pointwise seed-max claim)
+    assert all(r[n] > 0 for n in (0, 1, 2, 3))
+    assert sum(r[n] for n in (0, 1, 2, 3)) > 0.99 * 10**12
+    # uniform variant spreads across both components
+    u = {
+        x["node"]: x["rank"]
+        for x in pagerank_int(edges, iters=6).collect()
+    }
+    assert all(u[n] > 0 for n in (10, 11, 12, 13))
+    # determinism under repartitioning
+    r2 = {
+        x["node"]: x["rank"]
+        for x in pagerank_int(
+            edges.repartition(7), iters=6, sources=seeds
+        ).collect()
+    }
+    assert r == r2
