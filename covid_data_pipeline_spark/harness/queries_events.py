@@ -1748,3 +1748,69 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dy").alias("slope_num"),
         F.col("dx").alias("slope_den"),
     )
+
+
+@register(
+    "events_kendall_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS xa,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS xb
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE
+               WHEN (a.xa - b.xa) * (a.xb - b.xb) > 0 THEN 1
+               WHEN (a.xa - b.xa) * (a.xb - b.xb) < 0 THEN -1
+               ELSE 0 END AS sgn
+      FROM daily a JOIN daily b ON a.day < b.day
+    )
+    SELECT COUNT(*) AS n_pairs,
+           SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS concordant,
+           SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS discordant,
+           -- sign-safe: DuckDB // floors but Spark div truncates, so
+           -- divide the ABSOLUTE numerator and reapply the sign
+           CASE WHEN SUM(sgn) < 0 THEN -1 ELSE 1 END
+             * ((ABS(SUM(sgn)) * 10000) // COUNT(*)) AS tau_bp
+    FROM pairs
+    """,
+    tags=("events", "correlation", "robust"),
+)
+def events_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a rank correlation between two event types' daily
+    volumes (do views and purchases move together?) — the
+    rank-correlation answer that needs NO square roots or float
+    moments: concordant minus discordant day pairs over all pairs,
+    entirely integer. Tau lands in basis points through a SIGN-SAFE
+    division (divide the absolute numerator, reapply the sign): Spark's
+    `div` truncates toward zero while DuckDB's `//` floors, so a bare
+    negative-numerator division would diverge cross-engine. Day pairs
+    fan out over the DOMAIN-COMPRESSED daily rollup (days²/2), never
+    raw events."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("xa"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("xb"),
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    prod = (F.col("a.xa") - F.col("b.xa")) * (F.col("a.xb") - F.col("b.xb"))
+    sgn = F.when(prod > 0, 1).when(prod < 0, -1).otherwise(0)
+    pairs = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        sgn.alias("sgn")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).alias("concordant"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0)).alias("discordant"),
+        F.expr(
+            "CASE WHEN sum(sgn) < 0 THEN -1 ELSE 1 END"
+            " * ((abs(sum(sgn)) * 10000) div count(*))"
+        ).alias("tau_bp"),
+    )
