@@ -1596,3 +1596,81 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=[F.col("support").desc(), F.col("part_a"), F.col("part_b")],
         k=100,
     ).select("part_a", "part_b", "support", "lift_bp")
+
+
+@register(
+    "revenue_concentration_metrics",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                  AS HUGEINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i
+      FROM cust
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(cents) AS s,
+             SUM(CAST(i AS HUGEINT) * cents) AS iws,
+             SUM(cents * cents) AS sq
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(((2 * iws - (n + 1) * s) * 10000) // (n * s) AS BIGINT)
+             AS gini_bp,
+           CAST((sq * 100000000) // (s * s) AS BIGINT) AS hhi_pp100m
+    FROM m
+    """,
+    tags=("olap", "concentration", "gini"),
+)
+def revenue_concentration_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration report: the Gini coefficient (basis
+    points) and Herfindahl–Hirschman index (parts per 10⁸) of customer
+    revenue — the inequality numbers behind "N% of customers carry M%
+    of revenue" (`revenue_pareto_concentration` gives the curve; these
+    are its scalars).
+
+    Integer-exact end to end: revenue in cents, the Gini rank-sum
+    ``(2·Σi·xᵢ − (n+1)·S) div (n·S)`` over a deterministic (cents,
+    custkey) ordering — tie order provably cancels out of the rank
+    sum — and HHI as ``Σxᵢ² div S²``, all in DECIMAL(38,0)/HUGEINT, so
+    the scalars hash-match anywhere. One custkey rollup, one global
+    rank over the |customers| relation (not the fact table), one
+    moment aggregate; if the entity relation itself outgrows a single
+    sort task, swap the rank for the range-repartition + per-partition
+    offset construction `operators/sampling.py::global_hash_order`
+    already uses."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("decimal(38,0)")
+        .alias("cents")
+    )
+    ranked = cust.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "o_custkey"))
+        .cast("decimal(38,0)")
+        .alias("i"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("i") * F.col("cents")).alias("iws"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sq"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.expr(
+            "CAST(((2 * iws - (n + 1) * s) * 10000) div (n * s) AS BIGINT)"
+        ).alias("gini_bp"),
+        F.expr("CAST((sq * 100000000) div (s * s) AS BIGINT)").alias(
+            "hhi_pp100m"
+        ),
+    )

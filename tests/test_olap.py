@@ -124,3 +124,32 @@ def test_rolling_hll_tracks_exact_within_error(spark, sf_dir):
     assert set(exact) == set(est)
     for day, n in exact.items():
         assert abs(est[day] - n) <= max(2, 0.05 * n), (day, n, est[day])
+
+
+def test_concentration_metrics_boundaries(spark):
+    """Gini/HHI construction from revenue_concentration_metrics on
+    planted distributions: perfectly equal -> Gini 0, HHI = 1e8/n;
+    single-earner -> Gini -> (n-1)/n, HHI = 1e8."""
+    import tempfile
+
+    from covid_data_pipeline_spark.harness.registry import QUERIES
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_totalprice double"
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.write.parquet(f"{d}/orders.parquet")
+            return QUERIES["revenue_concentration_metrics"].fn(
+                spark, d
+            ).collect()[0]
+
+    equal = run([(i, i, 100.0) for i in range(10)])
+    assert equal["gini_bp"] == 0
+    assert equal["hhi_pp100m"] == 100_000_000 // 10
+
+    # one customer earns everything (others epsilon-free zero rows are
+    # impossible through orders, so give them a cent)
+    skew = run([(0, 0, 10_000.0)] + [(i, i, 0.01) for i in range(1, 10)])
+    assert skew["gini_bp"] > 8900        # -> (n-1)/n = 0.9
+    assert skew["hhi_pp100m"] > 99_000_000
