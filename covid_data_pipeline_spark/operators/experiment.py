@@ -206,3 +206,59 @@ def diff_in_diff(
         F.round(mc_post, 4).alias("ctrl_post_cents"),
         F.round((mt_post - mt_pre) - (mc_post - mc_pre), 4).alias("did_cents"),
     )
+
+
+def independence_chi2(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Pearson chi-square test of independence for an R×C contingency
+    table (does behavior distribution differ across segments?) — the
+    R×C generalization of :func:`srm_check`'s two-cell statistic.
+
+    Each cell's term is the exact rational ``(O·n − R·C)² / (n·R·C)``
+    (O observed, R/C marginal totals, n grand total — all BIGINT-exact
+    counts carried in DECIMAL(38,0)), evaluated with one
+    correctly-rounded double division, rounded once to 6dp and summed
+    in DECIMAL — so the statistic is bit-stable on any engine or
+    partitioning (the BM25 term-sum pattern applied to a test
+    statistic). ZERO cells contribute their expected mass (R·C/n):
+    the cell grid is the cross join of the marginals, not just the
+    observed pairs. Returns one row: ``chi2``, ``dof`` =
+    (R−1)(C−1), ``n``. NULL categories are excluded (they belong to
+    no cell). Compare chi2 against the caller's critical value for
+    ``dof`` — at warehouse n even tiny real dependences are
+    "significant", so effect size (e.g. Cramér's V = sqrt(chi2/(n·
+    min(R,C)−1))) should gate decisions, not p alone."""
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(row_col).alias("__r"), F.col(col_col).alias("__c")
+    ).filter(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+    obs = base.groupBy("__r", "__c").agg(
+        F.count(F.lit(1)).cast(d38).alias("__o")
+    )
+    rows = base.groupBy("__r").agg(F.count(F.lit(1)).cast(d38).alias("__rt"))
+    cols = base.groupBy("__c").agg(F.count(F.lit(1)).cast(d38).alias("__ct"))
+    n_row = base.agg(F.count(F.lit(1)).cast(d38).alias("__n"))
+    grid = (
+        rows.crossJoin(F.broadcast(cols))
+        .join(obs, ["__r", "__c"], "left")
+        .crossJoin(F.broadcast(n_row))
+        .withColumn("__o", F.coalesce(F.col("__o"), F.lit(0).cast(d38)))
+    )
+    diff = (F.col("__o") * F.col("__n") - F.col("__rt") * F.col("__ct")).cast(
+        d38
+    )
+    term = F.round(
+        (diff * diff).cast(d38).cast("double")
+        / (F.col("__n") * F.col("__rt") * F.col("__ct")).cast(d38).cast(
+            "double"
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return grid.agg(
+        F.round(F.sum(term), 4).cast("double").alias("chi2"),
+        (
+            (F.countDistinct("__r") - 1) * (F.countDistinct("__c") - 1)
+        ).alias("dof"),
+        F.max("__n").cast("bigint").alias("n"),
+    )
