@@ -499,9 +499,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept AS (
       SELECT fp, MIN(doc_id) AS keep_id FROM scored GROUP BY fp)
     SELECT s.source,
-           SUM(s.n_tokens) AS raw_tokens,
-           SUM(CASE WHEN k.keep_id = s.doc_id THEN s.n_tokens ELSE 0 END)
-             AS kept_tokens,
+           CAST(SUM(s.n_tokens) AS BIGINT) AS raw_tokens,
+           CAST(SUM(CASE WHEN k.keep_id = s.doc_id THEN s.n_tokens ELSE 0 END)
+             AS BIGINT) AS kept_tokens,
            CAST(FLOOR((SUM(s.n_tokens)
                  - SUM(CASE WHEN k.keep_id = s.doc_id THEN s.n_tokens
                             ELSE 0 END)) * 10000.0 / SUM(s.n_tokens))

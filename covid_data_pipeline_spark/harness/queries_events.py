@@ -158,10 +158,10 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS events_cnt,
-           SUM(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
            COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS k_distinct,
-           SUM(CASE WHEN CAST(props->>'$.k' AS BIGINT) > 50
-                    THEN 1 ELSE 0 END) AS k_gt50
+           CAST(SUM(CASE WHEN CAST(props->>'$.k' AS BIGINT) > 50
+                    THEN 1 ELSE 0 END) AS BIGINT) AS k_gt50
     FROM events
     GROUP BY event_type
     """,
@@ -797,9 +797,9 @@ def rolling_distinct_users_7d_hll(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT day,
            COUNT(*) AS active_users,
-           SUM(clicked) AS clickers,
-           SUM(bought) AS buyers,
-           SUM(clicked * bought) AS click_and_buy
+           CAST(SUM(clicked) AS BIGINT) AS clickers,
+           CAST(SUM(bought) AS BIGINT) AS buyers,
+           CAST(SUM(clicked * bought) AS BIGINT) AS click_and_buy
     FROM per_user
     GROUP BY day
     """,
@@ -1043,7 +1043,8 @@ def funnel_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(cnt) OVER (ORDER BY lag_s ROWS UNBOUNDED PRECEDING) AS c,
              (SELECT SUM(cnt) FROM by_lag) AS total
       FROM by_lag)
-    SELECT (SELECT total FROM cum LIMIT 1) AS converted_users,
+    SELECT CAST((SELECT total FROM cum LIMIT 1) AS BIGINT)
+             AS converted_users,
            (SELECT MIN(lag_s) FROM by_lag) AS min_lag_s,
            MIN(CASE WHEN c * 2 >= total THEN lag_s END) AS median_lag_s,
            (SELECT MAX(lag_s) FROM by_lag) AS max_lag_s
@@ -1215,8 +1216,8 @@ def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
     SELECT CAST(s1.t1 AS DATE) AS cohort_day,
            COUNT(*) AS entrants,
-           SUM(CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END)
-             AS converted,
+           CAST(SUM(CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS converted,
            CAST(FLOOR(SUM(CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END)
                       * 10000.0 / COUNT(*)) AS BIGINT) AS conversion_bp
     FROM s1 LEFT JOIN s3 ON s1.user_id = s3.user_id
@@ -1274,7 +1275,7 @@ def funnel_daily_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT MIN(CASE WHEN c * 2 >= total THEN gap_s END) AS p50_s,
            MIN(CASE WHEN c * 10 >= total * 9 THEN gap_s END) AS p90_s,
            MIN(CASE WHEN c * 100 >= total * 99 THEN gap_s END) AS p99_s,
-           (SELECT total FROM cum LIMIT 1) AS n_gaps
+           CAST((SELECT total FROM cum LIMIT 1) AS BIGINT) AS n_gaps
     FROM cum
     """,
     tags=("events", "dwell", "percentile"),
@@ -1573,10 +1574,11 @@ def events_cuped_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CASE WHEN user_id % 3 <> 0 THEN 1 ELSE 0 END) AS n_ctrl
       FROM (SELECT DISTINCT user_id FROM events)
     )
-    SELECT n_treat, n_ctrl,
-           ((CAST(n_treat - n_ctrl AS HUGEINT)
+    SELECT CAST(n_treat AS BIGINT) AS n_treat,
+           CAST(n_ctrl AS BIGINT) AS n_ctrl,
+           CAST((CAST(n_treat - n_ctrl AS HUGEINT)
              * CAST(n_treat - n_ctrl AS HUGEINT) * 2 * 1000)
-            // CAST(n_treat + n_ctrl AS HUGEINT)) AS chi2_milli,
+            // CAST(n_treat + n_ctrl AS HUGEINT) AS BIGINT) AS chi2_milli,
            ((CAST(n_treat - n_ctrl AS HUGEINT)
              * CAST(n_treat - n_ctrl AS HUGEINT) * 2 * 1000)
             // CAST(n_treat + n_ctrl AS HUGEINT)) > 10828 AS srm_detected
@@ -1767,12 +1769,14 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily a JOIN daily b ON a.day < b.day
     )
     SELECT COUNT(*) AS n_pairs,
-           SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS concordant,
-           SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS discordant,
+           CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS concordant,
+           CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS discordant,
            -- sign-safe: DuckDB // floors but Spark div truncates, so
            -- divide the ABSOLUTE numerator and reapply the sign
-           CASE WHEN SUM(sgn) < 0 THEN -1 ELSE 1 END
-             * ((ABS(SUM(sgn)) * 10000) // COUNT(*)) AS tau_bp
+           CAST(CASE WHEN SUM(sgn) < 0 THEN -1 ELSE 1 END
+             * ((ABS(SUM(sgn)) * 10000) // COUNT(*)) AS BIGINT) AS tau_bp
     FROM pairs
     """,
     tags=("events", "correlation", "robust"),

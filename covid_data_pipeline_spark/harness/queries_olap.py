@@ -1019,10 +1019,10 @@ def fuzzy_entity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r GROUP BY grp
     )
     SELECT b.grp AS o_orderpriority, b.n, b.lo_bound, b.hi_bound,
-           SUM(CASE WHEN o.o_totalprice < b.lo_bound THEN 1 ELSE 0 END)
-             AS n_below,
-           SUM(CASE WHEN o.o_totalprice > b.hi_bound THEN 1 ELSE 0 END)
-             AS n_above
+           CAST(SUM(CASE WHEN o.o_totalprice < b.lo_bound THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_below,
+           CAST(SUM(CASE WHEN o.o_totalprice > b.hi_bound THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_above
     FROM orders o JOIN b ON o.o_orderpriority = b.grp
     GROUP BY b.grp, b.n, b.lo_bound, b.hi_bound
     """,
@@ -1044,7 +1044,8 @@ def winsorize_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PROFILE_COL_SQL = """
   SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
-         SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
          COUNT(DISTINCT {c}) AS n_distinct
   FROM orders"""
 
@@ -1333,13 +1334,14 @@ def revenue_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT SUM(cents * cnt) FROM by_val) AS rev_total,
              (SELECT SUM(cnt) FROM by_val) AS cust_total
       FROM by_val)
-    SELECT MIN(CASE WHEN rev_cum * 2 >= rev_total THEN cust_cum END)
-             AS customers_for_50pct,
-           MIN(CASE WHEN rev_cum * 10 >= rev_total * 8 THEN cust_cum END)
-             AS customers_for_80pct,
-           MIN(CASE WHEN rev_cum * 10 >= rev_total * 9 THEN cust_cum END)
-             AS customers_for_90pct,
-           (SELECT cust_total FROM cum LIMIT 1) AS total_customers
+    SELECT CAST(MIN(CASE WHEN rev_cum * 2 >= rev_total THEN cust_cum END)
+             AS BIGINT) AS customers_for_50pct,
+           CAST(MIN(CASE WHEN rev_cum * 10 >= rev_total * 8 THEN cust_cum
+                    END) AS BIGINT) AS customers_for_80pct,
+           CAST(MIN(CASE WHEN rev_cum * 10 >= rev_total * 9 THEN cust_cum
+                    END) AS BIGINT) AS customers_for_90pct,
+           CAST((SELECT cust_total FROM cum LIMIT 1) AS BIGINT)
+             AS total_customers
     FROM cum
     """,
     tags=("olap", "pareto", "concentration"),
@@ -1482,7 +1484,7 @@ def part_sourcing_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 AS (SELECT k, k % 7 AS grp FROM dim)
     SELECT grp,
            COUNT(*) AS n_rows,
-           SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM ev JOIN d2 USING (k)
     GROUP BY grp
     """,
@@ -1526,8 +1528,8 @@ def skew_split_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT part_a, part_b, support,
-             (CAST(support AS HUGEINT) * n.n_orders * 10000)
-               // (CAST(sa.c AS HUGEINT) * sb.c) AS lift_bp
+             CAST((CAST(support AS HUGEINT) * n.n_orders * 10000)
+               // (CAST(sa.c AS HUGEINT) * sb.c) AS BIGINT) AS lift_bp
       FROM pairs
       JOIN singles sa ON pairs.part_a = sa.p
       JOIN singles sb ON pairs.part_b = sb.p, n

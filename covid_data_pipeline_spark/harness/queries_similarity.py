@@ -723,9 +723,10 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                            WHEN 2 THEN 'pdf' ELSE 'unknown' END AS sniffed,
            COUNT(*) AS n_media,
-           SUM(octet_length(text::BLOB)
+           CAST(SUM(octet_length(text::BLOB)
                + CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 3
-                                 WHEN 2 THEN 4 ELSE 0 END) AS total_bytes
+                                 WHEN 2 THEN 4 ELSE 0 END)
+             AS BIGINT) AS total_bytes
     FROM documents
     GROUP BY CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                              WHEN 2 THEN 'pdf' ELSE 'unknown' END
@@ -1019,7 +1020,7 @@ best AS (
     FROM m
   ) WHERE rn = 1
 )
-SELECT f.src AS id_a, f.dst AS id_b, f.margin_bp
+SELECT f.src AS id_a, f.dst AS id_b, CAST(f.margin_bp AS BIGINT) AS margin_bp
 FROM best f
 JOIN best b ON f.src < f.dst AND f.dst = b.src AND b.dst = f.src
 WHERE f.margin_bp >= 10000

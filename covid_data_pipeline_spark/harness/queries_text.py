@@ -496,24 +496,24 @@ def doc_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           COALESCE(SUM(CASE WHEN word_count_ok AND mean_word_len_ok
+           CAST(COALESCE(SUM(CASE WHEN word_count_ok AND mean_word_len_ok
                               AND symbol_ratio_ok AND alpha_word_ok
                               AND stopword_ok AND bullet_ok AND ellipsis_ok
-                         THEN 1 ELSE 0 END), 0) AS pass_docs,
-           COALESCE(SUM(CASE WHEN NOT word_count_ok THEN 1 ELSE 0 END), 0)
-             AS fail_word_count,
-           COALESCE(SUM(CASE WHEN NOT mean_word_len_ok THEN 1 ELSE 0 END), 0)
-             AS fail_mean_word_len,
-           COALESCE(SUM(CASE WHEN NOT symbol_ratio_ok THEN 1 ELSE 0 END), 0)
-             AS fail_symbol_ratio,
-           COALESCE(SUM(CASE WHEN NOT alpha_word_ok THEN 1 ELSE 0 END), 0)
-             AS fail_alpha_word,
-           COALESCE(SUM(CASE WHEN NOT stopword_ok THEN 1 ELSE 0 END), 0)
-             AS fail_stopword,
-           COALESCE(SUM(CASE WHEN NOT bullet_ok THEN 1 ELSE 0 END), 0)
-             AS fail_bullet,
-           COALESCE(SUM(CASE WHEN NOT ellipsis_ok THEN 1 ELSE 0 END), 0)
-             AS fail_ellipsis
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS pass_docs,
+           CAST(COALESCE(SUM(CASE WHEN NOT word_count_ok THEN 1 ELSE 0 END),
+                0) AS BIGINT) AS fail_word_count,
+           CAST(COALESCE(SUM(CASE WHEN NOT mean_word_len_ok THEN 1 ELSE 0
+                END), 0) AS BIGINT) AS fail_mean_word_len,
+           CAST(COALESCE(SUM(CASE WHEN NOT symbol_ratio_ok THEN 1 ELSE 0
+                END), 0) AS BIGINT) AS fail_symbol_ratio,
+           CAST(COALESCE(SUM(CASE WHEN NOT alpha_word_ok THEN 1 ELSE 0 END),
+                0) AS BIGINT) AS fail_alpha_word,
+           CAST(COALESCE(SUM(CASE WHEN NOT stopword_ok THEN 1 ELSE 0 END),
+                0) AS BIGINT) AS fail_stopword,
+           CAST(COALESCE(SUM(CASE WHEN NOT bullet_ok THEN 1 ELSE 0 END),
+                0) AS BIGINT) AS fail_bullet,
+           CAST(COALESCE(SUM(CASE WHEN NOT ellipsis_ok THEN 1 ELSE 0 END),
+                0) AS BIGINT) AS fail_ellipsis
     FROM flags
     GROUP BY source
     """,
@@ -731,7 +731,8 @@ def docs_quality_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab AS (SELECT tok FROM df ORDER BY docfreq DESC, tok LIMIT 400)
     SELECT b.doc_id,
            COUNT(*) AS n_bigrams,
-           SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS oov_bigrams
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_bigrams
     FROM bi b LEFT JOIN vocab v USING (tok)
     GROUP BY b.doc_id
     """,
@@ -802,7 +803,8 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CASE WHEN cohort = 'b' THEN 1 ELSE 0 END) AS cnt_b
       FROM toks GROUP BY tok),
     tot AS (SELECT SUM(cnt_a) AS ta, SUM(cnt_b) AS tb FROM counts)
-    SELECT tok, cnt_a, cnt_b,
+    SELECT tok, CAST(cnt_a AS BIGINT) AS cnt_a,
+           CAST(cnt_b AS BIGINT) AS cnt_b,
            CAST(FLOOR(cnt_a * 10000.0 / ta) AS BIGINT)
              - CAST(FLOOR(cnt_b * 10000.0 / tb) AS BIGINT) AS drift_bp
     FROM counts, tot
@@ -932,10 +934,11 @@ def token_mass_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            ROUND(AVG(q), 4) AS avg_quality,
-           SUM(CASE WHEN n_chars < 50 THEN 1 ELSE 0 END) AS n_short,
-           SUM(has_pii) AS n_pii
+           CAST(SUM(CASE WHEN n_chars < 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_short,
+           CAST(SUM(has_pii) AS BIGINT) AS n_pii
     FROM scored GROUP BY source
     """,
     tags=("text", "curation", "report"),
@@ -1193,9 +1196,9 @@ def docs_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BM25_QUERIES_SQL = """(VALUES
-    (1, 'spark hash join'),
-    (2, 'window agg batch stream'),
-    (3, 'slow query scan the')) q(query_id, qtext)"""
+    (CAST(1 AS BIGINT), 'spark hash join'),
+    (CAST(2 AS BIGINT), 'window agg batch stream'),
+    (CAST(3 AS BIGINT), 'slow query scan the')) q(query_id, qtext)"""
 
 _BM25_CORE_SQL = r"""
 tok AS (
@@ -1324,7 +1327,7 @@ fused AS (
   SELECT query_id, doc_id, SUM(c) AS rrf_score
   FROM contrib GROUP BY 1, 2
 )
-SELECT query_id, doc_id, rrf_score FROM (
+SELECT query_id, doc_id, CAST(rrf_score AS BIGINT) AS rrf_score FROM (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rn
   FROM fused

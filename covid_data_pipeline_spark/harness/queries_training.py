@@ -445,7 +445,7 @@ def pack_length_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, bin_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS bin_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
            STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
              AS doc_ids
     FROM packed
@@ -575,7 +575,7 @@ def cluster_aware_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT split,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(n_tokens) AS min_tokens,
            MAX(n_tokens) AS max_tokens
     FROM sized
@@ -630,7 +630,8 @@ _TB_CASE = "CASE source " + " ".join(
                ROWS UNBOUNDED PRECEDING) AS cum_tokens
       FROM sized
     )
-    SELECT doc_id, source, n_tokens, cum_tokens
+    SELECT doc_id, source, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
     FROM cum WHERE cum_tokens <= {_TB_CASE}
     """,
     tags=("training", "budget", "selection"),

@@ -52,71 +52,74 @@ def register(
 
 
 # The external driver verifies a 50-query window in registration order.
-# These names are re-ordered to the front so the window carries maximal
-# oracle signal: every SURVEY §2-mapped query, the TPC-H pack, the OLAP
-# and training packs, and the newly-oracled dedup/similarity queries.
-# Everything not listed keeps its module registration order after these;
-# oracle-less (rows-only) queries always sort last.
+# Round-3 rotation (VERDICT r2 ask #1): rounds 1+2 driver-proved 74
+# distinct queries; re-spending slots on them buys nothing. Keep a small
+# §2 regression core (plus tpch_q12, in-window to prove the BIGINT-cast
+# oracle fix) and fill the other 42 slots with the strongest queries
+# that have never had a driver-grade proof (all pass the local DuckDB
+# mirror, tests/test_oracle_parity.py). Everything not listed keeps its
+# module registration order after these; oracle-less (rows-only)
+# queries always sort last.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # SURVEY §2 core (P/J/A/W/F rows)
+    # --- regression core (driver-proven r1/r2; canary against drift) ---
     "mart_analytics",
     "agg_rollup",
     "filter_project",
-    "case_bucket",
-    "map_values_case",
-    "map_values_join",
     "join_left_composite",
-    "join_fact_dim",
-    "anti_join_customers",
-    "semi_join_suppliers",
-    "distinct_dim",
     "surrogate_key_dim",
     "window_lag_alert",
-    "timestamp_parse_multi",
-    "regexp_extract_props",
-    "year_ratio_metrics",
-    "topk_orders",
-    "topk_per_group",
-    "union_by_name",
-    "running_total",
-    # §2 S3 SQL surface + §2.7 set ops
-    "sql_pricing_summary",
-    "set_intersect_nations",
-    "set_except_customers",
-    # §2.9 streaming (batch twins)
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    # TPC-H pack
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_revenue_forecast",
-    "tpch_q10_returned_items",
-    "tpch_q12_priority_shipping",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_discounted_revenue",
-    # OLAP extensions
-    "asof_join_clicks_purchases",
-    "range_join_clicks_before_purchase",
-    "moving_avg_7d",
-    "gapfill_daily_events",
-    "rollup_lineitem",
-    "grouping_sets_orders",
-    "pivot_event_type",
-    # Training-data ops (incl. the end-to-end oracle-verified curation
-    # chain — cube_orders yields its slot; rollup + grouping_sets cover
-    # that family in-window and cube stays oracle-checked locally)
-    "train_test_hash_split",
-    "stratified_hash_sample",
-    "pack_sequences_greedy",
-    "weighted_sample_orders",
     "curation_pipeline_docs",
-    # Newly-oracled dedup/similarity (rows-only in round 1)
-    "dedup_ngram_jaccard",
-    "embedding_neardup",
-    "dedup_duplicate_groups",
+    "tpch_q12_priority_shipping",  # r2 red (HUGEINT artifact) — prove fix
+    # --- TPC-H remainder (never driver-verified) ---
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_count",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_excess_shippers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_sales_opportunity",
+    # --- graph pack ---
+    "graph_bfs_distances",
+    "graph_shortest_paths",
+    "graph_triangle_count",
+    "pagerank_knn_docs",
+    "pagerank_personalized_docs",
+    # --- text pack ---
+    "docs_gopher_filter",
+    "bm25_search_docs",
+    "doc_perplexity_bigram",
+    # --- retrieval / experiment / temporal ---
+    "hybrid_rrf_search",
+    "events_cuped_experiment",
+    "events_theilsen_trend",
+    "events_kendall_daily",
+    "revenue_concentration_metrics",
+    # --- event analytics ---
+    "funnel_ordered_steps",
+    "cohort_retention_weekly",
+    "scd2_user_type_history",
+    "event_transition_matrix",
+    "attribution_last_touch",
+    # --- OLAP surface ---
+    "cube_orders",
+    "window_rank_functions",
+    "string_functions",
+    "array_functions",
+    "market_basket_part_pairs",
+    # --- fuzzy join / dedup / similarity ---
+    "fuzzy_join_part_names",
+    "dedup_jaccard_prefix",
+    "knn_graph_exact",
+    "semantic_dedup_docs",
+    # --- training-data ops ---
+    "token_budget_select_docs",
+    "kfold_assign_docs",
+    "temporal_split_events",
 )
 
 # Every query module must import cleanly: a blanket try/except here once

@@ -111,20 +111,47 @@ class SnapshotWarehouse:
         os.makedirs(snap_dir, exist_ok=True)
         manifest = {"version": version, "op": op, "files": sorted(files)}
         final = os.path.join(snap_dir, f"v{version}.json")
+        # Write the full manifest to a private temp file FIRST, then
+        # claim the version with an atomic hard link: a claimed
+        # v{N}.json is therefore always complete JSON, so a writer that
+        # crashes between claim and the _current update leaves an
+        # ADOPTABLE orphan (see below), never a half-written one.
+        tmp = os.path.join(snap_dir, f".v{version}.{os.getpid()}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
         try:
-            fd = os.open(final, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            os.link(tmp, final)
         except FileExistsError:
+            # Version already claimed. Either a live racer (its
+            # _current update is imminent) or a crashed writer's orphan
+            # (version > _current forever). Both cases: roll _current
+            # forward to the claimed manifest — idempotent if the racer
+            # also writes it — so the table can NEVER wedge on a
+            # permanently re-computed version, then conflict out.
+            self._advance_current(snap_dir, version)
             raise CommitConflictError(
                 f"{table}: version {version} already claimed by a "
                 "concurrent writer — re-read and retry"
             ) from None
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-        cur_tmp = os.path.join(snap_dir, "._current.tmp")
+        finally:
+            os.unlink(tmp)
+        self._advance_current(snap_dir, version)
+        return version
+
+    @staticmethod
+    def _advance_current(snap_dir: str, version: int) -> None:
+        """Atomically set _current to ``version`` if it is ahead."""
+        cur_path = os.path.join(snap_dir, "_current")
+        try:
+            with open(cur_path) as f:
+                if int(f.read().strip() or 0) >= version:
+                    return
+        except (FileNotFoundError, ValueError):
+            pass
+        cur_tmp = os.path.join(snap_dir, f"._current.{os.getpid()}.tmp")
         with open(cur_tmp, "w") as f:
             f.write(str(version))
-        os.replace(cur_tmp, os.path.join(snap_dir, "_current"))
-        return version
+        os.replace(cur_tmp, cur_path)
 
     def _write_batch(
         self,
@@ -433,7 +460,12 @@ class SnapshotWarehouse:
         purged: dict[str, int] = {}
         for t in tables:
             data_dir = self._data_dir(t)
-            alive = self._alive_files(t)
+            # OCC: pin the snapshot this purge reads, so a concurrent
+            # append conflicts at commit instead of losing its files
+            base = self.current_version(t)
+            alive = (
+                [] if base is None else list(self._manifest(t, base)["files"])
+            )
             if not alive:
                 # table never written (or empty snapshot): nothing to do
                 purged[t] = 0
@@ -464,7 +496,7 @@ class SnapshotWarehouse:
                 small, on=key_cols, how="left_anti"
             )
             new = self._write_batch(survivors, t, (partition_by or {}).get(t))
-            self._commit(t, keep + new, "purge")
+            self._commit(t, keep + new, "purge", expected_base=base)
         return purged
 
     def compact(
@@ -515,7 +547,10 @@ class SnapshotWarehouse:
             partition_by = self._inferred_partition_by(table)
         if sort_by and zorder_by:
             raise ValueError("pass sort_by or zorder_by, not both")
-        df = self.read(table)
+        # OCC: compact exactly the snapshot it read; a concurrent append
+        # conflicts at commit rather than vanishing from the manifest
+        base = self.current_version(table)
+        df = self.read(table, version=base)
         if sort_by:
             cols = [F.col(c) for c in sort_by]
             df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
@@ -537,7 +572,7 @@ class SnapshotWarehouse:
         new = self._write_batch(
             df, table, partition_by, max_records_per_file=target_file_rows
         )
-        return self._commit(table, new, "compact")
+        return self._commit(table, new, "compact", expected_base=base)
 
     def remove_orphan_files(self, table: str) -> int:
         """Delete data files referenced by NO manifest — leftovers from
@@ -736,7 +771,13 @@ class SnapshotWarehouse:
         (0 ⇒ no new version committed). Cost is O(files with hits) —
         the purge_keys shape generalized to arbitrary predicates."""
         hit = F.coalesce(predicate, F.lit(False))
-        alive = self._alive_files(table)
+        # OCC: capture the base version BEFORE reading state, so a
+        # concurrent append between this read and the commit raises
+        # CommitConflictError instead of silently dropping its files.
+        base = self.current_version(table)
+        if base is None:
+            return 0
+        alive = list(self._manifest(table, base)["files"])
         if not alive:
             return 0
         data_dir = self._data_dir(table)
@@ -760,7 +801,7 @@ class SnapshotWarehouse:
             self._read_file_list(table, sorted(hit_rel)), hit
         )
         new = self._write_batch(rewritten, table, partition_by)
-        self._commit(table, keep + new, op)
+        self._commit(table, keep + new, op, expected_base=base)
         return sum(r["__hits"] for r in hit_paths)
 
     def delete_where(
@@ -852,7 +893,12 @@ class SnapshotWarehouse:
         if partition_by is None:
             partition_by = self._inferred_partition_by(table)
         data_dir = self._data_dir(table)
-        alive = self._alive_files(table)
+        # OCC: merge against a pinned snapshot; concurrent commits
+        # conflict instead of being dropped from the merged manifest
+        base = self.current_version(table)
+        alive = (
+            [] if base is None else list(self._manifest(table, base)["files"])
+        )
         src = source.persist()
         keys = F.broadcast(src.select(*on).distinct())
         hit_paths = (
@@ -894,7 +940,7 @@ class SnapshotWarehouse:
             new_rows = src
             n_upd, n_ins = 0, src.count()
         new = self._write_batch(new_rows, table, partition_by)
-        self._commit(table, keep + new, "merge")
+        self._commit(table, keep + new, "merge", expected_base=base)
         src.unpersist()
         if hit_rows is not None:
             hit_rows.unpersist()
