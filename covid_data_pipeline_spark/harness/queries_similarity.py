@@ -1020,10 +1020,11 @@ best AS (
     FROM m
   ) WHERE rn = 1
 )
-SELECT f.src AS id_a, f.dst AS id_b, CAST(f.margin_bp AS BIGINT) AS margin_bp
+SELECT f.src AS id_a, f.dst AS id_b,
+       CAST(LEAST(f.margin_bp, b.margin_bp) AS BIGINT) AS margin_bp
 FROM best f
 JOIN best b ON f.src < f.dst AND f.dst = b.src AND b.dst = f.src
-WHERE f.margin_bp >= 10000
+WHERE LEAST(f.margin_bp, b.margin_bp) >= 10000
 """
 
 

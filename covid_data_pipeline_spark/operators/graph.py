@@ -232,9 +232,15 @@ def pagerank_int(
         )
     else:
         src_col = sources.columns[0]
+        # |S| counts only seeds PRESENT in the graph: a seed absent
+        # from the edge-derived node set gets no rank row, so counting
+        # it in the teleport divisor would silently vanish its share
+        # and leave total mass < scale (total mass is the invariant
+        # tests assert on)
         srcs = (
             sources.select(F.col(src_col).alias("node"))
             .distinct()
+            .join(nodes, "node", "left_semi")
             .withColumn("__s", F.lit(True))
         )
         n_row = srcs.agg(F.count(F.lit(1)).alias("__n"))

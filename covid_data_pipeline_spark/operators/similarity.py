@@ -1157,7 +1157,11 @@ def margin_mutual_pairs(
     edges are dropped first; they cannot be parallel pairs).
 
     Output: one row per mutual pair, ``id_a < id_b``, with
-    ``margin_bp ≥ threshold_bp``. A mutual-best pair always has
+    ``margin_bp`` = the MIN of the two directions' margins (each
+    endpoint's neighborhood yields its own margin; reporting and
+    thresholding the min keeps the result symmetric in the pair, not
+    in which endpoint got the smaller id) and ``margin_bp ≥
+    threshold_bp``. A mutual-best pair always has
     margin ≥ 1 (its dot is both endpoints' top-1, hence ≥ both top-k
     averages), so 10_000 keeps every mutual match and higher values
     tighten precision.
@@ -1213,17 +1217,27 @@ def margin_mutual_pairs(
         k=1,
     ).select("__src", "__dst", "margin_bp")
 
+    # Keep BOTH directions' margins and threshold on the MIN: the two
+    # endpoints see different top-k neighborhoods, so their margins
+    # differ, and filtering only the low-id direction would admit pairs
+    # whose reverse margin is below threshold (asymmetric w.r.t. which
+    # endpoint has the smaller id).
     fwd = best.filter(F.col("__src") < F.col("__dst")).select(
         F.col("__src").alias("id_a"),
         F.col("__dst").alias("id_b"),
-        F.col("margin_bp").alias("margin_bp"),
+        F.col("margin_bp").alias("__m_fwd"),
     )
     bwd = best.filter(F.col("__src") > F.col("__dst")).select(
         F.col("__dst").alias("id_a"),
         F.col("__src").alias("id_b"),
+        F.col("margin_bp").alias("__m_bwd"),
     )
     return (
         fwd.join(bwd, ["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.least("__m_fwd", "__m_bwd").alias("margin_bp"),
+        )
         .filter(F.col("margin_bp") >= F.lit(threshold_bp))
-        .select("id_a", "id_b", "margin_bp")
     )

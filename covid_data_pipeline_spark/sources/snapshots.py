@@ -712,7 +712,24 @@ class SnapshotWarehouse:
             if blind or flo is None:
                 kept.append(rel)  # stats can't prove absence: must keep
                 continue
-            if (lo is not None and fhi < lo) or (hi is not None and flo > hi):
+            try:
+                drop = (lo is not None and fhi < lo) or (
+                    hi is not None and flo > hi
+                )
+            except TypeError:
+                # Bound type doesn't compare against the footer stat
+                # type (e.g. str bound vs date/int stats from pyarrow):
+                # surface the contract violation clearly instead of a
+                # cryptic mid-sweep TypeError. Callers who want the
+                # old footer types can pass matching Python types.
+                raise TypeError(
+                    f"prune_files({table!r}, {column!r}): bounds "
+                    f"lo={type(lo).__name__}/hi={type(hi).__name__} are "
+                    f"not comparable with the column's parquet footer "
+                    f"stat type {type(flo).__name__} — pass bounds of "
+                    "the footer's Python type"
+                ) from None
+            if drop:
                 continue
             kept.append(rel)
         return kept, len(files)

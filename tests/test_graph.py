@@ -320,3 +320,25 @@ def test_personalized_pagerank_concentrates_on_seeds(spark):
         ).collect()
     }
     assert r == r2
+
+
+def test_personalized_pagerank_ignores_out_of_graph_seeds(spark):
+    """A seed id absent from the edge set must not dilute the teleport
+    divisor |S| — it has no rank row, so counting it would leak its
+    whole teleport share and drop total mass below scale."""
+    from covid_data_pipeline_spark.operators.graph import pagerank_int
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    in_graph = spark.createDataFrame([(0,)], "node long")
+    with_ghost = spark.createDataFrame([(0,), (999,)], "node long")
+    a = sorted(
+        map(tuple, pagerank_int(edges, iters=4, sources=in_graph).collect())
+    )
+    b = sorted(
+        map(tuple, pagerank_int(edges, iters=4, sources=with_ghost).collect())
+    )
+    assert a == b
+    total = sum(r for _, r in b)
+    assert total > 0.999 * 10**12

@@ -709,3 +709,70 @@ def test_optimistic_commit_detects_lost_update(spark, sw):
         _json.dump({"version": nxt, "op": "append", "files": []}, f)
     with _pytest.raises(CommitConflictError, match="already claimed"):
         sw.append(spark.range(1).coalesce(1), "cc")
+
+
+def test_dml_conflicts_with_concurrent_append(spark, sw):
+    """delete_where racing a concurrent append must raise
+    CommitConflictError, not silently drop the appended rows from the
+    new manifest (the round-2 advisor's reproduced lost-update)."""
+    from covid_data_pipeline_spark.sources.snapshots import (
+        CommitConflictError,
+    )
+
+    sw.append(spark.range(10).coalesce(1), "race")
+
+    orig = sw._write_batch
+    raced = {"done": False}
+
+    def racing(df, table, partition_by, **kw):
+        files = orig(df, table, partition_by, **kw)
+        if not raced["done"]:
+            # another writer lands an append INSIDE delete_where's
+            # read-state → commit window
+            raced["done"] = True
+            sw.append(spark.range(100, 105).coalesce(1), "race")
+        return files
+
+    sw._write_batch = racing
+    try:
+        with pytest.raises(CommitConflictError, match="re-read and retry"):
+            sw.delete_where("race", F.col("id") < 3)
+    finally:
+        sw._write_batch = orig
+    # the concurrent append's rows survived; the delete did NOT land
+    ids = {r["id"] for r in sw.read("race").collect()}
+    assert ids == set(range(10)) | set(range(100, 105))
+    # the retry (no race this time) applies cleanly
+    assert sw.delete_where("race", F.col("id") < 3) == 3
+    ids = {r["id"] for r in sw.read("race").collect()}
+    assert ids == set(range(3, 10)) | set(range(100, 105))
+
+
+def test_orphan_manifest_adopted_not_wedged(spark, sw):
+    """A writer crashing between the manifest claim and the _current
+    update leaves v{N}.json with _current == N-1. Every later commit
+    recomputes N — the old behavior conflicted forever. The claim
+    handler now adopts the orphan (rolls _current forward) so exactly
+    one conflict is surfaced and the retry proceeds."""
+    import json as _json
+    import os as _os
+
+    from covid_data_pipeline_spark.sources.snapshots import (
+        CommitConflictError,
+    )
+
+    sw.append(spark.range(3).coalesce(1), "orph")
+    # simulate the crash: complete v2 manifest, _current still 1
+    m1 = sw._manifest("orph", 1)
+    with open(_os.path.join(sw._snap_dir("orph"), "v2.json"), "w") as f:
+        _json.dump({"version": 2, "op": "append", "files": m1["files"]}, f)
+    assert sw.current_version("orph") == 1
+
+    with pytest.raises(CommitConflictError, match="already claimed"):
+        sw.append(spark.range(3, 6).coalesce(1), "orph")
+    # adopted: _current rolled forward to the orphan
+    assert sw.current_version("orph") == 2
+    # retry succeeds instead of recomputing v2 forever
+    sw.append(spark.range(3, 6).coalesce(1), "orph")
+    assert sw.current_version("orph") == 3
+    assert sw.read("orph").count() == 6
