@@ -497,6 +497,104 @@ _KNN_GRAPH_ORACLE = (
 )
 
 
+def _lsh_edges_sql(
+    dim: int = 64,
+    num_planes: int = 8,
+    seed: int = 42,
+    k: int = 5,
+    max_bucket: int = 10_000,
+) -> str:
+    """CTE block replaying ``operators/similarity.knn_graph_lsh``
+    EXACTLY in DuckDB, ending in ``lsh_edges(src_id, nbr_id,
+    similarity)`` — what turns the LSH family from rows-only into
+    hash-verifiable:
+
+    * the hyperplanes are a pure Park–Miller LCG
+      (``operators/similarity._hyperplanes``), so a recursive CTE
+      regenerates the identical plane doubles (integer LCG state is
+      exact; the ``state/M*2-1`` and normalization op order matches the
+      Python float-for-float);
+    * bucket bits compare the SAME sequential-fold dot (Spark
+      ``F.aggregate`` and DuckDB ``list_dot_product`` both reduce left
+      to right in index order) against 0;
+    * hot-bucket cap, single-bit multiprobe (XOR masks), pre-normalized
+      similarity, ROUND(,4) and the (sim DESC, nbr) tie-break replay
+      the operator line by line.
+
+    Embedders of this block must open with ``WITH RECURSIVE``.
+    """
+    return f"""lcg(n, state) AS (
+  SELECT 1, CAST({seed} * 48271 % 2147483647 AS BIGINT)
+  UNION ALL
+  SELECT n + 1, state * 48271 % 2147483647 FROM lcg WHERE n < {num_planes * dim}
+),
+rawp AS (
+  SELECT (n - 1) // {dim} AS pid, (n - 1) % {dim} AS pos,
+         CAST(state AS DOUBLE) / 2147483647 * 2 - 1 AS x
+  FROM lcg
+),
+planes AS (SELECT pid, list(x ORDER BY pos) AS pv FROM rawp GROUP BY pid),
+pnorm AS (
+  SELECT pid, list_transform(pv, x -> x / sqrt(list_dot_product(pv, pv))) AS pn
+  FROM planes
+),
+lvecs AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve
+  FROM embeddings
+),
+lbits AS (
+  SELECT v.vec_id, p.pid,
+         CASE WHEN list_dot_product(v.ve, p.pn) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM lvecs v, pnorm p
+),
+bucketed AS (
+  SELECT vec_id, CAST(SUM(bit * (1::BIGINT << pid)) AS BIGINT) AS bucket
+  FROM lbits GROUP BY vec_id
+),
+capped AS (
+  SELECT vec_id, bucket FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bsz FROM bucketed
+  ) WHERE bsz <= {max_bucket}
+),
+normv AS (
+  SELECT vec_id, list_transform(ve, x -> x / nrm) AS vn
+  FROM (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM lvecs)
+),
+pmask AS (
+  SELECT CAST(0 AS BIGINT) AS m
+  UNION ALL
+  SELECT 1::BIGINT << i FROM range({num_planes}) t(i)
+),
+lsh_cand AS (
+  SELECT l.src_id, r.vec_id AS nbr_id
+  FROM (SELECT c.vec_id AS src_id, xor(c.bucket, m.m) AS bucket
+        FROM capped c, pmask m) l
+  JOIN capped r ON l.bucket = r.bucket
+  WHERE l.src_id <> r.vec_id
+),
+lsh_scored AS (
+  SELECT c.src_id, c.nbr_id,
+         ROUND(list_dot_product(a.vn, b.vn), 4) AS similarity
+  FROM lsh_cand c
+  JOIN normv a ON c.src_id = a.vec_id
+  JOIN normv b ON c.nbr_id = b.vec_id
+),
+lsh_edges AS (
+  SELECT src_id, nbr_id, similarity FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY src_id ORDER BY similarity DESC, nbr_id) AS rn
+    FROM lsh_scored
+  ) WHERE rn <= {k}
+)"""
+
+
+_LSH_GRAPH_ORACLE = (
+    "WITH RECURSIVE "
+    + _lsh_edges_sql()
+    + "\nSELECT src_id, nbr_id, similarity FROM lsh_edges"
+)
+
+
 @register(
     "knn_graph_exact",
     _KNN_GRAPH_ORACLE,
@@ -517,7 +615,7 @@ def knn_graph_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_graph_lsh",
-    None,  # approximate — recall vs the exact graph asserted in pytest
+    _LSH_GRAPH_ORACLE,  # exact replay: LCG planes regenerate in SQL
     tags=("similarity", "knn-graph", "ann-lsh"),
     bench=True,
 )
@@ -525,7 +623,12 @@ def knn_graph_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN graph via LSH bucket collisions with single-bit
     multiprobe — the both-sides-large self-join (nothing broadcastable)
     that replaces the quadratic exact graph at corpus scale. Candidate
-    work is bounded by Σ bucket² with the standard hot-bucket cap."""
+    work is bounded by Σ bucket² with the standard hot-bucket cap.
+
+    APPROXIMATE vs the exact graph yet FULLY hash-verifiable: the
+    hyperplanes are a deterministic LCG the oracle regenerates inside
+    SQL (``_lsh_edges_sql``), so the whole bucket/probe/score/top-k
+    chain replays bit-identically in DuckDB."""
     from covid_data_pipeline_spark.operators.similarity import knn_graph_lsh
 
     return knn_graph_lsh(
@@ -766,19 +869,37 @@ def media_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle(iters: int = 5, k: int = 5, scale: int = 10**12) -> str:
+def _pagerank_oracle(
+    iters: int = 5,
+    k: int = 5,
+    scale: int = 10**12,
+    edges_head: str | None = None,
+) -> str:
     """Unrolled-iteration twin of ``operators.graph.pagerank_int`` over
     the exact kNN edge set: DuckDB disallows aggregates in a recursive
     CTE term, so each power-iteration step is its own CTE — iteration
     count is a query constant, which is exactly what makes the unroll
     legitimate. All arithmetic is BIGINT ``//`` (truncating division of
     non-negatives == floor), so five iterations stay bit-identical to
-    Spark's ``div`` fixed point."""
+    Spark's ``div`` fixed point.
+
+    ``edges_head`` swaps in an alternative WITH-body ending in a CTE
+    ``e(src, dst)`` (e.g. the LSH edge replay) — the iteration SQL is
+    shared so the exact- and LSH-graph PageRank oracles cannot
+    diverge."""
+    if edges_head is None:
+        edges_head = f"""{_knn_edges_sql("src", "dst", " WHERE vec_id % 4 = 0")},
+    e AS (SELECT src, dst FROM ranked WHERE rn <= {k})"""
     head = f"""
-    WITH {_knn_edges_sql("src", "dst", " WHERE vec_id % 4 = 0")},
-    e AS (SELECT src, dst FROM ranked WHERE rn <= {k}),
+    WITH RECURSIVE {edges_head},
     deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
-    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nodes AS (
+      -- explicit DISTINCT: under WITH RECURSIVE, DuckDB gives the
+      -- bare `a UNION b` form recursive-union semantics and the
+      -- dedup is not applied to a non-self-referencing CTE
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+    ),
     nn AS (SELECT COUNT(*) AS n FROM nodes),
     pr0 AS (
       SELECT node, CAST({scale} // nn.n AS BIGINT) AS rank
@@ -842,7 +963,10 @@ def pagerank_knn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pagerank_knn_lsh",
-    None,  # approximate edge set — exact-graph agreement asserted in pytest
+    _pagerank_oracle(
+        edges_head=_lsh_edges_sql()
+        + ",\n    e AS (SELECT src_id AS src, nbr_id AS dst FROM lsh_edges)"
+    ),
     tags=("similarity", "graph", "pagerank", "centrality", "ann-lsh"),
     # not in the bench headline set: 5 iterations x ~3 jobs of sub-second
     # tasks measure scheduler overhead at sf0.1, not engine throughput
@@ -854,9 +978,10 @@ def pagerank_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-bucketed approximate kNN graph — edge generation is the
     hot-bucket-capped self equi-join (never all-pairs), so the whole
     chain (graph build + 5 rank iterations) survives a 100 TB corpus.
-    Rank agreement with the exact-graph variant is asserted in pytest
-    (Spearman-style top-overlap), not SQL — the edge set is approximate
-    by design."""
+    The edge set is approximate vs the exact graph (agreement asserted
+    in pytest) yet hash-verifiable: the oracle regenerates the LCG
+    hyperplanes in SQL (``_lsh_edges_sql``) and unrolls the same five
+    integer iterations."""
     from covid_data_pipeline_spark.operators.graph import pagerank_int
     from covid_data_pipeline_spark.operators.similarity import knn_graph_lsh
 
