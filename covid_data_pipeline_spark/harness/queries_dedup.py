@@ -117,10 +117,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash",
-    None,  # LSH banding + jaccard verify is not SQL-expressible; pytest
-    # asserts planted-pair recall (tests/test_dedup.py)
+    None,
     tags=("dedup", "minhash", "lsh"),
     bench=True,
+    rows_only_reason=(
+        "minhash permutations run over xxhash64 shingle hashes — no "
+        "DuckDB equivalent exists to replay them; planted-pair recall "
+        "vs the oracle-green exact twin dedup_ngram_jaccard is "
+        "asserted in tests/test_dedup.py"
+    ),
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _with_mutants(table(spark, sf_dir, "documents"))
@@ -138,6 +143,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     None,
     tags=("dedup", "simhash"),
+    rows_only_reason=(
+        "simhash bits are weighted xxhash64 token hashes — not "
+        "replayable outside Spark; Hamming-distance bounds on planted "
+        "mutants asserted in tests/test_dedup.py"
+    ),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _with_mutants(table(spark, sf_dir, "documents"))

@@ -751,8 +751,13 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rolling_distinct_users_7d_hll",
-    None,  # sketch state is engine-specific — accuracy vs exact in pytest
+    None,
     tags=("events", "window", "distinct", "rolling", "sketch"),
+    rows_only_reason=(
+        "HLL sketch state is engine-internal; the exact twin "
+        "rolling_distinct_users_7d is oracle-green and the sketch's "
+        "relative error is bounded against it in pytest"
+    ),
 )
 def rolling_distinct_users_7d_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-merging twin of `rolling_distinct_users_7d`: one

@@ -627,10 +627,13 @@ def unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_sketch_stats",
-    None,  # HLL / KLL sketches cannot hash-match a different engine's
-    # implementation; tests/test_olap.py bounds them against the exact
-    # values (rel. error < 5%).
+    None,
     tags=("olap", "approx", "sketch"),
+    rows_only_reason=(
+        "HLL/KLL sketch estimates cannot hash-match a different "
+        "engine's sketch implementation; tests/test_olap.py bounds "
+        "them against the exact values (rel. error < 5%)"
+    ),
 )
 def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB path where exact distinct/quantile

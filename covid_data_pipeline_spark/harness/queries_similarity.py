@@ -4,8 +4,12 @@ extras) plus multimodal-plumbing queries over synthesized media rows.
 The brute-force cosine top-k has a DuckDB oracle (both engines compute
 the dot product left-to-right in DOUBLE, then round to 4 dp and rank by
 the rounded value with an id tiebreaker — bit-stable across engines).
-The LSH variant is approximate → rows-only; pytest asserts recall vs the
-exact result.
+The LSH variants are approximate vs the exact answer yet still
+hash-verifiable: the hyperplanes come from a deterministic Park–Miller
+LCG that ``_lsh_bucket_prefix_sql`` regenerates inside SQL, so the whole
+bucket/probe/score/top-k chain replays bit-identically in DuckDB. Only
+the trained-quantizer paths (IVF/PQ: float k-means over xxhash64-ordered
+init) stay rows-only — recall floors asserted in pytest.
 """
 
 from __future__ import annotations
@@ -73,9 +77,82 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_bucket_prefix_sql(dim: int, num_planes: int, seed: int) -> str:
+    """Shared CTE prefix replaying ``_hyperplanes`` + ``with_lsh_bucket``:
+    regenerates the Park–Miller LCG plane doubles (integer LCG state is
+    exact; ``//`` avoids DuckDB's rounding int division) and ends in
+    ``lvecs(vec_id, ve)`` + ``bucketed(vec_id, bucket)``. Embedders must
+    open with ``WITH RECURSIVE``."""
+    return f"""lcg(n, state) AS (
+  SELECT 1, CAST({seed} * 48271 % 2147483647 AS BIGINT)
+  UNION ALL
+  SELECT n + 1, state * 48271 % 2147483647 FROM lcg WHERE n < {num_planes * dim}
+),
+rawp AS (
+  SELECT (n - 1) // {dim} AS pid, (n - 1) % {dim} AS pos,
+         CAST(state AS DOUBLE) / 2147483647 * 2 - 1 AS x
+  FROM lcg
+),
+planes AS (SELECT pid, list(x ORDER BY pos) AS pv FROM rawp GROUP BY pid),
+pnorm AS (
+  SELECT pid, list_transform(pv, x -> x / sqrt(list_dot_product(pv, pv))) AS pn
+  FROM planes
+),
+lvecs AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve
+  FROM embeddings
+),
+lbits AS (
+  SELECT v.vec_id, p.pid,
+         CASE WHEN list_dot_product(v.ve, p.pn) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM lvecs v, pnorm p
+),
+bucketed AS (
+  SELECT vec_id, CAST(SUM(bit * (1::BIGINT << pid)) AS BIGINT) AS bucket
+  FROM lbits GROUP BY vec_id
+)"""
+
+
+# Replay of ``cosine_topk_lsh`` (4 planes, 1-bit multiprobe): query-side
+# probe expansion, bucket equi-join, UN-normalized cosine in the same
+# ``dot / (norm_a * norm_b)`` op order as ``operators.similarity.cosine``.
+_TOPK_LSH_ORACLE = f"""
+WITH RECURSIVE {_lsh_bucket_prefix_sql(EMBED_DIM, 4, 42)},
+q AS (
+  SELECT l.vec_id AS query_id, l.ve AS qv, b.bucket
+  FROM lvecs l JOIN bucketed b ON l.vec_id = b.vec_id
+  WHERE l.vec_id < {N_QUERIES}
+),
+pmask AS (
+  SELECT CAST(0 AS BIGINT) AS m
+  UNION ALL
+  SELECT 1::BIGINT << i FROM range(4) t(i)
+),
+cand AS (
+  SELECT p.query_id, p.qv, c.vec_id, l.ve
+  FROM (SELECT query_id, qv, xor(bucket, m) AS bucket FROM q, pmask) p
+  JOIN bucketed c ON p.bucket = c.bucket
+  JOIN lvecs l ON c.vec_id = l.vec_id
+  WHERE c.vec_id <> p.query_id
+),
+scored AS (
+  SELECT query_id, vec_id,
+         ROUND(list_dot_product(ve, qv) /
+               (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qv, qv))),
+               4) AS similarity
+  FROM cand
+)
+SELECT query_id, vec_id, similarity FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= {TOP_K}
+"""
+
+
 @register(
     "similarity_topk_lsh",
-    None,  # approximate — recall vs exact asserted in tests/test_similarity.py
+    _TOPK_LSH_ORACLE,
     tags=("similarity", "ann-lsh"),
     bench=True,
 )
@@ -116,9 +193,15 @@ def similarity_topk_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "similarity_topk_ivf",
-    None,  # probe-limited — approximate; recall asserted in pytest
+    None,
     tags=("similarity", "ann-ivf"),
     bench=True,
+    rows_only_reason=(
+        "the k-means quantizer trains distributively (float means over "
+        "xxhash64-ordered init) — centroid bits are not cross-engine "
+        "replayable; recall vs the oracle-green brute force asserted "
+        "in tests/test_dedup_similarity.py"
+    ),
 )
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cold path: distributed k-means quantizer training + probe-limited
@@ -139,9 +222,14 @@ _IVF_CENTROIDS: dict[str, list[list[float]]] = {}
 
 @register(
     "similarity_topk_ivf_pretrained",
-    None,  # probe-limited — approximate; recall asserted in pytest
+    None,
     tags=("similarity", "ann-ivf", "pretrained"),
     bench=True,
+    rows_only_reason=(
+        "same trained quantizer as similarity_topk_ivf (memoized) — "
+        "float k-means centroids are not SQL-replayable; recall floor "
+        "and cold/warm agreement asserted in tests/test_dedup_similarity.py"
+    ),
 )
 def similarity_topk_ivf_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Amortized path: an IVF index is trained once per corpus, then
@@ -304,7 +392,19 @@ def media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_features_fake",
-    None,  # mapInPandas decode stub — Spark-side plumbing check only
+    # The "fake" decode is fully deterministic (sha256-derived), so even
+    # the stub path is hash-verifiable: f0 is the digest's first 4 bytes
+    # as big-endian uint32 / 2^32 (k/2^32 can never land on a decimal
+    # .xxxxxx5 tie, so ROUND(,6) agrees across engines).
+    """
+    SELECT doc_id AS media_id,
+           sha256(text) AS payload_sha,
+           octet_length(text::BLOB) AS n_bytes,
+           ROUND(CAST(CAST(CAST(concat('0x', substr(sha256(text), 1, 8))
+                                AS BIGINT) / 4294967296.0
+                           AS REAL) AS DOUBLE), 6) AS f0
+    FROM documents
+    """,
     tags=("multimodal", "pandas-udf"),
 )
 def media_features_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,7 +414,10 @@ def media_features_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "payload_sha",
         "n_bytes",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
+        # features are float32 in IMAGE_FEATURES_SCHEMA — widen before
+        # rounding or the result column stays float and carries ~9
+        # significant digits past the ROUND(6).
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
     )
 
 
@@ -503,6 +606,7 @@ def _lsh_edges_sql(
     seed: int = 42,
     k: int = 5,
     max_bucket: int = 10_000,
+    cross_side: bool = False,
 ) -> str:
     """CTE block replaying ``operators/similarity.knn_graph_lsh``
     EXACTLY in DuckDB, ending in ``lsh_edges(src_id, nbr_id,
@@ -522,35 +626,13 @@ def _lsh_edges_sql(
       the operator line by line.
 
     Embedders of this block must open with ``WITH RECURSIVE``.
+
+    ``cross_side=True`` replays the operator's ``label_col`` mode with
+    side = vec_id parity (the bitext split): the different-label filter
+    lands on the bucket-join output BEFORE top-k, same as the operator.
     """
-    return f"""lcg(n, state) AS (
-  SELECT 1, CAST({seed} * 48271 % 2147483647 AS BIGINT)
-  UNION ALL
-  SELECT n + 1, state * 48271 % 2147483647 FROM lcg WHERE n < {num_planes * dim}
-),
-rawp AS (
-  SELECT (n - 1) // {dim} AS pid, (n - 1) % {dim} AS pos,
-         CAST(state AS DOUBLE) / 2147483647 * 2 - 1 AS x
-  FROM lcg
-),
-planes AS (SELECT pid, list(x ORDER BY pos) AS pv FROM rawp GROUP BY pid),
-pnorm AS (
-  SELECT pid, list_transform(pv, x -> x / sqrt(list_dot_product(pv, pv))) AS pn
-  FROM planes
-),
-lvecs AS (
-  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve
-  FROM embeddings
-),
-lbits AS (
-  SELECT v.vec_id, p.pid,
-         CASE WHEN list_dot_product(v.ve, p.pn) >= 0 THEN 1 ELSE 0 END AS bit
-  FROM lvecs v, pnorm p
-),
-bucketed AS (
-  SELECT vec_id, CAST(SUM(bit * (1::BIGINT << pid)) AS BIGINT) AS bucket
-  FROM lbits GROUP BY vec_id
-),
+    side_filter = " AND l.src_id % 2 <> r.vec_id % 2" if cross_side else ""
+    return f"""{_lsh_bucket_prefix_sql(dim, num_planes, seed)},
 capped AS (
   SELECT vec_id, bucket FROM (
     SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bsz FROM bucketed
@@ -570,7 +652,7 @@ lsh_cand AS (
   FROM (SELECT c.vec_id AS src_id, xor(c.bucket, m.m) AS bucket
         FROM capped c, pmask m) l
   JOIN capped r ON l.bucket = r.bucket
-  WHERE l.src_id <> r.vec_id
+  WHERE l.src_id <> r.vec_id{side_filter}
 ),
 lsh_scored AS (
   SELECT c.src_id, c.nbr_id,
@@ -1040,9 +1122,14 @@ def hard_negatives_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_topk_pq",
-    None,  # approximate (PQ/ADC) — recall vs exact asserted in pytest
+    None,
     tags=("similarity", "ann-pq", "pandas-udf"),
     bench=True,
+    rows_only_reason=(
+        "PQ codebooks come from per-subspace float k-means — training "
+        "is not cross-engine replayable; ADC + rerank recall vs the "
+        "exact scan floored in tests/test_dedup_similarity.py"
+    ),
 )
 def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al.): per-subspace codebooks
@@ -1077,9 +1164,14 @@ _PQ_BOOKS: dict[str, list] = {}
 
 @register(
     "similarity_topk_pq_pretrained",
-    None,  # approximate (PQ/ADC + rerank) — recall floored in pytest
+    None,
     tags=("similarity", "ann-pq", "pretrained", "pandas-udf"),
     bench=True,
+    rows_only_reason=(
+        "same trained PQ codebooks (memoized) — float k-means is not "
+        "SQL-replayable; recall ≥0.85 with rerank asserted in "
+        "tests/test_dedup_similarity.py"
+    ),
 )
 def similarity_topk_pq_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Amortized PQ path: codebooks are trained once per corpus (the
@@ -1186,10 +1278,49 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return margin_mutual_pairs(edges, threshold_bp=10_000)
 
 
+_BITEXT_LSH_ORACLE = (
+    "WITH RECURSIVE "
+    + _lsh_edges_sql(cross_side=True)
+    + """,
+edges AS (
+  SELECT src_id AS src, nbr_id AS dst,
+         CAST(ROUND(similarity * 10000, 0) AS BIGINT) AS dot
+  FROM lsh_edges
+),
+e AS (SELECT * FROM edges WHERE dot > 0),
+totals AS (SELECT src, SUM(dot) AS A, COUNT(*) AS c FROM e GROUP BY src),
+m AS (
+  SELECT e.src, e.dst,
+         (2 * e.dot * ta.c * tb.c * 10000)
+           // (ta.A * tb.c + tb.A * ta.c) AS margin_bp
+  FROM e
+  JOIN totals ta ON e.src = ta.src
+  JOIN totals tb ON e.dst = tb.src
+),
+best AS (
+  SELECT src, dst, margin_bp FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY src ORDER BY margin_bp DESC, dst) AS rn
+    FROM m
+  ) WHERE rn = 1
+)
+SELECT f.src AS id_a, f.dst AS id_b,
+       CAST(LEAST(f.margin_bp, b.margin_bp) AS BIGINT) AS margin_bp
+FROM best f
+JOIN best b ON f.src < f.dst AND f.dst = b.src AND b.dst = f.src
+WHERE LEAST(f.margin_bp, b.margin_bp) >= 10000
+"""
+)
+
+
 @register(
     "bitext_margin_pairs_lsh",
-    None,  # approximate edge graph — pair recall vs the exact miner
-    # asserted in tests/test_dedup_similarity.py
+    # LSH edge graph replayed via the LCG hyperplane CTEs
+    # (cross_side=True = the operator's label_col parity mode), then the
+    # same integer-bp miner SQL as the exact variant — approximate vs
+    # the exact miner (recall asserted in tests/test_dedup_similarity.py)
+    # yet hash-verifiable.
+    _BITEXT_LSH_ORACLE,
     tags=("similarity", "bitext", "mining", "ann-lsh"),
     bench=True,
 )

@@ -653,8 +653,14 @@ def docs_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quality_classifier_scores",
-    None,  # L-BFGS-fitted coefficients are not SQL-expressible — rows-only
+    None,
     tags=("text", "classifier", "ml"),
+    rows_only_reason=(
+        "scores depend on L-BFGS-fitted logistic-regression "
+        "coefficients (iterative float optimization) — not replayable "
+        "in SQL; separation of planted high/low-quality docs asserted "
+        "in pytest"
+    ),
 )
 def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring (GPT-3 appendix-A lineage): MLlib

@@ -31,6 +31,9 @@ class QuerySpec:
     oracle: str | None  # DuckDB ANSI SQL, or None for rows-only check
     tags: tuple[str, ...] = ()
     bench: bool = False  # include in bench.py's headline set
+    # Required for oracle=None: one line on WHY the query cannot be
+    # SQL-replayed (rendered in QUERIES.md; tripwire in _load_all).
+    rows_only_reason: str | None = None
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -41,11 +44,15 @@ def register(
     oracle: str | None,
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    rows_only_reason: str | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, bench=bench)
+        QUERIES[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tags, bench=bench,
+            rows_only_reason=rows_only_reason,
+        )
         return fn
 
     return deco
@@ -108,18 +115,20 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     # --- OLAP surface ---
     "cube_orders",
     "window_rank_functions",
-    "string_functions",
-    "array_functions",
     "market_basket_part_pairs",
     # --- fuzzy join / dedup / similarity ---
     "fuzzy_join_part_names",
     "dedup_jaccard_prefix",
     "knn_graph_exact",
     "semantic_dedup_docs",
+    # --- newly oracled in r3 (LCG hyperplane replay / sha-derived stub;
+    # in-window to carry driver-grade proof of the LSH-in-SQL machinery) ---
+    "knn_graph_lsh",
+    "pagerank_knn_lsh",
+    "similarity_topk_lsh",
+    "media_features_fake",
     # --- training-data ops ---
     "token_budget_select_docs",
-    "kfold_assign_docs",
-    "temporal_split_events",
 )
 
 # Every query module must import cleanly: a blanket try/except here once
@@ -154,6 +163,13 @@ def _load_all() -> None:
     ]
     assert not no_oracle_in_window, (
         f"driver-window queries must be oracle-backed: {no_oracle_in_window}"
+    )
+    unjustified = [
+        n for n, s in QUERIES.items()
+        if s.oracle is None and not s.rows_only_reason
+    ]
+    assert not unjustified, (
+        f"rows-only queries must carry a rows_only_reason: {unjustified}"
     )
 
     def _rank(item: tuple[str, QuerySpec]) -> tuple[int, int]:

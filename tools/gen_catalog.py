@@ -40,6 +40,7 @@ def main() -> None:
         out.append(f"\n## {fam} ({len(families[fam])})\n")
         out.append("| # | query | check | bench | tags |")
         out.append("|---|---|---|---|---|")
+        rows_only_notes = []
         for i, name, spec in families[fam]:
             check = "oracle" if spec.oracle else "rows-only"
             window = " (window)" if i < 50 else ""
@@ -48,6 +49,13 @@ def main() -> None:
                 f"| {i} | `{name}` | {check}{window} | {bench} | "
                 f"{', '.join(spec.tags[1:])} |"
             )
+            if spec.oracle is None and spec.rows_only_reason:
+                rows_only_notes.append(
+                    f"- `{name}` — {spec.rows_only_reason}"
+                )
+        if rows_only_notes:
+            out.append("\nRows-only justification:\n")
+            out.extend(rows_only_notes)
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "QUERIES.md",

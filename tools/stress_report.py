@@ -1,0 +1,284 @@
+"""BENCH-adjacent stress report: measured scale evidence for the
+"survives 100 TB" design claims, at 40-160x the sf0.1 driver scale.
+
+Each case runs a scale-critical operator on synthetic data 1-2 orders of
+magnitude past the bench corpus, asserts its correctness property
+(planted-answer recall, equality to the exact algorithm) AND its
+partitioning invariance (same answer after an adversarial repartition —
+the class of bug sf0.01 cannot surface, cf. the round-2 global-rank
+corruption that only appeared at 16M rows), and reports wall-clock.
+
+Run: ``python tools/stress_report.py [--out STRESS_rN.json]``
+(local[$SPARK_GRAFT_CPUS], ~16 GB driver; ~10-20 min). Exit code 0 =
+every case's checks passed. Output: ONE JSON line, plus the file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _events_16m(spark):
+    from covid_data_pipeline_spark.sources.pyds import register_synthetic_source
+
+    register_synthetic_source(spark)
+    return (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 16_000_000)
+        .option("n_partitions", 64)
+        .option("n_users", 200_000)
+        .load()
+    )
+
+
+def case_funnel_16m(spark):
+    """160x sf0.1 events through the sessionized funnel; invariant under
+    a prime repartition (shuffle-placement shake)."""
+    from covid_data_pipeline_spark.operators.funnel import funnel_histogram
+
+    ev = _events_16m(spark)
+    args = ("user_id", "ts", "event_type", ("view", "click", "purchase"))
+    t0 = time.time()
+    a = sorted(map(tuple, funnel_histogram(ev, *args, max_gap="24 HOURS").collect()))
+    wall = time.time() - t0
+    b = sorted(
+        map(
+            tuple,
+            funnel_histogram(
+                ev.repartition(257), *args, max_gap="24 HOURS"
+            ).collect(),
+        )
+    )
+    return {
+        "rows": 16_000_000,
+        "scale_vs_sf0.1": "160x events",
+        "sec": round(wall, 2),
+        "invariant": a == b,
+        "ok": a == b and len(a) >= 2,
+    }
+
+
+def case_token_budget_12m(spark):
+    """12M docs through the deterministic per-source token-budget
+    selector; selection must not depend on physical partitioning."""
+    from covid_data_pipeline_spark.operators.sampling import token_budget_select
+
+    df = spark.range(12_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias("source"),
+        (F.col("id") % 997 + 1).alias("n_tokens"),
+    )
+    budgets = {f"src{i}": 50_000_000 for i in range(20)}
+    t0 = time.time()
+    n1 = token_budget_select(df, budgets).count()
+    wall = time.time() - t0
+    n2 = token_budget_select(df.repartition(97), budgets).count()
+    return {
+        "rows": 12_000_000,
+        "scale_vs_sf0.1": "2400x documents",
+        "sec": round(wall, 2),
+        "invariant": n1 == n2,
+        "ok": n1 == n2 and n1 > 0,
+    }
+
+
+def _synthetic_docs(spark, n):
+    # 12 deterministic pseudo-words per doc; mutants append one token
+    # (shingle-Jaccard ~ 10/11 = 0.91 against their base doc).
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{j}x"), ((F.col("id") * (j + 7)) % 9973))
+                for j in range(12)
+            ],
+        ).alias("text"),
+    )
+    mutants = base.select(
+        (F.col("doc_id") + n).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    return base.unionByName(mutants)
+
+
+def case_dedup_minhash_200k(spark):
+    """200k docs (40x sf0.1) with 100k planted 0.91-Jaccard mutant pairs
+    through the banded MinHash+LSH pipeline: recall >= 0.98 expected
+    (band-collision prob ~0.9999 at 32 hashes / 8 bands), and the
+    verified pair set is partitioning-invariant (signatures are pure
+    row-wise hashes; the verify step is exact integer Jaccard)."""
+    from covid_data_pipeline_spark.operators.dedup import minhash_dedup
+
+    n = 100_000
+    docs = _synthetic_docs(spark, n)
+    t0 = time.time()
+    pairs = minhash_dedup(docs, threshold=0.6)
+    planted = pairs.filter(F.col("id_b") == F.col("id_a") + n).count()
+    wall = time.time() - t0
+    recall = planted / n
+    probe = sorted(
+        map(tuple, pairs.filter(F.col("id_a") < 500).collect())
+    )
+    probe2 = sorted(
+        map(
+            tuple,
+            minhash_dedup(docs.repartition(157), threshold=0.6)
+            .filter(F.col("id_a") < 500)
+            .collect(),
+        )
+    )
+    return {
+        "rows": 2 * n,
+        "scale_vs_sf0.1": "40x documents",
+        "sec": round(wall, 2),
+        "planted_recall": round(recall, 4),
+        "invariant": probe == probe2,
+        "ok": recall >= 0.98 and probe == probe2 and len(probe) >= 400,
+    }
+
+
+def case_knn_graph_lsh_100k(spark):
+    """100k 64-dim embeddings (50x sf0.1) with 50k planted identical
+    twins through the bucketed LSH kNN graph: every twin must surface as
+    its base's top-1 at similarity 1.0 (identical vectors always share a
+    bucket), and the edge set must be partitioning-invariant (4-dp
+    rounded sims + deterministic tie-break)."""
+    from covid_data_pipeline_spark.operators.similarity import knn_graph_lsh
+
+    n = 50_000
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), "
+            "j -> pmod(xxhash64(id, j), 10000) / 10000.0 - 0.5)"
+        ).alias("embedding"),
+    )
+    twins = base.select(
+        (F.col("vec_id") + n).alias("vec_id"), "embedding"
+    )
+    emb = base.unionByName(twins)
+    t0 = time.time()
+    edges = knn_graph_lsh(emb, dim=64, k=5, num_planes=8).persist()
+    planted = edges.filter(
+        (F.col("nbr_id") == F.col("src_id") + n)
+        & (F.col("similarity") == 1.0)
+    ).count()
+    wall = time.time() - t0
+    probe = sorted(map(tuple, edges.filter(F.col("src_id") < 200).collect()))
+    edges.unpersist()
+    probe2 = sorted(
+        map(
+            tuple,
+            knn_graph_lsh(emb.repartition(157), dim=64, k=5, num_planes=8)
+            .filter(F.col("src_id") < 200)
+            .collect(),
+        )
+    )
+    return {
+        "rows": 2 * n,
+        "scale_vs_sf0.1": "50x embeddings",
+        "sec": round(wall, 2),
+        "planted_recall": round(planted / n, 4),
+        "invariant": probe == probe2,
+        "ok": planted == n and probe == probe2 and len(probe) >= 200,
+    }
+
+
+def case_heavy_hitters_16m(spark):
+    """16M-row stream, ~1M-item domain, 20 planted hot keys: the
+    two-pass Misra-Gries must EQUAL the exact groupBy answer and stay
+    partitioning-invariant without ever shuffling the full domain."""
+    from covid_data_pipeline_spark.operators.heavyhitters import heavy_hitters
+
+    n = 16_000_000
+    stream = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.expr("(id div 2) % 20"))
+        .otherwise(F.col("id") % 1_000_000 + 1_000)
+        .alias("item")
+    )
+    k = 100
+    t0 = time.time()
+    got = {
+        (r["item"], r["cnt"])
+        for r in heavy_hitters(stream, item_col="item", k=k).collect()
+    }
+    wall = time.time() - t0
+    exact = {
+        (r["item"], r["count"])
+        for r in stream.groupBy("item").count().collect()
+        if r["count"] * (k + 1) > n
+    }
+    got2 = {
+        (r["item"], r["cnt"])
+        for r in heavy_hitters(
+            stream.repartition(37), item_col="item", k=k
+        ).collect()
+    }
+    return {
+        "rows": n,
+        "scale_vs_sf0.1": "160x events",
+        "sec": round(wall, 2),
+        "invariant": got2 == got,
+        "ok": got == exact and got2 == got and len(got) == 20,
+    }
+
+
+CASES = {
+    "funnel_16m": case_funnel_16m,
+    "token_budget_12m": case_token_budget_12m,
+    "dedup_minhash_200k": case_dedup_minhash_200k,
+    "knn_graph_lsh_100k": case_knn_graph_lsh_100k,
+    "heavy_hitters_16m": case_heavy_hitters_16m,
+}
+
+
+def main() -> int:
+    out_path = "STRESS_r03.json"
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+
+    from covid_data_pipeline_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="stress-report", driver_memory="16g",
+                      master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    report: dict[str, dict] = {}
+    t_all = time.time()
+    for name, fn in CASES.items():
+        t0 = time.time()
+        try:
+            report[name] = fn(spark)
+        except Exception as e:  # noqa: BLE001
+            report[name] = {"ok": False, "error": str(e)[:300]}
+        report[name]["case_sec"] = round(time.time() - t0, 2)
+        print(f"{'ok  ' if report[name].get('ok') else 'FAIL'} {name} "
+              f"({report[name]['case_sec']}s)", flush=True)
+
+    n_fail = sum(1 for c in report.values() if not c.get("ok"))
+    line = {
+        "metric": "stress_total_sec",
+        "value": round(time.time() - t_all, 2),
+        "unit": "sec",
+        "cases": report,
+        "cpus": int(cpus),
+        "fail": n_fail,
+    }
+    print(json.dumps(line))
+    with open(out_path, "w") as f:
+        json.dump(line, f, indent=1)
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
