@@ -655,6 +655,7 @@ def knn_graph_lsh(
     multiprobe_bits: int = 1,
     max_bucket_size: int | None = 10_000,
     label_col: str | None = None,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Approximate kNN graph — the scale path for kNN-graph consumers
     (SemDeDup-style semantic dedup, graph clustering, diversity
@@ -676,7 +677,13 @@ def knn_graph_lsh(
     :func:`embedding_neardup_pairs` (degenerate corpora collapse into
     one bucket; a dropped mega-bucket is a constant-embedding cluster
     better served by exact dedup). Recall vs the exact graph is asserted
-    in pytest, tunable via num_planes × multiprobe_bits."""
+    in pytest, tunable via num_planes × multiprobe_bits.
+
+    ``use_arrow`` (default) scores candidates through the cogrouped
+    numpy scorer (:func:`_cogroup_bucket_scores`) — bit-identical to
+    the HOF fold (exact-set equality asserted in pytest; both paths
+    hash-match the same DuckDB oracle) at ~10x less CPU: the dominant
+    stress-scale cost was one interpreted fold per candidate pair."""
     from pyspark.sql import Window
 
     from covid_data_pipeline_spark.operators.windows import top_k_per_group
@@ -727,18 +734,113 @@ def knn_graph_lsh(
     # No pair dedup needed: pair (a,b) can only collide through the ONE
     # probe mask equal to bucket(a) XOR bucket(b), so candidates are
     # already unique per (src, nbr).
-    scored = l.join(r, on="bucket").filter(F.col("src_id") != F.col("nbr_id"))
-    if label_col is not None:
-        scored = scored.filter(F.col("__la") != F.col("__lb"))
-    scored = scored.withColumn(
-        "similarity", F.round(dot(F.col("__va"), F.col("__vb")), 4)
-    )
+    if use_arrow:
+        scored = _cogroup_bucket_scores(l, r, k, with_labels=label_col is not None)
+    else:
+        scored = l.join(r, on="bucket").filter(
+            F.col("src_id") != F.col("nbr_id")
+        )
+        if label_col is not None:
+            scored = scored.filter(F.col("__la") != F.col("__lb"))
+        scored = scored.withColumn(
+            "similarity", F.round(dot(F.col("__va"), F.col("__vb")), 4)
+        )
     return top_k_per_group(
         scored,
         partition_by=["src_id"],
         order_by=[F.col("similarity").desc(), F.col("nbr_id")],
         k=k,
     ).select("src_id", "nbr_id", "similarity")
+
+
+def _cogroup_bucket_scores(
+    l: DataFrame,
+    r: DataFrame,
+    k: int,
+    with_labels: bool,
+    margin: float = 1.5e-4,
+) -> DataFrame:
+    """Arrow-vectorized twin of the HOF bucket-join scorer —
+    BIT-IDENTICAL output, ~10x less CPU at stress scale.
+
+    Instead of joining probe rows to occupants and folding one
+    interpreted HOF dot per candidate pair, cogroup both sides by
+    ``bucket`` and compute every pair's dot in numpy with the SAME
+    accumulation order as the fold: ``acc += A[:, j] * B[:, j]`` is
+    sequential over dims (vectorized over pairs), so each raw double is
+    bitwise equal to ``F.aggregate``'s left-to-right result — verified
+    by the exact-set equality test against the HOF path and by the
+    shared DuckDB oracle. ROUND stays in the JVM (numpy's scale-multiply
+    round can differ from Spark's exact-decimal HALF_UP on rare
+    doubles), so Python only needs a prune that is SAFE, not exact:
+    per source, keep candidates whose raw sim is within one rounding
+    quantum (+ float headroom = ``margin``) of the k-th best — a strict
+    superset of every candidate the rounded (sim DESC, nbr) order could
+    admit into the final top-k. The downstream window then ranks
+    exactly as before, over ≤ (k + ties) rows per (src, bucket) instead
+    of the full candidate fan-out.
+
+    Memory: the pair matrix is chunked to ≤ 1024 l-rows per block, so a
+    capped hot bucket (10k occupants x 9 probe sources) peaks at
+    ~80 MB/task, independent of corpus size."""
+    import pandas as pd  # noqa: F401 (applyInPandas contract)
+
+    out_fields = "src_id long, nbr_id long, __raw double"
+
+    def score(lpdf, rpdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"src_id": [], "nbr_id": [], "__raw": []})
+        A = np.stack(lpdf["__va"].to_numpy())  # (nl, dim) float64
+        B = np.stack(rpdf["__vb"].to_numpy())  # (nr, dim)
+        src = lpdf["src_id"].to_numpy()
+        nbr = rpdf["nbr_id"].to_numpy()
+        la = lpdf["__la"].to_numpy() if with_labels else None
+        lb = rpdf["__lb"].to_numpy() if with_labels else None
+        dim = A.shape[1]
+        outs = []
+        for s in range(0, len(A), 1024):
+            Ac, srcc = A[s : s + 1024], src[s : s + 1024]
+            acc = np.zeros((len(Ac), len(B)))
+            for j in range(dim):
+                # outer-product accumulation: dim-sequential like the
+                # HOF fold, pair-vectorized like BLAS
+                acc += Ac[:, j : j + 1] * B[None, :, j]
+            valid = srcc[:, None] != nbr[None, :]
+            if with_labels:
+                valid &= la[s : s + 1024][:, None] != lb[None, :]
+            acc_m = np.where(valid, acc, -np.inf)
+            nv = valid.sum(axis=1)
+            if len(B) > k:
+                srt = -np.sort(-acc_m, axis=1)  # descending per row
+                idx = np.minimum(k, np.maximum(nv, 1)) - 1
+                kth = srt[np.arange(len(srt)), idx]
+                keep = valid & (acc >= kth[:, None] - margin)
+            else:
+                keep = valid
+            ii, jj = np.nonzero(keep)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "src_id": srcc[ii],
+                        "nbr_id": nbr[jj],
+                        "__raw": acc[ii, jj],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    l_cols = ["bucket", "src_id", "__va"] + (["__la"] if with_labels else [])
+    r_cols = ["bucket", "nbr_id", "__vb"] + (["__lb"] if with_labels else [])
+    scored = (
+        l.select(*l_cols)
+        .groupBy("bucket")
+        .cogroup(r.select(*r_cols).groupBy("bucket"))
+        .applyInPandas(score, out_fields)
+    )
+    return scored.withColumn("similarity", F.round(F.col("__raw"), 4))
 
 
 def standardize_embeddings(

@@ -510,6 +510,32 @@ def test_knn_graph_lsh_recall_vs_exact(spark, sf_dir):
     assert all(s != n for s, n in ap)
 
 
+def test_knn_graph_lsh_arrow_equals_hof(spark, sf_dir):
+    """The cogrouped numpy scorer must be BIT-identical to the HOF fold
+    (same dim-sequential accumulation order, rounding left in the JVM,
+    margin prune a strict superset of the rounded top-k) — in both the
+    plain and the label (hard-negative / bitext) modes."""
+    from covid_data_pipeline_spark.operators.similarity import knn_graph_lsh
+
+    e = table(spark, sf_dir, "embeddings")
+    for kwargs in (
+        {},
+        {"label_col": "label"},
+        {"num_planes": 4, "multiprobe_bits": 1},
+    ):
+        hof = sorted(
+            map(tuple, knn_graph_lsh(
+                e, dim=64, k=5, use_arrow=False, **kwargs
+            ).collect())
+        )
+        arrow = sorted(
+            map(tuple, knn_graph_lsh(
+                e, dim=64, k=5, use_arrow=True, **kwargs
+            ).collect())
+        )
+        assert hof == arrow and len(hof) > 0, kwargs
+
+
 def test_knn_graph_lsh_caps_degenerate_bucket(spark):
     import math
 
