@@ -474,6 +474,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = 10_000,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold), candidates restricted to same LSH bucket. The embedding
@@ -485,7 +486,13 @@ def embedding_neardup_pairs(
     drops over-cap buckets (window count on the same key the join
     shuffles on — no extra shuffle); a dropped mega-bucket is by
     definition a constant-embedding cluster better handled by exact
-    dedup on the vector hash than by pair enumeration."""
+    dedup on the vector hash than by pair enumeration.
+
+    ``use_arrow`` (default) scores each bucket's pairs in ONE cogrouped
+    numpy task (:func:`_cogroup_neardup_scores`) instead of one
+    interpreted HOF cosine per joined pair — bit-identical (same
+    fold/op order; exact-set equality asserted in pytest, same DuckDB
+    oracle) at a fraction of the CPU."""
     from pyspark.sql import Window
 
     b = with_lsh_bucket(df, dim, num_planes, vec_col, "bucket")
@@ -495,6 +502,12 @@ def embedding_neardup_pairs(
             b.withColumn("__bsz", F.count(F.lit(1)).over(w))
             .filter(F.col("__bsz") <= max_bucket_size)
             .drop("__bsz")
+        )
+    if use_arrow:
+        return _cogroup_neardup_scores(
+            b.select("bucket", F.col(id_col).alias("__id"),
+                     _as_double(F.col(vec_col)).alias("__v")),
+            threshold,
         )
     l = b.select(
         F.col("bucket"),
@@ -510,6 +523,65 @@ def embedding_neardup_pairs(
         l.join(r, on="bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("similarity", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4))
+        .filter(F.col("similarity") >= threshold)
+        .select("id_a", "id_b", "similarity")
+        .distinct()
+    )
+
+
+def _cogroup_neardup_scores(
+    b: DataFrame, threshold: float, margin: float = 1.0e-4
+) -> DataFrame:
+    """Arrow twin of the within-bucket pair scorer — bit-identical to
+    the HOF form: dot and both norms accumulate dim-sequentially
+    (vectorized over pairs, same IEEE order as ``F.aggregate``), the
+    division/multiplication mirror :func:`cosine`'s op order, and ROUND
+    + the exact threshold filter stay in the JVM. Python only applies
+    the SAFE pre-filter ``raw >= threshold - margin`` (one rounding
+    quantum of headroom), a strict superset of every pair the rounded
+    filter can keep. A single group (one bucket) arrives per task;
+    the pair matrix is chunked to bound memory on capped hot buckets."""
+    import pandas as pd  # noqa: F401
+
+    def score(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "__raw": []})
+        V = np.stack(pdf["__v"].to_numpy())
+        ids = pdf["__id"].to_numpy()
+        dim = V.shape[1]
+        nrm = np.zeros(len(V))
+        for j in range(dim):
+            nrm = nrm + V[:, j] * V[:, j]
+        nrm = np.sqrt(nrm)
+        outs = []
+        for s in range(0, len(V), 1024):
+            Vc, idc, nc = V[s : s + 1024], ids[s : s + 1024], nrm[s : s + 1024]
+            acc = np.zeros((len(Vc), len(V)))
+            for j in range(dim):
+                acc += Vc[:, j : j + 1] * V[None, :, j]
+            denom = nc[:, None] * nrm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / denom
+            keep = (
+                (idc[:, None] < ids[None, :])
+                & np.isfinite(cos)
+                & (cos >= threshold - margin)
+            )
+            ii, jj = np.nonzero(keep)
+            outs.append(
+                pd.DataFrame(
+                    {"id_a": idc[ii], "id_b": ids[jj], "__raw": cos[ii, jj]}
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        b.groupBy("bucket")
+        .applyInPandas(score, "id_a long, id_b long, __raw double")
+        .withColumn("similarity", F.round(F.col("__raw"), 4))
         .filter(F.col("similarity") >= threshold)
         .select("id_a", "id_b", "similarity")
         .distinct()

@@ -536,6 +536,28 @@ def test_knn_graph_lsh_arrow_equals_hof(spark, sf_dir):
         assert hof == arrow and len(hof) > 0, kwargs
 
 
+def test_embedding_neardup_arrow_equals_hof(spark, sf_dir):
+    """The cogrouped within-bucket pair scorer must be BIT-identical to
+    the HOF cosine join (same dot/norm fold order, division op order,
+    ROUND + threshold in the JVM). Low threshold so real pairs exist."""
+    from covid_data_pipeline_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    hof = sorted(
+        map(tuple, embedding_neardup_pairs(
+            e, dim=64, threshold=0.3, use_arrow=False
+        ).collect())
+    )
+    arrow = sorted(
+        map(tuple, embedding_neardup_pairs(
+            e, dim=64, threshold=0.3, use_arrow=True
+        ).collect())
+    )
+    assert hof == arrow and len(hof) > 0
+
+
 def test_knn_graph_lsh_caps_degenerate_bucket(spark):
     import math
 

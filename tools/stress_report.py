@@ -192,6 +192,69 @@ def case_knn_graph_lsh_100k(spark):
     }
 
 
+def case_curation_chain_220k(spark):
+    """The flagship end-to-end curation chain (quality -> exact dedup ->
+    MinHash+LSH near-dup canonicalization -> decontamination -> split ->
+    pack) at 44x the sf0.1 corpus, with every planted hazard checked:
+    100k base docs + 100k 0.91-Jaccard mutants (must collapse onto their
+    base doc), 20k exact duplicates (must drop), and a benchmark built
+    from every 50th base doc (8-gram decontamination must drop those
+    bases). Output set must be partitioning-invariant bit-for-bit."""
+    from covid_data_pipeline_spark.plans.curation import (
+        CurationConfig,
+        curate_documents,
+    )
+
+    n = 100_000
+    docs = _synthetic_docs(spark, n)  # base 0..n-1, mutants n..2n-1
+    exact_dups = docs.filter(F.col("doc_id") < 20_000).select(
+        (F.col("doc_id") + 2 * n).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(exact_dups)
+    bench = docs.filter(
+        (F.col("doc_id") < n) & (F.col("doc_id") % 50 == 0)
+    ).select("text")
+    cfg = CurationConfig(num_hashes=16, bands=8, jaccard_threshold=0.9)
+
+    t0 = time.time()
+    out = curate_documents(corpus, benchmark=bench, cfg=cfg).persist()
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    wall = time.time() - t0
+    rows = sorted(map(tuple, out.collect()))
+    out.unpersist()
+
+    # planted hazards: mutants collapse onto base (min-id canonical),
+    # exact dups drop, benchmark-contaminated bases drop. MinHash band
+    # collision at jaccard 0.91 has a ~4e-7 per-pair miss probability —
+    # deterministic for fixed data, but allow the expected tail.
+    mutant_survivors = sum(1 for d in kept if n <= d < 2 * n)
+    no_mutants = mutant_survivors <= 5
+    no_exact_dups = not any(d >= 2 * n for d in kept)
+    decontaminated = not any(d % 50 == 0 for d in kept if d < n)
+    survivors_ok = len(kept) > 0.8 * n  # the clean bases survive
+
+    rows2 = sorted(
+        map(
+            tuple,
+            curate_documents(
+                corpus.repartition(157), benchmark=bench, cfg=cfg
+            ).collect(),
+        )
+    )
+    return {
+        "rows": 2 * n + 20_000,
+        "scale_vs_sf0.1": "44x documents",
+        "sec": round(wall, 2),
+        "kept": len(kept),
+        "mutant_survivors": mutant_survivors,
+        "invariant": rows == rows2,
+        "ok": (
+            no_mutants and no_exact_dups and decontaminated
+            and survivors_ok and rows == rows2
+        ),
+    }
+
+
 def case_heavy_hitters_16m(spark):
     """16M-row stream, ~1M-item domain, 20 planted hot keys: the
     two-pass Misra-Gries must EQUAL the exact groupBy answer and stay
@@ -237,6 +300,7 @@ CASES = {
     "dedup_minhash_200k": case_dedup_minhash_200k,
     "knn_graph_lsh_100k": case_knn_graph_lsh_100k,
     "heavy_hitters_16m": case_heavy_hitters_16m,
+    "curation_chain_220k": case_curation_chain_220k,
 }
 
 
