@@ -91,13 +91,19 @@ def case_token_budget_12m(spark):
 
 def _synthetic_docs(spark, n):
     # 12 deterministic pseudo-words per doc; mutants append one token
-    # (shingle-Jaccard ~ 10/11 = 0.91 against their base doc).
+    # (shingle-Jaccard ~ 10/11 = 0.91 against their base doc). Tokens are
+    # xxhash-derived so every base doc is globally unique — a modular
+    # generator (id * mult % p) silently aliases ids p apart into EXACT
+    # duplicates, which the curation chain then (correctly) collapses.
     base = spark.range(n).select(
         F.col("id").alias("doc_id"),
         F.concat_ws(
             " ",
             *[
-                F.concat(F.lit(f"w{j}x"), ((F.col("id") * (j + 7)) % 9973))
+                F.concat(
+                    F.lit(f"w{j}x"),
+                    F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(1_000_000)),
+                )
                 for j in range(12)
             ],
         ).alias("text"),
