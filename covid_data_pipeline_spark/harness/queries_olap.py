@@ -848,7 +848,11 @@ def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     ),
     chain AS (
-      SELECT o_custkey, o_orderkey, 1 AS step FROM edges WHERE rn = 1
+      -- CAST: Spark's literal 1 in the recursive seed resolves BIGINT
+      -- after the += widening; a bare DuckDB 1 stays INT32 and
+      -- dtype-mismatches the strict driver-mirror check
+      SELECT o_custkey, o_orderkey, CAST(1 AS BIGINT) AS step
+      FROM edges WHERE rn = 1
       UNION ALL
       SELECT e.o_custkey, e.next_key, c.step + 1
       FROM chain c
