@@ -579,6 +579,35 @@ def test_knn_graph_lsh_caps_degenerate_bucket(spark):
     assert uncapped.count() == 300 * 5
 
 
+def test_cogroup_scorer_chunked_path_equals_hof(spark):
+    """Force the Arrow scorer's 1024-row chunk boundary (sf0.01 buckets
+    are ~40 rows, so oracle parity alone never exercises chunking): a
+    2.5k-vector corpus collapsed into few buckets must still equal the
+    HOF path exactly, across chunk seams."""
+    from covid_data_pipeline_spark.operators.similarity import knn_graph_lsh
+
+    dim = 8
+    # few distinct sign patterns -> buckets of ~1.25k rows each; with
+    # 9 probe masks the l-side per bucket crosses several 1024-chunks
+    rows = [
+        (i, [(1.0 if (i >> b) & 1 else -1.0) for b in range(2)]
+            + [0.1 * (i % 7 - 3)] * (dim - 2))
+        for i in range(2500)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    hof = sorted(
+        map(tuple, knn_graph_lsh(
+            df, dim=dim, k=5, num_planes=4, use_arrow=False
+        ).collect())
+    )
+    arrow = sorted(
+        map(tuple, knn_graph_lsh(
+            df, dim=dim, k=5, num_planes=4, use_arrow=True
+        ).collect())
+    )
+    assert hof == arrow and len(hof) == 2500 * 5
+
+
 def test_standardize_embeddings_pretrained_stats_zero_shuffle(spark):
     from covid_data_pipeline_spark.operators.similarity import (
         standardize_embeddings,
