@@ -271,6 +271,72 @@ def dedup_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_groups_keep_best",
+    f"""
+    WITH RECURSIVE {_shingle_pairs_sql()},
+    e AS (SELECT id_a AS src, id_b AS dst FROM j WHERE jac >= 0.9),
+    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM base
+      UNION
+      SELECT reach.node, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+    ),
+    comp AS (SELECT node, MIN(r) AS c FROM reach GROUP BY node),
+    lens AS (SELECT doc_id, length(text) AS l FROM base),
+    best AS (
+      SELECT c, node AS best_id FROM (
+        SELECT comp.c, comp.node,
+               row_number() OVER (PARTITION BY comp.c
+                                  ORDER BY lens.l DESC, comp.node) AS rn
+        FROM comp JOIN lens ON lens.doc_id = comp.node
+      ) WHERE rn = 1
+    )
+    SELECT comp.node AS doc_id, best.best_id AS canonical_id,
+           comp.node = best.best_id AS is_kept
+    FROM comp JOIN best ON best.c = comp.c
+    """,
+    tags=("graph", "dedup", "minhash", "keep-best"),
+)
+def dedup_groups_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonicalization over LSH duplicate groups — the
+    production dedup policy: within each near-dup component keep the
+    BEST document (longest text, ties -> smallest doc_id), not the
+    min-id one. The planted mutants are one token LONGER than their
+    base doc, so every 2-doc component provably selects the mutant —
+    the policy demonstrably diverges from ``dedup_duplicate_groups``.
+
+    Same chain as ``dedup_duplicate_groups`` (LSH pairs at threshold
+    0.9 -> exact-Jaccard verify -> connected components; identical
+    equality argument for the oracle) plus one component-keyed
+    ``max_by(node, struct(len, -node))`` aggregate — a map-side-
+    combining argmax, no window over the corpus. At scale the length
+    column generalizes to any quality score carried on the doc."""
+    d = _with_mutants(table(spark, sf_dir, "documents"))
+    pairs = minhash_dedup(
+        d, text_col="text", id_col="doc_id", shingle_k=3, num_hashes=16,
+        bands=8, threshold=0.9,
+    )
+    comps = connected_components(
+        pairs, src="id_a", dst="id_b", nodes=d.select("doc_id")
+    )
+    lens = d.select("doc_id", F.length("text").alias("__len"))
+    best = (
+        comps.join(lens, comps["node"] == lens["doc_id"])
+        .groupBy("component")
+        .agg(
+            F.max_by(
+                F.col("node"), F.struct(F.col("__len"), (-F.col("node")).alias("__neg"))
+            ).alias("best_id")
+        )
+    )
+    return comps.join(best, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("best_id").alias("canonical_id"),
+        (F.col("node") == F.col("best_id")).alias("is_kept"),
+    )
+
+
+@register(
     "graph_component_sizes",
     """
     WITH RECURSIVE
