@@ -332,3 +332,42 @@ def test_token_budget_first_overflowing_doc_is_cut(spark):
     out = token_budget_select(df, {"a": 100}).collect()
     # only the hash-first doc fits; the one that would overflow is cut
     assert len(out) == 1 and out[0]["cum_tokens"] == 60
+
+
+def test_stress_synthetic_docs_globally_unique(spark):
+    """Regression for the curation-stress fixture bug: a modular token
+    generator (id * mult % p) aliases ids p apart into EXACT duplicates
+    (every token collides simultaneously), which the curation chain then
+    correctly collapses — failing the planted-survivor count. The
+    xxhash-derived generator must produce globally unique base docs and
+    longer mutants."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "")
+    )
+    from tools.stress_report import _synthetic_docs
+
+    from pyspark.sql import functions as F
+
+    n = 2_000
+    docs = _synthetic_docs(spark, n)
+    assert docs.count() == 2 * n
+    base = docs.filter(F.col("doc_id") < n)
+    assert base.select("text").distinct().count() == n  # no aliasing
+    # every mutant is its base text + one token (strictly longer)
+    joined = (
+        base.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"))
+        .join(
+            docs.filter(F.col("doc_id") >= n).select(
+                (F.col("doc_id") - n).alias("b_id"), F.col("text").alias("m_text")
+            ),
+            "b_id",
+        )
+    )
+    bad = joined.filter(
+        ~F.col("m_text").startswith(F.col("b_text"))
+        | (F.length("m_text") <= F.length("b_text"))
+    ).count()
+    assert bad == 0
