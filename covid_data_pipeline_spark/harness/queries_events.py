@@ -1128,6 +1128,86 @@ def daily_distinct_users_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "retained_users_bitmap",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+      FROM events WHERE ts IS NOT NULL
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+    ret AS (
+      SELECT a.day, COUNT(*) AS retained
+      FROM du a JOIN du b
+        ON b.user_id = a.user_id AND b.day = a.day + 1
+      GROUP BY a.day
+    )
+    SELECT a.day, a.dau, n.dau AS dau_next,
+           CAST(COALESCE(r.retained, 0) AS BIGINT) AS retained_users
+    FROM dau a
+    JOIN dau n ON n.day = a.day + 1
+    LEFT JOIN ret r ON r.day = a.day
+    """,
+    tags=("events", "retention", "bitmap", "distinct"),
+)
+def retained_users_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT day-over-day retained users from the same mergeable bitmap
+    states as ``daily_distinct_users_bitmap`` — via inclusion-exclusion:
+    Spark has ``bitmap_or_agg`` but no binary AND, and none is needed,
+    because |A ∩ B| = |A| + |B| − |A ∪ B| with every term a popcount of
+    OR-merged fixed-size states.
+
+    Scale shape: the corpus is touched ONCE (the (day, bucket) bitmap
+    build with map-side combine); each day's ≤4 KB states then enter two
+    pair-keyed OR-aggregations (each state tagged to its (d-1, d) and
+    (d, d+1) pairs) — all downstream work is over |days × buckets|
+    state rows, never events. The same stored states that answer DAU
+    answer retention, so an incremental warehouse keeps ONE bitmap table
+    for both; COUNT(DISTINCT)-based retention would re-shuffle the
+    (day, user) relation per question asked."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    states = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        .persist()
+    )
+    dau = states.groupBy("day").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("dau")
+    )
+    union_pairs = (
+        states.select(F.col("day").alias("p"), "bucket", "bm")
+        .unionByName(
+            states.select(F.date_sub("day", 1).alias("p"), "bucket", "bm")
+        )
+        .groupBy("p", "bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("u_bm"))
+        .groupBy("p")
+        .agg(F.sum(F.expr("bitmap_count(u_bm)")).alias("union_users"))
+    )
+    return (
+        dau.join(
+            dau.select(
+                F.date_sub("day", 1).alias("day"), F.col("dau").alias("dau_next")
+            ),
+            "day",
+        )
+        .join(union_pairs.withColumnRenamed("p", "day"), "day")
+        .select(
+            "day",
+            "dau",
+            "dau_next",
+            (F.col("dau") + F.col("dau_next") - F.col("union_users")).alias(
+                "retained_users"
+            ),
+        )
+    )
+
+
+@register(
     "event_type_lift",
     """
     WITH per_user AS (
