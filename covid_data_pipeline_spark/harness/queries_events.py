@@ -1173,7 +1173,11 @@ def retained_users_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("day", "bucket")
         .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
-        .persist()
+        # localCheckpoint, not persist(): the states relation feeds three
+        # consumers, but persist() registers in the session cache manager
+        # and leaks a cached relation per invocation in a long-lived
+        # session (bench loop); checkpoint blocks are GC'd with the plan.
+        .localCheckpoint(eager=False)
     )
     dau = states.groupBy("day").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("dau")

@@ -59,16 +59,15 @@ def register(
 
 
 # The external driver verifies a 50-query window in registration order.
-# Round-3 rotation (VERDICT r2 ask #1): rounds 1+2 driver-proved 74
-# distinct queries; re-spending slots on them buys nothing. Keep a small
-# §2 regression core (plus tpch_q12, in-window to prove the BIGINT-cast
-# oracle fix) and fill the other 42 slots with the strongest queries
-# that have never had a driver-grade proof (all pass the local DuckDB
-# mirror, tests/test_oracle_parity.py). Everything not listed keeps its
-# module registration order after these; oracle-less (rows-only)
-# queries always sort last.
+# Round-4 rotation (VERDICT r3 ask #1): rounds 1-3 driver-proved 111
+# distinct queries. Keep the 8-query regression core as a drift canary
+# and fill the other 42 slots from VERIFIED.json::never_driver_verified
+# in registry order (all local-mirror green per
+# driver_mirror_report.json / tests/test_oracle_parity.py). Everything
+# not listed keeps its module registration order after these;
+# oracle-less (rows-only) queries always sort last.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- regression core (driver-proven r1/r2; canary against drift) ---
+    # --- regression core (driver-proven r1-r3; canary against drift) ---
     "mart_analytics",
     "agg_rollup",
     "filter_project",
@@ -76,59 +75,52 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "surrogate_key_dim",
     "window_lag_alert",
     "curation_pipeline_docs",
-    "tpch_q12_priority_shipping",  # r2 red (HUGEINT artifact) — prove fix
-    # --- TPC-H remainder (never driver-verified) ---
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_parts",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_count",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q20_excess_shippers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_sales_opportunity",
-    # --- graph pack ---
-    "graph_bfs_distances",
-    "graph_shortest_paths",
-    "graph_triangle_count",
-    "pagerank_knn_docs",
-    "pagerank_personalized_docs",
-    # --- text pack ---
-    "docs_gopher_filter",
-    "bm25_search_docs",
-    "doc_perplexity_bigram",
-    # --- retrieval / experiment / temporal ---
-    "hybrid_rrf_search",
-    "events_cuped_experiment",
-    "events_theilsen_trend",
-    "events_kendall_daily",
-    "revenue_concentration_metrics",
-    # --- event analytics ---
-    "funnel_ordered_steps",
-    "cohort_retention_weekly",
-    "scd2_user_type_history",
-    "event_transition_matrix",
-    "attribution_last_touch",
-    # --- OLAP surface ---
-    "cube_orders",
-    "window_rank_functions",
-    "market_basket_part_pairs",
-    # --- fuzzy join / dedup / similarity ---
-    "fuzzy_join_part_names",
-    "dedup_jaccard_prefix",
-    "knn_graph_exact",
-    "semantic_dedup_docs",
-    # --- newly oracled in r3 (LCG hyperplane replay / sha-derived stub;
-    # in-window to carry driver-grade proof of the LSH-in-SQL machinery) ---
-    "knn_graph_lsh",
-    "pagerank_knn_lsh",
-    "similarity_topk_lsh",
-    "media_features_fake",
-    # --- training-data ops ---
-    "token_budget_select_docs",
+    "tpch_q12_priority_shipping",
+    # --- dedup / curation pack (never driver-verified) ---
+    "customers_masked_egress",
+    "dedup_groups_keep_best",
+    "dedup_passages_global",
+    "dedup_keep_best",
+    "dedup_token_savings",
+    "containment_quotes",
+    "split_leakage_audit",
+    # --- event analytics pack ---
+    "events_json_props",
+    "events_variant_props",
+    "events_sessionize_batch",
+    "ewma_daily_events",
+    "skew_profile_events",
+    "rolling_distinct_users_7d",
+    "daily_active_buyers",
+    "events_daily_trend",
+    "funnel_sessionized",
+    "funnel_conversion_lag",
+    "daily_distinct_users_bitmap",
+    "event_type_lift",
+    "funnel_daily_conversion",
+    "event_dwell_percentiles",
+    "event_path_trigrams",
+    "retention_matrix_daily",
+    "events_mad_outliers",
+    "events_srm_check",
+    "events_did_experiment",
+    "events_funnel",
+    "distinct_exact_and_percentiles",
+    # --- OLAP / DQ / scalar-function packs ---
+    "dq_report_orders",
+    "string_functions",
+    "array_functions",
+    "date_math_functions",
+    "agg_salted_skewproof",
+    "top_n_global",
+    "histogram_prices",
+    "above_avg_balance",
+    "unpivot_returnflag_metrics",
+    "window_lead_first_last",
+    "collect_events_per_user",
+    "cross_join_region_nation",
+    "full_outer_customer_supplier_nations",
+    "revenue_share_by_nation",
 )
 
 # Every query module must import cleanly: a blanket try/except here once

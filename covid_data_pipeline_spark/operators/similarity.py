@@ -28,6 +28,13 @@ def _as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
 
+def _is_integral(df: DataFrame, col: str) -> bool:
+    """True when ``col`` is an integral type the cogrouped Arrow
+    scorers' hard-coded ``long`` output schema can represent losslessly.
+    String/decimal/float ids must take the HOF join path instead."""
+    return dict(df.dtypes).get(col) in {"tinyint", "smallint", "int", "bigint"}
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢbᵢ via zip_with + aggregate (JVM, no UDF)."""
     return F.aggregate(
@@ -492,9 +499,14 @@ def embedding_neardup_pairs(
     numpy task (:func:`_cogroup_neardup_scores`) instead of one
     interpreted HOF cosine per joined pair — bit-identical (same
     fold/op order; exact-set equality asserted in pytest, same DuckDB
-    oracle) at a fraction of the CPU."""
+    oracle) at a fraction of the CPU. The cogrouped scorer emits a
+    fixed ``long`` id schema, so non-integral id columns (string /
+    decimal ids) are routed to the HOF path automatically — same
+    result, no silent miscast."""
     from pyspark.sql import Window
 
+    if use_arrow and not _is_integral(df, id_col):
+        use_arrow = False
     b = with_lsh_bucket(df, dim, num_planes, vec_col, "bucket")
     if max_bucket_size is not None:
         w = Window.partitionBy("bucket")
@@ -755,11 +767,16 @@ def knn_graph_lsh(
     numpy scorer (:func:`_cogroup_bucket_scores`) — bit-identical to
     the HOF fold (exact-set equality asserted in pytest; both paths
     hash-match the same DuckDB oracle) at ~10x less CPU: the dominant
-    stress-scale cost was one interpreted fold per candidate pair."""
+    stress-scale cost was one interpreted fold per candidate pair.
+    Like :func:`embedding_neardup_pairs`, non-integral id columns fall
+    back to the HOF path (the cogrouped scorer's output schema is
+    ``long``-typed)."""
     from pyspark.sql import Window
 
     from covid_data_pipeline_spark.operators.windows import top_k_per_group
 
+    if use_arrow and not _is_integral(df, id_col):
+        use_arrow = False
     b = with_lsh_bucket(df, dim, num_planes, vec_col, "bucket")
     if max_bucket_size is not None:
         w = Window.partitionBy("bucket")

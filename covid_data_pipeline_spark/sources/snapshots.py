@@ -25,6 +25,7 @@ max_active_runs=1 Airflow cursor); the manifest write is atomic
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import uuid
@@ -116,7 +117,13 @@ class SnapshotWarehouse:
         # v{N}.json is therefore always complete JSON, so a writer that
         # crashes between claim and the _current update leaves an
         # ADOPTABLE orphan (see below), never a half-written one.
-        tmp = os.path.join(snap_dir, f".v{version}.{os.getpid()}.tmp")
+        # Temp name is unique PER ATTEMPT (uuid4, not just pid): two
+        # threads in one process computing the same version must never
+        # share a temp path, or one could hard-link the other's
+        # half-written bytes and "win" with the wrong file list. With
+        # unique temps, os.link on the shared final path is the sole
+        # arbiter of who owns the version.
+        tmp = os.path.join(snap_dir, f".v{version}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         try:
@@ -134,24 +141,39 @@ class SnapshotWarehouse:
                 "concurrent writer — re-read and retry"
             ) from None
         finally:
-            os.unlink(tmp)
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(tmp)
         self._advance_current(snap_dir, version)
         return version
 
     @staticmethod
     def _advance_current(snap_dir: str, version: int) -> None:
-        """Atomically set _current to ``version`` if it is ahead."""
+        """Monotonically advance _current to at least ``version``.
+
+        read-then-replace is not atomic, so two concurrent advancers
+        (committers of v5 and v6) can land their replaces out of order
+        and briefly leave _current pointing at the OLDER version — a
+        non-monotonic read for snapshot readers. Re-check after the
+        replace and retry while the on-disk value is still behind the
+        target (bounded: each retry only races a finite set of in-
+        flight advancers, and any interleaving that writes >= version
+        terminates the loop)."""
         cur_path = os.path.join(snap_dir, "_current")
-        try:
-            with open(cur_path) as f:
-                if int(f.read().strip() or 0) >= version:
-                    return
-        except (FileNotFoundError, ValueError):
-            pass
-        cur_tmp = os.path.join(snap_dir, f"._current.{os.getpid()}.tmp")
-        with open(cur_tmp, "w") as f:
-            f.write(str(version))
-        os.replace(cur_tmp, cur_path)
+
+        def on_disk() -> int:
+            try:
+                with open(cur_path) as f:
+                    return int(f.read().strip() or 0)
+            except (FileNotFoundError, ValueError):
+                return 0
+
+        for _ in range(64):  # bounded; 1 iteration absent a race
+            if on_disk() >= version:
+                return
+            cur_tmp = os.path.join(snap_dir, f"._current.{uuid.uuid4().hex}.tmp")
+            with open(cur_tmp, "w") as f:
+                f.write(str(version))
+            os.replace(cur_tmp, cur_path)
 
     def _write_batch(
         self,

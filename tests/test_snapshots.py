@@ -776,3 +776,71 @@ def test_orphan_manifest_adopted_not_wedged(spark, sw):
     sw.append(spark.range(3, 6).coalesce(1), "orph")
     assert sw.current_version("orph") == 3
     assert sw.read("orph").count() == 6
+
+
+def test_intra_process_commit_race_never_tears_manifest(spark, sw):
+    """Round-3 advisor (medium): the manifest temp file was keyed only by
+    version+pid, so two THREADS in one process racing the same version
+    shared a tmp path — one could hard-link the other's half-written
+    bytes (torn manifest / silent lost update) and the loser's cleanup
+    unlink raised FileNotFoundError. With per-attempt uuid tmp names,
+    os.link on the final path is the sole arbiter: exactly one winner
+    per version, every loser gets CommitConflictError (never
+    FileNotFoundError), and every claimed v{N}.json is complete JSON
+    with the winner's exact file list."""
+    import json as _json
+    import os as _os
+    import threading
+
+    from covid_data_pipeline_spark.sources.snapshots import (
+        CommitConflictError,
+    )
+
+    sw.append(spark.range(1).coalesce(1), "trace")
+    n_threads, rounds = 8, 5
+    barrier = threading.Barrier(n_threads)
+    errors: list[BaseException] = []
+    wins: list[tuple[int, int, str]] = []  # (thread, version, marker-file)
+
+    def worker(tid: int) -> None:
+        try:
+            for r in range(rounds):
+                barrier.wait()
+                marker = f"t{tid}-r{r}.parquet"
+                try:
+                    # all threads compute the SAME next version (the
+                    # pre-fix collision window), each with a distinct
+                    # file list so a torn/cross-linked manifest is
+                    # detectable below
+                    v = sw._commit("trace", [marker], op="append")
+                    wins.append((tid, v, marker))
+                except CommitConflictError:
+                    pass
+        except BaseException as e:  # noqa: BLE001 — surface to main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors, errors  # no FileNotFoundError from shared-tmp unlink
+    # exactly one winner per claimed version
+    versions = [v for _, v, _ in wins]
+    assert len(versions) == len(set(versions))
+    # every manifest on disk is complete JSON carrying its winner's list
+    by_version = {v: marker for _, v, marker in wins}
+    snap_dir = sw._snap_dir("trace")
+    for fname in _os.listdir(snap_dir):
+        if not (fname.startswith("v") and fname.endswith(".json")):
+            continue
+        with open(_os.path.join(snap_dir, fname)) as f:
+            m = _json.load(f)  # raises on torn/partial JSON
+        if m["version"] in by_version:
+            assert m["files"] == [by_version[m["version"]]], (
+                f"v{m['version']} carries another thread's file list"
+            )
+    # no leaked tmp files; _current monotone at the max claimed version
+    assert not [f for f in _os.listdir(snap_dir) if f.endswith(".tmp")]
+    assert sw.current_version("trace") == max(versions)
