@@ -27,14 +27,14 @@ from covid_data_pipeline_spark.operators.graph import connected_components
 MUTANT_OFFSET = 1_000_000
 
 
-def _shingle_pairs_sql(where: str = "TRUE") -> str:
-    """DuckDB twin of the doubled-corpus exact-Jaccard pipeline:
-    ``_with_mutants`` → ``word_shingles(k=3)`` → posting-list candidate
-    join → exact Jaccard. The list-slicing shingle construction mirrors
-    ``functions/text.word_shingles`` exactly (distinct 3-grams of
-    whitespace tokens; short texts collapse to one whole-text shingle).
-    Produces CTE ``j(id_a, id_b, jac)``; callers append the final SELECT.
-    """
+def _shingle_ctes(where: str = "TRUE") -> str:
+    """DuckDB CTEs ``base → toks → sh``: the doubled corpus
+    (``_with_mutants``) tokenized and shingled. The list-slicing shingle
+    construction mirrors ``functions/text.word_shingles`` exactly
+    (distinct 3-grams of whitespace tokens; short texts collapse to one
+    whole-text shingle). Shared by the exact-Jaccard, MinHash, and
+    SimHash oracles so all three replay the identical shingle/token
+    universe."""
     return rf"""
     base AS (
       SELECT doc_id, text FROM documents WHERE {where}
@@ -53,7 +53,15 @@ def _shingle_pairs_sql(where: str = "TRUE") -> str:
                                             i -> array_to_string(t[i:i+2], ' ')))
           ELSE [array_to_string(t, ' ')] END AS shingles
       FROM toks
-    ),
+    )"""
+
+
+def _shingle_pairs_sql(where: str = "TRUE") -> str:
+    """DuckDB twin of the doubled-corpus exact-Jaccard pipeline:
+    ``_shingle_ctes`` → posting-list candidate join → exact Jaccard.
+    Produces CTE ``j(id_a, id_b, jac)``; callers append the final SELECT.
+    """
+    return rf"""{_shingle_ctes(where)},
     grams AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -117,43 +125,139 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash",
-    None,
+    f"""
+    WITH {_shingle_ctes()},
+    hs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(shingles,
+               s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+                    % 2147483647)) AS hs
+      FROM sh
+    ),
+    g AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+    perm AS (
+      SELECT i,
+             (1103515245 * (i + 1) + 12345) % 2147483647 AS a,
+             (1103515245 * (i + 101) + 12345) % 2147483647 AS b
+      FROM range(16) t(i)
+    ),
+    sig AS (
+      SELECT g.doc_id, p.i, MIN((p.a * g.h + p.b) % 2147483647) AS mh
+      FROM g CROSS JOIN perm p
+      GROUP BY g.doc_id, p.i
+    ),
+    band AS (
+      SELECT doc_id, i // 4 AS band_idx,
+             list_reduce(
+               list_prepend(CAST(i // 4 AS BIGINT), list(mh ORDER BY i)),
+               (acc, v) -> (acc * 31 + v) % 288230376151711717
+             ) AS band_hash
+      FROM sig GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM band a JOIN band b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    jac AS (
+      SELECT id_a, id_b,
+             len(list_intersect(ha.hs, hb.hs))::DOUBLE /
+             len(list_distinct(list_concat(ha.hs, hb.hs))) AS j
+      FROM cand
+      JOIN hs ha ON ha.doc_id = id_a
+      JOIN hs hb ON hb.doc_id = id_b
+    )
+    SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM jac WHERE j >= 0.6
+    """,
     tags=("dedup", "minhash", "lsh"),
     bench=True,
-    rows_only_reason=(
-        "minhash permutations run over xxhash64 shingle hashes — no "
-        "DuckDB equivalent exists to replay them; planted-pair recall "
-        "vs the oracle-green exact twin dedup_ngram_jaccard is "
-        "asserted in tests/test_dedup.py"
-    ),
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, FULLY oracle-replayed (r3 VERDICT ask
+    #4): with ``portable=True`` the shingle hashes are md5-prefix ints,
+    the 16 permutations are affine maps mod 2^31-1, and the 4 band
+    buckets are list_reduce folds — so DuckDB regenerates the exact
+    candidate set and the exact-Jaccard verify, and the driver value-
+    hashes the result instead of a rows-only count. The xxhash64
+    production path keeps its planted-pair recall proof in
+    tests/test_dedup_similarity.py."""
     d = _with_mutants(table(spark, sf_dir, "documents"))
     # 16 hashes / 4 bands: at the planted-pair jaccard (~0.94) expected
     # recall is 1−(1−0.94⁴)⁴ ≈ 99.8% for half the signature cost; the
     # default 32/8 configuration's recall floor is pytest-asserted
     # separately (tests/test_dedup_similarity.py).
-    return minhash_dedup(
+    pairs = minhash_dedup(
         d, text_col="text", id_col="doc_id", shingle_k=3, num_hashes=16, bands=4,
-        threshold=0.6,
+        threshold=0.6, portable=True,
     )
+    return pairs.withColumn("jaccard", F.round(F.col("jaccard"), 4))
 
 
 @register(
     "dedup_simhash",
-    None,
-    tags=("dedup", "simhash"),
-    rows_only_reason=(
-        "simhash bits are weighted xxhash64 token hashes — not "
-        "replayable outside Spark; Hamming-distance bounds on planted "
-        "mutants asserted in tests/test_dedup.py"
+    f"""
+    WITH {_shingle_ctes()},
+    tokh AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS u
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
     ),
+    votes AS (
+      SELECT doc_id, b.b AS bit,
+             SUM(CAST((u >> CAST(b.b AS INTEGER)) & 1 AS BIGINT)) AS ones,
+             COUNT(*) AS n
+      FROM tokh CROSS JOIN range(64) b(b)
+      GROUP BY doc_id, b.b
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN 2 * ones > n THEN
+                    CASE WHEN bit = 63 THEN -9223372036854775808
+                         ELSE CAST(1 AS BIGINT) << CAST(bit AS INTEGER) END
+                  ELSE 0 END) AS BIGINT) AS sig,
+             CAST(SUM(CASE WHEN 2 * ones > n THEN
+                    CASE WHEN bit = 63 THEN CAST(9223372036854775808 AS HUGEINT)
+                         ELSE CAST(CAST(1 AS BIGINT) << CAST(bit AS INTEGER)
+                                   AS HUGEINT) END
+                  ELSE 0 END) AS UBIGINT) AS su
+      FROM votes GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, sig, c.i AS chunk_idx,
+             CAST((su >> CAST(16 * c.i AS INTEGER)) & 65535 AS BIGINT) AS chunk_val
+      FROM sigs CROSS JOIN range(4) c(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sig_a, sig_b)) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """,
+    tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, FULLY oracle-replayed (r3 VERDICT ask #4):
+    with ``portable=True`` every token hash is an md5-prefix signed-64
+    int, so DuckDB regenerates the per-bit majority vote (64 bit-columns
+    over the token stream), reassembles the signed signature from the
+    same AND-masks Spark ORs together (disjoint bits ⇒ OR == SUM, with
+    bit 63's mask = min-long), replays the 16-bit pigeonhole banding on
+    the unsigned view, and value-hashes the verified Hamming pairs. The
+    xxhash64 production path keeps its planted-mutant distance bounds in
+    tests/test_dedup_similarity.py."""
     d = _with_mutants(table(spark, sf_dir, "documents"))
-    # Persist: the signature projection feeds both sides of the banded
-    # self-join (at warehouse scale, stage signatures to a table instead).
-    sigs = d.select("doc_id", simhash("text").alias("simhash")).persist()
+    # localCheckpoint, not persist(): the signature projection feeds both
+    # sides of the banded self-join, but persist() would leak a cached
+    # relation per invocation in a long-lived session (bench loop). At
+    # warehouse scale, stage signatures to a table instead.
+    sigs = d.select(
+        "doc_id", simhash("text", portable=True).alias("simhash")
+    ).localCheckpoint(eager=False)
     return simhash_candidate_pairs(sigs, id_col="doc_id", max_hamming=3)
 
 

@@ -76,6 +76,80 @@ def shingle_hashes(shingles: Column) -> Column:
     return F.array_distinct(F.transform(shingles, lambda s: F.xxhash64(s)))
 
 
+# ---------------------------------------------------------------------------
+# Cross-engine-portable hashing (md5-prefix ints)
+#
+# Any md5-capable SQL engine replays these bit-for-bit, which upgrades
+# the MinHash and SimHash pipelines from rows-only driver checks to full
+# value-hash oracles (the same trick sampling.string_group_hash uses for
+# splits). xxhash64 stays the DEFAULT production path — it is faster and
+# hashes longs natively — `portable=True` swaps these in.
+# ---------------------------------------------------------------------------
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1 (prime): affine-permutation modulus
+# band-fold modulus: < 2^58 so acc*31 + v never leaves signed 64-bit
+_BAND_MOD = 288_230_376_151_711_717
+
+
+def portable_hash64(c: Column) -> Column:
+    """Signed 64-bit portable string hash: the first 16 hex digits of
+    md5, reinterpreted as a signed long. Parsed as two 32-bit halves and
+    recombined with a WRAPPING shift (bitwise — no ANSI overflow check),
+    bit-identical to DuckDB's
+    ``CAST(concat('0x', substr(md5(x),1,16)) AS UBIGINT)`` viewed signed."""
+    hexs = F.md5(c)
+    hi = F.conv(F.substring(hexs, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hexs, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def portable_hash31(c: Column) -> Column:
+    """Portable string hash in [0, 2^31-1): 15 md5 hex digits (60 bits —
+    BIGINT-safe to parse on every engine) mod the Mersenne prime, small
+    enough that affine permutations ``a*h + b`` stay inside signed 64-bit
+    under ANSI arithmetic."""
+    return (
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+        % F.lit(MERSENNE31)
+    )
+
+
+def portable_shingle_hashes(shingles: Column) -> Column:
+    """Portable twin of :func:`shingle_hashes` (distinct
+    :func:`portable_hash31` per shingle). Jaccard over these sets is
+    exact up to md5-prefix collisions, same caveat as the xxhash64 path."""
+    return F.array_distinct(F.transform(shingles, portable_hash31))
+
+
+def _affine_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for permutation i — a fixed LCG formula both
+    engines write inline (see the ``dedup_minhash`` oracle SQL)."""
+    a = (1103515245 * (i + 1) + 12345) % MERSENNE31
+    b = (1103515245 * (i + 101) + 12345) % MERSENNE31
+    return a, b
+
+
+def portable_minhash_signature(
+    hashed_shingles: Column, num_hashes: int = 16
+) -> Column:
+    """Portable twin of :func:`minhash_signature`: permutation i is the
+    affine map ``(a_i*h + b_i) mod (2^31-1)`` over
+    :func:`portable_hash31` shingle hashes — classic universal hashing,
+    exactly replayable in SQL because every step is signed-64 integer
+    arithmetic (h, a, b < 2^31 ⇒ a*h + b < 2^62)."""
+
+    def _perm(i: int) -> Column:
+        a, b = _affine_params(i)
+        return F.array_min(
+            F.transform(
+                hashed_shingles,
+                lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31),
+            )
+        )
+
+    return F.array(*[_perm(i) for i in range(num_hashes)])
+
+
 def minhash_signature(
     hashed_shingles: Column, num_hashes: int = 32
 ) -> Column:
@@ -104,38 +178,66 @@ def with_minhash(
     text_col: str = "text",
     shingle_k: int = 3,
     num_hashes: int = 32,
+    portable: bool = False,
 ) -> DataFrame:
     """Adds ``shingle_hashes`` (array<long>, distinct) and ``minhash``
     columns. The string shingles are transient: rows carry only the
-    hashed set, keeping shuffle width independent of shingle text size."""
-    return df.withColumn(
-        "shingle_hashes",
-        shingle_hashes(word_shingles(F.col(text_col), shingle_k)),
-    ).withColumn("minhash", minhash_signature(F.col("shingle_hashes"), num_hashes))
+    hashed set, keeping shuffle width independent of shingle text size.
+    ``portable=True`` swaps xxhash64 for the md5-prefix scheme any SQL
+    engine can replay (oracle-able; ~2x the hash cost)."""
+    sh = (portable_shingle_hashes if portable else shingle_hashes)(
+        word_shingles(F.col(text_col), shingle_k)
+    )
+    sig = (portable_minhash_signature if portable else minhash_signature)(
+        F.col("shingle_hashes"), num_hashes
+    )
+    return df.withColumn("shingle_hashes", sh).withColumn("minhash", sig)
 
 
 def _banded(
-    signed: DataFrame, id_col: str, num_hashes: int, bands: int
+    signed: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, band_idx, band_hash) rows: the signature split into band
     hashes — shared by the batch and incremental candidate generators
-    so both sides of an incremental join bucket identically."""
+    so both sides of an incremental join bucket identically.
+
+    ``portable=True`` folds each band as ``acc = (acc*31 + v) mod M``
+    (seeded with the band index, M < 2^58 so the fold is ANSI-safe) —
+    replayable in SQL via list_reduce. Bucket collisions only ADD
+    candidates, which the exact-Jaccard verify then filters, so the
+    weaker fold cannot change the verified output, only its cost."""
     rows_per_band = num_hashes // bands
-    band_array = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
+    if portable:
+        band_array = F.array(
+            *[
+                F.aggregate(
+                    F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                    F.lit(b).cast("long"),
+                    lambda acc, v: (acc * 31 + v) % F.lit(_BAND_MOD),
+                )
+                for b in range(bands)
+            ]
+        )
+    else:
+        band_array = F.array(
+            *[
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
                     ),
-                ),
-                F.lit(b),
-            )
-            for b in range(bands)
-        ]
-    )
+                    F.lit(b),
+                )
+                for b in range(bands)
+            ]
+        )
     return signed.select(
         F.col(id_col), F.posexplode(band_array).alias("band_idx", "band_hash")
     )
@@ -147,6 +249,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     max_bucket_size: int | None = 10_000,
+    portable: bool = False,
 ) -> DataFrame:
     """Banded LSH: split the signature into ``bands`` bands of
     ``num_hashes // bands`` rows; docs sharing any band hash become a
@@ -158,7 +261,7 @@ def lsh_candidate_pairs(
     Skewed buckets (boilerplate text) are the known hazard: AQE skew-join
     splits them; upstream quality filters keep them rare.
     """
-    banded = _banded(signed, id_col, num_hashes, bands)
+    banded = _banded(signed, id_col, num_hashes, bands, portable=portable)
     if max_bucket_size is not None:
         # Degenerate buckets (empty/boilerplate text collapsing to one
         # signature) turn the bucket join quadratic. Cap them: a bucket
@@ -225,6 +328,7 @@ def minhash_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
+    portable: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: returns verified near-dup pairs
     (id_a < id_b, jaccard ≥ threshold).
@@ -234,11 +338,22 @@ def minhash_dedup(
     persisted so the shingle/signature projection runs once per row. At
     warehouse scale, stage it to a table instead (checkpoint) — the
     persist is the single-job equivalent.
+
+    ``portable=True`` routes hashing through the md5-prefix scheme: the
+    WHOLE pipeline (shingle hashes → affine permutations → band folds →
+    candidates → exact Jaccard) is then bit-replayable in any md5-capable
+    SQL engine, turning an "approximate, trust-the-recall-test" operator
+    into a value-hash-verifiable one. Default stays xxhash64 (faster).
     """
-    signed = with_minhash(df, text_col, shingle_k, num_hashes).select(
-        id_col, "shingle_hashes", "minhash"
-    ).persist()
-    pairs = lsh_candidate_pairs(signed, id_col, num_hashes, bands)
+    # localCheckpoint, not persist(): persist() registers in the session
+    # cache manager and leaks one cached relation per invocation in a
+    # long-lived session; checkpoint blocks are GC'd with the plan.
+    signed = with_minhash(
+        df, text_col, shingle_k, num_hashes, portable=portable
+    ).select(id_col, "shingle_hashes", "minhash").localCheckpoint(eager=False)
+    pairs = lsh_candidate_pairs(
+        signed, id_col, num_hashes, bands, portable=portable
+    )
     return jaccard_verify(pairs, signed, id_col, threshold)
 
 
@@ -247,8 +362,11 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 
-def simhash(col: Column | str, bits: int = 64) -> Column:
-    """SimHash signature: per-bit majority vote over token xxhash64 values.
+def simhash(col: Column | str, bits: int = 64, portable: bool = False) -> Column:
+    """SimHash signature: per-bit majority vote over token hash values
+    (xxhash64 by default; ``portable=True`` uses :func:`portable_hash64`
+    so the whole signature — and hence banding and Hamming filtering —
+    is bit-replayable in SQL; see the ``dedup_simhash`` oracle).
 
     Pure built-ins, single pass: token hashes once (JVM), then ONE
     ``aggregate`` fold whose accumulator is the array of per-bit one-counts
@@ -261,6 +379,7 @@ def simhash(col: Column | str, bits: int = 64) -> Column:
     from covid_data_pipeline_spark.functions.text import let, tokens
 
     toks = tokens(col) if isinstance(col, str) else col
+    tok_hash = portable_hash64 if portable else F.xxhash64
     masks = F.array(
         *[F.lit(1 << b if b < 63 else -(2**63)).cast("long") for b in range(bits)]
     )
@@ -281,7 +400,7 @@ def simhash(col: Column | str, bits: int = 64) -> Column:
         )
         return F.aggregate(bits_set, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
 
-    return let(F.transform(toks, lambda t: F.xxhash64(t)), _sig)
+    return let(F.transform(toks, lambda t: tok_hash(t)), _sig)
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
