@@ -221,3 +221,24 @@ def render_notification(spark: SparkSession, wh: Warehouse, report_date: str) ->
         for r in rows
     )
     return f"<h3>COVID alerts for {report_date}</h3>\n<ul>\n{items}\n</ul>"
+
+
+def notify_alerts(
+    spark: SparkSession,
+    wh: Warehouse,
+    report_date: str,
+    sink: Callable[[str, str], None],
+    subject_prefix: str = "COVID alerts",
+) -> bool:
+    """Render the day's alert digest and hand it to ``sink(subject,
+    html_body)`` — the engine-side completion of the reference's
+    EmailOperator step (covid_alerts_dag.py:38-59: render → send when
+    non-empty). Delivery transport (SMTP, webhook, pager) is the
+    caller's sink; the engine owns the digest contract: NO send when the
+    day has no alerts (the reference's ShortCircuitOperator), one send
+    otherwise. Returns True iff the sink was invoked."""
+    body = render_notification(spark, wh, report_date)
+    if not body:
+        return False
+    sink(f"{subject_prefix} for {report_date}", body)
+    return True

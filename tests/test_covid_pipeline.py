@@ -159,3 +159,35 @@ def test_incremental_mart_equals_history(pipeline, spark):
     h = {r["country_name"]: r.asDict() for r in hist.collect()}
     i = {r["country_name"]: r.asDict() for r in incr.collect()}
     assert h == i
+
+
+def test_notify_alerts_digest_and_short_circuit(pipeline, spark):
+    """notify_alerts completes the reference's EmailOperator contract
+    (covid_alerts_dag.py:38-59): on an alert day the sink receives ONE
+    (subject, html) pair carrying every alert row; on a quiet day the
+    sink is never invoked (the ShortCircuitOperator semantics)."""
+    from covid_data_pipeline_spark.plans.alerts import notify_alerts
+
+    wh, _ = pipeline
+    sent = []
+    ok = notify_alerts(
+        spark, wh, DAYS[2], sink=lambda subj, body: sent.append((subj, body))
+    )
+    assert ok and len(sent) == 1
+    subj, body = sent[0]
+    assert DAYS[2] in subj
+    # all four of day-3's France alerts render in the digest
+    for alert_type in (
+        "CASE_RATE_POPULATION",
+        "DEATH_RATE_POPULATION",
+        "INCIDENCE_100K",
+        "DEATH_SPIKE_100K",
+    ):
+        assert alert_type in body
+    assert "<b>France</b>" in body
+    # a day with no alerts never reaches the sink
+    quiet = []
+    assert not notify_alerts(
+        spark, wh, "2031-01-01", sink=lambda *a: quiet.append(a)
+    )
+    assert quiet == []

@@ -261,6 +261,87 @@ def case_curation_chain_220k(spark):
     }
 
 
+def case_dedup_keep_best_500k(spark):
+    """The two slowest mirror queries' shared chain (r3 VERDICT ask #6)
+    at 500k docs (100x sf0.1): MinHash+LSH pairs at threshold 0.9 ->
+    exact-Jaccard verify -> connected components (with the per-partition
+    union-find pre-contraction) -> keep-best canonicalization. The
+    planted mutants are one token LONGER than their base, so every
+    2-doc component must select the MUTANT as canonical (the policy
+    check), the base must be dropped, and the whole mapping must be
+    partitioning-invariant. CC round count is reported — the dominant
+    cost the pre-contraction exists to cut."""
+    from covid_data_pipeline_spark.operators.dedup import minhash_dedup
+    from covid_data_pipeline_spark.operators.graph import connected_components
+
+    n = 250_000
+    docs = _synthetic_docs(spark, n)
+    lens = docs.select("doc_id", F.length("text").alias("__len"))
+
+    def chain(d):
+        pairs = minhash_dedup(
+            d, text_col="text", id_col="doc_id", shingle_k=3,
+            num_hashes=16, bands=8, threshold=0.9,
+        )
+        st: dict = {}
+        comps = connected_components(
+            pairs, src="id_a", dst="id_b", nodes=d.select("doc_id"), stats=st
+        )
+        best = (
+            comps.join(lens, comps["node"] == lens["doc_id"])
+            .groupBy("component")
+            .agg(
+                F.max_by(
+                    F.col("node"),
+                    F.struct(F.col("__len"), (-F.col("node")).alias("__neg")),
+                ).alias("best_id")
+            )
+        )
+        out = comps.join(best, "component").select(
+            F.col("node").alias("doc_id"),
+            F.col("best_id").alias("canonical_id"),
+            (F.col("node") == F.col("best_id")).alias("is_kept"),
+        )
+        return out, st
+
+    t0 = time.time()
+    out, st = chain(docs)
+    out = out.persist()
+    total = out.count()
+    # every base doc's canonical must be its (longer) mutant; misses =
+    # LSH band misses (expected ~0.2 at 1-(1-0.91^2)^8 per pair) +
+    # genuinely wrong policy picks (must be zero)
+    wrong_canonical = out.filter(
+        (F.col("doc_id") < n) & (F.col("canonical_id") != F.col("doc_id") + n)
+    ).count()
+    kept_mutants = out.filter((F.col("doc_id") >= n) & F.col("is_kept")).count()
+    wall = time.time() - t0
+    probe = sorted(
+        map(tuple, out.filter(F.col("doc_id") % 500 == 0).collect())
+    )
+    out.unpersist()
+    out2, _ = chain(docs.repartition(157))
+    probe2 = sorted(
+        map(tuple, out2.filter(F.col("doc_id") % 500 == 0).collect())
+    )
+    miss_budget = 5
+    return {
+        "rows": 2 * n,
+        "scale_vs_sf0.1": "100x documents",
+        "sec": round(wall, 2),
+        "cc_rounds": st.get("rounds"),
+        "wrong_canonical": wrong_canonical,
+        "invariant": probe == probe2,
+        "ok": (
+            total == 2 * n
+            and wrong_canonical <= miss_budget
+            and kept_mutants >= n - miss_budget
+            and probe == probe2
+            and len(probe) >= 900
+        ),
+    }
+
+
 def case_heavy_hitters_16m(spark):
     """16M-row stream, ~1M-item domain, 20 planted hot keys: the
     two-pass Misra-Gries must EQUAL the exact groupBy answer and stay
@@ -370,8 +451,9 @@ def case_graph_cc_1m(spark):
         .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
     )
     nodes = spark.range(n).select(F.col("id").alias("node"))
+    st: dict = {}
     t0 = time.time()
-    comps = connected_components(edges, nodes=nodes)
+    comps = connected_components(edges, nodes=nodes, stats=st)
     wrong = comps.filter(
         F.col("component") != (F.col("node") - F.pmod(F.col("node"), 10))
     ).count()
@@ -385,6 +467,7 @@ def case_graph_cc_1m(spark):
         "rows": n,
         "scale_vs_sf0.1": "200x document-graph nodes",
         "sec": round(wall, 2),
+        "cc_rounds": st.get("rounds"),
         "invariant": wrong2 == 0,
         "ok": wrong == 0 and wrong2 == 0 and total == n,
     }
@@ -447,6 +530,7 @@ CASES = {
     "funnel_16m": case_funnel_16m,
     "token_budget_12m": case_token_budget_12m,
     "dedup_minhash_200k": case_dedup_minhash_200k,
+    "dedup_keep_best_500k": case_dedup_keep_best_500k,
     "knn_graph_lsh_100k": case_knn_graph_lsh_100k,
     "heavy_hitters_16m": case_heavy_hitters_16m,
     "curation_chain_220k": case_curation_chain_220k,
@@ -457,7 +541,7 @@ CASES = {
 
 
 def main() -> int:
-    out_path = "STRESS_r03.json"
+    out_path = "STRESS_r04.json"
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
 
