@@ -979,3 +979,52 @@ def test_media_phash_neardup_pairs(spark):
         bands=8,
     )
     assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {("m0", "m1")}
+
+
+def test_portable_minhash_recall_matches_default_path(spark, sf_dir):
+    """The portable (md5-prefix) MinHash path is a different hash family,
+    not a different algorithm: planted-pair recall must hold exactly like
+    the xxhash64 default, and the verified-Jaccard values for pairs BOTH
+    paths emit must agree (Jaccard is over the shingle SET — same
+    set-cardinality arithmetic whichever 'names' the hashes use, modulo
+    hash collisions, which the distinct-count assertion bounds)."""
+    d = _with_mutants(table(spark, sf_dir, "documents"))
+    n_docs = table(spark, sf_dir, "documents").count()
+    default_pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_dedup(d, threshold=0.6).collect()
+    }
+    portable_pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_dedup(d, threshold=0.6, portable=True).collect()
+    }
+    for pairs in (default_pairs, portable_pairs):
+        planted = [k for k in pairs if k[1] == k[0] + MUTANT_OFFSET]
+        assert len(planted) >= 0.9 * n_docs
+    shared = set(default_pairs) & set(portable_pairs)
+    assert len(shared) >= 0.95 * max(len(default_pairs), len(portable_pairs))
+    diffs = [k for k in shared if abs(default_pairs[k] - portable_pairs[k]) > 1e-9]
+    assert not diffs, f"jaccard drift on {len(diffs)} pairs: {diffs[:3]}"
+
+
+def test_portable_simhash_close_to_default_hamming(spark, sf_dir):
+    """Portable simhash signatures come from a different token-hash
+    family, so individual bits differ — but the STRUCTURE is the same:
+    planted one-token mutants must still land at small Hamming distance
+    at the same floor the default path passes."""
+    from covid_data_pipeline_spark.operators.dedup import (
+        simhash,
+        simhash_candidate_pairs,
+    )
+
+    d = _with_mutants(table(spark, sf_dir, "documents"))
+    n_docs = table(spark, sf_dir, "documents").count()
+    for portable in (False, True):
+        sigs = d.select(
+            "doc_id", simhash("text", portable=portable).alias("simhash")
+        )
+        out = simhash_candidate_pairs(sigs, id_col="doc_id", max_hamming=3)
+        planted = out.filter(
+            F.col("id_b") == F.col("id_a") + MUTANT_OFFSET
+        ).count()
+        assert planted >= 0.7 * n_docs, f"portable={portable}: {planted}"
