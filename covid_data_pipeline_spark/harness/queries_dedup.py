@@ -235,7 +235,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
        AND a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b, bit_count(xor(sig_a, sig_b)) AS hamming
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
     FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
     """,
     tags=("dedup", "simhash"),

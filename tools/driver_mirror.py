@@ -53,8 +53,22 @@ def _dtype_ok(spark_t: str, arrow_t: str) -> bool:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = list(QUERIES) if "--all" in sys.argv else list(WINDOW_PRIORITY)
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1].split(",")
+        del args[i : i + 2]
+    positional = [a for a in args if not a.startswith("--")]
+    sf_dir = positional[0] if positional else "/root/testdata/sf0.01"
+    if only is not None:
+        unknown = [n for n in only if n not in QUERIES]
+        assert not unknown, f"unknown queries: {unknown}"
+        names = only
+    elif "--all" in args:
+        names = list(QUERIES)
+    else:
+        names = list(WINDOW_PRIORITY)
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -137,6 +151,13 @@ def main() -> int:
               f"({report[name].get('sec', '?')}s)", flush=True)
 
     print(json.dumps({"sf_dir": sf_dir, "n": len(names), "fail": n_fail}))
+    if only is not None and os.path.exists("driver_mirror_report.json"):
+        # targeted re-checks update their rows in the full report
+        # instead of clobbering it
+        with open("driver_mirror_report.json") as f:
+            merged = json.load(f)
+        merged.update(report)
+        report = merged
     with open("driver_mirror_report.json", "w") as f:
         json.dump(report, f, indent=1)
     spark.stop()

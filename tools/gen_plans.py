@@ -18,7 +18,7 @@ NOTES = {
     "window_lag_alert": "One shuffle on the window key; all lag columns share the single sorted pass.",
     "text_stats": "Pure projection - zero shuffles; regex work let-bound to one pass per row, parallelism = input splits.",
     "dedup_exact": "One hash shuffle on the md5 fingerprint with map-side partial agg: shuffle is O(distinct docs).",
-    "dedup_minhash": "Signature is a projection (no shuffle); banded self-join is an equi-join on band hash (exchange reused for both sides); verify joins fetch only candidate rows. Hot buckets capped.",
+    "dedup_minhash": "Signature is a projection (no shuffle; portable md5-prefix hashes so DuckDB replays the whole pipeline); banded self-join is an equi-join on band hash (exchange reused for both sides); verify joins fetch only candidate rows. Hot buckets capped.",
     "similarity_topk_bruteforce": "Query block broadcast; corpus partition-local scoring; WindowGroupLimit bounds the final shuffle to k rows per query per partition.",
     "similarity_topk_lsh": "Bucket equi-join: work proportional to bucket sizes; multiprobe expands the (small) query side only.",
     "similarity_topk_bruteforce_np": "Same shape as bruteforce but Arrow-batched BLAS matmul per partition.",
@@ -36,8 +36,8 @@ NOTES = {
     "moving_avg_7d": "Window reuses the daily rollup's event_type hash partitioning: one shuffle total; RANGE frame over epoch-day int = gap-aware without a calendar join. Integer-cent sums avoid a cross-engine rounding hazard, not a perf one.",
     "pivot_event_type": "Explicit pivot value list = no distinct-values pre-scan job; pivot is a single partial+final agg with the column expansion map-side.",
     "curation_pipeline_docs": "End-to-end chain: each stage's output feeds the next without driver collects; the LSH+components stage dominates (iterative joins with localCheckpoint lineage cuts); quality/dedup/decontam stages are single-shuffle each.",
-    "dedup_duplicate_groups": "LSH candidate pairs (banded equi-join, hot-bucket cap) feed large-star/small-star components: O(log n) bounded-shuffle rounds, lineage checkpointed; canonical map joins back by doc_id.",
-    "graph_components_docs": "Large-star/small-star alternation: every round is two self-equi-joins + dedup with monotone-decreasing edge set; localCheckpoint truncates lineage so round N doesn't replan rounds 1..N-1; converges in O(log n) rounds (probe-counted).",
+    "dedup_duplicate_groups": "LSH candidate pairs (banded equi-join, hot-bucket cap) feed components: per-partition union-find pre-contraction (Arrow-batched, union-preserving) collapses local paths before the large-star/small-star rounds, then O(log n) bounded-shuffle rounds with lineage checkpoints; canonical map joins back by doc_id.",
+    "graph_components_docs": "Per-partition union-find pre-contraction (one Arrow pass, edge set shrinks to local star forests) then large-star/small-star alternation: every round is two self-equi-joins + dedup with monotone-decreasing edge set; localCheckpoint truncates lineage so round N doesn't replan rounds 1..N-1; 1M-node chain converges in ONE round post-contraction (probe-counted).",
     "dedup_passages_global": "Passage explode is shuffle-free; keep-first is a min-struct aggregate on passage hash (map-side combine absorbs hot passages) - no windowed row_number over the full corpus.",
     "decontaminate_docs": "Benchmark 8-gram set is hashed and broadcast; the corpus pass is a shuffle-free semi-join probe per doc - contaminated docs drop map-side.",
     "docs_gopher_filter": "All seven rules evaluate in one codegen'd projection pass (nested let binds the token split once); the per-source rollup is the only shuffle and carries booleans already reduced to ints.",
