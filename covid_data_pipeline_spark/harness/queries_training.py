@@ -844,3 +844,108 @@ def temperature_rebalance_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", group_col="source", alpha=0.5,
         weight_col="n_chars",
     ).select("doc_id", "source", "keep_rate_bp")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (operators/tokenizer.py) — the merge-learning
+# loop is histogram-based and every step is engine-portable (plain
+# substring replace on sentinel-delimited symbol strings; deterministic
+# argmax tiebreak), so the ITERATIVE training replays in DuckDB by
+# unrolling merges as chained CTEs — the PageRank-unroll pattern.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 4
+
+
+def _bpe_ctes(num_merges: int) -> str:
+    """words_0..words_K / best_1..best_K chain replaying _bpe_train."""
+    parts = [
+        r"""
+    words_0 AS (
+      SELECT '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS w,
+             COUNT(*) AS f
+      FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        FROM documents WHERE text IS NOT NULL
+      )
+      WHERE regexp_matches(word, '^[a-z0-9]+$')
+      GROUP BY word
+    )"""
+    ]
+    for k in range(1, num_merges + 1):
+        parts.append(rf"""
+    pairs_{k} AS (
+      SELECT p[1] AS l, p[2] AS r, SUM(f) AS cnt
+      FROM (
+        SELECT f,
+               unnest(list_transform(range(1, len(arr)),
+                                     i -> [arr[i], arr[i + 1]])) AS p
+        FROM (SELECT f, regexp_split_to_array(trim(w), '  ') AS arr
+              FROM words_{k - 1})
+      )
+      GROUP BY p[1], p[2]
+    ),
+    best_{k} AS (
+      SELECT l, r, cnt FROM pairs_{k} ORDER BY cnt DESC, l, r LIMIT 1
+    ),
+    words_{k} AS (
+      SELECT replace(w,
+                     ' ' || (SELECT l FROM best_{k}) || '  ' ||
+                     (SELECT r FROM best_{k}) || ' ',
+                     ' ' || (SELECT l FROM best_{k}) ||
+                     (SELECT r FROM best_{k}) || ' ') AS w,
+             f
+      FROM words_{k - 1}
+    )""")
+    return ",".join(parts)
+
+
+@register(
+    "bpe_learn_merges",
+    f"""
+    WITH {_bpe_ctes(_BPE_MERGES)}
+    {" UNION ALL ".join(
+        f"SELECT {k} AS step, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM best_{k}"
+        for k in range(1, _BPE_MERGES + 1)
+    )}
+    """,
+    tags=("training", "tokenizer", "bpe", "iterative"),
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (operators/tokenizer.py): ONE
+    corpus pass builds the word histogram; each of the 4 merge steps is
+    a vocab-sized pair-count aggregation + a 1-row argmax collect +
+    a codegen'd symbol-string rewrite. The oracle unrolls the identical
+    4 steps as chained CTEs — an ITERATIVE trainer that value-hash
+    matches a pure-SQL replay (deterministic count/lexi tiebreak, plain
+    left-to-right non-overlapping replaces on both engines)."""
+    from covid_data_pipeline_spark.operators.tokenizer import learn_bpe_merges
+
+    docs = table(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, text_col="text", num_merges=_BPE_MERGES)
+
+
+@register(
+    "bpe_compression_curve",
+    f"""
+    WITH {_bpe_ctes(_BPE_MERGES)}
+    {" UNION ALL ".join(
+        f"SELECT {k} AS step, "
+        f"CAST(SUM(len(regexp_split_to_array(trim(w), '  ')) * f) AS BIGINT) "
+        f"AS corpus_tokens FROM words_{k}"
+        for k in range(0, _BPE_MERGES + 1)
+    )}
+    """,
+    tags=("training", "tokenizer", "bpe", "iterative"),
+)
+def bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token count after each BPE merge (step 0 = character
+    tokenization) — the compression curve that sizes a vocabulary.
+    Same unrolled-CTE oracle chain as ``bpe_learn_merges``."""
+    from covid_data_pipeline_spark.operators.tokenizer import (
+        bpe_compression_curve,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return bpe_compression_curve(docs, text_col="text", num_merges=_BPE_MERGES)
