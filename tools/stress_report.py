@@ -526,6 +526,53 @@ def case_ann_pq_100k(spark):
     }
 
 
+def case_bpe_learn_16m(spark):
+    """BPE merge learning over a 16M-token corpus (10k-word zipf-less
+    vocab): the histogram claim made concrete — after the single corpus
+    aggregation every one of the 8 iterations runs on 10k rows, so
+    wall-clock is dominated by fixed job overhead, not corpus size. The
+    learned merge table must be partitioning-invariant (deterministic
+    argmax tiebreak) and the compression curve strictly decreasing."""
+    from covid_data_pipeline_spark.operators.tokenizer import (
+        bpe_compression_curve,
+        learn_bpe_merges,
+    )
+
+    n = 16_000_000
+    docs = spark.range(n // 8).select(
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit("w"),
+                    F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(10_000)),
+                )
+                for j in range(8)
+            ],
+        ).alias("text")
+    )
+    t0 = time.time()
+    merges = [tuple(r) for r in learn_bpe_merges(docs, num_merges=8).collect()]
+    wall = time.time() - t0
+    merges2 = [
+        tuple(r)
+        for r in learn_bpe_merges(docs.repartition(157), num_merges=8).collect()
+    ]
+    curve = {
+        r["step"]: r["corpus_tokens"]
+        for r in bpe_compression_curve(docs, num_merges=3).collect()
+    }
+    decreasing = all(curve[k] < curve[k - 1] for k in range(1, 4))
+    return {
+        "rows": n,
+        "scale_vs_sf0.1": "130x corpus tokens",
+        "sec": round(wall, 2),
+        "merges": [m[3] for m in merges],
+        "invariant": merges == merges2,
+        "ok": len(merges) == 8 and merges == merges2 and decreasing,
+    }
+
+
 CASES = {
     "funnel_16m": case_funnel_16m,
     "token_budget_12m": case_token_budget_12m,
@@ -537,6 +584,7 @@ CASES = {
     "ann_ivf_100k": case_ann_ivf_100k,
     "graph_cc_1m": case_graph_cc_1m,
     "ann_pq_100k": case_ann_pq_100k,
+    "bpe_learn_16m": case_bpe_learn_16m,
 }
 
 
