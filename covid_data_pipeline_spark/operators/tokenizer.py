@@ -159,6 +159,80 @@ def bpe_compression_curve(
     )
 
 
+def learn_bpe_merges_local(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 1000,
+    max_vocab: int = 1_000_000,
+) -> DataFrame:
+    """Large-K BPE training: the distributed loop costs two Spark jobs
+    PER MERGE — right for few merges over an unboundedly large vocab,
+    wrong for the thousands of merges a real tokenizer needs. This path
+    collects the word histogram (vocab-sized — the ONLY corpus-derived
+    state BPE training ever needs; capped at ``max_vocab`` words by
+    frequency with a deterministic (freq DESC, word ASC) cut, exactly
+    how production BPE trainers bound memory) and runs the merge loop
+    driver-side with indexed pair updates.
+
+    Semantics are IDENTICAL to :func:`learn_bpe_merges` when the cap
+    does not bind: same adjacent-pair counting, same (count DESC,
+    left ASC, right ASC) tiebreak, same greedy left-to-right merge —
+    equality is pytest-asserted. The Spark cluster does what it is good
+    at (the one corpus-sized aggregation + top-k); the driver does the
+    sequential part that is inherently iterative."""
+    hist_rows = (
+        word_histogram(df, text_col)
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(max_vocab)
+        .collect()
+    )
+    # word -> (symbols tuple, freq)
+    words: dict[str, tuple[tuple[str, ...], int]] = {
+        r["word"]: (tuple(r["word"]), r["freq"]) for r in hist_rows
+    }
+
+    def pair_counts() -> dict[tuple[str, str], int]:
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in words.values():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        return counts
+
+    def merge_word(syms: tuple[str, ...], l: str, r: str) -> tuple[str, ...]:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2  # greedy left-to-right, non-overlapping
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, num_merges + 1):
+        counts = pair_counts()
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, l, r, l + r, cnt))
+        words = {
+            w: (merge_word(syms, l, r), f) if l in syms and r in syms
+            else (syms, f)
+            for w, (syms, f) in words.items()
+        }
+
+    return df.sparkSession.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, merged string, "
+        "pair_count bigint",
+    )
+
+
 def apply_bpe_merges(
     df: DataFrame,
     merges: list[tuple[str, str]],

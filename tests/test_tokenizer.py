@@ -86,3 +86,25 @@ def test_histogram_iteration_is_vocab_sized(spark):
     )
     hist = word_histogram(df)
     assert hist.count() == 7  # 1000 corpus tokens -> 7 histogram rows
+
+
+def test_local_fast_path_equals_distributed(spark, sf_dir):
+    """learn_bpe_merges_local (collect-the-histogram large-K path) must
+    produce the EXACT merge table of the distributed loop when the vocab
+    cap does not bind — same pair counting, tiebreak, and greedy merge."""
+    from covid_data_pipeline_spark.harness.registry import table
+    from covid_data_pipeline_spark.operators.tokenizer import (
+        learn_bpe_merges_local,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    dist = [tuple(r) for r in learn_bpe_merges(docs, num_merges=6).collect()]
+    local = [
+        tuple(r) for r in learn_bpe_merges_local(docs, num_merges=6).collect()
+    ]
+    assert dist == local
+    # and the local path reaches large K quickly — or terminates early
+    # when every word has collapsed to a single symbol (no pairs left)
+    many = learn_bpe_merges_local(docs, num_merges=200).collect()
+    assert len(many) >= 50
+    assert len({r["merged"] for r in many}) == len(many)  # no dup rules
