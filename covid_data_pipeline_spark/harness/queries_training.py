@@ -911,6 +911,7 @@ def _bpe_ctes(num_merges: int) -> str:
     )}
     """,
     tags=("training", "tokenizer", "bpe", "iterative"),
+    bench=True,
 )
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge learning (operators/tokenizer.py): ONE
