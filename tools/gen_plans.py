@@ -18,6 +18,7 @@ NOTES = {
     "window_lag_alert": "One shuffle on the window key; all lag columns share the single sorted pass.",
     "text_stats": "Pure projection - zero shuffles; regex work let-bound to one pass per row, parallelism = input splits.",
     "dedup_exact": "One hash shuffle on the md5 fingerprint with map-side partial agg: shuffle is O(distinct docs).",
+    "bpe_learn_merges": "One corpus-sized aggregation (word histogram, map-side combine) then vocab-sized iterations: pair-count agg + 1-row argmax collect + codegen'd replace rewrite per merge; lineage checkpointed per round. At 100 TB only the histogram pass scales with the corpus.",
     "dedup_minhash": "Signature is a projection (no shuffle; portable md5-prefix hashes so DuckDB replays the whole pipeline); banded self-join is an equi-join on band hash (exchange reused for both sides); verify joins fetch only candidate rows. Hot buckets capped.",
     "similarity_topk_bruteforce": "Query block broadcast; corpus partition-local scoring; WindowGroupLimit bounds the final shuffle to k rows per query per partition.",
     "similarity_topk_lsh": "Bucket equi-join: work proportional to bucket sizes; multiprobe expands the (small) query side only.",
