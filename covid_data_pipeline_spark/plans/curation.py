@@ -92,7 +92,13 @@ def curate_documents(
     # 3. Near-dup: LSH candidate pairs → transitive groups → keep the
     #    canonical (minimum-id) member of each duplicate cluster.
     #    Persist: the deduped relation feeds the pair generator AND the
-    #    keep-join below (Catalyst does not share subtrees).
+    #    keep-join below (Catalyst does not share subtrees). persist(),
+    #    NOT localCheckpoint: a lazy checkpoint truncates the plan the
+    #    Observation metrics ride on (stage counts report 0 — caught by
+    #    test_observation_metrics_match_recomputed_counts); the cached
+    #    relation is the post-dedup (id, text) slice, small relative to
+    #    the corpus, and session-lifetime callers can clear it via
+    #    spark.catalog.clearCache().
     exact = exact.persist()
     pairs = minhash_dedup(
         exact,
