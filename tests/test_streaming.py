@@ -901,3 +901,44 @@ def test_stream_maintained_distinct_equals_batch(spark, tmp_path):
     }
     assert got == full == {"a": 3, "b": 2}
     assert mvd.refreshed_version() == swh.current_version("visits") >= 2
+
+
+def test_stream_bpe_tokenize_equals_batch(spark, sf_dir, tmp_path):
+    """apply_bpe_merges is a pure projection (chained replaces), so the
+    same learned rules tokenize a STREAM of documents identically to the
+    batch pass — the 'tokenize on ingest' deployment shape."""
+    from covid_data_pipeline_spark.operators.tokenizer import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    land = str(tmp_path / "docs_land")
+    docs.repartition(3).write.mode("overwrite").parquet(land)
+
+    rules = [
+        (r["left_sym"], r["right_sym"])
+        for r in learn_bpe_merges(docs, num_merges=4).collect()
+    ]
+    stream_df = file_stream(
+        spark, land, docs.schema, max_files_per_trigger=1
+    )
+    q = (
+        apply_bpe_merges(stream_df, rules)
+        .writeStream.format("memory")
+        .queryName("bpe_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "bpe_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = {
+        r["doc_id"]: tuple(r["bpe_tokens"])
+        for r in spark.table("bpe_stream_out").collect()
+    }
+    want = {
+        r["doc_id"]: tuple(r["bpe_tokens"])
+        for r in apply_bpe_merges(spark.read.parquet(land), rules).collect()
+    }
+    assert got == want and len(want) == docs.count()
