@@ -950,3 +950,59 @@ def bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return bpe_compression_curve(docs, text_col="text", num_merges=_BPE_MERGES)
+
+
+@register(
+    "dsir_importance_weights",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(t) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+    fx AS (
+      SELECT doc_id,
+             (CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
+                % 2147483647) % 1024 AS bucket,
+             COUNT(*) AS cnt
+      FROM grams GROUP BY 1, 2),
+    bt AS (
+      SELECT f.bucket, SUM(f.cnt) AS raw_cnt,
+             SUM(CASE WHEN d.lang = 'en' THEN f.cnt ELSE 0 END) AS tgt_cnt
+      FROM fx f JOIN documents d USING (doc_id) GROUP BY 1),
+    tot AS (SELECT SUM(raw_cnt) AS raw_tot, SUM(tgt_cnt) AS tgt_tot FROM bt),
+    model AS (
+      SELECT b.bucket,
+        CAST(ROUND(ln((COALESCE(bt.tgt_cnt, 0) + 1.0)
+                      / (tot.tgt_tot + 1024.0)) * 1000000, 0) AS BIGINT) AS lpt,
+        CAST(ROUND(ln((COALESCE(bt.raw_cnt, 0) + 1.0)
+                      / (tot.raw_tot + 1024.0)) * 1000000, 0) AS BIGINT) AS lpr
+      FROM (SELECT unnest(range(0, 1024)) AS bucket) b
+      LEFT JOIN bt ON b.bucket = bt.bucket CROSS JOIN tot),
+    w AS (
+      SELECT f.doc_id, SUM(f.cnt * (m.lpt - m.lpr)) AS ws
+      FROM fx f JOIN model m USING (bucket) GROUP BY 1)
+    SELECT w.doc_id, d.lang,
+           ROUND(ws / 1000000.0, 4) AS dsir_log_weight
+    FROM w JOIN documents d USING (doc_id)
+    """,
+    tags=("training", "selection", "dsir"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023) with lang='en' documents as
+    the target distribution: hashed unigram+bigram features (1024
+    md5-prefix buckets), add-one-smoothed dual bag model fitted in one
+    pass, per-document log importance weight accumulated in EXACT
+    BIGINT micro-nats (only the display division is float) — so the
+    oracle replays the whole selector value-for-value. Scale: one
+    bucket-keyed shuffle + a broadcast of 1024 model rows."""
+    from covid_data_pipeline_spark.operators.selection import dsir_weights
+
+    docs = table(spark, sf_dir, "documents")
+    w = dsir_weights(docs, F.col("lang") == F.lit("en"), n_buckets=1024)
+    return w.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "dsir_log_weight"
+    )
