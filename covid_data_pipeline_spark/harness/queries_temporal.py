@@ -410,3 +410,88 @@ def events_burst_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_pipeline_spark.operators.temporal import burst_days
 
     return burst_days(table(spark, sf_dir, "events"), sigmas=2)
+
+
+@register(
+    "events_holt_linear",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+    seq AS (
+      SELECT event_type, CAST(cnt AS DOUBLE) AS y,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily),
+    nn AS (SELECT event_type, MAX(rn) AS nmax FROM seq GROUP BY 1),
+    holt(event_type, rn, lvl, trd) AS (
+      SELECT a.event_type, 1, a.y, b.y - a.y
+      FROM seq a JOIN seq b
+        ON a.event_type = b.event_type AND a.rn = 1 AND b.rn = 2
+      UNION ALL
+      SELECT h.event_type, s.rn,
+             0.5 * s.y + 0.5 * (h.lvl + h.trd),
+             0.5 * ((0.5 * s.y + 0.5 * (h.lvl + h.trd)) - h.lvl)
+               + 0.5 * h.trd
+      FROM holt h JOIN seq s
+        ON s.event_type = h.event_type AND s.rn = h.rn + 1)
+    SELECT h.event_type, ROUND(lvl, 4) AS level, ROUND(trd, 4) AS trend,
+           ROUND(lvl + 7.0 * trd, 4) AS forecast_7d
+    FROM holt h JOIN nn ON h.event_type = nn.event_type AND h.rn = nn.nmax
+    """,
+    tags=("temporal", "timeseries", "smoothing", "iterative"),
+)
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing of each event type's daily volume +
+    7-day-ahead forecast (`operators/temporal.py::holt_linear`). The
+    O(days)-state recurrence folds JVM-side per type; the oracle's
+    recursive CTE replays the identical IEEE update order, so the fit
+    is value-hash verified, not just row-counted."""
+    from covid_data_pipeline_spark.operators.temporal import holt_linear
+
+    ev = table(spark, sf_dir, "events")
+    return holt_linear(ev, alpha=0.5, beta=0.5, horizon=7)
+
+
+@register(
+    "events_cusum_changepoint",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    st AS (SELECT COUNT(*) AS n, SUM(cnt) AS s1, SUM(cnt * cnt) AS s2
+           FROM daily),
+    q AS (SELECT s1 / CAST(n AS DOUBLE) AS m, s2 / CAST(n AS DOUBLE) AS q2
+          FROM st),
+    stats AS (SELECT m, sqrt(q2 - m * m) AS sd FROM q),
+    seq AS (
+      SELECT day, cnt,
+             row_number() OVER (ORDER BY day) AS rn
+      FROM daily),
+    cu(rn, day, sp, sn) AS (
+      SELECT s.rn, s.day,
+             GREATEST(0.0, 0.0 + (s.cnt - t.m - 0.5 * t.sd)),
+             GREATEST(0.0, 0.0 + (t.m - s.cnt - 0.5 * t.sd))
+      FROM seq s CROSS JOIN stats t WHERE s.rn = 1
+      UNION ALL
+      SELECT s.rn, s.day,
+             GREATEST(0.0, c.sp + (s.cnt - t.m - 0.5 * t.sd)),
+             GREATEST(0.0, c.sn + (t.m - s.cnt - 0.5 * t.sd))
+      FROM cu c JOIN seq s ON s.rn = c.rn + 1 CROSS JOIN stats t)
+    SELECT c.day, ROUND(c.sp, 4) AS cusum_pos, ROUND(c.sn, 4) AS cusum_neg,
+           (c.sp > 4.0 * t.sd OR c.sn > 4.0 * t.sd) AS breach
+    FROM cu c CROSS JOIN stats t
+    """,
+    tags=("temporal", "timeseries", "changepoint", "iterative"),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detector over the global daily event count
+    (`operators/temporal.py::cusum_changepoints`): per-day cumulative
+    deviation sums from integer-exact μ/σ, breach-flagged at 4σ. The
+    max(0, ·) recurrence is not window-expressible — it folds JVM-side
+    and the oracle replays it as a recursive CTE, value-hash checked."""
+    from covid_data_pipeline_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return cusum_changepoints(ev, k_sigma=0.5, h_sigma=4.0)

@@ -355,3 +355,153 @@ def scd2_apply(
         .select(*out_cols)
     )
     return closed.unionByName(emitted)
+
+
+def holt_linear(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over each type's daily
+    count series: per type, the final smoothed ``level``/``trend`` and
+    the ``horizon``-day-ahead forecast (textbook init s₁=y₁, b₁=y₂−y₁,
+    then sₜ = α·yₜ + (1−α)(sₜ₋₁+bₜ₋₁), bₜ = β(sₜ−sₜ₋₁) + (1−β)bₜ₋₁).
+
+    Execution shape: ONE (type, day) count shuffle, then the recurrence
+    folds JVM-side inside ``F.aggregate`` over the collected per-type
+    series — state is O(days-per-type), never O(events), so a year of a
+    100 TB event stream folds 365 doubles per type. Types with <2
+    observed days are dropped (the init needs two points).
+
+    Determinism: the fold is a fixed left-to-right IEEE-754 double
+    recurrence — bit-identical on any engine that writes the same
+    update expressions (the oracle's recursive CTE does), and the
+    default α=β=0.5 keeps every intermediate a dyadic rational. Output
+    doubles are ROUNDed (4) anyway.
+    """
+    from covid_data_pipeline_spark.functions.text import let
+
+    daily = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(F.col(type_col), F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    series = daily.groupBy(type_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "cnt"))),
+            lambda s: s["cnt"].cast("double"),
+        ).alias("ys")
+    )
+    ys = F.col("ys")
+    n = F.size(ys)
+    a, b = F.lit(float(alpha)), F.lit(float(beta))
+    init = F.struct(
+        F.element_at(ys, 1).alias("lvl"),
+        (F.element_at(ys, 2) - F.element_at(ys, 1)).alias("trd"),
+    )
+
+    def _step(acc, y):
+        new_lvl = a * y + (F.lit(1.0) - a) * (acc["lvl"] + acc["trd"])
+        return let(
+            new_lvl,
+            lambda nl: F.struct(
+                nl.alias("lvl"),
+                (b * (nl - acc["lvl"]) + (F.lit(1.0) - b) * acc["trd"]).alias(
+                    "trd"
+                ),
+            ),
+        )
+
+    fitted = series.where(n >= 2).select(
+        type_col,
+        F.aggregate(F.slice(ys, 2, n - 1), init, _step).alias("h"),
+    )
+    return fitted.select(
+        type_col,
+        F.round(F.col("h.lvl"), 4).alias("level"),
+        F.round(F.col("h.trd"), 4).alias("trend"),
+        F.round(
+            F.col("h.lvl") + F.lit(float(horizon)) * F.col("h.trd"), 4
+        ).alias(f"forecast_{horizon}d"),
+    )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    ts_col: str = "ts",
+    k_sigma: float = 0.5,
+    h_sigma: float = 4.0,
+) -> DataFrame:
+    """Two-sided CUSUM change detection (Page 1954) over the global
+    daily event count: per day, the positive/negative cumulative sums
+    ``S⁺ₜ = max(0, S⁺ₜ₋₁ + (yₜ − μ − k·σ))`` (mirror for S⁻) and a
+    ``breach`` flag when either exceeds ``h·σ`` — the standard
+    sequential drift detector for ingest-volume monitoring.
+
+    μ and σ derive from EXACT integer moments (Σy, Σy² as BIGINTs, like
+    :func:`burst_days`), so the float recurrence starts from
+    bit-identical constants on every engine/partitioning; the fold
+    itself is a fixed-order IEEE double recurrence over O(days) state
+    inside ``F.aggregate``. One count shuffle total; the day series —
+    not the event table — is the only thing collected into the fold.
+    """
+    daily = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    one = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "cnt"))).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    # identical op order to the oracle: q1 = Σy/n, q2 = Σy²/n, σ = √(q2 − μ²)
+    one = one.select(
+        "s",
+        (F.col("s1") / nd).alias("m"),
+        (F.col("s2") / nd).alias("q"),
+    ).select("s", "m", F.sqrt(F.col("q") - F.col("m") * F.col("m")).alias("sd"))
+
+    k, h = F.lit(float(k_sigma)), F.lit(float(h_sigma))
+    m, sd = F.col("m"), F.col("sd")
+    init = F.struct(
+        F.lit(0.0).alias("sp"),
+        F.lit(0.0).alias("sn"),
+        F.expr(
+            "CAST(array() AS array<struct<day:date,sp:double,sn:double>>)"
+        ).alias("out"),
+    )
+
+    def _step(acc, e):
+        y = e["cnt"].cast("double")
+        nsp = F.greatest(F.lit(0.0), acc["sp"] + (y - m - k * sd))
+        nsn = F.greatest(F.lit(0.0), acc["sn"] + (m - y - k * sd))
+        return F.struct(
+            nsp.alias("sp"),
+            nsn.alias("sn"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        e["day"].alias("day"),
+                        nsp.alias("sp"),
+                        nsn.alias("sn"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    folded = one.select(
+        F.explode(F.aggregate(F.col("s"), init, _step)["out"]).alias("r"), sd
+    )
+    return folded.select(
+        F.col("r.day").alias("day"),
+        F.round(F.col("r.sp"), 4).alias("cusum_pos"),
+        F.round(F.col("r.sn"), 4).alias("cusum_neg"),
+        ((F.col("r.sp") > h * sd) | (F.col("r.sn") > h * sd)).alias("breach"),
+    )

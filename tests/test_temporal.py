@@ -328,3 +328,81 @@ def test_scd2_apply_matches_python_reference_hypothesis(spark):
         assert got == sorted(ref, key=skey)
 
     run()
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(rows, "ts timestamp, event_type string")
+
+
+def test_holt_linear_matches_hand_rolled_recurrence(spark):
+    import datetime as dt
+
+    from covid_data_pipeline_spark.operators.temporal import holt_linear
+
+    counts = [4, 6, 5, 9, 12]
+    rows = []
+    for i, c in enumerate(counts):
+        for j in range(c):
+            rows.append((dt.datetime(2024, 3, 1 + i, 8, j), "a"))
+    rows.append((dt.datetime(2024, 3, 1, 9), "only_one_day"))
+    got = {r["event_type"]: r for r in holt_linear(_mk_events(spark, rows)).collect()}
+
+    lvl, trd = float(counts[0]), float(counts[1] - counts[0])
+    for y in counts[1:]:
+        nl = 0.5 * y + 0.5 * (lvl + trd)
+        trd = 0.5 * (nl - lvl) + 0.5 * trd
+        lvl = nl
+    assert got["a"]["level"] == round(lvl, 4)
+    assert got["a"]["trend"] == round(trd, 4)
+    assert got["a"]["forecast_7d"] == round(lvl + 7 * trd, 4)
+    # a single-day series cannot initialize the trend: dropped
+    assert "only_one_day" not in got
+
+
+def test_cusum_flags_planted_level_shift_only_after_it(spark):
+    import datetime as dt
+
+    from covid_data_pipeline_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+
+    # 20 quiet days at ~10/day, then 10 shifted days at ~30/day
+    counts = [10, 11, 9, 10, 10, 11, 9, 10, 10, 10,
+              11, 9, 10, 10, 11, 9, 10, 10, 11, 9] + [30] * 10
+    rows = []
+    for i, c in enumerate(counts):
+        for j in range(c):
+            rows.append((dt.datetime(2024, 1, 1 + i, 7, j % 60), "x"))
+    out = sorted(
+        cusum_changepoints(_mk_events(spark, rows)).collect(),
+        key=lambda r: r["day"],
+    )
+    assert len(out) == 30
+    # the global mean sits between regimes, so the quiet regime may
+    # legitimately breach on the NEGATIVE side; the planted upward shift
+    # must breach on the positive side, and only after it happens
+    pos_breached = [
+        r["day"].day
+        for r in out
+        if r["breach"] and r["cusum_pos"] > r["cusum_neg"]
+    ]
+    assert pos_breached, "planted shift must breach the positive CUSUM"
+    assert min(pos_breached) >= 21
+    assert out[-1]["breach"]  # and the shift stays flagged
+    assert all(r["cusum_pos"] >= 0 and r["cusum_neg"] >= 0 for r in out)
+
+
+def test_cusum_deterministic_under_repartition(spark):
+    import datetime as dt
+
+    from covid_data_pipeline_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+
+    rows = [
+        (dt.datetime(2024, 2, 1 + (i % 25), 6, i % 60), "t") for i in range(900)
+    ]
+    df = _mk_events(spark, rows)
+    a = sorted(map(tuple, cusum_changepoints(df).collect()))
+    b = sorted(map(tuple, cusum_changepoints(df.repartition(13)).collect()))
+    assert a == b
