@@ -1440,3 +1440,56 @@ def ann_recall_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"n_common * 10000 div {TOP_K}").alias("recall_bp"),
         )
     )
+
+
+_LINK_PRED_ORACLE = (
+    "WITH "
+    + _knn_edges_sql("s", "d")
+    + """,
+edges AS (SELECT s, d FROM ranked WHERE rn <= 5),
+sym AS (SELECT s AS a, d AS b FROM edges
+        UNION
+        SELECT d AS a, s AS b FROM edges),
+deg AS (SELECT a, COUNT(*) AS dg FROM sym GROUP BY 1),
+wedge AS (
+  SELECT l.a AS u, r.a AS v, l.b AS z
+  FROM sym l JOIN sym r ON l.b = r.b AND l.a < r.a),
+cand AS (
+  SELECT w.u, w.v, w.z FROM wedge w
+  WHERE NOT EXISTS (SELECT 1 FROM sym s WHERE s.a = w.u AND s.b = w.v)),
+lp_scored AS (
+  SELECT c.u, c.v, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         ROUND(SUM(1.0 / ln(d.dg)), 4) AS adamic_adar
+  FROM cand c JOIN deg d ON c.z = d.a GROUP BY 1, 2)
+SELECT u, v, common_neighbors, adamic_adar
+FROM lp_scored ORDER BY adamic_adar DESC, u, v LIMIT 100"""
+)
+
+
+@register(
+    "knn_link_prediction",
+    _LINK_PRED_ORACLE,
+    tags=("similarity", "knn-graph", "link-prediction"),
+)
+def knn_link_prediction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the exact 5-NN graph
+    (`operators/graph.py::link_prediction`): top 100 non-adjacent pairs
+    by shared-neighbor evidence — the densification step that proposes
+    extra edges for a retrieval graph. Wedge self-join + degree join +
+    TakeOrdered; the oracle rebuilds the identical kNN edge set via the
+    shared CTE block, so the two can never silently diverge."""
+    from covid_data_pipeline_spark.operators.graph import link_prediction
+    from covid_data_pipeline_spark.operators.similarity import (
+        knn_graph_exact,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    edges = knn_graph_exact(emb, k=5, id_col="vec_id", vec_col="embedding")
+    return link_prediction(
+        edges.select(
+            F.col("src_id").alias("src"), F.col("nbr_id").alias("dst")
+        ),
+        top=100,
+    ).select(
+        F.col("u"), F.col("v"), "common_neighbors", "adamic_adar"
+    )

@@ -491,3 +491,48 @@ def shortest_paths(
         if converged:
             break
     return dist
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    top: int = 100,
+) -> DataFrame:
+    """Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003)
+    over an undirected view of ``edges``: for every non-adjacent pair
+    sharing ≥1 neighbor, the common-neighbor count and the Adamic–Adar
+    score Σ 1/ln(deg(z)), returning the ``top`` pairs by (rounded AA
+    score, pair) — the candidate-edge generator for kNN-graph
+    densification and retrieval-graph completion.
+
+    Shape: symmetrize + distinct (one shuffle), a single self-join on
+    the shared-neighbor key (the wedge join — output is Σ deg(z)² wedge
+    rows, bounded by the k of a kNN graph, never |V|²), a node-keyed
+    degree join, and a TakeOrdered top-k (no global sort). Ordering is
+    on the ROUNDED score with the pair as tie-break, so the selected
+    set is reproducible across engines and partitionings.
+    """
+    sym = _symmetrize(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))).distinct()
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # wedge join: u —z— v with u < v canonicalizes each candidate once
+    left = sym.select(F.col("src").alias("u"), F.col("dst").alias("z"))
+    right = sym.select(F.col("src").alias("v"), F.col("dst").alias("z"))
+    wedges = left.join(right, "z").where(F.col("u") < F.col("v"))
+    existing = sym.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    cand = wedges.join(existing, ["u", "v"], "left_anti")
+    scored = (
+        cand.join(deg.withColumnRenamed("src", "z"), "z")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("deg"))), 4).alias(
+                "adamic_adar"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.col("adamic_adar").desc(), F.col("u"), F.col("v")
+    ).limit(top)

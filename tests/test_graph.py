@@ -342,3 +342,37 @@ def test_personalized_pagerank_ignores_out_of_graph_seeds(spark):
     assert a == b
     total = sum(r for _, r in b)
     assert total > 0.999 * 10**12
+
+
+def test_link_prediction_hand_graph(spark):
+    import math
+
+    from covid_data_pipeline_spark.operators.graph import link_prediction
+
+    # K4 minus the 1-4 edge: (1,4) is the only non-adjacent pair with
+    # common neighbors {2, 3}, both of degree 3
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)], "src long, dst long"
+    )
+    out = link_prediction(edges, top=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["u"], r["v"]) == (1, 4)
+    assert r["common_neighbors"] == 2
+    assert r["adamic_adar"] == round(2 / math.log(3), 4)
+
+
+def test_link_prediction_direction_and_duplicate_invariant(spark):
+    from covid_data_pipeline_spark.operators.graph import link_prediction
+
+    e1 = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)], "src long, dst long"
+    )
+    # reversed orientations + duplicate edges must not change scores
+    e2 = spark.createDataFrame(
+        [(2, 1), (3, 2), (2, 3), (3, 1), (4, 3), (4, 2), (4, 2)],
+        "src long, dst long",
+    )
+    assert sorted(map(tuple, link_prediction(e1).collect())) == sorted(
+        map(tuple, link_prediction(e2).collect())
+    )
