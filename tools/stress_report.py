@@ -573,6 +573,67 @@ def case_bpe_learn_16m(spark):
     }
 
 
+def case_dsir_weights_400k(spark):
+    """400k docs (80x sf0.1) through the DSIR importance-weight
+    selector: two disjoint 5k-token vocabularies (style A / style B),
+    with 20% of the style-A docs declared the target slice. Checks the
+    selector's core promise at scale — every style-A doc outweighs
+    every style-B doc (perfect separation, since the vocabularies are
+    disjoint) — and exact partitioning invariance (the accumulation is
+    BIGINT micro-nats, so not even float noise is tolerated)."""
+    from covid_data_pipeline_spark.operators.selection import dsir_weights
+
+    n = 400_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.when(F.col("id") % 2 == 0, F.lit("a")).otherwise(
+                        F.lit("b")
+                    ),
+                    F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(5_000)),
+                )
+                for j in range(12)
+            ],
+        ).alias("text"),
+    )
+    is_target = (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 5 == 0)
+    t0 = time.time()
+    w = dsir_weights(docs, is_target)
+    bounds = w.agg(
+        F.min(
+            F.when(F.col("doc_id") % 2 == 0, F.col("dsir_log_weight"))
+        ).alias("min_a"),
+        F.max(
+            F.when(F.col("doc_id") % 2 == 1, F.col("dsir_log_weight"))
+        ).alias("max_b"),
+    ).collect()[0]
+    wall = time.time() - t0
+    probe = sorted(
+        map(tuple, w.filter(F.col("doc_id") < 1000).collect())
+    )
+    probe2 = sorted(
+        map(
+            tuple,
+            dsir_weights(docs.repartition(157), is_target)
+            .filter(F.col("doc_id") < 1000)
+            .collect(),
+        )
+    )
+    separated = bounds["min_a"] > bounds["max_b"]
+    return {
+        "rows": n,
+        "scale_vs_sf0.1": "80x documents",
+        "sec": round(wall, 2),
+        "min_target_style_weight": bounds["min_a"],
+        "max_offtarget_weight": bounds["max_b"],
+        "invariant": probe == probe2,
+        "ok": separated and probe == probe2 and len(probe) == 1000,
+    }
+
+
 CASES = {
     "funnel_16m": case_funnel_16m,
     "token_budget_12m": case_token_budget_12m,
@@ -585,6 +646,7 @@ CASES = {
     "graph_cc_1m": case_graph_cc_1m,
     "ann_pq_100k": case_ann_pq_100k,
     "bpe_learn_16m": case_bpe_learn_16m,
+    "dsir_weights_400k": case_dsir_weights_400k,
 }
 
 
