@@ -434,6 +434,8 @@ def cusum_changepoints(
     ts_col: str = "ts",
     k_sigma: float = 0.5,
     h_sigma: float = 4.0,
+    mu: float | None = None,
+    sigma: float | None = None,
 ) -> DataFrame:
     """Two-sided CUSUM change detection (Page 1954) over the global
     daily event count: per day, the positive/negative cumulative sums
@@ -447,25 +449,44 @@ def cusum_changepoints(
     itself is a fixed-order IEEE double recurrence over O(days) state
     inside ``F.aggregate``. One count shuffle total; the day series —
     not the event table — is the only thing collected into the fold.
+
+    Pass BOTH ``mu``/``sigma`` to monitor against a pre-calibrated
+    reference regime (the production deployment: fit on history, watch
+    the live feed — and what :func:`streaming.stateful.stream_cusum`
+    does per micro-batch); defaults derive them from the data itself.
     """
     daily = (
         events.where(F.col(ts_col).isNotNull())
         .groupBy(F.to_date(F.col(ts_col)).alias("day"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    one = daily.agg(
-        F.sort_array(F.collect_list(F.struct("day", "cnt"))).alias("s"),
-        F.count(F.lit(1)).alias("n"),
-        F.sum("cnt").alias("s1"),
-        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
-    )
-    nd = F.col("n").cast("double")
-    # identical op order to the oracle: q1 = Σy/n, q2 = Σy²/n, σ = √(q2 − μ²)
-    one = one.select(
-        "s",
-        (F.col("s1") / nd).alias("m"),
-        (F.col("s2") / nd).alias("q"),
-    ).select("s", "m", F.sqrt(F.col("q") - F.col("m") * F.col("m")).alias("sd"))
+    if (mu is None) != (sigma is None):
+        raise ValueError("pass both mu and sigma, or neither")
+    if mu is not None:
+        one = daily.agg(
+            F.sort_array(F.collect_list(F.struct("day", "cnt"))).alias("s")
+        ).select(
+            "s",
+            F.lit(float(mu)).alias("m"),
+            F.lit(float(sigma)).alias("sd"),
+        )
+    else:
+        one = daily.agg(
+            F.sort_array(F.collect_list(F.struct("day", "cnt"))).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cnt").alias("s1"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+        )
+        nd = F.col("n").cast("double")
+        # identical op order to the oracle: q1 = Σy/n, q2 = Σy²/n,
+        # σ = √(q2 − μ²)
+        one = one.select(
+            "s",
+            (F.col("s1") / nd).alias("m"),
+            (F.col("s2") / nd).alias("q"),
+        ).select(
+            "s", "m", F.sqrt(F.col("q") - F.col("m") * F.col("m")).alias("sd")
+        )
 
     k, h = F.lit(float(k_sigma)), F.lit(float(h_sigma))
     m, sd = F.col("m"), F.col("sd")

@@ -509,3 +509,105 @@ def stream_srm_guard(
     return src.groupBy(*experiment_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_cusum(
+    df: DataFrame,
+    mu: float,
+    sigma: float,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("event_type",),
+    k_sigma: float = 0.5,
+    h_sigma: float = 4.0,
+) -> DataFrame:
+    """Streaming twin of ``operators/temporal.py::cusum_changepoints``
+    against a pre-calibrated regime (μ, σ fitted batch-side on history —
+    the standard CUSUM deployment): per key, the daily event count
+    accumulates in state, and when a later day arrives the completed
+    day folds through the identical two-sided max(0, ·) recurrence and
+    emits its (day, S⁺, S⁻, breach) row.
+
+    State per key is three scalars plus ONE open day's counter —
+    micro-batches do O(batch) work and history length is irrelevant.
+    Day closure happens when a strictly later day is observed for that
+    key (day-ordered arrival per key; a production feed with
+    cross-batch disorder would put a watermark-sized reorder buffer in
+    front — same contract as `cumulative_to_delta_stream`). The
+    recurrence arithmetic runs on the SAME IEEE doubles as the batch
+    fold and the final ROUND happens JVM-side after emission, so
+    drained-stream rows equal the batch operator's rows for every
+    closed day (asserted in tests).
+    """
+    key_cols = list(key_cols)
+    fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [fields[c] for c in key_cols]
+        + [
+            StructField("day", StringType(), False),
+            StructField("sp", DoubleType(), False),
+            StructField("sn", DoubleType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("sp", DoubleType(), True),
+            StructField("sn", DoubleType(), True),
+            StructField("open_day", StringType(), True),
+            StructField("open_cnt", LongType(), True),
+        ]
+    )
+    src = df.where(F.col(ts_col).isNotNull()).select(
+        *key_cols, F.to_date(F.col(ts_col)).cast("string").alias("__day")
+    )
+    m, sd, k = float(mu), float(sigma), float(k_sigma)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        sp, sn, open_day, open_cnt = (
+            state.get if state.exists else (0.0, 0.0, None, 0)
+        )
+        closed: list[tuple[str, float, float]] = []
+
+        def close(day: str, cnt: int) -> None:
+            nonlocal sp, sn
+            # bit-identical to the batch fold's update expressions
+            sp = max(0.0, sp + (float(cnt) - m - k * sd))
+            sn = max(0.0, sn + (m - float(cnt) - k * sd))
+            closed.append((day, sp, sn))
+
+        for pdf in pdfs:
+            counts = pdf["__day"].value_counts()
+            for day in sorted(counts.index):
+                if open_day is None:
+                    open_day, open_cnt = day, 0
+                elif day > open_day:
+                    close(open_day, open_cnt)
+                    open_day, open_cnt = day, 0
+                elif day < open_day:
+                    # late day after closure: refuse silently-wrong state
+                    raise ValueError(
+                        f"day-ordered arrival violated: {day} after "
+                        f"{open_day} closed (key={key})"
+                    )
+                open_cnt += int(counts[day])
+        state.update((sp, sn, open_day, open_cnt))
+        if closed:
+            out = pd.DataFrame(closed, columns=["day", "sp", "sn"])
+            for c, v in zip(key_cols, key):
+                out[c] = v
+            yield out[[*key_cols, "day", "sp", "sn"]]
+
+    raw = src.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    h = F.lit(float(h_sigma))
+    return raw.select(
+        *key_cols,
+        F.col("day").cast("date").alias("day"),
+        F.round(F.col("sp"), 4).alias("cusum_pos"),
+        F.round(F.col("sn"), 4).alias("cusum_neg"),
+        ((F.col("sp") > h * F.lit(sd)) | (F.col("sn") > h * F.lit(sd))).alias(
+            "breach"
+        ),
+    )

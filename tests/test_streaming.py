@@ -942,3 +942,99 @@ def test_stream_bpe_tokenize_equals_batch(spark, sf_dir, tmp_path):
         for r in apply_bpe_merges(spark.read.parquet(land), rules).collect()
     }
     assert got == want and len(want) == docs.count()
+
+
+def test_stream_cusum_matches_batch_on_closed_days(spark, tmp_path):
+    import datetime as dt
+
+    from covid_data_pipeline_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+    from covid_data_pipeline_spark.streaming.stateful import stream_cusum
+
+    counts = [10, 11, 9, 10, 12, 10, 9, 30, 31, 29, 30, 28]
+    rows = []
+    for i, c in enumerate(counts):
+        for j in range(c):
+            rows.append((dt.datetime(2024, 5, 1 + i, 8, j % 60), "x"))
+
+    src_dir = tmp_path / "cusum_src"
+    src_dir.mkdir()
+    # day-ordered micro-batches: days 0-4 / 5-8 / 9-11
+    cuts = [(0, 5), (5, 9), (9, 12)]
+    for n, (lo, hi) in enumerate(cuts):
+        chunk = [r for r in rows if lo <= r[0].day - 1 < hi]
+        spark.createDataFrame(
+            chunk, "ts timestamp, event_type string"
+        ).coalesce(1).write.parquet(str(src_dir / f"f{n}.parquet"))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    q = (
+        stream_cusum(stream, mu=10.0, sigma=1.0)
+        .writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["day"]: (r["cusum_pos"], r["cusum_neg"], r["breach"])
+        for r in spark.sql("SELECT * FROM cusum_stream").collect()
+    }
+    # every day except the still-open last one must be emitted
+    assert len(got) == len(counts) - 1
+
+    batch = cusum_changepoints(
+        spark.createDataFrame(rows, "ts timestamp, event_type string"),
+        mu=10.0,
+        sigma=1.0,
+    )
+    expected = {
+        r["day"]: (r["cusum_pos"], r["cusum_neg"], r["breach"])
+        for r in batch.collect()
+    }
+    for day, vals in got.items():
+        assert vals == expected[day], day
+    # the planted 3x shift must breach on the stream side too
+    assert any(b for (_, _, b) in got.values())
+
+
+def test_stream_cusum_rejects_out_of_order_days(spark, tmp_path):
+    import datetime as dt
+
+    from covid_data_pipeline_spark.streaming.stateful import stream_cusum
+
+    src_dir = tmp_path / "cusum_bad"
+    src_dir.mkdir()
+    # batch 1 holds days 1-2 (closing day 1); batch 2 replays day 1
+    spark.createDataFrame(
+        [(dt.datetime(2024, 6, 1, 8), "x"), (dt.datetime(2024, 6, 2, 8), "x")],
+        "ts timestamp, event_type string",
+    ).coalesce(1).write.parquet(str(src_dir / "f0.parquet"))
+    spark.createDataFrame(
+        [(dt.datetime(2024, 6, 1, 9), "x")],
+        "ts timestamp, event_type string",
+    ).coalesce(1).write.parquet(str(src_dir / "f1.parquet"))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    q = (
+        stream_cusum(stream, mu=1.0, sigma=1.0)
+        .writeStream.format("memory")
+        .queryName("cusum_bad")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="day-ordered arrival violated"):
+        q.awaitTermination()
