@@ -1493,3 +1493,57 @@ def knn_link_prediction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("u"), F.col("v"), "common_neighbors", "adamic_adar"
     )
+
+
+def _lpa_round_sql(i: int) -> str:
+    return f"""
+v{i} AS (
+  SELECT s.a AS node, l.lbl, COUNT(*) AS c
+  FROM sym s JOIN l{i - 1} l ON s.b = l.node GROUP BY 1, 2),
+l{i} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM v{i})
+  WHERE rn = 1)"""
+
+
+_LPA_ORACLE = (
+    "WITH "
+    + _knn_edges_sql("s", "d")
+    + """,
+edges AS (SELECT s, d FROM ranked WHERE rn <= 5),
+sym AS (SELECT s AS a, d AS b FROM edges
+        UNION
+        SELECT d AS a, s AS b FROM edges),
+l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM sym),"""
+    + ",".join(_lpa_round_sql(i) for i in (1, 2))
+    + "\nSELECT node, lbl AS community FROM l2"
+)
+
+
+@register(
+    "graph_label_propagation",
+    _LPA_ORACLE,
+    tags=("similarity", "knn-graph", "community", "iterative"),
+)
+def graph_label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous label-propagation rounds over the exact 5-NN
+    graph (`operators/graph.py::label_propagation`): plurality label
+    with smallest-label tie-break — all-integer voting, so the
+    unrolled-CTE oracle replays the communities exactly (DuckDB has no
+    struct-ordered max_by; the oracle's ROW_NUMBER argmax is the same
+    composite order the Spark `max_by(lbl, struct(c, -lbl))` uses)."""
+    from covid_data_pipeline_spark.operators.graph import label_propagation
+    from covid_data_pipeline_spark.operators.similarity import (
+        knn_graph_exact,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    edges = knn_graph_exact(emb, k=5, id_col="vec_id", vec_col="embedding")
+    return label_propagation(
+        edges.select(
+            F.col("src_id").alias("src"), F.col("nbr_id").alias("dst")
+        ),
+        rounds=2,
+    )

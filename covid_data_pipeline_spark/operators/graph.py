@@ -536,3 +536,49 @@ def link_prediction(
     return scored.orderBy(
         F.col("adamic_adar").desc(), F.col("u"), F.col("v")
     ).limit(top)
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic label-propagation community detection (Raghavan et
+    al. 2007, synchronous variant): labels start as node ids; each round
+    every node adopts its neighbors' plurality label, ties broken by the
+    SMALLEST label — so the result is a pure function of the edge set
+    (classic LPA breaks ties randomly; that kills reproducibility and
+    any cross-engine oracle).
+
+    Per round: one neighbor-label join + one (node, label) count + one
+    per-node argmax — all integer relational algebra, map-side
+    combinable, no float anywhere. A fixed small ``rounds`` (the useful
+    regime for near-dup/retrieval graphs, which have tiny diameters) is
+    also what keeps the oracle expressible as unrolled CTEs.
+
+    Returns ``(node, community)`` after ``rounds`` synchronous updates.
+    """
+    sym = _symmetrize(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ).distinct()
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(rounds):
+        votes = (
+            sym.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # per-node plurality, smallest label wins ties: a single
+        # max_by over a composite (count, -label) key — one shuffle,
+        # no windowed sort
+        labels = votes.groupBy("node").agg(
+            F.max_by(
+                F.col("lbl"), F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))
+            ).alias("lbl")
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

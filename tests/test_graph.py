@@ -376,3 +376,36 @@ def test_link_prediction_direction_and_duplicate_invariant(spark):
     assert sorted(map(tuple, link_prediction(e1).collect())) == sorted(
         map(tuple, link_prediction(e2).collect())
     )
+
+
+def test_label_propagation_two_cliques_converge_to_min_ids(spark):
+    from covid_data_pipeline_spark.operators.graph import label_propagation
+
+    # two disjoint 4-cliques: plurality voting collapses each onto its
+    # minimum id within two synchronous rounds (hand-checked)
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = spark.createDataFrame(
+        clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]), "src long, dst long"
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, rounds=2).collect()
+    }
+    assert all(got[n] == 1 for n in (1, 2, 3, 4))
+    assert all(got[n] == 10 for n in (10, 11, 12, 13))
+
+
+def test_label_propagation_deterministic_under_repartition(spark):
+    from covid_data_pipeline_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 40) for i in range(40)] + [(5, 6), (6, 7), (5, 7)],
+        "src long, dst long",
+    )
+    a = sorted(map(tuple, label_propagation(edges, rounds=3).collect()))
+    b = sorted(
+        map(tuple, label_propagation(edges.repartition(11), rounds=3).collect())
+    )
+    assert a == b
