@@ -1907,3 +1907,51 @@ def events_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * ((abs(sum(sgn)) * 10000) div count(*))"
         ).alias("tau_bp"),
     )
+
+
+@register(
+    "events_growth_accounting",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events WHERE ts IS NOT NULL),
+    lagd AS (
+      SELECT user_id, wk,
+             lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS pw
+      FROM uw),
+    cls AS (
+      SELECT wk,
+             CASE WHEN pw IS NULL THEN 'new'
+                  WHEN wk - pw = 7 THEN 'retained'
+                  ELSE 'resurrected' END AS status
+      FROM lagd),
+    agg AS (
+      SELECT wk,
+             CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS new_users,
+             CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS retained_users,
+             CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS resurrected_users,
+             CAST(COUNT(*) AS BIGINT) AS active_users
+      FROM cls GROUP BY 1)
+    SELECT a.wk AS week, a.new_users, a.retained_users,
+           a.resurrected_users, a.active_users,
+           CAST(COALESCE(p.active_users, 0) - a.retained_users AS BIGINT)
+             AS churned_users
+    FROM agg a LEFT JOIN agg p ON p.wk = a.wk - 7
+    """,
+    tags=("events", "growth", "retention"),
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly new/retained/resurrected/churned decomposition of the
+    active-user base (`operators/temporal.py::growth_accounting`) —
+    all-integer: distinct (user, week) domain compression, per-user
+    LAG classification, week rollup, 7-day-shifted self-join for the
+    churn identity active(w−7) − retained(w)."""
+    from covid_data_pipeline_spark.operators.temporal import (
+        growth_accounting,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return growth_accounting(ev)

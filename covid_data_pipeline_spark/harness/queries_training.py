@@ -1006,3 +1006,58 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.join(docs.select("doc_id", "lang"), "doc_id").select(
         "doc_id", "lang", "dsir_log_weight"
     )
+
+
+@register(
+    "dsir_select_topk",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(t) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+    fx AS (
+      SELECT doc_id,
+             (CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
+                % 2147483647) % 1024 AS bucket,
+             COUNT(*) AS cnt
+      FROM grams GROUP BY 1, 2),
+    bt AS (
+      SELECT f.bucket, SUM(f.cnt) AS raw_cnt,
+             SUM(CASE WHEN d.lang = 'en' THEN f.cnt ELSE 0 END) AS tgt_cnt
+      FROM fx f JOIN documents d USING (doc_id) GROUP BY 1),
+    tot AS (SELECT SUM(raw_cnt) AS raw_tot, SUM(tgt_cnt) AS tgt_tot FROM bt),
+    model AS (
+      SELECT b.bucket,
+        CAST(ROUND(ln((COALESCE(bt.tgt_cnt, 0) + 1.0)
+                      / (tot.tgt_tot + 1024.0)) * 1000000, 0) AS BIGINT) AS lpt,
+        CAST(ROUND(ln((COALESCE(bt.raw_cnt, 0) + 1.0)
+                      / (tot.raw_tot + 1024.0)) * 1000000, 0) AS BIGINT) AS lpr
+      FROM (SELECT unnest(range(0, 1024)) AS bucket) b
+      LEFT JOIN bt ON b.bucket = bt.bucket CROSS JOIN tot),
+    w AS (
+      SELECT f.doc_id, SUM(f.cnt * (m.lpt - m.lpr)) AS ws
+      FROM fx f JOIN model m USING (bucket) GROUP BY 1)
+    SELECT w.doc_id, d.lang, d.source,
+           ROUND(ws / 1000000.0, 4) AS dsir_log_weight
+    FROM w JOIN documents d USING (doc_id)
+    ORDER BY dsir_log_weight DESC, w.doc_id LIMIT 100
+    """,
+    tags=("training", "selection", "dsir"),
+)
+def dsir_select_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end DSIR selection: the 100 raw documents most like the
+    lang='en' target slice (`operators/selection.py::dsir_select_topk`)
+    — ordered on the ROUNDED weight with doc_id tie-break so the
+    selected set is engine- and partitioning-reproducible."""
+    from covid_data_pipeline_spark.operators.selection import (
+        dsir_select_topk,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return dsir_select_topk(
+        docs, F.col("lang") == F.lit("en"), k=100, n_buckets=1024
+    ).select("doc_id", "lang", "source", "dsir_log_weight")

@@ -526,3 +526,64 @@ def cusum_changepoints(
         F.round(F.col("r.sn"), 4).alias("cusum_neg"),
         ((F.col("r.sp") > h * sd) | (F.col("r.sn") > h * sd)).alias("breach"),
     )
+
+
+def growth_accounting(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Weekly user growth accounting (the standard startup-metrics
+    decomposition): each active (user, week) is classified *new*
+    (first-ever week), *retained* (also active the prior calendar
+    week) or *resurrected* (returning after a gap), and each week's
+    *churned* count is the prior week's actives who did not return —
+    computed as ``active(w−7) − retained(w)``, an identity that needs
+    no extra join against the user set.
+
+    All-integer construction: one distinct (user, week) shuffle —
+    domain compression, events collapse immediately — a per-user LAG,
+    a week rollup, and a self-join on the 7-day-shifted week. Scales
+    with |active users × weeks|, never |events|."""
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    uw = (
+        events.where(F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("u"), wk.alias("wk"))
+        .distinct()
+    )
+    w = Window.partitionBy("u").orderBy("wk")
+    cls = uw.withColumn("pw", F.lag("wk").over(w)).select(
+        "wk",
+        F.when(F.col("pw").isNull(), F.lit("new"))
+        .when(F.datediff(F.col("wk"), F.col("pw")) == 7, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("status"),
+    )
+    agg = cls.groupBy("wk").agg(
+        F.sum(F.when(F.col("status") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("new_users"),
+        F.sum(F.when(F.col("status") == "retained", 1).otherwise(0))
+        .cast("long")
+        .alias("retained_users"),
+        F.sum(F.when(F.col("status") == "resurrected", 1).otherwise(0))
+        .cast("long")
+        .alias("resurrected_users"),
+        F.count(F.lit(1)).alias("active_users"),
+    )
+    prev = agg.select(
+        F.col("wk").alias("pwk"), F.col("active_users").alias("prev_active")
+    )
+    return (
+        agg.join(prev, F.col("pwk") == F.date_sub(F.col("wk"), 7), "left")
+        .select(
+            F.col("wk").alias("week"),
+            "new_users",
+            "retained_users",
+            "resurrected_users",
+            "active_users",
+            (F.coalesce(F.col("prev_active"), F.lit(0)) - F.col("retained_users"))
+            .cast("long")
+            .alias("churned_users"),
+        )
+    )

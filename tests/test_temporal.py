@@ -406,3 +406,41 @@ def test_cusum_deterministic_under_repartition(spark):
     a = sorted(map(tuple, cusum_changepoints(df).collect()))
     b = sorted(map(tuple, cusum_changepoints(df.repartition(13)).collect()))
     assert a == b
+
+
+def test_growth_accounting_hand_traced_lifecycle(spark):
+    import datetime as dt
+
+    from covid_data_pipeline_spark.operators.temporal import (
+        growth_accounting,
+    )
+
+    # Mondays: wk1=Jan 1 2024, wk2=Jan 8, wk3=Jan 15, wk4=Jan 22
+    # A: wk1, wk2, wk4 (retained then resurrected)
+    # B: wk1 only (churns in wk2);  C: wk2, wk3 (churns in wk4)
+    act = {"A": [1, 8, 22], "B": [1], "C": [8, 15]}
+    rows = [
+        (dt.datetime(2024, 1, d, 12), u)
+        for u, days in act.items()
+        for d in days
+    ]
+    out = {
+        r["week"].isoformat(): r
+        for r in growth_accounting(
+            spark.createDataFrame(rows, "ts timestamp, user_id string")
+        ).collect()
+    }
+    def vals(wk):
+        r = out[wk]
+        return (r["new_users"], r["retained_users"], r["resurrected_users"],
+                r["active_users"], r["churned_users"])
+    assert vals("2024-01-01") == (2, 0, 0, 2, 0)
+    assert vals("2024-01-08") == (1, 1, 0, 2, 1)   # B churned
+    assert vals("2024-01-15") == (0, 1, 0, 1, 1)   # A churned (returns later)
+    assert vals("2024-01-22") == (0, 0, 1, 1, 1)   # C churned, A resurrected
+    # identity: every week, new + retained + resurrected == active
+    for r in out.values():
+        assert (
+            r["new_users"] + r["retained_users"] + r["resurrected_users"]
+            == r["active_users"]
+        )
