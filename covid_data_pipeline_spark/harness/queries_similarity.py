@@ -1547,3 +1547,53 @@ def graph_label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         rounds=2,
     )
+
+
+def _kcenter_step_sql(i: int) -> str:
+    return f"""
+md{i} AS (
+  SELECT a.vec_id,
+         MIN(ROUND(list_dot_product(a.dv, a.dv)
+                   - 2 * list_dot_product(a.dv, b.dv)
+                   + list_dot_product(b.dv, b.dv), 4)) AS mind2
+  FROM kv a, kv b, cents{i - 1} c
+  WHERE b.vec_id = c.vec_id
+    AND a.vec_id NOT IN (SELECT vec_id FROM cents{i - 1})
+  GROUP BY a.vec_id),
+pick{i} AS (
+  SELECT vec_id, mind2 FROM md{i} ORDER BY mind2 DESC, vec_id LIMIT 1),
+cents{i} AS (
+  SELECT vec_id FROM cents{i - 1} UNION ALL SELECT vec_id FROM pick{i})"""
+
+
+_KCENTER_K = 8
+_KCENTER_ORACLE = (
+    """WITH kv AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS dv
+  FROM embeddings),
+cents1 AS (SELECT MIN(vec_id) AS vec_id FROM kv),"""
+    + ",".join(_kcenter_step_sql(i) for i in range(2, _KCENTER_K + 1))
+    + "\nSELECT 1 AS step, vec_id, CAST(NULL AS DOUBLE) AS sep_d2 FROM cents1"
+    + "".join(
+        f"\nUNION ALL SELECT {i} AS step, vec_id, mind2 AS sep_d2 FROM pick{i}"
+        for i in range(2, _KCENTER_K + 1)
+    )
+)
+
+
+@register(
+    "embeddings_kcenter_coreset",
+    _KCENTER_ORACLE,
+    tags=("similarity", "coreset", "diversity", "iterative"),
+)
+def embeddings_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy farthest-point k-center coreset (k=8) over the embeddings
+    table (`operators/sampling.py::kcenter_coreset`) — the diversity
+    sampler that seeds active-learning/annotation budgets. Rounded-d²
+    argmax with smallest-id tie-break makes the traversal a pure
+    function of the data; the oracle unrolls the 7 greedy steps as
+    chained CTEs and replays the pick sequence exactly."""
+    from covid_data_pipeline_spark.operators.sampling import kcenter_coreset
+
+    emb = table(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, k=_KCENTER_K)

@@ -518,3 +518,66 @@ def temperature_rebalance(
     return df.join(F.broadcast(rates), group_col).filter(
         F.pmod(knuth_hash(id_col), F.lit(10_000)) < F.col(rate_col)
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset over an embedding column (farthest-point
+    traversal — the diversity-sampling construction of Sener &
+    Savarese 2018's Core-Set active learning, and the classic 2-approx
+    to the k-center objective): seed with the smallest id, then k−1
+    times add the point whose distance to its nearest chosen center is
+    LARGEST (rounded-d² argmax, smallest-id tie-break — fully
+    deterministic, so an unrolled-CTE oracle replays the selection).
+
+    Returns ``(step, vec_id, sep_d2)`` — the selection order and each
+    pick's squared separation from the previously-chosen set (NULL for
+    the seed). d² expands as ``v·v − 2 v·c + c·c`` with left-to-right
+    fold dots, the same IEEE op order DuckDB's ``list_dot_product``
+    uses.
+
+    Scale shape: each of the k−1 steps is one broadcast join of the
+    ≤k-row center set against the corpus + a map-side-combined min/
+    argmax reduce — k linear passes, no |V|² anywhere; the per-step
+    1-row collect is the O(k) driver re-entry every greedy traversal
+    needs. Meant for coreset/diversity probes where k is tens-to-
+    hundreds; at 100 TB you'd run it over the IVF/LSH-shortlisted
+    candidate pool, not the raw corpus.
+    """
+    from covid_data_pipeline_spark.operators.similarity import dot
+
+    spark = df.sparkSession
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("dv"),
+    )
+    seed = v.agg(F.min("__id").alias("m")).collect()[0]["m"]
+    chosen: list[tuple[int, int, float | None]] = [(1, seed, None)]
+    for step in range(2, k + 1):
+        ids = [c[1] for c in chosen]
+        cents = v.where(F.col("__id").isin(ids)).select(
+            F.col("dv").alias("c_dv")
+        )
+        d2 = F.round(
+            dot(F.col("dv"), F.col("dv"))
+            - 2 * dot(F.col("dv"), F.col("c_dv"))
+            + dot(F.col("c_dv"), F.col("c_dv")),
+            4,
+        )
+        pick = (
+            v.where(~F.col("__id").isin(ids))
+            .crossJoin(F.broadcast(cents))
+            .groupBy("__id")
+            .agg(F.min(d2).alias("mind2"))
+            .orderBy(F.col("mind2").desc(), F.col("__id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((step, pick["__id"], pick["mind2"]))
+    return spark.createDataFrame(
+        chosen, "step int, vec_id long, sep_d2 double"
+    ).withColumnsRenamed({"vec_id": id_col})

@@ -371,3 +371,32 @@ def test_stress_synthetic_docs_globally_unique(spark):
         | (F.length("m_text") <= F.length("b_text"))
     ).count()
     assert bad == 0
+
+
+def test_kcenter_coreset_farthest_point_order_and_ties(spark):
+    from covid_data_pipeline_spark.operators.sampling import kcenter_coreset
+
+    # 1-D points: 0, 1, 10, 11, 100 — greedy from the min id (0):
+    # step2 -> 100 (d²=10000), step3 -> 11 (min(121, 7921)=121),
+    # step4: both 1 and 10 sit at min-d²=1 -> smallest id (1) wins
+    df = spark.createDataFrame(
+        [(i, [float(x)]) for i, x in enumerate([0, 1, 10, 11, 100])],
+        "vec_id long, embedding array<float>",
+    )
+    out = sorted(
+        (r["step"], r["vec_id"], r["sep_d2"])
+        for r in kcenter_coreset(df, k=4).collect()
+    )
+    assert out == [(1, 0, None), (2, 4, 10000.0), (3, 3, 121.0), (4, 1, 1.0)]
+
+
+def test_kcenter_coreset_deterministic_under_repartition(spark):
+    from covid_data_pipeline_spark.operators.sampling import kcenter_coreset
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 13) % 29), float((i * 7) % 31)]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    a = sorted(map(tuple, kcenter_coreset(df, k=6).collect()))
+    b = sorted(map(tuple, kcenter_coreset(df.repartition(9), k=6).collect()))
+    assert a == b
