@@ -1551,7 +1551,7 @@ def graph_label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kcenter_step_sql(i: int) -> str:
     return f"""
-md{i} AS (
+md{i} AS MATERIALIZED (
   SELECT a.vec_id,
          MIN(ROUND(list_dot_product(a.dv, a.dv)
                    - 2 * list_dot_product(a.dv, b.dv)
@@ -1560,9 +1560,9 @@ md{i} AS (
   WHERE b.vec_id = c.vec_id
     AND a.vec_id NOT IN (SELECT vec_id FROM cents{i - 1})
   GROUP BY a.vec_id),
-pick{i} AS (
+pick{i} AS MATERIALIZED (
   SELECT vec_id, mind2 FROM md{i} ORDER BY mind2 DESC, vec_id LIMIT 1),
-cents{i} AS (
+cents{i} AS MATERIALIZED (
   SELECT vec_id FROM cents{i - 1} UNION ALL SELECT vec_id FROM pick{i})"""
 
 
@@ -1571,7 +1571,7 @@ _KCENTER_ORACLE = (
     """WITH kv AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS dv
   FROM embeddings),
-cents1 AS (SELECT MIN(vec_id) AS vec_id FROM kv),"""
+cents1 AS MATERIALIZED (SELECT MIN(vec_id) AS vec_id FROM kv),"""
     + ",".join(_kcenter_step_sql(i) for i in range(2, _KCENTER_K + 1))
     + "\nSELECT 1 AS step, vec_id, CAST(NULL AS DOUBLE) AS sep_d2 FROM cents1"
     + "".join(
