@@ -28,6 +28,7 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import time
 import uuid
 from collections.abc import Sequence
 from urllib.parse import unquote, urlparse
@@ -110,7 +111,15 @@ class SnapshotWarehouse:
         version = (cur or 0) + 1
         snap_dir = self._snap_dir(table)
         os.makedirs(snap_dir, exist_ok=True)
-        manifest = {"version": version, "op": op, "files": sorted(files)}
+        manifest = {
+            "version": version,
+            "op": op,
+            "files": sorted(files),
+            # wall-clock commit instant for AS OF resolution (Delta's
+            # timestampAsOf / Iceberg's snapshot timestamp); resolution
+            # tolerates its absence in pre-existing manifests
+            "committed_at": time.time(),
+        }
         final = os.path.join(snap_dir, f"v{version}.json")
         # Write the full manifest to a private temp file FIRST, then
         # claim the version with an atomic hard link: a claimed
@@ -304,12 +313,50 @@ class SnapshotWarehouse:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
 
-    def read(self, table: str, version: int | None = None) -> DataFrame:
-        """Read the current snapshot, or ``version`` for time travel."""
+    def read(
+        self,
+        table: str,
+        version: int | None = None,
+        as_of: float | "datetime.datetime | None" = None,
+    ) -> DataFrame:
+        """Read the current snapshot, ``version`` for version time
+        travel, or ``as_of`` (epoch seconds or datetime — Delta's
+        ``timestampAsOf``) for the latest snapshot committed at or
+        before that instant."""
+        if version is not None and as_of is not None:
+            raise ValueError("pass version or as_of, not both")
+        if as_of is not None:
+            version = self.version_as_of(table, as_of)
         v = version if version is not None else self.current_version(table)
         if v is None:
             raise FileNotFoundError(f"no snapshots for table {table}")
         return self._read_file_list(table, self._manifest(table, v)["files"])
+
+    def version_as_of(
+        self, table: str, as_of: float | "datetime.datetime"
+    ) -> int:
+        """Largest committed version with ``committed_at <= as_of``.
+        Versions above ``_current`` (unadopted orphans of crashed
+        writers) are not readable state and never resolve; manifests
+        from before timestamps were recorded sort as epoch 0 (always
+        visible — the conservative choice for an upgraded table).
+        O(committed versions) manifest reads — metadata only."""
+        if hasattr(as_of, "timestamp"):
+            as_of = as_of.timestamp()
+        cur = self.current_version(table)
+        if cur is None:
+            raise FileNotFoundError(f"no snapshots for table {table}")
+        best = None
+        for v in self.versions(table):
+            if v > cur:
+                continue
+            if self._manifest(table, v).get("committed_at", 0.0) <= as_of:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"{table}: no snapshot committed at or before {as_of}"
+            )
+        return best
 
     # -- change data feed --------------------------------------------------
     def changed_files(

@@ -844,3 +844,44 @@ def test_intra_process_commit_race_never_tears_manifest(spark, sw):
     # no leaked tmp files; _current monotone at the max claimed version
     assert not [f for f in _os.listdir(snap_dir) if f.endswith(".tmp")]
     assert sw.current_version("trace") == max(versions)
+
+
+def test_timestamp_as_of_resolution(spark, sw):
+    import time as _time
+
+    sw.append(_day(spark, "d1", [("a", 1)]), "ods.t", ["d"])
+    t_after_v1 = _time.time()
+    _time.sleep(0.02)
+    sw.append(_day(spark, "d2", [("b", 2)]), "ods.t", ["d"])
+
+    # instant between the commits resolves to v1
+    assert sw.version_as_of("ods.t", t_after_v1) == 1
+    assert sw.read("ods.t", as_of=t_after_v1).count() == 1
+    # an instant in the future resolves to the current version
+    assert sw.version_as_of("ods.t", _time.time() + 60) == 2
+    # datetime input works too
+    import datetime as dt
+
+    assert (
+        sw.version_as_of("ods.t", dt.datetime.now() + dt.timedelta(60)) == 2
+    )
+    # an instant before any commit is an error
+    with pytest.raises(ValueError, match="no snapshot committed"):
+        sw.version_as_of("ods.t", 1.0)
+    # version and as_of are mutually exclusive
+    with pytest.raises(ValueError, match="not both"):
+        sw.read("ods.t", version=1, as_of=t_after_v1)
+
+
+def test_timestamp_as_of_tolerates_legacy_manifests(spark, sw, tmp_path):
+    import json as _json
+    import os as _os
+
+    sw.append(_day(spark, "d1", [("a", 1)]), "ods.t", ["d"])
+    # strip committed_at, simulating a manifest written before upgrade
+    mpath = _os.path.join(sw._snap_dir("ods.t"), "v1.json")
+    m = _json.load(open(mpath))
+    m.pop("committed_at")
+    _json.dump(m, open(mpath, "w"))
+    # legacy manifests sort as epoch 0: visible at any instant
+    assert sw.version_as_of("ods.t", 1.0) == 1
