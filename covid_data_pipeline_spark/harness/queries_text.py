@@ -1379,3 +1379,48 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         score_cols=["similarity", "bm25"],
     )
+
+
+@register(
+    "docs_cdc_chunks",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    pos AS (
+      SELECT doc_id, i, t[i] AS tok,
+             CASE WHEN i >= 4 AND
+                  (CAST(concat('0x', substr(md5(
+                       array_to_string(t[i-3:i], ' ')), 1, 15)) AS BIGINT)
+                   % 2147483647) % 64 = 0
+                  THEN 1 ELSE 0 END AS b
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+    seg AS (
+      SELECT doc_id, i, tok,
+             CAST(1 + COALESCE(SUM(b) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+               AS chunk_idx
+      FROM pos),
+    ch AS (
+      SELECT doc_id, chunk_idx, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             string_agg(tok, ' ' ORDER BY i) AS chunk_text
+      FROM seg GROUP BY 1, 2)
+    SELECT doc_id, chunk_idx, n_tokens, chunk_text,
+           md5(chunk_text) AS chunk_hash
+    FROM ch
+    """,
+    tags=("text", "chunk", "dedup", "cdc"),
+)
+def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking of every document
+    (`operators/chunking.py::content_defined_chunks`): rolling-hash
+    token boundaries (4-gram md5-prefix ≡ 0 mod 64) that re-synchronize
+    across insertions, emitting the chunk_hash dedup keys that
+    fixed-window chunking cannot keep stable under shifted content."""
+    from covid_data_pipeline_spark.operators.chunking import (
+        content_defined_chunks,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return content_defined_chunks(docs)

@@ -990,6 +990,7 @@ def bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM w JOIN documents d USING (doc_id)
     """,
     tags=("training", "selection", "dsir"),
+    bench=True,
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023) with lang='en' documents as

@@ -51,3 +51,92 @@ def chunk_by_tokens(
         .withColumn(n_tokens_col, F.size(sliced))
         .drop("_toks")
     )
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 4,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (the rolling-hash boundary technique of
+    LBFS/restic-style dedup storage, applied at the token level): a
+    chunk boundary falls after token *j* whenever the hash of the
+    ``gram`` tokens ending at *j* is ≡ 0 mod ``divisor`` — so boundaries
+    depend only on LOCAL content, and two documents that share a long
+    passage at DIFFERENT offsets re-synchronize and emit identical
+    chunks (fixed-window chunking never recovers from a one-token
+    insertion). Expected chunk length ≈ ``divisor`` tokens.
+
+    Emits one row per chunk: ``(id, chunk_idx, n_tokens, chunk_text,
+    chunk_hash)`` — ``chunk_hash`` (md5 of the chunk text) is the
+    passage-level dedup key to groupBy/anti-join on.
+
+    Scale shape: boundary flags are per-row array algebra (codegen'd,
+    zero shuffle); the only exchange is the (id)-partitioned window +
+    the (id, chunk) rollup — both linear in tokens. Hashing is
+    md5-prefix arithmetic, so the whole segmentation replays in SQL.
+    """
+    from covid_data_pipeline_spark.operators.dedup import portable_hash31
+
+    # tokenize ONCE into a projected column: the boundary lambda below
+    # slices it per position, and an inline tokens() expression would be
+    # re-split per array element (HOF lambdas re-evaluate outer
+    # expressions; repo-wide pitfall)
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    t = F.col("_t")
+    bounds = F.transform(
+        F.sequence(F.lit(1), F.size(t)),
+        lambda i: F.when(
+            (i >= gram)
+            & (
+                portable_hash31(
+                    F.concat_ws(" ", F.slice(t, i - gram + 1, gram))
+                )
+                % divisor
+                == 0
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    pos = toked.select(
+        F.col(id_col),
+        F.posexplode(
+            F.zip_with(
+                t, bounds, lambda tok, b: F.struct(tok.alias("tok"), b.alias("b"))
+            )
+        ).alias("i", "tb"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = pos.select(
+        id_col,
+        "i",
+        F.col("tb.tok").alias("tok"),
+        (F.lit(1) + F.coalesce(F.sum("tb.b").over(w), F.lit(0)))
+        .cast("int")
+        .alias("chunk_idx"),
+    )
+    chunked = seg.groupBy(id_col, "chunk_idx").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("chunk_text"),
+    )
+    return chunked.select(
+        id_col,
+        "chunk_idx",
+        "n_tokens",
+        "chunk_text",
+        F.md5(F.col("chunk_text")).alias("chunk_hash"),
+    )

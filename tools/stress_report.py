@@ -584,6 +584,11 @@ def case_dsir_weights_400k(spark):
     from covid_data_pipeline_spark.operators.selection import dsir_weights
 
     n = 400_000
+    # 50-type style vocabularies: styles are DISTRIBUTIONS over a
+    # reused vocab (dense gram repetition -> strong per-bucket signal).
+    # A near-unique vocab (%5000) makes every bigram a one-off that
+    # sprays uniform hash noise over the buckets and the 200k-doc weight
+    # tails overlap — that is a property of the corpus, not the selector.
     docs = spark.range(n).select(
         F.col("id").alias("doc_id"),
         F.concat_ws(
@@ -593,7 +598,7 @@ def case_dsir_weights_400k(spark):
                     F.when(F.col("id") % 2 == 0, F.lit("a")).otherwise(
                         F.lit("b")
                     ),
-                    F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(5_000)),
+                    F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(50)),
                 )
                 for j in range(12)
             ],
