@@ -1391,7 +1391,7 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, i, t[i] AS tok,
              CASE WHEN i >= 4 AND
                   (CAST(concat('0x', substr(md5(
-                       array_to_string(t[i-3:i], ' ')), 1, 15)) AS BIGINT)
+                       array_to_string(t[GREATEST(i-3, 1):i], ' ')), 1, 15)) AS BIGINT)
                    % 2147483647) % 64 = 0
                   THEN 1 ELSE 0 END AS b
       FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),

@@ -1028,3 +1028,66 @@ def test_portable_simhash_close_to_default_hamming(spark, sf_dir):
             F.col("id_b") == F.col("id_a") + MUTANT_OFFSET
         ).count()
         assert planted >= 0.7 * n_docs, f"portable={portable}: {planted}"
+
+
+def test_cdc_chunks_resynchronize_after_insertion(spark):
+    """A prefix insertion shifts every token, yet rolling-hash
+    boundaries realign: the shifted doc must share most chunk hashes
+    with the original — the property fixed-window chunking lacks."""
+    import random
+
+    from covid_data_pipeline_spark.operators.chunking import (
+        chunk_by_tokens,
+        content_defined_chunks,
+    )
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(500)}" for _ in range(3000)]
+    base = " ".join(words)
+    shifted = "zzz qqq " + base
+    df = spark.createDataFrame(
+        [(0, base), (1, shifted)], "doc_id long, text string"
+    )
+    cdc = content_defined_chunks(df, divisor=32)
+    rows = cdc.collect()
+    h0 = {r["chunk_hash"] for r in rows if r["doc_id"] == 0}
+    h1 = {r["chunk_hash"] for r in rows if r["doc_id"] == 1}
+    shared_cdc = len(h0 & h1) / len(h0)
+    assert shared_cdc > 0.9, shared_cdc  # only the first chunk differs
+
+    # fixed windows at the same granularity share (almost) nothing
+    import pyspark.sql.functions as F
+
+    fixed = chunk_by_tokens(df, "text", chunk_size=32).select(
+        "doc_id", F.md5("chunk_text").alias("h")
+    )
+    frows = fixed.collect()
+    f0 = {r["h"] for r in frows if r["doc_id"] == 0}
+    f1 = {r["h"] for r in frows if r["doc_id"] == 1}
+    assert len(f0 & f1) / len(f0) < 0.1
+
+
+def test_cdc_chunks_cover_and_partition_invariant(spark):
+    from covid_data_pipeline_spark.operators.chunking import (
+        content_defined_chunks,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"t{(i * 31 + j) % 97}" for j in range(200)))
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    import pyspark.sql.functions as F
+
+    out = content_defined_chunks(df)
+    # chunks tile each document exactly: token counts sum to doc tokens
+    per_doc = {
+        r["doc_id"]: r["s"]
+        for r in out.groupBy("doc_id")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    }
+    assert all(v == 200 for v in per_doc.values())
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, content_defined_chunks(df.repartition(7)).collect()))
+    assert a == b
