@@ -1683,3 +1683,47 @@ def revenue_concentration_metrics(spark: SparkSession, sf_dir: str) -> DataFrame
             "hhi_pp100m"
         ),
     )
+
+
+@register(
+    "pareto_front_parts",
+    """
+    WITH d AS (
+      SELECT p_retailprice, p_size, COUNT(*) AS n_parts,
+             MIN(p_partkey) AS min_partkey
+      FROM part GROUP BY 1, 2)
+    SELECT d.p_retailprice, d.p_size, d.n_parts, d.min_partkey
+    FROM d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM d q
+      WHERE q.p_retailprice <= d.p_retailprice AND q.p_size >= d.p_size
+        AND (q.p_retailprice < d.p_retailprice OR q.p_size > d.p_size))
+    """,
+    tags=("olap", "skyline", "pareto"),
+    bench=True,
+)
+def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of the part catalog: price/size points where no other
+    point is cheaper-or-equal AND bigger-or-equal with one strict — the
+    Pareto-optimal "cheapest part for its size class" set
+    (`operators/skyline.py::skyline_2d`, Börzsönyi et al. ICDE'01).
+
+    The engine runs the two-phase window sweep (local prune per Spark
+    partition, then one global sweep over the tiny survivor set) —
+    never a dominance self-join. The oracle states the O(n²) NOT EXISTS
+    definition directly: fine for DuckDB on the distinct point set,
+    exactly what you cannot run at warehouse scale, which is why the
+    operator exists."""
+    from covid_data_pipeline_spark.operators.skyline import skyline_2d
+
+    pts = (
+        table(spark, sf_dir, "part")
+        .groupBy("p_retailprice", "p_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_partkey").alias("min_partkey"),
+        )
+    )
+    return skyline_2d(pts, x="p_retailprice", y="p_size").select(
+        "p_retailprice", "p_size", "n_parts", "min_partkey"
+    )

@@ -495,3 +495,66 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return cusum_changepoints(ev, k_sigma=0.5, h_sigma=4.0)
+
+
+@register(
+    "events_holt_winters",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+    seq AS (
+      SELECT event_type, CAST(cnt AS DOUBLE) AS y,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily),
+    init AS (
+      SELECT event_type,
+             SUM(CASE WHEN rn <= 7 THEN CAST(y AS BIGINT) END) AS sum1,
+             SUM(CASE WHEN rn BETWEEN 8 AND 14 THEN CAST(y AS BIGINT) END)
+               AS sum2,
+             MAX(rn) AS nmax
+      FROM seq GROUP BY 1 HAVING MAX(rn) >= 14),
+    seas0 AS (
+      SELECT s.event_type,
+             list(s.y - CAST(i.sum1 AS DOUBLE) / 7.0 ORDER BY s.rn) AS seas
+      FROM seq s JOIN init i USING (event_type) WHERE s.rn <= 7
+      GROUP BY s.event_type),
+    hw(event_type, rn, lvl, trd, seas) AS (
+      SELECT i.event_type, 7,
+             CAST(i.sum1 AS DOUBLE) / 7.0,
+             CAST(i.sum2 - i.sum1 AS DOUBLE) / 49.0,
+             s0.seas
+      FROM init i JOIN seas0 s0 USING (event_type)
+      UNION ALL
+      SELECT h.event_type, s.rn,
+             0.5 * (s.y - h.seas[1]) + 0.5 * (h.lvl + h.trd),
+             0.5 * ((0.5 * (s.y - h.seas[1]) + 0.5 * (h.lvl + h.trd))
+                    - h.lvl) + 0.5 * h.trd,
+             h.seas[2:7] ||
+               [0.5 * (s.y - (0.5 * (s.y - h.seas[1])
+                              + 0.5 * (h.lvl + h.trd)))
+                + 0.5 * h.seas[1]]
+      FROM hw h JOIN seq s
+        ON s.event_type = h.event_type AND s.rn = h.rn + 1)
+    SELECT h.event_type, ROUND(h.lvl, 4) AS level, ROUND(h.trd, 4) AS trend,
+           ROUND(h.lvl + h.trd + h.seas[1], 4) AS forecast_1,
+           ROUND(h.lvl + 7.0 * h.trd + h.seas[7], 4) AS forecast_p
+    FROM hw h JOIN init i
+      ON h.event_type = i.event_type AND h.rn = i.nmax
+    """,
+    tags=("temporal", "timeseries", "smoothing", "seasonal", "iterative"),
+)
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive weekly-seasonal fit of each event type's
+    daily volume (`operators/temporal.py::holt_winters_seasonal`):
+    final level/trend plus seasonally-adjusted 1-day and same-weekday-
+    next-week forecasts. The period-7 seasonal queue folds JVM-side in
+    one F.aggregate pass; the oracle's recursive CTE carries the same
+    queue as a LIST column and replays the identical IEEE updates, so
+    the fit is value-hash verified, not just row-counted."""
+    from covid_data_pipeline_spark.operators.temporal import (
+        holt_winters_seasonal,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return holt_winters_seasonal(ev, period=7, alpha=0.5, beta=0.5, gamma=0.5)

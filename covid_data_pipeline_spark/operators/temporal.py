@@ -587,3 +587,127 @@ def growth_accounting(
             .alias("churned_users"),
         )
     )
+
+
+def holt_winters_seasonal(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    period: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    gamma: float = 0.5,
+) -> DataFrame:
+    """Holt–Winters ADDITIVE seasonal smoothing of each type's daily
+    count series (the seasonal completion of :func:`holt_linear` —
+    the reference's day-cursor alerts compare raw day-over-day deltas,
+    which a weekly cycle trivially false-alarms; cf.
+    /root/reference/airflow/dags/covid_alerts_dag.py threshold rule).
+
+    Textbook additive form with ``m = period``:
+    init over the first two seasons (requires ``n ≥ 2m``):
+    ``ℓ₀ = mean(y₁..y_m)``, ``b₀ = (mean(y_{m+1}..y_{2m}) − ℓ₀)/m``,
+    ``s_i = y_i − ℓ₀``; then for t = m+1..n::
+
+        ℓₜ = α(yₜ − sₜ₋ₘ) + (1−α)(ℓₜ₋₁ + bₜ₋₁)
+        bₜ = β(ℓₜ − ℓₜ₋₁) + (1−β)bₜ₋₁
+        sₜ = γ(yₜ − ℓₜ) + (1−γ)sₜ₋ₘ
+
+    Execution shape: ONE (type, day) count shuffle, then the recurrence
+    folds JVM-side inside ``F.aggregate`` over the collected per-type
+    series — the seasonal state is a ``period``-element queue whose
+    head is always ``sₜ₋ₘ`` (rotate: drop head, append new tail), so
+    state is O(period + days-per-type doubles) per type, never
+    O(events). A year of a 100 TB event stream folds 365 doubles.
+
+    Determinism: ℓ₀/b₀ derive from EXACT integer day-count sums
+    (``(Σ₁−Σ₀)/m²`` with BIGINT numerators), and the fold is a fixed
+    left-to-right IEEE-754 recurrence — the oracle's recursive CTE
+    replays the identical update expressions over an identical LIST
+    queue, so the fit is value-hash verified. Defaults α=β=γ=0.5 keep
+    every step a dyadic combination. Output doubles ROUND(4) anyway.
+
+    Returns one row per type with ≥ 2·period observed days: final
+    ``level``/``trend``, and seasonally-adjusted forecasts
+    ``forecast_1`` (= ℓ + b + s_{t+1−m}) and ``forecast_p``
+    (= ℓ + m·b + s_t, the same weekday one season out).
+    """
+    m = int(period)
+    a, b, g = F.lit(float(alpha)), F.lit(float(beta)), F.lit(float(gamma))
+    daily = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(F.col(type_col), F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    series = daily.groupBy(type_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "cnt"))),
+            lambda s: s["cnt"],
+        ).alias("ys")
+    )
+    ys = F.col("ys")
+    n = F.size(ys)
+    # exact BIGINT season sums -> identical IEEE init constants
+    sum1 = F.aggregate(
+        F.slice(ys, 1, m), F.lit(0).cast("long"), lambda acc, y: acc + y
+    )
+    sum2 = F.aggregate(
+        F.slice(ys, m + 1, m), F.lit(0).cast("long"), lambda acc, y: acc + y
+    )
+    lvl0 = sum1.cast("double") / F.lit(float(m))
+    trd0 = (sum2 - sum1).cast("double") / F.lit(float(m * m))
+    seas0 = F.transform(
+        F.slice(ys, 1, m), lambda y: y.cast("double") - F.col("h0.lvl")
+    )
+    prepared = series.where(n >= 2 * m).select(
+        type_col,
+        "ys",
+        F.struct(lvl0.alias("lvl"), trd0.alias("trd")).alias("h0"),
+    )
+    init = F.struct(
+        F.col("h0.lvl").alias("lvl"),
+        F.col("h0.trd").alias("trd"),
+        seas0.alias("seas"),
+    )
+
+    def _step(acc, y):
+        from covid_data_pipeline_spark.functions.text import let
+
+        yd = y.cast("double")
+        s_m = F.element_at(acc["seas"], 1)  # s_{t-m}: queue head
+        new_lvl = a * (yd - s_m) + (F.lit(1.0) - a) * (acc["lvl"] + acc["trd"])
+
+        def _with_lvl(nl):
+            new_trd = b * (nl - acc["lvl"]) + (F.lit(1.0) - b) * acc["trd"]
+            new_s = g * (yd - nl) + (F.lit(1.0) - g) * s_m
+            return F.struct(
+                nl.alias("lvl"),
+                new_trd.alias("trd"),
+                F.concat(
+                    F.slice(acc["seas"], 2, m - 1), F.array(new_s)
+                ).alias("seas"),
+            )
+
+        return let(new_lvl, _with_lvl)
+
+    fitted = prepared.select(
+        type_col,
+        F.aggregate(F.slice(ys, m + 1, n - m), init, _step).alias("h"),
+    )
+    # after folding t = m+1..n the queue head is s_{t+1-m}; its tail is
+    # s_t — the same weekday one full season ahead of the last point.
+    return fitted.select(
+        type_col,
+        F.round(F.col("h.lvl"), 4).alias("level"),
+        F.round(F.col("h.trd"), 4).alias("trend"),
+        F.round(
+            F.col("h.lvl") + F.col("h.trd") + F.element_at(F.col("h.seas"), 1),
+            4,
+        ).alias("forecast_1"),
+        F.round(
+            F.col("h.lvl")
+            + F.lit(float(m)) * F.col("h.trd")
+            + F.element_at(F.col("h.seas"), m),
+            4,
+        ).alias("forecast_p"),
+    )

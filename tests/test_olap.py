@@ -153,3 +153,26 @@ def test_concentration_metrics_boundaries(spark):
     skew = run([(0, 0, 10_000.0)] + [(i, i, 0.01) for i in range(1, 10)])
     assert skew["gini_bp"] > 8900        # -> (n-1)/n = 0.9
     assert skew["hhi_pp100m"] > 99_000_000
+
+
+def test_skyline_matches_bruteforce_and_partitioning_invariant(spark):
+    """skyline_2d == brute-force strict-dominance filter on a random
+    distinct point set, under two different partitionings."""
+    import random
+
+    from covid_data_pipeline_spark.operators.skyline import skyline_2d
+
+    rng = random.Random(7)
+    pts = {(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(300)}
+    pts = sorted(pts)
+    expected = {
+        (x, y)
+        for x, y in pts
+        if not any(
+            (qx <= x and qy >= y and (qx < x or qy > y)) for qx, qy in pts
+        )
+    }
+    for n_part in (1, 7):
+        df = spark.createDataFrame(pts, "x int, y int").repartition(n_part)
+        got = {(r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()}
+        assert got == expected, f"n_part={n_part}"
