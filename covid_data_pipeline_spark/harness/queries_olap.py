@@ -1727,3 +1727,66 @@ def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(pts, x="p_retailprice", y="p_size").select(
         "p_retailprice", "p_size", "n_parts", "min_partkey"
     )
+
+
+def _morton_sql(x: str, y: str, bits: int) -> str:
+    """DuckDB expression replaying operators/scale.py::morton_key bit
+    for bit: x's bit i lands at 2i, y's at 2i+1 (BIGINT-safe: 2*bits
+    <= 62)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+@register(
+    "zorder_locality_orders",
+    f"""
+    WITH pts AS (
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS day_nr,
+             o_custkey % 4096 AS cust_nr
+      FROM orders),
+    keyed AS (
+      SELECT o_orderkey, day_nr, cust_nr,
+             {_morton_sql('day_nr', 'cust_nr', 12)} AS z
+      FROM pts)
+    SELECT z >> 14 AS z_bucket,
+           COUNT(*) AS n_orders,
+           MIN(day_nr) AS day_lo, MAX(day_nr) AS day_hi,
+           MIN(cust_nr) AS cust_lo, MAX(cust_nr) AS cust_hi
+    FROM keyed GROUP BY 1
+    """,
+    tags=("olap", "layout", "zorder"),
+)
+def zorder_locality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout diagnostics: Morton-interleave each order's
+    (order-day, customer-bucket) coordinates
+    (`operators/scale.py::morton_key` — the sort key
+    `write_zordered` lays files out by) and report per z-range-bucket
+    row counts and min/max extents on BOTH dimensions. Tight extents
+    on both axes are exactly why a z-ordered table prunes row groups
+    for predicates on EITHER column, where a lexicographic
+    (day, customer) sort prunes only day. The key is pure shift/and/or
+    codegen arithmetic — the oracle replays the interleave bit for
+    bit."""
+    from covid_data_pipeline_spark.operators.scale import morton_key
+
+    o = table(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("day_nr"),
+        (F.col("o_custkey") % 4096).alias("cust_nr"),
+    )
+    keyed = pts.withColumn("z", morton_key("day_nr", "cust_nr", bits=12))
+    return (
+        keyed.groupBy(F.shiftright("z", 14).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("day_nr").alias("day_lo"),
+            F.max("day_nr").alias("day_hi"),
+            F.min("cust_nr").alias("cust_lo"),
+            F.max("cust_nr").alias("cust_hi"),
+        )
+    )

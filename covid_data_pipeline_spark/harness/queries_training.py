@@ -1062,3 +1062,55 @@ def dsir_select_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select_topk(
         docs, F.col("lang") == F.lit("en"), k=100, n_buckets=1024
     ).select("doc_id", "lang", "source", "dsir_log_weight")
+
+
+@register(
+    "docs_quantile_normalize",
+    """
+    WITH nt AS (SELECT COUNT(*) AS n FROM documents),
+    s AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS n_s
+      FROM documents),
+    ref AS (
+      SELECT n_chars AS ref_chars,
+             COALESCE(SUM(c) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+             COALESCE(SUM(c) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c
+               AS hi
+      FROM (SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY 1)),
+    m AS (
+      SELECT s.doc_id, s.source, s.n_chars,
+             CASE WHEN s.n_s = 1 THEN 1 + (nt.n - 1) // 2
+                  ELSE 1 + ((s.r - 1) * (nt.n - 1)) // (s.n_s - 1)
+             END AS pos
+      FROM s CROSS JOIN nt)
+    SELECT m.doc_id, m.source, m.n_chars, ref.ref_chars AS norm_chars
+    FROM m JOIN ref ON m.pos > ref.lo AND m.pos <= ref.hi
+    """,
+    tags=("training", "calibration", "quantile"),
+)
+def docs_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize each source's document-length distribution
+    onto the pooled corpus distribution
+    (`operators/calibrate.py::quantile_normalize`) — the calibration
+    step that makes one global length/quality threshold fair across
+    heterogeneous sources. Exact integer position mapping (no float
+    quantile interpolation), reference distribution domain-compressed
+    into a broadcast range lookup, per-source ranks one hash window —
+    no global sort at any scale. The oracle states the same mapping
+    with plain windows over the full relation."""
+    from covid_data_pipeline_spark.operators.calibrate import (
+        quantile_normalize,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return quantile_normalize(
+        docs, group_col="source", val_col="n_chars", id_col="doc_id",
+        out_col="norm_chars",
+    ).select("doc_id", "source", "n_chars", "norm_chars")

@@ -1,0 +1,94 @@
+"""Cross-group score calibration.
+
+A curation pipeline scores documents per SOURCE (different crawls,
+different eras, different heuristics), then wants one global keep/drop
+threshold — but each source's score distribution is shifted, so a raw
+global cut over- or under-prunes whole sources. The fix used in
+genomics (microarray normalization) and ML feature pipelines alike is
+QUANTILE NORMALIZATION: replace each value by the value at the same
+quantile of a reference (here: the pooled global) distribution, making
+every source's distribution identical while preserving within-source
+order. The reference's mart ranks countries on raw metric columns
+(/root/reference/airflow/dags/covid_dag.py mart ORDER BY); this is the
+cross-population calibration that makes such rankings comparable.
+
+Scale design — no global sort anywhere:
+
+- The reference distribution is DOMAIN-COMPRESSED (the repo's exact
+  order-statistics idiom): counts per distinct value (tiny relation),
+  cumulative offsets over it, so "the value at global position p" is a
+  broadcast RANGE lookup ``lo < p <= hi`` against the distinct-value
+  table — never a row_number() over the corpus in one task.
+- Per-group ranks are one hash-partitioned window on the group key.
+- Position arithmetic is exact BIGINT: ``pos = 1 + (r-1)·(N-1) div
+  (n_g-1)`` — integer floor division on both engines, no float in the
+  mapping (a group's min maps to global position 1, its max to N).
+  At 2^53-breaking scales swap the product into DECIMAL(38,0); at any
+  tested SF the BIGINT product is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    id_col: str,
+    out_col: str = "norm_value",
+) -> DataFrame:
+    """Map each row's ``val_col`` onto the pooled distribution of ALL
+    rows: a row at within-group rank r of n_g gets the pooled value at
+    global position ``1 + (r-1)(N-1) div (n_g-1)`` (ties and order
+    broken by ``id_col``; a singleton group gets the pooled median).
+
+    Output: the input columns plus ``out_col`` (same type as
+    ``val_col``). Within-group order of ``out_col`` equals the order of
+    ``val_col``; across groups the normalized distributions coincide.
+    """
+    # reference distribution, domain-compressed: distinct value ->
+    # [lo, hi) global-position interval (half-open on lo)
+    counts = df.groupBy(F.col(val_col).alias("__ref_val")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_off = Window.orderBy("__ref_val").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ref = counts.select(
+        "__ref_val",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__lo"),
+        (F.coalesce(F.sum("__c").over(w_off), F.lit(0)) + F.col("__c")).alias(
+            "__hi"
+        ),
+    )
+    total = df.agg(F.count(F.lit(1)).alias("__n_total"))
+
+    w_grp = Window.partitionBy(group_col).orderBy(val_col, id_col)
+    ranked = (
+        df.withColumn("__r", F.row_number().over(w_grp).cast("long"))
+        .withColumn(
+            "__n_g", F.count(F.lit(1)).over(Window.partitionBy(group_col))
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__pos",
+            F.when(
+                F.col("__n_g") == 1,
+                F.lit(1) + F.expr("(__n_total - 1) div 2"),
+            ).otherwise(
+                F.lit(1)
+                + F.expr("((__r - 1) * (__n_total - 1)) div (__n_g - 1)")
+            ),
+        )
+    )
+    out = ranked.join(
+        F.broadcast(ref),
+        (F.col("__pos") > F.col("__lo")) & (F.col("__pos") <= F.col("__hi")),
+    ).withColumn(out_col, F.col("__ref_val"))
+    return out.drop(
+        "__r", "__n_g", "__n_total", "__pos", "__ref_val", "__lo", "__hi", "__c"
+    )
