@@ -1071,3 +1071,79 @@ def pagerank_personalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.filter(F.col("rank") > 0).select(
         F.col("node").alias("doc_id"), "rank"
     )
+
+
+def _kcore_unrolled_sql(k: int, rounds: int) -> str:
+    """Synchronous k-core peeling unrolled as chained MATERIALIZED step
+    CTEs (each round references the prior edge set three times — degree
+    union twice + join back — so without MATERIALIZED DuckDB re-expands
+    the chain exponentially; see the k-center oracle note)."""
+    ctes = [
+        """e0 AS MATERIALIZED (
+      WITH d AS (SELECT doc_id FROM documents),
+      raw AS (
+        SELECT doc_id % 500 AS a, (doc_id % 500) // 2 AS b FROM d
+        UNION ALL SELECT doc_id % 500, (doc_id * 7) % 500 FROM d
+        UNION ALL SELECT doc_id % 500, (doc_id * 49) % 500 FROM d)
+      SELECT DISTINCT LEAST(a, b) AS lo, GREATEST(a, b) AS hi
+      FROM raw WHERE a <> b)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT lo AS node FROM e{p} UNION ALL SELECT hi FROM e{p})
+      GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+      SELECT e.lo, e.hi FROM e{p} e
+      JOIN d{i} a ON a.node = e.lo AND a.deg >= {k}
+      JOIN d{i} b ON b.node = e.hi AND b.deg >= {k})"""
+        )
+    final = f"""
+    SELECT node, deg AS core_degree FROM (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT lo AS node FROM e{rounds}
+        UNION ALL SELECT hi FROM e{rounds})
+      GROUP BY 1)
+    WHERE deg >= {k}"""
+    return "WITH " + ",\n    ".join(ctes) + final
+
+
+@register(
+    "graph_kcore_docs",
+    _kcore_unrolled_sql(k=4, rounds=8),
+    tags=("graph", "kcore", "iterative"),
+)
+def graph_kcore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of a planted doc graph (binary-tree edges a—a//2 give
+    layered peel cascades; the two mod-500 multiplier edges give a
+    dense surviving core): surviving nodes with their in-core degree
+    (`operators/graph.py::kcore`). The engine peels to the edge-count
+    fixpoint with semi-joins + localCheckpoint per round; the oracle
+    unrolls 8 synchronous peel rounds as MATERIALIZED step CTEs —
+    fixpoint lands by round 3 at every test SF, so both sides agree
+    value-for-value."""
+    from covid_data_pipeline_spark.operators.graph import kcore
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    a = (F.col("doc_id") % 500).alias("a")
+    raw = (
+        d.select(a, F.expr("(doc_id % 500) div 2").alias("b"))
+        .unionByName(
+            d.select(a, ((F.col("doc_id") * 7) % 500).alias("b"))
+        )
+        .unionByName(
+            d.select(a, ((F.col("doc_id") * 49) % 500).alias("b"))
+        )
+    )
+    edges = (
+        raw.where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+    )
+    return kcore(edges, k=4)

@@ -582,3 +582,54 @@ def label_propagation(
             ).alias("lbl")
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
+    """k-core of an undirected graph: the maximal subgraph where every
+    node keeps degree >= k, by iterated peeling (Seidman 1983; the
+    distributed formulation is Montresor et al., "Distributed k-Core
+    Decomposition", PODC'11). Dedup/kNN-graph reading: the k-core is
+    the "dense near-dup neighborhood" a borderline pair chain can't
+    fake — chains and trees peel away, cliques survive.
+
+    ``edges`` holds canonical undirected edges ``(lo, hi)``, distinct,
+    lo != hi. Returns surviving ``(node, core_degree)``.
+
+    Each round is two shuffle-native steps: a symmetric degree count
+    (union + groupBy on node id, map-side combined) and a semi-join of
+    the edge list against the alive set on BOTH endpoints (AQE
+    broadcasts the alive side once peeling shrinks it). Rounds
+    ``localCheckpoint`` so the plan tree stays flat; the loop stops at
+    the edge-count fixpoint. Round count is bounded by the peel depth
+    (degeneracy layering), NOT the node count — the planted doc graph
+    converges in <= 3; ``max_rounds`` is a runaway tripwire, not a
+    tuning knob.
+    """
+    e = edges.localCheckpoint(eager=False)
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("lo").alias("node"))
+            .unionAll(e.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = deg.where(F.col("deg") >= k).select("node")
+        e2 = (
+            e.join(alive.withColumnRenamed("node", "lo"), "lo", "left_semi")
+            .join(alive.withColumnRenamed("node", "hi"), "hi", "left_semi")
+            .select("lo", "hi")
+            .localCheckpoint(eager=False)
+        )
+        n2 = e2.count()
+        e = e2
+        if n2 == n_edges:
+            break
+        n_edges = n2
+    final_deg = (
+        e.select(F.col("lo").alias("node"))
+        .unionAll(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    return final_deg.where(F.col("core_degree") >= k)

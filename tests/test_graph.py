@@ -409,3 +409,52 @@ def test_label_propagation_deterministic_under_repartition(spark):
         map(tuple, label_propagation(edges.repartition(11), rounds=3).collect())
     )
     assert a == b
+
+
+def test_kcore_clique_survives_tail_peels(spark):
+    """5-clique + pendant path: k=3 keeps exactly the clique (degree 4
+    each); the path peels away over multiple synchronous rounds."""
+    from covid_data_pipeline_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    path = [(4, 10), (10, 11), (11, 12)]  # hangs off clique node 4
+    df = spark.createDataFrame(clique + path, "lo long, hi long")
+    got = {r["node"]: r["core_degree"] for r in kcore(df, k=3).collect()}
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+
+
+def test_kcore_matches_python_peel_random(spark):
+    """Synchronous peel fixpoint equals a plain-Python peel on a random
+    graph, for several k."""
+    import random
+
+    from covid_data_pipeline_spark.operators.graph import kcore
+
+    rng = random.Random(11)
+    edges = {
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.randint(0, 80), rng.randint(0, 80)) for _ in range(300)
+        )
+        if a != b
+    }
+    adj0 = {}
+    for a, b in edges:
+        adj0.setdefault(a, set()).add(b)
+        adj0.setdefault(b, set()).add(a)
+    df = spark.createDataFrame(sorted(edges), "lo long, hi long")
+    for k in (2, 3, 4, 5):
+        adj = {n: set(nb) for n, nb in adj0.items()}
+        while True:
+            drop = [n for n, nb in adj.items() if len(nb) < k]
+            if not drop:
+                break
+            for n in drop:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+        expected = {n: len(nb) for n, nb in adj.items()}
+        got = {
+            r["node"]: r["core_degree"] for r in kcore(df, k=k).collect()
+        }
+        assert got == expected, f"k={k}"
