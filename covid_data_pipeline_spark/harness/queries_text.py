@@ -1424,3 +1424,80 @@ def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return content_defined_chunks(docs)
+
+
+@register(
+    "kneser_ney_bigram_lm",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    big AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+    cb AS (SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY 1, 2),
+    lft AS (SELECT w1, SUM(c) AS cl, COUNT(*) AS nl FROM cb GROUP BY 1),
+    rgt AS (SELECT w2, COUNT(*) AS nr FROM cb GROUP BY 1),
+    tt AS (SELECT COUNT(*) AS t_types FROM cb),
+    scored AS (
+      SELECT cb.w1, cb.w2, cb.c,
+             (CAST(cb.c AS DOUBLE) - 0.75) / CAST(l.cl AS DOUBLE)
+             + ((0.75 * CAST(l.nl AS DOUBLE)) / CAST(l.cl AS DOUBLE))
+               * (CAST(r.nr AS DOUBLE) / CAST(tt.t_types AS DOUBLE)) AS p
+      FROM cb JOIN lft l USING (w1) JOIN rgt r USING (w2) CROSS JOIN tt),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY c DESC, w1, w2) AS rk
+      FROM scored)
+    SELECT w1, w2, c AS n_pairs, ROUND(p, 6) AS p_kn
+    FROM ranked WHERE rk <= 200
+    """,
+    tags=("text", "langmodel", "smoothing"),
+)
+def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 corpus bigrams with interpolated Kneser-Ney
+    probabilities (`operators/langmodel.py::kneser_ney_bigrams`) — the
+    continuation-count smoother behind production n-gram LMs, upgrading
+    doc_perplexity_bigram's Laplace floor. Counts are exact BIGINTs off
+    ONE corpus tokenization; the probability is a fixed per-row IEEE
+    expression both engines state identically; the top-n is Spark's
+    distributed TakeOrdered vs the oracle's ROW_NUMBER."""
+    from covid_data_pipeline_spark.operators.langmodel import (
+        kneser_ney_bigrams,
+    )
+
+    return kneser_ney_bigrams(
+        table(spark, sf_dir, "documents"), discount=0.75, top_n=200
+    )
+
+
+@register(
+    "phrase_search_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    idx AS (
+      SELECT doc_id, t[i] AS tok, i AS pos
+      FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)),
+    a AS (SELECT doc_id, pos AS p0 FROM idx WHERE tok = 'table'),
+    b AS (SELECT doc_id, pos - 1 AS p0 FROM idx WHERE tok = 'hash')
+    SELECT a.doc_id, COUNT(*) AS n_matches, MIN(a.p0) AS first_pos
+    FROM a JOIN b USING (doc_id, p0)
+    GROUP BY a.doc_id
+    """,
+    tags=("text", "retrieval", "phrase"),
+)
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search for "table hash" over the corpus via a
+    positional inverted index
+    (`operators/retrieval.py::phrase_search`): per-doc consecutive-
+    occurrence count and first match position. The engine filters the
+    postings to the phrase's terms BEFORE the adjacency join (term 2
+    at pos+1), so join inputs are posting lists, never the corpus —
+    the oracle states the same adjacency join over an unnest-built
+    index."""
+    from covid_data_pipeline_spark.operators.retrieval import phrase_search
+
+    return phrase_search(
+        table(spark, sf_dir, "documents"), phrase="table hash"
+    )

@@ -143,3 +143,64 @@ def bigram_perplexity(
         reference if reference is not None else docs, text_col, id_col, min_count
     )
     return score_bigram_perplexity(docs, cb, cu, v, text_col, id_col)
+
+
+def kneser_ney_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    top_n: int = 200,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    the absolute-discounting smoother that backs off to CONTINUATION
+    counts — "how many contexts does w2 follow" — rather than raw
+    unigram frequency, which is what makes it the standard n-gram LM
+    smoother and the natural upgrade of :func:`train_bigram_lm`'s
+    Laplace floor):
+
+        P(w2|w1) = (c(w1,w2) − d)/c(w1·)
+                 + [d·N1+(w1·)/c(w1·)] · [N1+(·w2)/T]
+
+    with d = ``discount``, N1+ the distinct-continuation counts and T
+    the total distinct bigram types. Returns the ``top_n`` bigrams by
+    (count desc, w1, w2) with ``n_pairs`` and ``p_kn``.
+
+    Scale shape: the corpus tokenizes and shuffles ONCE into bigram
+    counts; left/right continuation relations are regroupings OF the
+    count relation (corpus-bounded, never corpus-sized); T rides a
+    broadcast cross join; the top-n is a distributed TakeOrdered
+    (orderBy + limit), not a single-partition window. Every count is
+    exact BIGINT; P is a fixed per-row IEEE expression over those ints
+    (the oracle states the identical association), ROUND(6)-guarded.
+    """
+    big = doc_bigrams(df, text_col=text_col, id_col=id_col)
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    lft = cb.groupBy("w1").agg(
+        F.sum("c").alias("cl"), F.count(F.lit(1)).alias("nl")
+    )
+    rgt = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("nr"))
+    tt = cb.agg(F.count(F.lit(1)).alias("t_types"))
+    d = F.lit(float(discount))
+    scored = (
+        cb.join(lft, "w1")
+        .join(rgt, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("n_pairs"),
+            (
+                (F.col("c").cast("double") - d) / F.col("cl").cast("double")
+                + ((d * F.col("nl").cast("double"))
+                   / F.col("cl").cast("double"))
+                * (F.col("nr").cast("double")
+                   / F.col("t_types").cast("double"))
+            ).alias("p"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("n_pairs").desc(), "w1", "w2")
+        .limit(top_n)
+        .select("w1", "w2", "n_pairs", F.round("p", 6).alias("p_kn"))
+    )

@@ -211,3 +211,60 @@ def rrf_fuse(
         F.col("__doc").alias(id_col),
         "rrf_score",
     )
+
+
+def build_positional_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional inverted index: one row per token OCCURRENCE —
+    ``(id_col, tok, pos)`` with 1-based position. This is the postings
+    layout (term → (doc, position) list) that phrase and proximity
+    queries need and a bag-of-words index (:func:`bm25_topk`'s term
+    frequencies) cannot answer.
+
+    Pure projection + posexplode, no shuffle; materialize it
+    partitioned/bucketed by ``tok`` (``operators/scale.py::
+    write_bucketed``) to make every phrase query a co-located join at
+    warehouse scale."""
+    return df.select(
+        id_col, F.posexplode(tokens(text_col)).alias("pos0", "tok")
+    ).select(id_col, "tok", (F.col("pos0") + 1).alias("pos"))
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact multi-token phrase search via the positional index: docs
+    where ``phrase``'s tokens occur CONSECUTIVELY, with match count and
+    first match position — the classic adjacency self-join (term i at
+    position p joins term i+1 at p+1), generalized to any phrase
+    length.
+
+    Scale shape: the index is FILTERED to the phrase's terms before
+    any join (predicate pushdown to the scan — the posting lists for
+    k terms, never the corpus), then k−1 equi-joins on
+    ``(doc, pos+offset)``. Selective rare terms keep every join input
+    tiny; this is how search engines run phrases without scanning
+    text. Token semantics match the repo tokenizer (lowercase,
+    whitespace split).
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if len(terms) < 2:
+        raise ValueError("phrase_search needs a phrase of >= 2 tokens")
+    idx = build_positional_index(df, text_col=text_col, id_col=id_col)
+    base = (
+        idx.where(F.col("tok") == terms[0])
+        .select(id_col, F.col("pos").alias("p0"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = idx.where(F.col("tok") == t).select(
+            id_col, (F.col("pos") - i).alias("p0")
+        )
+        base = base.join(nxt, [id_col, "p0"])
+    return base.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("p0").alias("first_pos"),
+    )

@@ -69,3 +69,48 @@ def test_external_reference_corpus(spark):
     docs = _docs(spark, [("in", "the quick brown fox"), ("out", "qwerty azerty dvorak colemak")])
     scored = {r.doc_id: r for r in bigram_perplexity(docs, reference=ref).collect()}
     assert scored["in"].perplexity < scored["out"].perplexity
+
+
+def test_kneser_ney_matches_hand_formula(spark):
+    """KN probabilities equal the hand-computed formula on a tiny
+    corpus, and per-context mass (seen part + backoff over ALL types)
+    sums to 1."""
+    from collections import Counter
+
+    from covid_data_pipeline_spark.operators.langmodel import (
+        kneser_ney_bigrams,
+    )
+
+    docs = [(1, "a b a b a c"), (2, "b a b c a b")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["w1"], r["w2"]): (r["n_pairs"], r["p_kn"])
+        for r in kneser_ney_bigrams(df, top_n=100).collect()
+    }
+    # reference counts
+    cb = Counter()
+    for _, t in docs:
+        w = t.split()
+        for i in range(len(w) - 1):
+            cb[(w[i], w[i + 1])] += 1
+    cl = Counter()
+    nl = Counter()
+    nr = Counter()
+    for (w1, w2), c in cb.items():
+        cl[w1] += c
+        nl[w1] += 1
+        nr[w2] += 1
+    T = len(cb)
+    d = 0.75
+    for (w1, w2), c in cb.items():
+        p = (c - d) / cl[w1] + ((d * nl[w1]) / cl[w1]) * (nr[w2] / T)
+        assert got[(w1, w2)] == (c, round(p, 6)), (w1, w2)
+    # mass identity per context w1: seen + lambda * (unseen continuation
+    # mass) == 1, where summing nr/T over ALL bigram-type w2 gives 1
+    for w1 in cl:
+        seen = sum(
+            (c - d) / cl[w1] for (a, _), c in cb.items() if a == w1
+        )
+        lam = (d * nl[w1]) / cl[w1]
+        total = seen + lam * sum(nr[w2] / T for w2 in nr)
+        assert abs(total - 1.0) < 1e-12

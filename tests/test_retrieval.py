@@ -119,3 +119,36 @@ def test_bm25_max_df_stopword_valve(spark):
     }
     for r in by_q[1]:
         assert uncapped[(1, r["doc_id"])] == r["bm25"]
+
+
+def test_phrase_search_overlaps_and_three_tokens(spark):
+    """Adjacency join counts every occurrence, including overlapping
+    runs, and generalizes past 2 tokens."""
+    from covid_data_pipeline_spark.operators.retrieval import phrase_search
+
+    docs = [
+        (1, "x table hash y table hash"),   # 2 matches
+        (2, "table x hash"),                # 0 (not adjacent)
+        (3, "a a a a"),                     # overlapping runs
+        (4, "table hash table hash table"), # 2 matches of 3-gram below
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    two = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(df, "table hash").collect()
+    }
+    assert two == {1: (2, 2), 4: (2, 1)}
+    aa = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(df, "a a").collect()
+    }
+    assert aa == {3: (3, 1)}
+    three = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(df, "table hash table").collect()
+    }
+    assert three == {4: (2, 1)}
+    import pytest
+
+    with pytest.raises(ValueError):
+        phrase_search(df, "solo")
