@@ -558,3 +558,95 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return holt_winters_seasonal(ev, period=7, alpha=0.5, beta=0.5, gamma=0.5)
+
+
+@register(
+    "events_kaplan_meier",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800.0
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, e.event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e),
+    ses AS (
+      SELECT user_id, sid, MIN(ts) AS t0, MAX(ts) AS t1
+      FROM sess GROUP BY 1, 2),
+    g AS (SELECT MAX(t1) AS gmax FROM ses),
+    subj AS (
+      SELECT CAST(FLOOR((EPOCH(t1) - EPOCH(t0)) / 60.0) AS BIGINT)
+               AS t_mins,
+             (EPOCH(g.gmax) - EPOCH(t1)) > 1800.0 AS ended
+      FROM ses CROSS JOIN g),
+    per_t AS (
+      SELECT t_mins, COUNT(*) AS n_ending,
+             SUM(CASE WHEN ended THEN 1 ELSE 0 END) AS n_events
+      FROM subj GROUP BY 1),
+    risk AS (
+      SELECT t_mins, CAST(n_events AS BIGINT) AS n_events,
+             CAST(SUM(n_ending) OVER (ORDER BY t_mins
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS n_risk
+      FROM per_t),
+    steps AS (
+      SELECT t_mins, n_risk, n_events,
+             CAST(ROUND(LN(CAST(n_risk - n_events AS DOUBLE)
+                           / CAST(n_risk AS DOUBLE)) * 1000000.0, 0)
+                  AS BIGINT) AS micro
+      FROM risk WHERE n_events > 0 AND n_risk > n_events)
+    SELECT t_mins, n_risk, n_events,
+           CAST(SUM(micro) OVER (ORDER BY t_mins) AS BIGINT)
+             AS log_surv_micronats,
+           ROUND(EXP(CAST(SUM(micro) OVER (ORDER BY t_mins) AS BIGINT)
+                     / 1000000.0), 4) AS km_survival
+    FROM steps
+    """,
+    tags=("temporal", "survival", "censoring", "session"),
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier session-length survival curve with right censoring
+    (`operators/temporal.py::kaplan_meier`): subjects are 30-min-gap
+    sessions, duration is whole minutes between first and last event,
+    and sessions whose last event falls within one gap of the end of
+    observation are CENSORED (still open), not ended — the estimator
+    product-analytics "session length histograms" get wrong. The
+    survival product is an exact BIGINT cumsum of micro-nat factor
+    logs (DSIR integer-scaling pattern); the step relation is domain-
+    compressed onto distinct minute durations."""
+    from covid_data_pipeline_spark.functions.scalar import epoch_seconds
+    from covid_data_pipeline_spark.operators.temporal import kaplan_meier
+
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = epoch_seconds("ts")
+    brk = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((ep - epoch_seconds(F.lag("ts").over(w))) > 1800.0),
+        1,
+    ).otherwise(0)
+    sess = ev.select("user_id", "ts", "event_id", brk.alias("brk"))
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sid = sess.withColumn("sid", F.sum("brk").over(w_cum))
+    ses = sid.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    g = ses.agg(F.max("t1").alias("gmax"))
+    subj = ses.crossJoin(F.broadcast(g)).select(
+        F.floor((epoch_seconds("t1") - epoch_seconds("t0")) / 60.0)
+        .cast("long")
+        .alias("t_mins"),
+        ((epoch_seconds("gmax") - epoch_seconds("t1")) > 1800.0).alias(
+            "ended"
+        ),
+    )
+    return kaplan_meier(subj, duration_col="t_mins", event_col="ended")

@@ -1114,3 +1114,110 @@ def docs_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, group_col="source", val_col="n_chars", id_col="doc_id",
         out_col="norm_chars",
     ).select("doc_id", "source", "n_chars", "norm_chars")
+
+
+def _pav_oracle_sql() -> str:
+    """PDA-style recursive-CTE replay of operators/calibrate.py::
+    isotonic_fit: one push or one pool-merge per recursion step over a
+    parallel-LIST stack; final state selected by max step; pools
+    re-expanded to buckets via a cumulative-count range join. All pool
+    arithmetic is exact BIGINT (the violation test is the cross-product
+    compare, no float), division happens once at emission."""
+    viol = (
+        "(len(p.st_s) >= 2 AND p.st_s[len(p.st_s)] * p.st_w[len(p.st_s) - 1]"
+        " < p.st_s[len(p.st_s) - 1] * p.st_w[len(p.st_s)])"
+    )
+
+    def merged(col: str) -> str:
+        return (
+            f"p.{col}[1:len(p.{col}) - 2] || "
+            f"[p.{col}[len(p.{col}) - 1] + p.{col}[len(p.{col})]]"
+        )
+
+    return rf"""
+    WITH RECURSIVE b AS (
+      SELECT lang, n_chars // 40 AS bucket, COUNT(*) AS w,
+             SUM(CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END) AS s
+      FROM documents GROUP BY 1, 2),
+    arr AS (
+      SELECT lang, list(s ORDER BY bucket) AS ss,
+             list(w ORDER BY bucket) AS ws, COUNT(*) AS n
+      FROM b GROUP BY 1),
+    pav(lang, step, i, st_s, st_w, st_n) AS (
+      SELECT lang, 1, 1, [ss[1]], [ws[1]], [CAST(1 AS BIGINT)] FROM arr
+      UNION ALL
+      SELECT p.lang, p.step + 1,
+             CASE WHEN {viol} THEN p.i ELSE p.i + 1 END,
+             CASE WHEN {viol} THEN {merged('st_s')}
+                  ELSE p.st_s || [a.ss[p.i + 1]] END,
+             CASE WHEN {viol} THEN {merged('st_w')}
+                  ELSE p.st_w || [a.ws[p.i + 1]] END,
+             CASE WHEN {viol} THEN {merged('st_n')}
+                  ELSE p.st_n || [CAST(1 AS BIGINT)] END
+      FROM pav p JOIN arr a USING (lang)
+      WHERE {viol} OR p.i < a.n),
+    final AS (
+      SELECT lang, st_s, st_w, st_n FROM (
+        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY step DESC)
+               AS rr
+        FROM pav) WHERE rr = 1),
+    pools AS (
+      SELECT lang, unnest(st_s) AS ps, unnest(st_w) AS pw,
+             unnest(st_n) AS pn, generate_subscripts(st_n, 1) AS j
+      FROM final),
+    pools2 AS (
+      SELECT lang, ps, pw,
+             SUM(pn) OVER (PARTITION BY lang ORDER BY j) - pn + 1 AS lo,
+             SUM(pn) OVER (PARTITION BY lang ORDER BY j) AS hi
+      FROM pools),
+    idx AS (
+      SELECT lang, bucket, s, w,
+             row_number() OVER (PARTITION BY lang ORDER BY bucket) AS bi
+      FROM b)
+    SELECT i.lang, i.bucket, i.w AS n_docs,
+           ROUND(CAST(i.s AS DOUBLE) / CAST(i.w AS DOUBLE), 6) AS rate_raw,
+           ROUND(CAST(p.ps AS DOUBLE) / CAST(p.pw AS DOUBLE), 6) AS rate_iso
+    FROM idx i JOIN pools2 p
+      ON i.lang = p.lang AND i.bi BETWEEN p.lo AND p.hi
+    """
+
+
+@register(
+    "docs_isotonic_calibration",
+    _pav_oracle_sql(),
+    tags=("training", "calibration", "isotonic", "iterative"),
+)
+def docs_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration curve per language: observed rate of
+    "doc contains ' the '" per 40-char length bucket, plus the fitted
+    non-decreasing rate (`operators/calibrate.py::isotonic_fit`) — the
+    classifier-score -> empirical-probability calibration step of a
+    curation pipeline. Corpus-scale counting happens in plain groupBys;
+    only the domain-compressed bucket curve enters the exact-integer
+    PAV stack machine (applyInPandas per group). The oracle replays the
+    machine as a PDA recursive CTE — value-hash verified because PAV's
+    solution is unique and every pool compare is integer."""
+    from covid_data_pipeline_spark.operators.calibrate import isotonic_fit
+
+    docs = table(spark, sf_dir, "documents")
+    b = (
+        docs.groupBy("lang", F.expr("n_chars div 40").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("text").contains(" the "), 1).otherwise(0)
+            ).alias("s"),
+        )
+    )
+    fit = isotonic_fit(
+        b, group_col="lang", x_col="bucket", s_col="s", w_col="n_docs",
+        out_col="iso_raw",
+    )
+    return fit.select(
+        "lang",
+        "bucket",
+        "n_docs",
+        F.round(F.col("s").cast("double") / F.col("n_docs").cast("double"), 6)
+        .alias("rate_raw"),
+        F.round("iso_raw", 6).alias("rate_iso"),
+    )

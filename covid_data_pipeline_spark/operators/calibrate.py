@@ -92,3 +92,57 @@ def quantile_normalize(
     return out.drop(
         "__r", "__n_g", "__n_total", "__pos", "__ref_val", "__lo", "__hi", "__c"
     )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    s_col: str,
+    w_col: str,
+    out_col: str = "iso_value",
+) -> DataFrame:
+    """Isotonic regression per group by Pool-Adjacent-Violators (PAV,
+    Ayer et al. 1955; the calibration step behind isotonic classifier
+    calibration, Zadrozny & Elkan KDD'02): given per-bucket integer
+    ``(s_col, w_col)`` success/weight counts ordered by ``x_col``, fit
+    the least-squares NON-DECREASING rate curve. Appends ``out_col``
+    (the pooled rate, raw double — callers round JVM-side per repo
+    float policy) to the input rows.
+
+    PAV's inner merge cascade is data-dependent (a stack machine, not a
+    fixed-order fold), so this is the sanctioned Arrow path: one
+    ``applyInPandas`` over groups, exact PYTHON-INT pool arithmetic
+    (violation test ``s_a·w_b < s_b·w_a`` — no float compare anywhere),
+    O(buckets) state. Buckets per group are domain-compressed (a
+    calibration curve has dozens of points however big the corpus), so
+    group payloads stay tiny while the corpus-sized count aggregation
+    happens BEFORE this operator in plain DataFrame ops. The oracle
+    replays the same machine as a PDA-style recursive CTE (one push or
+    one merge per step) — PAV's solution is unique, so merge scheduling
+    cannot diverge."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        [*df.schema.fields, StructField(out_col, DoubleType(), False)]
+    )
+
+    def _pav(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(x_col, kind="mergesort").reset_index(drop=True)
+        ss = [int(v) for v in pdf[s_col]]
+        ws = [int(v) for v in pdf[w_col]]
+        stack: list[tuple[int, int, int]] = []
+        for s, w in zip(ss, ws):
+            cs, cw, cn = s, w, 1
+            while stack and cs * stack[-1][1] < stack[-1][0] * cw:
+                ps, pw, pn = stack.pop()
+                cs, cw, cn = cs + ps, cw + pw, cn + pn
+            stack.append((cs, cw, cn))
+        fitted: list[float] = []
+        for cs, cw, cn in stack:
+            fitted.extend([cs / cw] * cn)
+        pdf[out_col] = fitted
+        return pdf
+
+    return df.groupBy(group_col).applyInPandas(_pav, schema)

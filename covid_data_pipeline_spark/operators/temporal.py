@@ -711,3 +711,73 @@ def holt_winters_seasonal(
             4,
         ).alias("forecast_p"),
     )
+
+
+def kaplan_meier(
+    subjects: DataFrame,
+    duration_col: str = "t_days",
+    event_col: str = "event",
+) -> DataFrame:
+    """Kaplan-Meier survival estimate (Kaplan & Meier 1958) with right
+    censoring over a SUBJECTS relation: one row per subject with an
+    integer ``duration_col`` and a boolean ``event_col`` (True = the
+    terminal event was observed at that duration; False = censored —
+    the subject was still "alive" when observation ended, which naive
+    lifetime histograms mistake for short lifetimes and bias the curve
+    down). At each duration t with d_t observed events and n_t subjects
+    still at risk (duration >= t): ``S(t) = prod_{u<=t} (1 - d_u/n_u)``.
+
+    Float policy (the DSIR micro-nat pattern): each factor is a ratio
+    of exact BIGINTs; its log is integer-scaled to micro-nats BEFORE
+    the cumulative sum, so the running product is an exact BIGINT
+    cumsum — cross-engine hash-stable — and only the display
+    ``km_survival`` divides/exps. Steps stop before a zero factor
+    (all-at-risk churned: S hits exactly 0, log undefined).
+
+    Scale shape: everything after the caller's per-subject reduction is
+    DOMAIN-COMPRESSED onto distinct durations — risk counts, event
+    counts, and the cumulative log all run on a durations-sized
+    relation, so the global windows are trivially cheap at any corpus
+    size. Returns (duration_col, n_risk, n_events, log_surv_micronats,
+    km_survival)."""
+    per_t = subjects.groupBy(duration_col).agg(
+        F.count(F.lit(1)).alias("n_ending"),
+        F.sum(F.when(F.col(event_col), 1).otherwise(0)).alias("n_events"),
+    )
+    w_risk = Window.orderBy(duration_col).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risk = per_t.select(
+        duration_col,
+        "n_events",
+        F.sum("n_ending").over(w_risk).alias("n_risk"),
+    )
+    steps = risk.where(
+        (F.col("n_events") > 0) & (F.col("n_risk") > F.col("n_events"))
+    )
+    micro = F.round(
+        F.log(
+            (F.col("n_risk") - F.col("n_events")).cast("double")
+            / F.col("n_risk").cast("double")
+        )
+        * F.lit(1000000.0),
+        0,
+    ).cast("long")
+    w_cum = Window.orderBy(duration_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        steps.withColumn("__micro", micro)
+        .select(
+            duration_col,
+            "n_risk",
+            "n_events",
+            F.sum("__micro").over(w_cum).alias("log_surv_micronats"),
+        )
+        .withColumn(
+            "km_survival",
+            F.round(
+                F.exp(F.col("log_surv_micronats") / F.lit(1000000.0)), 4
+            ),
+        )
+    )

@@ -49,3 +49,39 @@ def test_quantile_normalize_partitioning_invariant(spark):
     ra = sorted((r["id"], r["norm_value"]) for r in a.collect())
     rb = sorted((r["id"], r["norm_value"]) for r in b.collect())
     assert ra == rb
+
+
+def test_isotonic_fit_hand_case_and_monotone(spark):
+    """PAV pools adjacent violators into weighted means; output is
+    non-decreasing and matches the hand-solved case."""
+    from covid_data_pipeline_spark.operators.calibrate import isotonic_fit
+
+    rows = [
+        ("g", 1, 1, 10),
+        ("g", 2, 5, 10),
+        ("g", 3, 3, 10),
+        ("g", 4, 2, 10),
+        ("g", 5, 8, 10),
+    ]
+    df = spark.createDataFrame(rows, "grp string, x int, s long, w long")
+    got = {
+        r["x"]: r["iso_value"]
+        for r in isotonic_fit(df, "grp", "x", "s", "w").collect()
+    }
+    assert got[1] == 0.1
+    assert got[2] == got[3] == got[4] == 10 / 30
+    assert got[5] == 0.8
+    vals = [got[x] for x in sorted(got)]
+    assert vals == sorted(vals)
+
+
+def test_isotonic_fit_already_monotone_is_identity(spark):
+    from covid_data_pipeline_spark.operators.calibrate import isotonic_fit
+
+    rows = [("g", i, i, 10) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "grp string, x int, s long, w long")
+    got = {
+        r["x"]: r["iso_value"]
+        for r in isotonic_fit(df, "grp", "x", "s", "w").collect()
+    }
+    assert got == {i: i / 10 for i in range(1, 6)}

@@ -510,3 +510,40 @@ def test_holt_winters_drops_short_series(spark):
     df = spark.createDataFrame(rows, "ts timestamp, event_type string")
     got = holt_winters_seasonal(df, period=7).collect()
     assert [r["event_type"] for r in got] == ["long"]
+
+
+def test_kaplan_meier_hand_case(spark):
+    """KM steps match the hand-computed product-limit estimate,
+    censored subjects stay in the risk set without emitting steps."""
+    import math
+
+    from covid_data_pipeline_spark.operators.temporal import kaplan_meier
+
+    subj = [
+        (1, True), (1, True), (2, True),
+        (3, False), (3, True), (3, True),
+        (5, False), (5, True),
+        (7, False), (9, False),
+    ]
+    df = spark.createDataFrame(subj, "t long, event boolean")
+    rows = {
+        r["t"]: r for r in kaplan_meier(df, "t", "event").collect()
+    }
+    # steps only at event times with a nonzero factor
+    assert sorted(rows) == [1, 2, 3, 5]
+    assert (rows[1]["n_risk"], rows[1]["n_events"]) == (10, 2)
+    assert (rows[2]["n_risk"], rows[2]["n_events"]) == (8, 1)
+    assert (rows[3]["n_risk"], rows[3]["n_events"]) == (7, 2)
+    assert (rows[5]["n_risk"], rows[5]["n_events"]) == (4, 1)
+    surv = {1: 0.8, 2: 0.7, 3: 0.5, 5: 0.375}
+    for t, s in surv.items():
+        assert abs(rows[t]["km_survival"] - s) < 2e-4
+    # the exact contract: BIGINT cumsum of rounded micro-nat logs
+    micros = {
+        t: round(math.log((r["n_risk"] - r["n_events"]) / r["n_risk"]) * 1e6)
+        for t, r in rows.items()
+    }
+    acc = 0
+    for t in sorted(rows):
+        acc += micros[t]
+        assert rows[t]["log_surv_micronats"] == acc
