@@ -1597,3 +1597,130 @@ def embeddings_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return kcenter_coreset(emb, k=_KCENTER_K)
+
+
+@register(
+    "retrieval_eval_ndcg",
+    """
+    WITH ev AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vd
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, vd AS qv FROM ev WHERE vec_id % 25 = 0),
+    truth_sc AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_dot_product(e.vd, q.qv)
+                   / (sqrt(list_dot_product(e.vd, e.vd))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 4) AS sim
+      FROM ev e, q WHERE e.vec_id <> q.query_id),
+    truth AS (
+      SELECT query_id, vec_id, rn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+        FROM truth_sc) WHERE rn <= 10),
+    qz AS (
+      SELECT vec_id,
+             list_transform(vd, x -> ROUND(x * 127.0 / mx, 0)) AS qv8
+      FROM (SELECT vec_id, vd,
+                   list_aggregate(list_transform(vd, x -> abs(x)), 'max')
+                     AS mx
+            FROM ev)),
+    sysq AS (SELECT vec_id AS query_id, qv8 AS qqv FROM qz
+             WHERE vec_id % 25 = 0),
+    sys_sc AS (
+      SELECT s.query_id, z.vec_id,
+             ROUND(list_dot_product(z.qv8, s.qqv)
+                   / (sqrt(list_dot_product(z.qv8, z.qv8))
+                      * sqrt(list_dot_product(s.qqv, s.qqv))), 6) AS sim
+      FROM qz z, sysq s WHERE z.vec_id <> s.query_id),
+    sys_r AS (
+      SELECT query_id, vec_id, rn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+        FROM sys_sc) WHERE rn <= 10),
+    terms AS (
+      SELECT s.query_id,
+             CAST(ROUND(CAST(COALESCE(11 - t.rn, 0) AS DOUBLE) * 1000000.0
+                        / LOG2(s.rn + 1.0), 0) AS BIGINT) AS term
+      FROM sys_r s LEFT JOIN truth t USING (query_id, vec_id)),
+    dcg AS (SELECT query_id, CAST(SUM(term) AS BIGINT) AS dcg_micros
+            FROM terms GROUP BY 1),
+    iterms AS (
+      SELECT query_id,
+             CAST(ROUND(CAST(11 - rn AS DOUBLE) * 1000000.0
+                        / LOG2(rn + 1.0), 0) AS BIGINT) AS term
+      FROM truth),
+    idcg AS (SELECT query_id, CAST(SUM(term) AS BIGINT) AS idcg_micros
+             FROM iterms GROUP BY 1)
+    SELECT dcg.query_id, dcg_micros, idcg_micros,
+           ROUND(CAST(dcg_micros AS DOUBLE) / CAST(idcg_micros AS DOUBLE), 4)
+             AS ndcg
+    FROM dcg JOIN idcg USING (query_id)
+    """,
+    tags=("similarity", "retrieval", "evaluation", "quantization"),
+)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of int8-quantized cosine retrieval against exact cosine
+    truth (`operators/retrieval.py::ndcg_at_k`) — the quality gate for
+    swapping a cheap quantized index in: truth rank r grades to
+    relevance 11-r, system docs outside the truth list score 0, and
+    both DCG sums accumulate as exact BIGINT micro-units. The quantized
+    scores are integer dot products of round(x*127/max_abs) codes —
+    exactly replayable in SQL — so even the "approximate" system ranks
+    identically on both engines."""
+    from pyspark.sql.window import Window as W
+
+    from covid_data_pipeline_spark.operators.retrieval import ndcg_at_k
+    from covid_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        dot,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = cosine_topk_bruteforce(
+        e, queries, k=10, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id",
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("vec_id")
+    )
+    truth = topk.select(
+        "query_id", "vec_id", F.row_number().over(w).alias("rank")
+    )
+
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(vd, F.abs))
+    qv8 = F.transform(vd, lambda x: F.round(x * 127.0 / mx, 0))
+    qz = e.select("vec_id", qv8.alias("qv8"))
+    sysq = F.broadcast(
+        qz.where(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("qv8").alias("qqv")
+        )
+    )
+    sys_sc = (
+        qz.crossJoin(sysq)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot(F.col("qv8"), F.col("qqv"))
+                / (
+                    F.sqrt(dot(F.col("qv8"), F.col("qv8")))
+                    * F.sqrt(dot(F.col("qqv"), F.col("qqv")))
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    system = (
+        sys_sc.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "rank")
+    )
+    return ndcg_at_k(system, truth, k=10)

@@ -268,3 +268,66 @@ def phrase_search(
         F.count(F.lit(1)).alias("n_matches"),
         F.min("p0").alias("first_pos"),
     )
+
+
+def ndcg_at_k(
+    system: DataFrame,
+    truth: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """NDCG@k of a ranked SYSTEM against a ranked TRUTH (Järvelin &
+    Kekäläinen 2002) — the retrieval-quality gate a curation pipeline
+    runs before swapping its ANN/quantization config: how much ranking
+    quality did the cheap index give up vs exact search?
+
+    Both inputs carry (query, doc, rank<=k). Truth rank r maps to
+    graded relevance ``k+1-r``; system docs outside the truth list get
+    relevance 0. Each DCG term ``rel / log2(pos+1)`` is integer-scaled
+    to micro-units BEFORE summation (the DSIR micro-nat pattern), so
+    per-query DCG/IDCG are exact BIGINT sums — cross-engine
+    hash-stable — and only the final ratio divides.
+
+    Scale shape: one equi-join on (query, doc) + two grouped sums over
+    |queries|·k rows — the eval relation, never the corpus. Returns
+    (query_col, dcg_micros, idcg_micros, ndcg)."""
+    rel_t = truth.select(
+        query_col,
+        id_col,
+        (F.lit(k + 1) - F.col(rank_col)).alias("__rel"),
+        F.col(rank_col).alias("__trank"),
+    )
+
+    def _term(rel, pos):
+        return F.round(
+            rel.cast("double") * 1000000.0 / F.log2(pos + F.lit(1.0)), 0
+        ).cast("long")
+
+    sys_scored = system.join(
+        rel_t.select(query_col, id_col, "__rel"), [query_col, id_col], "left"
+    ).select(
+        query_col,
+        _term(F.coalesce(F.col("__rel"), F.lit(0)), F.col(rank_col)).alias(
+            "__t"
+        ),
+    )
+    dcg = sys_scored.groupBy(query_col).agg(F.sum("__t").alias("dcg_micros"))
+    idcg = (
+        rel_t.select(
+            query_col, _term(F.col("__rel"), F.col("__trank")).alias("__t")
+        )
+        .groupBy(query_col)
+        .agg(F.sum("__t").alias("idcg_micros"))
+    )
+    return dcg.join(idcg, query_col).select(
+        query_col,
+        "dcg_micros",
+        "idcg_micros",
+        F.round(
+            F.col("dcg_micros").cast("double")
+            / F.col("idcg_micros").cast("double"),
+            4,
+        ).alias("ndcg"),
+    )

@@ -152,3 +152,41 @@ def test_phrase_search_overlaps_and_three_tokens(spark):
 
     with pytest.raises(ValueError):
         phrase_search(df, "solo")
+
+
+def test_ndcg_perfect_reversed_and_disjoint(spark):
+    """NDCG@k is 1 for a perfect ranking, the hand-computed value for a
+    reversed one, and 0 for a system sharing nothing with truth."""
+    import math
+
+    from covid_data_pipeline_spark.operators.retrieval import ndcg_at_k
+
+    k = 3
+    truth = spark.createDataFrame(
+        [(1, 101, 1), (1, 102, 2), (1, 103, 3)],
+        "query_id long, vec_id long, rank int",
+    )
+    perfect = truth
+    reverse = spark.createDataFrame(
+        [(1, 103, 1), (1, 102, 2), (1, 101, 3)],
+        "query_id long, vec_id long, rank int",
+    )
+    disjoint = spark.createDataFrame(
+        [(1, 901, 1), (1, 902, 2), (1, 903, 3)],
+        "query_id long, vec_id long, rank int",
+    )
+    assert ndcg_at_k(perfect, truth, k).first()["ndcg"] == 1.0
+    assert ndcg_at_k(disjoint, truth, k).first()["dcg_micros"] == 0
+    got = ndcg_at_k(reverse, truth, k).first()
+    rel = {101: 3, 102: 2, 103: 1}
+    dcg = sum(
+        round(rel[d] * 1e6 / math.log2(p + 1))
+        for p, d in enumerate([103, 102, 101], start=1)
+    )
+    idcg = sum(
+        round(rel[d] * 1e6 / math.log2(p + 1))
+        for p, d in enumerate([101, 102, 103], start=1)
+    )
+    assert got["dcg_micros"] == dcg
+    assert got["idcg_micros"] == idcg
+    assert got["ndcg"] == round(dcg / idcg, 4)
