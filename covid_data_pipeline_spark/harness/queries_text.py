@@ -1501,3 +1501,53 @@ def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(
         table(spark, sf_dir, "documents"), phrase="table hash"
     )
+
+
+@register(
+    "docs_feature_hashing",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+               AS tok
+      FROM documents),
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks),
+    slotted AS (
+      SELECT doc_id, h % 32 AS slot,
+             CASE WHEN (h % 64) >= 32 THEN -1 ELSE 1 END AS sign
+      FROM hashed),
+    per_slot AS (
+      SELECT doc_id, slot, CAST(SUM(sign) AS DOUBLE) AS val,
+             COUNT(*) AS n
+      FROM slotted GROUP BY 1, 2),
+    grid AS (
+      SELECT d.doc_id, g.slot FROM
+        (SELECT DISTINCT doc_id FROM per_slot) d,
+        (SELECT unnest(range(0, 32)) AS slot) g)
+    SELECT grid.doc_id,
+           CAST(SUM(COALESCE(p.n, 0)) AS BIGINT) AS n_tokens,
+           list(COALESCE(p.val, 0.0) ORDER BY grid.slot) AS features
+    FROM grid LEFT JOIN per_slot p
+      ON grid.doc_id = p.doc_id AND grid.slot = p.slot
+    GROUP BY grid.doc_id
+    """,
+    tags=("text", "features", "hashing-trick"),
+)
+def docs_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing (hashing trick, Weinberger et al.
+    ICML'09) of every document into a fixed 32-dim vector
+    (`operators/features.py::feature_hash_vectors`): slot = portable
+    md5-prefix hash mod 32, sign from the next hash bit, coordinate =
+    signed token-count sum. No vocabulary pass, no broadcast — the
+    featurizer a streaming corpus needs. Every coordinate is an
+    integer-valued double derived from the portable hash, so the
+    oracle rebuilds the identical vectors in SQL."""
+    from covid_data_pipeline_spark.operators.features import (
+        feature_hash_vectors,
+    )
+
+    return feature_hash_vectors(
+        table(spark, sf_dir, "documents"), dim=32
+    )

@@ -1,0 +1,89 @@
+"""Feature hashing (the "hashing trick", Weinberger et al. ICML'09):
+project a variable vocabulary into a FIXED-dimension vector with a hash
+— no vocabulary dictionary to build, broadcast, or keep consistent
+across training runs, which is exactly what makes it the featurizer of
+choice for streaming/appended corpora at warehouse scale (a dictionary
+featurizer needs a global vocab pass + a broadcast that grows with the
+corpus; the hash needs neither).
+
+Each token t lands in slot ``h(t) mod dim`` with sign ``±1`` drawn from
+an independent hash bit; signed collisions cancel in expectation, which
+bounds the inner-product distortion (the paper's unbiasedness result).
+
+Hash portability (the repo's cross-engine contract): ``h(t)`` is the
+first 15 hex chars of md5 as an integer — Spark
+``conv(substring(md5(x),1,15),16,10)`` equals DuckDB
+``CAST('0x' || substr(md5(x),1,15) AS BIGINT)`` — so the exact same
+vectors are derivable in plain SQL, and the oracle hash-verifies every
+coordinate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.functions.text import tokens
+
+
+def portable_token_hash(col: Column | str) -> Column:
+    """First 15 md5 hex chars as a non-negative BIGINT (fits signed 64;
+    same value as the DuckDB expression above)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+def feature_hash_vectors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 32,
+) -> DataFrame:
+    """Hash each document's whitespace tokens into a ``dim``-dimensional
+    signed-count vector: slot ``h mod dim``, sign ``+1/-1`` from the
+    next hash bit (``(h div dim) mod 2``), coordinate = Σ sign·count.
+
+    Returns (id_col, n_tokens, features array<double> — integer-valued,
+    so cross-engine exact).
+
+    Scale shape: explode → ONE (doc, slot) hash-shuffle aggregate with
+    map-side combine (at most ``dim`` rows survive per doc however long
+    the doc), then one per-doc regroup assembles the dense array via a
+    slot->value map lookup over ``sequence(0, dim-1)`` — no vocabulary
+    relation, no broadcast, nothing proportional to vocab size
+    anywhere."""
+    toks = df.select(
+        id_col, F.explode(tokens(text_col)).alias("tok")
+    )
+    h = portable_token_hash("tok")
+    slotted = toks.select(
+        id_col,
+        (h % dim).alias("slot"),
+        # (h div dim) mod 2 without float division: for h >= 0 the
+        # parity of floor(h/dim) equals [h mod 2*dim >= dim]
+        F.when((h % (2 * dim)) >= dim, F.lit(-1))
+        .otherwise(F.lit(1))
+        .alias("sign"),
+    )
+    per_slot = slotted.groupBy(id_col, "slot").agg(
+        F.sum("sign").cast("double").alias("val"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        per_slot.groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.map_from_entries(
+                F.collect_list(F.struct("slot", "val"))
+            ).alias("__m"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("__m"), i.cast("long")), F.lit(0.0)
+                ),
+            ).alias("features"),
+        )
+    )

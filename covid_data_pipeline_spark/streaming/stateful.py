@@ -611,3 +611,136 @@ def stream_cusum(
             "breach"
         ),
     )
+
+
+def stream_holt_winters(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("event_type",),
+    period: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    gamma: float = 0.5,
+) -> DataFrame:
+    """Streaming twin of ``operators/temporal.py::holt_winters_seasonal``:
+    per key, daily counts accumulate in state; each CLOSED day folds
+    through the identical additive Holt-Winters recurrence and emits
+    its (day, level, trend, forecast_1) row.
+
+    Warmup: the first ``2·period`` closed days buffer in state (the
+    batch init needs two full seasons — ℓ₀/b₀ from exact integer season
+    sums, s_i from season one); on the 2m-th closure the model
+    initializes and REPLAYS days m+1..2m through the fold (the batch
+    operator folds those too), emitting them in order. Steady state is
+    O(period) doubles per key — history length is irrelevant.
+
+    Day-ordered arrival per key is required (same contract and same
+    loud failure as :func:`stream_cusum`). The fold runs the same IEEE
+    double expressions as the batch ``F.aggregate`` step, so for every
+    closed day the emitted level/trend equal a batch fit over exactly
+    the closed-day prefix — asserted in tests.
+    """
+    key_cols = list(key_cols)
+    m = int(period)
+    a, b, g = float(alpha), float(beta), float(gamma)
+    fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [fields[c] for c in key_cols]
+        + [
+            StructField("day", StringType(), False),
+            StructField("lvl", DoubleType(), False),
+            StructField("trd", DoubleType(), False),
+            StructField("fc1", DoubleType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("lvl", DoubleType(), True),
+            StructField("trd", DoubleType(), True),
+            StructField("seas", ArrayType(DoubleType()), True),
+            StructField("buf_days", ArrayType(StringType()), True),
+            StructField("buf_cnts", ArrayType(LongType()), True),
+            StructField("open_day", StringType(), True),
+            StructField("open_cnt", LongType(), True),
+        ]
+    )
+    src = df.where(F.col(ts_col).isNotNull()).select(
+        *key_cols, F.to_date(F.col(ts_col)).cast("string").alias("__day")
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            lvl, trd, seas, buf_days, buf_cnts, open_day, open_cnt = state.get
+            seas = list(seas) if seas is not None else None
+            buf_days, buf_cnts = list(buf_days), list(buf_cnts)
+        else:
+            lvl, trd, seas = 0.0, 0.0, None
+            buf_days, buf_cnts, open_day, open_cnt = [], [], None, 0
+        emitted: list[tuple[str, float, float, float]] = []
+
+        def fold(day: str, cnt: int) -> None:
+            # bit-identical to the batch F.aggregate step expressions
+            nonlocal lvl, trd, seas
+            y = float(cnt)
+            s_m = seas[0]
+            nl = a * (y - s_m) + (1.0 - a) * (lvl + trd)
+            nt = b * (nl - lvl) + (1.0 - b) * trd
+            ns = g * (y - nl) + (1.0 - g) * s_m
+            seas = seas[1:] + [ns]
+            lvl, trd = nl, nt
+            emitted.append((day, lvl, trd, lvl + trd + seas[0]))
+
+        def close(day: str, cnt: int) -> None:
+            nonlocal lvl, trd, seas, buf_days, buf_cnts
+            if seas is None:
+                buf_days.append(day)
+                buf_cnts.append(cnt)
+                if len(buf_cnts) == 2 * m:
+                    s1 = sum(buf_cnts[:m])
+                    s2 = sum(buf_cnts[m:])
+                    lvl = float(s1) / float(m)
+                    trd = float(s2 - s1) / float(m * m)
+                    seas = [float(y) - lvl for y in buf_cnts[:m]]
+                    for d, c in zip(buf_days[m:], buf_cnts[m:]):
+                        fold(d, c)
+                    buf_days, buf_cnts = [], []
+            else:
+                fold(day, cnt)
+
+        for pdf in pdfs:
+            counts = pdf["__day"].value_counts()
+            for day in sorted(counts.index):
+                if open_day is None:
+                    open_day, open_cnt = day, 0
+                elif day > open_day:
+                    close(open_day, open_cnt)
+                    open_day, open_cnt = day, 0
+                elif day < open_day:
+                    raise ValueError(
+                        f"day-ordered arrival violated: {day} after "
+                        f"{open_day} closed (key={key})"
+                    )
+                open_cnt += int(counts[day])
+        state.update(
+            (lvl, trd, seas, buf_days, buf_cnts, open_day, open_cnt)
+        )
+        if emitted:
+            out = pd.DataFrame(
+                emitted, columns=["day", "lvl", "trd", "fc1"]
+            )
+            for c, v in zip(key_cols, key):
+                out[c] = v
+            yield out[[*key_cols, "day", "lvl", "trd", "fc1"]]
+
+    raw = src.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return raw.select(
+        *key_cols,
+        F.col("day").cast("date").alias("day"),
+        F.round(F.col("lvl"), 4).alias("level"),
+        F.round(F.col("trd"), 4).alias("trend"),
+        F.round(F.col("fc1"), 4).alias("forecast_1"),
+    )

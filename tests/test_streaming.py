@@ -1038,3 +1038,67 @@ def test_stream_cusum_rejects_out_of_order_days(spark, tmp_path):
 
     with _pytest.raises(Exception, match="day-ordered arrival violated"):
         q.awaitTermination()
+
+
+def test_stream_holt_winters_matches_batch_on_closed_days(spark, tmp_path):
+    import datetime as dt
+
+    from covid_data_pipeline_spark.operators.temporal import (
+        holt_winters_seasonal,
+    )
+    from covid_data_pipeline_spark.streaming.stateful import (
+        stream_holt_winters,
+    )
+
+    season = {"x": [5, 1, 2, 8, 3, 9, 4], "y": [2, 2, 7, 1, 6, 3, 5]}
+    n_days = 20
+    rows = []
+    for et, s in season.items():
+        for t in range(n_days):
+            cnt = s[t % 7] + t + (3 if et == "y" else 0)
+            for j in range(cnt):
+                rows.append((dt.datetime(2024, 5, 1 + t, 8, j % 60), et))
+
+    src_dir = tmp_path / "hw_src"
+    src_dir.mkdir()
+    # day-ordered micro-batches: days 0-9 / 10-15 / 16-19
+    for n, (lo, hi) in enumerate([(0, 10), (10, 16), (16, 20)]):
+        chunk = [r for r in rows if lo <= r[0].day - 1 < hi]
+        spark.createDataFrame(
+            chunk, "ts timestamp, event_type string"
+        ).coalesce(1).write.parquet(str(src_dir / f"f{n}.parquet"))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    q = (
+        stream_holt_winters(stream)
+        .writeStream.format("memory")
+        .queryName("hw_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM hw_stream").collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["event_type"], []).append(r)
+    # closed days = 19 of 20; folds start at day 8 -> 12 emissions/key
+    assert {k: len(v) for k, v in by_key.items()} == {"x": 12, "y": 12}
+
+    # final emitted row per key == batch fit over the closed-day prefix
+    closed = [r for r in rows if r[0].day - 1 < n_days - 1]
+    batch = {
+        r["event_type"]: r
+        for r in holt_winters_seasonal(
+            spark.createDataFrame(closed, "ts timestamp, event_type string")
+        ).collect()
+    }
+    for et, emitted in by_key.items():
+        last = max(emitted, key=lambda r: r["day"])
+        assert last["level"] == batch[et]["level"], et
+        assert last["trend"] == batch[et]["trend"], et
+        assert last["forecast_1"] == batch[et]["forecast_1"], et
