@@ -49,21 +49,33 @@ def quantile_normalize(
     Output: the input columns plus ``out_col`` (same type as
     ``val_col``). Within-group order of ``out_col`` equals the order of
     ``val_col``; across groups the normalized distributions coincide.
-    """
-    # reference distribution, domain-compressed: distinct value ->
-    # [lo, hi) global-position interval (half-open on lo)
-    counts = df.groupBy(F.col(val_col).alias("__ref_val")).agg(
+
+    Join shape matters at scale: the pooled value is fetched by an
+    EQUI-join ``pos == gidx`` against the corpus tagged with its global
+    sorted index — never an interval/range join, which Spark can only
+    plan as a broadcast nested loop (measured catastrophic past ~10k
+    distinct values). The global index itself needs no global sort:
+    per-distinct-value offsets (one cumulative window over the
+    domain-compressed counts relation) plus a within-value rank."""
+    # global sorted index: offset(value) + rank within value
+    counts = df.groupBy(F.col(val_col).alias("__v")).agg(
         F.count(F.lit(1)).alias("__c")
     )
-    w_off = Window.orderBy("__ref_val").rowsBetween(
+    w_off = Window.orderBy("__v").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    ref = counts.select(
-        "__ref_val",
-        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__lo"),
-        (F.coalesce(F.sum("__c").over(w_off), F.lit(0)) + F.col("__c")).alias(
-            "__hi"
-        ),
+    offsets = counts.select(
+        "__v", F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off")
+    )
+    ref = (
+        df.select(F.col(val_col).alias("__ref_val"), F.col(id_col))
+        .join(offsets, F.col("__ref_val") == F.col("__v"))
+        .select(
+            "__ref_val",
+            (F.col("__off") + F.row_number().over(
+                Window.partitionBy("__ref_val").orderBy(id_col)
+            ).cast("long")).alias("__gidx"),
+        )
     )
     total = df.agg(F.count(F.lit(1)).alias("__n_total"))
 
@@ -86,11 +98,10 @@ def quantile_normalize(
         )
     )
     out = ranked.join(
-        F.broadcast(ref),
-        (F.col("__pos") > F.col("__lo")) & (F.col("__pos") <= F.col("__hi")),
+        ref, F.col("__pos") == F.col("__gidx")
     ).withColumn(out_col, F.col("__ref_val"))
     return out.drop(
-        "__r", "__n_g", "__n_total", "__pos", "__ref_val", "__lo", "__hi", "__c"
+        "__r", "__n_g", "__n_total", "__pos", "__ref_val", "__gidx"
     )
 
 

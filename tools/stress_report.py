@@ -639,6 +639,256 @@ def case_dsir_weights_400k(spark):
     }
 
 
+def case_skyline_10m(spark):
+    """Two-phase skyline at 10M points (hash-scattered, ~1M distinct
+    cells): the survivor set is proven EQUAL to the true skyline by two
+    total checks — no survivor is strictly dominated by ANY of the 10M
+    points, and every point is covered (dominated-or-equal) by some
+    survivor — plus partitioning invariance. The naive NOT EXISTS
+    dominance join this replaces is 10M x 10M."""
+    from covid_data_pipeline_spark.operators.skyline import skyline_2d
+
+    n = 10_000_000
+    pts = (
+        spark.range(n)
+        .select(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000)).alias("x"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(1_000_000))
+            .alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    t0 = time.time()
+    surv = skyline_2d(pts, "x", "y").collect()
+    wall = time.time() - t0
+    s = [(r["x"], r["y"]) for r in surv]
+    mutual = all(
+        not (qx <= x and qy >= y and (qx < x or qy > y))
+        for x, y in s
+        for qx, qy in s
+    )
+    from pyspark.sql import Row
+
+    sdf = F.broadcast(
+        spark.createDataFrame([Row(sx=a, sy=b) for a, b in s])
+    )
+    # any point strictly dominating a survivor disproves soundness
+    dominating = (
+        pts.crossJoin(sdf)
+        .where(
+            (F.col("x") <= F.col("sx")) & (F.col("y") >= F.col("sy"))
+            & ((F.col("x") < F.col("sx")) | (F.col("y") > F.col("sy")))
+        )
+        .count()
+    )
+    # any point no survivor covers disproves completeness
+    uncovered = (
+        pts.join(
+            sdf,
+            (F.col("sx") <= F.col("x")) & (F.col("sy") >= F.col("y")),
+            "left_anti",
+        ).count()
+    )
+    surv2 = {
+        (r["x"], r["y"])
+        for r in skyline_2d(pts.repartition(157), "x", "y").collect()
+    }
+    return {
+        "rows": n,
+        "distinct_cells": pts.count(),
+        "skyline_size": len(s),
+        "scale_vs_sf0.1": "500x part-catalog points",
+        "sec": round(wall, 2),
+        "invariant": surv2 == set(s),
+        "ok": mutual and dominating == 0 and uncovered == 0
+              and surv2 == set(s),
+    }
+
+
+def case_kcore_1m_edges(spark):
+    """k-core peeling at 1.36M edges with a PLANTED answer AND a
+    planted multi-round cascade: 40k disjoint 5-cliques (every member
+    degree 4 -> the entire 4-core survives) each trailing an 8-node
+    chain whose nodes are propped to degree EXACTLY k by pendant
+    leaves — so the chain unravels one node per synchronous round
+    (pendants r1, then the chain tip each round), ~10 rounds total,
+    the regime where per-round lineage truncation matters. Survivor
+    set and in-core degrees are checked exactly, plus partitioning
+    invariance."""
+    from covid_data_pipeline_spark.operators.graph import kcore
+
+    n_cliques = 40_000
+    stride = 29  # 5 clique + 8 chain + 16 pendant ids per gadget
+    clique_edges = (
+        spark.range(n_cliques)
+        .select(F.explode(F.expr(
+            f"transform(sequence(0, 9), i -> struct("
+            f"  id * {stride} + CAST(array(0,0,0,0,1,1,1,2,2,3)[i] AS BIGINT),"
+            f"  id * {stride} + CAST(array(1,2,3,4,2,3,4,3,4,4)[i] AS BIGINT)))"
+        )).alias("e"))
+        .select(F.col("e.col1").alias("lo"), F.col("e.col2").alias("hi"))
+    )
+    # chain c4-c5-...-c12 off clique node c4
+    chain_edges = (
+        spark.range(n_cliques)
+        .select(F.explode(F.expr(
+            f"transform(sequence(4, 11), i -> struct("
+            f"  id * {stride} + i, id * {stride} + i + 1))"
+        )).alias("e"))
+        .select(F.col("e.col1").alias("lo"), F.col("e.col2").alias("hi"))
+    )
+    # two pendant leaves per chain node c5..c12: degree exactly 4
+    pendant_edges = (
+        spark.range(n_cliques)
+        .select(F.explode(F.expr(
+            f"flatten(transform(sequence(5, 12), j -> array("
+            f"  struct(id * {stride} + j,"
+            f"         id * {stride} + 13 + 2 * (j - 5)),"
+            f"  struct(id * {stride} + j,"
+            f"         id * {stride} + 14 + 2 * (j - 5)))))"
+        )).alias("e"))
+        .select(F.col("e.col1").alias("lo"), F.col("e.col2").alias("hi"))
+    )
+    edges = (
+        clique_edges.unionByName(chain_edges)
+        .unionByName(pendant_edges)
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    t0 = time.time()
+    core = kcore(edges, k=4)
+    bad_deg = core.where(F.col("core_degree") != 4).count()
+    n_core = core.count()
+    # survivors must be exactly the clique nodes: ids with offset 0..4
+    stray = core.where(F.pmod(F.col("node"), stride) > 4).count()
+    wall = time.time() - t0
+    n_core2 = kcore(edges.repartition(157), k=4).count()
+    return {
+        "edges": n_edges,
+        "scale_vs_sf0.1": "1000x doc-graph edges",
+        "sec": round(wall, 2),
+        "core_nodes": n_core,
+        "invariant": n_core2 == n_core,
+        "ok": n_core == n_cliques * 5 and bad_deg == 0 and stray == 0
+              and n_core2 == n_core,
+    }
+
+
+def case_quantile_normalize_5m(spark):
+    """Quantile normalization at 5M rows / 20 skew-shifted groups: each
+    group's normalized min/max must land on the pooled min/max, the
+    map must preserve within-group order on every row (checked via a
+    window, not a sample), rows are preserved 1:1, and the output is
+    partitioning-invariant. The reference distribution stays a
+    broadcast range lookup — no global sort."""
+    from pyspark.sql.window import Window as W
+
+    from covid_data_pipeline_spark.operators.calibrate import (
+        quantile_normalize,
+    )
+
+    n = 5_000_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            F.concat(F.lit("g"), F.pmod(F.col("id"), 20)).alias("grp"),
+            # group j shifted by 50k*j: wildly different distributions
+            (
+                F.pmod(F.xxhash64("id"), F.lit(500_000))
+                + F.pmod(F.col("id"), 20) * 50_000
+            ).alias("score"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    t0 = time.time()
+    out = quantile_normalize(
+        df, group_col="grp", val_col="score", id_col="id", out_col="norm"
+    ).localCheckpoint(eager=False)
+    n_out = out.count()
+    wall = time.time() - t0
+    pooled = df.agg(
+        F.min("score").alias("lo"), F.max("score").alias("hi")
+    ).first()
+    ends = out.groupBy("grp").agg(
+        F.min("norm").alias("nlo"), F.max("norm").alias("nhi")
+    )
+    bad_ends = ends.where(
+        (F.col("nlo") != pooled["lo"]) | (F.col("nhi") != pooled["hi"])
+    ).count()
+    w = W.partitionBy("grp").orderBy("score", "id")
+    non_monotone = out.withColumn(
+        "prev", F.lag("norm").over(w)
+    ).where(F.col("prev") > F.col("norm")).count()
+    inv_probe = (
+        quantile_normalize(
+            df.repartition(157), "grp", "score", "id", out_col="norm"
+        )
+        .agg(F.sum(F.col("norm") * F.col("id")).alias("chk"))
+        .first()["chk"]
+    )
+    chk = out.agg(F.sum(F.col("norm") * F.col("id")).alias("chk")).first()[
+        "chk"
+    ]
+    return {
+        "rows": n,
+        "scale_vs_sf0.1": "1000x document scores",
+        "sec": round(wall, 2),
+        "invariant": inv_probe == chk,
+        "ok": n_out == n and bad_ends == 0 and non_monotone == 0
+              and inv_probe == chk,
+    }
+
+
+def case_isotonic_10k_groups(spark):
+    """PAV isotonic fit over 10k calibration curves of 50 buckets each
+    (500k bucket rows through applyInPandas): every curve must come
+    back non-decreasing with its weighted mass conserved exactly
+    (PAV pools preserve sum(s) per group), all rows preserved."""
+    from pyspark.sql.window import Window as W
+
+    from covid_data_pipeline_spark.operators.calibrate import isotonic_fit
+
+    groups, buckets = 10_000, 50
+    b = (
+        spark.range(groups * buckets)
+        .select(
+            (F.col("id") % groups).alias("grp"),
+            (F.col("id") / groups).cast("long").alias("x"),
+            (F.pmod(F.xxhash64("id"), F.lit(100)) + 1).alias("s"),
+            F.lit(100).cast("long").alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    t0 = time.time()
+    fit = isotonic_fit(b, "grp", "x", "s", "w", out_col="iso").localCheckpoint(
+        eager=False
+    )
+    n_out = fit.count()
+    wall = time.time() - t0
+    w_ord = W.partitionBy("grp").orderBy("x")
+    non_monotone = fit.withColumn("prev", F.lag("iso").over(w_ord)).where(
+        F.col("prev") > F.col("iso") + 1e-12
+    ).count()
+    mass = fit.groupBy("grp").agg(
+        F.sum(F.col("iso") * F.col("w")).alias("fit_mass"),
+        F.sum("s").alias("raw_mass"),
+    )
+    bad_mass = mass.where(
+        F.abs(F.col("fit_mass") - F.col("raw_mass")) > 1e-6
+    ).count()
+    return {
+        "rows": groups * buckets,
+        "groups": groups,
+        "scale_vs_sf0.1": "10k curves vs 5",
+        "sec": round(wall, 2),
+        "ok": n_out == groups * buckets and non_monotone == 0
+              and bad_mass == 0,
+    }
+
+
 CASES = {
     "funnel_16m": case_funnel_16m,
     "token_budget_12m": case_token_budget_12m,
@@ -652,6 +902,10 @@ CASES = {
     "ann_pq_100k": case_ann_pq_100k,
     "bpe_learn_16m": case_bpe_learn_16m,
     "dsir_weights_400k": case_dsir_weights_400k,
+    "skyline_10m": case_skyline_10m,
+    "kcore_1m_edges": case_kcore_1m_edges,
+    "quantile_normalize_5m": case_quantile_normalize_5m,
+    "isotonic_10k_groups": case_isotonic_10k_groups,
 }
 
 
