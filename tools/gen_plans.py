@@ -47,6 +47,7 @@ NOTES = {
     "events_variant_props": "parse_json runs once per row in the projection; every variant_get after it is a binary path lookup, not a re-parse - the agg shuffle carries only (event_type, k) pairs. At 100 TB the VARIANT column would be materialized at ingest and this plan starts at the lookup.",
     "skew_profile_events": "Map-side-combined count per key, then the single-row totals re-enter via a broadcast join - no full-key-set window, so the diagnostic itself cannot straggle on the skew it measures. TakeOrderedAndProject caps the output.",
     "mixture_sample_docs": "Per-group counts reduce to |groups| rows and broadcast back as rates; the hash filter evaluates in the scan projection - the corpus is never shuffled or expanded.",
+    "pareto_front_parts": "Two-phase skyline: local sweep per partition (one pid exchange + per-partition sort, JVM codegen) discards all locally dominated points; the global sweep sorts only the tiny survivor set in one task. No dominance self-join anywhere - the oracle's NOT EXISTS form is the quadratic plan this operator exists to avoid.",
     "mixture_resample_docs": "Same broadcast-rates shape plus a partition-local explode behind a pushable reps > 0 filter: replication happens where the row lives; dropped groups never expand.",
     "dedup_keep_best": "Single map-side-combining max_by(struct) aggregate per cluster key - no windowed row_number, so a boilerplate mega-cluster collapses per task before the shuffle.",
     "funnel_ordered_steps": "Stage-filtered corpus shuffles ONCE on user_id; the strict-> fold runs inside a codegen'd sorted-struct aggregate - the SQL formulation's k-1 stepwise self-joins never materialize.",
