@@ -321,3 +321,21 @@ def nfc_normalize_udf():
     # unable to resolve 'pd.Series' hints written inline.
     _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return pandas_udf("string")(_nfc)
+
+
+def sentence_count(col: Column | str) -> Column:
+    """Sentence count: terminator runs ([.!?]+) observed in the text,
+    floored at 1 for any non-empty text (a fragment with no terminator
+    is one sentence — the Flesch convention)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1))
+
+
+def syllable_count(col: Column | str) -> Column:
+    """Heuristic syllable count: vowel GROUPS ([aeiouy]+) in the
+    lowercased text — the standard cheap English approximation (each
+    maximal vowel run scores one syllable; silent-e and diphthong
+    errors cancel at corpus scale). Deterministic and regex-replayable
+    in any engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.lower(c), F.lit(r"[aeiouy]+"))

@@ -1551,3 +1551,168 @@ def docs_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feature_hash_vectors(
         table(spark, sf_dir, "documents"), dim=32
     )
+
+
+@register(
+    "docs_flesch_readability",
+    r"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS words,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+      FROM documents)
+    SELECT doc_id, lang, words, sentences, syllables,
+           ROUND(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                 - 84.6 * (CAST(syllables AS DOUBLE) / words), 4)
+             AS flesch_score
+    FROM m WHERE words > 0
+    """,
+    tags=("text", "readability", "quality"),
+)
+def docs_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948; a Gopher/C4-era
+    quality heuristic sibling): 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words), with sentences = terminator runs (floor 1)
+    and syllables = vowel groups (`functions/text.py::sentence_count`/
+    `syllable_count`). Pure projection — zero shuffles, regex counts
+    replayed identically by the oracle; the score is one per-row IEEE
+    expression over exact integers, ROUND(4)-guarded."""
+    from covid_data_pipeline_spark.functions.text import (
+        sentence_count,
+        syllable_count,
+        token_count,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        "lang",
+        token_count("text").alias("words"),
+        sentence_count("text").alias("sentences"),
+        syllable_count("text").alias("syllables"),
+    )
+    return m.where(F.col("words") > 0).select(
+        "doc_id",
+        "lang",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("words").cast("double") / F.col("sentences"))
+            - F.lit(84.6)
+            * (F.col("syllables").cast("double") / F.col("words")),
+            4,
+        ).alias("flesch_score"),
+    )
+
+
+@register(
+    "zipf_law_fit",
+    r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT tok, c,
+             row_number() OVER (ORDER BY c DESC, tok) AS rnk
+      FROM freq),
+    pts AS (
+      SELECT CAST(ROUND(LN(CAST(rnk AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+               AS x_micro,
+             CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+               AS y_micro
+      FROM ranked WHERE rnk <= 1000),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x_micro) AS BIGINT) AS sx,
+             CAST(SUM(y_micro) AS BIGINT) AS sy,
+             CAST(SUM(x_micro * y_micro) AS BIGINT) AS sxy,
+             CAST(SUM(x_micro * x_micro) AS BIGINT) AS sxx
+      FROM pts),
+    fit AS (
+      SELECT n,
+             CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+             sx, sy
+      FROM s)
+    SELECT n,
+           ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS zipf_slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * sx)
+                 / n / 1000000.0, 4) AS intercept_ln
+    FROM fit
+    """,
+    tags=("text", "zipf", "regression"),
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of ln(freq) on ln(rank) over the top-1000 corpus tokens —
+    the Zipf exponent, a one-number corpus-health signal (natural text
+    sits near slope -1; templated/spammy corpora flatten or steepen).
+
+    Determinism: the regression moments are NOT float sums (cross-row
+    float accumulation drifts across engines/partitionings) — each
+    point's ln() is integer-scaled to micro-units first, so
+    Sx/Sy/Sxy/Sxx are exact BIGINTs; the normal-equation numerator and
+    denominator then expand in DECIMAL(38,0)/HUGEINT (their cross
+    products overflow signed 64 — the burst_days quadratic-integer
+    rule) and only the final slope/intercept divisions are float.
+    One token shuffle + a tiny top-1000 TakeOrdered."""
+    from covid_data_pipeline_spark.functions.text import tokens as _toks
+
+    docs = table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(_toks("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    ranked = (
+        freq.orderBy(F.col("c").desc(), "tok")
+        .limit(1000)
+        .withColumn("rnk", F.row_number().over(w))
+    )
+
+    def micro(col):
+        return F.round(F.log(col.cast("double")) * 1000000.0, 0).cast("long")
+
+    pts = ranked.select(
+        micro(F.col("rnk")).alias("x_micro"),
+        micro(F.col("c")).alias("y_micro"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_micro").alias("sx"),
+        F.sum("y_micro").alias("sy"),
+        F.sum(F.col("x_micro") * F.col("y_micro")).alias("sxy"),
+        F.sum(F.col("x_micro") * F.col("x_micro")).alias("sxx"),
+    )
+    dec = "DECIMAL(38,0)"
+    fit = s.select(
+        "n",
+        "sx",
+        "sy",
+        F.expr(
+            f"CAST(n AS {dec}) * CAST(sxy AS {dec})"
+            f" - CAST(sx AS {dec}) * CAST(sy AS {dec})"
+        ).alias("num"),
+        F.expr(
+            f"CAST(n AS {dec}) * CAST(sxx AS {dec})"
+            f" - CAST(sx AS {dec}) * CAST(sx AS {dec})"
+        ).alias("den"),
+    )
+    slope = F.col("num").cast("double") / F.col("den").cast("double")
+    return fit.select(
+        "n",
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx"))
+            / F.col("n")
+            / 1000000.0,
+            4,
+        ).alias("intercept_ln"),
+    )

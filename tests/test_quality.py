@@ -230,3 +230,31 @@ def test_mask_columns_policies(spark):
         mask_columns(df, {"nope": "hash"})
     with _pytest.raises(ValueError, match="unknown policy"):
         mask_columns(df, {"name": "rot13"})
+
+
+def test_flesch_components_hand_case(spark):
+    """Sentence/syllable heuristics and the Flesch formula on a doc
+    with known counts."""
+    from covid_data_pipeline_spark.harness.registry import QUERIES  # noqa: F401
+    from covid_data_pipeline_spark.functions.text import (
+        sentence_count,
+        syllable_count,
+        token_count,
+    )
+    from pyspark.sql import functions as F
+
+    # "the cat sat. it ran away! done" -> 2 terminator runs, 7 words
+    # vowel groups: the(1) cat(1) sat(1) it(1) ran(1) away(2) done(2) = 9
+    df = spark.createDataFrame(
+        [(1, "the cat sat. it ran away! done"), (2, "no terminator here")],
+        "doc_id long, text string",
+    )
+    m = df.select(
+        "doc_id",
+        token_count("text").alias("w"),
+        sentence_count("text").alias("s"),
+        syllable_count("text").alias("y"),
+    ).collect()
+    got = {r["doc_id"]: (r["w"], r["s"], r["y"]) for r in m}
+    assert got[1] == (7, 2, 9)
+    assert got[2][1] == 1  # fragment floors at one sentence
