@@ -1147,3 +1147,94 @@ def graph_kcore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return kcore(edges, k=4)
+
+
+def _ktruss_unrolled_sql(k: int, rounds: int) -> str:
+    """Synchronous k-truss peeling unrolled as MATERIALIZED step CTEs:
+    per round a triangle enumeration (two-hop join over the canonical
+    lo<hi edge set, each triangle once as x<y<z), a 3-way edge
+    projection counted into per-edge support, and an inner join that
+    drops edges with support < k-2 (triangle-less edges vanish via the
+    inner join)."""
+    sup_min = k - 2
+    ctes = [
+        """e0 AS MATERIALIZED (
+      WITH d AS (SELECT doc_id FROM documents),
+      raw AS (
+        SELECT doc_id % 500 AS a, (doc_id % 500) // 2 AS b FROM d
+        UNION ALL SELECT doc_id % 500, (doc_id * 7) % 500 FROM d
+        UNION ALL SELECT doc_id % 500, (doc_id * 49) % 500 FROM d)
+      SELECT DISTINCT LEAST(a, b) AS lo, GREATEST(a, b) AS hi
+      FROM raw WHERE a <> b)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""t{i} AS MATERIALIZED (
+      SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+      FROM e{p} e1 JOIN e{p} e2 ON e2.lo = e1.hi
+      JOIN e{p} e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)"""
+        )
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+      SELECT lo, hi, COUNT(*) AS sup FROM (
+        SELECT x AS lo, y AS hi FROM t{i}
+        UNION ALL SELECT y, z FROM t{i}
+        UNION ALL SELECT x, z FROM t{i}) GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+      SELECT e.lo, e.hi FROM e{p} e JOIN s{i} s USING (lo, hi)
+      WHERE s.sup >= {sup_min})"""
+        )
+    r = rounds
+    final = f"""
+    SELECT e.lo, e.hi, CAST(s.sup AS BIGINT) AS support
+    FROM e{r} e JOIN (
+      SELECT lo, hi, COUNT(*) AS sup FROM (
+        SELECT e1.lo, e1.hi FROM e{r} e1
+        JOIN e{r} e2 ON e2.lo = e1.hi
+        JOIN e{r} e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+        UNION ALL
+        SELECT e1.hi, e2.hi FROM e{r} e1
+        JOIN e{r} e2 ON e2.lo = e1.hi
+        JOIN e{r} e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+        UNION ALL
+        SELECT e1.lo, e2.hi FROM e{r} e1
+        JOIN e{r} e2 ON e2.lo = e1.hi
+        JOIN e{r} e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)
+      GROUP BY 1, 2) s USING (lo, hi)
+    WHERE s.sup >= {sup_min}"""
+    return "WITH " + ",\n    ".join(ctes) + final
+
+
+@register(
+    "graph_ktruss_docs",
+    _ktruss_unrolled_sql(k=4, rounds=6),
+    tags=("graph", "ktruss", "iterative"),
+)
+def graph_ktruss_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the planted doc graph (`operators/graph.py::ktruss`):
+    surviving edges with their in-truss triangle support — the
+    triangle-corroborated tightening of graph_kcore_docs on the same
+    edge recipe (bridge chains that survive coreness die here). The
+    engine peels to the edge-count fixpoint; the oracle unrolls 6
+    synchronous rounds as MATERIALIZED CTEs (fixpoint lands by round 2
+    at every test SF)."""
+    from covid_data_pipeline_spark.operators.graph import ktruss
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    a = (F.col("doc_id") % 500).alias("a")
+    raw = (
+        d.select(a, F.expr("(doc_id % 500) div 2").alias("b"))
+        .unionByName(d.select(a, ((F.col("doc_id") * 7) % 500).alias("b")))
+        .unionByName(d.select(a, ((F.col("doc_id") * 49) % 500).alias("b")))
+    )
+    edges = (
+        raw.where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+    )
+    return ktruss(edges, k=4)

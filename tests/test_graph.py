@@ -458,3 +458,50 @@ def test_kcore_matches_python_peel_random(spark):
             r["node"]: r["core_degree"] for r in kcore(df, k=k).collect()
         }
         assert got == expected, f"k={k}"
+
+
+def test_ktruss_k4_keeps_clique_drops_bowtie(spark):
+    """K4 is its own 4-truss (every edge in 2 triangles); a bowtie of
+    two triangles sharing an edge collapses entirely at k=4 (the shared
+    edge alone can't keep support once the wings peel)."""
+    from covid_data_pipeline_spark.operators.graph import ktruss
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    bowtie = [(10, 11), (10, 12), (11, 12), (11, 13), (12, 13)]
+    df = spark.createDataFrame(k4 + bowtie, "lo long, hi long")
+    got = {(r["lo"], r["hi"]): r["support"] for r in ktruss(df, 4).collect()}
+    assert got == {e: 2 for e in k4}
+
+
+def test_ktruss_matches_python_peel_random(spark):
+    import random
+
+    from covid_data_pipeline_spark.operators.graph import ktruss
+
+    rng = random.Random(5)
+    edges = {
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.randint(0, 40), rng.randint(0, 40)) for _ in range(260)
+        )
+        if a != b
+    }
+    df = spark.createDataFrame(sorted(edges), "lo long, hi long")
+    for k in (3, 4, 5):
+        es = set(edges)
+        while True:
+            adj = {}
+            for a, b in es:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            sup = {e: len(adj[e[0]] & adj[e[1]]) for e in es}
+            drop = {e for e, s in sup.items() if s < k - 2}
+            if not drop:
+                break
+            es -= drop
+        expected = {e: sup[e] for e in es}
+        got = {
+            (r["lo"], r["hi"]): r["support"]
+            for r in ktruss(df, k).collect()
+        }
+        assert got == expected, f"k={k}"
