@@ -1790,3 +1790,120 @@ def zorder_locality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cust_nr").alias("cust_hi"),
         )
     )
+
+
+@register(
+    "rendezvous_shard_migration",
+    """
+    WITH cand AS (
+      SELECT doc_id, s.s AS s,
+             CAST(concat('0x', substr(md5(
+               CAST(doc_id AS VARCHAR) || ':' || CAST(s.s AS VARCHAR)
+             ), 1, 15)) AS BIGINT) AS score
+      FROM documents CROSS JOIN (SELECT unnest(range(0, 9)) AS s) s),
+    pick9 AS (
+      SELECT doc_id, s AS shard9 FROM (
+        SELECT doc_id, s, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, s DESC) AS rn
+        FROM cand) WHERE rn = 1),
+    pick8 AS (
+      SELECT doc_id, s AS shard8 FROM (
+        SELECT doc_id, s, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, s DESC) AS rn
+        FROM cand WHERE s < 8) WHERE rn = 1)
+    SELECT p9.shard9 AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN p8.shard8 <> p9.shard9 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved
+    FROM pick9 p9 JOIN pick8 p8 USING (doc_id)
+    GROUP BY 1
+    """,
+    tags=("olap", "layout", "sharding"),
+)
+def rendezvous_shard_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard layout before/after growing 8 -> 9 shards
+    (`operators/scale.py::rendezvous_assign`): per new shard, row count
+    and how many rows MOVED. HRW's minimal-disruption property shows up
+    directly in the result — only rows captured by the new shard 8
+    relocate (~1/9 of the table), where modulo sharding would move
+    ~8/9. The portable md5-prefix scores make the exact assignment —
+    and therefore the exact migration set — SQL-replayable."""
+    from covid_data_pipeline_spark.operators.scale import rendezvous_assign
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    a9 = rendezvous_assign(docs, "doc_id", 9, out_col="shard9")
+    a8 = rendezvous_assign(docs, "doc_id", 8, out_col="shard8")
+    return (
+        a9.join(a8, "doc_id")
+        .groupBy(F.col("shard9").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("shard8") != F.col("shard9"), 1).otherwise(0)
+            ).alias("n_moved"),
+        )
+    )
+
+
+@register(
+    "benford_order_prices",
+    """
+    WITH cents AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0),
+    digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM cents),
+    obs AS (SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT o.digit, o.n_obs,
+           CAST(ROUND(t.n * (LN(1.0 + 1.0 / o.digit) / LN(10.0))
+                      * 1000000.0, 0) AS BIGINT) AS expected_micro,
+           ROUND(POW(o.n_obs * 1000000.0
+                     - CAST(ROUND(t.n * (LN(1.0 + 1.0 / o.digit)
+                                         / LN(10.0)) * 1000000.0, 0)
+                            AS BIGINT), 2)
+                 / (CAST(ROUND(t.n * (LN(1.0 + 1.0 / o.digit) / LN(10.0))
+                               * 1000000.0, 0) AS BIGINT) * 1000000.0), 6)
+             AS chi2_contrib
+    FROM obs o CROSS JOIN tot t
+    """,
+    tags=("olap", "dq", "benford"),
+)
+def benford_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the classic
+    fabricated-data / unit-mixing tripwire for a financial fact table:
+    per leading digit, observed count vs the Benford expectation
+    ln(1+1/d)/ln(10) and the chi-square contribution. The digit comes
+    from the integer-cents STRING (no float log10 at power-of-ten
+    boundaries); expectations are integer micro-counts and each
+    contribution is one per-row IEEE expression over them, so the
+    report hash-matches. One digit-keyed 9-group aggregate; the total
+    rides a broadcast cross join."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    p = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    e_micro = F.round(F.col("n") * p * 1000000.0, 0).cast("long")
+    out = obs.crossJoin(F.broadcast(tot)).withColumn(
+        "expected_micro", e_micro
+    )
+    chi = F.round(
+        F.pow(
+            F.col("n_obs") * 1000000.0 - F.col("expected_micro"), F.lit(2.0)
+        )
+        / (F.col("expected_micro") * 1000000.0),
+        6,
+    )
+    return out.select(
+        "digit", "n_obs", "expected_micro", chi.alias("chi2_contrib")
+    )

@@ -317,3 +317,49 @@ def with_footer_agg_confs(spark: SparkSession) -> dict[str, str | None]:
     for k, v in FOOTER_AGG_CONFS.items():
         spark.conf.set(k, v)
     return before
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    out_col: str = "shard",
+    salt: str = "",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment (Thaler &
+    Ravishankar 1998): each row goes to ``argmax over shards of
+    h(id, shard)``. The property that matters for 100 TB layout
+    management: growing ``n_shards`` by one relocates only ~1/(n+1) of
+    the rows (only rows whose NEW shard wins the argmax move), versus
+    ``hash(id) % n`` which reshuffles nearly everything — so a shard
+    split is an incremental copy, not a full rewrite.
+
+    Pure projection: explode the shard candidates (n per row), score
+    with the portable md5-prefix hash (so plain SQL replays the exact
+    assignment), keep the argmax via ``max_by`` with a (score, shard)
+    struct tiebreak. No shuffle beyond the id-keyed argmax combine;
+    at warehouse scale n_shards is small, so the explode is a constant
+    fan-out that never leaves the map side of the aggregation."""
+    from covid_data_pipeline_spark.operators.features import (
+        portable_token_hash,
+    )
+
+    c = F.col(id_col)
+    cand = df.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("__s")
+    ).withColumn(
+        "__score",
+        portable_token_hash(
+            F.concat(
+                c.cast("string"), F.lit(":"), F.col("__s").cast("string"),
+                F.lit(salt),
+            )
+        ),
+    )
+    others = [f.name for f in df.schema.fields]
+    return (
+        cand.groupBy(*others)
+        .agg(
+            F.max_by("__s", F.struct("__score", "__s")).alias(out_col)
+        )
+    )

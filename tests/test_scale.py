@@ -406,3 +406,34 @@ def test_footer_aggregate_pushdown(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_rendezvous_minimal_migration_and_balance(spark):
+    """Growing 8->9 shards moves ONLY rows captured by the new shard
+    (every mover lands on shard 8; each old shard loses ~1/9), and the
+    assignment is deterministic."""
+    from pyspark.sql import functions as F
+
+    from covid_data_pipeline_spark.operators.scale import rendezvous_assign
+
+    ids = spark.range(9000).select(F.col("id").alias("k"))
+    a8 = rendezvous_assign(ids, "k", 8, out_col="s8")
+    a9 = rendezvous_assign(ids, "k", 9, out_col="s9")
+    j = a8.join(a9, "k").collect()
+    moved = [(r["s8"], r["s9"]) for r in j if r["s8"] != r["s9"]]
+    assert moved and all(s9 == 8 for _, s9 in moved)
+    frac = len(moved) / len(j)
+    assert 0.07 < frac < 0.16  # ~1/9 expected
+    # balance: no shard holds more than 2x the fair share
+    from collections import Counter
+
+    c9 = Counter(r["s9"] for r in j)
+    assert len(c9) == 9 and max(c9.values()) < 2 * 1000
+    # determinism
+    again = {
+        r["k"]: r["s9"]
+        for r in rendezvous_assign(
+            ids.repartition(7), "k", 9, out_col="s9"
+        ).collect()
+    }
+    assert all(again[r["k"]] == r["s9"] for r in j)
