@@ -650,3 +650,70 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return kaplan_meier(subj, duration_col="t_mins", event_col="ended")
+
+
+@register(
+    "repair_cumulative_monotone",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS inc_cents
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, day,
+             CAST(SUM(inc_cents) OVER (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS clean
+      FROM daily),
+    glitched AS (
+      SELECT event_type, day,
+             CASE WHEN EXTRACT(DAY FROM day) % 9 = 4
+                  THEN clean - (clean // 10 + 1)
+                  ELSE clean END AS reported
+      FROM cum)
+    SELECT event_type, day, reported,
+           CAST(MAX(reported) OVER (PARTITION BY event_type ORDER BY day
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS repaired,
+           MAX(reported) OVER (PARTITION BY event_type ORDER BY day
+             ROWS UNBOUNDED PRECEDING) <> reported AS was_corrected
+    FROM glitched
+    """,
+    tags=("temporal", "dq", "repair", "cumulative"),
+)
+def repair_cumulative_monotone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone repair of a cumulative counter with planted downward
+    corrections (every 9th day-of-month reports ~10% low — the JHU
+    correction pattern the reference's mart GREATEST(0,·) clamp works
+    around): running-max repair per series plus an audit flag
+    (`operators/temporal.py::repair_cumulative_monotone`). Integer
+    cents end-to-end; one window shuffle."""
+    from covid_data_pipeline_spark.operators.temporal import (
+        repair_cumulative_monotone as _repair,
+    )
+
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value") * 100, 0).cast("long").alias("inc_cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.sum("inc_cents").over(w).cast("long").alias("clean"),
+    )
+    glitched = cum.select(
+        "event_type",
+        "day",
+        F.when(
+            F.dayofmonth("day") % 9 == 4,
+            F.col("clean") - (F.expr("clean div 10") + 1),
+        )
+        .otherwise(F.col("clean"))
+        .alias("reported"),
+    )
+    return _repair(
+        glitched, keys=["event_type"], day_col="day", cum_col="reported"
+    )

@@ -781,3 +781,41 @@ def kaplan_meier(
             ),
         )
     )
+
+
+def repair_cumulative_monotone(
+    daily: DataFrame,
+    keys: Sequence[str],
+    day_col: str,
+    cum_col: str,
+) -> DataFrame:
+    """Repair a CUMULATIVE counter series that occasionally decreases —
+    the defining data defect of the reference's domain (JHU cumulative
+    case files issued downward corrections, so naive day-over-day
+    deltas go negative; the reference's mart clamps deltas at zero,
+    cf. covid mart GREATEST(0, ·) — this operator fixes the SERIES
+    instead, so every downstream delta is honest).
+
+    Policy: running maximum per key (a cumulative quantity can never
+    decrease; a dip is an upstream correction whose information lives
+    in the LEVEL, not the dip). Emits the original value, the repaired
+    value, and a flag so corrections stay auditable.
+
+    One window over a (keys, day) sort — the same single shuffle any
+    per-key series op costs; at 100 TB the repaired column is computed
+    in the same pass that reads the series, no second materialization.
+    """
+    keys = list(keys)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    repaired = F.max(F.col(cum_col)).over(w)
+    return daily.select(
+        *keys,
+        day_col,
+        F.col(cum_col).alias("reported"),
+        repaired.alias("repaired"),
+        (repaired != F.col(cum_col)).alias("was_corrected"),
+    )

@@ -547,3 +547,33 @@ def test_kaplan_meier_hand_case(spark):
     for t in sorted(rows):
         acc += micros[t]
         assert rows[t]["log_surv_micronats"] == acc
+
+
+def test_repair_cumulative_monotone_hand_case(spark):
+    import datetime as dt
+
+    from covid_data_pipeline_spark.operators.temporal import (
+        repair_cumulative_monotone,
+    )
+
+    d = dt.date
+    rows = [
+        ("k", d(2024, 1, 1), 10),
+        ("k", d(2024, 1, 2), 15),
+        ("k", d(2024, 1, 3), 12),   # downward correction
+        ("k", d(2024, 1, 4), 18),
+        ("k", d(2024, 1, 5), 17),   # another dip
+        ("z", d(2024, 1, 1), 5),    # independent series untouched
+    ]
+    out = repair_cumulative_monotone(
+        spark.createDataFrame(rows, "k string, day date, cum long"),
+        keys=["k"], day_col="day", cum_col="cum",
+    ).collect()
+    got = {(r["k"], str(r["day"])): (r["repaired"], r["was_corrected"]) for r in out}
+    assert got[("k", "2024-01-03")] == (15, True)
+    assert got[("k", "2024-01-04")] == (18, False)
+    assert got[("k", "2024-01-05")] == (18, True)
+    assert got[("z", "2024-01-01")] == (5, False)
+    # repaired deltas are all non-negative
+    ks = sorted((r["day"], r["repaired"]) for r in out if r["k"] == "k")
+    assert all(b[1] >= a[1] for a, b in zip(ks, ks[1:]))
