@@ -717,3 +717,86 @@ def repair_cumulative_monotone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _repair(
         glitched, keys=["event_type"], day_col="day", cum_col="reported"
     )
+
+
+@register(
+    "events_hw_anomalies",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+    seq AS (
+      SELECT event_type, day, CAST(cnt AS DOUBLE) AS y,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily),
+    init AS (
+      SELECT event_type,
+             SUM(CASE WHEN rn <= 7 THEN CAST(y AS BIGINT) END) AS sum1,
+             SUM(CASE WHEN rn BETWEEN 8 AND 14 THEN CAST(y AS BIGINT) END)
+               AS sum2,
+             MAX(rn) AS nmax
+      FROM seq GROUP BY 1 HAVING MAX(rn) >= 14),
+    seas0 AS (
+      SELECT s.event_type,
+             list(s.y - CAST(i.sum1 AS DOUBLE) / 7.0 ORDER BY s.rn) AS seas
+      FROM seq s JOIN init i USING (event_type) WHERE s.rn <= 7
+      GROUP BY s.event_type),
+    hw(event_type, rn, lvl, trd, seas) AS (
+      SELECT i.event_type, 7,
+             CAST(i.sum1 AS DOUBLE) / 7.0,
+             CAST(i.sum2 - i.sum1 AS DOUBLE) / 49.0,
+             s0.seas
+      FROM init i JOIN seas0 s0 USING (event_type)
+      UNION ALL
+      SELECT h.event_type, s.rn,
+             0.5 * (s.y - h.seas[1]) + 0.5 * (h.lvl + h.trd),
+             0.5 * ((0.5 * (s.y - h.seas[1]) + 0.5 * (h.lvl + h.trd))
+                    - h.lvl) + 0.5 * h.trd,
+             h.seas[2:7] ||
+               [0.5 * (s.y - (0.5 * (s.y - h.seas[1])
+                              + 0.5 * (h.lvl + h.trd)))
+                + 0.5 * h.seas[1]]
+      FROM hw h JOIN seq s
+        ON s.event_type = h.event_type AND s.rn = h.rn + 1),
+    fit AS (
+      SELECT s.event_type, s.day,
+             h.lvl + h.trd + h.seas[1] AS fitted,
+             s.y - (h.lvl + h.trd + h.seas[1]) AS resid
+      FROM seq s JOIN hw h
+        ON h.event_type = s.event_type AND h.rn = s.rn - 1
+      WHERE s.rn >= 8),
+    ranked AS (
+      SELECT event_type, day, fitted, resid,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ABS(resid), day) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM fit),
+    madsel AS (
+      SELECT event_type, ABS(resid) AS mad
+      FROM ranked WHERE rk = (n + 1) // 2)
+    SELECT r.event_type, r.day,
+           ROUND(r.fitted, 4) AS fitted, ROUND(r.resid, 4) AS resid,
+           (m.mad > 0 AND ABS(r.resid)
+              > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * m.mad)
+             AS is_anomaly
+    FROM ranked r JOIN madsel m USING (event_type)
+    """,
+    tags=("temporal", "timeseries", "anomaly", "seasonal", "iterative"),
+)
+def events_hw_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly scores: every day's one-step-ahead
+    Holt-Winters forecast error per event type, flagged at 3 robust
+    sigmas of the residual MAD
+    (`operators/temporal.py::holt_winters_residuals`) — the weekly-
+    cycle-proof upgrade of events_zscore_anomalies. The oracle extends
+    the HW recursive CTE with a rn-1 state join (a true forecast — an
+    anomaly can't mask itself) and selects the exact lower-median MAD;
+    every scored day is emitted with its verdict so the result is
+    non-degenerate on clean data."""
+    from covid_data_pipeline_spark.operators.temporal import (
+        holt_winters_residuals,
+    )
+
+    return holt_winters_residuals(
+        table(spark, sf_dir, "events"), period=7, k_mad=3.0
+    )

@@ -819,3 +819,144 @@ def repair_cumulative_monotone(
         repaired.alias("repaired"),
         (repaired != F.col(cum_col)).alias("was_corrected"),
     )
+
+
+def holt_winters_residuals(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    period: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    gamma: float = 0.5,
+    k_mad: float = 3.0,
+) -> DataFrame:
+    """Seasonality-aware anomaly scoring: each day's ONE-STEP-AHEAD
+    Holt-Winters forecast error, flagged against a robust
+    MAD-of-residuals threshold — the detector a weekly-cycled feed
+    needs where plain z-scores (events_zscore_anomalies) false-alarm
+    every weekend and CUSUM tracks level, not season.
+
+    For every folded day (t > period, i.e. from the second season
+    on): ``fitted_t = ℓₜ₋₁ + bₜ₋₁ + s_{t-period}`` (the
+    state BEFORE folding day t — a true forecast, so an anomaly can't
+    mask itself), ``resid_t = yₜ − fitted_t``; a day is anomalous when
+    ``|resid| > k_mad · 1.4826 · MAD(resid)`` with the MAD the exact
+    lower median of |resid| (domain-compressed selection, never a
+    float aggregate). Same fold/emission shape as
+    :func:`holt_winters_seasonal` (state O(period+days) per type; the
+    residual relation is days-sized, so the median window is cheap).
+
+    Returns (type_col, day, observed, fitted, resid, is_anomaly) for
+    every scored day — the flag column carries the verdict so the
+    output is non-degenerate on clean data.
+    """
+    m = int(period)
+    a, b, g = F.lit(float(alpha)), F.lit(float(beta)), F.lit(float(gamma))
+    daily = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(F.col(type_col), F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    series = daily.groupBy(type_col).agg(
+        F.sort_array(F.collect_list(F.struct("day", "cnt"))).alias("s")
+    )
+    s = F.col("s")
+    ys = F.transform(s, lambda e: e["cnt"])
+    n = F.size(s)
+    sum1 = F.aggregate(
+        F.slice(ys, 1, m), F.lit(0).cast("long"), lambda acc, y: acc + y
+    )
+    sum2 = F.aggregate(
+        F.slice(ys, m + 1, m), F.lit(0).cast("long"), lambda acc, y: acc + y
+    )
+    lvl0 = sum1.cast("double") / F.lit(float(m))
+    trd0 = (sum2 - sum1).cast("double") / F.lit(float(m * m))
+    prepared = series.where(n >= 2 * m).select(
+        type_col,
+        "s",
+        F.struct(lvl0.alias("lvl"), trd0.alias("trd")).alias("h0"),
+    )
+    seas0 = F.transform(
+        F.slice(ys, 1, m), lambda y: y.cast("double") - F.col("h0.lvl")
+    )
+    out0 = F.expr(
+        "CAST(array() AS array<struct<day:date,fitted:double,resid:double>>)"
+    )
+    init = F.struct(
+        F.col("h0.lvl").alias("lvl"),
+        F.col("h0.trd").alias("trd"),
+        seas0.alias("seas"),
+        out0.alias("out"),
+    )
+
+    def _step(acc, e):
+        from covid_data_pipeline_spark.functions.text import let
+
+        yd = e["cnt"].cast("double")
+        s_m = F.element_at(acc["seas"], 1)
+        fitted = acc["lvl"] + acc["trd"] + s_m
+        new_lvl = a * (yd - s_m) + (F.lit(1.0) - a) * (acc["lvl"] + acc["trd"])
+
+        def _with_lvl(nl):
+            new_trd = b * (nl - acc["lvl"]) + (F.lit(1.0) - b) * acc["trd"]
+            new_s = g * (yd - nl) + (F.lit(1.0) - g) * s_m
+            return F.struct(
+                nl.alias("lvl"),
+                new_trd.alias("trd"),
+                F.concat(
+                    F.slice(acc["seas"], 2, m - 1), F.array(new_s)
+                ).alias("seas"),
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.struct(
+                            e["day"].alias("day"),
+                            fitted.alias("fitted"),
+                            (yd - fitted).alias("resid"),
+                        )
+                    ),
+                ).alias("out"),
+            )
+
+        return let(new_lvl, _with_lvl)
+
+    folded = prepared.select(
+        type_col,
+        F.aggregate(F.slice(s, m + 1, n - m), init, _step).alias("h"),
+    )
+    rows = folded.select(
+        type_col, F.explode(F.col("h.out")).alias("r")
+    ).select(
+        type_col,
+        F.col("r.day").alias("day"),
+        F.col("r.fitted").alias("fitted"),
+        F.col("r.resid").alias("resid"),
+    )
+    w_type = Window.partitionBy(type_col)
+    w_ord = Window.partitionBy(type_col).orderBy(F.abs(F.col("resid")), "day")
+    ranked = rows.select(
+        type_col,
+        "day",
+        "fitted",
+        "resid",
+        F.row_number().over(w_ord).alias("__rk"),
+        F.count(F.lit(1)).over(w_type).alias("__n"),
+    )
+    # lower median of |resid| per type: rk == (n+1) div 2
+    mad_rel = ranked.where(
+        F.col("__rk") == F.expr("(__n + 1) div 2")
+    ).select(type_col, F.abs(F.col("resid")).alias("__mad"))
+    thresh = F.lit(float(k_mad)) * F.lit(1.4826) * F.col("__mad")
+    return (
+        ranked.join(mad_rel, type_col)
+        .select(
+            type_col,
+            "day",
+            F.round("fitted", 4).alias("fitted"),
+            F.round("resid", 4).alias("resid"),
+            (
+                (F.col("__mad") > 0) & (F.abs(F.col("resid")) > thresh)
+            ).alias("is_anomaly"),
+        )
+    )

@@ -577,3 +577,33 @@ def test_repair_cumulative_monotone_hand_case(spark):
     # repaired deltas are all non-negative
     ks = sorted((r["day"], r["repaired"]) for r in out if r["k"] == "k")
     assert all(b[1] >= a[1] for a, b in zip(ks, ks[1:]))
+
+
+def test_hw_anomalies_flag_planted_spike_only(spark):
+    """A clean seasonal+trend series yields no flags; the same series
+    with one spiked day flags (at least) that day, and every flagged
+    day sits within the spike's state-perturbation window."""
+    import datetime as dt
+
+    from covid_data_pipeline_spark.operators.temporal import (
+        holt_winters_residuals,
+    )
+
+    season = [5, 1, 2, 8, 3, 9, 4]
+
+    def mk(spike_day=None):
+        rows = []
+        for t in range(28):
+            cnt = season[t % 7] + t + (60 if t == spike_day else 0)
+            for j in range(cnt):
+                rows.append((dt.datetime(2024, 3, 1 + t, 9, j % 60), "a"))
+        return spark.createDataFrame(
+            rows, "ts timestamp, event_type string"
+        )
+
+    clean = holt_winters_residuals(mk(None), period=7).collect()
+    assert clean and not any(r["is_anomaly"] for r in clean)
+    spiked = holt_winters_residuals(mk(20), period=7).collect()
+    flagged = sorted(r["day"].day for r in spiked if r["is_anomaly"])
+    assert 21 in flagged  # 2024-03-21 == t=20
+    assert all(21 <= d <= 28 for d in flagged)  # nothing before the spike
