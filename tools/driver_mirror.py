@@ -151,9 +151,12 @@ def main() -> int:
               f"({report[name].get('sec', '?')}s)", flush=True)
 
     print(json.dumps({"sf_dir": sf_dir, "n": len(names), "fail": n_fail}))
-    if only is not None and os.path.exists("driver_mirror_report.json"):
-        # targeted re-checks update their rows in the full report
-        # instead of clobbering it
+    if len(names) < len(QUERIES) and os.path.exists(
+        "driver_mirror_report.json"
+    ):
+        # partial runs (--only AND the default 50-query window) update
+        # their rows in the full report instead of clobbering it — a
+        # window re-run once shrank the committed report to 51 entries
         with open("driver_mirror_report.json") as f:
             merged = json.load(f)
         merged.update(report)

@@ -889,6 +889,70 @@ def case_isotonic_10k_groups(spark):
     }
 
 
+def case_ktruss_1m_edges(spark):
+    """k-truss at the same 1.36M-edge gadget graph as the k-core case:
+    every K5 edge sits in 3 triangles (>= k-2 = 2, survives); chain and
+    pendant edges are triangle-free and vanish in round one — so the
+    4-truss is exactly the 400k clique edges with support 3. Triangle
+    enumeration cost is wedge-bounded (clique gadgets are disjoint)."""
+    from covid_data_pipeline_spark.operators.graph import ktruss
+
+    n_cliques = 40_000
+    stride = 29
+    clique_edges = (
+        spark.range(n_cliques)
+        .select(F.explode(F.expr(
+            f"transform(sequence(0, 9), i -> struct("
+            f"  id * {stride} + CAST(array(0,0,0,0,1,1,1,2,2,3)[i] AS BIGINT),"
+            f"  id * {stride} + CAST(array(1,2,3,4,2,3,4,3,4,4)[i] AS BIGINT)))"
+        )).alias("e"))
+        .select(F.col("e.col1").alias("lo"), F.col("e.col2").alias("hi"))
+    )
+    chain_edges = (
+        spark.range(n_cliques)
+        .select(F.explode(F.expr(
+            f"transform(sequence(4, 11), i -> struct("
+            f"  id * {stride} + i, id * {stride} + i + 1))"
+        )).alias("e"))
+        .select(F.col("e.col1").alias("lo"), F.col("e.col2").alias("hi"))
+    )
+    pendant_edges = (
+        spark.range(n_cliques)
+        .select(F.explode(F.expr(
+            f"flatten(transform(sequence(5, 12), j -> array("
+            f"  struct(id * {stride} + j,"
+            f"         id * {stride} + 13 + 2 * (j - 5)),"
+            f"  struct(id * {stride} + j,"
+            f"         id * {stride} + 14 + 2 * (j - 5)))))"
+        )).alias("e"))
+        .select(F.col("e.col1").alias("lo"), F.col("e.col2").alias("hi"))
+    )
+    edges = (
+        clique_edges.unionByName(chain_edges)
+        .unionByName(pendant_edges)
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    t0 = time.time()
+    truss = ktruss(edges, k=4)
+    bad_sup = truss.where(F.col("support") != 3).count()
+    n_truss = truss.count()
+    stray = truss.where(
+        (F.pmod(F.col("lo"), stride) > 4) | (F.pmod(F.col("hi"), stride) > 4)
+    ).count()
+    wall = time.time() - t0
+    n2 = ktruss(edges.repartition(157), k=4).count()
+    return {
+        "edges": n_edges,
+        "scale_vs_sf0.1": "1000x doc-graph edges",
+        "sec": round(wall, 2),
+        "truss_edges": n_truss,
+        "invariant": n2 == n_truss,
+        "ok": n_truss == n_cliques * 10 and bad_sup == 0 and stray == 0
+              and n2 == n_truss,
+    }
+
+
 CASES = {
     "funnel_16m": case_funnel_16m,
     "token_budget_12m": case_token_budget_12m,
@@ -906,6 +970,7 @@ CASES = {
     "kcore_1m_edges": case_kcore_1m_edges,
     "quantile_normalize_5m": case_quantile_normalize_5m,
     "isotonic_10k_groups": case_isotonic_10k_groups,
+    "ktruss_1m_edges": case_ktruss_1m_edges,
 }
 
 
