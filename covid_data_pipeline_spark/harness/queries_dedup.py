@@ -1116,6 +1116,7 @@ def _kcore_unrolled_sql(k: int, rounds: int) -> str:
     "graph_kcore_docs",
     _kcore_unrolled_sql(k=4, rounds=8),
     tags=("graph", "kcore", "iterative"),
+    bench=True,
 )
 def graph_kcore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-core of a planted doc graph (binary-tree edges a—a//2 give

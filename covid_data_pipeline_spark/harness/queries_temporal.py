@@ -543,6 +543,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON h.event_type = i.event_type AND h.rn = i.nmax
     """,
     tags=("temporal", "timeseries", "smoothing", "seasonal", "iterative"),
+    bench=True,
 )
 def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt-Winters additive weekly-seasonal fit of each event type's

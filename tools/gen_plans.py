@@ -47,6 +47,8 @@ NOTES = {
     "events_variant_props": "parse_json runs once per row in the projection; every variant_get after it is a binary path lookup, not a re-parse - the agg shuffle carries only (event_type, k) pairs. At 100 TB the VARIANT column would be materialized at ingest and this plan starts at the lookup.",
     "skew_profile_events": "Map-side-combined count per key, then the single-row totals re-enter via a broadcast join - no full-key-set window, so the diagnostic itself cannot straggle on the skew it measures. TakeOrderedAndProject caps the output.",
     "mixture_sample_docs": "Per-group counts reduce to |groups| rows and broadcast back as rates; the hash filter evaluates in the scan projection - the corpus is never shuffled or expanded.",
+    "graph_kcore_docs": "Iterative peel: per round a symmetric degree agg (map-side combined) + two endpoint semi-joins, localCheckpoint lineage cut, edge-count fixpoint stop. Round count = peel depth; at 1000x the edge list each round stays two shuffles of the shrinking edge set.",
+    "events_holt_winters": "One (type, day) count shuffle, then the seasonal recurrence folds JVM-side inside F.aggregate over the collected per-type series - state O(period + days/type), never O(events). The collect_list window is the only exchange.",
     "pareto_front_parts": "Two-phase skyline: local sweep per partition (one pid exchange + per-partition sort, JVM codegen) discards all locally dominated points; the global sweep sorts only the tiny survivor set in one task. No dominance self-join anywhere - the oracle's NOT EXISTS form is the quadratic plan this operator exists to avoid.",
     "mixture_resample_docs": "Same broadcast-rates shape plus a partition-local explode behind a pushable reps > 0 filter: replication happens where the row lives; dropped groups never expand.",
     "dedup_keep_best": "Single map-side-combining max_by(struct) aggregate per cluster key - no windowed row_number, so a boilerplate mega-cluster collapses per task before the shuffle.",
