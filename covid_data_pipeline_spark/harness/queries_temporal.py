@@ -801,3 +801,81 @@ def events_hw_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_winters_residuals(
         table(spark, sf_dir, "events"), period=7, k_mad=3.0
     )
+
+
+@register(
+    "events_ols_trend",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+    seq AS (
+      SELECT event_type, cnt,
+             CAST(day - MIN(day) OVER (PARTITION BY event_type) AS BIGINT)
+               AS x
+      FROM daily),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(cnt) AS BIGINT) AS sy,
+             CAST(SUM(x * cnt) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM seq GROUP BY 1)
+    SELECT event_type, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_per_day,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n, 4)
+             AS intercept
+    FROM s WHERE n >= 2 AND n * sxx - sx * sx <> 0
+    """,
+    tags=("temporal", "timeseries", "regression"),
+)
+def events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS daily-volume trend — the parametric baseline next
+    to events_theilsen_trend (which tolerates the outliers that drag
+    this one around; shipping both is how you SEE the robustness gap).
+    x is the integer day offset from each type's first day, so every
+    normal-equation moment (Σx, Σy, Σxy, Σx²) is an exact BIGINT off
+    one domain-compressed daily rollup — no float accumulates across
+    rows; slope and intercept are single correctly-rounded divisions.
+    At calendar spans the products stay far under 2^63 (days ~ 1e4,
+    counts ~ 1e9 per day would still fit; a wider regime would move to
+    DECIMAL(38,0) per the burst_days rule)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.where(F.col("ts").isNotNull()).groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type")
+    seq = daily.select(
+        "event_type",
+        "cnt",
+        F.datediff(F.col("day"), F.min("day").over(w)).cast("long").alias("x"),
+    )
+    s = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("cnt").alias("sy"),
+        F.sum(F.col("x") * F.col("cnt")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    return s.where(
+        (F.col("n") >= 2)
+        & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0)
+    ).select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"),
+            4,
+        ).alias("intercept"),
+    )
