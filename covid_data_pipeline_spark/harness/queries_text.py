@@ -1716,3 +1716,63 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("intercept_ln"),
     )
+
+
+@register(
+    "lang_id_confusion",
+    f"""
+    WITH hits AS (
+      SELECT doc_id, lang,
+             len(list_filter({_TOKS}, t -> t IN ({_in_list(STOPWORDS_EN)}))) AS en,
+             len(list_filter({_TOKS}, t -> t IN ({_in_list(STOPWORDS_FR)}))) AS fr,
+             len(list_filter({_TOKS}, t -> t IN ({_in_list(STOPWORDS_DE)}))) AS de
+      FROM documents
+    ),
+    guessed AS (
+      SELECT lang AS lang_declared,
+             CASE WHEN en >= fr AND en >= de AND en > 0 THEN 'en'
+                  WHEN fr >= de AND fr > 0 THEN 'fr'
+                  WHEN de > 0 THEN 'de'
+                  ELSE 'und' END AS lang_guess
+      FROM hits),
+    cells AS (
+      SELECT lang_declared, lang_guess, COUNT(*) AS n
+      FROM guessed GROUP BY 1, 2)
+    SELECT lang_declared, lang_guess, n,
+           CAST(n * 10000 // SUM(n) OVER (PARTITION BY lang_declared)
+                AS BIGINT) AS pct_of_declared_bp
+    FROM cells
+    """,
+    tags=("text", "lang-id", "evaluation"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-normalized confusion matrix of the stopword lang-id
+    heuristic against the corpus's declared labels — the evaluation
+    loop for lang_id_heuristic (a filter you gate a corpus on deserves
+    a measured error profile, not vibes). Cells and basis points are
+    exact integers (`n·10000 div row_total`); one groupBy + one tiny
+    window over the label-pair domain."""
+    from covid_data_pipeline_spark.functions.text import lang_id
+
+    d = table(spark, sf_dir, "documents")
+    cells = (
+        d.select(
+            F.col("lang").alias("lang_declared"),
+            lang_id("text").alias("lang_guess"),
+        )
+        .groupBy("lang_declared", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang_declared")
+    return cells.select(
+        "lang_declared",
+        "lang_guess",
+        "n",
+        F.expr("n * 10000").cast("long").alias("__num"),
+        F.sum("n").over(w).alias("__tot"),
+    ).select(
+        "lang_declared",
+        "lang_guess",
+        "n",
+        F.expr("__num div __tot").alias("pct_of_declared_bp"),
+    )

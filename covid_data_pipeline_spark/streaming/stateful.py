@@ -744,3 +744,81 @@ def stream_holt_winters(
         F.round(F.col("trd"), 4).alias("trend"),
         F.round(F.col("fc1"), 4).alias("forecast_1"),
     )
+
+
+def stream_repair_monotone(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("event_type",),
+    day_col: str = "day",
+    cum_col: str = "reported",
+) -> DataFrame:
+    """Streaming twin of ``operators/temporal.py::
+    repair_cumulative_monotone``: a feed of per-key CUMULATIVE counter
+    readings (one per day, day-ordered per key — same arrival contract
+    and loud violation as :func:`stream_cusum`) is repaired live with a
+    running maximum held in state (ONE BIGINT per key), emitting
+    ``(day, reported, repaired, was_corrected)`` rows as they arrive.
+
+    max() is associative and the arrival order is the batch fold
+    order, so drained-stream rows EQUAL the batch operator's rows on
+    the same input — asserted in tests. This is the live version of
+    the JHU downward-correction fix: the dashboard never shows a
+    cumulative series going backwards, and the audit flag preserves
+    where the upstream corrected."""
+    key_cols = list(key_cols)
+    fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [fields[c] for c in key_cols]
+        + [
+            StructField("day", StringType(), False),
+            StructField("reported", LongType(), False),
+            StructField("repaired", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("cur_max", LongType(), True),
+            StructField("last_day", StringType(), True),
+        ]
+    )
+    src = df.select(
+        *key_cols,
+        F.col(day_col).cast("string").alias("__day"),
+        F.col(cum_col).cast("long").alias("__rep"),
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        cur_max, last_day = state.get if state.exists else (None, None)
+        out: list[tuple[str, int, int]] = []
+        for pdf in pdfs:
+            for day, rep in sorted(
+                zip(pdf["__day"], pdf["__rep"]), key=lambda t: t[0]
+            ):
+                if last_day is not None and day <= last_day:
+                    raise ValueError(
+                        f"day-ordered arrival violated: {day} after "
+                        f"{last_day} (key={key})"
+                    )
+                rep = int(rep)
+                cur_max = rep if cur_max is None else max(cur_max, rep)
+                out.append((day, rep, cur_max))
+                last_day = day
+        state.update((cur_max, last_day))
+        if out:
+            o = pd.DataFrame(out, columns=["day", "reported", "repaired"])
+            for c, v in zip(key_cols, key):
+                o[c] = v
+            yield o[[*key_cols, "day", "reported", "repaired"]]
+
+    raw = src.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return raw.select(
+        *key_cols,
+        F.col("day").cast("date").alias("day"),
+        "reported",
+        "repaired",
+        (F.col("repaired") != F.col("reported")).alias("was_corrected"),
+    )

@@ -1102,3 +1102,63 @@ def test_stream_holt_winters_matches_batch_on_closed_days(spark, tmp_path):
         assert last["level"] == batch[et]["level"], et
         assert last["trend"] == batch[et]["trend"], et
         assert last["forecast_1"] == batch[et]["forecast_1"], et
+
+
+def test_stream_repair_monotone_matches_batch(spark, tmp_path):
+    import datetime as dt
+
+    from covid_data_pipeline_spark.operators.temporal import (
+        repair_cumulative_monotone,
+    )
+    from covid_data_pipeline_spark.streaming.stateful import (
+        stream_repair_monotone,
+    )
+
+    reported = [10, 15, 12, 18, 17, 25, 24, 30]
+    rows = [
+        ("k", dt.date(2024, 7, 1 + i), v) for i, v in enumerate(reported)
+    ] + [("z", dt.date(2024, 7, 1), 5)]
+
+    src_dir = tmp_path / "repair_src"
+    src_dir.mkdir()
+    for n, (lo, hi) in enumerate([(0, 3), (3, 6), (6, 9)]):
+        spark.createDataFrame(
+            rows[lo:hi], "event_type string, day date, reported long"
+        ).coalesce(1).write.parquet(str(src_dir / f"f{n}.parquet"))
+
+    stream = (
+        spark.readStream.schema("event_type string, day date, reported long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    q = (
+        stream_repair_monotone(stream)
+        .writeStream.format("memory")
+        .queryName("repair_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["event_type"], str(r["day"])): (
+            r["reported"], r["repaired"], r["was_corrected"]
+        )
+        for r in spark.sql("SELECT * FROM repair_stream").collect()
+    }
+    assert len(got) == len(rows)  # every reading emitted exactly once
+
+    batch = repair_cumulative_monotone(
+        spark.createDataFrame(
+            rows, "event_type string, day date, reported long"
+        ),
+        keys=["event_type"], day_col="day", cum_col="reported",
+    )
+    expected = {
+        (r["event_type"], str(r["day"])): (
+            r["reported"], r["repaired"], r["was_corrected"]
+        )
+        for r in batch.collect()
+    }
+    assert got == expected
+    assert got[("k", "2024-07-03")] == (12, 15, True)
