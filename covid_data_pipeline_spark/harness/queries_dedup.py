@@ -1239,3 +1239,98 @@ def graph_ktruss_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return ktruss(edges, k=4)
+
+
+@register(
+    "minhash_recall_eval",
+    f"""
+    WITH {_shingle_pairs_sql()},
+    truth AS (SELECT id_a, id_b FROM j WHERE jac >= 0.6),
+    mh_hs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(shingles,
+               s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+                    % 2147483647)) AS hs
+      FROM sh
+    ),
+    mh_g AS (SELECT doc_id, unnest(hs) AS h FROM mh_hs),
+    perm AS (
+      SELECT i,
+             (1103515245 * (i + 1) + 12345) % 2147483647 AS a,
+             (1103515245 * (i + 101) + 12345) % 2147483647 AS b
+      FROM range(16) t(i)
+    ),
+    sig AS (
+      SELECT g.doc_id, p.i, MIN((p.a * g.h + p.b) % 2147483647) AS mh
+      FROM mh_g g CROSS JOIN perm p
+      GROUP BY g.doc_id, p.i
+    ),
+    band AS (
+      SELECT doc_id, i // 4 AS band_idx,
+             list_reduce(
+               list_prepend(CAST(i // 4 AS BIGINT), list(mh ORDER BY i)),
+               (acc, v) -> (acc * 31 + v) % 288230376151711717
+             ) AS band_hash
+      FROM sig GROUP BY doc_id, i // 4
+    ),
+    mh_cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM band a JOIN band b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    hit AS (
+      SELECT COUNT(*) AS n FROM truth t
+      JOIN mh_cand c ON t.id_a = c.id_a AND t.id_b = c.id_b),
+    nt AS (SELECT COUNT(*) AS n FROM truth),
+    nc AS (SELECT COUNT(*) AS n FROM mh_cand)
+    SELECT CAST(nt.n AS BIGINT) AS n_truth,
+           CAST(nc.n AS BIGINT) AS n_candidates,
+           CAST(hit.n AS BIGINT) AS n_hits,
+           CAST(hit.n * 10000 // nt.n AS BIGINT) AS recall_bp,
+           CAST(hit.n * 10000 // nc.n AS BIGINT) AS precision_bp
+    FROM nt, nc, hit
+    """,
+    tags=("dedup", "minhash", "lsh", "evaluation"),
+)
+def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-stage recall/precision of banded MinHash-LSH (16
+    hashes / 4 bands, portable) against EXACT prefix-filtered Jaccard
+    >= 0.6 ground truth on the planted-mutant corpus — the measured
+    quality gate for the approximation itself (the verify stage makes
+    the final output exact; THIS is the number that says how much the
+    banding misses and how much it over-nominates). Both pipelines are
+    the same driver-verified machinery as dedup_jaccard_prefix and
+    dedup_minhash; the metrics are exact integer basis points, so the
+    whole evaluation hash-matches in SQL."""
+    from covid_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        with_minhash,
+    )
+
+    corpus = _with_mutants(table(spark, sf_dir, "documents"))
+    truth = jaccard_join_prefix(
+        corpus, text_col="text", id_col="doc_id", shingle_k=3, threshold=0.6
+    ).select("id_a", "id_b")
+    signed = with_minhash(
+        corpus, text_col="text", shingle_k=3, num_hashes=16, portable=True
+    )
+    cand = lsh_candidate_pairs(
+        signed, id_col="doc_id", num_hashes=16, bands=4, portable=True
+    ).select("id_a", "id_b")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    hit = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(hit)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.expr("n_hits * 10000 div n_truth").alias("recall_bp"),
+            F.expr("n_hits * 10000 div n_candidates").alias("precision_bp"),
+        )
+    )
