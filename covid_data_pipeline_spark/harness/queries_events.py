@@ -1955,3 +1955,153 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return growth_accounting(ev)
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (
+      SELECT prev_type, CAST(SUM(cnt) AS BIGINT) AS total
+      FROM pairs GROUP BY 1)
+    SELECT p.prev_type, p.next_type, p.cnt,
+           ROUND(CAST(p.cnt AS DOUBLE) / t.total, 6) AS p_next,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY p.prev_type
+             ORDER BY p.cnt DESC, p.next_type) AS INTEGER) AS rnk
+    FROM pairs p JOIN tot t USING (prev_type)
+    """,
+    tags=("events", "sequence", "markov"),
+    bench=True,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov model of user behaviour: P(next event type |
+    current event type), estimated from every user's time-ordered
+    event sequence, plus each row's likelihood rank within its source
+    state. The "what do users do after X" building block behind
+    next-action prediction and anomalous-session scoring — the
+    sequential upgrade of event_type_lift (which ignores order).
+
+    Scale shape: ONE shuffle by user_id for the LAG (the same
+    partitioning every sessionization query reuses), then a map-side-
+    combinable pair rollup whose cardinality is |types|^2 — tiny — so
+    the per-state totals re-enter via a broadcast join. The window
+    ORDER BY carries event_id as the uniqueness tiebreaker (registry
+    float policy); counts and totals stay BIGINT end-to-end and the
+    single probability division is exact-rounded IEEE on both engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    pairs = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("cnt").alias("total"))
+    rw = Window.partitionBy("prev_type").orderBy(
+        F.col("cnt").desc(), "next_type"
+    )
+    return (
+        pairs.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias(
+                "p_next"
+            ),
+            F.row_number().over(rw).alias("rnk"),
+        )
+    )
+
+
+@register(
+    "events_seasonal_decompose",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+             COUNT(*) AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+    tr AS (
+      SELECT event_type, x, cnt,
+             CAST(SUM(cnt) OVER w AS BIGINT) AS sum7,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY x
+                   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    detr AS (
+      SELECT event_type, x % 7 AS dow_idx,
+             7 * cnt - sum7 AS detr7
+      FROM tr WHERE n7 = 7)
+    SELECT event_type, dow_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(detr7) AS DOUBLE) / (7 * COUNT(*)), 4)
+             AS seasonal_idx
+    FROM detr GROUP BY 1, 2
+    """,
+    tags=("events", "temporal", "seasonal", "decompose"),
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily event volume:
+    trend = centered 7-day moving average (full windows only), seasonal
+    index per (event_type, day-of-week) = mean detrended residual. The
+    descriptive companion to events_holt_winters (which *forecasts* the
+    seasonality this query *measures*).
+
+    Exactness: the detrended residual is kept as the integer
+    ``7*cnt - sum7`` (x7 to avoid the trend division), so the seasonal
+    mean is an exact-BIGINT sum with ONE final division — no float
+    accumulates across rows (registry float policy). Day-of-week is
+    ``epoch_day % 7`` — pure arithmetic, immune to the Spark-vs-DuckDB
+    dayofweek() origin mismatch. Scale: one shuffle to the daily
+    rollup (map-side combined), one window pass per type, one tiny
+    rollup; the RANGE frame over the integer day index tolerates
+    calendar gaps (incomplete windows are dropped, not polluted).
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rangeBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "x",
+        "cnt",
+        F.sum("cnt").over(w).alias("sum7"),
+        F.count(F.lit(1)).over(w).alias("n7"),
+    )
+    detr = tr.where(F.col("n7") == 7).select(
+        "event_type",
+        (F.col("x") % 7).alias("dow_idx"),
+        (F.lit(7) * F.col("cnt") - F.col("sum7")).alias("detr7"),
+    )
+    return detr.groupBy("event_type", "dow_idx").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(
+            F.sum("detr7").cast("double")
+            / (F.lit(7) * F.count(F.lit(1))),
+            4,
+        ).alias("seasonal_idx"),
+    )

@@ -1907,3 +1907,120 @@ def benford_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "digit", "n_obs", "expected_micro", chi.alias("chi2_contrib")
     )
+
+
+@register(
+    "rfm_customer_segments",
+    """
+    WITH mx AS (
+      SELECT MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+    base AS (
+      SELECT o_custkey AS custkey,
+             CAST((SELECT d1 FROM mx)
+                  - MAX(CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT custkey, recency_days, frequency, monetary_cents,
+             CAST(6 - NTILE(5) OVER (ORDER BY recency_days, custkey)
+                  AS INTEGER) AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY frequency, custkey)
+                  AS INTEGER) AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY monetary_cents, custkey)
+                  AS INTEGER) AS m_score
+      FROM base)
+    SELECT custkey, recency_days, frequency,
+           ROUND(CAST(monetary_cents AS DOUBLE) / 100, 2) AS monetary,
+           r_score, f_score, m_score,
+           CASE
+             WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+               THEN 'champion'
+             WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+             WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+             WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+             ELSE 'regular'
+           END AS segment
+    FROM scored
+    """,
+    tags=("olap", "segmentation", "rfm"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation of the
+    customer base — the classic CRM mart a Superset consumer
+    (SURVEY.md §3.3) builds from the orders fact. Recency is days since
+    each customer's last order, anchored to the dataset's max order
+    date so the query is reproducible; monetary is summed in integer
+    cents (per-row ROUND(x*100) of 2-dp prices is exact; the
+    decimal-money rule) so no float crosses a partition boundary.
+
+    NTILE determinism: every quintile ORDER BY carries custkey as the
+    uniqueness tiebreaker, making bucket boundaries identical across
+    engines and runs. Scale shape: one shuffle for the per-customer
+    rollup; the three NTILEs share one single-partition pass over
+    |customers| rows — at warehouse scale you'd swap them for
+    percent_rank over a range-partitioned sort, or bucket boundaries
+    from approx quantiles; the segment CASE itself stays map-side. The
+    max-date anchor re-enters as a broadcast scalar.
+    """
+    orders = table(spark, sf_dir, "orders")
+    d1 = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("d1")
+    )
+    base = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(d1))
+        .select(
+            "custkey",
+            F.datediff("d1", "last_day").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    wr = Window.orderBy("recency_days", "custkey")
+    wf = Window.orderBy("frequency", "custkey")
+    wm = Window.orderBy("monetary_cents", "custkey")
+    scored = base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        (F.lit(6) - F.ntile(5).over(wr)).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating"
+        )
+        .otherwise("regular")
+    )
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        F.round(F.col("monetary_cents").cast("double") / 100, 2).alias(
+            "monetary"
+        ),
+        "r_score",
+        "f_score",
+        "m_score",
+        seg.alias("segment"),
+    )

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from covid_data_pipeline_spark.harness.registry import register, table
 from covid_data_pipeline_spark.operators.multimodal import (
@@ -1724,3 +1725,214 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "rank")
     )
     return ndcg_at_k(system, truth, k=10)
+
+
+@register(
+    "embeddings_dim_mutual_info",
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> x::DOUBLE) AS ve
+      FROM embeddings),
+    x AS (
+      SELECT label, generate_subscripts(ve, 1) AS pos, unnest(ve) AS val
+      FROM e),
+    cells AS (
+      SELECT pos, label, CASE WHEN val >= 0 THEN 1 ELSE 0 END AS b,
+             COUNT(*) AS n_bl
+      FROM x GROUP BY 1, 2, 3),
+    margb AS (
+      SELECT pos, b, CAST(SUM(n_bl) AS BIGINT) AS n_b
+      FROM cells GROUP BY 1, 2),
+    margl AS (
+      SELECT pos, label, CAST(SUM(n_bl) AS BIGINT) AS n_l
+      FROM cells GROUP BY 1, 2),
+    tot AS (
+      SELECT pos, CAST(SUM(n_bl) AS BIGINT) AS n FROM cells GROUP BY 1),
+    terms AS (
+      SELECT c.pos,
+             c.n_bl * CAST(ROUND(ln(
+               (CAST(c.n_bl AS DOUBLE) / mb.n_b)
+               * (CAST(t.n AS DOUBLE) / ml.n_l)) * 1e6, 0) AS BIGINT)
+               AS micro
+      FROM cells c
+      JOIN margb mb ON c.pos = mb.pos AND c.b = mb.b
+      JOIN margl ml ON c.pos = ml.pos AND c.label = ml.label
+      JOIN tot t ON c.pos = t.pos),
+    mi AS (
+      SELECT t1.pos, CAST(SUM(t1.micro) AS BIGINT) AS micro_sum,
+             ANY_VALUE(t2.n) AS n
+      FROM terms t1 JOIN tot t2 ON t1.pos = t2.pos
+      GROUP BY 1)
+    SELECT CAST(pos - 1 AS INTEGER) AS dim_idx,
+           ROUND(CAST(micro_sum AS DOUBLE) / (n * 1e6), 6) AS mi_nats,
+           CAST(ROW_NUMBER() OVER (ORDER BY micro_sum DESC, pos)
+                AS INTEGER) AS rnk
+    FROM mi
+    """,
+    tags=("similarity", "feature-selection", "mutual-information"),
+)
+def embeddings_dim_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mutual information between each embedding
+    coordinate's SIGN and the class label — the model-free
+    feature-selection ranking ("which dimensions carry label signal")
+    run before training a linear probe on frozen embeddings.
+
+    Float policy: each of the (2 x |labels|) cells contributes
+    ``n_bl * round(ln(ratio) * 1e6)`` — the micro-nat trick
+    (operators/selection.py DSIR): ln over exact-integer ratios agrees
+    cross-engine to <1 ulp, so the rounded BIGINT terms sum exactly and
+    only the display division is float. Ranking ties break on the
+    EXACT integer micro-sum, not the rounded display value. Scale:
+    posexplode fans rows x dims once; everything after is
+    |dims| x |labels| x 2 — constant-sized, map-side combinable, no
+    single-partition stage.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda v: v.cast("double"))
+        ).alias("pos0", "val"),
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "val")
+    cells = x.groupBy(
+        "pos",
+        "label",
+        F.when(F.col("val") >= 0, 1).otherwise(0).alias("b"),
+    ).agg(F.count(F.lit(1)).alias("n_bl"))
+    margb = cells.groupBy("pos", "b").agg(F.sum("n_bl").alias("n_b"))
+    margl = cells.groupBy("pos", "label").agg(F.sum("n_bl").alias("n_l"))
+    tot = cells.groupBy("pos").agg(F.sum("n_bl").alias("n"))
+    ratio = (F.col("n_bl").cast("double") / F.col("n_b")) * (
+        F.col("n").cast("double") / F.col("n_l")
+    )
+    terms = (
+        cells.join(margb, ["pos", "b"])
+        .join(margl, ["pos", "label"])
+        .join(tot, "pos")
+        .select(
+            "pos",
+            "n",
+            (
+                F.col("n_bl")
+                * F.round(F.log(ratio) * 1e6, 0).cast("long")
+            ).alias("micro"),
+        )
+    )
+    mi = terms.groupBy("pos").agg(
+        F.sum("micro").alias("micro_sum"), F.any_value("n").alias("n")
+    )
+    rw = Window.orderBy(F.col("micro_sum").desc(), "pos")
+    return mi.select(
+        (F.col("pos") - 1).cast("int").alias("dim_idx"),
+        F.round(
+            F.col("micro_sum").cast("double") / (F.col("n") * 1e6), 6
+        ).alias("mi_nats"),
+        F.row_number().over(rw).alias("rnk"),
+    )
+
+
+@register(
+    "embeddings_auc_eval",
+    """
+    WITH e AS (
+      SELECT label,
+             CAST(ROUND(embedding[1]::DOUBLE * 1e6, 0) AS BIGINT) AS s
+      FROM embeddings),
+    labels AS (SELECT DISTINCT label FROM e),
+    per_s AS (
+      SELECT s, label, COUNT(*) AS c FROM e GROUP BY 1, 2),
+    tot_s AS (
+      SELECT s, CAST(SUM(c) AS BIGINT) AS t FROM per_s GROUP BY 1),
+    grid AS (
+      SELECT l.label, t.s, t.t, COALESCE(p.c, 0) AS np
+      FROM labels l
+      CROSS JOIN tot_s t
+      LEFT JOIN per_s p ON p.s = t.s AND p.label = l.label),
+    cum AS (
+      SELECT label, s, np, t - np AS nn,
+             CAST(COALESCE(SUM(t - np) OVER (
+               PARTITION BY label ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS neg_below
+      FROM grid),
+    agg AS (
+      SELECT label,
+             CAST(SUM(np) AS BIGINT) AS npos,
+             CAST(SUM(nn) AS BIGINT) AS nneg,
+             CAST(SUM(np * neg_below) AS BIGINT) AS wins,
+             CAST(SUM(np * nn) AS BIGINT) AS ties
+      FROM cum GROUP BY 1)
+    SELECT label, npos, nneg,
+           ROUND((2.0 * wins + ties) / (2.0 * npos * nneg), 6) AS auc,
+           ROUND((2.0 * wins + ties) / (npos * nneg) - 1, 6) AS gini
+    FROM agg
+    """,
+    tags=("similarity", "evaluation", "auc"),
+)
+def embeddings_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest ROC AUC of the first embedding coordinate as a
+    scorer for every class label — the Mann-Whitney evaluation
+    primitive behind "is this feature/classifier score actually
+    separating the positives". Ships the full label sweep so the
+    result is a 10-row separability profile, not a single scalar.
+
+    Exact by construction: scores are micro-quantized to BIGINT, the
+    pairwise statistic comes from integer cumulative counts
+    (wins + half-ties), and the single AUC division is exact-rounded —
+    no ranks, no float accumulation, ties handled exactly. Scale:
+    per-score counts are a map-side-combinable rollup over distinct
+    scores; the label x score grid multiplies by a CONSTANT |labels|,
+    and the cumulative pass partitions by label — no all-pairs stage
+    anywhere. DuckDB windowed BIGINT sums re-cast per the HUGEINT rule.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.round(F.element_at("embedding", 1).cast("double") * 1e6, 0)
+        .cast("long")
+        .alias("s"),
+    )
+    labels = e.select("label").distinct()
+    per_s = e.groupBy("s", "label").agg(F.count(F.lit(1)).alias("c"))
+    tot_s = per_s.groupBy("s").agg(F.sum("c").alias("t"))
+    grid = (
+        labels.crossJoin(tot_s)
+        .join(per_s.withColumnRenamed("c", "np"), ["s", "label"], "left")
+        .select("label", "s", "t", F.coalesce("np", F.lit(0)).alias("np"))
+    )
+    cw = (
+        Window.partitionBy("label")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grid.select(
+        "label",
+        "s",
+        "np",
+        (F.col("t") - F.col("np")).alias("nn"),
+        F.coalesce(
+            F.sum(F.col("t") - F.col("np")).over(cw), F.lit(0)
+        ).alias("neg_below"),
+    )
+    agg = cum.groupBy("label").agg(
+        F.sum("np").alias("npos"),
+        F.sum("nn").alias("nneg"),
+        F.sum(F.col("np") * F.col("neg_below")).alias("wins"),
+        F.sum(F.col("np") * F.col("nn")).alias("ties"),
+    )
+    return agg.select(
+        "label",
+        "npos",
+        "nneg",
+        F.round(
+            (2.0 * F.col("wins") + F.col("ties"))
+            / (2.0 * F.col("npos") * F.col("nneg")),
+            6,
+        ).alias("auc"),
+        F.round(
+            (2.0 * F.col("wins") + F.col("ties"))
+            / (F.col("npos") * F.col("nneg"))
+            - 1,
+            6,
+        ).alias("gini"),
+    )
