@@ -1936,3 +1936,33 @@ def embeddings_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def _kmeans_oracle() -> str:
+    from covid_data_pipeline_spark.operators.clustering import (
+        kmeans_oracle_sql,
+    )
+
+    return kmeans_oracle_sql(k=8, iters=2)
+
+
+@register(
+    "kmeans_cluster_embeddings",
+    _kmeans_oracle(),
+    tags=("similarity", "clustering", "kmeans", "iterative"),
+    bench=True,
+)
+def kmeans_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-lattice Lloyd k-means (k=8, 2 centroid updates) over the
+    embeddings table, emitting EVERY vector's final cluster assignment
+    and exact integer squared distance — so the oracle hash certifies
+    the entire iterative trajectory, not a summary
+    (`operators/clustering.py::kmeans_lloyd`; the DuckDB side replays
+    seeds, assignments, and floor-divided centroid updates as unrolled
+    MATERIALIZED CTEs). The exact-arithmetic counterpart of the
+    float k-means inside the IVF trainer (rows-only by nature)."""
+    from covid_data_pipeline_spark.operators.clustering import kmeans_lloyd
+
+    return kmeans_lloyd(
+        table(spark, sf_dir, "embeddings"), k=8, iters=2
+    )

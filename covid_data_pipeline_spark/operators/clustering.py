@@ -1,0 +1,229 @@
+"""Exact-arithmetic k-means (Lloyd) over embedding columns.
+
+The reference ships no clustering operator; this is north-star surface
+for the training-data pipeline (cluster-balanced sampling, semantic
+bucketing, curriculum mixing — cf. cluster_aware_split_docs, which
+consumes connected components today and can consume these centroids
+instead).
+
+Design — "integer-lattice Lloyd", chosen so the WHOLE algorithm is
+cross-engine hash-verifiable (registry float policy) instead of the
+usual floats-drift-so-rows-only compromise (the IVF coarse quantizer in
+operators/similarity.py is the float variant):
+
+- Coordinates are micro-quantized ONCE up front:
+  ``q = CAST(ROUND(x * 1e6, 0) AS BIGINT)``. Quantization error is one
+  part in 1e6 of a unit-scale embedding — far below cluster geometry.
+- Distances are exact BIGINT sums of squared integer diffs (bounded by
+  dims * (2e7)^2 ~ 2.6e16 per pair at |x| <= 10 — no overflow).
+- Centroid update is FLOOR division on the integer sums
+  (``(sx - pmod(sx, n)) / n``), written identically on both engines, so
+  every iteration's state is a deterministic integer lattice point.
+- Seeds are the k lowest rows under the portable md5-string order
+  (``md5(CAST(id AS STRING))``, id tiebreak) — deterministic, uniform,
+  and replayable in any SQL engine; cluster ids are 1..k in seed order.
+- Ties in assignment break to the smallest cluster id (struct-min on
+  ``(dist, cid)``).
+
+Scale shape: each iteration is one broadcast of k centroids against the
+vector table (k * dims BIGINTs — KBs), a struct-min argmin (map-side
+combinable), and a (cid, pos) rollup of size k * dims. The only
+driver-side state is the centroid matrix itself (the same tiny-metadata
+re-entry the IVF/PQ trainers use). No all-pairs stage, no
+single-partition pass; cost is O(iters * n * k * dims) flops exactly
+like any distributed Lloyd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+_CENT_SCHEMA = StructType(
+    [
+        StructField("cid", IntegerType(), False),
+        StructField("c", ArrayType(LongType(), False), False),
+    ]
+)
+
+
+def quantize_vectors(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1e6,
+) -> DataFrame:
+    """(id, q: array<long>) — micro-quantized copy of ``vec_col``."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            vec_col,
+            lambda v: F.round(v.cast("double") * F.lit(scale), 0).cast(
+                "long"
+            ),
+        ).alias("q"),
+    )
+
+
+def seed_centroids(q: DataFrame, k: int) -> list[tuple[int, list[int]]]:
+    """First k vectors under the portable md5-string order, as
+    (cid, coords) with cid = 1..k."""
+    w = Window.orderBy(F.md5(F.col("_id").cast("string")), "_id")
+    rows = (
+        q.select("_id", "q", F.row_number().over(w).alias("cid"))
+        .where(F.col("cid") <= k)
+        .select("cid", "q")
+        .collect()
+    )
+    return sorted((int(r["cid"]), [int(v) for v in r["q"]]) for r in rows)
+
+
+def _assign(q: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """(_id, cid, d): nearest centroid by exact integer L2^2, ties to
+    the smallest cid via lexicographic struct-min."""
+    spark = q.sparkSession
+    cdf = spark.createDataFrame(cents, _CENT_SCHEMA)
+    d = F.aggregate(
+        F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        q.crossJoin(F.broadcast(cdf))
+        .select("_id", "cid", d.alias("d"))
+        .groupBy("_id")
+        .agg(F.min(F.struct("d", "cid")).alias("m"))
+        .select(
+            "_id", F.col("m.cid").alias("cid"), F.col("m.d").alias("d")
+        )
+    )
+
+
+def _update(
+    q: DataFrame,
+    assign: DataFrame,
+    cents: list[tuple[int, list[int]]],
+) -> list[tuple[int, list[int]]]:
+    """Floor-divided integer centroid means; empty clusters keep their
+    previous coordinates."""
+    rows = (
+        assign.select("_id", "cid")
+        .join(q, "_id")
+        .select("cid", F.posexplode("q").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("v").alias("sx"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    new = {cid: list(c) for cid, c in cents}
+    for r in rows:
+        # Python // is floor division — identical to the oracle's
+        # explicit (sx - pmod(sx, n)) // n form for every sign of sx.
+        new[int(r["cid"])][int(r["pos"])] = int(r["sx"]) // int(r["n"])
+    return sorted((cid, c) for cid, c in new.items())
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1e6,
+) -> DataFrame:
+    """Run ``iters`` Lloyd updates from the md5-seeded start and return
+    the FINAL assignment: (id_col, cluster_id, dist) where dist is the
+    exact integer squared distance on the micro-lattice.
+
+    ``iters`` counts centroid UPDATES; assignments are computed
+    ``iters + 1`` times (the last one is the output)."""
+    qv = quantize_vectors(df, id_col, vec_col, scale)
+    cents = seed_centroids(qv, k)
+    assign = _assign(qv, cents)
+    for _ in range(iters):
+        cents = _update(qv, assign, cents)
+        assign = _assign(qv, cents)
+    return assign.select(
+        F.col("_id").alias(id_col),
+        F.col("cid").alias("cluster_id"),
+        F.col("d").alias("dist"),
+    )
+
+
+def kmeans_oracle_sql(
+    k: int = 8,
+    iters: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of :func:`kmeans_lloyd`: the same seeds, the same
+    integer lattice, the same floor-divided updates, unrolled as
+    MATERIALIZED step CTEs (each step is referenced by the next
+    assignment AND the next update — without MATERIALIZED DuckDB
+    re-expands the chain exponentially; see the k-center gotcha)."""
+    parts = [
+        f"""
+    WITH km_e AS MATERIALIZED (
+      SELECT {id_col} AS _id,
+             list_transform({vec_col},
+                            x -> CAST(ROUND(x::DOUBLE * 1e6, 0) AS BIGINT))
+               AS q
+      FROM {table}),
+    km_x AS MATERIALIZED (
+      SELECT _id, generate_subscripts(q, 1) AS pos, unnest(q) AS v
+      FROM km_e),
+    km_seed AS MATERIALIZED (
+      SELECT _id, CAST(rn AS INTEGER) AS cid FROM (
+        SELECT _id, ROW_NUMBER() OVER (
+          ORDER BY md5(CAST(_id AS VARCHAR)), _id) AS rn
+        FROM km_e) s
+      WHERE rn <= {k}),
+    km_c0 AS MATERIALIZED (
+      SELECT s.cid, x.pos, x.v AS c
+      FROM km_seed s JOIN km_x x USING (_id))"""
+    ]
+    prev = "km_c0"
+    for i in range(1, iters + 2):
+        parts.append(
+            f""",
+    km_d{i} AS MATERIALIZED (
+      SELECT x._id, c.cid,
+             CAST(SUM((x.v - c.c) * (x.v - c.c)) AS BIGINT) AS d
+      FROM km_x x JOIN {prev} c USING (pos) GROUP BY 1, 2),
+    km_a{i} AS MATERIALIZED (
+      SELECT _id, cid, d FROM (
+        SELECT _id, cid, d, ROW_NUMBER() OVER (
+          PARTITION BY _id ORDER BY d, cid) AS rn
+        FROM km_d{i}) t
+      WHERE rn = 1)"""
+        )
+        if i <= iters:
+            parts.append(
+                f""",
+    km_u{i} AS MATERIALIZED (
+      SELECT a.cid, x.pos, CAST(SUM(x.v) AS BIGINT) AS sx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM km_a{i} a JOIN km_x x USING (_id) GROUP BY 1, 2),
+    km_c{i} AS MATERIALIZED (
+      SELECT p.cid, p.pos,
+             CASE WHEN u.n IS NULL THEN p.c
+                  ELSE (u.sx - ((u.sx % u.n) + u.n) % u.n) // u.n
+             END AS c
+      FROM {prev} p
+      LEFT JOIN km_u{i} u ON p.cid = u.cid AND p.pos = u.pos)"""
+            )
+            prev = f"km_c{i}"
+    parts.append(
+        f"""
+    SELECT _id AS {id_col}, cid AS cluster_id, d AS dist
+    FROM km_a{iters + 1}"""
+    )
+    return "".join(parts)
