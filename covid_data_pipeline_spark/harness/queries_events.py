@@ -2105,3 +2105,102 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("seasonal_idx"),
     )
+
+
+@register(
+    "events_session_likelihood",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS next_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    pairs AS (
+      SELECT user_id, prev_type, next_type FROM seq
+      WHERE prev_type IS NOT NULL),
+    trans AS (
+      SELECT prev_type, next_type, COUNT(*) AS cnt
+      FROM pairs GROUP BY 1, 2),
+    tot AS (
+      SELECT prev_type, CAST(SUM(cnt) AS BIGINT) AS total
+      FROM trans GROUP BY 1),
+    lp AS (
+      SELECT t.prev_type, t.next_type,
+             CAST(ROUND(ln(CAST(t.cnt AS DOUBLE) / o.total) * 1e6, 0)
+                  AS BIGINT) AS micro
+      FROM trans t JOIN tot o USING (prev_type)),
+    per_user AS (
+      SELECT p.user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_trans,
+             CAST(SUM(l.micro) AS BIGINT) AS micro_sum
+      FROM pairs p JOIN lp l
+        ON p.prev_type = l.prev_type AND p.next_type = l.next_type
+      GROUP BY 1)
+    SELECT user_id, n_trans,
+           ROUND(CAST(micro_sum AS DOUBLE) / (n_trans * 1e6), 6)
+             AS avg_ll,
+           CAST(NTILE(10) OVER (
+             ORDER BY CAST(micro_sum AS DOUBLE) / n_trans, user_id)
+             AS INTEGER) AS decile
+    FROM per_user WHERE n_trans >= 2
+    """,
+    tags=("events", "sequence", "markov", "anomaly"),
+)
+def events_session_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov log-likelihood scoring of every user's event stream under
+    the corpus-wide first-order transition model — users whose behaviour
+    the model finds improbable (bot loops, scripted replays) land in
+    decile 1. The anomaly-detection consumer of
+    events_markov_transitions' model.
+
+    Exactness: per-transition log-probs are integer-scaled micro-nats
+    (round(ln(cnt/total)*1e6) — the DSIR pattern), so each user's
+    likelihood is an exact BIGINT sum over a broadcast-joined constant-
+    size model; only the per-user average leaves integers, and the
+    decile NTILE orders by that deterministic double with a user_id
+    tiebreaker. Scale: the user_id shuffle for the LAG is re-used by
+    the per-user rollup (same key), the model is |types|^2 rows, and
+    the NTILE's single-partition pass ranks one row per user — swap
+    for approx-quantile boundaries at warehouse scale (same note as
+    rfm_customer_segments)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    pairs = seq.where(F.col("prev_type").isNotNull())
+    trans = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("cnt").alias("total"))
+    lp = trans.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("total")) * 1e6, 0
+        )
+        .cast("long")
+        .alias("micro"),
+    )
+    per_user = (
+        pairs.join(F.broadcast(lp), ["prev_type", "next_type"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.sum("micro").alias("micro_sum"),
+        )
+        .where(F.col("n_trans") >= 2)
+    )
+    nw = Window.orderBy(
+        F.col("micro_sum").cast("double") / F.col("n_trans"), "user_id"
+    )
+    return per_user.select(
+        "user_id",
+        "n_trans",
+        F.round(
+            F.col("micro_sum").cast("double") / (F.col("n_trans") * 1e6), 6
+        ).alias("avg_ll"),
+        F.ntile(10).over(nw).alias("decile"),
+    )

@@ -1966,3 +1966,93 @@ def kmeans_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(
         table(spark, sf_dir, "embeddings"), k=8, iters=2
     )
+
+
+def _kmeans_silhouette_oracle() -> str:
+    from covid_data_pipeline_spark.operators.clustering import (
+        kmeans_silhouette_oracle_sql,
+    )
+
+    return kmeans_silhouette_oracle_sql(k=8, iters=2)
+
+
+@register(
+    "kmeans_silhouette_embeddings",
+    _kmeans_silhouette_oracle(),
+    tags=("similarity", "clustering", "kmeans", "evaluation"),
+)
+def kmeans_silhouette_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-vector simplified silhouette of the final integer-lattice
+    Lloyd state (k=8, 2 updates): a = distance to own centroid, b =
+    nearest other centroid, s = (b-a)/max(a,b) on sqrt of the exact
+    lattice distances — the O(n*k) cluster-quality score
+    (`operators/clustering.py::kmeans_silhouette`), certifying both
+    the trajectory AND the evaluation in one oracle hash."""
+    from covid_data_pipeline_spark.operators.clustering import (
+        kmeans_silhouette,
+    )
+
+    return kmeans_silhouette(
+        table(spark, sf_dir, "embeddings"), k=8, iters=2
+    )
+
+
+@register(
+    "knn_clustering_coefficient",
+    "WITH "
+    + _knn_edges_sql("src", "dst")
+    + """,
+    cc_und AS (
+      SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+      FROM ranked WHERE rn <= 5),
+    cc_adj AS (
+      SELECT lo AS u, hi AS v FROM cc_und
+      UNION ALL
+      SELECT hi AS u, lo AS v FROM cc_und),
+    cc_deg AS (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM cc_adj GROUP BY 1),
+    cc_wedge AS (
+      SELECT e1.u AS center, e1.v AS x, e2.v AS y
+      FROM cc_adj e1 JOIN cc_adj e2 ON e1.u = e2.u AND e1.v < e2.v),
+    cc_tri AS (
+      SELECT w.center AS node, CAST(COUNT(*) AS BIGINT) AS tri
+      FROM cc_wedge w JOIN cc_und e ON w.x = e.lo AND w.y = e.hi
+      GROUP BY 1)
+    SELECT d.node, d.deg, COALESCE(t.tri, 0) AS tri,
+           CASE WHEN d.deg >= 2
+                THEN ROUND(2.0 * COALESCE(t.tri, 0)
+                           / (CAST(d.deg AS DOUBLE) * (d.deg - 1)), 6)
+                ELSE 0.0 END AS coeff
+    FROM cc_deg d LEFT JOIN cc_tri t USING (node)
+    """,
+    tags=("similarity", "knn-graph", "graph", "diagnostics"),
+)
+def knn_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watts-Strogatz local clustering coefficient of every node in the
+    exact 5-NN graph (`operators/graph.py::local_clustering_coefficient`
+    over the canonicalized undirected edge set): coeff -> 1 marks
+    near-duplicate pockets whose neighborhoods are cliques, coeff -> 0
+    marks hub spokes — the per-node refinement the SemDeDup-style
+    pruning threshold is tuned against. Triangles via the oriented
+    wedge join (cost sum-of-deg^2, degree capped by kNN construction)."""
+    from covid_data_pipeline_spark.operators.graph import (
+        local_clustering_coefficient,
+    )
+    from covid_data_pipeline_spark.operators.similarity import (
+        knn_graph_exact,
+    )
+
+    g = knn_graph_exact(
+        table(spark, sf_dir, "embeddings"), k=5, id_col="vec_id",
+        vec_col="embedding",
+    )
+    und = g.select(
+        F.least("src_id", "nbr_id").alias("lo"),
+        F.greatest("src_id", "nbr_id").alias("hi"),
+    ).distinct()
+    return local_clustering_coefficient(und)

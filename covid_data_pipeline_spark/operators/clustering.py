@@ -86,9 +86,10 @@ def seed_centroids(q: DataFrame, k: int) -> list[tuple[int, list[int]]]:
     return sorted((int(r["cid"]), [int(v) for v in r["q"]]) for r in rows)
 
 
-def _assign(q: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
-    """(_id, cid, d): nearest centroid by exact integer L2^2, ties to
-    the smallest cid via lexicographic struct-min."""
+def _score(q: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """(_id, cid, d): exact integer L2^2 from every vector to every
+    centroid (k rows per vector; the k-way fan-out every Lloyd
+    implementation pays, broadcast-side)."""
     spark = q.sparkSession
     cdf = spark.createDataFrame(cents, _CENT_SCHEMA)
     d = F.aggregate(
@@ -96,9 +97,14 @@ def _assign(q: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    return q.crossJoin(F.broadcast(cdf)).select("_id", "cid", d.alias("d"))
+
+
+def _assign(q: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """(_id, cid, d): nearest centroid by exact integer L2^2, ties to
+    the smallest cid via lexicographic struct-min."""
     return (
-        q.crossJoin(F.broadcast(cdf))
-        .select("_id", "cid", d.alias("d"))
+        _score(q, cents)
         .groupBy("_id")
         .agg(F.min(F.struct("d", "cid")).alias("m"))
         .select(
@@ -157,18 +163,67 @@ def kmeans_lloyd(
     )
 
 
-def kmeans_oracle_sql(
+def kmeans_silhouette(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1e6,
+) -> DataFrame:
+    """Per-vector simplified (centroid-based) silhouette of the final
+    Lloyd state: a = distance to the OWN final centroid, b = distance
+    to the nearest OTHER final centroid, s = (b - a) / max(a, b),
+    computed on sqrt of the exact lattice L2^2 — so a and b are the
+    correctly-rounded doubles of exact integers and s is a
+    deterministic IEEE expression on both engines.
+
+    The centroid-based form (Hartigan's simplified silhouette) is the
+    one that scales: O(n * k) instead of the textbook O(n^2) pairwise
+    variant — the same reason MiniBatch/streaming k-means evaluators
+    use it. Returns (id_col, cluster_id, silhouette)."""
+    qv = quantize_vectors(df, id_col, vec_col, scale)
+    cents = seed_centroids(qv, k)
+    assign = _assign(qv, cents)
+    for _ in range(iters):
+        cents = _update(qv, assign, cents)
+        assign = _assign(qv, cents)
+    scored = _score(qv, cents)
+    own = assign.select("_id", F.col("cid").alias("own_cid"))
+    ab = (
+        scored.join(own, "_id")
+        .groupBy("_id", "own_cid")
+        .agg(
+            F.max(
+                F.when(F.col("cid") == F.col("own_cid"), F.col("d"))
+            ).alias("a_d"),
+            F.min(
+                F.when(F.col("cid") != F.col("own_cid"), F.col("d"))
+            ).alias("b_d"),
+        )
+    )
+    a = F.sqrt(F.col("a_d").cast("double"))
+    b = F.sqrt(F.col("b_d").cast("double"))
+    return ab.select(
+        F.col("_id").alias(id_col),
+        F.col("own_cid").alias("cluster_id"),
+        F.round((b - a) / F.greatest(a, b), 6).alias("silhouette"),
+    )
+
+
+def _kmeans_chain_sql(
     k: int = 8,
     iters: int = 2,
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> str:
-    """DuckDB replay of :func:`kmeans_lloyd`: the same seeds, the same
-    integer lattice, the same floor-divided updates, unrolled as
-    MATERIALIZED step CTEs (each step is referenced by the next
-    assignment AND the next update — without MATERIALIZED DuckDB
-    re-expands the chain exponentially; see the k-center gotcha)."""
+    """The shared unrolled-CTE replay of the Lloyd trajectory, ending
+    with ``km_d{iters+1}`` (all vector-to-centroid distances at the
+    final state) and ``km_a{iters+1}`` (the final assignment) in
+    scope. MATERIALIZED per step: each step CTE is referenced by the
+    next assignment AND the next update — without it DuckDB re-expands
+    the chain exponentially (the k-center gotcha)."""
     parts = [
         f"""
     WITH km_e AS MATERIALIZED (
@@ -221,9 +276,49 @@ def kmeans_oracle_sql(
       LEFT JOIN km_u{i} u ON p.cid = u.cid AND p.pos = u.pos)"""
             )
             prev = f"km_c{i}"
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def kmeans_oracle_sql(
+    k: int = 8,
+    iters: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of :func:`kmeans_lloyd`: the same seeds, the same
+    integer lattice, the same floor-divided updates."""
+    return (
+        _kmeans_chain_sql(k, iters, table, id_col, vec_col)
+        + f"""
     SELECT _id AS {id_col}, cid AS cluster_id, d AS dist
     FROM km_a{iters + 1}"""
     )
-    return "".join(parts)
+
+
+def kmeans_silhouette_oracle_sql(
+    k: int = 8,
+    iters: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of :func:`kmeans_silhouette`: the Lloyd chain's
+    final all-distances CTE pivots into (a, b) per vector, then the
+    identical sqrt/ratio expression."""
+    t = iters + 1
+    return (
+        _kmeans_chain_sql(k, iters, table, id_col, vec_col)
+        + f""",
+    km_ab AS (
+      SELECT d._id, a.cid AS own_cid,
+             MAX(CASE WHEN d.cid = a.cid THEN d.d END) AS a_d,
+             MIN(CASE WHEN d.cid <> a.cid THEN d.d END) AS b_d
+      FROM km_d{t} d JOIN km_a{t} a USING (_id)
+      GROUP BY 1, 2)
+    SELECT _id AS {id_col}, own_cid AS cluster_id,
+           ROUND((sqrt(CAST(b_d AS DOUBLE)) - sqrt(CAST(a_d AS DOUBLE)))
+                 / GREATEST(sqrt(CAST(a_d AS DOUBLE)),
+                            sqrt(CAST(b_d AS DOUBLE))), 6) AS silhouette
+    FROM km_ab"""
+    )

@@ -687,3 +687,62 @@ def ktruss(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
     return e.join(_support(e), ["lo", "hi"]).where(
         F.col("support") >= k - 2
     )
+
+
+def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient of an undirected graph:
+    coeff(v) = 2 * tri(v) / (deg(v) * (deg(v) - 1)), the
+    Watts-Strogatz "how clique-like is this neighborhood" score. On
+    the kNN graph it separates tight semantic clusters (coeff -> 1,
+    near-dup pockets) from hub spokes (coeff -> 0) — the per-node
+    refinement of the global triangle count.
+
+    ``edges`` holds canonical undirected edges ``(lo, hi)``, distinct,
+    lo != hi. Returns ``(node, deg, tri, coeff)`` for every node;
+    degree-<2 nodes get coeff 0.0.
+
+    Scale shape: triangles come from the standard oriented wedge join
+    (both wedge legs from the symmetrized adjacency, closing edge
+    probed in canonical orientation) — cost is sum of deg^2 (bounded
+    by k^2 * n on a kNN graph), never |V|^2; every aggregation is
+    map-side combinable. Skew note: a hub node contributes deg(hub)^2
+    wedges — on power-law graphs orient wedges low-degree-first
+    (degree-ordered variant) before scaling up; the kNN graph's degree
+    is capped by construction so the plain form is the right plan.
+    """
+    adj = edges.select(
+        F.col("lo").alias("u"), F.col("hi").alias("v")
+    ).unionAll(edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    e1 = adj.select(F.col("u").alias("center"), F.col("v").alias("x"))
+    e2 = adj.select(F.col("u").alias("center"), F.col("v").alias("y"))
+    wedges = e1.join(e2, "center").where(F.col("x") < F.col("y"))
+    tri = (
+        wedges.join(
+            edges.select(F.col("lo").alias("x"), F.col("hi").alias("y")),
+            ["x", "y"],
+        )
+        .groupBy(F.col("center").alias("node"))
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("tri", F.lit(0)).alias("tri"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("tri", F.lit(0))
+                    / (F.col("deg").cast("double") * (F.col("deg") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(0.0)
+            .alias("coeff"),
+        )
+    )
