@@ -2002,10 +2002,14 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = ev.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     )
+    # |types|^2 rows; localCheckpoint cuts the lineage so the two
+    # consumers (totals + the final join) don't re-run the events scan
+    # and user-window shuffle (Catalyst does not share subtrees).
     pairs = (
         seq.where(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     tot = pairs.groupBy("prev_type").agg(F.sum("cnt").alias("total"))
     rw = Window.partitionBy("prev_type").orderBy(
@@ -2158,10 +2162,14 @@ def events_session_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     likelihood is an exact BIGINT sum over a broadcast-joined constant-
     size model; only the per-user average leaves integers, and the
     decile NTILE orders by that deterministic double with a user_id
-    tiebreaker. Scale: the user_id shuffle for the LAG is re-used by
-    the per-user rollup (same key), the model is |types|^2 rows, and
-    the NTILE's single-partition pass ranks one row per user — swap
-    for approx-quantile boundaries at warehouse scale (same note as
+    tiebreaker. Scale: ONE pass over events — the (user, prev, next)
+    rollup rides the LAG's user_id partitioning (hash(user_id)
+    satisfies the grouping's clustered distribution, so no second
+    shuffle) and is localCheckpointed, letting model estimation and
+    per-user scoring re-enter a compact relation instead of re-running
+    the scan; the model is |types|^2 rows broadcast back. The NTILE's
+    single-partition pass ranks one row per user — swap for
+    approx-quantile boundaries at warehouse scale (same note as
     rfm_customer_segments)."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2170,9 +2178,19 @@ def events_session_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("next_type"),
         F.lag("event_type").over(w).alias("prev_type"),
     )
-    pairs = seq.where(F.col("prev_type").isNotNull())
-    trans = pairs.groupBy("prev_type", "next_type").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # ONE pass over the big relation: roll transitions up to
+    # (user, prev, next, c) right after the window — at most |types|^2
+    # rows per user — and localCheckpoint it, so the model estimation
+    # and the per-user scoring both re-enter this compact relation
+    # instead of re-running the events scan + user-window shuffle.
+    upair = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("user_id", "prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    trans = upair.groupBy("prev_type", "next_type").agg(
+        F.sum("c").alias("cnt")
     )
     tot = trans.groupBy("prev_type").agg(F.sum("cnt").alias("total"))
     lp = trans.join(tot, "prev_type").select(
@@ -2185,11 +2203,11 @@ def events_session_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("micro"),
     )
     per_user = (
-        pairs.join(F.broadcast(lp), ["prev_type", "next_type"])
+        upair.join(F.broadcast(lp), ["prev_type", "next_type"])
         .groupBy("user_id")
         .agg(
-            F.count(F.lit(1)).alias("n_trans"),
-            F.sum("micro").alias("micro_sum"),
+            F.sum("c").alias("n_trans"),
+            F.sum(F.col("c") * F.col("micro")).alias("micro_sum"),
         )
         .where(F.col("n_trans") >= 2)
     )
