@@ -953,6 +953,148 @@ def case_ktruss_1m_edges(spark):
     }
 
 
+def case_kmeans_100k(spark):
+    """200x sf0.1 vectors through integer-lattice Lloyd (k=8, 2
+    updates, 32 dims): assignments must be invariant under an
+    adversarial repartition (the seeds, argmin ties, and floor-divided
+    updates are all deterministic by construction), with every planted
+    blob internally consistent."""
+    from pyspark.sql.window import Window
+
+    from covid_data_pipeline_spark.operators.clustering import kmeans_lloyd
+
+    n, dims = 100_000, 32
+    # Blob id = md5-rank % 8 — the SAME order seed_centroids uses, so
+    # the 8 seeds land in 8 distinct blobs (one each) and Lloyd must
+    # recover the planted partition exactly (arbitrary seeds can
+    # correctly settle in a merged-blob local optimum instead). The
+    # single-partition rank window is fixture-only, not operator cost.
+    rn = F.row_number().over(
+        Window.orderBy(F.md5(F.col("id").cast("string")), "id")
+    )
+    base = spark.range(n, numPartitions=32).select(
+        F.col("id").alias("vec_id"), ((rn - 1) % 8).alias("blob")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda j: F.col("blob").cast("double") * 10.0
+        + (
+            F.pmod(F.xxhash64(F.col("vec_id"), j), F.lit(1000)).cast(
+                "double"
+            )
+        )
+        / 1000.0
+        - 0.5,
+    )
+    df = base.select("vec_id", "blob", vec.alias("embedding")).repartition(
+        32, "vec_id"
+    )
+    blob_of = {
+        r["vec_id"]: r["blob"]
+        for r in base.select("vec_id", "blob").collect()
+    }
+    t0 = time.time()
+    a = sorted(
+        (r["vec_id"], r["cluster_id"], r["dist"])
+        for r in kmeans_lloyd(df, k=8, iters=2).collect()
+    )
+    wall = time.time() - t0
+    b = sorted(
+        (r["vec_id"], r["cluster_id"], r["dist"])
+        for r in kmeans_lloyd(df.repartition(257), k=8, iters=2).collect()
+    )
+    # every planted blob maps to exactly one recovered cluster
+    # (separation 10 >> jitter 1, one seed per blob by construction).
+    blob_cids: dict[int, set] = {}
+    for vid, cid, _ in a:
+        blob_cids.setdefault(blob_of[vid], set()).add(cid)
+    pure = all(len(s) == 1 for s in blob_cids.values())
+    return {
+        "rows": n,
+        "scale_vs_sf0.1": "200x embeddings, 32 dims",
+        "sec": round(wall, 2),
+        "invariant": a == b,
+        "blob_pure": pure,
+        "ok": a == b and pure and len(a) == n,
+    }
+
+
+def case_markov_16m(spark):
+    """160x sf0.1 events through the Markov transition estimator and
+    the per-user micro-nat likelihood scorer (200k users): transition
+    matrix and decile histogram invariant under a prime repartition."""
+    from pyspark.sql.window import Window
+
+    ev = _events_16m(spark)
+
+    def run(e):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = e.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        upair = (
+            seq.where(F.col("prev_type").isNotNull())
+            .groupBy("user_id", "prev_type", "next_type")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=False)
+        )
+        trans = upair.groupBy("prev_type", "next_type").agg(
+            F.sum("c").alias("cnt")
+        )
+        tot = trans.groupBy("prev_type").agg(F.sum("cnt").alias("total"))
+        lp = trans.join(tot, "prev_type").select(
+            "prev_type",
+            "next_type",
+            F.round(
+                F.log(F.col("cnt").cast("double") / F.col("total")) * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("micro"),
+        )
+        per_user = (
+            upair.join(F.broadcast(lp), ["prev_type", "next_type"])
+            .groupBy("user_id")
+            .agg(
+                F.sum("c").alias("n_trans"),
+                F.sum(F.col("c") * F.col("micro")).alias("micro_sum"),
+            )
+            .where(F.col("n_trans") >= 2)
+        )
+        tmat = sorted(map(tuple, trans.collect()))
+        nw = Window.orderBy(
+            F.col("micro_sum").cast("double") / F.col("n_trans"), "user_id"
+        )
+        dec_hist = sorted(
+            map(
+                tuple,
+                per_user.select(
+                    F.ntile(10).over(nw).alias("decile")
+                )
+                .groupBy("decile")
+                .count()
+                .collect(),
+            )
+        )
+        return tmat, dec_hist
+
+    t0 = time.time()
+    tmat_a, dec_a = run(ev)
+    wall = time.time() - t0
+    tmat_b, dec_b = run(ev.repartition(257))
+    inv = tmat_a == tmat_b and dec_a == dec_b
+    return {
+        "rows": 16_000_000,
+        "scale_vs_sf0.1": "160x events, 200k users",
+        "sec": round(wall, 2),
+        "invariant": inv,
+        "n_transitions": len(tmat_a),
+        "ok": inv and len(tmat_a) >= 4 and len(dec_a) == 10,
+    }
+
+
 CASES = {
     "funnel_16m": case_funnel_16m,
     "token_budget_12m": case_token_budget_12m,
@@ -971,6 +1113,8 @@ CASES = {
     "quantile_normalize_5m": case_quantile_normalize_5m,
     "isotonic_10k_groups": case_isotonic_10k_groups,
     "ktruss_1m_edges": case_ktruss_1m_edges,
+    "kmeans_100k": case_kmeans_100k,
+    "markov_16m": case_markov_16m,
 }
 
 
