@@ -150,7 +150,12 @@ def kmeans_lloyd(
 
     ``iters`` counts centroid UPDATES; assignments are computed
     ``iters + 1`` times (the last one is the output)."""
-    qv = quantize_vectors(df, id_col, vec_col, scale)
+    # One action per Lloyd step (seeds, k updates, final assignment)
+    # re-enters qv — cut lineage once so they share a materialized
+    # quantized table instead of re-running the scan + transform.
+    qv = quantize_vectors(df, id_col, vec_col, scale).localCheckpoint(
+        eager=False
+    )
     cents = seed_centroids(qv, k)
     assign = _assign(qv, cents)
     for _ in range(iters):
@@ -182,7 +187,9 @@ def kmeans_silhouette(
     one that scales: O(n * k) instead of the textbook O(n^2) pairwise
     variant — the same reason MiniBatch/streaming k-means evaluators
     use it. Returns (id_col, cluster_id, silhouette)."""
-    qv = quantize_vectors(df, id_col, vec_col, scale)
+    qv = quantize_vectors(df, id_col, vec_col, scale).localCheckpoint(
+        eager=False
+    )
     cents = seed_centroids(qv, k)
     assign = _assign(qv, cents)
     for _ in range(iters):

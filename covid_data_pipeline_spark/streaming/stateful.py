@@ -822,3 +822,97 @@ def stream_repair_monotone(
         "repaired",
         (F.col("repaired") != F.col("reported")).alias("was_corrected"),
     )
+
+
+def stream_markov_counts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming first-order Markov transition counting — the twin of
+    the batch ``events_markov_transitions`` estimator. Per-user state
+    is the LAST seen event type plus the user's cumulative transition
+    counts (bounded by |types|^2 entries — constant-size, RocksDB-
+    friendly); each micro-batch folds its rows in (ts, id) order and
+    re-emits the user's full current counts with a monotone
+    ``n_trans`` watermark, so a keyed upsert sink (user, prev, next)
+    always holds the latest counts and the corpus transition matrix is
+    one SUM over users away — exactly the relation the batch
+    estimator's checkpointed (user, prev, next, c) rollup holds.
+
+    On closed (fully ingested, per-user ordered) data the summed
+    counts equal the batch LAG estimator exactly — asserted in
+    tests/test_streaming.py; cross-batch continuity comes from the
+    carried last-type state, so a transition spanning a micro-batch
+    boundary is never lost."""
+    fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [
+            fields[user_col],
+            StructField("prev_type", StringType(), False),
+            StructField("next_type", StringType(), False),
+            StructField("c", LongType(), False),
+            StructField("n_trans", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_type", StringType(), True),
+            StructField("prevs", ArrayType(StringType()), True),
+            StructField("nexts", ArrayType(StringType()), True),
+            StructField("counts", ArrayType(LongType()), True),
+            StructField("n_trans", LongType(), True),
+        ]
+    )
+    src = df.select(
+        F.col(user_col),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(type_col).cast("string").alias("__t"),
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last, prevs, nexts, counts, n_trans = state.get
+            table = {
+                (p, x): int(c)
+                for p, x, c in zip(list(prevs), list(nexts), list(counts))
+            }
+        else:
+            last, table, n_trans = None, {}, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["__ts", "__id"])
+            for t in pdf["__t"]:
+                if last is not None:
+                    table[(last, t)] = table.get((last, t), 0) + 1
+                    n_trans += 1
+                last = t
+        state.update(
+            (
+                last,
+                [p for p, _ in table],
+                [x for _, x in table],
+                [int(c) for c in table.values()],
+                int(n_trans),
+            )
+        )
+        if not table:
+            return
+        out = pd.DataFrame(
+            {
+                "prev_type": [p for p, _ in table],
+                "next_type": [x for _, x in table],
+                "c": [int(c) for c in table.values()],
+                "n_trans": int(n_trans),
+            }
+        )
+        out[user_col] = key[0]
+        yield out[[user_col, "prev_type", "next_type", "c", "n_trans"]]
+
+    return src.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

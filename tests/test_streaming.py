@@ -1162,3 +1162,89 @@ def test_stream_repair_monotone_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert got[("k", "2024-07-03")] == (12, 15, True)
+
+
+def test_stream_markov_counts_matches_batch(spark, tmp_path):
+    """Summed per-user streaming transition counts on closed data must
+    equal the batch LAG estimator exactly, including transitions that
+    span a micro-batch boundary (carried last-type state)."""
+    from pyspark.sql.window import Window
+
+    from covid_data_pipeline_spark.streaming.stateful import (
+        stream_markov_counts,
+    )
+
+    types = ["view", "click", "purchase"]
+    rows = []
+    eid = 0
+    for uid in range(30):
+        for i in range(20):
+            # deterministic pseudo-random walk; ts strictly increasing
+            # per user so the batch LAG order is unambiguous
+            t = types[(uid * 7 + i * i) % 3]
+            rows.append((uid, eid, f"2024-01-01 00:{i:02d}:00", t))
+            eid += 1
+    schema = "user_id bigint, event_id bigint, ts_s string, event_type string"
+    src_dir = tmp_path / "mkv"
+    src_dir.mkdir()
+    third = len(rows) // 3
+    chunks = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, schema).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s").coalesce(1).write.parquet(
+            str(src_dir / f"b{i}.parquet")
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, event_id bigint, ts timestamp"
+            ", event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    q = (
+        stream_markov_counts(stream)
+        .writeStream.format("memory")
+        .queryName("mkv")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.sql("SELECT * FROM mkv").collect()
+    # keyed upsert: latest (max n_trans) snapshot per user, then sum
+    latest: dict = {}
+    for r in got:
+        cur = latest.get(r["user_id"])
+        if cur is None or r["n_trans"] > cur[0]["n_trans"]:
+            latest[r["user_id"]] = [r]
+        elif r["n_trans"] == cur[0]["n_trans"]:
+            latest[r["user_id"]].append(r)
+    stream_counts: dict = {}
+    for rs in latest.values():
+        for r in rs:
+            k = (r["prev_type"], r["next_type"])
+            stream_counts[k] = stream_counts.get(k, 0) + r["c"]
+
+    batch = spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bc = (
+        batch.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .count()
+        .collect()
+    )
+    batch_counts = {
+        (r["prev_type"], r["next_type"]): r["count"] for r in bc
+    }
+    assert stream_counts == batch_counts
+    assert sum(batch_counts.values()) == 30 * 19
