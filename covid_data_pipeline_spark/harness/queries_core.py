@@ -740,3 +740,45 @@ def customers_masked_egress(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_nationkey": "null",
         },
     ).select("c_custkey", "c_name", "c_acctbal", "c_nationkey", "c_mktsegment")
+
+
+@register(
+    "customers_k_anonymity",
+    """
+    WITH ka AS (
+      SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM customer GROUP BY 1, 2),
+    kt AS (SELECT CAST(SUM(class_size) AS BIGINT) AS total FROM ka)
+    SELECT ka.nationkey, ka.mktsegment, ka.class_size,
+           ka.class_size < 10 AS below_k,
+           ROUND(CAST(ka.class_size AS DOUBLE) / kt.total, 6)
+             AS population_share
+    FROM ka CROSS JOIN kt
+    """,
+    tags=("core", "privacy", "governance"),
+)
+def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer quasi-identifier tuple
+    (nationkey, mktsegment): every equivalence class with its size,
+    share, and a below-k flag (k=10) — the re-identification risk
+    report a governance gate runs BEFORE an egress like
+    customers_masked_egress ships data (classes below k need
+    suppression or generalization; Sweeney 2002). One map-side-
+    combinable rollup plus a broadcast scalar — the audit costs one
+    shuffle at any table size."""
+    c = table(spark, sf_dir, "customer")
+    ka = c.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    kt = ka.agg(F.sum("class_size").alias("total"))
+    return ka.crossJoin(F.broadcast(kt)).select(
+        "nationkey",
+        "mktsegment",
+        "class_size",
+        (F.col("class_size") < 10).alias("below_k"),
+        F.round(
+            F.col("class_size").cast("double") / F.col("total"), 6
+        ).alias("population_share"),
+    )

@@ -1776,3 +1776,104 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("__num div __tot").alias("pct_of_declared_bp"),
     )
+
+
+@register(
+    "docs_pmi_collocations",
+    r"""
+    WITH pmi_toks AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    pmi_uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(t) AS w FROM pmi_toks) GROUP BY 1),
+    pmi_n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM pmi_uni),
+    pmi_big AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM pmi_toks, UNNEST(range(1, len(t))) AS r(i)
+      GROUP BY 1, 2),
+    pmi_b AS (SELECT CAST(SUM(c12) AS BIGINT) AS b FROM pmi_big),
+    pmi_scored AS (
+      SELECT g.w1, g.w2, g.c12,
+             ROUND(ln((CAST(g.c12 AS DOUBLE) / t.b)
+                   / ((CAST(u1.c1 AS DOUBLE) / n.n)
+                      * (CAST(u2.c1 AS DOUBLE) / n.n))), 6) AS pmi
+      FROM pmi_big g
+      JOIN pmi_uni u1 ON g.w1 = u1.w
+      JOIN pmi_uni u2 ON g.w2 = u2.w
+      CROSS JOIN pmi_n n CROSS JOIN pmi_b t
+      WHERE g.c12 >= 5)
+    SELECT w1, w2, c12, pmi, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        ORDER BY pmi DESC, w1, w2) AS INTEGER) AS rnk
+      FROM pmi_scored) q
+    WHERE rnk <= 50
+    """,
+    tags=("text", "collocation", "pmi", "ngram"),
+)
+def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus collocations by pointwise mutual information over
+    adjacent token pairs (min support 5) — the classic phrase-discovery
+    pass (Church & Hanks 1990) run before building a phrase-aware
+    vocabulary; complements doc_tfidf_top_terms (which ranks terms per
+    doc, not word PAIRS corpus-wide).
+
+    Parity: counts are exact BIGINTs; the PMI is ONE deterministic
+    IEEE expression over integer ratios written identically on both
+    engines (ln of products of exact-integer divisions — same doubles,
+    so ranking on the rounded value with (w1, w2) tiebreaks is stable).
+    Scale shape: one bigram rollup (map-side combinable, bounded by
+    corpus token count), unigram totals re-entering through hash joins
+    on the word key, scalar N/B via broadcast cross join; min-support
+    prunes the long tail before the joins. The corpus is scanned twice
+    (unigrams + bigrams) — cheaper than materializing a token-array
+    checkpoint at warehouse scale."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(tokens("text").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    n = uni.agg(F.sum("c1").alias("n"))
+    big = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                    F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    b = big.agg(F.sum("c12").alias("b"))
+    scored = (
+        big.where(F.col("c12") >= 5)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("cu1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("cu2")), "w2")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") / F.col("b"))
+                    / (
+                        (F.col("cu1").cast("double") / F.col("n"))
+                        * (F.col("cu2").cast("double") / F.col("n"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    rw = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
+    return (
+        scored.select("w1", "w2", "c12", "pmi", F.row_number().over(rw).alias("rnk"))
+        .where(F.col("rnk") <= 50)
+    )
