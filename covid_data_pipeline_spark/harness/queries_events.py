@@ -2222,3 +2222,77 @@ def events_session_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_ll"),
         F.ntile(10).over(nw).alias("decile"),
     )
+
+
+@register(
+    "events_dp_released_counts",
+    """
+    WITH dp_daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+    dp_u AS (
+      SELECT event_type, day, cnt,
+             (CAST(concat('0x', substr(md5(
+                concat('dp42|', event_type, '|', CAST(day AS VARCHAR))),
+                1, 15)) AS BIGINT) + 0.5)
+               / 1152921504606846976.0 AS u
+      FROM dp_daily)
+    SELECT event_type, day, cnt,
+           ROUND(CASE WHEN u < 0.5 THEN 2.0 * ln(2.0 * u)
+                      ELSE -2.0 * ln(2.0 * (1.0 - u)) END, 4) AS noise,
+           CAST(FLOOR(cnt
+                + (CASE WHEN u < 0.5 THEN 2.0 * ln(2.0 * u)
+                        ELSE -2.0 * ln(2.0 * (1.0 - u)) END)
+                + 0.5) AS BIGINT) AS released
+    FROM dp_u
+    """,
+    tags=("events", "privacy", "differential-privacy"),
+)
+def events_dp_released_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism release of the daily event-type histogram
+    (sensitivity-1 counts, eps = 0.5, b = 2): inverse-CDF noise
+    X = b*ln(2u) / -b*ln(2(1-u)) added per cell, released as the
+    nearest integer. TEST-MODE noise source: u derives from the
+    portable md5-prefix hash of a fixed salt + the cell key, which
+    makes the release REPLAYABLE for cross-engine verification (the
+    same trick that oracles the LSH hyperplanes); a production release
+    swaps the salt for a secret high-entropy seed — the mechanism,
+    sensitivity, and eps accounting are unchanged. Completes the
+    privacy family (masking, k-anonymity) with the third standard
+    control. Zero-shuffle past the daily rollup; the noise is per-row
+    column algebra."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dp42|"),
+                        F.col("event_type"),
+                        F.lit("|"),
+                        F.col("day").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / 1152921504606846976.0
+    noise = F.when(u < 0.5, 2.0 * F.log(2.0 * u)).otherwise(
+        -2.0 * F.log(2.0 * (1.0 - u))
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.round(noise, 4).alias("noise"),
+        F.floor(F.col("cnt") + noise + 0.5).cast("long").alias("released"),
+    )

@@ -2056,3 +2056,90 @@ def knn_clustering_coefficient(
         F.greatest("src_id", "nbr_id").alias("hi"),
     ).distinct()
     return local_clustering_coefficient(und)
+
+
+@register(
+    "knn_degree_assortativity",
+    "WITH "
+    + _knn_edges_sql("src", "dst")
+    + """,
+    da_und AS (
+      SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+      FROM ranked WHERE rn <= 5),
+    da_adj AS (
+      SELECT lo AS u, hi AS v FROM da_und
+      UNION ALL
+      SELECT hi AS u, lo AS v FROM da_und),
+    da_deg AS (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM da_adj GROUP BY 1),
+    da_pairs AS (
+      SELECT du.deg AS x, dv.deg AS y
+      FROM da_adj a
+      JOIN da_deg du ON a.u = du.node
+      JOIN da_deg dv ON a.v = dv.node),
+    da_mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM da_pairs)
+    SELECT m AS m_directed,
+           ROUND(CAST(m * sxy - sx * sx AS DOUBLE)
+                 / CAST(m * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+    FROM da_mom WHERE m * sxx - sx * sx <> 0
+    """,
+    tags=("similarity", "knn-graph", "graph", "diagnostics"),
+)
+def knn_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the exact 5-NN graph: the
+    Pearson correlation of endpoint degrees over all directed edge
+    orientations — positive means similar-degree nodes link (a
+    core-periphery embedding space), negative means hubs attach to
+    leaves (star-like semantic neighborhoods). By the symmetry of the
+    orientation set the x and y marginals coincide, so r reduces to
+    exact BIGINT moments (m*sxy - sx^2) / (m*sxx - sx^2) off one
+    degree join — the same normal-equation integer discipline as
+    events_ols_trend (a >1e9-edge regime would move the quadratic
+    moments to DECIMAL(38,0)/HUGEINT per the burst_days rule)."""
+    from covid_data_pipeline_spark.operators.similarity import (
+        knn_graph_exact,
+    )
+
+    g = knn_graph_exact(
+        table(spark, sf_dir, "embeddings"), k=5, id_col="vec_id",
+        vec_col="embedding",
+    )
+    und = g.select(
+        F.least("src_id", "nbr_id").alias("lo"),
+        F.greatest("src_id", "nbr_id").alias("hi"),
+    ).distinct()
+    adj = und.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionAll(
+        und.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    pairs = (
+        adj.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("x")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("y")), "v")
+        .select("x", "y")
+    )
+    mom = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    den = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    return mom.where(
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx") != 0
+    ).select(
+        F.col("m").alias("m_directed"),
+        F.round(num / den, 6).alias("assortativity"),
+    )

@@ -1877,3 +1877,53 @@ def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("w1", "w2", "c12", "pmi", F.row_number().over(rw).alias("rnk"))
         .where(F.col("rnk") <= 50)
     )
+
+
+@register(
+    "lang_token_fertility",
+    r"""
+    WITH tf AS (
+      SELECT lang,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                  AS BIGINT) AS words,
+             CAST(len(regexp_extract_all(
+                  text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                  AS BIGINT) AS bpe,
+             CAST(length(text) AS BIGINT) AS chars
+      FROM documents)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS words,
+           CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+           ROUND(CAST(SUM(bpe) AS DOUBLE) / SUM(words), 4) AS fertility,
+           ROUND(CAST(SUM(chars) AS DOUBLE) / SUM(bpe), 4)
+             AS chars_per_token
+    FROM tf GROUP BY 1
+    """,
+    tags=("text", "tokenizer", "multilingual", "diagnostics"),
+)
+def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word and characters per token — the multilingual cost diagnostic
+    ("how many tokens does this language pay per word") that drives
+    per-language token budgets and flags scripts the tokenizer
+    fragments. Exact integer count sums per language; two final
+    divisions. Zero-shuffle projection + one map-side-combinable
+    rollup."""
+    d = table(spark, sf_dir, "documents")
+    tf = d.select(
+        "lang",
+        token_count("text").cast("long").alias("words"),
+        bpe_token_count("text").cast("long").alias("bpe"),
+        char_count("text").cast("long").alias("chars"),
+    )
+    return tf.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").alias("words"),
+        F.sum("bpe").alias("bpe_tokens"),
+        F.round(
+            F.sum("bpe").cast("double") / F.sum("words"), 4
+        ).alias("fertility"),
+        F.round(
+            F.sum("chars").cast("double") / F.sum("bpe"), 4
+        ).alias("chars_per_token"),
+    )
