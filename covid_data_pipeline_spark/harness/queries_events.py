@@ -1965,65 +1965,89 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
              LAG(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
       FROM events),
-    pairs AS (
+    mk_pairs AS (
       SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
       FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
-    tot AS (
+    mk_types AS (SELECT DISTINCT event_type AS next_type FROM events),
+    mk_k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM mk_types),
+    mk_tot AS (
       SELECT prev_type, CAST(SUM(cnt) AS BIGINT) AS total
-      FROM pairs GROUP BY 1)
-    SELECT p.prev_type, p.next_type, p.cnt,
-           ROUND(CAST(p.cnt AS DOUBLE) / t.total, 6) AS p_next,
+      FROM mk_pairs GROUP BY 1),
+    mk_grid AS (
+      SELECT t.prev_type, y.next_type, t.total,
+             COALESCE(p.cnt, 0) AS cnt
+      FROM mk_tot t
+      CROSS JOIN mk_types y
+      LEFT JOIN mk_pairs p
+        ON p.prev_type = t.prev_type AND p.next_type = y.next_type)
+    SELECT g.prev_type, g.next_type, g.cnt,
+           ROUND(CAST(g.cnt + 1 AS DOUBLE) / (g.total + k.k), 6)
+             AS p_next,
            CAST(ROW_NUMBER() OVER (
-             PARTITION BY p.prev_type
-             ORDER BY p.cnt DESC, p.next_type) AS INTEGER) AS rnk
-    FROM pairs p JOIN tot t USING (prev_type)
+             PARTITION BY g.prev_type
+             ORDER BY g.cnt DESC, g.next_type) AS INTEGER) AS rnk
+    FROM mk_grid g CROSS JOIN mk_k k
     """,
     tags=("events", "sequence", "markov"),
     bench=True,
 )
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov model of user behaviour: P(next event type |
-    current event type), estimated from every user's time-ordered
-    event sequence, plus each row's likelihood rank within its source
-    state. The "what do users do after X" building block behind
-    next-action prediction and anomalous-session scoring — the
-    sequential upgrade of event_type_lift (which ignores order).
+    """Laplace-smoothed first-order Markov PREDICTION model: P(next |
+    current) with add-1 smoothing over the FULL source-state x type
+    grid, ranked within each source state — unseen transitions get
+    nonzero mass, which is what separates this from
+    event_transition_matrix (the raw observed-MLE matrix: different
+    row set, different estimator, different consumer). This is the
+    model a next-action recommender actually ships; the likelihood
+    scorer (events_session_likelihood) deliberately stays on the
+    unsmoothed MLE since it scores only observed transitions.
 
-    Scale shape: ONE shuffle by user_id for the LAG (the same
-    partitioning every sessionization query reuses), then a map-side-
+    Scale shape: ONE shuffle by user_id for the LAG, then a map-side-
     combinable pair rollup whose cardinality is |types|^2 — tiny — so
-    the per-state totals re-enter via a broadcast join. The window
-    ORDER BY carries event_id as the uniqueness tiebreaker (registry
-    float policy); counts and totals stay BIGINT end-to-end and the
-    single probability division is exact-rounded IEEE on both engines.
-    """
+    everything after (grid cross join, smoothing, ranking) runs on
+    constant-size relations re-entered via broadcast; the rollup is
+    localCheckpointed so its three consumers don't re-run the events
+    scan (Catalyst shares no subtrees). The window ORDER BY carries
+    event_id as the uniqueness tiebreaker; counts stay BIGINT and the
+    single smoothed division is exact-rounded IEEE on both engines."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     )
-    # |types|^2 rows; localCheckpoint cuts the lineage so the two
-    # consumers (totals + the final join) don't re-run the events scan
-    # and user-window shuffle (Catalyst does not share subtrees).
     pairs = (
         seq.where(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=False)
     )
+    types = ev.select(F.col("event_type").alias("next_type")).distinct()
+    k = types.agg(F.count(F.lit(1)).alias("k"))
     tot = pairs.groupBy("prev_type").agg(F.sum("cnt").alias("total"))
+    grid = (
+        tot.crossJoin(F.broadcast(types))
+        .join(pairs, ["prev_type", "next_type"], "left")
+        .select(
+            "prev_type",
+            "next_type",
+            "total",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )
     rw = Window.partitionBy("prev_type").orderBy(
         F.col("cnt").desc(), "next_type"
     )
     return (
-        pairs.join(F.broadcast(tot), "prev_type")
+        grid.crossJoin(F.broadcast(k))
         .select(
             "prev_type",
             "next_type",
             "cnt",
-            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias(
-                "p_next"
-            ),
+            F.round(
+                (F.col("cnt") + 1).cast("double")
+                / (F.col("total") + F.col("k")),
+                6,
+            ).alias("p_next"),
             F.row_number().over(rw).alias("rnk"),
         )
     )

@@ -176,3 +176,41 @@ def test_no_cartesian_product_in_any_registered_query(spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
         checked += 1
     assert checked >= 190
+
+
+def test_markov_model_reenters_by_broadcast(spark, sf_dir):
+    """The |types|^2 transition model must re-enter the per-state
+    totals join as a broadcast, and the LAG's user partitioning must
+    be the only events-sized shuffle."""
+    plan = plan_of(QUERIES["events_markov_transitions"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    """Every Lloyd scoring pass is a broadcast of k centroids against
+    the vector table — never a shuffled join, never a nested loop over
+    a non-trivial side."""
+    from covid_data_pipeline_spark.operators.clustering import (
+        _assign,
+        quantize_vectors,
+        seed_centroids,
+    )
+
+    qv = quantize_vectors(table(spark, sf_dir, "embeddings"))
+    cents = seed_centroids(qv, 8)
+    plan = plan_of(_assign(qv, cents))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_session_likelihood_single_events_pass(spark, sf_dir):
+    """After the compact (user, prev, next) rollup is checkpointed, no
+    consumer may re-scan the events parquet: the executed plan must
+    contain zero file scans (the one real scan happened at checkpoint
+    materialization) and the model join must broadcast."""
+    df = QUERIES["events_session_likelihood"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
