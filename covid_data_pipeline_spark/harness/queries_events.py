@@ -2320,3 +2320,177 @@ def events_dp_released_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(noise, 4).alias("noise"),
         F.floor(F.col("cnt") + noise + 0.5).cast("long").alias("released"),
     )
+
+
+@register(
+    "events_psi_drift",
+    """
+    WITH psi_base AS (
+      SELECT event_type, event_id, value,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    psi_split AS (
+      SELECT CAST(MIN(x) + (MAX(x) - MIN(x)) // 2 AS BIGINT) AS sx
+      FROM psi_base),
+    psi_ref AS (
+      SELECT b.event_type, b.event_id, b.value
+      FROM psi_base b CROSS JOIN psi_split s WHERE b.x < s.sx),
+    psi_cur AS (
+      SELECT b.event_type, b.event_id, b.value
+      FROM psi_base b CROSS JOIN psi_split s WHERE b.x >= s.sx),
+    psi_bounds AS (
+      SELECT event_type, tile, MAX(value) AS b FROM (
+        SELECT event_type, value,
+               CAST(NTILE(10) OVER (PARTITION BY event_type
+                 ORDER BY value, event_id) AS INTEGER) AS tile
+        FROM psi_ref) t
+      WHERE tile <= 9 GROUP BY 1, 2),
+    psi_bins AS (SELECT unnest(range(1, 11)) AS bin),
+    psi_rc AS (
+      SELECT r.event_type, r.event_id,
+             CAST(1 + COUNT(CASE WHEN r.value > bo.b THEN 1 END)
+                  AS INTEGER) AS bin
+      FROM psi_ref r LEFT JOIN psi_bounds bo
+        ON r.event_type = bo.event_type
+      GROUP BY 1, 2),
+    psi_cc AS (
+      SELECT c.event_type, c.event_id,
+             CAST(1 + COUNT(CASE WHEN c.value > bo.b THEN 1 END)
+                  AS INTEGER) AS bin
+      FROM psi_cur c LEFT JOIN psi_bounds bo
+        ON c.event_type = bo.event_type
+      GROUP BY 1, 2),
+    psi_types AS (SELECT DISTINCT event_type FROM psi_base),
+    psi_grid AS (
+      SELECT t.event_type, CAST(b.bin AS INTEGER) AS bin
+      FROM psi_types t CROSS JOIN psi_bins b),
+    psi_cnt AS (
+      SELECT g.event_type, g.bin,
+             CAST(COALESCE(rc.c, 0) AS BIGINT) AS rc,
+             CAST(COALESCE(cc.c, 0) AS BIGINT) AS cc
+      FROM psi_grid g
+      LEFT JOIN (SELECT event_type, bin, COUNT(*) AS c
+                 FROM psi_rc GROUP BY 1, 2) rc
+        ON g.event_type = rc.event_type AND g.bin = rc.bin
+      LEFT JOIN (SELECT event_type, bin, COUNT(*) AS c
+                 FROM psi_cc GROUP BY 1, 2) cc
+        ON g.event_type = cc.event_type AND g.bin = cc.bin),
+    psi_tot AS (
+      SELECT event_type, CAST(SUM(rc) AS BIGINT) AS nr,
+             CAST(SUM(cc) AS BIGINT) AS nc
+      FROM psi_cnt GROUP BY 1),
+    psi_terms AS (
+      SELECT c.event_type,
+             CAST(ROUND(
+               ((CAST(c.rc AS DOUBLE) + 0.5) / (t.nr + 5.0)
+                - (CAST(c.cc AS DOUBLE) + 0.5) / (t.nc + 5.0))
+               * ln(((CAST(c.rc AS DOUBLE) + 0.5) / (t.nr + 5.0))
+                    / ((CAST(c.cc AS DOUBLE) + 0.5) / (t.nc + 5.0)))
+               * 1e9, 0) AS BIGINT) AS micro
+      FROM psi_cnt c JOIN psi_tot t USING (event_type))
+    SELECT p.event_type, t.nr AS n_ref, t.nc AS n_cur,
+           ROUND(CAST(SUM(p.micro) AS BIGINT) / 1e9, 6) AS psi,
+           CAST(SUM(p.micro) AS BIGINT) > 100000000 AS drifted
+    FROM psi_terms p JOIN psi_tot t USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+    tags=("events", "monitoring", "drift", "psi"),
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the event value distribution,
+    second calendar half vs first (the reference cohort): decile
+    boundaries fit on the reference (NTILE with event_id tiebreaks),
+    both cohorts re-binned by pure value comparison, add-0.5 smoothed,
+    PSI = sum (p-q) ln(p/q) with drift flagged past the standard 0.1 —
+    the production monitoring primitive behind "has this feed shifted
+    since the model/filters were tuned" (complements term_drift_by_
+    cohort, which monitors text; this monitors numeric distributions).
+
+    Exactness: bin ids come from exact value comparisons against nine
+    reference boundaries; every per-bin term is a deterministic IEEE
+    expression over exact integer counts (+0.5 halves are binary-
+    exact), integer-scaled to nano-units so the 10-term sum and the
+    0.1 threshold compare in exact BIGINT. Scale: the NTILE runs per
+    event_type (parallel across types; at warehouse scale swap for
+    approx-quantile boundaries), the 9-boundary re-bin is a broadcast
+    fan-out, and everything downstream is |types| x 10 rows."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        "event_id",
+        "value",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+    )
+    split = base.agg(
+        (
+            F.min("x")
+            + F.floor((F.max("x") - F.min("x")) / 2).cast("long")
+        ).alias("sx")
+    )
+    based = base.crossJoin(F.broadcast(split))
+    ref = based.where(F.col("x") < F.col("sx"))
+    cur = based.where(F.col("x") >= F.col("sx"))
+    tw = Window.partitionBy("event_type").orderBy("value", "event_id")
+    bounds = (
+        ref.select("event_type", "value", F.ntile(10).over(tw).alias("tile"))
+        .where(F.col("tile") <= 9)
+        .groupBy("event_type", "tile")
+        .agg(F.max("value").alias("b"))
+    )
+
+    def rebin(cohort):
+        return (
+            cohort.join(F.broadcast(bounds), "event_type", "left")
+            .groupBy("event_type", "event_id")
+            .agg(
+                (
+                    F.lit(1)
+                    + F.count(F.when(F.col("value") > F.col("b"), 1))
+                )
+                .cast("int")
+                .alias("bin")
+            )
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    rc = rebin(ref).withColumnRenamed("c", "rc")
+    cc = rebin(cur).withColumnRenamed("c", "cc")
+    types = base.select("event_type").distinct()
+    bins = spark.range(1, 11).select(F.col("id").cast("int").alias("bin"))
+    grid = types.crossJoin(F.broadcast(bins))
+    cnt = (
+        grid.join(rc, ["event_type", "bin"], "left")
+        .join(cc, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+        )
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("rc").alias("nr"), F.sum("cc").alias("nc")
+    )
+    p = (F.col("rc").cast("double") + 0.5) / (F.col("nr") + 5.0)
+    q = (F.col("cc").cast("double") + 0.5) / (F.col("nc") + 5.0)
+    terms = cnt.join(tot, "event_type").select(
+        "event_type",
+        F.round((p - q) * F.log(p / q) * 1e9, 0).cast("long").alias("micro"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(F.sum("micro").alias("micro_sum"))
+        .join(tot, "event_type")
+        .select(
+            "event_type",
+            F.col("nr").alias("n_ref"),
+            F.col("nc").alias("n_cur"),
+            F.round(F.col("micro_sum") / 1e9, 6).alias("psi"),
+            (F.col("micro_sum") > 100000000).alias("drifted"),
+        )
+    )
