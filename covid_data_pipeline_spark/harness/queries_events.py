@@ -2494,3 +2494,215 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("micro_sum") > 100000000).alias("drifted"),
         )
     )
+
+
+@register(
+    "events_churn_training_set",
+    """
+    WITH ch_base AS (
+      SELECT user_id, event_id, event_type, value,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7
+               AS wk,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL),
+    ch_lw AS (SELECT CAST(MAX(wk) AS BIGINT) AS lw FROM ch_base),
+    ch_feat AS (
+      SELECT b.user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT b.x) AS BIGINT) AS n_active_days,
+             CAST(COUNT(CASE WHEN b.event_type = 'purchase' THEN 1 END)
+                  AS BIGINT) AS n_purchases,
+             CAST(SUM(CAST(ROUND(b.value * 100, 0) AS BIGINT))
+                  AS BIGINT) AS value_cents,
+             CAST(MIN(l.lw * 7 - 1 - b.x) AS BIGINT)
+               AS days_since_last
+      FROM ch_base b CROSS JOIN ch_lw l
+      WHERE b.wk < l.lw
+      GROUP BY 1),
+    ch_label AS (
+      SELECT DISTINCT b.user_id, TRUE AS active
+      FROM ch_base b CROSS JOIN ch_lw l WHERE b.wk = l.lw)
+    SELECT f.user_id, f.n_events, f.n_active_days, f.n_purchases,
+           f.value_cents, f.days_since_last,
+           COALESCE(lb.active, FALSE) AS label_active
+    FROM ch_feat f LEFT JOIN ch_label lb USING (user_id)
+    """,
+    tags=("events", "training-set", "features", "temporal-split"),
+)
+def events_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe churn training-set assembly: per-user activity
+    features computed STRICTLY BEFORE the label week (the dataset's
+    last calendar week), labeled by activity inside it — the temporal
+    feature/label split every behavioral model needs and the thing
+    naive joins silently get wrong (features peeking past the label
+    boundary). Features are exact integers (cent-summed value,
+    distinct active days, recency measured to the feature-window
+    edge); the label re-enters by a user-keyed left join.
+
+    Scale: one pass builds both cohorts off the same relation
+    (week predicate only), the feature rollup is one user_id shuffle
+    (COUNT DISTINCT day via Spark's native expand), and the label
+    relation is |active users| rows. The week boundary is a broadcast
+    scalar, so the query re-runs identically as the calendar
+    advances — re-materialize per label week for a panel dataset."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.where(F.col("ts").isNotNull()).select(
+        "user_id",
+        "event_type",
+        "value",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+    ).select(
+        "user_id",
+        "event_type",
+        "value",
+        "x",
+        F.floor(F.col("x") / 7).cast("long").alias("wk"),
+    )
+    lw = base.agg(F.max("wk").alias("lw"))
+    based = base.crossJoin(F.broadcast(lw))
+    feat = (
+        based.where(F.col("wk") < F.col("lw"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("x").alias("n_active_days"),
+            F.count(
+                F.when(F.col("event_type") == "purchase", 1)
+            ).alias("n_purchases"),
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("long")
+            ).alias("value_cents"),
+            F.min(
+                F.col("lw") * 7 - 1 - F.col("x")
+            ).alias("days_since_last"),
+        )
+    )
+    label = (
+        based.where(F.col("wk") == F.col("lw"))
+        .select("user_id", F.lit(True).alias("active"))
+        .distinct()
+    )
+    return feat.join(label, "user_id", "left").select(
+        "user_id",
+        "n_events",
+        "n_active_days",
+        "n_purchases",
+        "value_cents",
+        "days_since_last",
+        F.coalesce("active", F.lit(False)).alias("label_active"),
+    )
+
+
+@register(
+    "events_sequential_patterns",
+    """
+    WITH sp_e AS (
+      SELECT user_id, event_type AS t,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS BIGINT) AS rn
+      FROM events),
+    sp_nu AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu FROM sp_e),
+    sp_first AS (
+      SELECT user_id, t AS a, CAST(MIN(rn) AS BIGINT) AS p1
+      FROM sp_e GROUP BY 1, 2),
+    sp_pair AS (
+      SELECT f.user_id, f.a, e.t AS b, CAST(MIN(e.rn) AS BIGINT) AS p2
+      FROM sp_first f JOIN sp_e e
+        ON f.user_id = e.user_id AND e.rn > f.p1
+      GROUP BY 1, 2, 3),
+    sp_sup2 AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS support2
+      FROM sp_pair GROUP BY 1, 2),
+    sp_keep2 AS (
+      SELECT s.a, s.b, s.support2
+      FROM sp_sup2 s CROSS JOIN sp_nu n
+      WHERE s.support2 * 20 >= n.nu),
+    sp_triple AS (
+      SELECT p.user_id, p.a, p.b, e.t AS c
+      FROM sp_pair p
+      JOIN sp_keep2 k ON p.a = k.a AND p.b = k.b
+      JOIN sp_e e ON p.user_id = e.user_id AND e.rn > p.p2
+      GROUP BY 1, 2, 3, 4),
+    sp_sup3 AS (
+      SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS support
+      FROM sp_triple GROUP BY 1, 2, 3)
+    SELECT s.a, s.b, s.c, s.support,
+           ROUND(CAST(s.support AS DOUBLE) / n.nu, 4) AS support_pct,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY s.support DESC, s.a, s.b, s.c) AS INTEGER) AS rnk
+    FROM sp_sup3 s CROSS JOIN sp_nu n
+    WHERE s.support * 20 >= n.nu
+    """,
+    tags=("events", "sequence", "pattern-mining", "gsp"),
+)
+def events_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-step sequential patterns (GSP/PrefixSpan family):
+    ordered type triples a -> b -> c supported as SUBSEQUENCES (gaps
+    allowed — the non-adjacent complement of the Markov queries, which
+    see only immediate successors) by >= 5% of users, grown
+    Apriori-style: 2-step prefixes are counted first and only
+    surviving prefixes are extended, so candidate growth is bounded by
+    real support, not |types|^3. Subsequence existence uses the greedy
+    earliest-occurrence chain (provably sufficient), each step one
+    (user-keyed join + MIN) — never a per-user sequence scan.
+
+    Exactness: supports are exact user counts; the 5% gate compares
+    support*20 >= n_users in BIGINT (no float threshold); only the
+    display percentage divides. Scale: every join is keyed by user_id
+    (co-partitioned with the sessionization family), inter-step
+    relations are <= users x surviving-patterns rows thanks to the MIN
+    reductions, and the ordered-event relation would be staged to a
+    table at warehouse scale instead of recomputed per step."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id",
+        F.col("event_type").alias("t"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    ).localCheckpoint(eager=False)
+    nu = e.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("nu")
+    )
+    first = e.groupBy("user_id", F.col("t").alias("a")).agg(
+        F.min("rn").alias("p1")
+    )
+    pair = (
+        first.join(e, "user_id")
+        .where(F.col("rn") > F.col("p1"))
+        .groupBy("user_id", "a", F.col("t").alias("b"))
+        .agg(F.min("rn").alias("p2"))
+    )
+    sup2 = pair.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support2"))
+    keep2 = (
+        sup2.crossJoin(F.broadcast(nu))
+        .where(F.col("support2") * 20 >= F.col("nu"))
+        .select("a", "b")
+    )
+    triple = (
+        pair.join(F.broadcast(keep2), ["a", "b"])
+        .join(e, "user_id")
+        .where(F.col("rn") > F.col("p2"))
+        .select("user_id", "a", "b", F.col("t").alias("c"))
+        .distinct()
+    )
+    sup3 = triple.groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    rw = Window.orderBy(F.col("support").desc(), "a", "b", "c")
+    return (
+        sup3.crossJoin(F.broadcast(nu))
+        .where(F.col("support") * 20 >= F.col("nu"))
+        .select(
+            "a",
+            "b",
+            "c",
+            "support",
+            F.round(
+                F.col("support").cast("double") / F.col("nu"), 4
+            ).alias("support_pct"),
+            F.row_number().over(rw).alias("rnk"),
+        )
+    )
