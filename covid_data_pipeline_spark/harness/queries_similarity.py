@@ -2143,3 +2143,168 @@ def knn_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("m_directed"),
         F.round(num / den, 6).alias("assortativity"),
     )
+
+
+@register(
+    "embeddings_best_stump",
+    """
+    WITH st_x AS (
+      SELECT vec_id, label, generate_subscripts(ve, 1) AS pos,
+             unnest(ve) AS val
+      FROM (SELECT vec_id, label,
+                   list_transform(embedding, x -> x::DOUBLE) AS ve
+            FROM embeddings) e),
+    st_bounds AS (
+      SELECT pos, tile, MAX(val) AS thr FROM (
+        SELECT pos, val,
+               CAST(NTILE(4) OVER (PARTITION BY pos
+                 ORDER BY val, vec_id) AS INTEGER) AS tile
+        FROM st_x) t
+      WHERE tile <= 3 GROUP BY 1, 2),
+    st_cells AS (
+      SELECT x.pos, b.tile, x.label,
+             CASE WHEN x.val <= b.thr THEN 0 ELSE 1 END AS side,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM st_x x JOIN st_bounds b ON x.pos = b.pos
+      GROUP BY 1, 2, 3, 4),
+    st_sides AS (
+      SELECT pos, tile, side, CAST(SUM(c) AS BIGINT) AS ns
+      FROM st_cells GROUP BY 1, 2, 3),
+    st_split_h AS (
+      SELECT c.pos, c.tile,
+             CAST(SUM(-c.c * CAST(ROUND(
+               ln(CAST(c.c AS DOUBLE) / s.ns) * 1e6, 0) AS BIGINT))
+               AS BIGINT) AS h_split
+      FROM st_cells c
+      JOIN st_sides s
+        ON c.pos = s.pos AND c.tile = s.tile AND c.side = s.side
+      GROUP BY 1, 2),
+    st_tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM st_cells WHERE tile = 1),
+    st_h0 AS (
+      SELECT CAST(SUM(-lc.c * CAST(ROUND(
+               ln(CAST(lc.c AS DOUBLE) / t.n) * 1e6, 0) AS BIGINT))
+               AS BIGINT) AS h_total
+      FROM (SELECT label, CAST(COUNT(*) AS BIGINT) AS c
+            FROM st_x WHERE pos = 1 GROUP BY 1) lc
+      CROSS JOIN st_tot t),
+    st_gain AS (
+      SELECT s.pos, s.tile, h0.h_total - s.h_split AS gain_scaled
+      FROM st_split_h s CROSS JOIN st_h0 h0),
+    st_best AS (
+      SELECT g2.pos, g2.tile, g2.gain_scaled, bthr.thr FROM (
+        SELECT g.*, ROW_NUMBER() OVER (
+          PARTITION BY g.pos
+          ORDER BY g.gain_scaled DESC, g.tile) AS brn
+        FROM st_gain g) g2
+      JOIN st_bounds bthr
+        ON g2.pos = bthr.pos AND g2.tile = bthr.tile
+      WHERE g2.brn = 1)
+    SELECT CAST(b.pos - 1 AS INTEGER) AS dim_idx,
+           CAST(b.tile AS INTEGER) AS threshold_tile,
+           ROUND(b.thr, 6) AS threshold,
+           ROUND(CAST(b.gain_scaled AS DOUBLE) / (t.n * 1e6), 6)
+             AS info_gain,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY b.gain_scaled DESC, b.pos) AS INTEGER) AS rnk
+    FROM st_best b CROSS JOIN st_tot t
+    """,
+    tags=("similarity", "feature-selection", "decision-tree"),
+)
+def embeddings_best_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best decision stump per embedding dimension: each dim tries its
+    three reference quartile thresholds and keeps the split with the
+    highest label information gain — level 1 of a distributed decision
+    tree, and the threshold-aware upgrade of embeddings_dim_mutual_info
+    (which only sees the sign). The global rank says which single
+    (dim, threshold) test best separates the labels.
+
+    Exactness: n*H terms are exact BIGINT sums of c * round(ln(c/n)*1e6)
+    micro-nats per (side, label) cell, so gains compare and rank as
+    exact integers; thresholds come from NTILE(4) with vec_id
+    tiebreaks and re-bin by pure value comparison (the PSI pattern).
+    Scale: ONE posexplode fan-out of the corpus; cells are
+    |dims| x 3 x 2 x |labels| — constant; the quartile NTILE runs per
+    dim in parallel (swap for approx quantiles at warehouse scale)."""
+    e = table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda v: v.cast("double"))
+        ).alias("pos0", "val"),
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "val")
+    tw = Window.partitionBy("pos").orderBy("val", "vec_id")
+    bounds = (
+        x.select("pos", "val", F.ntile(4).over(tw).alias("tile"))
+        .where(F.col("tile") <= 3)
+        .groupBy("pos", "tile")
+        .agg(F.max("val").alias("thr"))
+    )
+    cells = (
+        x.join(bounds, "pos")
+        .groupBy(
+            "pos",
+            "tile",
+            "label",
+            F.when(F.col("val") <= F.col("thr"), 0)
+            .otherwise(1)
+            .alias("side"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sides = cells.groupBy("pos", "tile", "side").agg(
+        F.sum("c").alias("ns")
+    )
+    split_h = (
+        cells.join(sides, ["pos", "tile", "side"])
+        .groupBy("pos", "tile")
+        .agg(
+            F.sum(
+                -F.col("c")
+                * F.round(
+                    F.log(F.col("c").cast("double") / F.col("ns")) * 1e6,
+                    0,
+                ).cast("long")
+            ).alias("h_split")
+        )
+    )
+    tot = cells.where(F.col("tile") == 1).agg(F.sum("c").alias("n"))
+    h0 = (
+        x.where(F.col("pos") == 1)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                -F.col("c")
+                * F.round(
+                    F.log(F.col("c").cast("double") / F.col("n")) * 1e6,
+                    0,
+                ).cast("long")
+            ).alias("h_total")
+        )
+    )
+    gain = split_h.crossJoin(F.broadcast(h0)).select(
+        "pos",
+        "tile",
+        (F.col("h_total") - F.col("h_split")).alias("gain_scaled"),
+    )
+    bw = Window.partitionBy("pos").orderBy(
+        F.col("gain_scaled").desc(), "tile"
+    )
+    best = (
+        gain.select("pos", "tile", "gain_scaled", F.row_number().over(bw).alias("brn"))
+        .where(F.col("brn") == 1)
+        .join(bounds, ["pos", "tile"])
+    )
+    rw = Window.orderBy(F.col("gain_scaled").desc(), "pos")
+    return best.crossJoin(F.broadcast(tot)).select(
+        (F.col("pos") - 1).cast("int").alias("dim_idx"),
+        F.col("tile").cast("int").alias("threshold_tile"),
+        F.round("thr", 6).alias("threshold"),
+        F.round(
+            F.col("gain_scaled").cast("double") / (F.col("n") * 1e6), 6
+        ).alias("info_gain"),
+        F.row_number().over(rw).alias("rnk"),
+    )
