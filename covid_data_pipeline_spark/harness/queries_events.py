@@ -2637,6 +2637,7 @@ def events_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE s.support * 20 >= n.nu
     """,
     tags=("events", "sequence", "pattern-mining", "gsp"),
+    bench=True,
 )
 def events_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent 3-step sequential patterns (GSP/PrefixSpan family):

@@ -1095,6 +1095,64 @@ def case_markov_16m(spark):
     }
 
 
+def case_gsp_16m(spark):
+    """160x sf0.1 events through the Apriori-pruned 3-step sequential
+    pattern miner (greedy earliest-occurrence chains as keyed
+    join+MIN steps): the surviving pattern set and supports must be
+    invariant under a prime repartition."""
+    from pyspark.sql.window import Window
+
+    ev = _events_16m(spark)
+
+    def run(e):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ee = e.select(
+            "user_id",
+            F.col("event_type").alias("t"),
+            F.row_number().over(w).cast("long").alias("rn"),
+        ).localCheckpoint(eager=False)
+        nu = ee.select("user_id").distinct().count()
+        first = ee.groupBy("user_id", F.col("t").alias("a")).agg(
+            F.min("rn").alias("p1")
+        )
+        pair = (
+            first.join(ee, "user_id")
+            .where(F.col("rn") > F.col("p1"))
+            .groupBy("user_id", "a", F.col("t").alias("b"))
+            .agg(F.min("rn").alias("p2"))
+        )
+        sup2 = pair.groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("support2")
+        )
+        keep2 = sup2.where(F.col("support2") * 20 >= nu).select("a", "b")
+        triple = (
+            pair.join(F.broadcast(keep2), ["a", "b"])
+            .join(ee, "user_id")
+            .where(F.col("rn") > F.col("p2"))
+            .select("user_id", "a", "b", F.col("t").alias("c"))
+            .distinct()
+        )
+        sup3 = triple.groupBy("a", "b", "c").agg(
+            F.count(F.lit(1)).alias("support")
+        )
+        return sorted(
+            map(tuple, sup3.where(F.col("support") * 20 >= nu).collect())
+        )
+
+    t0 = time.time()
+    a = run(ev)
+    wall = time.time() - t0
+    b = run(ev.repartition(257))
+    return {
+        "rows": 16_000_000,
+        "scale_vs_sf0.1": "160x events, 200k users",
+        "sec": round(wall, 2),
+        "invariant": a == b,
+        "n_patterns": len(a),
+        "ok": a == b and len(a) >= 4,
+    }
+
+
 CASES = {
     "funnel_16m": case_funnel_16m,
     "token_budget_12m": case_token_budget_12m,
@@ -1115,6 +1173,7 @@ CASES = {
     "ktruss_1m_edges": case_ktruss_1m_edges,
     "kmeans_100k": case_kmeans_100k,
     "markov_16m": case_markov_16m,
+    "gsp_16m": case_gsp_16m,
 }
 
 
