@@ -2024,3 +2024,77 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_score",
         seg.alias("segment"),
     )
+
+
+@register(
+    "orders_reconciliation_audit",
+    """
+    WITH rec_line AS (
+      SELECT l_orderkey AS orderkey,
+             CAST(SUM(CAST(ROUND(
+               l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100,
+               0) AS BIGINT)) AS BIGINT) AS computed_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1),
+    rec AS (
+      SELECT o.o_orderkey AS orderkey,
+             CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)
+               AS booked_cents,
+             l.computed_cents, l.n_lines
+      FROM orders o JOIN rec_line l ON o.o_orderkey = l.orderkey)
+    SELECT orderkey, n_lines, booked_cents, computed_cents,
+           CAST(ROUND(
+             CAST(computed_cents - booked_cents AS DOUBLE) * 10000.0
+             / booked_cents, 0) AS BIGINT) AS deviation_bp,
+           ABS(CAST(ROUND(
+             CAST(computed_cents - booked_cents AS DOUBLE) * 10000.0
+             / booked_cents, 0) AS BIGINT)) > 100 AS flagged
+    FROM rec
+    """,
+    tags=("olap", "dq", "reconciliation", "finance"),
+)
+def orders_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial reconciliation: every order's booked total vs the
+    total recomputed from its line items (extended price, discount,
+    tax), with the deviation in integer basis points and a >1% flag —
+    the cross-table consistency audit a finance DQ gate runs nightly
+    (complements dq_summary's single-table rules with a two-table
+    aggregate invariant). Per-LINE cents are rounded before the sum so
+    the recomputed total is an exact BIGINT regardless of partitioning;
+    the single deviation division is exact-rounded. One lineitem
+    rollup (map-side combined) + one orderkey equi-join — both sides
+    already partition on the join key at warehouse scale."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    line = li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100,
+                0,
+            ).cast("long")
+        ).alias("computed_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    rec = orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("booked_cents"),
+    ).join(line, "orderkey")
+    dev = F.round(
+        (F.col("computed_cents") - F.col("booked_cents")).cast("double")
+        * 10000.0
+        / F.col("booked_cents"),
+        0,
+    ).cast("long")
+    return rec.select(
+        "orderkey",
+        "n_lines",
+        "booked_cents",
+        "computed_cents",
+        dev.alias("deviation_bp"),
+        (F.abs(dev) > 100).alias("flagged"),
+    )

@@ -879,3 +879,93 @@ def events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("intercept"),
     )
+
+
+@register(
+    "events_nelson_aalen",
+    """
+    WITH na_e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800.0
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    na_sess AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, na_e.event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM na_e),
+    na_ses AS (
+      SELECT user_id, sid, MIN(ts) AS t0, MAX(ts) AS t1
+      FROM na_sess GROUP BY 1, 2),
+    na_g AS (SELECT MAX(t1) AS gmax FROM na_ses),
+    na_subj AS (
+      SELECT CAST(FLOOR((EPOCH(t1) - EPOCH(t0)) / 60.0) AS BIGINT)
+               AS t_mins,
+             (EPOCH(na_g.gmax) - EPOCH(t1)) > 1800.0 AS ended
+      FROM na_ses CROSS JOIN na_g),
+    na_per_t AS (
+      SELECT t_mins, COUNT(*) AS n_ending,
+             SUM(CASE WHEN ended THEN 1 ELSE 0 END) AS n_events
+      FROM na_subj GROUP BY 1),
+    na_risk AS (
+      SELECT t_mins, CAST(n_events AS BIGINT) AS n_events,
+             CAST(SUM(n_ending) OVER (ORDER BY t_mins
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS n_risk
+      FROM na_per_t),
+    na_steps AS (
+      SELECT t_mins, n_risk, n_events,
+             CAST(ROUND(1000000.0 * CAST(n_events AS DOUBLE)
+                        / CAST(n_risk AS DOUBLE), 0) AS BIGINT) AS micro
+      FROM na_risk WHERE n_events > 0)
+    SELECT t_mins, n_risk, n_events,
+           CAST(SUM(micro) OVER (ORDER BY t_mins) AS BIGINT)
+             AS cum_hazard_micro,
+           ROUND(EXP(-CAST(SUM(micro) OVER (ORDER BY t_mins) AS BIGINT)
+                     / 1000000.0), 4) AS na_survival
+    FROM na_steps
+    """,
+    tags=("temporal", "survival", "censoring", "hazard"),
+)
+def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative session-hazard curve over the SAME
+    censored session subjects as events_kaplan_meier
+    (`operators/temporal.py::nelson_aalen`) — the additive hazard
+    scale that differences cleanly between cohorts and whose slope is
+    the instantaneous churn rate; exp(-H) is the Fleming-Harrington
+    survival twin (vs KM's product form). Same micro-unit BIGINT
+    cumsum discipline, same domain compression onto distinct minute
+    durations — and unlike KM it keeps the everyone-fails step."""
+    from covid_data_pipeline_spark.functions.scalar import epoch_seconds
+    from covid_data_pipeline_spark.operators.temporal import nelson_aalen
+
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = epoch_seconds("ts")
+    brk = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((ep - epoch_seconds(F.lag("ts").over(w))) > 1800.0),
+        1,
+    ).otherwise(0)
+    sess = ev.select("user_id", "ts", "event_id", brk.alias("brk"))
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sid = sess.withColumn("sid", F.sum("brk").over(w_cum))
+    ses = sid.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    g = ses.agg(F.max("t1").alias("gmax"))
+    subj = ses.crossJoin(F.broadcast(g)).select(
+        F.floor((epoch_seconds("t1") - epoch_seconds("t0")) / 60.0)
+        .cast("long")
+        .alias("t_mins"),
+        ((epoch_seconds("gmax") - epoch_seconds("t1")) > 1800.0).alias(
+            "ended"
+        ),
+    )
+    return nelson_aalen(subj, duration_col="t_mins", event_col="ended")

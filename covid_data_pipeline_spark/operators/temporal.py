@@ -960,3 +960,62 @@ def holt_winters_residuals(
             ).alias("is_anomaly"),
         )
     )
+
+
+def nelson_aalen(
+    subjects: DataFrame,
+    duration_col: str = "t_days",
+    event_col: str = "event",
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard estimate over the same SUBJECTS
+    relation :func:`kaplan_meier` consumes: ``H(t) = sum_{u<=t}
+    d_u / n_u``. The hazard-scale companion of KM — additive, so
+    hazards difference cleanly between cohorts, and its slope reads as
+    the instantaneous event rate (KM's product form obscures both);
+    ``exp(-H)`` is the Fleming-Harrington survival estimate, close to
+    KM except under heavy ties.
+
+    Same float policy: each increment is a ratio of exact BIGINTs
+    integer-scaled to micro-units BEFORE the cumulative sum (exact
+    BIGINT cumsum, display division only), same domain compression
+    onto distinct durations. Unlike KM this has no zero-factor stop:
+    the step where everyone at risk fails is representable (H jumps by
+    1). Returns (duration_col, n_risk, n_events, cum_hazard_micro,
+    na_survival)."""
+    per_t = subjects.groupBy(duration_col).agg(
+        F.count(F.lit(1)).alias("n_ending"),
+        F.sum(F.when(F.col(event_col), 1).otherwise(0)).alias("n_events"),
+    )
+    w_risk = Window.orderBy(duration_col).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risk = per_t.select(
+        duration_col,
+        "n_events",
+        F.sum("n_ending").over(w_risk).alias("n_risk"),
+    )
+    steps = risk.where(F.col("n_events") > 0)
+    micro = F.round(
+        F.lit(1000000.0)
+        * F.col("n_events").cast("double")
+        / F.col("n_risk").cast("double"),
+        0,
+    ).cast("long")
+    w_cum = Window.orderBy(duration_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        steps.withColumn("__micro", micro)
+        .select(
+            duration_col,
+            "n_risk",
+            "n_events",
+            F.sum("__micro").over(w_cum).alias("cum_hazard_micro"),
+        )
+        .withColumn(
+            "na_survival",
+            F.round(
+                F.exp(-F.col("cum_hazard_micro") / F.lit(1000000.0)), 4
+            ),
+        )
+    )
