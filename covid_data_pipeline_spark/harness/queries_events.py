@@ -2707,3 +2707,145 @@ def events_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(rw).alias("rnk"),
         )
     )
+
+
+@register(
+    "events_bootstrap_ci",
+    """
+    WITH bs_x AS (
+      SELECT event_type, event_id,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    bs_rep AS (
+      SELECT x.event_type, x.cents, r.b,
+             (CAST(concat('0x', substr(md5(concat(
+                'bs', CAST(r.b AS VARCHAR), '|',
+                CAST(x.event_id AS VARCHAR))), 1, 15)) AS BIGINT) + 0.5)
+               / 1152921504606846976.0 AS u
+      FROM bs_x x CROSS JOIN (SELECT unnest(range(0, 32)) AS b) r),
+    bs_w AS (
+      SELECT event_type, b,
+             CASE WHEN u <= 0.3678794411714423 THEN 0
+                  WHEN u <= 0.7357588823428846 THEN 1
+                  WHEN u <= 0.9196986029286058 THEN 2
+                  WHEN u <= 0.9810118431238462 THEN 3
+                  ELSE 4 END AS w,
+             cents
+      FROM bs_rep),
+    bs_means AS (
+      SELECT event_type, b,
+             CAST(SUM(w * cents) AS BIGINT) AS swx,
+             CAST(SUM(w) AS BIGINT) AS sw
+      FROM bs_w GROUP BY 1, 2),
+    bs_ranked AS (
+      SELECT event_type,
+             CAST(swx AS DOUBLE) / (sw * 100.0) AS mean_b,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY CAST(swx AS DOUBLE) / (sw * 100.0), b)
+               AS INTEGER) AS rnk
+      FROM bs_means WHERE sw > 0),
+    bs_point AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS scents
+      FROM bs_x GROUP BY 1)
+    SELECT p.event_type, p.n,
+           ROUND(CAST(p.scents AS DOUBLE) / (p.n * 100.0), 4)
+             AS point_mean,
+           ROUND(MAX(CASE WHEN r.rnk = 2 THEN r.mean_b END), 4) AS ci_lo,
+           ROUND(MAX(CASE WHEN r.rnk = 31 THEN r.mean_b END), 4) AS ci_hi
+    FROM bs_point p JOIN bs_ranked r USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+    tags=("events", "statistics", "bootstrap", "confidence-interval"),
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean event value per type,
+    via 32 POISSONIZED replicates: each (row, replicate) draws a
+    Poisson(1) weight through the inverse CDF of a deterministic
+    md5-derived uniform (the same replayable-noise trick as the DP
+    release), so resampling is a pure column expression — one pass, no
+    shuffled sampling, replicate means are single divisions over exact
+    BIGINT weighted sums, and the percentile interval takes replicate
+    ranks 2 and 31 (~94% coverage) with tiebroken ROW_NUMBER. The
+    Poissonized bootstrap (Chamandy et al. 2012, "Estimating
+    uncertainty for massive data streams") is THE distributed form:
+    multinomial resampling needs global coordination, Poisson(1)
+    weights don't. Scale: a constant 32x fan-out into a map-side-
+    combinable (type, replicate) rollup — everything after is
+    |types| x 32 rows. A production run swaps the salt for fresh
+    entropy; the estimator is unchanged."""
+    ev = table(spark, sf_dir, "events")
+    x = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    rep = x.select(
+        "event_type",
+        "cents",
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bs"),
+                        F.col("b").cast("string"),
+                        F.lit("|"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / 1152921504606846976.0
+    w = (
+        F.when(u <= 0.3678794411714423, 0)
+        .when(u <= 0.7357588823428846, 1)
+        .when(u <= 0.9196986029286058, 2)
+        .when(u <= 0.9810118431238462, 3)
+        .otherwise(4)
+    )
+    means = (
+        rep.select("event_type", "b", w.alias("w"), "cents")
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+    )
+    mean_b = F.col("swx").cast("double") / (F.col("sw") * 100.0)
+    rw = Window.partitionBy("event_type").orderBy(mean_b, "b")
+    ranked = means.select(
+        "event_type",
+        mean_b.alias("mean_b"),
+        F.row_number().over(rw).alias("rnk"),
+    )
+    point = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("scents")
+    )
+    return (
+        point.join(ranked, "event_type")
+        .groupBy(
+            "event_type",
+            "n",
+            F.round(
+                F.col("scents").cast("double") / (F.col("n") * 100.0), 4
+            ).alias("point_mean"),
+        )
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rnk") == 2, F.col("mean_b"))), 4
+            ).alias("ci_lo"),
+            F.round(
+                F.max(F.when(F.col("rnk") == 31, F.col("mean_b"))), 4
+            ).alias("ci_hi"),
+        )
+    )
