@@ -2849,3 +2849,62 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ci_hi"),
         )
     )
+
+
+@register(
+    "events_overdispersion_index",
+    """
+    WITH od_daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+    od_m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cnt) AS BIGINT) AS s1,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+      FROM od_daily GROUP BY 1)
+    SELECT event_type, n,
+           ROUND(CAST(s1 AS DOUBLE) / n, 4) AS mean_daily,
+           ROUND(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                 / (CAST(n - 1 AS DOUBLE) * s1), 4) AS dispersion_index,
+           CAST(n * s2 - s1 * s1 AS DOUBLE)
+             / (CAST(n - 1 AS DOUBLE) * s1) > 1.5 AS overdispersed
+    FROM od_m WHERE n >= 2 AND s1 > 0
+    """,
+    tags=("events", "statistics", "diagnostics", "dispersion"),
+)
+def events_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of daily event
+    counts per type: ~1 means Poisson-like arrivals, >1.5 flags
+    burstiness/clumping — the one-number test for "can I model this
+    feed with a Poisson rate" that decides between the plain z-score
+    monitors and the burst-aware ones (events_burst_days). Exact
+    BIGINT moments off the daily rollup (n*s2 - s1^2 is the scaled
+    sample variance numerator; products stay far under 2^63 at daily
+    granularity — a per-second regime would move to DECIMAL(38,0) per
+    the burst_days rule); two deterministic display divisions."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    disp = (
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+            "double"
+        )
+        / ((F.col("n") - 1).cast("double") * F.col("s1"))
+    )
+    return m.where((F.col("n") >= 2) & (F.col("s1") > 0)).select(
+        "event_type",
+        "n",
+        F.round(F.col("s1").cast("double") / F.col("n"), 4).alias(
+            "mean_daily"
+        ),
+        F.round(disp, 4).alias("dispersion_index"),
+        (disp > 1.5).alias("overdispersed"),
+    )

@@ -1927,3 +1927,85 @@ def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chars").cast("double") / F.sum("bpe"), 4
         ).alias("chars_per_token"),
     )
+
+
+@register(
+    "corpus_report_card",
+    r"""
+    WITH rc_d AS (
+      SELECT lang, source,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                  AS BIGINT) AS toks
+      FROM documents),
+    rc_tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(SUM(toks) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_en
+      FROM rc_d),
+    rc_lang AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM rc_d GROUP BY 1),
+    rc_ent AS (
+      SELECT CAST(SUM(-l.c * CAST(ROUND(
+               ln(CAST(l.c AS DOUBLE) / t.n_docs) * 1e6, 0) AS BIGINT))
+               AS BIGINT) AS ent_micro
+      FROM rc_lang l CROSS JOIN rc_tot t)
+    SELECT t.n_docs, t.n_langs, t.n_sources, t.total_tokens,
+           ROUND(CAST(t.total_tokens AS DOUBLE) / t.n_docs, 4)
+             AS mean_doc_tokens,
+           ROUND(CAST(e.ent_micro AS DOUBLE) / (t.n_docs * 1e6), 6)
+             AS lang_entropy_nats,
+           ROUND(CAST(t.n_en AS DOUBLE) / t.n_docs, 4) AS english_share
+    FROM rc_tot t CROSS JOIN rc_ent e
+    """,
+    tags=("text", "diagnostics", "report"),
+)
+def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus report card: document / language / source counts,
+    token mass, mean document length, language-distribution Shannon
+    entropy (micro-nat exact — the "is this corpus monolingual in
+    disguise" number; e^H is the effective language count), and the
+    English share — the summary a curation run prints first, before
+    anyone drills into the per-family dashboards. One corpus pass +
+    constant-size rollups; the distinct counts ride the same
+    aggregation."""
+    d = table(spark, sf_dir, "documents")
+    rcd = d.select("lang", "source", token_count("text").cast("long").alias("toks"))
+    tot = rcd.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum("toks").alias("total_tokens"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+    )
+    lang = rcd.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    ent = (
+        lang.crossJoin(F.broadcast(tot.select("n_docs")))
+        .agg(
+            F.sum(
+                -F.col("c")
+                * F.round(
+                    F.log(F.col("c").cast("double") / F.col("n_docs"))
+                    * 1e6,
+                    0,
+                ).cast("long")
+            ).alias("ent_micro")
+        )
+    )
+    return tot.crossJoin(F.broadcast(ent)).select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("n_docs"), 4
+        ).alias("mean_doc_tokens"),
+        F.round(
+            F.col("ent_micro").cast("double") / (F.col("n_docs") * 1e6), 6
+        ).alias("lang_entropy_nats"),
+        F.round(F.col("n_en").cast("double") / F.col("n_docs"), 4).alias(
+            "english_share"
+        ),
+    )
