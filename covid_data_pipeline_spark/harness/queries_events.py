@@ -332,16 +332,18 @@ def gapfill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportional to (groups × days), never a driver-built calendar or a
     cross join against a global date range. The daily rollup feeds two
     subplans (calendar bounds + the fill join) and Catalyst does not
-    share subtrees, so it is persisted — groups × days rows — to keep
-    the raw-events scan single-pass (at warehouse scale, stage it to a
-    table instead)."""
+    share subtrees, so it is lineage-cut with ``localCheckpoint(
+    eager=False)`` — groups × days rows — to keep the raw-events scan
+    single-pass without leaking a cached relation per invocation in a
+    long-lived session (a bare ``persist()`` here had no paired
+    release; at warehouse scale, stage it to a table instead)."""
     ev = table(spark, sf_dir, "events").where(F.dayofmonth("ts") % 5 != 0)
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(
         F.count(F.lit(1)).alias("events_cnt"),
         F.round(F.sum("value"), 2).alias("val_sum"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     cal = (
         daily.groupBy("event_type")
         .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
@@ -1666,10 +1668,10 @@ def events_cuped_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n_treat AS BIGINT) AS n_treat,
            CAST(n_ctrl AS BIGINT) AS n_ctrl,
            CAST((CAST(n_treat - n_ctrl AS HUGEINT)
-             * CAST(n_treat - n_ctrl AS HUGEINT) * 2 * 1000)
+             * CAST(n_treat - n_ctrl AS HUGEINT) * 1000)
             // CAST(n_treat + n_ctrl AS HUGEINT) AS BIGINT) AS chi2_milli,
            ((CAST(n_treat - n_ctrl AS HUGEINT)
-             * CAST(n_treat - n_ctrl AS HUGEINT) * 2 * 1000)
+             * CAST(n_treat - n_ctrl AS HUGEINT) * 1000)
             // CAST(n_treat + n_ctrl AS HUGEINT)) > 10828 AS srm_detected
     FROM counts
     """,

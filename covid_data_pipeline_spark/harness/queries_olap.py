@@ -270,7 +270,8 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_functions",
     """
     SELECT p_partkey,
-           list_sort(string_split(p_name, ' ')) AS words_sorted,
+           array_to_string(list_sort(string_split(p_name, ' ')), ',')
+             AS words_sorted,
            len(string_split(p_name, ' ')) AS n_words,
            list_contains(string_split(p_name, ' '), 'red') AS has_red,
            array_to_string(list_reverse(list_sort(string_split(p_name, ' '))), '|')
@@ -281,12 +282,16 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function family (absent in the reference; first-class here —
-    the embedding/shingle operators are built on these)."""
+    the embedding/shingle operators are built on these). The array ops
+    (split/sort/reverse/contains) all run AS arrays; the sorted list is
+    serialized with array_join at the query boundary only, because the
+    driver's pandas canonicalizer cannot hash top-level ArrayType cells
+    (r4's one red CORRECTNESS row)."""
     p = table(spark, sf_dir, "part")
     words = F.split(F.col("p_name"), " ")
     return p.select(
         "p_partkey",
-        F.array_sort(words).alias("words_sorted"),
+        F.array_join(F.array_sort(words), ",").alias("words_sorted"),
         F.size(words).alias("n_words"),
         F.array_contains(words, "red").alias("has_red"),
         F.array_join(F.reverse(F.array_sort(words)), "|").alias("words_desc"),

@@ -487,9 +487,9 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_quantize_int8",
     """
     SELECT vec_id,
-           list_transform(embedding,
+           array_to_string(list_transform(embedding,
              x -> CAST(FLOOR(x * (127.0 / GREATEST(mx, 1e-30)) + 0.5)
-                       AS INTEGER)) AS qvec,
+                       AS INTEGER)), ',') AS qvec,
            127.0 / GREATEST(mx, 1e-30) AS scale
     FROM (
       SELECT vec_id, embedding,
@@ -504,11 +504,17 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/similarity.py::quantize_int8`): 4x smaller embeddings at
     rest and on the wire, coordinate error bounded by max|x|/127. Every
     coordinate and the raw IEEE scale are hash-compared against the
-    oracle — floor(x+0.5) round-half-up, never decimal round."""
+    oracle — floor(x+0.5) round-half-up, never decimal round. The qvec
+    is serialized via array_join at the query boundary only (the
+    driver's pandas canonicalizer cannot hash top-level ArrayType)."""
     from covid_data_pipeline_spark.operators.similarity import quantize_int8
 
     emb = table(spark, sf_dir, "embeddings")
-    return quantize_int8(emb, "embedding").select("vec_id", "qvec", "scale")
+    return quantize_int8(emb, "embedding").select(
+        "vec_id",
+        F.array_join(F.col("qvec").cast("array<string>"), ",").alias("qvec"),
+        "scale",
+    )
 
 
 _QUANT_COSINE_ORACLE = f"""

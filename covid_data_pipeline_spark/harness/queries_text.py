@@ -1528,7 +1528,9 @@ def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (SELECT unnest(range(0, 32)) AS slot) g)
     SELECT grid.doc_id,
            CAST(SUM(COALESCE(p.n, 0)) AS BIGINT) AS n_tokens,
-           list(COALESCE(p.val, 0.0) ORDER BY grid.slot) AS features
+           array_to_string(
+             list(CAST(COALESCE(p.val, 0.0) AS BIGINT) ORDER BY grid.slot),
+             ',') AS features
     FROM grid LEFT JOIN per_slot p
       ON grid.doc_id = p.doc_id AND grid.slot = p.slot
     GROUP BY grid.doc_id
@@ -1543,13 +1545,21 @@ def docs_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed token-count sum. No vocabulary pass, no broadcast — the
     featurizer a streaming corpus needs. Every coordinate is an
     integer-valued double derived from the portable hash, so the
-    oracle rebuilds the identical vectors in SQL."""
+    oracle rebuilds the identical vectors in SQL. The vector is
+    serialized (int-cast, comma-joined) at the query boundary only —
+    the driver's canonicalizer cannot hash top-level ArrayType."""
     from covid_data_pipeline_spark.operators.features import (
         feature_hash_vectors,
     )
 
-    return feature_hash_vectors(
-        table(spark, sf_dir, "documents"), dim=32
+    out = feature_hash_vectors(table(spark, sf_dir, "documents"), dim=32)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(
+            F.col("features").cast("array<bigint>").cast("array<string>"),
+            ",",
+        ).alias("features"),
     )
 
 

@@ -59,15 +59,17 @@ def register(
 
 
 # The external driver verifies a 50-query window in registration order.
-# Round-4 rotation (VERDICT r3 ask #1): rounds 1-3 driver-proved 111
-# distinct queries. Keep the 8-query regression core as a drift canary
-# and fill the other 42 slots from VERIFIED.json::never_driver_verified
-# in registry order (all local-mirror green per
-# driver_mirror_report.json / tests/test_oracle_parity.py). Everything
-# not listed keeps its module registration order after these;
-# oracle-less (rows-only) queries always sort last.
+# Round-5 rotation (VERDICT r4 ask #1): keep the 8-query regression core
+# as a drift canary and fill the other 42 slots from
+# VERIFIED.json::suggested_window_r5 — never-driver-verified queries in
+# registry order, including dedup_minhash/dedup_simhash which became
+# oracle-backed in r4 (portable md5-prefix hash replay). Everything not
+# listed keeps its module registration order after these; oracle-less
+# (rows-only) queries always sort last. array_functions (r4's one red
+# row, driver-canonicalizer crash on top-level ArrayType) is re-queued
+# for r6 after its boundary fix.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- regression core (driver-proven r1-r3; canary against drift) ---
+    # --- regression core (driver-proven r1-r4; canary against drift) ---
     "mart_analytics",
     "agg_rollup",
     "filter_project",
@@ -76,51 +78,49 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "window_lag_alert",
     "curation_pipeline_docs",
     "tpch_q12_priority_shipping",
-    # --- dedup / curation pack (never driver-verified) ---
-    "customers_masked_egress",
-    "dedup_groups_keep_best",
-    "dedup_passages_global",
-    "dedup_keep_best",
-    "dedup_token_savings",
-    "containment_quotes",
-    "split_leakage_audit",
-    # --- event analytics pack ---
-    "events_json_props",
-    "events_variant_props",
-    "events_sessionize_batch",
-    "ewma_daily_events",
-    "skew_profile_events",
-    "rolling_distinct_users_7d",
-    "daily_active_buyers",
-    "events_daily_trend",
-    "funnel_sessionized",
-    "funnel_conversion_lag",
-    "daily_distinct_users_bitmap",
-    "event_type_lift",
-    "funnel_daily_conversion",
-    "event_dwell_percentiles",
-    "event_path_trigrams",
-    "retention_matrix_daily",
-    "events_mad_outliers",
-    "events_srm_check",
-    "events_did_experiment",
-    "events_funnel",
-    "distinct_exact_and_percentiles",
-    # --- OLAP / DQ / scalar-function packs ---
-    "dq_report_orders",
-    "string_functions",
-    "array_functions",
-    "date_math_functions",
-    "agg_salted_skewproof",
-    "top_n_global",
-    "histogram_prices",
-    "above_avg_balance",
-    "unpivot_returnflag_metrics",
-    "window_lead_first_last",
-    "collect_events_per_user",
-    "cross_join_region_nation",
-    "full_outer_customer_supplier_nations",
-    "revenue_share_by_nation",
+    # --- never-driver-verified fills (VERIFIED.json order) ---
+    "dedup_minhash",
+    "dedup_simhash",
+    "recursive_order_chain",
+    "lateral_topk_orders",
+    "fuzzy_entity_groups",
+    "winsorize_order_prices",
+    "profile_orders",
+    "set_intersect_all_orderkeys",
+    "set_except_all_orderkeys",
+    "pivot_event_type_multi",
+    "customer_value_deciles",
+    "revenue_percent_of_parent",
+    "revenue_pareto_concentration",
+    "revenue_yoy_by_month",
+    "part_sourcing_redundancy",
+    "skew_split_join_events",
+    "embedding_random_projection",
+    "embedding_quantize_int8",
+    "similarity_topk_quantized",
+    "embedding_standardize",
+    "label_centroid_similarity",
+    "media_type_sniff",
+    "hard_negatives_exact",
+    "bitext_margin_pairs",
+    "bitext_margin_pairs_lsh",
+    "ann_recall_quantized",
+    "cdc_customer_halfyear",
+    "interpolate_daily_events",
+    "events_zscore_anomalies",
+    "attribution_linear",
+    "events_burst_days",
+    "doc_token_percentiles",
+    "docs_boilerplate_fraction",
+    "docs_quality_percentile_rank",
+    "vocab_oov_rate",
+    "term_drift_by_cohort",
+    "token_mass_percentiles",
+    "curation_report_by_source",
+    "source_overlap_matrix",
+    "strip_duplicate_spans_docs",
+    "heavy_hitter_tokens",
+    "docs_char_entropy",
 )
 
 # Every query module must import cleanly: a blanket try/except here once

@@ -119,10 +119,14 @@ def srm_check(
     downstream readout is invalid.
 
     Chi-square goodness-of-fit on the two observed counts against
-    expected ``ratio_treat : ratio_ctrl``. The statistic reduces to an
-    exact integer rational::
+    expected ``ratio_treat : ratio_ctrl``. With ``D = O_t·r_c − O_c·r_t``
+    the two Pearson terms telescope — ``(O_t−E_t)²/E_t + (O_c−E_c)²/E_c``
+    with ``E_t = n·r_t/(r_t+r_c)`` collapses to an exact integer
+    rational::
 
-        X² = (O_t·r_c − O_c·r_t)² · (r_t + r_c) / (n · r_t · r_c)
+        X² = (O_t·r_c − O_c·r_t)² / (n · r_t · r_c)
+
+    (e.g. 60/40 observed at a 1:1 design: E = 50/50, X² = 100/50·2 = 4)
 
     reported in milli-units (``chi2_milli = num·1000 div den`` —
     positive operands, floor-stable on any engine) and flagged against
@@ -137,7 +141,7 @@ def srm_check(
     )
     d = lambda c: c.cast(_D)  # noqa: E731
     diff = d(F.col("n_treat") * ratio_ctrl - F.col("n_ctrl") * ratio_treat)
-    num = diff * diff * F.lit(ratio_treat + ratio_ctrl).cast(_D)
+    num = diff * diff
     den = (
         d(F.col("n_treat") + F.col("n_ctrl"))
         * F.lit(ratio_treat).cast(_D)

@@ -334,32 +334,31 @@ def rendezvous_assign(
     ``hash(id) % n`` which reshuffles nearly everything — so a shard
     split is an incremental copy, not a full rewrite.
 
-    Pure projection: explode the shard candidates (n per row), score
-    with the portable md5-prefix hash (so plain SQL replays the exact
-    assignment), keep the argmax via ``max_by`` with a (score, shard)
-    struct tiebreak. No shuffle beyond the id-keyed argmax combine;
-    at warehouse scale n_shards is small, so the explode is a constant
-    fan-out that never leaves the map side of the aggregation."""
+    Pure projection — literally zero shuffle: the n_shards candidates
+    are materialized per row as an array of (score, shard) structs via
+    ``transform(sequence(...))``, scored with the portable md5-prefix
+    hash (so plain SQL replays the exact assignment), and the argmax
+    taken with ``array_max`` (struct comparison is lexicographic, so
+    score decides and shard breaks ties, identical to a max_by struct
+    tiebreak). Because no aggregation is involved, duplicate input rows
+    pass through unchanged and non-groupable column types (map, ...)
+    are fine — the earlier groupBy(*all-columns) formulation silently
+    collapsed duplicates and rejected maps."""
     from covid_data_pipeline_spark.operators.features import (
         portable_token_hash,
     )
 
     c = F.col(id_col)
-    cand = df.select(
-        "*", F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("__s")
-    ).withColumn(
-        "__score",
-        portable_token_hash(
-            F.concat(
-                c.cast("string"), F.lit(":"), F.col("__s").cast("string"),
-                F.lit(salt),
-            )
+    scored = F.transform(
+        F.sequence(F.lit(0), F.lit(n_shards - 1)),
+        lambda s: F.struct(
+            portable_token_hash(
+                F.concat(
+                    c.cast("string"), F.lit(":"), s.cast("string"),
+                    F.lit(salt),
+                )
+            ).alias("score"),
+            s.alias("shard"),
         ),
     )
-    others = [f.name for f in df.schema.fields]
-    return (
-        cand.groupBy(*others)
-        .agg(
-            F.max_by("__s", F.struct("__score", "__s")).alias(out_col)
-        )
-    )
+    return df.withColumn(out_col, F.array_max(scored)["shard"])

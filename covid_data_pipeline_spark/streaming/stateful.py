@@ -487,7 +487,7 @@ def stream_srm_guard(
         if n == 0:
             return
         diff = nt * ratio_ctrl - nc * ratio_treat
-        num = diff * diff * (ratio_treat + ratio_ctrl) * 1000
+        num = diff * diff * 1000
         den = n * ratio_treat * ratio_ctrl
         chi2_milli = num // den
         out = pd.DataFrame(

@@ -102,8 +102,15 @@ def test_srm_check_detects_and_passes(spark):
     )
     r = srm_check(ok, "treat").collect()[0]
     assert not r["srm_detected"]
-    # exact statistic: (501-500)^2 * 2 * 1000 // 1001 = 1
-    assert r["chi2_milli"] == 1
+    # exact statistic: (501-500)^2 * 1000 // 1001 = 0
+    assert r["chi2_milli"] == 0
+
+    # textbook Pearson value: 60/40 observed at 1:1 → X² = 4.0 exactly
+    # ((60-50)²/50 + (40-50)²/50); guards the (r_t+r_c) overstatement bug
+    tb = spark.createDataFrame(
+        [(i, i < 60) for i in range(100)], "unit long, treat boolean"
+    )
+    assert srm_check(tb, "treat").collect()[0]["chi2_milli"] == 4000
 
     # broken assignment (2:1 realized vs 1:1 design) must trigger
     bad = spark.createDataFrame(

@@ -408,6 +408,24 @@ def test_footer_aggregate_pushdown(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
+def test_rendezvous_preserves_duplicates_and_map_columns(spark):
+    """rendezvous_assign is a pure projection: duplicate input rows must
+    pass through (the old groupBy(*all-cols) formulation collapsed them)
+    and non-groupable column types like map must not break it."""
+    from covid_data_pipeline_spark.operators.scale import rendezvous_assign
+
+    df = spark.createDataFrame(
+        [(1, {"a": 1}), (1, {"a": 1}), (2, {"b": 2})],
+        "k long, props map<string,int>",
+    )
+    out = rendezvous_assign(df, "k", 4).collect()
+    assert len(out) == 3  # duplicates preserved
+    by_k: dict[int, set] = {}
+    for r in out:
+        by_k.setdefault(r["k"], set()).add(r["shard"])
+    assert all(len(v) == 1 for v in by_k.values())  # deterministic per id
+
+
 def test_rendezvous_minimal_migration_and_balance(spark):
     """Growing 8->9 shards moves ONLY rows captured by the new shard
     (every mover lands on shard 8; each old shard loses ~1/9), and the
