@@ -651,30 +651,37 @@ def docs_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "quality_classifier_scores",
-    None,
-    tags=("text", "classifier", "ml"),
-    rows_only_reason=(
-        "scores depend on L-BFGS-fitted logistic-regression "
-        "coefficients (iterative float optimization) — not replayable "
-        "in SQL; separation of planted high/low-quality docs asserted "
-        "in pytest"
-    ),
-)
-def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-based quality scoring (GPT-3 appendix-A lineage): MLlib
-    logistic regression over the engine's codegen'd text features,
-    trained against deterministic corrupted twins, scored map-side
-    (broadcast coefficients, no shuffle — plan-asserted in
-    tests/test_classifier.py). Separation and holdout generalization
-    are pytest-proven; no DuckDB oracle because the fitted weights are
-    not SQL-expressible."""
+def _logreg_oracle() -> str:
     from covid_data_pipeline_spark.operators.classifier import (
-        quality_classifier_scores,
+        logreg_oracle_sql,
     )
 
-    return quality_classifier_scores(table(spark, sf_dir, "documents"))
+    return logreg_oracle_sql(iters=40, lr_shift=0)
+
+
+@register(
+    "quality_classifier_scores",
+    _logreg_oracle(),
+    tags=("text", "classifier", "ml", "iterative"),
+)
+def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (GPT-3 appendix-A lineage), trained
+    in-engine against deterministic corrupted twins and scored map-side
+    with broadcast(-literal) coefficients. Round 5 upgraded this from
+    rows-only to hash-verified by swapping L-BFGS floats for the
+    integer-lattice hard-sigmoid GD
+    (`operators/classifier.py::logreg_lattice_scores`) — the same trick
+    that made k-means oracle-able: the DuckDB oracle replays all 40
+    gradient steps as unrolled MATERIALIZED CTEs and the emitted
+    logit_micro is exact BIGINT. The float L-BFGS path
+    (`train_quality_classifier`) remains for callers who want MLlib —
+    its separation/holdout behavior is pytest-proven in
+    tests/test_classifier.py."""
+    from covid_data_pipeline_spark.operators.classifier import (
+        logreg_lattice_scores,
+    )
+
+    return logreg_lattice_scores(table(spark, sf_dir, "documents"))
 
 
 @register(

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from covid_data_pipeline_spark.functions.text import (
+    STOPWORDS_EN,
     let,
     punct_ratio,
     repetition_fraction,
@@ -136,3 +137,286 @@ def quality_classifier_scores(
         docs, corrupted_negatives(docs, text_col), text_col
     )
     return score_quality(docs, model, text_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Integer-lattice logistic regression (exact-replay twin of the MLlib path)
+#
+# Same idea that made k-means oracle-able (operators/clustering.py): keep
+# every training-state transition on an integer lattice so the WHOLE
+# trajectory — features, per-row activations, gradients, weight updates —
+# is bit-identical on any engine, and a DuckDB oracle can replay the fit
+# as unrolled MATERIALIZED CTEs. Three substitutions buy exactness:
+#
+# - Features are integer micro-ratios (count*1e6 div count) — no IEEE op
+#   anywhere in the feature pipeline.
+# - The activation is the HARD sigmoid p = clamp(1/2 + z/4, 0, 1)
+#   (Collobert 2004's "hard sigm"; standard in quantized inference) —
+#   in micro units one floor-div + clamp, again integer-exact.
+# - Full-batch GD with a dyadic learning rate (2^-lr_shift) applied as
+#   floor division of the exact integer gradient sums.
+#
+# The gradient aggregation is one map-side-combinable agg per iteration
+# (err*x products summed in decimal(38,0) — BIGINT would overflow past
+# ~1e6 rows); the driver holds only the (d+1)-int weight vector, the
+# same bounded model state as the Lloyd loop. Scoring is a pure
+# projection with literal weights.
+# ---------------------------------------------------------------------------
+
+LATTICE_SCALE = 1_000_000
+# (name, duckdb expression) pairs — the Spark builder mirrors each one
+# with the same integer arithmetic; kept adjacent so drift is reviewable.
+_LATTICE_STOPWORDS = "'the','a','and','of','to','in','is','for','on','with'"
+
+
+def lattice_text_features(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Append integer micro-unit feature columns x1..x5 (all BIGINT in
+    [0, 1e6], derived from exact counts with positive-operand integer
+    division only — trunc == floor, identical on every engine):
+
+      x1 punctuation ratio, x2 stopword ratio, x3 mean-token-length/10
+      (capped), x4 token-count/1000 (capped), x5 duplicate-3-gram
+      fraction (Gopher repetition).
+    """
+    c = F.col(text_col)
+    M = F.lit(LATTICE_SCALE)
+    n_chars = F.length(c)
+    n_punct = F.size(
+        F.regexp_extract_all(c, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+    )
+
+    def _feats(toks):
+        n_tok = F.size(toks)
+        n_stop = F.size(
+            F.filter(toks, lambda t: t.isin(*STOPWORDS_EN))
+        )
+        sum_len = F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        total3 = n_tok - F.lit(2)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(total3, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        )
+        x5 = F.when(
+            n_tok >= 3,
+            (total3 - F.size(F.array_distinct(grams))).cast("long")
+            * M
+            / total3,
+        ).otherwise(F.lit(0))
+        return F.struct(
+            (n_stop.cast("long") * M / F.greatest(n_tok, F.lit(1)))
+            .cast("long")
+            .alias("x2"),
+            F.least(
+                sum_len * M / (F.greatest(n_tok, F.lit(1)) * F.lit(10)),
+                M.cast("long") * F.lit(1),
+            )
+            .cast("long")
+            .alias("x3"),
+            F.least(n_tok.cast("long") * F.lit(1000), M.cast("long"))
+            .cast("long")
+            .alias("x4"),
+            x5.cast("long").alias("x5"),
+        )
+
+    from covid_data_pipeline_spark.functions.text import let, tokens
+
+    s = let(tokens(text_col), _feats)
+    return (
+        df.withColumn(
+            "x1",
+            (n_punct.cast("long") * M / F.greatest(n_chars, F.lit(1))).cast(
+                "long"
+            ),
+        )
+        .withColumn("__s", s)
+        .withColumn("x2", F.col("__s.x2"))
+        .withColumn("x3", F.col("__s.x3"))
+        .withColumn("x4", F.col("__s.x4"))
+        .withColumn("x5", F.col("__s.x5"))
+        .drop("__s")
+    )
+
+
+LATTICE_FEATURES = ("x1", "x2", "x3", "x4", "x5")
+
+
+def _hard_sigmoid_micro(z_pico) -> F.Column:
+    """p in micro units from z in pico units: clamp(5e5 + z/4e6, 0, 1e6).
+    The floor-div is float-safe: |z| < 2^53 and (z - r) divides evenly,
+    so the double division is exact by IEEE."""
+    m = F.lit(4 * LATTICE_SCALE)
+    r = ((z_pico % m) + m) % m
+    q = ((z_pico - r) / m).cast("long")
+    return F.least(
+        F.lit(LATTICE_SCALE).cast("long"),
+        F.greatest(F.lit(0).cast("long"), F.lit(500_000) + q),
+    )
+
+
+def train_logreg_lattice(
+    feats: DataFrame,
+    feature_cols: tuple[str, ...] = LATTICE_FEATURES,
+    label_col: str = "y",
+    iters: int = 40,
+    lr_shift: int = 0,
+) -> list[int]:
+    """Fit by full-batch hard-sigmoid GD on the integer lattice; returns
+    [w1..wd, bias] in micro units (plain Python ints). One
+    decimal(38,0) gradient agg per iteration; driver state = d+1 ints."""
+    M = LATTICE_SCALE
+    d = len(feature_cols)
+    feats = feats.select(*feature_cols, label_col).localCheckpoint(
+        eager=False
+    )
+    n = feats.count()
+    w = [0] * (d + 1)
+    for _ in range(iters):
+        z = F.lit(w[-1]).cast("long") * F.lit(M)
+        for j, fc in enumerate(feature_cols):
+            z = z + F.col(fc) * F.lit(w[j]).cast("long")
+        err = (
+            _hard_sigmoid_micro(z) - F.col(label_col).cast("long") * F.lit(M)
+        ).cast("decimal(38,0)")
+        aggs = [
+            F.sum(err * F.col(fc).cast("decimal(38,0)")).alias(f"g{j}")
+            for j, fc in enumerate(feature_cols)
+        ] + [F.sum(err * F.lit(M).cast("decimal(38,0)")).alias("gb")]
+        row = feats.agg(*aggs).collect()[0]
+        m = n * M * (2**lr_shift)
+        for j in range(d):
+            w[j] -= int(row[f"g{j}"]) // m  # Python // is floor — exact
+        w[-1] -= int(row["gb"]) // m
+    return w
+
+
+def logreg_lattice_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Self-supervised exact-replay quality scores: train the lattice LR
+    against corrupted twins (labels 1=corpus, 0=twin), then score the
+    corpus. Output (id_col, logit_micro BIGINT — exact, hash-grade;
+    quality_prob — ROUND(sigmoid, 4) display column)."""
+    M = LATTICE_SCALE
+    pos = docs.select(F.col(id_col), F.col(text_col)).withColumn(
+        "y", F.lit(1)
+    )
+    neg = corrupted_negatives(docs, text_col).select(
+        F.col(id_col), F.col(text_col)
+    ).withColumn("y", F.lit(0))
+    labeled = lattice_text_features(pos.unionByName(neg), text_col)
+    w = train_logreg_lattice(labeled)
+    scored = lattice_text_features(docs.select(id_col, text_col), text_col)
+    z = F.lit(w[-1]).cast("long") * F.lit(M)
+    for j, fc in enumerate(LATTICE_FEATURES):
+        z = z + F.col(fc) * F.lit(w[j]).cast("long")
+    mm = F.lit(M)
+    r = ((z % mm) + mm) % mm
+    logit_micro = ((z - r) / mm).cast("long")
+    prob = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(z.cast("double") / F.lit(1e12)))),
+        4,
+    )
+    return scored.select(
+        id_col,
+        logit_micro.alias("logit_micro"),
+        prob.alias("quality_prob"),
+    )
+
+
+def logreg_oracle_sql(iters: int = 40, lr_shift: int = 0) -> str:
+    """DuckDB replay of :func:`logreg_lattice_scores` on the
+    ``documents`` view: identical integer features, unrolled GD steps as
+    MATERIALIZED CTEs (each step references the previous once — no CTE
+    re-expansion blowup), HUGEINT gradient sums, mod-corrected floor
+    divisions."""
+    M = LATTICE_SCALE
+    sw = _LATTICE_STOPWORDS
+    feats = rf"""
+base AS MATERIALIZED (
+  SELECT doc_id, 1 AS y, text FROM documents
+  UNION ALL
+  SELECT doc_id, 0 AS y,
+         regexp_replace(text, '[aeiouAEIOU]', '!', 'g') AS text
+  FROM documents
+),
+tokd AS MATERIALIZED (
+  SELECT doc_id, y, text,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM base
+),
+lrg AS (
+  SELECT doc_id, y, array_to_string(t[i:i+2], ' ') AS g3, len(t) - 2 AS total
+  FROM tokd, UNNEST(range(1, GREATEST(len(t) - 2, 1) + 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+lrrep AS (
+  SELECT doc_id, y,
+         CAST(((ANY_VALUE(total) - COUNT(DISTINCT g3)) * {M})
+              // ANY_VALUE(total) AS BIGINT) AS x5
+  FROM lrg GROUP BY doc_id, y
+),
+feats AS MATERIALIZED (
+  SELECT td.doc_id, td.y,
+    CAST((len(regexp_extract_all(td.text, '[^A-Za-z0-9\s]')) * {M})
+         // GREATEST(length(td.text), 1) AS BIGINT) AS x1,
+    CAST((len(list_filter(td.t, x -> x IN ({sw}))) * {M})
+         // GREATEST(len(td.t), 1) AS BIGINT) AS x2,
+    CAST(LEAST((list_sum(list_transform(td.t, x -> length(x))) * {M})
+               // (GREATEST(len(td.t), 1) * 10), {M}) AS BIGINT) AS x3,
+    CAST(LEAST(len(td.t) * 1000, {M}) AS BIGINT) AS x4,
+    COALESCE(r.x5, 0) AS x5
+  FROM tokd td LEFT JOIN lrrep r ON td.doc_id = r.doc_id AND td.y = r.y
+),
+nrows AS (SELECT COUNT(*) AS n FROM feats),
+w0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+              CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS w4,
+              CAST(0 AS BIGINT) AS w5, CAST(0 AS BIGINT) AS wb)"""
+    z_expr = (
+        "(w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4 + w.w5*f.x5"
+        f" + w.wb*{M})"
+    )
+    p_expr = (
+        f"LEAST({M}, GREATEST(0, 500000 + "
+        f"(z - ((z % {4 * M}) + {4 * M}) % {4 * M}) // {4 * M}))"
+    )
+    steps = []
+    lr_den = M * (2**lr_shift)
+    for t in range(1, iters + 1):
+        steps.append(f"""
+g{t} AS MATERIALIZED (
+  SELECT SUM(err * x1) AS g1, SUM(err * x2) AS g2, SUM(err * x3) AS g3,
+         SUM(err * x4) AS g4, SUM(err * x5) AS g5,
+         SUM(err * {M}) AS gb
+  FROM (
+    SELECT {p_expr} - y * {M} AS err, x1, x2, x3, x4, x5
+    FROM (SELECT f.*, {z_expr} AS z FROM feats f CROSS JOIN w{t - 1} w)
+  )
+),
+w{t} AS MATERIALIZED (
+  SELECT
+    CAST(w.w1 - (g.g1 - ((g.g1 % m) + m) % m) // m AS BIGINT) AS w1,
+    CAST(w.w2 - (g.g2 - ((g.g2 % m) + m) % m) // m AS BIGINT) AS w2,
+    CAST(w.w3 - (g.g3 - ((g.g3 % m) + m) % m) // m AS BIGINT) AS w3,
+    CAST(w.w4 - (g.g4 - ((g.g4 % m) + m) % m) // m AS BIGINT) AS w4,
+    CAST(w.w5 - (g.g5 - ((g.g5 % m) + m) % m) // m AS BIGINT) AS w5,
+    CAST(w.wb - (g.gb - ((g.gb % m) + m) % m) // m AS BIGINT) AS wb
+  FROM w{t - 1} w CROSS JOIN g{t} g
+  CROSS JOIN (SELECT CAST(n * {lr_den} AS HUGEINT) AS m FROM nrows)
+)""")
+    return f"""
+    WITH {feats},{",".join(steps)}
+    SELECT doc_id,
+           CAST((z - ((z % {M}) + {M}) % {M}) // {M} AS BIGINT)
+             AS logit_micro,
+           ROUND(1.0 / (1.0 + exp(-(CAST(z AS DOUBLE) / 1e12))), 4)
+             AS quality_prob
+    FROM (
+      SELECT f.doc_id, {z_expr} AS z
+      FROM feats f CROSS JOIN w{iters} w
+      WHERE f.y = 1
+    )
+    """
