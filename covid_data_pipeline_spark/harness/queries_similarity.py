@@ -28,10 +28,11 @@ from covid_data_pipeline_spark.operators.multimodal import (
 from covid_data_pipeline_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_bruteforce_np,
-    cosine_topk_ivf,
+    cosine_topk_ivf,  # noqa: F401 — float path kept as public API
+    cosine_topk_ivf_lattice,
     cosine_topk_lsh,
     embedding_neardup_pairs,
-    train_centroids,
+    train_centroids,  # noqa: F401 — float path kept as public API
 )
 
 EMBED_DIM = 64
@@ -192,61 +193,77 @@ def similarity_topk_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _ivf_oracle() -> str:
+    from covid_data_pipeline_spark.operators.clustering import (
+        ivf_lattice_oracle_sql,
+    )
+
+    return ivf_lattice_oracle_sql(
+        n_centroids=16, iters=2, nprobe=4, top_k=TOP_K, n_queries=N_QUERIES
+    )
+
+
 @register(
     "similarity_topk_ivf",
-    None,
-    tags=("similarity", "ann-ivf"),
+    _ivf_oracle(),
+    tags=("similarity", "ann-ivf", "iterative"),
     bench=True,
-    rows_only_reason=(
-        "the k-means quantizer trains distributively (float means over "
-        "xxhash64-ordered init) — centroid bits are not cross-engine "
-        "replayable; recall vs the oracle-green brute force asserted "
-        "in tests/test_dedup_similarity.py"
-    ),
 )
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cold path: distributed k-means quantizer training + probe-limited
-    query in one run — what a first index build costs. The amortized
-    path is ``similarity_topk_ivf_pretrained``."""
+    """Cold path: quantizer training + probe-limited query in one run —
+    what a first index build costs. The amortized path is
+    ``similarity_topk_ivf_pretrained``. Round 5 upgraded this from
+    rows-only to hash-verified by swapping the float spherical k-means
+    coarse quantizer for the integer-lattice Lloyd trainer
+    (`operators/similarity.py::cosine_topk_ivf_lattice`): on these
+    unit-norm embeddings the lattice L2 argmin IS spherical assignment,
+    and the DuckDB oracle replays training, cells, probes, and the
+    exact-cosine rerank — the hash certifies the approximate index
+    itself, not just a recall bound. The float path
+    (`cosine_topk_ivf`) remains for callers; its recall floor is
+    asserted in tests/test_dedup_similarity.py."""
     e = table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return cosine_topk_ivf(
-        e, queries, k=TOP_K, n_centroids=16, nprobe=4,
+    return cosine_topk_ivf_lattice(
+        e, queries, k=TOP_K, n_centroids=16, nprobe=4, iters=2,
         id_col="vec_id", vec_col="embedding", query_id_col="query_id",
     )
 
 
-_IVF_CENTROIDS: dict[str, list[list[float]]] = {}
+_IVF_CENTROIDS: dict[str, list[tuple[int, list[int]]]] = {}
 
 
 @register(
     "similarity_topk_ivf_pretrained",
-    None,
-    tags=("similarity", "ann-ivf", "pretrained"),
+    _ivf_oracle(),
+    tags=("similarity", "ann-ivf", "pretrained", "iterative"),
     bench=True,
-    rows_only_reason=(
-        "same trained quantizer as similarity_topk_ivf (memoized) — "
-        "float k-means centroids are not SQL-replayable; recall floor "
-        "and cold/warm agreement asserted in tests/test_dedup_similarity.py"
-    ),
 )
 def similarity_topk_ivf_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Amortized path: an IVF index is trained once per corpus, then
-    serves every query — the quantizer is memoized per sf_dir exactly
-    like a warehouse persists the index build (at scale: store the cell
-    id as a partition column and the probe join becomes partition
-    pruning). Benchmarked separately from ``similarity_topk_ivf`` so
-    the headline numbers split one-time build cost from steady-state
-    query cost."""
+    serves every query — the integer-lattice quantizer is memoized per
+    sf_dir exactly like a warehouse persists the index build (at scale:
+    store the cell id as a partition column and the probe join becomes
+    partition pruning). Benchmarked separately from
+    ``similarity_topk_ivf`` so the headline numbers split one-time
+    build cost from steady-state query cost. Same oracle as the cold
+    path — memoization cannot change the exact integer centroids, which
+    is itself a property the hash check proves every round."""
+    from covid_data_pipeline_spark.operators.clustering import (
+        train_centroids_lattice,
+    )
+
     e = table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     if sf_dir not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[sf_dir] = train_centroids(e, n_centroids=16, iters=2)
-    return cosine_topk_ivf(
+        _IVF_CENTROIDS[sf_dir] = train_centroids_lattice(
+            e, k=16, iters=2
+        )
+    return cosine_topk_ivf_lattice(
         e, queries, k=TOP_K, n_centroids=16, nprobe=4,
         centroids=_IVF_CENTROIDS[sf_dir],
         id_col="vec_id", vec_col="embedding", query_id_col="query_id",

@@ -329,3 +329,70 @@ def kmeans_silhouette_oracle_sql(
                             sqrt(CAST(b_d AS DOUBLE))), 6) AS silhouette
     FROM km_ab"""
     )
+
+
+def train_centroids_lattice(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[int]]]:
+    """The Lloyd trajectory's FINAL centroid matrix as (cid, micro-int
+    coords) — the exact-replay coarse quantizer for lattice IVF
+    (:func:`covid_data_pipeline_spark.operators.similarity.
+    cosine_topk_ivf_lattice`). Driver state = k x dim BIGINTs."""
+    qv = quantize_vectors(df, id_col, vec_col).localCheckpoint(eager=False)
+    cents = seed_centroids(qv, k)
+    assign = _assign(qv, cents)
+    for _ in range(iters):
+        cents = _update(qv, assign, cents)
+        assign = _assign(qv, cents)
+    return cents
+
+
+def ivf_lattice_oracle_sql(
+    n_centroids: int = 16,
+    iters: int = 2,
+    nprobe: int = 4,
+    top_k: int = 5,
+    n_queries: int = 8,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of the ENTIRE lattice IVF search — quantizer
+    training (the unrolled Lloyd chain), corpus cell assignment, query
+    probes, candidate join, exact cosine scoring, top-k. Because every
+    training/assignment step is exact integer arithmetic, even the
+    APPROXIMATE candidate set is bit-replayable — no recall bound
+    needed, the hash certifies the index itself."""
+    t = iters + 1
+    return (
+        _kmeans_chain_sql(n_centroids, iters, table, id_col, vec_col)
+        + f""",
+    ivf_probe AS (
+      SELECT _id AS query_id, cid FROM (
+        SELECT _id, cid, ROW_NUMBER() OVER (
+          PARTITION BY _id ORDER BY d, cid) AS rn
+        FROM km_d{t} WHERE _id < {n_queries}) p
+      WHERE rn <= {nprobe}),
+    ivf_v AS (
+      SELECT {id_col}, list_transform({vec_col}, x -> x::DOUBLE) AS ve
+      FROM {table}),
+    ivf_scored AS (
+      SELECT p.query_id, a._id AS {id_col},
+             ROUND(list_dot_product(q.ve, v.ve) /
+                   (sqrt(list_dot_product(q.ve, q.ve)) *
+                    sqrt(list_dot_product(v.ve, v.ve))), 4) AS similarity
+      FROM ivf_probe p
+      JOIN km_a{t} a USING (cid)
+      JOIN ivf_v q ON q.{id_col} = p.query_id
+      JOIN ivf_v v ON v.{id_col} = a._id
+      WHERE a._id <> p.query_id)
+    SELECT query_id, {id_col}, similarity FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY similarity DESC, {id_col}) AS rn
+      FROM ivf_scored) s
+    WHERE rn <= {top_k}"""
+    )

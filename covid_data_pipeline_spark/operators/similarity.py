@@ -473,6 +473,79 @@ def cosine_topk_ivf(
     ).select(query_id_col, id_col, "similarity")
 
 
+def cosine_topk_ivf_lattice(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    centroids: list[tuple[int, list[int]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF top-k with the EXACT-REPLAY coarse quantizer: the integer-
+    lattice Lloyd trainer (operators/clustering.py) replaces float
+    spherical k-means, so quantizer training, cell assignment and query
+    probes are all exact integer arithmetic and the whole search —
+    including the approximate candidate set — hash-verifies against a
+    plain-SQL replay (``clustering.ivf_lattice_oracle_sql``). On
+    unit-norm embeddings the L2 lattice argmin IS spherical assignment,
+    so cells match the cosine geometry of :func:`cosine_topk_ivf`.
+
+    Scale shape mirrors the float path: training is the Lloyd loop
+    (k x dim ints of driver state), assignment is a broadcast struct-min,
+    the probe side is tiny (n_queries x nprobe) and broadcast into the
+    cell equi-join, and only ~nprobe/n_centroids of the corpus is
+    cosine-scored. Pass precomputed integer ``centroids`` to amortize
+    training across queries (the _pretrained bench twin)."""
+    from covid_data_pipeline_spark.operators import clustering as CL
+    from covid_data_pipeline_spark.operators.windows import top_k_per_group
+
+    qv = CL.quantize_vectors(corpus, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
+    if centroids is None:
+        cents = CL.seed_centroids(qv, n_centroids)
+        assign = CL._assign(qv, cents)
+        for _ in range(iters):
+            cents = CL._update(qv, assign, cents)
+            assign = CL._assign(qv, cents)
+    else:
+        cents = centroids
+        assign = CL._assign(qv, cents)
+
+    from pyspark.sql import Window
+
+    qq = CL.quantize_vectors(queries, query_id_col, vec_col)
+    w = Window.partitionBy("_id").orderBy("d", "cid")
+    probe = (
+        CL._score(qq, cents)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .select(F.col("_id").alias(query_id_col), "cid")
+    )
+    qvecs = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qvec")
+    )
+    cells = assign.select(F.col("_id").alias(id_col), "cid")
+    cand = (
+        cells.join(F.broadcast(probe.join(qvecs, query_id_col)), "cid")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .join(corpus.select(id_col, vec_col), id_col)
+        .withColumn(
+            "similarity", F.round(cosine(F.col(vec_col), F.col("__qvec")), 4)
+        )
+    )
+    return top_k_per_group(
+        cand,
+        partition_by=[query_id_col],
+        order_by=[F.col("similarity").desc(), F.col(id_col)],
+        k=k,
+    ).select(query_id_col, id_col, "similarity")
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     dim: int,

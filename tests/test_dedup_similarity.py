@@ -1091,3 +1091,43 @@ def test_cdc_chunks_cover_and_partition_invariant(spark):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, content_defined_chunks(df.repartition(7)).collect()))
     assert a == b
+
+
+def test_ivf_lattice_recall_and_determinism(spark, sf_dir):
+    """The exact-replay lattice IVF (round 5): recall floor vs brute
+    force, plus partitioning-independence of the trained integer
+    centroids — the property the DuckDB oracle hash certifies."""
+    from covid_data_pipeline_spark.operators.clustering import (
+        train_centroids_lattice,
+    )
+    from covid_data_pipeline_spark.operators.similarity import (
+        cosine_topk_ivf_lattice,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_bruteforce(e, queries, k=5).collect()
+    }
+    ap = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_ivf_lattice(
+            e, queries, k=5, n_centroids=16, nprobe=4, iters=2
+        ).collect()
+    }
+    assert len(exact & ap) >= 0.4 * len(exact)
+
+    cents = train_centroids_lattice(e, k=16, iters=2)
+    cents2 = train_centroids_lattice(e.repartition(7), k=16, iters=2)
+    assert cents == cents2  # exact integer trajectory
+    # pretrained centroids reproduce the cold-path result exactly
+    pre = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_ivf_lattice(
+            e, queries, k=5, nprobe=4, centroids=cents
+        ).collect()
+    }
+    assert pre == ap
