@@ -1144,16 +1144,22 @@ def hard_negatives_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_oracle() -> str:
+    from covid_data_pipeline_spark.operators.similarity import (
+        pq_lattice_oracle_sql,
+    )
+
+    return pq_lattice_oracle_sql(
+        dim=EMBED_DIM, n_sub=16, n_codes=64, iters=2, shortlist=50,
+        top_k=TOP_K, n_queries=N_QUERIES,
+    )
+
+
 @register(
     "similarity_topk_pq",
-    None,
-    tags=("similarity", "ann-pq", "pandas-udf"),
+    _pq_oracle(),
+    tags=("similarity", "ann-pq", "pandas-udf", "iterative"),
     bench=True,
-    rows_only_reason=(
-        "PQ codebooks come from per-subspace float k-means — training "
-        "is not cross-engine replayable; ADC + rerank recall vs the "
-        "exact scan floored in tests/test_dedup_similarity.py"
-    ),
 )
 def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al.): per-subspace codebooks
@@ -1162,25 +1168,30 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     asymmetric-distance lookup tables, then a top-50 shortlist is
     re-ranked against full-precision vectors (the FAISS pattern). The
     storage-bound 100 TB answer: every search scans only the code
-    column; full vectors are fetched for the shortlist alone. Codebook
-    training shuffles only codebook-sized partial sums (hand-rolled
-    map-side combine); ADC and rerank recall vs the exact scan are
-    floored in pytest."""
+    column; full vectors are fetched for the shortlist alone. Round 5
+    upgraded this from rows-only to hash-verified: codebooks train on
+    the micro-integer lattice (per-subspace Lloyd; int64 Arrow partial
+    sums, codebook-sized shuffle) and the ADC LUT scan is exact integer
+    arithmetic, so the DuckDB oracle replays training, encoding, the
+    shortlist SET and the exact-cosine rerank
+    (`operators/similarity.py::pq_lattice_oracle_sql`). The float
+    trainer (`pq_train_codebooks`) stays as public API with recall
+    floors in pytest."""
     from covid_data_pipeline_spark.operators.similarity import (
-        pq_encode,
-        pq_topk_rerank,
-        pq_train_codebooks,
+        pq_topk_rerank_lattice,
+        pq_train_codebooks_lattice,
     )
 
     e = table(spark, sf_dir, "embeddings")
-    books = pq_train_codebooks(
+    books = pq_train_codebooks_lattice(
         e, dim=EMBED_DIM, n_sub=16, n_codes=64, iters=2
     )
-    codes = pq_encode(e, books)
     queries = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return pq_topk_rerank(codes, e, queries, books, k=TOP_K, shortlist=50)
+    return pq_topk_rerank_lattice(
+        e, queries, books, k=TOP_K, shortlist=50
+    )
 
 
 _PQ_BOOKS: dict[str, list] = {}
@@ -1188,14 +1199,9 @@ _PQ_BOOKS: dict[str, list] = {}
 
 @register(
     "similarity_topk_pq_pretrained",
-    None,
-    tags=("similarity", "ann-pq", "pretrained", "pandas-udf"),
+    _pq_oracle(),
+    tags=("similarity", "ann-pq", "pretrained", "pandas-udf", "iterative"),
     bench=True,
-    rows_only_reason=(
-        "same trained PQ codebooks (memoized) — float k-means is not "
-        "SQL-replayable; recall ≥0.85 with rerank asserted in "
-        "tests/test_dedup_similarity.py"
-    ),
 )
 def similarity_topk_pq_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Amortized PQ path: codebooks are trained once per corpus (the
@@ -1203,24 +1209,25 @@ def similarity_topk_pq_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame
     here exactly like the IVF pretrained twin), so the benched cost is
     the steady state — encode + ADC scan + shortlist re-rank — split
     from the one-time training the cold ``similarity_topk_pq`` number
-    includes."""
+    includes. Same oracle as the cold path: memoization cannot change
+    the exact integer codebooks, and the hash check proves it."""
     from covid_data_pipeline_spark.operators.similarity import (
-        pq_encode,
-        pq_topk_rerank,
-        pq_train_codebooks,
+        pq_topk_rerank_lattice,
+        pq_train_codebooks_lattice,
     )
 
     e = table(spark, sf_dir, "embeddings")
     if sf_dir not in _PQ_BOOKS:
-        _PQ_BOOKS[sf_dir] = pq_train_codebooks(
+        _PQ_BOOKS[sf_dir] = pq_train_codebooks_lattice(
             e, dim=EMBED_DIM, n_sub=16, n_codes=64, iters=2
         )
     books = _PQ_BOOKS[sf_dir]
-    codes = pq_encode(e, books)
     queries = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return pq_topk_rerank(codes, e, queries, books, k=TOP_K, shortlist=50)
+    return pq_topk_rerank_lattice(
+        e, queries, books, k=TOP_K, shortlist=50
+    )
 
 
 _BITEXT_MARGIN_ORACLE = """

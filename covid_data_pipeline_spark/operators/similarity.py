@@ -1349,6 +1349,356 @@ def pq_topk_rerank(
     ).select(query_id_col, id_col, "similarity")
 
 
+def pq_train_codebooks_lattice(
+    df: DataFrame,
+    dim: int,
+    n_sub: int = 16,
+    n_codes: int = 64,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Exact-replay PQ codebooks: per-subspace Lloyd on the micro-integer
+    lattice (the `operators/clustering.py` recipe generalized to an
+    (s, c) composite cluster key). Seeds are the slices of the first
+    ``n_codes`` vectors under the portable md5 order — one shared sample
+    across subspaces, exactly like the float trainer. All subspaces
+    train in the SAME Arrow pass per iteration: each batch emits only
+    per-(s, c) int64 partial sums (hand-rolled map-side combine), so the
+    shuffle volume is the codebook size and the driver holds
+    n_sub x n_codes x d_sub ints. int64 arithmetic throughout — the
+    trajectory is bit-identical on any engine and partitioning.
+
+    Returns ``codebooks[s][c] = micro-int centroid`` (length dim//n_sub).
+    """
+    import numpy as np
+
+    from covid_data_pipeline_spark.operators import clustering as CL
+
+    assert dim % n_sub == 0, "n_sub must divide dim"
+    d_sub = dim // n_sub
+    qv = CL.quantize_vectors(df, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
+    seeds = CL.seed_centroids(qv, n_codes)  # [(c 1-based, full coords)]
+    # books[s][c] — c is 0-based here; the oracle's c is 1-based (seed
+    # row_number); keep 1-based cids to match the SQL replay.
+    books = {
+        (s, c): coords[s * d_sub : (s + 1) * d_sub]
+        for c, coords in seeds
+        for s in range(n_sub)
+    }
+    n_seeded = len(seeds)
+
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    part_schema = StructType(
+        [
+            StructField("s", LongType(), False),
+            StructField("c", LongType(), False),
+            StructField("vsum", ArrayType(LongType()), False),
+            StructField("cnt", LongType(), False),
+        ]
+    )
+
+    def _books_np() -> "np.ndarray":
+        B = np.zeros((n_sub, n_seeded, d_sub), dtype=np.int64)
+        for (s, c), coords in books.items():
+            B[s, c - 1] = coords
+        return B
+
+    for _ in range(iters):
+        B = _books_np()
+
+        def partials(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                M = np.stack(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["q"]]
+                )
+                out = {"s": [], "c": [], "vsum": [], "cnt": []}
+                for s in range(n_sub):
+                    X = M[:, s * d_sub : (s + 1) * d_sub]
+                    d2 = (
+                        (X * X).sum(1, keepdims=True)
+                        - 2 * (X @ B[s].T)
+                        + (B[s] * B[s]).sum(1)[None, :]
+                    )
+                    # first-min tie-break → smallest code (== SQL
+                    # ORDER BY d, c)
+                    codes = d2.argmin(axis=1)
+                    for c in range(n_seeded):
+                        mask = codes == c
+                        n = int(mask.sum())
+                        if n == 0:
+                            continue
+                        out["s"].append(s)
+                        out["c"].append(c + 1)
+                        out["vsum"].append(X[mask].sum(axis=0).tolist())
+                        out["cnt"].append(n)
+                yield pd.DataFrame(out)
+
+        agg = (
+            qv.select("q")
+            .mapInPandas(partials, part_schema)
+            .groupBy("s", "c")
+            .agg(
+                F.array(
+                    *[
+                        F.sum(F.col("vsum")[i]).alias(f"x{i}")
+                        for i in range(d_sub)
+                    ]
+                ).alias("vsum"),
+                F.sum("cnt").alias("cnt"),
+            )
+            .collect()
+        )
+        for r in agg:
+            key = (int(r["s"]), int(r["c"]))
+            n = int(r["cnt"])
+            # Python // is floor — identical to the oracle's
+            # mod-corrected division for every sign.
+            books[key] = [int(v) // n for v in r["vsum"]]
+
+    return [
+        [books[(s, c)] for c in range(1, n_seeded + 1)]
+        for s in range(n_sub)
+    ]
+
+
+def pq_topk_rerank_lattice(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[int]]],
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC shortlist → exact re-rank over the integer-lattice codebooks:
+    encode (int argmin per subspace), build per-query int64 LUTs
+    (micro-query · micro-centroid dot), score candidates by exact
+    integer LUT sums, take the ``shortlist`` by (adc DESC, id), then
+    re-rank ONLY those rows against full-precision vectors with the
+    oracle-proven rounded cosine. Every step up to the rerank is exact
+    integer arithmetic, so the shortlist SET (not just a recall bound)
+    is SQL-replayable — see ``pq_lattice_oracle_sql``.
+
+    Scale shape matches the float path: encode is a pure Arrow map, the
+    ADC scan streams the code column once with per-batch top-shortlist
+    survivors, the rerank fetches full vectors for queries x shortlist
+    rows via broadcast."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import StructType
+
+    from covid_data_pipeline_spark.operators import clustering as CL
+    from covid_data_pipeline_spark.operators.windows import top_k_per_group
+
+    B = np.array(codebooks, dtype=np.int64)  # (n_sub, n_codes, d_sub)
+    n_sub, n_codes, d_sub = B.shape
+
+    qv = CL.quantize_vectors(corpus, id_col, vec_col)
+    q_rows = (
+        CL.quantize_vectors(queries, query_id_col, vec_col)
+        .orderBy("_id")
+        .collect()
+    )
+    qids = np.array([r["_id"] for r in q_rows])
+    Q = np.array([list(r["q"]) for r in q_rows], dtype=np.int64)
+    # LUT[j, s, c] = q_j[s-slice] · B[s][c] — exact int64
+    LUT = np.einsum(
+        "jsd,scd->jsc", Q.reshape(len(Q), n_sub, d_sub), B
+    ).astype(np.int64)
+
+    out_schema = StructType(
+        [queries.schema[query_id_col], corpus.schema[id_col]]
+    ).add("adc", "long")
+    sub_idx = np.arange(n_sub)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["_id"].to_numpy()
+            M = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            C = np.empty((len(M), n_sub), dtype=np.int64)
+            for s in range(n_sub):
+                X = M[:, s * d_sub : (s + 1) * d_sub]
+                d2 = (
+                    (X * X).sum(1, keepdims=True)
+                    - 2 * (X @ B[s].T)
+                    + (B[s] * B[s]).sum(1)[None, :]
+                )
+                C[:, s] = d2.argmin(axis=1)
+            frames = []
+            for j, qid in enumerate(qids):
+                adc = LUT[j][sub_idx[None, :], C].sum(axis=1)
+                mask = ids != qid
+                sel_ids, sel_a = ids[mask], adc[mask]
+                order = np.lexsort((sel_ids, -sel_a))[:shortlist]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: qid,
+                            id_col: sel_ids[order],
+                            "adc": sel_a[order],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    partial = qv.mapInPandas(score, out_schema)
+    short = top_k_per_group(
+        partial,
+        partition_by=[query_id_col],
+        order_by=[F.col("adc").desc(), F.col(id_col)],
+        k=shortlist,
+    ).select(query_id_col, id_col)
+    cand = corpus.select(id_col, vec_col).join(F.broadcast(short), id_col)
+    qvec = F.broadcast(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    )
+    scored = cand.join(qvec, query_id_col).withColumn(
+        "similarity", F.round(cosine(F.col(vec_col), F.col("__qvec")), 4)
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=[query_id_col],
+        order_by=[F.col("similarity").desc(), F.col(id_col)],
+        k=k,
+    ).select(query_id_col, id_col, "similarity")
+
+
+def pq_lattice_oracle_sql(
+    dim: int = 64,
+    n_sub: int = 16,
+    n_codes: int = 64,
+    iters: int = 2,
+    shortlist: int = 50,
+    top_k: int = 5,
+    n_queries: int = 8,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of :func:`pq_train_codebooks_lattice` +
+    :func:`pq_topk_rerank_lattice`: per-subspace Lloyd as unrolled
+    MATERIALIZED CTEs keyed by (s, c), integer ADC LUT scan, shortlist
+    by (adc DESC, id), exact-cosine rerank."""
+    d_sub = dim // n_sub
+    parts = [
+        f"""
+    WITH pq_e AS MATERIALIZED (
+      SELECT {id_col} AS _id,
+             list_transform({vec_col},
+                            x -> CAST(ROUND(x::DOUBLE * 1e6, 0) AS BIGINT))
+               AS q
+      FROM {table}),
+    pq_x AS MATERIALIZED (
+      SELECT _id, CAST((pos - 1) // {d_sub} AS INTEGER) AS s,
+             CAST((pos - 1) % {d_sub} + 1 AS INTEGER) AS sp, v
+      FROM (SELECT _id, generate_subscripts(q, 1) AS pos, unnest(q) AS v
+            FROM pq_e) t),
+    pq_seed AS MATERIALIZED (
+      SELECT _id, CAST(rn AS INTEGER) AS c FROM (
+        SELECT _id, ROW_NUMBER() OVER (
+          ORDER BY md5(CAST(_id AS VARCHAR)), _id) AS rn
+        FROM pq_e) t
+      WHERE rn <= {n_codes}),
+    pq_c0 AS MATERIALIZED (
+      SELECT x.s, sd.c, x.sp, x.v AS cc
+      FROM pq_seed sd JOIN pq_x x USING (_id))"""
+    ]
+    prev = "pq_c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    pq_d{i} AS MATERIALIZED (
+      SELECT x._id, x.s, c.c,
+             CAST(SUM((x.v - c.cc) * (x.v - c.cc)) AS BIGINT) AS d
+      FROM pq_x x JOIN {prev} c ON x.s = c.s AND x.sp = c.sp
+      GROUP BY 1, 2, 3),
+    pq_a{i} AS MATERIALIZED (
+      SELECT _id, s, c FROM (
+        SELECT _id, s, c, ROW_NUMBER() OVER (
+          PARTITION BY _id, s ORDER BY d, c) AS rn
+        FROM pq_d{i}) t
+      WHERE rn = 1),
+    pq_u{i} AS MATERIALIZED (
+      SELECT a.s, a.c, x.sp, CAST(SUM(x.v) AS BIGINT) AS sx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pq_a{i} a JOIN pq_x x ON a._id = x._id AND a.s = x.s
+      GROUP BY 1, 2, 3),
+    pq_c{i} AS MATERIALIZED (
+      SELECT p.s, p.c, p.sp,
+             CASE WHEN u.n IS NULL THEN p.cc
+                  ELSE (u.sx - ((u.sx % u.n) + u.n) % u.n) // u.n
+             END AS cc
+      FROM {prev} p
+      LEFT JOIN pq_u{i} u ON p.s = u.s AND p.c = u.c AND p.sp = u.sp)"""
+        )
+        prev = f"pq_c{i}"
+    parts.append(
+        f""",
+    pq_df AS MATERIALIZED (
+      SELECT x._id, x.s, c.c,
+             CAST(SUM((x.v - c.cc) * (x.v - c.cc)) AS BIGINT) AS d
+      FROM pq_x x JOIN {prev} c ON x.s = c.s AND x.sp = c.sp
+      GROUP BY 1, 2, 3),
+    pq_enc AS MATERIALIZED (
+      SELECT _id, s, c FROM (
+        SELECT _id, s, c, ROW_NUMBER() OVER (
+          PARTITION BY _id, s ORDER BY d, c) AS rn
+        FROM pq_df) t
+      WHERE rn = 1),
+    pq_lut AS MATERIALIZED (
+      SELECT q._id AS query_id, c.s, c.c,
+             CAST(SUM(q.v * c.cc) AS BIGINT) AS l
+      FROM pq_x q JOIN {prev} c ON q.s = c.s AND q.sp = c.sp
+      WHERE q._id < {n_queries}
+      GROUP BY 1, 2, 3),
+    pq_adc AS MATERIALIZED (
+      SELECT l.query_id, e._id AS {id_col}, CAST(SUM(l.l) AS BIGINT) AS adc
+      FROM pq_enc e JOIN pq_lut l ON e.s = l.s AND e.c = l.c
+      WHERE e._id <> l.query_id
+      GROUP BY 1, 2),
+    pq_short AS MATERIALIZED (
+      SELECT query_id, {id_col} FROM (
+        SELECT query_id, {id_col}, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY adc DESC, {id_col}) AS rn
+        FROM pq_adc) t
+      WHERE rn <= {shortlist}),
+    pq_v AS (
+      SELECT {id_col}, list_transform({vec_col}, x -> x::DOUBLE) AS ve
+      FROM {table}),
+    pq_rr AS (
+      SELECT s.query_id, s.{id_col},
+             ROUND(list_dot_product(q.ve, v.ve) /
+                   (sqrt(list_dot_product(q.ve, q.ve)) *
+                    sqrt(list_dot_product(v.ve, v.ve))), 4) AS similarity
+      FROM pq_short s
+      JOIN pq_v q ON q.{id_col} = s.query_id
+      JOIN pq_v v ON v.{id_col} = s.{id_col})
+    SELECT query_id, {id_col}, similarity FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY similarity DESC, {id_col}) AS rn
+      FROM pq_rr) t
+    WHERE rn <= {top_k}"""
+    )
+    return "".join(parts)
+
+
 def save_ann_model(path: str, model: dict) -> None:
     """Persist an ANN model artifact (IVF centroids, PQ codebooks, LSH
     seed/planes, standardization stats — any JSON-shaped dict of

@@ -620,3 +620,42 @@ def test_driver_window_holds_50_oracle_backed_queries():
     first_50 = list(QUERIES)[:50]
     assert first_50 == list(WINDOW_PRIORITY)
     assert all(QUERIES[n].oracle is not None for n in first_50)
+
+
+def test_pq_lattice_recall_and_exact_replay_properties(spark):
+    """Round-5 exact-replay PQ: rerank recall floor vs brute force and
+    partitioning-independent integer codebooks (what the DuckDB oracle
+    hash certifies every round)."""
+    from covid_data_pipeline_spark.harness.tables import table
+    from covid_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        pq_topk_rerank_lattice,
+        pq_train_codebooks_lattice,
+    )
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = pq_train_codebooks_lattice(e, dim=64, n_sub=16, n_codes=64, iters=2)
+    assert len(books) == 16 and all(len(b) == 64 for b in books)
+    assert all(
+        isinstance(x, int) for b in books for c in b for x in c
+    )
+    books2 = pq_train_codebooks_lattice(
+        e.repartition(7), dim=64, n_sub=16, n_codes=64, iters=2
+    )
+    assert books == books2  # exact integer trajectory
+
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_bruteforce(e, queries, k=5).collect()
+    }
+    ap = {
+        (r["query_id"], r["vec_id"])
+        for r in pq_topk_rerank_lattice(
+            e, queries, books, k=5, shortlist=50
+        ).collect()
+    }
+    # 50-candidate shortlist + exact rerank: high recall expected
+    assert len(exact & ap) >= 0.8 * len(exact)
