@@ -782,3 +782,77 @@ def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("class_size").cast("double") / F.col("total"), 6
         ).alias("population_share"),
     )
+
+
+@register(
+    "customers_l_diversity",
+    """
+    WITH cls AS (
+      SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+             CAST(FLOOR(c_acctbal / 2500.0) AS BIGINT) AS bal_bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM customer GROUP BY 1, 2, 3),
+    ent AS (
+      SELECT nationkey, mktsegment,
+             CAST(SUM(c) AS BIGINT) AS class_size,
+             CAST(COUNT(*) AS BIGINT) AS distinct_sensitive,
+             CAST(SUM(c * CAST(ROUND(ln(c) * 1e6, 0) AS BIGINT))
+                  AS BIGINT) AS sum_clnc_micro
+      FROM cls GROUP BY 1, 2)
+    SELECT nationkey, mktsegment, class_size, distinct_sensitive,
+           ROUND(exp(CAST(class_size
+                            * CAST(ROUND(ln(class_size) * 1e6, 0) AS BIGINT)
+                          - sum_clnc_micro AS DOUBLE)
+                     / (class_size * 1e6)), 4) AS entropy_l,
+           (class_size * CAST(ROUND(ln(class_size) * 1e6, 0) AS BIGINT)
+            - sum_clnc_micro) >= class_size * 693147 AS meets_l2
+    FROM ent
+    """,
+    tags=("core", "privacy", "governance"),
+)
+def customers_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy l-diversity audit (Machanavajjhala et al. 2007) — the
+    gate AFTER customers_k_anonymity: a class can be large (k-anonymous)
+    yet leak the sensitive attribute if everyone in it shares one value.
+    Per quasi-identifier class (nationkey, mktsegment) over the
+    sensitive balance bucket: entropy-l = exp(H) of the in-class value
+    distribution, plus a meets-l2 flag.
+
+    Exactness (the dim-MI / DSIR micro-nat construction): per-bucket
+    terms c·round(ln(c)·1e6) are exact BIGINTs, n·H in micro-nats is
+    n·ln_micro(n) − Σ c·ln_micro(c) — pure integer arithmetic — and the
+    l≥2 flag compares that integer against n·693147 (micro-nats of
+    ln 2, a shared literal), so the verdict is hash-exact; exp() only
+    renders the ROUND(4) display column. One rollup + one regroup,
+    both map-side combinable."""
+    c = table(spark, sf_dir, "customer")
+    lnr = lambda col: F.round(F.log(col.cast("double")) * 1e6, 0).cast(  # noqa: E731
+        "long"
+    )
+    cls = c.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.floor(F.col("c_acctbal") / 2500.0).cast("long").alias("bal_bucket"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    ent = cls.groupBy("nationkey", "mktsegment").agg(
+        F.sum("c").alias("class_size"),
+        F.count(F.lit(1)).alias("distinct_sensitive"),
+        F.sum(F.col("c") * lnr(F.col("c"))).alias("sum_clnc_micro"),
+    )
+    nh_micro = (
+        F.col("class_size") * lnr(F.col("class_size"))
+        - F.col("sum_clnc_micro")
+    )
+    return ent.select(
+        "nationkey",
+        "mktsegment",
+        "class_size",
+        "distinct_sensitive",
+        F.round(
+            F.exp(
+                nh_micro.cast("double") / (F.col("class_size") * 1e6)
+            ),
+            4,
+        ).alias("entropy_l"),
+        (nh_micro >= F.col("class_size") * 693147).alias("meets_l2"),
+    )

@@ -2910,3 +2910,115 @@ def events_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(disp, 4).alias("dispersion_index"),
         (disp > 1.5).alias("overdispersed"),
     )
+
+
+@register(
+    "events_acf_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    st AS (
+      SELECT event_type, CAST(SUM(x) AS HUGEINT) AS s,
+             CAST(COUNT(*) AS HUGEINT) AS n
+      FROM daily GROUP BY 1),
+    dv AS (
+      SELECT d.event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.event_type ORDER BY d.day) AS rn,
+             st.n * d.x - st.s AS dd,
+             st.n AS n
+      FROM daily d JOIN st USING (event_type)),
+    den AS (
+      SELECT event_type, SUM(dd * dd) AS den, ANY_VALUE(n) AS n
+      FROM dv GROUP BY 1),
+    num AS (
+      SELECT a.event_type, CAST(b.rn - a.rn AS INTEGER) AS lag,
+             SUM(a.dd * b.dd) AS num
+      FROM dv a JOIN dv b
+        ON a.event_type = b.event_type
+       AND b.rn BETWEEN a.rn + 1 AND a.rn + 7
+      GROUP BY 1, 2)
+    SELECT num.event_type, num.lag,
+           ROUND(CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE), 6)
+             AS acf,
+           CAST(den.n AS BIGINT) AS n_days
+    FROM num JOIN den USING (event_type)
+    WHERE den.den > 0
+    """,
+    tags=("events", "timeseries", "autocorrelation"),
+)
+def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily event counts, lags 1..7 per
+    event type — the seasonality detector that tells a pipeline WHETHER
+    a weekly component exists before it fits one (a strong lag-7 spike
+    justifies events_seasonal_decompose's dow model; flat ACF says
+    don't).
+
+    Exactness: deviations are scaled by n BEFORE squaring
+    (d_t = n*x_t − S, all integers), so numerator Σ d_t·d_{t+k} and
+    denominator Σ d_t² are exact integer sums — decimal(38,0) here,
+    HUGEINT in the oracle per the quadratic-overflow rule — and the ACF
+    is ONE double division, ROUND(6)-guarded. Scale shape: one daily
+    rollup (map-side combinable), one 7-lead window pass on the tiny
+    per-type daily series (the lag join in the oracle is
+    formulation-independent), no self-join of raw events."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    st = daily.groupBy("event_type").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    dv = daily.join(st, "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("x") - F.col("s")
+        ).alias("dd"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    leads = dv.select(
+        "event_type",
+        "n",
+        "dd",
+        *[F.lead("dd", k).over(w).alias(f"dd{k}") for k in range(1, 8)],
+    )
+    agg = leads.groupBy("event_type").agg(
+        F.sum(F.col("dd") * F.col("dd")).alias("den"),
+        F.any_value("n").alias("n_days"),
+        *[
+            F.sum(F.col("dd") * F.col(f"dd{k}")).alias(f"num{k}")
+            for k in range(1, 8)
+        ],
+    )
+    stacked = agg.select(
+        "event_type",
+        "den",
+        "n_days",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"), F.col(f"num{k}").alias("num")
+                    )
+                    for k in range(1, 8)
+                ]
+            )
+        ).alias("kv"),
+    )
+    return (
+        stacked.where(F.col("den") > 0)
+        .where(F.col("kv.num").isNotNull())
+        .select(
+            "event_type",
+            F.col("kv.lag").alias("lag"),
+            F.round(
+                F.col("kv.num").cast("double") / F.col("den").cast("double"),
+                6,
+            ).alias("acf"),
+            F.col("n_days").cast("long").alias("n_days"),
+        )
+    )

@@ -2103,3 +2103,89 @@ def orders_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         dev.alias("deviation_bp"),
         (F.abs(dev) > 100).alias("flagged"),
     )
+
+
+@register(
+    "item_similarity_topk",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    singles AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY p),
+    pairs AS (
+      SELECT a.p AS part_a, b2.p AS part_b, CAST(COUNT(*) AS BIGINT) AS co
+      FROM b a JOIN b b2 ON a.o = b2.o AND a.p <> b2.p
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT part_a, part_b, co,
+             ROUND(CAST(co AS DOUBLE)
+                   / sqrt(CAST(sa.c AS DOUBLE) * sb.c), 6) AS cosine_sim
+      FROM pairs
+      JOIN singles sa ON pairs.part_a = sa.p
+      JOIN singles sb ON pairs.part_b = sb.p
+      WHERE sa.c >= 3)
+    SELECT part_a, part_b, co, cosine_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY part_a ORDER BY cosine_sim DESC, part_b) AS rn
+      FROM scored) t
+    WHERE rn <= 5
+    """,
+    tags=("olap", "recommendation", "item-item"),
+)
+def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering neighbors (Sarwar et al. 2001 /
+    Amazon item-to-item): per part (with ≥3 orders), the 5 most
+    co-ordered parts by co-occurrence cosine co/sqrt(c_a·c_b) — the
+    precomputed neighbor table a recommender serves lookups from. The
+    sibling of market_basket_part_pairs (global top pairs by lift);
+    this one is a PER-ITEM ranked neighbor list.
+
+    Scale shape: pair generation is a within-order self-join, bounded
+    by basket size² per order (linear in orders, never |parts|²);
+    per-part counts re-enter as broadcasts; the per-item top-5 is a
+    WindowGroupLimit, not a global sort. Cosine is one double
+    expression over exact integer counts, ROUND(6)-guarded with the
+    standard (sim DESC, id) tiebreak."""
+    from covid_data_pipeline_spark.operators.windows import top_k_per_group
+
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    singles = b.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    a, b2 = b.alias("a"), b.alias("b2")
+    pairs = (
+        a.join(
+            b2,
+            (F.col("a.o") == F.col("b2.o")) & (F.col("a.p") != F.col("b2.p")),
+        )
+        .groupBy(F.col("a.p").alias("part_a"), F.col("b2.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(
+                singles.select(F.col("p").alias("part_a"), F.col("c").alias("ca"))
+            ),
+            "part_a",
+        )
+        .join(
+            F.broadcast(
+                singles.select(F.col("p").alias("part_b"), F.col("c").alias("cb"))
+            ),
+            "part_b",
+        )
+        .where(F.col("ca") >= 3)
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                F.col("co").cast("double")
+                / F.sqrt(F.col("ca").cast("double") * F.col("cb")),
+                6,
+            ),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["part_a"],
+        order_by=[F.col("cosine_sim").desc(), F.col("part_b")],
+        k=5,
+    ).select("part_a", "part_b", "co", "cosine_sim")

@@ -2338,3 +2338,74 @@ def embeddings_best_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("info_gain"),
         F.row_number().over(rw).alias("rnk"),
     )
+
+
+def _hits_oracle(iters: int = 4, k: int = 5, scale: int = 10**6) -> str:
+    """Unrolled HITS twin of ``operators/graph.py::hits_int`` over the
+    exact kNN edge set (same 1-in-4 id subset as pagerank_knn_docs).
+    Each half-step normalizes by the max raw score (L-infinity) with
+    BIGINT floor division, so the whole trajectory replays bit-exactly;
+    every CTE is MATERIALIZED because raw/normalized relations are each
+    referenced twice."""
+    head = f"""
+    WITH {_knn_edges_sql("src", "dst", " WHERE vec_id % 4 = 0")},
+    e AS MATERIALIZED (SELECT src, dst FROM ranked WHERE rn <= {k}),
+    hnodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t),
+    h0 AS (SELECT node, CAST({scale} AS BIGINT) AS s FROM hnodes)"""
+    step = """,
+    ar{t} AS MATERIALIZED (
+      SELECT e.dst AS node, CAST(SUM(p.s) AS BIGINT) AS raw
+      FROM h{p} p JOIN e ON e.src = p.node GROUP BY 1),
+    a{t} AS MATERIALIZED (
+      SELECT n.node,
+             CAST((COALESCE(r.raw, 0) * {scale})
+                  // GREATEST((SELECT MAX(raw) FROM ar{t}), 1) AS BIGINT)
+               AS s
+      FROM hnodes n LEFT JOIN ar{t} r USING (node)),
+    hr{t} AS MATERIALIZED (
+      SELECT e.src AS node, CAST(SUM(a.s) AS BIGINT) AS raw
+      FROM a{t} a JOIN e ON e.dst = a.node GROUP BY 1),
+    h{t} AS MATERIALIZED (
+      SELECT n.node,
+             CAST((COALESCE(r.raw, 0) * {scale})
+                  // GREATEST((SELECT MAX(raw) FROM hr{t}), 1) AS BIGINT)
+               AS s
+      FROM hnodes n LEFT JOIN hr{t} r USING (node))"""
+    body = "".join(
+        step.format(t=t, p=t - 1, scale=scale) for t in range(1, iters + 1)
+    )
+    return (
+        head
+        + body
+        + f"""
+    SELECT h.node AS vec_id, h.s AS hub, a.s AS authority
+    FROM h{iters} h JOIN a{iters} a USING (node)"""
+    )
+
+
+@register(
+    "hits_knn_docs",
+    _hits_oracle(),
+    tags=("similarity", "graph", "hits", "centrality", "iterative"),
+)
+def hits_knn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the exact 5-NN cosine graph
+    (`operators/graph.py::hits_int`) — the second centrality lens next
+    to pagerank_knn_docs: authorities are the exemplar vectors many
+    neighborhoods agree on (good dedup/curation representatives), hubs
+    are vectors whose neighbor lists consist of those exemplars. The
+    integer L-infinity-normalized power iteration makes an iterative
+    spectral algorithm hash-verifiable; the oracle unrolls the same
+    four double-steps as chained MATERIALIZED CTEs. Same deterministic
+    1-in-4 id subset as the PageRank query (exact kNN is the quadratic
+    verification baseline; the LSH graph is the scale path)."""
+    from covid_data_pipeline_spark.operators.graph import hits_int
+    from covid_data_pipeline_spark.operators.similarity import knn_graph_exact
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    edges = knn_graph_exact(emb, k=5, id_col="vec_id", vec_col="embedding")
+    return hits_int(edges, src="src_id", dst="nbr_id", iters=4).select(
+        F.col("node").alias("vec_id"), "hub", "authority"
+    )

@@ -2026,3 +2026,89 @@ def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "english_share"
         ),
     )
+
+
+def _textrank_oracle(iters: int = 5, top_n: int = 25) -> str:
+    """TextRank = the shared integer-PageRank unroll
+    (`queries_similarity._pagerank_oracle`) over the word-adjacency
+    graph: lowercase whitespace tokens filtered to ^[a-z]{4,}$, edges
+    between CONSECUTIVE surviving tokens (filter first, then window —
+    Mihalcea & Tarau 2004's syntactic-filter order), symmetrized;
+    multi-edges stay, so co-occurrence frequency weights the walk."""
+    from covid_data_pipeline_spark.harness.queries_similarity import (
+        _pagerank_oracle,
+    )
+
+    edges_head = r"""tr_tok AS (
+      SELECT list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> regexp_matches(x, '^[a-z]{4,}$')) AS ft
+      FROM documents),
+    tr_adj AS (
+      SELECT ft[i] AS a, ft[i + 1] AS b
+      FROM tr_tok, UNNEST(range(1, GREATEST(len(ft), 1))) AS u(i)
+      WHERE len(ft) >= 2),
+    e AS (SELECT a AS src, b AS dst FROM tr_adj
+          UNION ALL SELECT b AS src, a AS dst FROM tr_adj)"""
+    pr = _pagerank_oracle(iters=iters, edges_head=edges_head)
+    return f"""
+    SELECT word, rank FROM (
+      SELECT vec_id AS word, rank,
+             ROW_NUMBER() OVER (ORDER BY rank DESC, vec_id) AS rn
+      FROM ({pr}) t) r
+    WHERE rn <= {top_n}
+    """
+
+
+@register(
+    "textrank_keywords",
+    _textrank_oracle(),
+    tags=("text", "keywords", "pagerank", "iterative"),
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TextRank keyword extraction (Mihalcea & Tarau 2004):
+    integer PageRank (`operators/graph.py::pagerank_int`) over the
+    word-adjacency graph — content tokens (^[a-z]{4,}$) linked to their
+    next surviving neighbor, symmetrized, multi-edges = frequency
+    weights — then the global top-25 words by rank. The unsupervised
+    keyword signal a curation pipeline uses for topic tagging and
+    stop-phrase mining without a model.
+
+    Scale shape: the token->edge explode is linear in corpus tokens;
+    PageRank iterations shuffle node-sized rank relations over the
+    edge partitioning (Pregel shape); the top-25 is a
+    TakeOrderedAndProject. Hash-exact end to end: the rank fixed point
+    is all-BIGINT, so even an ITERATIVE spectral score replays in SQL."""
+    from covid_data_pipeline_spark.operators.graph import pagerank_int
+
+    d = table(spark, sf_dir, "documents")
+    ft = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda t: t.rlike("^[a-z]{4,}$"),
+    )
+    adj = (
+        d.select(ft.alias("ft"))
+        .where(F.size("ft") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ft") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ft", i).alias("a"),
+                        F.element_at("ft", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    edges = adj.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(adj.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    pr = pagerank_int(edges, src="src", dst="dst", iters=5)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node"))
+    return (
+        pr.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 25)
+        .select(F.col("node").alias("word"), "rank")
+    )
