@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from covid_data_pipeline_spark.harness.registry import register, table
 from covid_data_pipeline_spark.operators.dedup import (
@@ -1334,3 +1335,144 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_hits * 10000 div n_candidates").alias("precision_bp"),
         )
     )
+
+
+@register(
+    "dedup_winnowing",
+    r"""
+    WITH wdocs AS MATERIALIZED (
+      SELECT doc_id, lower(text) AS text FROM documents
+      WHERE length(text) >= 16 AND doc_id < 300
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, lower(text) || ' zq' AS text
+      FROM documents WHERE length(text) >= 16 AND doc_id < 300
+                       AND doc_id % 5 = 0
+    ),
+    wg AS MATERIALIZED (
+      SELECT doc_id, p.i AS pos,
+             CAST(concat('0x',
+                  substr(md5(substr(text, p.i, 8)), 1, 15)) AS BIGINT) AS h
+      FROM wdocs, UNNEST(range(1, length(text) - 8 + 2)) AS p(i)
+    ),
+    wpick AS (
+      SELECT doc_id, h, pos FROM (
+        SELECT a.doc_id, a.pos AS j, b.h, b.pos,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.doc_id, a.pos
+                 ORDER BY b.h, b.pos DESC) AS rn
+        FROM wg a JOIN wg b
+          ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos AND a.pos + 3
+        WHERE a.pos + 3 <= (SELECT MAX(pos) FROM wg g2
+                            WHERE g2.doc_id = a.doc_id)) t
+      WHERE rn = 1
+    ),
+    wfp AS MATERIALIZED (
+      SELECT DISTINCT doc_id, h FROM wpick
+    ),
+    wcnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nfp FROM wfp
+             GROUP BY 1),
+    wpair AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_fp
+      FROM wfp a JOIN wfp b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.id_a, p.id_b, p.shared_fp,
+           ROUND(CAST(p.shared_fp AS DOUBLE)
+                 / LEAST(ca.nfp, cb.nfp), 4) AS containment
+    FROM wpair p
+    JOIN wcnt ca ON ca.doc_id = p.id_a
+    JOIN wcnt cb ON cb.doc_id = p.id_b
+    WHERE CAST(p.shared_fp AS DOUBLE) / LEAST(ca.nfp, cb.nfp) >= 0.5
+    """,
+    tags=("dedup", "winnowing", "fingerprint"),
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing document fingerprints (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003 — the MOSS algorithm): per position, hash the
+    8-char gram (portable md5-prefix int); per 4-gram window keep the
+    RIGHTMOST MINIMUM hash; the distinct selected hashes are the doc's
+    fingerprints. Guarantees: any shared substring of length ≥
+    w + k − 1 = 11 chars yields at least one shared fingerprint, at a
+    ~2/(w+1) sampling rate — the local-similarity detector (plagiarism,
+    quote containment) that whole-doc MinHash can't give. Pairs with
+    fingerprint containment ≥ 0.5 are reported (planted append-mutants
+    share almost all fingerprints; the 'zq' tail only perturbs the
+    final windows).
+
+    Spark shape: gram hashing is one HOF projection; the
+    rightmost-min-per-window is ONE window pass (min over
+    struct(h, −pos) on a 4-row frame — the oracle's per-window
+    ROW_NUMBER pick is formulation-independent); the pair join is an
+    inverted index on fingerprint hash, never all-pairs. Corpus capped
+    to a deterministic id subset: fingerprints-per-doc ~ len/2.5 makes
+    the exact pair recount the verification regime; the MinHash/LSH
+    stack is the scale path."""
+    d = table(spark, sf_dir, "documents").where(
+        (F.length("text") >= 16) & (F.col("doc_id") < 300)
+    )
+    mut = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lower("text"), F.lit(" zq")).alias("text"),
+    )
+    docs = d.select("doc_id", F.lower("text").alias("text")).unionByName(mut)
+    from covid_data_pipeline_spark.operators.features import (
+        portable_token_hash,
+    )
+
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 8 + 1),
+                lambda i: portable_token_hash(
+                    F.col("text").substr(i, F.lit(8))
+                ),
+            )
+        ).alias("pos0", "h"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-3, 0)
+    )
+    sel = (
+        grams.withColumn(
+            "m",
+            F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(w),
+        )
+        .where(F.col("pos") >= 4)
+        .select("doc_id", F.col("m.h").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds counts AND the pair join
+    )
+    cnt = sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("id_a"), F.col("nfp").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("id_b"), F.col("nfp").alias("nb"))
+    out = (
+        pairs.join(F.broadcast(ca), "id_a")
+        .join(F.broadcast(cb), "id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("shared_fp").cast("double")
+                / F.least("na", "nb"),
+                4,
+            ),
+        )
+        .where(
+            F.col("shared_fp").cast("double") / F.least("na", "nb") >= 0.5
+        )
+    )
+    return out.select("id_a", "id_b", "shared_fp", "containment")

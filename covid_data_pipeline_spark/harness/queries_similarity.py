@@ -2409,3 +2409,112 @@ def hits_knn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits_int(edges, src="src_id", dst="nbr_id", iters=4).select(
         F.col("node").alias("vec_id"), "hub", "authority"
     )
+
+
+@register(
+    "media_neardup_phash",
+    r"""
+    WITH mdocs AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE length(text) > 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             substr(text, 1, 10) || 'ZZZZ' || substr(text, 15) AS text
+      FROM documents WHERE length(text) > 0 AND doc_id % 7 = 0
+                       AND length(text) >= 14
+    ),
+    mb AS MATERIALIZED (
+      SELECT doc_id,
+             ((p.i // 32) // 4) * 8 + ((p.i % 32) // 4) AS b,
+             CAST(SUM(CAST(concat('0x',
+                    substr(hx, (p.i % nb) * 2 + 1, 2)) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM (SELECT doc_id, hex(text::BLOB) AS hx,
+                   octet_length(text::BLOB) AS nb
+            FROM mdocs) d,
+           UNNEST(range(0, 1024)) AS p(i)
+      GROUP BY 1, 2
+    ),
+    thr AS (
+      SELECT doc_id, CAST(SUM(s) AS BIGINT) AS thr FROM (
+        SELECT doc_id, s, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY s, b) AS rn
+        FROM mb) t
+      WHERE rn IN (32, 33) GROUP BY 1
+    ),
+    sigs AS MATERIALIZED (
+      SELECT mb.doc_id,
+             CAST(SUM(CASE WHEN 2 * mb.s > thr.thr THEN
+                    CASE WHEN mb.b = 63 THEN -9223372036854775808
+                         ELSE CAST(1 AS BIGINT) << CAST(mb.b AS INTEGER) END
+                  ELSE 0 END) AS BIGINT) AS sig,
+             CAST(SUM(CASE WHEN 2 * mb.s > thr.thr THEN
+                    CASE WHEN mb.b = 63
+                         THEN CAST(9223372036854775808 AS HUGEINT)
+                         ELSE CAST(CAST(1 AS BIGINT) << CAST(mb.b AS INTEGER)
+                                   AS HUGEINT) END
+                  ELSE 0 END) AS UBIGINT) AS su
+      FROM mb JOIN thr USING (doc_id) GROUP BY mb.doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, sig, c.i AS chunk_idx,
+             CAST((su >> CAST(16 * c.i AS INTEGER)) & 65535 AS BIGINT)
+               AS chunk_val
+      FROM sigs CROSS JOIN range(4) c(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """,
+    tags=("multimodal", "dedup", "phash", "pandas-udf"),
+)
+def media_neardup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal arm of the dedup stack, end-to-end HASH-VERIFIED:
+    block-mean perceptual hash (`operators/multimodal.py::media_phash`,
+    deterministic fake decode — payload bytes tiled to a 32x32 grid, so
+    the REAL hash arithmetic runs either way) → 16-bit pigeonhole
+    banding → exact Hamming ≤ 3 verify
+    (`operators/dedup.py::simhash_candidate_pairs(sig_col="phash")`).
+    Near-dup "images" are planted as LENGTH-PRESERVING byte edits
+    (substr splice — an append would shift every tiled byte position
+    and destroy locality, exactly like re-encoding shifts real pixels).
+
+    The oracle replays the whole chain in SQL: bytes via hex(blob)
+    2-char slices, block means as exact integer sums (mean_b > median
+    ⟺ 2·s_b > s(32)+s(33) — all-integer), the signed signature from
+    disjoint AND-masks (bit 63 = min-long), banding on the unsigned
+    twin, exact Hamming. Scale shape: hash is a pure Arrow map; the
+    banded self-join is the standard no-all-pairs LSH shape."""
+    from covid_data_pipeline_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+    from covid_data_pipeline_spark.operators.multimodal import media_phash
+
+    d = table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    planted = d.where(
+        (F.col("doc_id") % 7 == 0) & (F.length("text") >= 14)
+    ).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 10),
+            F.lit("ZZZZ"),
+            F.expr("substr(text, 15)"),
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(planted)
+    media = corpus.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    sigs = media_phash(media, fake=True).select(
+        F.col("media_id").cast("long").alias("doc_id"), "phash"
+    ).localCheckpoint(eager=False)
+    return simhash_candidate_pairs(
+        sigs, id_col="doc_id", sig_col="phash", max_hamming=3
+    )

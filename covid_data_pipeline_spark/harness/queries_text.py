@@ -2112,3 +2112,135 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 25)
         .select(F.col("node").alias("word"), "rank")
     )
+
+
+@register(
+    "heaps_law_fit",
+    r"""
+    WITH htok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+               AS tok
+      FROM documents),
+    hdoc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM htok GROUP BY 1),
+    hfirst AS (
+      SELECT tok, MIN(doc_id) AS first_doc FROM htok GROUP BY 1),
+    hnew AS (
+      SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS newv
+      FROM hfirst GROUP BY 1),
+    hcurve AS (
+      SELECT d.doc_id,
+             CAST(SUM(d.n_tok) OVER w AS BIGINT) AS cum_tok,
+             CAST(SUM(COALESCE(n.newv, 0)) OVER w AS BIGINT) AS cum_vocab
+      FROM hdoc d LEFT JOIN hnew n USING (doc_id)
+      WINDOW w AS (ORDER BY d.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    hxy AS (
+      SELECT CAST(ROUND(ln(cum_tok) * 1e6, 0) AS BIGINT) AS x,
+             CAST(ROUND(ln(cum_vocab) * 1e6, 0) AS BIGINT) AS y
+      FROM hcurve WHERE cum_tok >= 1 AND cum_vocab >= 1),
+    hs AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM hxy),
+    htot AS (
+      SELECT CAST(MAX(cum_tok) AS BIGINT) AS total_tokens,
+             CAST(MAX(cum_vocab) AS BIGINT) AS vocab_size,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM hcurve)
+    SELECT htot.n_docs, htot.total_tokens, htot.vocab_size,
+           ROUND(CAST(hs.n * hs.sxy - hs.sx * hs.sy AS DOUBLE)
+                 / CAST(hs.n * hs.sxx - hs.sx * hs.sx AS DOUBLE), 6) AS beta,
+           ROUND(exp((CAST(hs.sy AS DOUBLE)
+                      - (CAST(hs.n * hs.sxy - hs.sx * hs.sy AS DOUBLE)
+                         / CAST(hs.n * hs.sxx - hs.sx * hs.sx AS DOUBLE))
+                        * CAST(hs.sx AS DOUBLE))
+                     / (CAST(hs.n AS DOUBLE) * 1e6)), 4) AS k
+    FROM hs CROSS JOIN htot
+    """,
+    tags=("text", "vocabulary", "heaps-law"),
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(n) = K·n^β of vocabulary growth over the
+    doc_id-ordered corpus — the companion diagnostic to docs_zipf_fit:
+    β far from ~0.5 flags template/boilerplate corpora (vocabulary
+    saturates) or id-like token floods (β → 1), both of which poison
+    tokenizer training and dedup shingles.
+
+    Construction: cumulative token count and cumulative DISTINCT
+    vocabulary per document prefix — first-occurrence attribution
+    (token → MIN(doc_id), one rollup) turns "running distinct" into a
+    plain running SUM, the same trick as daily_distinct_users_bitmap's
+    exact rollup. The log-log OLS runs on micro-scaled ln values with
+    HUGEINT/decimal(38,0) normal equations (the Zipf-fit recipe): every
+    sum is exact integer, β and K are single deterministic IEEE
+    expressions over those exact sums, ROUND-guarded. Scale: two
+    shuffles (token rollup, per-doc rollup) + one tiny ordered window
+    over docs."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    hdoc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    hnew = (
+        tok.groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("newv"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        hdoc.join(hnew, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tok").over(w).alias("cum_tok"),
+            F.sum(F.coalesce("newv", F.lit(0))).over(w).alias("cum_vocab"),
+        )
+        .localCheckpoint(eager=False)  # feeds the fit AND the totals
+    )
+    lnr = lambda c: F.round(F.log(c.cast("double")) * 1e6, 0).cast("long")  # noqa: E731
+    xy = curve.where(
+        (F.col("cum_tok") >= 1) & (F.col("cum_vocab") >= 1)
+    ).select(
+        lnr(F.col("cum_tok")).alias("x"), lnr(F.col("cum_vocab")).alias("y")
+    )
+    D = "decimal(38,0)"
+    hs = xy.agg(
+        F.count(F.lit(1)).cast(D).alias("n"),
+        F.sum("x").cast(D).alias("sx"),
+        F.sum("y").cast(D).alias("sy"),
+        F.sum(F.col("x").cast(D) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(D) * F.col("x")).alias("sxx"),
+    )
+    tot = curve.agg(
+        F.max("cum_tok").cast("long").alias("total_tokens"),
+        F.max("cum_vocab").cast("long").alias("vocab_size"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    beta = num / den
+    return (
+        hs.crossJoin(F.broadcast(tot))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "vocab_size",
+            F.round(beta, 6).alias("beta"),
+            F.round(
+                F.exp(
+                    (F.col("sy").cast("double") - beta * F.col("sx").cast("double"))
+                    / (F.col("n").cast("double") * 1e6)
+                ),
+                4,
+            ).alias("k"),
+        )
+    )
