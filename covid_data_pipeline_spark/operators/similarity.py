@@ -503,37 +503,39 @@ def cosine_topk_ivf_lattice(
     from covid_data_pipeline_spark.operators import clustering as CL
     from covid_data_pipeline_spark.operators.windows import top_k_per_group
 
-    qv = CL.quantize_vectors(corpus, id_col, vec_col).localCheckpoint(
-        eager=False
-    )
     if centroids is None:
-        cents = CL.seed_centroids(qv, n_centroids)
-        assign = CL._assign(qv, cents)
-        for _ in range(iters):
-            cents = CL._update(qv, assign, cents)
-            assign = CL._assign(qv, cents)
-    else:
-        cents = centroids
-        assign = CL._assign(qv, cents)
+        centroids = CL.train_centroids_lattice(
+            corpus, k=n_centroids, iters=iters, id_col=id_col,
+            vec_col=vec_col,
+        )
 
-    from pyspark.sql import Window
-
-    qq = CL.quantize_vectors(queries, query_id_col, vec_col)
-    w = Window.partitionBy("_id").orderBy("d", "cid")
-    probe = (
-        CL._score(qq, cents)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= nprobe)
-        .select(F.col("_id").alias(query_id_col), "cid")
+    # Cell assignment and query probes never shuffle: quantization is a
+    # Spark-side projection (so no numpy rounding semantics enter the
+    # trajectory) and the exact-int64 argmin/argsort runs in ONE Arrow
+    # map (`clustering.lattice_assign_np` — the expression-tree form
+    # costs Catalyst a centroids x dim literal forest per invocation).
+    # The corpus keeps (id, vec, cid) in one relation, so the only
+    # shuffles left are the probe-cell equi-join and the final top-k.
+    q_expr = F.transform(
+        vec_col,
+        lambda v: F.round(v.cast("double") * F.lit(1e6), 0).cast("long"),
     )
-    qvecs = queries.select(
-        F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qvec")
-    )
-    cells = assign.select(F.col("_id").alias(id_col), "cid")
+    cells = CL.lattice_assign_np(
+        corpus.select(F.col(id_col), F.col(vec_col), q_expr.alias("q")),
+        centroids,
+    ).drop("q")
+    probe = CL.lattice_assign_np(
+        queries.select(
+            F.col(query_id_col),
+            _as_double(F.col(vec_col)).alias("__qvec"),
+            q_expr.alias("q"),
+        ),
+        centroids,
+        nprobe=nprobe,
+    ).drop("q")
     cand = (
-        cells.join(F.broadcast(probe.join(qvecs, query_id_col)), "cid")
+        cells.join(F.broadcast(probe), "cid")
         .where(F.col(id_col) != F.col(query_id_col))
-        .join(corpus.select(id_col, vec_col), id_col)
         .withColumn(
             "similarity", F.round(cosine(F.col(vec_col), F.col("__qvec")), 4)
         )
