@@ -3022,3 +3022,142 @@ def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_days").cast("long").alias("n_days"),
         )
     )
+
+
+@register(
+    "events_conformal_intervals",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS y_cents
+      FROM events GROUP BY 1, 2),
+    split AS (
+      SELECT event_type, day, y_cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd
+      FROM daily),
+    cal AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cal,
+             CAST(SUM(y_cents) AS BIGINT) AS s_cal
+      FROM split WHERE rn <= nd // 2 GROUP BY 1),
+    resid AS (
+      SELECT s.event_type,
+             ABS(s.y_cents * c.n_cal - c.s_cal) AS r
+      FROM split s JOIN cal c USING (event_type)
+      WHERE s.rn <= s.nd // 2),
+    qhat AS (
+      SELECT event_type, r AS q_scaled FROM (
+        SELECT event_type, r, ROW_NUMBER() OVER (
+                 PARTITION BY event_type ORDER BY r) AS k,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_cal
+        FROM resid) t
+      WHERE k = LEAST((9 * n_cal + 18) // 10, n_cal)),
+    ev AS (
+      SELECT s.event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_eval,
+             CAST(SUM(CASE WHEN ABS(s.y_cents * c.n_cal - c.s_cal)
+                                <= q.q_scaled
+                           THEN 1 ELSE 0 END) AS BIGINT) AS covered
+      FROM split s
+      JOIN cal c USING (event_type)
+      JOIN qhat q USING (event_type)
+      WHERE s.rn > s.nd // 2
+      GROUP BY 1)
+    SELECT ev.event_type, cal.n_cal, ev.n_eval, ev.covered,
+           ROUND(CAST(q.q_scaled AS DOUBLE) / (100.0 * cal.n_cal), 4)
+             AS q_hat,
+           ROUND(CAST(ev.covered AS DOUBLE) / ev.n_eval, 4) AS coverage
+    FROM ev JOIN cal USING (event_type) JOIN qhat q USING (event_type)
+    """,
+    tags=("events", "conformal", "uncertainty"),
+)
+def events_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; Lei et al. 2018) for
+    daily event value per type: calibrate on the first half of days
+    (predictor = calibration mean), q-hat = the ceil(0.9·(n+1))-th
+    smallest absolute residual — the distribution-free 90% interval
+    radius — then the EMPIRICAL coverage of mean ± q-hat on the held-out
+    second half. The uncertainty-quantification primitive modern ML
+    monitoring wants where a parametric z-interval is wrong.
+
+    Exactness: residuals are kept scaled by n_cal
+    (|y·n_cal − S_cal|, pure BIGINT — the mean never materializes as a
+    float), the order statistic is an integer ROW_NUMBER pick with the
+    rank index computed by integer ceil ((9n+18) div 10), and coverage
+    is an integer comparison count; only the two display columns
+    divide. Scale: one daily rollup + per-type windows over tiny daily
+    series."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value") * 100, 0).cast("long").alias("y_cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    split = daily.select(
+        "event_type",
+        "day",
+        "y_cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("nd"),
+    ).localCheckpoint(eager=False)  # feeds cal, resid AND eval
+    cal_rows = split.where(F.col("rn") <= F.expr("nd div 2"))
+    cal = cal_rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cal"), F.sum("y_cents").alias("s_cal")
+    )
+    resid = cal_rows.join(cal, "event_type").select(
+        "event_type",
+        F.abs(F.col("y_cents") * F.col("n_cal") - F.col("s_cal")).alias("r"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("r")
+    qhat = (
+        resid.select(
+            "event_type",
+            "r",
+            F.row_number().over(wr).alias("k"),
+            F.count(F.lit(1)).over(wall).alias("n_cal"),
+        )
+        .where(
+            F.col("k")
+            == F.least(
+                F.expr("(9 * n_cal + 18) div 10"), F.col("n_cal")
+            )
+        )
+        .select("event_type", F.col("r").alias("q_scaled"))
+    )
+    evh = (
+        split.where(F.col("rn") > F.expr("nd div 2"))
+        .join(cal, "event_type")
+        .join(qhat, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(
+                F.when(
+                    F.abs(
+                        F.col("y_cents") * F.col("n_cal") - F.col("s_cal")
+                    )
+                    <= F.col("q_scaled"),
+                    1,
+                ).otherwise(0)
+            ).alias("covered"),
+        )
+    )
+    return (
+        evh.join(cal, "event_type")
+        .join(qhat, "event_type")
+        .select(
+            "event_type",
+            "n_cal",
+            "n_eval",
+            "covered",
+            F.round(
+                F.col("q_scaled").cast("double")
+                / (F.lit(100.0) * F.col("n_cal")),
+                4,
+            ).alias("q_hat"),
+            F.round(
+                F.col("covered").cast("double") / F.col("n_eval"), 4
+            ).alias("coverage"),
+        )
+    )

@@ -2244,3 +2244,96 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("k"),
         )
     )
+
+
+@register(
+    "docs_ks_drift",
+    r"""
+    WITH kdocs AS (
+      SELECT source, length(text) AS v FROM documents
+      WHERE source IS NOT NULL),
+    ksides AS (
+      SELECT CASE WHEN source = (SELECT MIN(source) FROM kdocs)
+                  THEN 0 ELSE 1 END AS side, v
+      FROM kdocs),
+    kn AS (
+      SELECT CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb
+      FROM ksides),
+    kcum AS (
+      SELECT v,
+             CAST(SUM(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END))
+                  OVER (ORDER BY v) AS BIGINT) AS ca,
+             CAST(SUM(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END))
+                  OVER (ORDER BY v) AS BIGINT) AS cb
+      FROM ksides GROUP BY v),
+    kd AS (
+      SELECT CAST(MAX(ABS(ca * kn.nb - cb * kn.na)) AS BIGINT) AS dnum,
+             ANY_VALUE(kn.na) AS na, ANY_VALUE(kn.nb) AS nb
+      FROM kcum CROSS JOIN kn)
+    SELECT na AS n_a, nb AS n_b,
+           ROUND(CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6)
+             AS ks_stat,
+           ROUND(CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * nb)
+                 / (1.358 * sqrt((CAST(na AS DOUBLE) + nb) / (CAST(na AS DOUBLE) * nb))),
+                 4) AS ks_over_crit_05,
+           (CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * nb))
+             > 1.358 * sqrt((CAST(na AS DOUBLE) + nb) / (CAST(na AS DOUBLE) * nb))
+             AS drift_detected
+    FROM kd
+    """,
+    tags=("text", "drift", "ks-test"),
+)
+def docs_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test between the first
+    source (by name) and the rest of the corpus, over the doc-length
+    distribution — the distribution-free companion to the binned PSI
+    drift query: KS needs no reference quantiles and catches shape
+    changes PSI's bins smear out.
+
+    Exactness: D = max_v |ECDF_a(v) − ECDF_b(v)| is computed as an
+    integer maximum — max |ca·n_b − cb·n_a| over the merged value grid
+    (cumulative counts from one rollup + one ordered window) — so the
+    argmax is hash-exact; the statistic and the α=0.05 Smirnov
+    threshold 1.358·sqrt((n_a+n_b)/(n_a·n_b)) are single IEEE
+    expressions over those exact integers. The drift verdict compares
+    the SAME two double expressions on both engines. One rollup + one
+    tiny ordered window over distinct values."""
+    d = table(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+    first_src = d.agg(F.min("source").alias("m"))
+    sides = d.crossJoin(F.broadcast(first_src)).select(
+        F.when(F.col("source") == F.col("m"), 0).otherwise(1).alias("side"),
+        F.length("text").alias("v"),
+    )
+    kn = sides.agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    per_v = sides.groupBy("v").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+    )
+    kd = cum.crossJoin(F.broadcast(kn)).agg(
+        F.max(
+            F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+        ).alias("dnum"),
+        F.any_value("na").alias("na"),
+        F.any_value("nb").alias("nb"),
+    )
+    na_d = F.col("na").cast("double")
+    nb_d = F.col("nb").cast("double")
+    ks = F.col("dnum").cast("double") / (na_d * nb_d)
+    crit = F.lit(1.358) * F.sqrt((na_d + nb_d) / (na_d * nb_d))
+    return kd.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(ks, 6).alias("ks_stat"),
+        F.round(ks / crit, 4).alias("ks_over_crit_05"),
+        (ks > crit).alias("drift_detected"),
+    )
