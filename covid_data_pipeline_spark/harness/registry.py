@@ -66,8 +66,10 @@ def register(
 # oracle-backed in r4 (portable md5-prefix hash replay). Everything not
 # listed keeps its module registration order after these; oracle-less
 # (rows-only) queries always sort last. array_functions (r4's one red
-# row, driver-canonicalizer crash on top-level ArrayType) is re-queued
-# for r6 after its boundary fix.
+# row, driver-canonicalizer crash on top-level ArrayType) re-enters the
+# window after its array_join boundary fix — VERDICT r4 ask #2's done
+# criterion is a green row in THIS round — displacing docs_char_entropy
+# to the r6 fill.
 WINDOW_PRIORITY: tuple[str, ...] = (
     # --- regression core (driver-proven r1-r4; canary against drift) ---
     "mart_analytics",
@@ -120,7 +122,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "source_overlap_matrix",
     "strip_duplicate_spans_docs",
     "heavy_hitter_tokens",
-    "docs_char_entropy",
+    "array_functions",
 )
 
 # Every query module must import cleanly: a blanket try/except here once
