@@ -2965,9 +2965,11 @@ def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type daily series (the lag join in the oracle is
     formulation-independent), no self-join of raw events."""
     ev = table(spark, sf_dir, "events")
+    # the compact daily rollup feeds the per-type stats AND the
+    # deviation join — lineage-cut so the raw-events scan is single-pass
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("x")
-    )
+    ).localCheckpoint(eager=False)
     st = daily.groupBy("event_type").agg(
         F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
     )

@@ -2147,9 +2147,16 @@ def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_pipeline_spark.operators.windows import top_k_per_group
 
     li = table(spark, sf_dir, "lineitem")
-    b = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # the distinct basket relation feeds singles AND both self-join
+    # sides — Catalyst shares no subtrees, so cut lineage once instead
+    # of paying the scan+distinct shuffle three times
+    b = (
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     singles = b.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
     a, b2 = b.alias("a"), b.alias("b2")
     pairs = (

@@ -1153,6 +1153,148 @@ def case_gsp_16m(spark):
     }
 
 
+
+
+def case_ann_ivf_lattice_100k(spark):
+    """Round-5 default IVF path at 50x: the exact-replay lattice
+    quantizer (integer Lloyd + int64 Arrow assignment) on 100k
+    xxhash-random 64-dim vectors. Checks the recall floor AND the
+    property the DuckDB oracle certifies at sf0.01 — the trained
+    integer centroid matrix is bit-identical under repartitioning."""
+    from covid_data_pipeline_spark.operators.clustering import (
+        train_centroids_lattice,
+    )
+    from covid_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce_np,
+        cosine_topk_ivf_lattice,
+    )
+
+    n = 100_000
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), "
+            "j -> pmod(xxhash64(id, j), 10000) / 10000.0 - 0.5)"
+        ).alias("embedding"),
+    )
+    queries = corpus.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t0 = time.time()
+    cents = train_centroids_lattice(corpus, k=64, iters=2)
+    t_train = time.time() - t0
+    t0 = time.time()
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_ivf_lattice(
+            corpus, queries, k=5, n_centroids=64, nprobe=16,
+            centroids=cents,
+        ).collect()
+    }
+    t_query = time.time() - t0
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_bruteforce_np(corpus, queries, k=5).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    cents2 = train_centroids_lattice(corpus.repartition(13), k=64, iters=2)
+    return {
+        "rows": n,
+        "scale_vs_sf0.1": "50x embeddings",
+        "sec": round(t_train + t_query, 2),
+        "train_sec": round(t_train, 2),
+        "query_sec": round(t_query, 2),
+        "recall_vs_exact": round(recall, 4),
+        "centroids_partitioning_invariant": cents == cents2,
+        # same floor rationale as the float case: xxhash-random vectors
+        # are the no-cluster worst case; 16/64 probes measured ~0.7
+        "ok": recall >= 0.5 and cents == cents2,
+    }
+
+
+def case_winnowing_100k(spark):
+    """Winnowing fingerprints at 100k docs (+100k append-mutants):
+    every planted mutant pair must surface at containment >= 0.5 (the
+    'zq' tail only perturbs the final windows), and fingerprint density
+    must sit near the theoretical 2/(w+1) sampling rate."""
+    from covid_data_pipeline_spark.harness.registry import QUERIES  # noqa: F401
+    from covid_data_pipeline_spark.operators.features import (
+        portable_token_hash,
+    )
+    from pyspark.sql.window import Window
+
+    n = 100_000
+    docs = _synthetic_docs(spark, n)  # 2n rows incl. mutants
+    t0 = time.time()
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 8 + 1),
+                lambda i: portable_token_hash(
+                    F.col("text").substr(i, F.lit(8))
+                ),
+            )
+        ).alias("pos0", "h"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    sel = (
+        grams.withColumn(
+            "m",
+            F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(w),
+        )
+        .where(F.col("pos") >= 4)
+        .select("doc_id", F.col("m.h").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cnt = sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
+    # planted pair check: base doc d vs mutant d+n share fingerprints
+    a = sel
+    b = sel.select((F.col("doc_id") - n).alias("doc_id"), "h")
+    shared = (
+        a.join(b, ["doc_id", "h"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    pairs = (
+        cnt.where(F.col("doc_id") < n)
+        .join(shared, "doc_id", "left")
+        .select(
+            F.when(
+                F.coalesce(F.col("shared"), F.lit(0))
+                >= F.col("nfp") * 0.5,
+                1,
+            )
+            .otherwise(0)
+            .alias("hit")
+        )
+        .agg(F.sum("hit").alias("hits"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    stats = (
+        cnt.join(
+            docs.select("doc_id", F.length("text").alias("len")), "doc_id"
+        )
+        .agg(
+            F.avg(F.col("nfp") / (F.col("len") - 10)).alias("density")
+        )
+        .collect()[0]
+    )
+    sec = time.time() - t0
+    planted_recall = pairs["hits"] / pairs["n"]
+    density = float(stats["density"])
+    return {
+        "rows": 2 * n,
+        "scale_vs_sf0.1": "~33x documents",
+        "sec": round(sec, 2),
+        "planted_pair_recall": round(planted_recall, 4),
+        # robust winnowing samples ~2/(w+1) = 0.4 of positions
+        "fingerprint_density": round(density, 4),
+        "ok": planted_recall >= 0.999 and 0.25 <= density <= 0.55,
+    }
+
+
 CASES = {
     "funnel_16m": case_funnel_16m,
     "token_budget_12m": case_token_budget_12m,
@@ -1174,6 +1316,8 @@ CASES = {
     "kmeans_100k": case_kmeans_100k,
     "markov_16m": case_markov_16m,
     "gsp_16m": case_gsp_16m,
+    "ann_ivf_lattice_100k": case_ann_ivf_lattice_100k,
+    "winnowing_100k": case_winnowing_100k,
 }
 
 
