@@ -56,10 +56,15 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def _geomean(values: list[float]) -> float:
+def _geomean(values: list[float]) -> float | None:
     import math
 
+    # A sub-millisecond median rounds to 0.0 and its ratio drops out;
+    # if EVERY ratio drops out there is nothing to average — return
+    # None (rendered as null) instead of dividing by zero.
     vals = [v for v in values if v > 0]
+    if not vals:
+        return None
     return round(math.exp(sum(math.log(v) for v in vals) / len(vals)), 3)
 
 
@@ -159,12 +164,32 @@ def main() -> None:
             vs_prev = {"file": prev_file, "geomean": geomean, "ratios": ratios}
             # systemic slowdown across the whole set is flagged even if
             # no single query trips the per-query gate
-            if geomean > 1.25:
+            if geomean is not None and geomean > 1.25:
                 regressions.append(f"geomean vs {prev_file}: {geomean}x")
         for line in regressions:
             print(f"# REGRESSION {line}", file=sys.stderr)
 
     spark.stop()
+
+    # Fixed r1 anchor (VERDICT r5 structural caution): vs_prev re-baselines
+    # against the newest committed record every round, which can hide slow
+    # cumulative drift. The driver's 2x contract is against the ROUND-1
+    # record, so the ratio vs r1's 19 original headline queries stays
+    # visible in every payload alongside vs_prev.
+    vs_r1: dict | None = None
+    r1 = _load_bench_record("BENCH_r01.json")
+    if r1 and abs(_sf_from_dir(sf_dir) - r1.get("sf", -1)) < 1e-9:
+        r1_ratios = {
+            n: round(timings[n] / p, 3)
+            for n, p in r1.get("queries", {}).items()
+            if n in timings and p > 0
+        }
+        if r1_ratios:
+            vs_r1 = {
+                "n_shared": len(r1_ratios),
+                "geomean": _geomean(list(r1_ratios.values())),
+                "ratios": r1_ratios,
+            }
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -179,6 +204,8 @@ def main() -> None:
     }
     if vs_prev:
         payload["vs_prev"] = vs_prev
+    if vs_r1:
+        payload["vs_r1"] = vs_r1
 
     here = os.path.dirname(os.path.abspath(__file__))
     # Full payload lives in the file; stdout gets the compact line.
@@ -204,13 +231,17 @@ def main() -> None:
         compact["geomean_vs_prev"] = vs_prev["geomean"]
         compact["worst3"] = dict(srt[:3])
         compact["best3"] = dict(srt[-3:])
+    if vs_r1:
+        compact["geomean_vs_r1"] = vs_r1["geomean"]
+        compact["n_shared_r1"] = vs_r1["n_shared"]
     if regressions:
         compact["regressions"] = regressions[:5]
     line = json.dumps(compact)
     if len(line) > 1900:  # hard guarantee: never outgrow tail capture
         line = json.dumps({k: compact[k] for k in
                            ("metric", "value", "unit", "sf", "n_queries",
-                            "geomean_vs_prev", "full_results")
+                            "geomean_vs_prev", "geomean_vs_r1",
+                            "full_results")
                            if k in compact})
     os.write(real_stdout_fd, (line + "\n").encode())
     os.close(real_stdout_fd)
@@ -238,30 +269,44 @@ def _latest_prev_bench() -> tuple[str | None, dict | None]:
         ),
     )
     for path in reversed(cands):
-        try:
-            with open(path) as f:
-                data = json.load(f)
-        except (OSError, json.JSONDecodeError):
-            continue
-        if data.get("queries"):
-            return os.path.basename(path), data
-        # driver-recorded files wrap our JSON line inside "parsed" or a
-        # "tail" string — recover the last parseable {"metric": ...} line
-        parsed = data.get("parsed")
-        if isinstance(parsed, dict) and parsed.get("queries"):
-            parsed.setdefault("sf", data.get("sf", -1))
-            return os.path.basename(path), parsed
-        for line in reversed(data.get("tail", "").splitlines()):
-            line = line.strip()
-            if line.startswith("{"):
-                try:
-                    inner = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                if inner.get("queries"):
-                    inner.setdefault("sf", data.get("sf", -1))
-                    return os.path.basename(path), inner
+        rec = _parse_bench_record(path)
+        if rec is not None:
+            return os.path.basename(path), rec
     return None, None
+
+
+def _load_bench_record(basename: str) -> dict | None:
+    """A specific committed bench record's per-query timings (or None)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, basename)
+    return _parse_bench_record(path) if os.path.exists(path) else None
+
+
+def _parse_bench_record(path: str) -> dict | None:
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    if data.get("queries"):
+        return data
+    # driver-recorded files wrap our JSON line inside "parsed" or a
+    # "tail" string — recover the last parseable {"metric": ...} line
+    parsed = data.get("parsed")
+    if isinstance(parsed, dict) and parsed.get("queries"):
+        parsed.setdefault("sf", data.get("sf", -1))
+        return parsed
+    for line in reversed(data.get("tail", "").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                inner = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if inner.get("queries"):
+                inner.setdefault("sf", data.get("sf", -1))
+                return inner
+    return None
 
 
 if __name__ == "__main__":

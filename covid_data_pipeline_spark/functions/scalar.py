@@ -27,6 +27,26 @@ def epoch_seconds(col: Column | str) -> Column:
     return c.cast("timestamp_ltz").cast("double")
 
 
+def round_stable(col: Column | str, scale: int = 2) -> Column:
+    """``round()`` with a stable zero: negative zero normalized to +0.0.
+
+    Query-boundary convention (registry-wide): any FINAL projection that
+    rounds a signed continuous value (z-score, cosine, slope, tau,
+    margin, correlation, log-ratio...) must use this instead of
+    ``F.round``. A tiny negative that rounds to zero is ``-0.0`` in
+    IEEE-754; Spark's value representation normalizes it to ``+0.0``
+    while DuckDB's ``ROUND`` keeps the sign bit, so the driver's value
+    hash — which compares representations, not numeric equality — flags
+    a numerically-perfect query as red (round-5 `embedding_standardize`).
+    ``x + 0.0`` maps -0.0 to +0.0 (IEEE round-to-nearest) and is the
+    identity for every other value, including NULL and NaN.
+
+    The DuckDB oracle must apply the same guard: ``(ROUND(x, d) + 0)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c, scale) + F.lit(0.0)
+
+
 def surrogate_key(name_col: Column | str, *extra: Column | str) -> Column:
     """Deterministic sha2-256 surrogate key.
 

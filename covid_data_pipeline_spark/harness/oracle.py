@@ -11,6 +11,7 @@ from __future__ import annotations
 import math
 import os
 from datetime import date, datetime
+from decimal import Decimal
 
 import duckdb
 from pyspark.sql import SparkSession
@@ -38,11 +39,22 @@ def run_oracle(sql: str, sf_dir: str):
 def _norm(v):
     if v is None:
         return None
+    if isinstance(v, Decimal):
+        # Spark DOUBLE vs DuckDB DECIMAL boundaries compare numerically;
+        # route through the float path so both sides canonicalize alike.
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # Collapse sub-ULP noise; queries already ROUND so this is slack.
-        return round(v, 9)
+        # REPRESENTATION-faithful, like the driver's value hash: compare
+        # the shortest repr of the 9-dp-rounded double as a STRING, so
+        # -0.0 vs +0.0 (and any other repr-level divergence) fails here
+        # before a driver window slot is spent. Round-5 lesson: the old
+        # `round(v, 9)` float compared -0.0 == 0.0 as equal while the
+        # driver's hash flagged it (embedding_standardize). The 9-dp
+        # rounding itself is dev-loop slack; queries already ROUND their
+        # float boundaries, so it only absorbs sub-ULP engine noise.
+        return repr(round(v, 9))
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from covid_data_pipeline_spark.functions.scalar import epoch_seconds
+from covid_data_pipeline_spark.functions.scalar import epoch_seconds, round_stable
 from covid_data_pipeline_spark.harness.registry import register, table
 from covid_data_pipeline_spark.streaming.windows import (
     session_agg,
@@ -906,7 +906,7 @@ def funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily GROUP BY event_type
     )
     SELECT event_type, n AS n_days,
-           ROUND((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+           ROUND((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0
              AS slope_per_day
     FROM m
     """,
@@ -941,7 +941,7 @@ def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type",
         F.col("n").alias("n_days"),
-        F.round(
+        round_stable(
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
                 "double"
@@ -1602,9 +1602,9 @@ calc AS (
 )
 SELECT CAST(nt AS BIGINT) AS n_treat,
        CAST(nc AS BIGINT) AS n_ctrl,
-       ROUND(CASE WHEN var_n > 0 THEN cov_n / var_n END, 6) AS theta,
+       ROUND(CASE WHEN var_n > 0 THEN cov_n / var_n END, 6) + 0 AS theta,
        ROUND(CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
-             - CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE), 4)
+             - CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE), 4) + 0
          AS effect_raw_cents,
        ROUND(CASE WHEN var_n > 0 THEN
                (CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
@@ -1613,7 +1613,7 @@ SELECT CAST(nt AS BIGINT) AS n_treat,
                  * (CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE)
                     - CAST(sxc AS DOUBLE) / CAST(nc AS DOUBLE))
              ELSE CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
-                  - CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE) END, 4)
+                  - CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE) END, 4) + 0
          AS effect_cuped_cents,
        ROUND(CASE WHEN var_n > 0 AND vary_n > 0
                   THEN 100.0 * cov_n * cov_n / (var_n * vary_n)
@@ -1718,7 +1718,7 @@ SELECT CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl,
        ROUND((CAST(t_post AS DOUBLE) / CAST(nt AS DOUBLE)
               - CAST(t_pre AS DOUBLE) / CAST(nt AS DOUBLE))
              - (CAST(c_post AS DOUBLE) / CAST(nc AS DOUBLE)
-                - CAST(c_pre AS DOUBLE) / CAST(nc AS DOUBLE)), 4) AS did_cents
+                - CAST(c_pre AS DOUBLE) / CAST(nc AS DOUBLE)), 4) + 0 AS did_cents
 FROM m
 """
 
@@ -2076,7 +2076,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tr WHERE n7 = 7)
     SELECT event_type, dow_idx,
            CAST(COUNT(*) AS BIGINT) AS n_days,
-           ROUND(CAST(SUM(detr7) AS DOUBLE) / (7 * COUNT(*)), 4)
+           ROUND(CAST(SUM(detr7) AS DOUBLE) / (7 * COUNT(*)), 4) + 0
              AS seasonal_idx
     FROM detr GROUP BY 1, 2
     """,
@@ -2129,7 +2129,7 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return detr.groupBy("event_type", "dow_idx").agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.round(
+        round_stable(
             F.sum("detr7").cast("double")
             / (F.lit(7) * F.count(F.lit(1))),
             4,
@@ -2167,7 +2167,7 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON p.prev_type = l.prev_type AND p.next_type = l.next_type
       GROUP BY 1)
     SELECT user_id, n_trans,
-           ROUND(CAST(micro_sum AS DOUBLE) / (n_trans * 1e6), 6)
+           ROUND(CAST(micro_sum AS DOUBLE) / (n_trans * 1e6), 6) + 0
              AS avg_ll,
            CAST(NTILE(10) OVER (
              ORDER BY CAST(micro_sum AS DOUBLE) / n_trans, user_id)
@@ -2243,7 +2243,7 @@ def events_session_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.select(
         "user_id",
         "n_trans",
-        F.round(
+        round_stable(
             F.col("micro_sum").cast("double") / (F.col("n_trans") * 1e6), 6
         ).alias("avg_ll"),
         F.ntile(10).over(nw).alias("decile"),
@@ -2265,7 +2265,7 @@ def events_session_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dp_daily)
     SELECT event_type, day, cnt,
            ROUND(CASE WHEN u < 0.5 THEN 2.0 * ln(2.0 * u)
-                      ELSE -2.0 * ln(2.0 * (1.0 - u)) END, 4) AS noise,
+                      ELSE -2.0 * ln(2.0 * (1.0 - u)) END, 4) + 0 AS noise,
            CAST(FLOOR(cnt
                 + (CASE WHEN u < 0.5 THEN 2.0 * ln(2.0 * u)
                         ELSE -2.0 * ln(2.0 * (1.0 - u)) END)
@@ -2319,7 +2319,7 @@ def events_dp_released_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         "cnt",
-        F.round(noise, 4).alias("noise"),
+        round_stable(noise, 4).alias("noise"),
         F.floor(F.col("cnt") + noise + 0.5).cast("long").alias("released"),
     )
 
@@ -2941,7 +2941,7 @@ def events_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND b.rn BETWEEN a.rn + 1 AND a.rn + 7
       GROUP BY 1, 2)
     SELECT num.event_type, num.lag,
-           ROUND(CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE), 6)
+           ROUND(CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE), 6) + 0
              AS acf,
            CAST(den.n AS BIGINT) AS n_days
     FROM num JOIN den USING (event_type)
@@ -2955,6 +2955,14 @@ def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     a weekly component exists before it fits one (a strong lag-7 spike
     justifies events_seasonal_decompose's dow model; flat ACF says
     don't).
+
+    Lag semantics: lags are OBSERVED-DAY POSITIONS (row offsets over
+    the days present for the type), not calendar-day offsets — with a
+    dense daily series they coincide and "lag 7" means weekly, but a
+    gappy series shifts the interpretation. For sparse/gappy types,
+    gap-fill the daily rollup first (interpolate_daily_events is the
+    registry's gap-filler) before reading lag 7 as weekly seasonality.
+    The oracle intentionally matches (rn-based join).
 
     Exactness: deviations are scaled by n BEFORE squaring
     (d_t = n*x_t − S, all integers), so numerator Σ d_t·d_{t+k} and
@@ -3017,7 +3025,7 @@ def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("kv.lag").alias("lag"),
-            F.round(
+            round_stable(
                 F.col("kv.num").cast("double") / F.col("den").cast("double"),
                 6,
             ).alias("acf"),

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from covid_data_pipeline_spark.functions.scalar import round_stable
 from covid_data_pipeline_spark.harness.registry import register, table
 from covid_data_pipeline_spark.operators.asof import asof_join
 from covid_data_pipeline_spark.operators.scale import salted_sum
@@ -569,7 +570,7 @@ def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "above_avg_balance",
     """
-    SELECT c.c_custkey, c.c_nationkey, ROUND(c.c_acctbal, 2) AS acctbal
+    SELECT c.c_custkey, c.c_nationkey, ROUND(c.c_acctbal, 2) + 0 AS acctbal
     FROM customer c
     WHERE c.c_acctbal > (
       SELECT AVG(c2.c_acctbal) FROM customer c2
@@ -589,7 +590,7 @@ def above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.withColumn("_nation_avg", F.avg("c_acctbal").over(w))
         .filter(F.col("c_acctbal") > F.col("_nation_avg"))
-        .select("c_custkey", "c_nationkey", F.round("c_acctbal", 2).alias("acctbal"))
+        .select("c_custkey", "c_nationkey", round_stable("c_acctbal", 2).alias("acctbal"))
     )
 
 

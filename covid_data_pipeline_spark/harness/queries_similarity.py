@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from covid_data_pipeline_spark.functions.scalar import round_stable
 from covid_data_pipeline_spark.harness.registry import register, table
 from covid_data_pipeline_spark.operators.multimodal import (
     chunk_audio_plan,
@@ -51,7 +52,7 @@ scored AS (
            list_dot_product(list_transform(e.embedding, x -> x::DOUBLE), q.qv)
            / (sqrt(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
                                     list_transform(e.embedding, x -> x::DOUBLE)))
-              * sqrt(list_dot_product(q.qv, q.qv))), 4) AS similarity
+              * sqrt(list_dot_product(q.qv, q.qv))), 4) + 0 AS similarity
   FROM embeddings e, q WHERE e.vec_id <> q.query_id
 )
 SELECT query_id, vec_id, similarity FROM (
@@ -141,7 +142,7 @@ scored AS (
   SELECT query_id, vec_id,
          ROUND(list_dot_product(ve, qv) /
                (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qv, qv))),
-               4) AS similarity
+               4) + 0 AS similarity
   FROM cand
 )
 SELECT query_id, vec_id, similarity FROM (
@@ -286,7 +287,7 @@ def similarity_topk_ivf_pretrained(spark: SparkSession, sf_dir: str) -> DataFram
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              ROUND(list_dot_product(a.ve, b.ve) /
                    (sqrt(list_dot_product(a.ve, a.ve)) *
-                    sqrt(list_dot_product(b.ve, b.ve))), 4) AS similarity
+                    sqrt(list_dot_product(b.ve, b.ve))), 4) + 0 AS similarity
       FROM v a JOIN v b ON a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, similarity FROM p WHERE similarity >= 0.99
@@ -364,7 +365,7 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT label,
            COUNT(*) AS vecs_cnt,
-           ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS dim0_avg,
+           (ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) + 0) AS dim0_avg,
            ROUND(AVG(list_dot_product(
                list_transform(embedding, x -> x::DOUBLE),
                list_transform(embedding, x -> x::DOUBLE))), 4) AS sqnorm_avg
@@ -382,7 +383,7 @@ def embeddings_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _as_double(F.col("embedding"))
     return e.groupBy("label").agg(
         F.count(F.lit(1)).alias("vecs_cnt"),
-        F.round(F.avg(F.element_at("embedding", 1).cast("double")), 6).alias(
+        round_stable(F.avg(F.element_at("embedding", 1).cast("double")), 6).alias(
             "dim0_avg"
         ),
         F.round(F.avg(dot(v, v)), 4).alias("sqnorm_avg"),
@@ -460,9 +461,9 @@ def _jl_matrix() -> list[list[float]]:
 
 def _jl_oracle() -> str:
     cols = ",\n       ".join(
-        "ROUND(list_inner_product(v, ["
+        "(ROUND(list_inner_product(v, ["
         + ", ".join(repr(x) for x in row)
-        + f"]), 6) AS p{j:02d}"
+        + f"]), 6) + 0) AS p{j:02d}"
         for j, row in enumerate(_jl_matrix())
     )
     return f"""
@@ -494,7 +495,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "vec_id",
         *[
-            F.round(F.col("proj")[j], 6).alias(f"p{j:02d}")
+            round_stable(F.col("proj")[j], 6).alias(f"p{j:02d}")
             for j in range(JL_OUT_DIM)
         ],
     )
@@ -554,7 +555,7 @@ scored AS (
          ROUND(
            list_dot_product(e.v, q.qv)
            / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
-           4) AS similarity
+           4) + 0 AS similarity
   FROM dq e, q WHERE e.vec_id <> q.query_id
 )
 SELECT query_id, vec_id, similarity FROM (
@@ -607,7 +608,7 @@ scored AS (
          ROUND(
            list_dot_product(a.dv, b.dv)
            / (sqrt(list_dot_product(a.dv, a.dv))
-              * sqrt(list_dot_product(b.dv, b.dv))), 4) AS similarity
+              * sqrt(list_dot_product(b.dv, b.dv))), 4) + 0 AS similarity
   FROM v a, v b WHERE a.vec_id <> b.vec_id
 ),
 ranked AS (
@@ -680,7 +681,7 @@ lsh_cand AS (
 ),
 lsh_scored AS (
   SELECT c.src_id, c.nbr_id,
-         ROUND(list_dot_product(a.vn, b.vn), 4) AS similarity
+         ROUND(list_dot_product(a.vn, b.vn), 4) + 0 AS similarity
   FROM lsh_cand c
   JOIN normv a ON c.src_id = a.vec_id
   JOIN normv b ON c.nbr_id = b.vec_id
@@ -759,7 +760,7 @@ def knn_graph_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              ROUND(list_dot_product(a.ve, b.ve) /
                    (sqrt(list_dot_product(a.ve, a.ve)) *
-                    sqrt(list_dot_product(b.ve, b.ve))), 4) AS similarity
+                    sqrt(list_dot_product(b.ve, b.ve))), 4) + 0 AS similarity
       FROM v a JOIN v b ON a.vec_id < b.vec_id
     ),
     e AS (SELECT id_a AS src, id_b AS dst FROM p WHERE similarity >= 0.99),
@@ -822,7 +823,7 @@ def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT pos, ROUND(AVG(val), 6) AS mu, ROUND(STDDEV_SAMP(val), 6) AS sd
       FROM x GROUP BY pos)
     SELECT x.vec_id, CAST(x.pos - 1 AS INTEGER) AS dim_idx,
-           ROUND((x.val - s.mu) / s.sd, 4) AS z
+           (ROUND((x.val - s.mu) / s.sd, 4) + 0) AS z
     FROM x JOIN s USING (pos)
     """,
     tags=("similarity", "preprocess", "standardize"),
@@ -843,7 +844,7 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         F.col("dim_idx").cast("int").alias("dim_idx"),
-        F.round("zv", 4).alias("z"),
+        round_stable("zv", 4).alias("z"),
     )
 
 
@@ -867,9 +868,9 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
       GROUP BY a.label, b.label)
     SELECT label_a, label_b,
-           ROUND(CAST(dab AS DOUBLE)
-                 / (sqrt(CAST(daa AS DOUBLE)) * sqrt(CAST(dbb AS DOUBLE))),
-                 4) AS centroid_cos
+           (ROUND(CAST(dab AS DOUBLE)
+                  / (sqrt(CAST(daa AS DOUBLE)) * sqrt(CAST(dbb AS DOUBLE))),
+                  4) + 0) AS centroid_cos
     FROM p
     """,
     tags=("similarity", "centroid", "diagnostics"),
@@ -915,7 +916,7 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "label_a",
         "label_b",
-        F.round(
+        round_stable(
             F.col("dab").cast("double")
             / (
                 F.sqrt(F.col("daa").cast("double"))
@@ -1110,7 +1111,7 @@ scored AS (
          ROUND(
            list_dot_product(a.dv, b.dv)
            / (sqrt(list_dot_product(a.dv, a.dv))
-              * sqrt(list_dot_product(b.dv, b.dv))), 4) AS similarity
+              * sqrt(list_dot_product(b.dv, b.dv))), 4) + 0 AS similarity
   FROM v a, v b
   WHERE a.vec_id <> b.vec_id AND a.label <> b.label
 ),
@@ -1895,7 +1896,7 @@ def embeddings_dim_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cum GROUP BY 1)
     SELECT label, npos, nneg,
            ROUND((2.0 * wins + ties) / (2.0 * npos * nneg), 6) AS auc,
-           ROUND((2.0 * wins + ties) / (npos * nneg) - 1, 6) AS gini
+           ROUND((2.0 * wins + ties) / (npos * nneg) - 1, 6) + 0 AS gini
     FROM agg
     """,
     tags=("similarity", "evaluation", "auc"),
@@ -1959,7 +1960,7 @@ def embeddings_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2.0 * F.col("npos") * F.col("nneg")),
             6,
         ).alias("auc"),
-        F.round(
+        round_stable(
             (2.0 * F.col("wins") + F.col("ties"))
             / (F.col("npos") * F.col("nneg"))
             - 1,
@@ -2116,7 +2117,7 @@ def knn_clustering_coefficient(
       FROM da_pairs)
     SELECT m AS m_directed,
            ROUND(CAST(m * sxy - sx * sx AS DOUBLE)
-                 / CAST(m * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+                 / CAST(m * sxx - sx * sx AS DOUBLE), 6) + 0 AS assortativity
     FROM da_mom WHERE m * sxx - sx * sx <> 0
     """,
     tags=("similarity", "knn-graph", "graph", "diagnostics"),
@@ -2171,7 +2172,7 @@ def knn_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx") != 0
     ).select(
         F.col("m").alias("m_directed"),
-        F.round(num / den, 6).alias("assortativity"),
+        round_stable(num / den, 6).alias("assortativity"),
     )
 
 
@@ -2232,7 +2233,7 @@ def knn_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE g2.brn = 1)
     SELECT CAST(b.pos - 1 AS INTEGER) AS dim_idx,
            CAST(b.tile AS INTEGER) AS threshold_tile,
-           ROUND(b.thr, 6) AS threshold,
+           ROUND(b.thr, 6) + 0 AS threshold,
            ROUND(CAST(b.gain_scaled AS DOUBLE) / (t.n * 1e6), 6)
              AS info_gain,
            CAST(ROW_NUMBER() OVER (
@@ -2332,7 +2333,7 @@ def embeddings_best_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.crossJoin(F.broadcast(tot)).select(
         (F.col("pos") - 1).cast("int").alias("dim_idx"),
         F.col("tile").cast("int").alias("threshold_tile"),
-        F.round("thr", 6).alias("threshold"),
+        round_stable("thr", 6).alias("threshold"),
         F.round(
             F.col("gain_scaled").cast("double") / (F.col("n") * 1e6), 6
         ).alias("info_gain"),

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from covid_data_pipeline_spark.functions.scalar import round_stable
 from covid_data_pipeline_spark.harness.registry import register, table
 from covid_data_pipeline_spark.operators.temporal import (
     interpolate_daily,
@@ -257,7 +258,7 @@ def interpolate_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, day,
            ROUND(val_cents / 100.0, 2) AS value_sum,
            ROUND(trailing_mean / 100.0, 2) AS trailing_mean,
-           ROUND((val_cents - trailing_mean) / trailing_sd, 2) AS z_score
+           ROUND((val_cents - trailing_mean) / trailing_sd, 2) + 0 AS z_score
     FROM scored
     WHERE trailing_n >= 7 AND trailing_sd > 0
       AND ABS((val_cents - trailing_mean) / trailing_sd) > 1.5
@@ -306,7 +307,7 @@ def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.round(F.col("val_cents") / 100.0, 2).alias("value_sum"),
         F.round(F.col("trailing_mean") / 100.0, 2).alias("trailing_mean"),
-        F.round(z, 2).alias("z_score"),
+        round_stable(z, 2).alias("z_score"),
     )
 
 
@@ -434,8 +435,8 @@ def events_burst_days(spark: SparkSession, sf_dir: str) -> DataFrame:
                + 0.5 * h.trd
       FROM holt h JOIN seq s
         ON s.event_type = h.event_type AND s.rn = h.rn + 1)
-    SELECT h.event_type, ROUND(lvl, 4) AS level, ROUND(trd, 4) AS trend,
-           ROUND(lvl + 7.0 * trd, 4) AS forecast_7d
+    SELECT h.event_type, ROUND(lvl, 4) + 0 AS level, ROUND(trd, 4) + 0 AS trend,
+           ROUND(lvl + 7.0 * trd, 4) + 0 AS forecast_7d
     FROM holt h JOIN nn ON h.event_type = nn.event_type AND h.rn = nn.nmax
     """,
     tags=("temporal", "timeseries", "smoothing", "iterative"),
@@ -536,9 +537,9 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + 0.5 * h.seas[1]]
       FROM hw h JOIN seq s
         ON s.event_type = h.event_type AND s.rn = h.rn + 1)
-    SELECT h.event_type, ROUND(h.lvl, 4) AS level, ROUND(h.trd, 4) AS trend,
-           ROUND(h.lvl + h.trd + h.seas[1], 4) AS forecast_1,
-           ROUND(h.lvl + 7.0 * h.trd + h.seas[7], 4) AS forecast_p
+    SELECT h.event_type, ROUND(h.lvl, 4) + 0 AS level, ROUND(h.trd, 4) + 0 AS trend,
+           ROUND(h.lvl + h.trd + h.seas[1], 4) + 0 AS forecast_1,
+           ROUND(h.lvl + 7.0 * h.trd + h.seas[7], 4) + 0 AS forecast_p
     FROM hw h JOIN init i
       ON h.event_type = i.event_type AND h.rn = i.nmax
     """,
@@ -776,7 +777,7 @@ def repair_cumulative_monotone(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, ABS(resid) AS mad
       FROM ranked WHERE rk = (n + 1) // 2)
     SELECT r.event_type, r.day,
-           ROUND(r.fitted, 4) AS fitted, ROUND(r.resid, 4) AS resid,
+           ROUND(r.fitted, 4) + 0 AS fitted, ROUND(r.resid, 4) + 0 AS resid,
            (m.mad > 0 AND ABS(r.resid)
               > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * m.mad)
              AS is_anomaly
@@ -823,10 +824,10 @@ def events_hw_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM seq GROUP BY 1)
     SELECT event_type, n,
            ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_per_day,
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0 AS slope_per_day,
            ROUND((CAST(sy AS DOUBLE)
                   - (CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n, 4)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n, 4) + 0
              AS intercept
     FROM s WHERE n >= 2 AND n * sxx - sx * sx <> 0
     """,
@@ -873,8 +874,8 @@ def events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type",
         "n",
-        F.round(slope, 6).alias("slope_per_day"),
-        F.round(
+        round_stable(slope, 6).alias("slope_per_day"),
+        round_stable(
             (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"),
             4,
         ).alias("intercept"),

@@ -26,6 +26,7 @@ from covid_data_pipeline_spark.functions.text import (
     token_count,
     tokens,
 )
+from covid_data_pipeline_spark.functions.scalar import round_stable
 from covid_data_pipeline_spark.harness.registry import register, table
 from pyspark.sql.window import Window
 
@@ -583,7 +584,7 @@ def docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
-           ROUND(AVG(lp), 4) AS avg_logprob,
+           ROUND(AVG(lp), 4) + 0 AS avg_logprob,
            ROUND(EXP(-AVG(lp)), 2) AS perplexity
     FROM scored
     GROUP BY doc_id
@@ -1582,7 +1583,7 @@ def docs_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents)
     SELECT doc_id, lang, words, sentences, syllables,
            ROUND(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
-                 - 84.6 * (CAST(syllables AS DOUBLE) / words), 4)
+                 - 84.6 * (CAST(syllables AS DOUBLE) / words), 4) + 0
              AS flesch_score
     FROM m WHERE words > 0
     """,
@@ -1616,7 +1617,7 @@ def docs_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "words",
         "sentences",
         "syllables",
-        F.round(
+        round_stable(
             F.lit(206.835)
             - F.lit(1.015)
             * (F.col("words").cast("double") / F.col("sentences"))
@@ -1658,10 +1659,10 @@ def docs_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
              sx, sy
       FROM s)
     SELECT n,
-           ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS zipf_slope,
+           ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) + 0 AS zipf_slope,
            ROUND((CAST(sy AS DOUBLE)
                   - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * sx)
-                 / n / 1000000.0, 4) AS intercept_ln
+                 / n / 1000000.0, 4) + 0 AS intercept_ln
     FROM fit
     """,
     tags=("text", "zipf", "regression"),
@@ -1725,8 +1726,8 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = F.col("num").cast("double") / F.col("den").cast("double")
     return fit.select(
         "n",
-        F.round(slope, 4).alias("zipf_slope"),
-        F.round(
+        round_stable(slope, 4).alias("zipf_slope"),
+        round_stable(
             (F.col("sy").cast("double") - slope * F.col("sx"))
             / F.col("n")
             / 1000000.0,

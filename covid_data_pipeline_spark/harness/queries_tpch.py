@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from covid_data_pipeline_spark.functions.scalar import round_stable
 from covid_data_pipeline_spark.harness.registry import register, table
 
 
@@ -117,7 +118,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
                           * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
                 AS DOUBLE) AS revenue,
-           ROUND(MAX(c.c_acctbal), 2) AS acctbal
+           ROUND(MAX(c.c_acctbal), 2) + 0 AS acctbal
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -147,7 +148,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("double")
             .alias("revenue"),
-            F.round(F.max("c_acctbal"), 2).alias("acctbal"),
+            round_stable(F.max("c_acctbal"), 2).alias("acctbal"),
         )
     )
 
@@ -446,7 +447,7 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r.r_name = 'EUROPE'
     )
     SELECT p.p_partkey, p.p_brand, e.s_name, e.n_name,
-           ROUND(e.s_acctbal, 2) AS acctbal,
+           ROUND(e.s_acctbal, 2) + 0 AS acctbal,
            e.unit_price
     FROM part p
     JOIN eligible e ON e.l_partkey = p.p_partkey
@@ -500,7 +501,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_brand",
             "s_name",
             "n_name",
-            F.round("s_acctbal", 2).alias("acctbal"),
+            round_stable("s_acctbal", 2).alias("acctbal"),
             "unit_price",
         )
     )
@@ -947,7 +948,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         FROM shipped
       ) t WHERE qty > 0.3 * part_total
     )
-    SELECT s.s_suppkey, s.s_name, ROUND(s.s_acctbal, 2) AS acctbal
+    SELECT s.s_suppkey, s.s_name, ROUND(s.s_acctbal, 2) + 0 AS acctbal
     FROM supplier s
     WHERE s.s_suppkey IN (SELECT l_suppkey FROM excess)
     """,
@@ -980,7 +981,7 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = table(spark, sf_dir, "supplier")
     return s.join(excess, s.s_suppkey == excess.l_suppkey, "left_semi").select(
-        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
+        "s_suppkey", "s_name", round_stable("s_acctbal", 2).alias("acctbal")
     )
 
 

@@ -986,7 +986,7 @@ def bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT f.doc_id, SUM(f.cnt * (m.lpt - m.lpr)) AS ws
       FROM fx f JOIN model m USING (bucket) GROUP BY 1)
     SELECT w.doc_id, d.lang,
-           ROUND(ws / 1000000.0, 4) AS dsir_log_weight
+           ROUND(ws / 1000000.0, 4) + 0 AS dsir_log_weight
     FROM w JOIN documents d USING (doc_id)
     """,
     tags=("training", "selection", "dsir"),
@@ -1043,7 +1043,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT f.doc_id, SUM(f.cnt * (m.lpt - m.lpr)) AS ws
       FROM fx f JOIN model m USING (bucket) GROUP BY 1)
     SELECT w.doc_id, d.lang, d.source,
-           ROUND(ws / 1000000.0, 4) AS dsir_log_weight
+           ROUND(ws / 1000000.0, 4) + 0 AS dsir_log_weight
     FROM w JOIN documents d USING (doc_id)
     ORDER BY dsir_log_weight DESC, w.doc_id LIMIT 100
     """,

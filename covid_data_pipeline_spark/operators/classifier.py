@@ -269,6 +269,15 @@ def train_logreg_lattice(
     decimal(38,0) gradient agg per iteration; driver state = d+1 ints."""
     M = LATTICE_SCALE
     d = len(feature_cols)
+    # _hard_sigmoid_micro's exact-replay guarantee needs |z_pico| < 2^53
+    # (double division then cast). With |w| <= iters * 1e6 and the
+    # micro-scaled features this holds to ~iters=1500; enforce it so a
+    # caller raising iters cannot silently degrade bit-exactness.
+    if iters > 1500:
+        raise ValueError(
+            f"train_logreg_lattice: iters={iters} exceeds the exact-"
+            "arithmetic bound (|z_pico| < 2^53 holds only to ~1500 iters)"
+        )
     feats = feats.select(*feature_cols, label_col).localCheckpoint(
         eager=False
     )

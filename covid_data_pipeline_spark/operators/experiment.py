@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from covid_data_pipeline_spark.functions.scalar import round_stable
+
 _D = "decimal(38,0)"
 
 
@@ -99,9 +101,9 @@ def cuped_adjusted_effect(
     return m.select(
         F.col("nt").cast("bigint").alias("n_treat"),
         nc.cast("bigint").alias("n_ctrl"),
-        F.round(theta, 6).alias("theta"),
-        F.round(raw, 4).alias("effect_raw_cents"),
-        F.round(adj, 4).alias("effect_cuped_cents"),
+        round_stable(theta, 6).alias("theta"),
+        round_stable(raw, 4).alias("effect_raw_cents"),
+        round_stable(adj, 4).alias("effect_cuped_cents"),
         F.round(F.lit(100.0) * rho2, 2).alias("var_reduction_pct"),
     )
 
@@ -208,7 +210,7 @@ def diff_in_diff(
         F.round(mt_post, 4).alias("treat_post_cents"),
         F.round(mc_pre, 4).alias("ctrl_pre_cents"),
         F.round(mc_post, 4).alias("ctrl_post_cents"),
-        F.round((mt_post - mt_pre) - (mc_post - mc_pre), 4).alias("did_cents"),
+        round_stable((mt_post - mt_pre) - (mc_post - mc_pre), 4).alias("did_cents"),
     )
 
 

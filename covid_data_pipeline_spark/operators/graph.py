@@ -776,6 +776,8 @@ def hits_int(
     lineage-cut; each half-step is ONE shuffle (groupBy the receiving
     side) plus a broadcast of the single-row max. Returns
     ``(node, hub, authority)`` in parts per ``scale``."""
+    if iters < 1:
+        raise ValueError(f"hits_int needs iters >= 1, got {iters}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -784,6 +786,7 @@ def hits_int(
         .localCheckpoint(eager=False)
     )
     e_src = e.repartition("src").localCheckpoint(eager=False)
+    e_dst = e.repartition("dst").localCheckpoint(eager=False)
     h = nodes.select("node", F.lit(scale).cast("long").alias("s"))
 
     def _norm(raw: DataFrame) -> DataFrame:
@@ -817,7 +820,7 @@ def hits_int(
         )
         a = _norm(a_raw)
         h_raw = (
-            e_src.join(a.withColumnRenamed("node", "dst"), "dst")
+            e_dst.join(a.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("s").alias("raw"))
         )

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from covid_data_pipeline_spark.functions.scalar import round_stable
+
 from covid_data_pipeline_spark.functions.text import let, tokens
 
 
@@ -123,7 +125,7 @@ def score_bigram_perplexity(
     avg_lp = F.avg("lp")
     return lp.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(avg_lp, 4).alias("avg_logprob"),
+        round_stable(avg_lp, 4).alias("avg_logprob"),
         F.round(F.exp(-avg_lp), 2).alias("perplexity"),
     )
 

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from covid_data_pipeline_spark.functions.scalar import round_stable
+
 from covid_data_pipeline_spark.functions.text import tokens
 from covid_data_pipeline_spark.operators.dedup import portable_hash31
 
@@ -161,7 +163,7 @@ def dsir_weights(
     w = dsir_log_weights(feats, models, id_col)
     return w.select(
         id_col,
-        F.round(F.col("weight_micro") / F.lit(float(LOG_SCALE)), 4).alias(
+        round_stable(F.col("weight_micro") / F.lit(float(LOG_SCALE)), 4).alias(
             "dsir_log_weight"
         ),
     )

@@ -23,6 +23,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from covid_data_pipeline_spark.functions.scalar import round_stable
+
 
 def _as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
@@ -84,7 +86,7 @@ def cosine_topk_bruteforce(
         corpus.select(F.col(id_col), F.col(vec_col))
         .crossJoin(q)
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("similarity", F.round(cosine(F.col(vec_col), F.col("__qvec")), 4))
+        .withColumn("similarity", round_stable(cosine(F.col(vec_col), F.col("__qvec")), 4))
     )
     return top_k_per_group(
         scored,
@@ -172,7 +174,7 @@ def cosine_topk_lsh(
     scored = (
         c.join(F.broadcast(q_probed), on="bucket")
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("similarity", F.round(cosine(F.col(vec_col), F.col("__qvec")), 4))
+        .withColumn("similarity", round_stable(cosine(F.col(vec_col), F.col("__qvec")), 4))
     )
     return top_k_per_group(
         scored,
@@ -226,7 +228,7 @@ def cosine_topk_bruteforce_np(
             ids = pdf[id_col].to_numpy()
             M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-            S = np.round(Mn @ Qn.T, 4)
+            S = np.round(Mn @ Qn.T, 4) + 0.0
             frames = []
             for j, qid in enumerate(qids):
                 mask = ids != qid
@@ -463,7 +465,7 @@ def cosine_topk_ivf(
     scored = (
         c.join(F.broadcast(q), on="cid")
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("similarity", F.round(cosine(F.col(vec_col), F.col("__qvec")), 4))
+        .withColumn("similarity", round_stable(cosine(F.col(vec_col), F.col("__qvec")), 4))
     )
     return top_k_per_group(
         scored,
@@ -537,7 +539,7 @@ def cosine_topk_ivf_lattice(
         cells.join(F.broadcast(probe), "cid")
         .where(F.col(id_col) != F.col(query_id_col))
         .withColumn(
-            "similarity", F.round(cosine(F.col(vec_col), F.col("__qvec")), 4)
+            "similarity", round_stable(cosine(F.col(vec_col), F.col("__qvec")), 4)
         )
     )
     return top_k_per_group(
@@ -609,7 +611,7 @@ def embedding_neardup_pairs(
     return (
         l.join(r, on="bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("similarity", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4))
+        .withColumn("similarity", round_stable(cosine(F.col("vec_a"), F.col("vec_b")), 4))
         .filter(F.col("similarity") >= threshold)
         .select("id_a", "id_b", "similarity")
         .distinct()
@@ -668,7 +670,7 @@ def _cogroup_neardup_scores(
     return (
         b.groupBy("bucket")
         .applyInPandas(score, "id_a long, id_b long, __raw double")
-        .withColumn("similarity", F.round(F.col("__raw"), 4))
+        .withColumn("similarity", round_stable(F.col("__raw"), 4))
         .filter(F.col("similarity") >= threshold)
         .select("id_a", "id_b", "similarity")
         .distinct()
@@ -794,7 +796,7 @@ def knn_graph_exact(
     if label_col is not None:
         scored = scored.filter(F.col("__la") != F.col("__lb"))
     scored = scored.withColumn(
-        "similarity", F.round(cosine(F.col("__va"), F.col("__vb")), 4)
+        "similarity", round_stable(cosine(F.col("__va"), F.col("__vb")), 4)
     )
     return top_k_per_group(
         scored,
@@ -907,7 +909,7 @@ def knn_graph_lsh(
         if label_col is not None:
             scored = scored.filter(F.col("__la") != F.col("__lb"))
         scored = scored.withColumn(
-            "similarity", F.round(dot(F.col("__va"), F.col("__vb")), 4)
+            "similarity", round_stable(dot(F.col("__va"), F.col("__vb")), 4)
         )
     return top_k_per_group(
         scored,
@@ -1004,7 +1006,7 @@ def _cogroup_bucket_scores(
         .cogroup(r.select(*r_cols).groupBy("bucket"))
         .applyInPandas(score, out_fields)
     )
-    return scored.withColumn("similarity", F.round(F.col("__raw"), 4))
+    return scored.withColumn("similarity", round_stable(F.col("__raw"), 4))
 
 
 def standardize_embeddings(
@@ -1282,7 +1284,7 @@ def pq_topk(
             C = np.stack([np.asarray(c, dtype=np.int64) for c in pdf[code_col]])
             frames = []
             for j, qid in enumerate(qids):
-                s = np.round(LUT[j][sub_idx[None, :], C].sum(axis=1), 4)
+                s = np.round(LUT[j][sub_idx[None, :], C].sum(axis=1), 4) + 0.0
                 mask = ids != qid
                 sel_ids, sel_s = ids[mask], s[mask]
                 order = np.lexsort((sel_ids, -sel_s))[:k]
@@ -1341,7 +1343,7 @@ def pq_topk_rerank(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
     )
     scored = cand.join(qv, query_id_col).withColumn(
-        "similarity", F.round(cosine(F.col(vec_col), F.col("__qvec")), 4)
+        "similarity", round_stable(cosine(F.col(vec_col), F.col("__qvec")), 4)
     )
     return top_k_per_group(
         scored,
@@ -1572,7 +1574,7 @@ def pq_topk_rerank_lattice(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
     )
     scored = cand.join(qvec, query_id_col).withColumn(
-        "similarity", F.round(cosine(F.col(vec_col), F.col("__qvec")), 4)
+        "similarity", round_stable(cosine(F.col(vec_col), F.col("__qvec")), 4)
     )
     return top_k_per_group(
         scored,

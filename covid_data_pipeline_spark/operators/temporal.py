@@ -24,6 +24,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.functions.scalar import round_stable
 from pyspark.sql.window import Window
 
 
@@ -421,9 +423,9 @@ def holt_linear(
     )
     return fitted.select(
         type_col,
-        F.round(F.col("h.lvl"), 4).alias("level"),
-        F.round(F.col("h.trd"), 4).alias("trend"),
-        F.round(
+        round_stable(F.col("h.lvl"), 4).alias("level"),
+        round_stable(F.col("h.trd"), 4).alias("trend"),
+        round_stable(
             F.col("h.lvl") + F.lit(float(horizon)) * F.col("h.trd"), 4
         ).alias(f"forecast_{horizon}d"),
     )
@@ -698,13 +700,13 @@ def holt_winters_seasonal(
     # s_t — the same weekday one full season ahead of the last point.
     return fitted.select(
         type_col,
-        F.round(F.col("h.lvl"), 4).alias("level"),
-        F.round(F.col("h.trd"), 4).alias("trend"),
-        F.round(
+        round_stable(F.col("h.lvl"), 4).alias("level"),
+        round_stable(F.col("h.trd"), 4).alias("trend"),
+        round_stable(
             F.col("h.lvl") + F.col("h.trd") + F.element_at(F.col("h.seas"), 1),
             4,
         ).alias("forecast_1"),
-        F.round(
+        round_stable(
             F.col("h.lvl")
             + F.lit(float(m)) * F.col("h.trd")
             + F.element_at(F.col("h.seas"), m),
@@ -953,8 +955,8 @@ def holt_winters_residuals(
         .select(
             type_col,
             "day",
-            F.round("fitted", 4).alias("fitted"),
-            F.round("resid", 4).alias("resid"),
+            round_stable("fitted", 4).alias("fitted"),
+            round_stable("resid", 4).alias("resid"),
             (
                 (F.col("__mad") > 0) & (F.abs(F.col("resid")) > thresh)
             ).alias("is_anomaly"),

@@ -68,3 +68,54 @@ def test_entry_smoke(spark):
     q = e.queries()
     o = e.oracle_sql()
     assert set(o) <= set(q)
+
+
+def test_norm_distinguishes_negative_zero():
+    """Round-5 lesson (`embedding_standardize`): DuckDB's ROUND keeps
+    the sign bit on a tiny negative that rounds to zero while Spark
+    normalizes to +0.0; the driver's value hash compares
+    representations, so the row is red even though -0.0 == 0.0. The
+    mirror's canonicalizer must therefore be representation-faithful —
+    the pre-fix query class has to FAIL locally before a driver window
+    slot is spent."""
+    from covid_data_pipeline_spark.harness.oracle import _norm
+
+    assert _norm(-0.0) != _norm(0.0)
+    assert _norm(-0.0) == _norm(-1e-12)  # both round to -0.0 at 9 dp
+    assert _norm(float("nan")) == "NaN"
+    assert _norm(None) is None
+    # Decimal boundaries still compare numerically against doubles.
+    from decimal import Decimal
+
+    assert _norm(Decimal("1.5")) == _norm(1.5)
+
+
+def test_round_stable_clears_negative_zero(spark):
+    """`functions.scalar.round_stable` (the registry-wide query-boundary
+    convention) must emit +0.0 where F.round would leave the sign of a
+    tiny negative ambiguous across engines, and be the identity
+    elsewhere — including NULL and NaN."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from covid_data_pipeline_spark.functions.scalar import round_stable
+
+    row = spark.range(1).select(
+        round_stable(F.lit(-1e-9), 4).alias("z"),
+        round_stable(F.lit(-1.23456), 4).alias("neg"),
+        round_stable(F.lit(None).cast("double"), 4).alias("nul"),
+        round_stable(F.lit(float("nan")), 4).alias("nan"),
+    ).collect()[0]
+    assert math.copysign(1.0, row["z"]) == 1.0 and row["z"] == 0.0
+    assert row["neg"] == -1.2346
+    assert row["nul"] is None
+    assert math.isnan(row["nan"])
+    # And the DuckDB-side convention `(ROUND(x, d) + 0)` agrees.
+    import duckdb
+
+    a, b = duckdb.sql(
+        "SELECT ROUND(-1e-9, 4) AS pre, ROUND(-1e-9, 4) + 0 AS post"
+    ).fetchone()
+    assert math.copysign(1.0, a) == -1.0  # DuckDB keeps the sign...
+    assert math.copysign(1.0, b) == 1.0  # ...and the guard clears it
