@@ -1565,12 +1565,20 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the within-order self-join fans out ≤ (parts per
     order)² — basket size is bounded by business reality (~dozens), so
-    pair generation is linear in orders, never |parts|²; singles and
-    the order count re-enter as broadcasts; the global top-100 is a
+    pair generation is linear in orders, never |parts|²; the singles
+    re-enter SIZE-GATED (broadcast under the gate, keyed join above —
+    |parts|-sized force-broadcasts don't survive a 100 TB catalog) and
+    the order count as a scalar broadcast; the global top-100 is a
     TakeOrderedAndProject, not a full sort."""
+    from covid_data_pipeline_spark.operators.relational import (
+        size_gated_broadcast,
+    )
     from covid_data_pipeline_spark.operators.windows import top_k_per_group
 
     li = table(spark, sf_dir, "lineitem")
+    # |distinct parts| upper bound from the part dimension's metadata
+    # count — gates the singles broadcasts below (keyed join past it).
+    n_parts = table(spark, sf_dir, "part").count()
     b = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
@@ -1589,11 +1597,17 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         pairs.join(
-            F.broadcast(singles.select(F.col("p").alias("part_a"), F.col("c").alias("ca"))),
+            size_gated_broadcast(
+                singles.select(F.col("p").alias("part_a"), F.col("c").alias("ca")),
+                estimated_rows=n_parts,
+            ),
             "part_a",
         )
         .join(
-            F.broadcast(singles.select(F.col("p").alias("part_b"), F.col("c").alias("cb"))),
+            size_gated_broadcast(
+                singles.select(F.col("p").alias("part_b"), F.col("c").alias("cb")),
+                estimated_rows=n_parts,
+            ),
             "part_b",
         )
         .crossJoin(F.broadcast(n_orders))
@@ -2141,13 +2155,22 @@ def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: pair generation is a within-order self-join, bounded
     by basket size² per order (linear in orders, never |parts|²);
-    per-part counts re-enter as broadcasts; the per-item top-5 is a
-    WindowGroupLimit, not a global sort. Cosine is one double
-    expression over exact integer counts, ROUND(6)-guarded with the
-    standard (sim DESC, id) tiebreak."""
+    per-part counts re-enter SIZE-GATED (broadcast while the part
+    dimension's metadata count stays under the gate, keyed shuffle join
+    above it — a |parts|-sized force-broadcast would OOM the driver at
+    a 100 TB catalog); the per-item top-5 is a WindowGroupLimit, not a
+    global sort. Cosine is one double expression over exact integer
+    counts, ROUND(6)-guarded with the standard (sim DESC, id)
+    tiebreak."""
+    from covid_data_pipeline_spark.operators.relational import (
+        size_gated_broadcast,
+    )
     from covid_data_pipeline_spark.operators.windows import top_k_per_group
 
     li = table(spark, sf_dir, "lineitem")
+    # Cheap upper bound on |distinct parts|: the part dimension's row
+    # count (parquet metadata scan, no data read).
+    n_parts = table(spark, sf_dir, "part").count()
     # the distinct basket relation feeds singles AND both self-join
     # sides — Catalyst shares no subtrees, so cut lineage once instead
     # of paying the scan+distinct shuffle three times
@@ -2170,14 +2193,16 @@ def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         pairs.join(
-            F.broadcast(
-                singles.select(F.col("p").alias("part_a"), F.col("c").alias("ca"))
+            size_gated_broadcast(
+                singles.select(F.col("p").alias("part_a"), F.col("c").alias("ca")),
+                estimated_rows=n_parts,
             ),
             "part_a",
         )
         .join(
-            F.broadcast(
-                singles.select(F.col("p").alias("part_b"), F.col("c").alias("cb"))
+            size_gated_broadcast(
+                singles.select(F.col("p").alias("part_b"), F.col("c").alias("cb")),
+                estimated_rows=n_parts,
             ),
             "part_b",
         )

@@ -59,19 +59,19 @@ def register(
 
 
 # The external driver verifies a 50-query window in registration order.
-# Round-5 rotation (VERDICT r4 ask #1): keep the 8-query regression core
+# Round-6 rotation (VERDICT r5 ask #1): keep the 8-query regression core
 # as a drift canary and fill the other 42 slots from
-# VERIFIED.json::suggested_window_r5 — never-driver-verified queries in
-# registry order, including dedup_minhash/dedup_simhash which became
-# oracle-backed in r4 (portable md5-prefix hash replay). Everything not
-# listed keeps its module registration order after these; oracle-less
-# (rows-only) queries always sort last. array_functions (r4's one red
-# row, driver-canonicalizer crash on top-level ArrayType) re-enters the
-# window after its array_join boundary fix — VERDICT r4 ask #2's done
-# criterion is a green row in THIS round — displacing docs_char_entropy
-# to the r6 fill.
+# VERIFIED.json::window_r6 — never-driver-verified queries, old debt
+# first in registry order (graph kcore/ktruss, events stats pack,
+# kmeans/silhouette, retrieval-eval, holt/kaplan-meier families).
+# embedding_standardize (r5's one red row, a -0.0 representation
+# artifact — judge-verified numerically equal) re-enters first after
+# its round_stable boundary fix — VERDICT r5 ask #2's done criterion is
+# a green row IN r6 — displacing docs_nfc_normalize to the r7 fill.
+# Everything not listed keeps its module registration order after
+# these; oracle-less (rows-only) queries always sort last.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- regression core (driver-proven r1-r4; canary against drift) ---
+    # --- regression core (driver-proven r1-r5; canary against drift) ---
     "mart_analytics",
     "agg_rollup",
     "filter_project",
@@ -80,49 +80,49 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "window_lag_alert",
     "curation_pipeline_docs",
     "tpch_q12_priority_shipping",
-    # --- never-driver-verified fills (VERIFIED.json order) ---
-    "dedup_minhash",
-    "dedup_simhash",
-    "recursive_order_chain",
-    "lateral_topk_orders",
-    "fuzzy_entity_groups",
-    "winsorize_order_prices",
-    "profile_orders",
-    "set_intersect_all_orderkeys",
-    "set_except_all_orderkeys",
-    "pivot_event_type_multi",
-    "customer_value_deciles",
-    "revenue_percent_of_parent",
-    "revenue_pareto_concentration",
-    "revenue_yoy_by_month",
-    "part_sourcing_redundancy",
-    "skew_split_join_events",
-    "embedding_random_projection",
-    "embedding_quantize_int8",
-    "similarity_topk_quantized",
+    # --- never-driver-verified fills (VERIFIED.json::window_r6) ---
     "embedding_standardize",
-    "label_centroid_similarity",
-    "media_type_sniff",
-    "hard_negatives_exact",
-    "bitext_margin_pairs",
-    "bitext_margin_pairs_lsh",
-    "ann_recall_quantized",
-    "cdc_customer_halfyear",
-    "interpolate_daily_events",
-    "events_zscore_anomalies",
-    "attribution_linear",
-    "events_burst_days",
-    "doc_token_percentiles",
-    "docs_boilerplate_fraction",
-    "docs_quality_percentile_rank",
-    "vocab_oov_rate",
-    "term_drift_by_cohort",
-    "token_mass_percentiles",
-    "curation_report_by_source",
-    "source_overlap_matrix",
-    "strip_duplicate_spans_docs",
-    "heavy_hitter_tokens",
-    "array_functions",
+    "customers_k_anonymity",
+    "graph_kcore_docs",
+    "graph_ktruss_docs",
+    "minhash_recall_eval",
+    "retained_users_bitmap",
+    "events_growth_accounting",
+    "events_markov_transitions",
+    "events_seasonal_decompose",
+    "events_session_likelihood",
+    "events_dp_released_counts",
+    "events_psi_drift",
+    "events_churn_training_set",
+    "events_sequential_patterns",
+    "events_bootstrap_ci",
+    "events_overdispersion_index",
+    "pareto_front_parts",
+    "zorder_locality_orders",
+    "rendezvous_shard_migration",
+    "benford_order_prices",
+    "rfm_customer_segments",
+    "orders_reconciliation_audit",
+    "knn_link_prediction",
+    "graph_label_propagation",
+    "embeddings_kcenter_coreset",
+    "retrieval_eval_ndcg",
+    "embeddings_dim_mutual_info",
+    "embeddings_auc_eval",
+    "kmeans_cluster_embeddings",
+    "kmeans_silhouette_embeddings",
+    "knn_clustering_coefficient",
+    "knn_degree_assortativity",
+    "embeddings_best_stump",
+    "events_holt_linear",
+    "events_cusum_changepoint",
+    "events_holt_winters",
+    "events_kaplan_meier",
+    "repair_cumulative_monotone",
+    "events_hw_anomalies",
+    "events_ols_trend",
+    "events_nelson_aalen",
+    "docs_char_entropy",
 )
 
 # Every query module must import cleanly: a blanket try/except here once

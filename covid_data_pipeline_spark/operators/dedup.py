@@ -765,6 +765,12 @@ def incremental_lsh_pairs(
     never regenerated. Union of the historical pairs and each
     increment's pairs equals a from-scratch run — asserted exactly in
     tests.
+
+    Broadcast bound: the ``ids`` relation below is |delta|-sized — the
+    operator's contract is |delta| << |corpus| (a daily increment). A
+    bulk BACKFILL delta breaks that bound; route those through the
+    from-scratch :func:`lsh_candidate_pairs` instead of forcing a
+    corpus-sized broadcast through this path.
     """
     ids = delta_signed.select(F.col(id_col).alias("__delta_id")).distinct()
     all_signed = corpus_signed.select(id_col, "minhash").unionByName(

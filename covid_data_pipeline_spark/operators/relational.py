@@ -70,6 +70,26 @@ def semi_join(df: DataFrame, other: DataFrame, keys: Sequence[str]) -> DataFrame
     return df.join(other.select(*keys), on=list(keys), how="left_semi")
 
 
+def size_gated_broadcast(
+    df: DataFrame,
+    estimated_rows: int | None = None,
+    row_limit: int = 2_000_000,
+) -> DataFrame:
+    """Broadcast hint only when the caller can BOUND the relation's size.
+
+    A force-`F.broadcast` on a |keys|-sized relation (per-item counts,
+    per-user stats) is correct at test scale and a driver-OOM at a true
+    100 TB catalog. Callers that know a cheap upper bound (a dimension's
+    metadata row count, a catalog cardinality) pass it: under
+    ``row_limit`` the hint is applied, above it the relation joins as a
+    keyed shuffle. With no estimate the hint is omitted entirely and
+    AQE's runtime statistics pick broadcast vs shuffle per partition
+    sizes — the safe default for unbounded relations."""
+    if estimated_rows is not None and estimated_rows <= row_limit:
+        return F.broadcast(df)
+    return df
+
+
 def distinct_rows(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     """Distinct projection (A2, reference process_covid_dds.py:39)."""
     return (df.select(*cols) if cols else df).distinct()
