@@ -3171,3 +3171,65 @@ def events_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+@register(
+    "events_mannwhitney",
+    """
+    WITH mw_base AS (
+      SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v,
+             CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+    mw_pv AS (
+      SELECT v, CAST(SUM(t) AS BIGINT) AS tv,
+             CAST(SUM(1 - t) AS BIGINT) AS cv
+      FROM mw_base GROUP BY v),
+    mw_cum AS (
+      SELECT v, tv, cv,
+             CAST(SUM(cv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  - cv AS BIGINT) AS cum_c_less
+      FROM mw_pv),
+    mw_agg AS (
+      SELECT CAST(SUM(tv) AS BIGINT) AS n_treat,
+             CAST(SUM(cv) AS BIGINT) AS n_ctrl,
+             CAST(2 * SUM(tv * cum_c_less) + SUM(tv * cv) AS BIGINT)
+               AS u2_treat,
+             SUM((tv + cv)::HUGEINT * (tv + cv) * (tv + cv)
+                 - (tv + cv))::HUGEINT AS tie3
+      FROM mw_cum)
+    SELECT n_treat, n_ctrl, u2_treat,
+           (ROUND(CAST(u2_treat AS DOUBLE)
+                  / (2.0 * CAST(n_treat::HUGEINT * n_ctrl AS DOUBLE)), 6)
+            + 0) AS auc,
+           (ROUND((CAST(u2_treat AS DOUBLE)
+                   - CAST(n_treat::HUGEINT * n_ctrl AS DOUBLE))
+                  / (2.0 * sqrt(
+                      CAST(n_treat::HUGEINT * n_ctrl
+                           * ((n_treat + n_ctrl)::HUGEINT
+                              * (n_treat + n_ctrl - 1)
+                              * (n_treat + n_ctrl + 1) - tie3) AS DOUBLE)
+                      / CAST(12::HUGEINT * (n_treat + n_ctrl)
+                             * (n_treat + n_ctrl - 1) AS DOUBLE))), 4)
+            + 0) AS z
+    FROM mw_agg
+    """,
+    tags=("events", "experiment", "nonparametric", "ranksum"),
+)
+def events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U / rank-sum test of purchase value between the
+    user_id-parity treatment split (`operators/experiment.py::
+    mann_whitney_u`) — the nonparametric readout next to CUPED for
+    whale-skewed revenue metrics, with AUC as the common-language
+    effect size. U is exact integer over the value-compressed domain
+    (no row ranking); the tie-corrected normal z spends floats only on
+    the final division + sqrt over exact DECIMAL/HUGEINT moments."""
+    from covid_data_pipeline_spark.operators.experiment import mann_whitney_u
+
+    ev = table(spark, sf_dir, "events")
+    units = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.floor(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        (F.pmod(F.col("user_id"), F.lit(2)) == 1).alias("treat"),
+    )
+    return mann_whitney_u(units, treat_col="treat", value_col="value_cents")

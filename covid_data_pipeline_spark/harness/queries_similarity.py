@@ -2519,3 +2519,89 @@ def media_neardup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidate_pairs(
         sigs, id_col="doc_id", sig_col="phash", max_hamming=3
     )
+
+
+def _mmr_oracle(k: int = 8, shortlist: int = 20, n_queries: int = 5) -> str:
+    """Unrolled greedy-MMR twin of ``operators/similarity.py::
+    mmr_rerank``: the shortlist and pairwise stages snap every cosine
+    to basis points with ``FLOOR(x·1e4 + 0.5)`` (round-half-up — never
+    decimal-round a derived value), then each greedy step is one
+    MATERIALIZED CTE (each step is referenced twice — max-to-selected
+    join + exclusion anti-join — so plain CTEs would re-expand 2^k, the
+    k-center lesson). λ=1/2 makes the doubled objective pure BIGINT."""
+    cos = lambda a, b: (  # noqa: E731
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b})))"
+    )
+    parts = [f"""WITH mm_q AS (
+  SELECT vec_id AS qid, list_transform(embedding, x -> x::DOUBLE) AS qv
+  FROM embeddings WHERE vec_id < {n_queries}),
+mm_v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve
+  FROM embeddings),
+mm_cand AS MATERIALIZED (
+  SELECT qid, cid, ve, sbp FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sbp DESC, cid) AS rn
+    FROM (
+      SELECT q.qid, v.vec_id AS cid, v.ve,
+             CAST(FLOOR({cos('v.ve', 'q.qv')} * 10000 + 0.5) AS BIGINT) AS sbp
+      FROM mm_v v, mm_q q WHERE v.vec_id <> q.qid) mm_s0) mm_s1
+  WHERE rn <= {shortlist}),
+mm_pair AS MATERIALIZED (
+  SELECT a.qid, a.cid AS id_a, b.cid AS id_b,
+         CAST(FLOOR({cos('a.ve', 'b.ve')} * 10000 + 0.5) AS BIGINT) AS bp
+  FROM mm_cand a JOIN mm_cand b ON a.qid = b.qid AND a.cid <> b.cid),
+mm_all1 AS MATERIALIZED (
+  SELECT qid, cid, sbp AS mmr2, 1 AS rnk FROM (
+    SELECT qid, cid, sbp,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sbp DESC, cid) AS rn
+    FROM mm_cand) mm_s2 WHERE rn = 1)"""]
+    for t in range(2, k + 1):
+        parts.append(f""",
+mm_all{t} AS MATERIALIZED (
+  SELECT * FROM mm_all{t-1}
+  UNION ALL
+  SELECT qid, cid, mmr2, {t} AS rnk FROM (
+    SELECT c.qid, c.cid, c.sbp - mx.m AS mmr2,
+           ROW_NUMBER() OVER (PARTITION BY c.qid
+                              ORDER BY c.sbp - mx.m DESC, c.cid) AS rn
+    FROM mm_cand c
+    JOIN (SELECT p.qid, p.id_a, MAX(p.bp) AS m
+          FROM mm_pair p JOIN mm_all{t-1} s
+            ON p.qid = s.qid AND p.id_b = s.cid
+          GROUP BY p.qid, p.id_a) mx
+      ON mx.qid = c.qid AND mx.id_a = c.cid
+    LEFT JOIN mm_all{t-1} ex ON ex.qid = c.qid AND ex.cid = c.cid
+    WHERE ex.cid IS NULL) mm_s{t} WHERE rn = 1)""")
+    parts.append(f"""
+SELECT qid AS query_id, CAST(rnk AS INTEGER) AS rank, cid AS vec_id,
+       mmr2 AS mmr_x2_bp
+FROM mm_all{k}""")
+    return "".join(parts)
+
+
+@register(
+    "similarity_mmr_rerank",
+    _mmr_oracle(),
+    tags=("similarity", "rerank", "diversity", "mmr"),
+)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity rerank of each query's
+    20-candidate cosine shortlist down to 8 picks (λ=1/2;
+    `operators/similarity.py::mmr_rerank`) — the rerank a RAG stack
+    runs so its retrieved passages aren't near-duplicates of the top
+    hit. Integer basis-point scores end-to-end: the whole greedy
+    trajectory (picks, ranks, doubled MMR objective) hash-matches the
+    unrolled-CTE oracle."""
+    from covid_data_pipeline_spark.operators.similarity import mmr_rerank
+
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = mmr_rerank(e, queries, k=8, shortlist=20)
+    return out.select(
+        "query_id", F.col("rank").cast("int").alias("rank"),
+        "vec_id", "mmr_x2_bp",
+    )

@@ -970,3 +970,122 @@ def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return nelson_aalen(subj, duration_col="t_mins", event_col="ended")
+
+
+@register(
+    "attribution_position",
+    """
+    WITH ap_p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    ap_t AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    ap_pairs AS (
+      SELECT p.event_id AS purchase_id, p.user_id, p.value,
+             t.event_id AS touch_id, t.event_type AS touch_type, t.ts
+      FROM ap_p p JOIN ap_t t
+        ON t.user_id = p.user_id
+       AND t.ts > p.ts - INTERVAL 6 HOUR AND t.ts <= p.ts
+    ),
+    ap_ranked AS (
+      SELECT purchase_id, user_id, value, touch_id, touch_type,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY purchase_id ORDER BY ts, touch_id) AS BIGINT)
+               AS pos,
+             COUNT(*) OVER (PARTITION BY purchase_id) AS n
+      FROM ap_pairs
+    ),
+    ap_w AS (
+      SELECT *,
+             CASE
+               WHEN n = 1 THEN 10000
+               WHEN n = 2 THEN 5000
+               WHEN pos = 1 OR pos = n THEN 4000
+               ELSE 2000 // (n - 2)
+                    + CASE WHEN pos - 1 <= 2000 % (n - 2)
+                           THEN 1 ELSE 0 END
+             END AS w_bp
+      FROM ap_ranked
+    )
+    SELECT purchase_id, user_id, touch_id, touch_type,
+           CAST(n AS BIGINT) AS n_touches,
+           CAST(pos AS INTEGER) AS pos,
+           CAST(w_bp AS INTEGER) AS w_bp,
+           CAST(FLOOR(value * 1000000.0) AS BIGINT) * w_bp // 10000
+             AS credit_micros
+    FROM ap_w
+    """,
+    tags=("events", "temporal", "attribution", "rangejoin"),
+)
+def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution over the same
+    6-hour pre-purchase touch window as attribution_linear: first and
+    last touch each get 40% of the credit, the middle touches share the
+    remaining 20% (standard U/40-20-40 rule; n=1 -> 100%, n=2 ->
+    50/50). The "brand discovery + closing touch matter most" model a
+    marketing mart serves next to the linear one.
+
+    Exactness: weights are integer BASIS POINTS — the middle share uses
+    floor division with the remainder distributed to the EARLIEST
+    middle touches (pos-1 <= 2000 mod (n-2)), so every weight is an
+    exact integer on both engines and each purchase's weights sum to
+    10000 exactly. Credit = floor(value*1e6) * w_bp div 10000 — one
+    deterministic integer expression per row, no cross-row float
+    summation (repo float policy). Scale shape: pairs from the bucketed
+    time_range_join (equi-join on (user, time bucket)); position rank +
+    touch count are windows on purchase_id — one shuffle."""
+    from covid_data_pipeline_spark.operators.rangejoin import time_range_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    pairs = time_range_join(
+        purchases, touches, keys=["user_id"],
+        left_ts="p_ts", right_ts="t_ts",
+        lower_s=-6 * 3600.0, upper_s=0.0,
+    )
+    w = Window.partitionBy("purchase_id")
+    wo = Window.partitionBy("purchase_id").orderBy("t_ts", "touch_id")
+    n = F.count(F.lit(1)).over(w)
+    pos = F.row_number().over(wo).cast("bigint")
+    ranked = pairs.select(
+        "purchase_id", "user_id", "value", "touch_id", "touch_type",
+        pos.alias("pos"), n.alias("n"),
+    )
+    w_bp = (
+        F.when(F.col("n") == 1, F.lit(10000))
+        .when(F.col("n") == 2, F.lit(5000))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(4000))
+        .otherwise(
+            F.expr("2000 div (n - 2)")
+            + F.when(
+                F.col("pos") - 1 <= F.lit(2000) % (F.col("n") - 2), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+    )
+    return ranked.select(
+        "purchase_id",
+        "user_id",
+        "touch_id",
+        "touch_type",
+        F.col("n").cast("bigint").alias("n_touches"),
+        F.col("pos").cast("int").alias("pos"),
+        w_bp.cast("int").alias("w_bp"),
+        F.expr(
+            "CAST(FLOOR(value * 1000000.0) AS BIGINT) * CAST(w_bp AS BIGINT)"
+            " div 10000"
+        ).alias("credit_micros"),
+    )

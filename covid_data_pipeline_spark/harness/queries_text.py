@@ -2338,3 +2338,155 @@ def docs_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ks / crit, 4).alias("ks_over_crit_05"),
         (ks > crit).alias("drift_detected"),
     )
+
+
+@register(
+    "rake_keywords_docs",
+    """
+    WITH rk_tok AS (
+      SELECT doc_id, i AS pos, t[i] AS word
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(range(1, len(t) + 1)) AS r(i)
+      WHERE len(t[i]) > 0),
+    rk_flag AS (
+      SELECT doc_id, pos, word,
+             CASE WHEN word IN ('the', 'a', 'and', 'of', 'to',
+                                'in', 'is', 'for', 'on', 'with')
+                  THEN 1 ELSE 0 END AS stop
+      FROM rk_tok),
+    rk_pid AS (
+      SELECT doc_id, pos, word, stop,
+             SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS pid
+      FROM rk_flag),
+    rk_members AS (
+      SELECT doc_id, pid, pos, word,
+             COUNT(*) OVER (PARTITION BY doc_id, pid) AS plen
+      FROM rk_pid WHERE stop = 0),
+    rk_words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS deg
+      FROM rk_members WHERE plen <= 4 GROUP BY word),
+    rk_phrases AS (
+      SELECT m.doc_id, m.pid,
+             string_agg(m.word, ' ' ORDER BY m.pos) AS phrase,
+             CAST(MAX(m.plen) AS INTEGER) AS n_words,
+             CAST(SUM(w.deg * 1000 // w.freq) AS BIGINT) AS score_milli
+      FROM rk_members m JOIN rk_words w USING (word)
+      WHERE m.plen <= 4
+      GROUP BY m.doc_id, m.pid)
+    SELECT phrase, MAX(n_words) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS phrase_freq,
+           MAX(score_milli) AS score_milli
+    FROM rk_phrases
+    GROUP BY phrase
+    ORDER BY score_milli DESC, phrase
+    LIMIT 20
+    """,
+    tags=("text", "keywords", "rake"),
+)
+def rake_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 RAKE keyword phrases (Rose et al. 2010;
+    `operators/retrieval.py::rake_keywords`) — degree/frequency
+    co-occurrence scoring at stopword-delimited phrase boundaries, the
+    one-pass unsupervised keyword extractor next to textrank_keywords
+    (which ranks by graph centrality instead). Integer-milli word
+    scores (deg·1000 div freq) summed in BIGINT make the global top-20
+    hash-stable with the (score DESC, phrase) tiebreak."""
+    from covid_data_pipeline_spark.functions.text import STOPWORDS_EN
+    from covid_data_pipeline_spark.operators.retrieval import rake_keywords
+
+    return rake_keywords(
+        table(spark, sf_dir, "documents"),
+        stopwords=STOPWORDS_EN,
+        max_phrase_len=4,
+        k=20,
+    )
+
+
+@register(
+    "nb_lang_confusion",
+    """
+    WITH nb_tok AS (
+      SELECT doc_id, lang, doc_id % 2 = 0 AS is_train, t[i] AS word
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
+            FROM documents),
+           UNNEST(range(1, len(t) + 1)) AS r(i)
+      WHERE len(t[i]) > 0),
+    nb_cnt AS (
+      SELECT doc_id, lang, is_train, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM nb_tok GROUP BY doc_id, lang, is_train, word),
+    nb_model AS (
+      SELECT lang, word, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM nb_cnt WHERE is_train GROUP BY lang, word),
+    nb_totals AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS n_lang
+      FROM nb_model GROUP BY lang),
+    nb_vocab AS (
+      SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v FROM nb_model),
+    nb_prior AS (
+      SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d_lang
+      FROM nb_cnt WHERE is_train GROUP BY lang),
+    nb_prior2 AS (
+      SELECT lang, d_lang,
+             CAST(ROUND(ln(CAST(d_lang AS DOUBLE)
+                           / (SELECT SUM(d_lang) FROM nb_prior))
+                        * 1000000.0, 0) AS BIGINT) AS prior_micro
+      FROM nb_prior),
+    nb_lp AS (
+      SELECT m.lang, m.word,
+             CAST(ROUND(ln(CAST(m.c + 1 AS DOUBLE) / (t.n_lang + v.v))
+                        * 1000000.0, 0) AS BIGINT) AS lp_micro
+      FROM nb_model m JOIN nb_totals t USING (lang) CROSS JOIN nb_vocab v),
+    nb_zero AS (
+      SELECT t.lang,
+             CAST(ROUND(ln(1.0 / (t.n_lang + v.v)) * 1000000.0, 0)
+                  AS BIGINT) AS lp0_micro
+      FROM nb_totals t CROSS JOIN nb_vocab v),
+    nb_docs AS (
+      SELECT doc_id, lang, word, cnt FROM nb_cnt WHERE NOT is_train),
+    nb_tot_d AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS tot
+      FROM nb_docs GROUP BY doc_id),
+    nb_seen AS (
+      SELECT d.doc_id, l.lang AS cand,
+             CAST(SUM(d.cnt * l.lp_micro) AS BIGINT) AS s1,
+             CAST(SUM(d.cnt) AS BIGINT) AS seen
+      FROM nb_docs d JOIN nb_lp l USING (word)
+      GROUP BY d.doc_id, l.lang),
+    nb_scores AS (
+      SELECT td.doc_id, p.lang AS cand,
+             p.prior_micro
+               + COALESCE(s.s1, 0)
+               + (td.tot - COALESCE(s.seen, 0)) * z.lp0_micro AS score_micro
+      FROM nb_tot_d td
+      CROSS JOIN nb_prior2 p
+      JOIN nb_zero z ON z.lang = p.lang
+      LEFT JOIN nb_seen s ON s.doc_id = td.doc_id AND s.cand = p.lang),
+    nb_pred AS (
+      SELECT doc_id, cand,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score_micro DESC, cand) AS rn
+      FROM nb_scores)
+    SELECT d.lang, p.cand AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM nb_pred p
+    JOIN (SELECT DISTINCT doc_id, lang FROM nb_docs) d USING (doc_id)
+    WHERE p.rn = 1
+    GROUP BY d.lang, p.cand
+    """,
+    tags=("text", "classifier", "naive-bayes", "langid"),
+)
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained on the
+    even-doc_id half of the corpus and evaluated on the held-out half
+    (`operators/classifier.py::naive_bayes_confusion`): the confusion
+    matrix (true lang, predicted lang, docs). Complements
+    lang_id_confusion (fixed stopword heuristic) and the lattice
+    logistic regression (discriminative, iterative) with a GENERATIVE
+    closed-form fit — one pass, no iterations, micro-nat integer
+    scores, sparse unseen-token decomposition (no vocab×class grid)."""
+    from covid_data_pipeline_spark.operators.classifier import (
+        naive_bayes_confusion,
+    )
+
+    return naive_bayes_confusion(table(spark, sf_dir, "documents"))

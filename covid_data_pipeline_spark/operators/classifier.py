@@ -25,8 +25,9 @@ on the synthetic testdata without external labels.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from covid_data_pipeline_spark.functions.text import (
     STOPWORDS_EN,
@@ -429,3 +430,149 @@ w{t} AS MATERIALIZED (
       WHERE f.y = 1
     )
     """
+
+
+def naive_bayes_confusion(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    train_col: Column | None = None,
+) -> DataFrame:
+    """Multinomial Naive Bayes text classifier, trained AND evaluated
+    in-engine: fit add-one-smoothed per-class token log-probabilities on
+    the ``train_col`` split, score the held-out split, and return the
+    confusion matrix ``(label, pred_label, n_docs)`` — the generative
+    counterpart to :func:`train_logreg_lattice` (closed-form one-pass
+    fit, no iterations).
+
+    Exactness (micro-nat recipe, `operators/selection.py` DSIR
+    precedent): every log-prob is integer-scaled FIRST
+    (``ROUND(ln((c+1)/(N_class+V))·1e6)`` BIGINT), so the per-document
+    score accumulation is exact integer arithmetic and the argmax is
+    hash-stable with the (score DESC, label) tiebreak. Unseen-token
+    mass avoids a dense vocab×class grid: score = prior + Σ_seen
+    cnt·lp + (tot − seen)·lp_zero(class) — the sparse decomposition
+    keeps the model relation |observed (class, token) pairs|-sized.
+
+    Scale shape: token counts are one map-side-combining groupBy; the
+    model is class×vocab-sized and re-enters through a keyed token
+    join (AQE broadcasts it when capped vocabs fit); scoring is one
+    groupBy(doc, class); the argmax is a per-doc window. For unbounded
+    vocabularies, cap the model to the top-K tokens per class upstream
+    (heavy-hitter pattern) — the zero-term absorbs the tail."""
+    if train_col is None:
+        train_col = F.pmod(F.col(id_col), F.lit(2)) == 0
+    toks = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.col(label_col).alias("__lab"),
+        train_col.alias("__train"),
+        F.explode(
+            F.filter(
+                F.split(F.col(text_col), " "), lambda t: F.length(t) > 0
+            )
+        ).alias("__word"),
+    )
+    cnt = toks.groupBy("__doc", "__lab", "__train", "__word").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    ).localCheckpoint(eager=False)
+    model = (
+        cnt.where("__train")
+        .groupBy("__lab", "__word")
+        .agg(F.sum("__cnt").cast("long").alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    totals = model.groupBy("__lab").agg(
+        F.sum("__c").cast("long").alias("__n_lab")
+    )
+    vocab = model.agg(
+        F.countDistinct("__word").cast("long").alias("__v")
+    )
+    prior = cnt.where("__train").groupBy("__lab").agg(
+        F.countDistinct("__doc").cast("long").alias("__d_lab")
+    )
+    d_tot = prior.agg(F.sum("__d_lab").cast("long").alias("__d"))
+    prior2 = prior.crossJoin(F.broadcast(d_tot)).select(
+        "__lab",
+        F.round(
+            F.log(F.col("__d_lab").cast("double") / F.col("__d")) * 1e6, 0
+        )
+        .cast("long")
+        .alias("__prior_micro"),
+    )
+    lp = (
+        model.join(totals, "__lab")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "__lab",
+            "__word",
+            F.round(
+                F.log(
+                    (F.col("__c") + 1).cast("double")
+                    / (F.col("__n_lab") + F.col("__v"))
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("__lp_micro"),
+        )
+    )
+    zero = totals.crossJoin(F.broadcast(vocab)).select(
+        "__lab",
+        F.round(
+            F.log(F.lit(1.0) / (F.col("__n_lab") + F.col("__v")))
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("__lp0_micro"),
+    )
+    held = cnt.where(~F.col("__train")).select(
+        "__doc", F.col("__lab").alias("__true"), "__word", "__cnt"
+    )
+    tot_d = held.groupBy("__doc", "__true").agg(
+        F.sum("__cnt").cast("long").alias("__tot")
+    )
+    seen = (
+        held.join(lp.withColumnRenamed("__lab", "__cand"), "__word")
+        .groupBy("__doc", "__cand")
+        .agg(
+            F.sum(F.col("__cnt") * F.col("__lp_micro"))
+            .cast("long")
+            .alias("__s1"),
+            F.sum("__cnt").cast("long").alias("__seen"),
+        )
+    )
+    scores = (
+        tot_d.crossJoin(
+            F.broadcast(
+                prior2.join(zero, "__lab").withColumnRenamed("__lab", "__cand")
+            )
+        )
+        .join(seen, ["__doc", "__cand"], "left")
+        .select(
+            "__doc",
+            "__true",
+            "__cand",
+            (
+                F.col("__prior_micro")
+                + F.coalesce(F.col("__s1"), F.lit(0))
+                + (F.col("__tot") - F.coalesce(F.col("__seen"), F.lit(0)))
+                * F.col("__lp0_micro")
+            ).alias("__score"),
+        )
+    )
+    w = Window.partitionBy("__doc").orderBy(
+        F.col("__score").desc(), "__cand"
+    )
+    pred = scores.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    )
+    return (
+        pred.groupBy(
+            F.col("__true").alias(label_col),
+            F.col("__cand").alias(f"pred_{label_col}"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

@@ -268,3 +268,93 @@ def independence_chi2(
         ).alias("dof"),
         F.max("__n").cast("bigint").alias("n"),
     )
+
+
+def mann_whitney_u(
+    units: DataFrame,
+    treat_col: str = "treat",
+    value_col: str = "value_cents",
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) comparing the treatment and
+    control value distributions — the NONPARAMETRIC sibling of
+    :func:`cuped_adjusted_effect` for skewed metrics where a mean
+    difference is dominated by whales.
+
+    Exactness: U is computed without ranking rows at all —
+    ``U = #pairs(t > c) + ties/2`` over the VALUE-compressed domain:
+    one groupBy(value) rollup to (v, n_treat_v, n_ctrl_v), a cumulative
+    control count over distinct values (window over the compressed
+    domain, same trick as quantile_normalize — |distinct values| rows,
+    never |rows|), then exact integer products. Doubling removes the
+    half: ``u2 = 2·Σ tv·cum_c_less + Σ tv·cv``. The normal
+    approximation carries the tie correction with every moment exact in
+    DECIMAL(38,0)/HUGEINT (t³ sums overflow BIGINT at realistic scales)
+    and spends floats only on the final sqrt/division — bit-identical
+    cross-engine. AUC = U/(n_t·n_c) is the probability a random treated
+    value beats a random control value (common-language effect size).
+
+    Returns one row: (n_treat, n_ctrl, u2_treat, auc, z).
+    """
+    d = _D
+    per_v = (
+        units.select(
+            F.col(value_col).alias("__v"),
+            F.when(F.col(treat_col), 1).otherwise(0).alias("__t"),
+        )
+        .filter(F.col("__v").isNotNull())
+        .groupBy("__v")
+        .agg(
+            F.sum("__t").cast("long").alias("tv"),
+            F.sum(1 - F.col("__t")).cast("long").alias("cv"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    wcum = (
+        Window.orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_v.withColumn(
+        "cum_c_leq", F.sum("cv").over(wcum).cast("long")
+    ).withColumn("cum_c_less", (F.col("cum_c_leq") - F.col("cv")))
+    t_tot = F.col("tv") + F.col("cv")
+    agg = cum.agg(
+        F.sum("tv").cast("long").alias("n_treat"),
+        F.sum("cv").cast("long").alias("n_ctrl"),
+        (
+            F.lit(2) * F.sum(F.col("tv") * F.col("cum_c_less"))
+            + F.sum(F.col("tv") * F.col("cv"))
+        )
+        .cast("long")
+        .alias("u2_treat"),
+        F.sum((t_tot * t_tot * t_tot - t_tot).cast(d))
+        .cast(d)
+        .alias("__tie3"),
+    )
+    n = (F.col("n_treat") + F.col("n_ctrl")).cast(d)
+    nt = F.col("n_treat").cast(d)
+    nc = F.col("n_ctrl").cast(d)
+    # var(U) = nt·nc/12 · ((n+1) − Σ(t³−t)/(n(n−1))); exact numerator /
+    # denominator, one float division + sqrt at the end.
+    var_num = (
+        nt * nc * ((n * (n - 1) * (n + 1)).cast(d) - F.col("__tie3"))
+    ).cast(d)
+    var_den = (F.lit(12).cast(d) * n * (n - 1)).cast(d)
+    z = (
+        (F.col("u2_treat").cast("double") - (nt * nc).cast("double"))
+        / (
+            F.lit(2.0)
+            * F.sqrt(var_num.cast("double") / var_den.cast("double"))
+        )
+    )
+    return agg.select(
+        "n_treat",
+        "n_ctrl",
+        "u2_treat",
+        round_stable(
+            F.col("u2_treat").cast("double")
+            / (F.lit(2.0) * (nt * nc).cast("double")),
+            6,
+        ).alias("auc"),
+        round_stable(z, 4).alias("z"),
+    )

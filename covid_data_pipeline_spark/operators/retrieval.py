@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from covid_data_pipeline_spark.functions.text import tokens
 
@@ -330,4 +331,94 @@ def ndcg_at_k(
             / F.col("idcg_micros").cast("double"),
             4,
         ).alias("ndcg"),
+    )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = (),
+    max_phrase_len: int = 4,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-level RAKE keyword extraction (Rose et al. 2010): split
+    each document into candidate phrases at stopword boundaries, score
+    each member word by degree/frequency over the whole corpus (degree
+    = Σ length of the phrases it appears in, frequency = occurrence
+    count), and rank phrases by the sum of their member word scores —
+    the classic unsupervised keyword extractor next to textrank
+    (co-occurrence degree statistics instead of graph centrality, one
+    pass instead of iterations).
+
+    Exactness: word score is integer millis ``deg·1000 div freq``
+    (floor division, identical both engines); a phrase score is an
+    exact BIGINT sum of member millis, so the global top-k is fully
+    hash-stable with the (score DESC, phrase) tiebreak.
+
+    Scale shape: tokenization + stopword flagging are map-side; phrase
+    ids are ONE per-document window cumsum (partitioned by doc, never
+    global); word stats are one map-side-combining groupBy(word);
+    member->score is a keyed join (AQE broadcasts the |vocab|-sized
+    score relation when it fits, shuffles when it doesn't); the top-k
+    is TakeOrderedAndProject, never a global sort.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(
+            F.filter(
+                F.split(F.col(text_col), " "), lambda t: F.length(t) > 0
+            )
+        ).alias("__pos", "__word"),
+    )
+    flagged = toks.withColumn(
+        "__stop",
+        F.when(F.col("__word").isin(*stopwords), 1).otherwise(0)
+        if stopwords
+        else F.lit(0),
+    )
+    wcum = (
+        Window.partitionBy("__doc")
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pid = flagged.withColumn("__pid", F.sum("__stop").over(wcum))
+    members = (
+        pid.where(F.col("__stop") == 0)
+        .withColumn(
+            "__plen",
+            F.count(F.lit(1)).over(Window.partitionBy("__doc", "__pid")),
+        )
+        .where(F.col("__plen") <= max_phrase_len)
+    )
+    words = members.groupBy("__word").agg(
+        F.count(F.lit(1)).cast("long").alias("__freq"),
+        F.sum("__plen").cast("long").alias("__deg"),
+    )
+    scored = members.join(words, "__word")
+    phrases = (
+        scored.groupBy("__doc", "__pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__word"))),
+                    lambda x: x["__word"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.max("__plen").cast("int").alias("n_words"),
+            F.sum(F.expr("__deg * 1000 div __freq")).cast("long").alias(
+                "__score"
+            ),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("phrase_freq"),
+            F.max("__score").alias("score_milli"),
+        )
+        .orderBy(F.col("score_milli").desc(), "phrase")
+        .limit(k)
     )

@@ -1859,3 +1859,127 @@ def margin_mutual_pairs(
         )
         .filter(F.col("margin_bp") >= F.lit(threshold_bp))
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 8,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998,
+    λ=1/2): per query, greedily pick the candidate maximizing
+    ``λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)`` — the diversity
+    rerank a RAG/retrieval stack runs on its ANN shortlist so the k
+    passages aren't k near-duplicates of the same hit.
+
+    Exactness: every cosine is snapped to integer BASIS POINTS with
+    round-half-up spelled ``floor(x·1e4 + 0.5)`` (never decimal-round a
+    derived value — 0.5·a − 0.5·b of 4-dp values lands exactly on
+    round-ambiguous boundaries), and with λ=1/2 the doubled MMR
+    objective ``mmr_x2_bp = s_bp − max_pair_bp`` is pure BIGINT: the
+    whole greedy trajectory is hash-stable with (score DESC, id)
+    tiebreaks. First pick has an empty selected set (max term 0), so
+    its score is its query similarity.
+
+    Scale shape: the shortlist is a per-query WindowGroupLimit over the
+    corpus scan (swap in the LSH/IVF candidate stage past brute-force
+    scale); the pairwise stage is shortlist²·|queries| rows, never
+    corpus²; the greedy loop runs per query inside ONE applyInPandas
+    over exact int64 frames (bounded: shortlist² rows per group — the
+    isotonic-PAV pattern), so reranking any number of queries is one
+    shuffle on query_id. Returns (query_id, rank, vec_id, mmr_x2_bp).
+    """
+    from pyspark.sql.window import Window as _W
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.col(vec_col).alias("__qvec"),
+        )
+    )
+    bp = lambda c: F.floor(c * 10000.0 + 0.5).cast("long")  # noqa: E731
+    scored = (
+        corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
+        .join(q, F.col("__cid") != F.col("__qid"))
+        .select(
+            "__qid",
+            "__cid",
+            "__cv",
+            bp(cosine(F.col("__cv"), F.col("__qvec"))).alias("__sbp"),
+        )
+    )
+    w = _W.partitionBy("__qid").orderBy(F.col("__sbp").desc(), "__cid")
+    cand = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= shortlist)
+        .drop("__rn")
+        .localCheckpoint(eager=False)  # feeds query-sim rows AND both pair sides
+    )
+    a = cand.select(
+        F.col("__qid").alias("qid"),
+        F.col("__cid").alias("id_a"),
+        F.col("__cv").alias("__va"),
+    )
+    b = cand.select(
+        F.col("__qid").alias("qid"),
+        F.col("__cid").alias("id_b"),
+        F.col("__cv").alias("__vb"),
+    )
+    pairs = (
+        a.join(b, "qid")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            "qid",
+            "id_a",
+            "id_b",
+            bp(cosine(F.col("__va"), F.col("__vb"))).alias("bp"),
+        )
+    )
+    qrows = cand.select(
+        F.col("__qid").alias("qid"),
+        F.col("__cid").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        F.col("__sbp").alias("bp"),
+    )
+    stacked = qrows.unionByName(pairs)
+
+    def _greedy(pdf):
+        import pandas as pd
+
+        qid = int(pdf["qid"].iloc[0])
+        sq = {
+            int(r.id_a): int(r.bp)
+            for r in pdf[pdf["id_b"] == -1].itertuples()
+        }
+        sim: dict[tuple[int, int], int] = {
+            (int(r.id_a), int(r.id_b)): int(r.bp)
+            for r in pdf[pdf["id_b"] != -1].itertuples()
+        }
+        remaining = set(sq)
+        selected: list[int] = []
+        out = []
+        for rank in range(1, min(k, len(sq)) + 1):
+            best = None
+            for d in remaining:
+                mx = max((sim.get((d, s), 0) for s in selected), default=0)
+                score = sq[d] - mx
+                # (score DESC, id ASC) — strictly better, or tie on score
+                # with a smaller id, wins.
+                cur = (-score, d)
+                if best is None or cur < best:
+                    best = cur
+                    best_id, best_score = d, score
+            selected.append(best_id)
+            remaining.discard(best_id)
+            out.append((qid, rank, best_id, best_score))
+        return pd.DataFrame(
+            out, columns=["query_id", "rank", "vec_id", "mmr_x2_bp"]
+        )
+
+    return stacked.groupBy("qid").applyInPandas(
+        _greedy, "query_id long, rank int, vec_id long, mmr_x2_bp long"
+    )
