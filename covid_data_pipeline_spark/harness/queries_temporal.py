@@ -1089,3 +1089,115 @@ def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div 10000"
         ).alias("credit_micros"),
     )
+
+
+@register(
+    "events_logrank_cohorts",
+    """
+    WITH lr_e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800.0
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    lr_sess AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, lr_e.event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM lr_e),
+    lr_ses AS (
+      SELECT user_id, sid, MIN(ts) AS t0, MAX(ts) AS t1
+      FROM lr_sess GROUP BY 1, 2),
+    lr_g AS (SELECT MAX(t1) AS gmax FROM lr_ses),
+    lr_subj AS (
+      SELECT CAST(FLOOR((EPOCH(t1) - EPOCH(t0)) / 60.0) AS BIGINT)
+               AS t_mins,
+             (EPOCH(lr_g.gmax) - EPOCH(t1)) > 1800.0 AS ended,
+             user_id % 2 = 1 AS grp
+      FROM lr_ses CROSS JOIN lr_g),
+    lr_per_t AS (
+      SELECT t_mins,
+             CAST(COUNT(*) AS BIGINT) AS n_ending,
+             CAST(SUM(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ending_1,
+             CAST(SUM(CASE WHEN ended THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN ended AND grp THEN 1 ELSE 0 END) AS BIGINT)
+               AS d1
+      FROM lr_subj GROUP BY 1),
+    lr_risk AS (
+      SELECT t_mins, d, d1,
+             CAST(SUM(n_ending) OVER wf AS BIGINT) AS n,
+             CAST(SUM(n_ending_1) OVER wf AS BIGINT) AS n1
+      FROM lr_per_t
+      WINDOW wf AS (ORDER BY t_mins
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+    lr_steps AS (
+      SELECT d1,
+             CAST(ROUND(1000000.0 * CAST(d::HUGEINT * n1 AS DOUBLE)
+                        / CAST(n AS DOUBLE), 0) AS BIGINT) AS e,
+             CAST(ROUND(1000000.0
+                        * CAST(d::HUGEINT * n1 * (n - n1) * (n - d)
+                               AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                           * CAST(n - 1 AS DOUBLE)), 0) AS BIGINT) AS v
+      FROM lr_risk WHERE d > 0 AND n > 1),
+    lr_tot AS (
+      SELECT CAST(SUM(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_grp1,
+             CAST(SUM(CASE WHEN grp THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_grp0
+      FROM lr_subj),
+    lr_agg AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             CAST(SUM(e) AS BIGINT) AS e1_micro,
+             CAST(SUM(v) AS BIGINT) AS v_micro
+      FROM lr_steps)
+    SELECT t.n_grp1, t.n_grp0, a.o1, a.e1_micro, a.v_micro,
+           (ROUND((CAST(a.o1 AS DOUBLE) - a.e1_micro / 1000000.0)
+                  / sqrt(a.v_micro / 1000000.0), 4) + 0) AS z
+    FROM lr_tot t CROSS JOIN lr_agg a
+    """,
+    tags=("temporal", "survival", "logrank", "experiment"),
+)
+def events_logrank_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (`operators/temporal.py::logrank_test`) comparing
+    censored session-survival between the user_id-parity cohorts over
+    the SAME session subjects as events_kaplan_meier/_nelson_aalen —
+    the inferential step after plotting those curves ("is cohort 1's
+    churn hazard actually different?"). Exact integer O/E/V micro sums
+    on the duration-compressed domain; z spends floats on one division
+    + sqrt."""
+    from covid_data_pipeline_spark.functions.scalar import epoch_seconds
+    from covid_data_pipeline_spark.operators.temporal import logrank_test
+
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.lag("ts").over(w).isNull()
+        | (epoch_seconds("ts") - epoch_seconds(F.lag("ts").over(w)) > 1800.0),
+        1,
+    ).otherwise(0)
+    sess = ev.select("user_id", "ts", "event_id", brk.alias("brk"))
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sid = sess.withColumn("sid", F.sum("brk").over(w_cum))
+    ses = sid.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    g = ses.agg(F.max("t1").alias("gmax"))
+    subj = ses.crossJoin(F.broadcast(g)).select(
+        F.floor((epoch_seconds("t1") - epoch_seconds("t0")) / 60.0)
+        .cast("long")
+        .alias("t_mins"),
+        ((epoch_seconds("gmax") - epoch_seconds("t1")) > 1800.0).alias(
+            "ended"
+        ),
+        (F.pmod(F.col("user_id"), F.lit(2)) == 1).alias("grp"),
+    )
+    return logrank_test(
+        subj, duration_col="t_mins", event_col="ended", group_col="grp"
+    )

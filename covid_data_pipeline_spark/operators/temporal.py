@@ -1021,3 +1021,87 @@ def nelson_aalen(
             ),
         )
     )
+
+
+def logrank_test(
+    subjects: DataFrame,
+    duration_col: str = "t_mins",
+    event_col: str = "ended",
+    group_col: str = "grp",
+) -> DataFrame:
+    """Log-rank (Mantel-Cox) test between two survival cohorts — the
+    inferential companion to :func:`kaplan_meier`/:func:`nelson_aalen`:
+    does cohort 1 churn at a different hazard than cohort 0, accounting
+    for right censoring? At each event time t: observed group-1 events
+    d1_t vs hypergeometric expectation d_t·n1_t/n_t with variance
+    d_t·n1_t·(n_t−n1_t)·(n_t−d_t) / (n_t²·(n_t−1)); the statistic is
+    z = (O1 − E1)/sqrt(V).
+
+    Exactness: all risk/event counts are exact integers on the
+    duration-compressed domain (two suffix-window cumsums, |distinct
+    durations| rows); each per-time E and V term is integer-scaled to
+    micro units after ONE double division over exact integer products
+    (numerators in DECIMAL(38,0)/HUGEINT — n⁴ outgrows BIGINT past
+    ~55k subjects), so the sums are exact BIGINT and z spends floats
+    only on the final division + sqrt. Returns one row:
+    (n_grp1, n_grp0, o1, e1_micro, v_micro, z)."""
+    g1 = F.when(F.col(group_col), 1).otherwise(0)
+    evt = F.when(F.col(event_col), 1).otherwise(0)
+    per_t = subjects.groupBy(duration_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ending"),
+        F.sum(g1).cast("long").alias("n_ending_1"),
+        F.sum(evt).cast("long").alias("d"),
+        F.sum(evt * g1).cast("long").alias("d1"),
+    )
+    w_risk = Window.orderBy(duration_col).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risk = per_t.select(
+        duration_col,
+        "d",
+        "d1",
+        F.sum("n_ending").over(w_risk).cast("long").alias("n"),
+        F.sum("n_ending_1").over(w_risk).cast("long").alias("n1"),
+    )
+    steps = risk.where((F.col("d") > 0) & (F.col("n") > 1))
+    e1_micro = F.round(
+        F.lit(1000000.0)
+        * F.expr("CAST(CAST(d AS DECIMAL(38,0)) * n1 AS DOUBLE)")
+        / F.col("n").cast("double"),
+        0,
+    ).cast("long")
+    v_micro = F.round(
+        F.lit(1000000.0)
+        * F.expr(
+            "CAST(CAST(d AS DECIMAL(38,0)) * n1 * (n - n1) * (n - d)"
+            " AS DOUBLE)"
+        )
+        / (
+            F.col("n").cast("double")
+            * F.col("n").cast("double")
+            * (F.col("n") - 1).cast("double")
+        ),
+        0,
+    ).cast("long")
+    totals = subjects.agg(
+        F.sum(g1).cast("long").alias("n_grp1"),
+        F.sum(1 - g1).cast("long").alias("n_grp0"),
+    )
+    agg = steps.select(
+        "d1", e1_micro.alias("__e"), v_micro.alias("__v")
+    ).agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("__e").cast("long").alias("e1_micro"),
+        F.sum("__v").cast("long").alias("v_micro"),
+    )
+    z = (
+        F.col("o1").cast("double") - F.col("e1_micro") / F.lit(1000000.0)
+    ) / F.sqrt(F.col("v_micro") / F.lit(1000000.0))
+    return totals.crossJoin(F.broadcast(agg)).select(
+        "n_grp1",
+        "n_grp0",
+        "o1",
+        "e1_micro",
+        "v_micro",
+        round_stable(z, 4).alias("z"),
+    )
