@@ -25,17 +25,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 
+_EVENTS_16M_CHECKED = False
+
+
 def _events_16m(spark):
+    """16M synthetic events (64 partitions x 250k rows, 200k users).
+
+    The option names MUST match what `sources/pyds._Opts` parses
+    (numPartitions / rowsPerPartition / nUsers) — rounds 3-5 passed
+    `n_rows`/`n_partitions`/`n_users`, which the source silently
+    ignored, so every "16m" case actually ran on the 8x1000-row
+    DEFAULTS while reporting a hardcoded 16M. The one-time count
+    assertion below is the tripwire against that drift recurring."""
     from covid_data_pipeline_spark.sources.pyds import register_synthetic_source
 
     register_synthetic_source(spark)
-    return (
+    df = (
         spark.read.format("synthetic_events")
-        .option("n_rows", 16_000_000)
-        .option("n_partitions", 64)
-        .option("n_users", 200_000)
+        .option("numPartitions", 64)
+        .option("rowsPerPartition", 250_000)
+        .option("nUsers", 200_000)
         .load()
     )
+    global _EVENTS_16M_CHECKED
+    if not _EVENTS_16M_CHECKED:
+        n = df.count()
+        assert n == 16_000_000, f"synthetic_events option drift: {n} rows"
+        _EVENTS_16M_CHECKED = True
+    return df
 
 
 def case_funnel_16m(spark):
@@ -1295,6 +1312,134 @@ def case_winnowing_100k(spark):
     }
 
 
+
+def case_mmr_rerank_100k(spark):
+    """MMR diversity rerank at 50x the bench corpus: 50 queries against
+    100k xxhash-random vectors, one EXACT clone of each query planted at
+    id+500000. Checks: (a) planted answer — the clone's cosine is the
+    maximum possible, so it must be every query's rank-1 pick; (b) the
+    full integer greedy trajectory is invariant under an adversarial
+    prime repartition (the -0.0/ordering bug class sf0.01 can't see)."""
+    from covid_data_pipeline_spark.operators.similarity import mmr_rerank
+
+    n = 100_000
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), "
+            "j -> pmod(xxhash64(id, j), 10000) / 10000.0 - 0.5)"
+        ).alias("embedding"),
+    )
+    clones = base.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 500_000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(clones)
+    queries = base.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t0 = time.time()
+    out = mmr_rerank(corpus, queries, k=8, shortlist=24)
+    a = sorted(map(tuple, out.collect()))
+    wall = time.time() - t0
+    b = sorted(
+        map(
+            tuple,
+            mmr_rerank(
+                corpus.repartition(37), queries, k=8, shortlist=24
+            ).collect(),
+        )
+    )
+    rank1 = {r[0]: r[2] for r in a if r[1] == 1}
+    planted_ok = all(rank1[q] == q + 500_000 for q in range(50))
+    return {
+        "rows": n + 50,
+        "scale_vs_sf0.1": "50x embeddings, 50 queries",
+        "sec": round(wall, 2),
+        "planted_rank1_ok": planted_ok,
+        "partition_invariant": a == b,
+        "ok": planted_ok and a == b and len(a) == 50 * 8,
+    }
+
+
+def case_mann_whitney_16m(spark):
+    """Rank-sum U over 16M synthetic events (160x sf0.1): treatment
+    values get a planted +80 shift on a 0..9999 base, so AUC must land
+    clearly above 0.5; the exact integer outputs (u2, tie moments) must
+    be bit-identical under a prime repartition — the value-compressed
+    cumulative construction never ranks rows, so the distinct-value
+    window stays ~10k rows at ANY event count."""
+    from covid_data_pipeline_spark.operators.experiment import mann_whitney_u
+
+    ev = _events_16m(spark)
+    units = ev.select(
+        (
+            F.pmod(F.xxhash64("event_id"), F.lit(10000))
+            + F.when(F.pmod(F.col("user_id"), F.lit(2)) == 1, 80).otherwise(0)
+        ).alias("value_cents"),
+        (F.pmod(F.col("user_id"), F.lit(2)) == 1).alias("treat"),
+    )
+    t0 = time.time()
+    a = mann_whitney_u(units).collect()[0]
+    wall = time.time() - t0
+    b = mann_whitney_u(units.repartition(53)).collect()[0]
+    shifted = a["auc"] > 0.5 and a["z"] > 10
+    return {
+        "rows": 16_000_000,
+        "scale_vs_sf0.1": "160x events",
+        "sec": round(wall, 2),
+        "auc": a["auc"],
+        "z": a["z"],
+        "partition_invariant": tuple(a) == tuple(b),
+        "ok": shifted and tuple(a) == tuple(b),
+    }
+
+
+def case_nb_classifier_1m(spark):
+    """Naive Bayes at 1M documents (2000x sf0.01 docs): two planted
+    vocab-disjoint classes (tokens 'a<h>' vs 'b<h>') must classify the
+    500k held-out docs perfectly, and the confusion matrix must be
+    bit-identical under a prime repartition. The sparse unseen-token
+    decomposition keeps the model |observed (class, token) pairs|-sized
+    — no vocab x class grid materializes at any corpus size."""
+    from covid_data_pipeline_spark.operators.classifier import (
+        naive_bayes_confusion,
+    )
+
+    n = 1_000_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "alpha").otherwise("beta").alias("lang"),
+        F.expr(
+            "array_join(transform(sequence(0, 7), j -> concat("
+            "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, "
+            "pmod(xxhash64(id, j), 50))), ' ')"
+        ).alias("text"),
+    )
+    # class = id parity, so the split must NOT be the default id parity
+    # (that would train on one class only): train = id % 4 in {0, 1}.
+    split = F.pmod(F.col("doc_id"), F.lit(4)) < 2
+    t0 = time.time()
+    a = sorted(map(tuple, naive_bayes_confusion(docs, train_col=split).collect()))
+    wall = time.time() - t0
+    b = sorted(
+        map(
+            tuple,
+            naive_bayes_confusion(
+                docs.repartition(41), train_col=split
+            ).collect(),
+        )
+    )
+    perfect = a == [("alpha", "alpha", 250_000), ("beta", "beta", 250_000)]
+    return {
+        "rows": n,
+        "scale_vs_sf0.1": "2000x documents (8-token docs)",
+        "sec": round(wall, 2),
+        "confusion": a,
+        "partition_invariant": a == b,
+        "ok": perfect and a == b,
+    }
+
+
 CASES = {
     "funnel_16m": case_funnel_16m,
     "token_budget_12m": case_token_budget_12m,
@@ -1318,6 +1463,9 @@ CASES = {
     "gsp_16m": case_gsp_16m,
     "ann_ivf_lattice_100k": case_ann_ivf_lattice_100k,
     "winnowing_100k": case_winnowing_100k,
+    "mmr_rerank_100k": case_mmr_rerank_100k,
+    "mann_whitney_16m": case_mann_whitney_16m,
+    "nb_classifier_1m": case_nb_classifier_1m,
 }
 
 
