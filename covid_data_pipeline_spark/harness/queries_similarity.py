@@ -2585,6 +2585,7 @@ FROM mm_all{k}""")
     "similarity_mmr_rerank",
     _mmr_oracle(),
     tags=("similarity", "rerank", "diversity", "mmr"),
+    bench=True,
 )
 def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-Marginal-Relevance diversity rerank of each query's

@@ -2475,6 +2475,7 @@ def rake_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY d.lang, p.cand
     """,
     tags=("text", "classifier", "naive-bayes", "langid"),
+    bench=True,
 )
 def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained on the

@@ -62,6 +62,8 @@ NOTES = {
     "events_mad_outliers": "Domain compression: both medians are selected from the distinct-value COUNT relation (|groups x distinct cents| rows), so no stage sorts or windows raw events; the per-group (median, MAD) pair re-enters through one group-keyed join for a map-side flag.",
     "bm25_search_docs": "One token shuffle builds the posting relation; query terms explode, dedupe and BROADCAST against it; document frequencies are computed over postings semi-joined to the query vocabulary (never |vocab|-wide). Post-match shuffles carry matched postings only; integer-ratio scoring keeps everything codegen'd JVM-side.",
     "market_basket_part_pairs": "Within-order pair self-join fans out <= basket-size^2 per order (linear in orders, never |parts|^2); singles and the order total re-enter as broadcasts; global top-100 is a TakeOrderedAndProject, not a full sort.",
+    "similarity_mmr_rerank": "Shortlist = per-query WindowGroupLimit over one corpus scan against the broadcast query set; pairwise stage is shortlist^2 x |queries| rows (never corpus^2); the greedy loop runs inside ONE applyInPandas keyed by query_id, so any number of queries rerank in a single shuffle. Swap the brute shortlist for the IVF/LSH candidate stage past brute-force scale.",
+    "nb_lang_confusion": "Token counts are one map-side-combining groupBy; the |observed (class, token) pairs|-sized model re-enters through a keyed token join (AQE broadcasts while capped vocabs fit); scoring is one (doc, class) groupBy and the argmax a per-doc window. The sparse unseen-token decomposition means no vocab x class grid ever materializes.",
     "events_cuped_experiment": "Per-user unit build is one groupBy; every CUPED moment comes from ONE map-side-combined aggregate into a single-row combine - no per-group re-entry, no window. DECIMAL(38,0) exact moments; ratios are correctly-rounded double divisions.",
 }
 
