@@ -916,3 +916,105 @@ def stream_markov_counts(
     return src.groupBy(user_col).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_mann_whitney(
+    df: DataFrame,
+    experiment_cols: Sequence[str],
+    treat_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming Mann–Whitney rank-sum monitor: per experiment, the
+    exact integer U statistic re-scored after every micro-batch — the
+    nonparametric live companion to :func:`stream_srm_guard` (is the
+    treated VALUE DISTRIBUTION shifting, not just the assignment
+    ratio?) and the streaming twin of
+    `operators/experiment.py::mann_whitney_u`.
+
+    State is the value-compressed histogram per arm — three parallel
+    arrays (value, n_treat_at_value, n_ctrl_at_value) — so state size
+    is |distinct values|, never row count: integer metrics (cents,
+    counts, scores) keep it bounded by the value domain; bucket
+    continuous metrics upstream. Counts merge by addition, so the
+    drained stream's final emission is bit-identical to the batch
+    operator on the same rows (asserted in tests). Emissions carry ONLY
+    exact integers (u2 = doubled U, arm sizes) — AUC/z are one display
+    division away and belong to the batch readout's float policy.
+    """
+    experiment_cols = list(experiment_cols)
+    fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [fields[c] for c in experiment_cols]
+        + [
+            StructField("n_treat", LongType(), False),
+            StructField("n_ctrl", LongType(), False),
+            StructField("u2_treat", LongType(), False),
+            StructField("n_values", LongType(), False),
+            StructField("n_seen", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("vals", ArrayType(LongType()), True),
+            StructField("tvs", ArrayType(LongType()), True),
+            StructField("cvs", ArrayType(LongType()), True),
+        ]
+    )
+    src = df.select(
+        *experiment_cols,
+        F.col(value_col).cast("long").alias("__v"),
+        F.col(treat_col).cast("boolean").alias("__t"),
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vals, tvs, cvs = state.get
+            hist = {int(v): [int(t), int(c)] for v, t, c in zip(vals, tvs, cvs)}
+        else:
+            hist = {}
+        for pdf in pdfs:
+            sub = pdf[["__v", "__t"]].dropna()
+            for v, t in zip(sub["__v"].astype(int), sub["__t"].astype(bool)):
+                cell = hist.setdefault(int(v), [0, 0])
+                cell[0 if t else 1] += 1
+        if not hist:
+            return
+        vals = sorted(hist)
+        state.update((
+            vals,
+            [hist[v][0] for v in vals],
+            [hist[v][1] for v in vals],
+        ))
+        # exact integer U over the value-compressed domain (same
+        # construction as the batch operator: 2*sum(tv*cum_c_less) +
+        # sum(tv*cv), all Python bigints)
+        u2 = 0
+        cum_c = 0
+        nt = nc = 0
+        for v in vals:
+            tv, cv = hist[v]
+            u2 += 2 * tv * cum_c + tv * cv
+            cum_c += cv
+            nt += tv
+            nc += cv
+        out = pd.DataFrame(
+            {
+                "n_treat": [nt],
+                "n_ctrl": [nc],
+                "u2_treat": [u2],
+                "n_values": [len(vals)],
+                "n_seen": [nt + nc],
+            }
+        )
+        for c, v in zip(experiment_cols, key):
+            out[c] = v
+        yield out[
+            [*experiment_cols, "n_treat", "n_ctrl", "u2_treat",
+             "n_values", "n_seen"]
+        ]
+
+    return src.groupBy(*experiment_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

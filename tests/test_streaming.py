@@ -1248,3 +1248,65 @@ def test_stream_markov_counts_matches_batch(spark, tmp_path):
     }
     assert stream_counts == batch_counts
     assert sum(batch_counts.values()) == 30 * 19
+
+
+def test_stream_mann_whitney_matches_batch(spark, tmp_path):
+    """The drained streaming rank-sum monitor's final integers must be
+    bit-identical to the batch mann_whitney_u on the same rows,
+    including values and transitions split across micro-batches."""
+    from covid_data_pipeline_spark.operators.experiment import mann_whitney_u
+    from covid_data_pipeline_spark.streaming.stateful import (
+        stream_mann_whitney,
+    )
+
+    rows = []
+    for i in range(1200):
+        treat = i % 2 == 1
+        # planted +7 shift on the treated arm over a 0..49 base
+        rows.append(("exp_a", (i * 13) % 50 + (7 if treat else 0), treat))
+        rows.append(("exp_b", (i * 29) % 50, treat))  # no shift
+    src_dir = tmp_path / "mw_src"
+    src_dir.mkdir()
+    third = len(rows) // 3
+    for n, chunk in (
+        ("f1", rows[:third]),
+        ("f2", rows[third : 2 * third]),
+        ("f3", rows[2 * third :]),
+    ):
+        spark.createDataFrame(
+            chunk, "exp string, value_cents long, treat boolean"
+        ).coalesce(1).write.parquet(str(src_dir / f"{n}.parquet"))
+
+    stream = (
+        spark.readStream.schema("exp string, value_cents long, treat boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    q = (
+        stream_mann_whitney(stream, ["exp"], "treat", "value_cents")
+        .writeStream.format("memory")
+        .queryName("mw")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM mw").collect()
+    final = {}
+    for r in got:
+        if r["exp"] not in final or r["n_seen"] > final[r["exp"]]["n_seen"]:
+            final[r["exp"]] = r
+    batch = spark.createDataFrame(
+        rows, "exp string, value_cents long, treat boolean"
+    )
+    for exp in ("exp_a", "exp_b"):
+        b = mann_whitney_u(
+            batch.filter(F.col("exp") == exp), "treat", "value_cents"
+        ).collect()[0]
+        s = final[exp]
+        assert (s["n_treat"], s["n_ctrl"], s["u2_treat"]) == (
+            b["n_treat"], b["n_ctrl"], b["u2_treat"]
+        ), exp
+    # the planted shift is visible in the doubled U (auc > 0.5 <=> u2 > nt*nc)
+    a = final["exp_a"]
+    assert a["u2_treat"] > a["n_treat"] * a["n_ctrl"]
