@@ -2491,3 +2491,87 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return naive_bayes_confusion(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "docs_pii_redaction",
+    r"""
+    WITH pii_src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail' || CAST(doc_id % 13 AS VARCHAR)
+                    || '.example.com or 555-'
+                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+             ELSE text END AS t
+      FROM documents),
+    pii_cnt AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._]+@[A-Za-z0-9.-]+[.][A-Za-z]+')) AS INTEGER)
+               AS n_emails,
+             CAST(len(regexp_extract_all(t,
+               '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+             CAST(len(regexp_extract_all(t,
+               '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+')) AS INTEGER) AS n_ips,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t,
+                   '[A-Za-z0-9._]+@[A-Za-z0-9.-]+[.][A-Za-z]+',
+                   '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+               '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+', '<IP>', 'g') AS redacted
+      FROM pii_src)
+    SELECT doc_id, n_emails, n_phones, n_ips,
+           md5(redacted) AS redacted_md5,
+           CAST(len(redacted) AS INTEGER) AS n_chars_redacted
+    FROM pii_cnt
+    WHERE n_emails + n_phones + n_ips > 0
+    """,
+    tags=("text", "pii", "redaction", "governance"),
+)
+def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit (`operators/quality.py::pii_scrub`): plant a
+    deterministic email + phone + IPv4 on every 7th document, run the
+    detect-and-redact pass, and hash the redacted text — every count
+    AND every redacted byte is driver-verified. RE2-safe character-class
+    patterns keep Java and DuckDB regex semantics identical; emails
+    redact first so their digit runs can't double-count as phones/IPs."""
+    from covid_data_pipeline_spark.operators.quality import pii_scrub
+
+    d = table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail"),
+                (F.col("doc_id") % 13).cast("string"),
+                F.lit(".example.com or 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    out = pii_scrub(planted, text_col="t")
+    return out.where(
+        F.col("n_emails") + F.col("n_phones") + F.col("n_ips") > 0
+    ).select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.md5("redacted").alias("redacted_md5"),
+        F.length("redacted").cast("int").alias("n_chars_redacted"),
+    )

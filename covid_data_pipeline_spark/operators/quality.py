@@ -225,3 +225,43 @@ def mask_columns(df: DataFrame, policies: dict) -> DataFrame:
             raise ValueError(f"mask_columns: unknown policy {policy!r}")
         out = out.withColumn(col, expr)
     return out
+
+
+# PII patterns shared by detect + redact. Kept to RE2-safe syntax
+# (char classes only — no lookaround, no \b) so the DuckDB oracle's
+# regexp engine matches Java's semantics exactly; [.] not \. because
+# the pattern strings cross an f-string/SQL boundary in oracles.
+PII_PATTERNS = (
+    ("EMAIL", r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+[.][A-Za-z]+"),
+    ("PHONE", r"[0-9]{3}-[0-9]{3}-[0-9]{4}"),
+    ("IP", r"[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"),
+)
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: tuple = PII_PATTERNS,
+) -> DataFrame:
+    """Detect-and-redact PII spans (emails, phone numbers, IPv4s) — the
+    scrub step every training-data pipeline runs before text leaves the
+    curation boundary. Appends ``n_<label>`` match counts (on the
+    ORIGINAL text, so audits see what was removed) and a ``redacted``
+    column with each span replaced by its ``<LABEL>`` token, patterns
+    applied in declaration order (emails first: their digit runs must
+    not be double-counted as phones/IPs by later passes).
+
+    Pure codegen'd projection — regexp_count + chained regexp_replace,
+    zero shuffles at any corpus size. Patterns are a parameter:
+    production callers extend with locale-specific ids (IBAN, SSN,
+    national-id shapes) without touching the plumbing."""
+    out = df
+    for label, pat in patterns:
+        out = out.withColumn(
+            f"n_{label.lower()}s",
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("int"),
+        )
+    red = F.col(text_col)
+    for label, pat in patterns:
+        red = F.regexp_replace(red, pat, f"<{label}>")
+    return out.withColumn("redacted", red)

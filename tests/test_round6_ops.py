@@ -127,3 +127,22 @@ def test_attribution_position_weights_sum_to_10000(spark, sf_dir):
         & (F.col("w_bp") != 4000)
     ).count()
     assert edge == 0
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from covid_data_pipeline_spark.operators.quality import pii_scrub
+
+    rows = [
+        (0, "mail me at jo.doe@corp.example.org or call 415-555-0199"),
+        (1, "server at 192.168.0.12 answered"),
+        (2, "nothing sensitive here"),
+        (3, "two mails a@b.io c@d.ai and ip 1.2.3.4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (got[0]["n_emails"], got[0]["n_phones"], got[0]["n_ips"]) == (1, 1, 0)
+    assert got[0]["redacted"] == "mail me at <EMAIL> or call <PHONE>"
+    assert got[1]["redacted"] == "server at <IP> answered"
+    assert got[2]["redacted"] == rows[2][1]
+    assert got[3]["n_emails"] == 2 and got[3]["n_ips"] == 1
+    assert got[3]["redacted"] == "two mails <EMAIL> <EMAIL> and ip <IP>"
