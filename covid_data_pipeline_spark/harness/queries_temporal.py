@@ -1201,3 +1201,100 @@ def events_logrank_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logrank_test(
         subj, duration_col="t_mins", event_col="ended", group_col="grp"
     )
+
+
+@register(
+    "customers_scd2_history",
+    """
+    WITH s1 AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT) AS total_cents
+      FROM orders
+      WHERE o_orderdate >= DATE '1998-01-01' AND o_orderdate < DATE '1998-07-01'
+      GROUP BY o_custkey),
+    s2 AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT) AS total_cents
+      FROM orders
+      WHERE o_orderdate >= DATE '1998-01-01' AND o_orderdate < DATE '1999-01-01'
+      GROUP BY o_custkey),
+    j AS (
+      SELECT COALESCE(s1.o_custkey, s2.o_custkey) AS o_custkey,
+             s1.o_custkey IS NOT NULL AS in_old,
+             s2.o_custkey IS NOT NULL AS in_new,
+             s1.n_orders AS o_n, s1.total_cents AS o_t,
+             s2.n_orders AS n_n, s2.total_cents AS n_t
+      FROM s1 FULL OUTER JOIN s2 ON s1.o_custkey = s2.o_custkey),
+    hist AS (
+      -- unchanged: the open H1 row survives
+      SELECT o_custkey, o_n AS n_orders, o_t AS total_cents,
+             DATE '1998-07-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+             TRUE AS is_current
+      FROM j WHERE in_old AND in_new
+        AND o_n IS NOT DISTINCT FROM n_n AND o_t IS NOT DISTINCT FROM n_t
+      UNION ALL
+      -- changed: H1 row closes at the second effective date
+      SELECT o_custkey, o_n, o_t, DATE '1998-07-01', DATE '1999-01-01', FALSE
+      FROM j WHERE in_old AND in_new
+        AND (o_n IS DISTINCT FROM n_n OR o_t IS DISTINCT FROM n_t)
+      UNION ALL
+      -- changed: a new open row carries the full-year attributes
+      SELECT o_custkey, n_n, n_t, DATE '1999-01-01', NULL, TRUE
+      FROM j WHERE in_old AND in_new
+        AND (o_n IS DISTINCT FROM n_n OR o_t IS DISTINCT FROM n_t)
+      UNION ALL
+      -- new key (H2-only customer): opens at the second effective date
+      SELECT o_custkey, n_n, n_t, DATE '1999-01-01', NULL, TRUE
+      FROM j WHERE NOT in_old AND in_new)
+    SELECT * FROM hist
+    """,
+    tags=("temporal", "scd2", "warehouse", "dimension"),
+)
+def customers_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance, driver-verified end-to-end
+    (`operators/temporal.py::scd2_apply` — previously pytest-only):
+    build the per-customer order-profile dimension from the 1998-H1
+    snapshot, then apply the full-1998 snapshot at the next effective
+    date. Customers with H2 activity close their H1 row and open a new
+    one; H2-only customers open fresh; customers with no H2 orders keep
+    their open H1 row untouched (Kimball semantics). Exact-cent
+    attributes make every change verdict an integer comparison; only the
+    OPEN slice joins the snapshot — one key shuffle per application."""
+    from covid_data_pipeline_spark.operators.temporal import scd2_apply
+    from datetime import date as _date
+
+    orders = table(spark, sf_dir, "orders")
+
+    def snap(d0: str, d1: str) -> DataFrame:
+        return (
+            orders.where(
+                (F.col("o_orderdate") >= F.lit(d0))
+                & (F.col("o_orderdate") < F.lit(d1))
+            )
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.round(F.sum("o_totalprice") * 100, 0)
+                .cast("long")
+                .alias("total_cents"),
+            )
+        )
+
+    h1 = scd2_apply(
+        None,
+        snap("1998-01-01", "1998-07-01"),
+        keys=["o_custkey"],
+        attrs=["n_orders", "total_cents"],
+        effective=_date(1998, 7, 1),
+    )
+    h2 = scd2_apply(
+        h1,
+        snap("1998-01-01", "1999-01-01"),
+        keys=["o_custkey"],
+        attrs=["n_orders", "total_cents"],
+        effective=_date(1999, 1, 1),
+    )
+    return h2.select(
+        "o_custkey", "n_orders", "total_cents",
+        "valid_from", "valid_to", "is_current",
+    )
