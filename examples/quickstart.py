@@ -50,6 +50,22 @@ def main() -> None:
     print("== cosine top-3 ==")
     cosine_topk_bruteforce(emb, queries, k=3).show()
 
+    # 3b. Diversity rerank + PII scrub (round-6 additions): MMR picks
+    # k results that are relevant AND mutually dissimilar; pii_scrub
+    # redacts emails/phones/IPs before text leaves curation.
+    from covid_data_pipeline_spark.operators.quality import pii_scrub
+    from covid_data_pipeline_spark.operators.similarity import mmr_rerank
+
+    print("== MMR diversity rerank (rank, vec_id, doubled-bp score) ==")
+    mmr_rerank(emb, queries, k=3, shortlist=10).show()
+    scrubbed = pii_scrub(
+        docs.limit(3).withColumn(
+            "text", F.concat("text", F.lit(" reach me at a@b.example.com"))
+        )
+    )
+    print("== PII scrub ==")
+    scrubbed.select("doc_id", "n_emails", "redacted").show(truncate=60)
+
     # 4. Snapshots: write, overwrite a partition, time-travel back.
     with tempfile.TemporaryDirectory() as tmp:
         sw = SnapshotWarehouse(spark, tmp)
