@@ -146,3 +146,50 @@ def test_pii_scrub_counts_and_redacts(spark):
     assert got[2]["redacted"] == rows[2][1]
     assert got[3]["n_emails"] == 2 and got[3]["n_ips"] == 1
     assert got[3]["redacted"] == "two mails <EMAIL> <EMAIL> and ip <IP>"
+
+
+def test_mmr_rerank_matches_reference_greedy(spark):
+    """The distributed MMR must equal an independent driver-side greedy
+    reference on the same integer-bp similarities (deterministic
+    pseudo-random vectors; no Spark machinery in the reference)."""
+    import math
+
+    from covid_data_pipeline_spark.operators.similarity import mmr_rerank
+
+    def vec(i):
+        return [((i * 37 + j * 11) % 19) / 19.0 - 0.4 for j in range(8)]
+
+    rows = [(i, vec(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        map(tuple, mmr_rerank(df, queries, k=6, shortlist=12).collect())
+    )
+
+    def bp(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return math.floor(d / (na * nb) * 10000 + 0.5)
+
+    expect = []
+    for qid in (0, 1):
+        qv = dict(rows)[qid]
+        sq = {i: bp(v, qv) for i, v in rows if i != qid}
+        short = sorted(sq, key=lambda i: (-sq[i], i))[:12]
+        sel = []
+        for rank in range(1, 7):
+            best = None
+            for d in short:
+                if d in sel:
+                    continue
+                mx = max((bp(dict(rows)[d], dict(rows)[s]) for s in sel),
+                         default=0)
+                cand = (-(sq[d] - mx), d)
+                if best is None or cand < best:
+                    best = cand
+            sel.append(best[1])
+            expect.append((qid, rank, best[1], -best[0]))
+    assert got == sorted(expect)
