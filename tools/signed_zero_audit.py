@@ -31,15 +31,40 @@ def _is_neg_zero(v: float) -> bool:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # Per-query time budget: the quadratic verification baselines
+    # (exact kNN/bitext all-pairs oracles) take tens of minutes in
+    # DuckDB at sf0.1 and are already guarded — skip past the budget
+    # rather than stalling the whole sweep.
+    budget_s = float(os.environ.get("SZ_AUDIT_BUDGET_S", "60"))
+    import threading
+    import time as _time
+
     report: dict[str, dict] = {}
     for name, spec in QUERIES.items():
         if spec.oracle is None:
             continue
-        try:
-            cols, rows = run_oracle(spec.oracle, sf_dir)
-        except Exception as e:  # noqa: BLE001
-            report[name] = {"error": str(e)[:200]}
+        box: dict = {}
+
+        def _run(sql=spec.oracle):
+            try:
+                box["res"] = run_oracle(sql, sf_dir)
+            except Exception as e:  # noqa: BLE001
+                box["err"] = str(e)[:200]
+
+        t0 = _time.time()
+        th = threading.Thread(target=_run, daemon=True)
+        th.start()
+        th.join(budget_s)
+        if th.is_alive():
+            report[name] = {"skipped": f"> {budget_s}s budget"}
+            print(f"# SKIP {name} (> {budget_s}s)", file=sys.stderr, flush=True)
             continue
+        print(f"# {name} {round(_time.time() - t0, 1)}s",
+              file=sys.stderr, flush=True)
+        if "err" in box:
+            report[name] = {"error": box["err"]}
+            continue
+        cols, rows = box["res"]
         flagged = {}
         for i, c in enumerate(cols):
             neg = negzero = 0
