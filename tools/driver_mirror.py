@@ -98,6 +98,21 @@ def main() -> int:
             sdf = spec.fn(spark, sf_dir)
             spark_cols = list(sdf.columns)
             spark_types = dict(sdf.dtypes)
+            # The DRIVER's canonicalizer pandas-sorts result values and
+            # crashes on unhashable cells (top-level array/map/struct —
+            # r4's array_functions red row). Our string compare below
+            # handles them fine, so without this gate the mirror would
+            # PASS a query the driver records as err. Serialize complex
+            # columns at the query boundary (array_join / to_json).
+            complex_cols = [
+                c for c, t in spark_types.items()
+                if t.startswith(("array", "map", "struct"))
+            ]
+            if complex_cols:
+                raise AssertionError(
+                    "driver-unhashable top-level column(s) "
+                    f"{complex_cols} — serialize at the query boundary"
+                )
             spark_rows = [tuple(_norm(v) for v in r) for r in sdf.collect()]
 
             tbl = con.execute(spec.oracle).arrow()
