@@ -193,3 +193,18 @@ def test_mmr_rerank_matches_reference_greedy(spark):
             sel.append(best[1])
             expect.append((qid, rank, best[1], -best[0]))
     assert got == sorted(expect)
+
+
+def test_hits_int_rejects_zero_iters(spark):
+    """ADVICE r5: iters=0 used to dereference an unbound authority
+    relation; now it's a loud contract error."""
+    import pytest
+
+    from covid_data_pipeline_spark.operators.graph import hits_int
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    with pytest.raises(ValueError, match="iters >= 1"):
+        hits_int(edges, iters=0)
+    # and one legitimate iteration still works end-to-end
+    out = {r["node"]: r for r in hits_int(edges, iters=1).collect()}
+    assert set(out) == {1, 2, 3}
