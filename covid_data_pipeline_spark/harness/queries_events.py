@@ -3233,3 +3233,71 @@ def events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.pmod(F.col("user_id"), F.lit(2)) == 1).alias("treat"),
     )
     return mann_whitney_u(units, treat_col="treat", value_col="value_cents")
+
+
+@register(
+    "events_conversion_ab",
+    """
+    WITH ab_units AS (
+      SELECT user_id,
+             MAX(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS t,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) >= 3
+                  THEN 1 ELSE 0 END AS c
+      FROM events GROUP BY user_id),
+    ab_agg AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n_treat,
+             CAST(SUM(1 - t) AS BIGINT) AS n_ctrl,
+             CAST(SUM(t * c) AS BIGINT) AS conv_treat,
+             CAST(SUM((1 - t) * c) AS BIGINT) AS conv_ctrl
+      FROM ab_units)
+    SELECT n_treat, n_ctrl, conv_treat, conv_ctrl,
+           CAST(CASE WHEN conv_ctrl * n_treat > 0 THEN
+             (conv_treat::HUGEINT * n_ctrl - conv_ctrl::HUGEINT * n_treat)
+               * 10000 // (conv_ctrl::HUGEINT * n_treat) END AS BIGINT)
+             AS lift_bp,
+           (ROUND(CASE WHEN conv_treat + conv_ctrl > 0
+                       AND conv_treat + conv_ctrl < n_treat + n_ctrl
+                       AND n_treat > 0 AND n_ctrl > 0 THEN
+             CAST((conv_treat::HUGEINT * n_ctrl
+                   - conv_ctrl::HUGEINT * n_treat) AS DOUBLE)
+             / sqrt(
+                 CAST((conv_treat + conv_ctrl)::HUGEINT
+                      * (n_treat + n_ctrl - conv_treat - conv_ctrl)
+                      AS DOUBLE)
+                 * CAST(n_treat::HUGEINT * n_ctrl AS DOUBLE)
+                 / CAST(n_treat + n_ctrl AS DOUBLE)) END, 4) + 0) AS z
+    FROM ab_agg
+    """,
+    tags=("events", "experiment", "conversion", "ztest"),
+)
+def events_conversion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion conversion z-test between the user_id-parity arms
+    (`operators/experiment.py::two_proportion_ztest`): converted = the
+    user logs >= 3 purchase events ("ever purchased" saturates at 100%
+    on this corpus and zeroes the pooled variance). The binary-outcome readout between srm_check
+    (arm sizes) and CUPED (continuous value) — exact BIGINT counts,
+    integer basis-point lift, z from one float division+sqrt over exact
+    DECIMAL38/HUGEINT products."""
+    from covid_data_pipeline_spark.operators.experiment import (
+        two_proportion_ztest,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    units = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.pmod(F.col("user_id"), F.lit(2)) == 1, 1).otherwise(0)
+        ).alias("t"),
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 3,
+            1,
+        )
+        .otherwise(0)
+        .alias("c"),
+    ).select(
+        (F.col("t") == 1).alias("treat"), (F.col("c") == 1).alias("converted")
+    )
+    return two_proportion_ztest(units)

@@ -358,3 +358,66 @@ def mann_whitney_u(
         ).alias("auc"),
         round_stable(z, 4).alias("z"),
     )
+
+
+def two_proportion_ztest(
+    units: DataFrame,
+    treat_col: str = "treat",
+    converted_col: str = "converted",
+) -> DataFrame:
+    """Two-proportion z-test on conversion rates — the binary-outcome
+    staple between :func:`srm_check` (are the ARMS sized right?) and
+    :func:`cuped_adjusted_effect` (continuous value): did treatment
+    change the conversion RATE? Pooled-variance z over per-unit
+    booleans, plus the integer-exact lift in basis points.
+
+    Exactness: the four counts are exact BIGINTs from one
+    map-side-combined aggregation; lift_bp is integer floor division
+    (xt·nc−xc·nt scaled against xc·nt); z spends floats on one
+    division+sqrt over exact integer products (DECIMAL(38,0) — n³-scale
+    numerators outgrow BIGINT at ~2M units). Returns one row:
+    (n_treat, n_ctrl, conv_treat, conv_ctrl, lift_bp, z).
+    """
+    d = _D
+    t = F.when(F.col(treat_col), 1).otherwise(0)
+    c = F.when(F.col(converted_col), 1).otherwise(0)
+    agg = units.agg(
+        F.sum(t).cast("long").alias("n_treat"),
+        F.sum(1 - t).cast("long").alias("n_ctrl"),
+        F.sum(t * c).cast("long").alias("conv_treat"),
+        F.sum((1 - t) * c).cast("long").alias("conv_ctrl"),
+    )
+    nt, nc = F.col("n_treat").cast(d), F.col("n_ctrl").cast(d)
+    xt, xc = F.col("conv_treat").cast(d), F.col("conv_ctrl").cast(d)
+    x, n = (xt + xc).cast(d), (nt + nc).cast(d)
+    # z = (xt/nt − xc/nc) / sqrt(p̂(1−p̂)(1/nt + 1/nc)), all moments
+    # exact: numerator (xt·nc − xc·nt)·n, denom² = x(n−x)(nt+nc)·nt·nc/n...
+    # expressed as one division of exact integer products:
+    # z² = (xt·nc − xc·nt)² · n / (x·(n−x)·nt·nc)
+    diff = (xt * nc - xc * nt).cast(d)
+    # degenerate designs (nobody / everybody converted, or an empty
+    # arm) have zero pooled variance: z is undefined — NULL, not an
+    # ANSI divide-by-zero (bit us: "ever purchased" saturates at 100%)
+    z = F.when(
+        (x > 0) & (x < n) & (nt > 0) & (nc > 0),
+        diff.cast("double")
+        / F.sqrt(
+            (x * (n - x)).cast(d).cast("double")
+            * (nt * nc).cast(d).cast("double")
+            / n.cast("double")
+        ),
+    )
+    lift_bp = F.expr(
+        "CAST(CASE WHEN conv_ctrl * n_treat > 0 THEN "
+        "(CAST(conv_treat AS DECIMAL(38,0)) * n_ctrl "
+        " - CAST(conv_ctrl AS DECIMAL(38,0)) * n_treat) * 10000 "
+        "div (CAST(conv_ctrl AS DECIMAL(38,0)) * n_treat) END AS BIGINT)"
+    )
+    return agg.select(
+        "n_treat",
+        "n_ctrl",
+        "conv_treat",
+        "conv_ctrl",
+        lift_bp.alias("lift_bp"),
+        round_stable(z, 4).alias("z"),
+    )

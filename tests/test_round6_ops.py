@@ -208,3 +208,27 @@ def test_hits_int_rejects_zero_iters(spark):
     # and one legitimate iteration still works end-to-end
     out = {r["node"]: r for r in hits_int(edges, iters=1).collect()}
     assert set(out) == {1, 2, 3}
+
+
+def test_two_proportion_ztest_basics(spark):
+    from covid_data_pipeline_spark.operators.experiment import (
+        two_proportion_ztest,
+    )
+
+    # planted: treat converts 60/100, ctrl 40/100
+    rows = [(True, i < 60) for i in range(100)] + [
+        (False, i < 40) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "treat boolean, converted boolean")
+    r = two_proportion_ztest(df).collect()[0]
+    assert (r["conv_treat"], r["conv_ctrl"]) == (60, 40)
+    assert r["lift_bp"] == 5000  # +50%
+    assert 2.5 < r["z"] < 3.2  # classic 0.6-vs-0.4 at n=100: z ~ 2.83
+
+    # degenerate (everybody converts): z is NULL, not a crash
+    sat = spark.createDataFrame(
+        [(i % 2 == 0, True) for i in range(50)],
+        "treat boolean, converted boolean",
+    )
+    r2 = two_proportion_ztest(sat).collect()[0]
+    assert r2["z"] is None
