@@ -3242,7 +3242,7 @@ def events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              MAX(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS t,
              CASE WHEN SUM(CASE WHEN event_type = 'purchase'
-                                THEN 1 ELSE 0 END) >= 3
+                                THEN 1 ELSE 0 END) >= 14
                   THEN 1 ELSE 0 END AS c
       FROM events GROUP BY user_id),
     ab_agg AS (
@@ -3274,8 +3274,9 @@ def events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_conversion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion conversion z-test between the user_id-parity arms
     (`operators/experiment.py::two_proportion_ztest`): converted = the
-    user logs >= 3 purchase events ("ever purchased" saturates at 100%
-    on this corpus and zeroes the pooled variance). The binary-outcome readout between srm_check
+    user logs >= 14 purchase events — the corpus median is ~13 per
+    user, so the split is non-degenerate at every SF ("ever purchased"
+    saturates at 100% and zeroes the pooled variance). The binary-outcome readout between srm_check
     (arm sizes) and CUPED (continuous value) — exact BIGINT counts,
     integer basis-point lift, z from one float division+sqrt over exact
     DECIMAL38/HUGEINT products."""
@@ -3292,7 +3293,7 @@ def events_conversion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.col("event_type") == "purchase", 1).otherwise(0)
             )
-            >= 3,
+            >= 14,
             1,
         )
         .otherwise(0)
