@@ -20,28 +20,44 @@ from covid_data_pipeline_spark.harness.registry import QuerySpec
 from covid_data_pipeline_spark.harness.tables import TABLE_NAMES
 
 
-def run_oracle(sql: str, sf_dir: str):
-    con = duckdb.connect()
+def run_oracle(sql: str, sf_dir: str, con=None):
+    """Run ``sql`` against the parquet views. A caller may pass its own
+    fresh ``con`` (one per query) so it can ``con.interrupt()`` a
+    runaway query from another thread — a daemon-thread timeout alone
+    leaves the DuckDB query burning CPU (r6 ADVICE,
+    tools/signed_zero_audit.py). An owned connection is closed here;
+    a caller-supplied one is the caller's to close."""
+    owned = con is None
+    if owned:
+        con = duckdb.connect()
     try:
         for name in TABLE_NAMES:
             path = os.path.join(sf_dir, f"{name}.parquet")
             if os.path.exists(path):
                 con.execute(
-                    f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+                    f"CREATE OR REPLACE VIEW {name} AS"
+                    f" SELECT * FROM read_parquet('{path}')"
                 )
         cur = con.execute(sql)
         cols = [d[0] for d in cur.description]
         return cols, cur.fetchall()
     finally:
-        con.close()
+        if owned:
+            con.close()
 
 
 def _norm(v):
     if v is None:
         return None
     if isinstance(v, Decimal):
-        # Spark DOUBLE vs DuckDB DECIMAL boundaries compare numerically;
-        # route through the float path so both sides canonicalize alike.
+        # Integral Decimals (DECIMAL(38,0)/HUGEINT rollups) stay exact:
+        # values above 2^53 would lose low bits through float and two
+        # genuinely different huge integers could canonicalize equal
+        # (r6 ADVICE). Only fractional Decimals route through the float
+        # path so Spark DOUBLE vs DuckDB DECIMAL boundaries still
+        # canonicalize alike.
+        if v == v.to_integral_value():
+            return int(v)
         v = float(v)
     if isinstance(v, float):
         if math.isnan(v):

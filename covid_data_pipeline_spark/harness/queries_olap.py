@@ -27,6 +27,11 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 # the size-gate bound for the per-part count broadcasts below. A parquet
 # footer count is cheap but not free — benched queries run it 4x a bench
 # otherwise (the pretrained-ANN-twin memoization pattern).
+# Invalidation assumption (r6 ADVICE): the cache is keyed on the path
+# for the PROCESS lifetime, which is sound because the driver/bench
+# testdata is static; a tool that regenerates parquet under the same
+# path in-process must clear this dict (or the stale bound mis-gates
+# the broadcast decision).
 _N_PARTS_CACHE: dict[str, int] = {}
 
 
@@ -1991,13 +1996,21 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NTILE determinism: every quintile ORDER BY carries custkey as the
     uniqueness tiebreaker, making bucket boundaries identical across
-    engines and runs. Scale shape: one shuffle for the per-customer
-    rollup; the three NTILEs share one single-partition pass over
-    |customers| rows — at warehouse scale you'd swap them for
-    percent_rank over a range-partitioned sort, or bucket boundaries
-    from approx quantiles; the segment CASE itself stays map-side. The
-    max-date anchor re-enters as a broadcast scalar.
+    engines and runs. Scale shape (r6 de-weak): the Spark side runs NO
+    single-partition NTILE — each score is rebuilt from an exact
+    distributed global rank (`operators/sampling.py::value_order_rank`:
+    range buckets over broadcast min/max + tiny offset cumsum +
+    within-bucket row_number) and the closed-form NTILE boundary
+    e_b = b*(n div 5) + min(b, n mod 5), with n a broadcast scalar.
+    Ranks reproduce NTILE's tie-splitting exactly (ties on the metric
+    split across buckets by custkey, same as the oracle's NTILE), so
+    the unchanged NTILE oracle still hash-matches. One per-customer
+    rollup shuffle + three bucket-window exchanges of |customers| rows;
+    the only global windows run over the <=256-row compressed bucket
+    counts. The max-date anchor re-enters as a broadcast scalar.
     """
+    from covid_data_pipeline_spark.operators.sampling import value_order_rank
+
     orders = table(spark, sf_dir, "orders")
     d1 = orders.agg(
         F.max(F.col("o_orderdate").cast("date")).alias("d1")
@@ -2019,17 +2032,40 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    wr = Window.orderBy("recency_days", "custkey")
-    wf = Window.orderBy("frequency", "custkey")
-    wm = Window.orderBy("monetary_cents", "custkey")
-    scored = base.select(
+    # Each value_order_rank consumes its input 3x (min/max agg, bucket
+    # counts, join) and Catalyst shares no subtrees — unchecked, the
+    # 3-rank chain re-runs the orders rollup 27x. localCheckpoint the
+    # COMPACT per-customer relation at each level (the Markov/HITS
+    # lesson), so every stage scans local blocks, not the fact table.
+    base = base.localCheckpoint(eager=False)
+    ranked = value_order_rank(
+        base, "recency_days", "custkey", "__rr"
+    ).localCheckpoint(eager=False)
+    ranked = value_order_rank(
+        ranked, "frequency", "custkey", "__rf"
+    ).localCheckpoint(eager=False)
+    ranked = value_order_rank(ranked, "monetary_cents", "custkey", "__rm")
+    nrow = base.agg(F.count(F.lit(1)).alias("__n"))
+
+    def tile5(rank_col: str):
+        # NTILE(5) from the global rank: the first (n mod 5) buckets
+        # take one extra row; bucket b ends at b*(n div 5) + min(b, rem).
+        t = F.lit(1)
+        for b in range(1, 5):
+            e_b = F.lit(b) * F.expr("__n div 5") + F.least(
+                F.lit(b), F.expr("__n % 5")
+            )
+            t = t + (F.col(rank_col) > e_b).cast("int")
+        return t
+
+    scored = ranked.crossJoin(F.broadcast(nrow)).select(
         "custkey",
         "recency_days",
         "frequency",
         "monetary_cents",
-        (F.lit(6) - F.ntile(5).over(wr)).alias("r_score"),
-        F.ntile(5).over(wf).alias("f_score"),
-        F.ntile(5).over(wm).alias("m_score"),
+        (F.lit(6) - tile5("__rr")).cast("int").alias("r_score"),
+        tile5("__rf").cast("int").alias("f_score"),
+        tile5("__rm").cast("int").alias("m_score"),
     )
     seg = (
         F.when(

@@ -1076,14 +1076,20 @@ def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         )
     )
-    return ranked.select(
+    # Materialize w_bp with withColumn first: referencing a sibling
+    # select alias from credit_micros would lean on Spark's
+    # lateral-column-alias conf (r6 ADVICE) — with
+    # spark.sql.lateralColumnAlias.enableImplicitResolution off the
+    # query would fail analysis under the driver's vanilla session.
+    weighted = ranked.withColumn("w_bp", w_bp.cast("int"))
+    return weighted.select(
         "purchase_id",
         "user_id",
         "touch_id",
         "touch_type",
         F.col("n").cast("bigint").alias("n_touches"),
         F.col("pos").cast("int").alias("pos"),
-        w_bp.cast("int").alias("w_bp"),
+        "w_bp",
         F.expr(
             "CAST(FLOOR(value * 1000000.0) AS BIGINT) * CAST(w_bp AS BIGINT)"
             " div 10000"

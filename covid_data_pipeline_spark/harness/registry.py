@@ -59,19 +59,15 @@ def register(
 
 
 # The external driver verifies a 50-query window in registration order.
-# Round-6 rotation (VERDICT r5 ask #1): keep the 8-query regression core
+# Round-7 rotation (VERDICT r6 ask #1): keep the 8-query regression core
 # as a drift canary and fill the other 42 slots from
-# VERIFIED.json::window_r6 — never-driver-verified queries, old debt
-# first in registry order (graph kcore/ktruss, events stats pack,
-# kmeans/silhouette, retrieval-eval, holt/kaplan-meier families).
-# embedding_standardize (r5's one red row, a -0.0 representation
-# artifact — judge-verified numerically equal) re-enters first after
-# its round_stable boundary fix — VERDICT r5 ask #2's done criterion is
-# a green row IN r6 — displacing docs_nfc_normalize to the r7 fill.
+# VERIFIED.json::suggested_window_r7 — never-driver-verified queries:
+# docs_nfc_normalize (displaced from r6) rejoins first, then the
+# text/split/pack/BPE/DSIR families and the IVF/PQ bench twins.
 # Everything not listed keeps its module registration order after
 # these; oracle-less (rows-only) queries always sort last.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- regression core (driver-proven r1-r5; canary against drift) ---
+    # --- regression core (driver-proven r1-r6; canary against drift) ---
     "mart_analytics",
     "agg_rollup",
     "filter_project",
@@ -80,49 +76,49 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "window_lag_alert",
     "curation_pipeline_docs",
     "tpch_q12_priority_shipping",
-    # --- never-driver-verified fills (VERIFIED.json::window_r6) ---
-    "embedding_standardize",
-    "customers_k_anonymity",
-    "graph_kcore_docs",
-    "graph_ktruss_docs",
-    "minhash_recall_eval",
-    "retained_users_bitmap",
-    "events_growth_accounting",
-    "events_markov_transitions",
-    "events_seasonal_decompose",
-    "events_session_likelihood",
-    "events_dp_released_counts",
-    "events_psi_drift",
-    "events_churn_training_set",
-    "events_sequential_patterns",
-    "events_bootstrap_ci",
-    "events_overdispersion_index",
-    "pareto_front_parts",
-    "zorder_locality_orders",
-    "rendezvous_shard_migration",
-    "benford_order_prices",
-    "rfm_customer_segments",
-    "orders_reconciliation_audit",
-    "knn_link_prediction",
-    "graph_label_propagation",
-    "embeddings_kcenter_coreset",
-    "retrieval_eval_ndcg",
-    "embeddings_dim_mutual_info",
-    "embeddings_auc_eval",
-    "kmeans_cluster_embeddings",
-    "kmeans_silhouette_embeddings",
-    "knn_clustering_coefficient",
-    "knn_degree_assortativity",
-    "embeddings_best_stump",
-    "events_holt_linear",
-    "events_cusum_changepoint",
-    "events_holt_winters",
-    "events_kaplan_meier",
-    "repair_cumulative_monotone",
-    "events_hw_anomalies",
-    "events_ols_trend",
-    "events_nelson_aalen",
-    "docs_char_entropy",
+    # --- never-driver-verified fills (VERIFIED.json::suggested_window_r7) ---
+    "docs_nfc_normalize",
+    "docs_cdc_chunks",
+    "kneser_ney_bigram_lm",
+    "phrase_search_docs",
+    "docs_feature_hashing",
+    "docs_flesch_readability",
+    "zipf_law_fit",
+    "lang_id_confusion",
+    "docs_pmi_collocations",
+    "lang_token_fertility",
+    "corpus_report_card",
+    "sample_per_group_docs",
+    "mixture_sample_docs",
+    "mixture_resample_docs",
+    "train_order_shuffle",
+    "pack_length_bucketed",
+    "pack_bin_manifest",
+    "group_aware_split_docs",
+    "cluster_aware_split_docs",
+    "split_token_stats",
+    "temporal_split_events",
+    "kfold_assign_docs",
+    "label_balanced_embeddings",
+    "temperature_rebalance_docs",
+    "temperature_rebalance_tokens",
+    "bpe_learn_merges",
+    "bpe_compression_curve",
+    "dsir_importance_weights",
+    "dsir_select_topk",
+    "docs_quantile_normalize",
+    "docs_isotonic_calibration",
+    "customers_l_diversity",
+    "dedup_winnowing",
+    "events_acf_daily",
+    "events_conformal_intervals",
+    "item_similarity_topk",
+    "similarity_topk_ivf",
+    "similarity_topk_ivf_pretrained",
+    "similarity_topk_pq",
+    "similarity_topk_pq_pretrained",
+    "hits_knn_docs",
+    "media_neardup_phash",
 )
 
 # Every query module must import cleanly: a blanket try/except here once

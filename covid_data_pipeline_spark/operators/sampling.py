@@ -335,6 +335,63 @@ def global_hash_order(
     )
 
 
+def value_order_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    rank_col: str = "value_rank",
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Exact dense 1-based global rank over ``(value, tiebreak)`` —
+    :func:`global_hash_order`'s two-level construction generalized from
+    a uniform hash key to an arbitrary integral value column, so
+    NTILE/percentile arithmetic can be rebuilt from rank + count
+    without the single-partition global-sort window.
+
+    Buckets are contiguous value ranges from the broadcast min/max
+    (``(v - vmin) div width``) — a pure expression, so boundaries are
+    deterministic and AQE-safe. Per-bucket counts cumsum into offsets
+    (the ONLY global window, over the <= ``num_buckets``-row compressed
+    relation), broadcast back; within-bucket ``row_number`` ordered by
+    ``(value, tiebreak)`` completes the rank. Global rank = offset +
+    local rank, exact because range buckets tile the value space in
+    order and (value, tiebreak) is a total order. Unlike the hash
+    variant, bucket balance follows the VALUE distribution — heavy
+    skew concentrates tasks but never breaks correctness."""
+    vm = df.agg(
+        F.min(value_col).alias("__vmin"), F.max(value_col).alias("__vmax")
+    )
+    keyed = (
+        df.crossJoin(F.broadcast(vm))
+        .withColumn(
+            "__b",
+            F.expr(
+                f"CAST(({value_col} - __vmin) div"
+                f" ((__vmax - __vmin) div {num_buckets} + 1) AS BIGINT)"
+            ),
+        )
+        .drop("__vmin", "__vmax")
+    )
+    counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+    ).select("__b", "__off")
+    w_local = Window.partitionBy("__b").orderBy(
+        F.col(value_col), F.col(tiebreak_col)
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            rank_col,
+            (F.col("__off") + F.row_number().over(w_local)).cast("long"),
+        )
+        .drop("__b", "__off")
+    )
+
+
 def string_group_hash(col: Column | str) -> Column:
     """Portable 32-bit hash of a STRING key: first 8 hex digits of md5,
     parsed as an integer — both engines (and any md5-capable oracle)

@@ -1929,6 +1929,10 @@ def mmr_rerank(
         F.col("__cid").alias("id_b"),
         F.col("__cv").alias("__vb"),
     )
+    # Explicit boolean marker separates query-similarity rows from pair
+    # rows in the stacked frame (r6 ADVICE: an id_b = -1 sentinel would
+    # silently corrupt the greedy input on a corpus containing negative
+    # vec_ids).
     pairs = (
         a.join(b, "qid")
         .where(F.col("id_a") != F.col("id_b"))
@@ -1937,13 +1941,15 @@ def mmr_rerank(
             "id_a",
             "id_b",
             bp(cosine(F.col("__va"), F.col("__vb"))).alias("bp"),
+            F.lit(False).alias("is_query_sim"),
         )
     )
     qrows = cand.select(
         F.col("__qid").alias("qid"),
         F.col("__cid").alias("id_a"),
-        F.lit(-1).cast("long").alias("id_b"),
+        F.col("__cid").alias("id_b"),  # placeholder, unused for query-sim rows
         F.col("__sbp").alias("bp"),
+        F.lit(True).alias("is_query_sim"),
     )
     stacked = qrows.unionByName(pairs)
 
@@ -1953,11 +1959,11 @@ def mmr_rerank(
         qid = int(pdf["qid"].iloc[0])
         sq = {
             int(r.id_a): int(r.bp)
-            for r in pdf[pdf["id_b"] == -1].itertuples()
+            for r in pdf[pdf["is_query_sim"]].itertuples()
         }
         sim: dict[tuple[int, int], int] = {
             (int(r.id_a), int(r.id_b)): int(r.bp)
-            for r in pdf[pdf["id_b"] != -1].itertuples()
+            for r in pdf[~pdf["is_query_sim"]].itertuples()
         }
         remaining = set(sq)
         selected: list[int] = []

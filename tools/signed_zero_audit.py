@@ -44,10 +44,17 @@ def main() -> None:
         if spec.oracle is None:
             continue
         box: dict = {}
+        # Own the connection here so a budget overrun can be
+        # interrupted — abandoning the daemon thread alone leaves the
+        # DuckDB query burning CPU/memory for the rest of the sweep
+        # and skews later per-query timings (r6 ADVICE).
+        import duckdb
 
-        def _run(sql=spec.oracle):
+        con = duckdb.connect()
+
+        def _run(sql=spec.oracle, con=con):
             try:
-                box["res"] = run_oracle(sql, sf_dir)
+                box["res"] = run_oracle(sql, sf_dir, con=con)
             except Exception as e:  # noqa: BLE001
                 box["err"] = str(e)[:200]
 
@@ -56,9 +63,13 @@ def main() -> None:
         th.start()
         th.join(budget_s)
         if th.is_alive():
+            con.interrupt()
+            th.join(5.0)
+            con.close()
             report[name] = {"skipped": f"> {budget_s}s budget"}
             print(f"# SKIP {name} (> {budget_s}s)", file=sys.stderr, flush=True)
             continue
+        con.close()
         print(f"# {name} {round(_time.time() - t0, 1)}s",
               file=sys.stderr, flush=True)
         if "err" in box:
