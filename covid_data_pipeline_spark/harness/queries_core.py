@@ -65,6 +65,7 @@ def mart_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     daily = (
         dim_join(o, c, on=o.o_custkey == c.c_custkey, how="inner")
+        # bcast: const(25) nation dim
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .withColumn("order_date", F.to_date("o_orderdate"))
         .groupBy("order_date", F.col("n_name").alias("nation_name"))
@@ -773,6 +774,7 @@ def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("mktsegment"),
     ).agg(F.count(F.lit(1)).alias("class_size"))
     kt = ka.agg(F.sum("class_size").alias("total"))
+    # bcast: const(1) scalar total agg
     return ka.crossJoin(F.broadcast(kt)).select(
         "nationkey",
         "mktsegment",

@@ -481,6 +481,7 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         active.filter(F.col("week_offset") == 0)
         .select("cohort_week", F.col("active_users").alias("base_users"))
     )
+    # bcast: const calendar-bounded (one row per cohort week)
     return active.join(F.broadcast(base), "cohort_week").select(
         "cohort_week",
         "week_offset",
@@ -1083,6 +1084,7 @@ def funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("lag_s").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # bcast: const(1) scalar total agg
     tot = F.broadcast(by_lag.agg(F.sum("cnt").alias("total")))
     cum = by_lag.withColumn("c", F.sum("cnt").over(w)).crossJoin(tot)
     return cum.agg(
@@ -1249,9 +1251,11 @@ def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     as broadcasts."""
     ev = table(spark, sf_dir, "events")
     per_user = ev.select("user_id", "event_type").distinct()
+    # bcast: const(1) scalar user-count agg
     n_users = F.broadcast(
         per_user.agg(F.countDistinct("user_id").alias("nu"))
     )
+    # bcast: const(|event_types|=5) per-type singles
     singles = F.broadcast(
         per_user.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1388,6 +1392,7 @@ def event_dwell_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cw = Window.orderBy("gap_s").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # bcast: const(1) scalar total agg
     tot = F.broadcast(by_gap.agg(F.sum("cnt").alias("total")))
     cum = by_gap.withColumn("c", F.sum("cnt").over(cw)).crossJoin(tot)
     return cum.agg(
@@ -1475,6 +1480,7 @@ def retention_matrix_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
     first_seen = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    # bcast: const calendar-bounded (one row per cohort day)
     cohort_size = F.broadcast(
         first_seen.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("n0"))
     )
@@ -2027,6 +2033,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = types.agg(F.count(F.lit(1)).alias("k"))
     tot = pairs.groupBy("prev_type").agg(F.sum("cnt").alias("total"))
     grid = (
+        # bcast: const(|event_types|=5) type grid
         tot.crossJoin(F.broadcast(types))
         .join(pairs, ["prev_type", "next_type"], "left")
         .select(
@@ -2040,6 +2047,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").desc(), "next_type"
     )
     return (
+        # bcast: const(1) scalar k agg
         grid.crossJoin(F.broadcast(k))
         .select(
             "prev_type",
@@ -2229,6 +2237,7 @@ def events_session_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("micro"),
     )
     per_user = (
+        # bcast: model(|event_types|^2=25) smoothed transition log-probs
         upair.join(F.broadcast(lp), ["prev_type", "next_type"])
         .groupBy("user_id")
         .agg(
@@ -2433,6 +2442,7 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.floor((F.max("x") - F.min("x")) / 2).cast("long")
         ).alias("sx")
     )
+    # bcast: const(1) scalar split point
     based = base.crossJoin(F.broadcast(split))
     ref = based.where(F.col("x") < F.col("sx"))
     cur = based.where(F.col("x") >= F.col("sx"))
@@ -2446,6 +2456,7 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def rebin(cohort):
         return (
+            # bcast: const(|event_types|=5) per-type bin bounds
             cohort.join(F.broadcast(bounds), "event_type", "left")
             .groupBy("event_type", "event_id")
             .agg(
@@ -2464,6 +2475,7 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = rebin(cur).withColumnRenamed("c", "cc")
     types = base.select("event_type").distinct()
     bins = spark.range(1, 11).select(F.col("id").cast("int").alias("bin"))
+    # bcast: const(10) decile bin ids
     grid = types.crossJoin(F.broadcast(bins))
     cnt = (
         grid.join(rc, ["event_type", "bin"], "left")
@@ -2563,6 +2575,7 @@ def events_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("x") / 7).cast("long").alias("wk"),
     )
     lw = base.agg(F.max("wk").alias("lw"))
+    # bcast: const(1) scalar last-week agg
     based = base.crossJoin(F.broadcast(lw))
     feat = (
         based.where(F.col("wk") < F.col("lw"))
@@ -2680,11 +2693,13 @@ def events_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup2 = pair.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support2"))
     keep2 = (
+        # bcast: const(1) scalar user-count agg
         sup2.crossJoin(F.broadcast(nu))
         .where(F.col("support2") * 20 >= F.col("nu"))
         .select("a", "b")
     )
     triple = (
+        # bcast: const(<=|event_types|^2=25) support-kept type pairs
         pair.join(F.broadcast(keep2), ["a", "b"])
         .join(e, "user_id")
         .where(F.col("rn") > F.col("p2"))
@@ -2696,6 +2711,7 @@ def events_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rw = Window.orderBy(F.col("support").desc(), "a", "b", "c")
     return (
+        # bcast: const(1) scalar user-count agg
         sup3.crossJoin(F.broadcast(nu))
         .where(F.col("support") * 20 >= F.col("nu"))
         .select(

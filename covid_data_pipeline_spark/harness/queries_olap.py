@@ -834,6 +834,7 @@ def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     nat = (
         o.join(c, o.o_custkey == c.c_custkey)
+        # bcast: const(25) nation dim
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_regionkey").alias("regionkey"),
@@ -1251,8 +1252,10 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # bcast: const(1) scalar total agg
     tot = F.broadcast(by_val.agg(F.sum("cnt").alias("total")))
     cum = by_val.withColumn("c", F.sum("cnt").over(w)).crossJoin(tot)
+    # bcast: const(9) decile thresholds
     th = F.broadcast(
         cum.agg(
             *[
@@ -1317,7 +1320,9 @@ def revenue_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region")
     rev = (
         o.join(c, o.o_custkey == c.c_custkey)
+        # bcast: const(25) nation dim
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        # bcast: const(5) region dim
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(
             F.col("r_name").alias("region"), F.col("n_name").alias("nation")
@@ -1328,9 +1333,11 @@ def revenue_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("cents")
         )
     )
+    # bcast: const(5) per-region rollup
     reg = F.broadcast(
         rev.groupBy("region").agg(F.sum("cents").alias("reg_cents"))
     )
+    # bcast: const(1) scalar total agg
     tot = F.broadcast(rev.agg(F.sum("cents").alias("total_cents")))
     return (
         rev.join(reg, "region")
@@ -1394,6 +1401,7 @@ def revenue_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("cents").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # bcast: const(1) threshold/total agg
     tot = F.broadcast(
         by_val.agg(
             F.sum(F.col("cents") * F.col("cnt")).alias("rev_total"),
@@ -1628,6 +1636,7 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "part_b",
         )
+        # bcast: const(1) scalar order-count agg
         .crossJoin(F.broadcast(n_orders))
         .withColumn(
             "lift_bp",
@@ -1932,6 +1941,7 @@ def benford_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = obs.agg(F.sum("n_obs").alias("n"))
     p = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
     e_micro = F.round(F.col("n") * p * 1000000.0, 0).cast("long")
+    # bcast: const(1) scalar total agg
     out = obs.crossJoin(F.broadcast(tot)).withColumn(
         "expected_micro", e_micro
     )
@@ -2024,6 +2034,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("o_totalprice") * 100, 0).cast("long")
             ).alias("monetary_cents"),
         )
+        # bcast: const(1) scalar max-date anchor
         .crossJoin(F.broadcast(d1))
         .select(
             "custkey",
@@ -2058,6 +2069,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             t = t + (F.col(rank_col) > e_b).cast("int")
         return t
 
+    # bcast: const(1) scalar row-count agg
     scored = ranked.crossJoin(F.broadcast(nrow)).select(
         "custkey",
         "recency_days",

@@ -20,6 +20,8 @@ from pyspark.sql.window import Window
 
 from covid_data_pipeline_spark.functions.scalar import round_stable
 from covid_data_pipeline_spark.harness.registry import register, table
+from covid_data_pipeline_spark.harness.tables import dim_count
+from covid_data_pipeline_spark.operators.relational import size_gated_broadcast
 from covid_data_pipeline_spark.operators.multimodal import (
     chunk_audio_plan,
     decode_and_featurize_images,
@@ -1726,10 +1728,13 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = F.array_max(F.transform(vd, F.abs))
     qv8 = F.transform(vd, lambda x: F.round(x * 127.0 / mx, 0))
     qz = e.select("vec_id", qv8.alias("qv8"))
-    sysq = F.broadcast(
+    # bcast: gated query side is 1/25 of the corpus (SF-scaled);
+    # metadata-count bound, keyed join past the gate limit
+    sysq = size_gated_broadcast(
         qz.where(F.col("vec_id") % 25 == 0).select(
             F.col("vec_id").alias("query_id"), F.col("qv8").alias("qqv")
-        )
+        ),
+        dim_count(spark, sf_dir, "embeddings") // 25 + 1,
     )
     sys_sc = (
         qz.crossJoin(sysq)
@@ -2305,6 +2310,7 @@ def embeddings_best_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.where(F.col("pos") == 1)
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("c"))
+        # bcast: const(1) scalar root-count agg
         .crossJoin(F.broadcast(tot))
         .agg(
             F.sum(
@@ -2316,6 +2322,7 @@ def embeddings_best_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h_total")
         )
     )
+    # bcast: const(1) root entropy agg
     gain = split_h.crossJoin(F.broadcast(h0)).select(
         "pos",
         "tile",
@@ -2330,6 +2337,7 @@ def embeddings_best_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bounds, ["pos", "tile"])
     )
     rw = Window.orderBy(F.col("gain_scaled").desc(), "pos")
+    # bcast: const(1) scalar root-count agg
     return best.crossJoin(F.broadcast(tot)).select(
         (F.col("pos") - 1).cast("int").alias("dim_idx"),
         F.col("tile").cast("int").alias("threshold_tile"),

@@ -643,6 +643,7 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("t0"), F.max("ts").alias("t1")
     )
     g = ses.agg(F.max("t1").alias("gmax"))
+    # bcast: const(1) scalar max-ts anchor
     subj = ses.crossJoin(F.broadcast(g)).select(
         F.floor((epoch_seconds("t1") - epoch_seconds("t0")) / 60.0)
         .cast("long")
@@ -961,6 +962,7 @@ def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("t0"), F.max("ts").alias("t1")
     )
     g = ses.agg(F.max("t1").alias("gmax"))
+    # bcast: const(1) scalar max-ts anchor
     subj = ses.crossJoin(F.broadcast(g)).select(
         F.floor((epoch_seconds("t1") - epoch_seconds("t0")) / 60.0)
         .cast("long")
@@ -1195,6 +1197,7 @@ def events_logrank_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("t0"), F.max("ts").alias("t1")
     )
     g = ses.agg(F.max("t1").alias("gmax"))
+    # bcast: const(1) scalar max-ts anchor
     subj = ses.crossJoin(F.broadcast(g)).select(
         F.floor((epoch_seconds("t1") - epoch_seconds("t0")) / 60.0)
         .cast("long")

@@ -395,6 +395,7 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df_, "term")
+        # bcast: const(1) scalar corpus-size agg
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -792,6 +793,7 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", F.lit(1).alias("__in_vocab"))
     )
     return (
+        # bcast: model(400) capped vocab top-k
         occ.join(F.broadcast(vocab), "tok", "left")
         .groupBy("doc_id")
         .agg(
@@ -847,6 +849,7 @@ def term_drift_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("cohort") == "a", 1).otherwise(0)).alias("cnt_a"),
         F.sum(F.when(F.col("cohort") == "b", 1).otherwise(0)).alias("cnt_b"),
     )
+    # bcast: const(1) two-cohort totals agg
     tot = F.broadcast(
         counts.agg(
             F.sum("cnt_a").alias("ta"), F.sum("cnt_b").alias("tb")
@@ -906,6 +909,7 @@ def token_mass_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("n_tokens").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # bcast: const(1) scalar total-mass agg
     tot = F.broadcast(by_len.agg(F.sum("mass").alias("total")))
     cum = by_len.withColumn("cum_mass", F.sum("mass").over(w)).crossJoin(tot)
     return cum.agg(
@@ -1872,7 +1876,9 @@ def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         big.where(F.col("c12") >= 5)
         .join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("cu1")), "w1")
         .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("cu2")), "w2")
+        # bcast: const(1) scalar token-count agg
         .crossJoin(F.broadcast(n))
+        # bcast: const(1) scalar bigram-count agg
         .crossJoin(F.broadcast(b))
         .select(
             "w1",
@@ -2000,6 +2006,7 @@ def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lang = rcd.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
     ent = (
+        # bcast: const(1) scalar doc-count agg
         lang.crossJoin(F.broadcast(tot.select("n_docs")))
         .agg(
             F.sum(
@@ -2012,6 +2019,7 @@ def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ent_micro")
         )
     )
+    # bcast: const(1) scalar entropy agg
     return tot.crossJoin(F.broadcast(ent)).select(
         "n_docs",
         "n_langs",
@@ -2230,6 +2238,7 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     beta = num / den
     return (
+        # bcast: const(1) normal-equation sums agg
         hs.crossJoin(F.broadcast(tot))
         .select(
             "n_docs",
@@ -2304,6 +2313,7 @@ def docs_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny ordered window over distinct values."""
     d = table(spark, sf_dir, "documents").where(F.col("source").isNotNull())
     first_src = d.agg(F.min("source").alias("m"))
+    # bcast: const(1) scalar first-source anchor
     sides = d.crossJoin(F.broadcast(first_src)).select(
         F.when(F.col("source") == F.col("m"), 0).otherwise(1).alias("side"),
         F.length("text").alias("v"),
@@ -2320,6 +2330,7 @@ def docs_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = per_v.select(
         F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
     )
+    # bcast: const(1) scalar side-count agg
     kd = cum.crossJoin(F.broadcast(kn)).agg(
         F.max(
             F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))

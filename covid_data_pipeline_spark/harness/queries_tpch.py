@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from covid_data_pipeline_spark.functions.scalar import round_stable
 from covid_data_pipeline_spark.harness.registry import register, table
+from covid_data_pipeline_spark.harness.tables import dim_count
+from covid_data_pipeline_spark.operators.relational import size_gated_broadcast
 
 
 @register(
@@ -94,7 +96,9 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(s, (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        # bcast: const(25) nation dim
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        # bcast: const(5) region dim
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
@@ -136,6 +140,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
+        # bcast: const(25) nation dim
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -303,7 +308,8 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zero = F.lit(0).cast("decimal(18,4)")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # bcast: gated part dim (SF-scaled; metadata-count bound)
+        li.join(size_gated_broadcast(p, dim_count(spark, sf_dir, "part")), li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -392,7 +398,8 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     full predicate needs both tables."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    # bcast: gated part dim (SF-scaled; metadata-count bound)
+    j = li.join(size_gated_broadcast(p, dim_count(spark, sf_dir, "part")), p.p_partkey == li.l_partkey)
     cond = (
         (F.col("p_brand") == "Brand#12")
         & F.col("p_size").between(1, 15)
@@ -484,7 +491,9 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     eligible = (
         offers.join(s, offers.l_suppkey == s.s_suppkey)
+        # bcast: const(25) nation dim
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        # bcast: const(5) region dim
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("l_partkey", "unit_price", "s_name", "s_acctbal", "n_name")
     )
@@ -494,7 +503,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     return (
-        F.broadcast(p)
+        # bcast: gated part dim (SF-scaled; metadata-count bound)
+        size_gated_broadcast(p, dim_count(spark, sf_dir, "part"))
         .join(best, p.p_partkey == best.l_partkey)
         .select(
             "p_partkey",
@@ -557,7 +567,9 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(li, s.s_suppkey == li.l_suppkey)
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
+        # bcast: const(25) nation dim
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        # bcast: const(25) nation dim
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
         .groupBy(
@@ -633,13 +645,17 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zero = F.lit(0).cast("decimal(18,4)")
     return (
-        F.broadcast(p)
+        # bcast: gated part dim (SF-scaled; metadata-count bound)
+        size_gated_broadcast(p, dim_count(spark, sf_dir, "part"))
         .join(li, p.p_partkey == li.l_partkey)
         .join(s, s.s_suppkey == li.l_suppkey)
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
+        # bcast: const(25) nation dim
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        # bcast: const(5) region dim
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        # bcast: const(25) nation dim
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year(F.to_date("o_orderdate")).alias("o_year"))
         .agg(
@@ -698,10 +714,12 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity"
     ).cast("decimal(18,4)")
     return (
-        F.broadcast(p)
+        # bcast: gated part dim (SF-scaled; metadata-count bound)
+        size_gated_broadcast(p, dim_count(spark, sf_dir, "part"))
         .join(li, p.p_partkey == li.l_partkey)
         .join(s, s.s_suppkey == li.l_suppkey)
         .join(o, o.o_orderkey == li.l_orderkey)
+        # bcast: const(25) nation dim
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -741,6 +759,7 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
     vpp = (
         li.join(s, li.l_suppkey == s.s_suppkey)
+        # bcast: const(25) nation dim (filtered)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("part_value"))
@@ -749,6 +768,7 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("part_value") * F.lit("0.001").cast("decimal(8,3)")).alias("_threshold")
     )
     return (
+        # bcast: const(1) scalar threshold agg
         vpp.crossJoin(F.broadcast(total))
         .filter(F.col("part_value") > F.col("_threshold"))
         .select(
@@ -832,9 +852,11 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = revenue.agg(F.max("total_revenue").alias("_max_rev"))
     s = table(spark, sf_dir, "supplier")
     return (
+        # bcast: const(1) scalar max agg
         revenue.crossJoin(F.broadcast(top))
         .filter(F.col("total_revenue") == F.col("_max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        # bcast: gated supplier dim (SF-scaled; metadata-count bound)
+        .join(size_gated_broadcast(s, dim_count(spark, sf_dir, "supplier")), F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -877,8 +899,10 @@ def tpch_q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(blacklist), li.l_suppkey == blacklist.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # bcast: gated supplier dim (SF-scaled; metadata-count bound)
+        li.join(size_gated_broadcast(blacklist, dim_count(spark, sf_dir, "supplier")), li.l_suppkey == blacklist.s_suppkey, "left_anti")
+        # bcast: gated part dim (SF-scaled; metadata-count bound)
+        .join(size_gated_broadcast(p, dim_count(spark, sf_dir, "part")), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -914,7 +938,8 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         F.avg("l_quantity").alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # bcast: gated part dim (SF-scaled; metadata-count bound)
+        li.join(size_gated_broadcast(p, dim_count(spark, sf_dir, "part")), li.l_partkey == p.p_partkey)
         .join(avg_qty, li.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
@@ -969,7 +994,8 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
     shipped = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # bcast: gated part dim (SF-scaled; metadata-count bound)
+        li.join(size_gated_broadcast(p, dim_count(spark, sf_dir, "part")), li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -1043,7 +1069,9 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         marked.join(order_stats, marked.l_orderkey == F.col("os_orderkey"))
         .filter((F.col("is_late") == 1) & (F.col("nsupp") >= 2) & (F.col("nlate") == 1))
-        .join(F.broadcast(s), marked.l_suppkey == s.s_suppkey)
+        # bcast: gated supplier dim (SF-scaled; metadata-count bound)
+        .join(size_gated_broadcast(s, dim_count(spark, sf_dir, "supplier")), marked.l_suppkey == s.s_suppkey)
+        # bcast: const(25) nation dim
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
@@ -1092,6 +1120,7 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = table(spark, sf_dir, "orders").select("o_custkey")
     return (
+        # bcast: const(1) scalar avg agg
         pool.crossJoin(F.broadcast(thr))
         .filter(F.col("bal") > F.col("avg_bal"))
         .join(o, pool.c_custkey == o.o_custkey, "left_anti")

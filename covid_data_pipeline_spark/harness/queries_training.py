@@ -700,6 +700,7 @@ def temporal_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("nd"),
     )
+    # bcast: const(1) scalar cutoff agg
     cutoff = F.broadcast(
         ranked.agg(
             F.max(

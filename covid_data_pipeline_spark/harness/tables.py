@@ -40,6 +40,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# Memoized parquet-metadata row counts, used as size-gate bounds for
+# dimension broadcasts (operators.relational.size_gated_broadcast).
+# Keyed on (sf_dir, name) for the process lifetime — sound for the
+# static driver/bench testdata; a tool that regenerates parquet under
+# the same path in-process must clear this dict.
+_DIM_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def dim_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Cheap upper bound on a dimension's row count (parquet footer
+    count, memoized). Callers pass it to ``size_gated_broadcast`` so a
+    force-broadcast of an SF-scaled dimension (part, supplier) degrades
+    to a keyed shuffle join past the gate's row limit instead of a
+    driver OOM at catalog scale."""
+    key = (sf_dir, name)
+    if key not in _DIM_COUNT_CACHE:
+        _DIM_COUNT_CACHE[key] = table(spark, sf_dir, name).count()
+    return _DIM_COUNT_CACHE[key]
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
 

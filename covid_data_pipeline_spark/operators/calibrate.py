@@ -85,6 +85,7 @@ def quantile_normalize(
         .withColumn(
             "__n_g", F.count(F.lit(1)).over(Window.partitionBy(group_col))
         )
+        # bcast: const(1) scalar total agg
         .crossJoin(F.broadcast(total))
         .withColumn(
             "__pos",

@@ -492,6 +492,7 @@ def naive_bayes_confusion(
         F.countDistinct("__doc").cast("long").alias("__d_lab")
     )
     d_tot = prior.agg(F.sum("__d_lab").cast("long").alias("__d"))
+    # bcast: const(1) scalar doc-total agg
     prior2 = prior.crossJoin(F.broadcast(d_tot)).select(
         "__lab",
         F.round(
@@ -502,6 +503,7 @@ def naive_bayes_confusion(
     )
     lp = (
         model.join(totals, "__lab")
+        # bcast: const(1) scalar vocab-size agg
         .crossJoin(F.broadcast(vocab))
         .select(
             "__lab",
@@ -518,6 +520,7 @@ def naive_bayes_confusion(
             .alias("__lp_micro"),
         )
     )
+    # bcast: const(1) scalar vocab-size agg
     zero = totals.crossJoin(F.broadcast(vocab)).select(
         "__lab",
         F.round(
@@ -546,6 +549,7 @@ def naive_bayes_confusion(
     )
     scores = (
         tot_d.crossJoin(
+            # bcast: model(|classes|) per-class prior+floor
             F.broadcast(
                 prior2.join(zero, "__lab").withColumnRenamed("__lab", "__cand")
             )

@@ -105,6 +105,7 @@ def _score(q: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # bcast: model(k) centroid set
     return q.crossJoin(F.broadcast(cdf)).select("_id", "cid", d.alias("d"))
 
 

@@ -57,6 +57,7 @@ def contaminated_ids(
         corpus.select(id_col, text_col), text_col, ngram, hash_grams
     )
     return (
+        # bcast: model eval-suite gram keys (benchmarks are bounded by contract)
         corpus_grams.join(F.broadcast(bench), "_gram_key", "left_semi")
         .select(id_col)
         .distinct()

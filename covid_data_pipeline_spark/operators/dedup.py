@@ -785,6 +785,7 @@ def incremental_lsh_pairs(
             .drop("__bsz")
         )
     banded_delta = banded_all.join(
+        # bcast: delta incremental-batch ids (|delta| contract documented above; bulk backfills route to from-scratch)
         F.broadcast(ids), banded_all[id_col] == ids["__delta_id"]
     ).drop("__delta_id")
     l, r = banded_delta.alias("l"), banded_all.alias("r")

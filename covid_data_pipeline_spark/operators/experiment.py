@@ -246,8 +246,10 @@ def independence_chi2(
     cols = base.groupBy("__c").agg(F.count(F.lit(1)).cast(d38).alias("__ct"))
     n_row = base.agg(F.count(F.lit(1)).cast(d38).alias("__n"))
     grid = (
+        # bcast: const(|categories|) per-column marginals
         rows.crossJoin(F.broadcast(cols))
         .join(obs, ["__r", "__c"], "left")
+        # bcast: const(1) scalar n agg
         .crossJoin(F.broadcast(n_row))
         .withColumn("__o", F.coalesce(F.col("__o"), F.lit(0).cast(d38)))
     )

@@ -279,6 +279,7 @@ def pagerank_int(
     e_deg = e.join(deg, "src").repartition("src").localCheckpoint(eager=False)
     if sources is None:
         n_row = nodes.agg(F.count(F.lit(1)).alias("__n"))
+        # bcast: const(1) scalar node-count agg
         base = nodes.crossJoin(F.broadcast(n_row))
         teleport = F.expr(
             f"CAST({scale * (damping_den - damping_num)} AS BIGINT)"
@@ -303,7 +304,9 @@ def pagerank_int(
         )
         n_row = srcs.agg(F.count(F.lit(1)).alias("__n"))
         base = (
+            # bcast: delta personalization source set (caller-bounded)
             nodes.join(F.broadcast(srcs), "node", "left")
+            # bcast: const(1) scalar source-count agg
             .crossJoin(F.broadcast(n_row))
             .localCheckpoint(eager=False)
         )
@@ -800,6 +803,7 @@ def hits_int(
         mx = raw.agg(F.max("raw").alias("__mx"))
         return (
             nodes.join(raw, "node", "left")
+            # bcast: const(1) scalar max-score agg
             .crossJoin(F.broadcast(mx))
             .select(
                 "node",

@@ -96,11 +96,13 @@ def heavy_hitters(
     )
     candidates = summary.where(F.col("item").isNotNull()).select("item").distinct()
     exact = (
+        # bcast: model(<=k x partitions) Misra-Gries candidate summary
         items.join(F.broadcast(candidates), "item")
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return (
+        # bcast: const(1) scalar total agg
         exact.join(F.broadcast(total))
         .where(F.col("cnt") * F.lit(k + 1) > F.col("n"))
         .select("item", "cnt")

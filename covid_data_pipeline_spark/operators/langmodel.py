@@ -113,6 +113,7 @@ def score_bigram_perplexity(
     lp = (
         pairs.join(bigram_counts, ["w1", "w2"], "left")
         .join(context_counts, ["w1"], "left")
+        # bcast: const(1) scalar vocab-size agg
         .join(F.broadcast(vocab))
         .select(
             id_col,
@@ -187,6 +188,7 @@ def kneser_ney_bigrams(
     scored = (
         cb.join(lft, "w1")
         .join(rgt, "w2")
+        # bcast: const(1) scalar totals agg
         .crossJoin(F.broadcast(tt))
         .select(
             "w1",

@@ -48,6 +48,7 @@ def dim_join(
     the fact-side shuffle entirely — the single most important join choice
     at 100 TB fact scale.
     """
+    # bcast: delta caller dim contract (broadcast_dim flag; size_gated_broadcast for unbounded dims)
     d = F.broadcast(dim) if broadcast_dim else dim
     return fact.join(d, on=on, how=how)
 
@@ -113,6 +114,7 @@ def map_values_join(
     map_df = spark.createDataFrame(
         [(k, v) for k, v in mapping.items()], schema=f"__mv_src string, __mv_dst string"
     )
+    # bcast: const(|mapping|) literal mapping table
     joined = df.join(F.broadcast(map_df), df[col] == map_df["__mv_src"], "left")
     return joined.withColumn(out, F.coalesce(F.col("__mv_dst"), F.col(col))).drop(
         "__mv_src", "__mv_dst"
@@ -175,6 +177,7 @@ def winsorize_bounds(
         ).alias("hi_bound"),
     )
     return (
+        # bcast: model(|groups|) per-group quantile bounds (low-cardinality group contract)
         df.join(F.broadcast(bounds), groups)
         .groupBy(*groups)
         .agg(

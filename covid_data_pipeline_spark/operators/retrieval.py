@@ -95,23 +95,29 @@ def bm25_topk(
     )
     qvocab = qterms.select("__term").distinct()
     dfreq = (
+        # bcast: delta distinct query terms
         postings.join(F.broadcast(qvocab), "__term")
         .groupBy("__term")
         .agg(F.count(F.lit(1)).alias("__df"))
     )
     if max_df_frac is not None:
+        # bcast: const(1) scalar corpus totals
         dfreq = dfreq.crossJoin(F.broadcast(totals)).filter(
             F.col("__df") <= F.lit(max_df_frac) * F.col("__N")
         ).select("__term", "__df")
         qterms = qterms.join(
+            # bcast: delta df-filtered query terms
             F.broadcast(dfreq.select("__term")), "__term", "left_semi"
         )
 
     d38 = lambda c: c.cast(_D38)  # noqa: E731
     matched = (
+        # bcast: delta query terms
         postings.join(F.broadcast(qterms), "__term")
+        # bcast: delta query-term document frequencies
         .join(F.broadcast(dfreq), "__term")
         .join(dl, "__doc")
+        # bcast: const(1) scalar corpus totals
         .crossJoin(F.broadcast(totals))
     )
     idf = F.log(

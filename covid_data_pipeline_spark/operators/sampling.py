@@ -225,6 +225,7 @@ def mixture_sample(
         .select(group_col, "__rate")
     )
     return (
+        # bcast: const(|weights|) mixture-group rates
         df.join(F.broadcast(rates), group_col)
         .filter(knuth_hash(id_col) < F.col("__rate") * F.lit(HASH_MOD))
         .drop("__rate")
@@ -275,6 +276,7 @@ def mixture_resample(
         knuth_hash(id_col) < frac * F.lit(HASH_MOD), F.lit(1)
     ).otherwise(F.lit(0))
     return (
+        # bcast: const(|weights|) mixture-group factors
         df.join(F.broadcast(factors), group_col)
         .withColumn("__reps", reps)
         .filter(F.col("__reps") > 0)
@@ -329,6 +331,7 @@ def global_hash_order(
     ).select("__b", "__off")
     w_local = Window.partitionBy("__b").orderBy(F.col("__k"), F.col(id_col))
     return (
+        # bcast: const(num_buckets) offset table
         keyed.join(F.broadcast(offsets), "__b")
         .withColumn(rank_col, F.col("__off") + F.row_number().over(w_local))
         .drop("__k", "__b", "__off")
@@ -362,6 +365,7 @@ def value_order_rank(
         F.min(value_col).alias("__vmin"), F.max(value_col).alias("__vmax")
     )
     keyed = (
+        # bcast: const(1) scalar min/max agg
         df.crossJoin(F.broadcast(vm))
         .withColumn(
             "__b",
@@ -383,6 +387,7 @@ def value_order_rank(
         F.col(value_col), F.col(tiebreak_col)
     )
     return (
+        # bcast: const(num_buckets) offset table
         keyed.join(F.broadcast(offsets), "__b")
         .withColumn(
             rank_col,
@@ -505,6 +510,7 @@ def label_balanced_sample(
     w = Window.partitionBy(label_col).orderBy(knuth_hash(id_col), F.col(id_col))
     return (
         df.withColumn(rank_col, F.row_number().over(w))
+        # bcast: const(1) scalar min-count agg
         .join(F.broadcast(min_cnt))
         .filter(F.col(rank_col) <= F.col("__min_cnt"))
         .drop(rank_col, "__min_cnt")
@@ -563,6 +569,7 @@ def temperature_rebalance(
     counts = df.groupBy(group_col).agg(mass.alias("__cnt"))
     min_cnt = counts.agg(F.min("__cnt").alias("__min_cnt"))
     rates = (
+        # bcast: const(1) scalar min-count agg
         counts.join(F.broadcast(min_cnt))
         .withColumn(
             "__ratio", F.col("__min_cnt").cast("double") / F.col("__cnt")
@@ -572,6 +579,7 @@ def temperature_rebalance(
             F.floor(F.lit(10_000) * powered).cast("bigint").alias(rate_col),
         )
     )
+    # bcast: model(|groups|) mixture-domain rates (caller contract: low-cardinality group domain)
     return df.join(F.broadcast(rates), group_col).filter(
         F.pmod(knuth_hash(id_col), F.lit(10_000)) < F.col(rate_col)
     )
@@ -627,6 +635,7 @@ def kcenter_coreset(
         )
         pick = (
             v.where(~F.col("__id").isin(ids))
+            # bcast: model(k) centroid set
             .crossJoin(F.broadcast(cents))
             .groupBy("__id")
             .agg(F.min(d2).alias("mind2"))

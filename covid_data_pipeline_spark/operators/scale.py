@@ -125,12 +125,14 @@ def split_skew_join(
         F.sum("__kr").alias("__t"), F.count(F.lit(1)).alias("__k")
     )
     hot = (
+        # bcast: const(1) scalar totals agg
         counts.join(F.broadcast(tot))
         .filter(
             F.col("__kr") * F.col("__k") >= F.lit(hot_multiple) * F.col("__t")
         )
         .select(*on)
     )
+    # bcast: const(<= |keys| / hot_multiple by construction) share-thresholded hot keys
     hot_b = F.broadcast(hot.withColumn("__hot", F.lit(1)))
     l_tag = left.join(hot_b, on=on, how="left")
     r_tag = right.join(hot_b, on=on, how="left")
@@ -248,6 +250,7 @@ def skew_profile(
     )
     ratio = F.col("key_rows") * F.col("__n_keys") / F.col("__total_rows")
     return (
+        # bcast: const(1) scalar totals agg
         counts.join(F.broadcast(totals))
         .select(
             *keys,

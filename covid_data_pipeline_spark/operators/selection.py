@@ -108,6 +108,7 @@ def ngram_log_prob_models(
 
     return (
         domain.join(per_bucket, "bucket", "left")
+        # bcast: const(1) scalar totals agg
         .crossJoin(F.broadcast(totals))
         .select(
             "bucket",
@@ -131,6 +132,7 @@ def dsir_log_weights(
     weight in exact BIGINT micro-nats. Broadcast join (models are
     ``n_buckets`` rows) + one groupBy(id) integer sum."""
     return (
+        # bcast: model(n_buckets) hashed n-gram models
         feats.join(F.broadcast(models), "bucket")
         .groupBy(id_col)
         .agg(

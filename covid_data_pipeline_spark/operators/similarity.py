@@ -77,6 +77,7 @@ def cosine_topk_bruteforce(
     """
     from covid_data_pipeline_spark.operators.windows import top_k_per_group
 
+    # bcast: delta query batch (caller-bounded shortlist)
     q = F.broadcast(
         queries.select(
             F.col(query_id_col), F.col(vec_col).alias("__qvec")
@@ -172,6 +173,7 @@ def cosine_topk_lsh(
         query_id_col, "__qvec", F.explode(F.array(*probes)).alias("bucket")
     )
     scored = (
+        # bcast: delta query batch x nprobe
         c.join(F.broadcast(q_probed), on="bucket")
         .filter(F.col(id_col) != F.col(query_id_col))
         .withColumn("similarity", round_stable(cosine(F.col(vec_col), F.col("__qvec")), 4))
@@ -463,6 +465,7 @@ def cosine_topk_ivf(
             ),
         )
     scored = (
+        # bcast: delta query batch (probed)
         c.join(F.broadcast(q), on="cid")
         .filter(F.col(id_col) != F.col(query_id_col))
         .withColumn("similarity", round_stable(cosine(F.col(vec_col), F.col("__qvec")), 4))
@@ -536,6 +539,7 @@ def cosine_topk_ivf_lattice(
         nprobe=nprobe,
     ).drop("q")
     cand = (
+        # bcast: delta query batch x nprobe probes
         cells.join(F.broadcast(probe), "cid")
         .where(F.col(id_col) != F.col(query_id_col))
         .withColumn(
@@ -791,6 +795,7 @@ def knn_graph_exact(
         l_cols.append(F.col(label_col).alias("__la"))
         r_cols.append(F.col(label_col).alias("__lb"))
     l = df.select(*l_cols)
+    # bcast: delta verification-baseline contract (corpus <= few 100k vectors documented above; scale path = knn_graph_lsh)
     r = F.broadcast(df.select(*r_cols))
     scored = l.crossJoin(r).filter(F.col("src_id") != F.col("nbr_id"))
     if label_col is not None:
@@ -1338,7 +1343,9 @@ def pq_topk_rerank(
         codes, queries, codebooks, k=shortlist, id_col=id_col,
         code_col=code_col, query_id_col=query_id_col, vec_col=vec_col,
     ).select(query_id_col, id_col)
+    # bcast: delta |queries| x shortlist id list
     cand = corpus.select(id_col, vec_col).join(F.broadcast(short), id_col)
+    # bcast: delta query batch vectors
     qv = F.broadcast(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
     )
@@ -1569,7 +1576,9 @@ def pq_topk_rerank_lattice(
         order_by=[F.col("adc").desc(), F.col(id_col)],
         k=shortlist,
     ).select(query_id_col, id_col)
+    # bcast: delta |queries| x shortlist id list
     cand = corpus.select(id_col, vec_col).join(F.broadcast(short), id_col)
+    # bcast: delta query batch vectors
     qvec = F.broadcast(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
     )
@@ -1895,6 +1904,7 @@ def mmr_rerank(
     """
     from pyspark.sql.window import Window as _W
 
+    # bcast: delta query batch vectors
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("__qid"),

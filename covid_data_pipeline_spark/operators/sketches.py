@@ -1,0 +1,208 @@
+"""Portable HyperLogLog: distinct-count sketches an oracle can replay.
+
+Spark's datasketches functions (``hll_sketch_agg`` /
+``hll_union_agg``) are the production path for sliding/mergeable
+distinct counts (see ``rolling_distinct_users_7d_hll``), but their
+binary state is engine-internal — a different engine cannot reproduce
+it, so those queries are rows-only in the correctness ledger. This
+module is the repo's integer-lattice recipe applied to sketches: the
+SAME HLL algorithm built from portable primitives, so the register
+relation and the estimate are bit-identical on any md5-capable engine
+(DuckDB replays them exactly — the sketch itself becomes
+hash-verifiable, not just error-bounded).
+
+Construction (classic Flajolet–Fuser–Gandouet–Meunier HLL):
+
+- 60-bit hash: first 15 hex chars of md5 (the repo's portable-hash
+  contract, `operators/features.py::portable_token_hash`).
+- bucket = top ``p`` bits (``h >> (60-p)``); the remaining
+  ``w = 60-p`` bits feed rho = leading zeros + 1, computed EXACTLY as
+  ``w - LENGTH(BIN(rest)) + 1`` (both engines' ``bin()`` renders
+  without leading zeros; rest = 0 means all-zeros → rho = w+1).
+- register = MAX(rho) per bucket — a plain groupBy, so a "sketch" is
+  a (group, bucket, rho) relation of at most m = 2^p rows per group,
+  sparse where empty. Merging sketches is MAX over the union — the
+  same mergeability contract as the binary datasketches, expressed
+  relationally.
+- estimate: alpha_m * m^2 / sum_j 2^(-M_j). The harmonic sum is kept
+  EXACT by scaling to integers: sum 2^(61-M_j) over present registers
+  (BIGINT per term, DECIMAL(38,0)/HUGEINT accumulation) plus
+  z * 2^61 for the z empty registers; the only float op is the final
+  division, one deterministic IEEE expression on both engines. The
+  small-range (linear-counting) branch ``m * ln(m/z)`` fires exactly
+  when ``z > 0 AND e_raw <= 2.5 m`` — same branch, same expression,
+  both engines.
+
+Scale shape: the corpus is touched ONCE (hash + bucket are pure
+projections, register max is one map-side-combining aggregate); every
+re-windowing/merge afterwards works on |groups| x m register rows
+(KBs), never the corpus. That is the 100 TB point of sketching — and
+unlike the binary blobs, these registers are also the VERIFICATION
+artifact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.operators.features import portable_token_hash
+
+_TWO61 = 1 << 61
+
+
+def _rho(rest: Column, w: int) -> Column:
+    """Leading-zero count + 1 of a ``w``-bit word, exactly: bin()
+    renders without leading zeros on both engines, so
+    rho = w - bit_length(rest) + 1 (all-zero word → w + 1)."""
+    return (
+        F.when(rest == 0, F.lit(w + 1))
+        .otherwise(F.lit(w) - F.length(F.bin(rest)) + F.lit(1))
+        .cast("int")
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    p: int = 12,
+) -> DataFrame:
+    """Per-group HLL register relation: ``group_cols + (bucket, rho)``.
+
+    NULL keys are excluded (COUNT DISTINCT semantics). One map-side-
+    combining aggregate over the corpus; output is at most m = 2^p rows
+    per group (sparse: empty registers are absent, the estimator
+    accounts for them)."""
+    assert 4 <= p <= 18, "p outside the supported register range"
+    w = 60 - p
+    mask = (1 << w) - 1
+    h = portable_token_hash(F.col(key_col).cast("string"))
+    keyed = df.where(F.col(key_col).isNotNull()).select(
+        *group_cols,
+        F.shiftright(h, w).alias("bucket"),
+        _rho(h.bitwiseAND(F.lit(mask)), w).alias("__rho"),
+    )
+    return keyed.groupBy(*group_cols, "bucket").agg(
+        F.max("__rho").alias("rho")
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Union sketches: MAX per (group, bucket) over any number of
+    register relations already stacked into one DataFrame. Reassigning
+    ``group_cols`` before the merge re-windows the sketch (day →
+    trailing window, day → month) without touching the corpus."""
+    return registers.groupBy(*group_cols, "bucket").agg(
+        F.max("rho").alias("rho")
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: Sequence[str],
+    p: int = 12,
+    out_col: str = "distinct_est",
+    decimals: int = 4,
+) -> DataFrame:
+    """Estimate per group from a register relation.
+
+    The harmonic mean is computed in exact integers (sum of
+    2^(61-rho) as DECIMAL(38,0), empty registers as z * 2^61); the
+    raw-estimate numerator alpha_m * m^2 * 2^61 is inlined as ONE
+    double literal so both engines evaluate the identical
+    division. Small-range branch: m * ln(m/z) when z > 0 and
+    e_raw <= 2.5 m (ln agrees to <1 ulp cross-engine)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(_TWO61)
+    pres = F.count(F.lit(1))
+    s_pres = F.sum(
+        F.shiftleft(F.lit(1).cast("long"), F.lit(61) - F.col("rho")).cast(
+            "decimal(38,0)"
+        )
+    )
+    est = registers.groupBy(*group_cols).agg(
+        pres.alias("__pres"), s_pres.alias("__s")
+    )
+    z = F.lit(m) - F.col("__pres")
+    s_full = (
+        F.col("__s")
+        + z.cast("decimal(38,0)") * F.lit(_TWO61).cast("decimal(38,0)")
+    )
+    e_raw = F.lit(num) / s_full.cast("double")
+    small = F.lit(float(m)) * F.log(F.lit(float(m)) / z.cast("double"))
+    e = F.when((z > 0) & (e_raw <= F.lit(2.5 * m)), small).otherwise(e_raw)
+    return est.select(
+        *group_cols, F.round(e, decimals).alias(out_col)
+    )
+
+
+def hll_oracle_ctes(
+    source_sql: str,
+    key_expr: str,
+    group_expr: str,
+    group_alias: str,
+    p: int = 12,
+    prefix: str = "hll",
+) -> str:
+    """DuckDB CTE block replaying :func:`hll_registers` →
+    per-(group, bucket) registers as ``{prefix}_reg(group_alias,
+    bucket, rho)``. The caller composes merge/estimate SQL on top (see
+    :func:`hll_estimate_sql`)."""
+    w = 60 - p
+    mask = (1 << w) - 1
+    return f"""
+    {prefix}_h AS (
+      SELECT {group_expr} AS {group_alias},
+             CAST(concat('0x', substr(md5(CAST({key_expr} AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM {source_sql}
+      WHERE {key_expr} IS NOT NULL
+    ),
+    {prefix}_br AS (
+      SELECT {group_alias}, h >> {w} AS bucket,
+             CAST(CASE WHEN (h & {mask}) = 0 THEN {w + 1}
+                  ELSE {w} - LENGTH(BIN(h & {mask})) + 1 END AS INTEGER)
+               AS rho
+      FROM {prefix}_h
+    ),
+    {prefix}_reg AS (
+      SELECT {group_alias}, bucket, MAX(rho) AS rho
+      FROM {prefix}_br GROUP BY {group_alias}, bucket
+    )"""
+
+
+def hll_estimate_sql(
+    reg_sql: str,
+    group_alias: str,
+    out_col: str = "distinct_est",
+    p: int = 12,
+    decimals: int = 4,
+) -> str:
+    """DuckDB SELECT replaying :func:`hll_estimate` over a register
+    relation ``reg_sql(group_alias, bucket, rho)`` — identical integer
+    harmonic sum (HUGEINT) and the same single-division float tail."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(_TWO61)
+    return f"""
+    SELECT {group_alias},
+           ROUND(CASE WHEN ({m} - pres) > 0
+                       AND {num!r} / CAST(s_pres
+                           + CAST({m} - pres AS HUGEINT)
+                             * CAST({_TWO61} AS HUGEINT) AS DOUBLE)
+                           <= {2.5 * m!r}
+                  THEN {float(m)!r} * LN({float(m)!r}
+                                         / CAST({m} - pres AS DOUBLE))
+                  ELSE {num!r} / CAST(s_pres
+                           + CAST({m} - pres AS HUGEINT)
+                             * CAST({_TWO61} AS HUGEINT) AS DOUBLE)
+                  END, {decimals}) AS {out_col}
+    FROM (
+      SELECT {group_alias}, COUNT(*) AS pres,
+             SUM(CAST((CAST(1 AS BIGINT) << (61 - rho)) AS HUGEINT)) AS s_pres
+      FROM {reg_sql} GROUP BY {group_alias}
+    )"""

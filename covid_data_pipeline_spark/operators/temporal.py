@@ -251,6 +251,7 @@ def burst_days(
         - F.col("__s1").cast("decimal(38,0)") * F.col("__s1")
     )
     return (
+        # bcast: const(|event_types|) per-type moments
         daily.join(F.broadcast(moments), type_col)
         .where(F.col("__n") > 1)
         .where((dev > 0) & (dev * dev > F.lit(sigmas * sigmas) * var_n2))
@@ -1097,6 +1098,7 @@ def logrank_test(
     z = (
         F.col("o1").cast("double") - F.col("e1_micro") / F.lit(1000000.0)
     ) / F.sqrt(F.col("v_micro") / F.lit(1000000.0))
+    # bcast: const(1) scalar O/E/V agg
     return totals.crossJoin(F.broadcast(agg)).select(
         "n_grp1",
         "n_grp0",

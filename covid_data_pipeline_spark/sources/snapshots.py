@@ -525,6 +525,7 @@ class SnapshotWarehouse:
         new version at all.
         """
         key_cols = list(key_cols)
+        # bcast: delta compliance-delete key batch
         small = F.broadcast(keys_df.select(*key_cols).distinct())
         purged: dict[str, int] = {}
         for t in tables:
@@ -986,6 +987,7 @@ class SnapshotWarehouse:
             [] if base is None else list(self._manifest(table, base)["files"])
         )
         src = source.persist()
+        # bcast: delta MERGE source-batch keys
         keys = F.broadcast(src.select(*on).distinct())
         hit_paths = (
             self._read_file_list(table, alive, tag_path=True)
@@ -1010,6 +1012,7 @@ class SnapshotWarehouse:
             # (Delta parity: MERGE updates every matched row; only the
             # SOURCE side must be key-unique)
             updated = hit_rows.select(*on).join(
+                # bcast: delta MERGE source batch
                 F.broadcast(src), on=on, how="inner"
             )
             inserts = src.join(hit_rows.select(*on).distinct(), on=on, how="left_anti")

@@ -230,6 +230,7 @@ def merge_upsert(
         # Restrict to touched partitions (join-based, no collect):
         # semi-join keeps existing rows in partitions the batch touches.
         parts = df.select(*partition_by).distinct()
+        # bcast: delta batch partition set (bounded by the incoming batch)
         touched = existing.join(F.broadcast(parts), on=list(partition_by), how="left_semi")
         survivors = touched.join(df.select(*keys), on=keys, how="left_anti")
         out = survivors.unionByName(df)

@@ -63,6 +63,7 @@ def enrich_with_dim(stream_df: DataFrame, dim: DataFrame, on: Sequence[str], how
     the streaming twin of the mart's fact↔dim join (J2)."""
     from pyspark.sql import functions as F
 
+    # bcast: delta caller dim contract (per-micro-batch dim; pre-bound big dims or pass a plain join upstream)
     return stream_df.join(F.broadcast(dim), on=list(on), how=how)
 
 
