@@ -793,6 +793,83 @@ def rolling_distinct_users_7d_hll(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _hll7d_oracle() -> str:
+    from covid_data_pipeline_spark.operators.sketches import (
+        hll_estimate_sql,
+        hll_oracle_ctes,
+    )
+
+    ctes = hll_oracle_ctes(
+        "events", "user_id", "CAST(ts AS DATE)", "day", p=12, prefix="h7"
+    )
+    est = hll_estimate_sql("h7_merged", "target_day", "users_7d_est", p=12)
+    return f"""
+    WITH {ctes},
+    h7_cal AS (SELECT DISTINCT day FROM h7_reg),
+    h7_contrib AS (
+      SELECT c.day AS target_day, r.bucket, r.rho
+      FROM h7_reg r JOIN h7_cal c
+        ON c.day BETWEEN r.day AND r.day + INTERVAL 6 DAY
+    ),
+    h7_merged AS (
+      SELECT target_day, bucket, MAX(rho) AS rho
+      FROM h7_contrib GROUP BY target_day, bucket
+    )
+    SELECT target_day AS day, users_7d_est FROM ({est})
+    """
+
+
+@register(
+    "rolling_distinct_users_7d_hll_portable",
+    _hll7d_oracle(),
+    tags=("events", "window", "distinct", "rolling", "sketch", "portable"),
+)
+def rolling_distinct_users_7d_hll_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Portable-HLL twin of `rolling_distinct_users_7d_hll`: the same
+    sketch-merging shape (one corpus pass builds per-day registers;
+    the trailing-7-day union merges REGISTERS, never re-touching the
+    corpus), but built from `operators/sketches.py` — md5-prefix
+    hashing, exact-integer rho/harmonic arithmetic — so the whole
+    sketch pipeline replays bit-identically in DuckDB and the driver
+    VALUE-HASHES the estimates instead of recording a rows-only check.
+    This upgrades distinct-sketching from "error-bounded in pytest" to
+    oracle-verified, the same integer-lattice recipe that upgraded
+    MinHash/IVF/PQ (r4/r5). The datasketches twin stays as the
+    production binary-state path; estimates differ between the two
+    only by hash family.
+
+    Scale shape: register relation is |days| x 4096 rows max (sparse);
+    the 7-day fan-out explodes registers, not (day, user) pairs — at
+    100 TB the corpus is touched exactly once."""
+    from covid_data_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    reg = hll_registers(
+        ev.select(F.to_date("ts").alias("day"), "user_id"),
+        "user_id",
+        ["day"],
+        p=12,
+    )
+    cal = reg.select("day").distinct()
+    contrib = reg.withColumn(
+        "target_day", F.explode(F.expr("sequence(day, date_add(day, 6))"))
+    ).drop("day")
+    merged = hll_merge(
+        contrib.join(
+            cal.withColumnRenamed("day", "target_day"), "target_day"
+        ),
+        ["target_day"],
+    )
+    est = hll_estimate(merged, ["target_day"], p=12, out_col="users_7d_est")
+    return est.select(F.col("target_day").alias("day"), "users_7d_est")
+
+
 @register(
     "daily_active_buyers",
     """

@@ -119,10 +119,10 @@ def hll_estimate(
     alpha = 0.7213 / (1.0 + 1.079 / m)
     num = alpha * m * m * float(_TWO61)
     pres = F.count(F.lit(1))
+    # SQL-form shiftleft: the Python wrapper only takes a literal shift
     s_pres = F.sum(
-        F.shiftleft(F.lit(1).cast("long"), F.lit(61) - F.col("rho")).cast(
-            "decimal(38,0)"
-        )
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - rho)"
+               " AS DECIMAL(38,0))")
     )
     est = registers.groupBy(*group_cols).agg(
         pres.alias("__pres"), s_pres.alias("__s")
