@@ -871,6 +871,124 @@ def rolling_distinct_users_7d_hll_portable(
 
 
 @register(
+    "users_overlap_theta",
+    """
+    WITH th_uh AS (
+      SELECT DISTINCT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    th_rk AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rnk
+      FROM th_uh
+    ),
+    th_sk AS (SELECT event_type, h FROM th_rk WHERE rnk <= 64),
+    th_n AS (
+      SELECT event_type, COUNT(*) AS n_kept FROM th_sk GROUP BY event_type
+    ),
+    th_theta AS (
+      SELECT s.event_type,
+             COALESCE(MAX(CASE WHEN n.n_kept >= 64 THEN s.h END),
+                      1152921504606846976) AS theta
+      FROM th_sk s JOIN th_n n USING (event_type)
+      GROUP BY s.event_type
+    ),
+    th_common AS (
+      SELECT a.event_type AS group_a, b.event_type AS group_b,
+             LEAST(ta.theta, tb.theta) AS theta, COUNT(*) AS n_common
+      FROM th_sk a
+      JOIN th_sk b ON a.h = b.h AND a.event_type < b.event_type
+      JOIN th_theta ta ON ta.event_type = a.event_type
+      JOIN th_theta tb ON tb.event_type = b.event_type
+      WHERE a.h < LEAST(ta.theta, tb.theta)
+      GROUP BY a.event_type, b.event_type, LEAST(ta.theta, tb.theta)
+    )
+    SELECT group_a, group_b, n_common,
+           ROUND(CAST(n_common AS DOUBLE) * 1152921504606846976.0
+                 / CAST(theta AS DOUBLE), 4) AS overlap_est
+    FROM th_common
+    """,
+    tags=("events", "sketch", "theta", "overlap", "portable"),
+)
+def users_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user overlap between every pair of event types from
+    KMV/theta sketches (`operators/sketches.py::bottomk_hashes` +
+    `theta_pair_overlap`) — the "how many users did BOTH a and b"
+    audience question that exact COUNT DISTINCT needs a corpus pass
+    PER PAIR to answer; the sketch answers all pairs from one corpus
+    pass + |groups|^2 x k sketch-row work. k = 64 keeps the estimator
+    active even at dev scale (theta below the full hash space), so
+    the oracle gate verifies the estimating branch, not a degenerate
+    exact path. Everything up to the final division is exact integers
+    (md5-prefix hashes, order-stat theta, common-hash counts), so the
+    DuckDB replay hash-matches."""
+    from covid_data_pipeline_spark.operators.sketches import (
+        bottomk_hashes,
+        theta_pair_overlap,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    sk = bottomk_hashes(ev, "user_id", ["event_type"], k=64)
+    return theta_pair_overlap(sk, "event_type", k=64)
+
+
+@register(
+    "events_value_quantiles_sketch",
+    """
+    WITH qs_s AS (
+      SELECT event_type, event_id, value,
+             CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL
+    ),
+    qs_rk AS (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY h, event_id) AS srn
+      FROM qs_s
+    ),
+    qs_sm AS (SELECT * FROM qs_rk WHERE srn <= 2048),
+    qs_vr AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS vrn,
+             COUNT(*) OVER (PARTITION BY event_type) AS ns
+      FROM qs_sm
+    )
+    SELECT event_type,
+           CAST(MAX(ns) AS BIGINT) AS n_sample,
+           MAX(CASE WHEN vrn = (ns * 1 + 1) // 2 THEN value END) AS p50,
+           MAX(CASE WHEN vrn = (ns * 9 + 9) // 10 THEN value END) AS p90,
+           MAX(CASE WHEN vrn = (ns * 99 + 99) // 100 THEN value END) AS p99
+    FROM qs_vr GROUP BY event_type
+    """,
+    tags=("events", "sketch", "quantile", "portable"),
+)
+def events_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type p50/p90/p99 of event value from a deterministic
+    bottom-k ROW sample (`operators/sketches.py::hash_sample_quantiles`)
+    — the portable, oracle-verifiable counterpart of
+    `approx_percentile`-style sketches (whose KLL state is
+    engine-internal, see approx_sketch_stats). Sample membership is a
+    pure function of the event_id hash (uniform, partition-invariant,
+    mergeable by union + re-trim), quantile ranks are exact integer
+    order statistics, and the estimate is a REAL data value passed
+    through untouched — nothing floats, so both engines hash-match.
+    Scale shape: WindowGroupLimit keeps <= k rows per group during the
+    sample pass; the corpus is read once."""
+    from covid_data_pipeline_spark.operators.sketches import (
+        hash_sample_quantiles,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return hash_sample_quantiles(
+        ev, "event_id", "value", ["event_type"], k=2048
+    )
+
+
+@register(
     "daily_active_buyers",
     """
     WITH per_user AS (

@@ -140,6 +140,157 @@ def hll_estimate(
     )
 
 
+def bottomk_hashes(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str],
+    k: int = 512,
+) -> DataFrame:
+    """KMV / theta sketch: the ``k`` smallest DISTINCT md5-prefix
+    hashes of ``key_col`` per group, plus the group's retained count.
+
+    Output: ``group_cols + (h, rank, n_kept)``. The sketch is a pure
+    function of the key SET (dedup first, then order-stat trim), so it
+    is partition-invariant, mergeable (union then re-trim), and
+    SQL-replayable. Distinct-count estimate: ``(k-1) * 2^60 / h_k``
+    when the sketch is full, exact ``n_kept`` otherwise. Scale shape:
+    one distinct aggregate over (group, hash) with map-side combine,
+    then a WindowGroupLimit rank — each task keeps at most k rows per
+    group during the sort."""
+    h = portable_token_hash(F.col(key_col).cast("string"))
+    uh = (
+        df.where(F.col(key_col).isNotNull())
+        .select(*group_cols, h.alias("h"))
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    ranked = uh.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+    n = ranked.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_kept"))
+    return ranked.join(n, list(group_cols))
+
+
+def theta_pair_overlap(
+    sketch: DataFrame,
+    group_col: str,
+    k: int = 512,
+    hash_space: int = 1 << 60,
+) -> DataFrame:
+    """Pairwise distinct-intersection estimates from a
+    :func:`bottomk_hashes` sketch relation — the theta-sketch set
+    operation ("how many users did BOTH a and b") that exact COUNT
+    DISTINCT can only answer with a corpus-squared pass per pair.
+
+    theta = min(theta_a, theta_b) where a full sketch's theta is its
+    k-th smallest hash and a partial sketch's is the full hash space;
+    common hashes below theta are an exact sample of the intersection
+    at sampling rate theta/space, so
+    ``est = |common < theta| * space / theta`` — all-integer inputs,
+    one float division. Works on sketch rows only: cost is
+    |groups|^2 x k at worst, never the corpus."""
+    theta = sketch.groupBy(group_col, "n_kept").agg(
+        F.max(F.when(F.col("n_kept") >= k, F.col("h"))).alias("__hk")
+    ).select(
+        group_col,
+        "n_kept",
+        F.coalesce("__hk", F.lit(hash_space)).alias("theta"),
+    )
+    a = sketch.select(
+        F.col(group_col).alias("ga"), F.col("h").alias("h")
+    )
+    b = sketch.select(
+        F.col(group_col).alias("gb"), F.col("h").alias("h")
+    )
+    ta = theta.select(
+        F.col(group_col).alias("ga"),
+        F.col("theta").alias("theta_a"),
+        F.col("n_kept").alias("n_a"),
+    )
+    tb = theta.select(
+        F.col(group_col).alias("gb"),
+        F.col("theta").alias("theta_b"),
+        F.col("n_kept").alias("n_b"),
+    )
+    common = (
+        a.join(b, "h")
+        .where(F.col("ga") < F.col("gb"))
+        .join(F.broadcast(ta), "ga")  # bcast: model(|groups|) sketch thetas
+        .join(F.broadcast(tb), "gb")  # bcast: model(|groups|) sketch thetas
+        .withColumn("__theta", F.least("theta_a", "theta_b"))
+        .where(F.col("h") < F.col("__theta"))
+        .groupBy("ga", "gb", "__theta")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    est = (
+        F.col("n_common").cast("double")
+        * F.lit(float(hash_space))
+        / F.col("__theta").cast("double")
+    )
+    return common.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        "n_common",
+        F.round(est, 4).alias("overlap_est"),
+    )
+
+
+def hash_sample_quantiles(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    group_cols: Sequence[str],
+    k: int = 2048,
+    quantiles: Sequence[tuple[str, int, int]] = (
+        ("p50", 1, 2),
+        ("p90", 9, 10),
+        ("p99", 99, 100),
+    ),
+) -> DataFrame:
+    """Mergeable quantile sketch from a deterministic bottom-k ROW
+    sample: keep the ``k`` rows with the smallest md5-prefix hash of
+    ``id_col`` per group (a uniform sample of rows, reproducible on any
+    partitioning/engine — the same KMV idea applied to rows instead of
+    key sets), then estimate quantile q as the sample's exact order
+    statistic at rank ``ceil(q * n_s)``.
+
+    Rank arithmetic is all-integer (``(n*num + den - 1) div den``), the
+    value order carries ``id_col`` as tiebreaker, and the output is a
+    real data value — nothing to float-drift, so the sketch estimate
+    hash-matches an oracle replay exactly. Standard sample-quantile
+    error is O(1/sqrt(k)) in rank space. Scale shape: one
+    WindowGroupLimit pass to sample (tasks keep <= k rows per group),
+    one tiny window over the <= k-row sample per group."""
+    from pyspark.sql.window import Window
+
+    h = portable_token_hash(F.col(id_col).cast("string"))
+    ws = Window.partitionBy(*group_cols).orderBy("__h", id_col)
+    sample = (
+        df.where(F.col(id_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(*group_cols, id_col, value_col, h.alias("__h"))
+        .withColumn("__srn", F.row_number().over(ws))
+        .where(F.col("__srn") <= k)
+    )
+    wv = Window.partitionBy(*group_cols).orderBy(value_col, id_col)
+    wn = Window.partitionBy(*group_cols)
+    ranked = sample.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        F.row_number().over(wv).alias("__vrn"),
+        F.count(F.lit(1)).over(wn).alias("__ns"),
+    )
+    aggs = [F.max("__ns").alias("n_sample")]
+    for name, num, den in quantiles:
+        # ceil(q * n_s) in exact integers: (n*num + den-1) div den
+        rank = F.expr(f"(__ns * {num} + {den - 1}) div {den}")
+        aggs.append(
+            F.max(F.when(F.col("__vrn") == rank, F.col("__v"))).alias(name)
+        )
+    return ranked.groupBy(*group_cols).agg(*aggs)
+
+
 def hll_oracle_ctes(
     source_sql: str,
     key_expr: str,

@@ -75,6 +75,81 @@ def test_null_keys_excluded(spark):
     assert abs(est - 90) / 90 < 0.05
 
 
+def test_theta_overlap_accuracy(spark):
+    """Two 20k-id sets with a planted 10k intersection: the KMV/theta
+    estimate lands within ~3 standard errors."""
+    from covid_data_pipeline_spark.operators.sketches import (
+        bottomk_hashes,
+        theta_pair_overlap,
+    )
+
+    a = spark.range(0, 20_000).select(
+        F.lit("a").alias("g"), F.col("id").alias("key")
+    )
+    b = spark.range(10_000, 30_000).select(
+        F.lit("b").alias("g"), F.col("id").alias("key")
+    )
+    sk = bottomk_hashes(a.unionByName(b), "key", ["g"], k=512)
+    row = theta_pair_overlap(sk, "g", k=512).collect()[0]
+    assert row["group_a"] == "a" and row["group_b"] == "b"
+    # relative SE ~ 1/sqrt(k * jaccard-ish fraction); 25% slack is >3 SE
+    assert abs(row["overlap_est"] - 10_000) / 10_000 < 0.25
+
+
+def test_theta_overlap_partition_invariant(spark):
+    from covid_data_pipeline_spark.operators.sketches import (
+        bottomk_hashes,
+        theta_pair_overlap,
+    )
+
+    df = spark.range(0, 5_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 1_700).alias("key"),
+    )
+    r1 = sorted(map(tuple, theta_pair_overlap(
+        bottomk_hashes(df, "key", ["g"], k=128), "g", k=128).collect()))
+    r2 = sorted(map(tuple, theta_pair_overlap(
+        bottomk_hashes(df.repartition(29), "key", ["g"], k=128),
+        "g", k=128).collect()))
+    assert r1 == r2
+
+
+def test_hash_sample_quantiles_accuracy(spark):
+    """Uniform[0, 100k) values: sampled p50/p90/p99 within a few
+    percent of truth at k=2048."""
+    from covid_data_pipeline_spark.operators.sketches import (
+        hash_sample_quantiles,
+    )
+
+    df = spark.range(0, 100_000).select(
+        F.lit("g").alias("g"),
+        F.col("id").alias("rid"),
+        # decorrelate value from the sampling hash via a multiplicative
+        # permutation of the id space
+        ((F.col("id") * 48271) % 100_000).cast("double").alias("v"),
+    )
+    row = hash_sample_quantiles(df, "rid", "v", ["g"], k=2048).collect()[0]
+    assert row["n_sample"] == 2048
+    for name, truth in (("p50", 50_000), ("p90", 90_000), ("p99", 99_000)):
+        assert abs(row[name] - truth) / 100_000 < 0.05, (name, row[name])
+
+
+def test_hash_sample_smaller_than_k_is_exact(spark):
+    from covid_data_pipeline_spark.operators.sketches import (
+        hash_sample_quantiles,
+    )
+
+    df = spark.range(1, 101).select(
+        F.lit("g").alias("g"),
+        F.col("id").alias("rid"),
+        F.col("id").cast("double").alias("v"),
+    )
+    row = hash_sample_quantiles(df, "rid", "v", ["g"], k=2048).collect()[0]
+    # n < k: the "sample" is the full data, ranks are exact order stats
+    assert row["n_sample"] == 100
+    assert row["p50"] == 50.0 and row["p90"] == 90.0 and row["p99"] == 99.0
+
+
 def test_duckdb_replays_registers_and_estimate(spark, tmp_path, ids_df):
     """The whole point: an independent engine regenerates the identical
     register relation AND the identical rounded estimate."""
