@@ -1019,3 +1019,108 @@ def stream_mann_whitney(
     return src.groupBy(*experiment_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_hll_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    p: int = 12,
+) -> DataFrame:
+    """Streaming portable-HLL distinct monitor: per group, the sketch
+    registers maintained as state and re-emitted after every
+    micro-batch — the live companion to batch
+    `operators/sketches.py::hll_registers`/`hll_estimate` and the
+    approximate counterpart of ``stream_maintain_distinct`` (exact
+    bitmaps) when per-key exactness isn't worth the state.
+
+    Hashing/bucket/rho run JVM-side BEFORE the stateful map with the
+    SAME expressions as the batch operator, so the stream and batch
+    sketches agree by construction; state is the register dict
+    (<= 2^p entries per group — fixed size forever, the whole point of
+    HLL under unbounded streams); registers merge by MAX so replays
+    and splits across micro-batches cannot change the drained result.
+
+    Emissions carry ONLY exact integers (repo streaming float policy —
+    the estimate's one division belongs to the batch readout):
+    ``pres`` (registers present), the harmonic sum
+    ``S = sum 2^(61-rho) + z*2^61`` split as ``(s_hi, s_lo)`` at 2^62
+    (S can exceed int64), and ``n_seen``. The drained stream's final
+    (pres, s_hi, s_lo) is bit-identical to the batch sketch's —
+    asserted in tests."""
+    from covid_data_pipeline_spark.operators.sketches import (
+        _rho,
+        _TWO61,
+    )
+    from covid_data_pipeline_spark.operators.features import (
+        portable_token_hash,
+    )
+
+    group_cols = list(group_cols)
+    w = 60 - p
+    m = 1 << p
+    mask = (1 << w) - 1
+    h = portable_token_hash(F.col(key_col).cast("string"))
+    src = df.where(F.col(key_col).isNotNull()).select(
+        *group_cols,
+        F.shiftright(h, w).alias("__bucket"),
+        _rho(h.bitwiseAND(F.lit(mask)), w).alias("__rho"),
+    )
+    fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [fields[c] for c in group_cols]
+        + [
+            StructField("pres", LongType(), False),
+            StructField("s_hi", LongType(), False),
+            StructField("s_lo", LongType(), False),
+            StructField("n_seen", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("buckets", ArrayType(LongType()), True),
+            StructField("rhos", ArrayType(LongType()), True),
+            StructField("seen", LongType(), True),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            buckets, rhos, seen = state.get
+            reg = dict(zip((int(b) for b in buckets),
+                           (int(r) for r in rhos)))
+            seen = int(seen)
+        else:
+            reg, seen = {}, 0
+        n_new = 0
+        for pdf in pdfs:
+            sub = pdf[["__bucket", "__rho"]].dropna()
+            n_new += len(sub)
+            for b, r in zip(sub["__bucket"].astype(int),
+                            sub["__rho"].astype(int)):
+                if r > reg.get(b, 0):
+                    reg[b] = r
+        if not reg:
+            return
+        seen += n_new
+        bs = sorted(reg)
+        state.update((bs, [reg[b] for b in bs], seen))
+        s = sum(1 << (61 - r) for r in reg.values())
+        s += (m - len(reg)) * _TWO61
+        out = pd.DataFrame(
+            {
+                "pres": [len(reg)],
+                "s_hi": [s >> 62],
+                "s_lo": [s & ((1 << 62) - 1)],
+                "n_seen": [seen],
+            }
+        )
+        for c, v in zip(group_cols, key):
+            out[c] = v
+        yield out[[*group_cols, "pres", "s_hi", "s_lo", "n_seen"]]
+
+    return src.groupBy(*group_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -1310,3 +1310,65 @@ def test_stream_mann_whitney_matches_batch(spark, tmp_path):
     # the planted shift is visible in the doubled U (auc > 0.5 <=> u2 > nt*nc)
     a = final["exp_a"]
     assert a["u2_treat"] > a["n_treat"] * a["n_ctrl"]
+
+
+def test_stream_hll_matches_batch_sketch(spark, tmp_path):
+    """The drained streaming HLL's (pres, s_hi, s_lo) must be
+    bit-identical to the batch portable sketch on the same rows, with
+    keys split across micro-batches (register MAX-merge is
+    order/batching-invariant)."""
+    from covid_data_pipeline_spark.operators.sketches import (
+        _TWO61,
+        hll_registers,
+    )
+    from covid_data_pipeline_spark.streaming.stateful import (
+        stream_hll_distinct,
+    )
+
+    rows = [("g%d" % (i % 2), (i * 7) % 900) for i in range(3000)]
+    src_dir = tmp_path / "hll_src"
+    src_dir.mkdir()
+    third = len(rows) // 3
+    for n, chunk in (
+        ("f1", rows[:third]),
+        ("f2", rows[third : 2 * third]),
+        ("f3", rows[2 * third :]),
+    ):
+        spark.createDataFrame(chunk, "g string, uid long").coalesce(
+            1
+        ).write.parquet(str(src_dir / f"{n}.parquet"))
+
+    stream = (
+        spark.readStream.schema("g string, uid long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    q = (
+        stream_hll_distinct(stream, ["g"], "uid", p=10)
+        .writeStream.format("memory")
+        .queryName("hllq")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM hllq").collect()
+    final = {}
+    for r in got:
+        if r["g"] not in final or r["n_seen"] > final[r["g"]]["n_seen"]:
+            final[r["g"]] = r
+
+    batch = spark.createDataFrame(rows, "g string, uid long")
+    reg = hll_registers(batch, "uid", ["g"], p=10)
+    m = 1 << 10
+    by_g = {}
+    for r in reg.collect():
+        by_g.setdefault(r["g"], {})[r["bucket"]] = r["rho"]
+    for g, regs in by_g.items():
+        s = sum(1 << (61 - rho) for rho in regs.values())
+        s += (m - len(regs)) * _TWO61
+        st = final[g]
+        assert (st["pres"], st["s_hi"], st["s_lo"]) == (
+            len(regs), s >> 62, s & ((1 << 62) - 1)
+        ), g
+        assert st["n_seen"] == 1500
