@@ -1440,6 +1440,102 @@ def case_nb_classifier_1m(spark):
     }
 
 
+
+
+def case_hll_sketch_16m(spark):
+    """Portable HLL over 16M events / 200k distinct users (160x sf0.1):
+    one corpus pass builds the 16384-register sketch; the estimate must
+    land within HLL's error envelope of the exact distinct count and be
+    BIT-identical under a prime repartition (register max is
+    order-free). State/verification artifact is the register relation,
+    never the corpus."""
+    from covid_data_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = _events_16m(spark)
+    exact = ev.select("user_id").distinct().count()
+    # p=14 (16384 registers, SE 0.8%) is the realistic production p for
+    # ~200k cardinalities; the 5% gate is >6 standard errors. (p=12 on
+    # this exact id set draws +5.2% — a 3-sigma md5 artifact, verified
+    # unbiased across other id sets in tests.)
+    t0 = time.time()
+    est = hll_estimate(
+        hll_registers(ev, "user_id", [], p=14), [], p=14
+    ).collect()[0]["distinct_est"]
+    wall = time.time() - t0
+    est2 = hll_estimate(
+        hll_registers(ev.repartition(53), "user_id", [], p=14), [], p=14
+    ).collect()[0]["distinct_est"]
+    rel = abs(est - exact) / exact
+    return {
+        "rows": 16_000_000,
+        "scale_vs_sf0.1": "160x events",
+        "sec": round(wall, 2),
+        "exact_distinct": exact,
+        "estimate": est,
+        "rel_err": round(rel, 4),
+        "partition_invariant": est == est2,
+        "ok": rel < 0.05 and est == est2,
+    }
+
+
+def case_theta_overlap_16m(spark):
+    """KMV/theta pairwise distinct-user overlap over 16M events: all
+    event-type pairs answered from one corpus pass + sketch-row work;
+    estimates within the k=4096 error envelope of the exact overlaps
+    (computed once via a per-user type rollup), bit-identical under a
+    prime repartition."""
+    from covid_data_pipeline_spark.operators.sketches import (
+        bottomk_hashes,
+        theta_pair_overlap,
+    )
+
+    ev = _events_16m(spark)
+    # exact pairwise overlap via one per-user rollup (200k rows)
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.selectExpr("user_id", "event_type AS ta")
+    b = ut.selectExpr("user_id", "event_type AS tb")
+    exact = {
+        (r["ta"], r["tb"]): r["n"]
+        for r in a.join(b, "user_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    t0 = time.time()
+    sk = bottomk_hashes(ev, "user_id", ["event_type"], k=4096)
+    got = {
+        (r["group_a"], r["group_b"]): r["overlap_est"]
+        for r in theta_pair_overlap(sk, "event_type", k=4096).collect()
+    }
+    wall = time.time() - t0
+    got2 = {
+        (r["group_a"], r["group_b"]): r["overlap_est"]
+        for r in theta_pair_overlap(
+            bottomk_hashes(
+                ev.repartition(53), "user_id", ["event_type"], k=4096
+            ),
+            "event_type",
+            k=4096,
+        ).collect()
+    }
+    rels = [
+        abs(got[k] - exact[k]) / exact[k] for k in exact if k in got
+    ]
+    worst = max(rels) if rels else 1.0
+    return {
+        "rows": 16_000_000,
+        "pairs": len(exact),
+        "sec": round(wall, 2),
+        "worst_rel_err": round(worst, 4),
+        "partition_invariant": got == got2,
+        "ok": len(got) == len(exact) and worst < 0.10 and got == got2,
+    }
+
+
 CASES = {
     "funnel_16m": case_funnel_16m,
     "token_budget_12m": case_token_budget_12m,
@@ -1466,6 +1562,8 @@ CASES = {
     "mmr_rerank_100k": case_mmr_rerank_100k,
     "mann_whitney_16m": case_mann_whitney_16m,
     "nb_classifier_1m": case_nb_classifier_1m,
+    "hll_sketch_16m": case_hll_sketch_16m,
+    "theta_overlap_16m": case_theta_overlap_16m,
 }
 
 
