@@ -989,6 +989,83 @@ def events_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "events_cm_user_freq",
+    """
+    WITH cm_rows AS (
+      SELECT CAST(user_id AS VARCHAR) AS k, d.d AS d
+      FROM events CROSS JOIN range(4) d(d)
+      WHERE user_id IS NOT NULL
+    ),
+    cm_sk AS (
+      SELECT d,
+             CAST(concat('0x', substr(md5(concat(CAST(d AS VARCHAR), ':', k)),
+                                      1, 15)) AS BIGINT) % 1024 AS slot,
+             COUNT(*) AS cnt
+      FROM cm_rows GROUP BY d, slot
+    ),
+    cm_probe AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE user_id IS NOT NULL AND user_id % 13 = 0
+    ),
+    cm_exact AS (
+      SELECT user_id, COUNT(*) AS exact_cnt FROM events
+      WHERE user_id IS NOT NULL AND user_id % 13 = 0 GROUP BY user_id
+    ),
+    cm_pd AS (
+      SELECT p.user_id, d.d AS d,
+             CAST(concat('0x', substr(md5(concat(CAST(d.d AS VARCHAR), ':',
+                                                 CAST(p.user_id AS VARCHAR))),
+                                      1, 15)) AS BIGINT) % 1024 AS slot
+      FROM cm_probe p CROSS JOIN range(4) d(d)
+    ),
+    cm_est AS (
+      SELECT pd.user_id, MIN(COALESCE(s.cnt, 0)) AS freq_est
+      FROM cm_pd pd LEFT JOIN cm_sk s ON s.d = pd.d AND s.slot = pd.slot
+      GROUP BY pd.user_id
+    )
+    SELECT e.user_id, x.exact_cnt, e.freq_est
+    FROM cm_est e JOIN cm_exact x USING (user_id)
+    """,
+    tags=("events", "sketch", "countmin", "portable"),
+)
+def events_cm_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point-frequency estimates
+    (`operators/sketches.py::cm_sketch`/`cm_lookup`) for a
+    deterministic probe set of users (user_id % 13 == 0), alongside the
+    exact counts — completing the oracle-verified sketch toolbox:
+    HLL (distinct), KMV/theta (set overlap), bottom-k sample
+    (quantiles), Misra-Gries (top-k), count-min (any-key frequency).
+    Every counter and the min-over-depth lookup are exact integers with
+    portable md5 hashing, so the whole sketch hash-matches the DuckDB
+    replay; width=1024 keeps collisions live at dev scale so the
+    CM overestimate property (freq_est >= exact, asserted in tests) is
+    exercised, not degenerate. Scale shape: sketch = one
+    explode(4) + map-side-combining aggregate, 4096 counter rows
+    forever; probes join counters, never the corpus."""
+    from covid_data_pipeline_spark.operators.sketches import (
+        cm_lookup,
+        cm_sketch,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    sk = cm_sketch(ev, "user_id", depth=4, width=1024)
+    probes = (
+        ev.where(F.col("user_id").isNotNull() & (F.col("user_id") % 13 == 0))
+        .select("user_id")
+        .distinct()
+    )
+    est = cm_lookup(sk, probes, "user_id", depth=4, width=1024)
+    exact = (
+        ev.where(F.col("user_id").isNotNull() & (F.col("user_id") % 13 == 0))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return est.join(exact, "user_id").select(
+        "user_id", "exact_cnt", "freq_est"
+    )
+
+
+@register(
     "daily_active_buyers",
     """
     WITH per_user AS (

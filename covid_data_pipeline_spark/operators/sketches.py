@@ -291,6 +291,77 @@ def hash_sample_quantiles(
     return ranked.groupBy(*group_cols).agg(*aggs)
 
 
+def cm_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    depth: int = 4,
+    width: int = 8192,
+) -> DataFrame:
+    """Portable count-min sketch: point-frequency estimates for ANY key
+    from ``depth x width`` integer counters — the frequency complement
+    of the Misra-Gries top-k (`operators/heavyhitters.py`), mergeable
+    by counter addition.
+
+    Row hash per depth d is the md5 prefix of ``d ':' key`` (portable,
+    so an oracle regenerates every counter exactly); counters are plain
+    COUNT aggregates. Output: ``group_cols + (d, slot, cnt)`` —
+    at most depth*width rows per group regardless of corpus size.
+    Scale shape: one explode(depth) + one map-side-combining aggregate;
+    the corpus is read once."""
+    ds = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    rows = df.where(F.col(key_col).isNotNull()).select(
+        *group_cols, F.col(key_col).cast("string").alias("__k"), ds
+    )
+    h = portable_token_hash(
+        F.concat(F.col("d").cast("string"), F.lit(":"), F.col("__k"))
+    )
+    return (
+        rows.withColumn("slot", F.pmod(h, F.lit(width)))
+        .groupBy(*group_cols, "d", "slot")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    depth: int = 4,
+    width: int = 8192,
+    out_col: str = "freq_est",
+) -> DataFrame:
+    """Point-frequency estimate for each probe key: min over the
+    ``depth`` counters the key hashes to. Never underestimates
+    (CM guarantee: est >= true count; overestimate bounded by
+    collisions ~ n/width per row, min over rows). All-integer — the
+    whole lookup hash-verifies against an oracle replay. Probes join
+    the sketch on (d, slot): |probes| x depth rows against the
+    depth*width-row sketch."""
+    pr = probes.where(F.col(key_col).isNotNull()).select(
+        *group_cols,
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    )
+    h = portable_token_hash(
+        F.concat(
+            F.col("d").cast("string"),
+            F.lit(":"),
+            F.col(key_col).cast("string"),
+        )
+    )
+    pr = pr.withColumn("slot", F.pmod(h, F.lit(width)))
+    joined = pr.join(sketch, [*group_cols, "d", "slot"], "left").select(
+        *group_cols,
+        key_col,
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("__c"),
+    )
+    return joined.groupBy(*group_cols, key_col).agg(
+        F.min("__c").alias(out_col)
+    )
+
+
 def hll_oracle_ctes(
     source_sql: str,
     key_expr: str,

@@ -172,3 +172,60 @@ def test_duckdb_replays_registers_and_estimate(spark, tmp_path, ids_df):
     con.close()
     assert s_reg == d_reg
     assert s_est == d_est
+
+
+def test_cm_never_underestimates_and_bounds_overestimate(spark):
+    """100k rows over 5k zipf-ish keys into a 4x256 sketch: every
+    estimate >= truth (CM guarantee) and the mean overestimate stays
+    near the n/width collision bound."""
+    from covid_data_pipeline_spark.operators.sketches import (
+        cm_lookup,
+        cm_sketch,
+    )
+
+    df = spark.range(0, 100_000).select(
+        (F.col("id") % (F.col("id") % 71 + 1)).alias("key")
+    )
+    sk = cm_sketch(df, "key", depth=4, width=256)
+    probes = df.select("key").distinct()
+    est = cm_lookup(sk, probes, "key", depth=4, width=256)
+    exact = df.groupBy("key").agg(F.count(F.lit(1)).alias("t"))
+    j = {r["key"]: (r["t"], r["freq_est"])
+         for r in exact.join(est, "key").collect()}
+    assert all(e >= t for t, e in j.values())
+    n = 100_000
+    mean_over = sum(e - t for t, e in j.values()) / len(j)
+    # expected collision mass per row ~ n/width = 390; min over 4 rows
+    # is far smaller — allow 2x the single-row bound as a sanity ceiling
+    assert mean_over < 2 * n / 256
+
+
+def test_cm_partition_invariant_and_mergeable(spark):
+    from covid_data_pipeline_spark.operators.sketches import (
+        cm_lookup,
+        cm_sketch,
+    )
+
+    df = spark.range(0, 20_000).select((F.col("id") % 500).alias("key"))
+    probes = df.select("key").distinct()
+
+    def run(d):
+        sk = cm_sketch(d, "key", depth=4, width=128)
+        return {
+            r["key"]: r["freq_est"]
+            for r in cm_lookup(sk, probes, "key", depth=4,
+                               width=128).collect()
+        }
+
+    assert run(df) == run(df.repartition(31))
+    # mergeability: counter-wise SUM of two halves == from-scratch
+    h1, h2 = df.where("id < 10000"), df.where("id >= 10000")
+    stacked = cm_sketch(h1, "key", depth=4, width=128).unionByName(
+        cm_sketch(h2, "key", depth=4, width=128)
+    )
+    merged = stacked.groupBy("d", "slot").agg(F.sum("cnt").alias("cnt"))
+    direct = cm_sketch(df, "key", depth=4, width=128)
+    assert (
+        {tuple(r) for r in merged.collect()}
+        == {tuple(r) for r in direct.collect()}
+    )
