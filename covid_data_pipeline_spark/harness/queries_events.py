@@ -823,6 +823,7 @@ def _hll7d_oracle() -> str:
     "rolling_distinct_users_7d_hll_portable",
     _hll7d_oracle(),
     tags=("events", "window", "distinct", "rolling", "sketch", "portable"),
+    bench=True,
 )
 def rolling_distinct_users_7d_hll_portable(
     spark: SparkSession, sf_dir: str
