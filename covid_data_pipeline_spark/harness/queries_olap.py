@@ -1994,6 +1994,7 @@ def benford_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored
     """,
     tags=("olap", "segmentation", "rfm"),
+    bench=True,
 )
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) quintile segmentation of the

@@ -65,6 +65,7 @@ NOTES = {
     "similarity_mmr_rerank": "Shortlist = per-query WindowGroupLimit over one corpus scan against the broadcast query set; pairwise stage is shortlist^2 x |queries| rows (never corpus^2); the greedy loop runs inside ONE applyInPandas keyed by query_id, so any number of queries rerank in a single shuffle. Swap the brute shortlist for the IVF/LSH candidate stage past brute-force scale.",
     "nb_lang_confusion": "Token counts are one map-side-combining groupBy; the |observed (class, token) pairs|-sized model re-enters through a keyed token join (AQE broadcasts while capped vocabs fit); scoring is one (doc, class) groupBy and the argmax a per-doc window. The sparse unseen-token decomposition means no vocab x class grid ever materializes.",
     "events_cuped_experiment": "Per-user unit build is one groupBy; every CUPED moment comes from ONE map-side-combined aggregate into a single-row combine - no per-group re-entry, no window. DECIMAL(38,0) exact moments; ratios are correctly-rounded double divisions.",
+    "rfm_customer_segments": "De-weaked r7: NO single-partition NTILE - each quintile is rebuilt from value_order_rank (range buckets over broadcast min/max; the only global windows are the <=256-row bucket-count cumsums) + closed-form NTILE boundaries from a broadcast scalar n. Three bucket-keyed window exchanges of |customers| rows; compact per-customer relations localCheckpointed so the chained ranks never re-run the orders rollup.",
     "dedup_minhash_native": "Production-hash twin of dedup_minhash (xxhash64 instead of md5-prefix): identical plan shape - signature projection, banded equi-join, candidate-only verify; benched to separate oracle-replay hash cost from engine drift.",
     "rolling_distinct_users_7d_hll_portable": "One corpus pass builds per-day HLL registers (map-side-combining max); the 7-day union explodes REGISTERS (<= |days| x 4096 rows), never (day,user) pairs; estimate is a tiny per-day aggregate. At 100 TB the corpus is touched exactly once and every re-windowing reuses the register relation.",
 }
