@@ -1,0 +1,217 @@
+"""Spatial queries: grid density, radius joins, kNN, DBSCAN.
+
+The reference lands point coordinates (`Lat`, `Long_` —
+`spark/scripts/process_covid_raw.py:12-13`) but only passes them
+through; these queries give the engine first-class spatial compute
+over point columns (`operators/geo.py`).
+
+The testdata has no coordinate column, so each query derives a
+deterministic point per customer from the portable md5 hash
+(`operators/dedup.portable_hash31`) — integer micro-degrees in a
+0.2 deg x 0.2 deg box. Both engines derive the SAME points from the
+same table, so the oracle verifies the whole pipeline including the
+derivation. All spatial math is BIGINT-exact (squared planar
+micro-degree distances — see the module docstring of
+`operators/geo.py` for the geodesic note), so no float policy is
+needed anywhere in this file.
+
+Oracles are the INDEPENDENT quadratic form (brute-force distance
+cross-join, plus a recursive-CTE closure for DBSCAN) — a different
+algorithm than the engine's cell-bucketed joins, which is exactly what
+makes the equality check meaningful. Quadratic stays feasible because
+the oracle only ever runs at sf<=0.01 (1,500 points).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.harness.registry import register, table
+from covid_data_pipeline_spark.operators.dedup import portable_hash31
+from covid_data_pipeline_spark.operators.geo import (
+    cell_density,
+    dbscan,
+    nearest_neighbors,
+    radius_pairs,
+)
+
+# 0.2-degree box in micro-degrees; radius/eps sized so sf0.01's 1,500
+# customers yield ~2,200 radius pairs and a 431-core / 124-cluster
+# DBSCAN (measured) — dense enough to exercise every code path, sparse
+# enough that the brute oracle is trivial.
+_BOX = 200_001
+_RADIUS = 5_000
+_EPS = 4_000
+_MIN_PTS = 4
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic point per customer: md5-derived integer
+    micro-degrees, salted per axis so x and y are independent."""
+    c = table(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("string")
+    return c.select(
+        "c_custkey",
+        (portable_hash31(F.concat(F.lit("lat:"), key)) % _BOX).alias("x_udeg"),
+        (portable_hash31(F.concat(F.lit("lon:"), key)) % _BOX).alias("y_udeg"),
+    )
+
+
+# Shared oracle CTE: the same derivation in DuckDB SQL (md5-prefix
+# parse, Mersenne-31 fold, box modulo — all signed-64 exact).
+_PTS_SQL = f"""
+pts AS (
+  SELECT c_custkey,
+    CAST(concat('0x', substr(md5('lat:' || CAST(c_custkey AS VARCHAR)), 1, 15))
+         AS BIGINT) % 2147483647 % {_BOX} AS x_udeg,
+    CAST(concat('0x', substr(md5('lon:' || CAST(c_custkey AS VARCHAR)), 1, 15))
+         AS BIGINT) % 2147483647 % {_BOX} AS y_udeg
+  FROM customer)
+"""
+
+
+@register(
+    "geo_cell_density",
+    f"""
+    WITH {_PTS_SQL}
+    SELECT x_udeg // {_RADIUS} AS cell_x, y_udeg // {_RADIUS} AS cell_y,
+           COUNT(*) AS n_points,
+           MIN(x_udeg) AS x_lo, MAX(x_udeg) AS x_hi,
+           MIN(y_udeg) AS y_lo, MAX(y_udeg) AS y_hi
+    FROM pts GROUP BY 1, 2
+    """,
+    tags=("geo", "layout"),
+)
+def geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell point counts and coordinate extents
+    (`operators/geo.py::cell_density`) — the zone-map view of a point
+    table. One map-side-combining aggregation over |points| rows; at
+    100 TB the output is bounded by |occupied cells|, not |points|."""
+    return cell_density(
+        _points(spark, sf_dir), "x_udeg", "y_udeg", cell_size=_RADIUS
+    )
+
+
+@register(
+    "geo_radius_pairs",
+    f"""
+    WITH {_PTS_SQL}
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           (a.x_udeg - b.x_udeg) * (a.x_udeg - b.x_udeg)
+           + (a.y_udeg - b.y_udeg) * (a.y_udeg - b.y_udeg) AS dist2
+    FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+    WHERE (a.x_udeg - b.x_udeg) * (a.x_udeg - b.x_udeg)
+          + (a.y_udeg - b.y_udeg) * (a.y_udeg - b.y_udeg)
+          <= {_RADIUS * _RADIUS}
+    """,
+    tags=("geo", "join"),
+    bench=True,
+)
+def geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer pairs within {_RADIUS} micro-degrees
+    (`operators/geo.py::radius_pairs`): 3x3 neighbor-cell explode +
+    cell equi-join + exact BIGINT distance check — linear candidate
+    mass at constant density, where the oracle's brute form is
+    quadratic. Each unordered pair emitted exactly once with no
+    distinct (exploded-side < home-side id filter)."""
+    return radius_pairs(
+        _points(spark, sf_dir), "c_custkey", "x_udeg", "y_udeg",
+        radius=_RADIUS,
+    )
+
+
+@register(
+    "geo_nearest_neighbor",
+    f"""
+    WITH {_PTS_SQL},
+    cand AS (
+      SELECT a.c_custkey AS c_custkey, b.c_custkey AS id_b,
+             (a.x_udeg - b.x_udeg) * (a.x_udeg - b.x_udeg)
+             + (a.y_udeg - b.y_udeg) * (a.y_udeg - b.y_udeg) AS dist2
+      FROM pts a JOIN pts b ON a.c_custkey <> b.c_custkey
+      WHERE (a.x_udeg - b.x_udeg) * (a.x_udeg - b.x_udeg)
+            + (a.y_udeg - b.y_udeg) * (a.y_udeg - b.y_udeg)
+            <= {_RADIUS * _RADIUS})
+    SELECT c_custkey, rank, id_b AS neighbor_id, dist2 FROM (
+      SELECT c_custkey, id_b, dist2,
+             CAST(row_number() OVER (
+               PARTITION BY c_custkey ORDER BY dist2 ASC, id_b ASC
+             ) AS INTEGER) AS rank
+      FROM cand)
+    WHERE rank <= 2
+    """,
+    tags=("geo", "knn"),
+)
+def geo_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 nearest neighbors within the radius for every customer
+    point (`operators/geo.py::nearest_neighbors`). Deterministic tie
+    break on neighbor id; the ranking window partitions per point, so
+    no global sort — each point ranks only its own bounded candidate
+    list."""
+    return nearest_neighbors(
+        _points(spark, sf_dir), "c_custkey", "x_udeg", "y_udeg",
+        radius=_RADIUS, k=2,
+    )
+
+
+@register(
+    "geo_dbscan_clusters",
+    f"""
+    WITH RECURSIVE {_PTS_SQL},
+    nc AS (
+      SELECT a.c_custkey AS k, COUNT(*) AS n_in_eps
+      FROM pts a JOIN pts b
+        ON (a.x_udeg - b.x_udeg) * (a.x_udeg - b.x_udeg)
+           + (a.y_udeg - b.y_udeg) * (a.y_udeg - b.y_udeg)
+           <= {_EPS * _EPS}
+      GROUP BY 1),
+    core AS (SELECT k FROM nc WHERE n_in_eps >= {_MIN_PTS}),
+    e AS (
+      SELECT a.c_custkey AS s, b.c_custkey AS d
+      FROM pts a JOIN pts b ON a.c_custkey <> b.c_custkey
+      JOIN core ca ON ca.k = a.c_custkey
+      JOIN core cb ON cb.k = b.c_custkey
+      WHERE (a.x_udeg - b.x_udeg) * (a.x_udeg - b.x_udeg)
+            + (a.y_udeg - b.y_udeg) * (a.y_udeg - b.y_udeg)
+            <= {_EPS * _EPS}),
+    reach(node, r) AS (
+      SELECT k, k FROM core
+      UNION
+      SELECT reach.node, e.d FROM reach JOIN e ON e.s = reach.r),
+    comp AS (SELECT node, MIN(r) AS c FROM reach GROUP BY node),
+    core_lab AS (
+      SELECT node AS c_custkey, 'core' AS role, c AS cluster_id FROM comp),
+    border AS (
+      SELECT a.c_custkey, 'border' AS role, MIN(comp.c) AS cluster_id
+      FROM pts a
+      JOIN pts b ON a.c_custkey <> b.c_custkey
+        AND (a.x_udeg - b.x_udeg) * (a.x_udeg - b.x_udeg)
+            + (a.y_udeg - b.y_udeg) * (a.y_udeg - b.y_udeg)
+            <= {_EPS * _EPS}
+      JOIN comp ON comp.node = b.c_custkey
+      WHERE a.c_custkey NOT IN (SELECT k FROM core)
+      GROUP BY 1),
+    lab AS (
+      SELECT * FROM core_lab UNION ALL SELECT * FROM border)
+    SELECT c_custkey, role, cluster_id FROM lab
+    UNION ALL
+    SELECT p.c_custkey, 'noise' AS role, CAST(NULL AS BIGINT) AS cluster_id
+    FROM pts p WHERE p.c_custkey NOT IN (SELECT c_custkey FROM lab)
+    """,
+    tags=("geo", "clustering", "graph"),
+    bench=True,
+)
+def geo_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the customer points (`operators/geo.py::dbscan`,
+    eps={_EPS}, min_pts={_MIN_PTS}): cell-bucketed eps-graph -> core
+    points -> large-star/small-star connected components -> border
+    assignment (min adjacent core cluster) -> noise. 431 cores / 124
+    clusters / biggest 13 at sf0.01 (measured). The oracle rebuilds the
+    same clustering from the brute eps-graph with a recursive-CTE
+    transitive closure — an independent algorithm, same labels, because
+    both sides label clusters by their minimum core id."""
+    return dbscan(
+        _points(spark, sf_dir), "c_custkey", "x_udeg", "y_udeg",
+        eps=_EPS, min_pts=_MIN_PTS,
+    )

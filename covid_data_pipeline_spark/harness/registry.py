@@ -134,6 +134,7 @@ def _load_all() -> None:
         queries_core,
         queries_dedup,
         queries_events,
+        queries_geo,
         queries_olap,
         queries_similarity,
         queries_temporal,

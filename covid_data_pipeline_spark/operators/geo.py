@@ -1,0 +1,270 @@
+"""Planar spatial operators on integer micro-degree point coordinates.
+
+The reference carries per-row point coordinates straight through its
+pipeline (`Lat`, `Long_` DoubleType — reference
+`spark/scripts/process_covid_raw.py:12-13`) but never computes on them.
+This module makes point columns first-class: grid-cell assignment,
+bounded-radius self-join, k-nearest-neighbor within radius, per-cell
+density rollups, and DBSCAN density clustering.
+
+Design (100 TB posture)
+-----------------------
+* **Grid-cell bucketed joins, never corpus².** Any radius-``r`` query
+  with cell size ``>= r`` only needs each point's 3x3 neighbor cells:
+  a constant 9x row expansion on one side, then a plain equi-join on
+  the cell key that Catalyst/AQE shuffle-plans (and skew-splits) like
+  any other join. The quadratic all-pairs form exists only in the
+  DuckDB verification oracles.
+* **Integer-exact, cross-engine replayable.** Coordinates are integer
+  micro-degrees (1e-6 deg ≈ 0.11 m N-S) and distances compare squared
+  Euclidean micro-degrees in BIGINT — no trig, no float accumulation,
+  so every result replays bit-for-bit in any ANSI SQL engine. Planar
+  distance is the standard small-radius flat-earth approximation
+  (radius << 1 degree); a production geodesic variant would swap
+  haversine into the *final verify predicate only* — candidate
+  generation via cells is unchanged, so the plan shape (and this
+  module's scale story) is identical.
+* **Non-negative coordinate contract.** Cell assignment uses integer
+  ``div``, which truncates toward zero — identical to floor only for
+  non-negative operands. Callers with signed micro-degrees add the
+  +90e6 / +180e6 offset first (both engines, same constant), keeping
+  the math exact instead of hiding a float ``floor()`` in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "grid_cells",
+    "cell_density",
+    "radius_pairs",
+    "nearest_neighbors",
+    "dbscan",
+]
+
+
+def grid_cells(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    cell_size: int,
+    out_x: str = "cell_x",
+    out_y: str = "cell_y",
+) -> DataFrame:
+    """Assign each point to its grid cell (``coord div cell_size`` —
+    integer div == floor under the non-negative coordinate contract).
+
+    Pure codegen integer arithmetic; the (cell_x, cell_y) pair is the
+    shuffle/bucket key every other operator here joins on."""
+    if cell_size <= 0:
+        raise ValueError(f"cell_size must be positive, got {cell_size}")
+    cs = int(cell_size)
+    return df.withColumn(
+        out_x, F.expr(f"CAST({x_col} AS BIGINT) div {cs}")
+    ).withColumn(out_y, F.expr(f"CAST({y_col} AS BIGINT) div {cs}"))
+
+
+def cell_density(
+    df: DataFrame, x_col: str, y_col: str, cell_size: int
+) -> DataFrame:
+    """Per-cell point count and coordinate extents — the zone-map view
+    of a point table (tight extents == good pruning for spatial
+    predicates after a cell-clustered write). One map-side-combining
+    aggregation; output is |occupied cells| rows."""
+    g = grid_cells(df, x_col, y_col, cell_size)
+    return g.groupBy("cell_x", "cell_y").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min(x_col).alias("x_lo"),
+        F.max(x_col).alias("x_hi"),
+        F.min(y_col).alias("y_lo"),
+        F.max(y_col).alias("y_hi"),
+    )
+
+
+def _neighbor_cells(cell_x: Column, cell_y: Column) -> Column:
+    """Array of the 3x3 neighborhood cell keys around a home cell."""
+    return F.array(
+        *[
+            F.struct(
+                (cell_x + F.lit(dx)).alias("nx"),
+                (cell_y + F.lit(dy)).alias("ny"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+
+
+def _candidate_pairs(
+    df: DataFrame, id_col: str, x_col: str, y_col: str, radius: int
+) -> DataFrame:
+    """All ordered candidate point pairs (a, b), a != b, that can lie
+    within ``radius``: a's 3x3 neighborhood exploded (9x) against b's
+    home cell. With cell size == radius this is exact — no pair within
+    the radius can span more than one cell boundary per axis. Returns
+    ``(id_a, id_b, dist2)`` with ``dist2`` the squared Euclidean
+    distance in BIGINT, already filtered to ``dist2 <= radius²``."""
+    if radius <= 0:
+        raise ValueError(f"radius must be positive, got {radius}")
+    g = grid_cells(df, x_col, y_col, radius)
+    left = (
+        g.select(
+            F.col(id_col).alias("id_a"),
+            F.col(x_col).cast("bigint").alias("xa"),
+            F.col(y_col).cast("bigint").alias("ya"),
+            F.explode(_neighbor_cells(F.col("cell_x"), F.col("cell_y"))).alias(
+                "nc"
+            ),
+        )
+        .select("id_a", "xa", "ya", F.col("nc.nx").alias("nx"), F.col("nc.ny").alias("ny"))
+    )
+    right = g.select(
+        F.col(id_col).alias("id_b"),
+        F.col(x_col).cast("bigint").alias("xb"),
+        F.col(y_col).cast("bigint").alias("yb"),
+        F.col("cell_x").alias("nx"),
+        F.col("cell_y").alias("ny"),
+    )
+    dist2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        left.join(right, ["nx", "ny"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", dist2.alias("dist2"))
+        .where(F.col("dist2") <= F.lit(int(radius) * int(radius)))
+    )
+
+
+def radius_pairs(
+    df: DataFrame, id_col: str, x_col: str, y_col: str, radius: int
+) -> DataFrame:
+    """Exact unordered point pairs within ``radius`` (planar micro-deg).
+
+    Each unordered pair is emitted exactly once (``id_a < id_b``)
+    WITHOUT a distinct: the candidate join matches a's exploded
+    neighborhood against b's unique home cell, so the ordered row
+    (a, b) appears exactly once, and the ``<`` filter keeps one of the
+    two orderings. Cost: one 9x explode + one cell equi-join, both
+    AQE-managed."""
+    cand = _candidate_pairs(df, id_col, x_col, y_col, radius)
+    return cand.where(F.col("id_a") < F.col("id_b"))
+
+
+def nearest_neighbors(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: int,
+    k: int = 1,
+) -> DataFrame:
+    """For each point, its ``k`` nearest other points within ``radius``
+    (exact; points with no neighbor in range are absent). Ties break on
+    the neighbor id, so the result is deterministic and SQL-replayable.
+    The per-point window partitions on ``id_a`` — state is each point's
+    own bounded candidate list, never a global sort."""
+    cand = _candidate_pairs(df, id_col, x_col, y_col, radius)
+    w = Window.partitionBy("id_a").orderBy(F.col("dist2").asc(), F.col("id_b").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("rank"),
+            F.col("id_b").alias("neighbor_id"),
+            F.col("dist2"),
+        )
+    )
+
+
+def dbscan(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: int,
+    min_pts: int,
+) -> DataFrame:
+    """DBSCAN (Ester et al., KDD'96) re-expressed as dataflow:
+
+    1. eps-neighbor counts from the cell-bucketed candidate join
+       (a point counts itself, per the classic definition);
+    2. **core** points = count >= ``min_pts``;
+    3. clusters = connected components over core–core eps-edges
+       (:func:`operators.graph.connected_components` — the engine's
+       O(log n)-round large-star/small-star, so chain-shaped clusters
+       don't need chain-length rounds);
+    4. **border** points = non-core with a core eps-neighbor, assigned
+       the MINIMUM adjacent core cluster id (the classic algorithm says
+       "any"; min makes the labeling deterministic and hence
+       oracle-checkable);
+    5. everything else is **noise** (cluster_id NULL).
+
+    Returns ``(id, role, cluster_id)`` with role in
+    {'core','border','noise'}; cluster_id is the min core point id of
+    the cluster. Every stage is a keyed shuffle bounded by the
+    eps-graph's edge count — no all-pairs stage anywhere."""
+    from covid_data_pipeline_spark.operators.graph import connected_components
+
+    pts = df.select(id_col, x_col, y_col)
+    cand = _candidate_pairs(pts, id_col, x_col, y_col, eps)
+    # Undirected candidate rows appear once per ordering, so counting
+    # rows per id_a counts each neighbor once; +1 for the point itself.
+    ncount = cand.groupBy("id_a").agg(
+        (F.count(F.lit(1)) + F.lit(1)).alias("n_in_eps")
+    )
+    labeled = pts.join(
+        ncount, pts[id_col] == ncount["id_a"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("n_in_eps"), F.lit(1)).alias("n_in_eps"),
+    )
+    core = labeled.where(F.col("n_in_eps") >= min_pts).select(id_col)
+
+    core_a = core.select(F.col(id_col).alias("id_a"))
+    core_b = core.select(F.col(id_col).alias("id_b"))
+    core_edges = (
+        cand.join(core_a, "id_a").join(core_b, "id_b").select("id_a", "id_b")
+    )
+    comps = connected_components(
+        core_edges, src="id_a", dst="id_b", nodes=core.select(F.col(id_col))
+    )
+    core_lab = comps.select(
+        F.col("node").alias(id_col),
+        F.lit("core").alias("role"),
+        F.col("component").alias("cluster_id"),
+    )
+
+    # Border: non-core with >=1 core eps-neighbor -> min adjacent core cluster.
+    non_core = labeled.join(core.withColumnRenamed(id_col, "id_a"),
+                            labeled[id_col] == F.col("id_a"), "left_anti")
+    border = (
+        cand.join(
+            comps.select(
+                F.col("node").alias("id_b"), F.col("component").alias("nb_cluster")
+            ),
+            "id_b",
+        )
+        .join(non_core.select(F.col(id_col).alias("id_a")), "id_a")
+        .groupBy("id_a")
+        .agg(F.min("nb_cluster").alias("cluster_id"))
+        .select(
+            F.col("id_a").alias(id_col),
+            F.lit("border").alias("role"),
+            "cluster_id",
+        )
+    )
+    noise = (
+        pts.select(id_col)
+        .join(core_lab.select(id_col), id_col, "left_anti")
+        .join(border.select(id_col), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.lit("noise").alias("role"),
+            F.lit(None).cast("bigint").alias("cluster_id"),
+        )
+    )
+    return core_lab.unionByName(border).unionByName(noise)

@@ -1,0 +1,129 @@
+"""Spatial operators (`operators/geo.py`): hand-checkable geometries.
+
+Oracle-level verification of the four geo queries runs in
+tests/test_oracle_parity.py; these tests pin the operator semantics on
+constructed points where the right answer is visible by eye — cell
+boundary membership, pairs that straddle cell borders, kNN tie breaks,
+and every DBSCAN role (core / border / noise) including the
+min-cluster-id border assignment rule.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.operators.geo import (
+    cell_density,
+    dbscan,
+    grid_cells,
+    nearest_neighbors,
+    radius_pairs,
+)
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "id BIGINT, x BIGINT, y BIGINT")
+
+
+def test_grid_cells_boundary(spark):
+    # coordinate == cell_size lands in the NEXT cell (floor semantics)
+    df = _pts(spark, [(1, 0, 0), (2, 99, 100), (3, 100, 199), (4, 200, 0)])
+    got = {
+        r["id"]: (r["cell_x"], r["cell_y"])
+        for r in grid_cells(df, "x", "y", 100).collect()
+    }
+    assert got == {1: (0, 0), 2: (0, 1), 3: (1, 1), 4: (2, 0)}
+
+
+def test_grid_cells_rejects_nonpositive_cell(spark):
+    df = _pts(spark, [(1, 0, 0)])
+    with pytest.raises(ValueError):
+        grid_cells(df, "x", "y", 0)
+
+
+def test_cell_density_counts_and_extents(spark):
+    df = _pts(spark, [(1, 5, 5), (2, 7, 9), (3, 15, 5)])
+    rows = {
+        (r["cell_x"], r["cell_y"]): r
+        for r in cell_density(df, "x", "y", 10).collect()
+    }
+    assert rows[(0, 0)]["n_points"] == 2
+    assert (rows[(0, 0)]["x_lo"], rows[(0, 0)]["x_hi"]) == (5, 7)
+    assert (rows[(0, 0)]["y_lo"], rows[(0, 0)]["y_hi"]) == (5, 9)
+    assert rows[(1, 0)]["n_points"] == 1
+
+
+def test_radius_pairs_exact_once_across_cell_border(spark):
+    # 1-2 straddle a cell border (dist 2 <= r=10); 3 is far away.
+    df = _pts(spark, [(1, 9, 0), (2, 11, 0), (3, 500, 500)])
+    rows = radius_pairs(df, "id", "x", "y", radius=10).collect()
+    assert [(r["id_a"], r["id_b"], r["dist2"]) for r in rows] == [(1, 2, 4)]
+
+
+def test_radius_pairs_boundary_inclusive(spark):
+    # dist2 == radius^2 is IN (<=), one micro-degree farther is OUT
+    df = _pts(spark, [(1, 0, 0), (2, 10, 0), (3, 0, 11)])
+    rows = radius_pairs(df, "id", "x", "y", radius=10).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+
+
+def test_nearest_neighbors_tiebreak_and_k(spark):
+    # 2 and 3 are equidistant from 1 -> rank ties break on neighbor id
+    df = _pts(spark, [(1, 0, 0), (2, 3, 0), (3, 0, 3), (4, 4, 0)])
+    nn = nearest_neighbors(df, "id", "x", "y", radius=10, k=2)
+    got = {
+        (r["id"], r["rank"]): (r["neighbor_id"], r["dist2"])
+        for r in nn.collect()
+    }
+    assert got[(1, 1)] == (2, 9)
+    assert got[(1, 2)] == (3, 9)
+    # 4's nearest is 2 (dist2=1), then 1 (dist2=16)
+    assert got[(4, 1)] == (2, 1)
+    assert got[(4, 2)] == (1, 16)
+
+
+def test_nearest_neighbors_isolated_point_absent(spark):
+    df = _pts(spark, [(1, 0, 0), (2, 1, 0), (3, 10_000, 10_000)])
+    ids = {r["id"] for r in
+           nearest_neighbors(df, "id", "x", "y", radius=5).collect()}
+    assert ids == {1, 2}
+
+
+def test_dbscan_roles_and_min_border_assignment(spark):
+    # Cluster A: 10,11,12,13 packed at x~0 (each sees all 4 -> core).
+    # Cluster B: 20,21,22,23 packed at x~1000.
+    # Border: 30 within eps of A's core 13 only (sees 2 pts < min_pts).
+    # Noise: 40 isolated.
+    rows = [
+        (10, 0, 0), (11, 2, 0), (12, 0, 2), (13, 2, 2),
+        (20, 1000, 0), (21, 1002, 0), (22, 1000, 2), (23, 1002, 2),
+        (30, 6, 2),    # dist2 to 13 = 16, to 11 = 20 (both <= 25);
+                       # to 10/12 > 25 -> sees 2 + self = 3 < min_pts
+        (40, 5000, 5000),
+    ]
+    got = {
+        r["id"]: (r["role"], r["cluster_id"])
+        for r in dbscan(
+            _pts(spark, rows), "id", "x", "y", eps=5, min_pts=4
+        ).collect()
+    }
+    for k in (10, 11, 12, 13):
+        assert got[k] == ("core", 10)
+    for k in (20, 21, 22, 23):
+        assert got[k] == ("core", 20)
+    assert got[30] == ("border", 10)
+    assert got[40] == ("noise", None)
+    assert len(got) == len(rows)
+
+
+def test_dbscan_min_pts_counts_self(spark):
+    # 3 mutually-close points, min_pts=3: each sees 2 neighbors + itself
+    rows = [(1, 0, 0), (2, 1, 0), (3, 0, 1)]
+    got = {
+        r["id"]: r["role"]
+        for r in dbscan(
+            _pts(spark, rows), "id", "x", "y", eps=2, min_pts=3
+        ).collect()
+    }
+    assert got == {1: "core", 2: "core", 3: "core"}
