@@ -2284,3 +2284,98 @@ def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=[F.col("cosine_sim").desc(), F.col("part_b")],
         k=5,
     ).select("part_a", "part_b", "co", "cosine_sim")
+
+
+_BLOOM_M_WORDS = 8  # 504 usable bits (63/word)
+_BLOOM_K = 3
+
+
+@register(
+    "bloom_prefilter_orders",
+    f"""
+    WITH members AS (
+      SELECT c_custkey FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 9000),
+    mh AS (
+      SELECT
+        CAST(concat('0x', substr(md5('bh1:' || CAST(c_custkey AS VARCHAR)),
+             1, 15)) AS BIGINT) % 2147483647 AS h1,
+        CAST(concat('0x', substr(md5('bh2:' || CAST(c_custkey AS VARCHAR)),
+             1, 15)) AS BIGINT) % 2147483647 AS h2
+      FROM members),
+    pos AS (
+      SELECT (h1 + i.i * h2) % {_BLOOM_M_WORDS * 63} AS p
+      FROM mh CROSS JOIN (SELECT unnest(range(0, {_BLOOM_K})) AS i) i),
+    words AS (
+      SELECT p // 63 AS w,
+             bit_or(1::BIGINT << CAST(p % 63 AS INTEGER)) AS word
+      FROM pos GROUP BY 1),
+    probe AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority,
+        CAST(concat('0x', substr(md5('bh1:' || CAST(o_custkey AS VARCHAR)),
+             1, 15)) AS BIGINT) % 2147483647 AS h1,
+        CAST(concat('0x', substr(md5('bh2:' || CAST(o_custkey AS VARCHAR)),
+             1, 15)) AS BIGINT) % 2147483647 AS h2
+      FROM orders),
+    checks AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority,
+        bool_and(COALESCE(words.word, 0)
+                 & (1::BIGINT << CAST(pp.p % 63 AS INTEGER)) <> 0) AS maybe
+      FROM (SELECT *, (h1 + i.i * h2) % {_BLOOM_M_WORDS * 63} AS p
+            FROM probe
+            CROSS JOIN (SELECT unnest(range(0, {_BLOOM_K})) AS i) i) pp
+      LEFT JOIN words ON words.w = pp.p // 63
+      GROUP BY 1, 2, 3)
+    SELECT o_orderpriority,
+      count(*) FILTER (maybe) AS n_bloom_pass,
+      count(*) FILTER (o_custkey IN (SELECT c_custkey FROM members))
+        AS n_exact,
+      count(*) FILTER (maybe AND o_custkey NOT IN
+        (SELECT c_custkey FROM members)) AS n_false_pos
+    FROM checks GROUP BY 1
+    """,
+    tags=("join", "bloom", "runtime-filter"),
+)
+def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit runtime Bloom-filter semi-join pruning
+    (`operators/bloom.py`): build a 504-bit portable bloom over a
+    selective customer predicate (~31 members at sf0.01), push a pure
+    codegen `bloom_contains` map filter into the orders scan, then the
+    exact (broadcast) membership join. Output per priority: rows the
+    bloom passes, rows the exact join keeps, and the bloom's false
+    positives — the fp set is md5-deterministic, so the oracle verifies
+    the filter's exact bit behavior, not just "no false negatives".
+    Spark's native twin is `spark.sql.optimizer.runtime.bloomFilter.
+    enabled`; the explicit operator is for engines/pipelines that need
+    the prefilter portable and inspectable (reference's Trino alert
+    INSERT...SELECTs are exactly such dimension-predicate semi-joins,
+    `airflow/dags/covid_alerts_dag.py:38-59`)."""
+    from covid_data_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    c = table(spark, sf_dir, "customer")
+    members = c.where(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") >= 9000)
+    ).select("c_custkey")
+    words = bloom_build(
+        members, "c_custkey", m_words=_BLOOM_M_WORDS, k=_BLOOM_K
+    )
+    o = table(spark, sf_dir, "orders")
+    flagged = o.select(
+        "o_custkey",
+        "o_orderpriority",
+        bloom_contains(F.col("o_custkey"), words, k=_BLOOM_K).alias("maybe"),
+    ).join(
+        F.broadcast(members.withColumn("is_member", F.lit(True))),
+        o["o_custkey"] == members["c_custkey"],
+        "left",
+    )
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("maybe"), 1)).alias("n_bloom_pass"),
+        F.count(F.when(F.col("is_member"), 1)).alias("n_exact"),
+        F.count(
+            F.when(F.col("maybe") & F.col("is_member").isNull(), 1)
+        ).alias("n_false_pos"),
+    )
