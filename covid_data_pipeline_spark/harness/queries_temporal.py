@@ -1307,3 +1307,196 @@ def customers_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "n_orders", "total_cents",
         "valid_from", "valid_to", "is_current",
     )
+
+
+# --- interval algebra (operators/intervals.py) ------------------------
+# Activity windows: every event opens [ts, ts+2h] for its user; error
+# windows: every error event opens a global [ts-5min, ts+5min]. Both
+# merged with the gaps-and-islands idiom; all endpoints are epoch
+# MICROS (BIGINT) so the whole family is integer-exact.
+_PAD_ACT_US = 7_200_000_000
+_PAD_ERR_US = 300_000_000
+_CELL_US = 3_600_000_000
+
+_ACT_SQL = f"""
+act AS (
+  SELECT user_id, island_no, MIN(s) AS start_us, MAX(e) AS end_us,
+         COUNT(*) AS n_source
+  FROM (
+    SELECT user_id, s, e,
+           CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_no
+    FROM (
+      SELECT user_id, s, e,
+             CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk
+      FROM (
+        SELECT user_id, s, e,
+               MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        FROM (
+          SELECT user_id, epoch_us(ts) AS s,
+                 epoch_us(ts) + {_PAD_ACT_US} AS e
+          FROM events))))
+  GROUP BY 1, 2)
+"""
+
+_ERR_SQL = f"""
+err AS (
+  SELECT err_no, MIN(s) AS err_start_us, MAX(e) AS err_end_us
+  FROM (
+    SELECT s, e,
+           CAST(SUM(brk) OVER (ORDER BY s, e
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS err_no
+    FROM (
+      SELECT s, e,
+             CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk
+      FROM (
+        SELECT s, e,
+               MAX(e) OVER (ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        FROM (
+          SELECT epoch_us(ts) - {_PAD_ERR_US} AS s,
+                 epoch_us(ts) + {_PAD_ERR_US} AS e
+          FROM events WHERE event_type = 'error'))))
+  GROUP BY 1)
+"""
+
+
+def _activity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    s = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    return ev.select(
+        "user_id", s.alias("s"), (s + F.lit(_PAD_ACT_US)).alias("e")
+    )
+
+
+def _error_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    s = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    return ev.select(
+        (s - F.lit(_PAD_ERR_US)).alias("s"),
+        (s + F.lit(_PAD_ERR_US)).alias("e"),
+    )
+
+
+@register(
+    "interval_merge_activity",
+    f"""
+    WITH {_ACT_SQL}
+    SELECT user_id, island_no, start_us, end_us, n_source FROM act
+    """,
+    tags=("temporal", "intervals"),
+)
+def interval_merge_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (`operators/intervals.py::merge_intervals`):
+    every event opens a 2h activity window for its user; overlapping/
+    touching windows merge into islands (~8.3k islands from 10k events
+    at sf0.01). The lag-max -> break -> running-sum windows and the
+    island aggregate all share one user_id partitioning — a single
+    exchange end-to-end."""
+    from covid_data_pipeline_spark.operators.intervals import merge_intervals
+
+    merged = merge_intervals(
+        _activity_intervals(spark, sf_dir), ["user_id"], "s", "e"
+    )
+    return merged.select(
+        "user_id",
+        "island_no",
+        F.col("s").alias("start_us"),
+        F.col("e").alias("end_us"),
+        "n_source",
+    )
+
+
+@register(
+    "interval_coverage_users",
+    f"""
+    WITH {_ACT_SQL}
+    SELECT user_id, COUNT(*) AS n_islands,
+           CAST(SUM(end_us - start_us) AS BIGINT) AS covered_us,
+           MAX(end_us - start_us) AS longest_us
+    FROM act GROUP BY 1
+    """,
+    tags=("temporal", "intervals"),
+)
+def interval_coverage_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user coverage of the activity-interval union
+    (`operators/intervals.py::interval_coverage`): disjoint island
+    count, total covered micros, longest island — the "how much wall
+    clock was this user active" rollup that raw event counts can't
+    answer (overlapping windows must not double-count)."""
+    from covid_data_pipeline_spark.operators.intervals import (
+        interval_coverage,
+    )
+
+    cov = interval_coverage(
+        _activity_intervals(spark, sf_dir), ["user_id"], "s", "e"
+    )
+    return cov.select(
+        "user_id",
+        "n_islands",
+        F.col("covered").alias("covered_us"),
+        F.col("longest").alias("longest_us"),
+    )
+
+
+@register(
+    "interval_overlap_error_windows",
+    f"""
+    WITH {_ACT_SQL}, {_ERR_SQL}
+    SELECT a.user_id, a.island_no, e.err_no,
+           LEAST(a.end_us, e.err_end_us)
+           - GREATEST(a.start_us, e.err_start_us) AS overlap_us
+    FROM act a JOIN err e
+      ON a.start_us <= e.err_end_us AND e.err_start_us <= a.end_us
+    """,
+    tags=("temporal", "intervals", "join"),
+    bench=True,
+)
+def interval_overlap_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join
+    (`operators/intervals.py::interval_overlap_join`): user activity
+    islands x merged global error windows (~36k overlapping pairs at
+    sf0.01). The engine explodes both sides to 1h cells and equi-joins
+    on the cell key — each pair found exactly once at the cell of
+    GREATEST(starts), no distinct — where the oracle states the plain
+    quadratic inequality join."""
+    from covid_data_pipeline_spark.operators.intervals import (
+        interval_overlap_join,
+        merge_intervals,
+    )
+
+    act = merge_intervals(
+        _activity_intervals(spark, sf_dir), ["user_id"], "s", "e"
+    ).select(
+        "user_id",
+        "island_no",
+        F.col("s").alias("start_us"),
+        F.col("e").alias("end_us"),
+    )
+    err = merge_intervals(
+        _error_intervals(spark, sf_dir).withColumn("g", F.lit(1)),
+        ["g"],
+        "s",
+        "e",
+        island_col="err_no",
+    ).select(
+        F.col("err_no"),
+        F.col("s").alias("err_start_us"),
+        F.col("e").alias("err_end_us"),
+    )
+    pairs = interval_overlap_join(
+        act,
+        err,
+        "start_us",
+        "end_us",
+        "err_start_us",
+        "err_end_us",
+        cell_size=_CELL_US,
+    )
+    return pairs.select(
+        "user_id",
+        "island_no",
+        "err_no",
+        F.col("overlap").alias("overlap_us"),
+    )

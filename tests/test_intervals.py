@@ -1,0 +1,109 @@
+"""Interval algebra (`operators/intervals.py`) on hand-checkable sets.
+
+The three interval_* oracle rows verify cross-engine equality at
+sf0.01; these pin the semantics: closed-interval merge (touching
+intervals coalesce), containment, coverage that never double-counts,
+and the exactly-once guarantee of the cell-bucketed overlap join for
+pairs that straddle cell boundaries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from covid_data_pipeline_spark.operators.intervals import (
+    interval_coverage,
+    interval_overlap_join,
+    merge_intervals,
+)
+
+
+def _iv(spark, rows):
+    return spark.createDataFrame(rows, "k STRING, s BIGINT, e BIGINT")
+
+
+def test_merge_overlap_touch_and_containment(spark):
+    rows = [
+        ("u", 0, 10), ("u", 5, 20),    # overlap -> one island
+        ("u", 20, 30),                 # touches previous -> same island
+        ("u", 22, 25),                 # contained -> same island
+        ("u", 40, 50),                 # separate island
+        ("v", 0, 1),                   # other key untouched
+    ]
+    got = {
+        (r["k"], r["island_no"]): (r["s"], r["e"], r["n_source"])
+        for r in merge_intervals(_iv(spark, rows), ["k"], "s", "e").collect()
+    }
+    assert got == {
+        ("u", 1): (0, 30, 4),
+        ("u", 2): (40, 50, 1),
+        ("v", 1): (0, 1, 1),
+    }
+
+
+def test_merge_is_input_order_independent(spark):
+    rows = [("u", 40, 50), ("u", 22, 25), ("u", 5, 20), ("u", 0, 10),
+            ("u", 20, 30)]
+    got = sorted(
+        (r["s"], r["e"]) for r in
+        merge_intervals(_iv(spark, rows), ["k"], "s", "e").collect()
+    )
+    assert got == [(0, 30), (40, 50)]
+
+
+def test_coverage_no_double_count(spark):
+    rows = [("u", 0, 10), ("u", 5, 20), ("u", 100, 110)]
+    r = interval_coverage(_iv(spark, rows), ["k"], "s", "e").collect()[0]
+    assert (r["n_islands"], r["covered"], r["longest"]) == (2, 30, 20)
+
+
+def test_overlap_join_exactly_once_across_cells(spark):
+    # Pair straddles many cells (cell=10): a [0,35] x b [28,95] overlap
+    # once; non-overlapping b [200,210] excluded; touching b [35,40]
+    # included with overlap 0.
+    a = spark.createDataFrame([("A1", 0, 35)], "aid STRING, a_s BIGINT, a_e BIGINT")
+    b = spark.createDataFrame(
+        [("B1", 28, 95), ("B2", 200, 210), ("B3", 35, 40)],
+        "bid STRING, b_s BIGINT, b_e BIGINT",
+    )
+    got = sorted(
+        (r["aid"], r["bid"], r["overlap"])
+        for r in interval_overlap_join(
+            a, b, "a_s", "a_e", "b_s", "b_e", cell_size=10
+        ).collect()
+    )
+    assert got == [("A1", "B1", 7), ("A1", "B3", 0)]
+
+
+def test_overlap_join_matches_bruteforce(spark):
+    import itertools
+
+    a_rows = [(f"a{i}", i * 7, i * 7 + 15) for i in range(40)]
+    b_rows = [(f"b{j}", j * 11 + 3, j * 11 + 9) for j in range(30)]
+    a = spark.createDataFrame(a_rows, "aid STRING, a_s BIGINT, a_e BIGINT")
+    b = spark.createDataFrame(b_rows, "bid STRING, b_s BIGINT, b_e BIGINT")
+    got = sorted(
+        (r["aid"], r["bid"], r["overlap"])
+        for r in interval_overlap_join(
+            a, b, "a_s", "a_e", "b_s", "b_e", cell_size=13
+        ).collect()
+    )
+    want = sorted(
+        (ai, bi, min(ae, be) - max(as_, bs))
+        for (ai, as_, ae), (bi, bs, be) in itertools.product(a_rows, b_rows)
+        if as_ <= be and bs <= ae
+    )
+    assert got == want
+
+
+def test_overlap_join_rejects_clashing_columns(spark):
+    a = spark.createDataFrame([(1, 2)], "s BIGINT, e BIGINT")
+    with pytest.raises(ValueError):
+        interval_overlap_join(a, a, "s", "e", "s", "e", cell_size=10)
+
+
+def test_overlap_join_rejects_bad_cell(spark):
+    a = spark.createDataFrame([(1, 2)], "a_s BIGINT, a_e BIGINT")
+    b = spark.createDataFrame([(1, 2)], "b_s BIGINT, b_e BIGINT")
+    with pytest.raises(ValueError):
+        interval_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", cell_size=0)
