@@ -3591,3 +3591,70 @@ def events_conversion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("t") == 1).alias("treat"), (F.col("c") == 1).alias("converted")
     )
     return two_proportion_ztest(units)
+
+
+@register(
+    "events_f2_ams",
+    """
+    WITH ev AS (
+      SELECT CAST(user_id AS VARCHAR) AS k FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    signed AS (
+      SELECT j.j AS j,
+             SUM(1 - 2 * (CAST(concat('0x', substr(md5(
+                   concat('ams', CAST(j.j AS VARCHAR), ':', k)), 1, 15))
+                 AS BIGINT) % 2)) AS s
+      FROM ev CROSS JOIN range(16) j(j) GROUP BY 1
+    ),
+    x AS (SELECT j, CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS x FROM signed),
+    exact AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2
+      FROM (SELECT COUNT(*) AS c FROM ev GROUP BY k)
+    ),
+    est AS (SELECT CAST(SUM(x) AS DOUBLE) / 16.0 AS f2_est FROM x)
+    SELECT 16 AS depth, exact_f2, f2_est,
+           (ROUND((f2_est - exact_f2) / exact_f2 * 10000, 2) + 0)
+             AS rel_err_bp
+    FROM exact, est
+    """,
+    tags=("events", "sketch", "ams", "portable"),
+)
+def events_f2_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war second-moment estimate
+    (`operators/sketches.py::ams_f2_sketch`/`ams_f2_estimate`) vs the
+    exact F2 of the per-user event counts — the sketch that prices a
+    self-join (|events JOIN events ON user_id| = F2) from 16 BIGINT
+    accumulators without running it. Completes the sketch toolbox's
+    moment axis: F0 = HLL/theta, F1 = plain count, F2 = AMS, point
+    freq = count-min, top-k = Misra-Gries, quantiles = bottom-k.
+    Every signed sum is integer-exact with portable md5-parity signs;
+    squares accumulate in DECIMAL(38,0)/HUGEINT (BIGINT squares
+    overflow past ~3e9 rows/group), the mean over a power-of-two depth
+    is dyadic, and the only signed-float output is round_stable'd.
+    Scale shape: corpus touched once, map-side combine into
+    depth-many accumulators per group."""
+    from covid_data_pipeline_spark.operators.sketches import (
+        ams_f2_estimate,
+        ams_f2_sketch,
+    )
+
+    ev = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    sk = ams_f2_sketch(ev, "user_id", depth=16)
+    est = ams_f2_estimate(sk, depth=16)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("exact_f2"))
+    )
+    return exact.crossJoin(est).select(
+        F.lit(16).alias("depth"),
+        "exact_f2",
+        "f2_est",
+        round_stable(
+            (F.col("f2_est") - F.col("exact_f2"))
+            / F.col("exact_f2")
+            * 10000,
+            2,
+        ).alias("rel_err_bp"),
+    )

@@ -428,3 +428,72 @@ def hll_estimate_sql(
              SUM(CAST((CAST(1 AS BIGINT) << (61 - rho)) AS HUGEINT)) AS s_pres
       FROM {reg_sql} GROUP BY {group_alias}
     )"""
+
+
+def ams_f2_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    depth: int = 16,
+) -> DataFrame:
+    """AMS tug-of-war sketch of the second frequency moment
+    (Alon-Matias-Szegedy, STOC'96): estimator j folds every row into
+    ``sum_keys sign_j(key) * cnt(key)`` where sign_j is ±1 from the
+    parity of the portable md5 hash of ``'ams' j ':' key`` — one
+    map-side-combining aggregate per pass, ``depth`` BIGINT
+    accumulators per group, corpus touched once.
+
+    Returns ``group_cols + (j, x)`` with ``x = (signed sum)^2`` in
+    DECIMAL(38,0): the signed sum is BIGINT-exact, and the square —
+    which overflows BIGINT once a group holds ~3e9 rows — stays exact
+    in decimal (HUGEINT on DuckDB). E[x] = F2; averaging the depth
+    estimators (:func:`ams_f2_estimate`) tightens variance by 1/depth.
+    Self-join size estimation is the classic use: |R join R on k| = F2
+    of R.k, so the sketch prices a join without running it."""
+    js = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    rows = df.where(F.col(key_col).isNotNull()).select(
+        *group_cols, F.col(key_col).cast("string").alias("__k"), js
+    )
+    sign = (
+        F.lit(1)
+        - F.lit(2)
+        * (
+            portable_token_hash(
+                F.concat(
+                    F.lit("ams"),
+                    F.col("j").cast("string"),
+                    F.lit(":"),
+                    F.col("__k"),
+                )
+            )
+            % 2
+        )
+    ).cast("bigint")
+    signed = rows.groupBy(*group_cols, "j").agg(
+        F.sum(sign).alias("__s")
+    )
+    x = (
+        F.col("__s").cast("decimal(38,0)")
+        * F.col("__s").cast("decimal(38,0)")
+    ).alias("x")
+    return signed.select(*group_cols, "j", x)
+
+
+def ams_f2_estimate(
+    sketch: DataFrame,
+    group_cols: Sequence[str] = (),
+    depth: int = 16,
+    out_col: str = "f2_est",
+) -> DataFrame:
+    """Mean of the tug-of-war estimators: ``sum_j x_j / depth``. The
+    sum stays DECIMAL(38,0)-exact; with a power-of-two depth the final
+    division is dyadic, so the double is the exact value whenever the
+    sum fits 2^53 (true at every test scale — at real scale the
+    estimate is approximate anyway)."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.sum("x").alias("__xs")
+    )
+    return agg.select(
+        *group_cols,
+        (F.col("__xs").cast("double") / F.lit(float(depth))).alias(out_col),
+    )

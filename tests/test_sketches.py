@@ -229,3 +229,77 @@ def test_cm_partition_invariant_and_mergeable(spark):
         {tuple(r) for r in merged.collect()}
         == {tuple(r) for r in direct.collect()}
     )
+
+
+def test_ams_f2_exact_on_uniform_keys(spark):
+    from covid_data_pipeline_spark.operators.sketches import (
+        ams_f2_estimate,
+        ams_f2_sketch,
+    )
+
+    # every key unique -> F2 == n; each estimator is (sum of n random
+    # signs)^2 with E = n; fixed hash, so gate the measured value.
+    df = spark.range(0, 20_000).select(F.col("id").alias("k"))
+    sk = ams_f2_sketch(df, "k", depth=16)
+    assert sk.count() == 16
+    est = ams_f2_estimate(sk, depth=16).collect()[0]["f2_est"]
+    assert abs(est - 20_000) / 20_000 < 0.5  # sqrt(2/16) ~ 35% std
+
+
+def test_ams_f2_partition_invariant_and_additive(spark):
+    from covid_data_pipeline_spark.operators.sketches import ams_f2_sketch
+
+    df = spark.range(0, 5_000).select((F.col("id") % 37).alias("k"))
+    a = {
+        r["j"]: int(r["x"])
+        for r in ams_f2_sketch(df, "k", depth=8).collect()
+    }
+    b = {
+        r["j"]: int(r["x"])
+        for r in ams_f2_sketch(df.repartition(13), "k", depth=8).collect()
+    }
+    assert a == b  # map-side combine order can't change integer sums
+
+    # signed sums are additive over disjoint row sets: sketching the
+    # halves and summing signed accumulators == sketching the union.
+    # x = s^2 is not additive, so compare via the recomputed union.
+    half1 = df.where(F.col("k") < 18)
+    half2 = df.where(F.col("k") >= 18)
+    import math
+
+    s_union = {
+        r["j"]: math.isqrt(int(r["x"]))  # |s|; sign lost in square
+        for r in ams_f2_sketch(df, "k", depth=8).collect()
+    }
+    # reconstruct union x from halves is only possible pre-square;
+    # assert the squares of disjoint KEY sets instead: keys never
+    # interact, so x_union != x_a + x_b in general — but the signed
+    # sums do satisfy |s_u| <= |s_a| + |s_b| (triangle inequality).
+    s_a = {
+        r["j"]: math.isqrt(int(r["x"]))
+        for r in ams_f2_sketch(half1, "k", depth=8).collect()
+    }
+    s_b = {
+        r["j"]: math.isqrt(int(r["x"]))
+        for r in ams_f2_sketch(half2, "k", depth=8).collect()
+    }
+    for j in s_union:
+        assert s_union[j] <= s_a.get(j, 0) + s_b.get(j, 0)
+
+
+def test_ams_f2_skew_sensitivity(spark):
+    from covid_data_pipeline_spark.operators.sketches import (
+        ams_f2_estimate,
+        ams_f2_sketch,
+    )
+
+    # one heavy key dominates: F2 ~= heavy^2; the estimator must track
+    # it (this is what distinguishes F2 from plain counts).
+    heavy = spark.range(0, 10_000).select(F.lit("hot").alias("k"))
+    light = spark.range(0, 100).select(F.col("id").cast("string").alias("k"))
+    df = heavy.unionByName(light)
+    est = ams_f2_estimate(
+        ams_f2_sketch(df, "k", depth=16), depth=16
+    ).collect()[0]["f2_est"]
+    exact = 10_000**2 + 100
+    assert abs(est - exact) / exact < 0.5
