@@ -15,10 +15,20 @@ without reading a byte of input I/O:
   Arrow RecordBatches (vectorized numpy, no per-row Python), so a
   ``local[32]`` session fills 32 cores and a 1000-executor cluster fills
   4000 — generation cost scales out exactly like a parquet scan.
-* **filter pushdown**: ``EqualTo(event_type, …)`` is absorbed into the
-  generator (rows are masked before the batch is built), demonstrating
-  the API's pushFilters contract; all other predicates are left for
-  Spark to evaluate.
+* **filter pushdown**: with ``absorbFilters=true``,
+  ``EqualTo(event_type, …)`` is absorbed into the generator (rows are
+  masked before the batch is built), demonstrating the API's
+  pushFilters contract; all other predicates are left for Spark to
+  evaluate. Absorption is OPT-IN because of a Spark 4.1 scan-caching
+  hazard this repo hit at 16M rows: a DataFrame's filterLESS queries
+  can reuse the relation's most-recently-built scan — INCLUDING a
+  filter a previous query pushed into it — silently dropping rows
+  (observed: ``ev.where(type='error').count()`` then ``ev.count()``
+  returns the error count; a fresh ``.load()`` is unaffected). With
+  absorption off (default) the scan always generates every row and
+  Spark applies all predicates post-scan, so a shared relation can
+  never be poisoned; enable it only on a single-purpose relation used
+  by one query shape.
 * **streaming**: a `SimpleDataSourceStreamReader` replays the same
   deterministic rows in bounded micro-batches with exact offset
   tracking, so streaming operators can be tested against their batch
@@ -129,6 +139,9 @@ class _Opts:
         self.step_us = int(options.get("stepseconds", 1)) * 1_000_000
         self.seed = int(options.get("seed", 42))
         self.rows_per_batch = int(options.get("rowsperbatch", 500))
+        self.absorb_filters = (
+            str(options.get("absorbfilters", "false")).lower() == "true"
+        )
         self.max_rows = int(
             options.get("maxrows", self.num_partitions * self.rows_per_partition)
         )
@@ -144,10 +157,14 @@ class SyntheticEventsReader(DataSourceReader):
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Absorb one `event_type = literal` filter into the generator;
         everything else is returned as unsupported (Spark evaluates it
-        post-scan — the standard partial-pushdown contract)."""
+        post-scan — the standard partial-pushdown contract). Absorption
+        only happens under ``absorbFilters=true`` — see the module
+        docstring for the shared-relation scan-caching hazard that
+        makes it opt-in."""
         for f in filters:
             if (
-                isinstance(f, EqualTo)
+                self.opts.absorb_filters
+                and isinstance(f, EqualTo)
                 and f.attribute == ("event_type",)
                 and self.event_type_eq is None
                 and isinstance(f.value, str)

@@ -57,16 +57,34 @@ def test_deterministic_across_reads(spark):
 
 
 def test_filter_pushdown_event_type(spark):
+    # absorbFilters relations are single-purpose (one query shape) —
+    # see the pyds module docstring for the scan-caching hazard.
     base = _read(spark, numPartitions=4, rowsPerPartition=500, seed=1)
     expected = base.where(F.col("event_type") == "click")
-    pushed = _read(spark, numPartitions=4, rowsPerPartition=500, seed=1).where(
-        F.col("event_type") == "click"
-    )
+    pushed = _read(
+        spark, numPartitions=4, rowsPerPartition=500, seed=1,
+        absorbFilters=True,
+    ).where(F.col("event_type") == "click")
     rows = pushed.collect()
     assert {r.event_type for r in rows} == {"click"}
     assert sorted(r.event_id for r in rows) == sorted(
         r.event_id for r in expected.collect()
     )
+
+
+def test_shared_relation_not_poisoned_by_pushdown(spark):
+    """Regression (r7): with absorption ON, a relation's filterless
+    queries can reuse the most-recently-built pushed-filter scan
+    (Spark 4.1 scan caching) and silently drop rows. The default
+    (absorbFilters=false) must keep a shared DataFrame correct across
+    filtered-then-plain query sequences."""
+    ev = _read(spark, numPartitions=4, rowsPerPartition=500, seed=1)
+    n_err = ev.where(F.col("event_type") == "error").count()
+    assert 0 < n_err < 2000
+    assert ev.count() == 2000  # plain scan after filtered scan: full
+    n_click = ev.where(F.col("event_type") == "click").count()
+    assert ev.select("user_id").count() == 2000
+    assert 0 < n_click < 2000
 
 
 def test_pushdown_contract_unit():
@@ -75,7 +93,10 @@ def test_pushdown_contract_unit():
     from pyspark.sql.datasource import EqualTo, GreaterThan
 
     reader = SyntheticEventsReader(
-        _Opts({"numpartitions": "1", "rowsperpartition": "10"})
+        _Opts({
+            "numpartitions": "1", "rowsperpartition": "10",
+            "absorbfilters": "true",
+        })
     )
     leftover = list(
         reader.pushFilters(
