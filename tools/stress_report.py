@@ -1536,6 +1536,137 @@ def case_theta_overlap_16m(spark):
     }
 
 
+def case_geo_radius_1m(spark):
+    """1M md5-scattered points (5.2-degree box) through the
+    cell-bucketed radius self-join (~1.45M pairs at r=5000 udeg):
+    exactly-once pair emission is partition-invariant (count + exact
+    BIGINT sum of dist2), and 100 planted pairs at known distance-3
+    offsets are all recovered."""
+    from covid_data_pipeline_spark.operators.geo import radius_pairs
+
+    box = 5_200_001
+    base = spark.range(0, 1_000_000).select(
+        F.col("id"),
+        F.pmod(F.xxhash64(F.concat(F.lit("x:"), F.col("id"))), F.lit(box)).alias("x"),
+        F.pmod(F.xxhash64(F.concat(F.lit("y:"), F.col("id"))), F.lit(box)).alias("y"),
+    )
+    planted = spark.range(0, 100).select(
+        (F.col("id") + 3_000_000).alias("id"),
+        (F.col("id") * 50_000 + 10).alias("x"),
+        F.lit(7_777).alias("y"),
+    ).unionByName(
+        spark.range(0, 100).select(
+            (F.col("id") + 3_500_000).alias("id"),
+            (F.col("id") * 50_000 + 10).alias("x"),
+            F.lit(7_780).alias("y"),
+        )
+    )
+    pts = base.unionByName(planted)
+    t0 = time.time()
+    pairs = radius_pairs(pts, "id", "x", "y", radius=5_000)
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dist2").alias("sd")
+    ).collect()[0]
+    wall = time.time() - t0
+    agg2 = radius_pairs(pts.repartition(97), "id", "x", "y", radius=5_000).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dist2").alias("sd")
+    ).collect()[0]
+    invariant = (agg["n"], agg["sd"]) == (agg2["n"], agg2["sd"])
+    found = pairs.where(
+        (F.col("id_a") >= 3_000_000)
+        & (F.col("id_b") >= 3_500_000)
+        & (F.col("id_b") - F.col("id_a") == 500_000)
+    ).count()
+    return {
+        "rows": 1_000_200,
+        "pairs": int(agg["n"]),
+        "scale_vs_sf0.1": "67x customers",
+        "sec": round(wall, 2),
+        "invariant": invariant,
+        "planted_found": found,
+        "ok": invariant and found == 100 and agg["n"] > 1_000_000,
+    }
+
+
+def case_interval_overlap_16m(spark):
+    """16M event activity intervals (30-min pad) merged per user
+    (~15.86M islands — verified against the gap-count identity
+    |islands| = |users| + |gaps > pad|), then overlap-joined against
+    ~3.1k merged error windows; engine pairs equal a brute-force
+    broadcast inequality join on a 2k-user subset, and the full join is
+    partition-invariant on (count, exact overlap sum)."""
+    from covid_data_pipeline_spark.operators.intervals import (
+        interval_overlap_join,
+        merge_intervals,
+    )
+    from pyspark.sql.window import Window as W
+
+    ev = _events_16m(spark)
+    s = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    act_iv = ev.select(
+        "user_id", s.alias("s"), (s + F.lit(1_800_000_000)).alias("e")
+    )
+    err_iv = ev.where(
+        (F.col("event_type") == "error") & (F.col("event_id") % 997 == 0)
+    ).select(
+        F.lit(1).alias("g"),
+        (s - F.lit(30_000_000)).alias("es"),
+        (s + F.lit(30_000_000)).alias("ee"),
+    )
+    t0 = time.time()
+    act = merge_intervals(act_iv, ["user_id"], "s", "e").select(
+        "user_id", "island_no",
+        F.col("s").alias("a_s"), F.col("e").alias("a_e"),
+    ).localCheckpoint()
+    err = merge_intervals(err_iv, ["g"], "es", "ee", island_col="err_no").select(
+        "err_no", F.col("es").alias("b_s"), F.col("ee").alias("b_e")
+    ).localCheckpoint()
+    n_act = act.count()
+    ov = interval_overlap_join(
+        act, err, "a_s", "a_e", "b_s", "b_e", cell_size=3_600_000_000
+    )
+    agg = ov.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("overlap").alias("so")
+    ).collect()[0]
+    wall = time.time() - t0
+    # islands identity: fixed pad over point events
+    w = W.partitionBy("user_id").orderBy("s")
+    gaps = act_iv.withColumn("prev", F.lag("s").over(w)).where(
+        F.col("prev").isNotNull() & (F.col("s") - F.col("prev") > 1_800_000_000)
+    ).count()
+    users = act_iv.select("user_id").distinct().count()
+    identity_ok = n_act == users + gaps
+    agg2 = interval_overlap_join(
+        act.repartition(97), err, "a_s", "a_e", "b_s", "b_e",
+        cell_size=3_600_000_000,
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("overlap").alias("so")).collect()[0]
+    invariant = (agg["n"], agg["so"]) == (agg2["n"], agg2["so"])
+    sub = act.where(F.col("user_id") < 2000)
+    brute = (
+        sub.crossJoin(F.broadcast(err))
+        .where((F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e")))
+        .select("user_id", "island_no", "err_no",
+                (F.least("a_e", "b_e") - F.greatest("a_s", "b_s")).alias("overlap"))
+    )
+    eng = ov.where(F.col("user_id") < 2000).select(
+        "user_id", "island_no", "err_no", "overlap"
+    )
+    brute_rows = sorted(map(tuple, brute.collect()))
+    eng_rows = sorted(map(tuple, eng.collect()))
+    return {
+        "rows": 16_000_000,
+        "islands": n_act,
+        "overlap_pairs": int(agg["n"]),
+        "scale_vs_sf0.1": "160x events",
+        "sec": round(wall, 2),
+        "identity_ok": identity_ok,
+        "invariant": invariant,
+        "brute_equal": brute_rows == eng_rows,
+        "ok": identity_ok and invariant and brute_rows == eng_rows
+        and len(brute_rows) > 10_000,
+    }
+
+
 CASES = {
     "funnel_16m": case_funnel_16m,
     "token_budget_12m": case_token_budget_12m,
@@ -1564,6 +1695,8 @@ CASES = {
     "nb_classifier_1m": case_nb_classifier_1m,
     "hll_sketch_16m": case_hll_sketch_16m,
     "theta_overlap_16m": case_theta_overlap_16m,
+    "geo_radius_1m": case_geo_radius_1m,
+    "interval_overlap_16m": case_interval_overlap_16m,
 }
 
 
