@@ -1464,6 +1464,7 @@ def interval_overlap_error_windows(spark: SparkSession, sf_dir: str) -> DataFram
     from covid_data_pipeline_spark.operators.intervals import (
         interval_overlap_join,
         merge_intervals,
+        merge_intervals_global,
     )
 
     act = merge_intervals(
@@ -1474,11 +1475,15 @@ def interval_overlap_error_windows(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("s").alias("start_us"),
         F.col("e").alias("end_us"),
     )
-    err = merge_intervals(
-        _error_intervals(spark, sf_dir).withColumn("g", F.lit(1)),
-        ["g"],
+    # Keyless global merge: the hierarchical variant (per-cell merge ->
+    # cross-cell CC -> rank over the |islands|-sized result) so the
+    # error stream never funnels through one window partition — the
+    # oracle's constant-key sweep produces the identical island set.
+    err = merge_intervals_global(
+        _error_intervals(spark, sf_dir),
         "s",
         "e",
+        cell_size=_CELL_US,
         island_col="err_no",
     ).select(
         F.col("err_no"),

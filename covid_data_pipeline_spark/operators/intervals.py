@@ -32,7 +32,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["merge_intervals", "interval_coverage", "interval_overlap_join"]
+__all__ = [
+    "merge_intervals",
+    "merge_intervals_global",
+    "interval_coverage",
+    "interval_overlap_join",
+]
 
 
 def merge_intervals(
@@ -133,3 +138,93 @@ def interval_overlap_join(
         F.col(a_start), F.col(b_start)
     )
     return joined.drop("_cell").withColumn("overlap", overlap)
+
+
+def merge_intervals_global(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    cell_size: int,
+    island_col: str = "island_no",
+) -> DataFrame:
+    """Keyless (global) interval union WITHOUT a corpus-wide window.
+
+    :func:`merge_intervals` with a constant key funnels every interval
+    through one window partition — the single-task pattern this repo
+    bans at scale. This variant stays distributed:
+
+    1. merge per START cell (``start div cell_size`` is the window
+       key, so each partition sorts only its cell's intervals);
+    2. per-cell islands from DIFFERENT cells that overlap/touch become
+       edges (via :func:`interval_overlap_join` — cell-bucketed, no
+       cross product) and connected components
+       (`operators/graph.py`, O(log n) rounds) glue chains that span
+       any number of cells;
+    3. components roll up to final islands, and ``island_col`` is a
+       rank by start over the |islands|-sized result — the only global
+       window left runs on the MERGED relation (bounded by the island
+       count, never the input).
+
+    Returns ``island_col, start_col, end_col, n_source`` — identical
+    rows (and numbering) to ``merge_intervals(df, [const], ...)``:
+    final islands are exactly the connected components of the
+    closed-interval overlap graph, and disjoint islands have distinct
+    starts, so the start rank reproduces the sweep's numbering."""
+    if cell_size <= 0:
+        raise ValueError(f"cell_size must be positive, got {cell_size}")
+    from covid_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    cs = int(cell_size)
+    cells = df.withColumn(
+        "_cell", F.expr(f"CAST({start_col} AS BIGINT) div {cs}")
+    )
+    per_cell = merge_intervals(
+        cells, ["_cell"], start_col, end_col, island_col="_i"
+    )
+    # Deterministic BIGINT node id per per-cell island: dense offsets
+    # would need a global window, so use _cell * stride + _i with the
+    # stride taken from the max per-cell island count (one tiny agg;
+    # collected scalar is the centroid-matrix pattern).
+    stride = int(
+        per_cell.agg(F.max("_i").alias("m")).collect()[0]["m"] or 0
+    ) + 1
+    isl = per_cell.select(
+        (F.col("_cell") * F.lit(stride) + F.col("_i")).alias("_id"),
+        F.col(start_col),
+        F.col(end_col),
+        "n_source",
+    ).localCheckpoint(eager=False)
+    a = isl.select(
+        F.col("_id").alias("_ida"),
+        F.col(start_col).alias("_sa"),
+        F.col(end_col).alias("_ea"),
+    )
+    b = isl.select(
+        F.col("_id").alias("_idb"),
+        F.col(start_col).alias("_sb"),
+        F.col(end_col).alias("_eb"),
+    )
+    edges = interval_overlap_join(
+        a, b, "_sa", "_ea", "_sb", "_eb", cell_size=cs
+    ).where(F.col("_ida") != F.col("_idb")).select("_ida", "_idb")
+    comps = connected_components(
+        edges, src="_ida", dst="_idb", nodes=isl.select("_id")
+    )
+    merged = (
+        isl.join(comps, isl["_id"] == comps["node"])
+        .groupBy("component")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+            F.sum("n_source").alias("n_source"),
+        )
+    )
+    w = Window.orderBy(start_col)
+    return merged.select(
+        F.row_number().over(w).cast("bigint").alias(island_col),
+        start_col,
+        end_col,
+        "n_source",
+    )

@@ -107,3 +107,41 @@ def test_overlap_join_rejects_bad_cell(spark):
     b = spark.createDataFrame([(1, 2)], "b_s BIGINT, b_e BIGINT")
     with pytest.raises(ValueError):
         interval_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", cell_size=0)
+
+
+def test_global_merge_equals_constant_key_sweep(spark):
+    # chains spanning many cells + touching + contained + singletons
+    rows = (
+        [("g", i * 10, i * 10 + 12) for i in range(50)]       # one 500-long chain
+        + [("g", 1000, 1005), ("g", 1005, 1010)]              # touching pair
+        + [("g", 2000, 2100), ("g", 2010, 2020)]              # containment
+        + [("g", 5000, 5001)]                                 # singleton
+    )
+    df = _iv(spark, rows)
+    from covid_data_pipeline_spark.operators.intervals import (
+        merge_intervals_global,
+    )
+
+    want = sorted(
+        (r["island_no"], r["s"], r["e"], r["n_source"])
+        for r in merge_intervals(df, ["k"], "s", "e").collect()
+    )
+    for cell in (7, 100, 10_000):
+        got = sorted(
+            (r["island_no"], r["s"], r["e"], r["n_source"])
+            for r in merge_intervals_global(
+                df, "s", "e", cell_size=cell
+            ).collect()
+        )
+        assert got == want, f"cell={cell}"
+
+
+def test_global_merge_empty_and_bad_cell(spark):
+    from covid_data_pipeline_spark.operators.intervals import (
+        merge_intervals_global,
+    )
+
+    empty = _iv(spark, []).select("s", "e")
+    assert merge_intervals_global(empty, "s", "e", cell_size=10).count() == 0
+    with pytest.raises(ValueError):
+        merge_intervals_global(empty, "s", "e", cell_size=0)
