@@ -2354,6 +2354,10 @@ def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_build,
         bloom_contains,
     )
+    from covid_data_pipeline_spark.harness.tables import dim_count
+    from covid_data_pipeline_spark.operators.relational import (
+        size_gated_broadcast,
+    )
 
     c = table(spark, sf_dir, "customer")
     members = c.where(
@@ -2368,7 +2372,12 @@ def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         bloom_contains(F.col("o_custkey"), words, k=_BLOOM_K).alias("maybe"),
     ).join(
-        F.broadcast(members.withColumn("is_member", F.lit(True))),
+        # members is an SF-scaled customer slice: gate the broadcast on
+        # the dimension's metadata count (keyed shuffle past the bound)
+        size_gated_broadcast(
+            members.withColumn("is_member", F.lit(True)),
+            estimated_rows=dim_count(spark, sf_dir, "customer"),
+        ),
         o["o_custkey"] == members["c_custkey"],
         "left",
     )
