@@ -210,7 +210,13 @@ def dbscan(
     from covid_data_pipeline_spark.operators.graph import connected_components
 
     pts = df.select(id_col, x_col, y_col)
-    cand = _candidate_pairs(pts, id_col, x_col, y_col, eps)
+    # The eps-graph feeds three consumers (neighbor counts, core-core
+    # edges, border assignment) and Catalyst shares no subtrees —
+    # lineage-cut the COMPACT candidate relation (bounded by the
+    # eps-graph edge count) so the 9x-explode cell join runs once.
+    cand = _candidate_pairs(pts, id_col, x_col, y_col, eps).localCheckpoint(
+        eager=False
+    )
     # Undirected candidate rows appear once per ordering, so counting
     # rows per id_a counts each neighbor once; +1 for the point itself.
     ncount = cand.groupBy("id_a").agg(
@@ -229,9 +235,11 @@ def dbscan(
     core_edges = (
         cand.join(core_a, "id_a").join(core_b, "id_b").select("id_a", "id_b")
     )
+    # comps feeds both the core labeling and the border join — cut the
+    # lineage or the whole iterative CC re-runs per consumer.
     comps = connected_components(
         core_edges, src="id_a", dst="id_b", nodes=core.select(F.col(id_col))
-    )
+    ).localCheckpoint(eager=False)
     core_lab = comps.select(
         F.col("node").alias(id_col),
         F.lit("core").alias("role"),
