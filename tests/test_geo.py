@@ -127,3 +127,13 @@ def test_dbscan_min_pts_counts_self(spark):
         ).collect()
     }
     assert got == {1: "core", 2: "core", 3: "core"}
+
+
+def test_radius_pairs_plans_equi_join(spark):
+    # the cell key must plan as an equi-join: never BNLJ/cartesian
+    df = _pts(spark, [(i, i * 17 % 500, i * 31 % 500) for i in range(200)])
+    pairs = radius_pairs(df, "id", "x", "y", radius=20)
+    pairs.collect()
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

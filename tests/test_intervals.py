@@ -145,3 +145,20 @@ def test_global_merge_empty_and_bad_cell(spark):
     assert merge_intervals_global(empty, "s", "e", cell_size=10).count() == 0
     with pytest.raises(ValueError):
         merge_intervals_global(empty, "s", "e", cell_size=0)
+
+
+def test_overlap_join_plans_equi_join(spark):
+    # the cell key must plan as an equi-join: never BNLJ/cartesian
+    a = spark.createDataFrame(
+        [(i, i * 7, i * 7 + 30) for i in range(100)],
+        "aid BIGINT, a_s BIGINT, a_e BIGINT",
+    )
+    b = spark.createDataFrame(
+        [(j, j * 11, j * 11 + 9) for j in range(100)],
+        "bid BIGINT, b_s BIGINT, b_e BIGINT",
+    )
+    ov = interval_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", cell_size=16)
+    ov.collect()
+    plan = ov._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
