@@ -1124,3 +1124,117 @@ def stream_hll_distinct(
     return src.groupBy(*group_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_interval_union(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Streaming interval union: the live twin of
+    `operators/intervals.py::merge_intervals`. Per key, the merged
+    island list is the state; every micro-batch folds its intervals in
+    (closed-interval semantics — overlap OR touch coalesces) and
+    re-emits the key's full current island set tagged with a
+    monotonically increasing ``seq``, so a reader takes each key's
+    max-seq rows as the current unions.
+
+    Batching-invariant by construction: interval union is an
+    associative, commutative fold, so any split of the input across
+    micro-batches (and any arrival order — no watermark or event-time
+    ordering required) drains to the same islands as the batch sweep;
+    asserted against ``merge_intervals`` in tests.
+
+    State is the key's island list (starts/ends/counts arrays) —
+    bounded by the key's island count, the interval-domain analogue of
+    the Mann-Whitney monitor's per-value histogram. A production
+    deployment with event-time watermarks would additionally finalize
+    (emit-and-evict) islands that end before the watermark, capping
+    state at the active horizon; island identity here is (start, end),
+    so numbering is assigned by rank at read time, not carried in
+    state."""
+    group_cols = list(group_cols)
+    src = df.select(
+        *group_cols,
+        F.col(start_col).cast("bigint").alias("__s"),
+        F.col(end_col).cast("bigint").alias("__e"),
+    )
+    fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [fields[c] for c in group_cols]
+        + [
+            StructField("island_no", LongType(), False),
+            StructField(start_col, LongType(), False),
+            StructField(end_col, LongType(), False),
+            StructField("n_source", LongType(), False),
+            StructField("seq", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("starts", ArrayType(LongType()), True),
+            StructField("ends", ArrayType(LongType()), True),
+            StructField("counts", ArrayType(LongType()), True),
+            StructField("seq", LongType(), True),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            starts, ends, counts, seq = state.get
+            islands = [
+                [int(s), int(e), int(c)]
+                for s, e, c in zip(starts, ends, counts)
+            ]
+            seq = int(seq)
+        else:
+            islands, seq = [], 0
+        pending = []
+        for pdf in pdfs:
+            sub = pdf[["__s", "__e"]].dropna()
+            pending.extend(
+                [int(s), int(e), 1]
+                for s, e in zip(sub["__s"], sub["__e"])
+            )
+        if not pending:
+            return
+        # associative fold: existing islands are just weighted intervals
+        merged: list[list[int]] = []
+        for s, e, c in sorted(islands + pending):
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+                merged[-1][2] += c
+            else:
+                merged.append([s, e, c])
+        seq += 1
+        state.update(
+            (
+                [i[0] for i in merged],
+                [i[1] for i in merged],
+                [i[2] for i in merged],
+                seq,
+            )
+        )
+        out = pd.DataFrame(
+            {
+                "island_no": pd.array(
+                    range(1, len(merged) + 1), dtype="Int64"
+                ),
+                start_col: pd.array([i[0] for i in merged], dtype="Int64"),
+                end_col: pd.array([i[1] for i in merged], dtype="Int64"),
+                "n_source": pd.array([i[2] for i in merged], dtype="Int64"),
+                "seq": pd.array([seq] * len(merged), dtype="Int64"),
+            }
+        )
+        for c, v in zip(group_cols, key):
+            out[c] = v
+        yield out[
+            [*group_cols, "island_no", start_col, end_col, "n_source", "seq"]
+        ]
+
+    return src.groupBy(*group_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -1372,3 +1372,63 @@ def test_stream_hll_matches_batch_sketch(spark, tmp_path):
             len(regs), s >> 62, s & ((1 << 62) - 1)
         ), g
         assert st["n_seen"] == 1500
+
+
+def test_stream_interval_union_matches_batch_merge(spark, tmp_path):
+    """The drained streaming interval union (max-seq rows per key) must
+    equal operators/intervals.merge_intervals on the same rows, with
+    intervals scattered across micro-batches in NON-time order (the
+    fold is associative/commutative, so batching cannot matter)."""
+    from covid_data_pipeline_spark.operators.intervals import (
+        merge_intervals,
+    )
+    from covid_data_pipeline_spark.streaming.stateful import (
+        stream_interval_union,
+    )
+
+    rows = []
+    for i in range(600):
+        k = "k%d" % (i % 3)
+        s = (i * 377) % 5000          # scrambled arrival order
+        rows.append((k, s, s + 40))
+    src_dir = tmp_path / "iv_src"
+    src_dir.mkdir()
+    third = len(rows) // 3
+    for n, chunk in (
+        ("f1", rows[:third]),
+        ("f2", rows[third : 2 * third]),
+        ("f3", rows[2 * third :]),
+    ):
+        spark.createDataFrame(chunk, "k string, s long, e long").coalesce(
+            1
+        ).write.parquet(str(src_dir / f"{n}.parquet"))
+
+    stream = (
+        spark.readStream.schema("k string, s long, e long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    q = (
+        stream_interval_union(stream, ["k"], "s", "e")
+        .writeStream.format("memory")
+        .queryName("ivq")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_rows = spark.sql("SELECT * FROM ivq").collect()
+    max_seq = {}
+    for r in got_rows:
+        max_seq[r["k"]] = max(max_seq.get(r["k"], 0), r["seq"])
+    got = sorted(
+        (r["k"], r["island_no"], r["s"], r["e"], r["n_source"])
+        for r in got_rows
+        if r["seq"] == max_seq[r["k"]]
+    )
+    batch = spark.createDataFrame(rows, "k string, s long, e long")
+    want = sorted(
+        (r["k"], r["island_no"], r["s"], r["e"], r["n_source"])
+        for r in merge_intervals(batch, ["k"], "s", "e").collect()
+    )
+    assert got == want and len(want) > 3
