@@ -215,3 +215,70 @@ def geo_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _points(spark, sf_dir), "c_custkey", "x_udeg", "y_udeg",
         eps=_EPS, min_pts=_MIN_PTS,
     )
+
+
+_SUPP_RADIUS = 30_000
+
+_SUPP_PTS_SQL = f"""
+spts AS (
+  SELECT s_suppkey,
+    CAST(concat('0x', substr(md5('slat:' || CAST(s_suppkey AS VARCHAR)), 1, 15))
+         AS BIGINT) % 2147483647 % {_BOX} AS x_udeg,
+    CAST(concat('0x', substr(md5('slon:' || CAST(s_suppkey AS VARCHAR)), 1, 15))
+         AS BIGINT) % 2147483647 % {_BOX} AS y_udeg
+  FROM supplier)
+"""
+
+
+@register(
+    "geo_nearest_supplier",
+    f"""
+    WITH {_PTS_SQL}, {_SUPP_PTS_SQL},
+    scand AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             (c.x_udeg - s.x_udeg) * (c.x_udeg - s.x_udeg)
+             + (c.y_udeg - s.y_udeg) * (c.y_udeg - s.y_udeg) AS dist2
+      FROM pts c JOIN spts s
+        ON (c.x_udeg - s.x_udeg) * (c.x_udeg - s.x_udeg)
+           + (c.y_udeg - s.y_udeg) * (c.y_udeg - s.y_udeg)
+           <= {_SUPP_RADIUS * _SUPP_RADIUS})
+    SELECT c_custkey, rank, s_suppkey, dist2 FROM (
+      SELECT c_custkey, s_suppkey, dist2,
+             CAST(row_number() OVER (
+               PARTITION BY c_custkey ORDER BY dist2 ASC, s_suppkey ASC
+             ) AS INTEGER) AS rank
+      FROM scand)
+    WHERE rank <= 2
+    """,
+    tags=("geo", "join", "knn"),
+)
+def geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-relation spatial join (`operators/geo.py::radius_join`):
+    each customer point's 2 nearest supplier points within
+    {_SUPP_RADIUS} micro-degrees (distinct md5 salt, so the supplier
+    scatter is independent of the customer scatter). Same cell-join
+    plan as the self-join; at warehouse scale this is the
+    facility-assignment query (point -> nearest service point) that a
+    cross join would make quadratic."""
+    s_key = F.col("s_suppkey").cast("string")
+    spts = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (portable_hash31(F.concat(F.lit("slat:"), s_key)) % _BOX).alias(
+            "x_udeg"
+        ),
+        (portable_hash31(F.concat(F.lit("slon:"), s_key)) % _BOX).alias(
+            "y_udeg"
+        ),
+    )
+    from covid_data_pipeline_spark.operators.geo import radius_join
+
+    return radius_join(
+        _points(spark, sf_dir),
+        spts,
+        "c_custkey",
+        "s_suppkey",
+        "x_udeg",
+        "y_udeg",
+        radius=_SUPP_RADIUS,
+        k=2,
+    )

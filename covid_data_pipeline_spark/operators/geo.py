@@ -40,6 +40,7 @@ __all__ = [
     "grid_cells",
     "cell_density",
     "radius_pairs",
+    "radius_join",
     "nearest_neighbors",
     "dbscan",
 ]
@@ -97,31 +98,38 @@ def _neighbor_cells(cell_x: Column, cell_y: Column) -> Column:
     )
 
 
-def _candidate_pairs(
-    df: DataFrame, id_col: str, x_col: str, y_col: str, radius: int
+def _cross_candidates(
+    a: DataFrame,
+    b: DataFrame,
+    a_id: str,
+    b_id: str,
+    x_col: str,
+    y_col: str,
+    radius: int,
 ) -> DataFrame:
-    """All ordered candidate point pairs (a, b), a != b, that can lie
-    within ``radius``: a's 3x3 neighborhood exploded (9x) against b's
-    home cell. With cell size == radius this is exact — no pair within
-    the radius can span more than one cell boundary per axis. Returns
+    """Candidate (a, b) point pairs that can lie within ``radius``:
+    a's 3x3 neighborhood exploded (9x) against b's home cell. With
+    cell size == radius this is exact — no pair within the radius can
+    span more than one cell boundary per axis. Returns
     ``(id_a, id_b, dist2)`` with ``dist2`` the squared Euclidean
-    distance in BIGINT, already filtered to ``dist2 <= radius²``."""
+    distance in BIGINT, already filtered to ``dist2 <= radius²``
+    (self-pairs NOT excluded — callers decide)."""
     if radius <= 0:
         raise ValueError(f"radius must be positive, got {radius}")
-    g = grid_cells(df, x_col, y_col, radius)
-    left = (
-        g.select(
-            F.col(id_col).alias("id_a"),
-            F.col(x_col).cast("bigint").alias("xa"),
-            F.col(y_col).cast("bigint").alias("ya"),
-            F.explode(_neighbor_cells(F.col("cell_x"), F.col("cell_y"))).alias(
-                "nc"
-            ),
-        )
-        .select("id_a", "xa", "ya", F.col("nc.nx").alias("nx"), F.col("nc.ny").alias("ny"))
+    ga = grid_cells(a, x_col, y_col, radius)
+    gb = grid_cells(b, x_col, y_col, radius)
+    left = ga.select(
+        F.col(a_id).alias("id_a"),
+        F.col(x_col).cast("bigint").alias("xa"),
+        F.col(y_col).cast("bigint").alias("ya"),
+        F.explode(_neighbor_cells(F.col("cell_x"), F.col("cell_y"))).alias(
+            "nc"
+        ),
+    ).select(
+        "id_a", "xa", "ya", F.col("nc.nx").alias("nx"), F.col("nc.ny").alias("ny")
     )
-    right = g.select(
-        F.col(id_col).alias("id_b"),
+    right = gb.select(
+        F.col(b_id).alias("id_b"),
         F.col(x_col).cast("bigint").alias("xb"),
         F.col(y_col).cast("bigint").alias("yb"),
         F.col("cell_x").alias("nx"),
@@ -132,9 +140,55 @@ def _candidate_pairs(
     ) * (F.col("ya") - F.col("yb"))
     return (
         left.join(right, ["nx", "ny"])
-        .where(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b", dist2.alias("dist2"))
         .where(F.col("dist2") <= F.lit(int(radius) * int(radius)))
+    )
+
+
+def _candidate_pairs(
+    df: DataFrame, id_col: str, x_col: str, y_col: str, radius: int
+) -> DataFrame:
+    """Self-join candidates: :func:`_cross_candidates` of a relation
+    against itself with self-pairs excluded."""
+    return _cross_candidates(
+        df, df, id_col, id_col, x_col, y_col, radius
+    ).where(F.col("id_a") != F.col("id_b"))
+
+
+def radius_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_id: str,
+    b_id: str,
+    x_col: str,
+    y_col: str,
+    radius: int,
+    k: int | None = None,
+) -> DataFrame:
+    """Spatial join of two point relations: every (a, b) pair within
+    ``radius`` — or, with ``k``, each a-point's k nearest b-points in
+    range (ties broken on b's id). Both relations carry (id, x, y)
+    under the given column names; ids may collide across relations
+    (the output renames to ``a_id``/``b_id`` roles). Same plan shape
+    as :func:`radius_pairs`: 9x explode + cell equi-join, no cross
+    product; the per-a ranking window (k path) partitions per a-point
+    over its bounded candidate list."""
+    cand = _cross_candidates(a, b, a_id, b_id, x_col, y_col, radius)
+    out = cand.select(
+        F.col("id_a").alias(f"{a_id}_a" if a_id == b_id else a_id),
+        F.col("id_b").alias(f"{b_id}_b" if a_id == b_id else b_id),
+        "dist2",
+    )
+    if k is None:
+        return out
+    a_out, b_out = out.columns[0], out.columns[1]
+    w = Window.partitionBy(a_out).orderBy(
+        F.col("dist2").asc(), F.col(b_out).asc()
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(a_out, "rank", b_out, "dist2")
     )
 
 

@@ -137,3 +137,37 @@ def test_radius_pairs_plans_equi_join(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_radius_join_two_relations_and_k(spark):
+    from covid_data_pipeline_spark.operators.geo import radius_join
+
+    a = spark.createDataFrame(
+        [(1, 0, 0), (2, 100, 100)], "aid BIGINT, x BIGINT, y BIGINT"
+    )
+    b = spark.createDataFrame(
+        [(10, 3, 0), (11, 0, 4), (12, 500, 500), (13, 103, 100)],
+        "bid BIGINT, x BIGINT, y BIGINT",
+    )
+    got = sorted(
+        (r["aid"], r["bid"], r["dist2"])
+        for r in radius_join(a, b, "aid", "bid", "x", "y", radius=10).collect()
+    )
+    assert got == [(1, 10, 9), (1, 11, 16), (2, 13, 9)]
+    # k=1: nearest only, rank carried
+    top = {
+        r["aid"]: (r["rank"], r["bid"], r["dist2"])
+        for r in radius_join(
+            a, b, "aid", "bid", "x", "y", radius=10, k=1
+        ).collect()
+    }
+    assert top == {1: (1, 10, 9), 2: (1, 13, 9)}
+
+
+def test_radius_join_same_id_name_roles(spark):
+    from covid_data_pipeline_spark.operators.geo import radius_join
+
+    a = spark.createDataFrame([(1, 0, 0)], "id BIGINT, x BIGINT, y BIGINT")
+    b = spark.createDataFrame([(7, 1, 0)], "id BIGINT, x BIGINT, y BIGINT")
+    rows = radius_join(a, b, "id", "id", "x", "y", radius=5).collect()
+    assert [(r["id_a"], r["id_b"], r["dist2"]) for r in rows] == [(1, 7, 1)]
