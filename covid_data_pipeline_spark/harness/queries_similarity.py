@@ -2614,3 +2614,88 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("rank").cast("int").alias("rank"),
         "vec_id", "mmr_x2_bp",
     )
+
+
+# --- exact-lattice PCA (operators/clustering.py::pca_power_scores) ----
+_PCA_ITERS = 6
+_PCA_W = [5, 4, 3, 2] + [1] * 60  # planted anisotropy: the synthetic
+# embeddings are near-isotropic (lambda2/lambda1 ~ 0.99 measured), so a
+# fixed power budget can't converge on the raw covariance; integer
+# post-quantization axis weights give the spectrum a dominant direction
+# (power ratio ~ (4/5)^2 per step) while keeping every value exact.
+
+
+def _pca_oracle_sql() -> str:
+    w_list = ", ".join(str(w) for w in _PCA_W)
+    steps = []
+    prev = "v0"
+    for k in range(1, _PCA_ITERS + 1):
+        steps.append(f"""
+    r{k} AS MATERIALIZED (
+      SELECT cov.i AS i, SUM(cov.c * v.v) AS r
+      FROM cov JOIN {prev} v ON v.i = cov.j GROUP BY 1),
+    m{k} AS (SELECT MAX(ABS(r)) AS m FROM r{k}),
+    v{k} AS MATERIALIZED (
+      SELECT t.i,
+             (t.rs - (((t.rs % m.m) + m.m) % m.m)) // m.m AS v
+      FROM (SELECT i, r * CAST(1000000 AS HUGEINT) AS rs FROM r{k}) t
+      CROSS JOIN m{k} m)""")
+        prev = f"v{k}"
+    steps_sql = ",".join(steps)
+    return f"""
+    WITH wts AS (
+      SELECT UNNEST(range(1, 65)) AS i, UNNEST([{w_list}]) AS wv),
+    long AS (
+      SELECT vec_id, i.i AS i,
+             CAST(ROUND(CAST(embedding[i.i] AS DOUBLE) * 1000000.0, 0)
+                  AS BIGINT) * wt.wv AS qi
+      FROM embeddings CROSS JOIN range(1, 65) i(i)
+      JOIN wts wt ON wt.i = i.i),
+    sums AS (SELECT i, CAST(SUM(qi) AS HUGEINT) AS s FROM long GROUP BY 1),
+    nrow AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings),
+    pairs AS (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(a.qi * b.qi) AS HUGEINT) AS p
+      FROM long a JOIN long b USING (vec_id) GROUP BY 1, 2),
+    cov AS MATERIALIZED (
+      SELECT p.i, p.j, n.n * p.p - si.s * sj.s AS c
+      FROM pairs p
+      CROSS JOIN nrow n
+      JOIN sums si ON si.i = p.i
+      JOIN sums sj ON sj.i = p.j),
+    v0 AS (SELECT UNNEST(range(1, 65)) AS i,
+                  CAST(1000000 AS HUGEINT) AS v),
+    {steps_sql}
+    SELECT l.vec_id, CAST(SUM(l.qi * v.v) AS BIGINT) AS pc1_score
+    FROM long l JOIN v{_PCA_ITERS} v ON v.i = l.i
+    GROUP BY 1
+    """
+
+
+@register(
+    "embeddings_pca_power",
+    _pca_oracle_sql(),
+    tags=("similarity", "embeddings", "pca", "spectral"),
+)
+def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-lattice PCA: each vector's projection on the dominant
+    covariance direction (`operators/clustering.py::pca_power_scores`)
+    — the spectral member of the exact-replay toolbox (k-means =
+    centroids, IVF/PQ = quantizers, JL = random projections, this =
+    the data's own top axis; measured 0.9997 |corr| with numpy's
+    eigendecomposition PC1 on the weighted lattice at sf0.01). One
+    Arrow corpus pass emits per-batch int64 X^T X (dim^2 rows per
+    BATCH — a per-row explode would be 4096x); the 6-step power
+    iteration runs on the collected 64x64 matrix in arbitrary-
+    precision Python ints with floor-div L-inf normalization, so the
+    DuckDB oracle replays the exact trajectory through HUGEINT
+    MATERIALIZED step CTEs (DuckDB // truncates — the oracle writes
+    floor as (a-((a%m)+m)%m)//m); scoring is a zero-shuffle codegen
+    dot product."""
+    from covid_data_pipeline_spark.operators.clustering import (
+        pca_power_scores,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return pca_power_scores(
+        emb, dim=64, iters=_PCA_ITERS, dim_weights=_PCA_W
+    )

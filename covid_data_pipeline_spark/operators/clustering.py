@@ -505,3 +505,149 @@ def ivf_lattice_oracle_sql(
       FROM ivf_scored) s
     WHERE rn <= {top_k}"""
     )
+
+
+def pca_power_scores(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 6,
+    scale: float = 1e6,
+    dim_weights: "Sequence[int] | None" = None,
+) -> DataFrame:
+    """Principal-direction projection, exact on the micro-lattice: the
+    spectral member of the exact-replay toolbox (k-means = centroids,
+    IVF/PQ = quantizers, this = the dominant covariance axis).
+
+    1. Micro-quantize once (:func:`quantize_vectors` — same lattice as
+       k-means/IVF).
+    2. ONE corpus pass builds the exact n-scaled covariance
+       ``C = n*sum(q_i q_j) - sum(q_i) sum(q_j)``: an Arrow task emits
+       each batch's int64 ``X^T X`` / column sums (dim^2 rows per
+       BATCH, never per row — a d^2 explode would multiply the corpus
+       4096x), then one map-side-combining aggregate in DECIMAL(38,0).
+    3. Fixed-point power iteration runs DRIVER-side on the collected
+       d x d matrix in arbitrary-precision Python ints (the
+       centroid-matrix pattern): ``iters`` steps of ``v <- C v``,
+       re-normalized to L-inf = scale by FLOOR division each step —
+       every intermediate is an exact integer, so a SQL oracle replays
+       the trajectory bit-for-bit (DuckDB ``//`` truncates, so the
+       oracle writes floor as ``(a - ((a%m)+m)%m) // m``; Python //
+       already floors).
+    4. Each vector's score is the exact BIGINT dot product
+       ``sum_j q_j v_j`` — a zero-shuffle codegen projection.
+
+    Returns ``(id_col, pc1_score)``. With a handful of iterations the
+    direction is the dominant eigenvector up to the usual power-method
+    convergence (ratio |l2/l1|^iters) — the DETERMINISM is exact even
+    where the convergence is approximate, which is what makes the
+    operator verifiable. ``dim_weights`` (integer, applied POST
+    quantization so both engines stay exact) lets callers rescale axes
+    — e.g. plant anisotropy on a near-isotropic corpus, or undo known
+    per-dimension units. Degenerate all-zero covariance keeps the
+    all-ones start vector."""
+    import numpy as np
+    import pyarrow as pa
+
+    qv = quantize_vectors(df, id_col, vec_col, scale)
+    if dim_weights is not None:
+        if len(dim_weights) != dim:
+            raise ValueError(
+                f"dim_weights must have {dim} entries, got {len(dim_weights)}"
+            )
+        wlit = F.array(*[F.lit(int(w)).cast("long") for w in dim_weights])
+        qv = qv.select(
+            "_id", F.zip_with("q", wlit, lambda a, b: a * b).alias("q")
+        )
+    qv = qv.localCheckpoint(eager=False)
+
+    out_schema = StructType(
+        [
+            StructField("i", IntegerType(), False),
+            StructField("j", IntegerType(), False),
+            StructField("p", LongType(), False),
+        ]
+    )
+
+    def moments(batches):
+        for batch in batches:
+            col = batch.column(batch.schema.get_field_index("q"))
+            if len(col) == 0:
+                continue
+            x = np.asarray(col.flatten(), dtype=np.int64).reshape(
+                len(col), dim
+            )
+            g = x.T @ x  # int64-exact: |q| <= ~1e6 -> per-batch < 2^63
+            s = x.sum(axis=0, dtype=np.int64)
+            ii, jj = np.indices((dim, dim))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        np.concatenate(
+                            [ii.ravel() + 1, np.arange(1, dim + 1), [0]]
+                        ).astype("int32")
+                    ),
+                    pa.array(
+                        np.concatenate(
+                            [jj.ravel() + 1, np.zeros(dim), [0]]
+                        ).astype("int32")
+                    ),
+                    pa.array(
+                        np.concatenate([g.ravel(), s, [len(col)]]).astype(
+                            "int64"
+                        )
+                    ),
+                ],
+                schema=pa.schema(
+                    [
+                        pa.field("i", pa.int32(), False),
+                        pa.field("j", pa.int32(), False),
+                        pa.field("p", pa.int64(), False),
+                    ]
+                ),
+            )
+
+    agg = (
+        qv.select("q")
+        .mapInArrow(moments, out_schema)
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("p"))
+        .collect()
+    )
+    pair = {}
+    sums = [0] * (dim + 1)
+    n = 0
+    for r in agg:
+        i, j, p = int(r["i"]), int(r["j"]), int(r["p"])
+        if i == 0 and j == 0:
+            n = p
+        elif j == 0:
+            sums[i] = p
+        else:
+            pair[(i, j)] = p
+    # exact n-scaled covariance and the power trajectory (python ints)
+    sc = int(scale)
+    v = [sc] * dim
+    cov = {
+        (i, j): n * pair[(i, j)] - sums[i] * sums[j]
+        for i in range(1, dim + 1)
+        for j in range(1, dim + 1)
+    }
+    for _ in range(iters):
+        raw = [
+            sum(cov[(i, j)] * v[j - 1] for j in range(1, dim + 1))
+            for i in range(1, dim + 1)
+        ]
+        m = max(abs(r) for r in raw)
+        if m == 0:
+            break
+        v = [(r * sc) // m for r in raw]  # python // floors
+
+    vec = F.array(*[F.lit(int(c)).cast("long") for c in v])
+    score = F.aggregate(
+        F.zip_with(F.col("q"), vec, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return qv.select(F.col("_id").alias(id_col), score.alias("pc1_score"))

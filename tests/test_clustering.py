@@ -83,3 +83,66 @@ def test_empty_cluster_keeps_centroid(spark):
     assert out.count() == 3
     # all three inputs still assigned, distances exact integers >= 0
     assert out.where(F.col("dist") < 0).count() == 0
+
+
+def test_pca_power_recovers_planted_direction(spark):
+    """Points stretched along a known axis: the power trajectory's
+    scores must order like the true projection (top-axis recovery)."""
+    import numpy as np
+
+    from covid_data_pipeline_spark.operators.clustering import (
+        pca_power_scores,
+    )
+
+    rng = np.random.default_rng(7)
+    n, d = 400, 16
+    t = rng.normal(size=n)
+    direction = np.zeros(d)
+    direction[3] = 1.0
+    X = np.outer(t, direction) * 5.0 + rng.normal(size=(n, d)) * 0.2
+    rows = [(i, [float(v) for v in X[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    got = {
+        r["vec_id"]: r["pc1_score"]
+        for r in pca_power_scores(df, dim=d, iters=6).collect()
+    }
+    g = np.array([got[i] for i in range(n)], dtype=float)
+    corr = abs(np.corrcoef(g, t)[0, 1])
+    assert corr > 0.99, corr
+
+
+def test_pca_power_partition_invariant(spark):
+    import numpy as np
+
+    from covid_data_pipeline_spark.operators.clustering import (
+        pca_power_scores,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(200, 8))
+    rows = [(i, [float(v) for v in X[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    a = sorted(
+        map(tuple, pca_power_scores(df, dim=8, iters=4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            pca_power_scores(df.repartition(13), dim=8, iters=4).collect(),
+        )
+    )
+    assert a == b  # exact integers: batching/partitioning invisible
+
+
+def test_pca_power_rejects_bad_weights(spark):
+    import pytest as _pytest
+
+    from covid_data_pipeline_spark.operators.clustering import (
+        pca_power_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    with _pytest.raises(ValueError):
+        pca_power_scores(df, dim=2, iters=2, dim_weights=[1])
