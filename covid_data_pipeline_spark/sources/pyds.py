@@ -238,7 +238,9 @@ class SyntheticEventsDataSource(DataSource):
     """``spark.read.format("synthetic_events")`` after registration.
 
     Options (case-insensitive): numPartitions, rowsPerPartition, nUsers,
-    stepSeconds, seed; streaming adds rowsPerBatch, maxRows.
+    stepSeconds, seed, absorbFilters (opt-in pushdown — see the module
+    docstring's scan-caching hazard); streaming adds rowsPerBatch,
+    maxRows.
     """
 
     @classmethod
