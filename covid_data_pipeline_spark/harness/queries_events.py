@@ -3619,6 +3619,7 @@ def events_conversion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM exact, est
     """,
     tags=("events", "sketch", "ams", "portable"),
+    bench=True,
 )
 def events_f2_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS tug-of-war second-moment estimate

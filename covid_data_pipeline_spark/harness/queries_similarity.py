@@ -2675,6 +2675,7 @@ def _pca_oracle_sql() -> str:
     "embeddings_pca_power",
     _pca_oracle_sql(),
     tags=("similarity", "embeddings", "pca", "spectral"),
+    bench=True,
 )
 def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-lattice PCA: each vector's projection on the dominant

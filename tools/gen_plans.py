@@ -68,6 +68,8 @@ NOTES = {
     "rfm_customer_segments": "De-weaked r7: NO single-partition NTILE - each quintile is rebuilt from value_order_rank (range buckets over broadcast min/max; the only global windows are the <=256-row bucket-count cumsums) + closed-form NTILE boundaries from a broadcast scalar n. Three bucket-keyed window exchanges of |customers| rows; compact per-customer relations localCheckpointed so the chained ranks never re-run the orders rollup.",
     "dedup_minhash_native": "Production-hash twin of dedup_minhash (xxhash64 instead of md5-prefix): identical plan shape - signature projection, banded equi-join, candidate-only verify; benched to separate oracle-replay hash cost from engine drift.",
     "rolling_distinct_users_7d_hll_portable": "One corpus pass builds per-day HLL registers (map-side-combining max); the 7-day union explodes REGISTERS (<= |days| x 4096 rows), never (day,user) pairs; estimate is a tiny per-day aggregate. At 100 TB the corpus is touched exactly once and every re-windowing reuses the register relation.",
+    "embeddings_pca_power": "One Arrow corpus pass emits per-batch int64 X^T X partials (dim^2 rows per BATCH); one map-side-combining DECIMAL aggregate; the 6-step power iteration runs on the collected 64x64 matrix driver-side (centroid pattern); scoring is a zero-shuffle codegen dot product.",
+    "events_f2_ams": "depth(16)x explode + one map-side-combining aggregate into 16 BIGINT accumulators; the exact-F2 twin is one per-user rollup. Corpus touched twice total (estimate + verification exact), never joined.",
     "geo_radius_pairs": "3x3 neighbor-cell explode (constant 9x) on one side, home cell on the other, then a plain cell equi-join + BIGINT distance filter: candidate mass is linear at constant point density where the oracle's form is quadratic. AQE skew-splits hot cells like any other join key.",
     "geo_dbscan_clusters": "Same cell-bucketed candidate join feeds neighbor counts (map-side combine), core-core edges, and the O(log n)-round star components; border assignment is one more keyed join + min agg. No all-pairs stage anywhere; every shuffle is bounded by the eps-graph edge count.",
     "interval_overlap_error_windows": "Both merged interval sets explode to 1h cells (explode factor = interval length / cell) and equi-join on the cell key; each overlapping pair matches exactly once at the cell of GREATEST(starts) - no distinct, no cross product. The keyed activity merge is a single-exchange gaps-and-islands window; the KEYLESS error merge uses merge_intervals_global (per-cell merge -> cross-cell CC -> rank over the |islands|-sized result) so no corpus-wide window partition exists anywhere in the plan.",
