@@ -109,7 +109,7 @@ def geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All customer pairs within {_RADIUS} micro-degrees
+    """All customer pairs within 5,000 micro-degrees
     (`operators/geo.py::radius_pairs`): 3x3 neighbor-cell explode +
     cell equi-join + exact BIGINT distance check — linear candidate
     mass at constant density, where the oracle's brute form is
@@ -204,7 +204,7 @@ def geo_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def geo_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN over the customer points (`operators/geo.py::dbscan`,
-    eps={_EPS}, min_pts={_MIN_PTS}): cell-bucketed eps-graph -> core
+    eps=4000, min_pts=4): cell-bucketed eps-graph -> core
     points -> large-star/small-star connected components -> border
     assignment (min adjacent core cluster) -> noise. 431 cores / 124
     clusters / biggest 13 at sf0.01 (measured). The oracle rebuilds the
@@ -255,7 +255,7 @@ spts AS (
 def geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-relation spatial join (`operators/geo.py::radius_join`):
     each customer point's 2 nearest supplier points within
-    {_SUPP_RADIUS} micro-degrees (distinct md5 salt, so the supplier
+    30,000 micro-degrees (distinct md5 salt, so the supplier
     scatter is independent of the customer scatter). Same cell-join
     plan as the self-join; at warehouse scale this is the
     facility-assignment query (point -> nearest service point) that a
