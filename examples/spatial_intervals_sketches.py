@@ -106,6 +106,20 @@ def main() -> None:
     print(f"== |events JOIN events ON user_id|: exact {exact_f2}, "
           f"AMS estimate {est:.0f} ==")
 
+    # 5. Exact-lattice PCA: dominant-axis projection of the embeddings
+    #    (planted anisotropy via integer dim weights — the synthetic
+    #    corpus is near-isotropic).
+    from covid_data_pipeline_spark.operators.clustering import (
+        pca_power_scores,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    scores = pca_power_scores(
+        emb, dim=64, iters=6, dim_weights=[5, 4, 3, 2] + [1] * 60
+    )
+    print("== PC1 projection extremes ==")
+    scores.orderBy(F.desc("pc1_score")).show(3)
+
     spark.stop()
 
 
