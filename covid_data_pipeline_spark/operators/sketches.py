@@ -450,33 +450,48 @@ def ams_f2_sketch(
     estimators (:func:`ams_f2_estimate`) tightens variance by 1/depth.
     Self-join size estimation is the classic use: |R join R on k| = F2
     of R.k, so the sketch prices a join without running it."""
-    js = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
     rows = df.where(F.col(key_col).isNotNull()).select(
-        *group_cols, F.col(key_col).cast("string").alias("__k"), js
+        *group_cols, F.col(key_col).cast("string").alias("__k")
     )
-    sign = (
-        F.lit(1)
-        - F.lit(2)
-        * (
-            portable_token_hash(
-                F.concat(
-                    F.lit("ams"),
-                    F.col("j").cast("string"),
-                    F.lit(":"),
-                    F.col("__k"),
+
+    def _sign(j: int) -> Column:
+        return (
+            F.lit(1)
+            - F.lit(2)
+            * (
+                portable_token_hash(
+                    F.concat(F.lit(f"ams{j}:"), F.col("__k"))
                 )
+                % 2
             )
-            % 2
-        )
-    ).cast("bigint")
-    signed = rows.groupBy(*group_cols, "j").agg(
-        F.sum(sign).alias("__s")
+        ).cast("bigint")
+
+    # depth accumulators in ONE map-side-combining aggregate — no
+    # depth-x row explode; each estimator is its own SUM column,
+    # unpivoted to (j, x) on the |groups|-sized result afterwards.
+    wide = rows.groupBy(*group_cols).agg(
+        *[F.sum(_sign(j)).alias(f"__s{j}") for j in range(depth)]
+    )
+    long = wide.select(
+        *group_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), F.col(f"__s{j}").alias("__s")
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("__e"),
+    ).select(
+        *group_cols, F.col("__e.j").alias("j"), F.col("__e.__s").alias("__s")
     )
     x = (
         F.col("__s").cast("decimal(38,0)")
         * F.col("__s").cast("decimal(38,0)")
     ).alias("x")
-    return signed.select(*group_cols, "j", x)
+    return long.select(*group_cols, "j", x)
 
 
 def ams_f2_estimate(
