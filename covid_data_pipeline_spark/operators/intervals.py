@@ -180,9 +180,12 @@ def merge_intervals_global(
     cells = df.withColumn(
         "_cell", F.expr(f"CAST({start_col} AS BIGINT) div {cs}")
     )
+    # Lineage-cut the per-cell islands: the stride agg below plus the
+    # three downstream consumers (edge sides + node list) would each
+    # re-run the windowed merge otherwise.
     per_cell = merge_intervals(
         cells, ["_cell"], start_col, end_col, island_col="_i"
-    )
+    ).localCheckpoint(eager=False)
     # Deterministic BIGINT node id per per-cell island: dense offsets
     # would need a global window, so use _cell * stride + _i with the
     # stride taken from the max per-cell island count (one tiny agg;
@@ -195,7 +198,7 @@ def merge_intervals_global(
         F.col(start_col),
         F.col(end_col),
         "n_source",
-    ).localCheckpoint(eager=False)
+    )
     a = isl.select(
         F.col("_id").alias("_ida"),
         F.col(start_col).alias("_sa"),
