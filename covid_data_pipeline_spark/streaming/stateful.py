@@ -1238,3 +1238,98 @@ def stream_interval_union(
     return src.groupBy(*group_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_ams_f2(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    depth: int = 16,
+) -> DataFrame:
+    """Streaming AMS tug-of-war F2 monitor: the live twin of
+    `operators/sketches.py::ams_f2_sketch`. State per group is the
+    ``depth`` signed BIGINT accumulators — the most mergeable sketch in
+    the toolbox (plain addition), so micro-batch splits, replays of
+    disjoint slices, and arrival order can't change the drained state.
+
+    The ±1 signs are computed JVM-side BEFORE the stateful map with the
+    SAME salted md5 expressions as the batch operator, so stream and
+    batch agree by construction. Emissions follow the repo streaming
+    float policy — exact integers only: the signed sums themselves
+    (as an ordered array), ``n_seen``, and ``seq``; squaring/averaging
+    into the F2 estimate is the batch readout's one float step and
+    happens OUTSIDE the stream."""
+    from covid_data_pipeline_spark.operators.features import (
+        portable_token_hash,
+    )
+
+    group_cols = list(group_cols)
+    signs = [
+        (
+            F.lit(1)
+            - F.lit(2)
+            * (
+                portable_token_hash(
+                    F.concat(
+                        F.lit(f"ams{j}:"),
+                        F.col(key_col).cast("string"),
+                    )
+                )
+                % 2
+            )
+        ).cast("bigint").alias(f"__g{j}")
+        for j in range(depth)
+    ]
+    src = df.where(F.col(key_col).isNotNull()).select(*group_cols, *signs)
+    fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [fields[c] for c in group_cols]
+        + [
+            StructField("s", ArrayType(LongType()), False),
+            StructField("n_seen", LongType(), False),
+            StructField("seq", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("s", ArrayType(LongType()), True),
+            StructField("n", LongType(), True),
+            StructField("seq", LongType(), True),
+        ]
+    )
+    cols = [f"__g{j}" for j in range(depth)]
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            s, n, seq = state.get
+            s = [int(v) for v in s]
+            n, seq = int(n), int(seq)
+        else:
+            s, n, seq = [0] * depth, 0, 0
+        n_new = 0
+        for pdf in pdfs:
+            sub = pdf[cols]
+            n_new += len(sub)
+            for j, c in enumerate(cols):
+                s[j] += int(sub[c].sum()) if len(sub) else 0
+        if n_new == 0:
+            return
+        n += n_new
+        seq += 1
+        state.update((s, n, seq))
+        out = pd.DataFrame(
+            {
+                "s": [s],
+                "n_seen": pd.array([n], dtype="Int64"),
+                "seq": pd.array([seq], dtype="Int64"),
+            }
+        )
+        for c, v in zip(group_cols, key):
+            out[c] = v
+        yield out[[*group_cols, "s", "n_seen", "seq"]]
+
+    return src.groupBy(*group_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -1432,3 +1432,56 @@ def test_stream_interval_union_matches_batch_merge(spark, tmp_path):
         for r in merge_intervals(batch, ["k"], "s", "e").collect()
     )
     assert got == want and len(want) > 3
+
+
+def test_stream_ams_matches_batch_signed_sums(spark, tmp_path):
+    """The drained streaming AMS state (max-seq signed sums per group)
+    must square to the batch sketch's x values on the same rows —
+    addition is commutative/associative, so micro-batch splits can't
+    matter."""
+    from covid_data_pipeline_spark.operators.sketches import ams_f2_sketch
+    from covid_data_pipeline_spark.streaming.stateful import stream_ams_f2
+
+    rows = [("g%d" % (i % 2), (i * 13) % 400) for i in range(3000)]
+    src_dir = tmp_path / "ams_src"
+    src_dir.mkdir()
+    third = len(rows) // 3
+    for n, chunk in (
+        ("f1", rows[:third]),
+        ("f2", rows[third : 2 * third]),
+        ("f3", rows[2 * third :]),
+    ):
+        spark.createDataFrame(chunk, "g string, uid long").coalesce(
+            1
+        ).write.parquet(str(src_dir / f"{n}.parquet"))
+
+    stream = (
+        spark.readStream.schema("g string, uid long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    q = (
+        stream_ams_f2(stream, ["g"], "uid", depth=8)
+        .writeStream.format("memory")
+        .queryName("amsq")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_rows = spark.sql("SELECT * FROM amsq").collect()
+    final = {}
+    for r in got_rows:
+        if r["g"] not in final or r["seq"] > final[r["g"]]["seq"]:
+            final[r["g"]] = r
+    batch = spark.createDataFrame(rows, "g string, uid long")
+    want = {
+        (r["g"], r["j"]): int(r["x"])
+        for r in ams_f2_sketch(batch, "uid", group_cols=["g"], depth=8)
+        .collect()
+    }
+    assert len(final) == 2
+    for g, r in final.items():
+        assert r["n_seen"] == 1500
+        for j, s in enumerate(r["s"]):
+            assert int(s) * int(s) == want[(g, j)], (g, j)
