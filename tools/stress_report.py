@@ -1667,6 +1667,91 @@ def case_interval_overlap_16m(spark):
     }
 
 
+def case_bloom_16m_probes(spark):
+    """16M probe keys through the portable bloom prefilter (1000
+    members, 16,128 bits, k=3): zero false negatives, and the measured
+    false-positive rate sits on the analytic fill^k curve
+    (1-e^(-3000/16128))^3 ~ 0.48% — the filter is a pure codegen map
+    over the probe scan (no join, no shuffle)."""
+    from covid_data_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    members = spark.range(0, 1000).select((F.col("id") * 37 + 5).alias("k"))
+    t0 = time.time()
+    words = bloom_build(members, "k", m_words=256, k=3)
+    probes = spark.range(0, 16_000_000).select(F.col("id").alias("k"))
+    passed = probes.where(bloom_contains(F.col("k"), words, k=3)).count()
+    wall = time.time() - t0
+    missed = members.where(~bloom_contains(F.col("k"), words, k=3)).count()
+    fp_rate = (passed - 1000) / 16_000_000
+    theory = (1 - 2.718281828459045 ** (-3000 / 16128)) ** 3
+    return {
+        "rows": 16_000_000,
+        "passed": int(passed),
+        "fp_rate_pct": round(fp_rate * 100, 4),
+        "theory_pct": round(theory * 100, 4),
+        "sec": round(wall, 2),
+        "ok": missed == 0 and abs(fp_rate - theory) < 0.002,
+    }
+
+
+def case_pca_power_100k(spark):
+    """100k x 64 synthetic embeddings through the exact-lattice PCA:
+    one Arrow X^T X corpus pass + driver-side big-int power iteration;
+    the BIGINT projection sum is partition-invariant (exact integers
+    end to end)."""
+    from covid_data_pipeline_spark.operators.clustering import (
+        pca_power_scores,
+    )
+
+    base = spark.range(0, 100_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda d: (
+                F.pmod(
+                    F.xxhash64(
+                        F.concat(
+                            F.lit("e:"),
+                            F.col("id").cast("string"),
+                            F.lit(":"),
+                            d.cast("string"),
+                        )
+                    ),
+                    F.lit(2001),
+                )
+                - 1000
+            ).cast("float")
+            / 1000.0,
+        ).alias("embedding"),
+    )
+    w = [6, 3] + [1] * 62
+    t0 = time.time()
+    agg = (
+        pca_power_scores(base, dim=64, iters=6, dim_weights=w)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pc1_score").alias("s"))
+        .collect()[0]
+    )
+    wall = time.time() - t0
+    agg2 = (
+        pca_power_scores(
+            base.repartition(97), dim=64, iters=6, dim_weights=w
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pc1_score").alias("s"))
+        .collect()[0]
+    )
+    invariant = (agg["n"], agg["s"]) == (agg2["n"], agg2["s"])
+    return {
+        "rows": 100_000,
+        "scale_vs_sf0.1": "50x embeddings",
+        "sec": round(wall, 2),
+        "invariant": invariant,
+        "ok": invariant and agg["n"] == 100_000 and agg["s"] != 0,
+    }
+
+
 CASES = {
     "funnel_16m": case_funnel_16m,
     "token_budget_12m": case_token_budget_12m,
@@ -1697,6 +1782,8 @@ CASES = {
     "theta_overlap_16m": case_theta_overlap_16m,
     "geo_radius_1m": case_geo_radius_1m,
     "interval_overlap_16m": case_interval_overlap_16m,
+    "bloom_16m_probes": case_bloom_16m_probes,
+    "pca_power_100k": case_pca_power_100k,
 }
 
 
