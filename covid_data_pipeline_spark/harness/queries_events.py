@@ -3659,3 +3659,63 @@ def events_f2_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("rel_err_bp"),
     )
+
+
+@register(
+    "events_f2_ams_by_type",
+    """
+    WITH ev AS (
+      SELECT event_type, CAST(user_id AS VARCHAR) AS k FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    signed AS (
+      SELECT event_type, j.j AS j,
+             SUM(1 - 2 * (CAST(concat('0x', substr(md5(
+                   concat('ams', CAST(j.j AS VARCHAR), ':', k)), 1, 15))
+                 AS BIGINT) % 2)) AS s
+      FROM ev CROSS JOIN range(8) j(j) GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type, j,
+             CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS x
+      FROM signed),
+    exact AS (
+      SELECT event_type, CAST(SUM(c * c) AS BIGINT) AS exact_f2
+      FROM (SELECT event_type, COUNT(*) AS c FROM ev GROUP BY event_type, k)
+      GROUP BY 1
+    ),
+    est AS (
+      SELECT event_type, CAST(SUM(x) AS DOUBLE) / 8.0 AS f2_est
+      FROM x GROUP BY 1)
+    SELECT e.event_type, x.exact_f2, e.f2_est
+    FROM est e JOIN exact x USING (event_type)
+    """,
+    tags=("events", "sketch", "ams", "portable"),
+)
+def events_f2_ams_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped AMS: per-event-type F2 of the user frequency vector from
+    ONE corpus pass (`ams_f2_sketch(group_cols=...)` — 8 accumulators
+    per type in a single map-side-combining aggregate), next to each
+    type's exact F2. The grouped form is how the sketch prices many
+    self-joins at once — per-tenant, per-day, per-source — without
+    re-scanning per group."""
+    from covid_data_pipeline_spark.operators.sketches import (
+        ams_f2_estimate,
+        ams_f2_sketch,
+    )
+
+    ev = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    est = ams_f2_estimate(
+        ams_f2_sketch(ev, "user_id", group_cols=["event_type"], depth=8),
+        group_cols=["event_type"],
+        depth=8,
+    )
+    exact = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("event_type")
+        .agg(F.sum(F.col("c") * F.col("c")).alias("exact_f2"))
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "exact_f2", "f2_est"
+    )

@@ -1505,3 +1505,43 @@ def interval_overlap_error_windows(spark: SparkSession, sf_dir: str) -> DataFram
         "err_no",
         F.col("overlap").alias("overlap_us"),
     )
+
+
+@register(
+    "interval_gaps_users",
+    f"""
+    WITH {_ACT_SQL}
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_us) AS BIGINT) AS idle_us,
+           MAX(gap_us) AS longest_gap_us
+    FROM (
+      SELECT user_id,
+             LEAD(start_us) OVER (PARTITION BY user_id
+               ORDER BY island_no) - end_us AS gap_us
+      FROM act)
+    WHERE gap_us IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("temporal", "intervals"),
+)
+def interval_gaps_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complement of coverage: per-user downtime between activity
+    islands — gap count, total idle micros, longest outage. One LEAD
+    over the |islands|-sized merged relation (same user_id partitioning
+    as the merge, so Catalyst reuses the exchange); gaps are strictly
+    positive by construction (touching intervals already merged)."""
+    from covid_data_pipeline_spark.operators.intervals import merge_intervals
+
+    merged = merge_intervals(
+        _activity_intervals(spark, sf_dir), ["user_id"], "s", "e"
+    )
+    w = Window.partitionBy("user_id").orderBy("island_no")
+    gaps = merged.withColumn(
+        "gap_us", F.lead("s").over(w) - F.col("e")
+    ).where(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_us").alias("idle_us"),
+        F.max("gap_us").alias("longest_gap_us"),
+    )

@@ -81,3 +81,36 @@ def test_rejects_bad_params(spark):
         bloom_build(_keys(spark, [1]), "k", m_words=0, k=3)
     with pytest.raises(ValueError):
         bloom_build(_keys(spark, [1]), "k", m_words=4, k=0)
+
+
+def test_no_false_negatives_property(spark):
+    """Hypothesis over arbitrary member sets: EVERY member must pass —
+    the operator contract that makes the exact post-join optional-only
+    for semantics, mandatory only for precision."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            min_size=1,
+            max_size=60,
+            unique=True,
+        ),
+        st.integers(min_value=1, max_value=6),
+        st.integers(min_value=1, max_value=5),
+    )
+    def inner(ids, m_words, k):
+        from covid_data_pipeline_spark.operators.bloom import (
+            bloom_build,
+            bloom_contains,
+        )
+
+        members = _keys(spark, ids)
+        words = bloom_build(members, "k", m_words=m_words, k=k)
+        passed = members.where(
+            bloom_contains(F.col("k"), words, k=k)
+        ).count()
+        assert passed == len(ids)
+
+    inner()
