@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from covid_data_pipeline_spark.functions.scalar import round_stable
 from covid_data_pipeline_spark.harness.registry import register, table
 from covid_data_pipeline_spark.operators.dedup import portable_hash31
 from covid_data_pipeline_spark.operators.geo import (
@@ -281,4 +282,108 @@ def geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y_udeg",
         radius=_SUPP_RADIUS,
         k=2,
+    )
+
+
+@register(
+    "geo_morans_i",
+    f"""
+    WITH {_PTS_SQL},
+    cells AS (
+      SELECT x_udeg // {_RADIUS} AS cx, y_udeg // {_RADIUS} AS cy,
+             COUNT(*) AS n
+      FROM pts GROUP BY 1, 2),
+    tot AS (
+      SELECT COUNT(*) AS nc, CAST(SUM(n) AS BIGINT) AS s FROM cells),
+    z AS (
+      SELECT cx, cy, (t.nc * c.n - t.s) AS zz
+      FROM cells c CROSS JOIN tot t),
+    adj AS (
+      SELECT a.zz AS za, b.zz AS zb
+      FROM z a JOIN z b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+       AND NOT (a.cx = b.cx AND a.cy = b.cy)),
+    agg AS (
+      SELECT COUNT(*) AS w,
+             CAST(SUM(CAST(za AS HUGEINT) * zb) AS HUGEINT) AS num
+      FROM adj),
+    den AS (
+      SELECT CAST(SUM(CAST(zz AS HUGEINT) * zz) AS HUGEINT) AS d FROM z)
+    SELECT t.nc AS n_cells, agg.w AS w_pairs,
+      (ROUND(CAST(t.nc * agg.num AS DOUBLE)
+             / CAST(agg.w * den.d AS DOUBLE), 6) + 0) AS morans_i,
+      (ROUND(-1.0 / (t.nc - 1), 6) + 0) AS expected_i
+    FROM tot t, agg, den
+    """,
+    tags=("geo", "stats", "autocorrelation"),
+)
+def geo_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I spatial autocorrelation of the occupied-cell density
+    lattice (queen/8-neighbor contiguity weights): THE classic
+    clustered-vs-dispersed diagnostic for point data. Deviations are
+    kept n-scaled integers (Z = nc*n - s, the repo's exact-centering
+    construction), the numerator/denominator accumulate in
+    DECIMAL(38,0)/HUGEINT, and only the final ratio is one float
+    division (round_stable — the statistic is signed). The engine finds
+    adjacent cell pairs with the same 3x3 explode + equi-join as every
+    other operator in this file; the oracle states the quadratic
+    |cells|^2 inequality join. -0.0346 at sf0.01 vs E[I] = -0.001: the
+    md5 scatter is marginally more regular than CSR, a deterministic
+    property of the fixture."""
+    from covid_data_pipeline_spark.operators.geo import (
+        _neighbor_cells,
+        grid_cells,
+    )
+
+    pts = _points(spark, sf_dir)
+    cells = (
+        grid_cells(pts, "x_udeg", "y_udeg", _RADIUS, out_x="cx", out_y="cy")
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)).alias("nc"), F.sum("n").alias("s")
+    )
+    z = cells.crossJoin(F.broadcast(tot)).select(  # bcast: const single-row totals
+        "cx",
+        "cy",
+        "nc",
+        (F.col("nc") * F.col("n") - F.col("s")).alias("zz"),
+    ).localCheckpoint(eager=False)
+    left = z.select(
+        F.col("zz").alias("za"),
+        F.explode(_neighbor_cells(F.col("cx"), F.col("cy"))).alias("nb"),
+        F.col("cx").alias("acx"),
+        F.col("cy").alias("acy"),
+    ).select(
+        "za",
+        F.col("nb.nx").alias("cx"),
+        F.col("nb.ny").alias("cy"),
+        "acx",
+        "acy",
+    ).where(~((F.col("cx") == F.col("acx")) & (F.col("cy") == F.col("acy"))))
+    adj = left.join(z.select("cx", "cy", F.col("zz").alias("zb")), ["cx", "cy"])
+    agg = adj.agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum(
+            F.col("za").cast("decimal(38,0)") * F.col("zb").cast("decimal(38,0)")
+        ).alias("num"),
+    )
+    den = z.agg(
+        F.sum(
+            F.col("zz").cast("decimal(38,0)") * F.col("zz").cast("decimal(38,0)")
+        ).alias("d"),
+        F.first("nc").alias("nc"),
+    )
+    return den.crossJoin(agg).select(
+        F.col("nc").alias("n_cells"),
+        F.col("w").alias("w_pairs"),
+        round_stable(
+            (F.col("nc").cast("decimal(38,0)") * F.col("num")).cast("double")
+            / (F.col("w").cast("decimal(38,0)") * F.col("d")).cast("double"),
+            6,
+        ).alias("morans_i"),
+        round_stable(
+            F.lit(-1.0) / (F.col("nc") - F.lit(1)).cast("double"), 6
+        ).alias("expected_i"),
     )
