@@ -27,7 +27,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from covid_data_pipeline_spark.functions.scalar import round_stable
 from covid_data_pipeline_spark.harness.registry import register, table
 from covid_data_pipeline_spark.operators.dedup import portable_hash31
 from covid_data_pipeline_spark.operators.geo import (
@@ -330,63 +329,13 @@ def geo_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     |cells|^2 inequality join. -0.0346 at sf0.01 vs E[I] = -0.001: the
     md5 scatter is marginally more regular than CSR, a deterministic
     property of the fixture."""
-    from covid_data_pipeline_spark.operators.geo import (
-        _neighbor_cells,
-        grid_cells,
-    )
+    from covid_data_pipeline_spark.operators.geo import cell_density, morans_i
 
-    pts = _points(spark, sf_dir)
-    cells = (
-        grid_cells(pts, "x_udeg", "y_udeg", _RADIUS, out_x="cx", out_y="cy")
-        .groupBy("cx", "cy")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    tot = cells.agg(
-        F.count(F.lit(1)).alias("nc"), F.sum("n").alias("s")
-    )
-    z = cells.crossJoin(F.broadcast(tot)).select(  # bcast: const single-row totals
-        "cx",
-        "cy",
-        "nc",
-        (F.col("nc") * F.col("n") - F.col("s")).alias("zz"),
-    ).localCheckpoint(eager=False)
-    left = z.select(
-        F.col("zz").alias("za"),
-        F.explode(_neighbor_cells(F.col("cx"), F.col("cy"))).alias("nb"),
-        F.col("cx").alias("acx"),
-        F.col("cy").alias("acy"),
-    ).select(
-        "za",
-        F.col("nb.nx").alias("cx"),
-        F.col("nb.ny").alias("cy"),
-        "acx",
-        "acy",
-    ).where(~((F.col("cx") == F.col("acx")) & (F.col("cy") == F.col("acy"))))
-    adj = left.join(z.select("cx", "cy", F.col("zz").alias("zb")), ["cx", "cy"])
-    agg = adj.agg(
-        F.count(F.lit(1)).alias("w"),
-        F.sum(
-            F.col("za").cast("decimal(38,0)") * F.col("zb").cast("decimal(38,0)")
-        ).alias("num"),
-    )
-    den = z.agg(
-        F.sum(
-            F.col("zz").cast("decimal(38,0)") * F.col("zz").cast("decimal(38,0)")
-        ).alias("d"),
-        F.first("nc").alias("nc"),
-    )
-    return den.crossJoin(agg).select(
-        F.col("nc").alias("n_cells"),
-        F.col("w").alias("w_pairs"),
-        round_stable(
-            (F.col("nc").cast("decimal(38,0)") * F.col("num")).cast("double")
-            / (F.col("w").cast("decimal(38,0)") * F.col("d")).cast("double"),
-            6,
-        ).alias("morans_i"),
-        round_stable(
-            F.lit(-1.0) / (F.col("nc") - F.lit(1)).cast("double"), 6
-        ).alias("expected_i"),
-    )
+    cells = cell_density(
+        _points(spark, sf_dir), "x_udeg", "y_udeg", cell_size=_RADIUS
+    ).select("cell_x", "cell_y", "n_points")
+    return morans_i(cells, value_col="n_points")
+
 
 
 @register(
@@ -427,66 +376,9 @@ def geo_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed); only the variance denominator uses the n-scaled exact
     centering, with nc^2 folded into the numerator scale. Same 3x3
     adjacency equi-join; one round_stable'd float division."""
-    from covid_data_pipeline_spark.operators.geo import (
-        _neighbor_cells,
-        grid_cells,
-    )
+    from covid_data_pipeline_spark.operators.geo import cell_density, gearys_c
 
-    pts = _points(spark, sf_dir)
-    cells = (
-        grid_cells(pts, "x_udeg", "y_udeg", _RADIUS, out_x="cx", out_y="cy")
-        .groupBy("cx", "cy")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
-    )
-    tot = cells.agg(
-        F.count(F.lit(1)).alias("nc"), F.sum("n").alias("s")
-    )
-    left = cells.select(
-        F.col("n").alias("na"),
-        F.explode(_neighbor_cells(F.col("cx"), F.col("cy"))).alias("nb"),
-        F.col("cx").alias("acx"),
-        F.col("cy").alias("acy"),
-    ).select(
-        "na",
-        F.col("nb.nx").alias("cx"),
-        F.col("nb.ny").alias("cy"),
-        "acx",
-        "acy",
-    ).where(~((F.col("cx") == F.col("acx")) & (F.col("cy") == F.col("acy"))))
-    adj = left.join(
-        cells.select("cx", "cy", F.col("n").alias("nbv")), ["cx", "cy"]
-    )
-    diff = (F.col("na") - F.col("nbv")).cast("decimal(38,0)")
-    agg = adj.agg(
-        F.count(F.lit(1)).alias("w"),
-        F.sum(diff * diff).alias("num"),
-    )
-    zz = cells.crossJoin(F.broadcast(tot)).select(  # bcast: const single-row totals
-        "nc",
-        (F.col("nc") * F.col("n") - F.col("s"))
-        .cast("decimal(38,0)")
-        .alias("zz"),
-    )
-    den = zz.agg(
-        F.sum(F.col("zz") * F.col("zz")).alias("d"),
-        F.first("nc").alias("nc"),
-    )
-    return den.crossJoin(agg).select(
-        F.col("nc").alias("n_cells"),
-        F.col("w").alias("w_pairs"),
-        round_stable(
-            (
-                (F.col("nc") - F.lit(1)).cast("decimal(38,0)")
-                * F.col("nc").cast("decimal(38,0)")
-                * F.col("nc").cast("decimal(38,0)")
-                * F.col("num")
-            ).cast("double")
-            / (
-                F.lit(2).cast("decimal(38,0)")
-                * F.col("w").cast("decimal(38,0)")
-                * F.col("d")
-            ).cast("double"),
-            6,
-        ).alias("gearys_c"),
-    )
+    cells = cell_density(
+        _points(spark, sf_dir), "x_udeg", "y_udeg", cell_size=_RADIUS
+    ).select("cell_x", "cell_y", "n_points")
+    return gearys_c(cells, value_col="n_points")

@@ -43,6 +43,8 @@ __all__ = [
     "radius_join",
     "nearest_neighbors",
     "dbscan",
+    "morans_i",
+    "gearys_c",
 ]
 
 
@@ -330,3 +332,146 @@ def dbscan(
         )
     )
     return core_lab.unionByName(border).unionByName(noise)
+
+
+def _queen_adjacent_values(
+    cells: DataFrame, value_col: str
+) -> DataFrame:
+    """Ordered (va, vb) value pairs over queen/8-neighbor contiguity of
+    a (cell_x, cell_y, value) lattice relation — the 3x3 explode +
+    equi-join, so |cells|-bounded, never |cells|^2."""
+    left = (
+        cells.select(
+            F.col(value_col).alias("va"),
+            F.explode(
+                _neighbor_cells(F.col("cell_x"), F.col("cell_y"))
+            ).alias("nb"),
+            F.col("cell_x").alias("acx"),
+            F.col("cell_y").alias("acy"),
+        )
+        .select(
+            "va",
+            F.col("nb.nx").alias("cell_x"),
+            F.col("nb.ny").alias("cell_y"),
+            "acx",
+            "acy",
+        )
+        .where(
+            ~(
+                (F.col("cell_x") == F.col("acx"))
+                & (F.col("cell_y") == F.col("acy"))
+            )
+        )
+    )
+    return left.join(
+        cells.select(
+            "cell_x", "cell_y", F.col(value_col).alias("vb")
+        ),
+        ["cell_x", "cell_y"],
+    ).select("va", "vb")
+
+
+def morans_i(cells: DataFrame, value_col: str = "n_points") -> DataFrame:
+    """Moran's I spatial autocorrelation of a (cell_x, cell_y, value)
+    lattice under queen contiguity (binary weights). Deviations are
+    n-scaled exact integers (Z = nc*v - s); numerator/denominator
+    accumulate in DECIMAL(38,0); the single float division is the
+    final statistic. Returns one row:
+    ``(n_cells, w_pairs, morans_i, expected_i)`` with the two signed
+    doubles round_stable'd to 6."""
+    from covid_data_pipeline_spark.functions.scalar import round_stable
+
+    tot = cells.agg(
+        F.count(F.lit(1)).alias("nc"), F.sum(value_col).alias("s")
+    )
+    # bcast: const single-row totals
+    z = cells.crossJoin(F.broadcast(tot)).select(
+        "cell_x",
+        "cell_y",
+        "nc",
+        (F.col("nc") * F.col(value_col) - F.col("s")).alias("zz"),
+    ).localCheckpoint(eager=False)
+    adj = _queen_adjacent_values(z, "zz")
+    agg = adj.agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum(
+            F.col("va").cast("decimal(38,0)")
+            * F.col("vb").cast("decimal(38,0)")
+        ).alias("num"),
+    )
+    den = z.agg(
+        F.sum(
+            F.col("zz").cast("decimal(38,0)")
+            * F.col("zz").cast("decimal(38,0)")
+        ).alias("d"),
+        F.first("nc").alias("nc"),
+    )
+    return den.crossJoin(agg).select(
+        F.col("nc").alias("n_cells"),
+        F.col("w").alias("w_pairs"),
+        round_stable(
+            F.try_divide(
+                (F.col("nc").cast("decimal(38,0)") * F.col("num")).cast(
+                    "double"
+                ),
+                (F.col("w").cast("decimal(38,0)") * F.col("d")).cast(
+                    "double"
+                ),
+            ),
+            6,
+        ).alias("morans_i"),
+        round_stable(
+            F.lit(-1.0) / (F.col("nc") - F.lit(1)).cast("double"), 6
+        ).alias("expected_i"),
+    )
+
+
+def gearys_c(cells: DataFrame, value_col: str = "n_points") -> DataFrame:
+    """Geary's C of a (cell_x, cell_y, value) lattice under queen
+    contiguity — Moran's local-contrast companion (C < 1 clustered,
+    C > 1 dispersed). The numerator is raw squared neighbor
+    differences (no centering needed, exact); the variance denominator
+    uses the same n-scaled exact centering with nc^2 folded into the
+    numerator scale. Returns ``(n_cells, w_pairs, gearys_c)``."""
+    from covid_data_pipeline_spark.functions.scalar import round_stable
+
+    cells = cells.localCheckpoint(eager=False)
+    tot = cells.agg(
+        F.count(F.lit(1)).alias("nc"), F.sum(value_col).alias("s")
+    )
+    adj = _queen_adjacent_values(cells, value_col)
+    diff = (F.col("va") - F.col("vb")).cast("decimal(38,0)")
+    agg = adj.agg(
+        F.count(F.lit(1)).alias("w"), F.sum(diff * diff).alias("num")
+    )
+    # bcast: const single-row totals
+    zz = cells.crossJoin(F.broadcast(tot)).select(
+        "nc",
+        (F.col("nc") * F.col(value_col) - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("zz"),
+    )
+    den = zz.agg(
+        F.sum(F.col("zz") * F.col("zz")).alias("d"),
+        F.first("nc").alias("nc"),
+    )
+    return den.crossJoin(agg).select(
+        F.col("nc").alias("n_cells"),
+        F.col("w").alias("w_pairs"),
+        round_stable(
+            F.try_divide(
+                (
+                    (F.col("nc") - F.lit(1)).cast("decimal(38,0)")
+                    * F.col("nc").cast("decimal(38,0)")
+                    * F.col("nc").cast("decimal(38,0)")
+                    * F.col("num")
+                ).cast("double"),
+                (
+                    F.lit(2).cast("decimal(38,0)")
+                    * F.col("w").cast("decimal(38,0)")
+                    * F.col("d")
+                ).cast("double"),
+            ),
+            6,
+        ).alias("gearys_c"),
+    )

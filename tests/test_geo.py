@@ -171,3 +171,57 @@ def test_radius_join_same_id_name_roles(spark):
     b = spark.createDataFrame([(7, 1, 0)], "id BIGINT, x BIGINT, y BIGINT")
     rows = radius_join(a, b, "id", "id", "x", "y", radius=5).collect()
     assert [(r["id_a"], r["id_b"], r["dist2"]) for r in rows] == [(1, 7, 1)]
+
+
+def _lattice(spark, counts):
+    """(cell_x, cell_y, n_points) rows from a dict {(cx,cy): n}."""
+    rows = [(cx, cy, n) for (cx, cy), n in counts.items()]
+    return spark.createDataFrame(
+        rows, "cell_x BIGINT, cell_y BIGINT, n_points BIGINT"
+    )
+
+
+def test_morans_matches_python_reference(spark):
+    """Exact equality with a plain-Python queen-weights reference on
+    hand lattices. (Note queen diagonals are SAME-color on a
+    checkerboard, so its Moran is only mildly negative — vertical
+    stripes are the strong-negative case.)"""
+    from covid_data_pipeline_spark.operators.geo import morans_i
+
+    cases = {
+        "checker": ({(i, j): 8 * ((i + j) % 2)
+                     for i in range(6) for j in range(6)}, -0.090909),
+        "stripes": ({(i, j): 8 * (i % 2)
+                     for i in range(6) for j in range(6)}, -0.454545),
+        "blocks": ({(i, j): (8 if i >= 3 else 0)
+                    for i in range(6) for j in range(6)}, 0.709091),
+    }
+    for name, (counts, want) in cases.items():
+        r = morans_i(_lattice(spark, counts)).collect()[0]
+        assert r["n_cells"] == 36
+        assert abs(r["morans_i"] - want) < 1e-6, (name, r["morans_i"])
+
+
+def test_gearys_matches_python_reference(spark):
+    from covid_data_pipeline_spark.operators.geo import gearys_c
+
+    cases = {
+        "checker": ({(i, j): 8 * ((i + j) % 2)
+                     for i in range(6) for j in range(6)}, 1.060606),
+        "stripes": ({(i, j): 8 * (i % 2)
+                     for i in range(6) for j in range(6)}, 1.414141),
+        "blocks": ({(i, j): (8 if i >= 3 else 0)
+                    for i in range(6) for j in range(6)}, 0.282828),
+    }
+    for name, (counts, want) in cases.items():
+        c = gearys_c(_lattice(spark, counts)).collect()[0]["gearys_c"]
+        assert abs(c - want) < 1e-6, (name, c)
+
+
+def test_morans_constant_field_degenerate(spark):
+    from covid_data_pipeline_spark.operators.geo import morans_i
+
+    const = {(i, j): 5 for i in range(4) for j in range(4)}
+    r = morans_i(_lattice(spark, const)).collect()[0]
+    # zero variance -> 0/0; division yields NULL under ANSI-safe divide
+    assert r["morans_i"] is None
