@@ -59,15 +59,17 @@ def register(
 
 
 # The external driver verifies a 50-query window in registration order.
-# Round-7 rotation (VERDICT r6 ask #1): keep the 8-query regression core
-# as a drift canary and fill the other 42 slots from
-# VERIFIED.json::suggested_window_r7 — never-driver-verified queries:
-# docs_nfc_normalize (displaced from r6) rejoins first, then the
-# text/split/pack/BPE/DSIR families and the IVF/PQ bench twins.
+# Round-8 closeout (VERDICT r7 ask #1): keep the 8-query regression core
+# as a drift canary, land ALL 32 never-driver-verified oracle queries
+# (VERIFIED.json::suggested_window_r8 — 13 pre-r7 leftovers, 4 sketch,
+# 15 late-r7 geo/bloom/interval/AMS/PCA), and spend the last 10 slots on
+# drift re-checks of long-unverified r1-r3 greens (one per family:
+# TPC-H, dedup, graph, ANN, sessionization, SCD2, multimodal, PageRank,
+# rolling window, lang-id). Lands every oracle-backed query driver-proven.
 # Everything not listed keeps its module registration order after
 # these; oracle-less (rows-only) queries always sort last.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- regression core (driver-proven r1-r6; canary against drift) ---
+    # --- regression core (driver-proven r1-r7; canary against drift) ---
     "mart_analytics",
     "agg_rollup",
     "filter_project",
@@ -76,49 +78,50 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "window_lag_alert",
     "curation_pipeline_docs",
     "tpch_q12_priority_shipping",
-    # --- never-driver-verified fills (VERIFIED.json::suggested_window_r7) ---
-    "docs_nfc_normalize",
-    "docs_cdc_chunks",
-    "kneser_ney_bigram_lm",
-    "phrase_search_docs",
-    "docs_feature_hashing",
-    "docs_flesch_readability",
-    "zipf_law_fit",
-    "lang_id_confusion",
-    "docs_pmi_collocations",
-    "lang_token_fertility",
-    "corpus_report_card",
-    "sample_per_group_docs",
-    "mixture_sample_docs",
-    "mixture_resample_docs",
-    "train_order_shuffle",
-    "pack_length_bucketed",
-    "pack_bin_manifest",
-    "group_aware_split_docs",
-    "cluster_aware_split_docs",
-    "split_token_stats",
-    "temporal_split_events",
-    "kfold_assign_docs",
-    "label_balanced_embeddings",
-    "temperature_rebalance_docs",
-    "temperature_rebalance_tokens",
-    "bpe_learn_merges",
-    "bpe_compression_curve",
-    "dsir_importance_weights",
-    "dsir_select_topk",
-    "docs_quantile_normalize",
-    "docs_isotonic_calibration",
-    "customers_l_diversity",
-    "dedup_winnowing",
-    "events_acf_daily",
-    "events_conformal_intervals",
-    "item_similarity_topk",
-    "similarity_topk_ivf",
-    "similarity_topk_ivf_pretrained",
-    "similarity_topk_pq",
-    "similarity_topk_pq_pretrained",
-    "hits_knn_docs",
-    "media_neardup_phash",
+    # --- never-driver-verified fills (VERIFIED.json::suggested_window_r8) ---
+    "quality_classifier_scores",
+    "textrank_keywords",
+    "heaps_law_fit",
+    "docs_ks_drift",
+    "attribution_position",
+    "events_mannwhitney",
+    "rake_keywords_docs",
+    "nb_lang_confusion",
+    "similarity_mmr_rerank",
+    "events_logrank_cohorts",
+    "docs_pii_redaction",
+    "customers_scd2_history",
+    "events_conversion_ab",
+    "rolling_distinct_users_7d_hll_portable",
+    "users_overlap_theta",
+    "events_value_quantiles_sketch",
+    "events_cm_user_freq",
+    "geo_cell_density",
+    "geo_radius_pairs",
+    "geo_nearest_neighbor",
+    "geo_dbscan_clusters",
+    "bloom_prefilter_orders",
+    "interval_merge_activity",
+    "interval_coverage_users",
+    "interval_overlap_error_windows",
+    "events_f2_ams",
+    "geo_nearest_supplier",
+    "embeddings_pca_power",
+    "interval_gaps_users",
+    "events_f2_ams_by_type",
+    "geo_morans_i",
+    "geo_gearys_c",
+    # --- drift re-checks: r1-r3 greens not re-verified since ---
+    "tpch_q9_product_profit",
+    "dedup_duplicate_groups",
+    "graph_components_docs",
+    "similarity_topk_lsh",
+    "events_session_window",
+    "scd2_user_type_history",
+    "media_fingerprint",
+    "pagerank_knn_docs",
+    "moving_avg_7d",
+    "lang_id_heuristic",
 )
 
 # Every query module must import cleanly: a blanket try/except here once

@@ -161,9 +161,11 @@ def merge_intervals_global(
        (`operators/graph.py`, O(log n) rounds) glue chains that span
        any number of cells;
     3. components roll up to final islands, and ``island_col`` is a
-       rank by start over the |islands|-sized result — the only global
-       window left runs on the MERGED relation (bounded by the island
-       count, never the input).
+       distributed start-order rank over the merged relation
+       (:func:`~covid_data_pipeline_spark.operators.sampling.value_order_rank`
+       — range buckets over broadcast min/max + cumsum offsets), so
+       even the degenerate sparse case (|islands| ≈ |input|, nothing
+       merges) never funnels through a partition-less window.
 
     Returns ``island_col, start_col, end_col, n_source`` — identical
     rows (and numbering) to ``merge_intervals(df, [const], ...)``:
@@ -224,10 +226,14 @@ def merge_intervals_global(
             F.sum("n_source").alias("n_source"),
         )
     )
-    w = Window.orderBy(start_col)
-    return merged.select(
-        F.row_number().over(w).cast("bigint").alias(island_col),
-        start_col,
-        end_col,
-        "n_source",
+    # Disjoint islands have strictly increasing starts (distinct by
+    # construction), so a start-order rank reproduces the sweep's
+    # numbering exactly; end_col is a never-consulted tiebreaker.
+    from covid_data_pipeline_spark.operators.sampling import (
+        value_order_rank,
     )
+
+    ranked = value_order_rank(
+        merged.drop("component"), start_col, end_col, rank_col=island_col
+    )
+    return ranked.select(island_col, start_col, end_col, "n_source")
