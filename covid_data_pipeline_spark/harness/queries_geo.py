@@ -1,7 +1,7 @@
 """Spatial queries: grid density, radius joins, kNN, DBSCAN.
 
 The reference lands point coordinates (`Lat`, `Long_` —
-`spark/scripts/process_covid_raw.py:12-13`) but only passes them
+`airflow/dags/scripts/process_covid_raw.py:12-13`) but only passes them
 through; these queries give the engine first-class spatial compute
 over point columns (`operators/geo.py`).
 

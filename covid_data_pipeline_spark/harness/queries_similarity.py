@@ -2637,9 +2637,12 @@ def _pca_oracle_sql() -> str:
     m{k} AS (SELECT MAX(ABS(r)) AS m FROM r{k}),
     v{k} AS MATERIALIZED (
       SELECT t.i,
-             (t.rs - (((t.rs % m.m) + m.m) % m.m)) // m.m AS v
+             CASE WHEN m.m = 0 THEN p.v
+                  ELSE (t.rs - (((t.rs % m.m) + m.m) % m.m)) // m.m
+             END AS v
       FROM (SELECT i, r * CAST(1000000 AS HUGEINT) AS rs FROM r{k}) t
-      CROSS JOIN m{k} m)""")
+      CROSS JOIN m{k} m
+      JOIN {prev} p ON p.i = t.i)""")
         prev = f"v{k}"
     steps_sql = ",".join(steps)
     return f"""

@@ -626,6 +626,13 @@ def pca_power_scores(
             sums[i] = p
         else:
             pair[(i, j)] = p
+    if n == 0:
+        # empty corpus: no moments were emitted, so the cov build below
+        # would KeyError — return the empty (id, pc1_score) shape.
+        return qv.select(
+            F.col("_id").alias(id_col),
+            F.lit(0).cast("long").alias("pc1_score"),
+        )
     # exact n-scaled covariance and the power trajectory (python ints)
     sc = int(scale)
     v = [sc] * dim

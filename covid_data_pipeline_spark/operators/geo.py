@@ -2,7 +2,7 @@
 
 The reference carries per-row point coordinates straight through its
 pipeline (`Lat`, `Long_` DoubleType — reference
-`spark/scripts/process_covid_raw.py:12-13`) but never computes on them.
+`airflow/dags/scripts/process_covid_raw.py:12-13`) but never computes on them.
 This module makes point columns first-class: grid-cell assignment,
 bounded-radius self-join, k-nearest-neighbor within radius, per-cell
 density rollups, and DBSCAN density clustering.
@@ -55,18 +55,44 @@ def grid_cells(
     cell_size: int,
     out_x: str = "cell_x",
     out_y: str = "cell_y",
+    validate: bool = True,
 ) -> DataFrame:
     """Assign each point to its grid cell (``coord div cell_size`` —
     integer div == floor under the non-negative coordinate contract).
 
     Pure codegen integer arithmetic; the (cell_x, cell_y) pair is the
-    shuffle/bucket key every other operator here joins on."""
+    shuffle/bucket key every other operator here joins on.
+
+    ``validate=True`` (default) enforces the non-negative contract
+    in-row (ANSI ``raise_error`` branch — no extra job, no extra
+    pass): a signed coordinate would silently produce trunc-div cells
+    (cell 0 double-width), skewing density extents and lattice
+    weights (ADVICE r7). The radius joins pass ``validate=False``:
+    trunc-div cells remain EXACT for candidate generation with signed
+    coordinates (every interval is >= cell_size wide, so points within
+    the radius still land in adjacent cells)."""
     if cell_size <= 0:
         raise ValueError(f"cell_size must be positive, got {cell_size}")
     cs = int(cell_size)
-    return df.withColumn(
-        out_x, F.expr(f"CAST({x_col} AS BIGINT) div {cs}")
-    ).withColumn(out_y, F.expr(f"CAST({y_col} AS BIGINT) div {cs}"))
+
+    def cell(col: str) -> Column:
+        c = F.col(col).cast("bigint")
+        d = F.expr(f"CAST({col} AS BIGINT) div {cs}")
+        if not validate:
+            return d
+        return F.when(c >= 0, d).otherwise(
+            F.raise_error(
+                F.format_string(
+                    f"grid_cells: negative {col}=%d violates the "
+                    "non-negative coordinate contract (offset by "
+                    "+90e6/+180e6 micro-degrees first, or pass "
+                    "validate=False for candidate-generation use)",
+                    c,
+                )
+            ).cast("bigint")
+        )
+
+    return df.withColumn(out_x, cell(x_col)).withColumn(out_y, cell(y_col))
 
 
 def cell_density(
@@ -118,8 +144,8 @@ def _cross_candidates(
     (self-pairs NOT excluded — callers decide)."""
     if radius <= 0:
         raise ValueError(f"radius must be positive, got {radius}")
-    ga = grid_cells(a, x_col, y_col, radius)
-    gb = grid_cells(b, x_col, y_col, radius)
+    ga = grid_cells(a, x_col, y_col, radius, validate=False)
+    gb = grid_cells(b, x_col, y_col, radius, validate=False)
     left = ga.select(
         F.col(a_id).alias("id_a"),
         F.col(x_col).cast("bigint").alias("xa"),

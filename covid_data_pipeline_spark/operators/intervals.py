@@ -1,7 +1,7 @@
 """Interval algebra: merge (union), coverage, and overlap joins.
 
 The reference models time only as a partition-grade `report_date`
-column (reference `spark/scripts/process_covid_data_mart.py:45`); a
+column (reference `airflow/dags/scripts/process_covid_data_mart.py:45`); a
 warehouse that tracks validity windows, sessions, outage windows, or
 media segments needs interval operators. Everything here works on
 integer interval endpoints (epoch micros by convention) so results are

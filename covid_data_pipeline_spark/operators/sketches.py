@@ -497,18 +497,41 @@ def ams_f2_sketch(
 def ams_f2_estimate(
     sketch: DataFrame,
     group_cols: Sequence[str] = (),
-    depth: int = 16,
+    depth: int | None = None,
     out_col: str = "f2_est",
 ) -> DataFrame:
     """Mean of the tug-of-war estimators: ``sum_j x_j / depth``. The
     sum stays DECIMAL(38,0)-exact; with a power-of-two depth the final
     division is dyadic, so the double is the exact value whenever the
     sum fits 2^53 (true at every test scale — at real scale the
-    estimate is approximate anyway)."""
+    estimate is approximate anyway).
+
+    The divisor is the sketch's OWN per-group estimator count
+    (``count(j)``), so a depth mismatch with :func:`ams_f2_sketch`
+    cannot silently scale the estimate (ADVICE r7). Passing ``depth``
+    turns the contract into a hard check: any group whose row count
+    differs raises at action time."""
     agg = sketch.groupBy(*group_cols).agg(
-        F.sum("x").alias("__xs")
+        F.sum("x").alias("__xs"),
+        F.count("j").alias("__d"),
     )
+    if depth is not None:
+        # ANSI mode: raise_error aborts the job on the first mismatch.
+        agg = agg.withColumn(
+            "__d",
+            F.when(F.col("__d") == int(depth), F.col("__d")).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "ams_f2_estimate: sketch has %d estimators per "
+                        f"group, expected {int(depth)}",
+                        F.col("__d"),
+                    )
+                ).cast("long")
+            ),
+        )
     return agg.select(
         *group_cols,
-        (F.col("__xs").cast("double") / F.lit(float(depth))).alias(out_col),
+        (F.col("__xs").cast("double") / F.col("__d").cast("double")).alias(
+            out_col
+        ),
     )

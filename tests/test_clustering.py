@@ -146,3 +146,18 @@ def test_pca_power_rejects_bad_weights(spark):
     )
     with _pytest.raises(ValueError):
         pca_power_scores(df, dim=2, iters=2, dim_weights=[1])
+
+
+def test_pca_power_empty_input(spark):
+    """ADVICE r7: an empty corpus used to KeyError building the cov
+    dict from the empty moments aggregate."""
+    from covid_data_pipeline_spark.operators.clustering import (
+        pca_power_scores,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    out = pca_power_scores(empty, dim=4)
+    assert out.columns == ["vec_id", "pc1_score"]
+    assert out.count() == 0

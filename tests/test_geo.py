@@ -225,3 +225,28 @@ def test_morans_constant_field_degenerate(spark):
     r = morans_i(_lattice(spark, const)).collect()[0]
     # zero variance -> 0/0; division yields NULL under ANSI-safe divide
     assert r["morans_i"] is None
+
+
+def test_grid_cells_rejects_negative_coords(spark):
+    """ADVICE r7: signed inputs silently produced trunc-div cells
+    (double-width cell 0). The default now raises in-row; the radius
+    joins opt out (candidate generation stays exact for signed
+    coordinates)."""
+    from pyspark.errors import SparkRuntimeException
+
+    from covid_data_pipeline_spark.operators.geo import (
+        grid_cells,
+        radius_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, -5, 10), (2, 3, 4)], "id BIGINT, x BIGINT, y BIGINT"
+    )
+    with pytest.raises(SparkRuntimeException, match="non-negative"):
+        grid_cells(df, "x", "y", 100).collect()
+    # signed coords remain fine for radius candidate generation
+    got = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in radius_pairs(df, "id", "x", "y", radius=20).collect()
+    }
+    assert got == {(1, 2)}

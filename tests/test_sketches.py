@@ -303,3 +303,27 @@ def test_ams_f2_skew_sensitivity(spark):
     ).collect()[0]["f2_est"]
     exact = 10_000**2 + 100
     assert abs(est - exact) / exact < 0.5
+
+
+def test_ams_f2_estimate_depth_mismatch_raises(spark):
+    """ADVICE r7: a depth mismatch with the sketch used to silently
+    scale the F2 estimate; the divisor now comes from the sketch's own
+    per-group estimator count, and passing depth makes it a hard
+    check."""
+    from pyspark.errors import SparkRuntimeException
+
+    from covid_data_pipeline_spark.operators.sketches import (
+        ams_f2_estimate,
+        ams_f2_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i % 7),) for i in range(100)], "k STRING"
+    )
+    sk = ams_f2_sketch(df, "k", depth=8)
+    # divisor derived from the sketch: depth arg omitted, still /8
+    est = ams_f2_estimate(sk).collect()[0]["f2_est"]
+    est8 = ams_f2_estimate(sk, depth=8).collect()[0]["f2_est"]
+    assert est == est8
+    with pytest.raises(SparkRuntimeException):
+        ams_f2_estimate(sk, depth=16).collect()
