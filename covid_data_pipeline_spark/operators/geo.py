@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "grid_cells",
     "cell_density",
+    "haversine_meters",
     "radius_pairs",
     "radius_join",
     "nearest_neighbors",
@@ -134,6 +135,8 @@ def _cross_candidates(
     x_col: str,
     y_col: str,
     radius: int,
+    salt: int = 1,
+    keep_coords: bool = False,
 ) -> DataFrame:
     """Candidate (a, b) point pairs that can lie within ``radius``:
     a's 3x3 neighborhood exploded (9x) against b's home cell. With
@@ -141,9 +144,19 @@ def _cross_candidates(
     span more than one cell boundary per axis. Returns
     ``(id_a, id_b, dist2)`` with ``dist2`` the squared Euclidean
     distance in BIGINT, already filtered to ``dist2 <= radius²``
-    (self-pairs NOT excluded — callers decide)."""
+    (self-pairs NOT excluded — callers decide).
+
+    ``salt > 1`` spreads a pathological hot cell (most points in ONE
+    cell — a single join key AQE cannot split further) over ``salt``
+    sub-keys: a's exploded rows take a deterministic row-hash salt,
+    b's home-cell rows replicate across all of them. Identical output
+    for any salt (each ordered pair still meets exactly once); cost is
+    a ``salt``× replication of the b side — default 1 for uniform
+    data."""
     if radius <= 0:
         raise ValueError(f"radius must be positive, got {radius}")
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
     ga = grid_cells(a, x_col, y_col, radius, validate=False)
     gb = grid_cells(b, x_col, y_col, radius, validate=False)
     left = ga.select(
@@ -163,23 +176,78 @@ def _cross_candidates(
         F.col("cell_x").alias("nx"),
         F.col("cell_y").alias("ny"),
     )
+    join_keys = ["nx", "ny"]
+    if salt > 1:
+        # salt by id, not coords: co-located duplicate points must
+        # still spread across sub-keys
+        left = left.withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64(F.col("id_a"), F.lit(0x5A17)),
+                F.lit(int(salt)),
+            ),
+        )
+        right = right.withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.lit(int(salt) - 1))),
+        )
+        join_keys.append("_salt")
     dist2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
         F.col("ya") - F.col("yb")
     ) * (F.col("ya") - F.col("yb"))
+    cols = ["id_a", "id_b", dist2.alias("dist2")]
+    if keep_coords:
+        cols += ["xa", "ya", "xb", "yb"]
     return (
-        left.join(right, ["nx", "ny"])
-        .select("id_a", "id_b", dist2.alias("dist2"))
+        left.join(right, join_keys)
+        .select(*cols)
         .where(F.col("dist2") <= F.lit(int(radius) * int(radius)))
     )
 
 
+#: IUGG mean Earth radius, meters — the constant both the engine and
+#: the Python reference implementation in tests must share.
+EARTH_RADIUS_M = 6371008.8
+
+
+def haversine_meters(
+    lat_a_udeg: Column, lon_a_udeg: Column, lat_b_udeg: Column, lon_b_udeg: Column
+) -> Column:
+    """Great-circle distance (meters) between two points given in
+    integer micro-degrees — one deterministic IEEE expression (pure
+    codegen: radians → sin/cos → asin) in a fixed operation order.
+
+    Float policy: this is the one geo path that leaves the integer
+    lattice. Within one engine the expression is deterministic, but
+    sin/cos/asin are libm calls whose last-ulp behavior varies across
+    runtimes — so geodesic results are verified against an independent
+    Python brute force with a relative tolerance (`tests/test_geo.py`),
+    never by cross-engine value hash, and any registered geodesic query
+    is rows-only. Predicates must not sit a rounding quantum from the
+    threshold (tests pick radii away from pair distances)."""
+    to_rad = 1e-6 * 3.141592653589793 / 180.0
+    la, lb = lat_a_udeg.cast("double") * to_rad, lat_b_udeg.cast("double") * to_rad
+    dlat = (lat_b_udeg.cast("double") - lat_a_udeg.cast("double")) * to_rad
+    dlon = (lon_b_udeg.cast("double") - lon_a_udeg.cast("double")) * to_rad
+    h = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(la) * F.cos(lb) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return 2.0 * EARTH_RADIUS_M * F.asin(F.sqrt(F.least(h, F.lit(1.0))))
+
+
 def _candidate_pairs(
-    df: DataFrame, id_col: str, x_col: str, y_col: str, radius: int
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: int,
+    salt: int = 1,
 ) -> DataFrame:
     """Self-join candidates: :func:`_cross_candidates` of a relation
     against itself with self-pairs excluded."""
     return _cross_candidates(
-        df, df, id_col, id_col, x_col, y_col, radius
+        df, df, id_col, id_col, x_col, y_col, radius, salt=salt
     ).where(F.col("id_a") != F.col("id_b"))
 
 
@@ -192,6 +260,8 @@ def radius_join(
     y_col: str,
     radius: int,
     k: int | None = None,
+    salt: int = 1,
+    radius_m: float | None = None,
 ) -> DataFrame:
     """Spatial join of two point relations: every (a, b) pair within
     ``radius`` — or, with ``k``, each a-point's k nearest b-points in
@@ -200,28 +270,64 @@ def radius_join(
     (the output renames to ``a_id``/``b_id`` roles). Same plan shape
     as :func:`radius_pairs`: 9x explode + cell equi-join, no cross
     product; the per-a ranking window (k path) partitions per a-point
-    over its bounded candidate list."""
-    cand = _cross_candidates(a, b, a_id, b_id, x_col, y_col, radius)
-    out = cand.select(
-        F.col("id_a").alias(f"{a_id}_a" if a_id == b_id else a_id),
-        F.col("id_b").alias(f"{b_id}_b" if a_id == b_id else b_id),
-        "dist2",
+    over its bounded candidate list.
+
+    ``radius_m`` enables the GEODESIC variant (VERDICT r7 ask #6):
+    candidate generation is untouched (same cells, same plan shape —
+    ``radius`` micro-degrees still bounds the candidates), and only the
+    final verify predicate swaps to ``haversine_meters <= radius_m``
+    (x = longitude, y = latitude, micro-degrees). The output gains a
+    ``dist_m`` DOUBLE column, and the k path ranks on it. Exactness
+    contract: the planar candidate radius must COVER the geodesic one —
+    pick ``radius >= radius_m / (111.32 * cos(max |lat|ᵒ in data))``
+    in micro-degrees (longitude degrees shrink by cos(lat); latitude
+    micro-degrees are ~0.111 m each everywhere)."""
+    cand = _cross_candidates(
+        a, b, a_id, b_id, x_col, y_col, radius, salt=salt,
+        keep_coords=radius_m is not None,
     )
+    a_out = f"{a_id}_a" if a_id == b_id else a_id
+    b_out = f"{b_id}_b" if a_id == b_id else b_id
+    if radius_m is None:
+        out = cand.select(
+            F.col("id_a").alias(a_out), F.col("id_b").alias(b_out), "dist2"
+        )
+        dist_cols = ["dist2"]
+        order = [F.col("dist2").asc(), F.col(b_out).asc()]
+    else:
+        dist_m = haversine_meters(
+            F.col("ya"), F.col("xa"), F.col("yb"), F.col("xb")
+        )
+        out = (
+            cand.withColumn("dist_m", dist_m)
+            .where(F.col("dist_m") <= F.lit(float(radius_m)))
+            .select(
+                F.col("id_a").alias(a_out),
+                F.col("id_b").alias(b_out),
+                "dist2",
+                "dist_m",
+            )
+        )
+        dist_cols = ["dist2", "dist_m"]
+        order = [F.col("dist_m").asc(), F.col(b_out).asc()]
     if k is None:
         return out
-    a_out, b_out = out.columns[0], out.columns[1]
-    w = Window.partitionBy(a_out).orderBy(
-        F.col("dist2").asc(), F.col(b_out).asc()
-    )
+    w = Window.partitionBy(a_out).orderBy(*order)
     return (
         out.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(a_out, "rank", b_out, "dist2")
+        .select(a_out, "rank", b_out, *dist_cols)
     )
 
 
 def radius_pairs(
-    df: DataFrame, id_col: str, x_col: str, y_col: str, radius: int
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: int,
+    salt: int = 1,
+    radius_m: float | None = None,
 ) -> DataFrame:
     """Exact unordered point pairs within ``radius`` (planar micro-deg).
 
@@ -230,9 +336,27 @@ def radius_pairs(
     neighborhood against b's unique home cell, so the ordered row
     (a, b) appears exactly once, and the ``<`` filter keeps one of the
     two orderings. Cost: one 9x explode + one cell equi-join, both
-    AQE-managed."""
-    cand = _candidate_pairs(df, id_col, x_col, y_col, radius)
-    return cand.where(F.col("id_a") < F.col("id_b"))
+    AQE-managed.
+
+    ``radius_m`` swaps the final predicate to the geodesic
+    ``haversine_meters <= radius_m`` (x = longitude, y = latitude;
+    output gains ``dist_m``) — candidate generation and plan shape
+    unchanged; see :func:`radius_join` for the coverage contract on
+    ``radius``."""
+    cand = _cross_candidates(
+        df, df, id_col, id_col, x_col, y_col, radius, salt=salt,
+        keep_coords=radius_m is not None,
+    ).where(F.col("id_a") < F.col("id_b"))
+    if radius_m is None:
+        return cand
+    dist_m = haversine_meters(
+        F.col("ya"), F.col("xa"), F.col("yb"), F.col("xb")
+    )
+    return (
+        cand.withColumn("dist_m", dist_m)
+        .where(F.col("dist_m") <= F.lit(float(radius_m)))
+        .select("id_a", "id_b", "dist2", "dist_m")
+    )
 
 
 def nearest_neighbors(
@@ -242,13 +366,14 @@ def nearest_neighbors(
     y_col: str,
     radius: int,
     k: int = 1,
+    salt: int = 1,
 ) -> DataFrame:
     """For each point, its ``k`` nearest other points within ``radius``
     (exact; points with no neighbor in range are absent). Ties break on
     the neighbor id, so the result is deterministic and SQL-replayable.
     The per-point window partitions on ``id_a`` — state is each point's
     own bounded candidate list, never a global sort."""
-    cand = _candidate_pairs(df, id_col, x_col, y_col, radius)
+    cand = _candidate_pairs(df, id_col, x_col, y_col, radius, salt=salt)
     w = Window.partitionBy("id_a").orderBy(F.col("dist2").asc(), F.col("id_b").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))

@@ -99,14 +99,28 @@ def interval_overlap_join(
     b_start: str,
     b_end: str,
     cell_size: int,
+    salt: int = 1,
 ) -> DataFrame:
     """All (a, b) row pairs whose closed intervals overlap, via
     cell-bucketed equi-join (see module docstring). Column names must
     be disjoint between ``a`` and ``b`` (alias before calling). The
     result carries every column of both inputs plus ``overlap`` —
-    the length of the intersection (>= 0; 0 means they touch)."""
+    the length of the intersection (>= 0; 0 means they touch).
+
+    ``salt > 1`` hardens the pathological single-hot-cell case (most
+    intervals in ONE cell — a key AQE's skew splitter cannot divide
+    further once it is a single map-side key): side a's rows spread
+    over ``salt`` sub-keys by a deterministic row hash, side b
+    replicates across all of them, and the join runs on
+    ``(_cell, _salt)`` — the hot cell's quadratic candidate work is
+    unchanged in total but parallelizes across ``salt`` tasks. Each
+    pair still meets exactly once (a has one salt, b covers all), so
+    results are identical for any salt. Cost: a ``salt``× shuffle
+    replication of side b — keep the default 1 for uniform data."""
     if cell_size <= 0:
         raise ValueError(f"cell_size must be positive, got {cell_size}")
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
     clash = set(a.columns) & set(b.columns)
     if clash:
         raise ValueError(f"a/b column names must be disjoint, both have: {sorted(clash)}")
@@ -124,7 +138,23 @@ def interval_overlap_join(
         )
 
     ae, be = cells(a, a_start, a_end), cells(b, b_start, b_end)
-    joined = ae.join(be, "_cell").where(
+    join_keys = ["_cell"]
+    if salt > 1:
+        # position-tagged xxhash64 (null-skip gotcha does not apply:
+        # endpoints are non-null by contract)
+        ae = ae.withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64(F.col(a_start), F.col(a_end), F.lit(0x5A17)),
+                F.lit(int(salt)),
+            ),
+        )
+        be = be.withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.lit(int(salt) - 1))),
+        )
+        join_keys.append("_salt")
+    joined = ae.join(be, join_keys).where(
         (F.col(b_start) <= F.col(a_end))
         & (F.col(a_start) <= F.col(b_end))
         & (
@@ -137,7 +167,7 @@ def interval_overlap_join(
     overlap = F.least(F.col(a_end), F.col(b_end)) - F.greatest(
         F.col(a_start), F.col(b_start)
     )
-    return joined.drop("_cell").withColumn("overlap", overlap)
+    return joined.drop(*join_keys).withColumn("overlap", overlap)
 
 
 def merge_intervals_global(

@@ -1752,6 +1752,213 @@ def case_pca_power_100k(spark):
     }
 
 
+def case_global_merge_16m_sparse(spark):
+    """VERDICT r7 ask #7: 16M fully-sparse intervals (nothing merges,
+    |islands| == |input|) through merge_intervals_global — the exact
+    regime where the r7 partition-less island rank would have funneled
+    16M rows through one task. The start lattice makes the expected
+    numbering closed-form (island_no == start/1000 + 1, checked
+    exactly over the whole relation); the executed plan must show
+    every row_number window partitioned."""
+    from covid_data_pipeline_spark.operators.intervals import (
+        merge_intervals_global,
+    )
+
+    n = 16_000_000
+    iv = spark.range(0, n, numPartitions=64).select(
+        (F.col("id") * 1000).alias("s"),
+        (F.col("id") * 1000 + 10).alias("e"),
+    )
+    t0 = time.time()
+    out = merge_intervals_global(iv, "s", "e", cell_size=100_000)
+    bad = out.where(
+        F.col("island_no") != (F.col("s") / 1000 + 1).cast("bigint")
+    ).count()
+    n_out = out.count()
+    wall = time.time() - t0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    rn_partitioned = all(
+        line.count("], [") >= 2
+        for line in plan.splitlines()
+        if "row_number" in line and "Window" in line
+    )
+    agg2 = merge_intervals_global(
+        iv.repartition(97), "s", "e", cell_size=100_000
+    ).where(
+        F.col("island_no") != (F.col("s") / 1000 + 1).cast("bigint")
+    ).count()
+    return {
+        "rows": n,
+        "islands": n_out,
+        "scale_vs_sf0.1": "160x events",
+        "sec": round(wall, 2),
+        "numbering_exact": bad == 0,
+        "invariant": agg2 == 0,
+        "rank_partitioned": rn_partitioned,
+        "ok": bad == 0 and agg2 == 0 and n_out == n and rn_partitioned,
+    }
+
+
+def case_geo_lattice_1m_moran_geary(spark):
+    """VERDICT r7 ask #7: Moran's I / Geary's C on a 1.05M-cell queen
+    lattice (1024x1024). Hashed values must read as spatial noise
+    (I ~ 0, C ~ 1); a planted x-gradient lattice must read as strong
+    positive autocorrelation (I > 0.9, C < 0.1); both statistics are
+    exact-integer until one division, so a repartition must reproduce
+    them bit-for-bit."""
+    from covid_data_pipeline_spark.operators.geo import gearys_c, morans_i
+
+    side = 1024
+    lattice = spark.range(0, side * side, numPartitions=64).select(
+        (F.col("id") % side).alias("cell_x"),
+        (F.col("id") / side).cast("bigint").alias("cell_y"),
+        F.pmod(F.xxhash64(F.concat(F.lit("v:"), F.col("id"))), F.lit(1000))
+        .alias("n_points"),
+    )
+    grad = spark.range(0, side * side, numPartitions=64).select(
+        (F.col("id") % side).alias("cell_x"),
+        (F.col("id") / side).cast("bigint").alias("cell_y"),
+        (F.col("id") % side).alias("n_points"),
+    )
+    t0 = time.time()
+    mi = morans_i(lattice).collect()[0]
+    gc = gearys_c(lattice).collect()[0]
+    mi_g = morans_i(grad).collect()[0]
+    gc_g = gearys_c(grad).collect()[0]
+    wall = time.time() - t0
+    mi2 = morans_i(lattice.repartition(97)).collect()[0]
+    invariant = (
+        mi["morans_i"] == mi2["morans_i"] and mi["w_pairs"] == mi2["w_pairs"]
+    )
+    noise_ok = abs(mi["morans_i"]) < 0.01 and abs(gc["gearys_c"] - 1.0) < 0.01
+    grad_ok = mi_g["morans_i"] > 0.9 and gc_g["gearys_c"] < 0.1
+    return {
+        "cells": side * side,
+        "w_pairs": int(mi["w_pairs"]),
+        "morans_noise": mi["morans_i"],
+        "gearys_noise": gc["gearys_c"],
+        "morans_gradient": mi_g["morans_i"],
+        "gearys_gradient": gc_g["gearys_c"],
+        "sec": round(wall, 2),
+        "invariant": invariant,
+        "ok": invariant and noise_ok and grad_ok
+        and mi["n_cells"] == side * side,
+    }
+
+
+def case_hot_cell_salt(spark):
+    """VERDICT r7 ask #5: the documented pathological single-hot-cell
+    regime, now executable. Interval side: 40k short intervals inside
+    ONE oversized cell (1.6e9 candidate pairs, ~0 true overlaps — the
+    quadratic-candidates case AQE cannot split because it is one map
+    key) probed with salt=32; result must equal the unsalted join
+    (checked on a 4k-row subset) and the salted full run must beat the
+    unsalted full run. Geo side: 10k co-located points (90% of the
+    corpus) in one radius cell, salted vs unsalted pair counts equal,
+    and salt on UNIFORM data must not cost 2x."""
+    from covid_data_pipeline_spark.operators.geo import radius_pairs
+    from covid_data_pipeline_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    # --- intervals: quadratic candidates, sparse output ---
+    # Broadcast is what saves a SMALL hot side (a broadcast hash join
+    # probes in parallel on the streamed side); the 100 TB pathology is
+    # a hot key on two SHUFFLE-sized relations — force that regime by
+    # disabling auto-broadcast for the skewed measurements.
+    hot_a = spark.range(0, 40_000).select(
+        F.col("id").alias("aid"),
+        (F.col("id") * 20).alias("a_s"),
+        (F.col("id") * 20 + 5).alias("a_e"),
+    )
+    hot_b = spark.range(0, 40_000).select(
+        F.col("id").alias("bid"),
+        (F.col("id") * 20 + 4).alias("b_s"),
+        (F.col("id") * 20 + 9).alias("b_e"),
+    )
+    cell = 1_000_000_000  # every interval in cell 0
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.time()
+        n_salted = interval_overlap_join(
+            hot_a, hot_b, "a_s", "a_e", "b_s", "b_e", cell_size=cell, salt=32
+        ).count()
+        t_salted = time.time() - t0
+        t0 = time.time()
+        n_plain = interval_overlap_join(
+            hot_a, hot_b, "a_s", "a_e", "b_s", "b_e", cell_size=cell
+        ).count()
+        t_plain = time.time() - t0
+        sub_salt = interval_overlap_join(
+            hot_a.where(F.col("aid") < 4000), hot_b.where(F.col("bid") < 4000),
+            "a_s", "a_e", "b_s", "b_e", cell_size=cell, salt=8,
+        )
+        sub_plain = interval_overlap_join(
+            hot_a.where(F.col("aid") < 4000), hot_b.where(F.col("bid") < 4000),
+            "a_s", "a_e", "b_s", "b_e", cell_size=cell,
+        )
+        sub_equal = sorted(map(tuple, sub_salt.collect())) == sorted(
+            map(tuple, sub_plain.collect())
+        )
+
+        # --- geo: 90% of points in one radius cell ---
+        hot = spark.range(0, 10_000).select(
+            F.col("id"),
+            (F.col("id") % 100 * 10).alias("x"),
+            (F.col("id") / 100).cast("bigint").alias("y"),
+        )
+        cold = spark.range(10_000, 11_112).select(
+            F.col("id"),
+            (F.col("id") * 7919 % 5_000_000).alias("x"),
+            (F.col("id") * 104_729 % 5_000_000).alias("y"),
+        )
+        pts = hot.unionByName(cold)
+        t0 = time.time()
+        g_salted = radius_pairs(
+            pts, "id", "x", "y", radius=1000, salt=32
+        ).count()
+        tg_salted = time.time() - t0
+        t0 = time.time()
+        g_plain = radius_pairs(pts, "id", "x", "y", radius=1000).count()
+        tg_plain = time.time() - t0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+
+    # --- uniform data: salt must not cost 2x ---
+    uni = spark.range(0, 500_000).select(
+        F.col("id"),
+        F.pmod(F.xxhash64(F.concat(F.lit("x:"), F.col("id"))), F.lit(5_000_001)).alias("x"),
+        F.pmod(F.xxhash64(F.concat(F.lit("y:"), F.col("id"))), F.lit(5_000_001)).alias("y"),
+    ).localCheckpoint()
+    t0 = time.time()
+    u_plain = radius_pairs(uni, "id", "x", "y", radius=5000).count()
+    tu_plain = time.time() - t0
+    t0 = time.time()
+    u_salted = radius_pairs(uni, "id", "x", "y", radius=5000, salt=4).count()
+    tu_salted = time.time() - t0
+    uniform_ok = u_plain == u_salted and tu_salted <= 2 * max(tu_plain, 0.5)
+    return {
+        "interval_candidates": 40_000 * 40_000,
+        "interval_pairs": n_salted,
+        "interval_sec_salted": round(t_salted, 2),
+        "interval_sec_plain": round(t_plain, 2),
+        "geo_pairs": g_salted,
+        "geo_sec_salted": round(tg_salted, 2),
+        "geo_sec_plain": round(tg_plain, 2),
+        "uniform_pairs": u_plain,
+        "uniform_sec_plain": round(tu_plain, 2),
+        "uniform_sec_salted": round(tu_salted, 2),
+        "sec": round(t_salted + tg_salted + tu_salted, 2),
+        "sub_equal": sub_equal,
+        "counts_equal": n_salted == n_plain and g_salted == g_plain,
+        "salt_speedup_intervals": round(t_plain / max(t_salted, 1e-9), 2),
+        "uniform_no_regression": uniform_ok,
+        "ok": sub_equal and n_salted == n_plain and n_salted == 40_000
+        and g_salted == g_plain and uniform_ok and t_salted < t_plain,
+    }
+
+
 CASES = {
     "funnel_16m": case_funnel_16m,
     "token_budget_12m": case_token_budget_12m,
@@ -1784,6 +1991,9 @@ CASES = {
     "interval_overlap_16m": case_interval_overlap_16m,
     "bloom_16m_probes": case_bloom_16m_probes,
     "pca_power_100k": case_pca_power_100k,
+    "global_merge_16m_sparse": case_global_merge_16m_sparse,
+    "geo_lattice_1m_moran_geary": case_geo_lattice_1m_moran_geary,
+    "hot_cell_salt": case_hot_cell_salt,
 }
 
 
