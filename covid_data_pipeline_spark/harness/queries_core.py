@@ -858,3 +858,64 @@ def customers_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("entropy_l"),
         (nh_micro >= F.col("class_size") * 693147).alias("meets_l2"),
     )
+
+
+@register(
+    "customers_t_closeness",
+    """
+    WITH tc_cb AS (
+      SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+             CAST(FLOOR(c_acctbal / 2500.0) AS BIGINT) AS bal_bucket,
+             CAST(COUNT(*) AS HUGEINT) AS ncb
+      FROM customer GROUP BY 1, 2, 3),
+    tc_cls AS (SELECT nationkey, mktsegment, SUM(ncb) AS nc
+               FROM tc_cb GROUP BY 1, 2),
+    tc_bk AS (SELECT bal_bucket, SUM(ncb) AS nb FROM tc_cb GROUP BY 1),
+    tc_tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m, SUM(nb) AS n
+               FROM tc_bk),
+    tc_grid AS (
+      SELECT c.nationkey, c.mktsegment, b.bal_bucket, c.nc, b.nb, t.m, t.n,
+             COALESCE(x.ncb, 0) AS ncb
+      FROM tc_cls c CROSS JOIN tc_bk b CROSS JOIN tc_tot t
+      LEFT JOIN tc_cb x ON x.nationkey = c.nationkey
+                       AND x.mktsegment = c.mktsegment
+                       AND x.bal_bucket = b.bal_bucket),
+    tc_cum AS (
+      SELECT nationkey, mktsegment, nc, m, n,
+             SUM(ncb * n - nb * nc) OVER (
+               PARTITION BY nationkey, mktsegment ORDER BY bal_bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM tc_grid),
+    tc_agg AS (
+      SELECT nationkey, mktsegment, MAX(nc) AS class_size,
+             SUM(ABS(cum)) AS emd_scaled, MAX(m) AS m, MAX(n) AS n
+      FROM tc_cum GROUP BY 1, 2)
+    SELECT nationkey, mktsegment, CAST(class_size AS BIGINT) AS class_size,
+           (ROUND(CAST(emd_scaled AS DOUBLE)
+                  / CAST((m - 1) * class_size * n AS DOUBLE), 6) + 0) AS emd,
+           emd_scaled * 5 <= (m - 1) * class_size * n AS meets_t
+    FROM tc_agg
+    """,
+    tags=("core", "privacy", "governance"),
+)
+def customers_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+    the third rung of the disclosure ladder after customers_k_anonymity
+    and customers_l_diversity: a class can be large AND entropy-diverse
+    while its sensitive distribution still deviates sharply from the
+    population's (which is exactly what an attacker learns). Per
+    quasi-identifier class (nationkey, mktsegment) over the ordered
+    balance buckets: unit-ground-distance EMD = mean |cumulative
+    probability difference|, exact-integer scaled by class_size x N
+    (`operators/privacy.py::t_closeness`), with the t<=1/5 verdict an
+    integer comparison and only the ROUND(6) display column float."""
+    from covid_data_pipeline_spark.operators.privacy import t_closeness
+
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.floor(F.col("c_acctbal") / 2500.0).cast("long").alias("bal_bucket"),
+    )
+    return t_closeness(
+        c, ["nationkey", "mktsegment"], "bal_bucket", t_num=1, t_den=5
+    )

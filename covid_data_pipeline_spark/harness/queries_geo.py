@@ -382,3 +382,95 @@ def geo_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
         _points(spark, sf_dir), "x_udeg", "y_udeg", cell_size=_RADIUS
     ).select("cell_x", "cell_y", "n_points")
     return gearys_c(cells, value_col="n_points")
+
+
+# --- Z-order layout (operators/geo.py::zorder_key) -------------------
+_Z_BITS = 18          # box 200,001 < 2^18
+_Z_SHIFT = 30         # 2^36 key space -> 64 top-level file buckets
+
+
+@register(
+    "geo_zorder_layout",
+    f"""
+    WITH {_PTS_SQL},
+    zk AS (
+      SELECT c_custkey,
+             x_udeg, y_udeg,
+             { " + ".join(
+                 f"(((x_udeg >> {i}) & 1) << {2 * i})"
+                 f" + (((y_udeg >> {i}) & 1) << {2 * i + 1})"
+                 for i in range(18)
+             ) } AS zkey
+      FROM pts)
+    SELECT zkey >> {_Z_SHIFT} AS file_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           MIN(x_udeg) AS x_lo, MAX(x_udeg) AS x_hi,
+           MIN(y_udeg) AS y_lo, MAX(y_udeg) AS y_hi,
+           (MAX(x_udeg) - MIN(x_udeg)) * (MAX(y_udeg) - MIN(y_udeg))
+             AS extent_area
+    FROM zk GROUP BY 1
+    """,
+    tags=("geo", "layout", "zorder"),
+)
+def geo_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit (`operators/geo.py::zorder_key`):
+    interleave-bit clustering keys for every customer point, bucketed
+    into 64 top-of-curve file buckets (``zkey >> 30``), with each
+    bucket's zone-map extents and extent area — the measurement a
+    Delta/Iceberg-style OPTIMIZE ZORDER job runs to prove file-level
+    min/max pruning got tighter. Everything is exact BIGINT bit
+    arithmetic (disjoint shift-and-mask terms; OR == SUM), so the
+    oracle replays the curve bit-for-bit. At 100 TB the write path is
+    ``repartitionByRange(zkey).sortWithinPartitions(zkey)``; this
+    audit costs one map-side-combining rollup over |points|."""
+    from covid_data_pipeline_spark.operators.geo import zorder_key
+
+    pts = _points(spark, sf_dir).withColumn(
+        "zkey", zorder_key("x_udeg", "y_udeg", bits=_Z_BITS)
+    )
+    bucket = F.shiftright(F.col("zkey"), _Z_SHIFT).alias("file_bucket")
+    return pts.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("x_udeg").alias("x_lo"),
+        F.max("x_udeg").alias("x_hi"),
+        F.min("y_udeg").alias("y_lo"),
+        F.max("y_udeg").alias("y_hi"),
+        (
+            (F.max("x_udeg") - F.min("x_udeg"))
+            * (F.max("y_udeg") - F.min("y_udeg"))
+        ).alias("extent_area"),
+    )
+
+
+@register(
+    "geo_radius_haversine",
+    None,
+    tags=("geo", "join", "geodesic"),
+    rows_only_reason=(
+        "haversine leaves the integer lattice: sin/cos/asin are libm "
+        "calls whose last-ulp behavior varies across engines, so the "
+        "geodesic predicate is verified against a Python brute force "
+        "with tolerance (tests/test_geo.py), not a cross-engine hash"
+    ),
+)
+def geo_radius_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic radius self-join (`operators/geo.py::radius_pairs`
+    with ``radius_m``): customer points placed at ~59°N (lat = 59° +
+    y_udeg, lon = 18° + x_udeg) where longitude micro-degrees are only
+    ~0.057 m wide — the regime where the planar predicate overcounts
+    east-west neighbors ~2x and a geodesic verify is semantically
+    required. Candidate generation is the identical 3x3 cell equi-join
+    (candidate radius 6000 udeg covers 300 m at this latitude:
+    300 / (111.32 * cos 59.2°) * 1e3 ≈ 5.3k udeg lon); only the final
+    predicate swaps to ``haversine_meters <= 300``."""
+    from covid_data_pipeline_spark.operators.geo import radius_pairs
+
+    pts = _points(spark, sf_dir).select(
+        "c_custkey",
+        (F.col("x_udeg") + F.lit(18_000_000)).alias("lon_udeg"),
+        (F.col("y_udeg") + F.lit(59_000_000)).alias("lat_udeg"),
+    )
+    return radius_pairs(
+        pts, "c_custkey", "lon_udeg", "lat_udeg",
+        radius=6_000, radius_m=300.0,
+    )

@@ -402,3 +402,33 @@ def test_haversine_predicate_vs_python_bruteforce(spark):
         d, j = cands[0]
         if d <= 500.0 and not math.isclose(d, cands[1][0], rel_tol=1e-12):
             assert by_a[i][0] == j, i
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from covid_data_pipeline_spark.operators.geo import zorder_key
+
+    def morton(x, y, bits):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(x, y) for x in (0, 1, 5, 255, 260_000) for y in (0, 3, 7, 261_999)]
+    df = spark.createDataFrame(rows, "x BIGINT, y BIGINT")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", zorder_key("x", "y", bits=18)).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == morton(x, y, 18), (x, y)
+    # locality sanity: adjacent points share high key bits
+    assert morton(100, 100, 18) >> 4 == morton(101, 101, 18) >> 4
+
+    from pyspark.errors import SparkRuntimeException
+
+    bad = spark.createDataFrame([(1 << 18, 0)], "x BIGINT, y BIGINT")
+    with pytest.raises(SparkRuntimeException, match="outside"):
+        bad.withColumn("z", zorder_key("x", "y", bits=18)).collect()
+    with pytest.raises(ValueError):
+        zorder_key("x", "y", bits=40)
