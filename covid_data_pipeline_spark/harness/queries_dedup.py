@@ -1509,3 +1509,69 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.select("id_a", "id_b", "shared_fp", "containment")
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    f"""
+    WITH {_shingle_ctes(where="doc_id < 150")},
+    sn_key AS (
+      SELECT doc_id,
+             CAST(concat('0x', hex(rpad(substr(
+               regexp_replace(trim(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', '', 'g')), '\\s+', ' ', 'g'),
+               1, 7), 7, ' '))) AS BIGINT) AS k
+      FROM base),
+    sn_rank AS (
+      SELECT doc_id, k, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS r
+      FROM sn_key),
+    sn_cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, b.r - a.r AS rank_gap
+      FROM sn_rank a JOIN sn_rank b ON b.r > a.r AND b.r - a.r <= 10),
+    sn_j AS (
+      SELECT c.id_a, c.id_b, c.rank_gap,
+             len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+             len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+               AS jac
+      FROM sn_cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b)
+    SELECT id_a, id_b, CAST(rank_gap AS BIGINT) AS rank_gap,
+           ROUND(jac, 4) AS jaccard
+    FROM sn_j WHERE jac >= 0.6
+    """,
+    tags=("dedup", "blocking", "snm"),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-Neighborhood blocking (Hernández & Stolfo, SIGMOD'95) —
+    the third blocking scheme next to LSH banding and prefix filtering:
+    a lexicographic 7-byte sort key (`operators/dedup.py::
+    sortkey_prefix7`), an exact DISTRIBUTED global rank
+    (value_order_rank — no single-partition sort; the oracle's plain
+    ROW_NUMBER replays it), window-10 neighborhoods via the 1-D
+    cell-bucket exactly-once join, then exact shingle-Jaccard verify at
+    0.6. The planted mutants (same text + one appended token) sort
+    adjacent to their originals — the property SNM exists to exploit.
+    O(n·w) candidates at any scale."""
+    from covid_data_pipeline_spark.functions.text import word_shingles
+    from covid_data_pipeline_spark.operators.dedup import (
+        jaccard_verify,
+        sorted_neighborhood_pairs,
+        sortkey_prefix7,
+    )
+
+    d = _with_mutants(
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    )
+    keyed = d.withColumn("_k", sortkey_prefix7("text"))
+    cand = sorted_neighborhood_pairs(keyed, "doc_id", "_k", window=10)
+    sh = d.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
+    )
+    verified = jaccard_verify(
+        cand.select("id_a", "id_b"), sh, id_col="doc_id",
+        threshold=0.6, shingle_col="shingles",
+    )
+    return verified.join(cand, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "rank_gap", F.round("jaccard", 4).alias("jaccard")
+    )

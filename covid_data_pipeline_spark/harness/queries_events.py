@@ -3719,3 +3719,95 @@ def events_f2_ams_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").select(
         "event_type", "exact_f2", "f2_est"
     )
+
+
+@register(
+    "events_join_size_cm",
+    """
+    WITH js_ska AS (
+      SELECT d.d AS d,
+             CAST(concat('0x', substr(md5(concat(CAST(d.d AS VARCHAR), ':',
+                    CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1024
+               AS slot,
+             CAST(COUNT(*) AS HUGEINT) AS cnt
+      FROM events CROSS JOIN range(4) d(d)
+      WHERE event_type = 'click' AND user_id IS NOT NULL
+      GROUP BY 1, 2),
+    js_skb AS (
+      SELECT d.d AS d,
+             CAST(concat('0x', substr(md5(concat(CAST(d.d AS VARCHAR), ':',
+                    CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1024
+               AS slot,
+             CAST(COUNT(*) AS HUGEINT) AS cnt
+      FROM events CROSS JOIN range(4) d(d)
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+      GROUP BY 1, 2),
+    js_dot AS (
+      SELECT a.d, SUM(a.cnt * b.cnt) AS dot
+      FROM js_ska a JOIN js_skb b ON a.d = b.d AND a.slot = b.slot
+      GROUP BY 1),
+    js_est AS (
+      SELECT MIN(COALESCE(dot, 0)) AS est
+      FROM range(4) d(d) LEFT JOIN js_dot ON js_dot.d = d.d),
+    js_exact AS (
+      SELECT SUM(ca.c * cb.c) AS ex
+      FROM (SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS c FROM events
+            WHERE event_type = 'click' AND user_id IS NOT NULL
+            GROUP BY 1) ca
+      JOIN (SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS c FROM events
+            WHERE event_type = 'purchase' AND user_id IS NOT NULL
+            GROUP BY 1) cb USING (user_id))
+    SELECT CAST(e.est AS BIGINT) AS join_size_est,
+           CAST(x.ex AS BIGINT) AS exact_join_size,
+           (ROUND(CAST(e.est AS DOUBLE) / CAST(x.ex AS DOUBLE), 6) + 0)
+             AS over_ratio
+    FROM js_est e, js_exact x
+    """,
+    tags=("events", "sketch", "countmin", "join-size", "portable"),
+)
+def events_join_size_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation WITHOUT running the join
+    (`operators/sketches.py::cm_inner_product`, Cormode &
+    Muthukrishnan 2005 §4.2): the clicks⋈purchases-on-user_id
+    cardinality priced from two count-min sketches — per depth row the
+    counter dot product upper-bounds the true inner product (collisions
+    only add cross terms), min over depth. This is the
+    cost-based-optimizer statistic a 100 TB planner wants: two
+    model-sized sketches (4x1024 integer counters each, one corpus pass
+    apiece, mergeable across partitions) instead of the join itself.
+    The exact join size rides along, making the never-underestimate
+    guarantee visible data (est >= exact, asserted in tests); width
+    1024 keeps collisions live so the overestimate is exercised.
+    All-integer until the one display ratio."""
+    from covid_data_pipeline_spark.operators.sketches import (
+        cm_inner_product,
+        cm_sketch,
+    )
+    from covid_data_pipeline_spark.functions.scalar import round_stable
+
+    ev = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    ska = cm_sketch(clicks, "user_id", depth=4, width=1024)
+    skb = cm_sketch(purchases, "user_id", depth=4, width=1024)
+    est = cm_inner_product(ska, skb)
+    ca = clicks.groupBy("user_id").agg(F.count(F.lit(1)).alias("_c"))
+    cb = purchases.groupBy("user_id").agg(F.count(F.lit(1)).alias("_p"))
+    exact = (
+        ca.join(cb, "user_id")
+        .agg(
+            F.sum(F.col("_c").cast("decimal(38,0)") * F.col("_p"))
+            .cast("bigint")
+            .alias("exact_join_size")
+        )
+    )
+    # bcast: const(1) scalar exact size
+    return est.crossJoin(F.broadcast(exact)).select(
+        "join_size_est",
+        "exact_join_size",
+        round_stable(
+            F.col("join_size_est").cast("double")
+            / F.col("exact_join_size").cast("double"),
+            6,
+        ).alias("over_ratio"),
+    )

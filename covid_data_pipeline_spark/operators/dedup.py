@@ -937,3 +937,82 @@ def optimal_lsh_params(
                 best, best_cost = (b, r), cost
     assert best is not None
     return best
+
+
+def sortkey_prefix7(text_col: Column | str) -> Column:
+    """Lexicographic-order-preserving BIGINT sort key from a text
+    column: normalize (lower, collapse whitespace, strip to
+    ``[a-z0-9 ]``), take the first 7 characters right-padded with
+    space, and pack the 7 bytes big-endian (``conv(hex(...), 16,
+    10)``). Fixed width makes numeric order == lexicographic order for
+    the printable-ASCII alphabet (a shorter string padded with 0x20
+    sorts exactly where the lexicographic compare puts it); 14 hex
+    digits < 2^56 fits signed BIGINT on every engine. This is the
+    portable sort key :func:`sorted_neighborhood_pairs` expects."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", ""))
+    norm = F.regexp_replace(norm, r"\s+", " ")
+    packed = F.rpad(F.substring(norm, 1, 7), 7, " ")
+    return F.conv(F.hex(packed), 16, 10).cast("bigint")
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int,
+) -> DataFrame:
+    """Sorted-Neighborhood Method blocking (Hernández & Stolfo,
+    SIGMOD'95): sort the corpus by a fuzzy key and compare only rows
+    whose sort positions are within ``window`` — the classic
+    record-linkage blocking scheme, O(n·w) candidates instead of n².
+
+    Distributed construction — the "global sort" never exists:
+
+    1. exact global rank via
+       :func:`~covid_data_pipeline_spark.operators.sampling.value_order_rank`
+       (range buckets over broadcast min/max — no single-partition
+       sort; ``id_col`` is the tiebreaker, so equal keys still get a
+       total order);
+    2. neighborhood pairs via the 1-D cell-bucket idiom shared with
+       :func:`~covid_data_pipeline_spark.operators.intervals.interval_overlap_join`:
+       each row's home bucket is ``rank div window``, one side explodes
+       to the 3 neighbor buckets, equi-join, keep ``0 < rank_b -
+       rank_a <= window`` — each pair emitted exactly once (the b side
+       sits at its unique home bucket), no distinct.
+
+    Returns ``(id_a, id_b, rank_gap)`` where id_a is the LOWER-ranked
+    row of the pair. Feed the result to :func:`jaccard_verify` (or any
+    pairwise scorer) for the match decision."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    from covid_data_pipeline_spark.operators.sampling import (
+        value_order_rank,
+    )
+
+    w = int(window)
+    ranked = value_order_rank(
+        df.select(id_col, key_col), key_col, id_col, rank_col="_r"
+    ).localCheckpoint(eager=False)  # feeds both join sides
+    a = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_r").alias("_ra"),
+        F.explode(
+            F.array(*[F.expr(f"_r div {w}") + F.lit(d) for d in (-1, 0, 1)])
+        ).alias("_nb"),
+    )
+    b = ranked.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_r").alias("_rb"),
+        F.expr(f"_r div {w}").alias("_nb"),
+    )
+    return (
+        a.join(b, "_nb")
+        .where(
+            (F.col("_rb") > F.col("_ra"))
+            & (F.col("_rb") - F.col("_ra") <= w)
+        )
+        .select(
+            "id_a", "id_b", (F.col("_rb") - F.col("_ra")).alias("rank_gap")
+        )
+    )

@@ -535,3 +535,51 @@ def ams_f2_estimate(
             out_col
         ),
     )
+
+
+def cm_inner_product(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    group_cols: Sequence[str] = (),
+    out_col: str = "join_size_est",
+) -> DataFrame:
+    """Equi-join size estimate from two count-min sketches (Cormode &
+    Muthukrishnan, J. Algorithms 2005, §4.2): per depth row ``d`` the
+    dot product of the two counter vectors upper-bounds the true inner
+    product ``|A JOIN B on k| = sum_k cnt_A(k) * cnt_B(k)`` (hash
+    collisions only ADD cross terms); the estimate is the min over
+    depth rows — never an underestimate, expected overestimate
+    ~ n_a*n_b/width per row. This prices a join WITHOUT running it
+    from two model-sized sketches (depth x width counters each), the
+    planner-statistics use the AMS F2 sketch covers for self-joins.
+
+    Inputs are :func:`cm_sketch` outputs built with the SAME depth and
+    width (slots only collide meaningfully under one hash family).
+    Dot products accumulate in DECIMAL(38,0) (counter products
+    overflow BIGINT once both sides exceed ~3e9 rows per slot pair);
+    depth rows whose counter vectors share no occupied slot contribute
+    a true zero dot (re-attached via the depth frame, not dropped by
+    the inner join)."""
+    keys = list(group_cols)
+    a = sketch_a.select(
+        *keys, "d", "slot", F.col("cnt").alias("_ca")
+    )
+    b = sketch_b.select(
+        *keys, "d", "slot", F.col("cnt").alias("_cb")
+    )
+    dots = (
+        a.join(b, [*keys, "d", "slot"])
+        .groupBy(*keys, "d")
+        .agg(
+            F.sum(
+                F.col("_ca").cast("decimal(38,0)") * F.col("_cb")
+            ).alias("_dot")
+        )
+    )
+    frame = sketch_a.select(*keys, "d").distinct()
+    full = frame.join(dots, [*keys, "d"], "left").withColumn(
+        "_dot", F.coalesce(F.col("_dot"), F.lit(0).cast("decimal(38,0)"))
+    )
+    return full.groupBy(*keys).agg(
+        F.min("_dot").cast("bigint").alias(out_col)
+    )

@@ -327,3 +327,35 @@ def test_ams_f2_estimate_depth_mismatch_raises(spark):
     assert est == est8
     with pytest.raises(SparkRuntimeException):
         ams_f2_estimate(sk, depth=16).collect()
+
+
+def test_cm_inner_product_never_underestimates(spark):
+    """CM join-size guarantee: est >= exact inner product; exact when
+    width has no collisions."""
+    from covid_data_pipeline_spark.operators.sketches import (
+        cm_inner_product,
+        cm_sketch,
+    )
+
+    a = spark.createDataFrame([(str(i % 5),) for i in range(50)], "k STRING")
+    b = spark.createDataFrame([(str(i % 7),) for i in range(70)], "k STRING")
+    # exact inner product: keys '0'..'4' have a=10 each; b=10 each
+    # -> sum over common keys {0..4} of 10*10 = 500
+    wide = cm_inner_product(
+        cm_sketch(a, "k", depth=4, width=8192),
+        cm_sketch(b, "k", depth=4, width=8192),
+    ).collect()[0]["join_size_est"]
+    assert wide == 500  # no collisions at width 8192 over 7 keys
+    narrow = cm_inner_product(
+        cm_sketch(a, "k", depth=4, width=4),
+        cm_sketch(b, "k", depth=4, width=4),
+    ).collect()[0]["join_size_est"]
+    assert narrow >= 500  # collisions only add cross terms
+    # disjoint key sets -> true join size 0; the depth frame must
+    # surface the zero, not drop it through the inner join
+    c = spark.createDataFrame([("x",), ("y",)], "k STRING")
+    zero = cm_inner_product(
+        cm_sketch(a, "k", depth=4, width=8192),
+        cm_sketch(c, "k", depth=4, width=8192),
+    ).collect()[0]["join_size_est"]
+    assert zero == 0
