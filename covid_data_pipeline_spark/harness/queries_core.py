@@ -919,3 +919,53 @@ def customers_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t_closeness(
         c, ["nationkey", "mktsegment"], "bal_bucket", t_num=1, t_den=5
     )
+
+
+_FD_CANDIDATES = [
+    (("l_orderkey",), "l_returnflag"),
+    (("l_orderkey",), "l_linestatus"),
+    (("l_partkey",), "l_suppkey"),
+    (("l_orderkey", "l_linenumber"), "l_quantity"),
+]
+
+
+def _fd_oracle_sql() -> str:
+    parts = []
+    for lhs, rhs in _FD_CANDIDATES:
+        lhs_sql = ", ".join(lhs)
+        name = f"{','.join(lhs)} -> {rhs}"
+        parts.append(f"""
+    SELECT '{name}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_groups,
+           CAST(SUM(nrows - maj) AS BIGINT) AS violating_rows,
+           MAX(nv) <= 1 AS holds
+    FROM (
+      SELECT {lhs_sql}, COUNT(*) AS nv, SUM(c) AS nrows, MAX(c) AS maj
+      FROM (SELECT {lhs_sql}, {rhs}, COUNT(*) AS c
+            FROM lineitem GROUP BY {lhs_sql}, {rhs}) p
+      GROUP BY {lhs_sql}) g""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "lineitem_fd_profile",
+    _fd_oracle_sql(),
+    tags=("core", "quality", "profiling", "fd"),
+)
+def lineitem_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (`operators/quality.py::fd_profile`,
+    the TANE/Deequ-style profiling primitive): four candidate FDs over
+    lineitem with their exact g3 violation costs — n_groups,
+    violating groups, and the minimum row deletions that would repair
+    the dependency (rows beyond each group's majority value). The
+    composite order-line key holds; the three non-keys are genuinely
+    violated, so the counts are non-trivial data, not zeros. Per FD:
+    one (lhs, rhs) rollup + one lhs regroup, both map-side combinable
+    — profiling a 100 TB table costs one shuffle per candidate, never
+    a sort or a collect."""
+    from covid_data_pipeline_spark.operators.quality import fd_profile
+
+    li = table(spark, sf_dir, "lineitem")
+    return fd_profile(li, _FD_CANDIDATES)

@@ -1545,3 +1545,53 @@ def interval_gaps_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("gap_us").alias("idle_us"),
         F.max("gap_us").alias("longest_gap_us"),
     )
+
+
+@register(
+    "events_sax_words",
+    """
+    WITH sx_daily AS (
+      SELECT event_type, CAST(ts AS DATE) - DATE '1970-01-01' AS day_num,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    sx_seg AS (
+      SELECT event_type, day_num // 7 AS seg, CAST(SUM(cnt) AS BIGINT) AS tot
+      FROM sx_daily GROUP BY 1, 2),
+    sx_rank AS (SELECT tot, ROW_NUMBER() OVER (ORDER BY tot) AS r
+                FROM sx_seg),
+    sx_n AS (SELECT COUNT(*) AS n FROM sx_seg),
+    sx_bp AS (
+      SELECT tot FROM sx_rank, sx_n
+      WHERE r IN ((1*n + 3)//4, (2*n + 3)//4, (3*n + 3)//4)),
+    sx_sym AS (
+      SELECT s.event_type, s.seg,
+             97 + (SELECT COUNT(*) FROM sx_bp b WHERE s.tot > b.tot) AS ci
+      FROM sx_seg s)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_segments,
+           string_agg(chr(CAST(ci AS INTEGER)), '' ORDER BY seg) AS sax_word
+    FROM sx_sym GROUP BY event_type
+    """,
+    tags=("events", "timeseries", "sax", "symbolic"),
+)
+def events_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic compression (Lin/Keogh et al., DMKD 2003;
+    `operators/temporal.py::sax_words`): each event type's daily-count
+    series PAA-compressed into weekly segments and symbolized over an
+    equi-depth 4-letter alphabet whose breakpoints are exact
+    order-statistic values — the representation motif discovery and
+    series-similarity grammars index instead of raw points. Everything
+    is BIGINT comparisons (segment sums, order-stat breakpoints,
+    strictly-greater symbol indexing), so the 5 words replay
+    bit-for-bit in the oracle. Scale shape: corpus -> one rollup to
+    |types x weeks|; the rank window and 3 collected breakpoints touch
+    only that compact relation."""
+    from covid_data_pipeline_spark.operators.temporal import sax_words
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_num"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return sax_words(
+        daily, ["event_type"], "day_num", "cnt", paa_width=7, alphabet=4
+    )

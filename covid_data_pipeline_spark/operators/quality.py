@@ -265,3 +265,50 @@ def pii_scrub(
     for label, pat in patterns:
         red = F.regexp_replace(red, pat, f"<{label}>")
     return out.withColumn("redacted", red)
+
+
+def fd_profile(
+    df: DataFrame, fds: "list[tuple[tuple[str, ...], str]]"
+) -> DataFrame:
+    """Functional-dependency audit (the discovery primitive of
+    Deequ/TANE-style data profiling): for each candidate ``lhs -> rhs``
+    report how badly the dependency is violated — ``g3``-style error
+    counts an optimizer, a schema-inference pass, or a data contract
+    gate all consume.
+
+    Per FD: one map-side-combining rollup to ``(lhs, rhs)`` pairs, one
+    regroup to lhs groups. A group violates when it maps to >1 distinct
+    rhs value; ``violating_rows`` counts the rows one would have to
+    delete beyond each group's majority value (the exact g3 repair
+    cost). NULL rhs counts as its own value (NULL-safe grouping), so a
+    half-null column cannot masquerade as dependent. Output: one row
+    per FD — ``(fd, n_groups, violating_groups, violating_rows,
+    holds)``."""
+    if not fds:
+        raise ValueError("fds must be non-empty")
+    outs = []
+    for lhs, rhs in fds:
+        name = f"{','.join(lhs)} -> {rhs}"
+        pairs = df.groupBy(*lhs, rhs).agg(F.count(F.lit(1)).alias("_c"))
+        groups = pairs.groupBy(*lhs).agg(
+            F.count(F.lit(1)).alias("_nv"),
+            F.sum("_c").alias("_rows"),
+            F.max("_c").alias("_maj"),
+        )
+        outs.append(
+            groups.agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum((F.col("_nv") > 1).cast("bigint")).alias(
+                    "violating_groups"
+                ),
+                F.sum(F.col("_rows") - F.col("_maj")).alias(
+                    "violating_rows"
+                ),
+                (F.max("_nv") <= 1).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

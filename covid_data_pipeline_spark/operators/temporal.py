@@ -1107,3 +1107,75 @@ def logrank_test(
         "v_micro",
         round_stable(z, 4).alias("z"),
     )
+
+
+def sax_words(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    t_col: str,
+    value_col: str,
+    paa_width: int,
+    alphabet: int = 4,
+) -> DataFrame:
+    """SAX — Symbolic Aggregate approXimation (Lin, Keogh, Lonardi &
+    Chiu, DMKD 2003) on the exact integer lattice: compress each key's
+    (t, value) series into a short symbol string whose alphabet is
+    equi-depth over the corpus, the representation similarity search /
+    motif discovery / anomaly grammars run on instead of raw series.
+
+    Deviation from the classic recipe, for exactness: PAA segments are
+    fixed ``t div paa_width`` buckets and the per-segment feature is
+    the integer SUM (not a z-normalized float mean), with breakpoints
+    taken as exact ORDER-STATISTIC values of the segment-sum
+    distribution (rank ``ceil(i*n/alphabet)``) rather than Gaussian
+    quantiles — every comparison is BIGINT vs BIGINT, so the symbols
+    (and the word) replay bit-for-bit in any SQL engine. Equi-depth
+    breakpoints keep the classic property that symbols are ~equally
+    likely.
+
+    Scale shape: one map-side-combining rollup to |keys x segments|;
+    the rank window and the ``alphabet-1`` collected breakpoints
+    operate on that compact relation (bounded by time span x keys,
+    never corpus rows — same class as the bucket-count cumsums).
+    Returns per-key rows: ``key_cols + (n_segments, sax_word)``."""
+    if paa_width < 1:
+        raise ValueError(f"paa_width must be >= 1, got {paa_width}")
+    if not 2 <= alphabet <= 26:
+        raise ValueError(f"alphabet must be in [2, 26], got {alphabet}")
+    keys = list(key_cols)
+    seg = (
+        df.withColumn("_seg", F.expr(f"CAST({t_col} AS BIGINT) div {int(paa_width)}"))
+        .groupBy(*keys, "_seg")
+        .agg(F.sum(F.col(value_col).cast("bigint")).alias("_tot"))
+        .localCheckpoint(eager=False)  # rank + symbol + word reuse it
+    )
+    # exact order-statistic breakpoints over the compact segment rollup
+    w = Window.orderBy("_tot")
+    ranked = seg.withColumn("_r", F.row_number().over(w))
+    n = ranked.count()
+    bp_ranks = [
+        (i * n + alphabet - 1) // alphabet for i in range(1, alphabet)
+    ]
+    bps = sorted(
+        r["_tot"]
+        for r in ranked.where(F.col("_r").isin(bp_ranks)).collect()
+    ) if n else []
+    sym_idx = sum(
+        (F.col("_tot") > F.lit(int(b))).cast("int") for b in bps
+    ) if bps else F.lit(0)
+    labeled = seg.withColumn(
+        "_sym",
+        F.char(F.lit(97) + sym_idx),  # 97 = 'a'
+    )
+    return labeled.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_seg"), F.col("_sym")))
+                ),
+                lambda s: s["_sym"],
+            ),
+            "",
+        ).alias("sax_word"),
+    )

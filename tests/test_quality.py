@@ -258,3 +258,27 @@ def test_flesch_components_hand_case(spark):
     got = {r["doc_id"]: (r["w"], r["s"], r["y"]) for r in m}
     assert got[1] == (7, 2, 9)
     assert got[2][1] == 1  # fragment floors at one sentence
+
+
+def test_fd_profile_g3_semantics(spark):
+    """FD audit: exact g3 repair cost, NULL rhs is its own value."""
+    from covid_data_pipeline_spark.operators.quality import fd_profile
+
+    rows = [
+        (1, "x"), (1, "x"), (1, "y"),   # group 1: majority x -> 1 del
+        (2, "z"), (2, "z"),             # group 2: holds
+        (3, None), (3, "x"),            # group 3: NULL distinct from x
+    ]
+    df = spark.createDataFrame(rows, "a BIGINT, b STRING")
+    got = fd_profile(df, [(("a",), "b")]).collect()[0]
+    assert got["fd"] == "a -> b"
+    assert got["n_groups"] == 3
+    assert got["violating_groups"] == 2
+    assert got["violating_rows"] == 2  # 1 (grp1) + 1 (grp3)
+    assert got["holds"] is False
+    key = fd_profile(df, [(("a", "b"), "b")]).collect()[0]
+    assert key["holds"] is True and key["violating_rows"] == 0
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        fd_profile(df, [])

@@ -607,3 +607,31 @@ def test_hw_anomalies_flag_planted_spike_only(spark):
     flagged = sorted(r["day"].day for r in spiked if r["is_anomaly"])
     assert 21 in flagged  # 2024-03-21 == t=20
     assert all(21 <= d <= 28 for d in flagged)  # nothing before the spike
+
+
+def test_sax_words_exact_symbols(spark):
+    """SAX on a hand-checkable series: equi-depth order-stat
+    breakpoints, strictly-greater symbol indexing, segment-ordered
+    word."""
+    from covid_data_pipeline_spark.operators.temporal import sax_words
+
+    # one key, 8 segments (paa_width=1), totals 1..8
+    rows = [("k", t, t + 1) for t in range(8)]
+    df = spark.createDataFrame(rows, "g STRING, t BIGINT, v BIGINT")
+    out = sax_words(df, ["g"], "t", "v", paa_width=1, alphabet=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    # n=8, ranks ceil(i*8/4) = 2,4,6 -> breakpoints 2,4,6 ->
+    # totals 1,2 |3,4 |5,6 |7,8 -> aabbccdd
+    assert r["n_segments"] == 8
+    assert r["sax_word"] == "aabbccdd"
+
+    # PAA: width 2 merges pairs -> totals 3,7,11,15; n=4 ranks 1,2,3
+    out2 = sax_words(df, ["g"], "t", "v", paa_width=2, alphabet=4).collect()[0]
+    assert out2["sax_word"] == "abcd"
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sax_words(df, ["g"], "t", "v", paa_width=0)
+    with _pt.raises(ValueError):
+        sax_words(df, ["g"], "t", "v", paa_width=1, alphabet=1)
