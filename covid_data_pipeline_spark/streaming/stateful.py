@@ -1333,3 +1333,93 @@ def stream_ams_f2(
     return src.groupBy(*group_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_cm_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Streaming count-min sketch: the live twin of
+    `operators/sketches.py::cm_sketch`. State per group is the flat
+    ``depth x width`` integer counter matrix — like the AMS
+    accumulators, counters merge by plain addition, so micro-batch
+    splits, replays of disjoint slices, and arrival order cannot
+    change the drained state; any point-frequency or join-size
+    readout (`cm_lookup` / `cm_inner_product`) consumes the emitted
+    counters directly.
+
+    Slots are computed JVM-side BEFORE the stateful map with the SAME
+    salted md5 expressions as the batch operator (``md5('j:key')``
+    prefix mod width), so stream and batch agree by construction.
+    Emissions are exact integers only: the counter matrix (row-major
+    ``j * width + slot``), ``n_seen``, and ``seq``."""
+    from covid_data_pipeline_spark.operators.features import (
+        portable_token_hash,
+    )
+
+    group_cols = list(group_cols)
+    slots = [
+        F.pmod(
+            portable_token_hash(
+                F.concat(F.lit(f"{j}:"), F.col(key_col).cast("string"))
+            ),
+            F.lit(width),
+        ).cast("long").alias(f"__s{j}")
+        for j in range(depth)
+    ]
+    src = df.where(F.col(key_col).isNotNull()).select(*group_cols, *slots)
+    fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [fields[c] for c in group_cols]
+        + [
+            StructField("counters", ArrayType(LongType()), False),
+            StructField("n_seen", LongType(), False),
+            StructField("seq", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("counters", ArrayType(LongType()), True),
+            StructField("n", LongType(), True),
+            StructField("seq", LongType(), True),
+        ]
+    )
+    cols = [f"__s{j}" for j in range(depth)]
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            counters, n, seq = state.get
+            counters = [int(v) for v in counters]
+            n, seq = int(n), int(seq)
+        else:
+            counters, n, seq = [0] * (depth * width), 0, 0
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+            for j, c in enumerate(cols):
+                for slot, cnt in pdf[c].value_counts().items():
+                    counters[j * width + int(slot)] += int(cnt)
+        if n_new == 0:
+            return
+        n += n_new
+        seq += 1
+        state.update((counters, n, seq))
+        out = pd.DataFrame(
+            {
+                "counters": [counters],
+                "n_seen": pd.array([n], dtype="Int64"),
+                "seq": pd.array([seq], dtype="Int64"),
+            }
+        )
+        for c, v in zip(group_cols, key):
+            out[c] = v
+        yield out[[*group_cols, "counters", "n_seen", "seq"]]
+
+    return src.groupBy(*group_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -1485,3 +1485,60 @@ def test_stream_ams_matches_batch_signed_sums(spark, tmp_path):
         assert r["n_seen"] == 1500
         for j, s in enumerate(r["s"]):
             assert int(s) * int(s) == want[(g, j)], (g, j)
+
+
+def test_stream_cm_sketch_matches_batch_counters(spark, tmp_path):
+    """The drained streaming CM state must equal the batch sketch's
+    (d, slot, cnt) relation exactly — counters are additive, so the
+    3-file micro-batch split cannot matter — and feed cm_inner_product
+    unchanged."""
+    from covid_data_pipeline_spark.operators.sketches import cm_sketch
+    from covid_data_pipeline_spark.streaming.stateful import stream_cm_sketch
+
+    rows = [("g%d" % (i % 2), (i * 17) % 300) for i in range(3000)]
+    src_dir = tmp_path / "cm_src"
+    src_dir.mkdir()
+    third = len(rows) // 3
+    for n, chunk in (
+        ("f1", rows[:third]),
+        ("f2", rows[third : 2 * third]),
+        ("f3", rows[2 * third :]),
+    ):
+        spark.createDataFrame(chunk, "g string, uid long").coalesce(
+            1
+        ).write.parquet(str(src_dir / f"{n}.parquet"))
+
+    stream = (
+        spark.readStream.schema("g string, uid long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    q = (
+        stream_cm_sketch(stream, ["g"], "uid", depth=4, width=64)
+        .writeStream.format("memory")
+        .queryName("cmq")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_rows = spark.sql("SELECT * FROM cmq").collect()
+    final = {}
+    for r in got_rows:
+        if r["g"] not in final or r["seq"] > final[r["g"]]["seq"]:
+            final[r["g"]] = r
+    batch = spark.createDataFrame(rows, "g string, uid long")
+    want = {
+        (r["g"], r["d"], r["slot"]): int(r["cnt"])
+        for r in cm_sketch(
+            batch, "uid", group_cols=["g"], depth=4, width=64
+        ).collect()
+    }
+    assert len(final) == 2
+    for g, r in final.items():
+        assert r["n_seen"] == 1500
+        for j in range(4):
+            for slot in range(64):
+                assert r["counters"][j * 64 + slot] == want.get(
+                    (g, j, slot), 0
+                ), (g, j, slot)
