@@ -1541,6 +1541,7 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sn_j WHERE jac >= 0.6
     """,
     tags=("dedup", "blocking", "snm"),
+    bench=True,
 )
 def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-Neighborhood blocking (Hernández & Stolfo, SIGMOD'95) —

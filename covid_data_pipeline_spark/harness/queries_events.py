@@ -3764,6 +3764,7 @@ def events_f2_ams_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM js_est e, js_exact x
     """,
     tags=("events", "sketch", "countmin", "join-size", "portable"),
+    bench=True,
 )
 def events_join_size_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-size estimation WITHOUT running the join

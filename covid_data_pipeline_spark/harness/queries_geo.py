@@ -411,6 +411,7 @@ _Z_SHIFT = 30         # 2^36 key space -> 64 top-level file buckets
     FROM zk GROUP BY 1
     """,
     tags=("geo", "layout", "zorder"),
+    bench=True,
 )
 def geo_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout audit (`operators/geo.py::zorder_key`):
