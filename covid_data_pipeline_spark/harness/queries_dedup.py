@@ -1576,3 +1576,155 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.join(cand, ["id_a", "id_b"]).select(
         "id_a", "id_b", "rank_gap", F.round("jaccard", 4).alias("jaccard")
     )
+
+
+_SNM_CAND_SQL = r"""
+    sn_key AS (
+      SELECT doc_id,
+             CAST(concat('0x', hex(rpad(substr(
+               regexp_replace(trim(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', '', 'g')), '\s+', ' ', 'g'),
+               1, 7), 7, ' '))) AS BIGINT) AS k
+      FROM base),
+    sn_rank AS (
+      SELECT doc_id, k, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS r
+      FROM sn_key),
+    sn_cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, b.r - a.r AS rank_gap
+      FROM sn_rank a JOIN sn_rank b ON b.r > a.r AND b.r - a.r <= 10)"""
+
+
+def _fs_weight_sql(agree: str, i: int) -> str:
+    num_a = f"(cm{i}+1)*(nu+2)"
+    den_a = f"(nm+2)*(cu{i}+1)"
+    num_d = f"(nm+1-cm{i})*(nu+2)"
+    den_d = f"(nm+2)*(nu+1-cu{i})"
+    return (
+        f"CASE WHEN {agree} THEN "
+        f"ROUND(ln(CAST({num_a} AS DOUBLE)/CAST({den_a} AS DOUBLE))*1e6, 0) "
+        f"ELSE "
+        f"ROUND(ln(CAST({num_d} AS DOUBLE)/CAST({den_d} AS DOUBLE))*1e6, 0) "
+        f"END"
+    )
+
+
+@register(
+    "linkage_fs_scores",
+    f"""
+    WITH {_shingle_ctes(where="doc_id < 150")},
+    {_SNM_CAND_SQL},
+    fs_attr AS (
+      SELECT doc_id, LENGTH(text) AS ln,
+             substr(regexp_replace(trim(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g')), '\\s+', ' ', 'g'), 1, 5) AS pf
+      FROM base),
+    fs_pairs AS (
+      SELECT c.id_a, c.id_b,
+             ABS(a.ln - b.ln) <= 3 AS f_len,
+             a.pf = b.pf AS f_prefix,
+             2 * len(list_intersect(sa.shingles, sb.shingles))
+               >= len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+               AS f_jac,
+             ABS(c.id_a - c.id_b) = {MUTANT_OFFSET} AS is_match
+      FROM sn_cand c
+      JOIN fs_attr a ON a.doc_id = c.id_a
+      JOIN fs_attr b ON b.doc_id = c.id_b
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b),
+    fs_model AS (
+      SELECT CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+             CAST(SUM(CASE WHEN is_match THEN 0 ELSE 1 END) AS BIGINT) AS nu,
+             CAST(SUM(CASE WHEN is_match AND f_len THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cm0,
+             CAST(SUM(CASE WHEN NOT is_match AND f_len THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cu0,
+             CAST(SUM(CASE WHEN is_match AND f_prefix THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cm1,
+             CAST(SUM(CASE WHEN NOT is_match AND f_prefix THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cu1,
+             CAST(SUM(CASE WHEN is_match AND f_jac THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cm2,
+             CAST(SUM(CASE WHEN NOT is_match AND f_jac THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cu2
+      FROM fs_pairs)
+    SELECT p.id_a, p.id_b, p.is_match, p.f_len, p.f_prefix, p.f_jac,
+           CAST({_fs_weight_sql("p.f_len", 0)}
+                + {_fs_weight_sql("p.f_prefix", 1)}
+                + {_fs_weight_sql("p.f_jac", 2)} AS BIGINT) AS score_micro
+    FROM fs_pairs p CROSS JOIN fs_model
+    """,
+    tags=("dedup", "linkage", "fellegi-sunter"),
+)
+def linkage_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage
+    (`operators/linkage.py::fs_linkage_scores`) — the decision layer on
+    top of blocking: the sorted-neighborhood candidates are scored by
+    the log-likelihood ratio of their per-field agreement pattern
+    (length-within-3, normalized 5-char prefix, Jaccard >= 1/2 — the
+    last an INTEGER comparison, 2·|∩| >= |∪|). m/u probabilities are
+    Laplace-smoothed integer count ratios estimated from the planted
+    mutant labels; each weight is one IEEE ln of an exact rational in
+    micro-nats, and a pair's score is their BIGINT sum — so the whole
+    scored relation hash-matches the SQL replay. Model = one 1-row
+    broadcast aggregate; scoring is pure codegen over O(n·w)
+    candidates."""
+    from covid_data_pipeline_spark.functions.text import word_shingles
+    from covid_data_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+        sortkey_prefix7,
+    )
+    from covid_data_pipeline_spark.operators.linkage import (
+        fs_linkage_scores,
+    )
+
+    d = _with_mutants(
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    )
+    keyed = d.withColumn("_k", sortkey_prefix7("text"))
+    cand = sorted_neighborhood_pairs(keyed, "doc_id", "_k", window=10)
+    norm = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", "")),
+        r"\s+",
+        " ",
+    )
+    attr = d.select(
+        "doc_id",
+        F.length("text").alias("_ln"),
+        F.substring(norm, 1, 5).alias("_pf"),
+        word_shingles(F.col("text"), 3).alias("_sh"),
+    )
+    a = attr.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("_ln").alias("_ln_a"),
+        F.col("_pf").alias("_pf_a"),
+        F.col("_sh").alias("_sh_a"),
+    )
+    b = attr.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("_ln").alias("_ln_b"),
+        F.col("_pf").alias("_pf_b"),
+        F.col("_sh").alias("_sh_b"),
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    pairs = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.abs(F.col("_ln_a") - F.col("_ln_b")) <= 3).alias("f_len"),
+            (F.col("_pf_a") == F.col("_pf_b")).alias("f_prefix"),
+            (inter * 2 >= union).alias("f_jac"),
+            (
+                F.abs(F.col("id_a") - F.col("id_b")) == MUTANT_OFFSET
+            ).alias("is_match"),
+        )
+    )
+    scored = fs_linkage_scores(
+        pairs, "is_match", ["f_len", "f_prefix", "f_jac"]
+    )
+    return scored.select(
+        "id_a", "id_b", "is_match", "f_len", "f_prefix", "f_jac",
+        "score_micro",
+    )

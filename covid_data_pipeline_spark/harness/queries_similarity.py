@@ -2703,3 +2703,145 @@ def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_power_scores(
         emb, dim=64, iters=_PCA_ITERS, dim_weights=_PCA_W
     )
+
+
+# --- ranking-quality eval: integer NDCG@k / AP@k ----------------------
+# Positional gains as shared integer literals (micro-scaled 1/log2(i+1),
+# computed once in Python and inlined into BOTH engines — no runtime
+# float): the binary-relevance DCG becomes an exact BIGINT dot product.
+import math as _math
+
+_EVAL_K = TOP_K
+_GAINS = [
+    int(1_000_000 / _math.log2(i + 1) + 0.5) for i in range(1, _EVAL_K + 1)
+]
+_IDCG = sum(_GAINS)
+
+
+def _ndcg_oracle() -> str:
+    gains_rows = ", ".join(f"({i + 1}, {g})" for i, g in enumerate(_GAINS))
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS dv
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, dv FROM v WHERE vec_id < {N_QUERIES}),
+nd_exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             ROUND(list_dot_product(q.dv, e.dv)
+                   / (sqrt(list_dot_product(q.dv, q.dv))
+                      * sqrt(list_dot_product(e.dv, e.dv))), 4) DESC,
+             e.vec_id) AS rn
+    FROM q, v e WHERE e.vec_id <> q.query_id
+  ) WHERE rn <= {_EVAL_K}
+),
+dq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(x * (127.0 / GREATEST(mx, 1e-30)) + 0.5) AS INTEGER)
+                / (127.0 / GREATEST(mx, 1e-30))) AS dv
+  FROM (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, y -> abs(y))) AS mx
+    FROM embeddings
+  )
+),
+qq AS (SELECT vec_id AS query_id, dv FROM dq WHERE vec_id < {N_QUERIES}),
+nd_quant AS (
+  SELECT query_id, vec_id, rn FROM (
+    SELECT qq.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY qq.query_id ORDER BY
+             ROUND(list_dot_product(qq.dv, e.dv)
+                   / (sqrt(list_dot_product(qq.dv, qq.dv))
+                      * sqrt(list_dot_product(e.dv, e.dv))), 4) DESC,
+             e.vec_id) AS rn
+    FROM qq, dq e WHERE e.vec_id <> qq.query_id
+  ) WHERE rn <= {_EVAL_K}
+),
+nd_gain(i, g) AS (VALUES {gains_rows}),
+nd_hits AS (
+  SELECT qu.query_id, qu.rn,
+         CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+  FROM nd_quant qu
+  LEFT JOIN nd_exact ex
+    ON ex.query_id = qu.query_id AND ex.vec_id = qu.vec_id
+),
+nd_cum AS (
+  SELECT query_id, rn, hit,
+         SUM(hit) OVER (PARTITION BY query_id ORDER BY rn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_hits
+  FROM nd_hits
+)
+SELECT c.query_id,
+       CAST(SUM(c.hit) AS BIGINT) AS n_common,
+       CAST(SUM(c.hit * g.g) * 10000 // {_IDCG} AS BIGINT) AS ndcg_bp,
+       CAST(SUM(c.hit * ((1000000 * c.cum_hits) // c.rn)) // {_EVAL_K}
+            AS BIGINT) AS ap_micro
+FROM nd_cum c JOIN nd_gain g ON g.i = c.rn
+GROUP BY c.query_id
+"""
+
+
+@register(
+    "ann_ndcg_map_eval",
+    _ndcg_oracle(),
+    tags=("similarity", "eval", "ndcg", "map"),
+)
+def ann_ndcg_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-aware ANN quality report — NDCG@k and AP@k of the
+    int8-quantized ranking against the exact float ranking, extending
+    ann_recall_quantized (recall treats rank 1 and rank k the same;
+    these don't). Binary relevance = membership in the exact top-k.
+    The novelty is EXACTNESS: positional gains 1/log2(i+1) are
+    micro-scaled integer LITERALS shared by both engines, the running
+    hit count is an integer window, per-position precision uses
+    truncating integer division — so DCG, NDCG (basis points of the
+    constant IDCG), and AP (micro-units) are all BIGINT and the whole
+    report value-hashes against the SQL replay. Same plan shape as the
+    recall eval: two broadcast-query brute-force rankings + one
+    per-query k-row window."""
+    from covid_data_pipeline_spark.operators.similarity import quantize_int8
+
+    emb = table(spark, sf_dir, "embeddings")
+    deq = quantize_int8(emb, "embedding").select(
+        "vec_id",
+        F.transform("qvec", lambda q: q / F.col("scale")).alias("embedding"),
+    )
+
+    def topk(corpus):
+        queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return cosine_topk_bruteforce(
+            corpus, queries, k=_EVAL_K, id_col="vec_id",
+            vec_col="embedding", query_id_col="query_id",
+        )
+
+    exact = topk(emb.select("vec_id", "embedding")).select(
+        "query_id", "vec_id"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("vec_id")
+    )
+    quant = (
+        topk(deq)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .select("query_id", "vec_id", "rn")
+    )
+    hits = quant.join(
+        exact.withColumn("__hit", F.lit(1)), ["query_id", "vec_id"], "left"
+    ).withColumn("hit", F.coalesce(F.col("__hit"), F.lit(0)).cast("bigint"))
+    cw = (
+        Window.partitionBy("query_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hits.withColumn("cum_hits", F.sum("hit").over(cw))
+    return cum.groupBy("query_id").agg(
+        F.sum("hit").alias("n_common"),
+        F.expr(f"CAST(SUM(hit * element_at({'array(' + ', '.join(str(g) + 'L' for g in _GAINS) + ')'}, CAST(rn AS INT))) * 10000 div {_IDCG} AS BIGINT)").alias("ndcg_bp"),
+        F.expr(f"CAST(SUM(hit * ((1000000 * cum_hits) div rn)) div {_EVAL_K} AS BIGINT)").alias("ap_micro"),
+    )

@@ -259,11 +259,17 @@ def merge_intervals_global(
     # Disjoint islands have strictly increasing starts (distinct by
     # construction), so a start-order rank reproduces the sweep's
     # numbering exactly; end_col is a never-consulted tiebreaker.
+    # value_order_rank consumes its input 3x (min/max agg, bucket
+    # counts, final join) — lineage-cut the compact merged relation or
+    # the whole merge+CC chain re-runs per consumer.
     from covid_data_pipeline_spark.operators.sampling import (
         value_order_rank,
     )
 
     ranked = value_order_rank(
-        merged.drop("component"), start_col, end_col, rank_col=island_col
+        merged.drop("component").localCheckpoint(eager=False),
+        start_col,
+        end_col,
+        rank_col=island_col,
     )
     return ranked.select(island_col, start_col, end_col, "n_source")
