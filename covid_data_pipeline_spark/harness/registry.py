@@ -65,7 +65,9 @@ def register(
 # 15 late-r7 geo/bloom/interval/AMS/PCA), and spend the last 10 slots on
 # drift re-checks of long-unverified r1-r3 greens (one per family:
 # TPC-H, dedup, graph, ANN, sessionization, SCD2, multimodal, PageRank,
-# rolling window, lang-id). Lands every oracle-backed query driver-proven.
+# rolling window, lang-id). Lands every query that was oracle-backed at
+# the start of round 8 driver-proven; the 8 round-8 additions (mirror-
+# green at sf0.01 + sf0.001) are pre-staged in suggested_window_r9.
 # Everything not listed keeps its module registration order after
 # these; oracle-less (rows-only) queries always sort last.
 WINDOW_PRIORITY: tuple[str, ...] = (
