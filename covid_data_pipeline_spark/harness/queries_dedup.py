@@ -1608,10 +1608,10 @@ def _fs_weight_sql(agree: str, i: int) -> str:
     )
 
 
-@register(
-    "linkage_fs_scores",
-    f"""
-    WITH {_shingle_ctes(where="doc_id < 150")},
+def _fs_pairs_ctes() -> str:
+    """Shared blocking+fields+model CTE chain for the Fellegi-Sunter
+    queries (candidates -> agreement fields -> m/u counters)."""
+    return f"""{_shingle_ctes(where="doc_id < 150")},
     {_SNM_CAND_SQL},
     fs_attr AS (
       SELECT doc_id, LENGTH(text) AS ln,
@@ -1646,7 +1646,14 @@ def _fs_weight_sql(agree: str, i: int) -> str:
                   AS BIGINT) AS cm2,
              CAST(SUM(CASE WHEN NOT is_match AND f_jac THEN 1 ELSE 0 END)
                   AS BIGINT) AS cu2
-      FROM fs_pairs)
+      FROM fs_pairs)"""
+
+
+
+@register(
+    "linkage_fs_scores",
+    f"""
+    WITH {_fs_pairs_ctes()}
     SELECT p.id_a, p.id_b, p.is_match, p.f_len, p.f_prefix, p.f_jac,
            CAST({_fs_weight_sql("p.f_len", 0)}
                 + {_fs_weight_sql("p.f_prefix", 1)}
@@ -1727,4 +1734,156 @@ def linkage_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "id_a", "id_b", "is_match", "f_len", "f_prefix", "f_jac",
         "score_micro",
+    )
+
+
+@register(
+    "dedup_snm_edit_distance",
+    f"""
+    WITH {_shingle_ctes(where="doc_id < 150")},
+    {_SNM_CAND_SQL}
+    SELECT c.id_a, c.id_b, CAST(c.rank_gap AS BIGINT) AS rank_gap,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+    FROM sn_cand c
+    JOIN base a ON a.doc_id = c.id_a
+    JOIN base b ON b.doc_id = c.id_b
+    WHERE levenshtein(a.text, b.text) <= 5
+    """,
+    tags=("dedup", "blocking", "edit-distance"),
+)
+def dedup_snm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verify over the sorted-neighborhood candidates —
+    the third pairwise metric axis next to set Jaccard and simhash
+    Hamming: exact Levenshtein (a JVM built-in; DuckDB computes the
+    identical Wagner-Fischer metric, so the whole relation
+    hash-matches) keeps pairs within 5 edits. The planted mutants
+    (' zq' suffix) sit at exactly distance 3; organic near-identical
+    docs surface alongside. Cost: O(len_a * len_b) per CANDIDATE only
+    — blocking keeps the quadratic metric off the corpus; at scale the
+    verify stays proportional to O(n * w) candidates."""
+    from covid_data_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+        sortkey_prefix7,
+    )
+
+    d = _with_mutants(
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    )
+    keyed = d.withColumn("_k", sortkey_prefix7("text"))
+    cand = sorted_neighborhood_pairs(keyed, "doc_id", "_k", window=10)
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "edit_dist", F.levenshtein("_ta", "_tb").cast("bigint")
+        )
+        .where(F.col("edit_dist") <= 5)
+        .select("id_a", "id_b", "rank_gap", "edit_dist")
+    )
+
+
+@register(
+    "entity_resolution_docs",
+    f"""
+    WITH RECURSIVE
+    {_fs_pairs_ctes()},
+    er_acc AS (
+      SELECT id_a AS src, id_b AS dst FROM (
+        SELECT p.id_a, p.id_b,
+               {_fs_weight_sql("p.f_len", 0)}
+               + {_fs_weight_sql("p.f_prefix", 1)}
+               + {_fs_weight_sql("p.f_jac", 2)} AS sc
+        FROM fs_pairs p CROSS JOIN fs_model) t
+      WHERE sc > 0),
+    er_sym AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM er_acc
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM er_acc) u),
+    er_reach(node, r) AS (
+      SELECT doc_id, doc_id FROM base
+      UNION
+      SELECT er_reach.node, er_sym.dst
+      FROM er_reach JOIN er_sym ON er_sym.src = er_reach.r)
+    SELECT node AS doc_id, MIN(r) AS entity_id
+    FROM er_reach GROUP BY node
+    """,
+    tags=("dedup", "linkage", "entity-resolution"),
+)
+def entity_resolution_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution — the full linkage stack as ONE
+    dataflow: sorted-neighborhood blocking (O(n·w) candidates) →
+    Fellegi–Sunter agreement scoring (micro-nat log-likelihood ratios)
+    → accept score > 0 → large-star/small-star connected components
+    assign every document an entity id (min member id; singletons keep
+    their own). The oracle replays blocking, fields, the m/u model,
+    the integer scores, AND the transitive closure (recursive CTE), so
+    the final entity assignment — not just the pair scores — is
+    hash-verified. Scale shape: every stage is a keyed shuffle bounded
+    by candidates or accepted edges; CC is O(log n) rounds."""
+    from covid_data_pipeline_spark.functions.text import word_shingles
+    from covid_data_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+        sortkey_prefix7,
+    )
+    from covid_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from covid_data_pipeline_spark.operators.linkage import (
+        fs_linkage_scores,
+    )
+
+    d = _with_mutants(
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    ).localCheckpoint(eager=False)  # feeds blocking, attrs, and nodes
+    keyed = d.withColumn("_k", sortkey_prefix7("text"))
+    cand = sorted_neighborhood_pairs(keyed, "doc_id", "_k", window=10)
+    norm = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", "")),
+        r"\s+",
+        " ",
+    )
+    attr = d.select(
+        "doc_id",
+        F.length("text").alias("_ln"),
+        F.substring(norm, 1, 5).alias("_pf"),
+        word_shingles(F.col("text"), 3).alias("_sh"),
+    )
+    a = attr.select(
+        F.col("doc_id").alias("id_a"), F.col("_ln").alias("_ln_a"),
+        F.col("_pf").alias("_pf_a"), F.col("_sh").alias("_sh_a"),
+    )
+    b = attr.select(
+        F.col("doc_id").alias("id_b"), F.col("_ln").alias("_ln_b"),
+        F.col("_pf").alias("_pf_b"), F.col("_sh").alias("_sh_b"),
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    pairs = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.abs(F.col("_ln_a") - F.col("_ln_b")) <= 3).alias("f_len"),
+            (F.col("_pf_a") == F.col("_pf_b")).alias("f_prefix"),
+            (inter * 2 >= union).alias("f_jac"),
+            (
+                F.abs(F.col("id_a") - F.col("id_b")) == MUTANT_OFFSET
+            ).alias("is_match"),
+        )
+    )
+    edges = (
+        fs_linkage_scores(pairs, "is_match", ["f_len", "f_prefix", "f_jac"])
+        .where(F.col("score_micro") > 0)
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(
+        edges, src="id_a", dst="id_b", nodes=d.select("doc_id")
+    )
+    return comps.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("entity_id"),
     )

@@ -2388,3 +2388,48 @@ def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("maybe") & F.col("is_member").isNull(), 1)
         ).alias("n_false_pos"),
     )
+
+
+@register(
+    "orders_woe_priority",
+    """
+    WITH woe_r AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_good,
+             CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bad
+      FROM orders GROUP BY 1),
+    woe_t AS (SELECT CAST(SUM(n_good) AS BIGINT) AS g,
+                     CAST(SUM(n_bad) AS BIGINT) AS b FROM woe_r)
+    SELECT r.o_orderpriority, r.n_good, r.n_bad,
+           CAST(ROUND(ln(CAST((r.n_good + 1) * (t.b + 2) AS DOUBLE)
+                         / CAST((r.n_bad + 1) * (t.g + 2) AS DOUBLE))
+                      * 1e6, 0) AS BIGINT) AS woe_micro,
+           (ROUND((CAST(r.n_good AS DOUBLE) / t.g
+                   - CAST(r.n_bad AS DOUBLE) / t.b)
+                  * (CAST(ROUND(ln(CAST((r.n_good + 1) * (t.b + 2)
+                                        AS DOUBLE)
+                                   / CAST((r.n_bad + 1) * (t.g + 2)
+                                          AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                     / 1e6), 6) + 0) AS iv_term
+    FROM woe_r r CROSS JOIN woe_t t
+    """,
+    tags=("olap", "features", "woe", "supervised"),
+)
+def orders_woe_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence encoding + Information Value terms
+    (`operators/features.py::woe_encoding`, the credit-scorecard
+    feature primitive): order priority encoded against the
+    fulfilled-status label. Laplace-smoothed per-value WOE is one IEEE
+    ln of an exact integer rational in micro-nats (the
+    DSIR/Fellegi-Sunter construction), the IV term one deterministic
+    expression over the same integers — sum(iv_term) ranks the
+    column's predictive power. One map-side rollup + a broadcast
+    scalar: the encoder is |values|-sized at any corpus scale."""
+    from covid_data_pipeline_spark.operators.features import woe_encoding
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", (F.col("o_orderstatus") == "F").alias("_lab")
+    )
+    return woe_encoding(o, "o_orderpriority", "_lab")

@@ -87,3 +87,64 @@ def feature_hash_vectors(
             ).alias("features"),
         )
     )
+
+
+def woe_encoding(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Weight-of-Evidence encoding + Information Value — the
+    credit-scoring / feature-engineering primitive that turns a
+    categorical column into a supervised log-odds score and ranks the
+    column's predictive power (Siddiqi, *Credit Risk Scorecards*):
+
+        WOE_v = ln( P(v | good) / P(v | bad) )
+        IV    = sum_v (P(v|good) - P(v|bad)) * WOE_v
+
+    Exactness: per-value good/bad counts are one map-side-combining
+    rollup; with Laplace smoothing each WOE is ONE IEEE
+    ``ln(int_product / int_product)`` rounded to integer micro-nats
+    (the DSIR/Fellegi-Sunter construction), and the IV term combines
+    the same integers in a single deterministic expression. NULL
+    category is its own value (a half-null feature must not look
+    predictive by accident).
+
+    Returns one row per category value: ``(cat_col, n_good, n_bad,
+    woe_micro, iv_term)`` — ``sum(iv_term)`` is the column's IV; the
+    model is |values|-sized, never corpus-sized."""
+    lab = F.col(label_col).cast("boolean")
+    # NULL label rows count toward neither class (WHEN null -> otherwise)
+    rolled = df.groupBy(cat_col).agg(
+        F.sum(F.when(lab, 1).otherwise(0)).alias("n_good"),
+        F.sum(F.when(~lab, 1).otherwise(0)).alias("n_bad"),
+    )
+    tot = rolled.agg(
+        F.sum("n_good").alias("_g"), F.sum("n_bad").alias("_b")
+    )
+    # bcast: const(1) scalar totals
+    j = rolled.crossJoin(F.broadcast(tot))
+    num = (F.col("n_good") + 1) * (F.col("_b") + 2)
+    den = (F.col("n_bad") + 1) * (F.col("_g") + 2)
+    woe_micro = F.round(
+        F.log(num.cast("double") / den.cast("double")) * 1e6, 0
+    ).cast("bigint")
+    from covid_data_pipeline_spark.functions.scalar import round_stable
+
+    # (g_v/G - b_v/B) * woe — one deterministic IEEE expression over
+    # the exact integers; signed, so round_stable
+    iv_term = round_stable(
+        (
+            F.col("n_good").cast("double") / F.col("_g").cast("double")
+            - F.col("n_bad").cast("double") / F.col("_b").cast("double")
+        )
+        * (woe_micro.cast("double") / 1e6),
+        6,
+    )
+    return j.select(
+        cat_col,
+        F.col("n_good").cast("bigint").alias("n_good"),
+        F.col("n_bad").cast("bigint").alias("n_bad"),
+        woe_micro.alias("woe_micro"),
+        iv_term.alias("iv_term"),
+    )
