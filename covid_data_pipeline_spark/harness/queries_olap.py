@@ -2433,3 +2433,60 @@ def orders_woe_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", (F.col("o_orderstatus") == "F").alias("_lab")
     )
     return woe_encoding(o, "o_orderpriority", "_lab")
+
+
+@register(
+    "window_dist_functions",
+    """
+    SELECT o_custkey, o_orderkey,
+           (ROUND(pr, 6) + 0) AS pct_rank,
+           ROUND(cd, 6) AS cume,
+           ROUND(fv, 2) AS top_price,
+           ROUND(nv, 2) AS second_price
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             PERCENT_RANK() OVER w AS pr,
+             CUME_DIST() OVER w AS cd,
+             FIRST_VALUE(o_totalprice) OVER w AS fv,
+             NTH_VALUE(o_totalprice, 2) OVER
+               (PARTITION BY o_custkey ORDER BY o_totalprice DESC,
+                o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING) AS nv
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey)
+    ) t
+    WHERE o_custkey % 50 = 0
+    """,
+    tags=("olap", "window", "distribution"),
+)
+def window_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-family window functions missing from
+    window_rank_functions: PERCENT_RANK / CUME_DIST (ratios of small
+    rank integers — the identical IEEE division on both engines,
+    ROUND(6) per float policy; percent_rank can be a signed-zero 0.0
+    so it routes through round_stable) and FIRST/NTH_VALUE over the
+    full-partition frame (NTH_VALUE needs UNBOUNDED FOLLOWING or rows
+    before position n read NULL — same frame spelled out on both
+    engines). Deterministic under the (price DESC, orderkey) total
+    order; one shuffle on the partition key."""
+    from covid_data_pipeline_spark.functions.scalar import round_stable
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            round_stable(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.round(F.first("o_totalprice").over(wf), 2).alias("top_price"),
+            F.round(F.nth_value("o_totalprice", 2).over(wf), 2).alias(
+                "second_price"
+            ),
+        )
+        .where(F.col("o_custkey") % 50 == 0)
+    )

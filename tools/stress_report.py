@@ -1959,6 +1959,58 @@ def case_hot_cell_salt(spark):
     }
 
 
+def case_snm_1m(spark):
+    """1M synthetic texts through sorted-neighborhood blocking
+    (round-8 family): distributed rank + 1-D neighbor-bucket join at
+    60x the query's corpus. 1000 planted exact-duplicate texts must
+    land at adjacent ranks (identical sort key, id tiebreak) and be
+    recovered as candidates; the candidate count is
+    partition-invariant."""
+    from covid_data_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+        sortkey_prefix7,
+    )
+
+    base = spark.range(0, 1_000_000, numPartitions=64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lower(F.hex(F.xxhash64(F.concat(F.lit("t:"), F.col("id"))))),
+            F.lit(" "),
+            F.lower(F.hex(F.xxhash64(F.concat(F.lit("u:"), F.col("id"))))),
+        ).alias("text"),
+    )
+    planted = spark.range(0, 1_000).select(
+        (F.col("id") + 2_000_000).alias("doc_id"),
+        F.concat(
+            F.lower(F.hex(F.xxhash64(F.concat(F.lit("t:"), F.col("id"))))),
+            F.lit(" "),
+            F.lower(F.hex(F.xxhash64(F.concat(F.lit("u:"), F.col("id"))))),
+        ).alias("text"),
+    )
+    docs = base.unionByName(planted)
+    keyed = docs.withColumn("_k", sortkey_prefix7("text")).localCheckpoint()
+    t0 = time.time()
+    cand = sorted_neighborhood_pairs(keyed, "doc_id", "_k", window=10)
+    n = cand.count()
+    found = cand.where(
+        (F.col("id_b") - F.col("id_a") == 2_000_000)
+        | (F.col("id_a") - F.col("id_b") == 2_000_000)
+    ).count()
+    wall = time.time() - t0
+    n2 = sorted_neighborhood_pairs(
+        keyed.repartition(97), "doc_id", "_k", window=10
+    ).count()
+    return {
+        "rows": 1_001_000,
+        "candidates": n,
+        "scale_vs_sf0.1": "200x documents",
+        "sec": round(wall, 2),
+        "planted_found": found,
+        "invariant": n == n2,
+        "ok": n == n2 and found >= 990 and n >= 9_000_000,
+    }
+
+
 CASES = {
     "funnel_16m": case_funnel_16m,
     "token_budget_12m": case_token_budget_12m,
@@ -1994,6 +2046,7 @@ CASES = {
     "global_merge_16m_sparse": case_global_merge_16m_sparse,
     "geo_lattice_1m_moran_geary": case_geo_lattice_1m_moran_geary,
     "hot_cell_salt": case_hot_cell_salt,
+    "snm_1m": case_snm_1m,
 }
 
 
