@@ -282,3 +282,31 @@ def test_fd_profile_g3_semantics(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         fd_profile(df, [])
+
+
+def test_woe_encoding_python_reference(spark):
+    """WOE/IV vs a Python reference; NULL labels excluded, NULL
+    category is its own value."""
+    import math
+
+    from covid_data_pipeline_spark.operators.features import woe_encoding
+
+    rows = [
+        ("a", True), ("a", True), ("a", False),
+        ("b", False), ("b", False), ("b", True),
+        (None, True), ("a", None),   # null category / null label
+    ]
+    df = spark.createDataFrame(rows, "c STRING, y BOOLEAN")
+    got = {
+        r["c"]: (r["n_good"], r["n_bad"], r["woe_micro"], r["iv_term"])
+        for r in woe_encoding(df, "c", "y").collect()
+    }
+    g, b = 4, 3  # labeled rows only
+    def woe(ng, nb):
+        return round(math.log((ng + 1) * (b + 2) / ((nb + 1) * (g + 2))) * 1e6)
+    assert got["a"][:3] == (2, 1, woe(2, 1))
+    assert got["b"][:3] == (1, 2, woe(1, 2))
+    assert got[None][:3] == (1, 0, woe(1, 0))  # null category kept
+    for c, (ng, nb, wm, iv) in got.items():
+        want_iv = round((ng / g - nb / b) * (wm / 1e6), 6)
+        assert abs(iv - want_iv) < 1e-12, c
