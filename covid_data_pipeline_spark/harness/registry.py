@@ -59,19 +59,19 @@ def register(
 
 
 # The external driver verifies a 50-query window in registration order.
-# Round-8 closeout (VERDICT r7 ask #1): keep the 8-query regression core
-# as a drift canary, land ALL 32 never-driver-verified oracle queries
-# (VERIFIED.json::suggested_window_r8 — 13 pre-r7 leftovers, 4 sketch,
-# 15 late-r7 geo/bloom/interval/AMS/PCA), and spend the last 10 slots on
-# drift re-checks of long-unverified r1-r3 greens (one per family:
-# TPC-H, dedup, graph, ANN, sessionization, SCD2, multimodal, PageRank,
-# rolling window, lang-id). Lands every query that was oracle-backed at
-# the start of round 8 driver-proven; the 8 round-8 additions (mirror-
-# green at sf0.01 + sf0.001) are pre-staged in suggested_window_r9.
-# Everything not listed keeps its module registration order after
-# these; oracle-less (rows-only) queries always sort last.
+# Round-9 rotation (VERDICT r8 ask #1): keep the 8-query regression core
+# as a drift canary, land the 13 round-8 oracle additions (privacy
+# t-closeness, Z-order layout, SNM dedup + edit-distance verify, CM
+# join-size, SAX words, FD profile, NDCG/MAP eval, Fellegi-Sunter
+# linkage + end-to-end entity resolution, WOE/IV, distribution windows
+# -- all judge-mirror-verified green in r8), which lands EVERY
+# oracle-backed query driver-proven (322/322), and spend the remaining
+# 29 slots on drift re-checks of the longest-unverified greens (all 16
+# remaining r1-only greens + the 13 alphabetically-first r2-only
+# greens). Everything not listed keeps its module registration order
+# after these; oracle-less (rows-only) queries always sort last.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- regression core (driver-proven r1-r7; canary against drift) ---
+    # --- regression core (driver-proven r1-r8; canary against drift) ---
     "mart_analytics",
     "agg_rollup",
     "filter_project",
@@ -80,50 +80,52 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "window_lag_alert",
     "curation_pipeline_docs",
     "tpch_q12_priority_shipping",
-    # --- never-driver-verified fills (VERIFIED.json::suggested_window_r8) ---
-    "quality_classifier_scores",
-    "textrank_keywords",
-    "heaps_law_fit",
-    "docs_ks_drift",
-    "attribution_position",
-    "events_mannwhitney",
-    "rake_keywords_docs",
-    "nb_lang_confusion",
-    "similarity_mmr_rerank",
-    "events_logrank_cohorts",
-    "docs_pii_redaction",
-    "customers_scd2_history",
-    "events_conversion_ab",
-    "rolling_distinct_users_7d_hll_portable",
-    "users_overlap_theta",
-    "events_value_quantiles_sketch",
-    "events_cm_user_freq",
-    "geo_cell_density",
-    "geo_radius_pairs",
-    "geo_nearest_neighbor",
-    "geo_dbscan_clusters",
-    "bloom_prefilter_orders",
-    "interval_merge_activity",
-    "interval_coverage_users",
-    "interval_overlap_error_windows",
-    "events_f2_ams",
-    "geo_nearest_supplier",
-    "embeddings_pca_power",
-    "interval_gaps_users",
-    "events_f2_ams_by_type",
-    "geo_morans_i",
-    "geo_gearys_c",
-    # --- drift re-checks: r1-r3 greens not re-verified since ---
-    "tpch_q9_product_profit",
-    "dedup_duplicate_groups",
-    "graph_components_docs",
-    "similarity_topk_lsh",
-    "events_session_window",
-    "scd2_user_type_history",
-    "media_fingerprint",
-    "pagerank_knn_docs",
-    "moving_avg_7d",
-    "lang_id_heuristic",
+    # --- never-driver-verified fills (VERIFIED.json::suggested_window_r9:
+    #     the 13 round-8 additions; completes 322/322 driver-proven) ---
+    "customers_t_closeness",
+    "geo_zorder_layout",
+    "dedup_sorted_neighborhood",
+    "events_join_size_cm",
+    "events_sax_words",
+    "lineitem_fd_profile",
+    "ann_ndcg_map_eval",
+    "linkage_fs_scores",
+    "dedup_snm_edit_distance",
+    "orders_woe_priority",
+    "entity_resolution_docs",
+    "window_dist_functions",
+    "orders_iv_feature_rank",
+    # --- drift re-checks: last driver-proven in r1 (all 16 remaining) ---
+    "chunk_documents",
+    "decontaminate_docs",
+    "dedup_exact",
+    "doc_fingerprint",
+    "doc_quality",
+    "doc_tfidf_top_terms",
+    "docs_pii_scrub",
+    "docs_repetition_signal",
+    "embeddings_label_stats",
+    "graph_component_sizes",
+    "media_audio_chunks",
+    "media_frame_sample",
+    "similarity_topk_bruteforce",
+    "similarity_topk_bruteforce_np",
+    "text_stats",
+    "top_terms_per_lang",
+    # --- drift re-checks: last driver-proven in r2 (13 oldest by name) ---
+    "anti_join_customers",
+    "asof_join_clicks_purchases",
+    "case_bucket",
+    "dedup_ngram_jaccard",
+    "distinct_dim",
+    "embedding_neardup",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "gapfill_daily_events",
+    "grouping_sets_orders",
+    "join_fact_dim",
+    "map_values_case",
+    "map_values_join",
 )
 
 # Every query module must import cleanly: a blanket try/except here once
