@@ -132,11 +132,17 @@ def woe_encoding(
     from covid_data_pipeline_spark.functions.scalar import round_stable
 
     # (g_v/G - b_v/B) * woe — one deterministic IEEE expression over
-    # the exact integers; signed, so round_stable
+    # the exact integers; signed, so round_stable. try_divide: a
+    # single-class input (_g or _b = 0) must yield NULL iv_term, not
+    # Infinity/NaN (ADVICE r8; same policy as t_closeness).
     iv_term = round_stable(
         (
-            F.col("n_good").cast("double") / F.col("_g").cast("double")
-            - F.col("n_bad").cast("double") / F.col("_b").cast("double")
+            F.try_divide(
+                F.col("n_good").cast("double"), F.col("_g").cast("double")
+            )
+            - F.try_divide(
+                F.col("n_bad").cast("double"), F.col("_b").cast("double")
+            )
         )
         * (woe_micro.cast("double") / 1e6),
         6,

@@ -82,7 +82,13 @@ def grid_cells(
         d = F.expr(f"CAST({col} AS BIGINT) div {cs}")
         if not validate:
             return d
-        return F.when(c >= 0, d).otherwise(
+        # NULL propagates to a NULL cell (pre-ADVICE-r8 behavior): the
+        # contract bans NEGATIVE coordinates, not missing ones — and a
+        # NULL falling into the otherwise-branch would abort the job
+        # with a blank format_string('%d', NULL) message.
+        return F.when(c.isNull(), F.lit(None).cast("bigint")).when(
+            c >= 0, d
+        ).otherwise(
             F.raise_error(
                 F.format_string(
                     f"grid_cells: negative {col}=%d violates the "
@@ -321,9 +327,21 @@ def radius_join(
     (x = longitude, y = latitude, micro-degrees). The output gains a
     ``dist_m`` DOUBLE column, and the k path ranks on it. Exactness
     contract: the planar candidate radius must COVER the geodesic one —
-    pick ``radius >= radius_m / (111.32 * cos(max |lat|ᵒ in data))``
-    in micro-degrees (longitude degrees shrink by cos(lat); latitude
-    micro-degrees are ~0.111 m each everywhere)."""
+    pick ``radius >= radius_m / (0.11132 * cos(max |lat|ᵒ in data))``
+    in MICRO-degrees (1 micro-degree of latitude is ~0.11132 m
+    everywhere; longitude micro-degrees shrink by cos(lat)). A
+    ``ValueError`` rejects any radius below the lat-independent floor
+    ``radius_m / 0.11132`` — the necessary condition that catches
+    unit slips (ADVICE r8: an earlier revision of this docstring was
+    off by 1000x); the cos(lat) factor remains the caller's duty
+    because it needs the data's latitude extent."""
+    if radius_m is not None and radius * 0.11132 < float(radius_m):
+        raise ValueError(
+            f"radius_join: candidate radius {radius} udeg cannot cover "
+            f"radius_m={radius_m} m even at the equator — need radius "
+            f">= radius_m / (0.11132 * cos(max|lat|)) >= "
+            f"{int(float(radius_m) / 0.11132) + 1} udeg"
+        )
     cand = _cross_candidates(
         a, b, a_id, b_id, x_col, y_col, radius, salt=salt,
         keep_coords=radius_m is not None,
@@ -384,7 +402,14 @@ def radius_pairs(
     ``haversine_meters <= radius_m`` (x = longitude, y = latitude;
     output gains ``dist_m``) — candidate generation and plan shape
     unchanged; see :func:`radius_join` for the coverage contract on
-    ``radius``."""
+    ``radius`` (same lat-independent floor check applies here)."""
+    if radius_m is not None and radius * 0.11132 < float(radius_m):
+        raise ValueError(
+            f"radius_pairs: candidate radius {radius} udeg cannot cover "
+            f"radius_m={radius_m} m even at the equator — need radius "
+            f">= radius_m / (0.11132 * cos(max|lat|)) >= "
+            f"{int(float(radius_m) / 0.11132) + 1} udeg"
+        )
     cand = _cross_candidates(
         df, df, id_col, id_col, x_col, y_col, radius, salt=salt,
         keep_coords=radius_m is not None,

@@ -1134,9 +1134,12 @@ def sax_words(
     likely.
 
     Scale shape: one map-side-combining rollup to |keys x segments|;
-    the rank window and the ``alphabet-1`` collected breakpoints
-    operate on that compact relation (bounded by time span x keys,
-    never corpus rows — same class as the bucket-count cumsums).
+    the order-statistic ranks come from the distributed
+    :func:`~covid_data_pipeline_spark.operators.sampling.value_order_rank`
+    (range-bucketed two-level rank — no partition-less global window;
+    ADVICE r8), and only the ``alphabet-1`` breakpoint VALUES are
+    collected to the driver. The rollup is bounded by time span x
+    keys, never corpus rows — same class as the bucket-count cumsums.
     Returns per-key rows: ``key_cols + (n_segments, sax_word)``."""
     if paa_width < 1:
         raise ValueError(f"paa_width must be >= 1, got {paa_width}")
@@ -1149,17 +1152,34 @@ def sax_words(
         .agg(F.sum(F.col(value_col).cast("bigint")).alias("_tot"))
         .localCheckpoint(eager=False)  # rank + symbol + word reuse it
     )
-    # exact order-statistic breakpoints over the compact segment rollup
-    w = Window.orderBy("_tot")
-    ranked = seg.withColumn("_r", F.row_number().over(w))
-    n = ranked.count()
+    # exact order-statistic breakpoints over the compact segment
+    # rollup, ranked DISTRIBUTED (value_order_rank's range-bucketed
+    # two-level rank) — the breakpoint VALUE at a rank is tie-invariant
+    # under any total (value, tiebreak) order, so the hash tiebreak
+    # only serves to make row_number well-defined within a bucket.
+    from covid_data_pipeline_spark.operators.sampling import (
+        value_order_rank,
+    )
+
+    n = seg.count()
     bp_ranks = [
         (i * n + alphabet - 1) // alphabet for i in range(1, alphabet)
     ]
-    bps = sorted(
-        r["_tot"]
-        for r in ranked.where(F.col("_r").isin(bp_ranks)).collect()
-    ) if n else []
+    if n:
+        ranked = value_order_rank(
+            seg.withColumn("_tb", F.xxhash64(*keys, F.col("_seg"))),
+            "_tot",
+            "_tb",
+            rank_col="_r",
+        )
+        bps = sorted(
+            r["_tot"]
+            for r in ranked.where(F.col("_r").isin(bp_ranks))
+            .select("_tot")
+            .collect()
+        )
+    else:
+        bps = []
     sym_idx = sum(
         (F.col("_tot") > F.lit(int(b))).cast("int") for b in bps
     ) if bps else F.lit(0)

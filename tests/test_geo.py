@@ -389,8 +389,11 @@ def test_haversine_predicate_vs_python_bruteforce(spark):
     b = df.select(F.col("id").alias("bid"), "x", "y")
     # k=2: rank 1 is the self-pair (a and b are the same points), so
     # the nearest OTHER point is the rank-2 row
+    # radius 4500 udeg ~ 501m: satisfies the r8 coverage floor for
+    # radius_m=500 (4000 udeg ~ 445m would be rejected — and COULD miss
+    # a 4001-udeg-apart latitude pair on a wider fixture)
     top = radius_join(
-        a, b, "aid", "bid", "x", "y", radius=4000, k=2, radius_m=500.0
+        a, b, "aid", "bid", "x", "y", radius=4500, k=2, radius_m=500.0
     ).collect()
     by_a = {r["aid"]: (r["bid"], r["dist_m"]) for r in top if r["rank"] == 2}
     for i, xi, yi in pts[:20]:
@@ -432,3 +435,42 @@ def test_zorder_key_matches_python_interleave(spark):
         bad.withColumn("z", zorder_key("x", "y", bits=18)).collect()
     with pytest.raises(ValueError):
         zorder_key("x", "y", bits=40)
+
+
+def test_grid_cells_null_coord_propagates_null_cell(spark):
+    """ADVICE r8: a NULL coordinate must yield a NULL cell under
+    validate=True (the contract bans NEGATIVE coords, not missing
+    ones) — not fall through the >= 0 guard into raise_error with a
+    blank format_string('%d', NULL) message."""
+    from covid_data_pipeline_spark.operators.geo import grid_cells
+
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, 250, None), (3, 250, 10)],
+        "id BIGINT, x BIGINT, y BIGINT",
+    )
+    got = {
+        r["id"]: (r["cell_x"], r["cell_y"])
+        for r in grid_cells(df, "x", "y", 100).collect()
+    }
+    assert got == {1: (None, 0), 2: (2, None), 3: (2, 0)}
+
+
+def test_radius_geodesic_rejects_uncovering_candidate_radius(spark):
+    """ADVICE r8 (medium): the docstring formula was off by 1000x; the
+    operator now enforces the lat-independent floor radius >=
+    radius_m / 0.11132 udeg so a caller following bad units fails
+    loudly instead of silently dropping nearly all geodesic pairs."""
+    from covid_data_pipeline_spark.operators.geo import (
+        radius_join,
+        radius_pairs,
+    )
+
+    a = spark.createDataFrame([(1, 100, 100)], "id BIGINT, x BIGINT, y BIGINT")
+    # 300 m needs >= 2695 udeg; 300/111.32 ~ 2.7 udeg is the unit slip
+    with pytest.raises(ValueError, match="cannot cover"):
+        radius_join(a, a, "id", "id", "x", "y", radius=3, radius_m=300.0)
+    with pytest.raises(ValueError, match="cannot cover"):
+        radius_pairs(a, "id", "x", "y", radius=3, radius_m=300.0)
+    # a covering radius is accepted (plan construction only)
+    radius_join(a, a, "id", "id", "x", "y", radius=6000, radius_m=300.0)
+    radius_pairs(a, "id", "x", "y", radius=6000, radius_m=300.0)

@@ -310,3 +310,18 @@ def test_woe_encoding_python_reference(spark):
     for c, (ng, nb, wm, iv) in got.items():
         want_iv = round((ng / g - nb / b) * (wm / 1e6), 6)
         assert abs(iv - want_iv) < 1e-12, c
+
+
+def test_woe_encoding_single_class_yields_null_iv(spark):
+    """ADVICE r8: a degenerate label distribution (all-good or
+    all-bad) must produce NULL iv_term via try_divide, never
+    Infinity/NaN — same policy as t_closeness."""
+    from covid_data_pipeline_spark.operators.features import woe_encoding
+
+    df = spark.createDataFrame(
+        [("a", True), ("a", True), ("b", True)], "c STRING, y BOOLEAN"
+    )
+    rows = woe_encoding(df, "c", "y").collect()
+    assert rows and all(r["iv_term"] is None for r in rows)
+    # woe itself stays finite (Laplace smoothing)
+    assert all(r["woe_micro"] is not None for r in rows)

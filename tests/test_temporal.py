@@ -635,3 +635,23 @@ def test_sax_words_exact_symbols(spark):
         sax_words(df, ["g"], "t", "v", paa_width=0)
     with _pt.raises(ValueError):
         sax_words(df, ["g"], "t", "v", paa_width=1, alphabet=1)
+
+
+def test_sax_breakpoint_rank_is_distributed(spark):
+    """ADVICE r8: the order-statistic breakpoints must come from the
+    distributed value_order_rank, not a partition-less global
+    row_number window over the |keys x segments| rollup — every
+    row_number Window in the plan must carry a partition spec (same
+    guard as merge_intervals_global)."""
+    from covid_data_pipeline_spark.operators.temporal import sax_words
+
+    rows = [(f"k{i % 50}", t, (i * 37 + t) % 101) for i in range(200)
+            for t in range(4)]
+    df = spark.createDataFrame(rows, "g STRING, t BIGINT, v BIGINT")
+    out = sax_words(df, ["g"], "t", "v", paa_width=2, alphabet=4)
+    out.collect()  # AQE: execute before reading the final plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "row_number" in line and "Window" in line:
+            groups = line.count("], [")
+            assert groups >= 2, f"partition-less row_number window: {line}"
