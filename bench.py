@@ -209,6 +209,39 @@ def main() -> None:
                 "ratios": r1_ratios,
             }
 
+    # Suite-level drift tripwire (VERDICT r8 ask #3 / What's wrong #2):
+    # the per-query min-of-runs rule judges queries one at a time, so a
+    # uniform fleet-wide slowdown — environment drift or a global
+    # session-config cost — is structurally invisible to it (r8 drifted
+    # 1.11x idle-vs-idle with regressions: []). Compare against the
+    # newest committed IDLE record (BENCH_full_r{N}.json, written by
+    # the end-of-round idle run, never by the contended driver run) and
+    # NAME a >1.05 geomean in the regressions list so it gets
+    # investigated, not averaged away.
+    vs_idle: dict | None = None
+    idle_file, idle = _latest_idle_bench()
+    if idle and abs(_sf_from_dir(sf_dir) - idle.get("sf", -1)) < 1e-9:
+        idle_ratios = {
+            n: round(timings[n] / p, 3)
+            for n, p in idle.get("queries", {}).items()
+            if n in timings and p > 0
+        }
+        if idle_ratios:
+            g = _geomean(list(idle_ratios.values()))
+            vs_idle = {
+                "file": idle_file,
+                "n_shared": len(idle_ratios),
+                "geomean": g,
+            }
+            if g is not None and g > 1.05:
+                regressions.append(
+                    f"suite geomean vs idle record {idle_file}: {g}x over "
+                    f"{len(idle_ratios)} shared queries — uniform drift "
+                    "the per-query gate cannot see; A/B a pinned commit "
+                    "idle before attributing to code"
+                )
+                print(f"# REGRESSION {regressions[-1]}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total",
@@ -228,6 +261,8 @@ def main() -> None:
         payload["vs_prev"] = vs_prev
     if vs_r1:
         payload["vs_r1"] = vs_r1
+    if vs_idle:
+        payload["vs_idle"] = vs_idle
 
     here = os.path.dirname(os.path.abspath(__file__))
     # Full payload lives in the file; stdout gets the compact line.
@@ -256,6 +291,8 @@ def main() -> None:
     if vs_r1:
         compact["geomean_vs_r1"] = vs_r1["geomean"]
         compact["n_shared_r1"] = vs_r1["n_shared"]
+    if vs_idle:
+        compact["geomean_vs_idle"] = vs_idle["geomean"]
     if regressions:
         compact["regressions"] = regressions[:5]
     line = json.dumps(compact)
@@ -269,6 +306,24 @@ def main() -> None:
     os.close(real_stdout_fd)
     if regressions and os.environ.get("SPARK_GRAFT_STRICT_GATE"):
         sys.exit(1)
+
+
+def _latest_idle_bench() -> tuple[str | None, dict | None]:
+    """Newest committed IDLE bench record (BENCH_full_r{N}.json only —
+    the builder's end-of-round idle run; BENCH_r{N}.json is the
+    driver's and can be machine-contended)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = sorted(
+        glob.glob(os.path.join(here, "BENCH_full_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", os.path.basename(p)).group(1)),
+    )
+    for path in reversed(cands):
+        rec = _parse_bench_record(path)
+        if rec is not None:
+            return os.path.basename(path), rec
+    return None, None
 
 
 def _latest_prev_bench() -> tuple[str | None, dict | None]:

@@ -1160,16 +1160,22 @@ def graph_kcore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-for-value."""
     from covid_data_pipeline_spark.operators.graph import kcore
 
+    # One scan + explode instead of the original 3x unionByName (which
+    # read documents three times): all three rule edges materialize in
+    # the same pass, and the single edge distinct stays the only
+    # shuffle. (Measured A/B warm at sf0.1: explode ~1.49s median vs
+    # ~1.74s for 3x union and ~1.74s for a distinct-residues-first
+    # variant whose extra shuffle cost more than the saved scans.)
     d = table(spark, sf_dir, "documents").select("doc_id")
-    a = (F.col("doc_id") % 500).alias("a")
-    raw = (
-        d.select(a, F.expr("(doc_id % 500) div 2").alias("b"))
-        .unionByName(
-            d.select(a, ((F.col("doc_id") * 7) % 500).alias("b"))
-        )
-        .unionByName(
-            d.select(a, ((F.col("doc_id") * 49) % 500).alias("b"))
-        )
+    raw = d.select(
+        (F.col("doc_id") % 500).alias("a"),
+        F.explode(
+            F.array(
+                F.expr("(doc_id % 500) div 2"),
+                (F.col("doc_id") * 7) % 500,
+                (F.col("doc_id") * 49) % 500,
+            )
+        ).alias("b"),
     )
     edges = (
         raw.where(F.col("a") != F.col("b"))
