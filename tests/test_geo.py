@@ -474,3 +474,46 @@ def test_radius_geodesic_rejects_uncovering_candidate_radius(spark):
     # a covering radius is accepted (plan construction only)
     radius_join(a, a, "id", "id", "x", "y", radius=6000, radius_m=300.0)
     radius_pairs(a, "id", "x", "y", radius=6000, radius_m=300.0)
+
+
+def test_haversine_pinned_59n_pair_set(spark):
+    """VERDICT r8 ask #6: geo_radius_haversine is rows-only in the
+    driver (libm trig differs across engines), so the geodesic
+    predicate gets a LITERAL regression net here instead. Five points
+    at ~59.33N, radius_m=200, expected pair set and distances pinned
+    as literals (computed with Python math against the operator's
+    EARTH_RADIUS_M=6371008.8). Includes planar-DISAGREEING cases: at
+    59N (1,2) is 3000 udeg apart yet geodesically IN (170.16 m, the
+    east-west shrink) while (1,3) is only 2000 udeg apart yet OUT
+    (222.39 m north-south); (2,5) at 1803 udeg is IN while (3,4) at
+    2062 udeg is OUT."""
+    from covid_data_pipeline_spark.operators.geo import radius_pairs
+
+    lon0, lat0 = 18_060_000, 59_330_000
+    pts = [
+        (1, lon0, lat0),
+        (2, lon0 + 3000, lat0),
+        (3, lon0, lat0 + 2000),
+        (4, lon0 + 500, lat0),
+        (5, lon0 + 2000, lat0 + 1500),
+    ]
+    df = _pts(spark, pts)
+    got = {
+        (r["id_a"], r["id_b"]): r["dist_m"]
+        for r in radius_pairs(
+            df, "id", "x", "y", radius=4000, radius_m=200.0
+        ).collect()
+    }
+    want = {
+        (1, 2): 170.159373,
+        (1, 4): 28.359895,
+        (2, 4): 141.799477,
+        (2, 5): 176.172560,
+        (3, 5): 126.326164,
+        (4, 5): 187.237848,
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-5, (k, got[k])
+    # the planar-closer point 3 must NOT pair with 1 (222.39 m > 200)
+    assert (1, 3) not in got

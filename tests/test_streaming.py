@@ -1542,3 +1542,61 @@ def test_stream_cm_sketch_matches_batch_counters(spark, tmp_path):
                 assert r["counters"][j * 64 + slot] == want.get(
                     (g, j, slot), 0
                 ), (g, j, slot)
+
+
+def test_stream_cm_sketch_through_medallion_bridge(spark, tmp_path):
+    """VERDICT r8 ask #7: drive stream_cm_sketch through the
+    foreachBatch medallion bridge like the other stateful ops — the
+    stateful stream's per-group updates dynamic-partition-overwrite a
+    warehouse table keyed by group, so after the drain the table holds
+    each group's LATEST counter state, which must equal the batch
+    sketch counter-for-counter."""
+    from covid_data_pipeline_spark.operators.sketches import cm_sketch
+    from covid_data_pipeline_spark.streaming.stateful import stream_cm_sketch
+
+    rows = [("g%d" % (i % 3), (i * 29) % 500) for i in range(3000)]
+    src_dir = tmp_path / "cm_src2"
+    src_dir.mkdir()
+    third = len(rows) // 3
+    for n, chunk in (
+        ("f1", rows[:third]),
+        ("f2", rows[third : 2 * third]),
+        ("f3", rows[2 * third :]),
+    ):
+        spark.createDataFrame(chunk, "g string, uid long").coalesce(
+            1
+        ).write.parquet(str(src_dir / f"{n}.parquet"))
+
+    wh = Warehouse(spark, str(tmp_path / "wh_cm"))
+    stream = (
+        spark.readStream.schema("g string, uid long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    updates = stream_cm_sketch(stream, ["g"], "uid", depth=4, width=64)
+    q = stream_transform_to_table(
+        updates,
+        transform=lambda df: df,
+        wh=wh,
+        table="serve.cm_state",
+        checkpoint_dir=str(tmp_path / "ckpt_cm"),
+        partition_by=["g"],
+    )
+    _drain(q)
+
+    got = {r["g"]: r for r in wh.read("serve.cm_state").collect()}
+    batch = spark.createDataFrame(rows, "g string, uid long")
+    want = {
+        (r["g"], r["d"], r["slot"]): int(r["cnt"])
+        for r in cm_sketch(
+            batch, "uid", group_cols=["g"], depth=4, width=64
+        ).collect()
+    }
+    assert len(got) == 3
+    for g, r in got.items():
+        assert r["n_seen"] == 1000
+        for j in range(4):
+            for slot in range(64):
+                assert r["counters"][j * 64 + slot] == want.get(
+                    (g, j, slot), 0
+                ), (g, j, slot)

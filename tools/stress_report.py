@@ -2011,6 +2011,250 @@ def case_snm_1m(spark):
     }
 
 
+def case_t_closeness_10m(spark):
+    """Round-8 privacy family at 1000x the query's class count: 10M
+    rows x 10k equivalence classes x 16 ordered sensitive buckets.
+    Classes 0-9 are planted fully-degenerate (all mass in the last
+    bucket -> EMD ~0.5); every other class draws near-uniform buckets
+    (hash), so with t = 1/5 EXACTLY the 10 planted classes must fail.
+    Flag set is partition-invariant."""
+    from covid_data_pipeline_spark.operators.privacy import t_closeness
+
+    df = spark.range(0, 10_000_000, numPartitions=64).select(
+        (F.col("id") % 10_000).alias("cls"),
+        F.when(F.col("id") % 10_000 < 10, F.lit(15))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(16)))
+        .alias("bucket"),
+    )
+    t0 = time.time()
+    out = t_closeness(df, ["cls"], "bucket", t_num=1, t_den=5)
+    bad = sorted(
+        r["cls"] for r in out.where(~F.col("meets_t")).collect()
+    )
+    wall = time.time() - t0
+    n_classes = out.count()
+    bad2 = sorted(
+        r["cls"]
+        for r in t_closeness(
+            df.repartition(97), ["cls"], "bucket", t_num=1, t_den=5
+        ).where(~F.col("meets_t")).collect()
+    )
+    return {
+        "rows": 10_000_000,
+        "classes": n_classes,
+        "scale_vs_sf0.1": "1000x classes, 80x rows",
+        "sec": round(wall, 2),
+        "flagged": len(bad),
+        "invariant": bad == bad2,
+        "ok": bad == list(range(10)) and bad == bad2
+        and n_classes == 10_000,
+    }
+
+
+def case_fd_profile_10m(spark):
+    """Round-8 FD audit at 10M rows / 1M lhs groups: a -> b holds by
+    construction (b is a pure function of a); a -> c is violated in
+    EXACTLY the 5000 planted groups, each with one minority row, so
+    the exact g3 repair cost is 5000. Counts are partition-invariant."""
+    from covid_data_pipeline_spark.operators.quality import fd_profile
+
+    df = spark.range(0, 10_000_000, numPartitions=64).select(
+        (F.col("id") % 1_000_000).alias("a"),
+        ((F.col("id") % 1_000_000) * 31 % 997).alias("b"),
+        (
+            (F.col("id") % 1_000_000) * 31 % 997
+            + F.when(
+                (F.col("id") % 1_000_000 < 5_000)
+                & (F.col("id") >= 9_000_000),
+                1,
+            ).otherwise(0)
+        ).alias("c"),
+    )
+    fds = [(("a",), "b"), (("a",), "c")]
+    t0 = time.time()
+    got = {r["fd"]: r.asDict() for r in fd_profile(df, fds).collect()}
+    wall = time.time() - t0
+    got2 = {
+        r["fd"]: r.asDict()
+        for r in fd_profile(df.repartition(97), fds).collect()
+    }
+    ab, ac = got["a -> b"], got["a -> c"]
+    return {
+        "rows": 10_000_000,
+        "lhs_groups": ab["n_groups"],
+        "scale_vs_sf0.1": "80x rows",
+        "sec": round(wall, 2),
+        "g3_repair_rows": ac["violating_rows"],
+        "invariant": got == got2,
+        "ok": got == got2
+        and ab["holds"] and ab["violating_rows"] == 0
+        and ab["n_groups"] == 1_000_000
+        and not ac["holds"]
+        and ac["violating_groups"] == 5_000
+        and ac["violating_rows"] == 5_000,
+    }
+
+
+def case_woe_iv_10m(spark):
+    """Round-8 WOE/IV at 10M rows x 1000 category values with counts
+    in CLOSED FORM: value c sees exactly 100*(30 + c%40) good rows of
+    10000 (the label cycles through a size-100 residue wheel), so
+    every per-value count, each micro-nat WOE, and the summed IV are
+    recomputed exactly in Python. Model is partition-invariant."""
+    import math
+
+    from covid_data_pipeline_spark.operators.features import woe_encoding
+
+    df = spark.range(0, 10_000_000, numPartitions=64).select(
+        (F.col("id") % 1_000).alias("cat"),
+        (
+            (F.col("id") / 1_000).cast("bigint") % 100
+            < 30 + (F.col("id") % 1_000) % 40
+        ).alias("y"),
+    )
+    t0 = time.time()
+    rows = {r["cat"]: r.asDict() for r in woe_encoding(df, "cat", "y").collect()}
+    wall = time.time() - t0
+    g = sum(r["n_good"] for r in rows.values())
+    b = sum(r["n_bad"] for r in rows.values())
+    exact = True
+    iv = 0.0
+    for c, r in rows.items():
+        ng = 100 * (30 + c % 40)
+        nb = 10_000 - ng
+        wm = round(math.log((ng + 1) * (b + 2) / ((nb + 1) * (g + 2))) * 1e6)
+        if (r["n_good"], r["n_bad"], r["woe_micro"]) != (ng, nb, wm):
+            exact = False
+        iv += r["iv_term"]
+    rows2 = {
+        r["cat"]: (r["n_good"], r["n_bad"], r["woe_micro"], r["iv_term"])
+        for r in woe_encoding(df.repartition(97), "cat", "y").collect()
+    }
+    invariant = rows2 == {
+        c: (r["n_good"], r["n_bad"], r["woe_micro"], r["iv_term"])
+        for c, r in rows.items()
+    }
+    return {
+        "rows": 10_000_000,
+        "values": len(rows),
+        "scale_vs_sf0.1": "80x rows",
+        "sec": round(wall, 2),
+        "iv": round(iv, 4),
+        "invariant": invariant,
+        "ok": exact and invariant and len(rows) == 1_000 and iv > 0,
+    }
+
+
+def case_entity_resolution_1m(spark):
+    """Round-8 linkage stack END-TO-END at 1M records (SNM blocking
+    alone was proven at 1M in r8): sorted-neighborhood blocking ->
+    Fellegi-Sunter scoring on (length, prefix, Jaccard) agreements ->
+    accept score > 0 -> connected components. 1000 planted
+    exact-duplicate records must each merge with their source and
+    nothing else may merge, so the entity count is EXACTLY
+    1,001,000 - 1,000; invariant under repartition."""
+    from covid_data_pipeline_spark.functions.text import word_shingles
+    from covid_data_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+        sortkey_prefix7,
+    )
+    from covid_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from covid_data_pipeline_spark.operators.linkage import (
+        fs_linkage_scores,
+    )
+
+    def mk_text(idc):
+        return F.concat(
+            F.lower(F.hex(F.xxhash64(F.concat(F.lit("t:"), idc)))),
+            F.lit(" "),
+            F.lower(F.hex(F.xxhash64(F.concat(F.lit("u:"), idc)))),
+            F.lit(" "),
+            F.lower(F.hex(F.xxhash64(F.concat(F.lit("v:"), idc)))),
+        )
+
+    base = spark.range(0, 1_000_000, numPartitions=64).select(
+        F.col("id").alias("doc_id"), mk_text(F.col("id")).alias("text")
+    )
+    planted = spark.range(0, 1_000).select(
+        (F.col("id") + 2_000_000).alias("doc_id"),
+        mk_text(F.col("id")).alias("text"),
+    )
+    docs = base.unionByName(planted).localCheckpoint()
+
+    def resolve(d):
+        keyed = d.withColumn("_k", sortkey_prefix7("text"))
+        cand = sorted_neighborhood_pairs(keyed, "doc_id", "_k", window=10)
+        attr = d.select(
+            "doc_id",
+            F.length("text").alias("_ln"),
+            F.substring("text", 1, 5).alias("_pf"),
+            word_shingles(F.col("text"), 2).alias("_sh"),
+        )
+        a = attr.select(
+            F.col("doc_id").alias("id_a"), F.col("_ln").alias("_ln_a"),
+            F.col("_pf").alias("_pf_a"), F.col("_sh").alias("_sh_a"),
+        )
+        b = attr.select(
+            F.col("doc_id").alias("id_b"), F.col("_ln").alias("_ln_b"),
+            F.col("_pf").alias("_pf_b"), F.col("_sh").alias("_sh_b"),
+        )
+        inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+        union = F.size(F.array_union("_sh_a", "_sh_b"))
+        pairs = (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (F.abs(F.col("_ln_a") - F.col("_ln_b")) <= 3).alias("f_len"),
+                (F.col("_pf_a") == F.col("_pf_b")).alias("f_prefix"),
+                (inter * 2 >= union).alias("f_jac"),
+                (
+                    F.abs(F.col("id_a") - F.col("id_b")) == 2_000_000
+                ).alias("is_match"),
+            )
+        )
+        edges = (
+            fs_linkage_scores(
+                pairs, "is_match", ["f_len", "f_prefix", "f_jac"]
+            )
+            .where(F.col("score_micro") > 0)
+            .select("id_a", "id_b")
+        )
+        comps = connected_components(
+            edges, src="id_a", dst="id_b", nodes=d.select("doc_id")
+        )
+        merged = comps.groupBy("component").agg(
+            F.count(F.lit(1)).alias("_sz")
+        )
+        n_entities = merged.count()
+        planted_merged = comps.alias("x").join(
+            comps.selectExpr(
+                "node - 2000000 AS node", "component AS comp_src"
+            ).where(F.col("node") >= 0).alias("y"),
+            "node",
+        ).where(F.col("component") == F.col("comp_src")).count()
+        return n_entities, planted_merged
+
+    t0 = time.time()
+    n_entities, planted_merged = resolve(docs)
+    wall = time.time() - t0
+    n2, _ = resolve(docs.repartition(97))
+    return {
+        "rows": 1_001_000,
+        "scale_vs_sf0.1": "6700x the query corpus (150 docs)",
+        "sec": round(wall, 2),
+        "entities": n_entities,
+        "planted_merged": planted_merged,
+        "invariant": n_entities == n2,
+        "ok": planted_merged == 1_000
+        and n_entities == 1_000_000
+        and n_entities == n2,
+    }
+
+
 CASES = {
     "funnel_16m": case_funnel_16m,
     "token_budget_12m": case_token_budget_12m,
@@ -2047,6 +2291,10 @@ CASES = {
     "geo_lattice_1m_moran_geary": case_geo_lattice_1m_moran_geary,
     "hot_cell_salt": case_hot_cell_salt,
     "snm_1m": case_snm_1m,
+    "t_closeness_10m": case_t_closeness_10m,
+    "fd_profile_10m": case_fd_profile_10m,
+    "woe_iv_10m": case_woe_iv_10m,
+    "entity_resolution_1m": case_entity_resolution_1m,
 }
 
 
@@ -2054,6 +2302,11 @@ def main() -> int:
     out_path = "STRESS_r04.json"
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+        unknown = [n for n in only if n not in CASES]
+        assert not unknown, f"unknown cases: {unknown}"
 
     from covid_data_pipeline_spark.session import get_spark
 
@@ -2065,6 +2318,8 @@ def main() -> int:
     report: dict[str, dict] = {}
     t_all = time.time()
     for name, fn in CASES.items():
+        if only is not None and name not in only:
+            continue
         t0 = time.time()
         try:
             report[name] = fn(spark)
