@@ -3812,3 +3812,111 @@ def events_join_size_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("over_ratio"),
     )
+
+
+@register(
+    "events_bh_fdr_cohorts",
+    """
+    WITH bhq_b AS (
+      SELECT concat(event_type, ':',
+                    CAST((user_id // 2) % 10 AS VARCHAR)) AS hyp,
+             user_id % 2 AS v,
+             ((CAST(FLOOR(value * 100) AS BIGINT) % 3) + 3) % 3 AS b
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        AND value IS NOT NULL),
+    bhq_obs AS (
+      SELECT hyp, v, b, CAST(COUNT(*) AS DECIMAL(38,0)) AS o
+      FROM bhq_b GROUP BY 1, 2, 3),
+    bhq_r AS (
+      SELECT hyp, v, CAST(COUNT(*) AS DECIMAL(38,0)) AS rt
+      FROM bhq_b GROUP BY 1, 2),
+    bhq_c AS (
+      SELECT hyp, b, CAST(COUNT(*) AS DECIMAL(38,0)) AS ct
+      FROM bhq_b GROUP BY 1, 2),
+    bhq_n AS (
+      SELECT hyp, CAST(COUNT(*) AS DECIMAL(38,0)) AS n
+      FROM bhq_b GROUP BY 1),
+    bhq_grid AS (
+      SELECT r.hyp, r.v, c.b, r.rt, c.ct, n.n,
+             COALESCE(o.o, CAST(0 AS DECIMAL(38,0))) AS o
+      FROM bhq_r r
+      JOIN bhq_c c ON c.hyp = r.hyp
+      JOIN bhq_n n ON n.hyp = r.hyp
+      LEFT JOIN bhq_obs o ON o.hyp = r.hyp AND o.v = r.v AND o.b = c.b),
+    bhq_chi AS (
+      SELECT hyp,
+             CAST(ROUND(SUM(CAST(ROUND(
+               CAST((o * n - rt * ct) * (o * n - rt * ct) AS DOUBLE)
+               / CAST(n * rt * ct AS DOUBLE), 6) AS DECIMAL(18,6))), 4)
+               AS DOUBLE) AS chi2,
+             (COUNT(DISTINCT v) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
+             CAST(MAX(n) AS BIGINT) AS n
+      FROM bhq_grid GROUP BY 1),
+    bhq_p AS (
+      SELECT hyp, chi2, n,
+             CAST(ROUND(exp(-chi2 / 2) * 1e6, 0) AS BIGINT) AS p_micro
+      FROM bhq_chi WHERE dof = 2),
+    bhq_m AS (SELECT COUNT(*) AS m FROM bhq_p),
+    bhq_rk AS (
+      SELECT p.*, CAST(ROW_NUMBER() OVER (ORDER BY p_micro, hyp)
+                       AS BIGINT) AS p_rank, t.m
+      FROM bhq_p p CROSS JOIN bhq_m t),
+    bhq_k AS (
+      SELECT MAX(CASE WHEN p_micro * m * 100 <= p_rank * 5 * 1000000
+                      THEN p_rank END) AS k
+      FROM bhq_rk)
+    SELECT r.hyp, r.chi2, r.n, r.p_micro, r.p_rank,
+           r.p_rank <= COALESCE(k.k, 0) AS reject
+    FROM bhq_rk r CROSS JOIN bhq_k k
+    """,
+    tags=("events", "experiment", "fdr", "multiple-testing"),
+)
+def events_bh_fdr_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a battery of 50 per-cohort
+    independence tests (`operators/experiment.py::
+    grouped_independence_chi2` -> `benjamini_hochberg`): for every
+    (event_type x user-cohort) hypothesis — the cohort key
+    (user_id div 2) mod 10 is independent of the parity being tested —
+    does the event's value bucket depend on user parity? Each 2x3 chi-square is exact decimal
+    cell arithmetic (zero cells via the per-group marginal cross
+    join); dof=2 makes p = exp(-chi2/2) the EXACT survival function,
+    quantized once to micro-p; the step-up reject set is then pure
+    BIGINT inequality over distributed ranks — the full
+    multiple-testing pipeline, hash-verified end to end."""
+    from covid_data_pipeline_spark.operators.experiment import (
+        benjamini_hochberg,
+        grouped_independence_chi2,
+    )
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            F.concat(
+                F.col("event_type"),
+                F.lit(":"),
+                (F.expr("user_id div 2") % 10).cast("string"),
+            ).alias("hyp"),
+            (F.col("user_id") % 2).alias("_v"),
+            (
+                (F.floor(F.col("value") * 100).cast("bigint") % 3 + 3) % 3
+            ).alias("_b"),
+        )
+    )
+    chi = grouped_independence_chi2(ev, ["hyp"], "_v", "_b").where(
+        F.col("dof") == 2
+    )
+    p = chi.select(
+        "hyp",
+        "chi2",
+        "n",
+        F.round(F.exp(-F.col("chi2") / 2) * 1e6, 0)
+        .cast("bigint")
+        .alias("p_micro"),
+    )
+    return benjamini_hochberg(p, "p_micro", "hyp", q_num=5, q_den=100)

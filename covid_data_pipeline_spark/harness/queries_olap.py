@@ -2567,3 +2567,50 @@ def orders_iv_feature_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in outs[1:]:
         out = out.unionByName(x)
     return out
+
+
+@register(
+    "orders_loo_target_encoding",
+    """
+    WITH loo_b AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS y
+      FROM orders),
+    loo_v AS (
+      SELECT o_custkey, CAST(SUM(y) AS BIGINT) AS sv, COUNT(*) AS nv
+      FROM loo_b GROUP BY 1),
+    loo_t AS (SELECT CAST(SUM(y) AS BIGINT) AS st, COUNT(*) AS nt
+              FROM loo_b)
+    SELECT b.o_orderkey, b.o_custkey,
+           (ROUND((CAST(v.sv - b.y AS DOUBLE)
+                   + 10.0 * (CAST(t.st AS DOUBLE) / CAST(t.nt AS DOUBLE)))
+                  / CAST(v.nv - 1 + 10 AS DOUBLE), 4) + 0) AS enc
+    FROM loo_b b JOIN loo_v v USING (o_custkey) CROSS JOIN loo_t t
+    """,
+    tags=("olap", "features", "target-encoding", "supervised"),
+)
+def orders_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of customer key against order
+    value (`operators/features.py::loo_target_encoding`,
+    Micci-Barreca 2001): each order's encoding excludes its own price
+    and shrinks toward the global mean with prior weight 10, so
+    sparse customers regress to the prior instead of memorizing one
+    order. Targets are exact integer cents; the encoding is one
+    deterministic IEEE expression over BIGINTs plus the single shared
+    global-mean division, so every per-row value hash-verifies. One
+    |customers|-sized rollup + broadcast scalar + equi-join back —
+    no corpus window at any scale."""
+    from covid_data_pipeline_spark.operators.features import (
+        loo_target_encoding,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("_y"),
+    )
+    return loo_target_encoding(
+        o, "o_custkey", "_y", prior_weight=10
+    ).select("o_orderkey", "o_custkey", "enc")

@@ -2586,3 +2586,132 @@ def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("redacted").alias("redacted_md5"),
         F.length("redacted").cast("int").alias("n_chars_redacted"),
     )
+
+
+@register(
+    "langid_classification_report",
+    f"""
+    WITH prf_hits AS (
+      SELECT lang,
+             len(list_filter({_TOKS}, t -> t IN ({_in_list(STOPWORDS_EN)}))) AS en,
+             len(list_filter({_TOKS}, t -> t IN ({_in_list(STOPWORDS_FR)}))) AS fr,
+             len(list_filter({_TOKS}, t -> t IN ({_in_list(STOPWORDS_DE)}))) AS de
+      FROM documents),
+    prf_g AS (
+      SELECT lang AS y,
+             CASE WHEN en >= fr AND en >= de AND en > 0 THEN 'en'
+                  WHEN fr >= de AND fr > 0 THEN 'fr'
+                  WHEN de > 0 THEN 'de'
+                  ELSE 'und' END AS p
+      FROM prf_hits),
+    prf_cells AS (SELECT y, p, COUNT(*) AS n FROM prf_g GROUP BY 1, 2),
+    prf_bl AS (SELECT y AS cls, SUM(n) AS lt FROM prf_cells GROUP BY 1),
+    prf_bp AS (SELECT p AS cls, SUM(n) AS pt FROM prf_cells GROUP BY 1),
+    prf_d AS (SELECT y AS cls, n AS tp FROM prf_cells WHERE y = p),
+    prf_c AS (
+      SELECT COALESCE(l.cls, r.cls) AS cls,
+             COALESCE(l.lt, 0) AS lt, COALESCE(r.pt, 0) AS pt
+      FROM prf_bl l FULL OUTER JOIN prf_bp r ON l.cls = r.cls)
+    SELECT c.cls AS class,
+           CAST(c.lt AS BIGINT) AS support,
+           CAST(COALESCE(d.tp, 0) AS BIGINT) AS tp,
+           CAST(c.pt - COALESCE(d.tp, 0) AS BIGINT) AS fp,
+           CAST(c.lt - COALESCE(d.tp, 0) AS BIGINT) AS fn,
+           ROUND(CAST(COALESCE(d.tp, 0) AS DOUBLE)
+                 / CAST(NULLIF(c.pt, 0) AS DOUBLE), 6) AS prec,
+           ROUND(CAST(COALESCE(d.tp, 0) AS DOUBLE)
+                 / CAST(NULLIF(c.lt, 0) AS DOUBLE), 6) AS rec,
+           ROUND(CAST(2 * COALESCE(d.tp, 0) AS DOUBLE)
+                 / CAST(NULLIF(c.pt + c.lt, 0) AS DOUBLE), 6) AS f1
+    FROM prf_c c LEFT JOIN prf_d d ON d.cls = c.cls
+    """,
+    tags=("text", "lang-id", "evaluation", "classification"),
+)
+def langid_classification_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-class precision/recall/F1 of the stopword lang-id heuristic
+    against declared labels (`operators/retrieval.py::
+    classification_report`) — the scalar complement of
+    lang_id_confusion's full matrix, and the shape every model gate in
+    a curation pipeline reports. F1 comes from raw counts
+    (2tp/(2tp+fp+fn)), never from the rounded P and R; never-predicted
+    classes carry NULL precision via try_divide. |classes|-sized
+    everywhere after one cell rollup."""
+    from covid_data_pipeline_spark.functions.text import lang_id
+    from covid_data_pipeline_spark.operators.retrieval import (
+        classification_report,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "lang", lang_id("text").alias("_pred")
+    )
+    return classification_report(d, "lang", "_pred")
+
+
+@register(
+    "docs_quality_calibration",
+    r"""
+    WITH cal_q AS (
+      SELECT (length(text) BETWEEN 50 AND 20000)::INT * 0.4
+             + COALESCE(CASE WHEN length(text) > 0
+                 THEN len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+                      / length(text) END < 0.2, FALSE)::INT * 0.3
+             + COALESCE(CASE WHEN
+                 len(regexp_split_to_array(trim(lower(text)), '\s+')) > 0
+                 THEN len(list_filter(
+                        regexp_split_to_array(trim(lower(text)), '\s+'),
+                        x -> x IN ('the','a','and','of','to','in','is',
+                                   'for','on','with')))::DOUBLE
+                      / len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 END > 0.01, FALSE)::INT * 0.3 AS q,
+             (lang = 'en')::INT AS y
+      FROM documents),
+    cal_b AS (
+      SELECT CAST(ROUND(q * 1e6, 0) AS BIGINT) AS s, y FROM cal_q),
+    cal_k AS (
+      SELECT LEAST(9, s * 10 // 1000000) AS bin, s, y FROM cal_b),
+    cal_g AS (
+      SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(s) AS BIGINT) AS ssum
+      FROM cal_k GROUP BY 1),
+    cal_t AS (
+      SELECT SUM(CAST(s - y * 1000000 AS HUGEINT)
+                 * CAST(s - y * 1000000 AS HUGEINT)) AS se,
+             COUNT(*) AS nt
+      FROM cal_b)
+    SELECT g.bin, g.n, g.n_pos,
+           ROUND(CAST(g.ssum AS DOUBLE)
+                 / (CAST(g.n AS DOUBLE) * 1000000.0), 6) AS mean_score,
+           ROUND(CAST(g.n_pos AS DOUBLE) / CAST(g.n AS DOUBLE), 6)
+             AS frac_pos,
+           ROUND(CAST(t.se AS DOUBLE)
+                 / (CAST(t.nt AS DOUBLE) * 1000000.0 * 1000000.0), 6)
+             AS brier
+    FROM cal_g g CROSS JOIN cal_t t
+    """,
+    tags=("text", "quality", "calibration", "evaluation"),
+)
+def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table + Brier score of the heuristic quality score
+    treated as P(doc is English) (`operators/calibrate.py::
+    calibration_report`): the score's stopword component is an English
+    signal, so the reliability curve should rise with the bin — and
+    the table quantifies by exactly how much, per equal-width
+    probability bin, with the mean squared error alongside. Scores are
+    quantized ONCE to integer micro-probabilities; bin counts and the
+    DECIMAL(38,0) squared-error sum are exact, each emitted value is
+    one final division. <= bins rows survive the first rollup at any
+    corpus size."""
+    from covid_data_pipeline_spark.functions.text import quality_score
+    from covid_data_pipeline_spark.operators.calibrate import (
+        calibration_report,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        F.round(quality_score("text") * 1e6, 0)
+        .cast("bigint")
+        .alias("_s"),
+        (F.col("lang") == "en").alias("_y"),
+    )
+    return calibration_report(d, "_s", "_y", bins=10, scale=1_000_000)

@@ -158,3 +158,83 @@ def isotonic_fit(
         return pdf
 
     return df.groupBy(group_col).applyInPandas(_pav, schema)
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reliability table + Brier score — the calibration diagnostic
+    (DeGroot & Fienberg 1983; Niculescu-Mizil & Caruana ICML'05) every
+    probabilistic gate in a curation pipeline should publish next to
+    its precision/recall: per equal-width probability bin, how often
+    did the positive class actually occur vs what the model predicted,
+    plus the mean squared probability error overall.
+
+    ``score_col`` is an INTEGRAL micro-probability in [0, scale]
+    (callers quantize once, the k-means/WOE lattice rule);
+    ``label_col`` is boolean. Bin k covers [k/bins, (k+1)/bins) with
+    the top bin closed — assignment is exact integer ``least(bins-1,
+    s*bins div scale)``. Per bin: ``n``, ``n_pos``, ``mean_score``
+    (one division for display), ``frac_pos`` (one division). The
+    global ``brier`` column is an exact DECIMAL(38,0) sum of integer
+    squared errors ``(s - y*scale)^2`` with ONE final division — so
+    every emitted value is engine- and partition-independent. NULL
+    label or score rows are excluded.
+
+    Scale shape: one map-side-combining rollup to <= ``bins`` rows +
+    one broadcast scalar; nothing corpus-sized survives the first
+    aggregate."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    d38 = "decimal(38,0)"
+    s = F.col(score_col).cast("bigint")
+    y = F.col(label_col).cast("boolean").cast("int")
+    base = df.select(s.alias("__s"), y.alias("__y")).filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    binned = base.withColumn(
+        "bin",
+        F.least(
+            F.lit(bins - 1),
+            F.expr(f"__s * {int(bins)} div {int(scale)}"),
+        ).cast("bigint"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").cast("bigint").alias("n_pos"),
+        F.sum("__s").cast("bigint").alias("__ssum"),
+    )
+    err = (F.col("__s") - F.col("__y") * scale).cast(d38)
+    tot = base.agg(
+        F.sum(err * err).cast(d38).alias("__se"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    brier = F.round(
+        F.col("__se").cast("double")
+        / (F.col("__n").cast("double") * float(scale) * float(scale)),
+        6,
+    )
+    return (
+        # bcast: const(1) scalar squared-error agg
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round(
+                F.col("__ssum").cast("double")
+                / (F.col("n").cast("double") * float(scale)),
+                6,
+            ).alias("mean_score"),
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
+            ).alias("frac_pos"),
+            brier.alias("brier"),
+        )
+    )

@@ -423,3 +423,128 @@ def two_proportion_ztest(
         lift_bp.alias("lift_bp"),
         round_stable(z, 4).alias("z"),
     )
+
+
+def grouped_independence_chi2(
+    df: DataFrame,
+    group_cols: "Sequence[str] | list[str]",
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Per-group Pearson chi-square of independence — one R×C test PER
+    hypothesis group (a cohort, a segment, a day), the batched form of
+    :func:`independence_chi2` that a multiple-testing pass
+    (:func:`benjamini_hochberg`) consumes.
+
+    Same exactness contract as the global version: every cell term is
+    the exact rational ``(O·n − R·C)² / (n·R·C)`` over BIGINT counts
+    carried in DECIMAL(38,0), one correctly-rounded division per cell,
+    rounded once and summed in DECIMAL. Zero cells contribute via the
+    per-group marginal cross join (equi-join on the group key — never
+    a global cross product). Returns one row per group:
+    ``group_cols + (chi2, dof, n)`` with ``dof = (R−1)(C−1)`` from
+    that group's OWN marginals — callers filter to the dof their
+    p-value transform assumes. NULL categories are excluded.
+
+    Scale shape: three map-side-combining rollups + two equi-joins on
+    the group key; everything after the first rollup is
+    |groups × categories|-sized."""
+    keys = list(group_cols)
+    if not keys:
+        raise ValueError("group_cols must be non-empty")
+    d38 = _D
+    base = df.select(
+        *keys,
+        F.col(row_col).alias("__r"),
+        F.col(col_col).alias("__c"),
+    ).filter(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+    obs = base.groupBy(*keys, "__r", "__c").agg(
+        F.count(F.lit(1)).cast(d38).alias("__o")
+    )
+    rows = base.groupBy(*keys, "__r").agg(
+        F.count(F.lit(1)).cast(d38).alias("__rt")
+    )
+    cols = base.groupBy(*keys, "__c").agg(
+        F.count(F.lit(1)).cast(d38).alias("__ct")
+    )
+    grid = (
+        rows.join(cols, keys)  # per-group marginal cross product
+        .join(obs, [*keys, "__r", "__c"], "left")
+        .withColumn("__o", F.coalesce(F.col("__o"), F.lit(0).cast(d38)))
+    )
+    # per-group n comes from base directly (each row marginal appears C
+    # times in the grid, so summing there would overcount)
+    ng = base.groupBy(*keys).agg(F.count(F.lit(1)).cast(d38).alias("__n"))
+    grid = grid.join(ng, keys)
+    diff = (
+        F.col("__o") * F.col("__n") - F.col("__rt") * F.col("__ct")
+    ).cast(d38)
+    term = F.round(
+        (diff * diff).cast(d38).cast("double")
+        / (F.col("__n") * F.col("__rt") * F.col("__ct"))
+        .cast(d38)
+        .cast("double"),
+        6,
+    ).cast("decimal(18,6)")
+    return grid.groupBy(*keys).agg(
+        F.round(F.sum(term), 4).cast("double").alias("chi2"),
+        (
+            (F.countDistinct("__r") - 1) * (F.countDistinct("__c") - 1)
+        ).alias("dof"),
+        F.max("__n").cast("bigint").alias("n"),
+    )
+
+
+def benjamini_hochberg(
+    df: DataFrame,
+    p_col: str,
+    tiebreak_col: str,
+    q_num: int = 5,
+    q_den: int = 100,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR control (JRSS-B 1995) over a
+    battery of hypotheses: rank p-values ascending, find the largest
+    rank k with ``p_(k) <= (k/m)·q``, reject ranks 1..k. The decision
+    inequality is evaluated ENTIRELY in BIGINT —
+    ``p_micro·m·q_den <= rank·q_num·scale`` — so the reject set is
+    exact on any engine (``p_col`` is an integral micro-p in
+    [0, scale]; callers produce it with one deterministic transform).
+
+    Ranking uses the distributed
+    :func:`~covid_data_pipeline_spark.operators.sampling.value_order_rank`
+    (no partition-less window even though a hypothesis battery is
+    usually model-sized — batteries of per-(cohort × segment × metric)
+    tests grow multiplicatively). Appends ``p_rank`` and ``reject``;
+    NULL p rows are dropped (no decision without a p-value).
+
+    Step-up subtlety: a hypothesis can be rejected even when its OWN
+    inequality fails, as long as a LARGER rank passes — hence the
+    two-phase max-k broadcast, not a per-row filter."""
+    if not (q_num > 0 and q_den > 0 and q_num <= q_den):
+        raise ValueError(f"bad FDR level {q_num}/{q_den}")
+    from covid_data_pipeline_spark.operators.sampling import (
+        value_order_rank,
+    )
+
+    base = df.filter(F.col(p_col).isNotNull())
+    m = base.agg(F.count(F.lit(1)).alias("__m"))
+    ranked = value_order_rank(
+        base, p_col, tiebreak_col, rank_col="p_rank"
+    # bcast: const(1) scalar hypothesis count
+    ).crossJoin(F.broadcast(m))
+    ok = F.col(p_col).cast("bigint") * F.col("__m") * q_den <= F.col(
+        "p_rank"
+    ) * q_num * scale
+    kstar = ranked.agg(
+        F.max(F.when(ok, F.col("p_rank"))).alias("__k")
+    )
+    return (
+        # bcast: const(1) scalar step-up threshold rank
+        ranked.crossJoin(F.broadcast(kstar))
+        .withColumn(
+            "reject",
+            F.col("p_rank") <= F.coalesce(F.col("__k"), F.lit(0)),
+        )
+        .drop("__m", "__k")
+    )

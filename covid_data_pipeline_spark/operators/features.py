@@ -154,3 +154,55 @@ def woe_encoding(
         woe_micro.alias("woe_micro"),
         iv_term.alias("iv_term"),
     )
+
+
+def loo_target_encoding(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    prior_weight: int = 10,
+    out_col: str = "enc",
+) -> DataFrame:
+    """Leave-one-out target encoding with additive prior smoothing
+    (Micci-Barreca, SIGKDD Expl. 2001) — the supervised categorical
+    encoder that, unlike plain mean encoding, cannot leak a row's own
+    label into its feature:
+
+        enc_i = (S_v - y_i + w * GM) / (n_v - 1 + w)
+
+    for row i in value group v, with S_v/n_v the group's target
+    sum/count, GM the global target mean, and w the prior weight
+    (w > 0 also makes singleton groups well-defined: they encode to
+    exactly GM). ``target_col`` must be INTEGRAL (cents, micro-units,
+    0/1 labels — the caller scales), so S_v, y_i, n_v are exact BIGINT
+    and the encoding is ONE deterministic IEEE expression over exact
+    integers plus the single shared division GM — bit-replayable in
+    any SQL engine (the WOE/DSIR lattice rule). Appends ``out_col``
+    (4dp, round_stable: a signed target can round to -0.0).
+
+    Scale shape: one map-side-combining rollup to |values| + one
+    broadcast scalar + one co-partitioned equi-join back to the rows;
+    no window over the corpus."""
+    if prior_weight <= 0:
+        raise ValueError(f"prior_weight must be > 0, got {prior_weight}")
+    from covid_data_pipeline_spark.functions.scalar import round_stable
+
+    y = F.col(target_col).cast("bigint")
+    per_v = df.groupBy(cat_col).agg(
+        F.sum(y).alias("_sv"), F.count(y).alias("_nv")
+    )
+    tot = df.agg(
+        F.sum(y).alias("_st"), F.count(y).alias("_nt")
+    )
+    gm = F.col("_st").cast("double") / F.col("_nt").cast("double")
+    w = int(prior_weight)
+    enc = (
+        (F.col("_sv") - y).cast("double") + F.lit(float(w)) * gm
+    ) / (F.col("_nv") - 1 + w).cast("double")
+    return (
+        df.join(per_v, cat_col)
+        # bcast: const(1) scalar global-mean agg
+        .crossJoin(F.broadcast(tot))
+        .withColumn(out_col, round_stable(enc, 4))
+        .drop("_sv", "_nv", "_st", "_nt")
+    )

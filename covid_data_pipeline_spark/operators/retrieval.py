@@ -428,3 +428,73 @@ def rake_keywords(
         .orderBy(F.col("score_milli").desc(), "phrase")
         .limit(k)
     )
+
+
+def classification_report(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Per-class precision / recall / F1 — the multi-class evaluation
+    table (scikit-learn's ``classification_report``) for any
+    (label, pred) relation: lang-id vs declared language, a quality
+    classifier vs review labels, linkage decisions vs clerical truth.
+
+    Per class c: ``tp`` (label = pred = c), ``fp`` (pred = c, label
+    != c), ``fn`` (label = c, pred != c), ``support`` = tp + fn.
+    Precision = tp/(tp+fp) (NULL when c is never predicted, via
+    try_divide), recall = tp/support, and F1 is computed from the RAW
+    counts as ``2*tp / (2*tp + fp + fn)`` — one exact integer rational
+    per class, never the composition of two already-rounded values
+    (the repo's never-round-a-rounded-value rule). Rows with NULL
+    label or pred are excluded (they belong to no class).
+
+    Scale shape: one map-side-combining rollup to |label x pred|
+    cells, then two |classes|-sized regroups and a full outer join —
+    the report is |classes|-sized at any corpus size."""
+    base = df.select(
+        F.col(label_col).alias("__y"), F.col(pred_col).alias("__p")
+    ).filter(F.col(label_col).isNotNull() & F.col(pred_col).isNotNull())
+    cells = base.groupBy("__y", "__p").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    cells = cells.localCheckpoint(eager=False)  # feeds 3 rollups
+    by_label = cells.groupBy(F.col("__y").alias("class")).agg(
+        F.sum("__n").alias("__lt")
+    )
+    by_pred = cells.groupBy(F.col("__p").alias("class")).agg(
+        F.sum("__n").alias("__pt")
+    )
+    diag = cells.where(F.col("__y") == F.col("__p")).select(
+        F.col("__y").alias("class"), F.col("__n").alias("__tp")
+    )
+    rep = (
+        by_label.join(by_pred, "class", "full_outer")
+        .join(diag, "class", "left")
+        .select(
+            "class",
+            F.coalesce(F.col("__lt"), F.lit(0)).alias("__lt"),
+            F.coalesce(F.col("__pt"), F.lit(0)).alias("__pt"),
+            F.coalesce(F.col("__tp"), F.lit(0)).alias("__tp"),
+        )
+    )
+    tp = F.col("__tp")
+    fp = F.col("__pt") - tp
+    fn = F.col("__lt") - tp
+    return rep.select(
+        "class",
+        F.col("__lt").cast("bigint").alias("support"),
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        F.round(
+            F.try_divide(tp.cast("double"), F.col("__pt").cast("double")), 6
+        ).alias("prec"),
+        F.round(
+            F.try_divide(tp.cast("double"), F.col("__lt").cast("double")), 6
+        ).alias("rec"),
+        F.round(
+            F.try_divide(
+                (2 * tp).cast("double"), (2 * tp + fp + fn).cast("double")
+            ),
+            6,
+        ).alias("f1"),
+    )

@@ -1,0 +1,157 @@
+"""Round-9 operator additions: leave-one-out target encoding,
+per-class classification report, calibration bins + Brier score,
+grouped chi-square + Benjamini-Hochberg FDR control."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_loo_target_encoding_hand_values(spark):
+    """Hand-computed LOO encodings incl. the singleton-regresses-to-GM
+    property (w > 0 makes n_v = 1 well-defined)."""
+    from covid_data_pipeline_spark.operators.features import (
+        loo_target_encoding,
+    )
+
+    rows = [(1, "a", 100), (2, "a", 200), (3, "a", 300), (4, "b", 1000)]
+    df = spark.createDataFrame(rows, "id BIGINT, cat STRING, y BIGINT")
+    out = {
+        r["id"]: r["enc"]
+        for r in loo_target_encoding(
+            df, "cat", "y", prior_weight=10
+        ).collect()
+    }
+    gm = 1600 / 4  # 400.0
+    # row 1: (600-100 + 10*400) / (3-1+10) = 4500/12 = 375
+    assert out[1] == round((500 + 10 * gm) / 12, 4)
+    assert out[2] == round((400 + 10 * gm) / 12, 4)
+    assert out[3] == round((300 + 10 * gm) / 12, 4)
+    # singleton: (1000-1000 + 10*400)/(0+10) = exactly GM
+    assert out[4] == 400.0
+
+    with pytest.raises(ValueError):
+        loo_target_encoding(df, "cat", "y", prior_weight=0)
+
+
+def test_classification_report_hand_counts(spark):
+    """3-class fixture with one never-predicted class: NULL precision
+    via try_divide, F1 from raw counts (2tp/(2tp+fp+fn))."""
+    from covid_data_pipeline_spark.operators.retrieval import (
+        classification_report,
+    )
+
+    #            y     pred
+    rows = [("a", "a"), ("a", "a"), ("a", "b"),
+            ("b", "b"), ("b", "a"),
+            ("c", "a"),            # class c never predicted
+            (None, "a"), ("a", None)]  # excluded
+    df = spark.createDataFrame(rows, "y STRING, p STRING")
+    got = {r["class"]: r.asDict() for r in
+           classification_report(df, "y", "p").collect()}
+    a, b, c = got["a"], got["b"], got["c"]
+    assert (a["tp"], a["fp"], a["fn"], a["support"]) == (2, 2, 1, 3)
+    assert (b["tp"], b["fp"], b["fn"], b["support"]) == (1, 1, 1, 2)
+    assert (c["tp"], c["fp"], c["fn"], c["support"]) == (0, 0, 1, 1)
+    assert a["prec"] == 0.5 and a["rec"] == round(2 / 3, 6)
+    assert a["f1"] == round(4 / 7, 6)  # 2*2/(4+2+1)
+    assert c["prec"] is None and c["rec"] == 0.0 and c["f1"] == 0.0
+
+
+def test_calibration_report_exact_bins_and_brier(spark):
+    """Equal-width bins with the top bin closed; Brier from exact
+    integer squared errors."""
+    from covid_data_pipeline_spark.operators.calibrate import (
+        calibration_report,
+    )
+
+    #        score_micro, label
+    rows = [(100_000, False), (150_000, False),   # bin 1
+            (950_000, True), (1_000_000, True),   # bin 9 (top closed)
+            (500_000, True), (500_000, False)]    # bin 5
+    df = spark.createDataFrame(rows, "s BIGINT, y BOOLEAN")
+    out = {r["bin"]: r.asDict() for r in
+           calibration_report(df, "s", "y", bins=10).collect()}
+    assert set(out) == {1, 5, 9}
+    assert out[1]["n"] == 2 and out[1]["n_pos"] == 0
+    assert out[1]["mean_score"] == 0.125 and out[1]["frac_pos"] == 0.0
+    assert out[9]["n"] == 2 and out[9]["frac_pos"] == 1.0
+    assert out[5]["frac_pos"] == 0.5
+    # brier: mean of (.1)^2 (.15)^2 (.05)^2 0^2 (.5)^2 (.5)^2 = .5325/6
+    want = round((0.01 + 0.0225 + 0.0025 + 0.0 + 0.25 + 0.25) / 6, 6)
+    assert all(r["brier"] == want for r in out.values())
+
+    with pytest.raises(ValueError):
+        calibration_report(df, "s", "y", bins=1)
+
+
+def test_benjamini_hochberg_step_up(spark):
+    """The defining step-up behavior: rank 1's own inequality FAILS
+    (.013 > .0125) but rank 3 passes (.036 <= .0375), so ranks 1-3 are
+    all rejected; rank 4 is not."""
+    from covid_data_pipeline_spark.operators.experiment import (
+        benjamini_hochberg,
+    )
+
+    rows = [("h1", 13_000), ("h2", 24_000), ("h3", 36_000),
+            ("h4", 300_000)]
+    df = spark.createDataFrame(rows, "hyp STRING, p_micro BIGINT")
+    got = {r["hyp"]: (r["p_rank"], r["reject"]) for r in
+           benjamini_hochberg(df, "p_micro", "hyp", 5, 100).collect()}
+    assert got == {"h1": (1, True), "h2": (2, True),
+                   "h3": (3, True), "h4": (4, False)}
+
+    # no rank qualifies -> empty reject set (coalesce k* to 0)
+    allbig = spark.createDataFrame(
+        [("h1", 900_000), ("h2", 950_000)], "hyp STRING, p_micro BIGINT"
+    )
+    got2 = benjamini_hochberg(allbig, "p_micro", "hyp", 5, 100).collect()
+    assert all(not r["reject"] for r in got2)
+
+    with pytest.raises(ValueError):
+        benjamini_hochberg(df, "p_micro", "hyp", q_num=0)
+
+
+def test_grouped_chi2_matches_global_on_one_group(spark):
+    """A single-group battery must reproduce independence_chi2's
+    statistic exactly (same cell arithmetic, same rounding)."""
+    from covid_data_pipeline_spark.operators.experiment import (
+        grouped_independence_chi2,
+        independence_chi2,
+    )
+
+    rows = [(i, i % 2, (i * 7) % 3) for i in range(300)]
+    df = spark.createDataFrame(rows, "id BIGINT, r BIGINT, c BIGINT")
+    want = independence_chi2(df, "r", "c").collect()[0]
+    got = grouped_independence_chi2(
+        df.withColumn("g", F.lit("only")), ["g"], "r", "c"
+    ).collect()[0]
+    assert got["chi2"] == want["chi2"]
+    assert got["dof"] == want["dof"] == 2
+    assert got["n"] == want["n"] == 300
+
+
+def test_grouped_chi2_zero_cells_counted(spark):
+    """A (r, c) combination absent from one group still contributes
+    its expected mass via the per-group marginal cross join."""
+    from covid_data_pipeline_spark.operators.experiment import (
+        grouped_independence_chi2,
+    )
+
+    # group g1: cell (1, 1) never occurs -> strong dependence
+    rows = [("g1", 0, 0)] * 10 + [("g1", 0, 1)] * 10 + \
+           [("g1", 1, 0)] * 10 + \
+           [("g2", 0, 0)] * 5 + [("g2", 0, 1)] * 5 + \
+           [("g2", 1, 0)] * 5 + [("g2", 1, 1)] * 5
+    df = spark.createDataFrame(rows, "g STRING, r BIGINT, c BIGINT")
+    got = {r["g"]: r.asDict() for r in
+           grouped_independence_chi2(df, ["g"], "r", "c").collect()}
+    # g1 exact: chi2 = 30*(10*30-20*20)^2/(30*20*20)=.. per-cell terms
+    n, cells = 30, [(10, 20, 20), (10, 20, 10), (10, 10, 20), (0, 10, 10)]
+    want = round(sum(round((o * n - rt * ct) ** 2 / (n * rt * ct), 6)
+                     for o, rt, ct in cells), 4)
+    assert math.isclose(got["g1"]["chi2"], want, rel_tol=0, abs_tol=1e-12)
+    assert got["g2"]["chi2"] == 0.0 and got["g2"]["dof"] == 1
