@@ -475,3 +475,69 @@ def geo_radius_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, "c_custkey", "lon_udeg", "lat_udeg",
         radius=6_000, radius_m=300.0,
     )
+
+
+@register(
+    "geo_hilbert_layout",
+    f"""
+    WITH RECURSIVE {_PTS_SQL},
+    hil(k, x_orig, y_orig, lvl, x, y, d) AS (
+      SELECT c_custkey, x_udeg, y_udeg, {_Z_BITS - 1},
+             CAST(x_udeg AS BIGINT), CAST(y_udeg AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM pts
+      UNION ALL
+      SELECT k, x_orig, y_orig, lvl - 1,
+             CASE WHEN yb = 1 THEN x
+                  WHEN xb = 1 THEN s - 1 - y ELSE y END,
+             CASE WHEN yb = 1 THEN y
+                  WHEN xb = 1 THEN s - 1 - x ELSE x END,
+             d + s * s * xor(3 * xb, yb)
+      FROM (
+        SELECT k, x_orig, y_orig, lvl, x, y, d,
+               CAST(1 AS BIGINT) << lvl AS s,
+               CASE WHEN (x & (CAST(1 AS BIGINT) << lvl)) > 0
+                    THEN 1 ELSE 0 END AS xb,
+               CASE WHEN (y & (CAST(1 AS BIGINT) << lvl)) > 0
+                    THEN 1 ELSE 0 END AS yb
+        FROM hil WHERE lvl >= 0) t)
+    SELECT d >> {_Z_SHIFT} AS file_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           MIN(x_orig) AS x_lo, MAX(x_orig) AS x_hi,
+           MIN(y_orig) AS y_lo, MAX(y_orig) AS y_hi,
+           (MAX(x_orig) - MIN(x_orig)) * (MAX(y_orig) - MIN(y_orig))
+             AS extent_area
+    FROM hil WHERE lvl = -1
+    GROUP BY 1
+    """,
+    tags=("geo", "layout", "hilbert"),
+    bench=True,
+)
+def geo_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout audit (`operators/geo.py::hilbert_key`) —
+    the same 64-file-bucket zone-map measurement as geo_zorder_layout,
+    on the curve with strictly better locality (consecutive indices
+    are always 4-neighbors; Morton takes diagonal jumps at
+    power-of-two seams, so Hilbert buckets should show smaller extent
+    areas on the same points — the two queries together quantify the
+    layout choice). The per-level reflect/transpose fold runs as ONE
+    F.aggregate over exact BIGINT state; the oracle replays the
+    identical state machine as a recursive CTE, so every bucket and
+    extent hash-verifies. Pure projection + one map-side rollup."""
+    from covid_data_pipeline_spark.operators.geo import hilbert_key
+
+    pts = _points(spark, sf_dir).withColumn(
+        "hkey", hilbert_key("x_udeg", "y_udeg", bits=_Z_BITS)
+    )
+    bucket = F.shiftright(F.col("hkey"), _Z_SHIFT).alias("file_bucket")
+    return pts.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("x_udeg").alias("x_lo"),
+        F.max("x_udeg").alias("x_hi"),
+        F.min("y_udeg").alias("y_lo"),
+        F.max("y_udeg").alias("y_hi"),
+        (
+            (F.max("x_udeg") - F.min("x_udeg"))
+            * (F.max("y_udeg") - F.min("y_udeg"))
+        ).alias("extent_area"),
+    )

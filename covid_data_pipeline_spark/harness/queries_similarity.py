@@ -2845,3 +2845,62 @@ def ann_ndcg_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(SUM(hit * element_at({'array(' + ', '.join(str(g) + 'L' for g in _GAINS) + ')'}, CAST(rn AS INT))) * 10000 div {_IDCG} AS BIGINT)").alias("ndcg_bp"),
         F.expr(f"CAST(SUM(hit * ((1000000 * cum_hits) div rn)) div {_EVAL_K} AS BIGINT)").alias("ap_micro"),
     )
+
+
+@register(
+    "embeddings_lof_scores",
+    """
+    WITH lofq AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(ROUND(x::DOUBLE * 1e6, 0) AS BIGINT))
+               AS qv
+      FROM embeddings),
+    lofs AS (
+      SELECT a.vec_id AS src, b.vec_id AS nbr,
+             CAST(list_sum(list_transform(
+                    a.qv, (x, i) -> (x - b.qv[i]) * (x - b.qv[i])))
+                  AS BIGINT) AS d2
+      FROM lofq a, lofq b WHERE a.vec_id <> b.vec_id),
+    lofr AS (
+      SELECT *, row_number() OVER (PARTITION BY src ORDER BY d2, nbr)
+               AS rn
+      FROM lofs),
+    lofe AS (SELECT src, nbr, d2 FROM lofr WHERE rn <= 5),
+    lofkd AS (SELECT src, MAX(d2) AS kd FROM lofe GROUP BY 1),
+    lofreach AS (
+      SELECT e.src, e.nbr, GREATEST(n.kd, e.d2) AS r
+      FROM lofe e JOIN lofkd n ON n.src = e.nbr),
+    lofsum AS (
+      SELECT src, CAST(SUM(r) AS BIGINT) AS ra FROM lofreach GROUP BY 1),
+    lofterm AS (
+      SELECT e.src,
+             CAST(ROUND(CAST(GREATEST(sa.ra, 1) AS DOUBLE)
+                        / CAST(GREATEST(sb.ra, 1) AS DOUBLE) * 1e6, 0)
+                  AS BIGINT) AS tm
+      FROM lofe e
+      JOIN lofsum sa ON sa.src = e.src
+      JOIN lofsum sb ON sb.src = e.nbr)
+    SELECT t.src AS vec_id, k.kd AS kdist2,
+           ROUND(CAST(SUM(t.tm) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS lof
+    FROM lofterm t JOIN lofkd k ON k.src = t.src
+    GROUP BY 1, 2
+    """,
+    tags=("similarity", "anomaly", "lof", "knn"),
+)
+def embeddings_lof_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor over the embeddings table
+    (`operators/similarity.py::lof_scores` -> `lof_from_edges`,
+    Breunig et al. SIGMOD'00): density-based anomaly scores on the
+    micro-quantized integer lattice — exact BIGINT squared distances
+    and reach sums, one quantized division per LOF term, so the scores
+    hash-verify against the quadratic SQL replay. The edge-consuming
+    core scales to any corpus whose kNN edges come from the LSH/IVF
+    candidate paths; the brute baseline here is the verification
+    contract, same as knn_graph_exact."""
+    from covid_data_pipeline_spark.operators.similarity import lof_scores
+
+    return lof_scores(
+        table(spark, sf_dir, "embeddings"), k=5, quant=1e6
+    )

@@ -40,6 +40,7 @@ __all__ = [
     "grid_cells",
     "cell_density",
     "zorder_key",
+    "hilbert_key",
     "haversine_meters",
     "radius_pairs",
     "radius_join",
@@ -693,3 +694,51 @@ def gearys_c(cells: DataFrame, value_col: str = "n_points") -> DataFrame:
             6,
         ).alias("gearys_c"),
     )
+
+
+def hilbert_key(x_col: str, y_col: str, bits: int = 18) -> Column:
+    """Hilbert curve index of two non-negative integer coordinates in
+    ``[0, 2^bits)`` — the space-filling clustering key with strictly
+    better locality than :func:`zorder_key`'s Morton interleave
+    (consecutive Hilbert indices are ALWAYS 4-neighbors; Z-order takes
+    long diagonal jumps at power-of-two boundaries, so Hilbert file
+    buckets have tighter zone-map extents for the same bucket count).
+
+    The classic per-level fold (Wikipedia ``xy2d``): from the top bit
+    down, take quadrant bits (rx, ry), add ``s²·((3rx) XOR ry)`` to
+    the index, then reflect/transpose the remaining coordinates into
+    the sub-quadrant's frame. Expressed as ONE ``F.aggregate`` over
+    the literal array of level sizes with a (x, y, d) struct
+    accumulator — per-level state stays a VALUE, so the expression
+    tree is linear in ``bits`` (chaining withColumns would re-inline
+    exponentially under Catalyst's project collapsing), and everything
+    is exact BIGINT shift/mask/add — replayable in SQL as a recursive
+    CTE carrying the same state. HOFs are interpreted, not codegen'd:
+    fine for a write-time layout key, measured at bench parity with
+    the Morton path on the same audit shape.
+
+    Zero shuffle — a pure projection, like every layout key here."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    cx = F.col(x_col).cast("long")
+    cy = F.col(y_col).cast("long")
+    # literal level sizes s = 2^(bits-1) .. 1 (F.shiftleft needs a
+    # literal shift, so powers are materialized Python-side)
+    sizes = F.array(*[F.lit(1 << i).cast("long")
+                      for i in range(bits - 1, -1, -1)])
+    init = F.struct(
+        cx.alias("x"), cy.alias("y"), F.lit(0).cast("long").alias("d")
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        x, y, d = acc["x"], acc["y"], acc["d"]
+        rx = F.when(x.bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(y.bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0))
+        d2 = d + s * s * (3 * rx).bitwiseXOR(ry)
+        # ry=1: frame unchanged; ry=0,rx=1: reflect both then swap;
+        # ry=0,rx=0: plain swap
+        nx = F.when(ry == 1, x).when(rx == 1, s - 1 - y).otherwise(y)
+        ny = F.when(ry == 1, y).when(rx == 1, s - 1 - x).otherwise(x)
+        return F.struct(nx.alias("x"), ny.alias("y"), d2.alias("d"))
+
+    return F.aggregate(sizes, init, step, lambda acc: acc["d"])

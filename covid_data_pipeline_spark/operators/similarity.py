@@ -1999,3 +1999,122 @@ def mmr_rerank(
     return stacked.groupBy("qid").applyInPandas(
         _greedy, "query_id long, rank int, vec_id long, mmr_x2_bp long"
     )
+
+
+def lof_from_edges(edges: DataFrame, k: int) -> DataFrame:
+    """Local Outlier Factor (Breunig et al., SIGMOD 2000) from a
+    directed kNN edge relation ``(src, nbr, d2)`` — the
+    candidate-generation-agnostic core: feed it exact brute-force
+    edges (:func:`lof_scores`), LSH-bucketed edges, or IVF-probed
+    edges, and the reach / local-reachability-density / score stages
+    are plain keyed shuffles over the |V|·k edge relation at any
+    corpus size.
+
+    Exact-integer formulation: ``d2`` must be integral (the quantized
+    lattice); k-distance is the MAX d2 over a node's k edges,
+    reachability ``max(kdist(nbr), d2)`` stays BIGINT, per-node reach
+    sums are exact, and each LOF term ``ra/rb`` (= lrd_nbr / lrd_src)
+    is ONE IEEE division quantized to micro units before the exact
+    BIGINT mean — so scores hash-verify cross-engine (the DSIR
+    micro-unit rule). ``greatest(·, 1)`` guards the all-duplicates
+    degeneracy (>= k+1 coincident points → reach sums of 0): such
+    clusters score LOF = 1, i.e. inliers, which matches the standard
+    epsilon-guarded implementations.
+
+    Returns one row per src node: ``(vec_id, kdist2, lof)``; LOF ~ 1
+    = as dense as neighbors, >> 1 = outlier."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    kd = edges.groupBy("src").agg(F.max("d2").alias("__kd"))
+    kd = kd.localCheckpoint(eager=False)  # joined twice below
+    reach = edges.join(
+        kd.withColumnRenamed("src", "nbr"), "nbr"
+    ).select(
+        "src", "nbr", F.greatest(F.col("__kd"), F.col("d2")).alias("__r")
+    )
+    sums = reach.groupBy("src").agg(F.sum("__r").alias("__ra"))
+    sums = sums.localCheckpoint(eager=False)  # joined twice below
+    terms = (
+        edges.select("src", "nbr")
+        .join(sums, "src")
+        .join(
+            sums.select(
+                F.col("src").alias("nbr"), F.col("__ra").alias("__rb")
+            ),
+            "nbr",
+        )
+        .select(
+            "src",
+            F.round(
+                F.greatest(F.col("__ra"), F.lit(1)).cast("double")
+                / F.greatest(F.col("__rb"), F.lit(1)).cast("double")
+                * 1e6,
+                0,
+            )
+            .cast("bigint")
+            .alias("__tm"),
+        )
+    )
+    per_node = terms.groupBy("src").agg(
+        F.sum("__tm").alias("__tsum"), F.count(F.lit(1)).alias("__n")
+    )
+    return per_node.join(kd, "src").select(
+        F.col("src").alias("vec_id"),
+        F.col("__kd").cast("bigint").alias("kdist2"),
+        F.round(
+            F.col("__tsum").cast("double")
+            / (F.col("__n").cast("double") * 1e6),
+            6,
+        ).alias("lof"),
+    )
+
+
+def lof_scores(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: float = 1e6,
+) -> DataFrame:
+    """LOF over an embedding table via the exact brute-force kNN
+    baseline: vectors are micro-quantized ONCE (float32 → DOUBLE →
+    integer lattice, the k-means rule), squared euclidean distances
+    are exact BIGINT fold sums, ties break on neighbor id, and
+    :func:`lof_from_edges` does the rest. Same |corpus|² verification-
+    baseline contract as :func:`knn_graph_exact` (right side rides a
+    broadcast; documented ceiling a few hundred thousand vectors) —
+    at scale, generate candidate edges with the LSH/IVF paths and call
+    :func:`lof_from_edges` directly."""
+    q = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            vec_col,
+            lambda x: F.round(x.cast("double") * quant, 0).cast("long"),
+        ).alias("__qv"),
+    )
+    l = q.select(F.col("__id").alias("src"), F.col("__qv").alias("__va"))
+    # bcast: delta verification-baseline contract (see docstring)
+    r = F.broadcast(
+        q.select(F.col("__id").alias("nbr"), F.col("__qv").alias("__vb"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__va"), F.col("__vb"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        l.crossJoin(r)
+        .filter(F.col("src") != F.col("nbr"))
+        .withColumn("d2", d2)
+    )
+    from covid_data_pipeline_spark.operators.windows import top_k_per_group
+
+    edges = top_k_per_group(
+        scored,
+        partition_by=["src"],
+        order_by=[F.col("d2").asc(), F.col("nbr").asc()],
+        k=k,
+    ).select("src", "nbr", "d2")
+    return lof_from_edges(edges, k)

@@ -1423,3 +1423,109 @@ def stream_cm_sketch(
     return src.groupBy(*group_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_psi(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    bin_col: str,
+    ref_counts: "dict[object, Sequence[int]]",
+    bins: int = 10,
+) -> DataFrame:
+    """Streaming population-stability-index drift monitor: the live
+    twin of the batch `events_psi_drift` formula, against REFERENCE
+    bin counts fixed at model-tuning time (the production monitoring
+    setup: decile boundaries + reference histogram are fit offline;
+    the stream only re-bins and counts).
+
+    Callers bin upstream (pure projection — any boundary rule
+    composes); ``bin_col`` holds 1-based integer bins in [1, bins].
+    ``ref_counts`` maps the group key (the single group column's
+    value, or a tuple for composite keys) to that group's reference
+    histogram. State per group is the additive current-count vector —
+    micro-batch splits, replays of disjoint slices, and arrival order
+    cannot change the drained state. Each update emits the counts and
+    the PSI recomputed over ALL data so far, with the IDENTICAL
+    term arithmetic as the batch oracle (+0.5 smoothing, ln of one
+    IEEE ratio, nano-unit integer scale, 0.1 threshold compared in
+    BIGINT): ``psi_nano`` and ``drifted``. Groups without a reference
+    histogram are dropped (nothing to compare against)."""
+    import math
+
+    group_cols = list(group_cols)
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    ref = {
+        (k if isinstance(k, tuple) else (k,)): [int(c) for c in v]
+        for k, v in ref_counts.items()
+    }
+    if any(len(v) != bins for v in ref.values()):
+        raise ValueError("every ref_counts entry must have `bins` counts")
+    src = df.where(
+        F.col(bin_col).isNotNull()
+        & (F.col(bin_col) >= 1)
+        & (F.col(bin_col) <= bins)
+    ).select(*group_cols, F.col(bin_col).cast("long").alias("__bin"))
+    fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [fields[c] for c in group_cols]
+        + [
+            StructField("counts", ArrayType(LongType()), False),
+            StructField("n_seen", LongType(), False),
+            StructField("psi_nano", LongType(), False),
+            StructField("drifted", BooleanType(), False),
+            StructField("seq", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("counts", ArrayType(LongType()), True),
+            StructField("seq", LongType(), True),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        rc = ref.get(tuple(key))
+        if rc is None:
+            return
+        if state.exists:
+            counts, seq = state.get
+            counts = [int(v) for v in counts]
+            seq = int(seq)
+        else:
+            counts, seq = [0] * bins, 0
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+            for b, cnt in pdf["__bin"].value_counts().items():
+                counts[int(b) - 1] += int(cnt)
+        if n_new == 0:
+            return
+        seq += 1
+        state.update((counts, seq))
+        nr = sum(rc)
+        nc = sum(counts)
+        psi = 0
+        for r, c in zip(rc, counts):
+            p = (r + 0.5) / (nr + bins * 0.5)
+            q = (c + 0.5) / (nc + bins * 0.5)
+            psi += int(round((p - q) * math.log(p / q) * 1e9))
+        out = pd.DataFrame(
+            {
+                "counts": [counts],
+                "n_seen": pd.array([nc], dtype="Int64"),
+                "psi_nano": pd.array([psi], dtype="Int64"),
+                "drifted": [psi > 100_000_000],
+                "seq": pd.array([seq], dtype="Int64"),
+            }
+        )
+        for c, v in zip(group_cols, key):
+            out[c] = v
+        yield out[[*group_cols, "counts", "n_seen", "psi_nano",
+                   "drifted", "seq"]]
+
+    return src.groupBy(*group_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -1131,3 +1131,28 @@ def test_ivf_lattice_recall_and_determinism(spark, sf_dir):
         ).collect()
     }
     assert pre == ap
+
+
+def test_lof_planted_outlier(spark):
+    """A tight 3-D cluster + one far point: the far point's LOF is
+    >> 1, cluster members sit near 1; an exact-duplicate pile (the
+    reach-sum-0 degeneracy) scores exactly 1 via the greatest(.,1)
+    guard."""
+    from covid_data_pipeline_spark.operators.similarity import lof_scores
+
+    cluster = [
+        (i, [float(i % 3) * 0.01, float(i % 5) * 0.01, 0.0])
+        for i in range(20)
+    ]
+    rows = cluster + [(99, [5.0, 5.0, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    got = {r["vec_id"]: r["lof"] for r in lof_scores(df, k=3).collect()}
+    assert got[99] > 10.0, got[99]
+    assert all(v < 2.0 for k, v in got.items() if k != 99)
+
+    dups = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(6)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    got2 = {r["vec_id"]: r["lof"] for r in lof_scores(dups, k=3).collect()}
+    assert all(v == 1.0 for v in got2.values()), got2

@@ -517,3 +517,48 @@ def test_haversine_pinned_59n_pair_set(spark):
         assert abs(got[k] - v) < 1e-5, (k, got[k])
     # the planar-closer point 3 must NOT pair with 1 (222.39 m > 200)
     assert (1, 3) not in got
+
+
+def test_hilbert_key_matches_python_reference(spark):
+    """Spark's F.aggregate fold vs the classic xy2d loop, across a
+    dense small grid and the 18-bit domain corners; bijectivity on the
+    4x4 grid pins the curve shape itself."""
+    from covid_data_pipeline_spark.operators.geo import hilbert_key
+
+    def rot(n, x, y, rx, ry):
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        return x, y
+
+    def xy2d(order, x, y):
+        d, s = 0, 1 << (order - 1)
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            x, y = rot(s, x, y, rx, ry)
+            s //= 2
+        return d
+
+    rows = [(x, y) for x in range(8) for y in range(8)] + [
+        (200_000, 123_456), (262_143, 0), (0, 262_143), (262_143, 262_143),
+    ]
+    df = spark.createDataFrame(rows, "x BIGINT, y BIGINT")
+    got = {
+        (r["x"], r["y"]): r["h"]
+        for r in df.withColumn("h", hilbert_key("x", "y", bits=18)).collect()
+    }
+    assert all(h == xy2d(18, x, y) for (x, y), h in got.items())
+    # 2-bit curve is the canonical U: bijective over the 4x4 grid
+    df2 = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x BIGINT, y BIGINT"
+    )
+    vals = sorted(
+        r["h"] for r in df2.withColumn("h", hilbert_key("x", "y", 2)).collect()
+    )
+    assert vals == list(range(16))
+
+    with pytest.raises(ValueError):
+        hilbert_key("x", "y", bits=0)

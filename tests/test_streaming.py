@@ -1600,3 +1600,86 @@ def test_stream_cm_sketch_through_medallion_bridge(spark, tmp_path):
                 assert r["counters"][j * 64 + slot] == want.get(
                     (g, j, slot), 0
                 ), (g, j, slot)
+
+
+def test_stream_psi_matches_batch_formula(spark, tmp_path):
+    """20th stateful op: PSI drift monitor. The drained per-group
+    state must equal the whole-input Python recomputation exactly
+    (additive counts -> micro-batch split invariant), the psi term
+    arithmetic must match the batch events_psi_drift formula, and a
+    planted shifted group must cross the 0.1 drift threshold while an
+    in-distribution group must not."""
+    import math
+
+    from covid_data_pipeline_spark.streaming.stateful import stream_psi
+
+    bins = 10
+    # reference histogram: uniform for both groups
+    ref = {"stable": [100] * bins, "shifted": [100] * bins}
+    # stable group draws uniform bins; shifted group piles into bin 10
+    rows = [("stable", (i % bins) + 1) for i in range(600)] + [
+        ("shifted", 10 if i % 4 else 1) for i in range(600)
+    ]
+    src_dir = tmp_path / "psi_src"
+    src_dir.mkdir()
+    third = len(rows) // 3
+    for n, chunk in (("f1", rows[:third]), ("f2", rows[third:2 * third]),
+                     ("f3", rows[2 * third:])):
+        spark.createDataFrame(chunk, "g string, bin long").coalesce(
+            1
+        ).write.parquet(str(src_dir / f"{n}.parquet"))
+
+    stream = (
+        spark.readStream.schema("g string, bin long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    q = (
+        stream_psi(stream, ["g"], "bin", ref, bins=bins)
+        .writeStream.format("memory")
+        .queryName("psiq")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_psi"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = {}
+    for r in spark.sql("SELECT * FROM psiq").collect():
+        if r["g"] not in final or r["seq"] > final[r["g"]]["seq"]:
+            final[r["g"]] = r
+
+    def psi_nano(rc, counts):
+        nr, nc = sum(rc), sum(counts)
+        return sum(
+            int(round(((r + 0.5) / (nr + bins * 0.5)
+                       - (c + 0.5) / (nc + bins * 0.5))
+                      * math.log(((r + 0.5) / (nr + bins * 0.5))
+                                 / ((c + 0.5) / (nc + bins * 0.5)))
+                      * 1e9))
+            for r, c in zip(rc, counts)
+        )
+
+    assert set(final) == {"stable", "shifted"}
+    for g in final:
+        want_counts = [0] * bins
+        for gg, b in rows:
+            if gg == g:
+                want_counts[b - 1] += 1
+        r = final[g]
+        assert list(r["counts"]) == want_counts, g
+        assert r["n_seen"] == 600
+        assert r["psi_nano"] == psi_nano(ref[g], want_counts), g
+    assert not final["stable"]["drifted"]
+    assert final["shifted"]["drifted"]
+    assert final["shifted"]["psi_nano"] > 100_000_000
+
+
+def test_stream_psi_rejects_bad_config(spark):
+    from covid_data_pipeline_spark.streaming.stateful import stream_psi
+
+    df = spark.createDataFrame([("g", 1)], "g string, bin long")
+    with pytest.raises(ValueError):
+        stream_psi(df, ["g"], "bin", {"g": [1]}, bins=1)
+    with pytest.raises(ValueError):
+        stream_psi(df, ["g"], "bin", {"g": [1, 2, 3]}, bins=10)
