@@ -3920,3 +3920,78 @@ def events_bh_fdr_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p_micro"),
     )
     return benjamini_hochberg(p, "p_micro", "hyp", q_num=5, q_den=100)
+
+
+@register(
+    "events_seasonal_strength",
+    """
+    WITH sstr_d AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2),
+    sstr_ph AS (
+      SELECT event_type, t, v, ((t % 7) + 7) % 7 AS ph FROM sstr_d),
+    sstr_rk AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+                  PARTITION BY event_type, ph ORDER BY v, t)
+                AS BIGINT) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type, ph) AS gn
+      FROM sstr_ph),
+    sstr_m AS (
+      SELECT event_type, ph,
+             CASE WHEN MAX(gn) % 2 = 1 THEN SUM(v) * 2 ELSE SUM(v) END
+               AS m2
+      FROM sstr_rk
+      WHERE rn = (gn + 1) // 2 OR rn = (gn + 2) // 2
+      GROUP BY 1, 2),
+    sstr_r AS (
+      SELECT p.event_type,
+             CAST(p.v * 2 AS HUGEINT) AS w,
+             CAST(p.v * 2 - m.m2 AS HUGEINT) AS r
+      FROM sstr_ph p JOIN sstr_m m
+        ON m.event_type = p.event_type AND m.ph = p.ph),
+    sstr_a AS (
+      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(w) AS sw, SUM(w * w) AS sww,
+             SUM(r) AS sr, SUM(r * r) AS srr
+      FROM sstr_r GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+           CASE WHEN n * sww - sw * sw = 0 THEN NULL
+                ELSE ROUND(GREATEST(
+                  1.0 - CAST(n * srr - sr * sr AS DOUBLE)
+                        / CAST(n * sww - sw * sw AS DOUBLE),
+                  0.0), 6) END AS strength
+    FROM sstr_a
+    """,
+    tags=("events", "temporal", "seasonality"),
+)
+def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal-strength diagnostic of the daily event volume
+    per type (`operators/temporal.py::seasonal_strength`): fraction of
+    daily-count variance explained by the per-weekday MEDIAN profile,
+    STL-free on the integer lattice — doubled-median order stats keep
+    residuals integral, both sums of squares use the mean-free
+    n*Sum(w^2) - Sum(w)^2 form in exact decimals, one final division.
+    The day-of-week phase is epoch_day mod 7 (no engine dayofweek
+    origin mismatch). Near 0 = volume is aperiodic; near 1 = strongly
+    weekly."""
+    from covid_data_pipeline_spark.operators.temporal import (
+        seasonal_strength,
+    )
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("_t"),
+        )
+        .agg(F.count(F.lit(1)).alias("_v"))
+    )
+    return seasonal_strength(
+        daily, ["event_type"], "_t", "_v", period=7
+    )

@@ -2614,3 +2614,167 @@ def orders_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loo_target_encoding(
         o, "o_custkey", "_y", prior_weight=10
     ).select("o_orderkey", "o_custkey", "enc")
+
+
+@register(
+    "referential_integrity_audit",
+    """
+    WITH fkq AS (
+      SELECT 'orders.o_custkey -> customer' AS fk,
+             (SELECT COUNT(*) FROM orders) AS n_child,
+             (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+               AS n_null_fk,
+             (SELECT COUNT(*) FROM orders o
+              WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+                SELECT 1 FROM customer c
+                WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+      UNION ALL
+      SELECT 'lineitem.l_orderkey -> orders',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL),
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_orderkey = l.l_orderkey))
+      UNION ALL
+      SELECT 'lineitem.l_partkey -> part',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NULL),
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE l.l_partkey IS NOT NULL AND NOT EXISTS (
+                SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+      UNION ALL
+      SELECT 'customer.c_nationkey -> nation',
+             (SELECT COUNT(*) FROM customer),
+             (SELECT COUNT(*) FROM customer WHERE c_nationkey IS NULL),
+             (SELECT COUNT(*) FROM customer c
+              WHERE c.c_nationkey IS NOT NULL AND NOT EXISTS (
+                SELECT 1 FROM nation n
+                WHERE n.n_nationkey = c.c_nationkey))
+      UNION ALL
+      SELECT 'nation.n_regionkey -> region',
+             (SELECT COUNT(*) FROM nation),
+             (SELECT COUNT(*) FROM nation WHERE n_regionkey IS NULL),
+             (SELECT COUNT(*) FROM nation n
+              WHERE n.n_regionkey IS NOT NULL AND NOT EXISTS (
+                SELECT 1 FROM region r
+                WHERE r.r_regionkey = n.n_regionkey)))
+    SELECT fk, CAST(n_child AS BIGINT) AS n_child,
+           CAST(n_null_fk AS BIGINT) AS n_null_fk,
+           CAST(n_orphans AS BIGINT) AS n_orphans,
+           n_orphans = 0 AS holds
+    FROM fkq
+    """,
+    tags=("quality", "referential-integrity", "audit"),
+)
+def referential_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Whole-schema FK audit (`operators/quality.py::fk_audit`): five
+    declared TPC-H foreign-key edges checked in one relation — orphan
+    counts via distinct-parent anti-joins (the NOT EXISTS shape that
+    scales), null-FK counts, and a holds verdict per edge. The contract
+    gate a warehouse runs before trusting a fresh drop; complements
+    dq_report_orders (row-level rules) and lineitem_fd_profile
+    (functional dependencies) as the third leg of the profiling
+    stack."""
+    from covid_data_pipeline_spark.operators.quality import fk_audit
+
+    t = lambda n: table(spark, sf_dir, n)  # noqa: E731
+    return fk_audit(
+        [
+            ("orders.o_custkey -> customer",
+             t("orders"), "o_custkey", t("customer"), "c_custkey"),
+            ("lineitem.l_orderkey -> orders",
+             t("lineitem"), "l_orderkey", t("orders"), "o_orderkey"),
+            ("lineitem.l_partkey -> part",
+             t("lineitem"), "l_partkey", t("part"), "p_partkey"),
+            ("customer.c_nationkey -> nation",
+             t("customer"), "c_nationkey", t("nation"), "n_nationkey"),
+            ("nation.n_regionkey -> region",
+             t("nation"), "n_regionkey", t("region"), "r_regionkey"),
+        ]
+    )
+
+
+@register(
+    "lineitem_corr_matrix",
+    """
+    WITH cmx_q AS (
+      SELECT CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS q0,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS q1,
+             CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS q2,
+             CAST(ROUND(l_tax * 100, 0) AS BIGINT) AS q3
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+    cmx_m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(q0 AS HUGEINT)) AS s0,
+             SUM(CAST(q0 AS HUGEINT) * q0) AS ss0,
+             SUM(CAST(q1 AS HUGEINT)) AS s1,
+             SUM(CAST(q1 AS HUGEINT) * q1) AS ss1,
+             SUM(CAST(q2 AS HUGEINT)) AS s2,
+             SUM(CAST(q2 AS HUGEINT) * q2) AS ss2,
+             SUM(CAST(q3 AS HUGEINT)) AS s3,
+             SUM(CAST(q3 AS HUGEINT) * q3) AS ss3,
+             SUM(CAST(q0 AS HUGEINT) * q1) AS p0_1,
+             SUM(CAST(q0 AS HUGEINT) * q2) AS p0_2,
+             SUM(CAST(q0 AS HUGEINT) * q3) AS p0_3,
+             SUM(CAST(q1 AS HUGEINT) * q2) AS p1_2,
+             SUM(CAST(q1 AS HUGEINT) * q3) AS p1_3,
+             SUM(CAST(q2 AS HUGEINT) * q3) AS p2_3
+      FROM cmx_q),
+    cmx_p AS (
+      SELECT * FROM (VALUES
+        ('l_quantity', 'l_extendedprice', 0, 1),
+        ('l_quantity', 'l_discount', 0, 2),
+        ('l_quantity', 'l_tax', 0, 3),
+        ('l_extendedprice', 'l_discount', 1, 2),
+        ('l_extendedprice', 'l_tax', 1, 3),
+        ('l_discount', 'l_tax', 2, 3)) AS t(col_x, col_y, i, j))
+    SELECT p.col_x, p.col_y, CAST(m.n AS BIGINT) AS n,
+           (ROUND(
+             CAST(m.n * (CASE p.i * 10 + p.j
+                           WHEN 1 THEN m.p0_1 WHEN 2 THEN m.p0_2
+                           WHEN 3 THEN m.p0_3 WHEN 12 THEN m.p1_2
+                           WHEN 13 THEN m.p1_3 ELSE m.p2_3 END)
+                  - (CASE p.i WHEN 0 THEN m.s0 WHEN 1 THEN m.s1
+                              WHEN 2 THEN m.s2 ELSE m.s3 END)
+                    * (CASE p.j WHEN 1 THEN m.s1 WHEN 2 THEN m.s2
+                                ELSE m.s3 END) AS DOUBLE)
+             / (sqrt(CAST(m.n * (CASE p.i WHEN 0 THEN m.ss0
+                                   WHEN 1 THEN m.ss1 WHEN 2 THEN m.ss2
+                                   ELSE m.ss3 END)
+                          - (CASE p.i WHEN 0 THEN m.s0 WHEN 1 THEN m.s1
+                                      WHEN 2 THEN m.s2 ELSE m.s3 END)
+                            * (CASE p.i WHEN 0 THEN m.s0 WHEN 1 THEN m.s1
+                                        WHEN 2 THEN m.s2 ELSE m.s3 END)
+                          AS DOUBLE))
+                * sqrt(CAST(m.n * (CASE p.j WHEN 1 THEN m.ss1
+                                     WHEN 2 THEN m.ss2 ELSE m.ss3 END)
+                            - (CASE p.j WHEN 1 THEN m.s1 WHEN 2 THEN m.s2
+                                        ELSE m.s3 END)
+                              * (CASE p.j WHEN 1 THEN m.s1
+                                          WHEN 2 THEN m.s2 ELSE m.s3 END)
+                            AS DOUBLE))), 6) + 0) AS r
+    FROM cmx_p p CROSS JOIN cmx_m m
+    """,
+    tags=("olap", "profiling", "correlation"),
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of lineitem's four numeric
+    measures in one aggregation pass (`operators/quality.py::
+    corr_matrix`): cents-quantized integer moments in DECIMAL(38,0),
+    one IEEE expression per pair (sqrt is correctly rounded, so the
+    6dp correlations hash-verify cross-engine). quantity x
+    extendedprice should show the strong positive signal; the tax /
+    discount pairs hover near zero — the linear-signal profile of a
+    fact table at a glance."""
+    from covid_data_pipeline_spark.operators.quality import corr_matrix
+
+    return corr_matrix(
+        table(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        quant=100.0,
+    )

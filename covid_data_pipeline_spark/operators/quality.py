@@ -312,3 +312,135 @@ def fd_profile(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def fk_audit(
+    edges: "list[tuple[str, DataFrame, str, DataFrame, str]]",
+) -> DataFrame:
+    """Referential-integrity audit as ONE relation — for each declared
+    FK edge ``(name, child, fk_col, parent, pk_col)``: how many child
+    rows carry a non-null FK with no parent (orphans, the scalable
+    anti-join form of NOT EXISTS), how many are null, and whether the
+    edge holds. The relation-returning sibling of :func:`fk_violations`
+    (which collects one scalar) — a schema's whole FK graph audits in
+    one DataFrame a contract gate or dashboard consumes.
+
+    Per edge: one map-side count + one anti-join against the distinct
+    parent keys (broadcast when the parent is dim-sized, AQE decides);
+    output is |edges| rows. Orphan counting joins on the DISTINCT
+    parent key relation, so a duplicated parent key cannot double-count
+    children."""
+    if not edges:
+        raise ValueError("edges must be non-empty")
+    outs = []
+    for name, child, fk_col, parent, pk_col in edges:
+        non_null = child.filter(F.col(fk_col).isNotNull())
+        orphans = non_null.join(
+            parent.select(F.col(pk_col).alias(fk_col)).distinct(),
+            on=fk_col,
+            how="left_anti",
+        )
+        stats = child.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.col(fk_col).isNull().cast("long")).alias("n_null_fk"),
+        )
+        o = orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        outs.append(
+            # bcast: const(1) scalar orphan count
+            stats.crossJoin(F.broadcast(o)).select(
+                F.lit(name).alias("fk"),
+                F.col("n_child").cast("bigint").alias("n_child"),
+                F.col("n_null_fk").cast("bigint").alias("n_null_fk"),
+                F.col("n_orphans").cast("bigint").alias("n_orphans"),
+                (F.col("n_orphans") == 0).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: "list[str]",
+    quant: float = 100.0,
+) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns in ONE
+    aggregation pass — the profiling matrix a feature-selection or
+    schema-drift check reads (complements `fd_profile` / `fk_audit`:
+    those audit structure, this audits linear signal).
+
+    Exactness on the lattice: every column is quantized ONCE to
+    integers (``round(x·quant)``), all five moments per pair (Σx, Σy,
+    Σxy, Σx², Σy²) accumulate in DECIMAL(38,0) — exact at any
+    partitioning — and
+
+        r = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²) · √(n·Σy² − Σy²))
+
+    is one deterministic IEEE expression per pair (sqrt is
+    correctly-rounded by IEEE-754, so both engines agree bit-for-bit;
+    the quantization constant cancels out of r). Zero-variance columns
+    yield NULL via try_divide. Rows with a NULL in ANY profiled column
+    are excluded (listwise deletion, the convention that keeps all
+    pairs on the same row set — per-pair deletion would need k² count
+    columns).
+
+    Scale: one map-side-combining aggregate producing 5·C(k,2) + k
+    scalars; nothing downstream is corpus-sized. k beyond ~30 columns
+    multiplies the aggregate width quadratically — profile in column
+    batches past that."""
+    if len(cols) < 2:
+        raise ValueError(f"need >= 2 columns, got {cols}")
+    d38 = "decimal(38,0)"
+    cond = None
+    for c in cols:
+        cnd = F.col(c).isNotNull()
+        cond = cnd if cond is None else (cond & cnd)
+    q = df.filter(cond).select(
+        *[
+            F.round(F.col(c).cast("double") * quant, 0)
+            .cast("long")
+            .alias(f"__q{i}")
+            for i, c in enumerate(cols)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast(d38).alias("__n")]
+    for i in range(len(cols)):
+        xi = F.col(f"__q{i}").cast(d38)
+        aggs.append(F.sum(xi).alias(f"__s{i}"))
+        aggs.append(F.sum(xi * xi).alias(f"__ss{i}"))
+        for j in range(i + 1, len(cols)):
+            xj = F.col(f"__q{j}").cast(d38)
+            aggs.append(F.sum(xi * xj).alias(f"__p{i}_{j}"))
+    m = q.agg(*aggs)
+    from covid_data_pipeline_spark.functions.scalar import round_stable
+
+    pairs = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            n = F.col("__n")
+            num = (n * F.col(f"__p{i}_{j}")
+                   - F.col(f"__s{i}") * F.col(f"__s{j}")).cast("double")
+            vx = F.sqrt(
+                (n * F.col(f"__ss{i}")
+                 - F.col(f"__s{i}") * F.col(f"__s{i}")).cast("double")
+            )
+            vy = F.sqrt(
+                (n * F.col(f"__ss{j}")
+                 - F.col(f"__s{j}") * F.col(f"__s{j}")).cast("double")
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(cols[i]).alias("col_x"),
+                    F.lit(cols[j]).alias("col_y"),
+                    round_stable(F.try_divide(num, vx * vy), 6).alias("r"),
+                )
+            )
+    return (
+        m.select(
+            F.explode(F.array(*pairs)).alias("__pair"),
+            F.col("__n").cast("bigint").alias("n"),
+        )
+        .select("__pair.col_x", "__pair.col_y", "n", "__pair.r")
+    )

@@ -1199,3 +1199,89 @@ def sax_words(
             "",
         ).alias("sax_word"),
     )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    t_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Seasonal-strength score (the STL diagnostic of Cleveland et al.
+    1990, computed STL-free on the exact integer lattice): per key,
+    how much of a regular series' variance is explained by its
+    seasonal profile —
+
+        strength = max(0, 1 − SS(value − seasonal_median) / SS(value))
+
+    with the seasonal component the per-phase (``t mod period``)
+    MEDIAN, the robust choice. Exactness: values must be integral;
+    medians are DOUBLED order statistics (``v_{(n+1) div 2} +
+    v_{(n+2) div 2}`` — integer for even and odd group sizes alike),
+    residuals stay integer, and both sums of squares use the
+    mean-free form ``n·Σw² − (Σw)²`` in DECIMAL(38,0), so the single
+    final division is the only float op. Returns per key:
+    ``key_cols + (n_obs, strength)``; a constant series (SS total 0)
+    yields NULL via try_divide.
+
+    Scale shape: the order-stat window partitions by (key, phase) —
+    parallel across keys and phases, never global; everything after
+    the per-(key, phase) median join is |keys x observations| with
+    map-side-combining rollups."""
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    d38 = "decimal(38,0)"
+    base = df.select(
+        *keys,
+        F.col(t_col).cast("bigint").alias("__t"),
+        F.col(value_col).cast("bigint").alias("__v"),
+    ).withColumn("__ph", F.pmod(F.col("__t"), F.lit(period)))
+    w = Window.partitionBy(*keys, "__ph").orderBy("__v", "__t")
+    ranked = base.withColumn("__rn", F.row_number().over(w))
+    gsz = base.groupBy(*keys, "__ph").agg(F.count(F.lit(1)).alias("__gn"))
+    med2 = (
+        ranked.join(gsz, [*keys, "__ph"])
+        .where(
+            (F.col("__rn") == F.expr("(__gn + 1) div 2"))
+            | (F.col("__rn") == F.expr("(__gn + 2) div 2"))
+        )
+        .groupBy(*keys, "__ph")
+        .agg(
+            # odd group: the middle rank matches BOTH conditions but is
+            # one row — double it; even: two middle rows sum once each
+            F.when(F.max("__gn") % 2 == 1, F.sum("__v") * 2)
+            .otherwise(F.sum("__v"))
+            .alias("__m2")
+        )
+    )
+    r = base.join(med2, [*keys, "__ph"]).select(
+        *keys,
+        (F.col("__v") * 2).cast(d38).alias("__w"),
+        (F.col("__v") * 2 - F.col("__m2")).cast(d38).alias("__r"),
+    )
+    agg = r.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast(d38).alias("__n"),
+        F.sum("__w").alias("__sw"),
+        F.sum(F.col("__w") * F.col("__w")).alias("__sww"),
+        F.sum("__r").alias("__sr"),
+        F.sum(F.col("__r") * F.col("__r")).alias("__srr"),
+    )
+    ss_tot = (F.col("__n") * F.col("__sww")
+              - F.col("__sw") * F.col("__sw")).cast("double")
+    ss_res = (F.col("__n") * F.col("__srr")
+              - F.col("__sr") * F.col("__sr")).cast("double")
+    # greatest() skips NULL operands, so the zero-total-variance case
+    # (constant series -> try_divide NULL) must stay NULL explicitly
+    ratio = F.try_divide(ss_res, ss_tot)
+    return agg.select(
+        *keys,
+        F.col("__n").cast("bigint").alias("n_obs"),
+        F.when(
+            ratio.isNotNull(),
+            F.round(F.greatest(F.lit(1.0) - ratio, F.lit(0.0)), 6),
+        ).alias("strength"),
+    )

@@ -155,3 +155,64 @@ def test_grouped_chi2_zero_cells_counted(spark):
                      for o, rt, ct in cells), 4)
     assert math.isclose(got["g1"]["chi2"], want, rel_tol=0, abs_tol=1e-12)
     assert got["g2"]["chi2"] == 0.0 and got["g2"]["dof"] == 1
+
+
+def test_fk_audit_plants_orphans(spark):
+    from covid_data_pipeline_spark.operators.quality import fk_audit
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id BIGINT, fk BIGINT"
+    )
+    parent = spark.createDataFrame(
+        [(10,), (10,), (20,)], "pk BIGINT"  # duplicate parent key
+    )
+    got = {r["fk"]: r.asDict() for r in fk_audit(
+        [("child.fk -> parent", child, "fk", parent, "pk")]
+    ).collect()}
+    r = got["child.fk -> parent"]
+    assert (r["n_child"], r["n_null_fk"], r["n_orphans"], r["holds"]) == (
+        4, 1, 1, False,   # only fk=99 is an orphan; dup parent no double
+    )
+    with pytest.raises(ValueError):
+        fk_audit([])
+
+
+def test_corr_matrix_hand_values(spark):
+    """Perfect positive, perfect negative, and zero-variance columns."""
+    from covid_data_pipeline_spark.operators.quality import corr_matrix
+
+    rows = [(float(i), 2.0 * i + 3, -1.5 * i, 7.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "a DOUBLE, b DOUBLE, c DOUBLE, d DOUBLE")
+    got = {(r["col_x"], r["col_y"]): r["r"] for r in
+           corr_matrix(df, ["a", "b", "c", "d"]).collect()}
+    assert got[("a", "b")] == 1.0
+    assert got[("a", "c")] == -1.0
+    assert got[("b", "c")] == -1.0
+    # zero-variance column -> NULL via try_divide
+    assert got[("a", "d")] is None
+    with pytest.raises(ValueError):
+        corr_matrix(df, ["a"])
+
+
+def test_seasonal_strength_planted_weekly(spark):
+    """A pure weekly pattern scores ~1; iid-ish noise scores low; a
+    constant series yields NULL (zero total variance)."""
+    from covid_data_pipeline_spark.operators.temporal import (
+        seasonal_strength,
+    )
+
+    weekly = [("w", t, 100 + 50 * (t % 7)) for t in range(56)]
+    noisy = [("n", t, 100 + ((t * 37) % 11)) for t in range(56)]
+    const = [("c", t, 42) for t in range(56)]
+    df = spark.createDataFrame(
+        weekly + noisy + const, "k STRING, t BIGINT, v BIGINT"
+    )
+    got = {r["k"]: r["strength"] for r in
+           seasonal_strength(df, ["k"], "t", "v", period=7).collect()}
+    assert got["w"] == 1.0          # residuals exactly 0
+    assert got["n"] < 0.5, got["n"]
+    assert got["c"] is None
+    with pytest.raises(ValueError):
+        seasonal_strength(df, ["k"], "t", "v", period=1)
+    with pytest.raises(ValueError):
+        seasonal_strength(df, [], "t", "v")
