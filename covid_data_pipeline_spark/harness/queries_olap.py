@@ -2767,14 +2767,70 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures in one aggregation pass (`operators/quality.py::
     corr_matrix`): cents-quantized integer moments in DECIMAL(38,0),
     one IEEE expression per pair (sqrt is correctly rounded, so the
-    6dp correlations hash-verify cross-engine). quantity x
-    extendedprice should show the strong positive signal; the tax /
-    discount pairs hover near zero — the linear-signal profile of a
-    fact table at a glance."""
+    6dp correlations hash-verify cross-engine). On this synthetic
+    corpus every pair hovers near zero (the generator draws measures
+    independently) — which is itself the profile readout; the planted
+    perfect/anti/zero-variance cases live in tests/test_round9_ops."""
     from covid_data_pipeline_spark.operators.quality import corr_matrix
 
     return corr_matrix(
         table(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        quant=100.0,
+    )
+
+
+@register(
+    "lineitem_spearman_corr",
+    """
+    WITH spr_b AS (
+      SELECT CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+    spr_rx AS (
+      SELECT x, CAST(2 * (SUM(c) OVER (ORDER BY x ROWS UNBOUNDED
+                            PRECEDING) - c) + c + 1 AS BIGINT) AS rx
+      FROM (SELECT x, COUNT(*) AS c FROM spr_b GROUP BY 1)),
+    spr_ry AS (
+      SELECT y, CAST(2 * (SUM(c) OVER (ORDER BY y ROWS UNBOUNDED
+                            PRECEDING) - c) + c + 1 AS BIGINT) AS ry
+      FROM (SELECT y, COUNT(*) AS c FROM spr_b GROUP BY 1)),
+    spr_r AS (
+      SELECT rx, ry FROM spr_b
+      JOIN spr_rx USING (x) JOIN spr_ry USING (y)),
+    spr_m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(rx AS HUGEINT)) AS sx,
+             SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+             SUM(CAST(ry AS HUGEINT)) AS sy,
+             SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+             SUM(CAST(rx AS HUGEINT) * ry) AS sxy
+      FROM spr_r)
+    SELECT CAST(n AS BIGINT) AS n,
+           (ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+            + 0) AS rho
+    FROM spr_m
+    """,
+    tags=("olap", "profiling", "correlation", "nonparametric"),
+)
+def lineitem_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price
+    (`operators/quality.py::spearman_corr`) — the monotone-signal
+    readout next to lineitem_corr_matrix's Pearson (near zero on this
+    independently-drawn synthetic corpus; planted monotone cases are
+    unit-tested). Tie-averaged ranks
+    stay exact by doubling; rho is Pearson over the doubled ranks from
+    DECIMAL(38,0)/HUGEINT moments, so the 6dp value hash-verifies. The
+    rank maps are cumulative counts over each column's compressed
+    distinct-value domain, never a corpus row_number."""
+    from covid_data_pipeline_spark.operators.quality import spearman_corr
+
+    return spearman_corr(
+        table(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
         quant=100.0,
     )

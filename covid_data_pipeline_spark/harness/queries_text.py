@@ -2715,3 +2715,72 @@ def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").alias("_y"),
     )
     return calibration_report(d, "_s", "_y", bins=10, scale=1_000_000)
+
+
+@register(
+    "quality_score_auc",
+    r"""
+    WITH auc_q AS (
+      SELECT (length(text) BETWEEN 50 AND 20000)::INT * 0.4
+             + COALESCE(CASE WHEN length(text) > 0
+                 THEN len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+                      / length(text) END < 0.2, FALSE)::INT * 0.3
+             + COALESCE(CASE WHEN
+                 len(regexp_split_to_array(trim(lower(text)), '\s+')) > 0
+                 THEN len(list_filter(
+                        regexp_split_to_array(trim(lower(text)), '\s+'),
+                        x -> x IN ('the','a','and','of','to','in','is',
+                                   'for','on','with')))::DOUBLE
+                      / len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 END > 0.01, FALSE)::INT * 0.3 AS q,
+             (lang = 'en')::INT AS t
+      FROM documents),
+    mwq_base AS (
+      SELECT CAST(ROUND(q * 1e6, 0) AS BIGINT) AS v, t FROM auc_q),
+    mwq_pv AS (
+      SELECT v, CAST(SUM(t) AS BIGINT) AS tv,
+             CAST(SUM(1 - t) AS BIGINT) AS cv
+      FROM mwq_base GROUP BY v),
+    mwq_cum AS (
+      SELECT v, tv, cv,
+             CAST(SUM(cv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  - cv AS BIGINT) AS cum_c_less
+      FROM mwq_pv),
+    mwq_agg AS (
+      SELECT CAST(SUM(tv) AS BIGINT) AS n_pos,
+             CAST(SUM(cv) AS BIGINT) AS n_neg,
+             CAST(2 * SUM(tv * cum_c_less) + SUM(tv * cv) AS BIGINT)
+               AS u2
+      FROM mwq_cum)
+    SELECT n_pos, n_neg,
+           (ROUND(CAST(u2 AS DOUBLE)
+                  / (2.0 * CAST(n_pos::HUGEINT * n_neg AS DOUBLE)), 6)
+            + 0) AS auc
+    FROM mwq_agg
+    """,
+    tags=("text", "quality", "evaluation", "auc"),
+)
+def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the heuristic quality score as a P(english)
+    classifier — the threshold-free rank metric completing the
+    evaluation triad (classification report = thresholded counts,
+    calibration = probability faithfulness, AUC = ranking skill). AUC
+    is exactly U/(n_pos*n_neg) with tie halves, so it reuses
+    `operators/experiment.py::mann_whitney_u`'s value-compressed exact
+    integer machinery — no row ranking, one division at the end."""
+    from covid_data_pipeline_spark.functions.text import quality_score
+    from covid_data_pipeline_spark.operators.experiment import (
+        mann_whitney_u,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        F.round(quality_score("text") * 1e6, 0)
+        .cast("bigint")
+        .alias("_s"),
+        (F.col("lang") == "en").alias("_t"),
+    )
+    return mann_whitney_u(d, "_t", "_s").select(
+        F.col("n_treat").alias("n_pos"),
+        F.col("n_ctrl").alias("n_neg"),
+        "auc",
+    )

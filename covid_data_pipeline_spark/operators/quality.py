@@ -20,6 +20,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 @dataclass(frozen=True)
@@ -444,3 +445,57 @@ def corr_matrix(
         )
         .select("__pair.col_x", "__pair.col_y", "n", "__pair.r")
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    quant: float = 100.0,
+) -> DataFrame:
+    """Spearman rank correlation with exact tie handling — the
+    monotone-signal complement of :func:`corr_matrix`'s Pearson (a
+    perfect nonlinear monotone relation scores rho = 1 here and < 1
+    there). Standard tie treatment: fractional AVERAGE ranks, kept
+    exact by DOUBLING — ``rank2x(v) = 2·#{values < v} + #{= v} + 1``
+    is integral for every tie pattern — then rho is Pearson over the
+    doubled ranks (the 2x scale cancels), computed from DECIMAL(38,0)
+    moments with one IEEE expression (:func:`corr_matrix`'s rule).
+
+    Scale shape: each column compresses to its distinct-value domain
+    (one rollup), the rank map is a cumulative count over THAT
+    compressed relation (|distinct values| rows — the Mann-Whitney /
+    quantile_normalize idiom, never a row_number over the corpus),
+    and two equi-joins attach ranks back to rows. Listwise NULL
+    deletion, as in :func:`corr_matrix`. Returns one row:
+    ``(n, rho)``."""
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.round(F.col(x_col).cast("double") * quant, 0)
+        .cast("long")
+        .alias("__x"),
+        F.round(F.col(y_col).cast("double") * quant, 0)
+        .cast("long")
+        .alias("__y"),
+    )
+    base = base.localCheckpoint(eager=False)  # feeds 2 rollups + join
+
+    def rank_map(col: str, out: str) -> DataFrame:
+        pv = base.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow - 1
+        )
+        return pv.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("__cnt").over(w), F.lit(0))
+                + F.col("__cnt")
+                + 1
+            ).alias(out),
+        )
+    ranked = base.join(rank_map("__x", "__rx"), "__x").join(
+        rank_map("__y", "__ry"), "__y"
+    )
+    out = corr_matrix(ranked, ["__rx", "__ry"], quant=1.0)
+    return out.select("n", F.col("r").alias("rho"))

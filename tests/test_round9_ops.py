@@ -216,3 +216,37 @@ def test_seasonal_strength_planted_weekly(spark):
         seasonal_strength(df, ["k"], "t", "v", period=1)
     with pytest.raises(ValueError):
         seasonal_strength(df, [], "t", "v")
+
+
+def test_spearman_monotone_nonlinear_and_ties(spark):
+    """A perfectly monotone but nonlinear relation scores rho = 1
+    (where Pearson < 1); reversing scores -1; ties use exact average
+    ranks (doubled integers)."""
+    from covid_data_pipeline_spark.operators.quality import (
+        corr_matrix,
+        spearman_corr,
+    )
+
+    rows = [(float(i), float(i) ** 3) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "a DOUBLE, b DOUBLE")
+    got = spearman_corr(df, "a", "b", quant=1.0).collect()[0]
+    assert got["rho"] == 1.0 and got["n"] == 20
+    pearson = corr_matrix(df, ["a", "b"], quant=1.0).collect()[0]["r"]
+    assert pearson < 1.0  # cubic is monotone, not linear
+
+    rev = spark.createDataFrame(
+        [(float(i), float(-i) ** 3) for i in range(1, 21)],
+        "a DOUBLE, b DOUBLE",
+    )
+    assert spearman_corr(rev, "a", "b", quant=1.0).collect()[0]["rho"] == -1.0
+
+    # ties: scipy-checkable fixture x=[1,1,2,3], y=[10,20,20,30]
+    tied = spark.createDataFrame(
+        [(1.0, 10.0), (1.0, 20.0), (2.0, 20.0), (3.0, 30.0)],
+        "a DOUBLE, b DOUBLE",
+    )
+    # avg ranks x: [1.5,1.5,3,4]; y: [1,2.5,2.5,4]
+    # cov = 3.75, var_x = var_y = 4.5 -> rho = 3.75/4.5 = 0.833333
+    assert spearman_corr(tied, "a", "b", quant=1.0).collect()[0][
+        "rho"
+    ] == 0.833333
