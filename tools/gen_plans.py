@@ -13,6 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 NOTES = {
     "dedup_sorted_neighborhood": "SNM blocking: distributed global rank (range buckets over broadcast min/max - no single-partition sort) + 1-D neighbor-bucket exactly-once join + Jaccard verify on the O(n*w) candidates. The oracle's plain ROW_NUMBER replays the rank.",
     "events_join_size_cm": "Two corpus passes build the model-sized CM counter relations (explode(depth) + map-side-combining agg); the estimate joins 4x1024 counters - the join itself is never run. Exact side is two per-user rollups + one user-keyed join.",
+    "geo_hilbert_layout": "Hilbert key is one interpreted F.aggregate fold over 18 levels of exact BIGINT state (linear expression size); same 64-bucket map-side rollup as the Morton audit. Write path at 100 TB: repartitionByRange(hkey) + sortWithinPartitions(hkey); tighter extents than Z-order for the same bucket count.",
     "geo_zorder_layout": "Morton key is pure codegen bit arithmetic; one map-side-combining rollup to 64 file buckets. At 100 TB the write path is repartitionByRange(zkey) + sortWithinPartitions(zkey); this audit prices the zone-map tightness.",
     "mart_analytics": "Two broadcast joins (dims) keep the orders scan shuffle-free until the partial+final hash agg; one window shuffle on nation. At 1000x: orders scan parallelizes by file split; dims still broadcast; agg shuffle carries only group rows.",
     "agg_rollup": "Partial aggregation map-side: shuffle carries |groups x partitions| rows, not 600k. Decimal sums keep values partition-order independent.",
