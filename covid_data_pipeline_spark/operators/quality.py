@@ -463,12 +463,15 @@ def spearman_corr(
     moments with one IEEE expression (:func:`corr_matrix`'s rule).
 
     Scale shape: each column compresses to its distinct-value domain
-    (one rollup), the rank map is a cumulative count over THAT
-    compressed relation (|distinct values| rows — the Mann-Whitney /
-    quantile_normalize idiom, never a row_number over the corpus),
-    and two equi-joins attach ranks back to rows. Listwise NULL
-    deletion, as in :func:`corr_matrix`. Returns one row:
-    ``(n, rho)``."""
+    (one rollup); the "count of smaller values" map over that relation
+    uses the value_order_rank TWO-LEVEL construction (range buckets
+    from broadcast min/max -> per-bucket totals -> cumsum over the
+    <= 256-row bucket relation -> within-bucket partitioned cumsum) —
+    a continuous column's distinct domain can approach corpus size, so
+    a flat window over it would be the single-partition wart the
+    Mann-Whitney small-domain idiom gets away with. Two equi-joins
+    attach ranks back to rows. Listwise NULL deletion, as in
+    :func:`corr_matrix`. Returns one row: ``(n, rho)``."""
     base = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     ).select(
@@ -481,18 +484,40 @@ def spearman_corr(
     )
     base = base.localCheckpoint(eager=False)  # feeds 2 rollups + join
 
-    def rank_map(col: str, out: str) -> DataFrame:
+    def rank_map(col: str, out: str, num_buckets: int = 256) -> DataFrame:
         pv = base.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
-        w = Window.orderBy(col).rowsBetween(
+        vm = pv.agg(
+            F.min(col).alias("__vmin"), F.max(col).alias("__vmax")
+        )
+        # bcast: const(1) scalar min/max agg
+        keyed = pv.crossJoin(F.broadcast(vm)).withColumn(
+            "__b",
+            F.expr(
+                f"CAST(({col} - __vmin) div"
+                f" ((__vmax - __vmin) div {num_buckets} + 1) AS BIGINT)"
+            ),
+        ).drop("__vmin", "__vmax")
+        btot = keyed.groupBy("__b").agg(F.sum("__cnt").alias("__bt"))
+        w_off = Window.orderBy("__b").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow - 1
+        )  # <= num_buckets rows: the only flat window
+        offs = btot.withColumn(
+            "__off", F.coalesce(F.sum("__bt").over(w_off), F.lit(0))
+        ).select("__b", "__off")
+        w_in = Window.partitionBy("__b").orderBy(col).rowsBetween(
             Window.unboundedPreceding, Window.currentRow - 1
         )
-        return pv.select(
-            col,
-            (
-                2 * F.coalesce(F.sum("__cnt").over(w), F.lit(0))
-                + F.col("__cnt")
-                + 1
-            ).alias(out),
+        return (
+            # bcast: const(num_buckets) offset table
+            keyed.join(F.broadcast(offs), "__b")
+            .withColumn(
+                "__less",
+                F.col("__off")
+                + F.coalesce(F.sum("__cnt").over(w_in), F.lit(0)),
+            )
+            .select(
+                col, (2 * F.col("__less") + F.col("__cnt") + 1).alias(out)
+            )
         )
     ranked = base.join(rank_map("__x", "__rx"), "__x").join(
         rank_map("__y", "__ry"), "__y"

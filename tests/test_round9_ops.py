@@ -250,3 +250,24 @@ def test_spearman_monotone_nonlinear_and_ties(spark):
     assert spearman_corr(tied, "a", "b", quant=1.0).collect()[0][
         "rho"
     ] == 0.833333
+
+
+def test_bh_rank_is_distributed(spark):
+    """The BH battery rank must come from value_order_rank: every
+    row_number Window in the executed plan carries a partition spec
+    (same guard as merge_intervals_global / sax_words)."""
+    from covid_data_pipeline_spark.operators.experiment import (
+        benjamini_hochberg,
+    )
+
+    df = spark.createDataFrame(
+        [(f"h{i}", (i * 37) % 1000 + 1) for i in range(500)],
+        "hyp STRING, p_micro BIGINT",
+    )
+    out = benjamini_hochberg(df, "p_micro", "hyp", 5, 100)
+    out.collect()  # AQE: execute before reading the final plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "row_number" in line and "Window" in line:
+            groups = line.count("], [")
+            assert groups >= 2, f"partition-less row_number window: {line}"
