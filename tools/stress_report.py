@@ -2255,6 +2255,279 @@ def case_entity_resolution_1m(spark):
     }
 
 
+def case_bh_fdr_100k(spark):
+    """Round-9 multiple-testing at 100k hypotheses: planted signal =
+    the 1000 hypotheses with p_micro <= 1000 (vs ~uniform null
+    p-values elsewhere); at q=0.05 BH must reject EXACTLY a
+    Python-computable step-up set, identically under repartition. The
+    distributed rank path (value_order_rank) carries the whole
+    battery."""
+    from covid_data_pipeline_spark.operators.experiment import (
+        benjamini_hochberg,
+    )
+
+    m = 100_000
+    # planted signal: 1000 hypotheses at p = 0 (at m = 1e5 and q=.05
+    # the rank-r threshold is p_micro <= r/2, so any "small" nonzero
+    # plant would need p_micro < 500 anyway); null: ~uniform p_micro
+    df = spark.range(0, m, numPartitions=32).select(
+        F.concat(F.lit("h"), F.col("id")).alias("hyp"),
+        F.when(F.col("id") < 1_000, F.lit(0))
+        .otherwise((F.xxhash64("id") % 1_000_000 + 1_000_000) % 1_000_000 + 1)
+        .cast("bigint")
+        .alias("p_micro"),
+    ).localCheckpoint()
+    t0 = time.time()
+    out = benjamini_hochberg(df, "p_micro", "hyp", 5, 100)
+    rejected = {r["hyp"] for r in out.where("reject").collect()}
+    wall = time.time() - t0
+    # Python reference on the collected battery
+    ps = sorted(
+        (r["p_micro"], r["hyp"]) for r in df.collect()
+    )
+    kstar = 0
+    for i, (pm, _) in enumerate(ps, start=1):
+        if pm * m * 100 <= i * 5 * 1_000_000:
+            kstar = i
+    want = {h for _, h in ps[:kstar]}
+    rejected2 = {
+        r["hyp"]
+        for r in benjamini_hochberg(
+            df.repartition(97), "p_micro", "hyp", 5, 100
+        ).where("reject").collect()
+    }
+    return {
+        "hypotheses": m,
+        "scale_vs_sf0.1": "2000x the query battery (50)",
+        "sec": round(wall, 2),
+        "rejected": len(rejected),
+        "invariant": rejected == rejected2,
+        "ok": rejected == want and rejected == rejected2
+        and len(rejected) >= 1_000,
+    }
+
+
+def case_lof_1m_edges(spark):
+    """Round-9 LOF at 1M nodes through the SCALE path (lof_from_edges
+    consuming a constructed kNN edge relation — keyed shuffles over
+    |V|*k edges, no brute-force pass): points sit on an integer line
+    at spacing 10 with k=2 line-neighbor edges; 1000 planted outliers
+    sit mid-gap but far off-line so their reach distances are ~25x a
+    line point's. Every planted outlier must exceed LOF 3; line
+    points (away from the planted columns) stay ~1."""
+    from covid_data_pipeline_spark.operators.similarity import (
+        lof_from_edges,
+    )
+
+    n = 1_000_000
+    # line nodes 0..n-1 at x = 10*i: kNN edges to i-1, i+1 (d2 = 100)
+    ids = spark.range(0, n, numPartitions=64)
+    line_edges = (
+        ids.select(F.col("id").alias("src"),
+                   (F.col("id") + 1).alias("nbr"),
+                   F.lit(100).cast("long").alias("d2"))
+        .where(F.col("nbr") < n)
+        .unionAll(
+            ids.select(F.col("id").alias("src"),
+                       (F.col("id") - 1).alias("nbr"),
+                       F.lit(100).cast("long").alias("d2"))
+            .where(F.col("nbr") >= 0)
+        )
+    )
+    # outlier o_j (id n+j, j < 1000) hovers off-line above x = 10*(1000*j+500):
+    # its 2 nearest are that line point (d2 = 2500^2... use planted d2)
+    out_ids = spark.range(0, 1_000).select(
+        (F.col("id") + n).alias("oid"),
+        (F.col("id") * 1_000 + 500).alias("anchor"),
+    )
+    out_edges = (
+        out_ids.select(F.col("oid").alias("src"),
+                       F.col("anchor").alias("nbr"),
+                       F.lit(6_250_000).cast("long").alias("d2"))
+        .unionAll(
+            out_ids.select(F.col("oid").alias("src"),
+                           (F.col("anchor") + 1).alias("nbr"),
+                           F.lit(6_250_100).cast("long").alias("d2"))
+        )
+    )
+    edges = line_edges.unionAll(out_edges).localCheckpoint()
+    t0 = time.time()
+    scores = lof_from_edges(edges, k=2)
+    outlier_lofs = scores.where(F.col("vec_id") >= n)
+    n_high = outlier_lofs.where(F.col("lof") > 3.0).count()
+    wall = time.time() - t0
+    # line points far from any planted column must stay near 1
+    clean_max = (
+        scores.where(
+            (F.col("vec_id") < n) & (F.col("vec_id") % 1_000 < 400)
+        ).agg(F.max("lof")).collect()[0][0]
+    )
+    n2 = (
+        lof_from_edges(edges.repartition(97), k=2)
+        .where((F.col("vec_id") >= n) & (F.col("lof") > 3.0)).count()
+    )
+    return {
+        "nodes": n + 1_000,
+        "edges": 2 * n + 2_000 - 2,
+        "scale_vs_sf0.1": "2000x vectors (edge-core path)",
+        "sec": round(wall, 2),
+        "outliers_flagged": n_high,
+        "clean_max_lof": float(clean_max),
+        "invariant": n_high == n2,
+        "ok": n_high == 1_000 and n_high == n2 and clean_max <= 1.5,
+    }
+
+
+def case_hilbert_16m(spark):
+    """Round-9 Hilbert fold at 16M points: pure projection throughput
+    (no shuffle until the audit rollup), exact match to the Python
+    xy2d reference on a 1k sample, and bucket counts partition-
+    invariant."""
+    from covid_data_pipeline_spark.operators.geo import hilbert_key
+
+    df = spark.range(0, 16_000_000, numPartitions=64).select(
+        ((F.xxhash64("id") % 262_144 + 262_144) % 262_144).alias("x"),
+        ((F.xxhash64("id", F.lit(7)) % 262_144 + 262_144) % 262_144
+         ).alias("y"),
+    )
+    t0 = time.time()
+    keyed = df.withColumn("h", hilbert_key("x", "y", bits=18))
+    buckets = keyed.groupBy(F.shiftright("h", 30).alias("b")).count()
+    n_buckets = buckets.count()
+    wall = time.time() - t0
+
+    def rot(n, x, y, rx, ry):
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        return x, y
+
+    def xy2d(order, x, y):
+        d, s = 0, 1 << (order - 1)
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            x, y = rot(s, x, y, rx, ry)
+            s //= 2
+        return d
+
+    sample = keyed.where(F.col("x") % 16_000 == 0).limit(1_000).collect()
+    exact = all(r["h"] == xy2d(18, r["x"], r["y"]) for r in sample)
+    b2 = (
+        df.repartition(97)
+        .withColumn("h", hilbert_key("x", "y", bits=18))
+        .groupBy(F.shiftright("h", 30).alias("b")).count().count()
+    )
+    return {
+        "rows": 16_000_000,
+        "scale_vs_sf0.1": "10000x the audit's points",
+        "sec": round(wall, 2),
+        "buckets": n_buckets,
+        "sample_exact": exact,
+        "invariant": n_buckets == b2,
+        "ok": exact and n_buckets == 64 and n_buckets == b2
+        and len(sample) >= 100,
+    }
+
+
+def case_corr_16m(spark):
+    """Round-9 correlation moments at 16M rows with a CLOSED-FORM
+    answer: (x, y, z) cycle through a deterministic period-1000
+    pattern, so the exact moments are 16000x the one-period moments
+    and the expected r is computable in Python to the same 6dp."""
+    from covid_data_pipeline_spark.operators.quality import corr_matrix
+
+    df = spark.range(0, 16_000_000, numPartitions=64).select(
+        (F.col("id") % 1_000).cast("double").alias("x"),
+        (((F.col("id") % 1_000) * 7) % 1_000).cast("double").alias("y"),
+        ((F.col("id") % 1_000) * 3 + 5).cast("double").alias("z"),
+    )
+    t0 = time.time()
+    got = {(r["col_x"], r["col_y"]): r["r"]
+           for r in corr_matrix(df, ["x", "y", "z"], quant=1.0).collect()}
+    wall = time.time() - t0
+    import math
+
+    def ref_r(xs, ys):
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(a * a for a in xs)
+        syy = sum(a * a for a in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        return round((n * sxy - sx * sy)
+                     / (math.sqrt(n * sxx - sx * sx)
+                        * math.sqrt(n * syy - sy * sy)), 6)
+
+    xs = [float(i % 1000) for i in range(1000)]
+    ys = [float((i % 1000) * 7 % 1000) for i in range(1000)]
+    zs = [float((i % 1000) * 3 + 5) for i in range(1000)]
+    want = {("x", "y"): ref_r(xs, ys), ("x", "z"): ref_r(xs, zs),
+            ("y", "z"): ref_r(ys, zs)}
+    got2 = {(r["col_x"], r["col_y"]): r["r"]
+            for r in corr_matrix(df.repartition(97), ["x", "y", "z"],
+                                 quant=1.0).collect()}
+    close = all(abs(got[k] - want[k]) <= 1e-6 for k in want)
+    return {
+        "rows": 16_000_000,
+        "scale_vs_sf0.1": "266x lineitem",
+        "sec": round(wall, 2),
+        "r_xz": got[("x", "z")],
+        "invariant": got == got2,
+        "ok": close and got == got2 and got[("x", "z")] == 1.0,
+    }
+
+
+def case_seasonal_100k_keys(spark):
+    """Round-9 seasonal strength at 100k keys x 56 days (5.6M rows):
+    even keys carry a pure weekly pattern (strength exactly 1.0),
+    odd keys an aperiodic residue pattern (strength well below);
+    the per-(key, phase) median windows parallelize across the key
+    space. Verdicts are partition-invariant."""
+    from covid_data_pipeline_spark.operators.temporal import (
+        seasonal_strength,
+    )
+
+    df = spark.range(0, 5_600_000, numPartitions=64).select(
+        (F.col("id") % 100_000).alias("k"),
+        (F.col("id") / 100_000).cast("bigint").alias("t"),
+    ).select(
+        "k",
+        "t",
+        F.when(F.col("k") % 2 == 0, 100 + 50 * (F.col("t") % 7))
+        .otherwise(100 + (F.col("t") * 37 + F.col("k")) % 11)
+        .alias("v"),
+    )
+    t0 = time.time()
+    out = seasonal_strength(df, ["k"], "t", "v", period=7)
+    agg = out.agg(
+        F.sum(F.when((F.col("k") % 2 == 0)
+                     & (F.col("strength") == 1.0), 1).otherwise(0)
+              ).alias("pure"),
+        F.sum(F.when((F.col("k") % 2 == 1)
+                     & (F.col("strength") < 0.8), 1).otherwise(0)
+              ).alias("weak"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    wall = time.time() - t0
+    agg2 = seasonal_strength(
+        df.repartition(97), ["k"], "t", "v", period=7
+    ).agg(
+        F.sum(F.when(F.col("strength") == 1.0, 1).otherwise(0)).alias("p")
+    ).collect()[0]
+    return {
+        "rows": 5_600_000,
+        "keys": 100_000,
+        "scale_vs_sf0.1": "20000x the query's key count",
+        "sec": round(wall, 2),
+        "pure_weekly": agg["pure"],
+        "invariant": agg["pure"] == agg2["p"],
+        "ok": agg["pure"] == 50_000 and agg["weak"] == 50_000
+        and agg["n"] == 100_000 and agg["pure"] == agg2["p"],
+    }
+
+
 CASES = {
     "funnel_16m": case_funnel_16m,
     "token_budget_12m": case_token_budget_12m,
@@ -2295,6 +2568,11 @@ CASES = {
     "fd_profile_10m": case_fd_profile_10m,
     "woe_iv_10m": case_woe_iv_10m,
     "entity_resolution_1m": case_entity_resolution_1m,
+    "bh_fdr_100k": case_bh_fdr_100k,
+    "lof_1m_edges": case_lof_1m_edges,
+    "hilbert_16m": case_hilbert_16m,
+    "corr_16m": case_corr_16m,
+    "seasonal_100k_keys": case_seasonal_100k_keys,
 }
 
 
