@@ -714,8 +714,11 @@ def hilbert_key(x_col: str, y_col: str, bits: int = 18) -> Column:
     exponentially under Catalyst's project collapsing), and everything
     is exact BIGINT shift/mask/add — replayable in SQL as a recursive
     CTE carrying the same state. HOFs are interpreted, not codegen'd:
-    fine for a write-time layout key, measured at bench parity with
-    the Morton path on the same audit shape.
+    measured ~2x the codegen Morton audit at sf0.1 (0.62s vs 0.32s)
+    and ~6 us/row at 16M points (STRESS hilbert_16m) — acceptable for
+    a write-time layout key; if layout writes ever dominate, the same
+    state machine vectorizes exactly in a mapInArrow numpy pass (int64
+    bit ops), or packs into LUT-shift arithmetic.
 
     Zero shuffle — a pure projection, like every layout key here."""
     if not 1 <= bits <= 31:
