@@ -3995,3 +3995,71 @@ def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_strength(
         daily, ["event_type"], "_t", "_v", period=7
     )
+
+
+@register(
+    "events_ransac_trend",
+    """
+    WITH rns_d AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2),
+    rns_p AS (
+      SELECT event_type, x, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY x, y) AS BIGINT) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM rns_d),
+    rns_c AS (
+      SELECT p1.event_type, p1.x AS x1, p1.y AS y1,
+             p2.x AS x2, p2.y AS y2, p1.n
+      FROM rns_p p1 JOIN rns_p p2
+        ON p2.event_type = p1.event_type AND p2.r = p1.r + p1.n // 2
+      WHERE abs(p2.x - p1.x) >= 1),
+    rns_s AS (
+      SELECT c.event_type, c.x1, c.y1, c.x2, c.y2, c.n,
+             SUM(CASE WHEN abs((d.y - c.y1) * (c.x2 - c.x1)
+                              - (c.y2 - c.y1) * (d.x - c.x1))
+                        <= 10 * abs(c.x2 - c.x1)
+                      THEN 1 ELSE 0 END) AS inl
+      FROM rns_c c JOIN rns_d d USING (event_type)
+      GROUP BY 1, 2, 3, 4, 5, 6),
+    rns_b AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY inl DESC, x1, x2, y1, y2) AS rn
+      FROM rns_s)
+    SELECT event_type, CAST(n AS BIGINT) AS n_points,
+           CAST(inl AS BIGINT) AS n_inliers,
+           (ROUND(CAST(y2 - y1 AS DOUBLE)
+                  / CAST(x2 - x1 AS DOUBLE), 6) + 0) AS slope,
+           CAST(x1 AS BIGINT) AS x1, CAST(x2 AS BIGINT) AS x2
+    FROM rns_b WHERE rn = 1
+    """,
+    tags=("events", "temporal", "robust-regression", "ransac"),
+)
+def events_ransac_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derandomized RANSAC trend of daily event volume per type
+    (`operators/temporal.py::ransac_trend`): half-offset candidate
+    pairs, all-integer consensus test |(y-y1)dx - dy(x-x1)| <= eps|dx|
+    at eps=10, winner by (inliers, smallest pair) — reporting not just
+    a robust slope (Theil-Sen's job) but HOW MANY days the consensus
+    line explains, the number an anomaly triage actually reads. Only
+    the reported slope is a float division."""
+    from covid_data_pipeline_spark.operators.temporal import ransac_trend
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("_x"),
+        )
+        .agg(F.count(F.lit(1)).alias("_y"))
+    )
+    return ransac_trend(
+        daily, ["event_type"], "_x", "_y", eps=10, min_span=1
+    )

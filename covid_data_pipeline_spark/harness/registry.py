@@ -132,7 +132,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
 # let an ImportError silently drop whole modules (and shrink the driver's
 # verification surface). The count assertion is the tripwire for any
 # regression that swallows registrations some other way.
-MIN_EXPECTED_QUERIES = 337
+MIN_EXPECTED_QUERIES = 338
 
 
 def _load_all() -> None:

@@ -1285,3 +1285,119 @@ def seasonal_strength(
             F.round(F.greatest(F.lit(1.0) - ratio, F.lit(0.0)), 6),
         ).alias("strength"),
     )
+
+
+def ransac_trend(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    eps: int = 10,
+    min_span: int = 1,
+) -> DataFrame:
+    """Deterministic RANSAC line fit per key (Fischler & Bolles, CACM
+    1981, derandomized for replay): the robust-trend sibling of
+    Theil-Sen that also reports WHICH fraction of the series the
+    consensus line explains — Theil-Sen always returns a slope;
+    RANSAC's inlier count tells you whether any line fits at all.
+
+    Derandomization: instead of random point pairs, candidates are the
+    n div 2 HALF-OFFSET pairs (point i with point i + n div 2 in x
+    order) — the classic spread that avoids short-baseline noise
+    amplification, costs O(n) candidates per key (n = points per key),
+    and is a pure function of the data. Consensus is counted ENTIRELY
+    in integers: point (x, y) is an inlier of the line through
+    (x1, y1), (x2, y2) iff
+
+        |(y - y1)·dx - dy·(x - x1)| <= eps · |dx|
+
+    (the vertical-distance test cleared of division), so the winning
+    candidate — max inliers, ties to the smallest (x1, x2) — is exact
+    on any engine; only the reported slope is one final division.
+    Candidates with x-span < ``min_span`` are skipped (vertical
+    degenerate). Returns per key: ``key_cols + (n_points, n_inliers,
+    slope, x1, x2)``.
+
+    Scale shape: per-key rank via a partitioned window, candidate
+    pairing is a keyed self-equi-join on (key, rank offset), and the
+    candidate x point consensus join is keyed by the key columns —
+    |candidates| x |points| = n²/2 rows PER KEY, the honest cost of
+    consensus counting (days-per-series bounded; for year-scale series
+    thin candidates further upstream)."""
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    if eps < 0 or min_span < 1:
+        raise ValueError(f"bad eps/min_span {eps}/{min_span}")
+    pts = df.select(
+        *keys,
+        F.col(x_col).cast("bigint").alias("__x"),
+        F.col(y_col).cast("bigint").alias("__y"),
+    ).filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    pts = pts.localCheckpoint(eager=False)  # ranked pairing + consensus
+    w = Window.partitionBy(*keys).orderBy("__x", "__y")
+    ranked = pts.withColumn("__r", F.row_number().over(w))
+    nkey = pts.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    a = ranked.join(nkey, keys).withColumn(
+        "__r2", F.col("__r") + F.expr("__n div 2")
+    )
+    b = ranked.select(
+        *keys,
+        F.col("__r").alias("__r2"),
+        F.col("__x").alias("__x2"),
+        F.col("__y").alias("__y2"),
+    )
+    cand = (
+        a.join(b, [*keys, "__r2"])
+        .select(
+            *keys,
+            F.col("__x").alias("__x1"),
+            F.col("__y").alias("__y1"),
+            "__x2",
+            "__y2",
+            "__n",
+        )
+        .where(F.abs(F.col("__x2") - F.col("__x")) >= min_span)
+    )
+    j = cand.join(pts.select(*keys, "__x", "__y"), keys)
+    dx = F.col("__x2") - F.col("__x1")
+    dy = F.col("__y2") - F.col("__y1")
+    resid = F.abs(
+        (F.col("__y") - F.col("__y1")) * dx - dy * (F.col("__x") - F.col("__x1"))
+    )
+    scored = j.groupBy(*keys, "__x1", "__y1", "__x2", "__y2", "__n").agg(
+        F.sum((resid <= F.lit(int(eps)) * F.abs(dx)).cast("long")).alias(
+            "__inl"
+        )
+    )
+    # argmax as ONE max(struct): inliers maximal, every tiebreak field
+    # NEGATED so "max" selects the smallest (x1, x2, y1, y2) — the same
+    # total order an oracle's ORDER BY inl DESC, x1, x2, y1, y2 gives
+    best = scored.groupBy(*keys).agg(
+        F.max(
+            F.struct(
+                F.col("__inl"),
+                (-F.col("__x1")).alias("__nx1"),
+                (-F.col("__x2")).alias("__nx2"),
+                (-F.col("__y1")).alias("__ny1"),
+                (-F.col("__y2")).alias("__ny2"),
+                F.col("__n"),
+            )
+        ).alias("__b")
+    )
+    from covid_data_pipeline_spark.functions.scalar import round_stable
+
+    y1 = -F.col("__b.__ny1")
+    y2 = -F.col("__b.__ny2")
+    x1 = -F.col("__b.__nx1")
+    x2 = -F.col("__b.__nx2")
+    return best.select(
+        *keys,
+        F.col("__b.__n").cast("bigint").alias("n_points"),
+        F.col("__b.__inl").cast("bigint").alias("n_inliers"),
+        round_stable(
+            (y2 - y1).cast("double") / (x2 - x1).cast("double"), 6
+        ).alias("slope"),
+        x1.cast("bigint").alias("x1"),
+        x2.cast("bigint").alias("x2"),
+    )

@@ -271,3 +271,32 @@ def test_bh_rank_is_distributed(spark):
         if "row_number" in line and "Window" in line:
             groups = line.count("], [")
             assert groups >= 2, f"partition-less row_number window: {line}"
+
+
+def test_ransac_trend_planted_line(spark):
+    """20 points on y = 3x + 7 plus 8 wild outliers: the consensus
+    line must capture exactly the 20 colinear points with slope 3.0;
+    a no-line blob reports a small consensus."""
+    from covid_data_pipeline_spark.operators.temporal import ransac_trend
+
+    line = [("l", x, 3 * x + 7) for x in range(20)]
+    wild = [("l", 100 + i, 10_000 * (i + 1) * (-1) ** i) for i in range(8)]
+    # cubic-mod-prime y: linear-congruential blobs are secretly
+    # PIECEWISE LINEAR (constant diffs between wraps) and RANSAC
+    # correctly finds those runs — a cubic residue has no such runs
+    blob = [("b", i, (i ** 3 + 17) % 991) for i in range(20)]
+    df = spark.createDataFrame(
+        line + wild + blob, "k STRING, x BIGINT, y BIGINT"
+    )
+    got = {r["k"]: r.asDict() for r in
+           ransac_trend(df, ["k"], "x", "y", eps=0).collect()}
+    l = got["l"]
+    assert l["n_points"] == 28 and l["n_inliers"] == 20
+    assert l["slope"] == 3.0
+    b = got["b"]
+    assert b["n_inliers"] <= 3, b  # no line explains the blob
+
+    with pytest.raises(ValueError):
+        ransac_trend(df, [], "x", "y")
+    with pytest.raises(ValueError):
+        ransac_trend(df, ["k"], "x", "y", eps=-1)
