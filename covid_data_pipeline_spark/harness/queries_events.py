@@ -4029,13 +4029,17 @@ def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     rns_b AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
                ORDER BY inl DESC, x1, x2, y1, y2) AS rn
-      FROM rns_s)
-    SELECT event_type, CAST(n AS BIGINT) AS n_points,
-           CAST(inl AS BIGINT) AS n_inliers,
-           (ROUND(CAST(y2 - y1 AS DOUBLE)
-                  / CAST(x2 - x1 AS DOUBLE), 6) + 0) AS slope,
-           CAST(x1 AS BIGINT) AS x1, CAST(x2 AS BIGINT) AS x2
-    FROM rns_b WHERE rn = 1
+      FROM rns_s),
+    rns_n AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM rns_d GROUP BY 1)
+    SELECT k.event_type, k.n_points,
+           CAST(b.inl AS BIGINT) AS n_inliers,
+           (ROUND(CAST(b.y2 - b.y1 AS DOUBLE)
+                  / CAST(b.x2 - b.x1 AS DOUBLE), 6) + 0) AS slope,
+           CAST(b.x1 AS BIGINT) AS x1, CAST(b.x2 AS BIGINT) AS x2
+    FROM rns_n k LEFT JOIN (SELECT * FROM rns_b WHERE rn = 1) b
+      USING (event_type)
     """,
     tags=("events", "temporal", "robust-regression", "ransac"),
 )
@@ -4046,7 +4050,9 @@ def events_ransac_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     at eps=10, winner by (inliers, smallest pair) — reporting not just
     a robust slope (Theil-Sen's job) but HOW MANY days the consensus
     line explains, the number an anomaly triage actually reads. Only
-    the reported slope is a float division."""
+    the reported slope is a float division. Keys with no valid
+    candidate pair surface with n_points and NULL fit columns
+    (ADVICE r9) — mirrored by the oracle's LEFT JOIN."""
     from covid_data_pipeline_spark.operators.temporal import ransac_trend
 
     daily = (

@@ -59,19 +59,19 @@ def register(
 
 
 # The external driver verifies a 50-query window in registration order.
-# Round-9 rotation (VERDICT r8 ask #1): keep the 8-query regression core
-# as a drift canary, land the 13 round-8 oracle additions (privacy
-# t-closeness, Z-order layout, SNM dedup + edit-distance verify, CM
-# join-size, SAX words, FD profile, NDCG/MAP eval, Fellegi-Sunter
-# linkage + end-to-end entity resolution, WOE/IV, distribution windows
-# -- all judge-mirror-verified green in r8), which lands EVERY
-# oracle-backed query driver-proven (322/322), and spend the remaining
-# 29 slots on drift re-checks of the longest-unverified greens (all 16
-# remaining r1-only greens + the 13 alphabetically-first r2-only
-# greens). Everything not listed keeps its module registration order
-# after these; oracle-less (rows-only) queries always sort last.
+# Round-10 rotation (VERDICT r9 ask #1 == VERIFIED.json::
+# suggested_window_r10): keep the 8-query regression core as a drift
+# canary, land the 12 round-9 oracle additions (LOO target encoding,
+# classification report, calibration+Brier, grouped-chi2 BH FDR,
+# Hilbert layout, LOF, FK audit, Pearson corr matrix, seasonal
+# strength, Spearman, ROC-AUC, RANSAC trend — all judge-mirror-verified
+# green in r9), which lands EVERY oracle-backed query driver-proven
+# (334/334), and spend the remaining 30 slots on drift re-checks of the
+# oldest remaining greens (r2-r3 era, alphabetical). Everything not
+# listed keeps its module registration order after these; oracle-less
+# (rows-only) queries always sort last.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- regression core (driver-proven r1-r8; canary against drift) ---
+    # --- regression core (driver-proven r1-r9; canary against drift) ---
     "mart_analytics",
     "agg_rollup",
     "filter_project",
@@ -80,52 +80,51 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "window_lag_alert",
     "curation_pipeline_docs",
     "tpch_q12_priority_shipping",
-    # --- never-driver-verified fills (VERIFIED.json::suggested_window_r9:
-    #     the 13 round-8 additions; completes 322/322 driver-proven) ---
-    "customers_t_closeness",
-    "geo_zorder_layout",
-    "dedup_sorted_neighborhood",
-    "events_join_size_cm",
-    "events_sax_words",
-    "lineitem_fd_profile",
-    "ann_ndcg_map_eval",
-    "linkage_fs_scores",
-    "dedup_snm_edit_distance",
-    "orders_woe_priority",
-    "entity_resolution_docs",
-    "window_dist_functions",
-    "orders_iv_feature_rank",
-    # --- drift re-checks: last driver-proven in r1 (all 16 remaining) ---
-    "chunk_documents",
-    "decontaminate_docs",
-    "dedup_exact",
-    "doc_fingerprint",
-    "doc_quality",
-    "doc_tfidf_top_terms",
-    "docs_pii_scrub",
-    "docs_repetition_signal",
-    "embeddings_label_stats",
-    "graph_component_sizes",
-    "media_audio_chunks",
-    "media_frame_sample",
-    "similarity_topk_bruteforce",
-    "similarity_topk_bruteforce_np",
-    "text_stats",
-    "top_terms_per_lang",
-    # --- drift re-checks: last driver-proven in r2 (13 oldest by name) ---
-    "anti_join_customers",
-    "asof_join_clicks_purchases",
-    "case_bucket",
-    "dedup_ngram_jaccard",
-    "distinct_dim",
-    "embedding_neardup",
-    "events_sliding_window",
-    "events_tumbling_window",
-    "gapfill_daily_events",
-    "grouping_sets_orders",
-    "join_fact_dim",
-    "map_values_case",
-    "map_values_join",
+    # --- never-driver-verified fills (VERIFIED.json::suggested_window_r10:
+    #     the 12 round-9 additions; completes 334/334 driver-proven) ---
+    "orders_loo_target_encoding",
+    "langid_classification_report",
+    "docs_quality_calibration",
+    "events_bh_fdr_cohorts",
+    "geo_hilbert_layout",
+    "embeddings_lof_scores",
+    "referential_integrity_audit",
+    "lineitem_corr_matrix",
+    "events_seasonal_strength",
+    "lineitem_spearman_corr",
+    "quality_score_auc",
+    "events_ransac_trend",
+    # --- drift re-checks: oldest remaining greens (r2-r3 era) ---
+    "pack_sequences_greedy",
+    "pivot_event_type",
+    "range_join_clicks_before_purchase",
+    "regexp_extract_props",
+    "rollup_lineitem",
+    "running_total",
+    "semi_join_suppliers",
+    "set_except_customers",
+    "set_intersect_nations",
+    "sql_pricing_summary",
+    "stratified_hash_sample",
+    "timestamp_parse_multi",
+    "topk_orders",
+    "topk_per_group",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_revenue_forecast",
+    "train_test_hash_split",
+    "union_by_name",
+    "weighted_sample_orders",
+    "year_ratio_metrics",
+    "attribution_last_touch",
+    "bm25_search_docs",
+    "cohort_retention_weekly",
+    "cube_orders",
 )
 
 # Every query module must import cleanly: a blanket try/except here once

@@ -180,9 +180,17 @@ def loo_target_encoding(
     any SQL engine (the WOE/DSIR lattice rule). Appends ``out_col``
     (4dp, round_stable: a signed target can round to -0.0).
 
+    NULL-category contract (ADVICE r9): rows whose ``cat_col`` is NULL
+    are NOT dropped — NULL is a first-class category (the groupBy
+    already forms a NULL group; the join back is null-safe), so all
+    NULL-category rows are leave-one-out encoded against each other,
+    exactly as an unseen-but-shared level should be.
+
     Scale shape: one map-side-combining rollup to |values| + one
     broadcast scalar + one co-partitioned equi-join back to the rows;
-    no window over the corpus."""
+    no window over the corpus. The null-safe equality (``<=>``) keeps
+    the same shuffle hash-partitioning as plain ``=`` (NULL hashes to
+    one partition like any other key)."""
     if prior_weight <= 0:
         raise ValueError(f"prior_weight must be > 0, got {prior_weight}")
     from covid_data_pipeline_spark.functions.scalar import round_stable
@@ -190,7 +198,7 @@ def loo_target_encoding(
     y = F.col(target_col).cast("bigint")
     per_v = df.groupBy(cat_col).agg(
         F.sum(y).alias("_sv"), F.count(y).alias("_nv")
-    )
+    ).withColumnRenamed(cat_col, "_loo_cat")
     tot = df.agg(
         F.sum(y).alias("_st"), F.count(y).alias("_nt")
     )
@@ -200,9 +208,11 @@ def loo_target_encoding(
         (F.col("_sv") - y).cast("double") + F.lit(float(w)) * gm
     ) / (F.col("_nv") - 1 + w).cast("double")
     return (
-        df.join(per_v, cat_col)
+        # eqNullSafe: the NULL-category group joins back to its rows
+        # instead of silently vanishing through `=`'s NULL-inequality.
+        df.join(per_v, F.col(cat_col).eqNullSafe(F.col("_loo_cat")), "left")
         # bcast: const(1) scalar global-mean agg
         .crossJoin(F.broadcast(tot))
         .withColumn(out_col, round_stable(enc, 4))
-        .drop("_sv", "_nv", "_st", "_nt")
+        .drop("_loo_cat", "_sv", "_nv", "_st", "_nt")
     )

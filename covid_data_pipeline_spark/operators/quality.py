@@ -326,29 +326,48 @@ def fk_audit(
     (which collects one scalar) — a schema's whole FK graph audits in
     one DataFrame a contract gate or dashboard consumes.
 
-    Per edge: one map-side count + one anti-join against the distinct
-    parent keys (broadcast when the parent is dim-sized, AQE decides);
-    output is |edges| rows. Orphan counting joins on the DISTINCT
-    parent key relation, so a duplicated parent key cannot double-count
-    children."""
+    Per edge, ONE scan of the child (ADVICE r9 — the previous form
+    scanned it twice: full/null counts plus a separate orphan
+    anti-join): the child is first rolled up to per-FK-value counts
+    (map-side combining, so the shuffle carries |distinct fk| rows,
+    not |child|, and all NULL FKs collapse into a single group row —
+    no NULL-key skew at scale), then LEFT-joined against the DISTINCT
+    parent keys; n_child / n_null_fk / n_orphans all fold out of that
+    one joined relation in a single aggregate. Joining distinct-vs-
+    distinct also means a duplicated parent key cannot double-count
+    children. Output is |edges| rows."""
     if not edges:
         raise ValueError("edges must be non-empty")
     outs = []
     for name, child, fk_col, parent, pk_col in edges:
-        non_null = child.filter(F.col(fk_col).isNotNull())
-        orphans = non_null.join(
-            parent.select(F.col(pk_col).alias(fk_col)).distinct(),
-            on=fk_col,
-            how="left_anti",
+        per_fk = child.groupBy(F.col(fk_col).alias("__fk")).agg(
+            F.count(F.lit(1)).alias("__cnt")
         )
-        stats = child.agg(
-            F.count(F.lit(1)).alias("n_child"),
-            F.sum(F.col(fk_col).isNull().cast("long")).alias("n_null_fk"),
+        pk = parent.select(F.col(pk_col).alias("__pk")).distinct()
+        j = per_fk.join(pk, F.col("__fk") == F.col("__pk"), "left")
+        # coalesce: an EMPTY child must report 0s, not NULL sums
+        stats = j.agg(
+            F.coalesce(F.sum("__cnt"), F.lit(0)).alias("n_child"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__fk").isNull(), F.col("__cnt")
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            ).alias("n_null_fk"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__fk").isNotNull() & F.col("__pk").isNull(),
+                        F.col("__cnt"),
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            ).alias("n_orphans"),
         )
-        o = orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
         outs.append(
-            # bcast: const(1) scalar orphan count
-            stats.crossJoin(F.broadcast(o)).select(
+            stats.select(
                 F.lit(name).alias("fk"),
                 F.col("n_child").cast("bigint").alias("n_child"),
                 F.col("n_null_fk").cast("bigint").alias("n_null_fk"),

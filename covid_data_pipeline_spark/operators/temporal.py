@@ -1318,6 +1318,13 @@ def ransac_trend(
     degenerate). Returns per key: ``key_cols + (n_points, n_inliers,
     slope, x1, x2)``.
 
+    Degenerate-key contract (ADVICE r9): keys that yield NO valid
+    candidate pair — single-point keys, or keys whose every
+    half-offset pair has x-span < ``min_span`` — are NOT omitted:
+    they surface with their true ``n_points`` and NULL
+    ``n_inliers/slope/x1/x2`` (the per-key counts are left-joined
+    back), so a caller can tell "no line fits" from "key vanished".
+
     Scale shape: per-key rank via a partitioned window, candidate
     pairing is a keyed self-equi-join on (key, rank offset), and the
     candidate x point consensus join is keyed by the key columns —
@@ -1391,9 +1398,8 @@ def ransac_trend(
     y2 = -F.col("__b.__ny2")
     x1 = -F.col("__b.__nx1")
     x2 = -F.col("__b.__nx2")
-    return best.select(
+    fitted = best.select(
         *keys,
-        F.col("__b.__n").cast("bigint").alias("n_points"),
         F.col("__b.__inl").cast("bigint").alias("n_inliers"),
         round_stable(
             (y2 - y1).cast("double") / (x2 - x1).cast("double"), 6
@@ -1401,3 +1407,9 @@ def ransac_trend(
         x1.cast("bigint").alias("x1"),
         x2.cast("bigint").alias("x2"),
     )
+    # Degenerate keys (no valid candidate) keep a row: true n_points
+    # from the |keys|-sized count rollup, NULL fit columns from the
+    # left join. Both sides are hash-partitioned on the same keys.
+    return nkey.select(
+        *keys, F.col("__n").cast("bigint").alias("n_points")
+    ).join(fitted, keys, "left")

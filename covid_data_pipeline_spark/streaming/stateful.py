@@ -1448,7 +1448,12 @@ def stream_psi(
     the PSI recomputed over ALL data so far, with the IDENTICAL
     term arithmetic as the batch oracle (+0.5 smoothing, ln of one
     IEEE ratio, nano-unit integer scale, 0.1 threshold compared in
-    BIGINT): ``psi_nano`` and ``drifted``. Groups without a reference
+    BIGINT): ``psi_nano`` and ``drifted``. Per-term rounding is
+    explicit HALF-AWAY-FROM-ZERO (ADVICE r9: Python ``round`` is
+    half-to-even while SQL ROUND is half-away, so a term landing
+    exactly on a .5 nano boundary would have diverged; each PSI term
+    is >= 0 by construction — (p-q) and ln(p/q) share a sign — but
+    the rounding is sign-safe regardless). Groups without a reference
     histogram are dropped (nothing to compare against)."""
     import math
 
@@ -1511,7 +1516,9 @@ def stream_psi(
         for r, c in zip(rc, counts):
             p = (r + 0.5) / (nr + bins * 0.5)
             q = (c + 0.5) / (nc + bins * 0.5)
-            psi += int(round((p - q) * math.log(p / q) * 1e9))
+            t = (p - q) * math.log(p / q) * 1e9
+            # SQL ROUND semantics: half away from zero, not banker's
+            psi += int(math.floor(t + 0.5) if t >= 0 else math.ceil(t - 0.5))
         out = pd.DataFrame(
             {
                 "counts": [counts],

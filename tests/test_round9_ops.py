@@ -300,3 +300,76 @@ def test_ransac_trend_planted_line(spark):
         ransac_trend(df, [], "x", "y")
     with pytest.raises(ValueError):
         ransac_trend(df, ["k"], "x", "y", eps=-1)
+
+
+def test_ransac_trend_degenerate_keys_surface(spark):
+    """ADVICE r9: keys with no valid candidate pair must NOT vanish —
+    a single-point key and an all-same-x key (every pair below
+    min_span) both surface with true n_points and NULL fit columns."""
+    from covid_data_pipeline_spark.operators.temporal import ransac_trend
+
+    rows = (
+        [("solo", 5, 42)]                          # one point: no pair
+        + [("flat_x", 7, y) for y in range(4)]     # span 0 < min_span
+        + [("ok", x, 2 * x) for x in range(6)]     # healthy control
+    )
+    df = spark.createDataFrame(rows, "k STRING, x BIGINT, y BIGINT")
+    got = {r["k"]: r.asDict() for r in
+           ransac_trend(df, ["k"], "x", "y", eps=0).collect()}
+    assert set(got) == {"solo", "flat_x", "ok"}
+    assert got["solo"]["n_points"] == 1
+    assert got["solo"]["n_inliers"] is None
+    assert got["solo"]["slope"] is None
+    assert got["flat_x"]["n_points"] == 4
+    assert got["flat_x"]["slope"] is None and got["flat_x"]["x1"] is None
+    assert got["ok"]["slope"] == 2.0 and got["ok"]["n_inliers"] == 6
+
+
+def test_fk_audit_single_pass_and_empty_child(spark):
+    """ADVICE r9 shape fix: the per-edge plan carries exactly ONE scan
+    of the child (per-FK rollup, then distinct-vs-distinct join); an
+    empty child reports zeros, not NULL sums."""
+    from covid_data_pipeline_spark.operators.quality import fk_audit
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id BIGINT, fk BIGINT"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk BIGINT")
+    audit = fk_audit([("e", child, "fk", parent, "pk")])
+    plan = audit._jdf.queryExecution().optimizedPlan().toString()
+    # one child scan: LocalRelation for `child` appears once
+    assert plan.count("LocalRelation [id#") <= 1, plan
+
+    empty = spark.createDataFrame([], "id BIGINT, fk BIGINT")
+    r = fk_audit([("e", empty, "fk", parent, "pk")]).collect()[0]
+    assert (r["n_child"], r["n_null_fk"], r["n_orphans"], r["holds"]) == (
+        0, 0, 0, True,
+    )
+
+
+def test_loo_target_encoding_null_category_is_a_group(spark):
+    """ADVICE r9: NULL categories are a first-class LOO group — rows
+    are kept and encoded against the other NULL-category rows, not
+    dropped by the join back."""
+    from covid_data_pipeline_spark.operators.features import (
+        loo_target_encoding,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), (None, 30), (None, 50), (None, 70)],
+        "cat STRING, y BIGINT",
+    )
+    out = loo_target_encoding(df, "cat", "y", prior_weight=10)
+    rows = out.collect()
+    assert len(rows) == 5, "NULL-category rows must not drop"
+    gm = (10 + 20 + 30 + 50 + 70) / 5  # 36.0
+    by = {}
+    for r in rows:
+        by.setdefault(r["cat"], []).append((r["y"], r["enc"]))
+    # NULL group, row y=30: (S_v - y + w*GM)/(n_v - 1 + w)
+    #   = (150 - 30 + 360)/(3 - 1 + 10) = 480/12 = 40.0
+    null_enc = {y: e for y, e in by[None]}
+    assert null_enc[30] == round((150 - 30 + 10 * gm) / 12, 4)
+    assert null_enc[50] == round((150 - 50 + 10 * gm) / 12, 4)
+    a_enc = {y: e for y, e in by["a"]}
+    assert a_enc[10] == round((30 - 10 + 10 * gm) / 11, 4)

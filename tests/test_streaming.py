@@ -1650,15 +1650,16 @@ def test_stream_psi_matches_batch_formula(spark, tmp_path):
             final[r["g"]] = r
 
     def psi_nano(rc, counts):
+        # half-away-from-zero per term, matching SQL ROUND (ADVICE r9)
         nr, nc = sum(rc), sum(counts)
-        return sum(
-            int(round(((r + 0.5) / (nr + bins * 0.5)
-                       - (c + 0.5) / (nc + bins * 0.5))
-                      * math.log(((r + 0.5) / (nr + bins * 0.5))
-                                 / ((c + 0.5) / (nc + bins * 0.5)))
-                      * 1e9))
-            for r, c in zip(rc, counts)
-        )
+        total = 0
+        for r, c in zip(rc, counts):
+            p = (r + 0.5) / (nr + bins * 0.5)
+            q2 = (c + 0.5) / (nc + bins * 0.5)
+            t = (p - q2) * math.log(p / q2) * 1e9
+            total += int(math.floor(t + 0.5) if t >= 0
+                         else math.ceil(t - 0.5))
+        return total
 
     assert set(final) == {"stable", "shifted"}
     for g in final:
@@ -1673,6 +1674,74 @@ def test_stream_psi_matches_batch_formula(spark, tmp_path):
     assert not final["stable"]["drifted"]
     assert final["shifted"]["drifted"]
     assert final["shifted"]["psi_nano"] > 100_000_000
+
+
+def test_stream_psi_through_medallion_bridge(spark, tmp_path):
+    """VERDICT r9 ask #6: drive stream_psi through the foreachBatch
+    medallion bridge like stream_cm_sketch — per-group PSI updates
+    dynamic-partition-overwrite a warehouse table keyed by group, so
+    after the drain the serving table holds each group's LATEST drift
+    state, which must match the whole-input recomputation and the
+    planted drift verdicts."""
+    import math
+
+    from covid_data_pipeline_spark.streaming.stateful import stream_psi
+
+    bins = 10
+    ref = {"stable": [100] * bins, "shifted": [100] * bins}
+    rows = [("stable", (i % bins) + 1) for i in range(600)] + [
+        ("shifted", 10 if i % 4 else 1) for i in range(600)
+    ]
+    src_dir = tmp_path / "psi_src2"
+    src_dir.mkdir()
+    third = len(rows) // 3
+    for n, chunk in (("f1", rows[:third]), ("f2", rows[third:2 * third]),
+                     ("f3", rows[2 * third:])):
+        spark.createDataFrame(chunk, "g string, bin long").coalesce(
+            1
+        ).write.parquet(str(src_dir / f"{n}.parquet"))
+
+    wh = Warehouse(spark, str(tmp_path / "wh_psi"))
+    stream = (
+        spark.readStream.schema("g string, bin long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    updates = stream_psi(stream, ["g"], "bin", ref, bins=bins)
+    q = stream_transform_to_table(
+        updates,
+        transform=lambda df: df,
+        wh=wh,
+        table="serve.psi_state",
+        checkpoint_dir=str(tmp_path / "ckpt_psi2"),
+        partition_by=["g"],
+    )
+    _drain(q)
+
+    got = {r["g"]: r for r in wh.read("serve.psi_state").collect()}
+    assert set(got) == {"stable", "shifted"}
+
+    def psi_nano(rc, counts):
+        nr, nc = sum(rc), sum(counts)
+        total = 0
+        for r, c in zip(rc, counts):
+            p = (r + 0.5) / (nr + bins * 0.5)
+            q2 = (c + 0.5) / (nc + bins * 0.5)
+            t = (p - q2) * math.log(p / q2) * 1e9
+            total += int(math.floor(t + 0.5) if t >= 0
+                         else math.ceil(t - 0.5))
+        return total
+
+    for g, r in got.items():
+        want_counts = [0] * bins
+        for gg, b in rows:
+            if gg == g:
+                want_counts[b - 1] += 1
+        assert list(r["counts"]) == want_counts, g
+        assert r["n_seen"] == 600
+        assert r["psi_nano"] == psi_nano(ref[g], want_counts), g
+    assert not got["stable"]["drifted"]
+    assert got["shifted"]["drifted"]
 
 
 def test_stream_psi_rejects_bad_config(spark):

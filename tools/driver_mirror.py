@@ -53,6 +53,16 @@ def _dtype_ok(spark_t: str, arrow_t: str) -> bool:
 
 
 def main() -> int:
+    # Ledger tripwire (VERDICT r9 ask #7): an inconsistent VERIFIED.json
+    # fold fails the mirror before any query runs.
+    from tools.ledger_audit import audit as _ledger_audit
+
+    ledger_errs = _ledger_audit()
+    if ledger_errs:
+        for e in ledger_errs:
+            print(f"LEDGER-INCONSISTENT: {e}", file=sys.stderr)
+        return 1
+
     args = sys.argv[1:]
     only = None
     if "--only" in args:
