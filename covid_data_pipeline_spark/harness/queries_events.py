@@ -4069,3 +4069,147 @@ def events_ransac_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ransac_trend(
         daily, ["event_type"], "_x", "_y", eps=10, min_span=1
     )
+
+
+@register(
+    "events_annotator_kappa",
+    """
+    WITH kap_r AS (
+      SELECT CASE WHEN value < 25 THEN 'low'
+                  WHEN value < 75 THEN 'mid' ELSE 'high' END AS a,
+             CASE WHEN value + (event_id % 11) - 5 < 25 THEN 'low'
+                  WHEN value + (event_id % 11) - 5 < 75 THEN 'mid'
+                  ELSE 'high' END AS b
+      FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+    kap_c AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+              FROM kap_r GROUP BY 1, 2),
+    kap_n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM kap_c),
+    kap_d AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS d
+              FROM kap_c WHERE a = b),
+    kap_ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ra
+               FROM kap_c GROUP BY 1),
+    kap_rb AS (SELECT b AS a, CAST(SUM(c) AS BIGINT) AS rb
+               FROM kap_c GROUP BY 1),
+    kap_pe AS (
+      SELECT COALESCE(SUM(ra::HUGEINT * rb), 0) AS pes
+      FROM kap_ra JOIN kap_rb USING (a)),
+    kap_cl AS (
+      SELECT CAST(COUNT(DISTINCT cl) AS BIGINT) AS n_classes
+      FROM (SELECT a AS cl FROM kap_c UNION SELECT b FROM kap_c))
+    SELECT n.n, cl.n_classes,
+           (ROUND(CAST(d.d AS DOUBLE) / CAST(n.n AS DOUBLE), 6) + 0)
+             AS po,
+           (ROUND(CAST(p.pes AS DOUBLE)
+                  / CAST(n.n::HUGEINT * n.n AS DOUBLE), 6) + 0) AS pe,
+           (ROUND(CAST(n.n::HUGEINT * d.d - p.pes AS DOUBLE)
+                  / CAST(n.n::HUGEINT * n.n - p.pes AS DOUBLE), 6) + 0)
+             AS kappa
+    FROM kap_n n CROSS JOIN kap_d d CROSS JOIN kap_pe p
+    CROSS JOIN kap_cl cl
+    """,
+    tags=("events", "evaluation", "agreement", "statistics"),
+)
+def events_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic event-severity raters
+    (`operators/experiment.py::cohens_kappa`, Cohen 1960): rater A
+    buckets raw value into low/mid/high, rater B buckets a perturbed
+    reading (value + event_id mod 11 − 5) — the inter-annotator-
+    agreement gate a labeling pipeline runs before trusting either
+    rule. kappa is ONE integer rational (n·Σdiag − Σr·c)/(n² − Σr·c)
+    over DECIMAL(38,0) counts; po/pe spend one division each."""
+    from covid_data_pipeline_spark.operators.experiment import cohens_kappa
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    )
+
+    def bucket(v):
+        return (
+            F.when(v < 25, "low").when(v < 75, "mid").otherwise("high")
+        )
+
+    rated = ev.select(
+        bucket(F.col("value")).alias("_a"),
+        bucket(
+            F.col("value") + (F.col("event_id") % 11) - 5
+        ).alias("_b"),
+    )
+    return cohens_kappa(rated, "_a", "_b")
+
+
+@register(
+    "events_js_divergence",
+    """
+    WITH jsd_b AS (
+      SELECT event_type,
+             LEAST(9, GREATEST(0, CAST(FLOOR(value / 50) AS INT)))
+               AS bin
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    jsd_gb AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c
+               FROM jsd_b GROUP BY 1, 2),
+    jsd_ng AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS ng
+               FROM jsd_gb GROUP BY 1),
+    jsd_gl AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS cb
+               FROM jsd_gb GROUP BY 1),
+    jsd_t AS (SELECT CAST(SUM(cb) AS BIGINT) AS nt FROM jsd_gl),
+    jsd_grid AS (
+      SELECT g.event_type, g.ng, b.bin, b.cb,
+             CAST(COALESCE(x.c, 0) AS BIGINT) AS c, t.nt
+      FROM jsd_ng g CROSS JOIN jsd_gl b
+      LEFT JOIN jsd_gb x
+        ON x.event_type = g.event_type AND x.bin = b.bin
+      CROSS JOIN jsd_t t),
+    jsd_terms AS (
+      SELECT event_type, ng,
+        CAST(ROUND((
+          CASE WHEN c > 0
+            THEN (CAST(c AS DOUBLE) / CAST(ng AS DOUBLE))
+               * ln((CAST(c AS DOUBLE) / CAST(ng AS DOUBLE))
+                    / ((CAST(c AS DOUBLE) / CAST(ng AS DOUBLE)
+                        + CAST(cb AS DOUBLE) / CAST(nt AS DOUBLE))
+                       / 2.0))
+            ELSE 0.0 END
+        + CASE WHEN cb > 0
+            THEN (CAST(cb AS DOUBLE) / CAST(nt AS DOUBLE))
+               * ln((CAST(cb AS DOUBLE) / CAST(nt AS DOUBLE))
+                    / ((CAST(c AS DOUBLE) / CAST(ng AS DOUBLE)
+                        + CAST(cb AS DOUBLE) / CAST(nt AS DOUBLE))
+                       / 2.0))
+            ELSE 0.0 END
+        ) / 2.0 * 1e9, 0) AS BIGINT) AS nano
+      FROM jsd_grid)
+    SELECT event_type, MAX(ng) AS n,
+           CAST(SUM(nano) AS BIGINT) AS jsd_nano,
+           (ROUND(CAST(SUM(nano) AS BIGINT) / 1e9, 6) + 0) AS jsd
+    FROM jsd_terms
+    GROUP BY 1
+    """,
+    tags=("events", "monitoring", "drift", "statistics"),
+)
+def events_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence of each event type's value-bucket
+    distribution vs the global corpus distribution
+    (`operators/experiment.py::js_divergence`, Lin IEEE-IT'91) — the
+    bounded symmetric drift score (0 ≤ JSD ≤ ln 2) that stays finite
+    on empty bins where PSI's ratio explodes: "which cohorts deviate
+    from the mix" for data-mix audits. Per-cell terms are nano-nat-
+    rounded IEEE expressions over exact integer rationals summed in
+    BIGINT (the PSI lattice rule); the dense grid is |types × 10|."""
+    from covid_data_pipeline_spark.operators.experiment import (
+        js_divergence,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    binned = ev.select(
+        "event_type",
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0), F.floor(F.col("value") / 50).cast("int")
+            ),
+        ).alias("_bin"),
+    )
+    return js_divergence(binned, "event_type", "_bin")

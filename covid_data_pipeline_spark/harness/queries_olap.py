@@ -2834,3 +2834,158 @@ def lineitem_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         quant=100.0,
     )
+
+
+def _cramers_pair_sql(cx: str, cy: str, ex: str, ey: str) -> str:
+    """One Cramér's-V pair block (DuckDB): contingency chi² with the
+    exact rational per-cell term, then V from the unrounded-at-4dp
+    decimal chi² sum — mirrors `operators/quality.py::
+    cramers_v_matrix` expression-for-expression."""
+    return f"""
+    SELECT '{cx}' AS col_x, '{cy}' AS col_y,
+           CAST(n2 AS BIGINT) AS n,
+           CAST(ROUND(chi2d, 4) AS DOUBLE) AS chi2,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           (ROUND(SQRT(CAST(chi2d AS DOUBLE)
+                       / CAST(n2::HUGEINT
+                              * LEAST(nr - 1, nc - 1) AS DOUBLE)), 6)
+            + 0) AS v
+    FROM (
+      SELECT SUM(CAST(ROUND(
+               CAST((o::HUGEINT * n - rt::HUGEINT * ct)
+                    * (o::HUGEINT * n - rt::HUGEINT * ct) AS DOUBLE)
+               / CAST(n::HUGEINT * rt * ct AS DOUBLE), 6)
+             AS DECIMAL(18,6))) AS chi2d,
+             MAX(n) AS n2, MAX(nr) AS nr, MAX(nc) AS nc
+      FROM (
+        SELECT r.rt, c.ct, COALESCE(o.o, 0) AS o, g.n, g.nr, g.nc
+        FROM (SELECT v AS r, CAST(COUNT(*) AS BIGINT) AS rt FROM
+              (SELECT CAST({ex} AS VARCHAR) AS v FROM orders
+               WHERE {ex} IS NOT NULL AND {ey} IS NOT NULL) GROUP BY 1) r
+        CROSS JOIN
+             (SELECT v AS c, CAST(COUNT(*) AS BIGINT) AS ct FROM
+              (SELECT CAST({ey} AS VARCHAR) AS v FROM orders
+               WHERE {ex} IS NOT NULL AND {ey} IS NOT NULL) GROUP BY 1) c
+        LEFT JOIN
+             (SELECT CAST({ex} AS VARCHAR) AS r, CAST({ey} AS VARCHAR)
+                       AS c, CAST(COUNT(*) AS BIGINT) AS o
+              FROM orders WHERE {ex} IS NOT NULL AND {ey} IS NOT NULL
+              GROUP BY 1, 2) o
+          ON o.r = r.r AND o.c = c.c
+        CROSS JOIN
+             (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(COUNT(DISTINCT CAST({ex} AS VARCHAR))
+                          AS BIGINT) AS nr,
+                     CAST(COUNT(DISTINCT CAST({ey} AS VARCHAR))
+                          AS BIGINT) AS nc
+              FROM orders
+              WHERE {ex} IS NOT NULL AND {ey} IS NOT NULL) g
+      )
+    )"""
+
+
+_CRAM_COLS = [
+    ("status", "o_orderstatus"),
+    ("prio", "o_orderpriority"),
+    ("omonth", "CAST(month(o_orderdate) AS BIGINT)"),
+    ("cmod", "o_custkey % 7"),
+]
+_CRAM_SQL = "\nUNION ALL\n".join(
+    _cramers_pair_sql(_CRAM_COLS[i][0], _CRAM_COLS[j][0],
+                      _CRAM_COLS[i][1], _CRAM_COLS[j][1])
+    for i in range(len(_CRAM_COLS))
+    for j in range(i + 1, len(_CRAM_COLS))
+)
+
+
+@register(
+    "orders_cramers_v_matrix",
+    _CRAM_SQL,
+    tags=("olap", "statistics", "association", "profiling"),
+)
+def orders_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Cramér's V over four categorical order dimensions
+    (status, priority, order month, customer-key residue) —
+    `operators/quality.py::cramers_v_matrix`, the categorical sibling
+    of lineitem_corr_matrix: which dimensions carry redundant signal.
+    Every chi² cell is the exact rational (O·n − R·C)²/(n·R·C) in
+    DECIMAL(38,0) counts (the grouped_independence_chi2 contract);
+    V = sqrt(chi²/(n·min(R−1,C−1))) spends one sqrt on the exact
+    1e-6-lattice chi². The synthetic dims are near-independent, so the
+    Vs are honestly tiny — the query proves the measurement."""
+    from covid_data_pipeline_spark.operators.quality import (
+        cramers_v_matrix,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+        F.month(F.to_date("o_orderdate")).cast("bigint").alias("omonth"),
+        (F.col("o_custkey") % 7).alias("cmod"),
+    )
+    return cramers_v_matrix(o, ["status", "prio", "omonth", "cmod"])
+
+
+def _entropy_col_sql(name: str, expr: str) -> str:
+    """One entropy-profile column block (DuckDB): the micro-nat
+    lattice H = (ln(n)_nano·n − Σ c·ln(c)_nano)/(n·1e9) — mirrors
+    `operators/quality.py::entropy_profile`."""
+    return f"""
+    SELECT '{name}' AS col_name,
+           CAST(n AS BIGINT) AS n,
+           CAST(d AS BIGINT) AS n_distinct,
+           (ROUND(CAST(CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1e9, 0)
+                             AS HUGEINT) * n - s AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * 1e9), 6) + 0) AS entropy,
+           (ROUND(CAST(CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1e9, 0)
+                             AS HUGEINT) * n - s AS DOUBLE)
+                  / CAST(CAST(ROUND(ln(CAST(d AS DOUBLE)) * 1e9, 0)
+                              AS HUGEINT) * n AS DOUBLE), 6) + 0)
+             AS norm_entropy
+    FROM (
+      SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS d,
+             SUM(c::HUGEINT * CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1e9, 0)
+                                   AS BIGINT)) AS s
+      FROM (SELECT CAST({expr} AS VARCHAR) AS v,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY 1)
+    )"""
+
+
+_ENTROPY_SQL = "\nUNION ALL\n".join(
+    _entropy_col_sql(n, e)
+    for n, e in [
+        ("l_returnflag", "l_returnflag"),
+        ("l_linestatus", "l_linestatus"),
+        ("qty", "CAST(l_quantity AS BIGINT)"),
+        ("l_suppkey", "l_suppkey"),
+    ]
+)
+
+
+@register(
+    "lineitem_entropy_profile",
+    _ENTROPY_SQL,
+    tags=("olap", "statistics", "profiling", "entropy"),
+)
+def lineitem_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy profile of four lineitem dimensions
+    (`operators/quality.py::entropy_profile`) — the information-
+    content audit next to fd_profile's structure audit: a near-zero
+    entropy column is a constant in disguise; a norm_entropy ≈ 1
+    column is a candidate partition/salt key. Every ln is rounded
+    once to nano-nats, the weighted sum is exact BIGINT/HUGEINT, and
+    entropy/norm_entropy each spend one division (norm reuses the
+    same integer numerator — never a rounded-over-rounded
+    composition). One |distinct|-sized rollup per column."""
+    from covid_data_pipeline_spark.operators.quality import entropy_profile
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_suppkey",
+    )
+    return entropy_profile(
+        li, ["l_returnflag", "l_linestatus", "qty", "l_suppkey"]
+    )

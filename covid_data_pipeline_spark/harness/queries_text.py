@@ -2784,3 +2784,131 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_ctrl").alias("n_neg"),
         "auc",
     )
+
+
+@register(
+    "docs_quality_ece",
+    r"""
+    WITH ece_q AS (
+      SELECT (length(text) BETWEEN 50 AND 20000)::INT * 0.4
+             + COALESCE(CASE WHEN length(text) > 0
+                 THEN len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+                      / length(text) END < 0.2, FALSE)::INT * 0.3
+             + COALESCE(CASE WHEN
+                 len(regexp_split_to_array(trim(lower(text)), '\s+')) > 0
+                 THEN len(list_filter(
+                        regexp_split_to_array(trim(lower(text)), '\s+'),
+                        x -> x IN ('the','a','and','of','to','in','is',
+                                   'for','on','with')))::DOUBLE
+                      / len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 END > 0.01, FALSE)::INT * 0.3 AS q,
+             (lang = 'en')::INT AS y
+      FROM documents),
+    ece_b AS (
+      SELECT CAST(ROUND(q * 1e6, 0) AS BIGINT) AS s, y FROM ece_q),
+    ece_g AS (
+      SELECT LEAST(9, s * 10 // 1000000) AS bin,
+             COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(SUM(s) AS BIGINT) AS ssum
+      FROM ece_b GROUP BY 1)
+    SELECT CAST(SUM(n) AS BIGINT) AS n,
+           ROUND(CAST(SUM(ABS(pos::HUGEINT * 1000000 - ssum::HUGEINT))
+                      AS DOUBLE)
+                 / (CAST(SUM(n) AS DOUBLE) * 1000000.0), 6) AS ece
+    FROM ece_g
+    """,
+    tags=("text", "quality", "calibration", "evaluation"),
+)
+def docs_quality_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error of the heuristic quality score as
+    P(doc is English) (`operators/calibrate.py::
+    expected_calibration_error`, Naeini+ AAAI'15) — the one-number
+    companion to docs_quality_calibration's reliability table, and
+    deliberately NOT derived from that table's rounded columns: each
+    bin's |accuracy − confidence| gap clears denominators to the exact
+    BIGINT |n_pos·scale − Σs| and ECE spends one division. Same
+    micro-prob lattice and binning as the report."""
+    from covid_data_pipeline_spark.functions.text import quality_score
+    from covid_data_pipeline_spark.operators.calibrate import (
+        expected_calibration_error,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        F.round(quality_score("text") * 1e6, 0)
+        .cast("bigint")
+        .alias("_s"),
+        (F.col("lang") == "en").alias("_y"),
+    )
+    return expected_calibration_error(d, "_s", "_y", bins=10,
+                                      scale=1_000_000)
+
+
+@register(
+    "docs_bigram_collocations",
+    r"""
+    WITH col_toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    col_big AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM col_toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+    col_cb AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM col_big GROUP BY 1, 2),
+    col_c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+               FROM col_cb GROUP BY 1),
+    col_c2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2
+               FROM col_cb GROUP BY 1),
+    col_nn AS (SELECT CAST(SUM(c12) AS BIGINT) AS nn FROM col_cb),
+    col_sc AS (
+      SELECT b.w1, b.w2, b.c12, m1.c1, m2.c2, t.nn
+      FROM col_cb b JOIN col_c1 m1 USING (w1) JOIN col_c2 m2 USING (w2)
+      CROSS JOIN col_nn t
+      WHERE b.c12 >= 5),
+    col_terms AS (
+      SELECT w1, w2, c12,
+        2 * (
+          CASE WHEN c12 > 0 THEN CAST(ROUND(CAST(c12 AS DOUBLE)
+            * ln((CAST(c12 AS DOUBLE) * CAST(nn AS DOUBLE))
+                 / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))
+            * 1e9, 0) AS BIGINT) ELSE 0 END
+        + CASE WHEN c1 - c12 > 0 THEN CAST(ROUND(CAST(c1 - c12 AS DOUBLE)
+            * ln((CAST(c1 - c12 AS DOUBLE) * CAST(nn AS DOUBLE))
+                 / (CAST(c1 AS DOUBLE) * CAST(nn - c2 AS DOUBLE)))
+            * 1e9, 0) AS BIGINT) ELSE 0 END
+        + CASE WHEN c2 - c12 > 0 THEN CAST(ROUND(CAST(c2 - c12 AS DOUBLE)
+            * ln((CAST(c2 - c12 AS DOUBLE) * CAST(nn AS DOUBLE))
+                 / (CAST(nn - c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))
+            * 1e9, 0) AS BIGINT) ELSE 0 END
+        + CASE WHEN nn - c1 - c2 + c12 > 0 THEN CAST(ROUND(
+            CAST(nn - c1 - c2 + c12 AS DOUBLE)
+            * ln((CAST(nn - c1 - c2 + c12 AS DOUBLE) * CAST(nn AS DOUBLE))
+                 / (CAST(nn - c1 AS DOUBLE) * CAST(nn - c2 AS DOUBLE)))
+            * 1e9, 0) AS BIGINT) ELSE 0 END
+        ) AS g2_nano
+      FROM col_sc)
+    SELECT w1, w2, c12, g2_nano,
+           (ROUND(g2_nano / 1e9, 4) + 0) AS g2
+    FROM col_terms
+    ORDER BY g2_nano DESC, w1, w2
+    LIMIT 15
+    """,
+    tags=("text", "collocations", "langmodel", "statistics"),
+    bench=True,
+)
+def docs_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 bigram collocations by Dunning log-likelihood G²
+    (`operators/langmodel.py::collocations_g2`, Dunning CL'93) — the
+    likelihood-ratio phrase-mining primitive (raw counts rank
+    stopword pairs; PMI explodes on hapaxes; G² balances both), the
+    standard seed step for tokenizer/phrase vocabularies. All four
+    2×2-table terms are micro-nat-rounded BIGINTs summed exactly;
+    ranking is total-ordered by (g2_nano DESC, w1, w2); the top-k is
+    TakeOrderedAndProject, never a global sort."""
+    from covid_data_pipeline_spark.operators.langmodel import (
+        collocations_g2,
+    )
+
+    return collocations_g2(
+        table(spark, sf_dir, "documents"), top_k=15, min_count=5
+    )

@@ -66,9 +66,12 @@ def register(
 # Hilbert layout, LOF, FK audit, Pearson corr matrix, seasonal
 # strength, Spearman, ROC-AUC, RANSAC trend — all judge-mirror-verified
 # green in r9), which lands EVERY oracle-backed query driver-proven
-# (334/334), and spend the remaining 30 slots on drift re-checks of the
-# oldest remaining greens (r2-r3 era, alphabetical). Everything not
-# listed keeps its module registration order after these; oracle-less
+# (334/334), then the 6 round-10 additions (Cohen's kappa, Cramér's V
+# matrix, entropy profile, ECE, Jensen-Shannon drift, Dunning G²
+# collocations — mirror-verified at sf0.01 + sf0.001 when added), and
+# spend the remaining 24 slots on drift re-checks of the oldest
+# remaining greens (r2-r3 era, alphabetical). Everything not listed
+# keeps its module registration order after these; oracle-less
 # (rows-only) queries always sort last.
 WINDOW_PRIORITY: tuple[str, ...] = (
     # --- regression core (driver-proven r1-r9; canary against drift) ---
@@ -94,6 +97,13 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "lineitem_spearman_corr",
     "quality_score_auc",
     "events_ransac_trend",
+    # --- round-10 additions (never driver-verified; mirror-green) ---
+    "events_annotator_kappa",
+    "events_js_divergence",
+    "orders_cramers_v_matrix",
+    "lineitem_entropy_profile",
+    "docs_quality_ece",
+    "docs_bigram_collocations",
     # --- drift re-checks: oldest remaining greens (r2-r3 era) ---
     "pack_sequences_greedy",
     "pivot_event_type",
@@ -119,19 +129,13 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "tpch_q6_revenue_forecast",
     "train_test_hash_split",
     "union_by_name",
-    "weighted_sample_orders",
-    "year_ratio_metrics",
-    "attribution_last_touch",
-    "bm25_search_docs",
-    "cohort_retention_weekly",
-    "cube_orders",
 )
 
 # Every query module must import cleanly: a blanket try/except here once
 # let an ImportError silently drop whole modules (and shrink the driver's
 # verification surface). The count assertion is the tripwire for any
 # regression that swallows registrations some other way.
-MIN_EXPECTED_QUERIES = 338
+MIN_EXPECTED_QUERIES = 344
 
 
 def _load_all() -> None:

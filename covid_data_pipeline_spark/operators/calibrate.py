@@ -238,3 +238,69 @@ def calibration_report(
             brier.alias("brier"),
         )
     )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Expected calibration error (Naeini et al., AAAI 2015) — the
+    single-number summary of :func:`calibration_report`'s reliability
+    table: ECE = Σ_k (n_k/n)·|acc_k − conf_k|, the bin-weighted gap
+    between observed accuracy and mean predicted confidence.
+
+    Exactness: NEVER composed from the report's rounded per-bin
+    columns (the never-round-a-rounded-value rule). With integral
+    micro-prob scores s ∈ [0, scale] and boolean labels, each bin's
+    gap clears denominators to the exact BIGINT
+    ``|n_pos_k·scale − Σ_k s|`` and
+
+        ECE = Σ_k |n_pos_k·scale − ssum_k| / (n·scale)
+
+    spends ONE division. Same binning as the report (bin = least(
+    bins−1, s·bins div scale)). Returns one row ``(n, ece)``; NULL
+    score/label rows are excluded.
+
+    Scale shape: one map-side-combining rollup to ≤ bins rows, then a
+    scalar fold — nothing corpus-sized survives the first aggregate."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    s = F.col(score_col).cast("bigint")
+    y = F.col(label_col).cast("boolean").cast("int")
+    base = df.select(s.alias("__s"), y.alias("__y")).filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    binned = base.withColumn(
+        "__bin",
+        F.least(
+            F.lit(bins - 1),
+            F.expr(f"__s * {int(bins)} div {int(scale)}"),
+        ),
+    )
+    per_bin = binned.groupBy("__bin").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__y").cast("bigint").alias("__pos"),
+        F.sum("__s").cast("bigint").alias("__ssum"),
+    )
+    d38 = "decimal(38,0)"
+    gap = F.abs(
+        F.col("__pos").cast(d38) * F.lit(int(scale)).cast(d38)
+        - F.col("__ssum").cast(d38)
+    )
+    agg = per_bin.agg(
+        F.coalesce(F.sum(gap), F.lit(0).cast(d38)).alias("__num"),
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("n"),
+    )
+    return agg.select(
+        "n",
+        F.round(
+            F.col("__num").cast("double")
+            / (F.col("n").cast("double") * F.lit(float(scale))),
+            6,
+        ).alias("ece"),
+    )

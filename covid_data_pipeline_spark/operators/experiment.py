@@ -548,3 +548,156 @@ def benjamini_hochberg(
         )
         .drop("__m", "__k")
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater1_col: str,
+    rater2_col: str,
+) -> DataFrame:
+    """Cohen's kappa (Cohen, Educ. Psychol. Meas. 1960) — chance-
+    corrected inter-annotator agreement over a (rater1, rater2)
+    labeled relation: the acceptance gate for LLM-judge vs human, or
+    two labeling heuristics, before either is trusted to filter a
+    corpus. kappa = (p_o − p_e)/(1 − p_e) with p_o the observed
+    agreement rate and p_e the chance rate from the raters' marginals.
+
+    Exactness: clearing denominators gives ONE integer rational
+
+        kappa = (n·Σ_c diag_c − Σ_c r_c·c_c) / (n² − Σ_c r_c·c_c)
+
+    over exact BIGINT counts carried in DECIMAL(38,0) (n² overflows
+    BIGINT past ~3·10⁹ rows), so kappa, p_o and p_e each spend exactly
+    one correctly-rounded division — engine- and partition-invariant.
+    Rows with a NULL label on either side are excluded (no agreement
+    question to ask). Returns one row: ``(n, n_classes, po, pe,
+    kappa)``; kappa is NULL (try_divide) in the degenerate case where
+    both raters emit a single identical class (p_e = 1).
+
+    Scale shape: one map-side-combining rollup to |classes²| cells,
+    then |classes|-sized regroups — nothing corpus-sized survives the
+    first aggregate."""
+    d38 = _D
+    base = df.select(
+        F.col(rater1_col).alias("__a"), F.col(rater2_col).alias("__b")
+    ).filter(F.col(rater1_col).isNotNull() & F.col(rater2_col).isNotNull())
+    cells = base.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    cells = cells.localCheckpoint(eager=False)  # feeds 3 rollups
+    n = cells.agg(F.sum("__c").cast(d38).alias("__n"))
+    diag = cells.where(F.col("__a") == F.col("__b")).agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast(d38).alias("__d")
+    )
+    ra = cells.groupBy("__a").agg(F.sum("__c").alias("__ra"))
+    rb = cells.groupBy(F.col("__b").alias("__a")).agg(
+        F.sum("__c").alias("__rb")
+    )
+    # chance mass Σ r_c·c_c over the UNION of class labels; a class one
+    # rater never uses contributes 0 (inner join would drop it — fine,
+    # 0·x = 0 — but the class count needs the union)
+    pe_sum = ra.join(rb, "__a").agg(
+        F.coalesce(
+            F.sum((F.col("__ra").cast(d38) * F.col("__rb").cast(d38))),
+            F.lit(0),
+        ).cast(d38).alias("__pe")
+    )
+    nclasses = cells.select(
+        F.explode(F.array("__a", "__b")).alias("__cl")
+    ).agg(F.countDistinct("__cl").alias("n_classes"))
+    j = (
+        # bcast: const(1) scalars (counts/moments)
+        n.crossJoin(F.broadcast(diag))
+        .crossJoin(F.broadcast(pe_sum))
+        .crossJoin(F.broadcast(nclasses))
+    )
+    nn = F.col("__n") * F.col("__n")
+    return j.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("n_classes").cast("bigint").alias("n_classes"),
+        round_stable(
+            F.try_divide(F.col("__d").cast("double"),
+                         F.col("__n").cast("double")), 6
+        ).alias("po"),
+        round_stable(
+            F.try_divide(F.col("__pe").cast("double"),
+                         nn.cast("double")), 6
+        ).alias("pe"),
+        round_stable(
+            F.try_divide(
+                (F.col("__n") * F.col("__d") - F.col("__pe"))
+                .cast(d38).cast("double"),
+                (nn - F.col("__pe")).cast(d38).cast("double"),
+            ),
+            6,
+        ).alias("kappa"),
+    )
+
+
+def js_divergence(
+    df: DataFrame,
+    group_col: str,
+    bin_col: str,
+) -> DataFrame:
+    """Per-group Jensen–Shannon divergence (Lin, IEEE IT 1991) of each
+    group's bin distribution against the GLOBAL bin distribution — the
+    bounded, symmetric drift metric (0 ≤ JSD ≤ ln 2) that complements
+    PSI (which explodes on empty bins): "which cohorts' distributions
+    deviate from the corpus" for data-mix audits.
+
+    JSD(P‖Q) = ½·Σ_b [p_b·ln(p_b/m_b) + q_b·ln(q_b/m_b)] with
+    m = (p+q)/2 and the 0·ln(0) = 0 convention (a bin the group never
+    hits contributes only its q-side term). Exactness follows the PSI
+    lattice rule: p, q, m are exact integer rationals of BIGINT
+    counts, each per-bin term is ONE deterministic IEEE expression
+    rounded to nano-units, and the sum + output live in exact BIGINT
+    ``jsd_nano`` (plus a display ``jsd`` division). The dense
+    group × bin grid comes from an equi-join-free cross of the two
+    rollups (|groups|·|bins| rows — model-sized).
+
+    Scale shape: one map-side-combining rollup to |groups × bins|,
+    one |bins|-sized global regroup, broadcast joins — nothing
+    corpus-sized survives the first aggregate. NULL group or bin rows
+    are excluded."""
+    base = df.select(
+        F.col(group_col).alias("__g"), F.col(bin_col).alias("__b")
+    ).filter(F.col(group_col).isNotNull() & F.col(bin_col).isNotNull())
+    gb = base.groupBy("__g", "__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    gb = gb.localCheckpoint(eager=False)  # feeds grid + group totals
+    ng = gb.groupBy("__g").agg(F.sum("__c").cast("bigint").alias("__ng"))
+    glob = gb.groupBy("__b").agg(F.sum("__c").cast("bigint").alias("__cb"))
+    tot = glob.agg(F.sum("__cb").cast("bigint").alias("__nt"))
+    grid = (
+        # bcast: model(|bins|) global bin histogram — bin domains are
+        # caller-bounded (deciles etc.), never corpus-sized
+        ng.crossJoin(F.broadcast(glob))
+        .join(gb, ["__g", "__b"], "left")
+        .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0)))
+        # bcast: const(1) scalar corpus count
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("__c").cast("double") / F.col("__ng").cast("double")
+    q = F.col("__cb").cast("double") / F.col("__nt").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.when(F.col("__c") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("__cb") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    ) / F.lit(2.0)
+    nano = F.round(term * F.lit(1e9), 0).cast("bigint")
+    return (
+        grid.groupBy("__g")
+        .agg(
+            F.max("__ng").alias("n"),
+            F.sum(nano).alias("jsd_nano"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("jsd_nano").cast("bigint").alias("jsd_nano"),
+            round_stable(
+                F.col("jsd_nano") / F.lit(1e9), 6
+            ).alias("jsd"),
+        )
+    )

@@ -208,3 +208,92 @@ def kneser_ney_bigrams(
         .limit(top_n)
         .select("w1", "w2", "n_pairs", F.round("p", 6).alias("p_kn"))
     )
+
+
+def collocations_g2(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 15,
+    min_count: int = 5,
+) -> DataFrame:
+    """Dunning log-likelihood (G²) collocation ranking (Dunning, CL
+    1993) — the statistically-sound replacement for raw-count or PMI
+    bigram ranking (PMI explodes on hapaxes; G² is the likelihood-
+    ratio test of "w2 follows w1 more than independence allows"),
+    the standard phrase-mining / tokenizer-seeding primitive.
+
+    Per bigram with count c12, marginals c1 (w1 as left token), c2
+    (w2 as right token) and N total bigrams, the 2×2 table is O11=c12,
+    O12=c1−c12, O21=c2−c12, O22=N−c1−c2+c12 and
+
+        G² = 2·Σ_ij O_ij · ln( O_ij·N / (R_i·C_j) ),   0·ln(0) = 0.
+
+    Exactness (micro-nats lattice): every O, R, C, N is an exact
+    BIGINT; each of the four terms is ONE deterministic IEEE
+    expression rounded to nano-units; ``g2_nano`` sums them in exact
+    BIGINT (display ``g2`` spends one division). Ranking and the
+    top-k cut order by (g2_nano DESC, w1, w2) — total order, engine-
+    invariant. Pairs with c12 < ``min_count`` are pruned first (the
+    broadcast-ability guard: surviving pairs are model-sized).
+
+    Scale shape: one bigram rollup (map-side combining) + two
+    |vocab|-sized marginal regroups joined back by key + a scalar N
+    broadcast; the top-k is TakeOrderedAndProject, never a global
+    sort."""
+    if top_k < 1 or min_count < 1:
+        raise ValueError(f"bad top_k/min_count {top_k}/{min_count}")
+    big = doc_bigrams(df, text_col=text_col, id_col=id_col)
+    cb = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    cb = cb.localCheckpoint(eager=False)  # feeds marginals + scoring
+    c1 = cb.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    c2 = cb.groupBy("w2").agg(F.sum("c12").cast("bigint").alias("c2"))
+    nn = cb.agg(F.sum("c12").cast("bigint").alias("nn"))
+    scored = (
+        cb.where(F.col("c12") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        # bcast: const(1) scalar bigram total
+        .crossJoin(F.broadcast(nn))
+    )
+
+    def term(o: Column, r: Column, c: Column) -> Column:
+        ratio = (
+            o.cast("double") * F.col("nn").cast("double")
+        ) / (r.cast("double") * c.cast("double"))
+        return F.when(
+            o > 0,
+            F.round(o.cast("double") * F.log(ratio) * F.lit(1e9), 0)
+            .cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    o11 = F.col("c12")
+    o12 = F.col("c1") - F.col("c12")
+    o21 = F.col("c2") - F.col("c12")
+    o22 = F.col("nn") - F.col("c1") - F.col("c2") + F.col("c12")
+    r1, r2 = F.col("c1"), F.col("nn") - F.col("c1")
+    cc1, cc2 = F.col("c2"), F.col("nn") - F.col("c2")
+    g2_nano = (
+        F.lit(2).cast("bigint")
+        * (
+            term(o11, r1, cc1)
+            + term(o12, r1, cc2)
+            + term(o21, r2, cc1)
+            + term(o22, r2, cc2)
+        )
+    )
+    ranked = scored.select(
+        "w1",
+        "w2",
+        "c12",
+        g2_nano.alias("g2_nano"),
+    ).orderBy(F.col("g2_nano").desc(), "w1", "w2").limit(top_k)
+    return ranked.select(
+        "w1",
+        "w2",
+        "c12",
+        "g2_nano",
+        round_stable(F.col("g2_nano") / F.lit(1e9), 4).alias("g2"),
+    )

@@ -543,3 +543,203 @@ def spearman_corr(
     )
     out = corr_matrix(ranked, ["__rx", "__ry"], quant=1.0)
     return out.select("n", F.col("r").alias("rho"))
+
+
+def cramers_v_matrix(
+    df: DataFrame,
+    cols: "list[str]",
+) -> DataFrame:
+    """Pairwise Cramér's V association of CATEGORICAL columns — the
+    categorical sibling of :func:`corr_matrix` (that one reads linear
+    signal off numeric columns; this reads contingency dependence off
+    labels/flags/buckets): the profiling matrix behind "which
+    dimensions are redundant" in a feature or stratification audit.
+
+    Per pair (x, y): Pearson chi² over the x × y contingency grid with
+    the exact rational per-cell term ``(O·n − R·C)²/(n·R·C)`` carried
+    in DECIMAL(38,0) BIGINT counts (the grouped_independence_chi2
+    contract: each cell spends one correctly-rounded division, summed
+    in DECIMAL), then
+
+        V = sqrt( chi² / (n · min(R−1, C−1)) )
+
+    computed from the UNROUNDED-at-4dp decimal chi² sum (exact on the
+    1e-6 lattice), so sqrt is one deterministic IEEE op. V is NULL
+    (try_divide) when either column is constant (min dim 0). Output:
+    one row per unordered pair ``(col_x, col_y, n, chi2, dof, v)``
+    with col_x < col_y in `cols` order. NULL categories excluded
+    pairwise (listwise per pair).
+
+    Scale shape: per pair, three map-side-combining rollups +
+    |categories|-sized joins (the chi2 pattern); C(k,2) independent
+    pair plans unioned — each plan prunes its scan to two columns."""
+    if len(cols) < 2:
+        raise ValueError(f"need >= 2 columns, got {cols}")
+    from covid_data_pipeline_spark.functions.scalar import round_stable
+
+    d38 = "decimal(38,0)"
+    outs = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            cx, cy = cols[i], cols[j]
+            base = df.select(
+                F.col(cx).cast("string").alias("__r"),
+                F.col(cy).cast("string").alias("__c"),
+            ).filter(F.col(cx).isNotNull() & F.col(cy).isNotNull())
+            obs = base.groupBy("__r", "__c").agg(
+                F.count(F.lit(1)).cast(d38).alias("__o")
+            )
+            obs = obs.localCheckpoint(eager=False)  # feeds 4 rollups
+            rows = obs.groupBy("__r").agg(
+                F.sum("__o").cast(d38).alias("__rt")
+            )
+            colt = obs.groupBy("__c").agg(
+                F.sum("__o").cast(d38).alias("__ct")
+            )
+            ng = obs.agg(
+                F.sum("__o").cast(d38).alias("__n"),
+                F.countDistinct("__r").alias("__nr"),
+                F.countDistinct("__c").alias("__nc"),
+            )
+            grid = (
+                rows.crossJoin(colt)  # marginal grid: |R|x|C|, model-sized
+                .join(obs, ["__r", "__c"], "left")
+                .withColumn(
+                    "__o", F.coalesce(F.col("__o"), F.lit(0).cast(d38))
+                )
+                # bcast: const(1) scalar moments
+                .crossJoin(F.broadcast(ng))
+            )
+            diff = (
+                F.col("__o") * F.col("__n")
+                - F.col("__rt") * F.col("__ct")
+            ).cast(d38)
+            term = F.round(
+                (diff * diff).cast(d38).cast("double")
+                / (F.col("__n") * F.col("__rt") * F.col("__ct"))
+                .cast(d38)
+                .cast("double"),
+                6,
+            ).cast("decimal(18,6)")
+            agg = grid.groupBy().agg(
+                F.sum(term).alias("__chi2d"),
+                F.max("__n").alias("__n2"),
+                F.max("__nr").alias("__nr2"),
+                F.max("__nc").alias("__nc2"),
+            )
+            mindim = F.least(
+                F.col("__nr2") - 1, F.col("__nc2") - 1
+            ).cast(d38)
+            outs.append(
+                agg.select(
+                    F.lit(cx).alias("col_x"),
+                    F.lit(cy).alias("col_y"),
+                    F.col("__n2").cast("bigint").alias("n"),
+                    F.round(F.col("__chi2d"), 4)
+                    .cast("double")
+                    .alias("chi2"),
+                    (
+                        (F.col("__nr2") - 1) * (F.col("__nc2") - 1)
+                    ).cast("bigint").alias("dof"),
+                    round_stable(
+                        F.sqrt(
+                            F.try_divide(
+                                F.col("__chi2d").cast("double"),
+                                (F.col("__n2") * mindim).cast("double"),
+                            )
+                        ),
+                        6,
+                    ).alias("v"),
+                )
+            )
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def entropy_profile(
+    df: DataFrame,
+    cols: "list[str]",
+) -> DataFrame:
+    """Per-column Shannon entropy profile — ``(col_name, n, n_distinct,
+    entropy, norm_entropy)`` for each requested column: the schema-
+    audit companion to :func:`fd_profile` (that one finds functional
+    structure; this measures information content — a near-zero entropy
+    column is a constant in disguise, a near-1 normalized entropy key
+    is a candidate partition/salt column).
+
+    Exactness (the micro-nats lattice rule): with per-value counts
+    c_v and n = Σc_v,
+
+        H = ln(n) − (Σ_v c_v·ln(c_v)) / n
+
+    every ln is rounded ONCE to nano-nats (BIGINT), the weighted sum
+    is exact BIGINT, and H = (ln(n)_nano·n − Σ c_v·ln(c_v)_nano) /
+    (n·1e9) spends one division. norm_entropy = H / ln(n_distinct)
+    (NULL via try_divide when a column is constant) reuses the same
+    integer numerator against ln(d)_nano·n so it is NOT a
+    rounded-over-rounded composition. NULLs count as a category (a
+    90%-NULL column should read as low-entropy, not as its non-NULL
+    residue).
+
+    Scale shape: one map-side-combining rollup to |distinct| per
+    column + one scalar agg; |cols| independent plans unioned."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    from covid_data_pipeline_spark.functions.scalar import round_stable
+
+    outs = []
+    for c in cols:
+        pv = df.groupBy(
+            F.col(c).cast("string").alias("__v")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        ln_nano = F.round(
+            F.log(F.col("__c").cast("double")) * F.lit(1e9), 0
+        ).cast("bigint")
+        # accumulate c·ln(c)_nano in DECIMAL(38,0): the BIGINT product
+        # is safe (~1e16 per value) but the SUM overflows int64 past
+        # ~1e9 rows under ANSI mode
+        agg = pv.agg(
+            F.sum("__c").alias("__n"),
+            F.count(F.lit(1)).alias("__d"),
+            F.sum(
+                (F.col("__c") * ln_nano).cast("decimal(38,0)")
+            ).alias("__s"),
+        )
+        hn = F.round(
+            F.log(F.col("__n").cast("double")) * F.lit(1e9), 0
+        ).cast("bigint")
+        dn = F.round(
+            F.log(F.col("__d").cast("double")) * F.lit(1e9), 0
+        ).cast("bigint")
+        num = (
+            hn.cast("decimal(38,0)") * F.col("__n").cast("decimal(38,0)")
+            - F.col("__s")
+        )
+        outs.append(
+            agg.select(
+                F.lit(c).alias("col_name"),
+                F.col("__n").cast("bigint").alias("n"),
+                F.col("__d").cast("bigint").alias("n_distinct"),
+                round_stable(
+                    num.cast("double")
+                    / (F.col("__n").cast("double") * F.lit(1e9)),
+                    6,
+                ).alias("entropy"),
+                round_stable(
+                    F.try_divide(
+                        num.cast("double"),
+                        (
+                            dn.cast("decimal(38,0)")
+                            * F.col("__n").cast("decimal(38,0)")
+                        ).cast("double"),
+                    ),
+                    6,
+                ).alias("norm_entropy"),
+            )
+        )
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out

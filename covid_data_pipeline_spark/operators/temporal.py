@@ -1294,6 +1294,7 @@ def ransac_trend(
     y_col: str,
     eps: int = 10,
     min_span: int = 1,
+    max_candidates: int | None = None,
 ) -> DataFrame:
     """Deterministic RANSAC line fit per key (Fischler & Bolles, CACM
     1981, derandomized for replay): the robust-trend sibling of
@@ -1329,13 +1330,23 @@ def ransac_trend(
     pairing is a keyed self-equi-join on (key, rank offset), and the
     candidate x point consensus join is keyed by the key columns —
     |candidates| x |points| = n²/2 rows PER KEY, the honest cost of
-    consensus counting (days-per-series bounded; for year-scale series
-    thin candidates further upstream)."""
+    full consensus counting (days-per-series bounded). For long or
+    SKEWED series, ``max_candidates`` caps the per-key candidate count
+    by a deterministic rank STRIDE (keep ranks 1, 1+s, 1+2s, ... with
+    s = ceil((n div 2) / max_candidates)): consensus work becomes
+    O(max_candidates · n) per key — a 1M-point key at max_candidates=32
+    costs 32M consensus rows instead of 5·10¹¹ — while remaining a
+    pure function of the data (no sampling RNG), so results stay
+    partition-invariant and replayable. With the cap, the winner is
+    the best of the SURVIVING candidates (classic RANSAC's trade:
+    fewer hypotheses, same exact scoring)."""
     keys = list(key_cols)
     if not keys:
         raise ValueError("key_cols must be non-empty")
     if eps < 0 or min_span < 1:
         raise ValueError(f"bad eps/min_span {eps}/{min_span}")
+    if max_candidates is not None and max_candidates < 1:
+        raise ValueError(f"max_candidates must be >= 1, got {max_candidates}")
     pts = df.select(
         *keys,
         F.col(x_col).cast("bigint").alias("__x"),
@@ -1348,6 +1359,14 @@ def ransac_trend(
     a = ranked.join(nkey, keys).withColumn(
         "__r2", F.col("__r") + F.expr("__n div 2")
     )
+    if max_candidates is not None:
+        # deterministic stride thinning: ceil((n div 2)/cap) via
+        # integer arithmetic; keep candidate start ranks 1, 1+s, ...
+        stride = F.expr(
+            f"greatest(1, ((__n div 2) + {int(max_candidates)} - 1)"
+            f" div {int(max_candidates)})"
+        )
+        a = a.where((F.col("__r") - 1) % stride == 0)
     b = ranked.select(
         *keys,
         F.col("__r").alias("__r2"),

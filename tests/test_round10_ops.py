@@ -1,0 +1,179 @@
+"""Hand-value tests for the round-10 statistics/evaluation operators:
+Cohen's kappa, Jensen-Shannon divergence, Cramér's V matrix, entropy
+profile, expected calibration error, Dunning G² collocations."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_cohens_kappa_textbook(spark):
+    """Classic 2x2: confusion [[20,5],[10,15]] -> po=0.7, pe=0.5,
+    kappa=0.4 exactly."""
+    from covid_data_pipeline_spark.operators.experiment import cohens_kappa
+
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5
+        + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "a STRING, b STRING")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert (r["n"], r["n_classes"]) == (50, 2)
+    assert r["po"] == 0.7 and r["pe"] == 0.5 and r["kappa"] == 0.4
+
+
+def test_cohens_kappa_degenerate_and_nulls(spark):
+    """Single shared class: pe=1 -> kappa NULL via try_divide; NULL
+    labels excluded."""
+    from covid_data_pipeline_spark.operators.experiment import cohens_kappa
+
+    df = spark.createDataFrame(
+        [("x", "x"), ("x", "x"), ("x", None)], "a STRING, b STRING"
+    )
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["n"] == 2 and r["po"] == 1.0 and r["kappa"] is None
+
+
+def test_js_divergence_zero_and_hand_value(spark):
+    """A group distributed exactly like the corpus scores 0; a
+    disjoint-bin pair scores the hand-computed JSD."""
+    from covid_data_pipeline_spark.operators.experiment import js_divergence
+
+    # two groups with IDENTICAL distributions -> global == each -> 0
+    same = [("a", b) for b in (1, 1, 2)] + [("b", b) for b in (1, 1, 2)]
+    df = spark.createDataFrame(same, "g STRING, bin INT")
+    out = {r["g"]: r for r in js_divergence(df, "g", "bin").collect()}
+    assert out["a"]["jsd_nano"] == 0 and out["b"]["jsd"] == 0.0
+
+    # group a: all bin 1; group b: all bin 2 (equal sizes)
+    df2 = spark.createDataFrame(
+        [("a", 1)] * 4 + [("b", 2)] * 4, "g STRING, bin INT"
+    )
+    out2 = {r["g"]: r for r in js_divergence(df2, "g", "bin").collect()}
+
+    def ref(group_bins, glob, ng, nt):
+        total = 0
+        for b in glob:
+            p = group_bins.get(b, 0) / ng
+            q = glob[b] / nt
+            m = (p + q) / 2.0
+            t = (
+                (p * math.log(p / m) if p > 0 else 0.0)
+                + (q * math.log(q / m) if q > 0 else 0.0)
+            ) / 2.0
+            total += int(round(t * 1e9))
+        return total
+
+    glob = {1: 4, 2: 4}
+    want_a = ref({1: 4}, glob, 4, 8)
+    assert out2["a"]["jsd_nano"] == want_a
+    assert out2["a"]["jsd"] == round(want_a / 1e9, 6)
+    assert out2["a"]["jsd_nano"] == out2["b"]["jsd_nano"]
+
+
+def test_cramers_v_matrix_hand_values(spark):
+    """Perfect association -> V=1; a constant column -> V NULL with
+    dof 0."""
+    from covid_data_pipeline_spark.operators.quality import cramers_v_matrix
+
+    rows = [(str(i % 2), str(i % 2), "const") for i in range(40)]
+    df = spark.createDataFrame(rows, "x STRING, y STRING, k STRING")
+    got = {(r["col_x"], r["col_y"]): r.asDict()
+           for r in cramers_v_matrix(df, ["x", "y", "k"]).collect()}
+    xy = got[("x", "y")]
+    # chi2 for a perfect 2x2 association == n
+    assert xy["n"] == 40 and xy["chi2"] == 40.0 and xy["dof"] == 1
+    assert xy["v"] == 1.0
+    xk = got[("x", "k")]
+    assert xk["dof"] == 0 and xk["v"] is None
+    with pytest.raises(ValueError):
+        cramers_v_matrix(df, ["x"])
+
+
+def test_entropy_profile_hand_values(spark):
+    """Uniform over 4 values -> ln 4 and norm 1; constant -> 0 with
+    norm NULL; NULLs count as a category."""
+    from covid_data_pipeline_spark.operators.quality import entropy_profile
+
+    rows = [(str(i % 4), "c", None if i % 2 == 0 else "v")
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "u STRING, k STRING, h STRING")
+    got = {r["col_name"]: r.asDict()
+           for r in entropy_profile(df, ["u", "k", "h"]).collect()}
+    u = got["u"]
+    assert u["n"] == 8 and u["n_distinct"] == 4
+    assert u["entropy"] == round(math.log(4), 6)
+    assert u["norm_entropy"] == 1.0
+    k = got["k"]
+    assert k["n_distinct"] == 1 and k["entropy"] == 0.0
+    assert k["norm_entropy"] is None
+    h = got["h"]  # NULL is a category: {NULL: 4, 'v': 4} -> ln 2
+    assert h["n"] == 8 and h["n_distinct"] == 2
+    assert h["entropy"] == round(math.log(2), 6)
+    with pytest.raises(ValueError):
+        entropy_profile(df, [])
+
+
+def test_expected_calibration_error_hand_values(spark):
+    """Perfectly calibrated scores -> 0; a known one-bin gap -> the
+    exact integer rational."""
+    from covid_data_pipeline_spark.operators.calibrate import (
+        expected_calibration_error,
+    )
+
+    perfect = [(1_000_000, True)] * 3 + [(0, False)] * 5
+    df = spark.createDataFrame(perfect, "s LONG, y BOOLEAN")
+    r = expected_calibration_error(df, "s", "y").collect()[0]
+    assert r["n"] == 8 and r["ece"] == 0.0
+
+    # 4 rows, all score 500000 (bin 5), 1 positive:
+    # gap = |1*1e6 - 4*500000| = 1e6; ece = 1e6/(4*1e6) = 0.25
+    df2 = spark.createDataFrame(
+        [(500_000, True), (500_000, False), (500_000, False),
+         (500_000, False)],
+        "s LONG, y BOOLEAN",
+    )
+    r2 = expected_calibration_error(df2, "s", "y").collect()[0]
+    assert r2["ece"] == 0.25
+    with pytest.raises(ValueError):
+        expected_calibration_error(df2, "s", "y", bins=1)
+
+
+def test_collocations_g2_planted(spark):
+    """A bigram that always co-occurs ranks first with the exact
+    hand-computed G²; min_count prunes hapaxes."""
+    from covid_data_pipeline_spark.operators.langmodel import (
+        collocations_g2,
+    )
+
+    # "new york" appears 8 times; filler bigrams share tokens broadly
+    docs = [(i, "new york is big and new york is old") for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = collocations_g2(df, top_k=5, min_count=5).collect()
+    top = out[0]
+    assert (top["w1"], top["w2"]) == ("new", "york")
+    assert top["c12"] == 8
+
+    # exact reference with the same per-term nano rounding
+    # bigram stream per doc: new,york / york,is / is,big / big,and /
+    # and,new / new,york / york,is / is,old  -> N = 32 over 4 docs
+    def g2(c12, c1, c2, nn):
+        def term(o, r, c):
+            if o <= 0:
+                return 0
+            return int(round(o * math.log((o * nn) / (r * c)) * 1e9))
+
+        return 2 * (
+            term(c12, c1, c2)
+            + term(c1 - c12, c1, nn - c2)
+            + term(c2 - c12, nn - c1, c2)
+            + term(nn - c1 - c2 + c12, nn - c1, nn - c2)
+        )
+
+    want = g2(8, 8, 8, 32)  # new: c1=8 (always left of york), york: c2=8
+    assert top["g2_nano"] == want
+    with pytest.raises(ValueError):
+        collocations_g2(df, top_k=0)

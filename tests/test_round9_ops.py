@@ -325,6 +325,26 @@ def test_ransac_trend_degenerate_keys_surface(spark):
     assert got["ok"]["slope"] == 2.0 and got["ok"]["n_inliers"] == 6
 
 
+def test_ransac_trend_max_candidates_thinning(spark):
+    """The deterministic stride cap keeps at most max_candidates
+    hypotheses per key, still recovers a clean planted line exactly,
+    and rejects a non-positive cap."""
+    from covid_data_pipeline_spark.operators.temporal import ransac_trend
+
+    line = [("l", x, 4 * x + 1) for x in range(200)]
+    df = spark.createDataFrame(line, "k STRING, x BIGINT, y BIGINT")
+    r = ransac_trend(
+        df, ["k"], "x", "y", eps=0, max_candidates=8
+    ).collect()[0]
+    assert r["slope"] == 4.0 and r["n_inliers"] == 200
+    # thinned == unthinned on a clean line (both find full consensus)
+    full = ransac_trend(df, ["k"], "x", "y", eps=0).collect()[0]
+    assert (r["n_inliers"], r["slope"]) == (full["n_inliers"],
+                                            full["slope"])
+    with pytest.raises(ValueError):
+        ransac_trend(df, ["k"], "x", "y", max_candidates=0)
+
+
 def test_fk_audit_single_pass_and_empty_child(spark):
     """ADVICE r9 shape fix: the per-edge plan carries exactly ONE scan
     of the child (per-FK rollup, then distinct-vs-distinct join); an

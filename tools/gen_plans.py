@@ -11,6 +11,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NOTES = {
+    "docs_bigram_collocations": "One bigram rollup (map-side combining) + two |vocab|-sized marginal regroups joined back by key + scalar N broadcast; all four G2 terms are nano-rounded BIGINTs; top-k plans TakeOrderedAndProject, never a global sort. At 100 TB the min_count prune keeps the scored relation model-sized.",
     "dedup_sorted_neighborhood": "SNM blocking: distributed global rank (range buckets over broadcast min/max - no single-partition sort) + 1-D neighbor-bucket exactly-once join + Jaccard verify on the O(n*w) candidates. The oracle's plain ROW_NUMBER replays the rank.",
     "events_join_size_cm": "Two corpus passes build the model-sized CM counter relations (explode(depth) + map-side-combining agg); the estimate joins 4x1024 counters - the join itself is never run. Exact side is two per-user rollups + one user-keyed join.",
     "geo_hilbert_layout": "Hilbert key is one interpreted F.aggregate fold over 18 levels of exact BIGINT state (linear expression size); same 64-bucket map-side rollup as the Morton audit. Write path at 100 TB: repartitionByRange(hkey) + sortWithinPartitions(hkey); tighter extents than Z-order for the same bucket count.",

@@ -2528,6 +2528,264 @@ def case_seasonal_100k_keys(spark):
     }
 
 
+def case_spearman_16m_distinct(spark):
+    """VERDICT r9 ask #5: spearman_corr on 16M rows whose value domain
+    is FULLY DISTINCT (16M distinct x and y values) — the rank-map
+    worst case its docstring names: the two-level range-bucket rank
+    must never put the corpus-sized distinct domain through one flat
+    window. y = x² is strictly monotone on x >= 0, so rho = 1.0
+    EXACTLY (closed form), and a reversed pairing gives rho = -1.0.
+    Verdicts are partition-invariant under a prime repartition."""
+    from covid_data_pipeline_spark.operators.quality import spearman_corr
+
+    n = 16_000_000
+    df = spark.range(0, n, numPartitions=64).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * F.col("id")).cast("double").alias("y"),
+        (F.lit(n - 1) - F.col("id")).cast("double").alias("yr"),
+    )
+    t0 = time.time()
+    up = spearman_corr(df, "x", "y", quant=1.0).collect()[0]
+    wall = time.time() - t0
+    down = spearman_corr(df, "x", "yr", quant=1.0).collect()[0]
+    up2 = spearman_corr(
+        df.repartition(97), "x", "y", quant=1.0
+    ).collect()[0]
+    return {
+        "rows": n,
+        "distinct_values": n,
+        "scale_vs_sf0.1": "266x lineitem, fully-distinct domain",
+        "sec": round(wall, 2),
+        "rho_up": up["rho"],
+        "rho_down": down["rho"],
+        "invariant": (up["rho"], up["n"]) == (up2["rho"], up2["n"]),
+        "ok": up["rho"] == 1.0 and down["rho"] == -1.0
+        and up["n"] == n and (up["rho"], up["n"]) == (up2["rho"],
+                                                      up2["n"]),
+    }
+
+
+def case_ransac_skew_1m(spark):
+    """VERDICT r9 ask #5: ransac_trend under extreme per-key skew —
+    ONE key holding 1M points (planted line y = 5x + 11 with gross
+    outliers shifted +1e6 at x ≡ 3 mod 7) next to 10k ten-point keys.
+    Full consensus on the big key would be 5·10¹¹ rows; the
+    deterministic max_candidates=32 stride cap makes it 32M. The
+    candidate ids are k·15625 (stride 15625 ≡ 1 mod 7; pair offset
+    500000 ≡ 4 mod 7), so candidates with k ≢ 3 and k ≢ 6 (mod 7)
+    have BOTH endpoints clean — the winner must recover slope 5.0
+    with EXACTLY 1,000,000 − 142,857 = 857,143 inliers (an outlier-
+    endpoint candidate would cap at 142,857, which is also the alias
+    trap this case's first draft fell into: outliers at i ≡ 0 mod 5
+    alias with 15625 ≡ 0 mod 5 and EVERY thinned candidate lands on
+    the shifted line). Small keys keep their exact fits; result is
+    partition-invariant."""
+    from covid_data_pipeline_spark.operators.temporal import ransac_trend
+
+    big = spark.range(0, 1_000_000, numPartitions=64).select(
+        F.lit("big").alias("k"),
+        F.col("id").alias("x"),
+        (
+            5 * F.col("id") + 11
+            + F.when(F.col("id") % 7 == 3, 1_000_000).otherwise(0)
+        ).alias("y"),
+    )
+    small = spark.range(0, 100_000, numPartitions=32).select(
+        F.concat(F.lit("s"), (F.col("id") % 10_000).cast("string")
+                 ).alias("k"),
+        (F.col("id") / 10_000).cast("bigint").alias("x"),
+        ((F.col("id") / 10_000).cast("bigint") * 3 + 7).alias("y"),
+    )
+    df = big.unionByName(small)
+    t0 = time.time()
+    out = ransac_trend(
+        df, ["k"], "x", "y", eps=0, min_span=1, max_candidates=32
+    )
+    rows = {r["k"]: r for r in out.where(
+        F.col("k").isin("big", "s0", "s9999")
+    ).collect()}
+    n_keys = out.count()
+    wall = time.time() - t0
+    b = rows["big"]
+    b2 = ransac_trend(
+        df.repartition(97), ["k"], "x", "y", eps=0, min_span=1,
+        max_candidates=32,
+    ).where(F.col("k") == "big").collect()[0]
+    return {
+        "rows": 1_100_000,
+        "big_key_points": 1_000_000,
+        "scale_vs_sf0.1": "one key = 10x the whole sf0.1 events table",
+        "sec": round(wall, 2),
+        "big_slope": b["slope"],
+        "big_inliers": b["n_inliers"],
+        "invariant": b.asDict() == b2.asDict(),
+        "ok": b["slope"] == 5.0 and b["n_inliers"] == 857_143
+        and b["n_points"] == 1_000_000
+        and rows["s0"]["slope"] == 3.0 and rows["s0"]["n_inliers"] == 10
+        and rows["s9999"]["slope"] == 3.0
+        and n_keys == 10_001
+        and b.asDict() == b2.asDict(),
+    }
+
+
+def case_fk_audit_16m(spark):
+    """VERDICT r9 ask #5: fk_audit at 16M child rows against a 990k
+    parent, with planted NULLs and orphans whose exact counts are
+    closed-form. The single-pass shape (per-FK rollup -> distinct
+    join) must shuffle |distinct fk| = 1M rows, not 16M, and the
+    counts must be partition-invariant."""
+    from covid_data_pipeline_spark.operators.quality import fk_audit
+
+    n, dom, pmax = 16_000_000, 1_000_000, 990_000
+    child = spark.range(0, n, numPartitions=64).select(
+        F.col("id").alias("cid"),
+        F.when((F.col("id") % dom) % 101 == 0, F.lit(None)).otherwise(
+            F.col("id") % dom
+        ).cast("bigint").alias("fk"),
+    )
+    parent = spark.range(0, pmax, numPartitions=16).select(
+        F.col("id").alias("pk")
+    )
+    # closed form: 16 full blocks of the [0, 1M) fk domain
+    per_block_null = len(range(0, dom, 101))
+    per_block_orphan = sum(
+        1 for v in range(pmax, dom) if v % 101 != 0
+    )
+    want_null = 16 * per_block_null
+    want_orphan = 16 * per_block_orphan
+    t0 = time.time()
+    r = fk_audit([("child.fk -> parent", child, "fk", parent, "pk")]
+                 ).collect()[0]
+    wall = time.time() - t0
+    r2 = fk_audit(
+        [("child.fk -> parent", child.repartition(97), "fk", parent,
+          "pk")]
+    ).collect()[0]
+    return {
+        "rows": n,
+        "scale_vs_sf0.1": "106x orders as the child",
+        "sec": round(wall, 2),
+        "n_null_fk": r["n_null_fk"],
+        "n_orphans": r["n_orphans"],
+        "invariant": r.asDict() == r2.asDict(),
+        "ok": r["n_child"] == n and r["n_null_fk"] == want_null
+        and r["n_orphans"] == want_orphan and r["holds"] is False
+        and r.asDict() == r2.asDict(),
+    }
+
+
+def case_eval_trio_10m(spark):
+    """VERDICT r9 ask #5: the model-evaluation trio — classification
+    report, calibration + Brier, Mann-Whitney AUC — at 10M scored
+    rows, each checked against an exact integer reference computed
+    from the same residue arithmetic (scores are a deterministic
+    micro-prob lattice; labels flip on a 5% residue class). All three
+    are one-rollup shapes, so 10M rows must cost seconds, and the
+    report/calibration outputs must be partition-invariant."""
+    from covid_data_pipeline_spark.operators.calibrate import (
+        calibration_report,
+    )
+    from covid_data_pipeline_spark.operators.experiment import (
+        mann_whitney_u,
+    )
+    from covid_data_pipeline_spark.operators.retrieval import (
+        classification_report,
+    )
+
+    n, scale = 10_000_000, 1_000_000
+    # score: uniform-ish lattice walk; label: score >= mid XOR 5% noise
+    df = spark.range(0, n, numPartitions=64).select(
+        ((F.col("id") * 9973) % (scale + 1)).alias("s"),
+        (
+            (((F.col("id") * 9973) % (scale + 1)) * 2 >= scale)
+            != (F.col("id") % 20 == 0)
+        ).alias("lab"),
+    )
+    t0 = time.time()
+    rep = {
+        r["class"]: r.asDict()
+        for r in classification_report(
+            df.withColumn("pred", F.col("s") * 2 >= scale), "lab", "pred"
+        ).collect()
+    }
+    cal = {r["bin"]: r.asDict() for r in
+           calibration_report(df, "s", "lab", bins=10,
+                              scale=scale).collect()}
+    auc_row = mann_whitney_u(df, "lab", "s").collect()[0]
+    wall = time.time() - t0
+
+    # exact integer reference via the period structure: score cycles
+    # with period scale+1 in id (gcd(9973, 1000001) = 1), noise with
+    # period 20 — reference over lcm is too big, so accumulate counts
+    # with numpy in chunks (exact int64 -> Python int).
+    import numpy as np
+
+    tp = fp = fn = tn = 0
+    pos_bins = np.zeros(10, dtype=np.int64)
+    bin_n = np.zeros(10, dtype=np.int64)
+    se_sum = 0
+    # AUC reference accumulators over the value-compressed domain
+    treat_hist = np.zeros(scale + 1, dtype=np.int64)
+    ctrl_hist = np.zeros(scale + 1, dtype=np.int64)
+    for lo in range(0, n, 2_000_000):
+        ids = np.arange(lo, min(lo + 2_000_000, n), dtype=np.int64)
+        s = (ids * 9973) % (scale + 1)
+        pred = s * 2 >= scale
+        lab = pred ^ (ids % 20 == 0)
+        tp += int(np.sum(pred & lab))
+        fp += int(np.sum(pred & ~lab))
+        fn += int(np.sum(~pred & lab))
+        tn += int(np.sum(~pred & ~lab))
+        b = np.minimum(9, s * 10 // scale)
+        np.add.at(bin_n, b, 1)
+        np.add.at(pos_bins, b[lab], 1)
+        err = s - lab.astype(np.int64) * scale
+        se_sum += int(np.sum(err * err))
+        np.add.at(treat_hist, s[lab], 1)
+        np.add.at(ctrl_hist, s[~lab], 1)
+    cum_c_less = np.concatenate(([0], np.cumsum(ctrl_hist)[:-1]))
+    u2 = int(2 * np.sum(treat_hist * cum_c_less)
+             + np.sum(treat_hist * ctrl_hist))
+    n_t, n_c = int(treat_hist.sum()), int(ctrl_hist.sum())
+    want_auc = round(u2 / (2.0 * n_t * n_c), 6)
+    want_brier = round(se_sum / (n * float(scale) * float(scale)), 6)
+
+    rep_ok = (
+        rep[True]["tp"] == tp and rep[True]["fp"] == fp
+        and rep[True]["fn"] == fn and rep[False]["tp"] == tn
+        and rep[True]["support"] == tp + fn
+    )
+    cal_ok = all(
+        cal[k]["n"] == int(bin_n[k]) and cal[k]["n_pos"] == int(
+            pos_bins[k])
+        for k in range(10)
+    ) and abs(cal[0]["brier"] - want_brier) <= 1e-9
+    auc_ok = (
+        auc_row["u2_treat"] == u2
+        and abs(auc_row["auc"] - want_auc) <= 1e-9
+        and (auc_row["n_treat"], auc_row["n_ctrl"]) == (n_t, n_c)
+    )
+    rep2 = {
+        r["class"]: r.asDict()
+        for r in classification_report(
+            df.repartition(97).withColumn(
+                "pred", F.col("s") * 2 >= scale
+            ),
+            "lab",
+            "pred",
+        ).collect()
+    }
+    return {
+        "rows": n,
+        "scale_vs_sf0.1": "2000x the documents scoring surface",
+        "sec": round(wall, 2),
+        "auc": auc_row["auc"],
+        "brier": cal[0]["brier"],
+        "invariant": rep == rep2,
+        "ok": rep_ok and cal_ok and auc_ok and rep == rep2,
+    }
+
+
 CASES = {
     "funnel_16m": case_funnel_16m,
     "token_budget_12m": case_token_budget_12m,
@@ -2573,6 +2831,10 @@ CASES = {
     "hilbert_16m": case_hilbert_16m,
     "corr_16m": case_corr_16m,
     "seasonal_100k_keys": case_seasonal_100k_keys,
+    "spearman_16m_distinct": case_spearman_16m_distinct,
+    "ransac_skew_1m": case_ransac_skew_1m,
+    "fk_audit_16m": case_fk_audit_16m,
+    "eval_trio_10m": case_eval_trio_10m,
 }
 
 
