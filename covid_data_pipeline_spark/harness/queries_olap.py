@@ -2989,3 +2989,75 @@ def lineitem_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entropy_profile(
         li, ["l_returnflag", "l_linestatus", "qty", "l_suppkey"]
     )
+
+
+@register(
+    "orders_theil_u",
+    """
+    WITH thu_b AS (
+      SELECT substr(o_orderpriority, 1, 1) AS x, o_orderpriority AS y
+      FROM orders WHERE o_orderpriority IS NOT NULL),
+    thu_xy AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c
+               FROM thu_b GROUP BY 1, 2),
+    thu_mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS c
+               FROM thu_xy GROUP BY 1),
+    thu_my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS c
+               FROM thu_xy GROUP BY 1),
+    thu_nx AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(ROUND(ln(CAST(SUM(c) AS DOUBLE)) * 1e9, 0) AS HUGEINT)
+               * CAST(SUM(c) AS BIGINT)
+             - SUM(c::HUGEINT
+                   * CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1e9, 0)
+                          AS BIGINT)) AS num
+      FROM thu_mx),
+    thu_ny AS (
+      SELECT CAST(ROUND(ln(CAST(SUM(c) AS DOUBLE)) * 1e9, 0) AS HUGEINT)
+               * CAST(SUM(c) AS BIGINT)
+             - SUM(c::HUGEINT
+                   * CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1e9, 0)
+                          AS BIGINT)) AS num
+      FROM thu_my),
+    thu_nxy AS (
+      SELECT CAST(ROUND(ln(CAST(SUM(c) AS DOUBLE)) * 1e9, 0) AS HUGEINT)
+               * CAST(SUM(c) AS BIGINT)
+             - SUM(c::HUGEINT
+                   * CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1e9, 0)
+                          AS BIGINT)) AS num
+      FROM thu_xy)
+    SELECT x.n,
+           (ROUND(CAST(x.num AS DOUBLE) / (CAST(x.n AS DOUBLE) * 1e9), 6)
+            + 0) AS h_x,
+           (ROUND(CAST(y.num AS DOUBLE) / (CAST(x.n AS DOUBLE) * 1e9), 6)
+            + 0) AS h_y,
+           (ROUND(CAST(j.num AS DOUBLE) / (CAST(x.n AS DOUBLE) * 1e9), 6)
+            + 0) AS h_xy,
+           (ROUND(CAST(x.num + y.num - j.num AS DOUBLE)
+                  / (CAST(x.n AS DOUBLE) * 1e9), 6) + 0) AS mi,
+           (ROUND(CAST(x.num + y.num - j.num AS DOUBLE)
+                  / NULLIF(CAST(x.num AS DOUBLE), 0), 6) + 0)
+             AS u_x_given_y,
+           (ROUND(CAST(x.num + y.num - j.num AS DOUBLE)
+                  / NULLIF(CAST(y.num AS DOUBLE), 0), 6) + 0)
+             AS u_y_given_x
+    FROM thu_nx x CROSS JOIN thu_ny y CROSS JOIN thu_nxy j
+    """,
+    tags=("olap", "statistics", "association", "profiling"),
+)
+def orders_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient between the priority CLASS
+    DIGIT and the full priority string (`operators/quality.py::
+    theil_u`) — the asymmetric association Cramér's V cannot express:
+    the digit is a pure FUNCTION of the string, so U(digit|string)
+    must be exactly 1.0 while U(string|digit) reports how much of the
+    string's entropy the digit retains. All three entropies share the
+    n·1e9 nano-lattice denominator, so every U is ONE exact integer
+    rational — the leakage/derived-column detector for feature
+    audits."""
+    from covid_data_pipeline_spark.operators.quality import theil_u
+
+    o = table(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).alias("_x"),
+        F.col("o_orderpriority").alias("_y"),
+    )
+    return theil_u(o, "_x", "_y")

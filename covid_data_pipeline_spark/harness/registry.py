@@ -68,7 +68,7 @@ def register(
 # green in r9), which lands EVERY oracle-backed query driver-proven
 # (334/334), then the 6 round-10 additions (Cohen's kappa, Cramér's V
 # matrix, entropy profile, ECE, Jensen-Shannon drift, Dunning G²
-# collocations — mirror-verified at sf0.01 + sf0.001 when added), and
+# collocations, Theil U — mirror-verified at sf0.01 + sf0.001 when added), and
 # spend the remaining 24 slots on drift re-checks of the oldest
 # remaining greens (r2-r3 era, alphabetical). Everything not listed
 # keeps its module registration order after these; oracle-less
@@ -104,6 +104,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "lineitem_entropy_profile",
     "docs_quality_ece",
     "docs_bigram_collocations",
+    "orders_theil_u",
     # --- drift re-checks: oldest remaining greens (r2-r3 era) ---
     "pack_sequences_greedy",
     "pivot_event_type",
@@ -128,14 +129,13 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "tpch_q5_local_supplier_volume",
     "tpch_q6_revenue_forecast",
     "train_test_hash_split",
-    "union_by_name",
 )
 
 # Every query module must import cleanly: a blanket try/except here once
 # let an ImportError silently drop whole modules (and shrink the driver's
 # verification surface). The count assertion is the tripwire for any
 # regression that swallows registrations some other way.
-MIN_EXPECTED_QUERIES = 344
+MIN_EXPECTED_QUERIES = 345
 
 
 def _load_all() -> None:

@@ -743,3 +743,106 @@ def entropy_profile(
     for x in outs[1:]:
         out = out.unionByName(x)
     return out
+
+
+def theil_u(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil's uncertainty coefficient (Theil, "Statistical
+    Decomposition Analysis" 1972) — the ASYMMETRIC categorical
+    association that Cramér's V cannot express: U(X|Y) = I(X;Y)/H(X)
+    is the fraction of X's entropy explained by knowing Y. A
+    perfectly-derivable column scores 1 in one direction and < 1 in
+    the other, which is exactly the redundant-feature/leakage question
+    (V is symmetric and cannot say WHICH column is the derived one).
+
+    Exactness: with the :func:`entropy_profile` nano-nat lattice, each
+    entropy's integer numerator is num_Z = ln(n)_nano·n − Σ c·ln(c)_nano
+    over the (marginal or joint) value counts; all three share the
+    denominator n·1e9, so
+
+        U(X|Y) = (num_X + num_Y − num_XY) / num_X
+
+    is an EXACT integer rational — one correctly-rounded division, no
+    rounded-over-rounded composition. Returns one row: ``(n, h_x, h_y,
+    h_xy, mi, u_x_given_y, u_y_given_x)``; a constant column has
+    H = 0 and its U is NULL via try_divide. Listwise NULL deletion
+    (association needs both sides of a row).
+
+    Scale shape: one |X×Y|-sized map-side-combining rollup; marginals
+    regroup from it; three scalar folds — nothing corpus-sized
+    survives the first aggregate."""
+    from covid_data_pipeline_spark.functions.scalar import round_stable
+
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(x_col).cast("string").alias("__x"),
+        F.col(y_col).cast("string").alias("__y"),
+    ).filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    xy = base.groupBy("__x", "__y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    xy = xy.localCheckpoint(eager=False)  # feeds 3 entropy folds
+
+    def ln_nano(c) -> Column:
+        return F.round(
+            F.log(c.cast("double")) * F.lit(1e9), 0
+        ).cast("bigint")
+
+    def num_for(counts: DataFrame, alias: str) -> DataFrame:
+        """Integer entropy numerator ln(n)_nano·n − Σ c·ln(c)_nano."""
+        agg = counts.agg(
+            F.sum("__c").cast("bigint").alias("__n"),
+            F.sum(
+                (F.col("__c") * ln_nano(F.col("__c"))).cast(d38)
+            ).alias("__s"),
+        )
+        return agg.select(
+            F.col("__n").alias(f"__n_{alias}"),
+            (
+                ln_nano(F.col("__n")).cast(d38)
+                * F.col("__n").cast(d38)
+                - F.col("__s")
+            ).alias(f"__num_{alias}"),
+        )
+
+    nx = num_for(
+        xy.groupBy("__x").agg(F.sum("__c").alias("__c")), "x"
+    )
+    ny = num_for(
+        xy.groupBy("__y").agg(F.sum("__c").alias("__c")), "y"
+    )
+    nxy = num_for(xy, "xy")
+    j = (
+        # bcast: const(1) scalar entropy numerators
+        nx.crossJoin(F.broadcast(ny)).crossJoin(F.broadcast(nxy))
+    )
+    n = F.col("__n_x")
+    den = n.cast("double") * F.lit(1e9)
+    mi_num = (
+        F.col("__num_x") + F.col("__num_y") - F.col("__num_xy")
+    )
+    return j.select(
+        n.cast("bigint").alias("n"),
+        round_stable(F.col("__num_x").cast("double") / den, 6)
+        .alias("h_x"),
+        round_stable(F.col("__num_y").cast("double") / den, 6)
+        .alias("h_y"),
+        round_stable(F.col("__num_xy").cast("double") / den, 6)
+        .alias("h_xy"),
+        round_stable(mi_num.cast("double") / den, 6).alias("mi"),
+        round_stable(
+            F.try_divide(
+                mi_num.cast("double"), F.col("__num_x").cast("double")
+            ),
+            6,
+        ).alias("u_x_given_y"),
+        round_stable(
+            F.try_divide(
+                mi_num.cast("double"), F.col("__num_y").cast("double")
+            ),
+            6,
+        ).alias("u_y_given_x"),
+    )

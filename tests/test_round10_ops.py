@@ -142,6 +142,30 @@ def test_expected_calibration_error_hand_values(spark):
         expected_calibration_error(df2, "s", "y", bins=1)
 
 
+def test_theil_u_derived_column(spark):
+    """A column that is a pure function of another has
+    U(derived|source) = 1 exactly; a constant column yields NULL U;
+    hand-check MI against the entropy identity."""
+    from covid_data_pipeline_spark.operators.quality import theil_u
+
+    # y in {a1, a2, b1}; x = first char (derived from y)
+    rows = [("a", "a1")] * 3 + [("a", "a2")] * 3 + [("b", "b1")] * 2
+    df = spark.createDataFrame(rows, "x STRING, y STRING")
+    r = theil_u(df, "x", "y").collect()[0]
+    assert r["n"] == 8
+    assert r["u_x_given_y"] == 1.0          # x is derivable from y
+    assert 0 < r["u_y_given_x"] < 1.0       # y is NOT derivable from x
+    # H(X,Y) == H(Y) when x is a function of y
+    assert r["h_xy"] == r["h_y"]
+    assert r["mi"] == r["h_x"]
+
+    const = spark.createDataFrame(
+        [("k", "v1"), ("k", "v2")], "x STRING, y STRING"
+    )
+    rc = theil_u(const, "x", "y").collect()[0]
+    assert rc["h_x"] == 0.0 and rc["u_x_given_y"] is None
+
+
 def test_collocations_g2_planted(spark):
     """A bigram that always co-occurs ranks first with the exact
     hand-computed G²; min_count prunes hapaxes."""
