@@ -4213,3 +4213,76 @@ def events_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_bin"),
     )
     return js_divergence(binned, "event_type", "_bin")
+
+
+@register(
+    "events_robust_anomalies",
+    """
+    WITH rz_d AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2),
+    rz_r AS (
+      SELECT event_type, x, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY v, x) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM rz_d),
+    rz_m AS (
+      SELECT event_type,
+             CAST(CASE WHEN MAX(n) % 2 = 1 THEN SUM(v) * 2
+                       ELSE SUM(v) END AS BIGINT) AS med2
+      FROM rz_r
+      WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      GROUP BY 1),
+    rz_dev AS (
+      SELECT d.event_type, d.x, d.v, m.med2,
+             ABS(2 * d.v - m.med2) AS dd
+      FROM rz_d d JOIN rz_m m USING (event_type)),
+    rz_r2 AS (
+      SELECT event_type, x, dd,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY dd, x) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM rz_dev),
+    rz_mad AS (
+      SELECT event_type,
+             CAST(CASE WHEN MAX(n) % 2 = 1 THEN SUM(dd) * 2
+                       ELSE SUM(dd) END AS BIGINT) AS mad4
+      FROM rz_r2
+      WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      GROUP BY 1)
+    SELECT d.event_type, d.x, d.v,
+           (ROUND((1.349 * CAST(2 * d.v - d.med2 AS DOUBLE))
+                  / NULLIF(CAST(a.mad4 AS DOUBLE), 0), 4) + 0)
+             AS robust_z,
+           d.dd * 1349 > a.mad4 * 1750 AS is_outlier
+    FROM rz_dev d JOIN rz_mad a USING (event_type)
+    """,
+    tags=("events", "anomaly", "robust-statistics", "temporal"),
+)
+def events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD modified z-score over daily event volume per type
+    (`operators/temporal.py::robust_zscore`, Iglewicz-Hoaglin 1993) —
+    the robust twin of events_zscore_anomalies: one anomalous spike
+    inflates a mean/std z until it masks its own siblings; the median
+    and MAD don't move. The outlier verdict 1349·|2v−med2| >
+    1750·mad4 is pure BIGINT over doubled order statistics (exact for
+    odd/even day counts alike, MAD=0 degenerate handled naturally);
+    only the display z spends a division."""
+    from covid_data_pipeline_spark.operators.temporal import robust_zscore
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("_x"),
+        )
+        .agg(F.count(F.lit(1)).alias("_v"))
+    )
+    return robust_zscore(daily, ["event_type"], "_x", "_v")

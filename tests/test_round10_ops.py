@@ -166,6 +166,41 @@ def test_theil_u_derived_column(spark):
     assert rc["h_x"] == 0.0 and rc["u_x_given_y"] is None
 
 
+def test_robust_zscore_hand_values(spark):
+    """One gross spike among steady values: modified z flags only the
+    spike (a mean/std z would be inflated by it); MAD=0 degenerate
+    flags any deviation; even/odd medians exact."""
+    from covid_data_pipeline_spark.operators.temporal import robust_zscore
+
+    # key a: 9 steady values 10..18 plus one spike 1000
+    a = [("a", i, 10 + i) for i in range(9)] + [("a", 99, 1000)]
+    # key b: majority-constant (MAD = 0) with one deviant
+    b = [("b", i, 5) for i in range(5)] + [("b", 9, 6)]
+    df = spark.createDataFrame(a + b, "k STRING, x BIGINT, v BIGINT")
+    out = {(r["k"], r["x"]): r.asDict()
+           for r in robust_zscore(df, ["k"], "x", "v").collect()}
+    assert len(out) == 16
+    # key a: n=10 even -> med2 = v(5)+v(6) = 14+15 = 29
+    # d values: |2v-29| for 10..18 = 9,7,5,3,1,1,3,5,7; spike 1971
+    # sorted d: 1,1,3,3,5,5,7,7,9,1971 -> mad4 = 5+5 = 10
+    spike = out[("a", 99)]
+    assert spike["is_outlier"] is True
+    assert spike["robust_z"] == round(1.349 * 1971 / 10, 4)
+    steady = out[("a", 4)]  # v=14, 2v-29 = -1
+    assert steady["is_outlier"] is False
+    assert steady["robust_z"] == round(1.349 * -1 / 10, 4)
+    n_flagged = sum(1 for (k, _), r in out.items()
+                    if k == "a" and r["is_outlier"])
+    assert n_flagged == 1  # the spike does not mask or drag others
+    # key b: med2 = 10, d = 0 x5 and 2; mad4 = 0 -> z NULL, deviant
+    # still flagged by the integer verdict
+    assert out[("b", 9)]["robust_z"] is None
+    assert out[("b", 9)]["is_outlier"] is True
+    assert out[("b", 0)]["is_outlier"] is False
+    with pytest.raises(ValueError):
+        robust_zscore(df, [], "x", "v")
+
+
 def test_collocations_g2_planted(spark):
     """A bigram that always co-occurs ranks first with the exact
     hand-computed G²; min_count prunes hapaxes."""
