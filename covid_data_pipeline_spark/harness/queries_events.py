@@ -4286,3 +4286,54 @@ def events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_v"))
     )
     return robust_zscore(daily, ["event_type"], "_x", "_v")
+
+
+@register(
+    "events_mcnemar_raters",
+    """
+    WITH mcn_b AS (
+      SELECT (value >= 50) AS y,
+             (value + (event_id % 11) - 5 >= 50) AS a,
+             (value + (event_id % 7) - 3 >= 50) AS b
+      FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+    mcn_g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((a = y)::INT) AS BIGINT) AS na,
+             CAST(SUM((b = y)::INT) AS BIGINT) AS nb,
+             CAST(SUM((a = y AND b <> y)::INT) AS BIGINT) AS b,
+             CAST(SUM((a <> y AND b = y)::INT) AS BIGINT) AS c
+      FROM mcn_b)
+    SELECT n,
+           (ROUND(CAST(na AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0)
+             AS acc_a,
+           (ROUND(CAST(nb AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0)
+             AS acc_b,
+           b, c,
+           (ROUND(CAST((b - c)::HUGEINT * (b - c) AS DOUBLE)
+                  / NULLIF(CAST(b + c AS DOUBLE), 0), 6) + 0) AS chi2,
+           (b - c)::HUGEINT * (b - c) * 1000 > 3841::HUGEINT * (b + c)
+             AS significant
+    FROM mcn_g
+    """,
+    tags=("events", "evaluation", "paired-test", "statistics"),
+)
+def events_mcnemar_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between two deterministic threshold
+    raters against the value-derived truth (`operators/experiment.py::
+    mcnemar_test`, McNemar 1947) — the statistically correct "is
+    classifier A better than B on the SAME rows" readout (two
+    unpaired accuracies ignore the pairing; only the discordant
+    counts b and c carry information). chi² = (b−c)²/(b+c) is one
+    exact integer rational; the 95% verdict 1000·(b−c)² > 3841·(b+c)
+    is pure BIGINT."""
+    from covid_data_pipeline_spark.operators.experiment import mcnemar_test
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    )
+    rated = ev.select(
+        (F.col("value") >= 50).alias("_y"),
+        (F.col("value") + (F.col("event_id") % 11) - 5 >= 50).alias("_a"),
+        (F.col("value") + (F.col("event_id") % 7) - 3 >= 50).alias("_b"),
+    )
+    return mcnemar_test(rated, "_y", "_a", "_b")

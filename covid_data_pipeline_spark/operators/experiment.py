@@ -701,3 +701,80 @@ def js_divergence(
             ).alias("jsd"),
         )
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    label_col: str,
+    pred_a_col: str,
+    pred_b_col: str,
+) -> DataFrame:
+    """McNemar's paired test (Psychometrika 1947) — the statistically
+    correct way to compare TWO classifiers evaluated on the SAME rows
+    (two independent accuracy numbers ignore the pairing; McNemar
+    tests only the discordant pairs): b = rows A gets right and B gets
+    wrong, c = the reverse, chi² = (b − c)²/(b + c) on 1 dof.
+
+    Exactness: b and c are exact BIGINT counts off one aggregation
+    pass; chi² is ONE integer rational (DECIMAL(38,0) numerator —
+    (b−c)² overflows int64 past ~3·10⁹ discordant rows), and the 95%
+    VERDICT clears the denominator entirely:
+
+        significant ⟺ 1000·(b − c)² > 3841·(b + c)
+
+    (3.841 = chi²₀.₀₅,₁ scaled ×1000) — pure BIGINT, engine- and
+    partition-invariant. Returns one row: ``(n, acc_a, acc_b, b, c,
+    chi2, significant)``; chi² is NULL via try_divide when b + c = 0
+    (identical predictions — nothing to test, significant false).
+    Rows with any NULL among label/preds are excluded.
+
+    Scale shape: one map-side-combining scalar aggregate — nothing
+    survives the first pass."""
+    d38 = _D
+    base = df.select(
+        F.col(label_col).alias("__y"),
+        F.col(pred_a_col).alias("__a"),
+        F.col(pred_b_col).alias("__b"),
+    ).filter(
+        F.col(label_col).isNotNull()
+        & F.col(pred_a_col).isNotNull()
+        & F.col(pred_b_col).isNotNull()
+    )
+    a_ok = F.col("__a") == F.col("__y")
+    b_ok = F.col("__b") == F.col("__y")
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(a_ok.cast("long")).cast("bigint").alias("__na"),
+        F.sum(b_ok.cast("long")).cast("bigint").alias("__nb"),
+        F.sum((a_ok & ~b_ok).cast("long")).cast("bigint").alias("b"),
+        F.sum((~a_ok & b_ok).cast("long")).cast("bigint").alias("c"),
+    )
+    diff = (F.col("b") - F.col("c")).cast(d38)
+    disc = (F.col("b") + F.col("c")).cast(d38)
+    return agg.select(
+        "n",
+        round_stable(
+            F.try_divide(
+                F.col("__na").cast("double"), F.col("n").cast("double")
+            ),
+            6,
+        ).alias("acc_a"),
+        round_stable(
+            F.try_divide(
+                F.col("__nb").cast("double"), F.col("n").cast("double")
+            ),
+            6,
+        ).alias("acc_b"),
+        "b",
+        "c",
+        round_stable(
+            F.try_divide(
+                (diff * diff).cast("double"), disc.cast("double")
+            ),
+            6,
+        ).alias("chi2"),
+        (
+            (diff * diff).cast(d38) * F.lit(1000).cast(d38)
+            > F.lit(3841).cast(d38) * disc
+        ).alias("significant"),
+    )

@@ -166,6 +166,33 @@ def test_theil_u_derived_column(spark):
     assert rc["h_x"] == 0.0 and rc["u_x_given_y"] is None
 
 
+def test_mcnemar_hand_values(spark):
+    """Textbook discordant table: b=10, c=2 -> chi2 = 64/12; identical
+    predictions -> NULL chi2, not significant."""
+    from covid_data_pipeline_spark.operators.experiment import mcnemar_test
+
+    # truth always True; A right/B wrong x10, A wrong/B right x2,
+    # both right x8 -> n=20, acc_a=18/20, acc_b=10/20
+    rows = (
+        [(True, True, False)] * 10
+        + [(True, False, True)] * 2
+        + [(True, True, True)] * 8
+    )
+    df = spark.createDataFrame(rows, "y BOOLEAN, a BOOLEAN, b BOOLEAN")
+    r = mcnemar_test(df, "y", "a", "b").collect()[0]
+    assert (r["n"], r["b"], r["c"]) == (20, 10, 2)
+    assert r["acc_a"] == 0.9 and r["acc_b"] == 0.5
+    assert r["chi2"] == round(64 / 12, 6)
+    assert r["significant"] is True  # 64000 > 3841*12
+
+    same = spark.createDataFrame(
+        [(True, True, True), (False, True, True)],
+        "y BOOLEAN, a BOOLEAN, b BOOLEAN",
+    )
+    rs = mcnemar_test(same, "y", "a", "b").collect()[0]
+    assert rs["chi2"] is None and rs["significant"] is False
+
+
 def test_robust_zscore_hand_values(spark):
     """One gross spike among steady values: modified z flags only the
     spike (a mean/std z would be inflated by it); MAD=0 degenerate
