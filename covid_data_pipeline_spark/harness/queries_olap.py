@@ -3061,3 +3061,58 @@ def orders_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("_y"),
     )
     return theil_u(o, "_x", "_y")
+
+
+@register(
+    "orders_trimmed_prices",
+    """
+    WITH trm_b AS (
+      SELECT o_orderpriority AS prio,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    trm_r AS (
+      SELECT prio, v,
+             ROW_NUMBER() OVER (PARTITION BY prio ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY prio) AS n
+      FROM trm_b),
+    trm_g AS (
+      SELECT prio, v, rn, n, (n * 1) // 10 AS g FROM trm_r),
+    trm_a AS (
+      SELECT prio,
+             CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MAX(g) AS BIGINT) AS g,
+             SUM(CASE WHEN rn > g AND rn <= n - g
+                      THEN v::HUGEINT ELSE 0 END) AS sk,
+             CAST(SUM(CASE WHEN rn > g AND rn <= n - g
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nk,
+             MAX(CASE WHEN rn = g + 1 THEN v END) AS lo,
+             MAX(CASE WHEN rn = n - g THEN v END) AS hi
+      FROM trm_g GROUP BY 1)
+    SELECT prio, n, g AS n_cut_each_side,
+           (ROUND(CAST(sk AS DOUBLE) / NULLIF(CAST(nk AS DOUBLE), 0), 4)
+            + 0) AS trimmed_mean,
+           (ROUND(CASE WHEN nk > 0 THEN
+                    CAST(sk + g::HUGEINT * (lo + hi) AS DOUBLE)
+                    / CAST(n AS DOUBLE) END, 4) + 0) AS winsorized_mean
+    FROM trm_a
+    """,
+    tags=("olap", "robust-statistics", "aggregation"),
+)
+def orders_trimmed_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed and winsorized mean order value per priority
+    (`operators/temporal.py::trimmed_stats`, Tukey / Dixon-Yuen) — the
+    robust location report between mean and median for whale-dominated
+    metrics: per key, drop (trimmed) or clamp (winsorized) the lowest
+    and highest n div 10 integer-cent values. Cut counts, boundary
+    order statistics and both sums are exact BIGINT/DECIMAL; each mean
+    spends one division; boundary-tie cuts are rank-arbitrary but
+    value-invariant."""
+    from covid_data_pipeline_spark.operators.temporal import trimmed_stats
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    return trimmed_stats(o, ["prio"], "_v", trim_num=1, trim_den=10)

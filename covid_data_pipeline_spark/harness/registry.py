@@ -107,6 +107,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "orders_theil_u",
     "events_robust_anomalies",
     "events_mcnemar_raters",
+    "orders_trimmed_prices",
     # --- drift re-checks: oldest remaining greens (r2-r3 era) ---
     "pack_sequences_greedy",
     "pivot_event_type",
@@ -128,14 +129,13 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "tpch_q19_discounted_revenue",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
 )
 
 # Every query module must import cleanly: a blanket try/except here once
 # let an ImportError silently drop whole modules (and shrink the driver's
 # verification surface). The count assertion is the tripwire for any
 # regression that swallows registrations some other way.
-MIN_EXPECTED_QUERIES = 347
+MIN_EXPECTED_QUERIES = 348
 
 
 def _load_all() -> None:

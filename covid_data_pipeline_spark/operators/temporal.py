@@ -1517,3 +1517,95 @@ def robust_zscore(
         ).alias("robust_z"),
         (F.col("__d") * 1349 > F.col("mad4") * 1750).alias("is_outlier"),
     )
+
+
+def trimmed_stats(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    trim_num: int = 1,
+    trim_den: int = 10,
+) -> DataFrame:
+    """Trimmed and winsorized means per key (Tukey; Dixon & Yuen 1974)
+    — the robust location estimates between the mean (efficient,
+    fragile) and the median (robust, wasteful): drop — or clamp to the
+    cut boundary — the lowest and highest ``floor(n·trim_num/
+    trim_den)`` values and average the rest. The standard aggregate
+    for whale-dominated metrics (revenue per cohort, tokens per doc).
+
+    Exactness: values must be integral; the per-key cut count
+    ``g = n·trim_num div trim_den`` and the rank window are exact, so
+    the trimmed sum, the boundary values (the order statistics at
+    ranks g+1 and n−g), and the winsorized sum ``S_kept + g·(lo+hi)``
+    are all BIGINT/DECIMAL(38,0) — each mean spends ONE division.
+    Which duplicates of a tied boundary value get cut is rank-
+    arbitrary but VALUE-invariant (equal values), so the sums are
+    deterministic on any engine/partitioning. Returns per key:
+    ``key_cols + (n, n_cut_each_side, trimmed_mean,
+    winsorized_mean)``; keys where trimming would drop everything
+    (n ≤ 2g) yield NULL means via try_divide.
+
+    Scale shape: one per-key rank window (partitioned — parallel
+    across the key space) + one map-side-combining rollup; NULL
+    values are excluded."""
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    if not (0 < trim_num < trim_den):
+        raise ValueError(f"bad trim fraction {trim_num}/{trim_den}")
+    d38 = "decimal(38,0)"
+    base = df.select(
+        *keys, F.col(value_col).cast("bigint").alias("__v")
+    ).filter(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*keys).orderBy("__v")
+    ranked = base.withColumn("__rn", F.row_number().over(w))
+    nkey = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    j = ranked.join(nkey, keys).withColumn(
+        "__g", F.expr(f"(__n * {int(trim_num)}) div {int(trim_den)}")
+    )
+    kept = (F.col("__rn") > F.col("__g")) & (
+        F.col("__rn") <= F.col("__n") - F.col("__g")
+    )
+    agg = j.groupBy(*keys).agg(
+        F.max("__n").alias("n"),
+        F.max("__g").alias("__g2"),
+        F.sum(F.when(kept, F.col("__v")).otherwise(F.lit(0)))
+        .cast(d38)
+        .alias("__sk"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("__nk"),
+        # order statistics at the cut boundaries (NULL when n <= 2g)
+        F.max(
+            F.when(F.col("__rn") == F.col("__g") + 1, F.col("__v"))
+        ).alias("__lo"),
+        F.max(
+            F.when(
+                F.col("__rn") == F.col("__n") - F.col("__g"), F.col("__v")
+            )
+        ).alias("__hi"),
+    )
+    from covid_data_pipeline_spark.functions.scalar import round_stable
+
+    empty = F.col("__nk") <= 0
+    wins_sum = (
+        F.col("__sk")
+        + (F.col("__g2").cast(d38)
+           * (F.col("__lo") + F.col("__hi")).cast(d38))
+    )
+    return agg.select(
+        *keys,
+        F.col("n").cast("bigint").alias("n"),
+        F.col("__g2").cast("bigint").alias("n_cut_each_side"),
+        round_stable(
+            F.try_divide(
+                F.col("__sk").cast("double"), F.col("__nk").cast("double")
+            ),
+            4,
+        ).alias("trimmed_mean"),
+        round_stable(
+            F.when(
+                ~empty,
+                wins_sum.cast("double") / F.col("n").cast("double"),
+            ),
+            4,
+        ).alias("winsorized_mean"),
+    )

@@ -166,6 +166,39 @@ def test_theil_u_derived_column(spark):
     assert rc["h_x"] == 0.0 and rc["u_x_given_y"] is None
 
 
+def test_trimmed_stats_hand_values(spark):
+    """10 values with one whale: 10% trim drops exactly the min and
+    max; winsorized clamps them to the boundary order statistics; an
+    over-trimmed key yields NULL means."""
+    from covid_data_pipeline_spark.operators.temporal import trimmed_stats
+
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]
+    df = spark.createDataFrame(
+        [("k", v) for v in vals] + [("tiny", 5), ("tiny", 7)],
+        "g STRING, v BIGINT",
+    )
+    got = {r["g"]: r.asDict()
+           for r in trimmed_stats(df, ["g"], "v", 1, 10).collect()}
+    k = got["k"]
+    assert k["n"] == 10 and k["n_cut_each_side"] == 1
+    # kept: 2..9 -> sum 44, mean 5.5
+    assert k["trimmed_mean"] == 5.5
+    # winsorized: 44 + 1*(2 + 9) = 55 over n=10
+    assert k["winsorized_mean"] == 5.5
+    tiny = got["tiny"]  # n=2, g=0 -> nothing cut, plain mean
+    assert tiny["n_cut_each_side"] == 0 and tiny["trimmed_mean"] == 6.0
+
+    # 50% trim on n=2: g=1, kept 0 -> NULL means
+    over = trimmed_stats(
+        spark.createDataFrame([("x", 1), ("x", 3)], "g STRING, v BIGINT"),
+        ["g"], "v", 1, 2,
+    ).collect()[0]
+    assert over["trimmed_mean"] is None
+    assert over["winsorized_mean"] is None
+    with pytest.raises(ValueError):
+        trimmed_stats(df, ["g"], "v", 5, 5)
+
+
 def test_mcnemar_hand_values(spark):
     """Textbook discordant table: b=10, c=2 -> chi2 = 64/12; identical
     predictions -> NULL chi2, not significant."""
