@@ -9,9 +9,11 @@ categorical dims); (3) Theil's U (ASYMMETRIC association — which
 column is the derived one, the leakage detector); (4) Jensen-Shannon
 divergence of each cohort's distribution vs the corpus mix (bounded
 drift, finite on empty bins); (5) Cohen's kappa between two labeling
-rules (agreement gate); (6) expected calibration error next to the
-reliability table; (7) Dunning G² collocations (phrase-mining /
-tokenizer seeding). Every number is an exact-integer-lattice
+rules (agreement gate) and McNemar's paired test (is rule A better
+than rule B on the same rows); (6) expected calibration error next to
+the reliability table; (7) Dunning G² collocations (phrase-mining /
+tokenizer seeding); (8) robust median/MAD anomalies and trimmed /
+winsorized means (whale-proof location + outlier verdicts). Every number is an exact-integer-lattice
 construction replayable in plain SQL — see
 operators/{quality,experiment,calibrate,langmodel}.py.
 """
@@ -33,12 +35,17 @@ from covid_data_pipeline_spark.operators.calibrate import (
 from covid_data_pipeline_spark.operators.experiment import (
     cohens_kappa,
     js_divergence,
+    mcnemar_test,
 )
 from covid_data_pipeline_spark.operators.langmodel import collocations_g2
 from covid_data_pipeline_spark.operators.quality import (
     cramers_v_matrix,
     entropy_profile,
     theil_u,
+)
+from covid_data_pipeline_spark.operators.temporal import (
+    robust_zscore,
+    trimmed_stats,
 )
 from covid_data_pipeline_spark.session import get_spark
 
@@ -102,6 +109,14 @@ def main() -> None:
     )
     cohens_kappa(rated, "a", "b").show()
 
+    print("-- 5b. McNemar: is rater A better than rater B? --")
+    paired = ev.select(
+        (F.col("value") >= 50).alias("y"),
+        (F.col("value") + (F.col("event_id") % 11) - 5 >= 50).alias("a"),
+        (F.col("value") + (F.col("event_id") % 7) - 3 >= 50).alias("b"),
+    )
+    mcnemar_test(paired, "y", "a", "b").show()
+
     docs = table(spark, sf_dir, "documents")
     print("-- 6. expected calibration error of the quality score --")
     scored = docs.select(
@@ -112,6 +127,18 @@ def main() -> None:
 
     print("-- 7. Dunning G² collocations: top phrases --")
     collocations_g2(docs, top_k=10, min_count=5).show(truncate=False)
+
+    print("-- 8. robust anomalies + trimmed means on daily volume --")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    robust_zscore(daily, ["event_type"], "day", "cnt").where(
+        "is_outlier"
+    ).show()
+    trimmed_stats(daily, ["event_type"], "cnt", 1, 10).show()
 
     spark.stop()
 
