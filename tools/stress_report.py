@@ -2786,6 +2786,70 @@ def case_eval_trio_10m(spark):
     }
 
 
+def case_robust_trim_100k_keys(spark):
+    """Round-10 robust statistics at 100k keys x 56 points (5.6M
+    rows) with CLOSED-FORM answers: every key carries the repeating
+    pattern 100 + (t mod 7); odd keys swap their t=55 point for a
+    100000 whale. Modified z must flag EXACTLY the 50k whales (the
+    steady pattern's max |M| is 1.349·6/8 ≈ 1.01, far under 3.5, on
+    even and odd keys alike — median/MAD don't move), and the
+    10%-trimmed AND winsorized means must equal 103.0 EXACTLY for all
+    100k keys, whale or not (the whale-proof property, key by key).
+    Both ops are per-key rank windows — parallel across the key
+    space. Partition-invariant."""
+    from covid_data_pipeline_spark.operators.temporal import (
+        robust_zscore,
+        trimmed_stats,
+    )
+
+    df = spark.range(0, 5_600_000, numPartitions=64).select(
+        (F.col("id") % 100_000).alias("k"),
+        (F.col("id") / 100_000).cast("bigint").alias("t"),
+    ).select(
+        "k",
+        "t",
+        F.when(
+            (F.col("t") == 55) & (F.col("k") % 2 == 1), 100_000
+        ).otherwise(100 + F.col("t") % 7).alias("v"),
+    )
+    t0 = time.time()
+    rz = robust_zscore(df, ["k"], "t", "v")
+    rz_agg = rz.agg(
+        F.sum(F.col("is_outlier").cast("long")).alias("flagged"),
+        F.sum(
+            (F.col("is_outlier") & (F.col("k") % 2 == 0)).cast("long")
+        ).alias("flagged_even"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    tm = trimmed_stats(df, ["k"], "v", 1, 10)
+    tm_agg = tm.agg(
+        F.sum((F.col("trimmed_mean") == 103.0).cast("long")).alias("t_ok"),
+        F.sum(
+            (F.col("winsorized_mean") == 103.0).cast("long")
+        ).alias("w_ok"),
+        F.count(F.lit(1)).alias("keys"),
+    ).collect()[0]
+    wall = time.time() - t0
+    rz2 = robust_zscore(df.repartition(97), ["k"], "t", "v").agg(
+        F.sum(F.col("is_outlier").cast("long")).alias("flagged")
+    ).collect()[0]
+    return {
+        "rows": 5_600_000,
+        "keys": 100_000,
+        "scale_vs_sf0.1": "10000x the daily-volume query's key count",
+        "sec": round(wall, 2),
+        "flagged": rz_agg["flagged"],
+        "trimmed_exact": tm_agg["t_ok"],
+        "invariant": rz_agg["flagged"] == rz2["flagged"],
+        "ok": rz_agg["flagged"] == 50_000
+        and rz_agg["flagged_even"] == 0
+        and rz_agg["n"] == 5_600_000
+        and tm_agg["t_ok"] == 100_000 and tm_agg["w_ok"] == 100_000
+        and tm_agg["keys"] == 100_000
+        and rz_agg["flagged"] == rz2["flagged"],
+    }
+
+
 CASES = {
     "funnel_16m": case_funnel_16m,
     "token_budget_12m": case_token_budget_12m,
@@ -2835,6 +2899,7 @@ CASES = {
     "ransac_skew_1m": case_ransac_skew_1m,
     "fk_audit_16m": case_fk_audit_16m,
     "eval_trio_10m": case_eval_trio_10m,
+    "robust_trim_100k_keys": case_robust_trim_100k_keys,
 }
 
 
