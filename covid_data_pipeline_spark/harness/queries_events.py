@@ -4337,3 +4337,149 @@ def events_mcnemar_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") + (F.col("event_id") % 7) - 3 >= 50).alias("_b"),
     )
     return mcnemar_test(rated, "_y", "_a", "_b")
+
+
+@register(
+    "events_kruskal_wallis",
+    """
+    WITH kw_b AS (
+      SELECT event_type AS g, CAST(FLOOR(value) AS BIGINT) AS v
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    kw_gv AS (
+      SELECT v, g, CAST(COUNT(*) AS BIGINT) AS c FROM kw_b GROUP BY 1, 2),
+    kw_v AS (
+      SELECT v, CAST(SUM(c) AS BIGINT) AS nv FROM kw_gv GROUP BY 1),
+    kw_r AS (
+      SELECT v, nv,
+             COALESCE(SUM(nv) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum_less
+      FROM kw_v),
+    kw_g AS (
+      SELECT gv.g, CAST(SUM(gv.c) AS BIGINT) AS ng,
+             CAST(SUM(CAST(gv.c AS HUGEINT)
+                      * (2 * r.cum_less + r.nv + 1)) AS HUGEINT) AS r2
+      FROM kw_gv gv JOIN kw_r r USING (v) GROUP BY 1),
+    kw_glob AS (
+      SELECT CAST(SUM(nv) AS BIGINT) AS n,
+             CAST(SUM(CAST(nv AS HUGEINT) * nv * nv - nv) AS HUGEINT)
+               AS tie3
+      FROM kw_v),
+    kw_t AS (
+      SELECT CAST(ROUND(3.0 * CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+               / (CAST(ng AS DOUBLE) * CAST(n AS DOUBLE)
+                  * (CAST(n AS DOUBLE) + 1.0)) * 1e6, 0) AS BIGINT)
+               AS micro,
+             n, tie3
+      FROM kw_g, kw_glob),
+    kw_a AS (
+      SELECT MAX(n) AS n, CAST(COUNT(*) AS INT) AS k,
+             CAST(SUM(micro) AS BIGINT) AS sum_micro,
+             MAX(tie3) AS tie3
+      FROM kw_t)
+    SELECT n, k, CAST(k - 1 AS INT) AS df,
+           sum_micro - CAST(3 * (n + 1) * 1000000 AS BIGINT) AS h_micro,
+           (ROUND(CAST(sum_micro AS DOUBLE) / 1e6
+                  - 3.0 * (CAST(n AS DOUBLE) + 1.0), 4) + 0) AS h,
+           (ROUND((CAST(sum_micro AS DOUBLE) / 1e6
+                   - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                  / NULLIF(1.0 - CAST(tie3 AS DOUBLE)
+                    / NULLIF(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                             * CAST(n AS DOUBLE) - CAST(n AS DOUBLE),
+                             0.0), 0.0), 4) + 0) AS h_corrected
+    FROM kw_a
+    """,
+    tags=("events", "hypothesis-test", "rank-statistics", "statistics"),
+)
+def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five event types' floored value
+    distributions (`operators/experiment.py::kruskal_wallis`, Kruskal
+    & Wallis JASA 1952) — the nonparametric "do ANY cohorts differ"
+    gate to run before k*(k-1)/2 pairwise Mann-Whitney tests inflate
+    the false-positive rate. No row is ever ranked: doubled average
+    ranks off the value-compressed domain, exact DECIMAL rank sums,
+    per-group H contributions micro-rounded onto an integer lattice
+    (the PSI rule) so the cross-group sum is engine-invariant."""
+    from covid_data_pipeline_spark.operators.experiment import kruskal_wallis
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    binned = ev.select(
+        F.col("event_type").alias("_g"),
+        F.floor("value").cast("bigint").alias("_v"),
+    )
+    return kruskal_wallis(binned, "_g", "_v")
+
+
+@register(
+    "events_brown_forsythe",
+    """
+    WITH bf_b AS (
+      SELECT event_type AS g,
+             CAST(FLOOR(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    bf_r AS (
+      SELECT g, v,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS gn
+      FROM bf_b),
+    bf_m AS (
+      SELECT g,
+             CAST(CASE WHEN MAX(gn) % 2 = 1 THEN SUM(v) * 2
+                       ELSE SUM(v) END AS BIGINT) AS med2
+      FROM bf_r
+      WHERE rn = (gn + 1) // 2 OR rn = (gn + 2) // 2
+      GROUP BY 1),
+    bf_d AS (
+      SELECT b.g, ABS(2 * b.v - m.med2) AS d
+      FROM bf_b b JOIN bf_m m USING (g)),
+    bf_g AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(CAST(d AS HUGEINT)) AS HUGEINT) AS s,
+             CAST(SUM(CAST(d AS HUGEINT) * d) AS HUGEINT) AS q
+      FROM bf_d GROUP BY 1),
+    bf_a AS (
+      SELECT CAST(SUM(ng) AS BIGINT) AS n,
+             CAST(COUNT(*) AS INT) AS k,
+             CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(ng AS DOUBLE), 0) AS HUGEINT)) AS HUGEINT) AS a,
+             CAST(SUM(s) AS HUGEINT) AS stot,
+             CAST(SUM(q) AS HUGEINT) AS qtot
+      FROM bf_g),
+    bf_s AS (
+      SELECT n, k,
+             GREATEST(CAST(0 AS HUGEINT), a
+               - CAST(ROUND(CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+                 / CAST(n AS DOUBLE), 0) AS HUGEINT)) AS ssb,
+             GREATEST(CAST(0 AS HUGEINT), qtot - a) AS ssw
+      FROM bf_a)
+    SELECT n, k, CAST(k - 1 AS INT) AS df1,
+           CAST(n - k AS BIGINT) AS df2,
+           (ROUND((CAST(ssb AS DOUBLE)
+                   / NULLIF(CAST(k - 1 AS DOUBLE), 0.0))
+                  / NULLIF(CAST(ssw AS DOUBLE)
+                           / NULLIF(CAST(n - k AS DOUBLE), 0.0), 0.0),
+                  4) + 0) AS f_bf
+    FROM bf_s
+    """,
+    tags=("events", "hypothesis-test", "robust-statistics", "statistics"),
+)
+def events_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe homogeneity-of-variance test across event types
+    on integer-cent values (`operators/experiment.py::brown_forsythe`,
+    Brown & Forsythe JASA 1974) — the median-centered Levene: a
+    one-way ANOVA F over |v - median_g| on the doubled-order-statistic
+    lattice (exact group medians, integer deviations, DECIMAL moments;
+    only S_g^2/n_g crosses to the unit lattice before the
+    engine-invariant sum)."""
+    from covid_data_pipeline_spark.operators.experiment import brown_forsythe
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    cents = ev.select(
+        F.col("event_type").alias("_g"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("_v"),
+    )
+    return brown_forsythe(cents, "_g", "_v")

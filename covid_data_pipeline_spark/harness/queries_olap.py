@@ -3116,3 +3116,90 @@ def orders_trimmed_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("_v"),
     ).filter(F.col("_v").isNotNull())
     return trimmed_stats(o, ["prio"], "_v", trim_num=1, trim_den=10)
+
+
+@register(
+    "orders_welch_ttest",
+    """
+    WITH wt_b AS (
+      SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS t,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+    wt_m AS (
+      SELECT CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_treat,
+             CAST(SUM(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_ctrl,
+             CAST(SUM(CASE WHEN t THEN CAST(v AS HUGEINT)
+                           ELSE 0 END) AS HUGEINT) AS s1,
+             CAST(SUM(CASE WHEN t THEN 0
+                           ELSE CAST(v AS HUGEINT) END) AS HUGEINT) AS s0,
+             CAST(SUM(CASE WHEN t THEN CAST(v AS HUGEINT) * v
+                           ELSE 0 END) AS HUGEINT) AS q1,
+             CAST(SUM(CASE WHEN t THEN 0
+                           ELSE CAST(v AS HUGEINT) * v END) AS HUGEINT)
+               AS q0
+      FROM wt_b),
+    wt_d AS (
+      SELECT n_treat, n_ctrl,
+             CAST(s1 AS DOUBLE) / CAST(n_treat AS DOUBLE) AS m1,
+             CAST(s0 AS DOUBLE) / CAST(n_ctrl AS DOUBLE) AS m0,
+             CAST(CAST(n_treat AS HUGEINT) * q1 - s1 * s1 AS DOUBLE)
+               / NULLIF(CAST(n_treat AS DOUBLE)
+                 * (CAST(n_treat AS DOUBLE) - 1.0), 0.0) AS var1,
+             CAST(CAST(n_ctrl AS HUGEINT) * q0 - s0 * s0 AS DOUBLE)
+               / NULLIF(CAST(n_ctrl AS DOUBLE)
+                 * (CAST(n_ctrl AS DOUBLE) - 1.0), 0.0) AS var0
+      FROM wt_m),
+    wt_s AS (
+      SELECT *,
+             var1 / CAST(n_treat AS DOUBLE) AS se2_1,
+             var0 / CAST(n_ctrl AS DOUBLE) AS se2_0
+      FROM wt_d),
+    wt_f AS (
+      SELECT *,
+             se2_1 + se2_0 AS se2,
+             (m1 - m0) / NULLIF(SQRT(
+               ((CAST(n_treat AS DOUBLE) - 1.0) * var1
+                + (CAST(n_ctrl AS DOUBLE) - 1.0) * var0)
+               / (CAST(n_treat AS DOUBLE)
+                  + CAST(n_ctrl AS DOUBLE) - 2.0)), 0.0) AS d_raw
+      FROM wt_s)
+    SELECT n_treat, n_ctrl,
+           (ROUND(m1, 4) + 0) AS mean_treat,
+           (ROUND(m0, 4) + 0) AS mean_ctrl,
+           (ROUND((m1 - m0) / NULLIF(SQRT(se2), 0.0), 4) + 0) AS t_welch,
+           (ROUND(se2 * se2 / NULLIF(
+              se2_1 * se2_1 / (CAST(n_treat AS DOUBLE) - 1.0)
+              + se2_0 * se2_0 / (CAST(n_ctrl AS DOUBLE) - 1.0), 0.0),
+              2) + 0) AS df_welch,
+           (ROUND(d_raw, 6) + 0) AS cohens_d,
+           (ROUND(d_raw * (1.0 - 3.0
+              / (4.0 * (CAST(n_treat AS DOUBLE)
+                        + CAST(n_ctrl AS DOUBLE)) - 9.0)), 6) + 0)
+             AS hedges_g
+    FROM wt_f
+    """,
+    tags=("olap", "hypothesis-test", "effect-size", "statistics"),
+)
+def orders_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test comparing urgent/high-priority
+    order values (cents) against the rest, with Welch-Satterthwaite
+    df, Cohen's d, and Hedges' g (`operators/experiment.py::
+    welch_ttest`, Welch Biometrika 1947) — the parametric effect-size
+    readout a billion-row experiment needs (everything is
+    "significant" at that n; d says whether anyone should care). Six
+    exact DECIMAL sufficient statistics off one map-side-combined
+    pass; every derived quantity is a single-row IEEE expression."""
+    from covid_data_pipeline_spark.operators.experiment import welch_ttest
+
+    od = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
+    arms = od.select(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("_t"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("_v"),
+    )
+    return welch_ttest(arms, "_t", "_v")

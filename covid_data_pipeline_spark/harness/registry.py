@@ -108,6 +108,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_robust_anomalies",
     "events_mcnemar_raters",
     "orders_trimmed_prices",
+    "events_kruskal_wallis",
+    "events_brown_forsythe",
+    "orders_welch_ttest",
     # --- drift re-checks: oldest remaining greens (r2-r3 era) ---
     "pack_sequences_greedy",
     "pivot_event_type",
@@ -126,16 +129,13 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "tpch_q10_returned_items",
     "tpch_q14_promo_revenue",
     "tpch_q18_large_volume_customer",
-    "tpch_q19_discounted_revenue",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
 )
 
 # Every query module must import cleanly: a blanket try/except here once
 # let an ImportError silently drop whole modules (and shrink the driver's
 # verification surface). The count assertion is the tripwire for any
 # regression that swallows registrations some other way.
-MIN_EXPECTED_QUERIES = 348
+MIN_EXPECTED_QUERIES = 351
 
 
 def _load_all() -> None:

@@ -778,3 +778,325 @@ def mcnemar_test(
             > F.lit(3841).cast(d38) * disc
         ).alias("significant"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kruskal–Wallis H test (JASA 1952) — the k-group generalization
+    of :func:`mann_whitney_u`: "do ANY of these cohorts' value
+    distributions differ?" without assuming normality, the gate to run
+    before k·(k−1)/2 pairwise rank tests inflate the false-positive
+    rate.
+
+    Exactness follows the Mann–Whitney value-compression trick: no row
+    is ever ranked. One rollup to the (value, group) grid with
+    per-value totals, a cumulative count over the DISTINCT-value domain
+    (the only flat window — |distinct values| rows, never |rows|),
+    and the DOUBLED average rank ``r2_v = 2·cum_less + n_v + 1``
+    (integer for any tie pattern). Per-group doubled rank sums
+    ``R2_g = Σ c_{v,g}·r2_v`` and the tie moment ``Σ(t³−t)`` are exact
+    DECIMAL(38,0). The per-group H contribution folds the global
+    denominator in — ``term_g = 3·R2_g²/(n_g·N·(N+1))`` — and is
+    micro-rounded onto an integer lattice (the PSI/JSD rule) so the
+    cross-group sum is partition- and engine-invariant;
+    ``H = Σ term_g − 3(N+1)`` and the tie correction
+    ``H' = H / (1 − Σ(t³−t)/(N³−N))`` spend floats only on one-row
+    scalar expressions. Lattice envelope: term_g ≈ 3·n_g ≤ 3N keeps
+    micro-units inside BIGINT to N ≈ 10¹² rows.
+
+    Returns one row: ``(n, k, df, h_micro, h, h_corrected)`` — h is
+    NULL-safe via try_divide when N ≤ 1 or every value ties. NULL
+    group or value rows are excluded.
+
+    Scale shape: one map-side-combining rollup to |values × groups|,
+    one compressed-domain window, one |groups|-row regroup — nothing
+    corpus-sized survives the first aggregate."""
+    d = _D
+    base = df.select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    ).filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+    gv = base.groupBy("__v", "__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    gv = gv.localCheckpoint(eager=False)  # feeds per-value + per-group
+    per_v = gv.groupBy("__v").agg(
+        F.sum("__c").cast("bigint").alias("__nv")
+    )
+    from pyspark.sql.window import Window
+
+    wcum = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    ranked_v = per_v.withColumn(
+        "__cum_less", F.coalesce(F.sum("__nv").over(wcum), F.lit(0))
+    ).withColumn(
+        "__r2", (F.lit(2) * F.col("__cum_less") + F.col("__nv") + 1)
+    )
+    per_g = (
+        # bcast: compressed distinct-value rank table (bounded domain,
+        # same contract as mann_whitney_u's value compression)
+        gv.join(F.broadcast(ranked_v.select("__v", "__r2")), "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum("__c").cast("bigint").alias("__ng"),
+            F.sum(F.col("__c").cast(d) * F.col("__r2").cast(d))
+            .cast(d)
+            .alias("__R2"),
+        )
+    )
+    glob = ranked_v.agg(
+        F.sum("__nv").cast("bigint").alias("__N"),
+        F.sum(
+            (
+                F.col("__nv").cast(d) * F.col("__nv").cast(d)
+                * F.col("__nv").cast(d)
+                - F.col("__nv").cast(d)
+            )
+        )
+        .cast(d)
+        .alias("__tie3"),
+    )
+    # bcast: const(1) scalar N / tie moment
+    grid = per_g.crossJoin(F.broadcast(glob))
+    nd = F.col("__N").cast("double")
+    term = (
+        F.lit(3.0)
+        * F.col("__R2").cast("double")
+        * F.col("__R2").cast("double")
+        / (F.col("__ng").cast("double") * nd * (nd + F.lit(1.0)))
+    )
+    micro = F.round(term * F.lit(1e6), 0).cast("bigint")
+    agg = grid.groupBy().agg(
+        F.max("__N").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("k"),
+        F.sum(micro).cast("bigint").alias("__sum_micro"),
+        F.max("__tie3").alias("__tie3"),
+    )
+    n_ = F.col("n").cast("double")
+    h = (
+        F.col("__sum_micro").cast("double") / F.lit(1e6)
+        - F.lit(3.0) * (n_ + F.lit(1.0))
+    )
+    tie_corr = F.lit(1.0) - F.try_divide(
+        F.col("__tie3").cast("double"),
+        (n_ * n_ * n_ - n_),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        "k",
+        (F.col("k") - 1).cast("int").alias("df"),
+        (
+            F.col("__sum_micro")
+            - (F.lit(3) * (F.col("n") + 1) * F.lit(1000000)).cast("bigint")
+        ).alias("h_micro"),
+        round_stable(h, 4).alias("h"),
+        round_stable(F.try_divide(h, tie_corr), 4).alias("h_corrected"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown–Forsythe test (JASA 1974) — Levene's homogeneity-of-
+    variance test with the MEDIAN center: a one-way ANOVA F on the
+    absolute deviations from each group's median. The robust
+    pre-flight for any pooled-variance analysis ("are these cohorts'
+    spreads even comparable?") that the mean-centered Levene gets
+    wrong under skew.
+
+    Exactness on the doubled-order-statistic lattice (the
+    robust_zscore machinery): values must be integral; each group's
+    exact median is the doubled order statistic ``med2_g``, the
+    deviations ``d = |2v − med2_g|`` stay integer, and the ANOVA
+    moments ``S_g = Σd``, ``Q_g = Σd²``, ``n_g`` are exact
+    DECIMAL(38,0). The between/within sums of squares need the
+    rational ``S_g²/n_g`` — each is ONE deterministic IEEE expression
+    rounded onto the unit lattice (round-to-integer, the PSI rule) so
+    the cross-group sums are partition- and engine-invariant:
+    ``SSB = Σ⌈S_g²/n_g⌋ − ⌈S²/N⌋`` and ``SSW = ΣQ_g − Σ⌈S_g²/n_g⌋``
+    live in DECIMAL(38,0), clamped at 0 (lattice noise of up to k/2
+    units can push a true-zero sum of squares negative);
+    ``F = (SSB/(k−1)) / (SSW/(N−k))`` spends floats on one single-row
+    expression (NULL via try_divide for the degenerate SSW = 0 or
+    N ≤ k cases).
+
+    Returns one row: ``(n, k, df1, df2, f_bf)``. NULL group or value
+    rows are excluded.
+
+    Scale shape: two per-group order-statistic windows (partitioned by
+    group — parallel across groups, never global) + one map-side-
+    combining moment rollup to |groups| rows."""
+    d = _D
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("bigint").alias("__v"),
+    ).filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+    base = base.localCheckpoint(eager=False)  # feeds median + deviations
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__g").orderBy("__v")
+    ranked = base.withColumn("__rn", F.row_number().over(w))
+    gsz = base.groupBy("__g").agg(F.count(F.lit(1)).alias("__gn"))
+    med = (
+        ranked.join(gsz, "__g")
+        .where(
+            (F.col("__rn") == F.expr("(__gn + 1) div 2"))
+            | (F.col("__rn") == F.expr("(__gn + 2) div 2"))
+        )
+        .groupBy("__g")
+        .agg(
+            F.when(F.max("__gn") % 2 == 1, F.sum("__v") * 2)
+            .otherwise(F.sum("__v"))
+            .alias("__med2")
+        )
+    )
+    devs = base.join(med, "__g").withColumn(
+        "__d", F.abs(F.col("__v") * 2 - F.col("__med2"))
+    )
+    per_g = devs.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ng"),
+        F.sum(F.col("__d").cast(d)).cast(d).alias("__S"),
+        F.sum(F.col("__d").cast(d) * F.col("__d").cast(d))
+        .cast(d)
+        .alias("__Q"),
+    )
+    # ⌈S_g²/n_g⌋ on the unit lattice: one IEEE expression per group row
+    a_g = F.round(
+        F.col("__S").cast("double") * F.col("__S").cast("double")
+        / F.col("__ng").cast("double"),
+        0,
+    ).cast(d)
+    agg = per_g.groupBy().agg(
+        F.sum("__ng").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("k"),
+        F.sum(a_g).cast(d).alias("__A"),
+        F.sum("__S").cast(d).alias("__Stot"),
+        F.sum("__Q").cast(d).alias("__Qtot"),
+    )
+    grand = F.round(
+        F.col("__Stot").cast("double") * F.col("__Stot").cast("double")
+        / F.col("n").cast("double"),
+        0,
+    ).cast(d)
+    # SSB/SSW are >= 0 by definition; the unit lattice can push a
+    # true zero a few units negative (|error| <= k/2), so clamp.
+    zero = F.lit(0).cast(d)
+    ssb = F.greatest(zero, (F.col("__A") - grand).cast(d)).cast("double")
+    ssw = F.greatest(
+        zero, (F.col("__Qtot") - F.col("__A")).cast(d)
+    ).cast("double")
+    df1 = (F.col("k") - 1).cast("int")
+    df2 = (F.col("n") - F.col("k")).cast("bigint")
+    f_stat = F.try_divide(
+        F.try_divide(ssb, df1.cast("double")),
+        F.try_divide(ssw, df2.cast("double")),
+    )
+    return agg.select(
+        "n",
+        "k",
+        df1.alias("df1"),
+        df2.alias("df2"),
+        round_stable(f_stat, 4).alias("f_bf"),
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    treat_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test (Biometrika 1947) with
+    Welch–Satterthwaite degrees of freedom, plus Cohen's d and the
+    Hedges-g small-sample correction — the parametric complement to
+    :func:`mann_whitney_u` that reports EFFECT SIZE, not just
+    significance (a 10⁹-row experiment makes trivial effects
+    "significant"; d says whether anyone should care).
+
+    Exactness: values are integral (floor to cents upstream); the six
+    sufficient statistics (n, Σv, Σv² per arm) are exact
+    DECIMAL(38,0) off ONE map-side-combined aggregation — partition-
+    order invariant. Every derived quantity (means, the unbiased
+    variance numerators ``n·Σv² − (Σv)²``, t, the W-S df, d, g) is a
+    single-row IEEE expression over those exact scalars, so the
+    report is bit-identical across engines. Degenerate arms (n ≤ 1 or
+    zero variance in both) yield NULL t/df via try_divide.
+
+    Returns one row: ``(n_treat, n_ctrl, mean_treat, mean_ctrl,
+    t_welch, df_welch, cohens_d, hedges_g)``. NULL treat/value rows
+    are excluded.
+
+    Scale shape: one scalar aggregate — nothing survives the first
+    pass."""
+    d = _D
+    base = df.select(
+        F.col(treat_col).cast("boolean").alias("__t"),
+        F.col(value_col).cast("bigint").alias("__v"),
+    ).filter(F.col(treat_col).isNotNull() & F.col(value_col).isNotNull())
+    vd = F.col("__v").cast(d)
+    agg = base.agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_treat"),
+        F.sum(F.when(~F.col("__t"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ctrl"),
+        F.sum(F.when(F.col("__t"), vd).otherwise(F.lit(0).cast(d)))
+        .cast(d)
+        .alias("__s1"),
+        F.sum(F.when(~F.col("__t"), vd).otherwise(F.lit(0).cast(d)))
+        .cast(d)
+        .alias("__s0"),
+        F.sum(F.when(F.col("__t"), vd * vd).otherwise(F.lit(0).cast(d)))
+        .cast(d)
+        .alias("__q1"),
+        F.sum(F.when(~F.col("__t"), vd * vd).otherwise(F.lit(0).cast(d)))
+        .cast(d)
+        .alias("__q0"),
+    )
+    n1 = F.col("n_treat").cast("double")
+    n0 = F.col("n_ctrl").cast("double")
+    m1 = F.try_divide(F.col("__s1").cast("double"), n1)
+    m0 = F.try_divide(F.col("__s0").cast("double"), n0)
+    # unbiased variance: (n·Σv² − (Σv)²) / (n·(n−1)); numerator exact
+    v1num = (
+        F.col("n_treat").cast(d) * F.col("__q1") - F.col("__s1") * F.col("__s1")
+    ).cast("double")
+    v0num = (
+        F.col("n_ctrl").cast(d) * F.col("__q0") - F.col("__s0") * F.col("__s0")
+    ).cast("double")
+    var1 = F.try_divide(v1num, n1 * (n1 - F.lit(1.0)))
+    var0 = F.try_divide(v0num, n0 * (n0 - F.lit(1.0)))
+    se2_1 = F.try_divide(var1, n1)
+    se2_0 = F.try_divide(var0, n0)
+    se2 = se2_1 + se2_0
+    t = F.try_divide(m1 - m0, F.sqrt(se2))
+    df_ws = F.try_divide(
+        se2 * se2,
+        F.try_divide(se2_1 * se2_1, n1 - F.lit(1.0))
+        + F.try_divide(se2_0 * se2_0, n0 - F.lit(1.0)),
+    )
+    pooled = F.sqrt(
+        F.try_divide(
+            (n1 - F.lit(1.0)) * var1 + (n0 - F.lit(1.0)) * var0,
+            n1 + n0 - F.lit(2.0),
+        )
+    )
+    d_eff = F.try_divide(m1 - m0, pooled)
+    g_corr = F.lit(1.0) - F.lit(3.0) / (
+        F.lit(4.0) * (n1 + n0) - F.lit(9.0)
+    )
+    return agg.select(
+        "n_treat",
+        "n_ctrl",
+        round_stable(m1, 4).alias("mean_treat"),
+        round_stable(m0, 4).alias("mean_ctrl"),
+        round_stable(t, 4).alias("t_welch"),
+        round_stable(df_ws, 2).alias("df_welch"),
+        round_stable(d_eff, 6).alias("cohens_d"),
+        round_stable(d_eff * g_corr, 6).alias("hedges_g"),
+    )

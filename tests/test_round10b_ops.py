@@ -1,0 +1,124 @@
+"""Hand-value tests for the round-10 batch-B statistics operators:
+Kruskal-Wallis H, Brown-Forsythe variance homogeneity, Welch's t-test
+with effect sizes."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def test_kruskal_wallis_textbook_no_ties(spark):
+    """Three disjoint groups 1-3 / 4-6 / 7-9: rank sums 6/15/24,
+    H = 12/90*(12+75+192) - 30 = 7.2 exactly; no ties so the
+    correction is the identity."""
+    from covid_data_pipeline_spark.operators.experiment import kruskal_wallis
+
+    rows = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (4, 5, 6)] + [
+        ("c", v) for v in (7, 8, 9)
+    ]
+    df = spark.createDataFrame(rows, "g STRING, v INT")
+    r = kruskal_wallis(df, "g", "v").collect()[0]
+    assert (r["n"], r["k"], r["df"]) == (9, 3, 2)
+    assert r["h"] == pytest.approx(7.2, abs=1e-4)
+    assert r["h_corrected"] == pytest.approx(7.2, abs=1e-4)
+
+
+def test_kruskal_wallis_tie_correction(spark):
+    """a=[1,1], b=[2,2]: H=2.4, tie moment 12 of N3-N=60 -> H'=3.0."""
+    from covid_data_pipeline_spark.operators.experiment import kruskal_wallis
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2), ("b", 2)], "g STRING, v INT"
+    )
+    r = kruskal_wallis(df, "g", "v").collect()[0]
+    assert r["h"] == pytest.approx(2.4, abs=1e-4)
+    assert r["h_corrected"] == pytest.approx(3.0, abs=1e-4)
+    # everything ties on one value -> variance degenerate, NULL corrected
+    df2 = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("b", 5)], "g STRING, v INT"
+    )
+    r2 = kruskal_wallis(df2, "g", "v").collect()[0]
+    assert r2["h_corrected"] is None  # tie_corr == 0 -> try_divide NULL
+
+
+def test_kruskal_wallis_partition_invariance(spark):
+    """Same data through 1 vs 13 shuffle partitions hashes identically
+    (the micro-lattice makes the cross-group sum order-free)."""
+    from covid_data_pipeline_spark.operators.experiment import kruskal_wallis
+
+    rows = [(f"g{i % 5}", (i * 7919) % 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g STRING, v INT")
+    a = kruskal_wallis(df.coalesce(1), "g", "v").collect()[0]
+    b = kruskal_wallis(df.repartition(13), "g", "v").collect()[0]
+    assert a.asDict() == b.asDict()
+
+
+def test_brown_forsythe_hand_values(spark):
+    """a=[1,2,3,4,10] (median 3), b=[1]*5 (zero spread): doubled
+    deviations give SSB=49, SSW=123 on the unit lattice ->
+    F = 49/(123/8) = 392/123."""
+    from covid_data_pipeline_spark.operators.experiment import brown_forsythe
+
+    rows = [("a", v) for v in (1, 2, 3, 4, 10)] + [("b", 1)] * 5
+    df = spark.createDataFrame(rows, "g STRING, v INT")
+    r = brown_forsythe(df, "g", "v").collect()[0]
+    assert (r["n"], r["k"], r["df1"], r["df2"]) == (10, 2, 1, 8)
+    assert r["f_bf"] == pytest.approx(392.0 / 123.0, abs=1e-4)
+
+
+def test_brown_forsythe_identical_spreads_and_degenerate(spark):
+    """Identical spreads -> F == 0; all-constant data -> SSW == 0 ->
+    NULL via try_divide."""
+    from covid_data_pipeline_spark.operators.experiment import brown_forsythe
+
+    same = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (11, 12, 13)]
+    r = brown_forsythe(
+        spark.createDataFrame(same, "g STRING, v INT"), "g", "v"
+    ).collect()[0]
+    assert r["f_bf"] == 0.0
+    const = [("a", 5)] * 3 + [("b", 5)] * 3
+    r2 = brown_forsythe(
+        spark.createDataFrame(const, "g STRING, v INT"), "g", "v"
+    ).collect()[0]
+    assert r2["f_bf"] is None
+
+
+def test_welch_ttest_hand_values(spark):
+    """treat=[1..4] vs ctrl=[2,4,6,8,10]: closed-form Welch t, W-S df,
+    Cohen's d, Hedges g computed in-test from the definitions."""
+    from covid_data_pipeline_spark.operators.experiment import welch_ttest
+
+    rows = [(True, v) for v in (1, 2, 3, 4)] + [
+        (False, v) for v in (2, 4, 6, 8, 10)
+    ]
+    df = spark.createDataFrame(rows, "t BOOLEAN, v INT")
+    r = welch_ttest(df, "t", "v").collect()[0]
+    n1, n0, m1, m0 = 4, 5, 2.5, 6.0
+    var1, var0 = 5.0 / 3.0, 10.0
+    se2 = var1 / n1 + var0 / n0
+    t = (m1 - m0) / math.sqrt(se2)
+    dfw = se2 * se2 / ((var1 / n1) ** 2 / (n1 - 1) + (var0 / n0) ** 2 / (n0 - 1))
+    pooled = math.sqrt(((n1 - 1) * var1 + (n0 - 1) * var0) / (n1 + n0 - 2))
+    d = (m1 - m0) / pooled
+    g = d * (1 - 3.0 / (4 * (n1 + n0) - 9))
+    assert (r["n_treat"], r["n_ctrl"]) == (4, 5)
+    assert r["mean_treat"] == 2.5 and r["mean_ctrl"] == 6.0
+    assert r["t_welch"] == pytest.approx(t, abs=1e-4)
+    assert r["df_welch"] == pytest.approx(dfw, abs=1e-2)
+    assert r["cohens_d"] == pytest.approx(d, abs=1e-6)
+    assert r["hedges_g"] == pytest.approx(g, abs=1e-6)
+
+
+def test_welch_ttest_degenerate_single_row_arm(spark):
+    """An arm with n=1 has no variance estimate -> NULL t/df; means
+    still report."""
+    from covid_data_pipeline_spark.operators.experiment import welch_ttest
+
+    df = spark.createDataFrame(
+        [(True, 7), (False, 1), (False, 3)], "t BOOLEAN, v INT"
+    )
+    r = welch_ttest(df, "t", "v").collect()[0]
+    assert r["mean_treat"] == 7.0 and r["mean_ctrl"] == 2.0
+    assert r["t_welch"] is None and r["df_welch"] is None
