@@ -2912,3 +2912,160 @@ def docs_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations_g2(
         table(spark, sf_dir, "documents"), top_k=15, min_count=5
     )
+
+
+@register(
+    "quality_score_avg_precision",
+    r"""
+    WITH ap_q AS (
+      SELECT (length(text) BETWEEN 50 AND 20000)::INT * 0.4
+             + COALESCE(CASE WHEN length(text) > 0
+                 THEN len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+                      / length(text) END < 0.2, FALSE)::INT * 0.3
+             + COALESCE(CASE WHEN
+                 len(regexp_split_to_array(trim(lower(text)), '\s+')) > 0
+                 THEN len(list_filter(
+                        regexp_split_to_array(trim(lower(text)), '\s+'),
+                        x -> x IN ('the','a','and','of','to','in','is',
+                                   'for','on','with')))::DOUBLE
+                      / len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 END > 0.01, FALSE)::INT * 0.3 AS q,
+             (lang = 'en')::INT AS t
+      FROM documents),
+    ap_pv AS (
+      SELECT CAST(ROUND(q * 1e6, 0) AS BIGINT) AS v,
+             CAST(SUM(t) AS BIGINT) AS pos,
+             CAST(COUNT(*) AS BIGINT) AS tot
+      FROM ap_q GROUP BY 1),
+    ap_cum AS (
+      SELECT v, pos, tot,
+             CAST(SUM(pos) OVER (ORDER BY v DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+             CAST(SUM(tot) OVER (ORDER BY v DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tot
+      FROM ap_pv),
+    ap_tot AS (
+      SELECT CAST(SUM(tot) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS p
+      FROM ap_pv),
+    ap_terms AS (
+      SELECT CASE WHEN t.p > 0 THEN
+               CAST(ROUND(CAST(c.pos AS DOUBLE) * CAST(c.cum_pos AS DOUBLE)
+                 / (CAST(c.cum_tot AS DOUBLE) * CAST(t.p AS DOUBLE))
+                 * 1e9, 0) AS BIGINT)
+             END AS nano, t.n, t.p
+      FROM ap_cum c CROSS JOIN ap_tot t)
+    SELECT MAX(n) AS n, MAX(p) AS n_pos,
+           CAST(SUM(nano) AS BIGINT) AS ap_nano,
+           (ROUND(CAST(SUM(nano) AS BIGINT) / 1e9, 6) + 0)
+             AS average_precision
+    FROM ap_terms
+    """,
+    tags=("text", "quality", "evaluation", "precision-recall"),
+)
+def quality_score_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (PR-AUC step integral) of the heuristic
+    quality score as a P(english) ranker (`operators/retrieval.py::
+    average_precision`) — the imbalance-honest complement to
+    quality_score_auc: ROC-AUC rewards ordering the easy negatives;
+    AP only pays for positives ranked high, the regime every
+    curation filter lives in. Value-compressed thresholds (tie
+    blocks, sklearn convention), exact integer rationals per
+    threshold, nano-lattice sum."""
+    from covid_data_pipeline_spark.functions.text import quality_score
+    from covid_data_pipeline_spark.operators.retrieval import (
+        average_precision,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        F.round(quality_score("text") * 1e6, 0)
+        .cast("bigint")
+        .alias("_s"),
+        (F.col("lang") == "en").alias("_y"),
+    )
+    return average_precision(d, "_s", "_y")
+
+
+@register(
+    "quality_score_lift_deciles",
+    r"""
+    WITH ld_q AS (
+      SELECT doc_id,
+             (length(text) BETWEEN 50 AND 20000)::INT * 0.4
+             + COALESCE(CASE WHEN length(text) > 0
+                 THEN len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+                      / length(text) END < 0.2, FALSE)::INT * 0.3
+             + COALESCE(CASE WHEN
+                 len(regexp_split_to_array(trim(lower(text)), '\s+')) > 0
+                 THEN len(list_filter(
+                        regexp_split_to_array(trim(lower(text)), '\s+'),
+                        x -> x IN ('the','a','and','of','to','in','is',
+                                   'for','on','with')))::DOUBLE
+                      / len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 END > 0.01, FALSE)::INT * 0.3 AS q,
+             (lang = 'en') AS y
+      FROM documents),
+    ld_r AS (
+      SELECT CAST(ROUND(q * 1e6, 0) AS BIGINT) AS v, y, doc_id,
+             ROW_NUMBER() OVER (ORDER BY CAST(ROUND(q * 1e6, 0)
+               AS BIGINT) DESC, doc_id) AS rk,
+             COUNT(*) OVER () AS nn
+      FROM ld_q),
+    ld_d AS (
+      SELECT ((rk - 1) * 10) // nn + 1 AS d, y FROM ld_r),
+    ld_g AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y::INT) AS BIGINT) AS n_pos
+      FROM ld_d GROUP BY 1),
+    ld_c AS (
+      SELECT d, n, n_pos,
+             CAST(SUM(n) OVER (ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+             CAST(SUM(n_pos) OVER (ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+      FROM ld_g),
+    ld_t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS gn,
+             CAST(SUM(n_pos) AS BIGINT) AS gp
+      FROM ld_g)
+    SELECT CAST(c.d AS INT) AS decile, c.n, c.n_pos,
+           (ROUND(CAST(c.n_pos AS DOUBLE) / NULLIF(CAST(c.n AS DOUBLE),
+              0.0), 6) + 0) AS pos_rate,
+           c.cum_n, c.cum_pos,
+           (ROUND(CAST(c.cum_pos AS DOUBLE)
+              / NULLIF(CAST(t.gp AS DOUBLE), 0.0), 6) + 0)
+             AS capture_rate,
+           (ROUND((CAST(c.n_pos AS DOUBLE) / NULLIF(CAST(c.n AS DOUBLE),
+              0.0)) / NULLIF(CAST(t.gp AS DOUBLE)
+              / CAST(t.gn AS DOUBLE), 0.0), 6) + 0) AS lift,
+           (ROUND((CAST(c.cum_pos AS DOUBLE)
+              / NULLIF(CAST(c.cum_n AS DOUBLE), 0.0))
+              / NULLIF(CAST(t.gp AS DOUBLE) / CAST(t.gn AS DOUBLE),
+              0.0), 6) + 0) AS cum_lift
+    FROM ld_c c CROSS JOIN ld_t t
+    ORDER BY decile
+    """,
+    tags=("text", "quality", "evaluation", "lift"),
+)
+def quality_score_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains and lift table of the heuristic quality score
+    against the P(english) label, by score decile
+    (`operators/retrieval.py::score_lift_deciles`) — the business
+    readout AUC/AP compress away: "keeping the top 30% of docs by
+    score captures X% of English content at Y× random". Global ranks
+    via the distributed two-level range-bucket rank (no global sort);
+    decile boundaries are pure integer floor-div; every rate is one
+    IEEE division of exact counts."""
+    from covid_data_pipeline_spark.functions.text import quality_score
+    from covid_data_pipeline_spark.operators.retrieval import (
+        score_lift_deciles,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        F.round(quality_score("text") * 1e6, 0)
+        .cast("bigint")
+        .alias("_s"),
+        (F.col("lang") == "en").alias("_y"),
+        "doc_id",
+    )
+    return score_lift_deciles(d, "_s", "_y", "doc_id")

@@ -111,6 +111,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_kruskal_wallis",
     "events_brown_forsythe",
     "orders_welch_ttest",
+    "quality_score_avg_precision",
+    "quality_score_lift_deciles",
     # --- drift re-checks: oldest remaining greens (r2-r3 era) ---
     "pack_sequences_greedy",
     "pivot_event_type",
@@ -127,15 +129,13 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "topk_orders",
     "topk_per_group",
     "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_volume_customer",
 )
 
 # Every query module must import cleanly: a blanket try/except here once
 # let an ImportError silently drop whole modules (and shrink the driver's
 # verification surface). The count assertion is the tripwire for any
 # regression that swallows registrations some other way.
-MIN_EXPECTED_QUERIES = 351
+MIN_EXPECTED_QUERIES = 353
 
 
 def _load_all() -> None:

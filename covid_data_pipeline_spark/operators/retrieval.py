@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from covid_data_pipeline_spark.functions.scalar import round_stable
 from covid_data_pipeline_spark.functions.text import tokens
 
 _D38 = "decimal(38,0)"
@@ -498,3 +499,191 @@ def classification_report(
             6,
         ).alias("f1"),
     )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Average precision (the area under the precision-recall curve,
+    computed as the step integral AP = Σ_t (R_t − R_{t−1})·P_t over
+    descending score thresholds) — the ranking metric that, unlike
+    ROC-AUC, does not reward a classifier for ordering the easy
+    NEGATIVES correctly: with 0.1% positives (the shape of every
+    quality/contamination filter), ROC-AUC saturates near 1 while AP
+    still discriminates.
+
+    Exactness follows the Mann–Whitney value-compression rule: no row
+    is ever ranked. One rollup to (score, n_pos_at, n_at), a cumulative
+    window DESCENDING over the distinct-score domain (ties form ONE
+    threshold block, the sklearn convention), and the per-threshold
+    term ``pos_v·cum_pos/(cum_tot·P)`` — an exact integer rational —
+    is ONE IEEE expression nano-rounded onto the integer lattice, so
+    the cross-threshold sum is partition- and engine-invariant:
+    ``AP = ap_nano/1e9`` with Σterm ≤ 1 by construction.
+
+    Returns one row: ``(n, n_pos, ap_nano, average_precision)`` —
+    NULL AP via try_divide-shaped guards when there are no positives.
+    NULL score/label rows are excluded.
+
+    Scale shape: one map-side-combining rollup to |distinct scores|
+    (quantize scores upstream — micro-probabilities give ≤ 1e6+1
+    distinct), one compressed-domain window, one scalar regroup."""
+    base = df.select(
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("boolean").alias("__y"),
+    ).filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+    per_v = base.groupBy("__s").agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("__pos"),
+        F.count(F.lit(1)).cast("bigint").alias("__tot"),
+    )
+    wcum = Window.orderBy(F.col("__s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_v.withColumn(
+        "__cum_pos", F.sum("__pos").over(wcum).cast("bigint")
+    ).withColumn("__cum_tot", F.sum("__tot").over(wcum).cast("bigint"))
+    tot = per_v.agg(
+        F.sum("__tot").cast("bigint").alias("__n"),
+        F.sum("__pos").cast("bigint").alias("__p"),
+    )
+    # bcast: const(1) scalar totals
+    grid = cum.crossJoin(F.broadcast(tot))
+    term = (
+        F.col("__pos").cast("double")
+        * F.col("__cum_pos").cast("double")
+        / (F.col("__cum_tot").cast("double") * F.col("__p").cast("double"))
+    )
+    nano = F.when(
+        F.col("__p") > 0,
+        F.round(term * F.lit(1e9), 0).cast("bigint"),
+    )
+    agg = grid.groupBy().agg(
+        F.max("__n").alias("n"),
+        F.max("__p").alias("n_pos"),
+        F.sum(nano).cast("bigint").alias("ap_nano"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        "ap_nano",
+        round_stable(
+            F.col("ap_nano").cast("double") / F.lit(1e9), 6
+        ).alias("average_precision"),
+    )
+
+
+def score_lift_deciles(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    tiebreak_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Cumulative-gains and lift table by score decile — the business
+    readout of a ranking model ("calling the top 20% captures 58% of
+    converters, 2.9× random") that AUC/AP compress away. Rows are
+    ranked by ``(score DESC, tiebreak ASC)`` — a total order, so the
+    decile assignment is deterministic — and decile d (1-based) holds
+    ranks ((d−1)·N/buckets, d·N/buckets].
+
+    Exactness: the global rank comes from the distributed two-level
+    range-bucket rank (:func:`~covid_data_pipeline_spark.operators.
+    sampling.value_order_rank` on the NEGATED score — no global sort,
+    no single-partition window); decile boundaries are the pure
+    integer expression ``(rank−1)·buckets div N``; all counts are
+    exact BIGINT, and every emitted rate/lift is ONE per-row IEEE
+    division of exact integers (no float accumulates). The only flat
+    window is the cumulative sum over the ≤ ``buckets``-row result.
+
+    Returns ``buckets`` rows (fewer when N < buckets): ``(decile, n,
+    n_pos, pos_rate, cum_n, cum_pos, capture_rate, lift,
+    cum_lift)``. NULL score/label/tiebreak rows are excluded.
+
+    Scale shape: value_order_rank's bucket machinery (bounded windows
+    only) + one rollup to ``buckets`` rows."""
+    from covid_data_pipeline_spark.operators.sampling import (
+        value_order_rank,
+    )
+
+    base = df.select(
+        (-F.col(score_col)).cast("bigint").alias("__negs"),
+        F.col(label_col).cast("boolean").alias("__y"),
+        F.col(tiebreak_col).alias("__tb"),
+    ).filter(
+        F.col(score_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(tiebreak_col).isNotNull()
+    )
+    ranked = value_order_rank(base, "__negs", "__tb", rank_col="__rk")
+    n_tot = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("__N"))
+    per_d = (
+        # bcast: const(1) scalar row count
+        ranked.crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "__d",
+            # pure integer floor-div: no float crosses the boundary
+            F.expr(f"((__rk - 1) * {buckets}) div __N") + 1,
+        )
+        .groupBy("__d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("__y"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+        )
+    )
+    wc = Window.orderBy("__d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_d.withColumn(
+        "cum_n", F.sum("n").over(wc).cast("bigint")
+    ).withColumn("cum_pos", F.sum("n_pos").over(wc).cast("bigint"))
+    glob = per_d.agg(
+        F.sum("n").cast("bigint").alias("__GN"),
+        F.sum("n_pos").cast("bigint").alias("__GP"),
+    )
+    # bcast: const(1) scalar grand totals
+    out = cum.crossJoin(F.broadcast(glob))
+    base_rate = F.col("__GP").cast("double") / F.col("__GN").cast("double")
+    return out.select(
+        F.col("__d").cast("int").alias("decile"),
+        "n",
+        "n_pos",
+        round_stable(
+            F.try_divide(
+                F.col("n_pos").cast("double"), F.col("n").cast("double")
+            ),
+            6,
+        ).alias("pos_rate"),
+        "cum_n",
+        "cum_pos",
+        round_stable(
+            F.try_divide(
+                F.col("cum_pos").cast("double"), F.col("__GP").cast("double")
+            ),
+            6,
+        ).alias("capture_rate"),
+        round_stable(
+            F.try_divide(
+                F.try_divide(
+                    F.col("n_pos").cast("double"), F.col("n").cast("double")
+                ),
+                base_rate,
+            ),
+            6,
+        ).alias("lift"),
+        round_stable(
+            F.try_divide(
+                F.try_divide(
+                    F.col("cum_pos").cast("double"),
+                    F.col("cum_n").cast("double"),
+                ),
+                base_rate,
+            ),
+            6,
+        ).alias("cum_lift"),
+    ).orderBy("decile")

@@ -122,3 +122,62 @@ def test_welch_ttest_degenerate_single_row_arm(spark):
     r = welch_ttest(df, "t", "v").collect()[0]
     assert r["mean_treat"] == 7.0 and r["mean_ctrl"] == 2.0
     assert r["t_welch"] is None and r["df_welch"] is None
+
+
+def test_average_precision_hand_values(spark):
+    """Ranked (1,0,1,0) -> AP = 0.5*1 + 0.5*(2/3) = 0.833333; tie
+    block forms one threshold; no-positive input -> NULL AP."""
+    from covid_data_pipeline_spark.operators.retrieval import (
+        average_precision,
+    )
+
+    df = spark.createDataFrame(
+        [(90, True), (80, False), (70, True), (60, False)],
+        "s BIGINT, y BOOLEAN",
+    )
+    r = average_precision(df, "s", "y").collect()[0]
+    assert (r["n"], r["n_pos"]) == (4, 2)
+    assert r["average_precision"] == pytest.approx(5.0 / 6.0, abs=1e-6)
+
+    tied = spark.createDataFrame(
+        [(10, True), (10, False), (5, True)], "s BIGINT, y BOOLEAN"
+    )
+    r2 = average_precision(tied, "s", "y").collect()[0]
+    assert r2["average_precision"] == pytest.approx(0.25 + 1.0 / 3.0, abs=1e-6)
+
+    nopos = spark.createDataFrame([(1, False), (2, False)], "s BIGINT, y BOOLEAN")
+    r3 = average_precision(nopos, "s", "y").collect()[0]
+    assert r3["average_precision"] is None and r3["n_pos"] == 0
+
+
+def test_score_lift_deciles_hand_values(spark):
+    """20 rows, positives at ranks 1,2,3,11: decile 1 lift 5.0,
+    decile 2 cumulative lift 3.75, capture rates 0.5 / 0.75."""
+    from covid_data_pipeline_spark.operators.retrieval import (
+        score_lift_deciles,
+    )
+
+    pos_ranks = {1, 2, 3, 11}
+    rows = [(21 - i, i in pos_ranks, i) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "s BIGINT, y BOOLEAN, id BIGINT")
+    out = {r["decile"]: r for r in score_lift_deciles(df, "s", "y", "id").collect()}
+    assert len(out) == 10 and all(out[d]["n"] == 2 for d in out)
+    assert out[1]["n_pos"] == 2 and out[1]["lift"] == 5.0
+    assert out[1]["capture_rate"] == 0.5
+    assert out[2]["n_pos"] == 1 and out[2]["cum_pos"] == 3
+    assert out[2]["cum_lift"] == 3.75 and out[2]["capture_rate"] == 0.75
+    assert out[6]["n_pos"] == 1 and out[10]["cum_lift"] == 1.0
+
+
+def test_score_lift_deciles_partition_invariance(spark):
+    """Identical table under 1 vs 17 partitions (value_order_rank's
+    determinism carries through the decile assignment)."""
+    from covid_data_pipeline_spark.operators.retrieval import (
+        score_lift_deciles,
+    )
+
+    rows = [((i * 7919) % 1000, (i % 7) == 0, i) for i in range(5000)]
+    df = spark.createDataFrame(rows, "s BIGINT, y BOOLEAN, id BIGINT")
+    a = [r.asDict() for r in score_lift_deciles(df.coalesce(1), "s", "y", "id").collect()]
+    b = [r.asDict() for r in score_lift_deciles(df.repartition(17), "s", "y", "id").collect()]
+    assert a == b
