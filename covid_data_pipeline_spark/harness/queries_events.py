@@ -4483,3 +4483,62 @@ def events_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100).cast("bigint").alias("_v"),
     )
     return brown_forsythe(cents, "_g", "_v")
+
+
+@register(
+    "events_wasserstein_drift",
+    """
+    WITH wd_b AS (
+      SELECT (EXTRACT(MONTH FROM ts) <= 6) AS a,
+             CAST(FLOOR(value * 100) AS BIGINT) AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    wd_pv AS (
+      SELECT v, CAST(SUM(a::INT) AS BIGINT) AS av,
+             CAST(SUM((NOT a)::INT) AS BIGINT) AS bv
+      FROM wd_b GROUP BY 1),
+    wd_c AS (
+      SELECT v, av, bv,
+             CAST(SUM(av) OVER w AS BIGINT) AS ca,
+             CAST(SUM(bv) OVER w AS BIGINT) AS cb,
+             LEAD(v) OVER (ORDER BY v) - v AS dv
+      FROM wd_pv
+      WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+    wd_t AS (
+      SELECT CAST(SUM(av) AS BIGINT) AS na,
+             CAST(SUM(bv) AS BIGINT) AS nb
+      FROM wd_pv),
+    wd_s AS (
+      SELECT MAX(na) AS na, MAX(nb) AS nb,
+             CAST(SUM(ABS(CAST(ca AS HUGEINT) * nb
+                          - CAST(cb AS HUGEINT) * na)
+                      * COALESCE(dv, 0)) AS HUGEINT) AS num
+      FROM wd_c, wd_t)
+    SELECT na AS n_a, nb AS n_b,
+           (ROUND(CAST(num AS DOUBLE)
+                  / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE), 6) + 0)
+             AS w1
+    FROM wd_s
+    """,
+    tags=("events", "monitoring", "drift", "statistics"),
+)
+def events_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth mover's distance between H1 and H2 event-value
+    distributions in integer cents (`operators/experiment.py::
+    wasserstein_1d`) — the drift readout in the VALUE'S OWN UNITS
+    ("H2 values sit 3.17 cents of mass-distance from H1"), sensitive
+    to how far mass moved where KS sees only the max CDF gap and
+    PSI/JSD only bin ratios. The integral is exact: per-segment
+    |cum_a*N_b - cum_b*N_a|*dv integers in DECIMAL(38,0) over the
+    value-compressed grid, one division at the end."""
+    from covid_data_pipeline_spark.operators.experiment import (
+        wasserstein_1d,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    coh = ev.select(
+        (F.month("ts") <= 6).alias("_a"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("_v"),
+    )
+    return wasserstein_1d(coh, "_a", "_v")

@@ -3069,3 +3069,73 @@ def quality_score_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     return score_lift_deciles(d, "_s", "_y", "doc_id")
+
+
+@register(
+    "docs_tv_hellinger_by_source",
+    """
+    WITH th_b AS (
+      SELECT source AS g,
+             LEAST(9, GREATEST(0, n_chars // 500)) AS b
+      FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+    th_gb AS (
+      SELECT g, b, CAST(COUNT(*) AS BIGINT) AS c FROM th_b GROUP BY 1, 2),
+    th_ng AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS ng FROM th_gb GROUP BY 1),
+    th_gl AS (
+      SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM th_gb GROUP BY 1),
+    th_t AS (SELECT CAST(SUM(cb) AS BIGINT) AS nt FROM th_gl),
+    th_grid AS (
+      SELECT ng.g, gl.b, ng.ng, gl.cb, t.nt, COALESCE(gb.c, 0) AS c
+      FROM th_ng ng CROSS JOIN th_gl gl
+      LEFT JOIN th_gb gb ON gb.g = ng.g AND gb.b = gl.b
+      CROSS JOIN th_t t),
+    th_terms AS (
+      SELECT g, ng, nt,
+             ABS(CAST(c AS HUGEINT) * nt - CAST(cb AS HUGEINT) * ng)
+               AS tvc,
+             CAST(ROUND(
+               (SQRT(CAST(c AS DOUBLE) / CAST(ng AS DOUBLE))
+                - SQRT(CAST(cb AS DOUBLE) / CAST(nt AS DOUBLE)))
+               * (SQRT(CAST(c AS DOUBLE) / CAST(ng AS DOUBLE))
+                  - SQRT(CAST(cb AS DOUBLE) / CAST(nt AS DOUBLE)))
+               / 2.0 * 1e9, 0) AS BIGINT) AS hn
+      FROM th_grid)
+    SELECT g AS source, MAX(ng) AS n,
+           (ROUND(CAST(SUM(tvc) AS DOUBLE)
+                  / CAST(2 * CAST(MAX(ng) AS HUGEINT) * MAX(nt)
+                         AS DOUBLE), 6) + 0) AS tv,
+           CAST(SUM(hn) AS BIGINT) AS h2_nano,
+           (ROUND(SQRT(CAST(SUM(hn) AS BIGINT) / 1e9), 6) + 0)
+             AS hellinger
+    FROM th_terms
+    GROUP BY 1
+    """,
+    tags=("text", "monitoring", "drift", "statistics"),
+)
+def docs_tv_hellinger_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation and Hellinger distance of each source's
+    document-length distribution (500-char bins, capped at 10)
+    against the global corpus (`operators/experiment.py::
+    tv_hellinger_distance`) — the bracket metrics around JSD for
+    data-mix audits: TV is the worst-case distinguishing probability
+    (exact integer rational here), Hellinger tensorizes across
+    independent features (H^2 <= TV <= H*sqrt(2)). TV clears its
+    denominators entirely; only the irrational Hellinger cells cross
+    the nano lattice."""
+    from covid_data_pipeline_spark.operators.experiment import (
+        tv_hellinger_distance,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    binned = docs.select(
+        F.col("source").alias("_g"),
+        F.least(
+            F.lit(9).cast("bigint"),
+            F.greatest(F.lit(0).cast("bigint"), F.expr("n_chars div 500")),
+        ).alias("_b"),
+    )
+    out = tv_hellinger_distance(binned, "_g", "_b")
+    return out.withColumnRenamed("_g", "source")

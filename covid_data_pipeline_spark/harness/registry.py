@@ -113,6 +113,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "orders_welch_ttest",
     "quality_score_avg_precision",
     "quality_score_lift_deciles",
+    "events_wasserstein_drift",
+    "docs_tv_hellinger_by_source",
     # --- drift re-checks: oldest remaining greens (r2-r3 era) ---
     "pack_sequences_greedy",
     "pivot_event_type",
@@ -127,15 +129,13 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "stratified_hash_sample",
     "timestamp_parse_multi",
     "topk_orders",
-    "topk_per_group",
-    "tpch_q10_returned_items",
 )
 
 # Every query module must import cleanly: a blanket try/except here once
 # let an ImportError silently drop whole modules (and shrink the driver's
 # verification surface). The count assertion is the tripwire for any
 # regression that swallows registrations some other way.
-MIN_EXPECTED_QUERIES = 353
+MIN_EXPECTED_QUERIES = 355
 
 
 def _load_all() -> None:

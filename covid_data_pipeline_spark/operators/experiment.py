@@ -1100,3 +1100,164 @@ def welch_ttest(
         round_stable(d_eff, 6).alias("cohens_d"),
         round_stable(d_eff * g_corr, 6).alias("hedges_g"),
     )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    cohort_col: str,
+    value_col: str,
+) -> DataFrame:
+    """1-D Wasserstein-1 (earth mover's) distance between two cohorts'
+    value distributions: ``W₁ = ∫ |F_a(v) − F_b(v)| dv`` — the drift
+    metric that, unlike KS (max gap) or PSI/JSD (bin ratios), is in
+    the UNITS OF THE VALUE ("the distributions are $3.17 apart"), and
+    grows with how FAR mass moved, not just how much.
+
+    Exactness: the integral is exact over the value-compressed domain.
+    One rollup to (v, a_v, b_v), one cumulative window over the
+    DISTINCT-value grid, and each segment contributes the exact
+    integer ``|cum_a·N_b − cum_b·N_a| · (v_next − v)`` in
+    DECIMAL(38,0) — the common-denominator form of |F_a − F_b|·Δv, so
+    the sum never sees a float. ``W₁ = Σ / (N_a·N_b)`` spends ONE
+    division at the end. Returns one row: ``(n_a, n_b, w1)`` — NULL
+    via try_divide when either cohort is empty. NULL cohort/value
+    rows are excluded.
+
+    Envelope: cum·N ≤ N², ×Δv ≤ value range — 38 digits holds to
+    ~10¹² rows × 10¹⁰-unit ranges. Scale shape: one map-side-combining
+    rollup to |distinct values| (quantize upstream), one compressed-
+    domain window, one scalar regroup."""
+    d = _D
+    base = df.select(
+        F.col(cohort_col).cast("boolean").alias("__a"),
+        F.col(value_col).cast("bigint").alias("__v"),
+    ).filter(F.col(cohort_col).isNotNull() & F.col(value_col).isNotNull())
+    per_v = base.groupBy("__v").agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("__av"),
+        F.sum(F.when(~F.col("__a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("__bv"),
+    )
+    from pyspark.sql.window import Window
+
+    wcum = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wlead = Window.orderBy("__v")
+    cum = (
+        per_v.withColumn("__ca", F.sum("__av").over(wcum).cast("bigint"))
+        .withColumn("__cb", F.sum("__bv").over(wcum).cast("bigint"))
+        .withColumn("__dv", F.lead("__v").over(wlead) - F.col("__v"))
+    )
+    tot = per_v.agg(
+        F.sum("__av").cast("bigint").alias("n_a"),
+        F.sum("__bv").cast("bigint").alias("n_b"),
+    )
+    # bcast: const(1) scalar cohort sizes
+    grid = cum.crossJoin(F.broadcast(tot))
+    seg = (
+        F.abs(
+            F.col("__ca").cast(d) * F.col("n_b").cast(d)
+            - F.col("__cb").cast(d) * F.col("n_a").cast(d)
+        )
+        * F.coalesce(F.col("__dv"), F.lit(0)).cast(d)
+    ).cast(d)
+    agg = grid.groupBy().agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(seg).cast(d).alias("__num"),
+    )
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        round_stable(
+            F.try_divide(
+                F.col("__num").cast("double"),
+                (F.col("n_a").cast(d) * F.col("n_b").cast(d)).cast(
+                    "double"
+                ),
+            ),
+            6,
+        ).alias("w1"),
+    )
+
+
+def tv_hellinger_distance(
+    df: DataFrame,
+    group_col: str,
+    bin_col: str,
+) -> DataFrame:
+    """Per-group total-variation and Hellinger distance of each
+    group's bin distribution against the GLOBAL bin distribution —
+    :func:`js_divergence`'s grid machinery with the two metrics that
+    bracket it: TV = ½Σ|p − q| (the worst-case probability an event
+    distinguishes the distributions — EXACT here) and
+    H² = ½Σ(√p − √q)² (the metric that tensorizes across independent
+    features, ``H² ≤ TV ≤ H·√2``).
+
+    Exactness: TV clears its denominators — ``tv_num =
+    Σ_b |c_gb·n_t − c_b·n_g|`` is an exact DECIMAL(38,0) integer and
+    ``TV = tv_num/(2·n_g·n_t)`` spends one division. The Hellinger
+    per-cell term ``(√p − √q)²/2`` is irrational, so it follows the
+    PSI/JSD nano-lattice rule: one IEEE expression per cell, rounded
+    to nano-units, exact BIGINT sum; ``hellinger = √(h2_nano/1e9)``
+    is a one-row display expression.
+
+    Returns one row per group: ``(group, n, tv, h2_nano, hellinger)``.
+    NULL group/bin rows are excluded. Scale shape: identical to
+    js_divergence — one rollup to |groups × bins|, broadcast joins,
+    nothing corpus-sized survives the first aggregate."""
+    d = _D
+    base = df.select(
+        F.col(group_col).alias("__g"), F.col(bin_col).alias("__b")
+    ).filter(F.col(group_col).isNotNull() & F.col(bin_col).isNotNull())
+    gb = base.groupBy("__g", "__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    gb = gb.localCheckpoint(eager=False)  # feeds grid + group totals
+    ng = gb.groupBy("__g").agg(F.sum("__c").cast("bigint").alias("__ng"))
+    glob = gb.groupBy("__b").agg(F.sum("__c").cast("bigint").alias("__cb"))
+    tot = glob.agg(F.sum("__cb").cast("bigint").alias("__nt"))
+    grid = (
+        # bcast: model(|bins|) global bin histogram — caller-bounded
+        ng.crossJoin(F.broadcast(glob))
+        .join(gb, ["__g", "__b"], "left")
+        .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0)))
+        # bcast: const(1) scalar corpus count
+        .crossJoin(F.broadcast(tot))
+    )
+    tv_cell = F.abs(
+        F.col("__c").cast(d) * F.col("__nt").cast(d)
+        - F.col("__cb").cast(d) * F.col("__ng").cast(d)
+    ).cast(d)
+    p = F.col("__c").cast("double") / F.col("__ng").cast("double")
+    q = F.col("__cb").cast("double") / F.col("__nt").cast("double")
+    sq = F.sqrt(p) - F.sqrt(q)
+    h_nano = F.round(sq * sq / F.lit(2.0) * F.lit(1e9), 0).cast("bigint")
+    return (
+        grid.groupBy("__g")
+        .agg(
+            F.max("__ng").alias("n"),
+            F.max("__nt").alias("__nt"),
+            F.sum(tv_cell).cast(d).alias("__tvnum"),
+            F.sum(h_nano).cast("bigint").alias("h2_nano"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("n").cast("bigint").alias("n"),
+            round_stable(
+                F.col("__tvnum").cast("double")
+                / (
+                    F.lit(2).cast(d) * F.col("n").cast(d)
+                    * F.col("__nt").cast(d)
+                ).cast("double"),
+                6,
+            ).alias("tv"),
+            "h2_nano",
+            round_stable(
+                F.sqrt(F.col("h2_nano").cast("double") / F.lit(1e9)), 6
+            ).alias("hellinger"),
+        )
+    )

@@ -181,3 +181,69 @@ def test_score_lift_deciles_partition_invariance(spark):
     a = [r.asDict() for r in score_lift_deciles(df.coalesce(1), "s", "y", "id").collect()]
     b = [r.asDict() for r in score_lift_deciles(df.repartition(17), "s", "y", "id").collect()]
     assert a == b
+
+
+def test_wasserstein_1d_hand_values(spark):
+    """W1({0,2},{1,3}) = 1 exactly; W1({0},{10}) = 10; empty cohort
+    -> NULL."""
+    from covid_data_pipeline_spark.operators.experiment import wasserstein_1d
+
+    df = spark.createDataFrame(
+        [(True, 0), (True, 2), (False, 1), (False, 3)], "a BOOLEAN, v INT"
+    )
+    r = wasserstein_1d(df, "a", "v").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 2) and r["w1"] == 1.0
+
+    far = spark.createDataFrame([(True, 0), (False, 10)], "a BOOLEAN, v INT")
+    assert wasserstein_1d(far, "a", "v").collect()[0]["w1"] == 10.0
+
+    onesided = spark.createDataFrame([(True, 1), (True, 5)], "a BOOLEAN, v INT")
+    assert wasserstein_1d(onesided, "a", "v").collect()[0]["w1"] is None
+
+
+def test_wasserstein_identical_distributions_zero(spark):
+    from covid_data_pipeline_spark.operators.experiment import wasserstein_1d
+
+    rows = [(c, v) for c in (True, False) for v in (1, 5, 5, 9)]
+    df = spark.createDataFrame(rows, "a BOOLEAN, v INT")
+    assert wasserstein_1d(df, "a", "v").collect()[0]["w1"] == 0.0
+
+
+def test_tv_hellinger_hand_values(spark):
+    """Point mass on bin 1 vs a uniform {1,2} corpus: TV = 0.5 exact,
+    H^2 = 1 - sqrt(0.5), Hellinger = sqrt(H^2)."""
+    from covid_data_pipeline_spark.operators.experiment import (
+        tv_hellinger_distance,
+    )
+
+    rows = [("a", 1)] * 4 + [("b", 2)] * 4
+    df = spark.createDataFrame(rows, "g STRING, b INT")
+    out = {r["g"]: r for r in tv_hellinger_distance(df, "g", "b").collect()}
+    assert out["a"]["tv"] == 0.5 and out["b"]["tv"] == 0.5
+    h2 = 1.0 - math.sqrt(0.5)
+    assert out["a"]["h2_nano"] == pytest.approx(h2 * 1e9, abs=2)
+    assert out["a"]["hellinger"] == pytest.approx(math.sqrt(h2), abs=1e-6)
+
+    # a group distributed exactly like the corpus scores 0 on both
+    same = [("x", b) for b in (1, 1, 2)] + [("y", b) for b in (1, 1, 2)]
+    out2 = {
+        r["g"]: r
+        for r in tv_hellinger_distance(
+            spark.createDataFrame(same, "g STRING, b INT"), "g", "b"
+        ).collect()
+    }
+    assert out2["x"]["tv"] == 0.0 and out2["x"]["h2_nano"] == 0
+    assert out2["y"]["hellinger"] == 0.0
+
+
+def test_tv_hellinger_partition_invariance(spark):
+    from covid_data_pipeline_spark.operators.experiment import (
+        tv_hellinger_distance,
+    )
+
+    rows = [(f"g{i % 4}", (i * 31) % 10) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g STRING, b INT")
+    key = lambda r: r["g"]  # noqa: E731
+    a = sorted((r.asDict() for r in tv_hellinger_distance(df.coalesce(1), "g", "b").collect()), key=lambda x: x["g"])
+    b = sorted((r.asDict() for r in tv_hellinger_distance(df.repartition(11), "g", "b").collect()), key=lambda x: x["g"])
+    assert a == b
