@@ -4542,3 +4542,93 @@ def events_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100).cast("bigint").alias("_v"),
     )
     return wasserstein_1d(coh, "_a", "_v")
+
+
+@register(
+    "events_fleiss_kappa",
+    """
+    WITH flk_b AS (
+      SELECT event_id AS i, value AS v
+      FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+    flk_r AS (
+      SELECT i, CASE WHEN v + (i % 11) - 5 < 30 THEN 'low'
+                     WHEN v + (i % 11) - 5 < 70 THEN 'mid'
+                     ELSE 'high' END AS c FROM flk_b
+      UNION ALL
+      SELECT i, CASE WHEN v + (i % 7) - 3 < 30 THEN 'low'
+                     WHEN v + (i % 7) - 3 < 70 THEN 'mid'
+                     ELSE 'high' END AS c FROM flk_b
+      UNION ALL
+      SELECT i, CASE WHEN v + (i % 13) - 6 < 30 THEN 'low'
+                     WHEN v + (i % 13) - 6 < 70 THEN 'mid'
+                     ELSE 'high' END AS c FROM flk_b),
+    flk_ic AS (
+      SELECT i, c, CAST(COUNT(*) AS BIGINT) AS nic
+      FROM flk_r GROUP BY 1, 2),
+    flk_m AS (
+      SELECT i, CAST(SUM(nic) AS BIGINT) AS mi FROM flk_ic GROUP BY 1),
+    flk_ex AS (
+      SELECT CAST(SUM(CASE WHEN mi <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_excluded
+      FROM flk_m),
+    flk_k AS (
+      SELECT ic.i, ic.c, ic.nic
+      FROM flk_ic ic JOIN flk_m m ON ic.i = m.i AND m.mi = 3),
+    flk_a AS (
+      SELECT CAST(COUNT(DISTINCT i) AS BIGINT) AS n,
+             CAST(SUM(CAST(nic AS HUGEINT) * nic) AS HUGEINT) AS a
+      FROM flk_k),
+    flk_bb AS (
+      SELECT CAST(COUNT(*) AS INT) AS n_categories,
+             CAST(SUM(CAST(tc AS HUGEINT) * tc) AS HUGEINT) AS b
+      FROM (SELECT c, CAST(SUM(nic) AS HUGEINT) AS tc
+            FROM flk_k GROUP BY 1)),
+    flk_s AS (
+      SELECT a.n, e.n_excluded, bb.n_categories,
+             CAST(a.a - CAST(a.n AS HUGEINT) * 3 AS DOUBLE)
+               / NULLIF(CAST(a.n AS DOUBLE) * 3.0 * 2.0, 0.0) AS p_bar,
+             CAST(bb.b AS DOUBLE)
+               / NULLIF((CAST(a.n AS DOUBLE) * 3.0)
+                        * (CAST(a.n AS DOUBLE) * 3.0), 0.0) AS p_e
+      FROM flk_a a, flk_bb bb, flk_ex e)
+    SELECT n AS n_items, n_excluded, CAST(3 AS INT) AS m, n_categories,
+           (ROUND(p_bar, 6) + 0) AS p_bar,
+           (ROUND(p_e, 6) + 0) AS p_e,
+           (ROUND((p_bar - p_e) / NULLIF(1.0 - p_e, 0.0), 6) + 0)
+             AS kappa
+    FROM flk_s
+    """,
+    tags=("events", "evaluation", "agreement", "statistics"),
+)
+def events_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across THREE deterministic jittered threshold
+    raters bucketing each event's value into low/mid/high
+    (`operators/experiment.py::fleiss_kappa`, Fleiss 1971) — the
+    multi-rater agreement QA that Cohen's kappa (two fixed raters,
+    events_annotator_kappa) and McNemar (paired accuracy) cannot
+    give: one chance-corrected number for an m-annotator labeling
+    pipeline. A, B, N are exact DECIMAL moments; kappa is one
+    single-row IEEE expression."""
+    from covid_data_pipeline_spark.operators.experiment import fleiss_kappa
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    )
+
+    def cat(jit):
+        v = F.col("value") + jit
+        return (
+            F.when(v < 30, "low").when(v < 70, "mid").otherwise("high")
+        )
+
+    rated = ev.select(
+        "event_id",
+        F.explode(
+            F.array(
+                cat((F.col("event_id") % 11) - 5),
+                cat((F.col("event_id") % 7) - 3),
+                cat((F.col("event_id") % 13) - 6),
+            )
+        ).alias("_c"),
+    )
+    return fleiss_kappa(rated, "event_id", "_c", 3)

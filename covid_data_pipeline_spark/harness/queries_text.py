@@ -3139,3 +3139,155 @@ def docs_tv_hellinger_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = tv_hellinger_distance(binned, "_g", "_b")
     return out.withColumnRenamed("_g", "source")
+
+
+@register(
+    "docs_cronbach_quality",
+    """
+    WITH cra_b AS (
+      SELECT LEAST(100, n_chars // 100) AS x0,
+             LEAST(100, length(text) // 100) AS x1,
+             LEAST(100, (length(text)
+               - length(replace(text, ' ', ''))) // 20) AS x2,
+             LEAST(100, length(regexp_replace(lower(text),
+               '[^a-z]', '', 'g')) // 80) AS x3
+      FROM documents
+      WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+    cra_m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x0 AS HUGEINT)) AS HUGEINT) AS s0,
+             CAST(SUM(CAST(x0 AS HUGEINT) * x0) AS HUGEINT) AS q0,
+             CAST(SUM(CAST(x1 AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS q1,
+             CAST(SUM(CAST(x2 AS HUGEINT)) AS HUGEINT) AS s2,
+             CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS q2,
+             CAST(SUM(CAST(x3 AS HUGEINT)) AS HUGEINT) AS s3,
+             CAST(SUM(CAST(x3 AS HUGEINT) * x3) AS HUGEINT) AS q3,
+             CAST(SUM(CAST(x0 + x1 + x2 + x3 AS HUGEINT)) AS HUGEINT)
+               AS st,
+             CAST(SUM(CAST(x0 + x1 + x2 + x3 AS HUGEINT)
+                      * (x0 + x1 + x2 + x3)) AS HUGEINT) AS qt
+      FROM cra_b)
+    SELECT n, CAST(4 AS INT) AS k,
+           (ROUND((4.0 / 3.0) * (1.0
+              - CAST(((CAST(n AS HUGEINT) * q0 - s0 * s0)
+                      + (CAST(n AS HUGEINT) * q1 - s1 * s1)
+                      + (CAST(n AS HUGEINT) * q2 - s2 * s2))
+                     + (CAST(n AS HUGEINT) * q3 - s3 * s3) AS DOUBLE)
+                / NULLIF(CAST(CAST(n AS HUGEINT) * qt - st * st
+                              AS DOUBLE), 0.0)), 6) + 0) AS alpha
+    FROM cra_m
+    """,
+    tags=("text", "quality", "reliability", "statistics"),
+)
+def docs_cronbach_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over four length-family document sub-scores
+    (char-count decile caps, whitespace-token proxy, letter-mass)
+    (`operators/experiment.py::cronbach_alpha`, Cronbach 1951) — the
+    reliability gate before averaging k heuristic quality signals
+    into one composite: a low alpha says the composite is noise, not
+    a scale. The variance ratio is scale-free, so both sides are
+    exact integer moments n*Q - S^2 in DECIMAL(38,0); alpha is one
+    single-row IEEE expression."""
+    from covid_data_pipeline_spark.operators.experiment import (
+        cronbach_alpha,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    scored = d.select(
+        F.least(F.lit(100), F.expr("n_chars div 100")).alias("_x0"),
+        F.least(F.lit(100), F.expr("length(text) div 100")).alias("_x1"),
+        F.least(
+            F.lit(100),
+            F.expr(
+                "(length(text) - length(replace(text, ' ', ''))) div 20"
+            ),
+        ).alias("_x2"),
+        F.least(
+            F.lit(100),
+            F.expr(
+                "length(regexp_replace(lower(text), '[^a-z]', '')) div 80"
+            ),
+        ).alias("_x3"),
+    )
+    return cronbach_alpha(scored, ["_x0", "_x1", "_x2", "_x3"])
+
+
+@register(
+    "docs_log_odds_keywords",
+    r"""
+    WITH lok_t AS (
+      SELECT lang AS g,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+               AS w
+      FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+    lok_gt AS (
+      SELECT g, w, CAST(COUNT(*) AS BIGINT) AS ygw
+      FROM lok_t WHERE length(w) >= 3 GROUP BY 1, 2),
+    lok_ng AS (
+      SELECT g, CAST(SUM(ygw) AS BIGINT) AS ng FROM lok_gt GROUP BY 1),
+    lok_yw AS (
+      SELECT w, CAST(SUM(ygw) AS BIGINT) AS yw FROM lok_gt GROUP BY 1),
+    lok_n AS (SELECT CAST(SUM(ng) AS BIGINT) AS n FROM lok_ng),
+    lok_c AS (
+      SELECT gt.g, gt.w, gt.ygw, yw.yw, ng.ng, n.n,
+             100.0 * CAST(yw.yw AS DOUBLE) / CAST(n.n AS DOUBLE) AS aw
+      FROM lok_gt gt
+      JOIN lok_yw yw USING (w) JOIN lok_ng ng USING (g)
+      CROSS JOIN lok_n n
+      WHERE gt.ygw >= 5),
+    lok_z AS (
+      SELECT g, w, ygw,
+             CAST(ROUND(CASE WHEN
+               (CAST(ng AS DOUBLE) + 100.0)
+                 - (CAST(ygw AS DOUBLE) + aw) > 0
+               AND (CAST(n - ng AS DOUBLE) + 100.0)
+                 - (CAST(yw - ygw AS DOUBLE) + aw) > 0
+             THEN
+               (LN((CAST(ygw AS DOUBLE) + aw)
+                   / ((CAST(ng AS DOUBLE) + 100.0)
+                      - (CAST(ygw AS DOUBLE) + aw)))
+                - LN((CAST(yw - ygw AS DOUBLE) + aw)
+                     / ((CAST(n - ng AS DOUBLE) + 100.0)
+                        - (CAST(yw - ygw AS DOUBLE) + aw))))
+               / SQRT(1.0 / (CAST(ygw AS DOUBLE) + aw)
+                      + 1.0 / (CAST(yw - ygw AS DOUBLE) + aw))
+             END * 1e6, 0) AS BIGINT) AS zmicro
+      FROM lok_c),
+    lok_r AS (
+      SELECT g, w, ygw, zmicro,
+             ROW_NUMBER() OVER (PARTITION BY g
+               ORDER BY zmicro DESC NULLS LAST, w) AS rnk
+      FROM lok_z)
+    SELECT g AS lang, w AS term, ygw AS y_count, zmicro AS z_micro,
+           (ROUND(CAST(zmicro AS DOUBLE) / 1e6, 4) + 0) AS z,
+           CAST(rnk AS INT) AS rank
+    FROM lok_r WHERE rnk <= 10
+    """,
+    tags=("text", "keywords", "statistics", "terms"),
+)
+def docs_log_odds_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe-Colaresi-Quinn weighted log-odds keywords per language
+    with an informative Dirichlet prior (`operators/langmodel.py::
+    log_odds_keywords`, "Fightin' Words" 2008) — the statistically
+    sound "which terms characterize this language vs the rest"
+    ranking: raw frequency surfaces stopwords, TF-IDF/PMI explode on
+    hapaxes, the z-scored shrunk log-odds does neither. No float ever
+    accumulates: z is one IEEE expression per observed (lang, term)
+    pair over exact BIGINT counts, ranked by (z_micro DESC, term)."""
+    from covid_data_pipeline_spark.functions.text import tokens
+    from covid_data_pipeline_spark.operators.langmodel import (
+        log_odds_keywords,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("text").isNotNull()
+    )
+    terms = d.select(
+        "lang", F.explode(tokens("text")).alias("term")
+    ).filter(F.length("term") >= 3)
+    return log_odds_keywords(
+        terms, "lang", "term", alpha0=100.0, min_count=5, top_k=10
+    )

@@ -115,6 +115,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "quality_score_lift_deciles",
     "events_wasserstein_drift",
     "docs_tv_hellinger_by_source",
+    "events_fleiss_kappa",
+    "docs_cronbach_quality",
+    "docs_log_odds_keywords",
     # --- drift re-checks: oldest remaining greens (r2-r3 era) ---
     "pack_sequences_greedy",
     "pivot_event_type",
@@ -126,16 +129,13 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "set_except_customers",
     "set_intersect_nations",
     "sql_pricing_summary",
-    "stratified_hash_sample",
-    "timestamp_parse_multi",
-    "topk_orders",
 )
 
 # Every query module must import cleanly: a blanket try/except here once
 # let an ImportError silently drop whole modules (and shrink the driver's
 # verification surface). The count assertion is the tripwire for any
 # regression that swallows registrations some other way.
-MIN_EXPECTED_QUERIES = 355
+MIN_EXPECTED_QUERIES = 358
 
 
 def _load_all() -> None:

@@ -1261,3 +1261,157 @@ def tv_hellinger_distance(
             ).alias("hellinger"),
         )
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+    n_raters: int,
+) -> DataFrame:
+    """Fleiss' kappa (Psych. Bulletin 1971) — chance-corrected
+    agreement for m ≥ 2 raters per item, the multi-rater
+    generalization of :func:`cohens_kappa` (which only pairs two
+    FIXED raters): the standard QA readout for annotation pipelines
+    where each example is labeled by m interchangeable annotators.
+
+    Input is one row per (item, assigned category). Items whose
+    rating count differs from ``n_raters`` are EXCLUDED (Fleiss
+    assumes a constant m; partially-labeled items would bias P̄) and
+    reported in ``n_excluded``.
+
+    Exactness: with ``A = Σ_i Σ_c n_ic²``, ``B = Σ_c (Σ_i n_ic)²``,
+    N = kept items — all exact DECIMAL(38,0) — the observed and
+    expected agreements are ``P̄ = (A − N·m)/(N·m·(m−1))`` and
+    ``P̄e = B/(N·m)²``, and ``kappa = (P̄ − P̄e)/(1 − P̄e)``; every
+    emitted value is a single-row IEEE expression over those exact
+    scalars (NULL kappa via try_divide when P̄e = 1 — a single shared
+    category, nothing to correct for). NULL item/category rows are
+    excluded before counting.
+
+    Scale shape: one rollup to |items × categories|, an m-filter
+    join, then a scalar aggregate (plus the |categories|-sized B
+    rollup) — nothing corpus-sized survives the first aggregate."""
+    d = _D
+    base = df.select(
+        F.col(item_col).alias("__i"), F.col(category_col).alias("__c")
+    ).filter(F.col(item_col).isNotNull() & F.col(category_col).isNotNull())
+    ic = base.groupBy("__i", "__c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    ic = ic.localCheckpoint(eager=False)  # feeds m-filter + B rollup
+    per_item = ic.groupBy("__i").agg(
+        F.sum("__n").cast("bigint").alias("__m")
+    )
+    kept_items = per_item.filter(F.col("__m") == n_raters).select("__i")
+    excluded = per_item.filter(F.col("__m") != n_raters).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_excluded")
+    )
+    kept = ic.join(kept_items, "__i")
+    a_row = kept.agg(
+        F.count_distinct("__i").cast("bigint").alias("__N"),
+        F.sum(F.col("__n").cast(d) * F.col("__n").cast(d))
+        .cast(d)
+        .alias("__A"),
+    )
+    b_row = (
+        kept.groupBy("__c")
+        .agg(F.sum("__n").cast(d).alias("__tc"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_categories"),
+            F.sum(F.col("__tc") * F.col("__tc")).cast(d).alias("__B"),
+        )
+    )
+    # bcast: const(1) scalar rows
+    row = a_row.crossJoin(F.broadcast(b_row)).crossJoin(
+        F.broadcast(excluded)
+    )
+    nd = F.col("__N").cast("double")
+    m = F.lit(float(n_raters))
+    p_bar = F.try_divide(
+        (F.col("__A") - F.col("__N").cast(d) * F.lit(n_raters).cast(d))
+        .cast("double"),
+        nd * m * (m - F.lit(1.0)),
+    )
+    p_e = F.try_divide(
+        F.col("__B").cast("double"), (nd * m) * (nd * m)
+    )
+    return row.select(
+        F.col("__N").alias("n_items"),
+        F.coalesce(F.col("n_excluded"), F.lit(0)).alias("n_excluded"),
+        F.lit(n_raters).cast("int").alias("m"),
+        "n_categories",
+        round_stable(p_bar, 6).alias("p_bar"),
+        round_stable(p_e, 6).alias("p_e"),
+        round_stable(
+            F.try_divide(p_bar - p_e, F.lit(1.0) - p_e), 6
+        ).alias("kappa"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    item_cols: list[str],
+) -> DataFrame:
+    """Cronbach's alpha (Psychometrika 1951) — internal-consistency
+    reliability of a k-item score: do the k sub-scores measure the
+    same underlying construct? The QA gate before anyone averages k
+    heuristic quality signals into one "quality score" — a low alpha
+    says the composite is noise, not a scale.
+
+        α = k/(k−1) · (1 − Σ_i var(itemᵢ) / var(Σ_i itemᵢ))
+
+    Exactness: the variance RATIO is scale-free, so both numerator and
+    denominator are carried as the exact integer moments
+    ``n·Σx² − (Σx)²`` in DECIMAL(38,0) (the shared 1/(n(n−1)) factor
+    cancels). One map-side-combined aggregate computes all 2k+2 sums;
+    alpha is a single-row IEEE expression (NULL via try_divide when
+    the total score is constant). Rows with ANY NULL item are
+    excluded (a null sub-score would silently shrink one item's
+    moment population and bias the ratio).
+
+    Scale shape: one scalar aggregate — nothing survives the first
+    pass. Values must be integral (quantize upstream); k is a literal.
+    """
+    if len(item_cols) < 2:
+        raise ValueError("cronbach_alpha needs >= 2 items")
+    d = _D
+    k = len(item_cols)
+    cond = F.lit(True)
+    for c in item_cols:
+        cond = cond & F.col(c).isNotNull()
+    base = df.filter(cond).select(
+        *[F.col(c).cast("bigint").alias(f"__x{i}") for i, c in enumerate(item_cols)]
+    )
+    total = None
+    for i in range(k):
+        total = F.col(f"__x{i}") if total is None else total + F.col(f"__x{i}")
+    base = base.withColumn("__t", total)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for i in range(k):
+        xd = F.col(f"__x{i}").cast(d)
+        aggs.append(F.sum(xd).cast(d).alias(f"__s{i}"))
+        aggs.append(F.sum(xd * xd).cast(d).alias(f"__q{i}"))
+    td = F.col("__t").cast(d)
+    aggs.append(F.sum(td).cast(d).alias("__st"))
+    aggs.append(F.sum(td * td).cast(d).alias("__qt"))
+    row = base.agg(*aggs)
+    nd_ = F.col("n").cast(d)
+    item_var_num = None
+    for i in range(k):
+        v = (nd_ * F.col(f"__q{i}") - F.col(f"__s{i}") * F.col(f"__s{i}")).cast(d)
+        item_var_num = v if item_var_num is None else (item_var_num + v).cast(d)
+    tot_var_num = (nd_ * F.col("__qt") - F.col("__st") * F.col("__st")).cast(d)
+    alpha = (
+        F.lit(float(k)) / F.lit(float(k - 1))
+    ) * (
+        F.lit(1.0)
+        - F.try_divide(
+            item_var_num.cast("double"), tot_var_num.cast("double")
+        )
+    )
+    return row.select(
+        "n",
+        F.lit(k).cast("int").alias("k"),
+        round_stable(alpha, 6).alias("alpha"),
+    )

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from covid_data_pipeline_spark.functions.scalar import round_stable
 
@@ -296,4 +297,103 @@ def collocations_g2(
         "c12",
         "g2_nano",
         round_stable(F.col("g2_nano") / F.lit(1e9), 4).alias("g2"),
+    )
+
+
+def log_odds_keywords(
+    df: DataFrame,
+    group_col: str,
+    term_col: str,
+    alpha0: float = 100.0,
+    min_count: int = 5,
+    top_k: int = 10,
+) -> DataFrame:
+    """Monroe–Colaresi–Quinn weighted log-odds with an informative
+    Dirichlet prior ("Fightin' Words", Political Analysis 2008) — the
+    statistically-sound "which terms characterize this group vs the
+    rest" ranking: raw frequency surfaces stopwords, TF-IDF and PMI
+    explode on hapaxes, while the z-scored log-odds shrinks rare
+    terms toward the corpus prior and normalizes by the variance of
+    the estimate.
+
+    Per (group g, term w) with count ``y_gw``, group total ``n_g``,
+    corpus term count ``y_w``, corpus total ``n`` and the prior
+    ``α_w = α₀·y_w/n``::
+
+        δ  = ln( (y_gw+α_w) / (n_g+α₀ − y_gw−α_w) )
+           − ln( (y_rw+α_w) / (n_r+α₀ − y_rw−α_w) )     (rest side r)
+        σ² ≈ 1/(y_gw+α_w) + 1/(y_rw+α_w)
+        z  = δ / √σ²
+
+    Determinism: no float ever accumulates — z is ONE IEEE expression
+    per observed (g, w) pair over exact BIGINT counts, quantized to
+    ``z_micro = round(z·10⁶)`` so the per-group ranking and top-k cut
+    order by the total order (z_micro DESC, term ASC) — engine-
+    invariant. Terms with ``y_gw < min_count`` are pruned before
+    scoring (they cannot rank: the prior dominates them) — also the
+    skew guard: the ranking window partitions by group over the
+    PRUNED vocabulary. A non-positive log argument (only reachable
+    when one group holds the entire corpus) yields NULL z rather
+    than ±inf.
+
+    Returns ``(group, term, y_count, z_micro, z, rank)``, rank ≤
+    ``top_k`` per group. NULL group/term rows are excluded.
+
+    Scale shape: one (group, term) rollup (map-side combining), two
+    model-sized rollups (group totals; corpus term counts — broadcast
+    under min_count pruning is NOT applied to y_w, which stays a
+    shuffle join on term), one per-group ranking window over the
+    pruned candidate set."""
+    base = df.select(
+        F.col(group_col).alias("__g"), F.col(term_col).alias("__w")
+    ).filter(F.col(group_col).isNotNull() & F.col(term_col).isNotNull())
+    gt = base.groupBy("__g", "__w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ygw")
+    )
+    gt = gt.localCheckpoint(eager=False)  # feeds totals + term counts
+    ngs = gt.groupBy("__g").agg(F.sum("__ygw").cast("bigint").alias("__ng"))
+    yw = gt.groupBy("__w").agg(F.sum("__ygw").cast("bigint").alias("__yw"))
+    tot = ngs.agg(F.sum("__ng").cast("bigint").alias("__n"))
+    cand = (
+        gt.filter(F.col("__ygw") >= min_count)
+        .join(yw, "__w")
+        # bcast: model(|groups|) group totals
+        .join(F.broadcast(ngs), "__g")
+        # bcast: const(1) corpus total
+        .crossJoin(F.broadcast(tot))
+    )
+    a0 = F.lit(float(alpha0))
+    aw = a0 * F.col("__yw").cast("double") / F.col("__n").cast("double")
+    ygw = F.col("__ygw").cast("double")
+    yrw = (F.col("__yw") - F.col("__ygw")).cast("double")
+    ng = F.col("__ng").cast("double")
+    nr = (F.col("__n") - F.col("__ng")).cast("double")
+    num1 = ygw + aw
+    den1 = (ng + a0) - (ygw + aw)
+    num2 = yrw + aw
+    den2 = (nr + a0) - (yrw + aw)
+    delta = F.log(num1 / den1) - F.log(num2 / den2)
+    sigma2 = F.lit(1.0) / num1 + F.lit(1.0) / num2
+    z = F.when(
+        (den1 > 0) & (den2 > 0), delta / F.sqrt(sigma2)
+    )
+    scored = cand.withColumn(
+        "__zmicro", F.round(z * F.lit(1e6), 0).cast("bigint")
+    )
+    w = Window.partitionBy("__g").orderBy(
+        F.col("__zmicro").desc(), F.col("__w")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__w").alias(term_col),
+            F.col("__ygw").alias("y_count"),
+            F.col("__zmicro").alias("z_micro"),
+            round_stable(
+                F.col("__zmicro").cast("double") / F.lit(1e6), 4
+            ).alias("z"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     )

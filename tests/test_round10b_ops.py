@@ -247,3 +247,109 @@ def test_tv_hellinger_partition_invariance(spark):
     a = sorted((r.asDict() for r in tv_hellinger_distance(df.coalesce(1), "g", "b").collect()), key=lambda x: x["g"])
     b = sorted((r.asDict() for r in tv_hellinger_distance(df.repartition(11), "g", "b").collect()), key=lambda x: x["g"])
     assert a == b
+
+
+def test_fleiss_kappa_hand_values(spark):
+    """2 raters: {i1:[A,A], i2:[A,B]} -> p_bar=0.5, p_e=0.625,
+    kappa=-1/3; an item with a third rating is excluded; perfect
+    agreement across different categories -> kappa=1; unanimous single
+    category -> p_e=1 -> NULL."""
+    from covid_data_pipeline_spark.operators.experiment import fleiss_kappa
+
+    rows = [("i1", "A"), ("i1", "A"), ("i2", "A"), ("i2", "B"),
+            ("i3", "A"), ("i3", "A"), ("i3", "B")]
+    r = fleiss_kappa(
+        spark.createDataFrame(rows, "i STRING, c STRING"), "i", "c", 2
+    ).collect()[0]
+    assert (r["n_items"], r["n_excluded"], r["m"]) == (2, 1, 2)
+    assert r["p_bar"] == 0.5 and r["p_e"] == 0.625
+    assert r["kappa"] == pytest.approx(-1.0 / 3.0, abs=1e-6)
+
+    perfect = [("i1", "A"), ("i1", "A"), ("i2", "B"), ("i2", "B")]
+    r2 = fleiss_kappa(
+        spark.createDataFrame(perfect, "i STRING, c STRING"), "i", "c", 2
+    ).collect()[0]
+    assert r2["kappa"] == 1.0
+
+    unan = [("i1", "A"), ("i1", "A"), ("i2", "A"), ("i2", "A")]
+    r3 = fleiss_kappa(
+        spark.createDataFrame(unan, "i STRING, c STRING"), "i", "c", 2
+    ).collect()[0]
+    assert r3["p_e"] == 1.0 and r3["kappa"] is None
+
+
+def test_cronbach_alpha_hand_values(spark):
+    """Duplicated item -> alpha=1; anti-correlated items -> constant
+    total -> NULL; a hand-computed independent-ish case -> -1."""
+    from covid_data_pipeline_spark.operators.experiment import cronbach_alpha
+
+    dup = spark.createDataFrame(
+        [(v, v) for v in (1, 2, 3, 4)], "x1 INT, x2 INT"
+    )
+    r = cronbach_alpha(dup, ["x1", "x2"]).collect()[0]
+    assert (r["n"], r["k"], r["alpha"]) == (4, 2, 1.0)
+
+    ind = spark.createDataFrame(
+        list(zip((1, 2, 3, 4), (2, 1, 2, 1))), "x1 INT, x2 INT"
+    )
+    r2 = cronbach_alpha(ind, ["x1", "x2"]).collect()[0]
+    assert r2["alpha"] == -1.0
+
+    anti = spark.createDataFrame(
+        list(zip((1, 2, 3, 4), (4, 3, 2, 1))), "x1 INT, x2 INT"
+    )
+    assert cronbach_alpha(anti, ["x1", "x2"]).collect()[0]["alpha"] is None
+
+    # NULL rows are excluded entirely
+    withnull = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, None)], "x1 INT, x2 INT"
+    )
+    assert cronbach_alpha(withnull, ["x1", "x2"]).collect()[0]["n"] == 2
+
+
+def test_log_odds_keywords_hand_values(spark):
+    """Two groups over terms x/y with known counts: z matches the
+    Monroe formula computed in-test; x characterizes group a."""
+    from covid_data_pipeline_spark.operators.langmodel import (
+        log_odds_keywords,
+    )
+
+    rows = (
+        [("a", "x")] * 6 + [("a", "y")] * 4
+        + [("b", "x")] * 2 + [("b", "y")] * 8
+    )
+    df = spark.createDataFrame(rows, "g STRING, w STRING")
+    out = {
+        (r["g"], r["w"]): r
+        for r in log_odds_keywords(
+            df, "g", "w", alpha0=1.0, min_count=1, top_k=10
+        ).collect()
+    }
+
+    def zref(ygw, ng, yw, n, a0=1.0):
+        aw = a0 * yw / n
+        yrw, nr = yw - ygw, n - ng
+        delta = math.log((ygw + aw) / ((ng + a0) - (ygw + aw))) - math.log(
+            (yrw + aw) / ((nr + a0) - (yrw + aw))
+        )
+        return delta / math.sqrt(1.0 / (ygw + aw) + 1.0 / (yrw + aw))
+
+    assert out[("a", "x")]["z"] == pytest.approx(
+        zref(6, 10, 8, 20), abs=1e-4
+    )
+    assert out[("b", "y")]["z"] == pytest.approx(
+        zref(8, 10, 12, 20), abs=1e-4
+    )
+    assert out[("a", "x")]["rank"] == 1 and out[("b", "y")]["rank"] == 1
+    assert out[("a", "x")]["y_count"] == 6
+
+
+def test_log_odds_keywords_min_count_prunes(spark):
+    from covid_data_pipeline_spark.operators.langmodel import (
+        log_odds_keywords,
+    )
+
+    rows = [("a", "common")] * 10 + [("a", "rare")] + [("b", "common")] * 10
+    df = spark.createDataFrame(rows, "g STRING, w STRING")
+    out = log_odds_keywords(df, "g", "w", min_count=5).collect()
+    assert all(r["w"] == "common" for r in out)
