@@ -4390,6 +4390,7 @@ def events_mcnemar_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM kw_a
     """,
     tags=("events", "hypothesis-test", "rank-statistics", "statistics"),
+    bench=True,
 )
 def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kruskal-Wallis H across the five event types' floored value

@@ -3046,6 +3046,7 @@ def quality_score_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY decile
     """,
     tags=("text", "quality", "evaluation", "lift"),
+    bench=True,
 )
 def quality_score_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative-gains and lift table of the heuristic quality score
@@ -3267,6 +3268,7 @@ def docs_cronbach_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lok_r WHERE rnk <= 10
     """,
     tags=("text", "keywords", "statistics", "terms"),
+    bench=True,
 )
 def docs_log_odds_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monroe-Colaresi-Quinn weighted log-odds keywords per language

@@ -59,20 +59,23 @@ def register(
 
 
 # The external driver verifies a 50-query window in registration order.
-# Round-10 rotation (VERDICT r9 ask #1 == VERIFIED.json::
-# suggested_window_r10): keep the 8-query regression core as a drift
-# canary, land the 12 round-9 oracle additions (LOO target encoding,
-# classification report, calibration+Brier, grouped-chi2 BH FDR,
-# Hilbert layout, LOF, FK audit, Pearson corr matrix, seasonal
-# strength, Spearman, ROC-AUC, RANSAC trend — all judge-mirror-verified
-# green in r9), which lands EVERY oracle-backed query driver-proven
-# (334/334), then the 6 round-10 additions (Cohen's kappa, Cramér's V
-# matrix, entropy profile, ECE, Jensen-Shannon drift, Dunning G²
-# collocations, Theil U — mirror-verified at sf0.01 + sf0.001 when added), and
-# spend the remaining 24 slots on drift re-checks of the oldest
-# remaining greens (r2-r3 era, alphabetical). Everything not listed
-# keeps its module registration order after these; oracle-less
-# (rows-only) queries always sort last.
+# Round-10 FINAL rotation (VERDICT r9 ask #1 == VERIFIED.json::
+# window_r10): keep the 8-query regression core as a drift canary,
+# then every never-driver-verified oracle query — the 12 round-9
+# additions (LOO encoding, classification report, calibration+Brier,
+# BH FDR, Hilbert, LOF, FK audit, corr matrix, seasonal strength,
+# Spearman, ROC-AUC, RANSAC), the 10 early round-10 additions (Cohen's
+# kappa, JSD, Cramér's V, entropy profile, ECE, G² collocations,
+# Theil U, robust anomalies, McNemar, trimmed means), and the 10 late
+# round-10 additions (Kruskal-Wallis, Brown-Forsythe, Welch t, average
+# precision, lift deciles, Wasserstein drift, TV+Hellinger, Fleiss
+# kappa, Cronbach alpha, Monroe log-odds keywords — each mirror-green
+# at sf0.01 + sf0.001 when added) — landing EVERY oracle-backed query
+# driver-proven, and spend the remaining 10 slots on drift re-checks
+# of the oldest remaining greens (r2-r3 era; the 10 displaced
+# re-checks rejoin in r11 per VERIFIED.json::suggested_window_r11).
+# Everything not listed keeps its module registration order after
+# these; oracle-less (rows-only) queries always sort last.
 WINDOW_PRIORITY: tuple[str, ...] = (
     # --- regression core (driver-proven r1-r9; canary against drift) ---
     "mart_analytics",

@@ -2850,6 +2850,298 @@ def case_robust_trim_100k_keys(spark):
     }
 
 
+
+
+def case_kruskal_16m(spark):
+    """Round-10 batch-B: Kruskal-Wallis H over 16M rows, 8 groups,
+    ~10k distinct values (160x sf0.1). Group 7 gets a planted +500
+    shift, so H must be astronomically significant; the exact lattice
+    output h_micro must match an integer reference computed from the
+    LCG's residue structure, bit-identical under a prime repartition
+    (the value-compressed construction never ranks a row)."""
+    from covid_data_pipeline_spark.operators.experiment import kruskal_wallis
+
+    n, p_, shift = 16_000_000, 10_007, 500
+    df = spark.range(0, n, numPartitions=64).select(
+        (F.col("id") % 8).alias("g"),
+        (
+            (F.col("id") * 9973) % p_
+            + F.when(F.col("id") % 8 == 7, shift).otherwise(0)
+        ).alias("v"),
+    )
+    t0 = time.time()
+    a = kruskal_wallis(df, "g", "v").collect()[0]
+    wall = time.time() - t0
+    b = kruskal_wallis(df.repartition(53), "g", "v").collect()[0]
+
+    # exact reference off the residue structure (numpy chunked)
+    import numpy as np
+
+    hist = {}
+    for lo in range(0, n, 2_000_000):
+        ids = np.arange(lo, min(lo + 2_000_000, n), dtype=np.int64)
+        g = ids % 8
+        v = (ids * 9973) % p_ + np.where(g == 7, shift, 0)
+        for gi in range(8):
+            h = np.bincount(v[g == gi], minlength=p_ + shift)
+            hist[gi] = hist.get(gi, 0) + h
+    vals = np.arange(p_ + shift, dtype=np.int64)
+    nv = sum(hist.values())
+    mask = nv > 0
+    cum_less = np.concatenate(([0], np.cumsum(nv)[:-1]))
+    r2 = 2 * cum_less + nv + 1
+    N = int(nv.sum())
+    sum_micro = 0
+    for gi in range(8):
+        ng = int(hist[gi].sum())
+        R2 = int(np.sum(hist[gi][mask].astype(object) * r2[mask]))
+        term = 3.0 * float(R2) * float(R2) / (float(ng) * float(N) * (float(N) + 1.0))
+        import math as _m
+        sum_micro += int(_m.floor(term * 1e6 + 0.5))
+    want_h_micro = sum_micro - 3 * (N + 1) * 1000000
+    del vals
+    return {
+        "rows": n,
+        "scale_vs_sf0.1": "160x events",
+        "sec": round(wall, 2),
+        "h": a["h"],
+        "h_micro_exact": a["h_micro"] == want_h_micro,
+        "partition_invariant": a.asDict() == b.asDict(),
+        "ok": (
+            a["h_micro"] == want_h_micro
+            and a["h"] > 10_000
+            and a.asDict() == b.asDict()
+        ),
+    }
+
+
+def case_brown_forsythe_16m(spark):
+    """Round-10 batch-B: Brown-Forsythe over 16M rows, 8 groups;
+    group 7's values are scaled 3x so its spread dominates and F must
+    be huge; the per-group exact-median windows must survive 2M-row
+    groups, and the output must be bit-identical under a prime
+    repartition."""
+    from covid_data_pipeline_spark.operators.experiment import brown_forsythe
+
+    n, p_ = 16_000_000, 10_007
+    df = spark.range(0, n, numPartitions=64).select(
+        (F.col("id") % 8).alias("g"),
+        (
+            ((F.col("id") * 9973) % p_)
+            * F.when(F.col("id") % 8 == 7, 3).otherwise(1)
+        ).alias("v"),
+    )
+    t0 = time.time()
+    a = brown_forsythe(df, "g", "v").collect()[0]
+    wall = time.time() - t0
+    b = brown_forsythe(df.repartition(53), "g", "v").collect()[0]
+    return {
+        "rows": n,
+        "scale_vs_sf0.1": "160x events; 2M-row per-group medians",
+        "sec": round(wall, 2),
+        "f_bf": a["f_bf"],
+        "partition_invariant": a.asDict() == b.asDict(),
+        "ok": (
+            a["n"] == n and a["k"] == 8
+            and a["f_bf"] is not None and a["f_bf"] > 10_000
+            and a.asDict() == b.asDict()
+        ),
+    }
+
+
+def case_wasserstein_16m(spark):
+    """Round-10 batch-B: W1 drift at 16M rows with a CLOSED-FORM
+    answer: both 8M-row cohorts sweep the full 10000-value LCG cycle
+    the same number of times (800 whole periods each), and the
+    treated cohort is shifted by exactly +80 — identical shapes, so
+    W1 == 80.0 exactly. Bit-identical under a prime repartition."""
+    from covid_data_pipeline_spark.operators.experiment import wasserstein_1d
+
+    n, half, period, shift = 16_000_000, 8_000_000, 10_000, 80
+    df = spark.range(0, n, numPartitions=64).select(
+        (F.col("id") < half).alias("a"),
+        (
+            (F.col("id") * 9973) % period
+            + F.when(F.col("id") < half, shift).otherwise(0)
+        ).alias("v"),
+    )
+    t0 = time.time()
+    a = wasserstein_1d(df, "a", "v").collect()[0]
+    wall = time.time() - t0
+    b = wasserstein_1d(df.repartition(53), "a", "v").collect()[0]
+    return {
+        "rows": n,
+        "scale_vs_sf0.1": "160x events",
+        "sec": round(wall, 2),
+        "w1": a["w1"],
+        "ok": (
+            a["w1"] == float(shift)
+            and (a["n_a"], a["n_b"]) == (half, half)
+            and a.asDict() == b.asDict()
+        ),
+    }
+
+
+def case_lift_ap_10m(spark):
+    """Round-10 batch-B: the ranking-evaluation pair at 10M scored
+    rows. Lift deciles ride value_order_rank (the distributed global
+    rank) — every per-decile count must equal the numpy lexsort
+    reference EXACTLY; average precision's nano-lattice AP must match
+    the histogram reference to 1e-6. Both bit-identical under a prime
+    repartition."""
+    from covid_data_pipeline_spark.operators.retrieval import (
+        average_precision,
+        score_lift_deciles,
+    )
+
+    n, scale = 10_000_000, 1_000_000
+    df = spark.range(0, n, numPartitions=64).select(
+        ((F.col("id") * 9973) % (scale + 1)).alias("s"),
+        (
+            (((F.col("id") * 9973) % (scale + 1)) * 2 >= scale)
+            != (F.col("id") % 20 == 0)
+        ).alias("lab"),
+        F.col("id"),
+    )
+    t0 = time.time()
+    lift = {r["decile"]: r.asDict()
+            for r in score_lift_deciles(df, "s", "lab", "id").collect()}
+    ap = average_precision(df, "s", "lab").collect()[0]
+    wall = time.time() - t0
+
+    import numpy as np
+
+    ids = np.arange(n, dtype=np.int64)
+    s = (ids * 9973) % (scale + 1)
+    lab = ((s * 2 >= scale) != (ids % 20 == 0))
+    order = np.lexsort((ids, -s))
+    lab_sorted = lab[order]
+    decile = (np.arange(n, dtype=np.int64) * 10) // n + 1
+    want_n = np.bincount(decile, minlength=11)[1:]
+    want_pos = np.bincount(decile, weights=lab_sorted.astype(np.int64),
+                           minlength=11)[1:].astype(np.int64)
+    counts_ok = all(
+        lift[d + 1]["n"] == int(want_n[d])
+        and lift[d + 1]["n_pos"] == int(want_pos[d])
+        for d in range(10)
+    )
+    # AP histogram reference (value-compressed, descending)
+    pos_h = np.bincount(s[lab], minlength=scale + 1)
+    tot_h = np.bincount(s, minlength=scale + 1)
+    pos_d, tot_d = pos_h[::-1], tot_h[::-1]
+    cum_pos = np.cumsum(pos_d)
+    cum_tot = np.cumsum(tot_d)
+    P = int(pos_h.sum())
+    nz = tot_d > 0
+    want_ap = float(np.sum(
+        pos_d[nz] * cum_pos[nz] / (cum_tot[nz] * float(P))
+    ))
+    lift2 = {r["decile"]: r.asDict()
+             for r in score_lift_deciles(
+                 df.repartition(97), "s", "lab", "id").collect()}
+    return {
+        "rows": n,
+        "scale_vs_sf0.1": "2000x documents scoring surface",
+        "sec": round(wall, 2),
+        "ap": ap["average_precision"],
+        "lift_d1": lift[1]["lift"],
+        "counts_exact": counts_ok,
+        "ok": (
+            counts_ok
+            and abs(ap["average_precision"] - want_ap) < 5e-6
+            and lift[1]["lift"] > 1.5
+            and lift == lift2
+        ),
+    }
+
+
+def case_fleiss_1m_items(spark):
+    """Round-10 batch-D: Fleiss' kappa at 1M items x 3 raters (3M
+    rating rows). Raters agree except on planted residue classes, so
+    kappa must land strictly between 0.5 and 1; A/B/N are exact
+    moments, so the output must be bit-identical under a prime
+    repartition."""
+    from covid_data_pipeline_spark.operators.experiment import fleiss_kappa
+
+    n = 1_000_000
+    base = spark.range(0, n, numPartitions=32)
+    votes = []
+    for j, (m, off) in enumerate(((11, 5), (7, 3), (13, 6))):
+        votes.append(
+            base.select(
+                F.col("id").alias("i"),
+                F.when(
+                    ((F.col("id") * 9973) % 100 + (F.col("id") % m) - off)
+                    < 50,
+                    "neg",
+                ).otherwise("pos").alias("c"),
+            )
+        )
+    rated = votes[0].unionAll(votes[1]).unionAll(votes[2])
+    t0 = time.time()
+    a = fleiss_kappa(rated, "i", "c", 3).collect()[0]
+    wall = time.time() - t0
+    b = fleiss_kappa(rated.repartition(53), "i", "c", 3).collect()[0]
+    return {
+        "rows": 3 * n,
+        "scale_vs_sf0.1": "1M annotated items",
+        "sec": round(wall, 2),
+        "kappa": a["kappa"],
+        "ok": (
+            a["n_items"] == n and a["n_excluded"] == 0
+            and a["kappa"] is not None and 0.5 < a["kappa"] < 1.0
+            and a.asDict() == b.asDict()
+        ),
+    }
+
+
+def case_log_odds_100k_vocab(spark):
+    """Round-10 batch-D: Monroe log-odds keywords over a 4M-token
+    stream with a ~100k-term vocabulary across 4 groups — the
+    per-group ranking window runs over the pruned 100k-term candidate
+    sets, the documented scale shape. Each group has one planted
+    high-frequency exclusive token that must rank #1; the full top-10
+    result must be bit-identical under a prime repartition."""
+    from covid_data_pipeline_spark.operators.langmodel import (
+        log_odds_keywords,
+    )
+
+    n = 4_000_000
+    base = spark.range(0, n, numPartitions=32).select(
+        F.concat(F.lit("g"), (F.col("id") % 4).cast("string")).alias("g"),
+        F.when(
+            F.col("id") % 25 == 0,
+            F.concat(F.lit("plant_"), (F.col("id") % 4).cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("t"),
+                (F.pmod(F.xxhash64("id"), F.lit(100_000))).cast("string"),
+            )
+        )
+        .alias("w"),
+    )
+    t0 = time.time()
+    a = log_odds_keywords(base, "g", "w", min_count=5, top_k=10).collect()
+    wall = time.time() - t0
+    b = log_odds_keywords(
+        base.repartition(53), "g", "w", min_count=5, top_k=10
+    ).collect()
+    top1 = {r["g"]: r["w"] for r in a if r["rank"] == 1}
+    planted_ok = all(
+        top1.get(f"g{i}") == f"plant_{i}" for i in range(4)
+    )
+    key = lambda r: (r["g"], r["rank"])  # noqa: E731
+    return {
+        "rows": n,
+        "scale_vs_sf0.1": "~100k-term vocabulary, 4M tokens",
+        "sec": round(wall, 2),
+        "planted_rank1": planted_ok,
+        "ok": planted_ok and sorted(map(tuple, a), key=str)
+        == sorted(map(tuple, b), key=str),
+    }
+
+
 CASES = {
     "funnel_16m": case_funnel_16m,
     "token_budget_12m": case_token_budget_12m,
@@ -2900,6 +3192,12 @@ CASES = {
     "fk_audit_16m": case_fk_audit_16m,
     "eval_trio_10m": case_eval_trio_10m,
     "robust_trim_100k_keys": case_robust_trim_100k_keys,
+    "kruskal_16m": case_kruskal_16m,
+    "brown_forsythe_16m": case_brown_forsythe_16m,
+    "wasserstein_16m": case_wasserstein_16m,
+    "lift_ap_10m": case_lift_ap_10m,
+    "fleiss_1m_items": case_fleiss_1m_items,
+    "log_odds_100k_vocab": case_log_odds_100k_vocab,
 }
 
 
