@@ -3203,3 +3203,92 @@ def orders_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("_v"),
     )
     return welch_ttest(arms, "_t", "_v")
+
+
+@register(
+    "orders_cmh_priority_status",
+    """
+    WITH cmh_b AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS s,
+             (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS t,
+             (o_orderstatus = 'F') AS y
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+        AND o_orderstatus IS NOT NULL),
+    cmh_s AS (
+      SELECT s,
+             CAST(SUM((t AND y)::INT) AS BIGINT) AS a,
+             CAST(SUM((t AND NOT y)::INT) AS BIGINT) AS b,
+             CAST(SUM((NOT t AND y)::INT) AS BIGINT) AS c,
+             CAST(SUM((NOT t AND NOT y)::INT) AS BIGINT) AS d
+      FROM cmh_b GROUP BY 1),
+    cmh_t AS (
+      SELECT a, b, c, d,
+             CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+               + CAST(c AS DOUBLE) + CAST(d AS DOUBLE) AS n_i
+      FROM cmh_s),
+    cmh_l AS (
+      SELECT a + b + c + d AS nn,
+             a AS sa,
+             CAST(ROUND(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / n_i
+               * 1e9, 0) AS BIGINT) AS num,
+             CAST(ROUND(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / n_i
+               * 1e9, 0) AS BIGINT) AS den,
+             CAST(ROUND((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+               * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE)) / n_i
+               * 1e9, 0) AS BIGINT) AS e_i,
+             CASE WHEN n_i > 1 THEN
+               CAST(ROUND((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                 * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+                 * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                 * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE))
+                 / (n_i * n_i * (n_i - 1.0)) * 1e9, 0) AS BIGINT)
+             END AS v_i
+      FROM cmh_t),
+    cmh_a AS (
+      SELECT CAST(SUM(nn) AS BIGINT) AS n,
+             CAST(COUNT(*) AS INT) AS k_strata,
+             CAST(SUM(sa) AS BIGINT) AS ssa,
+             CAST(SUM(num) AS BIGINT) AS snum,
+             CAST(SUM(den) AS BIGINT) AS sden,
+             CAST(SUM(e_i) AS BIGINT) AS sse,
+             CAST(SUM(v_i) AS BIGINT) AS ssv
+      FROM cmh_l),
+    cmh_f AS (
+      SELECT n, k_strata, snum, sden, ssv,
+             GREATEST(ABS(CAST(ssa AS DOUBLE)
+               - CAST(sse AS DOUBLE) / 1e9) - 0.5, 0.0) AS dev
+      FROM cmh_a)
+    SELECT n, k_strata,
+           (ROUND(CAST(snum AS DOUBLE) / NULLIF(CAST(sden AS DOUBLE),
+              0.0), 6) + 0) AS or_mh,
+           (ROUND(dev * dev / NULLIF(CAST(ssv AS DOUBLE) / 1e9, 0.0),
+              4) + 0) AS chi2_mh
+    FROM cmh_f
+    """,
+    tags=("olap", "hypothesis-test", "stratified", "statistics"),
+)
+def orders_cmh_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel pooled odds ratio and test of
+    priority -> finished-status association, stratified by order year
+    (`operators/experiment.py::cmh_stratified`, Mantel & Haenszel
+    1959) — the Simpson's-paradox-proof readout: a marginal 2x2 can
+    flip sign when the year mix differs between arms; CMH pools the
+    per-year tables instead. Cell counts are exact off one rollup;
+    per-stratum rationals ride the nano lattice so cross-stratum sums
+    are engine-invariant."""
+    from covid_data_pipeline_spark.operators.experiment import (
+        cmh_stratified,
+    )
+
+    od = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+        & F.col("o_orderstatus").isNotNull()
+    )
+    tab = od.select(
+        F.year("o_orderdate").alias("_s"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("_t"),
+        (F.col("o_orderstatus") == "F").alias("_y"),
+    )
+    return cmh_stratified(tab, "_s", "_t", "_y")

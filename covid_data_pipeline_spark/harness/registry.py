@@ -121,6 +121,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_fleiss_kappa",
     "docs_cronbach_quality",
     "docs_log_odds_keywords",
+    "orders_cmh_priority_status",
     # --- drift re-checks: oldest remaining greens (r2-r3 era) ---
     "pack_sequences_greedy",
     "pivot_event_type",
@@ -131,14 +132,13 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "semi_join_suppliers",
     "set_except_customers",
     "set_intersect_nations",
-    "sql_pricing_summary",
 )
 
 # Every query module must import cleanly: a blanket try/except here once
 # let an ImportError silently drop whole modules (and shrink the driver's
 # verification surface). The count assertion is the tripwire for any
 # regression that swallows registrations some other way.
-MIN_EXPECTED_QUERIES = 358
+MIN_EXPECTED_QUERIES = 359
 
 
 def _load_all() -> None:

@@ -1415,3 +1415,111 @@ def cronbach_alpha(
         F.lit(k).cast("int").alias("k"),
         round_stable(alpha, 6).alias("alpha"),
     )
+
+
+def cmh_stratified(
+    df: DataFrame,
+    stratum_col: str,
+    treat_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel stratified 2×2 analysis (Mantel &
+    Haenszel, JNCI 1959) — the confounder-adjusted association
+    readout: a pooled odds ratio and test across strata, immune to
+    Simpson's paradox where a marginal 2×2 (``two_proportion_ztest``)
+    flips sign because the strata mix differs between arms.
+
+    Per stratum i with table (a=treat·outcome, b=treat·¬outcome,
+    c=¬treat·outcome, d=¬treat·¬outcome), n_i = a+b+c+d::
+
+        OR_MH  = Σ a_i·d_i/n_i  /  Σ b_i·c_i/n_i
+        χ²_MH  = (|Σa_i − ΣE_i| − ½)² / ΣV_i          (continuity-corr.)
+        E_i    = (a+b)(a+c)/n_i
+        V_i    = (a+b)(c+d)(a+c)(b+d) / (n_i²(n_i−1))
+
+    Exactness: the four cell counts per stratum are exact BIGINT off
+    ONE rollup. Each per-stratum rational (a·d/n, b·c/n, E, V) is ONE
+    deterministic IEEE expression rounded to nano-units (the PSI
+    lattice rule), summed in exact BIGINT — so the cross-stratum sums
+    are partition- and engine-invariant; OR and χ² are single-row
+    expressions over those lattice sums (NULL OR via try_divide when
+    no stratum has a discordant b·c pair; single-class strata
+    contribute V = 0 naturally). Envelope: E_i ≤ n_i keeps nano-units
+    in BIGINT to ~10⁹ rows per stratum sum.
+
+    Returns one row: ``(n, k_strata, or_mh, chi2_mh)``. NULL
+    stratum/treat/outcome rows are excluded.
+
+    Scale shape: one map-side-combining rollup to |strata| rows, then
+    a scalar aggregate — nothing corpus-sized survives the first
+    pass."""
+    base = df.select(
+        F.col(stratum_col).alias("__s"),
+        F.col(treat_col).cast("boolean").alias("__t"),
+        F.col(outcome_col).cast("boolean").alias("__y"),
+    ).filter(
+        F.col(stratum_col).isNotNull()
+        & F.col(treat_col).isNotNull()
+        & F.col(outcome_col).isNotNull()
+    )
+    per_s = base.groupBy("__s").agg(
+        F.sum((F.col("__t") & F.col("__y")).cast("long"))
+        .cast("bigint")
+        .alias("__a"),
+        F.sum((F.col("__t") & ~F.col("__y")).cast("long"))
+        .cast("bigint")
+        .alias("__b"),
+        F.sum((~F.col("__t") & F.col("__y")).cast("long"))
+        .cast("bigint")
+        .alias("__c"),
+        F.sum((~F.col("__t") & ~F.col("__y")).cast("long"))
+        .cast("bigint")
+        .alias("__d"),
+    )
+    a = F.col("__a").cast("double")
+    b = F.col("__b").cast("double")
+    c = F.col("__c").cast("double")
+    dd = F.col("__d").cast("double")
+    n_i = a + b + c + dd
+    num = F.round(a * dd / n_i * F.lit(1e9), 0).cast("bigint")
+    den = F.round(b * c / n_i * F.lit(1e9), 0).cast("bigint")
+    e_i = F.round((a + b) * (a + c) / n_i * F.lit(1e9), 0).cast("bigint")
+    v_i = F.round(
+        (a + b) * (c + dd) * (a + c) * (b + dd)
+        / (n_i * n_i * (n_i - F.lit(1.0)))
+        * F.lit(1e9),
+        0,
+    ).cast("bigint")
+    agg = per_s.agg(
+        F.sum(F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d"))
+        .cast("bigint")
+        .alias("n"),
+        F.count(F.lit(1)).cast("int").alias("k_strata"),
+        F.sum("__a").cast("bigint").alias("__sa"),
+        F.sum(num).cast("bigint").alias("__num"),
+        F.sum(den).cast("bigint").alias("__den"),
+        F.sum(e_i).cast("bigint").alias("__se"),
+        F.sum(F.when(n_i > 1, v_i)).cast("bigint").alias("__sv"),
+    )
+    dev = F.abs(
+        F.col("__sa").cast("double")
+        - F.col("__se").cast("double") / F.lit(1e9)
+    ) - F.lit(0.5)
+    dev_c = F.greatest(dev, F.lit(0.0))  # |Σa−ΣE| < ½ → χ² = 0
+    return agg.select(
+        "n",
+        "k_strata",
+        round_stable(
+            F.try_divide(
+                F.col("__num").cast("double"), F.col("__den").cast("double")
+            ),
+            6,
+        ).alias("or_mh"),
+        round_stable(
+            F.try_divide(
+                dev_c * dev_c,
+                F.col("__sv").cast("double") / F.lit(1e9),
+            ),
+            4,
+        ).alias("chi2_mh"),
+    )

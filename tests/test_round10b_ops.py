@@ -353,3 +353,41 @@ def test_log_odds_keywords_min_count_prunes(spark):
     df = spark.createDataFrame(rows, "g STRING, w STRING")
     out = log_odds_keywords(df, "g", "w", min_count=5).collect()
     assert all(r["w"] == "common" for r in out)
+
+
+def test_cmh_stratified_hand_values(spark):
+    """Two balanced strata with E_i == a_i -> chi2 clamps to 0 and
+    OR_MH = 1; a single associated stratum (30/10/10/30) gives
+    OR = 9 and the continuity-corrected chi2 = 9.5^2 / V."""
+    from covid_data_pipeline_spark.operators.experiment import cmh_stratified
+
+    def rows(s, a, b, c, d):
+        return (
+            [(s, True, True)] * a + [(s, True, False)] * b
+            + [(s, False, True)] * c + [(s, False, False)] * d
+        )
+
+    null_case = rows("s1", 10, 10, 10, 10) + rows("s2", 20, 10, 10, 5)
+    r = cmh_stratified(
+        spark.createDataFrame(null_case, "s STRING, t BOOLEAN, y BOOLEAN"),
+        "s", "t", "y",
+    ).collect()[0]
+    assert (r["n"], r["k_strata"]) == (85, 2)
+    assert r["or_mh"] == 1.0 and r["chi2_mh"] == 0.0
+
+    assoc = rows("s1", 30, 10, 10, 30)
+    r2 = cmh_stratified(
+        spark.createDataFrame(assoc, "s STRING, t BOOLEAN, y BOOLEAN"),
+        "s", "t", "y",
+    ).collect()[0]
+    assert r2["or_mh"] == 9.0
+    v = (40 * 40 * 40 * 40) / (80 * 80 * 79)
+    assert r2["chi2_mh"] == pytest.approx(9.5 * 9.5 / v, abs=1e-4)
+
+    # no discordant pairs anywhere -> OR NULL
+    nodisc = rows("s1", 5, 0, 0, 5)
+    r3 = cmh_stratified(
+        spark.createDataFrame(nodisc, "s STRING, t BOOLEAN, y BOOLEAN"),
+        "s", "t", "y",
+    ).collect()[0]
+    assert r3["or_mh"] is None
