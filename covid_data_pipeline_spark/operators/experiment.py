@@ -836,8 +836,8 @@ def kruskal_wallis(
         "__r2", (F.lit(2) * F.col("__cum_less") + F.col("__nv") + 1)
     )
     per_g = (
-        # bcast: compressed distinct-value rank table (bounded domain,
-        # same contract as mann_whitney_u's value compression)
+        # bcast: model(|distinct values|) compressed rank table (bounded
+        # domain, same contract as mann_whitney_u's value compression)
         gv.join(F.broadcast(ranked_v.select("__v", "__r2")), "__v")
         .groupBy("__g")
         .agg(
