@@ -4633,3 +4633,163 @@ def events_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_c"),
     )
     return fleiss_kappa(rated, "event_id", "_c", 3)
+
+
+@register(
+    "events_weighted_kappa",
+    """
+    WITH wk_b AS (
+      SELECT LEAST(9, GREATEST(0, CAST(FLOOR(
+               (value + (event_id % 11) - 5) / 10) AS BIGINT))) AS a,
+             LEAST(9, GREATEST(0, CAST(FLOOR(
+               (value + (event_id % 7) - 3) / 10) AS BIGINT))) AS b
+      FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+    wk_o AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o FROM wk_b GROUP BY 1, 2),
+    wk_os AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(SUM(ABS(a - b) * CAST(o AS HUGEINT)) AS HUGEINT)
+               AS lo,
+             CAST(SUM((a - b) * (a - b) * CAST(o AS HUGEINT))
+               AS HUGEINT) AS qo
+      FROM wk_o),
+    wk_ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM wk_o GROUP BY 1),
+    wk_cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM wk_o GROUP BY 1),
+    wk_es AS (
+      SELECT CAST(SUM(ABS(ra.a - cb.b)
+               * (CAST(ra.r AS HUGEINT) * cb.c)) AS HUGEINT) AS le,
+             CAST(SUM((ra.a - cb.b) * (ra.a - cb.b)
+               * (CAST(ra.r AS HUGEINT) * cb.c)) AS HUGEINT) AS qe
+      FROM wk_ra ra CROSS JOIN wk_cb cb),
+    wk_k AS (
+      SELECT CAST(COUNT(DISTINCT x) AS INT) AS k_classes
+      FROM (SELECT a AS x FROM wk_o UNION ALL SELECT b FROM wk_o))
+    SELECT os.n, k.k_classes,
+           (ROUND(1.0 - CAST(CAST(os.n AS HUGEINT) * os.lo AS DOUBLE)
+              / NULLIF(CAST(es.le AS DOUBLE), 0.0), 6) + 0)
+             AS kappa_linear,
+           (ROUND(1.0 - CAST(CAST(os.n AS HUGEINT) * os.qo AS DOUBLE)
+              / NULLIF(CAST(es.qe AS DOUBLE), 0.0), 6) + 0)
+             AS kappa_quadratic
+    FROM wk_os os, wk_es es, wk_k k
+    """,
+    tags=("events", "evaluation", "agreement", "statistics"),
+)
+def events_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Cohen's kappa between two jittered ORDINAL decile
+    raters of the event value (`operators/experiment.py::
+    weighted_kappa`, Cohen 1968) — the ordinal completion of the
+    agreement family (Cohen's kappa = nominal 2-rater, Fleiss =
+    m-rater, weighted = ordinal): near-miss ratings (4 vs 5) cost
+    less than far misses (1 vs 5), linear and quadratic conventions
+    side by side. Both kappas are exact integer rationals (the E_ij
+    denominator is cleared) spending ONE division each."""
+    from covid_data_pipeline_spark.operators.experiment import (
+        weighted_kappa,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    )
+
+    def decile(jit):
+        return F.least(
+            F.lit(9).cast("bigint"),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.floor((F.col("value") + jit) / 10).cast("bigint"),
+            ),
+        )
+
+    rated = ev.select(
+        decile((F.col("event_id") % 11) - 5).alias("_a"),
+        decile((F.col("event_id") % 7) - 3).alias("_b"),
+    )
+    return weighted_kappa(rated, "_a", "_b")
+
+
+@register(
+    "events_friedman_daily",
+    """
+    WITH fr_d AS (
+      SELECT CAST(ts AS DATE) AS blk, event_type AS trt,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2),
+    fr_k AS (SELECT CAST(COUNT(DISTINCT trt) AS INT) AS k FROM fr_d),
+    fr_pb AS (
+      SELECT blk, CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(COUNT(DISTINCT trt) AS BIGINT) AS tb
+      FROM fr_d GROUP BY 1),
+    fr_ex AS (
+      SELECT CAST(SUM(CASE WHEN NOT (nb = k AND tb = k)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_excluded
+      FROM fr_pb, fr_k),
+    fr_kept AS (
+      SELECT d.blk, d.trt, d.v
+      FROM fr_d d JOIN fr_pb p ON d.blk = p.blk
+      CROSS JOIN fr_k k
+      WHERE p.nb = k.k AND p.tb = k.k),
+    fr_rk AS (
+      SELECT blk, trt,
+             2 * (RANK() OVER (PARTITION BY blk ORDER BY v) - 1)
+               + COUNT(*) OVER (PARTITION BY blk, v) + 1 AS r2,
+             v
+      FROM fr_kept),
+    fr_tr AS (
+      SELECT trt, CAST(SUM(r2) AS HUGEINT) AS r2s,
+             CAST(COUNT(*) AS BIGINT) AS nblk
+      FROM fr_rk GROUP BY 1),
+    fr_tm AS (
+      SELECT CAST(SUM(CAST(tc AS HUGEINT) * tc * tc - tc) AS HUGEINT)
+        AS tie3
+      FROM (SELECT blk, v, CAST(COUNT(*) AS BIGINT) AS tc
+            FROM fr_kept GROUP BY 1, 2)),
+    fr_a AS (
+      SELECT MAX(nblk) AS n_blocks, CAST(COUNT(*) AS INT) AS k,
+             CAST(SUM(r2s * r2s) AS HUGEINT) AS sr2
+      FROM fr_tr),
+    fr_f AS (
+      SELECT a.n_blocks, e.n_excluded, a.k,
+             3.0 * CAST(a.sr2 AS DOUBLE)
+               / NULLIF(CAST(a.n_blocks AS DOUBLE)
+                 * CAST(a.k AS DOUBLE)
+                 * (CAST(a.k AS DOUBLE) + 1.0), 0.0)
+               - 3.0 * CAST(a.n_blocks AS DOUBLE)
+                 * (CAST(a.k AS DOUBLE) + 1.0) AS chi2,
+             1.0 - CAST(t.tie3 AS DOUBLE)
+               / NULLIF(CAST(a.n_blocks AS DOUBLE)
+                 * CAST(a.k AS DOUBLE)
+                 * (CAST(a.k AS DOUBLE) * CAST(a.k AS DOUBLE) - 1.0),
+                 0.0) AS corr
+      FROM fr_a a, fr_tm t, fr_ex e)
+    SELECT n_blocks, n_excluded, k, CAST(k - 1 AS INT) AS df,
+           (ROUND(chi2, 4) + 0) AS chi2_f,
+           (ROUND(chi2 / NULLIF(corr, 0.0), 4) + 0)
+             AS chi2_f_corrected
+    FROM fr_f
+    """,
+    tags=("events", "hypothesis-test", "rank-statistics", "statistics"),
+)
+def events_friedman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test of the five event types' daily volumes with DAYS
+    as blocks (`operators/experiment.py::friedman_test`, Friedman
+    1937) — the blocked-design sibling of events_kruskal_wallis:
+    ranking within each day removes the day effect (weekends,
+    seasonality) that a pooled rank test would smear across
+    treatments. Only complete days (all k types present) count;
+    doubled within-block average ranks keep every moment exact, and
+    the oracle replays the rank as RANK()-1 — an independent
+    formulation of the same order statistic."""
+    from covid_data_pipeline_spark.operators.experiment import (
+        friedman_test,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy(
+        F.to_date("ts").alias("_blk"),
+        F.col("event_type").alias("_trt"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_v"))
+    return friedman_test(daily, "_blk", "_trt", "_v")

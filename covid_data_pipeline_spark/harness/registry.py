@@ -122,6 +122,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "docs_cronbach_quality",
     "docs_log_odds_keywords",
     "orders_cmh_priority_status",
+    "events_weighted_kappa",
+    "events_friedman_daily",
     # --- drift re-checks: oldest remaining greens (r2-r3 era) ---
     "pack_sequences_greedy",
     "pivot_event_type",
@@ -130,15 +132,13 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "rollup_lineitem",
     "running_total",
     "semi_join_suppliers",
-    "set_except_customers",
-    "set_intersect_nations",
 )
 
 # Every query module must import cleanly: a blanket try/except here once
 # let an ImportError silently drop whole modules (and shrink the driver's
 # verification surface). The count assertion is the tripwire for any
 # regression that swallows registrations some other way.
-MIN_EXPECTED_QUERIES = 359
+MIN_EXPECTED_QUERIES = 361
 
 
 def _load_all() -> None:

@@ -1523,3 +1523,208 @@ def cmh_stratified(
             4,
         ).alias("chi2_mh"),
     )
+
+
+def weighted_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Weighted Cohen's kappa (Cohen, Psych. Bulletin 1968) for
+    ORDINAL labels — :func:`cohens_kappa` treats "rated 1 vs rated 5"
+    and "rated 4 vs rated 5" as equally wrong; the weighted form
+    charges disagreements by distance, in both the linear (|i−j|) and
+    quadratic ((i−j)², ≈ an ICC) conventions.
+
+    With observed counts O_ij, marginals R_i, C_j, N and a
+    DISagreement weight d::
+
+        κ_w = 1 − (N · Σ d_ij·O_ij) / (Σ d_ij·R_i·C_j)
+
+    Exactness: labels must be integers; both numerator and
+    denominator are EXACT DECIMAL(38,0) integers (the E_ij = R_i·C_j/N
+    denominator is cleared), so each kappa spends exactly ONE
+    division. The expected-disagreement grid is the k×k marginal
+    cross — model-sized (label cardinality), never corpus-sized.
+    Returns one row: ``(n, k_classes, kappa_linear, kappa_quadratic)``
+    — NULL via try_divide when the expected disagreement is 0 (a
+    single shared class; nothing to correct for). NULL-label rows are
+    excluded.
+
+    Scale shape: one rollup to the observed k×k grid + two marginal
+    rollups + a broadcast cross — nothing corpus-sized survives the
+    first aggregate."""
+    d = _D
+    base = df.select(
+        F.col(rater_a_col).cast("bigint").alias("__a"),
+        F.col(rater_b_col).cast("bigint").alias("__b"),
+    ).filter(
+        F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull()
+    )
+    obs = base.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__o")
+    )
+    obs = obs.localCheckpoint(eager=False)  # feeds marginals + sums
+    ra = obs.groupBy("__a").agg(F.sum("__o").cast("bigint").alias("__r"))
+    cb = obs.groupBy("__b").agg(F.sum("__o").cast("bigint").alias("__c"))
+    diff_o = (F.col("__a") - F.col("__b")).cast(d)
+    o_sums = obs.agg(
+        F.sum("__o").cast("bigint").alias("n"),
+        F.sum(F.abs(diff_o) * F.col("__o").cast(d)).cast(d).alias("__lo"),
+        F.sum(diff_o * diff_o * F.col("__o").cast(d)).cast(d).alias("__qo"),
+    )
+    # bcast: model(k) column-marginal table — label cardinality
+    grid = ra.crossJoin(F.broadcast(cb))
+    diff_e = (F.col("__a") - F.col("__b")).cast(d)
+    rc = (F.col("__r").cast(d) * F.col("__c").cast(d)).cast(d)
+    e_sums = grid.agg(
+        F.sum(F.abs(diff_e) * rc).cast(d).alias("__le"),
+        F.sum(diff_e * diff_e * rc).cast(d).alias("__qe"),
+    )
+    k_union = (
+        obs.select(F.col("__a").alias("__x"))
+        .unionAll(obs.select(F.col("__b").alias("__x")))
+        .agg(F.count_distinct("__x").cast("int").alias("k_classes"))
+    )
+    # bcast: const(1) scalar expected-disagreement sums
+    row = o_sums.crossJoin(F.broadcast(e_sums)).crossJoin(
+        # bcast: const(1) scalar union class count
+        F.broadcast(k_union)
+    )
+    nl = (F.col("n").cast(d) * F.col("__lo")).cast(d)
+    nq = (F.col("n").cast(d) * F.col("__qo")).cast(d)
+    return row.select(
+        "n",
+        "k_classes",
+        round_stable(
+            F.lit(1.0)
+            - F.try_divide(nl.cast("double"), F.col("__le").cast("double")),
+            6,
+        ).alias("kappa_linear"),
+        round_stable(
+            F.lit(1.0)
+            - F.try_divide(nq.cast("double"), F.col("__qe").cast("double")),
+            6,
+        ).alias("kappa_quadratic"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman test (JASA 1937) — the BLOCKED-design sibling of
+    :func:`kruskal_wallis`: "do the k treatments differ when each
+    block (day, user, site) sees all of them?" Ranking WITHIN blocks
+    removes the block effect that would drown the treatment signal in
+    a pooled rank test.
+
+    Only COMPLETE blocks count (exactly one row per treatment —
+    Friedman's design assumption); incomplete or duplicated blocks
+    are excluded and reported. Within each block the doubled average
+    rank ``r2 = 2·rank_less + ties + 1`` is exact for any tie
+    pattern; the per-treatment doubled rank sums R2_j and the tie
+    moment Σ(t³−t) are exact DECIMAL(38,0), so with N blocks::
+
+        χ²_F = 3·Σ_j R2_j² / (N·k·(k+1)) − 3·N·(k+1)
+
+    is a single-row expression over exact integers (ONE float
+    division), and the tie correction divides by
+    ``C = 1 − Σ(t³−t)/(N·k·(k²−1))`` (NULL via try_divide when every
+    block is all-ties). Returns one row: ``(n_blocks, n_excluded, k,
+    df, chi2_f, chi2_f_corrected)``. NULL block/treatment/value rows
+    are excluded first.
+
+    Scale shape: per-block rank windows (partitioned by block —
+    parallel across blocks, each window is k rows), one rollup to k
+    treatments, one scalar combine."""
+    d = _D
+    base = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(treatment_col).alias("__trt"),
+        F.col(value_col).cast("bigint").alias("__v"),
+    ).filter(
+        F.col(block_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    k_row = base.agg(
+        F.count_distinct("__trt").cast("int").alias("__k")
+    )
+    per_blk = base.groupBy("__blk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nb"),
+        F.count_distinct("__trt").cast("bigint").alias("__tb"),
+    )
+    # bcast: const(1) scalar treatment count
+    per_blk = per_blk.crossJoin(F.broadcast(k_row))
+    complete = per_blk.filter(
+        (F.col("__nb") == F.col("__k").cast("bigint"))
+        & (F.col("__tb") == F.col("__k").cast("bigint"))
+    ).select("__blk")
+    excluded = per_blk.filter(
+        ~(
+            (F.col("__nb") == F.col("__k").cast("bigint"))
+            & (F.col("__tb") == F.col("__k").cast("bigint"))
+        )
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_excluded"))
+    kept = base.join(complete, "__blk")
+    kept = kept.localCheckpoint(eager=False)  # feeds ranks + ties
+    from pyspark.sql.window import Window
+
+    w_less = Window.partitionBy("__blk").orderBy("__v").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_ties = Window.partitionBy("__blk", "__v")
+    ranked = kept.withColumn(
+        "__less", F.coalesce(F.count(F.lit(1)).over(w_less), F.lit(0))
+    ).withColumn("__t", F.count(F.lit(1)).over(w_ties))
+    # doubled average rank: 2·(#less) + (#ties) + 1 — integer always
+    ranked = ranked.withColumn(
+        "__r2", F.lit(2) * F.col("__less") + F.col("__t") + 1
+    )
+    per_trt = ranked.groupBy("__trt").agg(
+        F.sum(F.col("__r2").cast(d)).cast(d).alias("__R2"),
+        F.count(F.lit(1)).cast("bigint").alias("__nblk"),
+    )
+    ties = (
+        kept.groupBy("__blk", "__v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__tc"))
+        .agg(
+            F.sum(
+                F.col("__tc").cast(d) * F.col("__tc").cast(d)
+                * F.col("__tc").cast(d)
+                - F.col("__tc").cast(d)
+            )
+            .cast(d)
+            .alias("__tie3")
+        )
+    )
+    agg = per_trt.agg(
+        F.max("__nblk").alias("n_blocks"),
+        F.count(F.lit(1)).cast("int").alias("k"),
+        F.sum(F.col("__R2") * F.col("__R2")).cast(d).alias("__sr2"),
+    )
+    # bcast: const(1) scalar tie moment / excluded count
+    row = agg.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(excluded))
+    nb = F.col("n_blocks").cast("double")
+    kd = F.col("k").cast("double")
+    chi2 = F.try_divide(
+        F.lit(3.0) * F.col("__sr2").cast("double"),
+        nb * kd * (kd + F.lit(1.0)),
+    ) - F.lit(3.0) * nb * (kd + F.lit(1.0))
+    corr = F.lit(1.0) - F.try_divide(
+        F.col("__tie3").cast("double"),
+        nb * kd * (kd * kd - F.lit(1.0)),
+    )
+    return row.select(
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+        F.coalesce(F.col("n_excluded"), F.lit(0)).alias("n_excluded"),
+        "k",
+        (F.col("k") - 1).cast("int").alias("df"),
+        round_stable(chi2, 4).alias("chi2_f"),
+        round_stable(F.try_divide(chi2, corr), 4).alias(
+            "chi2_f_corrected"
+        ),
+    )

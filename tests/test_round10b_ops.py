@@ -391,3 +391,105 @@ def test_cmh_stratified_hand_values(spark):
         "s", "t", "y",
     ).collect()[0]
     assert r3["or_mh"] is None
+
+
+def _wkappa_ref(pairs):
+    """Reference weighted kappa from the textbook definition."""
+    from collections import Counter
+
+    obs = Counter(pairs)
+    n = len(pairs)
+    classes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    ra = Counter(a for a, _ in pairs)
+    cb = Counter(b for _, b in pairs)
+
+    def kap(d):
+        num = n * sum(d(a, b) * o for (a, b), o in obs.items())
+        den = sum(
+            d(i, j) * ra.get(i, 0) * cb.get(j, 0)
+            for i in classes for j in classes
+        )
+        return None if den == 0 else 1.0 - num / den
+
+    return kap(lambda i, j: abs(i - j)), kap(lambda i, j: (i - j) ** 2)
+
+
+def test_weighted_kappa_hand_values(spark):
+    """Binary table [[20,5],[10,15]] collapses to the unweighted 0.4;
+    a 3-class ordinal table separates linear from quadratic; single
+    shared class -> NULL."""
+    from covid_data_pipeline_spark.operators.experiment import weighted_kappa
+
+    pairs = (
+        [(0, 0)] * 20 + [(0, 1)] * 5 + [(1, 0)] * 10 + [(1, 1)] * 15
+    )
+    df = spark.createDataFrame(pairs, "a INT, b INT")
+    r = weighted_kappa(df, "a", "b").collect()[0]
+    assert (r["n"], r["k_classes"]) == (50, 2)
+    assert r["kappa_linear"] == 0.4 and r["kappa_quadratic"] == 0.4
+
+    ordinal = (
+        [(0, 0)] * 10 + [(1, 1)] * 10 + [(2, 2)] * 10
+        + [(0, 1)] * 4 + [(0, 2)] * 2 + [(2, 1)] * 3
+    )
+    lin, quad = _wkappa_ref(ordinal)
+    df2 = spark.createDataFrame(ordinal, "a INT, b INT")
+    r2 = weighted_kappa(df2, "a", "b").collect()[0]
+    assert r2["k_classes"] == 3
+    assert r2["kappa_linear"] == pytest.approx(lin, abs=1e-6)
+    assert r2["kappa_quadratic"] == pytest.approx(quad, abs=1e-6)
+    assert r2["kappa_linear"] != r2["kappa_quadratic"]
+
+    const = spark.createDataFrame([(1, 1)] * 5, "a INT, b INT")
+    r3 = weighted_kappa(const, "a", "b").collect()[0]
+    assert r3["kappa_linear"] is None and r3["kappa_quadratic"] is None
+
+
+def test_friedman_hand_values(spark):
+    """Perfectly consistent ordering over 3 blocks x 3 treatments ->
+    chi2 = 6 exactly; an all-tied block contributes average ranks and
+    the tie correction; incomplete blocks are excluded."""
+    from covid_data_pipeline_spark.operators.experiment import friedman_test
+
+    rows = []
+    for blk in ("b1", "b2", "b3"):
+        for j, trt in enumerate(("t0", "t1", "t2")):
+            rows.append((blk, trt, 10 + j))
+    df = spark.createDataFrame(rows, "blk STRING, trt STRING, v INT")
+    r = friedman_test(df, "blk", "trt", "v").collect()[0]
+    assert (r["n_blocks"], r["n_excluded"], r["k"], r["df"]) == (3, 0, 3, 2)
+    assert r["chi2_f"] == 6.0 and r["chi2_f_corrected"] == 6.0
+
+    # add an all-tied block (r2 = 4 for each) and an incomplete block
+    rows2 = rows + [("b4", t, 7) for t in ("t0", "t1", "t2")] + [
+        ("b5", "t0", 1), ("b5", "t1", 2)
+    ]
+    df2 = spark.createDataFrame(rows2, "blk STRING, trt STRING, v INT")
+    r2 = friedman_test(df2, "blk", "trt", "v").collect()[0]
+    assert (r2["n_blocks"], r2["n_excluded"]) == (4, 1)
+    # R2 per treatment: (2,4,6)*3 blocks + 4 each = (10, 16, 22)
+    # chi2 = 3*(100+256+484)/(4*3*4) - 3*4*4 = 2520/48 - 48 = 4.5
+    assert r2["chi2_f"] == 4.5
+    # tie moment: one block of t=3 -> 24; C = 1 - 24/(4*3*8) = 0.75
+    assert r2["chi2_f_corrected"] == 6.0
+
+    # every block all-ties -> C = 0 -> NULL corrected
+    allt = [(b, t, 5) for b in ("x", "y") for t in ("t0", "t1", "t2")]
+    r3 = friedman_test(
+        spark.createDataFrame(allt, "blk STRING, trt STRING, v INT"),
+        "blk", "trt", "v",
+    ).collect()[0]
+    assert r3["chi2_f"] == 0.0 and r3["chi2_f_corrected"] is None
+
+
+def test_friedman_partition_invariance(spark):
+    from covid_data_pipeline_spark.operators.experiment import friedman_test
+
+    rows = [
+        (f"b{i}", f"t{j}", ((i * 31 + j * 17) % 23))
+        for i in range(500) for j in range(4)
+    ]
+    df = spark.createDataFrame(rows, "blk STRING, trt STRING, v INT")
+    a = friedman_test(df.coalesce(1), "blk", "trt", "v").collect()[0]
+    b = friedman_test(df.repartition(13), "blk", "trt", "v").collect()[0]
+    assert a.asDict() == b.asDict()
