@@ -3142,6 +3142,67 @@ def case_log_odds_100k_vocab(spark):
     }
 
 
+
+
+def case_friedman_1m_blocks(spark):
+    """Round-10 batch-E: Friedman over 1M complete blocks x 5
+    treatments (5M rows). Values follow a 23-periodic residue pattern,
+    so the exact chi-square is computable from the 23 block classes in
+    Python ints — the Spark output must match it through round(4), and
+    be bit-identical under a prime repartition (per-block windows are
+    5 rows each; nothing global)."""
+    from covid_data_pipeline_spark.operators.experiment import friedman_test
+
+    n_blocks, k, p_ = 1_000_000, 5, 23
+    df = spark.range(0, n_blocks * k, numPartitions=32).select(
+        (F.col("id") % n_blocks).alias("blk"),
+        (F.col("id") / n_blocks).cast("bigint").alias("trt"),
+        (
+            ((F.col("id") % n_blocks) * 31
+             + (F.col("id") / n_blocks).cast("bigint") * 17) % p_
+        ).alias("v"),
+    )
+    t0 = time.time()
+    a = friedman_test(df, "blk", "trt", "v").collect()[0]
+    wall = time.time() - t0
+    b = friedman_test(df.repartition(53), "blk", "trt", "v").collect()[0]
+
+    # exact reference over the 23 block classes
+    cls_count = {c: 0 for c in range(p_)}
+    for blk in range(n_blocks):
+        cls_count[(blk * 31) % p_] += 1
+    R2 = [0] * k
+    tie3 = 0
+    for c, cnt in cls_count.items():
+        vals = [(c + 17 * t) % p_ for t in range(k)]
+        for t in range(k):
+            less = sum(1 for u in vals if u < vals[t])
+            ties = sum(1 for u in vals if u == vals[t])
+            R2[t] += cnt * (2 * less + ties + 1)
+        from collections import Counter
+        for tc in Counter(vals).values():
+            if tc > 1:
+                tie3 += cnt * (tc ** 3 - tc)
+    sr2 = sum(r * r for r in R2)
+    want = round(
+        3.0 * float(sr2) / (float(n_blocks) * k * (k + 1.0))
+        - 3.0 * n_blocks * (k + 1.0),
+        4,
+    ) + 0.0
+    return {
+        "rows": n_blocks * k,
+        "scale_vs_sf0.1": "1M complete blocks",
+        "sec": round(wall, 2),
+        "chi2_f": a["chi2_f"],
+        "exact_match": a["chi2_f"] == want,
+        "ok": (
+            a["chi2_f"] == want
+            and a["n_blocks"] == n_blocks and a["n_excluded"] == 0
+            and a.asDict() == b.asDict()
+        ),
+    }
+
+
 CASES = {
     "funnel_16m": case_funnel_16m,
     "token_budget_12m": case_token_budget_12m,
@@ -3198,6 +3259,7 @@ CASES = {
     "lift_ap_10m": case_lift_ap_10m,
     "fleiss_1m_items": case_fleiss_1m_items,
     "log_odds_100k_vocab": case_log_odds_100k_vocab,
+    "friedman_1m_blocks": case_friedman_1m_blocks,
 }
 
 
