@@ -3292,3 +3292,102 @@ def orders_cmh_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderstatus") == "F").alias("_y"),
     )
     return cmh_stratified(tab, "_s", "_t", "_y")
+
+
+@register(
+    "orders_jonckheere_priority",
+    """
+    WITH jt_b AS (
+      SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS g,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+    jt_gv AS (
+      SELECT v, g, CAST(COUNT(*) AS BIGINT) AS c FROM jt_b GROUP BY 1, 2),
+    jt_dense AS (
+      SELECT vv.v, gg.g, COALESCE(gv.c, 0) AS c
+      FROM (SELECT DISTINCT v FROM jt_gv) vv
+      CROSS JOIN (SELECT DISTINCT g FROM jt_gv) gg
+      LEFT JOIN jt_gv gv ON gv.v = vv.v AND gv.g = gg.g),
+    jt_s AS (
+      SELECT v, g, c,
+             COALESCE(SUM(c) OVER (PARTITION BY v ORDER BY g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS s
+      FROM jt_dense),
+    jt_cl AS (
+      SELECT v, g, c, s,
+             COALESCE(SUM(s) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cl
+      FROM jt_s),
+    jt_j AS (
+      SELECT CAST(SUM(CAST(c AS HUGEINT) * (2 * CAST(cl AS HUGEINT)
+               + s)) AS HUGEINT) AS jt2
+      FROM jt_cl),
+    jt_ng AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS ng FROM jt_gv GROUP BY 1),
+    jt_gm AS (
+      SELECT CAST(SUM(ng) AS BIGINT) AS n,
+             CAST(COUNT(*) AS INT) AS k,
+             CAST(SUM(CAST(ng AS HUGEINT) * ng) AS HUGEINT) AS sn2,
+             CAST(SUM(CAST(ng AS HUGEINT) * (ng - 1) * (2 * CAST(ng
+               AS HUGEINT) + 5)) AS HUGEINT) AS sn25,
+             CAST(SUM(CAST(ng AS HUGEINT) * (ng - 1)) AS HUGEINT)
+               AS sn1,
+             CAST(SUM(CAST(ng AS HUGEINT) * (ng - 1) * (ng - 2))
+               AS HUGEINT) AS sn12
+      FROM jt_ng),
+    jt_tv AS (
+      SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM jt_gv GROUP BY 1),
+    jt_tm AS (
+      SELECT CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * CAST(t
+               AS HUGEINT) + 5)) AS HUGEINT) AS st25,
+             CAST(SUM(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT) AS st1,
+             CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (t - 2))
+               AS HUGEINT) AS st12
+      FROM jt_tv),
+    jt_f AS (
+      SELECT g.n, g.k, j.jt2,
+             CAST(CAST(g.n AS HUGEINT) * (g.n - 1) * (2 * CAST(g.n
+               AS HUGEINT) + 5) - g.sn25 - t.st25 AS DOUBLE) AS a_t,
+             CAST(g.sn12 * t.st12 AS DOUBLE) AS b_t,
+             CAST(g.sn1 * t.st1 AS DOUBLE) AS c_t,
+             CAST(g.n AS DOUBLE) AS nf,
+             CAST(CAST(g.n AS HUGEINT) * g.n - g.sn2 AS DOUBLE) / 2.0
+               AS e2
+      FROM jt_gm g, jt_tm t, jt_j j)
+    SELECT n, k, CAST(jt2 AS BIGINT) AS jt2,
+           (ROUND((CAST(jt2 AS DOUBLE) - e2)
+              / NULLIF(2.0 * SQRT(a_t / 72.0
+                + b_t / NULLIF(36.0 * (nf * (nf - 1.0)
+                  * (nf - 2.0)), 0.0)
+                + c_t / NULLIF(8.0 * (nf * (nf - 1.0)), 0.0)),
+                0.0), 4) + 0) AS z
+    FROM jt_f
+    """,
+    tags=("olap", "hypothesis-test", "rank-statistics", "statistics"),
+)
+def orders_jonckheere_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternatives test: does order value
+    shift monotonically across the 1-URGENT..5-LOW priority tiers?
+    (`operators/experiment.py::jonckheere_terpstra`, Jonckheere 1954)
+    — the sharper sibling of Kruskal-Wallis when the grouping is
+    ORDINAL: it pools the k(k-1)/2 pairwise Mann-Whitney counts in
+    the order direction, gaining power exactly when the trend
+    hypothesis is real. Two chained prefix windows over the dense
+    value x tier grid — no row is ever paired; the tie-corrected
+    null variance is exact DECIMAL end to end."""
+    from covid_data_pipeline_spark.operators.experiment import (
+        jonckheere_terpstra,
+    )
+
+    od = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
+    tiers = od.select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("_g"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("_v"),
+    )
+    return jonckheere_terpstra(tiers, "_g", "_v")

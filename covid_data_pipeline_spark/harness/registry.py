@@ -124,6 +124,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "orders_cmh_priority_status",
     "events_weighted_kappa",
     "events_friedman_daily",
+    "orders_jonckheere_priority",
     # --- drift re-checks: oldest remaining greens (r2-r3 era) ---
     "pack_sequences_greedy",
     "pivot_event_type",
@@ -131,14 +132,13 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "regexp_extract_props",
     "rollup_lineitem",
     "running_total",
-    "semi_join_suppliers",
 )
 
 # Every query module must import cleanly: a blanket try/except here once
 # let an ImportError silently drop whole modules (and shrink the driver's
 # verification surface). The count assertion is the tripwire for any
 # regression that swallows registrations some other way.
-MIN_EXPECTED_QUERIES = 361
+MIN_EXPECTED_QUERIES = 362
 
 
 def _load_all() -> None:

@@ -1728,3 +1728,147 @@ def friedman_test(
             "chi2_f_corrected"
         ),
     )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Jonckheere–Terpstra test (Biometrika 1954) for ORDERED
+    alternatives — :func:`kruskal_wallis` asks "do any groups
+    differ?"; JT asks the sharper "do values shift MONOTONICALLY with
+    the group order?" (dose, priority tier, severity grade), gaining
+    power exactly when the ordering hypothesis is real. JT is the sum
+    of all k·(k−1)/2 pairwise Mann–Whitney counts between
+    lower-ordered and higher-ordered groups.
+
+    Exactness (value-compression, twice): with per-(value, group)
+    counts c_{v,g} and group order g, the DOUBLED statistic::
+
+        JT2 = Σ_{v,j} c_{v,j} · ( 2·Σ_{i<j, v'<v} c_{v',i}
+                                  + Σ_{i<j} c_{v,i} )
+
+    needs only two chained prefix windows over the DENSE
+    |values|×|groups| grid (a left join against the value×group cross) (groups within value, then values within group) — no row is
+    ever paired. The null moments use the exact tie-corrected
+    variance (Lehmann; the StatXact/SciPy form)::
+
+        E2  = (N² − Σn_j²) / 2
+        Var = A/72 + B/(36·N(N−1)(N−2)) + C/(8·N(N−1))
+        A   = N(N−1)(2N+5) − Σn(n−1)(2n+5) − Σt(t−1)(2t+5)
+        B   = [Σn(n−1)(n−2)]·[Σt(t−1)(t−2)]
+        C   = [Σn(n−1)]·[Σt(t−1)]
+
+    with n over group sizes and t over pooled tie-group sizes — every
+    moment an exact DECIMAL(38,0) integer; the final
+    ``z = (JT2 − E2) / (2·√Var)`` spends floats on one single-row
+    expression (NULL via try_divide when Var = 0 — all values tied or
+    a single group). Returns one row: ``(n, k, jt2, z)``. NULL
+    group/value rows are excluded.
+
+    Scale shape: one map-side-combining rollup to the compressed
+    grid, two grid windows, one scalar combine — nothing corpus-sized
+    survives the first aggregate."""
+    d = _D
+    base = df.select(
+        F.col(group_order_col).cast("bigint").alias("__g"),
+        F.col(value_col).cast("bigint").alias("__v"),
+    ).filter(
+        F.col(group_order_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    gv = base.groupBy("__v", "__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    gv = gv.localCheckpoint(eager=False)  # feeds grid windows + moments
+    from pyspark.sql.window import Window
+
+    # densify to the |values| x |groups| grid: a group's values-prefix
+    # must include values it never observed (sparse rows would skip
+    # other groups' mass below them)
+    vals = gv.select("__v").distinct()
+    grps = gv.select("__g").distinct()
+    dense = (
+        # bcast: model(k) ordered-group list
+        vals.crossJoin(F.broadcast(grps))
+        .join(gv, ["__v", "__g"], "left")
+        .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0)).cast("bigint"))
+    )
+    # S(v, j) = Σ_{i<j} c_{v,i}: groups-prefix within each value
+    w_g = Window.partitionBy("__v").orderBy("__g").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    grid = dense.withColumn(
+        "__s", F.coalesce(F.sum("__c").over(w_g), F.lit(0)).cast("bigint")
+    )
+    # CumLess(v, j) = Σ_{v'<v} S(v', j): values-prefix within each group
+    w_v = Window.partitionBy("__g").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    grid = grid.withColumn(
+        "__cl", F.coalesce(F.sum("__s").over(w_v), F.lit(0)).cast("bigint")
+    )
+    jt_row = grid.agg(
+        F.sum(
+            F.col("__c").cast(d)
+            * (F.lit(2).cast(d) * F.col("__cl").cast(d) + F.col("__s").cast(d))
+        )
+        .cast(d)
+        .alias("__jt2")
+    )
+    ng = gv.groupBy("__g").agg(F.sum("__c").cast("bigint").alias("__n"))
+    nd_ = F.col("__n").cast(d)
+    g_mom = ng.agg(
+        F.sum("__n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("k"),
+        F.sum(nd_ * nd_).cast(d).alias("__sn2"),
+        F.sum(nd_ * (nd_ - 1) * (F.lit(2).cast(d) * nd_ + 5))
+        .cast(d)
+        .alias("__sn25"),
+        F.sum(nd_ * (nd_ - 1)).cast(d).alias("__sn1"),
+        F.sum(nd_ * (nd_ - 1) * (nd_ - 2)).cast(d).alias("__sn12"),
+    )
+    tv = gv.groupBy("__v").agg(F.sum("__c").cast("bigint").alias("__t"))
+    td = F.col("__t").cast(d)
+    t_mom = tv.agg(
+        F.sum(td * (td - 1) * (F.lit(2).cast(d) * td + 5))
+        .cast(d)
+        .alias("__st25"),
+        F.sum(td * (td - 1)).cast(d).alias("__st1"),
+        F.sum(td * (td - 1) * (td - 2)).cast(d).alias("__st12"),
+    )
+    # bcast: const(1) scalar moment rows
+    row = g_mom.crossJoin(F.broadcast(t_mom)).crossJoin(
+        F.broadcast(jt_row)
+    )
+    nD = F.col("n").cast(d)
+    a_term = (
+        nD * (nD - 1) * (F.lit(2).cast(d) * nD + 5)
+        - F.col("__sn25")
+        - F.col("__st25")
+    ).cast("double")
+    b_term = (F.col("__sn12") * F.col("__st12")).cast("double")
+    c_term = (F.col("__sn1") * F.col("__st1")).cast("double")
+    n_f = F.col("n").cast("double")
+    var = (
+        a_term / F.lit(72.0)
+        + F.try_divide(
+            b_term,
+            F.lit(36.0) * (n_f * (n_f - 1) * (n_f - 2)),
+        )
+        + F.try_divide(c_term, F.lit(8.0) * (n_f * (n_f - 1)))
+    )
+    # even by construction (N² − Σn² = 2·Σ_{i<j} n_i·n_j) — one
+    # double halving replays exactly on any engine
+    e2 = (nD * nD - F.col("__sn2")).cast("double") / F.lit(2.0)
+    z = F.try_divide(
+        F.col("__jt2").cast("double") - e2,
+        F.lit(2.0) * F.sqrt(var),
+    )
+    return row.select(
+        "n",
+        "k",
+        # BIGINT output: JT2 <= N^2 — safe to ~3e9 rows
+        F.col("__jt2").cast("bigint").alias("jt2"),
+        round_stable(z, 4).alias("z"),
+    )

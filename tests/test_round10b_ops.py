@@ -493,3 +493,50 @@ def test_friedman_partition_invariance(spark):
     a = friedman_test(df.coalesce(1), "blk", "trt", "v").collect()[0]
     b = friedman_test(df.repartition(13), "blk", "trt", "v").collect()[0]
     assert a.asDict() == b.asDict()
+
+
+def test_jonckheere_terpstra_hand_values(spark):
+    """Perfectly ordered groups [1,2]<[3,4]<[5,6]: JT2=24 (max), z =
+    12/(2*sqrt(456/72)); tied case [1,1] vs [1,2]: JT2=6, Var=1.0
+    exactly -> z=1.0; single group -> Var=0 -> NULL z."""
+    from covid_data_pipeline_spark.operators.experiment import (
+        jonckheere_terpstra,
+    )
+
+    rows = [(0, 1), (0, 2), (1, 3), (1, 4), (2, 5), (2, 6)]
+    r = jonckheere_terpstra(
+        spark.createDataFrame(rows, "g INT, v INT"), "g", "v"
+    ).collect()[0]
+    assert (r["n"], r["k"], r["jt2"]) == (6, 3, 24)
+    assert r["z"] == pytest.approx(12.0 / (2.0 * math.sqrt(456.0 / 72.0)), abs=1e-4)
+
+    tied = [(0, 1), (0, 1), (1, 1), (1, 2)]
+    r2 = jonckheere_terpstra(
+        spark.createDataFrame(tied, "g INT, v INT"), "g", "v"
+    ).collect()[0]
+    assert r2["jt2"] == 6 and r2["z"] == 1.0
+
+    single = [(0, v) for v in (1, 2, 3)]
+    r3 = jonckheere_terpstra(
+        spark.createDataFrame(single, "g INT, v INT"), "g", "v"
+    ).collect()[0]
+    assert r3["jt2"] == 0 and r3["z"] is None
+
+
+def test_jonckheere_partition_invariance_and_direction(spark):
+    """A planted monotone shift gives z >> 0; reversing the group
+    order flips the sign; exact outputs survive a prime repartition."""
+    from pyspark.sql import functions as F
+
+    from covid_data_pipeline_spark.operators.experiment import (
+        jonckheere_terpstra,
+    )
+
+    rows = [(i % 4, (i * 7919) % 100 + 10 * (i % 4)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g INT, v INT")
+    a = jonckheere_terpstra(df.coalesce(1), "g", "v").collect()[0]
+    b = jonckheere_terpstra(df.repartition(13), "g", "v").collect()[0]
+    assert a.asDict() == b.asDict() and a["z"] > 5
+    rev = df.select((3 - F.col("g")).alias("g"), "v")
+    c = jonckheere_terpstra(rev, "g", "v").collect()[0]
+    assert c["z"] == -a["z"]

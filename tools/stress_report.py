@@ -3203,6 +3203,61 @@ def case_friedman_1m_blocks(spark):
     }
 
 
+
+
+def case_jonckheere_16m(spark):
+    """Round-10 batch-E: Jonckheere-Terpstra over 16M rows, 8 ordered
+    groups with a planted +50/step monotone shift on a ~10k-value
+    domain. The DOUBLED statistic jt2 must equal the exact numpy
+    histogram reference integer-for-integer, z must be hugely
+    positive, and the whole row bit-identical under a prime
+    repartition (dense-grid prefix windows are |V| x k rows)."""
+    from covid_data_pipeline_spark.operators.experiment import (
+        jonckheere_terpstra,
+    )
+
+    n, p_, step = 16_000_000, 10_007, 50
+    df = spark.range(0, n, numPartitions=64).select(
+        (F.col("id") % 8).alias("g"),
+        ((F.col("id") * 9973) % p_ + (F.col("id") % 8) * step).alias("v"),
+    )
+    t0 = time.time()
+    a = jonckheere_terpstra(df, "g", "v").collect()[0]
+    wall = time.time() - t0
+    b = jonckheere_terpstra(df.repartition(53), "g", "v").collect()[0]
+
+    import numpy as np
+
+    width = p_ + 7 * step
+    hist = np.zeros((8, width), dtype=np.int64)
+    for lo in range(0, n, 2_000_000):
+        ids = np.arange(lo, min(lo + 2_000_000, n), dtype=np.int64)
+        g = ids % 8
+        v = (ids * 9973) % p_ + g * step
+        for gi in range(8):
+            hist[gi] += np.bincount(v[g == gi], minlength=width)
+    # S(v, j) = sum_{i<j} c_{v,i}; CL(v, j) = sum_{v'<v} S(v', j)
+    S = np.cumsum(hist, axis=0) - hist  # prefix over groups, exclusive
+    CL = np.concatenate(
+        [np.zeros((8, 1), dtype=np.int64), np.cumsum(S, axis=1)[:, :-1]],
+        axis=1,
+    )
+    want_jt2 = int(np.sum(
+        hist.astype(object) * (2 * CL.astype(object) + S.astype(object))
+    ))
+    return {
+        "rows": n,
+        "scale_vs_sf0.1": "160x events",
+        "sec": round(wall, 2),
+        "jt2_exact": a["jt2"] == want_jt2,
+        "z": a["z"],
+        "ok": (
+            a["jt2"] == want_jt2 and a["z"] > 100
+            and a.asDict() == b.asDict()
+        ),
+    }
+
+
 CASES = {
     "funnel_16m": case_funnel_16m,
     "token_budget_12m": case_token_budget_12m,
@@ -3260,6 +3315,7 @@ CASES = {
     "fleiss_1m_items": case_fleiss_1m_items,
     "log_odds_100k_vocab": case_log_odds_100k_vocab,
     "friedman_1m_blocks": case_friedman_1m_blocks,
+    "jonckheere_16m": case_jonckheere_16m,
 }
 
 
