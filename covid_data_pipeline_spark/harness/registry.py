@@ -66,13 +66,14 @@ def register(
 # BH FDR, Hilbert, LOF, FK audit, corr matrix, seasonal strength,
 # Spearman, ROC-AUC, RANSAC), the 10 early round-10 additions (Cohen's
 # kappa, JSD, Cramér's V, entropy profile, ECE, G² collocations,
-# Theil U, robust anomalies, McNemar, trimmed means), and the 10 late
+# Theil U, robust anomalies, McNemar, trimmed means), and the 14 late
 # round-10 additions (Kruskal-Wallis, Brown-Forsythe, Welch t, average
 # precision, lift deciles, Wasserstein drift, TV+Hellinger, Fleiss
-# kappa, Cronbach alpha, Monroe log-odds keywords — each mirror-green
-# at sf0.01 + sf0.001 when added) — landing EVERY oracle-backed query
-# driver-proven, and spend the remaining 10 slots on drift re-checks
-# of the oldest remaining greens (r2-r3 era; the 10 displaced
+# kappa, Cronbach alpha, Monroe log-odds keywords, CMH, weighted
+# kappa, Friedman, Jonckheere-Terpstra — each mirror-green at sf0.01 +
+# sf0.001 when added) — landing EVERY oracle-backed query
+# driver-proven, and spend the remaining 6 slots on drift re-checks
+# of the oldest remaining greens (r2-r3 era; the 14 displaced
 # re-checks rejoin in r11 per VERIFIED.json::suggested_window_r11).
 # Everything not listed keeps its module registration order after
 # these; oracle-less (rows-only) queries always sort last.
