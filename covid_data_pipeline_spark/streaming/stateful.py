@@ -1536,3 +1536,117 @@ def stream_psi(
     return src.groupBy(*group_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_wasserstein(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    bin_col: str,
+    ref_counts: "dict[object, Sequence[int]]",
+    bins: int = 10,
+    drift_micro: int = 500_000,
+) -> DataFrame:
+    """Streaming 1-D Wasserstein drift monitor (22nd stateful op) —
+    the live twin of the batch ``wasserstein_1d`` operator against a
+    REFERENCE histogram fixed at tuning time, and the
+    distance-semantics complement of :func:`stream_psi`: PSI scores
+    per-bin RATIO surprise (explodes when mass lands in an empty
+    reference bin, blind to how far it moved); W₁ is the integral
+    |CDF gap| across the ordered bins, so "mass moved one bin" and
+    "mass moved nine bins" — identical to PSI — differ 9× here. In
+    bin-width units::
+
+        W₁ = Σ_b |CumRef(b)·n_cur − CumCur(b)·n_ref| / (n_ref·n_cur)
+
+    Callers bin upstream; ``bin_col`` holds 1-based integer bins in
+    [1, bins]; ``ref_counts`` maps group key → reference histogram.
+    State per group is the additive count vector — micro-batch
+    splits, replays of disjoint slices, and arrival order cannot
+    change the drained state. The numerator is exact arbitrary-
+    precision Python int; the emitted ``w1_micro = (10⁶·num) div
+    (n_ref·n_cur)`` is one integer floor division (engine- and
+    batch-split-invariant; ``drifted ⟺ w1_micro > drift_micro``,
+    default half a bin width). Groups without a reference histogram
+    are dropped. Emits per update: ``group_cols + (counts, n_seen,
+    w1_micro, drifted, seq)``."""
+    group_cols = list(group_cols)
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    ref = {
+        (k if isinstance(k, tuple) else (k,)): [int(c) for c in v]
+        for k, v in ref_counts.items()
+    }
+    if any(len(v) != bins for v in ref.values()):
+        raise ValueError("every ref_counts entry must have `bins` counts")
+    if any(sum(v) <= 0 for v in ref.values()):
+        raise ValueError("every ref_counts histogram must be non-empty")
+    src = df.where(
+        F.col(bin_col).isNotNull()
+        & (F.col(bin_col) >= 1)
+        & (F.col(bin_col) <= bins)
+    ).select(*group_cols, F.col(bin_col).cast("long").alias("__bin"))
+    fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [fields[c] for c in group_cols]
+        + [
+            StructField("counts", ArrayType(LongType()), False),
+            StructField("n_seen", LongType(), False),
+            StructField("w1_micro", LongType(), False),
+            StructField("drifted", BooleanType(), False),
+            StructField("seq", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("counts", ArrayType(LongType()), True),
+            StructField("seq", LongType(), True),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        rc = ref.get(tuple(key))
+        if rc is None:
+            return
+        if state.exists:
+            counts, seq = state.get
+            counts = [int(v) for v in counts]
+            seq = int(seq)
+        else:
+            counts, seq = [0] * bins, 0
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+            for b, cnt in pdf["__bin"].value_counts().items():
+                counts[int(b) - 1] += int(cnt)
+        if n_new == 0:
+            return
+        seq += 1
+        state.update((counts, seq))
+        nr, nc = sum(rc), sum(counts)
+        num = 0
+        cr = cc = 0
+        # last bin's CDF gap is 0 by construction — sum the first b-1
+        for r, c in zip(rc[:-1], counts[:-1]):
+            cr += r
+            cc += c
+            num += abs(cr * nc - cc * nr)
+        w1_micro = (1_000_000 * num) // (nr * nc)
+        out = pd.DataFrame(
+            {
+                "counts": [counts],
+                "n_seen": pd.array([nc], dtype="Int64"),
+                "w1_micro": pd.array([w1_micro], dtype="Int64"),
+                "drifted": [w1_micro > drift_micro],
+                "seq": pd.array([seq], dtype="Int64"),
+            }
+        )
+        for c, v in zip(group_cols, key):
+            out[c] = v
+        yield out[[*group_cols, "counts", "n_seen", "w1_micro",
+                   "drifted", "seq"]]
+
+    return src.groupBy(*group_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

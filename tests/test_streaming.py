@@ -1752,3 +1752,93 @@ def test_stream_psi_rejects_bad_config(spark):
         stream_psi(df, ["g"], "bin", {"g": [1]}, bins=1)
     with pytest.raises(ValueError):
         stream_psi(df, ["g"], "bin", {"g": [1, 2, 3]}, bins=10)
+
+
+def test_stream_wasserstein_matches_batch_formula(spark, tmp_path):
+    """22nd stateful op: W1 drift monitor. Drained per-group counts
+    must equal the whole-input recomputation (additive state ->
+    micro-batch split invariant); w1_micro must equal the exact
+    integer CDF-gap formula; a one-bin shift and a nine-bin shift of
+    the same mass must differ ~9x (the distance semantics PSI cannot
+    see); the in-distribution group must not drift."""
+    from covid_data_pipeline_spark.streaming.stateful import (
+        stream_wasserstein,
+    )
+
+    bins = 10
+    ref = {g: [100] * bins for g in ("stable", "near", "far")}
+    # all groups start uniform (60 per bin); near moves 40 bin-1 rows
+    # ONE bin right, far moves the same 40 rows NINE bins right — same
+    # moved mass, 9x the distance, so W1 must differ exactly 9x
+    def uniform():
+        return [(i % bins) + 1 for i in range(600)]
+
+    def moved(dest):
+        out, moved_n = [], 0
+        for b in uniform():
+            if b == 1 and moved_n < 40:
+                out.append(dest)
+                moved_n += 1
+            else:
+                out.append(b)
+        return out
+
+    rows = (
+        [("stable", b) for b in uniform()]
+        + [("near", b) for b in moved(2)]
+        + [("far", b) for b in moved(10)]
+    )
+    src_dir = tmp_path / "w1_src"
+    src_dir.mkdir()
+    third = len(rows) // 3
+    for n, chunk in (("f1", rows[:third]), ("f2", rows[third:2 * third]),
+                     ("f3", rows[2 * third:])):
+        spark.createDataFrame(chunk, "g string, bin long").coalesce(
+            1
+        ).write.parquet(str(src_dir / f"{n}.parquet"))
+
+    stream = (
+        spark.readStream.schema("g string, bin long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    q = (
+        stream_wasserstein(stream, ["g"], "bin", ref, bins=bins)
+        .writeStream.format("memory")
+        .queryName("w1q")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_w1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = {}
+    for r in spark.sql("SELECT * FROM w1q").collect():
+        if r["g"] not in final or r["seq"] > final[r["g"]]["seq"]:
+            final[r["g"]] = r
+
+    def w1_micro(rc, counts):
+        nr, nc = sum(rc), sum(counts)
+        num = cr = cc = 0
+        for r, c in zip(rc[:-1], counts[:-1]):
+            cr += r
+            cc += c
+            num += abs(cr * nc - cc * nr)
+        return (1_000_000 * num) // (nr * nc)
+
+    assert set(final) == {"stable", "near", "far"}
+    for g in final:
+        want = [0] * bins
+        for gg, b in rows:
+            if gg == g:
+                want[b - 1] += 1
+        assert list(final[g]["counts"]) == want, g
+        assert final[g]["n_seen"] == 600
+        assert final[g]["w1_micro"] == w1_micro(ref[g], want), g
+    assert not final["stable"]["drifted"]
+    assert final["stable"]["w1_micro"] == 0
+    # the same moved mass at 9x the distance -> exactly 9x the W1:
+    # 40/600 of a bin vs 9*40/600
+    near, far = final["near"]["w1_micro"], final["far"]["w1_micro"]
+    assert near == 66_666 and far == 600_000  # floor(1e6*40/600), x9
+    assert not final["near"]["drifted"] and final["far"]["drifted"]
