@@ -1,0 +1,54 @@
+"""Capture .explain("formatted") for bench queries into plans/r10/.
+
+Usage: python tools/capture_plans.py <suffix> [query ...]
+Writes plans/r10/<query>_<suffix>.txt for each bench query (default all).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+
+def main() -> None:
+    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
+    only = set(sys.argv[2:])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("capture_plans")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from covid_data_pipeline_spark.harness.registry import QUERIES
+
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+    os.makedirs(out_dir, exist_ok=True)
+    names = [n for n, s in QUERIES.items() if s.bench and (not only or n in only)]
+    for n in names:
+        try:
+            df = QUERIES[n].fn(spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:  # noqa: BLE001
+            plan = f"ERROR capturing plan: {exc}"
+        with open(os.path.join(out_dir, f"{n}_{suffix}.txt"), "w") as f:
+            f.write(plan)
+        print(f"captured {n}", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
