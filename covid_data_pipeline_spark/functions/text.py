@@ -48,7 +48,12 @@ def token_count(col: Column | str) -> Column:
 
 def bpe_token_count(col: Column | str) -> Column:
     """Count of BPE-ish pre-tokens (letter runs / digit runs / glyphs) —
-    a cheap, deterministic proxy for LLM token counts."""
+    a cheap, deterministic proxy for LLM token counts.
+
+    (r10 optimization note: ``F.regexp_count`` was evaluated as a
+    replacement — it is RuntimeReplaceable and compiles to exactly this
+    ``size(regexp_extract_all(...))`` expression, so there is no
+    physical difference; kept in the explicit form.)"""
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
 

@@ -3787,17 +3787,46 @@ def events_join_size_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_pipeline_spark.functions.scalar import round_stable
 
     ev = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
-    clicks = ev.where(F.col("event_type") == "click")
-    purchases = ev.where(F.col("event_type") == "purchase")
-    ska = cm_sketch(clicks, "user_id", depth=4, width=1024)
-    skb = cm_sketch(purchases, "user_id", depth=4, width=1024)
+    # BOTH sketches from ONE corpus pass: the grouped sketch keyed on
+    # event_type produces per-type counters identical to two separate
+    # cm_sketch calls over the filtered slices (same per-row md5 slots,
+    # same counts — group_cols only adds the grouping key), then each
+    # side is a filter over the ≤ 2·depth·width-row sketch relation.
+    # One scan + one map-side-combining shuffle instead of two apiece
+    # (guide §1.2: remove unnecessary passes).
+    # (No lineage cut on sk: the two sides recompute in parallel stages
+    # of one job — measured faster than checkpoint serialization.)
+    sk = cm_sketch(
+        ev.where(F.col("event_type").isin("click", "purchase")),
+        "user_id",
+        group_cols=["event_type"],
+        depth=4,
+        width=1024,
+    )
+    ska = sk.where(F.col("event_type") == "click").select("d", "slot", "cnt")
+    skb = sk.where(F.col("event_type") == "purchase").select(
+        "d", "slot", "cnt"
+    )
     est = cm_inner_product(ska, skb)
-    ca = clicks.groupBy("user_id").agg(F.count(F.lit(1)).alias("_c"))
-    cb = purchases.groupBy("user_id").agg(F.count(F.lit(1)).alias("_p"))
+    # Both per-user frequency vectors from ONE corpus pass (conditional
+    # counts in a single groupBy) instead of two filtered aggregations
+    # + an equi-join: Σ c·p over users with both counts positive is
+    # exactly the inner join's Σ — one shuffle and no join (guide §2.3
+    # "aggregate before you shuffle" / §1.2 fewer passes).
     exact = (
-        ca.join(cb, "user_id")
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
         .agg(
-            F.sum(F.col("_c").cast("decimal(38,0)") * F.col("_p"))
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("_c"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("_p"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("_c") > 0) & (F.col("_p") > 0),
+                    F.col("_c").cast("decimal(38,0)") * F.col("_p"),
+                )
+            )
             .cast("bigint")
             .alias("exact_join_size")
         )

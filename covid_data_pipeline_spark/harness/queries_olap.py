@@ -1605,9 +1605,17 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |distinct parts| upper bound (memoized parquet metadata count)
     # gating the singles broadcasts below (keyed join past it).
     n_parts = _n_parts(spark, sf_dir)
-    b = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    b = (
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        # The basket relation feeds four subplans (order count, singles,
+        # both sides of the pair self-join) and each reference re-runs
+        # the scan + distinct shuffle — cut the lineage so the distinct
+        # runs once. Two BIGINT columns, bounded by |order lines|.
+        .localCheckpoint(eager=False)
+    )
     n_orders = b.agg(F.countDistinct("o").alias("n_orders"))
     singles = b.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
     a, b2 = b.alias("a"), b.alias("b2")

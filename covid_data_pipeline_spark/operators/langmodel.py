@@ -79,6 +79,11 @@ def train_bigram_lm(
     - ``vocab``: 1-row (vocab_size) for the Laplace denominator.
     """
     pairs = doc_bigrams(corpus, text_col, id_col)
+    # cb_all feeds both the context regroup and the model, but a
+    # lineage cut here measured SLOWER in an isolated sf0.1 A/B (the
+    # two consumers recompute in PARALLEL stages of one job, while the
+    # cut serializes the DAG and pays block materialization) — left
+    # uncut deliberately (r10 optimization round).
     cb_all = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     context = cb_all.groupBy("w1").agg(F.sum("cb").alias("cu"))
     cb = cb_all.filter(F.col("cb") >= min_count) if min_count > 1 else cb_all
@@ -179,7 +184,15 @@ def kneser_ney_bigrams(
     (the oracle states the identical association), ROUND(6)-guarded.
     """
     big = doc_bigrams(df, text_col=text_col, id_col=id_col)
-    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    # cb feeds four subplans (left/right continuation counts, the type
+    # total, and the scored join) — cut the lineage so the corpus
+    # tokenize + bigram count shuffle runs ONCE, as the scale-shape
+    # note below promises. |bigram types|-bounded.
+    cb = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     lft = cb.groupBy("w1").agg(
         F.sum("c").alias("cl"), F.count(F.lit(1)).alias("nl")
     )

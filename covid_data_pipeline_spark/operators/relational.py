@@ -251,6 +251,11 @@ def mad_outliers(
             ).alias("__med")
         )
 
+    # val_counts and med each feed two subplans, but lineage cuts here
+    # measured SLOWER in an isolated sf0.1 A/B (1.11s → 1.66s median):
+    # the duplicate consumers recompute in PARALLEL stages of one job,
+    # while a cut serializes the DAG and pays block materialization —
+    # left uncut deliberately (r10 optimization round).
     val_counts = (
         quant.filter(F.col("__vq").isNotNull())
         .groupBy(*groups, "__vq")

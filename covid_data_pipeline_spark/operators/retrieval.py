@@ -74,6 +74,13 @@ def bm25_topk(
     such terms are dropped from the QUERY side (scores of surviving
     terms are unchanged; a query of only stopwords returns nothing).
     ``None`` (default) keeps exact full-query semantics."""
+    # NOTE (r10 optimization round, measured): the posting relation
+    # feeds three subplans and dl two, so a lineage cut looks right —
+    # but an isolated 5-run A/B at sf0.1 measured the checkpointed
+    # variant 2.1x SLOWER (2.9s → 6.1s median): the duplicated
+    # consumers run as PARALLEL stages of one job and the recompute
+    # hides behind idle cores, while the checkpoint serializes the DAG
+    # and pays block materialization. Left uncut deliberately.
     postings = (
         docs.select(
             F.col(id_col).alias("__doc"),
@@ -618,8 +625,20 @@ def score_lift_deciles(
         & F.col(label_col).isNotNull()
         & F.col(tiebreak_col).isNotNull()
     )
+    # Lineage-cut the scored projection: it feeds value_order_rank's
+    # three subplans (min/max, bucket counts, rank join) plus the row
+    # count below, and Catalyst shares no subtrees — without the cut an
+    # expensive caller-side score expression (regex quality scoring over
+    # a corpus) re-runs once per reference. The checkpointed relation is
+    # three narrow columns, disk-spillable; recomputing the score per
+    # pass costs more at any scale (localCheckpoint, not persist — no
+    # session-cache entry, blocks GC with the plan).
+    base = base.localCheckpoint(eager=False)
     ranked = value_order_rank(base, "__negs", "__tb", rank_col="__rk")
-    n_tot = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("__N"))
+    # N over the checkpointed base, not `ranked`: same count (the rank
+    # join preserves every row — each row's bucket is in the offset
+    # table), one fewer rank-subplan execution.
+    n_tot = base.agg(F.count(F.lit(1)).cast("bigint").alias("__N"))
     per_d = (
         # bcast: const(1) scalar row count
         ranked.crossJoin(F.broadcast(n_tot))
@@ -639,15 +658,19 @@ def score_lift_deciles(
     wc = Window.orderBy("__d").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = per_d.withColumn(
-        "cum_n", F.sum("n").over(wc).cast("bigint")
-    ).withColumn("cum_pos", F.sum("n_pos").over(wc).cast("bigint"))
-    glob = per_d.agg(
-        F.sum("n").cast("bigint").alias("__GN"),
-        F.sum("n_pos").cast("bigint").alias("__GP"),
+    # Grand totals ride the SAME single-partition window pass as the
+    # running sums (full-frame sum over the ≤ buckets-row relation)
+    # instead of a second aggregate + crossJoin over a second execution
+    # of the per_d subtree — per_d is referenced exactly once.
+    wg = Window.orderBy("__d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    # bcast: const(1) scalar grand totals
-    out = cum.crossJoin(F.broadcast(glob))
+    out = (
+        per_d.withColumn("cum_n", F.sum("n").over(wc).cast("bigint"))
+        .withColumn("cum_pos", F.sum("n_pos").over(wc).cast("bigint"))
+        .withColumn("__GN", F.sum("n").over(wg).cast("bigint"))
+        .withColumn("__GP", F.sum("n_pos").over(wg).cast("bigint"))
+    )
     base_rate = F.col("__GP").cast("double") / F.col("__GN").cast("double")
     return out.select(
         F.col("__d").cast("int").alias("decile"),

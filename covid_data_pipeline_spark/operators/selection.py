@@ -90,11 +90,20 @@ def ngram_log_prob_models(
     ``spark.range`` left join — a metadata-only relation, no data scan.
     """
     spark = feats.sparkSession
-    per_bucket = feats.withColumn("is_t", is_target).groupBy("bucket").agg(
-        F.sum("cnt").alias("raw_cnt"),
-        F.sum(F.when(F.col("is_t"), F.col("cnt")).otherwise(F.lit(0))).alias(
-            "tgt_cnt"
-        ),
+    per_bucket = (
+        feats.withColumn("is_t", is_target)
+        .groupBy("bucket")
+        .agg(
+            F.sum("cnt").alias("raw_cnt"),
+            F.sum(
+                F.when(F.col("is_t"), F.col("cnt")).otherwise(F.lit(0))
+            ).alias("tgt_cnt"),
+        )
+        # ≤ n_buckets rows, but it feeds BOTH the totals aggregate and
+        # the domain join, and each reference re-runs the full feature
+        # pass upstream (Catalyst shares no subtrees) — cut the lineage
+        # so the corpus-sized aggregation happens once.
+        .localCheckpoint(eager=False)
     )
     totals = per_bucket.agg(
         F.sum("raw_cnt").alias("raw_tot"), F.sum("tgt_cnt").alias("tgt_tot")
@@ -155,7 +164,13 @@ def dsir_weights(
     rounded to 4 — the display value; selection should use it with the
     id as tie-break). Input rows where ``is_target`` holds define the
     target distribution; all rows define the raw distribution."""
-    feats = hashed_ngram_counts(df, id_col, text_col, n_buckets)
+    # The feature relation feeds both model fitting and scoring; cut the
+    # lineage so the n-gram explode + count shuffle runs once (the reuse
+    # the docstring above promises — Catalyst alone re-executes the
+    # subtree per consumer). Compact (id, bucket, cnt) rows.
+    feats = hashed_ngram_counts(df, id_col, text_col, n_buckets).localCheckpoint(
+        eager=False
+    )
     flags = df.select(id_col, is_target.alias("is_t"))
     models = ngram_log_prob_models(
         feats.join(flags, id_col).select("bucket", "cnt", F.col("is_t")),

@@ -883,6 +883,13 @@ def knn_graph_lsh(
             ),
         )
     )
+    # NOTE (r10 optimization round, measured): both sides of the bucket
+    # join derive from this relation, so a lineage cut looks right —
+    # but it materializes the NORMALIZED VECTORS (the corpus's heaviest
+    # column) and benched consistently slower at sf0.1 (2.87s → 3.47s):
+    # the two sides recompute in parallel stages of one job, while the
+    # cut serializes the DAG and pays vector-block materialization.
+    # Left uncut deliberately.
     probes = [F.col("bucket")]
     if multiprobe_bits >= 1:
         probes += [
@@ -1804,6 +1811,14 @@ def margin_mutual_pairs(
         F.col(dst_col).alias("__dst"),
         F.round(F.col(sim_col) * 10_000).cast("bigint").alias("__dot"),
     ).filter(F.col("__dot") > 0)
+    # Lineage-cut the compact (src, dst, dot) edge projection: it feeds
+    # the totals aggregate AND the scored join, totals re-enters twice
+    # (both endpoints), and Catalyst shares no subtrees — without the
+    # cut the ENTIRE upstream graph build (an LSH bucket join + top-k
+    # over the corpus for knn_graph_lsh callers) re-runs once per
+    # reference. Three BIGINT columns bounded by the edge count —
+    # cheaper to hold than to recompute at any scale.
+    e = e.localCheckpoint(eager=False)
 
     totals = e.groupBy("__src").agg(
         F.sum("__dot").alias("__A"), F.count("*").alias("__c")
@@ -1837,12 +1852,19 @@ def margin_mutual_pairs(
 
     from covid_data_pipeline_spark.operators.windows import top_k_per_group
 
-    best = top_k_per_group(
-        scored,
-        partition_by=["__src"],
-        order_by=[F.col("margin_bp").desc(), F.col("__dst")],
-        k=1,
-    ).select("__src", "__dst", "margin_bp")
+    best = (
+        top_k_per_group(
+            scored,
+            partition_by=["__src"],
+            order_by=[F.col("margin_bp").desc(), F.col("__dst")],
+            k=1,
+        )
+        .select("__src", "__dst", "margin_bp")
+        # best feeds both directions of the mutuality self-join below;
+        # cut here so the totals joins + rank window run once, not twice.
+        # ≤ one row per node.
+        .localCheckpoint(eager=False)
+    )
 
     # Keep BOTH directions' margins and threshold on the MIN: the two
     # endpoints see different top-k neighborhoods, so their margins

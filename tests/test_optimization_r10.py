@@ -1,0 +1,167 @@
+"""Round-10 optimization-shape tests.
+
+Each optimization in the r10 optimization round either cut a duplicated
+expensive subtree (localCheckpoint lineage cut) or fused redundant
+passes; these tests pin the SHAPE so a refactor cannot silently
+reintroduce the recompute, plus value-equivalence for the expression
+swap (regexp_count == size(regexp_extract_all)).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_score_lift_deciles_materializes_base_once(spark):
+    """The scored base is lineage-cut: the final plan consumes the
+    checkpointed RDD (ExistingRDD) and never re-reads the input
+    relation — the r10 fix for the 16x quality_score recompute."""
+    from covid_data_pipeline_spark.operators.retrieval import (
+        score_lift_deciles,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 7).cast("bigint").alias("s"),
+        (F.col("id") % 2 == 0).alias("y"),
+        F.col("id").alias("tb"),
+    )
+    out = score_lift_deciles(df, "s", "y", "tb")
+    plan = _plan(out)
+    assert "ExistingRDD" in plan
+    # no Range/parquet source may survive into the consuming plan
+    assert "Scan parquet" not in plan
+
+    rows = {r["decile"]: r for r in out.collect()}
+    assert len(rows) == 10
+    assert rows[10]["cum_n"] == 100
+    assert rows[10]["capture_rate"] == 1.0
+
+
+def test_margin_mutual_pairs_single_edge_materialization(spark):
+    """The compact edge projection and the per-node best relation are
+    lineage-cut, so the upstream graph build executes once instead of
+    ~6x (totals x2 + scored + both mutuality sides)."""
+    from covid_data_pipeline_spark.operators.similarity import (
+        margin_mutual_pairs,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 0.9),
+            (2, 1, 0.9),
+            (1, 3, 0.5),
+            (3, 1, 0.6),
+            (2, 3, 0.4),
+            (3, 2, 0.3),
+        ],
+        "src_id long, nbr_id long, similarity double",
+    )
+    out = margin_mutual_pairs(edges, threshold_bp=10_000)
+    assert "ExistingRDD" in _plan(out)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in got  # mutual best pair survives
+
+
+def test_dsir_weights_checkpoints_features(spark):
+    """The hashed n-gram feature relation is lineage-cut (feeds model
+    fit AND scoring), so the md5-explode over the corpus runs once."""
+    from covid_data_pipeline_spark.operators.selection import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", True), (2, "delta epsilon zeta", False)],
+        "doc_id long, text string, is_en boolean",
+    )
+    out = dsir_weights(docs, F.col("is_en"), n_buckets=64)
+    assert "ExistingRDD" in _plan(out)
+    assert out.count() == 2
+
+
+def test_regexp_count_is_runtime_replaced_to_extract_all(spark):
+    """r10 finding pinned: RegExpCount is RuntimeReplaceable — it
+    compiles to size(regexp_extract_all(x, p, 0)), so swapping the
+    repo's explicit form for it is a physical no-op (the reason the
+    r10 optimization round left bpe_token_count/punct_ratio as-is)."""
+    df = spark.createDataFrame([("a b!",)], "t string")
+    plan = _plan(df.select(F.regexp_count("t", F.lit(r"[a-z]"))))
+    assert "regexp_extract_all" in plan
+
+
+def test_events_join_size_cm_single_pass_exact(spark, sf_dir):
+    """The fused exact join-size (one conditional-count pass) equals the
+    classic two-aggregate + join formulation on the real events table."""
+    from covid_data_pipeline_spark.harness.tables import table
+
+    ev = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    ca = clicks.groupBy("user_id").agg(F.count(F.lit(1)).alias("_c"))
+    cb = purchases.groupBy("user_id").agg(F.count(F.lit(1)).alias("_p"))
+    expected = (
+        ca.join(cb, "user_id")
+        .agg(
+            F.sum(F.col("_c").cast("decimal(38,0)") * F.col("_p"))
+            .cast("bigint")
+            .alias("x")
+        )
+        .collect()[0]["x"]
+    )
+
+    fused = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("_c"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("_p"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("_c") > 0) & (F.col("_p") > 0),
+                    F.col("_c").cast("decimal(38,0)") * F.col("_p"),
+                )
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+        .collect()[0]["x"]
+    )
+    assert fused == expected
+
+
+def test_grouped_cm_sketch_equals_filtered_sketches(spark, sf_dir):
+    """cm_sketch(group_cols=[event_type]) sliced per type reproduces the
+    separate per-slice sketches counter-for-counter (the r10 one-pass
+    fusion in events_join_size_cm)."""
+    from covid_data_pipeline_spark.harness.tables import table
+    from covid_data_pipeline_spark.operators.sketches import cm_sketch
+
+    ev = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+
+    def rows(df):
+        return {(r["d"], r["slot"]): r["cnt"] for r in df.collect()}
+
+    grouped = cm_sketch(
+        ev.where(F.col("event_type").isin("click", "purchase")),
+        "user_id",
+        group_cols=["event_type"],
+        depth=4,
+        width=256,
+    )
+    for etype in ("click", "purchase"):
+        direct = cm_sketch(
+            ev.where(F.col("event_type") == etype),
+            "user_id",
+            depth=4,
+            width=256,
+        )
+        sliced = grouped.where(F.col("event_type") == etype).select(
+            "d", "slot", "cnt"
+        )
+        assert rows(sliced) == rows(direct)
