@@ -118,7 +118,24 @@ def main() -> None:
         bench_specs[name].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
-        return time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
+        # Cross-run honesty (r10 optimization round): operators that
+        # persist() an intermediate (e.g. curation's exact-dedup slice)
+        # register it in the session CacheManager keyed on the
+        # CANONICALIZED plan — the next timed run of the same query
+        # builds an identical plan and silently reuses run 1's cached
+        # stage, so runs 2..n measure cache reads, not computation.
+        # Clearing between runs keeps every timed sample a full
+        # recompute from parquet. The clear itself is OUTSIDE the timed
+        # window. localCheckpoint blocks are per-DataFrame RDDs — never
+        # shared across runs — and are freed by the ContextCleaner when
+        # the run's DataFrames are GC'd. (An explicit unpersist sweep of
+        # getPersistentRDDs() between runs was tried and REVERTED: its
+        # async block removal races the next run's Arrow transfers and
+        # produced reproducible 13s stalls on the Python-boundary
+        # queries — knn_graph_lsh 2.7s → 13.3s.)
+        spark.catalog.clearCache()
+        return elapsed
 
     run_samples: dict[str, list[float]] = {}
 
