@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 NOTES = {
     "docs_bigram_collocations": "One bigram rollup (map-side combining) + two |vocab|-sized marginal regroups joined back by key + scalar N broadcast; all four G2 terms are nano-rounded BIGINTs; top-k plans TakeOrderedAndProject, never a global sort. At 100 TB the min_count prune keeps the scored relation model-sized.",
     "dedup_sorted_neighborhood": "SNM blocking: distributed global rank (range buckets over broadcast min/max - no single-partition sort) + 1-D neighbor-bucket exactly-once join + Jaccard verify on the O(n*w) candidates. The oracle's plain ROW_NUMBER replays the rank.",
-    "events_join_size_cm": "Two corpus passes build the model-sized CM counter relations (explode(depth) + map-side-combining agg); the estimate joins 4x1024 counters - the join itself is never run. Exact side is two per-user rollups + one user-keyed join.",
+    "events_join_size_cm": "ONE grouped corpus pass builds BOTH model-sized CM counter relations (r10: cm_sketch(group_cols=[event_type]), explode(depth) + map-side-combining agg); the estimate joins 4x1024 counters - the join itself is never run. Exact side is ONE conditional-count rollup (r10: sum c*p where both positive == the inner-join sum), no join.",
     "geo_hilbert_layout": "Hilbert key is one interpreted F.aggregate fold over 18 levels of exact BIGINT state (linear expression size); same 64-bucket map-side rollup as the Morton audit. Write path at 100 TB: repartitionByRange(hkey) + sortWithinPartitions(hkey); tighter extents than Z-order for the same bucket count.",
     "geo_zorder_layout": "Morton key is pure codegen bit arithmetic; one map-side-combining rollup to 64 file buckets. At 100 TB the write path is repartitionByRange(zkey) + sortWithinPartitions(zkey); this audit prices the zone-map tightness.",
     "mart_analytics": "Two broadcast joins (dims) keep the orders scan shuffle-free until the partial+final hash agg; one window shuffle on nation. At 1000x: orders scan parallelizes by file split; dims still broadcast; agg shuffle carries only group rows.",
@@ -63,10 +63,10 @@ NOTES = {
     "knn_graph_lsh": "Both-sides-large candidate generation restricted to LSH bucket collisions (work ~ sum of bucket^2, hot buckets capped), scored in a COGROUPED Arrow task per bucket: numpy accumulates every pair's dot dim-sequentially (bitwise equal to the HOF fold - shared oracle), emits a margin-pruned per-src superset of the rounded top-k, and the downstream WindowGroupLimit sees <= (k+ties) rows per (src,bucket) instead of the full fan-out. 12x at 100k vectors vs the per-pair interpreted fold.",
     "similarity_topk_pq": "Codebook training shuffles codebook-sized partial sums only (Arrow batches pre-combine); encode is a zero-shuffle Arrow map; ADC search scans the 32x-compressed code column with per-batch top-k so the window sees O(batches x queries x k) rows; the shortlist rides a broadcast into the exact re-rank join - the full-precision corpus is probed, never scanned.",
     "similarity_topk_pq_pretrained": "Same encode+ADC+rerank plan as the cold PQ query minus the training jobs (codebooks memoized per corpus, the save_ann_model warehouse pattern) - the steady-state number a serving workload pays.",
-    "bitext_margin_pairs_lsh": "LSH bucket candidates (sum of bucket^2, hot buckets capped) scored by the cogrouped Arrow scorer replace the quadratic exact graph; the margin miner downstream is bounded by the EDGE LIST either way. Mining cost is bounded by the kNN EDGE LIST, never the vectors: per-node totals are a map-side-combined groupBy over k*n edges, re-entering via two node-keyed hash joins; rank-1 windows see <= k rows per key. Swap in knn_graph_lsh edges and the same plan mines a billion-pair graph.",
+    "bitext_margin_pairs_lsh": "LSH bucket candidates (sum of bucket^2, hot buckets capped) scored by the cogrouped Arrow scorer replace the quadratic exact graph; the margin miner downstream is bounded by the EDGE LIST either way. Mining cost is bounded by the kNN EDGE LIST, never the vectors: the compact edge projection and the per-node best relation are lineage-cut (r10) so the graph builds ONCE for totals/scored/mutuality consumers; per-node totals re-enter via two node-keyed hash joins; rank-1 windows see <= k rows per key. Swap in knn_graph_lsh edges and the same plan mines a billion-pair graph.",
     "events_mad_outliers": "Domain compression: both medians are selected from the distinct-value COUNT relation (|groups x distinct cents| rows), so no stage sorts or windows raw events; the per-group (median, MAD) pair re-enters through one group-keyed join for a map-side flag.",
     "bm25_search_docs": "One token shuffle builds the posting relation; query terms explode, dedupe and BROADCAST against it; document frequencies are computed over postings semi-joined to the query vocabulary (never |vocab|-wide). Post-match shuffles carry matched postings only; integer-ratio scoring keeps everything codegen'd JVM-side.",
-    "market_basket_part_pairs": "Within-order pair self-join fans out <= basket-size^2 per order (linear in orders, never |parts|^2); singles and the order total re-enter as broadcasts; global top-100 is a TakeOrderedAndProject, not a full sort.",
+    "market_basket_part_pairs": "Distinct basket relation is lineage-cut (r10) so its scan+distinct shuffle runs once for all four consumers; within-order pair self-join fans out <= basket-size^2 per order (linear in orders, never |parts|^2); singles and the order total re-enter as broadcasts; global top-100 is a TakeOrderedAndProject, not a full sort.",
     "similarity_mmr_rerank": "Shortlist = per-query WindowGroupLimit over one corpus scan against the broadcast query set; pairwise stage is shortlist^2 x |queries| rows (never corpus^2); the greedy loop runs inside ONE applyInPandas keyed by query_id, so any number of queries rerank in a single shuffle. Swap the brute shortlist for the IVF/LSH candidate stage past brute-force scale.",
     "nb_lang_confusion": "Token counts are one map-side-combining groupBy; the |observed (class, token) pairs|-sized model re-enters through a keyed token join (AQE broadcasts while capped vocabs fit); scoring is one (doc, class) groupBy and the argmax a per-doc window. The sparse unseen-token decomposition means no vocab x class grid ever materializes.",
     "events_cuped_experiment": "Per-user unit build is one groupBy; every CUPED moment comes from ONE map-side-combined aggregate into a single-row combine - no per-group re-entry, no window. DECIMAL(38,0) exact moments; ratios are correctly-rounded double divisions.",
@@ -78,6 +78,8 @@ NOTES = {
     "geo_radius_pairs": "3x3 neighbor-cell explode (constant 9x) on one side, home cell on the other, then a plain cell equi-join + BIGINT distance filter: candidate mass is linear at constant point density where the oracle's form is quadratic. AQE skew-splits hot cells like any other join key.",
     "geo_dbscan_clusters": "Same cell-bucketed candidate join feeds neighbor counts (map-side combine), core-core edges, and the O(log n)-round star components; border assignment is one more keyed join + min agg. No all-pairs stage anywhere; every shuffle is bounded by the eps-graph edge count.",
     "interval_overlap_error_windows": "Both merged interval sets explode to 1h cells (explode factor = interval length / cell) and equi-join on the cell key; each overlapping pair matches exactly once at the cell of GREATEST(starts) - no distinct, no cross product. The keyed activity merge is a single-exchange gaps-and-islands window; the KEYLESS error merge uses merge_intervals_global (per-cell merge -> cross-cell CC -> rank over the |islands|-sized result) so no corpus-wide window partition exists anywhere in the plan.",
+    "quality_score_lift_deciles": "The regex-scored 3-column base is lineage-cut ONCE (r10: it fed value_order_rank's min/max, bucket-count and rank-join subplans plus the row count - 16 document scans collapsed to 1); grand totals ride the same <=10-row window as the running sums instead of a second per-decile aggregation. Global rank stays the distributed two-level range-bucket construction; the only flat windows are over <=256 bucket rows and <=10 decile rows.",
+    "dsir_importance_weights": "Hashed n-gram features are lineage-cut (r10: the md5-explode corpus pass fed model fit AND scoring - 3 executions collapsed to 1), as is the <=n_buckets per-bucket aggregate (totals + domain join). The 1024-row dual model re-enters broadcast; scoring is one groupBy(doc) integer sum.",
 }
 
 HEADER = """# PLANS - physical plans of the headline (bench) queries
