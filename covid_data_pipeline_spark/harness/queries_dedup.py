@@ -98,6 +98,20 @@ def _with_mutants(d: DataFrame) -> DataFrame:
     return d.select("doc_id", "text").unionByName(mutants).repartition(n)
 
 
+def _mutant_ids(d: DataFrame) -> DataFrame:
+    """The doubled corpus' node-id relation WITHOUT `_with_mutants`'s
+    round-robin repartition: every doc mutates, so the id set is exactly
+    ids ∪ (ids + MUTANT_OFFSET). Passing this as the CC ``nodes`` side
+    skips a full corpus shuffle the id roll never needed (the
+    repartition exists to spread the CPU-bound signature projections,
+    not the ids — r10 optimization round; same values, one less
+    Exchange in every consumer's plan)."""
+    ids = d.select("doc_id")
+    return ids.unionByName(
+        ids.select((F.col("doc_id") + MUTANT_OFFSET).alias("doc_id"))
+    )
+
+
 @register(
     "dedup_exact",
     r"""
@@ -400,7 +414,7 @@ def dedup_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, text_col="text", id_col="doc_id", shingle_k=3, num_hashes=16,
         bands=8, threshold=0.9,
     )
-    comps = connected_components(pairs, src="id_a", dst="id_b", nodes=d.select("doc_id"))
+    comps = connected_components(pairs, src="id_a", dst="id_b", nodes=_mutant_ids(table(spark, sf_dir, "documents")))
     return comps.select(
         F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
     )
@@ -453,7 +467,7 @@ def dedup_groups_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=8, threshold=0.9,
     )
     comps = connected_components(
-        pairs, src="id_a", dst="id_b", nodes=d.select("doc_id")
+        pairs, src="id_a", dst="id_b", nodes=_mutant_ids(table(spark, sf_dir, "documents"))
     )
     lens = d.select("doc_id", F.length("text").alias("__len"))
     best = (
@@ -1887,6 +1901,8 @@ def entity_resolution_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     comps = connected_components(
+        # d is the FILTERED doubled corpus and already checkpointed —
+        # its id slice is the right (and cheap) node list here.
         edges, src="id_a", dst="id_b", nodes=d.select("doc_id")
     )
     return comps.select(
