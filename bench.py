@@ -39,6 +39,23 @@ BENCH_r{N}.json exists, per-query ``vs_prev`` ratios are computed
 but the exit code stays 0: round 4 proved a nonzero exit turns pure
 machine contention into an rc=1 official record. Set
 SPARK_GRAFT_STRICT_GATE=1 to restore exit-1 for local development.
+
+``regressions`` vs ``drift_advisory`` (r11, VERDICT r10 ask #2): the
+``regressions`` list carries only PER-QUERY trips (min-of-runs > 1.5x
+a committed per-query time AND > 1s absolute). Suite-wide geomean
+drift against a committed record — uniform environment slowdown the
+per-query gate cannot see, observed at 1.2-1.3x between idle windows
+on unchanged code in r09 AND r10 — is reported under its own
+``drift_advisory`` key instead: two rounds running, the driver treated
+a drift-flagged run as unusable and lost the whole per-query
+comparison (PERF n_common=0). Genuine code regressions still land in
+``regressions``; drift stays visible but no longer poisons the run.
+
+``methodology`` field (ADVICE r10 #4): clearCache-between-runs changed
+what some queries measure (curation_pipeline_docs 4.19s cache-mixed →
+~6s full recompute), so every payload now carries a methodology id and
+comparisons against records from a DIFFERENT methodology are annotated
+``cross_methodology: true`` rather than silently mixed.
 """
 
 from __future__ import annotations
@@ -49,6 +66,12 @@ import re
 import statistics
 import sys
 import time
+
+# Bump when what a timed sample MEASURES changes (not when queries are
+# added): v2 = clearCache between timed runs (r10 honesty fix — every
+# sample is a full recompute from parquet). Records without the field
+# predate v2; ratios against them get cross_methodology: true.
+METHODOLOGY = "noop-median-clearcache-v2"
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -161,6 +184,7 @@ def main() -> None:
     # swallows all first-pass samples (the BENCH_r04 4.6x phantom).
     prev_file, prev = _latest_prev_bench()
     regressions: list[str] = []
+    drift_advisory: list[str] = []
     vs_prev: dict | None = None
     if prev and abs(_sf_from_dir(sf_dir) - prev.get("sf", -1)) < 1e-9:
         prev_q = prev.get("queries", {})
@@ -197,10 +221,12 @@ def main() -> None:
         if ratios:
             geomean = _geomean(list(ratios.values()))
             vs_prev = {"file": prev_file, "geomean": geomean, "ratios": ratios}
-            # systemic slowdown across the whole set is flagged even if
-            # no single query trips the per-query gate
+            if prev.get("methodology") != METHODOLOGY:
+                vs_prev["cross_methodology"] = True
+            # systemic slowdown across the whole set: DRIFT advisory,
+            # not a per-query regression (see module docstring)
             if geomean is not None and geomean > 1.25:
-                regressions.append(f"geomean vs {prev_file}: {geomean}x")
+                drift_advisory.append(f"geomean vs {prev_file}: {geomean}x")
         for line in regressions:
             print(f"# REGRESSION {line}", file=sys.stderr)
 
@@ -250,14 +276,16 @@ def main() -> None:
                 "n_shared": len(idle_ratios),
                 "geomean": g,
             }
+            if idle.get("methodology") != METHODOLOGY:
+                vs_idle["cross_methodology"] = True
             if g is not None and g > 1.05:
-                regressions.append(
+                drift_advisory.append(
                     f"suite geomean vs idle record {idle_file}: {g}x over "
                     f"{len(idle_ratios)} shared queries — uniform drift "
                     "the per-query gate cannot see; A/B a pinned commit "
                     "idle before attributing to code"
                 )
-                print(f"# REGRESSION {regressions[-1]}", file=sys.stderr)
+                print(f"# DRIFT {drift_advisory[-1]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -272,7 +300,9 @@ def main() -> None:
         "sf": _sf_from_dir(sf_dir),
         "runs_per_query": runs,
         "aggregation": "median",
+        "methodology": METHODOLOGY,
         "regressions": regressions,
+        "drift_advisory": drift_advisory,
     }
     if vs_prev:
         payload["vs_prev"] = vs_prev
@@ -297,6 +327,7 @@ def main() -> None:
         "n_queries": len(timings),
         "runs_per_query": runs,
         "aggregation": "median",
+        "methodology": METHODOLOGY,
         "full_results": "bench_result.json",
     }
     if vs_prev:
@@ -312,6 +343,8 @@ def main() -> None:
         compact["geomean_vs_idle"] = vs_idle["geomean"]
     if regressions:
         compact["regressions"] = regressions[:5]
+    if drift_advisory:
+        compact["drift_advisory"] = drift_advisory[:2]
     line = json.dumps(compact)
     if len(line) > 1900:  # hard guarantee: never outgrow tail capture
         line = json.dumps({k: compact[k] for k in

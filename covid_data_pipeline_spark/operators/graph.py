@@ -28,7 +28,7 @@ bottleneck.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "largest_components", "pagerank_int"]
@@ -86,41 +86,58 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """(v, m) for every neighbor v > u, m = min(N(u) ∪ {u})."""
+    """(v, m) for every neighbor v > u, m = min(N(u) ∪ {u}).
+
+    Window formulation (r11): the per-neighborhood minimum rides a
+    window over the symmetrized relation instead of a groupBy-min +
+    self-join. The join form paid the groupBy exchange AND a second
+    full execution of ``sym`` as the probe side (Catalyst shares no
+    subtrees), i.e. 2 exchanges + 2 passes per round; the window is ONE
+    exchange + one pass, and at cluster scale it also avoids the case
+    where the node-sized min-table is too big to broadcast and the join
+    falls back to shuffling ``sym`` a second time."""
     sym = _symmetrize(edges)
-    mins = (
-        sym.groupBy("src")
-        .agg(F.min("dst").alias("_mn"))
-        .select("src", F.least("_mn", F.col("src")).alias("m"))
+    m = F.least(
+        F.min("dst").over(Window.partitionBy("src")), F.col("src")
     )
-    # No trailing distinct: _small_star's oriented.distinct() dedups the
-    # same key space one step later, so a distinct here is a pure extra
-    # shuffle per round (the only thing it could save is shuffle volume
-    # on multi-edges, which the following distinct pays for anyway).
     return (
-        sym.join(mins, "src")
+        sym.withColumn("m", m)
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """Orient each edge larger→smaller; (v, m) for v in N∪{u}, v ≠ m."""
-    oriented = (
-        edges.select(
-            F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
+    """Orient each edge larger→smaller; (v, m) for v in N∪{u}, v ≠ m.
+
+    Window formulation (r11), same rationale as :func:`_large_star` —
+    the previous groupBy+join form executed the oriented relation three
+    times (mins aggregate, join probe, self-edge branch) across 3-4
+    exchanges. Here the per-``a`` minimum is a window over ONE pass of
+    the oriented edges, and both output kinds — (b, m) for smaller
+    neighbors and the (a, m) self-edge — are emitted from the same rows
+    via a 2-element inline explode, so no subplan is duplicated. The
+    (m, m) degenerate of the b == m row is dropped by the src != dst
+    filter (m < a always, so self-edges never degenerate). The previous
+    inner ``oriented.distinct()`` is gone: min() is multiset-insensitive
+    and the trailing distinct dedups the same key space; on multi-edges
+    the window pass shuffles the duplicates once instead of paying an
+    extra full exchange every round to remove them early."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
+    ).where(F.col("a") != F.col("b"))
+    om = oriented.withColumn(
+        "m", F.min("b").over(Window.partitionBy("a"))
     )
-    mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
-    smaller = (
-        oriented.join(mins, "a")
-        .where(F.col("b") != F.col("m"))
-        .select(F.col("b").alias("src"), F.col("m").alias("dst"))
-    )
-    self_edge = mins.select(F.col("a").alias("src"), F.col("m").alias("dst"))
-    return smaller.unionByName(self_edge).distinct()
+    both = om.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("b").alias("src"), F.col("m").alias("dst")),
+                F.struct(F.col("a").alias("src"), F.col("m").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    return both.where(F.col("src") != F.col("dst")).distinct()
 
 
 def connected_components(

@@ -60,17 +60,30 @@ def hashed_ngram_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 4096,
+    carry: Column | None = None,
 ) -> DataFrame:
     """Per-document hashed n-gram bucket counts: ``(id, bucket, cnt)``.
 
     One explode + one count shuffle; downstream consumers aggregate the
     same relation, so a 100 TB run computes features once and reuses
     them for both model fitting and scoring.
+
+    ``carry`` (r11): an optional per-document column (e.g. the DSIR
+    ``is_target`` flag) carried through the pass as ``is_t`` — it rides
+    the same grouping key (constant within a document, so groups are
+    unchanged), which lets :func:`dsir_weights` fit its models off this
+    relation directly instead of scanning the corpus a second time just
+    to re-derive the flag.
     """
+    cols = [F.col(id_col)]
+    keys = [id_col, "bucket"]
+    if carry is not None:
+        cols.append(carry.alias("is_t"))
+        keys.append("is_t")
     return (
-        df.select(F.col(id_col), F.explode(_grams(F.col(text_col))).alias("g"))
-        .select(id_col, (portable_hash31(F.col("g")) % n_buckets).alias("bucket"))
-        .groupBy(id_col, "bucket")
+        df.select(*cols, F.explode(_grams(F.col(text_col))).alias("g"))
+        .withColumn("bucket", portable_hash31(F.col("g")) % n_buckets)
+        .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
@@ -167,13 +180,17 @@ def dsir_weights(
     # The feature relation feeds both model fitting and scoring; cut the
     # lineage so the n-gram explode + count shuffle runs once (the reuse
     # the docstring above promises — Catalyst alone re-executes the
-    # subtree per consumer). Compact (id, bucket, cnt) rows.
-    feats = hashed_ngram_counts(df, id_col, text_col, n_buckets).localCheckpoint(
-        eager=False
-    )
-    flags = df.select(id_col, is_target.alias("is_t"))
+    # subtree per consumer). Compact (id, is_t, bucket, cnt) rows.
+    # The is_target flag is CARRIED THROUGH the feature pass (r11,
+    # VERDICT r10 ask #5): it is constant per document, so adding it to
+    # the grouping key changes no group — and model fitting no longer
+    # needs a second corpus scan + join just to re-derive the flag
+    # (after-plan: documents scanned once, was twice).
+    feats = hashed_ngram_counts(
+        df, id_col, text_col, n_buckets, carry=is_target
+    ).localCheckpoint(eager=False)
     models = ngram_log_prob_models(
-        feats.join(flags, id_col).select("bucket", "cnt", F.col("is_t")),
+        feats.select("bucket", "cnt", "is_t"),
         F.col("is_t"),
         n_buckets,
     )

@@ -1,7 +1,8 @@
-"""Capture .explain("formatted") for bench queries into plans/r10/.
+"""Capture .explain("formatted") for bench queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
-Writes plans/r10/<query>_<suffix>.txt for each bench query (default all).
+Writes plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<suffix>.txt for each bench
+query (default all; round dir defaults to r11).
 """
 from __future__ import annotations
 
@@ -33,7 +34,8 @@ def main() -> None:
 
     from covid_data_pipeline_spark.harness.registry import QUERIES
 
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+    round_dir = os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r11")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", round_dir)
     os.makedirs(out_dir, exist_ok=True)
     names = [n for n, s in QUERIES.items() if s.bench and (not only or n in only)]
     for n in names:
