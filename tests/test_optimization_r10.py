@@ -35,8 +35,13 @@ def test_score_lift_deciles_materializes_base_once(spark):
     out = score_lift_deciles(df, "s", "y", "tb")
     plan = _plan(out)
     assert "ExistingRDD" in plan
-    # no Range/parquet source may survive into the consuming plan
-    assert "Scan parquet" not in plan
+    # The input here is spark.range, so the re-read that the cut removes
+    # would surface as a `Range (` source node in the consuming plan —
+    # assert on THAT, not on "Scan parquet" (which an in-memory input
+    # can never produce; the r10 form of this assertion was vacuous,
+    # ADVICE r10 #2). Zero Range nodes ⇔ every consumer reads the
+    # checkpointed base.
+    assert "Range (" not in plan
 
     rows = {r["decile"]: r for r in out.collect()}
     assert len(rows) == 10

@@ -302,3 +302,53 @@ def test_bm25_1m_docs_stopword_capped(big_spark):
     hits = bm25_topk(base, q, k=10, max_df_frac=0.5).collect()
     got = {r["doc_id"] for r in hits}
     assert got == {i for i in range(1_000_000) if i % 100_000 == 7}
+
+
+def test_radius_pairs_hot_cell_output_bound_and_salt_invariant(big_spark):
+    """One pathological hot cell (VERDICT r10 #3: the only scaling flag,
+    geo_radius_pairs α=1.34, adjudicated output-bound): 2,000 points
+    inside ONE grid cell, all pairwise within radius, plus a uniform
+    background. Pins the density contract on radius_pairs:
+
+    - exactness: the hot cell contributes exactly k(k−1)/2 pairs (the
+      output IS quadratic in cell density — no algorithm beats Θ(output));
+    - bounded per-cell work: ``salt`` spreads the hot cell's candidate
+      mass over salt join sub-keys with BIT-IDENTICAL output, so per-task
+      work is |cell|²/salt, a knob not a cliff;
+    - partitioning invariance of the salted plan.
+    """
+    from covid_data_pipeline_spark.operators.geo import radius_pairs
+
+    k = 2_000
+    radius = 1_000
+    # hot cell: k points in a radius/2 square => every pair qualifies
+    hot = big_spark.range(k).select(
+        F.col("id").alias("pid"),
+        (F.pmod(F.xxhash64("id"), F.lit(radius // 2))).alias("x"),
+        (F.pmod(F.xxhash64(F.col("id") + 1), F.lit(radius // 2))).alias("y"),
+    )
+    # sparse background far away: 50k points, ≥ 10·radius apart => no pairs
+    bg = big_spark.range(50_000).select(
+        (F.col("id") + 1_000_000).alias("pid"),
+        (F.lit(100_000) + F.col("id") * 10 * radius).alias("x"),
+        (F.col("id") % 2 * 10 * radius).alias("y"),
+    )
+    pts = hot.unionByName(bg)
+
+    n_unsalted = radius_pairs(pts, "pid", "x", "y", radius).count()
+    assert n_unsalted == k * (k - 1) // 2
+
+    salted = radius_pairs(pts, "pid", "x", "y", radius, salt=16)
+    assert salted.count() == n_unsalted
+    # bit-identical pair set, salted vs not, and under repartitioning
+    unsalted_set = {
+        (r["id_a"], r["id_b"])
+        for r in radius_pairs(pts, "pid", "x", "y", radius).collect()
+    }
+    salted_set = {
+        (r["id_a"], r["id_b"])
+        for r in radius_pairs(
+            pts.repartition(37), "pid", "x", "y", radius, salt=16
+        ).collect()
+    }
+    assert salted_set == unsalted_set

@@ -44,17 +44,31 @@ def main() -> None:
         QUERIES[n].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
-    tracker = sc.statusTracker()
+    # Job counting (ADVICE r10 #3): one tracker, max-jobId deltas.
+    # The r10 form mixed the Python statusTracker with the JVM one and
+    # used getJobIdsForGroup(None), which only lists jobs with a null
+    # job group — counts drifted between trackers and under-counted
+    # grouped jobs. Job ids are globally monotonic, so the number of
+    # jobs a query ran is (max id after) - (max id before), group-blind.
+    status_store = sc._jsc.sc().statusStore()
+
+    def max_job_id() -> int:
+        # jobsList(null) returns every job the app has run, any group,
+        # any status; ids are globally monotonic.
+        jobs = status_store.jobsList(None)
+        n = jobs.size()
+        return max(
+            (jobs.apply(i).jobId() for i in range(n)), default=-1
+        )
+
     for n in names:
-        jobs0 = len(tracker.getJobIdsForGroup(None) or [])
+        jobs0 = max_job_id()
         t0 = time.perf_counter()
         df = QUERIES[n].fn(spark, sf_dir)
         t1 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         t2 = time.perf_counter()
-        # job ids are global and increasing; count via allJobs
-        all_jobs = sc._jsc.sc().statusTracker().getJobIdsForGroup(None)
-        n_jobs = len(list(all_jobs)) - jobs0
+        n_jobs = max_job_id() - jobs0
         out[n] = {
             "build_s": round(t1 - t0, 3),
             "exec_s": round(t2 - t1, 3),
