@@ -3,6 +3,14 @@ arbitrary (key, time, value) inputs — both sides inclusive-backward."""
 
 from __future__ import annotations
 
+import pytest
+
+# r11 fast-tier marking (VERDICT r10 ask #3): the full suite runs ~52
+# min, which times out the driver's verify window; this module's tests
+# are in the SLOW tier (fast tier = `pytest tests/` with the default
+# addopts, full suite = `pytest tests/ -m ""` — run per round).
+pytestmark = pytest.mark.slow
+
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st

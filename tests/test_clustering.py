@@ -6,6 +6,12 @@ Cross-engine hash parity is covered by test_oracle_parity
 
 from __future__ import annotations
 
+import pytest
+
+# r11 fast-tier marking (VERDICT r10 ask #3): slow tier; full suite
+# runs per round via `pytest tests/ -m ""`.
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from covid_data_pipeline_spark.operators.clustering import (

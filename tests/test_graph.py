@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from covid_data_pipeline_spark.operators.graph import (
@@ -47,6 +49,7 @@ def test_long_cycle_converges_within_log_rounds(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+@pytest.mark.slow  # ~16s (r11 fast tier)
 def test_labels_stable_under_partitioning(spark):
     pairs = [(i, i + 100) for i in range(20)] + [(i + 100, (i + 1) % 20) for i in range(20)]
     e = _edges(spark, pairs)
@@ -97,6 +100,7 @@ def _union_find(pairs):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # ~27s (r11 fast tier)
 @given(pairs=st.lists(st.tuples(_node, _node), min_size=1, max_size=60))
 def test_components_match_union_find(spark, pairs):
     expected = {
@@ -287,6 +291,7 @@ def test_shortest_paths_partitioning_invariant(spark):
     assert a == b and len(a) > 5
 
 
+@pytest.mark.slow  # ~9s (r11 fast tier)
 def test_personalized_pagerank_concentrates_on_seeds(spark):
     from covid_data_pipeline_spark.operators.graph import pagerank_int
 
@@ -322,6 +327,7 @@ def test_personalized_pagerank_concentrates_on_seeds(spark):
     assert r == r2
 
 
+@pytest.mark.slow  # ~7s (r11 fast tier)
 def test_personalized_pagerank_ignores_out_of_graph_seeds(spark):
     """A seed id absent from the edge set must not dilute the teleport
     divisor |S| — it has no rank row, so counting it would leak its

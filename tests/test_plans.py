@@ -10,6 +10,8 @@ from __future__ import annotations
 import io
 from contextlib import redirect_stdout
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from covid_data_pipeline_spark.harness.registry import QUERIES
@@ -94,6 +96,7 @@ def test_lsh_candidates_never_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
+@pytest.mark.slow  # full-registry sweep, ~4 min (r11 fast tier)
 def test_no_python_row_path_in_declarative_queries(spark, sf_dir):
     """Every query not explicitly built on Pandas UDFs must plan entirely
     JVM-side — a BatchEvalPython/ArrowEvalPython node appearing in a
@@ -161,6 +164,7 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     assert "dynamicpruning" in buf.getvalue().lower()
 
 
+@pytest.mark.slow  # full-registry sweep, ~3.5 min (r11 fast tier)
 def test_no_cartesian_product_in_any_registered_query(spark, sf_dir):
     """NO registered query may plan an unconstrained CartesianProduct —
     the one O(n·m) shape that silently survives small-scale testing and

@@ -8,6 +8,12 @@ import math
 
 import pytest
 
+# r11 fast-tier marking (VERDICT r10 ask #3): the full suite runs ~52
+# min, which times out the driver's verify window; this module's tests
+# are in the SLOW tier (fast tier = `pytest tests/` with the default
+# addopts, full suite = `pytest tests/ -m ""` — run per round).
+pytestmark = pytest.mark.slow
+
 
 def test_kruskal_wallis_textbook_no_ties(spark):
     """Three disjoint groups 1-3 / 4-6 / 7-9: rank sums 6/15/24,

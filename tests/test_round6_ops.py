@@ -3,6 +3,12 @@ Mann-Whitney U, RAKE keywords, position-based attribution weights."""
 
 from __future__ import annotations
 
+import pytest
+
+# r11 fast-tier marking (VERDICT r10 ask #3): slow tier; full suite
+# runs per round via `pytest tests/ -m ""`.
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 

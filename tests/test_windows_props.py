@@ -3,6 +3,12 @@ and rollup invariance under partitioning."""
 
 from __future__ import annotations
 
+import pytest
+
+# r11 fast-tier marking (VERDICT r10 ask #3): slow tier; full suite
+# runs per round via `pytest tests/ -m ""`.
+pytestmark = pytest.mark.slow
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
