@@ -517,11 +517,20 @@ def dbscan(
     ncount = cand.groupBy("id_a").agg(
         (F.count(F.lit(1)) + F.lit(1)).alias("n_in_eps")
     )
-    labeled = pts.join(
-        ncount, pts[id_col] == ncount["id_a"], "left"
-    ).select(
-        F.col(id_col),
-        F.coalesce(F.col("n_in_eps"), F.lit(1)).alias("n_in_eps"),
+    labeled = (
+        pts.join(ncount, pts[id_col] == ncount["id_a"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_in_eps"), F.lit(1)).alias("n_in_eps"),
+        )
+        # r11: `core` (a filter of this relation) feeds FOUR consumers —
+        # both sides of the core-edge semi-filter, the CC nodes param,
+        # and the border anti-join — and Catalyst shares no subtrees, so
+        # without a cut the |pairs|-sized neighbor-count aggregation
+        # re-ran per consumer (profiled at sf1: 27.8M-pair groupBy ×4-5,
+        # ~2-3s each locally, a full eps-graph pass each at scale).
+        # This relation is |points|-sized and compact (id + count).
+        .localCheckpoint(eager=False)
     )
     core = labeled.where(F.col("n_in_eps") >= min_pts).select(id_col)
 
