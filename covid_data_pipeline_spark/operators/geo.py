@@ -570,7 +570,10 @@ def dbscan(
         )
     )
     noise = (
-        pts.select(id_col)
+        # labeled is one row per point (pts left-joined to counts) and
+        # already checkpointed — reading it instead of pts saves the
+        # source re-scan this branch otherwise pays (r11).
+        labeled.select(id_col)
         .join(core_lab.select(id_col), id_col, "left_anti")
         .join(border.select(id_col), id_col, "left_anti")
         .select(
